@@ -32,5 +32,21 @@ object GraftSession {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright; read it as a raw nanos long (legacy flag) and rebuild a
+    * microsecond TimestampType column (the corpus has no sub-µs
+    * components). Integer `div` keeps the conversion exact — a double
+    * division would lose precision above 2^53 ns.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.CoreQueries
+import graft.operators.{CoreQueries, IngestQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,6 +22,20 @@ object SparkEntry {
     "q_agg_pricing" -> CoreQueries.aggPricing,
     "q_probe_counts" -> CoreQueries.probeCounts,
     "q_checksum_lineitem" -> CoreQueries.checksumLineitem,
+    "q_file_route" -> IngestQueries.fileRoute,
+    "q_ddl_schema" -> IngestQueries.ddlSchema,
+    "q_table_filter" -> IngestQueries.tableFilter,
+    "q_shard_merge" -> IngestQueries.shardMerge,
+    "q_column_permutation" -> IngestQueries.columnPermutation,
+    "q_type_cast" -> IngestQueries.typeCast,
+    "q_rowid_assign" -> IngestQueries.rowidAssign,
+    "q_auto_random" -> IngestQueries.autoRandom,
+    "q_csv_roundtrip" -> IngestQueries.csvRoundtrip,
+    "q_csv_multisep" -> IngestQueries.csvMultisep,
+    "q_dump_roundtrip" -> IngestQueries.dumpRoundtrip,
+    "q_sorted_write" -> IngestQueries.sortedWrite,
+    "q_checksum_roundtrip" -> IngestQueries.checksumRoundtrip,
+    "q_dedup_policy" -> IngestQueries.dedupPolicy,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +44,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" -> CoreQueries.aggPricingSql,
     "q_probe_counts" -> CoreQueries.probeCountsSql,
+    "q_file_route" -> IngestQueries.fileRouteSql,
+    "q_ddl_schema" -> IngestQueries.ddlSchemaSql,
+    "q_table_filter" -> IngestQueries.tableFilterSql,
+    "q_shard_merge" -> IngestQueries.shardMergeSql,
+    "q_column_permutation" -> IngestQueries.columnPermutationSql,
+    "q_type_cast" -> IngestQueries.typeCastSql,
+    "q_rowid_assign" -> IngestQueries.rowidAssignSql,
+    "q_auto_random" -> IngestQueries.autoRandomSql,
+    "q_csv_roundtrip" -> IngestQueries.csvRoundtripSql,
+    "q_csv_multisep" -> IngestQueries.csvMultisepSql,
+    "q_dump_roundtrip" -> IngestQueries.dumpRoundtripSql,
+    "q_sorted_write" -> IngestQueries.sortedWriteSql,
+    "q_checksum_roundtrip" -> IngestQueries.checksumRoundtripSql,
+    "q_dedup_policy" -> IngestQueries.dedupPolicySql,
   )
 }

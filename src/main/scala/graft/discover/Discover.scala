@@ -1,0 +1,144 @@
+package graft.discover
+
+import java.util.Locale
+
+/** Source-file discovery and routing (SURVEY §2.1 S1–S4).
+  *
+  * The reference walks a dump directory and classifies every file by
+  * MyDumper naming rules, then filters and re-routes (schema, table)
+  * pairs (reference `lightning/mydump/router.go:110-181`,
+  * `loader.go:286-416`). Here the same logic is pure driver-side Scala:
+  * it runs once over the file listing (thousands of entries, never the
+  * data itself), so it costs nothing at 100 TB — the output simply
+  * decides which files each per-table DataFrame reads.
+  */
+object FileKind extends Enumeration {
+  val SchemaSchema, TableSchema, ViewSchema, Sql, Csv, Parquet, Ignore = Value
+}
+
+case class RouteResult(
+    database: String,
+    table: String,
+    kind: FileKind.Value,
+    compression: Option[String],
+    sortKey: String)
+
+/** MyDumper default naming rules, mirroring the reference's built-in
+  * router templates (`lightning/mydump/router.go:110-122`):
+  *   {db}-schema-create.sql            → database schema
+  *   {db}.{table}-schema.sql           → table schema
+  *   {db}.{table}-schema-view.sql      → view schema
+  *   {db}.{table}(.{key})?.{sql|csv|parquet}[.{gz|lz4|zstd|xz}] → data
+  * Custom regex rules (the `[[mydumper.files]]` config surface,
+  * `tests/file_routing/`) can be prepended.
+  */
+class FileRouter(customRules: Seq[FileRouter.Rule] = Nil) {
+  import FileRouter._
+
+  private val rules: Seq[Rule] = customRules ++ defaultRules
+
+  def route(relPath: String): Option[RouteResult] = {
+    val name = relPath // routing is over the path relative to the source root
+    rules.view.flatMap(r => r.lift(name)).headOption
+  }
+}
+
+object FileRouter {
+  type Rule = PartialFunction[String, RouteResult]
+
+  private val DbSchema = """(?i)^(?:.*/)?([^/.]+)-schema-create\.sql$""".r
+  private val ViewSchema = """(?i)^(?:.*/)?([^/]+)\.(.+?)-schema-view\.sql$""".r
+  private val TblSchema = """(?i)^(?:.*/)?([^/]+)\.(.+?)-schema\.sql$""".r
+  private val Data =
+    """(?i)^(?:.*/)?([^/.]+)\.(.+?)(?:\.([0-9]+))?\.(sql|csv|parquet)(?:\.(gz|gzip|lz4|zstd|zst|xz))?$""".r
+
+  val defaultRules: Seq[Rule] = Seq(
+    { case DbSchema(db) => RouteResult(db, "", FileKind.SchemaSchema, None, "") },
+    { case ViewSchema(db, tbl) => RouteResult(db, tbl, FileKind.ViewSchema, None, "") },
+    { case TblSchema(db, tbl) => RouteResult(db, tbl, FileKind.TableSchema, None, "") },
+    { case Data(db, tbl, key, ext, comp) =>
+      val kind = ext.toLowerCase(Locale.ROOT) match {
+        case "sql" => FileKind.Sql
+        case "csv" => FileKind.Csv
+        case "parquet" => FileKind.Parquet
+      }
+      RouteResult(db, tbl, kind, Option(comp).map(_.toLowerCase(Locale.ROOT)),
+        Option(key).getOrElse(""))
+    })
+}
+
+/** Allow/deny table filter (SURVEY S3): case-configurable wildcard
+  * patterns `db.table` with `*`/`?` globs, first-match-wins with `!`
+  * negation — the public `table-filter` semantics the reference wraps
+  * (`lightning/mydump/loader.go:119-131`).
+  */
+class TableFilter(patterns: Seq[String], caseSensitive: Boolean = false) {
+
+  private case class Pat(negate: Boolean, db: java.util.regex.Pattern, tbl: java.util.regex.Pattern)
+
+  private val compiled: Seq[Pat] = patterns.map { raw0 =>
+    val negate = raw0.startsWith("!")
+    val raw = if (negate) raw0.substring(1) else raw0
+    val parts = raw.split("\\.", 2)
+    val (d, t) = if (parts.length == 2) (parts(0), parts(1)) else (parts(0), "*")
+    Pat(negate, glob(d), glob(t))
+  }
+
+  private def glob(p: String): java.util.regex.Pattern = {
+    val rx = "^" + p.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$"
+    java.util.regex.Pattern.compile(rx,
+      if (caseSensitive) 0 else java.util.regex.Pattern.CASE_INSENSITIVE)
+  }
+
+  /** Last matching pattern decides (like the upstream table-filter);
+    * default deny when any pattern is given, allow-all when none.
+    */
+  def matches(db: String, table: String): Boolean = {
+    if (compiled.isEmpty) return true
+    var verdict = false
+    compiled.foreach { p =>
+      if (p.db.matcher(db).matches() && p.tbl.matcher(table).matches())
+        verdict = !p.negate
+    }
+    verdict
+  }
+}
+
+/** Table router (SURVEY S4): maps source (schema, table) to target
+  * (schema, table) via glob patterns — N source shards mapping to one
+  * target is the shard-merge case (`tests/routes/config.toml`), which
+  * downstream becomes a `unionByName` of the routed DataFrames.
+  */
+case class TableRoute(
+    schemaPattern: String,
+    tablePattern: String,
+    targetSchema: String,
+    targetTable: String)
+
+class TableRouter(routes: Seq[TableRoute], caseSensitive: Boolean = false) {
+
+  private def glob(p: String) = {
+    val rx = "^" + p.flatMap {
+      case '*' => "(.*)"
+      case '?' => "(.)"
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$"
+    java.util.regex.Pattern.compile(rx,
+      if (caseSensitive) 0 else java.util.regex.Pattern.CASE_INSENSITIVE)
+  }
+
+  private val compiled = routes.map(r => (glob(r.schemaPattern), glob(r.tablePattern), r))
+
+  /** First matching route wins; identity when none match. */
+  def route(db: String, table: String): (String, String) =
+    compiled.collectFirst {
+      case (dp, tp, r) if dp.matcher(db).matches() && tp.matcher(table).matches() =>
+        (r.targetSchema, r.targetTable)
+    }.getOrElse((db, table))
+}

@@ -1,0 +1,361 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftSession.table
+import graft.discover.{FileKind, FileRouter, TableFilter, TableRoute, TableRouter}
+import graft.schema.MysqlDdl
+import graft.sink.{InsertDumpWriter, SortedParquetSink}
+import graft.sources.{CsvDialect, DumpSource, MySqlCsv}
+import graft.transform.RowTransform
+import graft.verify.Checksum
+
+/** End-to-end queries over the ingest pipeline operators (SURVEY §2.1–
+  * §2.5). Round-trip queries generate their own MyDumper-style fixture
+  * from the sf tables, push it through the real source/sink code, and
+  * compare to the original table via the DuckDB oracle — the same
+  * golden-probe style as the reference's integration tests.
+  */
+object IngestQueries {
+
+  private def dec(c: String) = col(c).cast(DecimalType(18, 4))
+
+  private def fixDir(sfDir: String, name: String): String =
+    s"/tmp/graft_fixtures/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  // ---------------------------------------------------------------- S2
+  /** File router golden check over MyDumper naming (S2). */
+  def fileRoute(spark: SparkSession, sfDir: String): DataFrame = {
+    val router = new FileRouter()
+    val paths = Seq(
+      "tpch-schema-create.sql",
+      "tpch.lineitem-schema.sql",
+      "tpch.lineitem.0001.csv",
+      "tpch.orders.sql",
+      "tpch.part.42.parquet",
+      "tpch.events.csv.gz",
+      "tpch.v1-schema-view.sql",
+      "README.txt")
+    import spark.implicits._
+    paths.map { p =>
+      router.route(p) match {
+        case Some(r) =>
+          (p, r.database, r.table, r.kind.toString, r.compression.orNull, r.sortKey)
+        case None => (p, null, null, "Ignore", null, null)
+      }
+    }.toDF("path", "db", "tbl", "kind", "compression", "sort_key")
+      .orderBy("path")
+  }
+
+  def fileRouteSql: String =
+    """SELECT * FROM (VALUES
+      |  ('README.txt', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'Ignore', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      |  ('tpch-schema-create.sql', 'tpch', '', 'SchemaSchema', CAST(NULL AS VARCHAR), ''),
+      |  ('tpch.events.csv.gz', 'tpch', 'events', 'Csv', 'gz', ''),
+      |  ('tpch.lineitem-schema.sql', 'tpch', 'lineitem', 'TableSchema', CAST(NULL AS VARCHAR), ''),
+      |  ('tpch.lineitem.0001.csv', 'tpch', 'lineitem', 'Csv', CAST(NULL AS VARCHAR), '0001'),
+      |  ('tpch.orders.sql', 'tpch', 'orders', 'Sql', CAST(NULL AS VARCHAR), ''),
+      |  ('tpch.part.42.parquet', 'tpch', 'part', 'Parquet', CAST(NULL AS VARCHAR), '42'),
+      |  ('tpch.v1-schema-view.sql', 'tpch', 'v1', 'ViewSchema', CAST(NULL AS VARCHAR), '')
+      |) AS t(path, db, tbl, kind, compression, sort_key)
+      |ORDER BY path""".stripMargin
+
+  // ------------------------------------------------------------ schema
+  private val paletteDdl =
+    """CREATE TABLE IF NOT EXISTS `db`.`t` (
+      |  `id` bigint(20) UNSIGNED NOT NULL AUTO_INCREMENT,
+      |  `name` varchar(128) DEFAULT 'anon',
+      |  `ratio` decimal(6,4),
+      |  `flags` bit(4),
+      |  `tags` set('a','b','c'),
+      |  `status` enum('YES','NO') NOT NULL DEFAULT 'YES',
+      |  `created` timestamp DEFAULT CURRENT_TIMESTAMP,
+      |  `payload` longblob,
+      |  `doubled` int AS (id * 2) STORED,
+      |  PRIMARY KEY (`id`),
+      |  KEY `idx_name` (`name`)
+      |);""".stripMargin
+
+  /** MySQL DDL → Spark schema golden check (SURVEY §1.2 type map). */
+  def ddlSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = MysqlDdl.parse(paletteDdl)
+    import spark.implicits._
+    ts.columns.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.name, c.sparkType.simpleString, c.nullable,
+        c.default.orNull, c.autoIncrement, c.generated.isDefined)
+    }.toDF("ordinal", "col_name", "spark_type", "nullable",
+        "default_val", "auto_inc", "generated")
+      .orderBy("ordinal")
+  }
+
+  def ddlSchemaSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 'id', 'decimal(20,0)', FALSE, CAST(NULL AS VARCHAR), TRUE, FALSE),
+      |  (CAST(1 AS BIGINT), 'name', 'string', TRUE, 'anon', FALSE, FALSE),
+      |  (CAST(2 AS BIGINT), 'ratio', 'decimal(6,4)', TRUE, CAST(NULL AS VARCHAR), FALSE, FALSE),
+      |  (CAST(3 AS BIGINT), 'flags', 'bigint', TRUE, CAST(NULL AS VARCHAR), FALSE, FALSE),
+      |  (CAST(4 AS BIGINT), 'tags', 'string', TRUE, CAST(NULL AS VARCHAR), FALSE, FALSE),
+      |  (CAST(5 AS BIGINT), 'status', 'string', FALSE, 'YES', FALSE, FALSE),
+      |  (CAST(6 AS BIGINT), 'created', 'timestamp', TRUE, 'CURRENT_TIMESTAMP', FALSE, FALSE),
+      |  (CAST(7 AS BIGINT), 'payload', 'binary', TRUE, CAST(NULL AS VARCHAR), FALSE, FALSE),
+      |  (CAST(8 AS BIGINT), 'doubled', 'int', TRUE, CAST(NULL AS VARCHAR), FALSE, TRUE)
+      |) AS t(ordinal, col_name, spark_type, nullable, default_val, auto_inc, generated)
+      |ORDER BY ordinal""".stripMargin
+
+  // ------------------------------------------------------------ S3
+  /** Table filter (S3): wildcard allow-list selects which tables are
+    * read at all — filter-before-scan, the cheapest pushdown there is.
+    */
+  def tableFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val filter = new TableFilter(Seq("tpch.n*", "tpch.r*", "!tpch.nothing"))
+    val kept = graft.GraftSession.tableNames.filter(t => filter.matches("tpch", t))
+    kept.map { t =>
+      table(spark, sfDir, t).agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"))
+    }.reduce(_.unionByName(_)).orderBy("table_name")
+  }
+
+  def tableFilterSql: String =
+    """SELECT 'nation' AS table_name, count(*) AS n_rows FROM nation
+      |UNION ALL SELECT 'region', count(*) FROM region
+      |ORDER BY table_name""".stripMargin
+
+  // ------------------------------------------------------------ S4
+  /** Shard-merge routing (S4): N source shards route to one target
+    * table and union. Scale shape: unionByName is plan-level only — no
+    * shuffle, the shards' files simply concatenate into one scan.
+    */
+  def shardMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+    val shards = (0 until 3).map { k =>
+      (s"orders_$k", orders.filter(pmod(col("o_orderkey"), lit(3)) === k))
+    }
+    val router = new TableRouter(Seq(TableRoute("tpch", "orders_*", "tpch", "orders_all")))
+    val merged = shards
+      .groupBy { case (name, _) => router.route("tpch", name) }
+      .map { case (_, dfs) => dfs.map(_._2).reduce(_.unionByName(_)) }
+      .head
+    merged.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  def shardMergeSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------------ T1/T3
+  private val customerDdl =
+    """CREATE TABLE customer (
+      |  c_custkey bigint NOT NULL,
+      |  c_name varchar(25),
+      |  c_nationkey int,
+      |  c_acctbal double,
+      |  c_mktsegment varchar(10) NOT NULL DEFAULT 'BUILDING',
+      |  PRIMARY KEY (c_custkey)
+      |);""".stripMargin
+
+  /** Column permutation + default fill (T1+T3): file columns arrive
+    * reordered and missing c_mktsegment; the permutation projects onto
+    * the table schema and fills the DEFAULT. Pure select — fuses into
+    * the scan.
+    */
+  def columnPermutation(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = MysqlDdl.parse(customerDdl)
+    val fileDf = table(spark, sfDir, "customer")
+      .select("c_name", "c_acctbal", "c_nationkey", "c_custkey") // permuted + missing col
+    RowTransform.applySchema(fileDf, schema).orderBy("c_custkey")
+  }
+
+  def columnPermutationSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+      |  'BUILDING' AS c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------ T2
+  private val eventsDdl =
+    """CREATE TABLE events (
+      |  event_id bigint NOT NULL,
+      |  ts datetime,
+      |  user_id bigint,
+      |  event_type varchar(20),
+      |  value double,
+      |  props json
+      |);""".stripMargin
+
+  /** Late-typed cast palette (T2): every column is stringified (the
+    * state CSV/dump parsers deliver rows in, SURVEY §1.2) and cast back
+    * to its declared type — bigint, datetime, varchar, double, json.
+    */
+  def typeCast(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = MysqlDdl.parse(eventsDdl)
+    val stringified = table(spark, sfDir, "events")
+      .select(col("event_id").cast(StringType), col("ts").cast(StringType),
+        col("user_id").cast(StringType), col("event_type").cast(StringType),
+        col("value").cast(StringType), col("props").cast(StringType))
+    RowTransform.applySchema(stringified, schema).orderBy("event_id")
+  }
+
+  def typeCastSql: String =
+    """SELECT event_id, ts, user_id, event_type, value, props
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------ T4/T6
+  /** Deterministic row-ID assignment (T4/T6) with the scalable
+    * two-level scheme: range-partition on the business key, sort within
+    * partitions, then per-chunk base + local ordinal — no global window,
+    * mirroring the reference's PrevRowIDMax ranges
+    * (`lightning/mydump/region.go:131-234`).
+    */
+  def rowidAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    RowTransform.chunkedRowId(o, "row_id").orderBy("o_orderkey")
+  }
+
+  def rowidAssignSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  row_number() OVER (ORDER BY o_orderkey) AS row_id
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------ T5
+  /** auto_random synthesis (T5): 5 shard bits from the key, low 58 bits
+    * from the deterministic row ID (reference
+    * `lightning/backend/sql2kv.go:69-77,313-320`).
+    */
+  def autoRandom(spark: SparkSession, sfDir: String): DataFrame = {
+    val withId = rowidAssign(spark, sfDir)
+    withId.select(
+      col("o_orderkey"),
+      RowTransform.autoRandom(col("row_id"), pmod(col("o_orderkey"), lit(32)))
+        .as("auto_id"))
+      .orderBy("o_orderkey")
+  }
+
+  def autoRandomSql: String =
+    """SELECT o_orderkey,
+      |  ((CAST(o_orderkey AS BIGINT) % 32) << 58)
+      |    | (row_number() OVER (ORDER BY o_orderkey) & ((CAST(1 AS BIGINT) << 58) - 1))
+      |  AS auto_id
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------ S6/T8
+  private val nationDdl =
+    """CREATE TABLE nation (
+      |  n_nationkey int NOT NULL,
+      |  n_name varchar(25),
+      |  n_regionkey int,
+      |  PRIMARY KEY (n_nationkey)
+      |);""".stripMargin
+
+  /** MySQL-CSV round trip (S6+T8): table → \N-null backslash-escaped
+    * CSV text files → MySqlCsv source → DDL casts → identical table.
+    */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = fixDir(sfDir, "nation_csv")
+    val schema = MysqlDdl.parse(nationDdl)
+    MySqlCsv.writeRaw(table(spark, sfDir, "nation"), dir)
+    MySqlCsv.read(spark, Seq(dir), schema).orderBy("n_nationkey")
+  }
+
+  def csvRoundtripSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** Multi-char separator CSV path (S6 fallback parser): same round
+    * trip through the distributed custom tokenizer Spark's reader
+    * cannot handle (reference supports multi-char sep/delim,
+    * `lightning/mydump/csv_parser.go:94-107`).
+    */
+  def csvMultisep(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = fixDir(sfDir, "nation_csv_msep")
+    val dialect = CsvDialect(separator = "|+|")
+    val schema = MysqlDdl.parse(nationDdl)
+    MySqlCsv.writeRaw(table(spark, sfDir, "nation"), dir, dialect)
+    MySqlCsv.read(spark, Seq(dir), schema, dialect).orderBy("n_nationkey")
+  }
+
+  def csvMultisepSql: String = csvRoundtripSql
+
+  // ------------------------------------------------------------ S5/T9/E4
+  private val supplierDdl =
+    """CREATE TABLE supplier (
+      |  s_suppkey bigint NOT NULL,
+      |  s_name varchar(25),
+      |  s_nationkey int,
+      |  s_acctbal double,
+      |  PRIMARY KEY (s_suppkey)
+      |);""".stripMargin
+
+  /** INSERT-dump round trip (S5 parser + E4/T9 emitter): table →
+    * `INSERT INTO … VALUES (…),(…);` files → dump parser → DDL casts.
+    */
+  def dumpRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = fixDir(sfDir, "supplier_sql")
+    val schema = MysqlDdl.parse(supplierDdl)
+    InsertDumpWriter.write(table(spark, sfDir, "supplier"), "supplier", dir,
+      rowsPerStatement = 7)
+    DumpSource.read(spark, Seq(dir), schema).orderBy("s_suppkey")
+  }
+
+  def dumpRoundtripSql: String =
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"
+
+  // ------------------------------------------------------------ D1/D2
+  /** Range-partitioned sorted bulk write + read-back (D1/D2/D4/D5):
+    * the Spark equivalent of the reference's external-sort + SST
+    * ingest. The read-back aggregation must match the pre-write table.
+    */
+  def sortedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = fixDir(sfDir, "lineitem_sorted")
+    SortedParquetSink.write(table(spark, sfDir, "lineitem"), out,
+      Seq("l_orderkey", "l_linenumber"), numRanges = 8)
+    spark.read.parquet(out)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum(dec("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  def sortedWriteSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------ A3/A5
+  /** End-to-end checksum verification (A3/A5): CRC64-XOR before the
+    * bulk write vs over the read-back output. `is_match` flips to false
+    * on any corruption, which the oracle hash-compare then catches.
+    */
+  def checksumRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = fixDir(sfDir, "orders_checksum")
+    val src = table(spark, sfDir, "orders")
+    val pre = Checksum.tableChecksum(src).collect()(0)
+    SortedParquetSink.write(src, out, Seq("o_orderkey"), numRanges = 4)
+    val post = Checksum.tableChecksum(spark.read.parquet(out)).collect()(0)
+    import spark.implicits._
+    Seq((pre.getLong(1), pre == post))
+      .toDF("total_kvs", "is_match")
+  }
+
+  def checksumRoundtripSql: String =
+    "SELECT count(*) AS total_kvs, TRUE AS is_match FROM orders"
+
+  // ------------------------------------------------------------ E4
+  /** On-duplicate policy (E4): duplicated input deduped with "ignore"
+    * (first wins) collapses back to the original table.
+    */
+  def dedupPolicy(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+    val doubled = orders.unionByName(orders)
+    SortedParquetSink.dedup(doubled, Seq("o_orderkey"), "ignore")
+      .agg(count(lit(1)).as("n_rows"), sum(dec("o_totalprice")).as("sum_price"))
+  }
+
+  def dedupPolicySql: String =
+    """SELECT count(*) AS n_rows,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+      |FROM orders""".stripMargin
+}

@@ -1,0 +1,211 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** One table column parsed from MySQL DDL.
+  *
+  * Mirrors the reference's per-column metadata surface (defaults,
+  * generated expressions, auto-increment/auto-random flags — reference
+  * `lightning/backend/sql2kv.go:282-386` consumes exactly these), but
+  * the representation is a Spark `StructField` plus engine flags, not a
+  * TiDB `model.ColumnInfo`.
+  */
+case class ColumnSpec(
+    name: String,
+    mysqlType: String,
+    sparkType: DataType,
+    nullable: Boolean,
+    default: Option[String],
+    generated: Option[GeneratedCol],
+    autoIncrement: Boolean,
+    unsigned: Boolean,
+    enumValues: Seq[String]) {
+  def field: StructField = StructField(name, sparkType, nullable)
+}
+
+/** `AS (expr) STORED|VIRTUAL` generation clause. */
+case class GeneratedCol(expr: String, stored: Boolean)
+
+case class TableSchema(
+    database: Option[String],
+    table: String,
+    columns: Seq[ColumnSpec],
+    primaryKey: Seq[String]) {
+  def struct: StructType = StructType(columns.map(_.field))
+  def colNames: Seq[String] = columns.map(_.name)
+}
+
+/** Pragmatic MySQL `CREATE TABLE` parser covering the reference's
+  * fixture corpus (`/root/reference/tests/[asterisk]/data/[asterisk]-schema.sql`;
+  * grammar surface per SURVEY §1.2). The reference delegates to the
+  * TiDB SQL parser (`lightning/restore/tidb.go:194-227`); we parse the
+  * same subset directly — column defs, PRIMARY/UNIQUE/KEY entries,
+  * DEFAULT, AUTO_INCREMENT, generated columns, enum/set domains —
+  * and map types onto Spark's type system (SURVEY §1.2 type map).
+  */
+object MysqlDdl {
+
+  def parse(ddl: String): TableSchema = {
+    val noComments = stripComments(ddl)
+    val m = CreateRe.findFirstMatchIn(noComments).getOrElse(
+      throw new IllegalArgumentException(s"not a CREATE TABLE statement: ${ddl.take(80)}"))
+    val (db, tbl) = parseQualifiedName(m.group(1))
+    val body = extractParenBody(noComments, m.end - 1)
+    val entries = splitTopLevel(body, ',')
+    val cols = scala.collection.mutable.ArrayBuffer[ColumnSpec]()
+    var pk = Seq.empty[String]
+    entries.map(_.trim).filter(_.nonEmpty).foreach { e =>
+      val upper = e.toUpperCase
+      if (upper.startsWith("PRIMARY KEY")) {
+        pk = keyColumns(e)
+      } else if (upper.startsWith("UNIQUE") || upper.startsWith("KEY") ||
+        upper.startsWith("INDEX") || upper.startsWith("CONSTRAINT") ||
+        upper.startsWith("FOREIGN KEY") || upper.startsWith("FULLTEXT")) {
+        // secondary indexes carry no data semantics for us
+      } else {
+        cols += parseColumn(e)
+      }
+    }
+    // inline `PRIMARY KEY` on a column def
+    if (pk.isEmpty) {
+      entries.map(_.trim).foreach { e =>
+        if (e.toUpperCase.matches("(?s)^`?\\w+`?\\s+.*PRIMARY KEY.*") &&
+          !e.toUpperCase.startsWith("PRIMARY")) {
+          pk = Seq(unquoteIdent(e.split("\\s+")(0)))
+        }
+      }
+    }
+    TableSchema(db, tbl, cols.toSeq, pk)
+  }
+
+  private val CreateRe =
+    """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"\w.]+)\s*\(""".r
+
+  private def stripComments(s: String): String =
+    s.replaceAll("(?s)/\\*.*?\\*/", " ").replaceAll("(?m)--.*$", " ")
+
+  private def parseQualifiedName(raw: String): (Option[String], String) = {
+    val parts = splitTopLevel(raw, '.').map(unquoteIdent)
+    if (parts.length == 2) (Some(parts(0)), parts(1)) else (None, parts.last)
+  }
+
+  def unquoteIdent(s: String): String =
+    s.trim.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
+
+  /** Body between the CREATE TABLE '(' (at `openIdx`) and its matching ')'. */
+  private def extractParenBody(s: String, openIdx: Int): String = {
+    var depth = 0
+    var i = openIdx
+    var inStr: Char = 0
+    val start = openIdx + 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr != 0) {
+        if (c == '\\') i += 1
+        else if (c == inStr) inStr = 0
+      } else c match {
+        case '\'' | '"' | '`' => inStr = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return s.substring(start, i)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parens in DDL")
+  }
+
+  /** Split on `sep` at paren/quote depth 0. */
+  def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr != 0) {
+        cur += c
+        if (c == '\\' && inStr != '`') { if (i + 1 < s.length) { cur += s.charAt(i + 1); i += 1 } }
+        else if (c == inStr) inStr = 0
+      } else c match {
+        case '\'' | '"' | '`' => inStr = c; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case `sep` if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  private def keyColumns(entry: String): Seq[String] = {
+    val i = entry.indexOf('(')
+    if (i < 0) Seq.empty
+    else splitTopLevel(entry.substring(i + 1, entry.lastIndexOf(')')), ',')
+      .map(c => unquoteIdent(c.trim.replaceAll("\\(\\d+\\)$", "")))
+  }
+
+  private val ColRe = """(?s)^([`"]?[\w$]+[`"]?)\s+(\w+)(\s*\([^)]*\))?(.*)$""".r
+
+  private def parseColumn(entry: String): ColumnSpec = {
+    val ColRe(rawName, rawType, rawArgs, rawRest) = entry.trim
+    val name = unquoteIdent(rawName)
+    val baseType = rawType.toLowerCase
+    val args = Option(rawArgs).map(_.trim.stripPrefix("(").stripSuffix(")")).getOrElse("")
+    val rest = Option(rawRest).getOrElse("")
+    val restU = rest.toUpperCase
+    val unsigned = restU.contains("UNSIGNED")
+    val notNull = restU.contains("NOT NULL")
+    val autoInc = restU.contains("AUTO_INCREMENT")
+    val generated = GenRe.findFirstMatchIn(rest).map { g =>
+      GeneratedCol(g.group(1).trim, !restU.contains("VIRTUAL"))
+    }
+    val default = DefaultRe.findFirstMatchIn(rest).map { d =>
+      val v = d.group(1).trim
+      if (v.startsWith("'")) v.stripPrefix("'").stripSuffix("'") else v
+    }.filter(_.toUpperCase != "NULL")
+    val enumValues =
+      if (baseType == "enum" || baseType == "set")
+        splitTopLevel(args, ',').map(_.trim.stripPrefix("'").stripSuffix("'"))
+      else Seq.empty
+    ColumnSpec(name, baseType + (if (args.nonEmpty) s"($args)" else ""),
+      sparkType(baseType, args, unsigned), nullable = !notNull,
+      default, generated, autoInc, unsigned, enumValues)
+  }
+
+  // `AS (expr)` — match the parenthesized expr with balanced parens handled
+  // by greedy scan below; regex grabs from AS ( to the clause end keywords.
+  private val GenRe =
+    """(?is)(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s*(?:STORED|VIRTUAL)?\s*(?:NOT\s+NULL|NULL)?\s*(?:COMMENT.*)?$""".r
+  private val DefaultRe =
+    """(?is)DEFAULT\s+('(?:[^'\\]|\\.)*'|[^\s,]+)""".r
+
+  /** SURVEY §1.2 type map. */
+  def sparkType(base: String, args: String, unsigned: Boolean): DataType = base match {
+    case "tinyint" | "smallint" | "mediumint" | "int" | "integer" =>
+      if (unsigned && (base == "int" || base == "integer")) LongType else IntegerType
+    case "bigint" => if (unsigned) DecimalType(20, 0) else LongType
+    case "float" => FloatType
+    case "double" | "real" => DoubleType
+    case "decimal" | "numeric" =>
+      val ps = args.split(",").map(_.trim).filter(_.nonEmpty)
+      if (ps.length == 2) DecimalType(ps(0).toInt, ps(1).toInt)
+      else if (ps.length == 1) DecimalType(ps(0).toInt, 0)
+      else DecimalType(10, 0)
+    case "bit" => LongType // reference encodes bit as uint (sql2kv kindStr)
+    case "char" | "varchar" | "tinytext" | "text" | "mediumtext" | "longtext" => StringType
+    case "enum" | "set" => StringType
+    case "binary" | "varbinary" | "tinyblob" | "blob" | "mediumblob" | "longblob" => BinaryType
+    case "date" => DateType
+    case "datetime" | "timestamp" => TimestampType
+    case "time" => StringType // MySQL TIME = duration; kept lexical (SURVEY §1.2)
+    case "year" => IntegerType
+    case "json" => StringType
+    case "boolean" | "bool" => BooleanType
+    case other => StringType // permissive fallback, late-typed like the reference
+  }
+}

@@ -1,0 +1,107 @@
+package graft.transform
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.schema.{ColumnSpec, TableSchema}
+
+/** Per-row transform operators (SURVEY §2.3 T1–T7): column permutation,
+  * type cast, default fill, auto-increment / auto-random / row-ID
+  * synthesis, generated columns. All are pure `select` expressions —
+  * narrow (no shuffle), codegen-friendly, and scale-free: at 100 TB
+  * they fuse into the scan's whole-stage-codegen pass.
+  */
+object RowTransform {
+
+  /** T1+T3: map file columns onto the table's column list. A table
+    * column missing from the file gets its DEFAULT (or NULL); file
+    * columns not in the table are dropped; unknown-header errors are
+    * the caller's job (reference `lightning/restore/restore.go:2055-2137`).
+    */
+  def permute(df: DataFrame, schema: TableSchema): DataFrame = {
+    val present = df.columns.map(c => c.toLowerCase -> c).toMap
+    val cols = schema.columns.map { c =>
+      present.get(c.name.toLowerCase) match {
+        case Some(src) => col(src).as(c.name)
+        case None => defaultValue(c).as(c.name)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** T3: literal for a column's DEFAULT under its Spark type. */
+  def defaultValue(c: ColumnSpec): Column = c.default match {
+    case None => lit(null).cast(c.sparkType)
+    case Some(d) if d.equalsIgnoreCase("CURRENT_TIMESTAMP") =>
+      current_timestamp()
+    case Some(d) => lit(d).cast(c.sparkType)
+  }
+
+  /** T2: cast every (string-ish) column to its declared type. Non-strict
+    * MySQL semantics = Spark's non-ANSI cast (bad value → null); strict
+    * mode would flip `spark.sql.ansi.enabled` (SURVEY §7.4 item 3).
+    */
+  def applySchema(df: DataFrame, schema: TableSchema): DataFrame = {
+    val permuted = permute(df, schema)
+    val cols = schema.columns.map { c =>
+      castTo(col(c.name), c).as(c.name)
+    }
+    permuted.select(cols: _*)
+  }
+
+  private def castTo(c: Column, spec: ColumnSpec): Column = spec.sparkType match {
+    case BinaryType => c.cast(BinaryType)
+    case t => c.cast(t)
+  }
+
+  /** T4/T6: deterministic row-ID assignment. The reference gives every
+    * chunk a contiguous [PrevRowIDMax, RowIDMax) range and numbers rows
+    * within it (`lightning/mydump/region.go:131-234`) so IDs are stable
+    * across re-runs. The distributed equivalent with the same contract
+    * (dense, deterministic, re-run stable) is a row_number over a total
+    * order on (input_file, position). For file sources we order on
+    * (input_file_name, a per-file ordinal); for table inputs the caller
+    * passes the business ordering columns.
+    *
+    * Scale note: row_number over one global window is a single-reducer
+    * sort — fine for dimension tables, wrong for 100 TB facts. For the
+    * fact path use [[chunkedRowId]], which mirrors the reference's
+    * two-level scheme (per-chunk base + local ordinal) and needs only a
+    * per-partition count exchange, no global sort.
+    */
+  def rowIdByOrder(df: DataFrame, orderCols: Seq[Column], idCol: String = "_graft_rowid",
+      base: Long = 0L): DataFrame =
+    df.withColumn(idCol, row_number().over(Window.orderBy(orderCols: _*)).cast(LongType) + base)
+
+  /** Two-level row-ID: partitions keep their row order; each partition
+    * gets a base = cumulative count of prior partitions (the driver-side
+    * scan over per-partition counts is O(#partitions), like the
+    * reference's cumulative chunk offsets). IDs are dense, unique, and
+    * deterministic for a fixed partitioning.
+    */
+  def chunkedRowId(df: DataFrame, idCol: String = "_graft_rowid", base: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.rdd
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val bases = counts.scanLeft(base)(_ + _)
+    val withId = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var id = bases(i)
+      it.map { r => id += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ id) }
+    }
+    spark.createDataFrame(withId, df.schema.add(idCol, LongType, nullable = false))
+  }
+
+  /** T5: auto_random PK synthesis — high `shardBits` bits from a seeded
+    * shard, low bits from the row ID (reference
+    * `lightning/backend/sql2kv.go:69-77,313-320`).
+    */
+  def autoRandom(rowId: Column, shard: Column, shardBits: Int = 5, totalBits: Int = 64): Column = {
+    val shiftBy = totalBits - 1 - shardBits
+    val mask = (1L << shiftBy) - 1
+    shiftleft(shard.cast(LongType) % (1L << shardBits), shiftBy)
+      .bitwiseOR(rowId.cast(LongType).bitwiseAND(mask))
+  }
+}
