@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CoreQueries, IngestQueries}
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,20 @@ object SparkEntry {
     "q_sorted_write" -> IngestQueries.sortedWrite,
     "q_checksum_roundtrip" -> IngestQueries.checksumRoundtrip,
     "q_dedup_policy" -> IngestQueries.dedupPolicy,
+    "q_text_stats" -> TextQueries.textStats,
+    "q_quality_score" -> TextQueries.qualityScore,
+    "q_langid" -> TextQueries.langid,
+    "q_fingerprint" -> TextQueries.fingerprint,
+    "q_dedup_exact" -> DedupQueries.dedupExact,
+    "q_dedup_ngram" -> DedupQueries.dedupNgram,
+    "q_dedup_minhash" -> DedupQueries.dedupMinhash,
+    "q_dedup_simhash" -> DedupQueries.dedupSimhash,
+    "q_ann_bruteforce" -> SimilarityQueries.annBruteForce,
+    "q_ann_lsh" -> SimilarityQueries.annLsh,
+    "q_embed_dedup" -> SimilarityQueries.embedDedup,
+    "q_media_meta" -> Multimodal.mediaMeta,
+    "q_window_hourly" -> EventQueries.windowHourly,
+    "q_sessionize" -> EventQueries.sessionize,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,5 +72,19 @@ object SparkEntry {
     "q_sorted_write" -> IngestQueries.sortedWriteSql,
     "q_checksum_roundtrip" -> IngestQueries.checksumRoundtripSql,
     "q_dedup_policy" -> IngestQueries.dedupPolicySql,
+    "q_text_stats" -> TextQueries.textStatsSql,
+    "q_quality_score" -> TextQueries.qualityScoreSql,
+    "q_langid" -> TextQueries.langidSql,
+    "q_fingerprint" -> TextQueries.fingerprintSql,
+    "q_dedup_exact" -> DedupQueries.dedupExactSql,
+    "q_dedup_ngram" -> DedupQueries.dedupNgramSql,
+    "q_dedup_minhash" -> DedupQueries.dedupMinhashSql,
+    "q_dedup_simhash" -> DedupQueries.dedupSimhashSql,
+    "q_ann_bruteforce" -> SimilarityQueries.annBruteForceSql,
+    "q_ann_lsh" -> SimilarityQueries.annLshSql,
+    "q_embed_dedup" -> SimilarityQueries.embedDedupSql,
+    "q_media_meta" -> Multimodal.mediaMetaSql,
+    "q_window_hourly" -> EventQueries.windowHourlySql,
+    "q_sessionize" -> EventQueries.sessionizeSql,
   )
 }

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftSession.table
+import graft.functions.TextFunctions._
+
+/** Deduplication operators — exact, n-gram Jaccard, MinHash-LSH,
+  * SimHash — over the `documents` table. All hashes are md5-derived so
+  * the DuckDB oracles replay the identical integers; all similarity
+  * filters are integer/double arithmetic on exact ints, so results are
+  * bit-stable across engines and partitionings.
+  *
+  * Scale shapes:
+  *  - exact: one hash-groupBy — the cheapest possible shuffle, combines
+  *    map-side.
+  *  - n-gram: the shared-shingle self-join is the quadratic risk; with
+  *    5-gram shingles the per-shingle doc-frequency stays tiny, and on
+  *    a real corpus a df-cap filter (drop shingles seen in >N docs)
+  *    bounds the blowup without hurting recall.
+  *  - MinHash-LSH: candidate generation joins on (band, signature) —
+  *    |candidates| ≪ |pairs|, which is the entire point of LSH: only
+  *    candidates pay the verification join. This is the 100 TB path.
+  *  - SimHash: linear explode + two groupBys, no joins at all.
+  */
+object DedupQueries {
+
+  private val ShingleN = 5
+  private val MinhashK = 12
+  private val BandRows = 2 // 6 bands × 2 rows → LSH threshold ≈ 0.41
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingleDf(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
+      .distinct()
+
+  private val shingleCte =
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[j:j+${ShingleN - 1}], ' ') AS s
+       |       FROM toks, UNNEST(range(1, len(t)-${ShingleN - 2})) AS u(j))""".stripMargin
+
+  // ------------------------------------------------------------ exact
+  /** Exact dedup: duplicate the corpus under shifted IDs, keep the
+    * min-ID copy per exact text — collapses back to the original set.
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents").select("doc_id", "text")
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 500000))
+    doubled
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("kept_id"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("kept_id")).as("sum_ids"))
+  }
+
+  def dedupExactSql: String =
+    "SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM documents"
+
+  // ----------------------------------------------------- n-gram Jaccard
+  /** Near-dup pairs by exact n-gram Jaccard ≥ 0.5 (the ground truth the
+    * LSH variant approximates).
+    */
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleDf(spark, sfDir).cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), "s")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupNgramSql: String =
+    s"""WITH $shingleCte,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------ MinHash LSH
+  /** MinHash + banded LSH near-dup detection: k=12 md5-family hashes,
+    * 6 bands × 2 rows, candidates verified with exact Jaccard ≥ 0.5.
+    */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleDf(spark, sfDir).cache()
+    val hashed = sh
+      .withColumn("i", explode(sequence(lit(0), lit(MinhashK - 1))))
+      .withColumn("h", md5Long(concat(col("i").cast("string"), lit(":"), col("s"))))
+    val sig = hashed.groupBy("doc_id", "i").agg(min("h").as("mh"))
+    val bands = sig
+      .withColumn("band", expr(s"i div $BandRows"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          x => x.getField("mh").cast("string")), ",").as("band_sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), "s")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cand, Seq("doc_a", "doc_b")) // only LSH candidates pay verification
+    inter
+      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupMinhashSql: String =
+    s"""WITH $shingleCte,
+       |hashes AS (SELECT doc_id, i,
+       |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 14)) AS BIGINT) AS h
+       |  FROM sh, UNNEST(range($MinhashK)) AS r(i)),
+       |sig AS (SELECT doc_id, i, min(h) AS mh FROM hashes GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // $BandRows AS band,
+       |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b,
+       |  CAST(i.inter AS DOUBLE) / CAST(ca.n + cb.n - i.inter AS DOUBLE) AS jaccard
+       |FROM inter i JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+       |  JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b
+       |WHERE CAST(i.inter AS DOUBLE) / CAST(ca.n + cb.n - i.inter AS DOUBLE) >= 0.5
+       |ORDER BY i.doc_a, i.doc_b""".stripMargin
+
+  // ---------------------------------------------------------- SimHash
+  /** 56-bit SimHash fingerprints: md5-hash each token, weight by term
+    * frequency, majority-vote per bit.
+    */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokCnt = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5Long(col("tok")))
+    val votes = tokCnt
+      .withColumn("j", explode(sequence(lit(0), lit(55))))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(expr("(h >> j) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
+        .as("vote"))
+    votes.groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSimhashSql: String =
+    """WITH tc AS (SELECT doc_id, tok, count(*) AS cnt,
+      |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok),
+      |votes AS (SELECT doc_id, j,
+      |    sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
+      |  FROM tc, UNNEST(range(56)) AS r(j) GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

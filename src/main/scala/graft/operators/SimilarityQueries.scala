@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.GraftSession.table
+import graft.functions.TextFunctions._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force top-k as the exact baseline, sign-random-
+  * projection LSH bucketing as the scale path, and embedding-cosine
+  * near-dup pairs.
+  *
+  * All scores are exact integers under floor(x·10⁶) quantization (see
+  * TextFunctions.quant) — order-independent, bit-identical in DuckDB,
+  * and the same trick int8-quantized ANN systems use at scale. Cosine
+  * uses sqrt(na)·sqrt(nb) in the denominator (not sqrt(na·nb)) so the
+  * norms product never overflows int64.
+  *
+  * Scale shapes: brute-force top-k is a single narrow pass + a k-row
+  * takeOrdered — no shuffle of the vectors themselves. LSH bucketing
+  * turns the all-pairs problem into per-bucket work; near-dup pairing
+  * is restricted to label blocks (a stand-in for IVF cells), so the
+  * quadratic term is per-block, not global.
+  */
+object SimilarityQueries {
+
+  private val LshPlanes = 6 // 64 buckets; bits from md5-seeded hyperplanes
+
+  /** Deterministic integer hyperplanes: component (i,j) from md5. */
+  private[operators] def planes: Array[Array[Long]] =
+    Array.tabulate(LshPlanes, 64) { (i, j) => md5LongLocal(s"$i,$j") % 2001 - 1000 }
+
+  private def queryVec(spark: SparkSession, sfDir: String): Seq[Float] =
+    table(spark, sfDir, "embeddings").where(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+
+  // --------------------------------------------------- brute-force kNN
+  /** Exact top-10 by quantized dot product against vec_id 0. */
+  def annBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = typedLit(queryVec(spark, sfDir))
+    table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), quantDot(col("embedding"), q).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // NB all oracles cast list elements to DOUBLE before the ×10⁶: DuckDB
+  // would otherwise multiply in float32 and floor differently than
+  // Spark's double arithmetic.
+  private val QDot =
+    "CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000000) AS BIGINT)"
+
+  def annBruteForceSql: String =
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |  CAST(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+       |    p -> $QDot)) AS BIGINT) AS score
+       |FROM embeddings e, q
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------- LSH ANN
+  /** Bucketed ANN: 6 sign-projection bits → 64 buckets; search only the
+    * query's bucket. The per-vector bucket is a narrow expression; on a
+    * cluster the table would be written bucketed-by(bucket) so a query
+    * touches one bucket's files only.
+    */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = planes
+    val q = queryVec(spark, sfDir)
+    def bucketOf(emb: Column): Column =
+      ps.zipWithIndex.map { case (p, i) =>
+        when(quantDot(emb, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    // driver-side twin for the query vector (identical integer math)
+    val qQuant = q.map(x => math.floor(x * 1000000d).toLong)
+    val qBucket = ps.zipWithIndex.map { case (p, i) =>
+      val dot = p.indices.map(j => qQuant(j) * p(j)).sum
+      if (dot > 0) 1L << i else 0L
+    }.sum
+    table(spark, sfDir, "embeddings")
+      .withColumn("bucket", bucketOf(col("embedding")))
+      .where(col("bucket") === qBucket)
+      .select(col("vec_id"), quantDot(col("embedding"), typedLit(q)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  def annLshSql: String =
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |planes AS (SELECT i, j,
+       |    (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 14) AS BIGINT) % 2001) - 1000 AS r
+       |  FROM range($LshPlanes) t1(i), range(64) t2(j)),
+       |dots AS (SELECT e.vec_id, p.i,
+       |    sum(CAST(floor(CAST(e.embedding[p.j + 1] AS DOUBLE) * 1000000) AS BIGINT) * p.r) AS d
+       |  FROM embeddings e, planes p GROUP BY 1, 2),
+       |buckets AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY 1),
+       |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+       |scored AS (SELECT e.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+       |      p -> $QDot)) AS BIGINT) AS score
+       |  FROM embeddings e, q)
+       |SELECT s.vec_id, s.score
+       |FROM scored s JOIN buckets b ON s.vec_id = b.vec_id, qb
+       |WHERE b.bucket = qb.bucket
+       |ORDER BY s.score DESC, s.vec_id LIMIT 10""".stripMargin
+
+  // ------------------------------------------- embedding-cosine dedup
+  /** Near-dup pairs by embedding cosine ≥ 0.95 within label blocks.
+    * The corpus has no natural near-dups (max same-label cosine ≈
+    * 0.47), so the query plants exact copies under shifted IDs — the
+    * operator must recover exactly those 1:1 pairs.
+    */
+  def embedDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = table(spark, sfDir, "embeddings").select("vec_id", "label", "embedding")
+    val planted = base.unionByName(base.withColumn("vec_id", col("vec_id") + 100000))
+    val e = planted
+      .select(col("vec_id"), col("label"), col("embedding"),
+        quantDot(col("embedding"), col("embedding")).as("nrm"))
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    pairs
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (quantDot(col("a.embedding"), col("b.embedding")).cast("double") /
+          (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
+          .as("cosine"))
+      .where(col("cosine") >= 0.95)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def embedDedupSql: String =
+    s"""WITH planted AS (
+       |  SELECT vec_id, label, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, label, embedding FROM embeddings),
+       |e AS (SELECT vec_id, label, embedding,
+       |    CAST(list_sum(list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT))) AS BIGINT) AS nrm
+       |  FROM planted),
+       |scored AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      p -> $QDot)) AS BIGINT) AS DOUBLE)
+       |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM scored
+       |WHERE cosine >= 0.95 ORDER BY vec_a, vec_b""".stripMargin
+}
