@@ -30,15 +30,23 @@ object DedupQueries {
   private val MinhashK = 12
   private val BandRows = 2 // 6 bands × 2 rows → LSH threshold ≈ 0.41
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle-hash) pairs. Shingles leave the map
+    * stage as 56-bit md5 hashes, not strings: the self-join then
+    * shuffles 8-byte keys instead of ~40-byte 5-grams — at 100 TB
+    * that's the difference between a survivable and a pathological
+    * shuffle. The oracle hashes identically, so any (negligible,
+    * 2⁻⁵⁶) collision affects both engines the same way.
+    */
   private def shingleDf(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
+      .select(col("doc_id"), md5Long(col("s")).as("h"))
       .distinct()
 
   private val shingleCte =
     s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[j:j+${ShingleN - 1}], ' ') AS s
+       |sh AS (SELECT DISTINCT doc_id,
+       |         CAST(('0x' || substr(md5(array_to_string(t[j:j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT) AS h
        |       FROM toks, UNNEST(range(1, len(t)-${ShingleN - 2})) AS u(j))""".stripMargin
 
   // ------------------------------------------------------------ exact
@@ -64,7 +72,7 @@ object DedupQueries {
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleDf(spark, sfDir).cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"), "s")
+    val inter = sh.as("a").join(sh.as("b"), "h")
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -82,7 +90,7 @@ object DedupQueries {
     s"""WITH $shingleCte,
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter,
        |  CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
@@ -98,8 +106,8 @@ object DedupQueries {
     val sh = shingleDf(spark, sfDir).cache()
     val hashed = sh
       .withColumn("i", explode(sequence(lit(0), lit(MinhashK - 1))))
-      .withColumn("h", md5Long(concat(col("i").cast("string"), lit(":"), col("s"))))
-    val sig = hashed.groupBy("doc_id", "i").agg(min("h").as("mh"))
+      .withColumn("hi", md5Long(concat(col("i").cast("string"), lit(":"), col("h").cast("string"))))
+    val sig = hashed.groupBy("doc_id", "i").agg(min("hi").as("mh"))
     val bands = sig
       .withColumn("band", expr(s"i div $BandRows"))
       .groupBy("doc_id", "band")
@@ -112,7 +120,7 @@ object DedupQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"), "s")
+    val inter = sh.as("a").join(sh.as("b"), "h")
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -130,9 +138,9 @@ object DedupQueries {
   def dedupMinhashSql: String =
     s"""WITH $shingleCte,
        |hashes AS (SELECT doc_id, i,
-       |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 14)) AS BIGINT) AS h
+       |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(h AS VARCHAR)), 1, 14)) AS BIGINT) AS hi
        |  FROM sh, UNNEST(range($MinhashK)) AS r(i)),
-       |sig AS (SELECT doc_id, i, min(h) AS mh FROM hashes GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, i, min(hi) AS mh FROM hashes GROUP BY 1, 2),
        |bands AS (SELECT doc_id, i // $BandRows AS band,
        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
        |  FROM sig GROUP BY 1, 2),
@@ -141,7 +149,7 @@ object DedupQueries {
        |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT i.doc_a, i.doc_b,
        |  CAST(i.inter AS DOUBLE) / CAST(ca.n + cb.n - i.inter AS DOUBLE) AS jaccard

@@ -108,19 +108,33 @@ object SimilarityQueries {
        |ORDER BY s.score DESC, s.vec_id LIMIT 10""".stripMargin
 
   // ------------------------------------------- embedding-cosine dedup
-  /** Near-dup pairs by embedding cosine ≥ 0.95 within label blocks.
+  /** Near-dup pairs by embedding cosine ≥ 0.95, blocked by
+    * (label, LSH bucket): candidate pairs must share the label block
+    * AND all 6 sign-projection bits before paying the exact dot
+    * product. Blocking cuts the quadratic pair space by ~64× and is
+    * the only viable shape at corpus scale (an unblocked all-pairs
+    * join over 10⁹ vectors cannot exist); exact duplicates always
+    * share a bucket, so recall on true dups is 1.0.
+    *
     * The corpus has no natural near-dups (max same-label cosine ≈
     * 0.47), so the query plants exact copies under shifted IDs — the
     * operator must recover exactly those 1:1 pairs.
     */
   def embedDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = planes
+    def bucketOf(emb: Column): Column =
+      ps.zipWithIndex.map { case (p, i) =>
+        when(quantDot(emb, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
     val base = table(spark, sfDir, "embeddings").select("vec_id", "label", "embedding")
     val planted = base.unionByName(base.withColumn("vec_id", col("vec_id") + 100000))
     val e = planted
       .select(col("vec_id"), col("label"), col("embedding"),
-        quantDot(col("embedding"), col("embedding")).as("nrm"))
+        quantDot(col("embedding"), col("embedding")).as("nrm"),
+        bucketOf(col("embedding")).as("bucket"))
     val pairs = e.as("a").join(e.as("b"),
-      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
     pairs
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -136,15 +150,25 @@ object SimilarityQueries {
        |  SELECT vec_id, label, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 100000, label, embedding FROM embeddings),
-       |e AS (SELECT vec_id, label, embedding,
-       |    CAST(list_sum(list_transform(embedding,
+       |planes AS (SELECT i, j,
+       |    (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 14) AS BIGINT) % 2001) - 1000 AS r
+       |  FROM range($LshPlanes) t1(i), range(64) t2(j)),
+       |dots AS (SELECT v.vec_id, p.i,
+       |    sum(CAST(floor(CAST(v.embedding[p.j + 1] AS DOUBLE) * 1000000) AS BIGINT) * p.r) AS d
+       |  FROM planted v, planes p GROUP BY 1, 2),
+       |buckets AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY 1),
+       |e AS (SELECT v.vec_id, v.label, v.embedding, bk.bucket,
+       |    CAST(list_sum(list_transform(v.embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT))) AS BIGINT) AS nrm
-       |  FROM planted),
+       |  FROM planted v JOIN buckets bk ON bk.vec_id = v.vec_id),
        |scored AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
        |      p -> $QDot)) AS BIGINT) AS DOUBLE)
        |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |  FROM e a JOIN e b
+       |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cosine FROM scored
        |WHERE cosine >= 0.95 ORDER BY vec_a, vec_b""".stripMargin
 }
