@@ -1,0 +1,42 @@
+package graft.discover
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DiscoverSpec extends AnyFunSuite {
+
+  private val router = new FileRouter()
+
+  test("MyDumper default naming rules") {
+    assert(router.route("d-schema-create.sql").map(_.kind) === Some(FileKind.SchemaSchema))
+    assert(router.route("d.t-schema.sql") ===
+      Some(RouteResult("d", "t", FileKind.TableSchema, None, "")))
+    assert(router.route("d.t.0007.sql") ===
+      Some(RouteResult("d", "t", FileKind.Sql, None, "0007")))
+    assert(router.route("nested/dir/d.t.csv.gz") ===
+      Some(RouteResult("d", "t", FileKind.Csv, Some("gz"), "")))
+    assert(router.route("README.md") === None)
+  }
+
+  test("dotted table names keep the last extension split") {
+    // table name itself containing dots routes greedily on db prefix
+    assert(router.route("db.my.table.001.parquet") ===
+      Some(RouteResult("db", "my.table", FileKind.Parquet, None, "001")))
+  }
+
+  test("table filter: last match wins, negation, default deny") {
+    val f = new TableFilter(Seq("tpch.*", "!tpch.secret*"))
+    assert(f.matches("tpch", "lineitem"))
+    assert(!f.matches("tpch", "secret_codes"))
+    assert(!f.matches("other", "lineitem"))
+    assert(new TableFilter(Nil).matches("any", "thing")) // no patterns → allow
+  }
+
+  test("table router: shard merge and identity fallback") {
+    val r = new TableRouter(Seq(
+      TableRoute("shard_*", "t_*", "merged", "t"),
+      TableRoute("a", "b", "x", "y")))
+    assert(r.route("shard_01", "t_42") === ("merged", "t"))
+    assert(r.route("a", "b") === ("x", "y"))
+    assert(r.route("plain", "t") === ("plain", "t"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MysqlDdlSpec extends AnyFunSuite {
+
+  test("full palette table") {
+    val t = MysqlDdl.parse(
+      """CREATE TABLE IF NOT EXISTS `db`.`t` (
+        |  `id` bigint(20) UNSIGNED NOT NULL AUTO_INCREMENT,
+        |  `name` varchar(128) DEFAULT 'anon',
+        |  `ratio` decimal(6,4),
+        |  `payload` longblob,
+        |  `when` datetime(6),
+        |  `day` date,
+        |  `dur` time(3),
+        |  `y` year,
+        |  `j` json,
+        |  `st` set('a','b'),
+        |  `en` enum('YES','NO') NOT NULL,
+        |  PRIMARY KEY (`id`),
+        |  UNIQUE KEY uk (`name`),
+        |  KEY k2 (`ratio`)
+        |);""".stripMargin)
+    assert(t.database === Some("db") && t.table === "t")
+    assert(t.primaryKey === Seq("id"))
+    val types = t.columns.map(c => c.name -> c.sparkType).toMap
+    assert(types("id") === DecimalType(20, 0)) // unsigned bigint
+    assert(types("name") === StringType)
+    assert(types("ratio") === DecimalType(6, 4))
+    assert(types("payload") === BinaryType)
+    assert(types("when") === TimestampType)
+    assert(types("day") === DateType)
+    assert(types("dur") === StringType)
+    assert(types("y") === IntegerType)
+    assert(types("j") === StringType)
+    assert(types("st") === StringType)
+    assert(types("en") === StringType)
+    val byName = t.columns.map(c => c.name -> c).toMap
+    assert(byName("id").autoIncrement && !byName("id").nullable && byName("id").unsigned)
+    assert(byName("name").default === Some("anon"))
+    assert(byName("st").enumValues === Seq("a", "b"))
+  }
+
+  test("generated columns, stored and virtual") {
+    val t = MysqlDdl.parse(
+      """CREATE TABLE gencol.nested (
+        |  a int,
+        |  b int AS (a + 1) VIRTUAL,
+        |  c int GENERATED ALWAYS AS (b + 1) STORED
+        |);""".stripMargin)
+    val byName = t.columns.map(c => c.name -> c).toMap
+    assert(byName("a").generated.isEmpty)
+    assert(byName("b").generated === Some(GeneratedCol("a + 1", stored = false)))
+    assert(byName("c").generated === Some(GeneratedCol("b + 1", stored = true)))
+  }
+
+  test("comments and inline primary key") {
+    val t = MysqlDdl.parse(
+      """/* header */
+        |CREATE TABLE s (
+        |  id int PRIMARY KEY, -- trailing comment
+        |  v varchar(10)
+        |);""".stripMargin)
+    assert(t.primaryKey === Seq("id"))
+    assert(t.columns.map(_.name) === Seq("id", "v"))
+  }
+
+  test("defaults with commas inside enum args survive splitting") {
+    val t = MysqlDdl.parse(
+      "CREATE TABLE x (e enum('a,b','c') DEFAULT 'a,b', n int DEFAULT 0)")
+    val byName = t.columns.map(c => c.name -> c).toMap
+    assert(byName("e").enumValues === Seq("a,b", "c"))
+    assert(byName("e").default === Some("a,b"))
+    assert(byName("n").default === Some("0"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DumpSourceSpec extends AnyFunSuite {
+
+  test("multi-row INSERT with mixed literal kinds") {
+    val stmts = DumpSource.parseStatements(
+      """-- MySQL dump
+        |INSERT INTO `db`.`t` VALUES (1,'alice',NULL,3.14),(2,'bob; the builder',TRUE,0x414243);
+        |""".stripMargin)
+    assert(stmts.length === 1)
+    assert(stmts.head.table === "db.t")
+    val rows = stmts.head.rows
+    assert(rows(0).toSeq === Seq("1", "alice", null, "3.14"))
+    assert(rows(1).toSeq === Seq("2", "bob; the builder", "1", "ABC"))
+  }
+
+  test("semicolons and quotes inside strings do not break statement parsing") {
+    val stmts = DumpSource.parseStatements(
+      """INSERT INTO t VALUES ('a;b','it''s \'ok\''),('c\\d','line1\nline2');
+        |INSERT INTO t VALUES ('last',NULL);""".stripMargin)
+    assert(stmts.length === 2)
+    assert(stmts(0).rows(0).toSeq === Seq("a;b", "it's 'ok'"))
+    assert(stmts(0).rows(1).toSeq === Seq("c\\d", "line1\nline2"))
+    assert(stmts(1).rows(0).toSeq === Seq("last", null))
+  }
+
+  test("explicit column list recorded for projection") {
+    val stmts = DumpSource.parseStatements(
+      "INSERT INTO t (b, a) VALUES (1, 2), (3, 4);")
+    assert(stmts.head.columns === Seq("b", "a"))
+    assert(stmts.head.rows.map(_.toSeq) === Seq(Seq("1", "2"), Seq("3", "4")))
+  }
+
+  test("bit and negative number literals") {
+    val stmts = DumpSource.parseStatements(
+      "INSERT INTO t VALUES (b'101', -42, x'6869', FALSE);")
+    assert(stmts.head.rows(0).toSeq === Seq("5", "-42", "hi", "0"))
+  }
+
+  test("REPLACE INTO and noise between statements") {
+    val stmts = DumpSource.parseStatements(
+      """/* comment */ SET NAMES utf8;
+        |REPLACE INTO t VALUES (9,'z');""".stripMargin)
+    assert(stmts.length === 1)
+    assert(stmts.head.rows(0).toSeq === Seq("9", "z"))
+  }
+}
