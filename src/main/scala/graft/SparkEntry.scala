@@ -50,6 +50,8 @@ object SparkEntry {
     "q_media_meta" -> Multimodal.mediaMeta,
     "q_window_hourly" -> EventQueries.windowHourly,
     "q_sessionize" -> EventQueries.sessionize,
+    "q_gencol" -> PipelineQueries.gencol,
+    "q_ingest_e2e" -> PipelineQueries.ingestE2e,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,5 +88,7 @@ object SparkEntry {
     "q_media_meta" -> Multimodal.mediaMetaSql,
     "q_window_hourly" -> EventQueries.windowHourlySql,
     "q_sessionize" -> EventQueries.sessionizeSql,
+    "q_gencol" -> PipelineQueries.gencolSql,
+    "q_ingest_e2e" -> PipelineQueries.ingestE2eSql,
   )
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftSession.table
+import graft.discover.TableRoute
+import graft.pipeline.Ingest
+import graft.schema.MysqlDdl
+import graft.sink.InsertDumpWriter
+import graft.sources.MySqlCsv
+import graft.transform.{GeneratedColumns, RowTransform}
+
+/** End-to-end pipeline queries: the full §3.1 import (discover → route
+  * → parse → transform → sorted write → checksum verify) over a
+  * generated MyDumper fixture directory, and the generated-columns
+  * transform (T7).
+  */
+object PipelineQueries {
+
+  private def fixRoot(sfDir: String): String =
+    s"/tmp/graft_fixtures/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  // ------------------------------------------------------------- T7
+  private val partGencolDdl =
+    """CREATE TABLE part_g (
+      |  p_partkey bigint NOT NULL,
+      |  p_name varchar(55),
+      |  p_retailprice double,
+      |  price_cents bigint AS (floor(p_retailprice * 100)) STORED,
+      |  name_len int AS (length(p_name)) VIRTUAL,
+      |  tag varchar(80) AS (concat(p_name, '#', p_partkey)) STORED,
+      |  key_mod int AS (p_partkey % 7) STORED,
+      |  chain1 bigint AS (key_mod + 1) STORED,
+      |  chain2 bigint AS (chain1 * 2) STORED,
+      |  PRIMARY KEY (p_partkey)
+      |);""".stripMargin
+
+  /** Generated columns (T7): six `AS (expr)` columns including a
+    * chained pair (chain2 ← chain1 ← key_mod) that forces declared-
+    * order evaluation, exactly the reference's `gencol.nested` case.
+    */
+  def gencol(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = MysqlDdl.parse(partGencolDdl)
+    val base = table(spark, sfDir, "part")
+      .select("p_partkey", "p_name", "p_retailprice")
+    GeneratedColumns(RowTransform.applySchema(base, schema), schema)
+      .orderBy("p_partkey")
+  }
+
+  def gencolSql: String =
+    """SELECT p_partkey, p_name, p_retailprice,
+      |  CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |  CAST(length(p_name) AS INT) AS name_len,
+      |  p_name || '#' || CAST(p_partkey AS VARCHAR) AS tag,
+      |  CAST(p_partkey % 7 AS INT) AS key_mod,
+      |  CAST((p_partkey % 7) + 1 AS BIGINT) AS chain1,
+      |  CAST(((p_partkey % 7) + 1) * 2 AS BIGINT) AS chain2
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------- §3.1 end-to-end
+  private val nationDdl =
+    """CREATE TABLE nation (
+      |  n_nationkey int NOT NULL,
+      |  n_name varchar(25),
+      |  n_regionkey int,
+      |  PRIMARY KEY (n_nationkey)
+      |);""".stripMargin
+  private val supplierDdl =
+    """CREATE TABLE supplier (
+      |  s_suppkey bigint NOT NULL,
+      |  s_name varchar(25),
+      |  s_nationkey int,
+      |  s_acctbal double,
+      |  PRIMARY KEY (s_suppkey)
+      |);""".stripMargin
+  private val regionDdl =
+    """CREATE TABLE region (
+      |  r_regionkey int NOT NULL,
+      |  r_name varchar(25),
+      |  PRIMARY KEY (r_regionkey)
+      |);""".stripMargin
+
+  /** Build a MyDumper-layout source dir from the sf tables:
+    * nation as two CSV shards under sharded schemas (tpch_s0/tpch_s1,
+    * merged by a table route), supplier as an INSERT dump, region as a
+    * parquet data file, plus a junk table excluded by the filter.
+    */
+  private def buildFixture(spark: SparkSession, sfDir: String): String = {
+    val root = Paths.get(fixRoot(sfDir), "mydumper_src")
+    if (Files.exists(root.resolve("_done"))) return root.toString
+    deleteRec(root)
+    Files.createDirectories(root)
+
+    def writeText(name: String, content: String): Unit =
+      Files.writeString(root.resolve(name), content)
+
+    // sharded nation CSVs
+    val nation = table(spark, sfDir, "nation")
+    Seq(0, 1).foreach { shard =>
+      val df = nation.filter(pmod(col("n_nationkey"), lit(2)) === shard)
+      writeSingle(spark, MySqlCsvText(df), root.resolve(s"tpch_s$shard.nation.0001.csv"))
+      writeText(s"tpch_s$shard.nation-schema.sql", nationDdl)
+    }
+    // supplier INSERT dump
+    val supplier = table(spark, sfDir, "supplier")
+    writeSingleDf(InsertDumpWriter.statements(supplier, "supplier", 11),
+      root.resolve("tpch.supplier.0001.sql"))
+    writeText("tpch.supplier-schema.sql", supplierDdl)
+    // region parquet (MyDumper-named data file)
+    val regionTmp = Paths.get(fixRoot(sfDir), "region_pq")
+    table(spark, sfDir, "region").coalesce(1).write.mode("overwrite")
+      .parquet(regionTmp.toString)
+    val pf = Files.list(regionTmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(pf, root.resolve("tpch.region.0001.parquet"))
+    writeText("tpch.region-schema.sql", regionDdl)
+    // junk table the filter must exclude
+    writeText("tpch.junk-schema.sql", "CREATE TABLE junk (x int);")
+    writeText("tpch.junk.0001.csv", "999\n")
+    Files.writeString(root.resolve("_done"), "ok")
+    root.toString
+  }
+
+  private case class MySqlCsvText(df: DataFrame)
+
+  private def writeSingle(spark: SparkSession, src: MySqlCsvText, target: Path): Unit = {
+    val tmp = target.getParent.resolve(target.getFileName.toString + ".tmpdir")
+    MySqlCsv.writeRaw(src.df.coalesce(1), tmp.toString)
+    moveSinglePart(tmp, target)
+  }
+
+  private def writeSingleDf(df: DataFrame, target: Path): Unit = {
+    val tmp = target.getParent.resolve(target.getFileName.toString + ".tmpdir")
+    df.coalesce(1).write.mode("overwrite").text(tmp.toString)
+    moveSinglePart(tmp, target)
+  }
+
+  private def moveSinglePart(tmpDir: Path, target: Path): Unit = {
+    val part = Files.list(tmpDir)
+      .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+    Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    deleteRec(tmpDir)
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
+  /** The full one-shot import over the fixture dir: shard-merge route,
+    * filter, three source formats, checksum-verified sorted writes.
+    * Reports (table, rows, checksum_ok) per restored table.
+    */
+  def ingestE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = buildFixture(spark, sfDir)
+    val target = s"${fixRoot(sfDir)}/ingest_out"
+    deleteRec(Paths.get(target))
+    val reports = Ingest.run(spark, Ingest.Config(
+      sourceDir = src,
+      targetDir = target,
+      filters = Seq("tpch*.*", "!tpch.junk"),
+      routes = Seq(TableRoute("tpch_s*", "nation", "tpch", "nation"))))
+    import spark.implicits._
+    reports.map(r => (r.table, r.nRows, r.checksumOk))
+      .toDF("table_name", "n_rows", "checksum_ok")
+      .orderBy("table_name")
+  }
+
+  def ingestE2eSql: String =
+    """SELECT * FROM (
+      |  SELECT 'nation' AS table_name, count(*) AS n_rows, TRUE AS checksum_ok FROM nation
+      |  UNION ALL SELECT 'region', count(*), TRUE FROM region
+      |  UNION ALL SELECT 'supplier', count(*), TRUE FROM supplier
+      |) ORDER BY table_name""".stripMargin
+}

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.discover.{FileKind, FileRouter, RouteResult, TableFilter, TableRoute, TableRouter}
+import graft.schema.{MysqlDdl, TableSchema}
+import graft.sink.SortedParquetSink
+import graft.sources.{CharsetReader, CsvDialect, DumpSource, MySqlCsv}
+import graft.transform.{GeneratedColumns, RowTransform}
+import graft.verify.{Checksum, KvChecksum}
+
+/** One-shot import pipeline — the reference's primary entry point
+  * (`RunOnce`, SURVEY §3.1) re-expressed as a Spark job graph:
+  *
+  *   discover (list+route+filter+table-route, driver-side)
+  *   → per table, smallest first: read shards (csv|sql|parquet)
+  *   → unionByName → permute/cast/defaults/gencols
+  *   → CRC64-XOR checksum (pre) → range-sorted parquet write
+  *   → read-back checksum (post) → compare → job-state record.
+  *
+  * The encode/deliver thread boundary of the reference collapses into
+  * whole-stage codegen; its engine batching (P4) collapses into one
+  * write job per table whose range partitioning (D1/D2) is the
+  * external sort. Re-runs are idempotent: tables with a verified state
+  * entry are skipped (the checkpoint surface, SURVEY §2.1 checkpoints).
+  */
+object Ingest {
+
+  case class Config(
+      sourceDir: String,
+      targetDir: String,
+      filters: Seq[String] = Nil,
+      routes: Seq[TableRoute] = Nil,
+      csvDialect: CsvDialect = CsvDialect(),
+      charset: String = "auto",
+      stateDir: Option[String] = None)
+
+  case class TableReport(
+      db: String,
+      table: String,
+      nRows: Long,
+      checksum: Long,
+      checksumOk: Boolean,
+      skipped: Boolean)
+
+  case class Discovered(
+      db: String,
+      table: String,
+      schemaFile: Option[String],
+      dataFiles: Seq[(String, FileKind.Value)])
+
+  /** Driver-side discovery over the Hadoop FS (works for local, HDFS,
+    * S3A — same listing API the scan will use).
+    */
+  def discover(spark: SparkSession, cfg: Config): Seq[Discovered] = {
+    val fs = new Path(cfg.sourceDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val router = new FileRouter()
+    val filter = new TableFilter(cfg.filters)
+    val tableRouter = new TableRouter(cfg.routes)
+    val it = fs.listFiles(new Path(cfg.sourceDir), true)
+    val files = scala.collection.mutable.ArrayBuffer[(String, RouteResult)]()
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString.stripPrefix(
+        fs.makeQualified(new Path(cfg.sourceDir)).toString).stripPrefix("/")
+      router.route(rel).foreach { r => files += ((f.getPath.toString, r)) }
+    }
+    files
+      .filter { case (_, r) => r.kind == FileKind.SchemaSchema || filter.matches(r.database, r.table) }
+      .map { case (p, r) =>
+        val (db, tbl) = tableRouter.route(r.database, r.table)
+        (p, r.copy(database = db, table = tbl))
+      }
+      .filter(_._2.kind != FileKind.SchemaSchema) // database-level DDL: namespace only
+      .groupBy { case (_, r) => (r.database, r.table) }
+      .map { case ((db, tbl), fs0) =>
+        val schemaFile = fs0.collectFirst {
+          case (p, r) if r.kind == FileKind.TableSchema => p }
+        val data = fs0.collect {
+          case (p, r) if r.kind == FileKind.Csv || r.kind == FileKind.Sql ||
+            r.kind == FileKind.Parquet => (p, r.kind)
+        }.sortBy(_._1) // deterministic lexicographic order, like the reference
+        Discovered(db, tbl, schemaFile, data.toSeq)
+      }
+      .toSeq
+      .filter(_.dataFiles.nonEmpty)
+      .sortBy(d => (d.dataFiles.size, d.db, d.table)) // smallest tables first
+  }
+
+  def run(spark: SparkSession, cfg: Config): Seq[TableReport] = {
+    val state = new JobState(cfg.stateDir)
+    discover(spark, cfg).map { d =>
+      val key = s"${d.db}.${d.table}"
+      state.get(key) match {
+        case Some(rec) if rec.status == "verified" =>
+          TableReport(d.db, d.table, rec.nRows, rec.checksum, checksumOk = true, skipped = true)
+        case _ =>
+          val report = restoreTable(spark, cfg, d)
+          state.put(JobState.Record(key, "verified", report.nRows, report.checksum))
+          report
+      }
+    }
+  }
+
+  private def restoreTable(spark: SparkSession, cfg: Config, d: Discovered): TableReport = {
+    val schema: Option[TableSchema] = d.schemaFile.map { p =>
+      MysqlDdl.parse(CharsetReader.readSchemaFile(
+        p.stripPrefix("file:"), cfg.charset))
+    }
+    val shards: Seq[DataFrame] = d.dataFiles.map { case (path, kind) =>
+      kind match {
+        case FileKind.Csv =>
+          val names = schema.map(_.colNames).getOrElse(Seq.empty)
+          MySqlCsv.readRaw(spark, Seq(path), names, cfg.csvDialect)
+        case FileKind.Sql =>
+          val names = schema.map(_.colNames).getOrElse(Seq.empty)
+          DumpSource.readRaw(spark, Seq(path), names)
+        case FileKind.Parquet => spark.read.parquet(path)
+        case other => throw new IllegalStateException(s"unroutable kind $other")
+      }
+    }
+    val merged = shards.reduce(_.unionByName(_))
+    val typed = schema match {
+      case Some(ts) => GeneratedColumns(RowTransform.applySchema(merged, ts), ts)
+      case None => merged
+    }
+    val sortCols = schema.map(_.primaryKey).filter(_.nonEmpty)
+      .getOrElse(typed.columns.take(1).toSeq)
+    val out = s"${cfg.targetDir}/${d.db}.${d.table}"
+    val pre = collectChecksum(typed)
+    SortedParquetSink.write(typed, out, sortCols)
+    val post = collectChecksum(spark.read.parquet(out))
+    TableReport(d.db, d.table, post.totalKvs, post.checksum,
+      checksumOk = Checksum.matches(pre, post), skipped = false)
+  }
+
+  private def collectChecksum(df: DataFrame): KvChecksum = {
+    val r = Checksum.tableChecksum(df).collect()(0)
+    KvChecksum(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+}

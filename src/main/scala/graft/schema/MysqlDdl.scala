@@ -58,10 +58,9 @@ object MysqlDdl {
       val upper = e.toUpperCase
       if (upper.startsWith("PRIMARY KEY")) {
         pk = keyColumns(e)
-      } else if (upper.startsWith("UNIQUE") || upper.startsWith("KEY") ||
-        upper.startsWith("INDEX") || upper.startsWith("CONSTRAINT") ||
-        upper.startsWith("FOREIGN KEY") || upper.startsWith("FULLTEXT")) {
-        // secondary indexes carry no data semantics for us
+      } else if (upper.matches("(?s)^(UNIQUE|KEY|INDEX|CONSTRAINT|FOREIGN|FULLTEXT)\\b.*")) {
+        // secondary indexes carry no data semantics for us. \b keeps
+        // column names like `key_mod` from matching the KEY keyword.
       } else {
         cols += parseColumn(e)
       }

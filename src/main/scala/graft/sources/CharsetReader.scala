@@ -1,0 +1,41 @@
+package graft.sources
+
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+
+/** Schema-file reader with charset detection (SURVEY S9): decodes
+  * `*-schema.sql` bytes as UTF-8, GB18030, binary, or auto (strict
+  * UTF-8 first, GB18030 fallback) — the reference's ExportStatement
+  * surface (`lightning/mydump/reader.go:39-118`). Driver-side only:
+  * schema files are small and few.
+  */
+object CharsetReader {
+
+  def decode(bytes: Array[Byte], charset: String = "auto"): String =
+    charset.toLowerCase match {
+      case "utf8" | "utf-8" => new String(bytes, StandardCharsets.UTF_8)
+      case "gb18030" => new String(bytes, Charset.forName("GB18030"))
+      case "binary" => new String(bytes, StandardCharsets.ISO_8859_1)
+      case "auto" =>
+        strictUtf8(bytes).getOrElse(new String(bytes, Charset.forName("GB18030")))
+      case other => new String(bytes, Charset.forName(other))
+    }
+
+  private def strictUtf8(bytes: Array[Byte]): Option[String] = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
+  /** Read + decode a schema file, stripping SQL comments and joining
+    * statements (the reference strips comments the same way before
+    * executing DDL).
+    */
+  def readSchemaFile(path: String, charset: String = "auto"): String = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    decode(bytes, charset)
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("(?m)^\\s*--.*$", " ")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/** Structured Streaming forms of the event operators. Batch
+  * (graft.operators.EventQueries) is the backfill path; these are the
+  * live path over `readStream` sources — same windows, same session
+  * semantics, incremental state instead of a shuffle-wide recompute.
+  *
+  * The reference's server mode (SURVEY §3.2) queues import tasks over
+  * HTTP; the streaming analog of its continuous operation is this
+  * module: watermarked windowed aggregation and keyed session state
+  * via flatMapGroupsWithState.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionUpdate(user_id: Long, n_events: Long, started: Timestamp,
+      ended: Timestamp, closed: Boolean)
+
+  case class SessionState(nEvents: Long, started: Long, lastTs: Long)
+
+  /** Tumbling-window counts with a watermark: late data beyond
+    * `watermarkDelay` is dropped, state is bounded — the only safe
+    * aggregation shape for an unbounded 100 TB/day stream.
+    */
+  def windowedCounts(events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user sessionization with a 30-minute inactivity gap, held as
+    * keyed state with an event-time timeout (watermark-driven: no
+    * wall-clock batch churn, state expires as event time advances —
+    * the bounded-state requirement for an unbounded stream). Emits one
+    * update per batch per active user and a closing update when the
+    * gap expires.
+    */
+  def sessionize(events: Dataset[Event],
+      gapMillis: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "1 hour"): Dataset[SessionUpdate] = {
+    implicit val updEnc = Encoders.product[SessionUpdate]
+    implicit val stEnc = Encoders.product[SessionState]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, s.nEvents,
+              new Timestamp(s.started), new Timestamp(s.lastTs), closed = true))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[SessionUpdate]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMillis =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastTs = t))
+                case Some(s) =>
+                  closed += SessionUpdate(userId, s.nEvents,
+                    new Timestamp(s.started), new Timestamp(s.lastTs), closed = true)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMillis)
+            }
+            closed.iterator ++ cur.map(s => SessionUpdate(userId, s.nEvents,
+              new Timestamp(s.started), new Timestamp(s.lastTs), closed = false)).iterator
+          }
+      }
+  }
+}

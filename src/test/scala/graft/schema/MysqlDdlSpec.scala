@@ -67,6 +67,12 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(t.columns.map(_.name) === Seq("id", "v"))
   }
 
+  test("column names starting with index keywords are still columns") {
+    val t = MysqlDdl.parse(
+      "CREATE TABLE x (key_mod int, index_col int, unique_id bigint, KEY k (key_mod))")
+    assert(t.columns.map(_.name) === Seq("key_mod", "index_col", "unique_id"))
+  }
+
   test("defaults with commas inside enum args survive splitting") {
     val t = MysqlDdl.parse(
       "CREATE TABLE x (e enum('a,b','c') DEFAULT 'a,b', n int DEFAULT 0)")

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.streaming.StreamingOps._
+
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+
+  test("windowedCounts aggregates a micro-batched stream like the batch query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = windowedCounts(input.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("event_type", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rows === Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on the inactivity gap and counts events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sess").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // one user: 3 events in one session, then a 40-min gap → new session
+      input.addData(
+        Event(1, ts(0), 7, "a", 0), Event(2, ts(5), 7, "a", 0),
+        Event(3, ts(10), 7, "a", 0), Event(4, ts(50), 7, "a", 0))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select("user_id", "n_events", "closed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      // first session closed with 3 events; second open with 1
+      assert(rows.contains((7L, 3L, true)))
+      assert(rows.contains((7L, 1L, false)))
+    } finally q.stop()
+  }
+}
