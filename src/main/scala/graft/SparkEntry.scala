@@ -44,6 +44,7 @@ object SparkEntry {
     "q_dedup_ngram" -> DedupQueries.dedupNgram,
     "q_dedup_minhash" -> DedupQueries.dedupMinhash,
     "q_dedup_simhash" -> DedupQueries.dedupSimhash,
+    "q_dedup_simhash_pairs" -> DedupQueries.dedupSimhashPairs,
     "q_ann_bruteforce" -> SimilarityQueries.annBruteForce,
     "q_ann_lsh" -> SimilarityQueries.annLsh,
     "q_embed_dedup" -> SimilarityQueries.embedDedup,
@@ -82,6 +83,7 @@ object SparkEntry {
     "q_dedup_ngram" -> DedupQueries.dedupNgramSql,
     "q_dedup_minhash" -> DedupQueries.dedupMinhashSql,
     "q_dedup_simhash" -> DedupQueries.dedupSimhashSql,
+    "q_dedup_simhash_pairs" -> DedupQueries.dedupSimhashPairsSql,
     "q_ann_bruteforce" -> SimilarityQueries.annBruteForceSql,
     "q_ann_lsh" -> SimilarityQueries.annLshSql,
     "q_embed_dedup" -> SimilarityQueries.embedDedupSql,

@@ -30,6 +30,20 @@ object DedupQueries {
   private val MinhashK = 12
   private val BandRows = 2 // 6 bands × 2 rows → LSH threshold ≈ 0.41
 
+  /** 31-bit universal hash family h_i(x) = (a_i·x + b_i) mod M over
+    * M = 2³¹−1. Products stay < 2⁶² so the math is exact int64 in both
+    * engines — one multiply-add per (shingle, i) instead of an md5,
+    * which is what makes the 12-hash MinHash pass cheap at corpus
+    * scale. Coefficients are md5-seeded so the oracle can interpolate
+    * the same constants.
+    */
+  private val M31 = 2147483647L
+  private[operators] val hashA: Array[Long] =
+    Array.tabulate(MinhashK)(i => math.floorMod(md5LongLocal(s"a:$i"), M31 - 1) + 1)
+  private[operators] val hashB: Array[Long] =
+    Array.tabulate(MinhashK)(i => math.floorMod(md5LongLocal(s"b:$i"), M31))
+  private def sqlLongList(xs: Array[Long]): String = xs.mkString("[", ", ", "]")
+
   /** Distinct (doc_id, shingle-hash) pairs. Shingles leave the map
     * stage as 56-bit md5 hashes, not strings: the self-join then
     * shuffles 8-byte keys instead of ~40-byte 5-grams — at 100 TB
@@ -106,7 +120,9 @@ object DedupQueries {
     val sh = shingleDf(spark, sfDir).cache()
     val hashed = sh
       .withColumn("i", explode(sequence(lit(0), lit(MinhashK - 1))))
-      .withColumn("hi", md5Long(concat(col("i").cast("string"), lit(":"), col("h").cast("string"))))
+      .withColumn("hi",
+        (element_at(typedLit(hashA.toSeq), col("i") + 1) * pmod(col("h"), lit(M31))
+          + element_at(typedLit(hashB.toSeq), col("i") + 1)) % M31)
     val sig = hashed.groupBy("doc_id", "i").agg(min("hi").as("mh"))
     val bands = sig
       .withColumn("band", expr(s"i div $BandRows"))
@@ -138,7 +154,7 @@ object DedupQueries {
   def dedupMinhashSql: String =
     s"""WITH $shingleCte,
        |hashes AS (SELECT doc_id, i,
-       |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(h AS VARCHAR)), 1, 14)) AS BIGINT) AS hi
+       |    ((${sqlLongList(hashA)}[i + 1] * (h % $M31)) + ${sqlLongList(hashB)}[i + 1]) % $M31 AS hi
        |  FROM sh, UNNEST(range($MinhashK)) AS r(i)),
        |sig AS (SELECT doc_id, i, min(hi) AS mh FROM hashes GROUP BY 1, 2),
        |bands AS (SELECT doc_id, i // $BandRows AS band,
@@ -177,6 +193,50 @@ object DedupQueries {
         .otherwise(0L)).as("simhash"))
       .orderBy("doc_id")
   }
+
+  /** SimHash near-dup pairs: band the 56-bit fingerprint into 4×14-bit
+    * chunks; pairs agreeing on ≥1 band are candidates (pigeonhole: any
+    * pair with hamming ≤ 3 must share a band, so recall at the ≤3
+    * threshold is exact); verify with bit_count(xor). The banded join
+    * is the scale shape — no all-pairs comparison ever happens.
+    */
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sim = dedupSimhash(spark, sfDir)
+    val bands = sim.withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_val", expr("shiftright(simhash, 14 * b) & 16383"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sa"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupSimhashPairsSql: String =
+    """WITH tc AS (SELECT doc_id, tok, count(*) AS cnt,
+      |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok),
+      |votes AS (SELECT doc_id, j,
+      |    sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
+      |  FROM tc, UNNEST(range(56)) AS r(j) GROUP BY doc_id, j),
+      |sim AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id),
+      |bands AS (SELECT doc_id, simhash, b, (simhash >> (14 * b)) & 16383 AS band_val
+      |  FROM sim, UNNEST(range(4)) AS r(b)),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sa, y.doc_id AS doc_b, y.simhash AS sb
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   def dedupSimhashSql: String =
     """WITH tc AS (SELECT doc_id, tok, count(*) AS cnt,

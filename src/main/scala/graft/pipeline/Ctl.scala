@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+/** Maintenance CLI — the `tidb-lightning-ctl` analog (reference
+  * `cmd/tidb-lightning-ctl/main.go:45-97`, SURVEY §3.3) over the job
+  * state and staged output:
+  *
+  *   checkpoint-dump <stateDir>             print all state records (CSV)
+  *   checkpoint-remove <stateDir> <key|all> reset state for a table
+  *   error-destroy <stateDir> <targetDir> <key>
+  *                                          drop staged output + state for
+  *                                          a failed table (re-import next run)
+  *   compact <targetDir> <table> [n]        rewrite a table's output into n
+  *                                          files (post-import compaction,
+  *                                          reference D6)
+  */
+object Ctl {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "checkpoint-dump" :: stateDir :: Nil =>
+      println("key,status,nRows,checksum")
+      allRecords(stateDir).foreach(r => println(s"${r.key},${r.status},${r.nRows},${r.checksum}"))
+
+    case "checkpoint-remove" :: stateDir :: key :: Nil =>
+      val keep = allRecords(stateDir).filter(r => key != "all" && r.key != key)
+      rewrite(stateDir, keep)
+      println(s"removed ${if (key == "all") "all" else key}")
+
+    case "error-destroy" :: stateDir :: targetDir :: key :: Nil =>
+      val out = Paths.get(targetDir, key)
+      if (Files.exists(out)) {
+        Files.walk(out).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      rewrite(stateDir, allRecords(stateDir).filterNot(_.key == key))
+      println(s"destroyed $key")
+
+    case "compact" :: targetDir :: table :: rest =>
+      val n = rest.headOption.map(_.toInt).getOrElse(1)
+      val spark = graft.GraftSession.build()
+      val path = s"$targetDir/$table"
+      val tmp = s"$path.compacting"
+      spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
+      val target = Paths.get(path)
+      Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      Files.move(Paths.get(tmp), target)
+      println(s"compacted $table to $n files")
+      spark.stop()
+
+    case _ =>
+      System.err.println(
+        "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
+          "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n]")
+      sys.exit(2)
+  }
+
+  private def allRecords(stateDir: String): Seq[JobState.Record] = {
+    val f = Paths.get(stateDir, "state.jsonl")
+    if (!Files.exists(f)) return Seq.empty
+    val latest = scala.collection.mutable.LinkedHashMap[String, JobState.Record]()
+    Files.readAllLines(f).forEach { l => JobState.parse(l).foreach(r => latest(r.key) = r) }
+    latest.values.toSeq
+  }
+
+  private def rewrite(stateDir: String, records: Seq[JobState.Record]): Unit = {
+    val f = Paths.get(stateDir, "state.jsonl")
+    Files.createDirectories(f.getParent)
+    Files.writeString(f, records.map(JobState.render).map(_ + "\n").mkString)
+  }
+}
