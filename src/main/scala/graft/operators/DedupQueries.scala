@@ -117,33 +117,41 @@ object DedupQueries {
     * 6 bands × 2 rows, candidates verified with exact Jaccard ≥ 0.5.
     */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleDf(spark, sfDir).cache()
-    val hashed = sh
-      .withColumn("i", explode(sequence(lit(0), lit(MinhashK - 1))))
-      .withColumn("hi",
-        (element_at(typedLit(hashA.toSeq), col("i") + 1) * pmod(col("h"), lit(M31))
-          + element_at(typedLit(hashB.toSeq), col("i") + 1)) % M31)
-    val sig = hashed.groupBy("doc_id", "i").agg(min("hi").as("mh"))
-    val bands = sig
-      .withColumn("band", expr(s"i div $BandRows"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh").cast("string")), ",").as("band_sig"))
+    // One row per doc: all 12 min-hashes computed in a single map-side-
+    // combining groupBy (no ×k row explosion), plus the shingle set for
+    // candidate verification and its size. One shuffle total.
+    val aggCols =
+      collect_set(col("h")).as("hs") +: count(lit(1)).as("n") +:
+        (0 until MinhashK).map { i =>
+          min((lit(hashA(i)) * pmod(col("h"), lit(M31)) + lit(hashB(i))) % M31)
+            .as(s"mh$i")
+        }
+    val docs = shingleDf(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .cache()
+    // 6 band signatures per doc (band b = minhashes 2b, 2b+1 joined by
+    // a comma) — a 6-row explode of one-row-per-doc, not of shingles.
+    val bandCols = (0 until MinhashK / BandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until BandRows).map(r =>
+          col(s"mh${b * BandRows + r}").cast("string")): _*).as("band_sig"))
+    }
+    val bands = docs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"), "h")
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cand, Seq("doc_a", "doc_b")) // only LSH candidates pay verification
-    inter
-      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    // Only LSH candidates pay verification: exact Jaccard from the two
+    // shingle sets — never an all-pairs shared-shingle join.
+    val sets = docs.select(col("doc_id"), col("hs"), col("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .where(col("jaccard") >= 0.5)
