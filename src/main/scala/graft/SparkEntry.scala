@@ -61,6 +61,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" -> CoreQueries.aggPricingSql,
     "q_probe_counts" -> CoreQueries.probeCountsSql,
+    "q_checksum_lineitem" -> CoreQueries.checksumLineitemSql,
     "q_file_route" -> IngestQueries.fileRouteSql,
     "q_ddl_schema" -> IngestQueries.ddlSchemaSql,
     "q_table_filter" -> IngestQueries.tableFilterSql,

@@ -48,6 +48,14 @@ object TextFunctions {
     */
   def quant(x: Column): Column = floor(x * 1000000d).cast(LongType)
 
+  /** floor(x·10⁴) as BIGINT — the money-column quantization used by the
+    * verification-probe SUMs (4 fractional digits, like the reference's
+    * DECIMAL money columns). Same engine-identical rationale as
+    * [[quant]]; a double→DECIMAL cast is NOT engine-identical (Spark
+    * rounds HALF_UP, DuckDB truncates).
+    */
+  def quant4(x: Column): Column = floor(x * 10000d).cast(LongType)
+
   /** Exact integer dot product of two float arrays under [[quant]]. */
   def quantDot(a: Column, b: Column): Column =
     aggregate(

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.GraftSession.table
@@ -12,37 +12,46 @@ import graft.verify.Checksum
   * as its integration-test oracle, reference `tests/csv/run.sh:14-22`).
   *
   * Numeric policy for oracle hash-stability: every double that feeds a
-  * SUM is first cast to DECIMAL(18,4). Decimal addition is exact and
-  * commutative, so Spark's parallel partial aggregation and DuckDB's
-  * serial sum produce bit-identical results regardless of row order —
-  * this is also what makes these aggregates safe on a 1000-executor
-  * shuffle at 100 TB (map-side partial agg, no ordering assumptions).
+  * SUM is quantized to an exact integer first — `floor(x*10000)` as
+  * BIGINT ([[graft.functions.TextFunctions.quant4]]). IEEE-754
+  * multiply and floor are bit-identical
+  * across engines, and integer addition is exact and commutative, so
+  * Spark's parallel partial aggregation and DuckDB's serial sum agree
+  * regardless of row order. (A double→DECIMAL cast does NOT have this
+  * property: Spark rounds HALF_UP where DuckDB truncates.) Exactness +
+  * commutativity is also what makes these aggregates safe on a
+  * 1000-executor shuffle at 100 TB — map-side partial agg, no ordering
+  * assumptions.
   */
 object CoreQueries {
 
-  private def dec(c: String) = col(c).cast(DecimalType(18, 4))
+  private def quant(c: String) = graft.functions.TextFunctions.quant4(col(c))
 
   /** TPC-H Q1-shaped pricing summary: the canonical groupBy/agg probe.
     * Scale: group-by on 2 low-cardinality keys → partial agg reduces
     * ~6e9 rows to a handful before the shuffle; no skew possible.
+    * The disc-price product stays in exact integer space
+    * (price·10⁴ × (10⁴−disc·10⁴), scaled back by an engine-identical
+    * floor-divide) so the per-group sums stay within BIGINT at any
+    * realistic scale factor.
     */
   def aggPricing(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "lineitem")
       .filter(col("l_quantity") > 0)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).as("sum_qty"),
-        sum(dec("l_extendedprice")).as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec("l_discount")))
-          .as("sum_disc_price"),
+        sum(quant("l_quantity")).as("sum_qty"),
+        sum(quant("l_extendedprice")).as("sum_base_price"),
+        sum(floor((quant("l_extendedprice") * (lit(10000L) - quant("l_discount")))
+          / lit(10000d)).cast(LongType)).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   def aggPricingSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+      |  CAST(sum(CAST(floor(l_quantity*10000) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice*10000) AS BIGINT)) AS BIGINT) AS sum_base_price,
+      |  CAST(sum(CAST(floor((CAST(floor(l_extendedprice*10000) AS BIGINT) * (10000 - CAST(floor(l_discount*10000) AS BIGINT))) / 10000.0) AS BIGINT)) AS BIGINT) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_quantity > 0
       |GROUP BY l_returnflag, l_linestatus
@@ -55,24 +64,29 @@ object CoreQueries {
     table(spark, sfDir, "orders")
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(dec("o_totalprice")).as("sum_price"),
+        sum(quant("o_totalprice")).as("sum_price"),
         count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
         count(when(col("o_totalprice") > 1000, 1)).as("n_big"),
         countDistinct(col("o_custkey")).as("n_cust"))
 
   def probeCountsSql: String =
     """SELECT count(*) AS n_rows,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price,
+      |  CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) AS sum_price,
       |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
       |  count(CASE WHEN o_totalprice > 1000 THEN 1 END) AS n_big,
       |  count(DISTINCT o_custkey) AS n_cust
       |FROM orders""".stripMargin
 
   /** CRC64-XOR table checksum (SURVEY A1/A2) — the flagship custom
-    * aggregate. No DuckDB oracle (CRC64-ECMA is not expressible there);
-    * correctness is covered by ChecksumSpec + the write/read-back
-    * round-trip query.
+    * aggregate. The raw CRC64-ECMA value is inexpressible in DuckDB, so
+    * the oracle-checkable shape emits the KV count plus a
+    * checksum-is-nonzero witness; CRC64 exactness is covered by
+    * Crc64Spec (check vector) + the write/read-back round-trip query.
     */
   def checksumLineitem(spark: SparkSession, sfDir: String): DataFrame =
     Checksum.tableChecksum(table(spark, sfDir, "lineitem"))
+      .select(col("total_kvs"), (col("checksum") =!= 0L).as("checksum_nonzero"))
+
+  def checksumLineitemSql: String =
+    "SELECT count(*) AS total_kvs, TRUE AS checksum_nonzero FROM lineitem"
 }

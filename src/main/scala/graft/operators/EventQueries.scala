@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.GraftSession.table
@@ -14,19 +13,20 @@ import graft.GraftSession.table
   */
 object EventQueries {
 
-  private def dec(c: String) = col(c).cast(DecimalType(18, 4))
+  // Exact-integer sums (engine-identical, see CoreQueries numeric policy).
+  private def quant(c: String) = graft.functions.TextFunctions.quant4(col(c))
 
   /** Hourly tumbling-window aggregation by event type. */
   def windowHourly(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
       .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(dec("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(quant("value")).as("sum_value"))
       .orderBy("hour", "event_type")
 
   def windowHourlySql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |  count(*) AS n_events,
-      |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+      |  CAST(sum(CAST(floor(value*10000) AS BIGINT)) AS BIGINT) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   /** Sessionization: per-user sessions split on >30 min inactivity

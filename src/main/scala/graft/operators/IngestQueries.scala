@@ -20,7 +20,9 @@ import graft.verify.Checksum
   */
 object IngestQueries {
 
-  private def dec(c: String) = col(c).cast(DecimalType(18, 4))
+  // Exact-integer money sums (engine-identical across Spark/DuckDB,
+  // see CoreQueries numeric policy).
+  private def quant(c: String) = graft.functions.TextFunctions.quant4(col(c))
 
   private def fixDir(sfDir: String, name: String): String =
     s"/tmp/graft_fixtures/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
@@ -138,13 +140,13 @@ object IngestQueries {
       .map { case (_, dfs) => dfs.map(_._2).reduce(_.unionByName(_)) }
       .head
     merged.groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_orders"), sum(dec("o_totalprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n_orders"), sum(quant("o_totalprice")).as("sum_price"))
       .orderBy("o_orderstatus")
   }
 
   def shardMergeSql: String =
     """SELECT o_orderstatus, count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+      |  CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) AS sum_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ------------------------------------------------------------ T1/T3
@@ -315,13 +317,13 @@ object IngestQueries {
       Seq("l_orderkey", "l_linenumber"), numRanges = 8)
     spark.read.parquet(out)
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_rows"), sum(dec("l_quantity")).as("sum_qty"))
+      .agg(count(lit(1)).as("n_rows"), sum(quant("l_quantity")).as("sum_qty"))
       .orderBy("l_returnflag")
   }
 
   def sortedWriteSql: String =
     """SELECT l_returnflag, count(*) AS n_rows,
-      |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+      |  CAST(sum(CAST(floor(l_quantity*10000) AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------ A3/A5
@@ -351,11 +353,11 @@ object IngestQueries {
     val orders = table(spark, sfDir, "orders")
     val doubled = orders.unionByName(orders)
     SortedParquetSink.dedup(doubled, Seq("o_orderkey"), "ignore")
-      .agg(count(lit(1)).as("n_rows"), sum(dec("o_totalprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n_rows"), sum(quant("o_totalprice")).as("sum_price"))
   }
 
   def dedupPolicySql: String =
     """SELECT count(*) AS n_rows,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+      |  CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) AS sum_price
       |FROM orders""".stripMargin
 }
