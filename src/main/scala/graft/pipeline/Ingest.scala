@@ -89,6 +89,11 @@ object Ingest {
       .sortBy(d => (d.dataFiles.size, d.db, d.table)) // smallest tables first
   }
 
+  /** Run the import. Only tables whose stored status is "verified" are
+    * skipped on re-run; a table whose checksum comparison failed is
+    * recorded as "failed" and re-imported next run (the reference only
+    * marks a checkpoint verified after the checksum passes).
+    */
   def run(spark: SparkSession, cfg: Config): Seq[TableReport] = {
     val state = new JobState(cfg.stateDir)
     discover(spark, cfg).map { d =>
@@ -98,7 +103,8 @@ object Ingest {
           TableReport(d.db, d.table, rec.nRows, rec.checksum, checksumOk = true, skipped = true)
         case _ =>
           val report = restoreTable(spark, cfg, d)
-          state.put(JobState.Record(key, "verified", report.nRows, report.checksum))
+          val status = if (report.checksumOk) "verified" else "failed"
+          state.put(JobState.Record(key, status, report.nRows, report.checksum))
           report
       }
     }
@@ -129,8 +135,13 @@ object Ingest {
     val sortCols = schema.map(_.primaryKey).filter(_.nonEmpty)
       .getOrElse(typed.columns.take(1).toSeq)
     val out = s"${cfg.targetDir}/${d.db}.${d.table}"
-    val pre = collectChecksum(typed)
-    SortedParquetSink.write(typed, out, sortCols)
+    // Pre-write checksum rides the write pass as an observed metric —
+    // one scan of the source instead of two (the parse/cast plan is
+    // expensive; at 100 TB a separate pre-pass doubles import cost).
+    val obs = org.apache.spark.sql.Observation()
+    val observed = typed.observe(obs, Checksum.checksumCol(typed))
+    SortedParquetSink.write(observed, out, sortCols)
+    val pre = Checksum.fromMetric(obs.get("kv_checksum"))
     val post = collectChecksum(spark.read.parquet(out))
     TableReport(d.db, d.table, post.totalKvs, post.checksum,
       checksumOk = Checksum.matches(pre, post), skipped = false)

@@ -42,6 +42,21 @@ object Checksum {
     encode(to_json(struct(cols.toSeq: _*)), "UTF-8")
   }
 
+  /** The checksum triple as a single aggregate Column over `df`'s rows,
+    * for `df.observe(...)`: the metric rides the write pass, so ingest
+    * computes the pre-write checksum without a second scan (reference
+    * computes checksums inside the one encode pass the same way,
+    * `lightning/restore/restore.go:2382-2480`).
+    */
+  def checksumCol(df: DataFrame): Column =
+    udaf(ChecksumAgg)(canonicalBytes(df)).as("kv_checksum")
+
+  /** Extract the [[KvChecksum]] from an observed [[checksumCol]] metric. */
+  def fromMetric(m: Any): KvChecksum = {
+    val r = m.asInstanceOf[org.apache.spark.sql.Row]
+    KvChecksum(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** One-row DataFrame (checksum, total_kvs, total_bytes) for a table. */
   def tableChecksum(df: DataFrame): DataFrame = {
     val agg = udaf(ChecksumAgg)
