@@ -138,9 +138,9 @@ object Ingest {
     // Pre-write checksum rides the write pass as an observed metric —
     // one scan of the source instead of two (the parse/cast plan is
     // expensive; at 100 TB a separate pre-pass doubles import cost).
+    // Attached above the range shuffle: see SortedParquetSink.writeObserved.
     val obs = org.apache.spark.sql.Observation()
-    val observed = typed.observe(obs, Checksum.checksumCol(typed))
-    SortedParquetSink.write(observed, out, sortCols)
+    SortedParquetSink.writeObserved(typed, out, sortCols, obs, Checksum.checksumCol)
     val pre = Checksum.fromMetric(obs.get("kv_checksum"))
     val post = collectChecksum(spark.read.parquet(out))
     TableReport(d.db, d.table, post.totalKvs, post.checksum,

@@ -33,6 +33,29 @@ object SortedParquetSink {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** [[write]] with an observed metric riding the write pass, so the
+    * caller gets an aggregate (e.g. the pre-write checksum) without a
+    * second scan of the source.
+    *
+    * The observation is attached ABOVE the range shuffle: the
+    * RangePartitioner's sampling job re-executes the plan below the
+    * exchange, so a metric observed there accumulates twice (verified:
+    * a 1000-row df observed under `repartitionByRange` reports
+    * count=2000). Post-shuffle, rows flow through exactly once.
+    */
+  def writeObserved(df: DataFrame, path: String, sortCols: Seq[String],
+      obs: org.apache.spark.sql.Observation, metric: DataFrame => Column,
+      numRanges: Int = 0): Unit = {
+    val keys = sortCols.map(col)
+    val ranged =
+      if (numRanges > 0) df.repartitionByRange(numRanges, keys: _*)
+      else df.repartitionByRange(keys: _*)
+    ranged
+      .observe(obs, metric(ranged))
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write with a dedup policy applied on the key, mirroring the tidb
     * backend's on-duplicate switch (reference
     * `lightning/config/config.go:62-67`): "error" (assert unique),

@@ -47,9 +47,18 @@ object Checksum {
     * computes the pre-write checksum without a second scan (reference
     * computes checksums inside the one encode pass the same way,
     * `lightning/restore/restore.go:2382-2480`).
+    *
+    * IMPORTANT: the observation must be attached ABOVE any shuffle
+    * boundary (e.g. after `repartitionByRange`). A RangePartitioner
+    * runs a sampling job that executes the plan *below* the exchange a
+    * second time, double-counting any metric observed there (each
+    * row's CRC64 XORs twice → checksum cancels to 0). Post-shuffle the
+    * plan executes exactly once. See [[graft.sink.SortedParquetSink.writeObserved]].
     */
-  def checksumCol(df: DataFrame): Column =
-    udaf(ChecksumAgg)(canonicalBytes(df)).as("kv_checksum")
+  def checksumCol(df: DataFrame): Column = {
+    val f = udaf(ChecksumAgg)
+    f(canonicalBytes(df)).as("kv_checksum")
+  }
 
   /** Extract the [[KvChecksum]] from an observed [[checksumCol]] metric. */
   def fromMetric(m: Any): KvChecksum = {
