@@ -28,10 +28,12 @@ object SparkEntry {
     "q_shard_merge" -> IngestQueries.shardMerge,
     "q_column_permutation" -> IngestQueries.columnPermutation,
     "q_type_cast" -> IngestQueries.typeCast,
+    "q_strict_cast" -> IngestQueries.strictCast,
     "q_rowid_assign" -> IngestQueries.rowidAssign,
     "q_auto_random" -> IngestQueries.autoRandom,
     "q_csv_roundtrip" -> IngestQueries.csvRoundtrip,
     "q_csv_multisep" -> IngestQueries.csvMultisep,
+    "q_csv_header" -> IngestQueries.csvHeader,
     "q_dump_roundtrip" -> IngestQueries.dumpRoundtrip,
     "q_sorted_write" -> IngestQueries.sortedWrite,
     "q_checksum_roundtrip" -> IngestQueries.checksumRoundtrip,
@@ -68,10 +70,12 @@ object SparkEntry {
     "q_shard_merge" -> IngestQueries.shardMergeSql,
     "q_column_permutation" -> IngestQueries.columnPermutationSql,
     "q_type_cast" -> IngestQueries.typeCastSql,
+    "q_strict_cast" -> IngestQueries.strictCastSql,
     "q_rowid_assign" -> IngestQueries.rowidAssignSql,
     "q_auto_random" -> IngestQueries.autoRandomSql,
     "q_csv_roundtrip" -> IngestQueries.csvRoundtripSql,
     "q_csv_multisep" -> IngestQueries.csvMultisepSql,
+    "q_csv_header" -> IngestQueries.csvHeaderSql,
     "q_dump_roundtrip" -> IngestQueries.dumpRoundtripSql,
     "q_sorted_write" -> IngestQueries.sortedWriteSql,
     "q_checksum_roundtrip" -> IngestQueries.checksumRoundtripSql,

@@ -19,9 +19,16 @@ import graft.verify.Checksum
   * Spark's parallel partial aggregation and DuckDB's serial sum agree
   * regardless of row order. (A double→DECIMAL cast does NOT have this
   * property: Spark rounds HALF_UP where DuckDB truncates.) Exactness +
-  * commutativity is also what makes these aggregates safe on a
-  * 1000-executor shuffle at 100 TB — map-side partial agg, no ordering
-  * assumptions.
+  * commutativity also makes these aggregates shuffle-layout-independent
+  * (map-side partial agg, no ordering assumptions).
+  *
+  * Range caveat: the quantized values are ~1e4× the raw ones, so a
+  * per-group BIGINT sum stays exact up to ~9.2e18 — ample headroom
+  * through SF≈10k (~10 TB), but beyond that Spark's non-ANSI
+  * sum(LongType) would wrap silently while DuckDB's HUGEINT sum
+  * raises. For larger deployments enable `spark.sql.ansi.enabled`
+  * (overflow then fails loudly on both sides) or widen the sums to
+  * DECIMAL(38,0).
   */
 object CoreQueries {
 
@@ -32,8 +39,8 @@ object CoreQueries {
     * ~6e9 rows to a handful before the shuffle; no skew possible.
     * The disc-price product stays in exact integer space
     * (price·10⁴ × (10⁴−disc·10⁴), scaled back by an engine-identical
-    * floor-divide) so the per-group sums stay within BIGINT at any
-    * realistic scale factor.
+    * floor-divide); per-group sums stay within BIGINT through SF≈10k —
+    * see the numeric-policy range caveat above.
     */
   def aggPricing(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "lineitem")
@@ -88,5 +95,7 @@ object CoreQueries {
       .select(col("total_kvs"), (col("checksum") =!= 0L).as("checksum_nonzero"))
 
   def checksumLineitemSql: String =
-    "SELECT count(*) AS total_kvs, TRUE AS checksum_nonzero FROM lineitem"
+    // count(*) > 0 (not literal TRUE) so the witness agrees with the
+    // Spark side on an empty table, where the XOR checksum is 0.
+    "SELECT count(*) AS total_kvs, count(*) > 0 AS checksum_nonzero FROM lineitem"
 }

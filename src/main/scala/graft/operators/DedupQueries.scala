@@ -29,6 +29,7 @@ object DedupQueries {
   private val ShingleN = 5
   private val MinhashK = 12
   private val BandRows = 2 // 6 bands × 2 rows → LSH threshold ≈ 0.41
+  private val DfCap = 64 // max docs a shingle may appear in before it's dropped
 
   /** 31-bit universal hash family h_i(x) = (a_i·x + b_i) mod M over
     * M = 2³¹−1. Products stay < 2⁶² so the math is exact int64 in both
@@ -81,16 +82,27 @@ object DedupQueries {
 
   // ----------------------------------------------------- n-gram Jaccard
   /** Near-dup pairs by exact n-gram Jaccard ≥ 0.5 (the ground truth the
-    * LSH variant approximates).
+    * LSH variant approximates), over the df-capped shingle universe:
+    * shingles appearing in more than [[DfCap]] documents are boilerplate
+    * and are dropped BEFORE the shared-shingle self-join, bounding the
+    * per-key fanout to DfCap² rows. Without the cap one hot shingle
+    * (a license header, a template sentence) makes the self-join
+    * quadratic in corpus size — the cap is what keeps this operator
+    * alive at 100 TB. Jaccard is computed over the same capped universe
+    * on both sides (counts included), so Spark and the oracle agree
+    * exactly.
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleDf(spark, sfDir).cache()
+    val shAll = shingleDf(spark, sfDir).cache()
+    val rare = shAll.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= DfCap).select("h")
+    val sh = shAll.join(rare, "h").cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), "h")
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard",
@@ -98,13 +110,20 @@ object DedupQueries {
       .where(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "inter", "jaccard")
       .orderBy("doc_a", "doc_b")
+    // materialize the (small) pair set, then release the shingle caches
+    val out = pairs.localCheckpoint(true)
+    sh.unpersist(false)
+    shAll.unpersist(false)
+    out
   }
 
   def dedupNgramSql: String =
     s"""WITH $shingleCte,
-       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= $DfCap),
+       |shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter,
        |  CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
@@ -148,7 +167,7 @@ object DedupQueries {
     // Only LSH candidates pay verification: exact Jaccard from the two
     // shingle sets — never an all-pairs shared-shingle join.
     val sets = docs.select(col("doc_id"), col("hs"), col("n"))
-    cand
+    val pairs = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
@@ -157,6 +176,10 @@ object DedupQueries {
       .where(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+    // materialize the (small) pair set, then release the signature cache
+    val out = pairs.localCheckpoint(true)
+    docs.unpersist(false)
+    out
   }
 
   def dedupMinhashSql: String =

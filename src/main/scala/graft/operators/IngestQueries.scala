@@ -205,6 +205,35 @@ object IngestQueries {
     """SELECT event_id, ts, user_id, event_type, value, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** SQL-mode switch (T2 strict path, reference
+    * `lightning/backend/tidb.go:324-331`, `tests/sqlmode/`): the same
+    * stringified input goes through the non-strict cast (bad values →
+    * NULL, counted) and the strict cast over the clean subset (which
+    * must complete without raising). Bad values are injected on every
+    * event_id % 10 == 0 row.
+    */
+  def strictCast(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = MysqlDdl.parse(
+      "CREATE TABLE t (event_id bigint NOT NULL, value double);")
+    val src = table(spark, sfDir, "events")
+      .select(col("event_id").cast(StringType).as("event_id"),
+        when(pmod(col("event_id"), lit(10)) === 0, lit("not-a-number"))
+          .otherwise(col("value").cast(StringType)).as("value"))
+    val nonStrict = RowTransform.applySchema(src, schema)
+    val clean = src.filter(pmod(col("event_id").cast(LongType), lit(10)) =!= 0)
+    val strictOk = RowTransform.applySchema(clean, schema, strict = true)
+    nonStrict
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("value").isNull, 1)).as("n_nulled"))
+      .crossJoin(strictOk.agg(count(lit(1)).as("n_strict_rows")))
+  }
+
+  def strictCastSql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(CASE WHEN event_id % 10 = 0 OR value IS NULL THEN 1 END) AS n_nulled,
+      |  (SELECT count(*) FROM events WHERE event_id % 10 <> 0) AS n_strict_rows
+      |FROM events""".stripMargin
+
   // ------------------------------------------------------------ T4/T6
   /** Deterministic row-ID assignment (T4/T6) with the scalable
     * two-level scheme: range-partition on the business key, sort within
@@ -282,6 +311,27 @@ object IngestQueries {
 
   def csvMultisepSql: String = csvRoundtripSql
 
+  /** Header-name column projection (S6 header → T1): the CSV arrives
+    * with reordered, UPPERCASE-named columns and one table column
+    * missing entirely; the lowercased header names drive the
+    * permutation — not file position — and the missing column gets its
+    * DEFAULT (reference `lightning/mydump/csv_parser.go:557-568`,
+    * applied `lightning/restore/restore.go:2055-2137`).
+    */
+  def csvHeader(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = fixDir(sfDir, "customer_csv_hdr")
+    val dialect = CsvDialect(header = true)
+    val schema = MysqlDdl.parse(customerDdl)
+    val reordered = table(spark, sfDir, "customer")
+      .select(col("c_name").as("C_NAME"), col("c_acctbal").as("C_ACCTBAL"),
+        col("c_nationkey").as("C_NATIONKEY"), col("c_custkey").as("C_CUSTKEY"))
+      .repartition(3) // several files, each with its own header line
+    MySqlCsv.writeRaw(reordered, dir, dialect)
+    MySqlCsv.read(spark, Seq(dir), schema, dialect).orderBy("c_custkey")
+  }
+
+  def csvHeaderSql: String = columnPermutationSql
+
   // ------------------------------------------------------------ S5/T9/E4
   private val supplierDdl =
     """CREATE TABLE supplier (
@@ -334,11 +384,19 @@ object IngestQueries {
   def checksumRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val out = fixDir(sfDir, "orders_checksum")
     val src = table(spark, sfDir, "orders")
-    val pre = Checksum.tableChecksum(src).collect()(0)
-    SortedParquetSink.write(src, out, Seq("o_orderkey"), numRanges = 4)
-    val post = Checksum.tableChecksum(spark.read.parquet(out)).collect()(0)
+    // Pre-write checksum rides the write pass as an observed metric
+    // (attached above the range shuffle — see writeObserved): one scan
+    // of the source plus the read-back scan, instead of three passes.
+    val obs = org.apache.spark.sql.Observation()
+    SortedParquetSink.writeObserved(src, out, Seq("o_orderkey"), obs,
+      Checksum.checksumCol, numRanges = 4)
+    val pre = Checksum.fromMetric(obs.get("kv_checksum"))
+    val post = {
+      val r = Checksum.tableChecksum(spark.read.parquet(out)).collect()(0)
+      graft.verify.KvChecksum(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
     import spark.implicits._
-    Seq((pre.getLong(1), pre == post))
+    Seq((pre.totalKvs, Checksum.matches(pre, post)))
       .toDF("total_kvs", "is_match")
   }
 

@@ -39,21 +39,44 @@ object RowTransform {
     case Some(d) => lit(d).cast(c.sparkType)
   }
 
-  /** T2: cast every (string-ish) column to its declared type. Non-strict
-    * MySQL semantics = Spark's non-ANSI cast (bad value → null); strict
-    * mode would flip `spark.sql.ansi.enabled` (SURVEY §7.4 item 3).
+  /** T2: cast every (string-ish) column to its declared type, switched
+    * on SQL mode like the reference (`lightning/backend/tidb.go:324-331`,
+    * `tests/sqlmode/`):
+    *
+    *  - non-strict (default): Spark's non-ANSI cast — a bad value
+    *    coerces to NULL, the import proceeds;
+    *  - strict: a non-null value that fails its cast raises, failing
+    *    the task (and with it the import) loudly, like MySQL's
+    *    STRICT_TRANS_TABLES. Implemented as a `when` + `raise_error`
+    *    around the same cast — still a narrow codegen'd expression, no
+    *    session-wide ANSI flag needed.
     */
-  def applySchema(df: DataFrame, schema: TableSchema): DataFrame = {
+  def applySchema(df: DataFrame, schema: TableSchema, strict: Boolean = false): DataFrame = {
     val permuted = permute(df, schema)
     val cols = schema.columns.map { c =>
-      castTo(col(c.name), c).as(c.name)
+      val raw = col(c.name)
+      val casted = castTo(raw, c)
+      val v =
+        if (strict)
+          when(raw.isNotNull && casted.isNull,
+            raise_error(concat(
+              lit(s"strict mode: invalid value for column ${c.name}: '"),
+              raw.try_cast(StringType), lit("'"))).cast(c.sparkType))
+            .otherwise(casted)
+        else casted
+      v.as(c.name)
     }
     permuted.select(cols: _*)
   }
 
+  /** `try_cast`, not `cast`: bad value → NULL regardless of the
+    * session's `spark.sql.ansi.enabled` (ON by default in Spark 4, which
+    * would make a plain cast raise). Both SQL modes build on this —
+    * non-strict keeps the NULL, strict turns it into a raise_error.
+    */
   private def castTo(c: Column, spec: ColumnSpec): Column = spec.sparkType match {
-    case BinaryType => c.cast(BinaryType)
-    case t => c.cast(t)
+    case BinaryType => c.try_cast(BinaryType)
+    case t => c.try_cast(t)
   }
 
   /** T4/T6: deterministic row-ID assignment. The reference gives every
@@ -80,10 +103,23 @@ object RowTransform {
     * scan over per-partition counts is O(#partitions), like the
     * reference's cumulative chunk offsets). IDs are dense, unique, and
     * deterministic for a fixed partitioning.
+    *
+    * The input is eagerly `localCheckpoint`ed first: the count pass and
+    * the assignment pass must see identical partition contents, and a
+    * nondeterministic upstream (e.g. a round-robin repartition) could
+    * otherwise recompute differently between them, producing duplicate
+    * or skipped IDs. Checkpointing cuts the lineage, so both passes
+    * read the same stored blocks — a lost block fails the job instead
+    * of silently diverging (the failure mode the reference's persisted
+    * PrevRowIDMax checkpoint ranges also choose). Blocks are freed by
+    * the ContextCleaner once the DataFrame is garbage-collected; the
+    * one materialization pass mirrors the reference's write-to-local-
+    * engine-then-assign shape.
     */
   def chunkedRowId(df: DataFrame, idCol: String = "_graft_rowid", base: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.rdd
+    val stable = df.localCheckpoint(true)
+    val rdd = stable.rdd
     val counts = rdd.mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
       .collect().sortBy(_._1).map(_._2)
     val bases = counts.scanLeft(base)(_ + _)

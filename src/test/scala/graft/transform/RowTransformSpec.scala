@@ -17,6 +17,20 @@ class RowTransformSpec extends SparkSpec {
     assert(rows.sortBy(_._1).map(_._2).toSeq === (1L to 1000L))
   }
 
+  test("chunkedRowId is stable under a nondeterministic repartition") {
+    import spark.implicits._
+    // round-robin repartition is order-dependent: re-executing it can
+    // shuffle rows into different partitions. The localCheckpoint inside
+    // chunkedRowId pins partition contents, so the count pass and the
+    // assignment pass (and any later re-read) agree.
+    val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(7)
+    val withId = RowTransform.chunkedRowId(df, "rid")
+    val first = withId.select("k", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val second = withId.select("k", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(first === second)
+    assert(first.values.toSeq.sorted === (1L to 500L))
+  }
+
   test("autoRandom packs shard bits above the row id") {
     import spark.implicits._
     val df = Seq((1L, 3L), (100L, 31L)).toDF("rid", "shard")
@@ -24,6 +38,28 @@ class RowTransformSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(out(0) === (3L << 58 | 1L))
     assert(out(1) === (31L << 58 | 100L))
+  }
+
+  test("strict mode raises on a bad cast; non-strict nulls it") {
+    import spark.implicits._
+    val schema = graft.schema.MysqlDdl.parse(
+      "CREATE TABLE t (a bigint, b double)")
+    val bad = Seq(("1", "2.5"), ("2", "oops")).toDF("a", "b")
+    // non-strict: bad value coerces to NULL
+    val soft = RowTransform.applySchema(bad, schema).orderBy("a").collect()
+    assert(soft(0).getDouble(1) === 2.5)
+    assert(soft(1).isNullAt(1))
+    // strict: the same input fails the job
+    val e = intercept[Exception] {
+      RowTransform.applySchema(bad, schema, strict = true).collect()
+    }
+    assert(e.getMessage.contains("strict mode") ||
+      Option(e.getCause).exists(_.getMessage.contains("strict mode")))
+    // strict over clean input passes untouched; null input stays null
+    val clean = Seq(("1", "2.5"), ("2", null)).toDF("a", "b")
+    val ok = RowTransform.applySchema(clean, schema, strict = true).orderBy("a").collect()
+    assert(ok(0).getDouble(1) === 2.5)
+    assert(ok(1).isNullAt(1))
   }
 
   test("permute fills defaults and drops unknown columns") {
