@@ -38,6 +38,7 @@ object SparkEntry {
     "q_sorted_write" -> IngestQueries.sortedWrite,
     "q_checksum_roundtrip" -> IngestQueries.checksumRoundtrip,
     "q_dedup_policy" -> IngestQueries.dedupPolicy,
+    "q_analyze" -> IngestQueries.analyzeStats,
     "q_text_stats" -> TextQueries.textStats,
     "q_quality_score" -> TextQueries.qualityScore,
     "q_langid" -> TextQueries.langid,
@@ -55,6 +56,8 @@ object SparkEntry {
     "q_sessionize" -> EventQueries.sessionize,
     "q_gencol" -> PipelineQueries.gencol,
     "q_ingest_e2e" -> PipelineQueries.ingestE2e,
+    "q_csv_gz" -> PipelineQueries.csvGz,
+    "q_view" -> PipelineQueries.viewRestore,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,6 +83,7 @@ object SparkEntry {
     "q_sorted_write" -> IngestQueries.sortedWriteSql,
     "q_checksum_roundtrip" -> IngestQueries.checksumRoundtripSql,
     "q_dedup_policy" -> IngestQueries.dedupPolicySql,
+    "q_analyze" -> IngestQueries.analyzeStatsSql,
     "q_text_stats" -> TextQueries.textStatsSql,
     "q_quality_score" -> TextQueries.qualityScoreSql,
     "q_langid" -> TextQueries.langidSql,
@@ -97,5 +101,7 @@ object SparkEntry {
     "q_sessionize" -> EventQueries.sessionizeSql,
     "q_gencol" -> PipelineQueries.gencolSql,
     "q_ingest_e2e" -> PipelineQueries.ingestE2eSql,
+    "q_csv_gz" -> PipelineQueries.csvGzSql,
+    "q_view" -> PipelineQueries.viewRestoreSql,
   )
 }

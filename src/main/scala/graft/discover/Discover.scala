@@ -68,7 +68,7 @@ object FileRouter {
 }
 
 /** Allow/deny table filter (SURVEY S3): case-configurable wildcard
-  * patterns `db.table` with `*`/`?` globs, first-match-wins with `!`
+  * patterns `db.table` with `*`/`?` globs, last-match-wins with `!`
   * negation — the public `table-filter` semantics the reference wraps
   * (`lightning/mydump/loader.go:119-131`).
   */

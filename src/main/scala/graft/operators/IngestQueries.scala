@@ -403,6 +403,23 @@ object IngestQueries {
   def checksumRoundtripSql: String =
     "SELECT count(*) AS total_kvs, TRUE AS is_match FROM orders"
 
+  // ------------------------------------------------------------ A7
+  /** ANALYZE (A7): bulk-write `part`, register it in the catalog,
+    * `ANALYZE TABLE … COMPUTE STATISTICS`, and report the row count the
+    * catalog recorded — the stats every later CBO decision (join
+    * reorder, broadcast selection) reads.
+    */
+  def analyzeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = fixDir(sfDir, "part_analyze")
+    SortedParquetSink.write(table(spark, sfDir, "part"), out, Seq("p_partkey"))
+    val n = graft.pipeline.Analyze.analyze(spark, "part_analyze", out)
+    import spark.implicits._
+    Seq(("part", n.getOrElse(-1L))).toDF("table_name", "stat_rows")
+  }
+
+  def analyzeStatsSql: String =
+    "SELECT 'part' AS table_name, count(*) AS stat_rows FROM part"
+
   // ------------------------------------------------------------ E4
   /** On-duplicate policy (E4): duplicated input deduped with "ignore"
     * (first wins) collapses back to the original table.

@@ -151,6 +151,78 @@ object PipelineQueries {
     }
   }
 
+  // ----------------------------------------- S8 (gz) + view restore
+  private def gzipFile(src: Path, dst: Path): Unit = {
+    val in = Files.newInputStream(src)
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(dst))
+    try in.transferTo(out)
+    finally { in.close(); out.close() }
+  }
+
+  /** Fixture for the compressed-source + view path: nation arrives as a
+    * gzip CSV (S8 — Spark decompresses by extension, exceeding the
+    * reference which rejects compressed sources), plus a MySQL-style
+    * view schema over it (reference restores views last,
+    * `lightning/restore/restore.go:443-448`).
+    */
+  private def buildViewFixture(spark: SparkSession, sfDir: String): String = {
+    val root = Paths.get(fixRoot(sfDir), "view_src")
+    if (Files.exists(root.resolve("_done"))) return root.toString
+    deleteRec(root)
+    Files.createDirectories(root)
+    val tmp = root.resolve("nation_plain.csv")
+    writeSingle(spark, MySqlCsvText(table(spark, sfDir, "nation")), tmp)
+    gzipFile(tmp, root.resolve("tpch.nation.0001.csv.gz"))
+    Files.delete(tmp)
+    Files.writeString(root.resolve("tpch.nation-schema.sql"), nationDdl)
+    Files.writeString(root.resolve("tpch.top_nations-schema-view.sql"),
+      """CREATE ALGORITHM=UNDEFINED SQL SECURITY DEFINER VIEW `top_nations` AS
+        |SELECT n_regionkey, count(*) AS n_nations FROM nation GROUP BY n_regionkey;
+        |""".stripMargin)
+    Files.writeString(root.resolve("_done"), "ok")
+    root.toString
+  }
+
+  // once per JVM: both q_csv_gz and q_view read this import's output
+  private val viewIngested = scala.collection.mutable.Set[String]()
+
+  private def ingestViewFixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val src = buildViewFixture(spark, sfDir)
+    val target = s"${fixRoot(sfDir)}/view_ingest_out"
+    if (!viewIngested.contains(target)) {
+      deleteRec(Paths.get(target))
+      Ingest.run(spark, Ingest.Config(sourceDir = src, targetDir = target))
+      viewIngested += target
+    }
+    target
+  }
+
+  /** Compressed source end-to-end (S8): the gzip CSV goes through
+    * route → decompress → parse → cast → checksum-verified sorted
+    * write; read the imported table back.
+    */
+  def csvGz(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = ingestViewFixture(spark, sfDir)
+    spark.read.parquet(s"$target/tpch.nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
+  def csvGzSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** View restore: query THROUGH the restored view, whose defining
+    * SELECT was replayed over the imported table.
+    */
+  def viewRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    ingestViewFixture(spark, sfDir)
+    spark.table("top_nations").orderBy("n_regionkey")
+  }
+
+  def viewRestoreSql: String =
+    """SELECT n_regionkey, count(*) AS n_nations FROM nation
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   /** The full one-shot import over the fixture dir: shard-merge route,
     * filter, three source formats, checksum-verified sorted writes.
     * Reports (table, rows, checksum_ok) per restored table.

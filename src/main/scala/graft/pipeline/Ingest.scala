@@ -34,7 +34,8 @@ object Ingest {
       routes: Seq[TableRoute] = Nil,
       csvDialect: CsvDialect = CsvDialect(),
       charset: String = "auto",
-      stateDir: Option[String] = None)
+      stateDir: Option[String] = None,
+      analyze: Boolean = true)
 
   case class TableReport(
       db: String,
@@ -42,7 +43,8 @@ object Ingest {
       nRows: Long,
       checksum: Long,
       checksumOk: Boolean,
-      skipped: Boolean)
+      skipped: Boolean,
+      statsRows: Option[Long] = None)
 
   case class Discovered(
       db: String,
@@ -50,10 +52,10 @@ object Ingest {
       schemaFile: Option[String],
       dataFiles: Seq[(String, FileKind.Value)])
 
-  /** Driver-side discovery over the Hadoop FS (works for local, HDFS,
-    * S3A — same listing API the scan will use).
+  /** Driver-side listing + routing over the Hadoop FS (works for
+    * local, HDFS, S3A — same listing API the scan will use).
     */
-  def discover(spark: SparkSession, cfg: Config): Seq[Discovered] = {
+  private def listRouted(spark: SparkSession, cfg: Config): Seq[(String, RouteResult)] = {
     val fs = new Path(cfg.sourceDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val router = new FileRouter()
@@ -74,6 +76,11 @@ object Ingest {
         (p, r.copy(database = db, table = tbl))
       }
       .filter(_._2.kind != FileKind.SchemaSchema) // database-level DDL: namespace only
+      .toSeq
+  }
+
+  def discover(spark: SparkSession, cfg: Config): Seq[Discovered] = {
+    listRouted(spark, cfg)
       .groupBy { case (_, r) => (r.database, r.table) }
       .map { case ((db, tbl), fs0) =>
         val schemaFile = fs0.collectFirst {
@@ -89,6 +96,12 @@ object Ingest {
       .sortBy(d => (d.dataFiles.size, d.db, d.table)) // smallest tables first
   }
 
+  /** View schema files: (db, view name, path). */
+  def discoverViews(spark: SparkSession, cfg: Config): Seq[(String, String, String)] =
+    listRouted(spark, cfg).collect {
+      case (p, r) if r.kind == FileKind.ViewSchema => (r.database, r.table, p)
+    }.sortBy(v => (v._1, v._2))
+
   /** Run the import. Only tables whose stored status is "verified" are
     * skipped on re-run; a table whose checksum comparison failed is
     * recorded as "failed" and re-imported next run (the reference only
@@ -96,26 +109,80 @@ object Ingest {
     */
   def run(spark: SparkSession, cfg: Config): Seq[TableReport] = {
     val state = new JobState(cfg.stateDir)
-    discover(spark, cfg).map { d =>
+    val tables = discover(spark, cfg)
+    val reports = tables.map { d =>
       val key = s"${d.db}.${d.table}"
       state.get(key) match {
-        case Some(rec) if rec.status == "verified" =>
+        case Some(rec) if rec.status == "verified" &&
+            d.dataFiles.forall(f => rec.files.contains(f._1)) =>
           TableReport(d.db, d.table, rec.nRows, rec.checksum, checksumOk = true, skipped = true)
+        case Some(rec) if rec.status == "verified" =>
+          // File-level incremental resume (reference per-chunk
+          // checkpoints, `checkpoints.go:231-274`): only data files not
+          // in the verified set are parsed; their sorted batch appends
+          // to the output (each batch = one "engine" of sorted ranges,
+          // like the reference's multi-engine tables) and the stored
+          // checksum XOR-combines with the new batch's — commutativity
+          // is what makes verified-state + increment == full-table.
+          val newFiles = d.dataFiles.filterNot(f => rec.files.contains(f._1))
+          val prior = KvChecksum(rec.checksum, rec.nRows, rec.nBytes)
+          val (report, post) = restoreFiles(spark, cfg, d, newFiles, Some(prior))
+          recordState(state, key, d, report, post)
+          report
         case _ =>
-          val report = restoreTable(spark, cfg, d)
-          val status = if (report.checksumOk) "verified" else "failed"
-          state.put(JobState.Record(key, status, report.nRows, report.checksum))
+          val (report, post) = restoreFiles(spark, cfg, d, d.dataFiles, None)
+          recordState(state, key, d, report, post)
           report
       }
     }
+    // Views restore after all tables, like the reference (views are
+    // serialized last, `lightning/restore/restore.go:443-448`): each
+    // imported table gets a plain-name temp view over its output so the
+    // view's defining SELECT resolves, then the view DDL is replayed.
+    val views = discoverViews(spark, cfg)
+    if (views.nonEmpty) {
+      tables.foreach { d =>
+        spark.read.parquet(s"${cfg.targetDir}/${d.db}.${d.table}")
+          .createOrReplaceTempView(d.table)
+      }
+      views.foreach { case (_, name, path) =>
+        val ddl = CharsetReader.readSchemaFile(
+          spark.sparkContext.hadoopConfiguration, path, cfg.charset)
+        viewSelect(ddl).foreach { sel =>
+          spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$name` AS $sel")
+        }
+      }
+    }
+    reports
   }
 
-  private def restoreTable(spark: SparkSession, cfg: Config, d: Discovered): TableReport = {
+  /** Extract the defining SELECT from `CREATE … VIEW … AS SELECT …`
+    * (MySQL dumps prepend ALGORITHM/DEFINER/SECURITY clauses).
+    */
+  private[pipeline] def viewSelect(ddl: String): Option[String] =
+    "(?is)\\bAS\\b\\s*(SELECT.*)".r.findFirstMatchIn(ddl)
+      .map(_.group(1).trim.stripSuffix(";").trim)
+
+  private def recordState(state: JobState, key: String, d: Discovered,
+      report: TableReport, post: KvChecksum): Unit = {
+    val status = if (report.checksumOk) "verified" else "failed"
+    state.put(JobState.Record(key, status, post.totalKvs, post.checksum,
+      post.totalBytes, d.dataFiles.map(_._1)))
+  }
+
+  /** Restore `files` into the table's output. With `prior` set this is
+    * an incremental append: the batch's observed checksum XOR-combines
+    * with the prior triple and the read-back of the WHOLE output must
+    * match the combination.
+    */
+  private def restoreFiles(spark: SparkSession, cfg: Config, d: Discovered,
+      files: Seq[(String, FileKind.Value)],
+      prior: Option[KvChecksum]): (TableReport, KvChecksum) = {
     val schema: Option[TableSchema] = d.schemaFile.map { p =>
       MysqlDdl.parse(CharsetReader.readSchemaFile(
-        p.stripPrefix("file:"), cfg.charset))
+        spark.sparkContext.hadoopConfiguration, p, cfg.charset))
     }
-    val shards: Seq[DataFrame] = d.dataFiles.map { case (path, kind) =>
+    val shards: Seq[DataFrame] = files.map { case (path, kind) =>
       kind match {
         case FileKind.Csv =>
           val names = schema.map(_.colNames).getOrElse(Seq.empty)
@@ -140,11 +207,18 @@ object Ingest {
     // expensive; at 100 TB a separate pre-pass doubles import cost).
     // Attached above the range shuffle: see SortedParquetSink.writeObserved.
     val obs = org.apache.spark.sql.Observation()
-    SortedParquetSink.writeObserved(typed, out, sortCols, obs, Checksum.checksumCol)
+    SortedParquetSink.writeObserved(typed, out, sortCols, obs, Checksum.checksumCol,
+      mode = if (prior.isDefined) "append" else "overwrite")
     val pre = Checksum.fromMetric(obs.get("kv_checksum"))
+    val expected = prior.map(_.add(pre)).getOrElse(pre)
     val post = collectChecksum(spark.read.parquet(out))
-    TableReport(d.db, d.table, post.totalKvs, post.checksum,
-      checksumOk = Checksum.matches(pre, post), skipped = false)
+    val ok = Checksum.matches(expected, post)
+    // A7: collect catalog statistics once the table verified
+    val statsRows =
+      if (ok && cfg.analyze) Analyze.analyze(spark, s"${d.db}.${d.table}", out)
+      else None
+    (TableReport(d.db, d.table, post.totalKvs, post.checksum,
+      checksumOk = ok, skipped = false, statsRows = statsRows), post)
   }
 
   private def collectChecksum(df: DataFrame): KvChecksum = {

@@ -3,11 +3,16 @@ package graft.pipeline
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Minimal resumable job state (the reference's checkpoint surface,
-  * `lightning/checkpoints/checkpoints.go` — per-table status machine).
+  * `lightning/checkpoints/checkpoints.go` — per-table status machine
+  * with per-chunk progress, `checkpoints.go:231-274`).
   * One JSON line per table-state transition, append-only; the latest
   * line per key wins, so a crashed run resumes by replaying the file.
-  * Driver-side (state is O(#tables), not O(data)); a cluster
-  * deployment would point `dir` at a shared filesystem.
+  * Each record carries the verified checksum triple AND the set of
+  * source files it covers, which is what makes file-level incremental
+  * resume possible: a re-run imports only data files not in the
+  * verified set (see `Ingest.run`). Driver-side (state is O(#tables +
+  * #files), not O(data)); a cluster deployment would point `dir` at a
+  * shared filesystem.
   */
 class JobState(dir: Option[String]) {
 
@@ -42,16 +47,30 @@ class JobState(dir: Option[String]) {
 }
 
 object JobState {
-  case class Record(key: String, status: String, nRows: Long, checksum: Long)
+  /** `files` must not contain `"` or `,` (enforced nowhere — dump file
+    * paths never do; the reference's checkpoint DB has the same
+    * plain-path assumption).
+    */
+  case class Record(key: String, status: String, nRows: Long, checksum: Long,
+      nBytes: Long = 0L, files: Seq[String] = Nil)
 
-  private[pipeline] def render(r: Record): String =
-    s"""{"key":"${r.key}","status":"${r.status}","nRows":${r.nRows},"checksum":${r.checksum}}"""
+  private[pipeline] def render(r: Record): String = {
+    val fs = r.files.map(f => "\"" + f + "\"").mkString(",")
+    s"""{"key":"${r.key}","status":"${r.status}","nRows":${r.nRows},""" +
+      s""""checksum":${r.checksum},"nBytes":${r.nBytes},"files":[$fs]}"""
+  }
 
   private val Re =
-    """\{"key":"([^"]*)","status":"([^"]*)","nRows":(-?\d+),"checksum":(-?\d+)\}""".r
+    ("""\{"key":"([^"]*)","status":"([^"]*)","nRows":(-?\d+),"checksum":(-?\d+)""" +
+      """(?:,"nBytes":(-?\d+))?(?:,"files":\[([^\]]*)\])?\}""").r
 
   private[pipeline] def parse(line: String): Option[Record] = line.trim match {
-    case Re(k, s, n, c) => Some(Record(k, s, n.toLong, c.toLong))
+    case Re(k, s, n, c, b, fs) =>
+      val files = Option(fs).filter(_.nonEmpty)
+        .map(_.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\"")))
+        .getOrElse(Nil)
+      Some(Record(k, s, n.toLong, c.toLong,
+        Option(b).map(_.toLong).getOrElse(0L), files))
     case _ => None
   }
 }

@@ -23,14 +23,15 @@ object SortedParquetSink {
     *   as totalBytes / 96 MiB like the reference's splitter. 0 = let
     *   Spark/AQE choose.
     */
-  def write(df: DataFrame, path: String, sortCols: Seq[String], numRanges: Int = 0): Unit = {
+  def write(df: DataFrame, path: String, sortCols: Seq[String], numRanges: Int = 0,
+      mode: String = "overwrite"): Unit = {
     val keys = sortCols.map(col)
     val ranged =
       if (numRanges > 0) df.repartitionByRange(numRanges, keys: _*)
       else df.repartitionByRange(keys: _*)
     ranged
       .sortWithinPartitions(keys: _*)
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
   }
 
   /** [[write]] with an observed metric riding the write pass, so the
@@ -45,7 +46,7 @@ object SortedParquetSink {
     */
   def writeObserved(df: DataFrame, path: String, sortCols: Seq[String],
       obs: org.apache.spark.sql.Observation, metric: DataFrame => Column,
-      numRanges: Int = 0): Unit = {
+      numRanges: Int = 0, mode: String = "overwrite"): Unit = {
     val keys = sortCols.map(col)
     val ranged =
       if (numRanges > 0) df.repartitionByRange(numRanges, keys: _*)
@@ -53,7 +54,7 @@ object SortedParquetSink {
     ranged
       .observe(obs, metric(ranged))
       .sortWithinPartitions(keys: _*)
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
   }
 
   /** Write with a dedup policy applied on the key, mirroring the tidb

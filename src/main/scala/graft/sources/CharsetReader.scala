@@ -30,12 +30,35 @@ object CharsetReader {
 
   /** Read + decode a schema file, stripping SQL comments and joining
     * statements (the reference strips comments the same way before
-    * executing DDL).
+    * executing DDL). Local-filesystem convenience overload.
     */
-  def readSchemaFile(path: String, charset: String = "auto"): String = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    decode(bytes, charset)
-      .replaceAll("(?s)/\\*.*?\\*/", " ")
-      .replaceAll("(?m)^\\s*--.*$", " ")
+  def readSchemaFile(path: String, charset: String = "auto"): String =
+    clean(decode(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), charset))
+
+  /** Hadoop-FS variant: reads through `FileSystem.open`, so schema
+    * files resolve on whatever store discovery listed them from
+    * (local, hdfs://, s3a:// — the same API `Ingest.discover` walks).
+    */
+  def readSchemaFile(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String,
+      charset: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    clean(decode(bytes, charset))
   }
+
+  private def clean(s: String): String =
+    s.replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("(?m)^\\s*--.*$", " ")
 }

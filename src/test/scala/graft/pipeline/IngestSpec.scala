@@ -40,7 +40,41 @@ class IngestSpec extends SparkSpec {
   }
 
   test("job state round-trips records") {
-    val r = JobState.Record("db.t", "verified", 42L, -12345L)
+    val r = JobState.Record("db.t", "verified", 42L, -12345L, 9000L,
+      Seq("/x/d.t.0001.csv", "/x/d.t.0002.csv"))
     assert(JobState.parse(JobState.render(r)) === Some(r))
+    // legacy record without nBytes/files still parses
+    assert(JobState.parse(
+      """{"key":"db.t","status":"verified","nRows":42,"checksum":-1}""")
+      === Some(JobState.Record("db.t", "verified", 42L, -1L)))
+  }
+
+  test("a new shard file after a verified run imports incrementally") {
+    val src = mkFixture()
+    val out = Files.createTempDirectory("graft_ingest_out3").toString
+    val state = Files.createTempDirectory("graft_ingest_state3").toString
+    val cfg = Ingest.Config(src, out, stateDir = Some(state))
+    val first = Ingest.run(spark, cfg)
+    assert(first.head.nRows === 3 && first.head.checksumOk)
+    // a new shard lands in the source dir; re-run picks up ONLY it
+    Files.writeString(Paths.get(src, "d.t.0003.csv"), "4,\"d\"\n5,\"e\"\n")
+    val second = Ingest.run(spark, cfg)
+    val r2 = second.head
+    assert(!r2.skipped && r2.checksumOk && r2.nRows === 5)
+    val back = spark.read.parquet(s"$out/d.t").collect()
+      .map(x => (x.getInt(0), if (x.isNullAt(1)) null else x.getString(1))).sortBy(_._1)
+    assert(back.toSeq === Seq((1, "a"), (2, "b"), (3, null), (4, "d"), (5, "e")))
+    // third run: nothing new → skip
+    val third = Ingest.run(spark, cfg)
+    assert(third.head.skipped && third.head.nRows === 5)
+  }
+
+  test("view over an imported table restores and answers queries") {
+    val src = mkFixture()
+    Files.writeString(Paths.get(src, "d.v1-schema-view.sql"),
+      "CREATE ALGORITHM=UNDEFINED VIEW `v1` AS SELECT count(*) AS n FROM t;\n")
+    val out = Files.createTempDirectory("graft_ingest_out4").toString
+    Ingest.run(spark, Ingest.Config(src, out))
+    assert(spark.table("v1").collect()(0).getLong(0) === 3L)
   }
 }
