@@ -94,9 +94,12 @@ object DedupQueries {
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val shAll = shingleDf(spark, sfDir).cache()
-    val rare = shAll.groupBy("h").agg(count(lit(1)).as("df"))
-      .where(col("df") <= DfCap).select("h")
-    val sh = shAll.join(rare, "h").cache()
+    // the HOT set (df > cap) is tiny by construction — broadcast it and
+    // anti-join, so the cap costs one map-side-combined groupBy plus a
+    // broadcast, never a second full shuffle of the shingle set
+    val hot = shAll.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > DfCap).select("h")
+    val sh = shAll.join(broadcast(hot), Seq("h"), "left_anti").cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), "h")
       .where(col("a.doc_id") < col("b.doc_id"))
