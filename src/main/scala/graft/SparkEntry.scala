@@ -39,6 +39,7 @@ object SparkEntry {
     "q_checksum_roundtrip" -> IngestQueries.checksumRoundtrip,
     "q_dedup_policy" -> IngestQueries.dedupPolicy,
     "q_analyze" -> IngestQueries.analyzeStats,
+    "q_compact" -> IngestQueries.compactOutput,
     "q_text_stats" -> TextQueries.textStats,
     "q_quality_score" -> TextQueries.qualityScore,
     "q_langid" -> TextQueries.langid,
@@ -84,6 +85,7 @@ object SparkEntry {
     "q_checksum_roundtrip" -> IngestQueries.checksumRoundtripSql,
     "q_dedup_policy" -> IngestQueries.dedupPolicySql,
     "q_analyze" -> IngestQueries.analyzeStatsSql,
+    "q_compact" -> IngestQueries.compactOutputSql,
     "q_text_stats" -> TextQueries.textStatsSql,
     "q_quality_score" -> TextQueries.qualityScoreSql,
     "q_langid" -> TextQueries.langidSql,

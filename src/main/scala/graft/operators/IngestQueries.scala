@@ -403,6 +403,28 @@ object IngestQueries {
   def checksumRoundtripSql: String =
     "SELECT count(*) AS total_kvs, TRUE AS is_match FROM orders"
 
+  // ------------------------------------------------------------ D6
+  /** Compaction (D6): a fragmented import (16 range files) rewrites to
+    * 2 larger files; content must be byte-for-byte equivalent
+    * (count/sum probes) and the file count must actually shrink.
+    */
+  def compactOutput(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = fixDir(sfDir, "supplier_compact")
+    SortedParquetSink.write(table(spark, sfDir, "supplier"), out,
+      Seq("s_suppkey"), numRanges = 16)
+    val (before, after) = graft.pipeline.Compaction.compact(spark, out, 2)
+    spark.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"), sum(quant("s_acctbal")).as("sum_bal"))
+      .select(col("n_rows"), col("sum_bal"),
+        lit(before > after && after <= 2).as("compacted"))
+  }
+
+  def compactOutputSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(s_acctbal*10000) AS BIGINT)) AS BIGINT) AS sum_bal,
+      |  count(*) > 0 AS compacted
+      |FROM supplier""".stripMargin
+
   // ------------------------------------------------------------ A7
   /** ANALYZE (A7): bulk-write `part`, register it in the catalog,
     * `ANALYZE TABLE … COMPUTE STATISTICS`, and report the row count the

@@ -109,12 +109,14 @@ object SimilarityQueries {
 
   // ------------------------------------------- embedding-cosine dedup
   /** Near-dup pairs by embedding cosine ≥ 0.95, blocked by
-    * (label, LSH bucket): candidate pairs must share the label block
-    * AND all 6 sign-projection bits before paying the exact dot
-    * product. Blocking cuts the quadratic pair space by ~64× and is
-    * the only viable shape at corpus scale (an unblocked all-pairs
-    * join over 10⁹ vectors cannot exist); exact duplicates always
-    * share a bucket, so recall on true dups is 1.0.
+    * (label, LSH bucket) with MULTI-PROBE radius 1: one side explodes
+    * into its own bucket plus the 6 one-bit flips, so candidate pairs
+    * may differ in up to one sign-projection bit — a near-dup that
+    * drifted across a single hyperplane is still recalled (the
+    * single-probe version missed exactly those). Still an equi-join on
+    * (label, probe): the 7× candidate fanout is linear, never the
+    * quadratic all-pairs join, and exact duplicates always share a
+    * bucket so recall on true dups stays 1.0.
     *
     * The corpus has no natural near-dups (max same-label cosine ≈
     * 0.47), so the query plants exact copies under shifted IDs — the
@@ -132,8 +134,14 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), col("embedding"),
         quantDot(col("embedding"), col("embedding")).as("nrm"),
         bucketOf(col("embedding")).as("bucket"))
-    val pairs = e.as("a").join(e.as("b"),
-      col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+    // probe set = own bucket + one-bit flips (distinct values, so each
+    // candidate pair is produced exactly once)
+    val probeCols = col("bucket") +:
+      (0 until LshPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    val probes = e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+      explode(array(probeCols: _*)).as("probe"))
+    val pairs = probes.as("a").join(e.as("b"),
+      col("a.label") === col("b.label") && col("a.probe") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
     pairs
       .select(
@@ -168,7 +176,8 @@ object SimilarityQueries {
        |      p -> $QDot)) AS BIGINT) AS DOUBLE)
        |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
        |  FROM e a JOIN e b
-       |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |    ON a.label = b.label AND bit_count(xor(a.bucket, b.bucket)) <= 1
+       |      AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cosine FROM scored
        |WHERE cosine >= 0.95 ORDER BY vec_a, vec_b""".stripMargin
 }

@@ -39,14 +39,8 @@ object Ctl {
     case "compact" :: targetDir :: table :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(1)
       val spark = graft.GraftSession.build()
-      val path = s"$targetDir/$table"
-      val tmp = s"$path.compacting"
-      spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
-      val target = Paths.get(path)
-      Files.walk(target).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-      Files.move(Paths.get(tmp), target)
-      println(s"compacted $table to $n files")
+      val (before, after) = Compaction.compact(spark, s"$targetDir/$table", n)
+      println(s"compacted $table: $before -> $after files")
       spark.stop()
 
     case _ =>
