@@ -66,10 +66,11 @@ object DumpSource {
     val out = scala.collection.mutable.ArrayBuffer[Insert]()
     val s = text
     var i = 0
-    val upper = text.toUpperCase
+    // case-insensitive scans via regionMatches — no uppercase copy of
+    // the (up to 256 MiB) file text in task memory
     while (i < s.length) {
-      val ins = upper.indexOf("INSERT", i)
-      val rep = upper.indexOf("REPLACE", i)
+      val ins = indexOfIgnoreCase(s, "INSERT", i)
+      val rep = indexOfIgnoreCase(s, "REPLACE", i)
       val start = (ins, rep) match {
         case (-1, -1) => -1
         case (-1, r) => r
@@ -78,7 +79,7 @@ object DumpSource {
       }
       if (start < 0) return out.toSeq
       // must be followed (possibly after IGNORE) by INTO
-      val into = upper.indexOf("INTO", start)
+      val into = indexOfIgnoreCase(s, "INTO", start)
       if (into < 0) return out.toSeq
       var p = skipWs(s, into + 4)
       val (table, p1) = readIdent(s, p)
@@ -91,7 +92,7 @@ object DumpSource {
           .map(c => graft.schema.MysqlDdl.unquoteIdent(c.trim))
         p = skipWs(s, close + 1)
       }
-      val values = upper.indexOf("VALUES", p)
+      val values = indexOfIgnoreCase(s, "VALUES", p)
       if (values < 0) { i = start + 6; }
       else {
         p = skipWs(s, values + 6)
@@ -109,6 +110,16 @@ object DumpSource {
       }
     }
     out.toSeq
+  }
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    var i = math.max(0, from)
+    val last = s.length - needle.length
+    while (i <= last) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
   }
 
   private def skipWs(s: String, from: Int): Int = {

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class ServerSpec extends SparkSpec {
+
+  private def mkSource(): String = {
+    val root = Files.createTempDirectory("graft_server_src").toString
+    Files.writeString(Paths.get(root, "d.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, v varchar(10), PRIMARY KEY (id));")
+    Files.writeString(Paths.get(root, "d.t.0001.csv"), "1,\"a\"\n2,\"b\"\n")
+    root
+  }
+
+  test("drainOnce runs queued tasks in order and files results") {
+    val src = mkSource()
+    val out1 = Files.createTempDirectory("graft_server_out1").toString
+    val out2 = Files.createTempDirectory("graft_server_out2").toString
+    val spool = Files.createTempDirectory("graft_server_spool")
+    Files.createDirectories(spool.resolve("queue"))
+    Files.writeString(spool.resolve("queue/002-second.json"),
+      s"""{"sourceDir":"$src","targetDir":"$out2"}""")
+    Files.writeString(spool.resolve("queue/001-first.json"),
+      s"""{"sourceDir":"$src","targetDir":"$out1"}""")
+
+    val results = Server.drainOnce(spark, spool.toString)
+    assert(results.map(_.task) === Seq("001-first.json", "002-second.json"))
+    assert(results.forall(r => r.ok && r.tables === 1))
+    assert(spark.read.parquet(s"$out1/d.t").count() === 2)
+    assert(spark.read.parquet(s"$out2/d.t").count() === 2)
+    assert(!Files.list(spool.resolve("queue")).iterator().hasNext)
+    assert(Files.exists(spool.resolve("done/001-first.json.result")))
+  }
+
+  test("a broken task lands in failed/ and does not block the queue") {
+    val src = mkSource()
+    val out = Files.createTempDirectory("graft_server_out3").toString
+    val spool = Files.createTempDirectory("graft_server_spool2")
+    Files.createDirectories(spool.resolve("queue"))
+    Files.writeString(spool.resolve("queue/001-bad.json"),
+      """{"sourceDir":"/nonexistent/nowhere"}""") // missing targetDir
+    Files.writeString(spool.resolve("queue/002-good.json"),
+      s"""{"sourceDir":"$src","targetDir":"$out"}""")
+    val results = Server.drainOnce(spark, spool.toString)
+    assert(results.map(_.ok) === Seq(false, true))
+    assert(Files.exists(spool.resolve("failed/001-bad.json")))
+    assert(Files.exists(spool.resolve("done/002-good.json")))
+    assert(spark.read.parquet(s"$out/d.t").count() === 2)
+  }
+
+  test("task JSON parses filters and stateDir") {
+    val cfg = Server.parseTask(
+      """{"sourceDir":"/s","targetDir":"/t","filters":"a.*, !a.junk","stateDir":"/st"}""")
+    assert(cfg.sourceDir === "/s" && cfg.targetDir === "/t")
+    assert(cfg.filters === Seq("a.*", "!a.junk"))
+    assert(cfg.stateDir === Some("/st"))
+  }
+}
