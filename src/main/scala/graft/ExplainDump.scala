@@ -10,7 +10,7 @@ object ExplainDump {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(3500))
       catch { case e: Throwable => println(s"ERR ${e.getMessage}") }
     }
-    Seq("q_agg_pricing", "q_table_filter", "q_dedup_ngram", "q_ann_bruteforce").foreach(dump)
+    Seq("q_agg_pricing", "q_dedup_ngram", "q_dedup_minhash", "q_embed_dedup", "q_ann_bruteforce").foreach(dump)
     spark.stop()
   }
 }

@@ -53,6 +53,7 @@ object SparkEntry {
     "q_ann_lsh" -> SimilarityQueries.annLsh,
     "q_embed_dedup" -> SimilarityQueries.embedDedup,
     "q_media_meta" -> Multimodal.mediaMeta,
+    "q_media_frames" -> Multimodal.mediaFrames,
     "q_window_hourly" -> EventQueries.windowHourly,
     "q_sessionize" -> EventQueries.sessionize,
     "q_gencol" -> PipelineQueries.gencol,
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_ann_lsh" -> SimilarityQueries.annLshSql,
     "q_embed_dedup" -> SimilarityQueries.embedDedupSql,
     "q_media_meta" -> Multimodal.mediaMetaSql,
+    "q_media_frames" -> Multimodal.mediaFramesSql,
     "q_window_hourly" -> EventQueries.windowHourlySql,
     "q_sessionize" -> EventQueries.sessionizeSql,
     "q_gencol" -> PipelineQueries.gencolSql,

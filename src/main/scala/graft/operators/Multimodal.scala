@@ -20,7 +20,8 @@ import graft.GraftSession.table
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte])
-  case class MediaMeta(doc_id: Long, n_bytes: Long, head: String, width: Long, height: Long)
+  case class MediaMeta(doc_id: Long, n_bytes: Long, head: String,
+      width: Long, height: Long, resized_w: Long, resized_h: Long)
 
   /** ??? in spirit — the deterministic fake standing in for a real
     * image decode. Keeps the pipeline testable end-to-end.
@@ -48,9 +49,10 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.map { m =>
           val (w, h) = decodeStub(m.payload)
+          val (rw, rh) = resizeStub(w, h)
           val head = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
             .take(8)
-          MediaMeta(m.doc_id, m.payload.length.toLong, head, w, h)
+          MediaMeta(m.doc_id, m.payload.length.toLong, head, w, h, rw, rh)
         }
       }
   }
@@ -61,10 +63,76 @@ object Multimodal {
       .toDF().orderBy("doc_id")
 
   def mediaMetaSql: String =
-    """SELECT doc_id,
+    """WITH d AS (SELECT doc_id, text,
+      |    CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS width,
+      |    CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT) AS height
+      |  FROM documents)
+      |SELECT doc_id,
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-      |  left(text, 8) AS head,
-      |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS width,
-      |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT) AS height
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |  left(text, 8) AS head, width, height,
+      |  greatest(CAST(1 AS BIGINT), width // 2) AS resized_w,
+      |  greatest(CAST(1 AS BIGINT), height // 2) AS resized_h
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- resize + frame-sample
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame: String)
+
+  /** Stub standing in for a real image resize: halves the decoded
+    * dimensions (floor, min 1). The real thing is a per-row pixel
+    * transform with the same (binary in, binary out) shape.
+    */
+  def resizeStub(w: Long, h: Long): (Long, Long) =
+    (math.max(1L, w / 2), math.max(1L, h / 2))
+
+  /** Frame sampling over a video-like payload: each payload splits into
+    * `n` evenly-sized frame slices, one output row per frame — a 1→n
+    * flatMap inside the same partition-batched map the decode uses (no
+    * shuffle; the row explosion happens executor-side). The slice is by
+    * character here because the stub "codec" treats the payload as
+    * text; a real codec slices at keyframe boundaries.
+    */
+  def frameSample(media: DataFrame, n: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { batch =>
+        batch.flatMap { m =>
+          val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+          val len = text.length
+          (0 until n).iterator.map { i =>
+            val from = (len.toLong * i / n).toInt
+            val until = (len.toLong * (i + 1) / n).toInt
+            FrameRow(m.doc_id, i.toLong, text.substring(from, until))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Query: per-frame fingerprints + resized dimensions — the full
+    * multimodal plumbing chain (pack → decode stub → frame-sample →
+    * per-frame feature) with codegen'd hashing on top of the batched
+    * map.
+    */
+  def mediaFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = packBinary(table(spark, sfDir, "documents"))
+    frameSample(media, 4)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        graft.functions.TextFunctions.md5Long(col("frame")).as("frame_fp"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // NB // (floor division): DuckDB's / yields DOUBLE and CAST rounds,
+  // which would disagree with Spark's integer division at frame edges.
+  def mediaFramesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, i AS frame_idx,
+      |    substr(text, (length(text) * i // 4) + 1,
+      |      (length(text) * (i + 1) // 4) - (length(text) * i // 4)) AS frame
+      |  FROM documents, UNNEST(range(4)) AS r(i))
+      |SELECT doc_id, frame_idx,
+      |  CAST(length(frame) AS BIGINT) AS frame_len,
+      |  CAST(('0x' || substr(md5(frame), 1, 14)) AS BIGINT) AS frame_fp
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 }
