@@ -51,6 +51,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> DedupQueries.dedupSimhashPairs,
     "q_ann_bruteforce" -> SimilarityQueries.annBruteForce,
     "q_ann_lsh" -> SimilarityQueries.annLsh,
+    "q_ann_ivf" -> SimilarityQueries.annIvf,
     "q_embed_dedup" -> SimilarityQueries.embedDedup,
     "q_media_meta" -> Multimodal.mediaMeta,
     "q_media_frames" -> Multimodal.mediaFrames,
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> DedupQueries.dedupSimhashPairsSql,
     "q_ann_bruteforce" -> SimilarityQueries.annBruteForceSql,
     "q_ann_lsh" -> SimilarityQueries.annLshSql,
+    "q_ann_ivf" -> SimilarityQueries.annIvfSql,
     "q_embed_dedup" -> SimilarityQueries.embedDedupSql,
     "q_media_meta" -> Multimodal.mediaMetaSql,
     "q_media_frames" -> Multimodal.mediaFramesSql,

@@ -107,6 +107,65 @@ object SimilarityQueries {
        |WHERE b.bucket = qb.bucket
        |ORDER BY s.score DESC, s.vec_id LIMIT 10""".stripMargin
 
+  // ----------------------------------------------------------- IVF ANN
+  private val IvfCells = 16
+  private val IvfProbes = 2
+
+  /** IVF-Flat ANN: a 16-cell coarse quantizer (centroids = the
+    * embeddings of vec_id 1..16 — deterministic stand-ins for a k-means
+    * training job) assigns every vector to its max-dot cell via a
+    * narrow expression; the query probes only its top-[[IvfProbes]]
+    * cells. On a cluster the table is written partitioned by cell, so
+    * a probe reads 2/16ths of the files — the classic IVF pruning —
+    * while the in-cell scan stays the exact quantized dot product.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents: Array[(Long, Seq[Float])] = table(spark, sfDir, "embeddings")
+      .where(col("vec_id").between(1, IvfCells))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0) - 1, r.getSeq[Float](1)))
+      .sortBy(_._1)
+    def cellOf(emb: Column): Column =
+      array_min(array(cents.map { case (cid, c) =>
+        struct((-quantDot(emb, typedLit(c))).as("nd"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    val q = queryVec(spark, sfDir)
+    // driver-side twin for the query's probe cells (same integer math)
+    val qQuant = q.map(x => math.floor(x * 1000000d).toLong)
+    val qCells = cents.map { case (cid, c) =>
+      val d = c.indices.map(j => qQuant(j) * math.floor(c(j) * 1000000d).toLong).sum
+      (cid, d)
+    }.sortBy { case (cid, d) => (-d, cid) }.take(IvfProbes).map(_._1)
+    table(spark, sfDir, "embeddings")
+      .withColumn("cell", cellOf(col("embedding")))
+      .where(col("cell").isin(qCells: _*))
+      .select(col("vec_id"), quantDot(col("embedding"), typedLit(q)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  def annIvfSql: String =
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |cent AS (SELECT vec_id - 1 AS cid, embedding AS c
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND $IvfCells),
+       |dots AS (SELECT e.vec_id, cent.cid,
+       |    CAST(list_sum(list_transform(list_zip(e.embedding, cent.c),
+       |      p -> $QDot)) AS BIGINT) AS d
+       |  FROM embeddings e, cent),
+       |cells AS (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM dots),
+       |vc AS (SELECT vec_id, cid FROM cells WHERE rn = 1),
+       |qc AS (SELECT cid FROM cells WHERE vec_id = 0 AND rn <= $IvfProbes),
+       |scored AS (SELECT e.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+       |      p -> $QDot)) AS BIGINT) AS score
+       |  FROM embeddings e, q)
+       |SELECT s.vec_id, s.score
+       |FROM scored s JOIN vc ON vc.vec_id = s.vec_id
+       |WHERE vc.cid IN (SELECT cid FROM qc)
+       |ORDER BY s.score DESC, s.vec_id LIMIT 10""".stripMargin
+
   // ------------------------------------------- embedding-cosine dedup
   /** Near-dup pairs by embedding cosine ≥ 0.95, blocked by
     * (label, LSH bucket) with MULTI-PROBE radius 1: one side explodes
