@@ -35,7 +35,8 @@ object Ingest {
       csvDialect: CsvDialect = CsvDialect(),
       charset: String = "auto",
       stateDir: Option[String] = None,
-      analyze: Boolean = true)
+      analyze: Boolean = true,
+      strictMode: Boolean = false)
 
   case class TableReport(
       db: String,
@@ -196,7 +197,8 @@ object Ingest {
     }
     val merged = shards.reduce(_.unionByName(_))
     val typed = schema match {
-      case Some(ts) => GeneratedColumns(RowTransform.applySchema(merged, ts), ts)
+      case Some(ts) =>
+        GeneratedColumns(RowTransform.applySchema(merged, ts, cfg.strictMode), ts)
       case None => merged
     }
     val sortCols = schema.map(_.primaryKey).filter(_.nonEmpty)

@@ -17,7 +17,8 @@ case class CsvDialect(
     notNull: Boolean = false,
     nullValue: String = "\\N",
     backslashEscape: Boolean = true,
-    trimLastSep: Boolean = false)
+    trimLastSep: Boolean = false,
+    encoding: String = "UTF-8")
 
 /** CSV scan, MySQL `LOAD DATA` semantics (SURVEY S6).
   *
@@ -57,9 +58,18 @@ object MySqlCsv {
       paths: Seq[String],
       colNames: Seq[String],
       dialect: CsvDialect): DataFrame = {
-    if (dialect.separator.length == 1) {
+    // The tokenizer path also serves two dialect corners the Spark
+    // reader cannot: trim-last-sep (MyDumper emits a trailing separator
+    // per line, reference `csv_parser.go` `trim-last-sep`) needs
+    // per-line field surgery, and Spark 4's CSV reader only accepts a
+    // short charset list (GB18030 etc. decode via JVM charsets there).
+    val sparkReaderCharsets = Set(
+      "ISO-8859-1", "US-ASCII", "UTF-16", "UTF-16BE", "UTF-16LE", "UTF-32", "UTF-8")
+    if (dialect.separator.length == 1 && !dialect.trimLastSep &&
+        sparkReaderCharsets.contains(dialect.encoding.toUpperCase(java.util.Locale.ROOT))) {
       var r = spark.read
         .option("sep", dialect.separator)
+        .option("encoding", dialect.encoding)
         .option("quote", if (dialect.delimiter.isEmpty) "\u0000" else dialect.delimiter)
         .option("header", dialect.header.toString)
         .option("nullValue", if (dialect.notNull) "\u0000NONE" else dialect.nullValue)
@@ -87,18 +97,27 @@ object MySqlCsv {
       val esc = dialect.backslashEscape
       import org.apache.hadoop.io.{LongWritable, Text}
       import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+      val encoding = dialect.encoding
       val withOffset = spark.sparkContext.newAPIHadoopFile(
           paths.mkString(","), classOf[TextInputFormat],
           classOf[LongWritable], classOf[Text],
           spark.sparkContext.hadoopConfiguration)
-        .map { case (off, line) => (off.get, line.toString) } // copy: Hadoop reuses Writables
+        // copy out of the reused Writable, decoding the raw bytes with
+        // the dialect charset (Text.toString would force UTF-8)
+        .map { case (off, line) =>
+          (off.get, new String(line.getBytes, 0, line.getLength, encoding))
+        }
       val names: Seq[String] =
         if (dialect.header) {
           val h = withOffset.filter(_._1 == 0L).map(_._2).take(1).headOption
             .getOrElse(throw new IllegalArgumentException(
               s"header=true but no header line found in ${paths.mkString(",")}"))
-          splitLine(h, sep, quote, esc)
-            .map(f => stripQuotes(f, quote, esc).trim.toLowerCase).toSeq
+          val split = splitLine(h, sep, quote, esc)
+          val cells =
+            if (dialect.trimLastSep && split.length > 1 && split.last.isEmpty)
+              split.dropRight(1)
+            else split
+          cells.map(f => stripQuotes(f, quote, esc).trim.toLowerCase).toSeq
         } else colNames
       val n = names.size
       val body =
@@ -106,10 +125,14 @@ object MySqlCsv {
         else withOffset.map(_._2)
       import org.apache.spark.sql.Row
       val outSchema = StructType(names.map(StructField(_, StringType, nullable = true)))
+      val trimLast = dialect.trimLastSep
       val rows = body
         .filter(_.nonEmpty)
         .map { line =>
-          val fields = splitLine(line, sep, quote, esc)
+          val split = splitLine(line, sep, quote, esc)
+          val fields =
+            if (trimLast && split.length > 1 && split.last.isEmpty) split.dropRight(1)
+            else split
           val padded = fields.padTo(n, null).take(n).map { f =>
             if (!notNull && f == nullV) null
             else if (f == null) null

@@ -40,6 +40,19 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup for a live document feed: keep the first
+    * occurrence per content fingerprint, with state bounded by the
+    * watermark horizon (`dropDuplicatesWithinWatermark` — an unbounded
+    * corpus would otherwise accumulate every fingerprint forever). The
+    * md5 fingerprint matches the batch `dedupExact` operator, so the
+    * live path and the backfill path agree on what "duplicate" means.
+    */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Per-user sessionization with a 30-minute inactivity gap, held as
     * keyed state with an event-time timeout (watermark-driven: no
     * wall-clock batch churn, state expires as event time advances —

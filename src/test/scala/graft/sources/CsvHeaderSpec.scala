@@ -45,6 +45,35 @@ class CsvHeaderSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, "x", 7), (2L, "y", 7)))
   }
 
+  test("trimLastSep drops the trailing separator, even with single-char sep") {
+    val dir = writeFiles(Seq(Seq("1,a,", "2,,", "3,c,")))
+    val df = MySqlCsv.readRaw(spark, Seq(dir), Seq("k", "v"),
+      CsvDialect(trimLastSep = true))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    // middle row: "2,," trims ONE trailing sep; the remaining empty
+    // field stays an empty string, not a swallowed column
+    assert(rows.toSeq === Seq(("1", "a"), ("2", ""), ("3", "c")))
+  }
+
+  test("GB18030-encoded data decodes through the dialect charset") {
+    val dir = Files.createTempDirectory("graft-csv-gbk")
+    val line = "1,中文\n2,测试\n"
+    Files.write(dir.resolve("part-0000.csv"), line.getBytes("GB18030"))
+    // single-char Spark path
+    val a = MySqlCsv.readRaw(spark, Seq(dir.toString), Seq("k", "v"),
+      CsvDialect(encoding = "GB18030"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(a.toSeq === Seq(("1", "中文"), ("2", "测试")))
+    // tokenizer path (multi-char sep forced via trimLastSep=false + sep len 2)
+    val line2 = "1||中文\n2||测试\n"
+    val dir2 = Files.createTempDirectory("graft-csv-gbk2")
+    Files.write(dir2.resolve("part-0000.csv"), line2.getBytes("GB18030"))
+    val b = MySqlCsv.readRaw(spark, Seq(dir2.toString), Seq("k", "v"),
+      CsvDialect(separator = "||", encoding = "GB18030"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(b.toSeq === Seq(("1", "中文"), ("2", "测试")))
+  }
+
   test("writeRaw header=true emits a header per output file") {
     import spark.implicits._
     val df = (1 to 20).map(i => (i, s"v$i")).toDF("k", "v").repartition(3)

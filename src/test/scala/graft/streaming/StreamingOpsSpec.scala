@@ -31,6 +31,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("dedupStream keeps first occurrence per fingerprint across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = dedupStream(input.toDF()).writeStream
+      .format("memory").queryName("dds").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Doc(1, ts(0), "alpha beta"), Doc(2, ts(1), "gamma"),
+        Doc(3, ts(2), "alpha beta")) // in-batch dup
+      q.processAllAvailable()
+      input.addData(Doc(4, ts(3), "gamma"), Doc(5, ts(4), "delta")) // cross-batch dup
+      q.processAllAvailable()
+      val kept = spark.table("dds").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept.intersect(Set(1L, 3L)).size === 1) // one copy of "alpha beta"
+      assert(kept.contains(2L) && !kept.contains(4L)) // first "gamma" only
+      assert(kept.contains(5L))
+      assert(kept.size === 3)
+    } finally q.stop()
+  }
+
   test("sessionize splits on the inactivity gap and counts events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
