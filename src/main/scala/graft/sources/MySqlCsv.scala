@@ -80,6 +80,10 @@ object MySqlCsv {
         // names from the header; inferSchema off keeps every column string
         val df = r.option("inferSchema", "false").csv(paths: _*)
         df.toDF(df.columns.map(_.trim.toLowerCase): _*)
+      } else if (colNames.isEmpty) {
+        // no schema, no header (the reference's `no_schema` case):
+        // positional _c0.._cN names, all strings
+        r.option("inferSchema", "false").csv(paths: _*)
       } else {
         val stringSchema = StructType(colNames.map(StructField(_, StringType, nullable = true)))
         r.schema(stringSchema).csv(paths: _*)
@@ -118,7 +122,13 @@ object MySqlCsv {
               split.dropRight(1)
             else split
           cells.map(f => stripQuotes(f, quote, esc).trim.toLowerCase).toSeq
-        } else colNames
+        } else if (colNames.nonEmpty) colNames
+        else {
+          // no schema, no header: width from the first line, _c0.._cN
+          val first = withOffset.map(_._2).take(1).headOption.getOrElse("")
+          val k = splitLine(first, sep, quote, esc).length
+          (0 until k).map(i => s"_c$i")
+        }
       val n = names.size
       val body =
         if (dialect.header) withOffset.filter(_._1 != 0L).map(_._2)

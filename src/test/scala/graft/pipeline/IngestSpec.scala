@@ -69,6 +69,17 @@ class IngestSpec extends SparkSpec {
     assert(third.head.skipped && third.head.nRows === 5)
   }
 
+  test("a data file with no schema file imports with positional columns") {
+    val root = Files.createTempDirectory("graft_noschema").toString
+    Files.writeString(Paths.get(root, "d.ns.0001.csv"), "1,\"a\"\n2,\"b\"\n")
+    val out = Files.createTempDirectory("graft_noschema_out").toString
+    val reports = Ingest.run(spark, Ingest.Config(root, out))
+    assert(reports.head.nRows === 2 && reports.head.checksumOk)
+    val back = spark.read.parquet(s"$out/d.ns")
+    assert(back.columns.toSeq === Seq("_c0", "_c1"))
+    assert(back.count() === 2)
+  }
+
   test("view over an imported table restores and answers queries") {
     val src = mkFixture()
     Files.writeString(Paths.get(src, "d.v1-schema-view.sql"),

@@ -73,6 +73,22 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(t.columns.map(_.name) === Seq("key_mod", "index_col", "unique_id"))
   }
 
+  test("partitioned-table DDL parses; PARTITION BY clause is ignored") {
+    // reference tests/partitioned-table: partitions are a storage
+    // detail of the target, not a schema property of the rows
+    val t = MysqlDdl.parse(
+      """CREATE TABLE p (
+        |  id bigint NOT NULL,
+        |  created date,
+        |  PRIMARY KEY (id)
+        |) PARTITION BY RANGE (YEAR(created)) (
+        |  PARTITION p2020 VALUES LESS THAN (2021),
+        |  PARTITION pmax VALUES LESS THAN MAXVALUE
+        |);""".stripMargin)
+    assert(t.columns.map(_.name) === Seq("id", "created"))
+    assert(t.primaryKey === Seq("id"))
+  }
+
   test("defaults with commas inside enum args survive splitting") {
     val t = MysqlDdl.parse(
       "CREATE TABLE x (e enum('a,b','c') DEFAULT 'a,b', n int DEFAULT 0)")
