@@ -1,8 +1,7 @@
 package graft.verify
 
-import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Table checksum triple, mirroring the reference's verification value
   * (reference `lightning/verification/checksum.go:27-93`): a CRC64
@@ -17,18 +16,9 @@ case class KvChecksum(checksum: Long, totalKvs: Long, totalBytes: Long) {
     KvChecksum(checksum ^ o.checksum, totalKvs + o.totalKvs, totalBytes + o.totalBytes)
 }
 
-/** Aggregator over a canonical per-row byte serialization. */
-object ChecksumAgg extends Aggregator[Array[Byte], KvChecksum, KvChecksum] {
-  override def zero: KvChecksum = KvChecksum(0L, 0L, 0L)
-  override def reduce(b: KvChecksum, a: Array[Byte]): KvChecksum =
-    KvChecksum(b.checksum ^ Crc64.checksum(a), b.totalKvs + 1, b.totalBytes + a.length)
-  override def merge(b1: KvChecksum, b2: KvChecksum): KvChecksum = b1.add(b2)
-  override def finish(r: KvChecksum): KvChecksum = r
-  override def bufferEncoder: Encoder[KvChecksum] = Encoders.product[KvChecksum]
-  override def outputEncoder: Encoder[KvChecksum] = Encoders.product[KvChecksum]
-}
-
 object Checksum {
+
+  import graft.functions.Crc64Expr.crc64
 
   /** Canonical row serialization: JSON of the row struct with fields in
     * lexicographic column order. Deterministic for a given session
@@ -42,11 +32,25 @@ object Checksum {
     encode(to_json(struct(cols.toSeq: _*)), "UTF-8")
   }
 
-  /** The checksum triple as a single aggregate Column over `df`'s rows,
-    * for `df.observe(...)`: the metric rides the write pass, so ingest
-    * computes the pre-write checksum without a second scan (reference
-    * computes checksums inside the one encode pass the same way,
-    * `lightning/restore/restore.go:2382-2480`).
+  /** The checksum triple as one aggregate struct: XOR of per-row
+    * CRC64s ([[graft.functions.Crc64Expr]], codegen'd) + row count +
+    * byte total — all builtin aggregates, so the whole triple
+    * map-side-combines and stays inside whole-stage codegen.
+    * `coalesce(..., 0)` keeps the empty-table value at (0, 0, 0), the
+    * reference's zero checksum.
+    */
+  private def kvStruct(df: DataFrame): Column = {
+    val kv = canonicalBytes(df)
+    struct(
+      coalesce(bit_xor(crc64(kv)), lit(0L)).as("checksum"),
+      count(lit(1)).as("totalKvs"),
+      coalesce(sum(octet_length(kv).cast("long")), lit(0L)).as("totalBytes"))
+  }
+
+  /** [[kvStruct]] aliased for `df.observe(...)`: the metric rides the
+    * write pass, so ingest computes the pre-write checksum without a
+    * second scan (reference computes checksums inside the one encode
+    * pass the same way, `lightning/restore/restore.go:2382-2480`).
     *
     * IMPORTANT: the observation must be attached ABOVE any shuffle
     * boundary (e.g. after `repartitionByRange`). A RangePartitioner
@@ -55,10 +59,8 @@ object Checksum {
     * row's CRC64 XORs twice → checksum cancels to 0). Post-shuffle the
     * plan executes exactly once. See [[graft.sink.SortedParquetSink.writeObserved]].
     */
-  def checksumCol(df: DataFrame): Column = {
-    val f = udaf(ChecksumAgg)
-    f(canonicalBytes(df)).as("kv_checksum")
-  }
+  def checksumCol(df: DataFrame): Column =
+    kvStruct(df).as("kv_checksum")
 
   /** Extract the [[KvChecksum]] from an observed [[checksumCol]] metric. */
   def fromMetric(m: Any): KvChecksum = {
@@ -67,15 +69,12 @@ object Checksum {
   }
 
   /** One-row DataFrame (checksum, total_kvs, total_bytes) for a table. */
-  def tableChecksum(df: DataFrame): DataFrame = {
-    val agg = udaf(ChecksumAgg)
-    df.select(canonicalBytes(df).as("kv"))
-      .agg(agg(col("kv")).as("c"))
+  def tableChecksum(df: DataFrame): DataFrame =
+    df.agg(kvStruct(df).as("c"))
       .select(
         col("c.checksum").as("checksum"),
         col("c.totalKvs").as("total_kvs"),
         col("c.totalBytes").as("total_bytes"))
-  }
 
   /** Compare two checksums, reference `compareChecksum` semantics. */
   def matches(a: KvChecksum, b: KvChecksum): Boolean = a == b
