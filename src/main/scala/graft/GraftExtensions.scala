@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.Crc64Expr
+
+/** SparkSessionExtensions hook: makes graft's custom Catalyst
+  * expressions available to plain SQL. Activate with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * or `.withExtensions(new GraftExtensions)` on the session builder;
+  * after that `SELECT crc64(CAST(x AS BINARY))` works anywhere SQL
+  * does — the registered function is the same codegen'd expression the
+  * DataFrame API uses, not a UDF shim.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** The (identifier, info, builder) triples this extension injects —
+    * also usable directly against a session's FunctionRegistry.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("crc64"),
+      new ExpressionInfo(classOf[Crc64Expr].getName, "crc64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "crc64 takes exactly one argument")
+        Crc64Expr(children.head)
+      }))
+}

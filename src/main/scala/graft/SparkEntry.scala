@@ -22,6 +22,7 @@ object SparkEntry {
     "q_agg_pricing" -> CoreQueries.aggPricing,
     "q_probe_counts" -> CoreQueries.probeCounts,
     "q_checksum_lineitem" -> CoreQueries.checksumLineitem,
+    "q_salted_join" -> CoreQueries.saltedJoin,
     "q_file_route" -> IngestQueries.fileRoute,
     "q_ddl_schema" -> IngestQueries.ddlSchema,
     "q_table_filter" -> IngestQueries.tableFilter,
@@ -70,6 +71,7 @@ object SparkEntry {
     "q_agg_pricing" -> CoreQueries.aggPricingSql,
     "q_probe_counts" -> CoreQueries.probeCountsSql,
     "q_checksum_lineitem" -> CoreQueries.checksumLineitemSql,
+    "q_salted_join" -> CoreQueries.saltedJoinSql,
     "q_file_route" -> IngestQueries.fileRouteSql,
     "q_ddl_schema" -> IngestQueries.ddlSchemaSql,
     "q_table_filter" -> IngestQueries.tableFilterSql,

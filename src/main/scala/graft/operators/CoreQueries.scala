@@ -84,6 +84,31 @@ object CoreQueries {
       |  count(DISTINCT o_custkey) AS n_cust
       |FROM orders""".stripMargin
 
+  /** Skew-spread join: l_returnflag has 3 distinct values over the
+    * whole fact table — the textbook hot-key join. The salted join
+    * spreads each flag over 8 sub-keys (reducers) and must produce
+    * exactly the plain join's rows; the weighted sums prove it.
+    */
+  def saltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem").select(col("l_returnflag"),
+      graft.functions.TextFunctions.quant4(col("l_quantity")).as("q"))
+    val dim = li.select("l_returnflag").distinct()
+      .withColumn("w", ascii(substring(col("l_returnflag"), 1, 1)).cast("long"))
+    graft.transform.Skew.saltedJoin(li, dim, Seq("l_returnflag"), salt = 8)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum(col("q") * col("w")).as("wsum"))
+      .orderBy("l_returnflag")
+  }
+
+  def saltedJoinSql: String =
+    """WITH dim AS (
+      |  SELECT l_returnflag, CAST(ascii(substr(l_returnflag, 1, 1)) AS BIGINT) AS w
+      |  FROM (SELECT DISTINCT l_returnflag FROM lineitem))
+      |SELECT li.l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(li.l_quantity*10000) AS BIGINT) * dim.w) AS BIGINT) AS wsum
+      |FROM lineitem li JOIN dim ON li.l_returnflag = dim.l_returnflag
+      |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin
+
   /** CRC64-XOR table checksum (SURVEY A1/A2) — the flagship custom
     * aggregate. The raw CRC64-ECMA value is inexpressible in DuckDB, so
     * the oracle-checkable shape emits the KV count plus a

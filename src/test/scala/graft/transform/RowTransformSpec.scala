@@ -62,6 +62,25 @@ class RowTransformSpec extends SparkSpec {
     assert(ok(1).isNullAt(1))
   }
 
+  test("saltedJoin equals the plain join on a skewed key") {
+    import spark.implicits._
+    // 90% of rows share one key — the hot-key shape salting exists for
+    val big = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k${i % 7}", i.toLong))
+      .toDF("k", "v")
+    val small = Seq(("hot", 10L), ("k1", 20L), ("k2", 30L), ("k3", 40L),
+      ("k4", 50L), ("k5", 60L), ("k6", 70L), ("k0", 80L)).toDF("k", "w")
+    val plain = big.join(small, "k").select("k", "v", "w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val salted = Skew.saltedJoin(big, small, Seq("k"), salt = 4)
+      .select("k", "v", "w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(salted.toSeq === plain.toSeq)
+    // the hot key actually spreads across salts
+    val salts = big.filter($"k" === "hot")
+      .select(Skew.rowSalt(big, 4)).distinct().count()
+    assert(salts > 1)
+  }
+
   test("permute fills defaults and drops unknown columns") {
     import spark.implicits._
     val schema = graft.schema.MysqlDdl.parse(
