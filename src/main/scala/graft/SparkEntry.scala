@@ -61,6 +61,7 @@ object SparkEntry {
     "q_gencol" -> PipelineQueries.gencol,
     "q_ingest_e2e" -> PipelineQueries.ingestE2e,
     "q_csv_gz" -> PipelineQueries.csvGz,
+    "q_error_summary" -> PipelineQueries.errorSummary,
     "q_view" -> PipelineQueries.viewRestore,
   )
 
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_gencol" -> PipelineQueries.gencolSql,
     "q_ingest_e2e" -> PipelineQueries.ingestE2eSql,
     "q_csv_gz" -> PipelineQueries.csvGzSql,
+    "q_error_summary" -> PipelineQueries.errorSummarySql,
     "q_view" -> PipelineQueries.viewRestoreSql,
   )
 }

@@ -223,6 +223,35 @@ object PipelineQueries {
     """SELECT n_regionkey, count(*) AS n_nations FROM nation
       |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** Error summary (reference `tests/error_summary` + max-error): a
+    * fixture with 3 unparsable bigints in 10 rows; the cast-error
+    * counter rides the write pass as an observed metric and surfaces
+    * per table.
+    */
+  def errorSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Paths.get(fixRoot(sfDir), "errsum_src")
+    if (!Files.exists(root.resolve("_done"))) {
+      deleteRec(root)
+      Files.createDirectories(root)
+      Files.writeString(root.resolve("tpch.badnums-schema.sql"),
+        "CREATE TABLE badnums (id bigint NOT NULL, n bigint, PRIMARY KEY (id));")
+      val lines = (1 to 10)
+        .map(i => s"$i,${if (i % 3 == 0) "x" + i else i * 100}").mkString("\n")
+      Files.writeString(root.resolve("tpch.badnums.0001.csv"), lines + "\n")
+      Files.writeString(root.resolve("_done"), "ok")
+    }
+    val target = s"${fixRoot(sfDir)}/errsum_out"
+    deleteRec(Paths.get(target))
+    val reports = Ingest.run(spark, Ingest.Config(root.toString, target))
+    import spark.implicits._
+    reports.map(r => (r.table, r.nRows, r.badRows))
+      .toDF("table_name", "n_rows", "bad_rows")
+  }
+
+  def errorSummarySql: String =
+    """SELECT 'badnums' AS table_name, CAST(10 AS BIGINT) AS n_rows,
+      |  CAST(3 AS BIGINT) AS bad_rows""".stripMargin
+
   /** The full one-shot import over the fixture dir: shard-merge route,
     * filter, three source formats, checksum-verified sorted writes.
     * Reports (table, rows, checksum_ok) per restored table.

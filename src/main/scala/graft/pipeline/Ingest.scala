@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.discover.{FileKind, FileRouter, RouteResult, TableFilter, TableRoute, TableRouter}
@@ -36,7 +37,8 @@ object Ingest {
       charset: String = "auto",
       stateDir: Option[String] = None,
       analyze: Boolean = true,
-      strictMode: Boolean = false)
+      strictMode: Boolean = false,
+      maxError: Long = Long.MaxValue)
 
   case class TableReport(
       db: String,
@@ -45,7 +47,8 @@ object Ingest {
       checksum: Long,
       checksumOk: Boolean,
       skipped: Boolean,
-      statsRows: Option[Long] = None)
+      statsRows: Option[Long] = None,
+      badRows: Long = 0L)
 
   case class Discovered(
       db: String,
@@ -196,31 +199,40 @@ object Ingest {
       }
     }
     val merged = shards.reduce(_.unionByName(_))
+    // schema application adds a cast-error counter column that rides
+    // the write pass as an observed metric (error summary, reference
+    // `tests/error_summary`) and is dropped before the files land
     val typed = schema match {
       case Some(ts) =>
-        GeneratedColumns(RowTransform.applySchema(merged, ts, cfg.strictMode), ts)
+        GeneratedColumns(RowTransform.applySchemaWithErrors(merged, ts, cfg.strictMode), ts)
       case None => merged
     }
+    val errCol = schema.map(_ => RowTransform.ErrorsCol)
+    val dataCols = typed.columns.toSeq.filterNot(errCol.contains)
     val sortCols = schema.map(_.primaryKey).filter(_.nonEmpty)
-      .getOrElse(typed.columns.take(1).toSeq)
+      .getOrElse(dataCols.take(1))
     val out = s"${cfg.targetDir}/${d.db}.${d.table}"
     // Pre-write checksum rides the write pass as an observed metric —
     // one scan of the source instead of two (the parse/cast plan is
     // expensive; at 100 TB a separate pre-pass doubles import cost).
     // Attached above the range shuffle: see SortedParquetSink.writeObserved.
     val obs = org.apache.spark.sql.Observation()
-    SortedParquetSink.writeObserved(typed, out, sortCols, obs, Checksum.checksumCol,
+    SortedParquetSink.writeObservedMetrics(typed, out, sortCols, obs,
+      _ => Checksum.checksumColOf(dataCols) +:
+        errCol.toSeq.map(e => coalesce(sum(col(e)), lit(0L)).as("bad_rows")),
+      dropCols = errCol.toSeq,
       mode = if (prior.isDefined) "append" else "overwrite")
     val pre = Checksum.fromMetric(obs.get("kv_checksum"))
+    val badRows = errCol.map(_ => obs.get("bad_rows").asInstanceOf[Long]).getOrElse(0L)
     val expected = prior.map(_.add(pre)).getOrElse(pre)
     val post = collectChecksum(spark.read.parquet(out))
-    val ok = Checksum.matches(expected, post)
+    val ok = Checksum.matches(expected, post) && badRows <= cfg.maxError
     // A7: collect catalog statistics once the table verified
     val statsRows =
       if (ok && cfg.analyze) Analyze.analyze(spark, s"${d.db}.${d.table}", out)
       else None
     (TableReport(d.db, d.table, post.totalKvs, post.checksum,
-      checksumOk = ok, skipped = false, statsRows = statsRows), post)
+      checksumOk = ok, skipped = false, statsRows = statsRows, badRows = badRows), post)
   }
 
   private def collectChecksum(df: DataFrame): KvChecksum = {

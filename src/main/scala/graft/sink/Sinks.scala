@@ -46,13 +46,25 @@ object SortedParquetSink {
     */
   def writeObserved(df: DataFrame, path: String, sortCols: Seq[String],
       obs: org.apache.spark.sql.Observation, metric: DataFrame => Column,
-      numRanges: Int = 0, mode: String = "overwrite"): Unit = {
+      numRanges: Int = 0, mode: String = "overwrite"): Unit =
+    writeObservedMetrics(df, path, sortCols, obs, d => Seq(metric(d)),
+      Nil, numRanges, mode)
+
+  /** [[writeObserved]] with several metrics and optional transport-only
+    * columns to drop after observation (e.g. a cast-error counter that
+    * must ride the pass but not land in the output files).
+    */
+  def writeObservedMetrics(df: DataFrame, path: String, sortCols: Seq[String],
+      obs: org.apache.spark.sql.Observation, metrics: DataFrame => Seq[Column],
+      dropCols: Seq[String], numRanges: Int = 0, mode: String = "overwrite"): Unit = {
     val keys = sortCols.map(col)
     val ranged =
       if (numRanges > 0) df.repartitionByRange(numRanges, keys: _*)
       else df.repartitionByRange(keys: _*)
+    val ms = metrics(ranged)
     ranged
-      .observe(obs, metric(ranged))
+      .observe(obs, ms.head, ms.tail: _*)
+      .drop(dropCols: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode(mode).parquet(path)
   }

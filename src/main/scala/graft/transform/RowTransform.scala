@@ -53,7 +53,32 @@ object RowTransform {
     */
   def applySchema(df: DataFrame, schema: TableSchema, strict: Boolean = false): DataFrame = {
     val permuted = permute(df, schema)
-    val cols = schema.columns.map { c =>
+    permuted.select(castColumns(schema, strict): _*)
+  }
+
+  /** Marker column added by [[applySchemaWithErrors]]. */
+  val ErrorsCol = "_graft_cast_errors"
+
+  /** [[applySchema]] plus an [[ErrorsCol]] counting the row's cast
+    * failures (non-null input → null output) — the reference's
+    * error-summary surface (`tests/error_summary`): callers aggregate
+    * it (e.g. as an observed metric riding the write) and compare to a
+    * max-error budget, without a second scan. In strict mode failures
+    * raise before they could be counted, so the column is constant 0.
+    */
+  def applySchemaWithErrors(df: DataFrame, schema: TableSchema,
+      strict: Boolean = false): DataFrame = {
+    val permuted = permute(df, schema)
+    val errs =
+      if (strict) lit(0L)
+      else schema.columns.map { c =>
+        when(col(c.name).isNotNull && castTo(col(c.name), c).isNull, 1L).otherwise(0L)
+      }.reduce(_ + _)
+    permuted.select(castColumns(schema, strict) :+ errs.as(ErrorsCol): _*)
+  }
+
+  private def castColumns(schema: TableSchema, strict: Boolean): Seq[Column] =
+    schema.columns.map { c =>
       val raw = col(c.name)
       val casted = castTo(raw, c)
       val v =
@@ -66,8 +91,6 @@ object RowTransform {
         else casted
       v.as(c.name)
     }
-    permuted.select(cols: _*)
-  }
 
   /** `try_cast`, not `cast`: bad value → NULL regardless of the
     * session's `spark.sql.ansi.enabled` (ON by default in Spark 4, which

@@ -27,9 +27,14 @@ object Checksum {
     * compares local vs remote checksums the same way,
     * `lightning/restore/restore.go:2194-2213`).
     */
-  def canonicalBytes(df: DataFrame): Column = {
-    val cols = df.columns.sorted.map(c => col(c))
-    encode(to_json(struct(cols.toSeq: _*)), "UTF-8")
+  def canonicalBytes(df: DataFrame): Column = canonicalBytesOf(df.columns.toSeq)
+
+  /** [[canonicalBytes]] over an explicit column subset (e.g. excluding
+    * transport-only marker columns).
+    */
+  def canonicalBytesOf(columns: Seq[String]): Column = {
+    val cols = columns.sorted.map(c => col(c))
+    encode(to_json(struct(cols: _*)), "UTF-8")
   }
 
   /** The checksum triple as one aggregate struct: XOR of per-row
@@ -39,8 +44,10 @@ object Checksum {
     * `coalesce(..., 0)` keeps the empty-table value at (0, 0, 0), the
     * reference's zero checksum.
     */
-  private def kvStruct(df: DataFrame): Column = {
-    val kv = canonicalBytes(df)
+  private def kvStruct(df: DataFrame): Column = kvStructOf(df.columns.toSeq)
+
+  private def kvStructOf(columns: Seq[String]): Column = {
+    val kv = canonicalBytesOf(columns)
     struct(
       coalesce(bit_xor(crc64(kv)), lit(0L)).as("checksum"),
       count(lit(1)).as("totalKvs"),
@@ -61,6 +68,10 @@ object Checksum {
     */
   def checksumCol(df: DataFrame): Column =
     kvStruct(df).as("kv_checksum")
+
+  /** [[checksumCol]] over an explicit column subset. */
+  def checksumColOf(columns: Seq[String]): Column =
+    kvStructOf(columns).as("kv_checksum")
 
   /** Extract the [[KvChecksum]] from an observed [[checksumCol]] metric. */
   def fromMetric(m: Any): KvChecksum = {

@@ -69,6 +69,23 @@ class IngestSpec extends SparkSpec {
     assert(third.head.skipped && third.head.nRows === 5)
   }
 
+  test("cast errors are counted per table and gated by maxError") {
+    val root = Files.createTempDirectory("graft_errsum").toString
+    Files.writeString(Paths.get(root, "d.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, n bigint, PRIMARY KEY (id));")
+    Files.writeString(Paths.get(root, "d.t.0001.csv"), "1,10\n2,oops\n3,30\n4,bad\n")
+    val out1 = Files.createTempDirectory("graft_errsum_out1").toString
+    val tolerant = Ingest.run(spark, Ingest.Config(root, out1))
+    assert(tolerant.head.badRows === 2L)
+    assert(tolerant.head.checksumOk) // default maxError tolerates
+    val back = spark.read.parquet(s"$out1/d.t").orderBy("id").collect()
+    assert(back(1).isNullAt(1) && back(3).isNullAt(1)) // bad values nulled
+    // a tight error budget fails the table
+    val out2 = Files.createTempDirectory("graft_errsum_out2").toString
+    val strict = Ingest.run(spark, Ingest.Config(root, out2, maxError = 1))
+    assert(!strict.head.checksumOk && strict.head.badRows === 2L)
+  }
+
   test("a data file with no schema file imports with positional columns") {
     val root = Files.createTempDirectory("graft_noschema").toString
     Files.writeString(Paths.get(root, "d.ns.0001.csv"), "1,\"a\"\n2,\"b\"\n")
