@@ -96,10 +96,20 @@ object RowTransform {
     * session's `spark.sql.ansi.enabled` (ON by default in Spark 4, which
     * would make a plain cast raise). Both SQL modes build on this —
     * non-strict keeps the NULL, strict turns it into a raise_error.
+    *
+    * enum/set columns additionally validate the value against the
+    * declared domain (the reference's `CastValue` does the same): an
+    * out-of-domain value becomes NULL, which non-strict mode keeps
+    * (MySQL inserts '' there — we prefer the honest NULL) and strict
+    * mode turns into an error.
     */
-  private def castTo(c: Column, spec: ColumnSpec): Column = spec.sparkType match {
-    case BinaryType => c.try_cast(BinaryType)
-    case t => c.try_cast(t)
+  private def castTo(c: Column, spec: ColumnSpec): Column = {
+    val base = c.try_cast(spec.sparkType)
+    if (spec.enumValues.isEmpty) base
+    else if (spec.mysqlType.startsWith("set"))
+      when(size(array_except(split(c, ","), typedLit(spec.enumValues))) === 0, base)
+    else
+      when(c.isin(spec.enumValues.map(v => lit(v)): _*), base)
   }
 
   /** T4/T6: deterministic row-ID assignment. The reference gives every

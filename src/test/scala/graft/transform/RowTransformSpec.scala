@@ -62,6 +62,26 @@ class RowTransformSpec extends SparkSpec {
     assert(ok(1).isNullAt(1))
   }
 
+  test("enum and set values validate against their declared domain") {
+    import spark.implicits._
+    val schema = graft.schema.MysqlDdl.parse(
+      "CREATE TABLE t (id int, st enum('YES','NO'), tags set('a','b','c'))")
+    val df = Seq(
+      ("1", "YES", "a,c"),
+      ("2", "MAYBE", "a,x"), // both out of domain
+      ("3", null, null)
+    ).toDF("id", "st", "tags")
+    val out = RowTransform.applySchema(df, schema).orderBy("id").collect()
+    assert(out(0).getString(1) === "YES" && out(0).getString(2) === "a,c")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2)) // nulled, non-strict
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+    // strict mode raises on the out-of-domain value
+    val bad = Seq(("1", "MAYBE", "a")).toDF("id", "st", "tags")
+    intercept[Exception] {
+      RowTransform.applySchema(bad, schema, strict = true).collect()
+    }
+  }
+
   test("saltedJoin equals the plain join on a skewed key") {
     import spark.implicits._
     // 90% of rows share one key — the hot-key shape salting exists for
