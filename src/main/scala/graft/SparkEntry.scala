@@ -59,6 +59,7 @@ object SparkEntry {
     "q_window_hourly" -> EventQueries.windowHourly,
     "q_sessionize" -> EventQueries.sessionize,
     "q_gencol" -> PipelineQueries.gencol,
+    "q_gencol_funcs" -> PipelineQueries.gencolFuncs,
     "q_ingest_e2e" -> PipelineQueries.ingestE2e,
     "q_csv_gz" -> PipelineQueries.csvGz,
     "q_error_summary" -> PipelineQueries.errorSummary,
@@ -109,6 +110,7 @@ object SparkEntry {
     "q_window_hourly" -> EventQueries.windowHourlySql,
     "q_sessionize" -> EventQueries.sessionizeSql,
     "q_gencol" -> PipelineQueries.gencolSql,
+    "q_gencol_funcs" -> PipelineQueries.gencolFuncsSql,
     "q_ingest_e2e" -> PipelineQueries.ingestE2eSql,
     "q_csv_gz" -> PipelineQueries.csvGzSql,
     "q_error_summary" -> PipelineQueries.errorSummarySql,

@@ -60,6 +60,38 @@ object PipelineQueries {
       |  CAST(((p_partkey % 7) + 1) * 2 AS BIGINT) AS chain2
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  private val partFuncsDdl =
+    """CREATE TABLE part_f (
+      |  p_partkey bigint NOT NULL,
+      |  p_name varchar(55),
+      |  pk_sq double AS (pow(p_partkey % 5, 2)) STORED,
+      |  xs varchar(10) AS (repeat('x', p_partkey % 3)) STORED,
+      |  uname varchar(55) AS (upper(p_name)) VIRTUAL,
+      |  prefix varchar(8) AS (substr(p_name, 1, 4)) STORED,
+      |  hexkey varchar(20) AS (hex(p_partkey)) STORED,
+      |  PRIMARY KEY (p_partkey)
+      |);""".stripMargin
+
+  /** Wider generated-column function palette (SURVEY §2.8): pow,
+    * repeat, upper, substr, hex — each evaluated through the MySQL →
+    * Catalyst translation and replayed by the oracle.
+    */
+  def gencolFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = MysqlDdl.parse(partFuncsDdl)
+    val base = table(spark, sfDir, "part").select("p_partkey", "p_name")
+    GeneratedColumns(RowTransform.applySchema(base, schema), schema)
+      .orderBy("p_partkey")
+  }
+
+  def gencolFuncsSql: String =
+    """SELECT p_partkey, p_name,
+      |  pow(p_partkey % 5, 2) AS pk_sq,
+      |  repeat('x', CAST(p_partkey % 3 AS INT)) AS xs,
+      |  upper(p_name) AS uname,
+      |  substr(p_name, 1, 4) AS prefix,
+      |  upper(to_hex(p_partkey)) AS hexkey
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // ------------------------------------------------- §3.1 end-to-end
   private val nationDdl =
     """CREATE TABLE nation (
