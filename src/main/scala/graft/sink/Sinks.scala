@@ -17,19 +17,32 @@ import graft.sources.SqlLiterals
   */
 object SortedParquetSink {
 
+  /** Reference range-size target: 96 MiB per sorted range
+    * (`lightning/config/const.go:25`).
+    */
+  val RangeBytes: Long = 96L * 1024 * 1024
+
+  /** Range count for `df` from the optimizer's size estimate —
+    * ceil(bytes / 96 MiB), the reference's splitter rule. Catalyst's
+    * `sizeInBytes` flows from file sizes through filters/projections,
+    * so this is O(1) driver-side (no extra job).
+    */
+  def rangesFor(df: DataFrame, targetBytes: Long = RangeBytes): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    math.max(1L, ((bytes + targetBytes - 1) / targetBytes).toLong min 100000L).toInt
+  }
+
   /** Range-partitioned, sorted, verified bulk write.
     *
-    * @param numRanges target range count; on a real cluster size this
-    *   as totalBytes / 96 MiB like the reference's splitter. 0 = let
-    *   Spark/AQE choose.
+    * @param numRanges target range count; 0 = size from the plan's
+    *   byte estimate at 96 MiB per range ([[rangesFor]]), the
+    *   reference's splitter rule. AQE may still coalesce further.
     */
   def write(df: DataFrame, path: String, sortCols: Seq[String], numRanges: Int = 0,
       mode: String = "overwrite"): Unit = {
     val keys = sortCols.map(col)
-    val ranged =
-      if (numRanges > 0) df.repartitionByRange(numRanges, keys: _*)
-      else df.repartitionByRange(keys: _*)
-    ranged
+    val n = if (numRanges > 0) numRanges else rangesFor(df)
+    df.repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode(mode).parquet(path)
   }
@@ -58,9 +71,8 @@ object SortedParquetSink {
       obs: org.apache.spark.sql.Observation, metrics: DataFrame => Seq[Column],
       dropCols: Seq[String], numRanges: Int = 0, mode: String = "overwrite"): Unit = {
     val keys = sortCols.map(col)
-    val ranged =
-      if (numRanges > 0) df.repartitionByRange(numRanges, keys: _*)
-      else df.repartitionByRange(keys: _*)
+    val n = if (numRanges > 0) numRanges else rangesFor(df)
+    val ranged = df.repartitionByRange(n, keys: _*)
     val ms = metrics(ranged)
     ranged
       .observe(obs, ms.head, ms.tail: _*)
