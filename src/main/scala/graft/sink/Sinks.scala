@@ -26,10 +26,21 @@ object SortedParquetSink {
     * ceil(bytes / 96 MiB), the reference's splitter rule. Catalyst's
     * `sizeInBytes` flows from file sizes through filters/projections,
     * so this is O(1) driver-side (no extra job).
+    *
+    * Plans with no real estimate (RDD-backed sources report the
+    * defaultSizeInBytes sentinel, effectively infinite) fall back to
+    * the session's shuffle parallelism instead of exploding into a
+    * file-per-96MiB-of-infinity.
     */
   def rangesFor(df: DataFrame, targetBytes: Long = RangeBytes): Int = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    math.max(1L, ((bytes + targetBytes - 1) / targetBytes).toLong min 100000L).toInt
+    val unknown = bytes <= 0 || bytes > (BigInt(1L) << 50) // >1 PiB = sentinel, not a real estimate
+    if (unknown) {
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    } else {
+      val n = (bytes + targetBytes - 1) / targetBytes
+      n.max(1).min(10000).toInt
+    }
   }
 
   /** Range-partitioned, sorted, verified bulk write.
