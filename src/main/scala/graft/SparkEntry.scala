@@ -45,6 +45,7 @@ object SparkEntry {
     "q_quality_score" -> TextQueries.qualityScore,
     "q_langid" -> TextQueries.langid,
     "q_fingerprint" -> TextQueries.fingerprint,
+    "q_redact" -> TextQueries.redact,
     "q_dedup_exact" -> DedupQueries.dedupExact,
     "q_dedup_ngram" -> DedupQueries.dedupNgram,
     "q_dedup_minhash" -> DedupQueries.dedupMinhash,
@@ -96,6 +97,7 @@ object SparkEntry {
     "q_quality_score" -> TextQueries.qualityScoreSql,
     "q_langid" -> TextQueries.langidSql,
     "q_fingerprint" -> TextQueries.fingerprintSql,
+    "q_redact" -> TextQueries.redactSql,
     "q_dedup_exact" -> DedupQueries.dedupExactSql,
     "q_dedup_ngram" -> DedupQueries.dedupNgramSql,
     "q_dedup_minhash" -> DedupQueries.dedupMinhashSql,

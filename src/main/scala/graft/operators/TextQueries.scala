@@ -27,6 +27,14 @@ object TextQueries {
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   // ------------------------------------------------------- token stats
+  /** GPT-2-style pretokenizer shape (simplified): letter runs, digit
+    * runs, single punctuation marks — the "BPE-ish" piece count that
+    * approximates subword-token budgets far better than whitespace
+    * splitting on punctuation-heavy text. Same RE2/Java-compatible
+    * pattern on both engines.
+    */
+  private val BpePieceRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   /** Per-document token statistics (token counting operator). */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = tokens(col("text"))
@@ -35,17 +43,20 @@ object TextQueries {
       size(t).cast("long").as("n_tokens"),
       size(array_distinct(t)).cast("long").as("n_uniq_tokens"),
       array_max(transform(t, x => length(x))).cast("long").as("max_token_len"),
-      length(col("text")).cast("long").as("n_chars_calc"))
+      length(col("text")).cast("long").as("n_chars_calc"),
+      size(regexp_extract_all(col("text"), lit(BpePieceRe), lit(0)))
+        .cast("long").as("n_bpe_pieces"))
       .orderBy("doc_id")
   }
 
   def textStatsSql: String =
-    """SELECT doc_id,
-      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-      |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_uniq_tokens,
-      |  CAST(list_max(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> len(x))) AS BIGINT) AS max_token_len,
-      |  CAST(length(text) AS BIGINT) AS n_chars_calc
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_uniq_tokens,
+       |  CAST(list_max(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> len(x))) AS BIGINT) AS max_token_len,
+       |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |  CAST(len(regexp_extract_all(text, '$BpePieceRe')) AS BIGINT) AS n_bpe_pieces
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------- quality score
   /** Quality scoring: length band + stopword-density + repetition
@@ -119,6 +130,45 @@ object TextQueries {
        |    ELSE 'fr' END AS lang_pred FROM s)
        |SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
   }
+
+  // ------------------------------------------------------- redaction
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction: emails and IPv4 literals masked with typed
+    * placeholders — the scrub pass every pretraining corpus runs. Pure
+    * regexp_replace chain (narrow, codegen'd). The corpus has no PII,
+    * so the query plants a deterministic email + IP per document and
+    * must count and mask exactly those.
+    */
+  def redact(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = table(spark, sfDir, "documents").select(
+      col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com from 10.0."), pmod(col("doc_id"), lit(256)),
+        lit(".7")).as("text"))
+    planted.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long")
+        .as("n_ips"),
+      md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>").cast("binary")).as("fp_redacted"))
+      .orderBy("doc_id")
+  }
+
+  def redactSql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+       |      || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$Ipv4Re', '<IP>', 'g')) AS fp_redacted
+       |FROM p ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------ fingerprint
   /** Document fingerprinting: md5 over the whitespace-normalized,
