@@ -54,6 +54,7 @@ object SparkEntry {
     "q_ann_bruteforce" -> SimilarityQueries.annBruteForce,
     "q_ann_lsh" -> SimilarityQueries.annLsh,
     "q_ann_ivf" -> SimilarityQueries.annIvf,
+    "q_ann_lsh_bucketed" -> SimilarityQueries.annLshBucketed,
     "q_embed_dedup" -> SimilarityQueries.embedDedup,
     "q_media_meta" -> Multimodal.mediaMeta,
     "q_media_frames" -> Multimodal.mediaFrames,
@@ -106,6 +107,7 @@ object SparkEntry {
     "q_ann_bruteforce" -> SimilarityQueries.annBruteForceSql,
     "q_ann_lsh" -> SimilarityQueries.annLshSql,
     "q_ann_ivf" -> SimilarityQueries.annIvfSql,
+    "q_ann_lsh_bucketed" -> SimilarityQueries.annLshBucketedSql,
     "q_embed_dedup" -> SimilarityQueries.embedDedupSql,
     "q_media_meta" -> Multimodal.mediaMetaSql,
     "q_media_frames" -> Multimodal.mediaFramesSql,

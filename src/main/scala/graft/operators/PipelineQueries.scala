@@ -255,12 +255,17 @@ object PipelineQueries {
     """SELECT n_regionkey, count(*) AS n_nations FROM nation
       |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
-  /** Error summary (reference `tests/error_summary` + max-error): a
-    * fixture with 3 unparsable bigints in 10 rows; the cast-error
-    * counter rides the write pass as an observed metric and surfaces
-    * per table.
+  /** Pre-build the on-disk fixtures (MyDumper dir, view/gz dir, error
+    * fixture) so benchmark timings measure the operators, not the
+    * scaffolding that generates their inputs.
     */
-  def errorSummary(spark: SparkSession, sfDir: String): DataFrame = {
+  def warmFixtures(spark: SparkSession, sfDir: String): Unit = {
+    buildFixture(spark, sfDir)
+    buildViewFixture(spark, sfDir)
+    errorFixture(spark, sfDir)
+  }
+
+  private def errorFixture(spark: SparkSession, sfDir: String): String = {
     val root = Paths.get(fixRoot(sfDir), "errsum_src")
     if (!Files.exists(root.resolve("_done"))) {
       deleteRec(root)
@@ -272,9 +277,19 @@ object PipelineQueries {
       Files.writeString(root.resolve("tpch.badnums.0001.csv"), lines + "\n")
       Files.writeString(root.resolve("_done"), "ok")
     }
+    root.toString
+  }
+
+  /** Error summary (reference `tests/error_summary` + max-error): a
+    * fixture with 3 unparsable bigints in 10 rows; the cast-error
+    * counter rides the write pass as an observed metric and surfaces
+    * per table.
+    */
+  def errorSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = errorFixture(spark, sfDir)
     val target = s"${fixRoot(sfDir)}/errsum_out"
     deleteRec(Paths.get(target))
-    val reports = Ingest.run(spark, Ingest.Config(root.toString, target))
+    val reports = Ingest.run(spark, Ingest.Config(root, target))
     import spark.implicits._
     reports.map(r => (r.table, r.nRows, r.badRows))
       .toDF("table_name", "n_rows", "bad_rows")

@@ -107,6 +107,40 @@ object SimilarityQueries {
        |WHERE b.bucket = qb.bucket
        |ORDER BY s.score DESC, s.vec_id LIMIT 10""".stripMargin
 
+  /** The bucketed-write layout annLsh's doc promises: embeddings land
+    * on disk partitioned by LSH bucket, so a probe's scan reads ONE
+    * bucket directory — real partition pruning, visible in the plan's
+    * file listing, not a full scan plus filter. At corpus scale this is
+    * the difference between touching 1/64th of the files and touching
+    * all of them. Same results as [[annLsh]].
+    */
+  def annLshBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = planes
+    val q = queryVec(spark, sfDir)
+    def bucketOf(emb: Column): Column =
+      ps.zipWithIndex.map { case (p, i) =>
+        when(quantDot(emb, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val layout = s"/tmp/graft_fixtures/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/emb_by_bucket"
+    if (!new java.io.File(s"$layout/_SUCCESS").exists()) {
+      table(spark, sfDir, "embeddings")
+        .withColumn("bucket", bucketOf(col("embedding")))
+        .write.mode("overwrite").partitionBy("bucket").parquet(layout)
+    }
+    val qQuant = q.map(x => math.floor(x * 1000000d).toLong)
+    val qBucket = ps.zipWithIndex.map { case (p, i) =>
+      val dot = p.indices.map(j => qQuant(j) * p(j)).sum
+      if (dot > 0) 1L << i else 0L
+    }.sum
+    spark.read.parquet(layout)
+      .where(col("bucket") === qBucket) // prunes to one partition dir
+      .select(col("vec_id"), quantDot(col("embedding"), typedLit(q)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  def annLshBucketedSql: String = annLshSql
+
   // ----------------------------------------------------------- IVF ANN
   private val IvfCells = 16
   private val IvfProbes = 2
