@@ -10,7 +10,11 @@ object ExplainDump {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(3500))
       catch { case e: Throwable => println(s"ERR ${e.getMessage}") }
     }
-    Seq("q_agg_pricing", "q_dedup_ngram", "q_dedup_minhash", "q_embed_dedup", "q_ann_bruteforce").foreach(dump)
+    // NB q_dedup_ngram / q_dedup_minhash eagerly localCheckpoint their
+    // pair sets, so their "plan" is just a checkpoint scan — inspect
+    // those by commenting out the checkpoint locally instead.
+    Seq("q_agg_pricing", "q_embed_dedup", "q_ann_lsh_bucketed",
+      "q_salted_join", "q_ann_bruteforce").foreach(dump)
     spark.stop()
   }
 }

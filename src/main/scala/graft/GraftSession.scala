@@ -27,6 +27,12 @@ object GraftSession {
     spark
   }
 
+  /** Root for generated fixtures/layouts of one sf dir — single source
+    * of truth for every operator that materializes test scaffolding.
+    */
+  def fixtureRoot(sfDir: String): String =
+    s"/tmp/graft_fixtures/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

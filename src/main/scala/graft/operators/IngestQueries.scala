@@ -25,7 +25,7 @@ object IngestQueries {
   private def quant(c: String) = graft.functions.TextFunctions.quant4(col(c))
 
   private def fixDir(sfDir: String, name: String): String =
-    s"/tmp/graft_fixtures/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    s"${graft.GraftSession.fixtureRoot(sfDir)}/$name"
 
   // ---------------------------------------------------------------- S2
   /** File router golden check over MyDumper naming (S2). */

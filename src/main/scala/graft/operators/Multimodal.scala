@@ -98,10 +98,13 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.flatMap { m =>
           val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
-          val len = text.length
+          // slice by codepoints, not UTF-16 units: Spark's length() and
+          // the oracle both count codepoints, and a unit-based cut could
+          // split a surrogate pair mid-character
+          val cps = text.codePointCount(0, text.length)
           (0 until n).iterator.map { i =>
-            val from = (len.toLong * i / n).toInt
-            val until = (len.toLong * (i + 1) / n).toInt
+            val from = text.offsetByCodePoints(0, (cps.toLong * i / n).toInt)
+            val until = text.offsetByCodePoints(0, (cps.toLong * (i + 1) / n).toInt)
             FrameRow(m.doc_id, i.toLong, text.substring(from, until))
           }
         }

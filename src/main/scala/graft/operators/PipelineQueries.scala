@@ -21,7 +21,7 @@ import graft.transform.{GeneratedColumns, RowTransform}
 object PipelineQueries {
 
   private def fixRoot(sfDir: String): String =
-    s"/tmp/graft_fixtures/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    graft.GraftSession.fixtureRoot(sfDir)
 
   // ------------------------------------------------------------- T7
   private val partGencolDdl =

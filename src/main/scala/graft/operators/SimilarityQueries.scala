@@ -121,7 +121,7 @@ object SimilarityQueries {
       ps.zipWithIndex.map { case (p, i) =>
         when(quantDot(emb, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val layout = s"/tmp/graft_fixtures/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/emb_by_bucket"
+    val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/emb_by_bucket"
     if (!new java.io.File(s"$layout/_SUCCESS").exists()) {
       table(spark, sfDir, "embeddings")
         .withColumn("bucket", bucketOf(col("embedding")))

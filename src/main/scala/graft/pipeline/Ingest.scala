@@ -116,11 +116,15 @@ object Ingest {
     val tables = discover(spark, cfg)
     val reports = tables.map { d =>
       val key = s"${d.db}.${d.table}"
+      // rec.files.nonEmpty guards both resume paths: a legacy record
+      // with no file list cannot prove which files it covers, so it
+      // falls through to a full overwrite rather than appending a
+      // duplicate of everything.
       state.get(key) match {
-        case Some(rec) if rec.status == "verified" &&
+        case Some(rec) if rec.status == "verified" && rec.files.nonEmpty &&
             d.dataFiles.forall(f => rec.files.contains(f._1)) =>
           TableReport(d.db, d.table, rec.nRows, rec.checksum, checksumOk = true, skipped = true)
-        case Some(rec) if rec.status == "verified" =>
+        case Some(rec) if rec.status == "verified" && rec.files.nonEmpty =>
           // File-level incremental resume (reference per-chunk
           // checkpoints, `checkpoints.go:231-274`): only data files not
           // in the verified set are parsed; their sorted batch appends
@@ -145,9 +149,17 @@ object Ingest {
     // view's defining SELECT resolves, then the view DDL is replayed.
     val views = discoverViews(spark, cfg)
     if (views.nonEmpty) {
+      // bare-name temp views: only unambiguous table names register
+      // (two dbs with the same table name would silently shadow each
+      // other); a missing output dir (stale state, re-pointed target)
+      // is skipped rather than failing the run after imports succeeded
+      val byName = tables.groupBy(_.table)
       tables.foreach { d =>
-        spark.read.parquet(s"${cfg.targetDir}/${d.db}.${d.table}")
-          .createOrReplaceTempView(d.table)
+        if (byName(d.table).size == 1) {
+          try spark.read.parquet(s"${cfg.targetDir}/${d.db}.${d.table}")
+            .createOrReplaceTempView(d.table)
+          catch { case _: org.apache.spark.sql.AnalysisException => }
+        }
       }
       views.foreach { case (_, name, path) =>
         val ddl = CharsetReader.readSchemaFile(
@@ -161,11 +173,16 @@ object Ingest {
   }
 
   /** Extract the defining SELECT from `CREATE … VIEW … AS SELECT …`
-    * (MySQL dumps prepend ALGORITHM/DEFINER/SECURITY clauses).
+    * (MySQL dumps prepend ALGORITHM/DEFINER/SECURITY clauses; some
+    * tools parenthesize the body: `AS (SELECT …)`).
     */
   private[pipeline] def viewSelect(ddl: String): Option[String] =
-    "(?is)\\bAS\\b\\s*(SELECT.*)".r.findFirstMatchIn(ddl)
+    "(?is)\\bAS\\b\\s*(\\(?\\s*SELECT.*)".r.findFirstMatchIn(ddl)
       .map(_.group(1).trim.stripSuffix(";").trim)
+      .map { s =>
+        if (s.startsWith("(") && s.endsWith(")")) s.substring(1, s.length - 1).trim
+        else s
+      }
 
   private def recordState(state: JobState, key: String, d: Discovered,
       report: TableReport, post: KvChecksum): Unit = {

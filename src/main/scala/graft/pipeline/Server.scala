@@ -32,8 +32,11 @@ object Server {
     if (!Files.isDirectory(queue)) return Seq.empty
     val done = Files.createDirectories(Paths.get(spool, "done"))
     val failed = Files.createDirectories(Paths.get(spool, "failed"))
-    val tasks = Files.list(queue).iterator().asScala.toSeq
-      .filter(_.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+    val listing = Files.list(queue)
+    val tasks =
+      try listing.iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+      finally listing.close() // a leaked DirectoryStream fd per poll adds up in the server loop
     tasks.map { tf =>
       val name = tf.getFileName.toString
       val result =
@@ -50,9 +53,27 @@ object Server {
       val dest = (if (result.ok) done else failed).resolve(name)
       Files.move(tf, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Files.writeString(dest.resolveSibling(name + ".result"),
-        s"""{"task":"${result.task}","ok":${result.ok},"tables":${result.tables},"detail":"${result.detail}"}\n""")
+        s"""{"task":${jsonStr(result.task)},"ok":${result.ok},""" +
+          s""""tables":${result.tables},"detail":${jsonStr(result.detail)}}\n""")
       result
     }
+  }
+
+  /** Minimal JSON string escaping — error messages carry quotes and
+    * newlines, which must not corrupt the result file.
+    */
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    Option(s).getOrElse("").foreach {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < ' ' => sb ++= "\\u%04x".format(c.toInt)
+      case c => sb += c
+    }
+    sb.append('"').toString
   }
 
   /** Minimal flat-JSON task parse (same conventions as JobState). */

@@ -174,22 +174,28 @@ object JdbcSink {
                 .mkString("(", ",", ")")
             }.mkString(",")
             if (pending.size >= statementsPerBatch) {
-              execBatch(st, pending.toSeq, maxRetries)
+              execBatch(conn, st, pending.toSeq, maxRetries)
               pending.clear()
             }
           }
-          if (pending.nonEmpty) execBatch(st, pending.toSeq, maxRetries)
+          if (pending.nonEmpty) execBatch(conn, st, pending.toSeq, maxRetries)
           conn.commit()
         } finally conn.close()
       }
     }
   }
 
-  /** Execute one JDBC batch; on SQLException re-add and retry (after a
-    * BatchUpdateException the statement's batch state is undefined, so
-    * the SQL list is kept aside and re-added each attempt).
+  /** Execute one JDBC batch as its own sub-transaction attempt: each
+    * batch commits on success; on SQLException the transaction rolls
+    * back BEFORE the retry, so statements a partially-executed batch
+    * already applied are undone rather than re-applied (the JDBC spec
+    * allows executeBatch to fail midway; without the rollback a retry
+    * would duplicate the applied rows). The SQL list is kept aside and
+    * re-added each attempt — batch state is undefined after a
+    * BatchUpdateException.
     */
-  private def execBatch(st: java.sql.Statement, sqls: Seq[String], maxRetries: Int): Unit = {
+  private def execBatch(conn: java.sql.Connection, st: java.sql.Statement,
+      sqls: Seq[String], maxRetries: Int): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
@@ -197,10 +203,12 @@ object JdbcSink {
         sqls.foreach(st.addBatch)
         st.executeBatch()
         st.clearBatch()
+        conn.commit()
         done = true
       } catch {
         case e: java.sql.SQLException =>
           try st.clearBatch() catch { case _: java.sql.SQLException => }
+          try conn.rollback() catch { case _: java.sql.SQLException => }
           attempt += 1
           if (attempt > maxRetries) throw e
           Thread.sleep(50L * attempt)

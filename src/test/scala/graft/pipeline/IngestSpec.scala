@@ -97,6 +97,29 @@ class IngestSpec extends SparkSpec {
     assert(back.count() === 2)
   }
 
+  test("a legacy verified record without a file list re-imports fully, not append") {
+    val src = mkFixture()
+    val out = Files.createTempDirectory("graft_legacy_out").toString
+    val state = Files.createTempDirectory("graft_legacy_state").toString
+    // first run records modern state; rewrite it as a legacy record
+    Ingest.run(spark, Ingest.Config(src, out, stateDir = Some(state)))
+    Files.writeString(Paths.get(state, "state.jsonl"),
+      """{"key":"d.t","status":"verified","nRows":3,"checksum":0}""" + "\n")
+    val rerun = Ingest.run(spark, Ingest.Config(src, out, stateDir = Some(state)))
+    assert(!rerun.head.skipped && rerun.head.checksumOk)
+    // full overwrite, not a duplicate append
+    assert(spark.read.parquet(s"$out/d.t").count() === 3)
+  }
+
+  test("viewSelect handles qualifier clauses and parenthesized bodies") {
+    assert(Ingest.viewSelect(
+      "CREATE ALGORITHM=UNDEFINED VIEW v AS SELECT a FROM t;")
+      === Some("SELECT a FROM t"))
+    assert(Ingest.viewSelect("CREATE VIEW v AS (SELECT a FROM t);")
+      === Some("SELECT a FROM t"))
+    assert(Ingest.viewSelect("CREATE TABLE not_a_view (x int)") === None)
+  }
+
   test("view over an imported table restores and answers queries") {
     val src = mkFixture()
     Files.writeString(Paths.get(src, "d.v1-schema-view.sql"),
