@@ -22,6 +22,8 @@ object Bench {
     }
     try operators.PipelineQueries.warmFixtures(spark, sfDir)
     catch { case _: Throwable => }
+    try operators.SimilarityQueries.warmLayouts(spark, sfDir)
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write, not count(): count() lets Spark prune every column

@@ -97,6 +97,21 @@ class IngestSpec extends SparkSpec {
     assert(back.count() === 2)
   }
 
+  test("a table with a composite string primary key imports and sorts (common handle)") {
+    val root = Files.createTempDirectory("graft_ch").toString
+    Files.writeString(Paths.get(root, "d.ch-schema.sql"),
+      "CREATE TABLE ch (region varchar(10) NOT NULL, name varchar(10) NOT NULL, " +
+        "v int, PRIMARY KEY (region, name));")
+    Files.writeString(Paths.get(root, "d.ch.0001.csv"),
+      "\"west\",\"zed\",1\n\"east\",\"amy\",2\n\"west\",\"amy\",3\n")
+    val out = Files.createTempDirectory("graft_ch_out").toString
+    val r = Ingest.run(spark, Ingest.Config(root, out)).head
+    assert(r.nRows === 3 && r.checksumOk)
+    val back = spark.read.parquet(s"$out/d.ch")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getInt(2))).sorted
+    assert(back.toSeq === Seq(("east", "amy", 2), ("west", "amy", 3), ("west", "zed", 1)))
+  }
+
   test("a legacy verified record without a file list re-imports fully, not append") {
     val src = mkFixture()
     val out = Files.createTempDirectory("graft_legacy_out").toString
