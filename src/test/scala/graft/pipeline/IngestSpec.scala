@@ -69,6 +69,20 @@ class IngestSpec extends SparkSpec {
     assert(third.head.skipped && third.head.nRows === 5)
   }
 
+  test("strictMode config fails the import on a bad value") {
+    val root = Files.createTempDirectory("graft_strict").toString
+    Files.writeString(Paths.get(root, "d.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, n bigint, PRIMARY KEY (id));")
+    Files.writeString(Paths.get(root, "d.t.0001.csv"), "1,10\n2,oops\n")
+    val out = Files.createTempDirectory("graft_strict_out").toString
+    val e = intercept[Exception] {
+      Ingest.run(spark, Ingest.Config(root, out, strictMode = true))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("strict mode")))
+  }
+
   test("cast errors are counted per table and gated by maxError") {
     val root = Files.createTempDirectory("graft_errsum").toString
     Files.writeString(Paths.get(root, "d.t-schema.sql"),
