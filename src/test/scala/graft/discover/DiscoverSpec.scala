@@ -23,6 +23,26 @@ class DiscoverSpec extends AnyFunSuite {
       Some(RouteResult("db", "my.table", FileKind.Parquet, None, "001")))
   }
 
+  test("custom routing rules take precedence (the [[mydumper.files]] surface)") {
+    val custom: FileRouter.Rule = {
+      case p if p.endsWith(".dump") =>
+        RouteResult("fixed", p.stripSuffix(".dump"), FileKind.Sql, None, "")
+    }
+    val r = new FileRouter(Seq(custom))
+    assert(r.route("weird.dump") ===
+      Some(RouteResult("fixed", "weird", FileKind.Sql, None, "")))
+    assert(r.route("d.t.csv").map(_.kind) === Some(FileKind.Csv)) // defaults still apply
+  }
+
+  test("exotic filenames route (spaces, dashes, unicode)") {
+    assert(router.route("middle earth.orcs.sql") ===
+      Some(RouteResult("middle earth", "orcs", FileKind.Sql, None, "")))
+    assert(router.route("db-1.table-2.0001.csv") ===
+      Some(RouteResult("db-1", "table-2", FileKind.Csv, None, "0001")))
+    assert(router.route("数据.表.parquet").map(t => (t.database, t.table)) ===
+      Some(("数据", "表")))
+  }
+
   test("table filter: last match wins, negation, default deny") {
     val f = new TableFilter(Seq("tpch.*", "!tpch.secret*"))
     assert(f.matches("tpch", "lineitem"))
