@@ -44,7 +44,9 @@ object DumpSource {
     val outSchema = StructType(colNames.map(StructField(_, StringType, nullable = true)))
     val files = spark.read.option("wholetext", "true").textFile(paths: _*)
     val rows = files.rdd.flatMap { text =>
-      parseStatements(text).flatMap { stmt =>
+      // statementIterator is lazy: peak task memory is the file text
+      // plus ONE statement's rows, not the whole file parsed up front
+      statementIterator(text).flatMap { stmt =>
         val perm: Seq[Int] =
           if (stmt.columns.isEmpty) (0 until n)
           else names.map(c => stmt.columns.indexWhere(_.equalsIgnoreCase(c)))
@@ -58,16 +60,23 @@ object DumpSource {
 
   case class Insert(table: String, columns: Seq[String], rows: Seq[Array[String]])
 
-  /** Parse all INSERT/REPLACE statements in a file's text. Tolerant of
-    * leading comments/noise between statements, like the reference's
-    * parser (which skips anything until the next INSERT keyword).
+  /** Parse all INSERT/REPLACE statements in a file's text (strict form
+    * of [[statementIterator]], used by tests and small inputs).
     */
-  def parseStatements(text: String): Seq[Insert] = {
-    val out = scala.collection.mutable.ArrayBuffer[Insert]()
-    val s = text
-    var i = 0
-    // case-insensitive scans via regionMatches — no uppercase copy of
-    // the (up to 256 MiB) file text in task memory
+  def parseStatements(text: String): Seq[Insert] = statementIterator(text).toSeq
+
+  /** Lazy statement scanner. Tolerant of leading comments/noise
+    * between statements, like the reference's parser (which skips
+    * anything until the next INSERT keyword). Case-insensitive scans
+    * via regionMatches — no uppercase copy of the (up to 256 MiB) file
+    * text in task memory.
+    */
+  def statementIterator(text: String): Iterator[Insert] =
+    Iterator.unfold(0)(pos => nextStatement(text, pos))
+
+  /** The next statement at or after `from`, with the resume position. */
+  private def nextStatement(s: String, from: Int): Option[(Insert, Int)] = {
+    var i = from
     while (i < s.length) {
       val ins = indexOfIgnoreCase(s, "INSERT", i)
       val rep = indexOfIgnoreCase(s, "REPLACE", i)
@@ -77,10 +86,10 @@ object DumpSource {
         case (x, -1) => x
         case (x, r) => math.min(x, r)
       }
-      if (start < 0) return out.toSeq
+      if (start < 0) return None
       // must be followed (possibly after IGNORE) by INTO
       val into = indexOfIgnoreCase(s, "INTO", start)
-      if (into < 0) return out.toSeq
+      if (into < 0) return None
       var p = skipWs(s, into + 4)
       val (table, p1) = readIdent(s, p)
       p = skipWs(s, p1)
@@ -93,7 +102,7 @@ object DumpSource {
         p = skipWs(s, close + 1)
       }
       val values = indexOfIgnoreCase(s, "VALUES", p)
-      if (values < 0) { i = start + 6; }
+      if (values < 0) { i = start + 6 }
       else {
         p = skipWs(s, values + 6)
         val rows = scala.collection.mutable.ArrayBuffer[Array[String]]()
@@ -105,11 +114,10 @@ object DumpSource {
           if (p < s.length && s.charAt(p) == ',') p = skipWs(s, p + 1)
           else more = false
         }
-        out += Insert(table, columns, rows.toSeq)
-        i = p
+        return Some((Insert(table, columns, rows.toSeq), p))
       }
     }
-    out.toSeq
+    None
   }
 
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
