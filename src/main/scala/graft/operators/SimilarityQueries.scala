@@ -31,6 +31,28 @@ object SimilarityQueries {
   private[operators] def planes: Array[Array[Long]] =
     Array.tabulate(LshPlanes, 64) { (i, j) => md5LongLocal(s"$i,$j") % 2001 - 1000 }
 
+  /** Sign-projection LSH bucket of an embedding column: one bit per
+    * hyperplane, set when the quantized dot product is positive. The
+    * single source of the bucket function — the on-disk layout, every
+    * probe, and the dedup blocking all call this, so the
+    * `annLsh == annLshBucketed` equivalence can't drift.
+    */
+  private def bucketCol(emb: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(quantDot(emb, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Driver-side twin of [[bucketCol]] for a literal query vector —
+    * identical integer math (floor(x·10⁶) quantization, same planes).
+    */
+  private def bucketOfVec(v: Seq[Float]): Long = {
+    val q = v.map(x => math.floor(x * 1000000d).toLong)
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.indices.map(j => q(j) * p(j)).sum
+      if (dot > 0) 1L << i else 0L
+    }.sum
+  }
+
   private def queryVec(spark: SparkSession, sfDir: String): Seq[Float] =
     table(spark, sfDir, "embeddings").where(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0)
@@ -66,21 +88,10 @@ object SimilarityQueries {
     * touches one bucket's files only.
     */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val ps = planes
     val q = queryVec(spark, sfDir)
-    def bucketOf(emb: Column): Column =
-      ps.zipWithIndex.map { case (p, i) =>
-        when(quantDot(emb, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    // driver-side twin for the query vector (identical integer math)
-    val qQuant = q.map(x => math.floor(x * 1000000d).toLong)
-    val qBucket = ps.zipWithIndex.map { case (p, i) =>
-      val dot = p.indices.map(j => qQuant(j) * p(j)).sum
-      if (dot > 0) 1L << i else 0L
-    }.sum
     table(spark, sfDir, "embeddings")
-      .withColumn("bucket", bucketOf(col("embedding")))
-      .where(col("bucket") === qBucket)
+      .withColumn("bucket", bucketCol(col("embedding")))
+      .where(col("bucket") === bucketOfVec(q))
       .select(col("vec_id"), quantDot(col("embedding"), typedLit(q)).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
@@ -107,28 +118,27 @@ object SimilarityQueries {
        |WHERE b.bucket = qb.bucket
        |ORDER BY s.score DESC, s.vec_id LIMIT 10""".stripMargin
 
-  /** The bucketed-write layout annLsh's doc promises: embeddings land
-    * on disk partitioned by LSH bucket, so a probe's scan reads ONE
-    * bucket directory — real partition pruning, visible in the plan's
-    * file listing, not a full scan plus filter. At corpus scale this is
-    * the difference between touching 1/64th of the files and touching
-    * all of them. Same results as [[annLsh]].
+  /** Bumped whenever the layout's format or bucket function changes —
+    * part of the directory name, so a cache written by an older build
+    * is never served to new probes.
     */
+  private val LayoutVersion = 2
+
   /** Build (once per sf dir) the embeddings layout partitioned by LSH
     * bucket — the "index build" side of [[annLshBucketed]], amortized
     * over every probe. `repartition(bucket)` first, so each bucket
     * directory holds one file instead of one per shuffle partition.
+    * Rebuilt when the version changes (path suffix) or the source
+    * parquet is newer than the cached layout.
     */
   private[operators] def bucketedLayout(spark: SparkSession, sfDir: String): String = {
-    val ps = planes
-    def bucketOf(emb: Column): Column =
-      ps.zipWithIndex.map { case (p, i) =>
-        when(quantDot(emb, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/emb_by_bucket"
-    if (!new java.io.File(s"$layout/_SUCCESS").exists()) {
+    val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/emb_by_bucket_v$LayoutVersion"
+    val success = new java.io.File(s"$layout/_SUCCESS")
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val stale = src.exists() && src.lastModified() > success.lastModified()
+    if (!success.exists() || stale) {
       table(spark, sfDir, "embeddings")
-        .withColumn("bucket", bucketOf(col("embedding")))
+        .withColumn("bucket", bucketCol(col("embedding")))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(layout)
     }
@@ -143,17 +153,17 @@ object SimilarityQueries {
     ()
   }
 
+  /** [[annLsh]] served from the on-disk bucketed layout: the probe's
+    * scan reads ONE bucket directory — real partition pruning, visible
+    * in the plan's file listing, not a full scan plus filter. At corpus
+    * scale this is the difference between touching 1/64th of the files
+    * and touching all of them. Same results as [[annLsh]].
+    */
   def annLshBucketed(spark: SparkSession, sfDir: String): DataFrame = {
-    val ps = planes
     val q = queryVec(spark, sfDir)
     val layout = bucketedLayout(spark, sfDir)
-    val qQuant = q.map(x => math.floor(x * 1000000d).toLong)
-    val qBucket = ps.zipWithIndex.map { case (p, i) =>
-      val dot = p.indices.map(j => qQuant(j) * p(j)).sum
-      if (dot > 0) 1L << i else 0L
-    }.sum
     spark.read.parquet(layout)
-      .where(col("bucket") === qBucket) // prunes to one partition dir
+      .where(col("bucket") === bucketOfVec(q)) // prunes to one partition dir
       .select(col("vec_id"), quantDot(col("embedding"), typedLit(q)).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
@@ -236,17 +246,12 @@ object SimilarityQueries {
     * operator must recover exactly those 1:1 pairs.
     */
   def embedDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val ps = planes
-    def bucketOf(emb: Column): Column =
-      ps.zipWithIndex.map { case (p, i) =>
-        when(quantDot(emb, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
     val base = table(spark, sfDir, "embeddings").select("vec_id", "label", "embedding")
     val planted = base.unionByName(base.withColumn("vec_id", col("vec_id") + 100000))
     val e = planted
       .select(col("vec_id"), col("label"), col("embedding"),
         quantDot(col("embedding"), col("embedding")).as("nrm"),
-        bucketOf(col("embedding")).as("bucket"))
+        bucketCol(col("embedding")).as("bucket"))
     // probe set = own bucket + one-bit flips (distinct values, so each
     // candidate pair is produced exactly once)
     val probeCols = col("bucket") +:

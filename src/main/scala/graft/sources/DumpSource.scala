@@ -70,54 +70,87 @@ object DumpSource {
     * anything until the next INSERT keyword). Case-insensitive scans
     * via regionMatches — no uppercase copy of the (up to 256 MiB) file
     * text in task memory.
+    *
+    * Each keyword's scan position is cached and only ever moves
+    * forward, so a whole-file iteration costs O(fileSize) per keyword
+    * total — not O(statements × fileSize) when one of the keywords
+    * (typically REPLACE) never occurs.
     */
-  def statementIterator(text: String): Iterator[Insert] =
-    Iterator.unfold(0)(pos => nextStatement(text, pos))
+  def statementIterator(text: String): Iterator[Insert] = new Iterator[Insert] {
+    private var pos = 0
+    private var insAt = indexOfIgnoreCase(text, "INSERT", 0)
+    private var repAt = indexOfIgnoreCase(text, "REPLACE", 0)
+    private var nextIns: Insert = _
+    private var exhausted = false
 
-  /** The next statement at or after `from`, with the resume position. */
-  private def nextStatement(s: String, from: Int): Option[(Insert, Int)] = {
-    var i = from
-    while (i < s.length) {
-      val ins = indexOfIgnoreCase(s, "INSERT", i)
-      val rep = indexOfIgnoreCase(s, "REPLACE", i)
-      val start = (ins, rep) match {
-        case (-1, -1) => -1
-        case (-1, r) => r
-        case (x, -1) => x
-        case (x, r) => math.min(x, r)
-      }
-      if (start < 0) return None
-      // must be followed (possibly after IGNORE) by INTO
-      val into = indexOfIgnoreCase(s, "INTO", start)
-      if (into < 0) return None
-      var p = skipWs(s, into + 4)
-      val (table, p1) = readIdent(s, p)
-      p = skipWs(s, p1)
-      var columns = Seq.empty[String]
-      if (p < s.length && s.charAt(p) == '(') {
-        val close = matchParen(s, p)
-        columns = graft.schema.MysqlDdl
-          .splitTopLevel(s.substring(p + 1, close), ',')
-          .map(c => graft.schema.MysqlDdl.unquoteIdent(c.trim))
-        p = skipWs(s, close + 1)
-      }
-      val values = indexOfIgnoreCase(s, "VALUES", p)
-      if (values < 0) { i = start + 6 }
+    @annotation.tailrec
+    private def fetch(): Unit = {
+      if (insAt >= 0 && insAt < pos) insAt = indexOfIgnoreCase(text, "INSERT", pos)
+      if (repAt >= 0 && repAt < pos) repAt = indexOfIgnoreCase(text, "REPLACE", pos)
+      val start =
+        if (insAt < 0) repAt
+        else if (repAt < 0) insAt
+        else math.min(insAt, repAt)
+      if (start < 0) { exhausted = true }
       else {
-        p = skipWs(s, values + 6)
-        val rows = scala.collection.mutable.ArrayBuffer[Array[String]]()
-        var more = true
-        while (more && p < s.length && s.charAt(p) == '(') {
-          val (vals, next) = readTuple(s, p)
-          rows += vals
-          p = skipWs(s, next)
-          if (p < s.length && s.charAt(p) == ',') p = skipWs(s, p + 1)
-          else more = false
+        pos = start + (if (start == insAt) "INSERT".length else "REPLACE".length)
+        parseHead(text, pos) match {
+          case Some((ins, resume)) => pos = resume; nextIns = ins
+          case None => fetch() // not a VALUES statement; rescan after the keyword
         }
-        return Some((Insert(table, columns, rows.toSeq), p))
       }
     }
-    None
+
+    override def hasNext: Boolean = {
+      if (nextIns == null && !exhausted) fetch()
+      nextIns != null
+    }
+
+    override def next(): Insert = {
+      if (!hasNext) throw new NoSuchElementException("no more statements")
+      val r = nextIns
+      nextIns = null
+      r
+    }
+  }
+
+  /** Parse `[IGNORE] INTO tbl [(cols)] VALUES (…),(…)` directly after
+    * an INSERT/REPLACE keyword ending at `afterKw`. None when the text
+    * there is not that shape (`INSERT INTO t SELECT …`, a keyword
+    * inside noise, …) — crucially the VALUES keyword must sit at the
+    * statement head, never found by an unbounded forward search, so a
+    * VALUES-less statement can't swallow a later statement's rows.
+    */
+  private def parseHead(s: String, afterKw: Int): Option[(Insert, Int)] = {
+    var p = skipWs(s, afterKw)
+    if (s.regionMatches(true, p, "IGNORE", 0, 6)) p = skipWs(s, p + 6)
+    if (!s.regionMatches(true, p, "INTO", 0, 4)) return None
+    p = skipWs(s, p + 4)
+    val (table, p1) = readIdent(s, p)
+    if (table.isEmpty) return None
+    p = skipWs(s, p1)
+    var columns = Seq.empty[String]
+    if (p < s.length && s.charAt(p) == '(') {
+      val close = matchParen(s, p)
+      columns = graft.schema.MysqlDdl
+        .splitTopLevel(s.substring(p + 1, close), ',')
+        .map(c => graft.schema.MysqlDdl.unquoteIdent(c.trim))
+      p = skipWs(s, close + 1)
+    }
+    // VALUES (MySQL also accepts VALUE) must be the next token
+    if (s.regionMatches(true, p, "VALUES", 0, 6)) p = skipWs(s, p + 6)
+    else if (s.regionMatches(true, p, "VALUE", 0, 5)) p = skipWs(s, p + 5)
+    else return None
+    val rows = scala.collection.mutable.ArrayBuffer[Array[String]]()
+    var more = true
+    while (more && p < s.length && s.charAt(p) == '(') {
+      val (vals, next) = readTuple(s, p)
+      rows += vals
+      p = skipWs(s, next)
+      if (p < s.length && s.charAt(p) == ',') p = skipWs(s, p + 1)
+      else more = false
+    }
+    Some((Insert(table, columns, rows.toSeq), p))
   }
 
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {

@@ -46,4 +46,32 @@ class DumpSourceSpec extends AnyFunSuite {
     assert(stmts.length === 1)
     assert(stmts.head.rows(0).toSeq === Seq("9", "z"))
   }
+
+  test("a VALUES-less statement does not swallow the next statement's rows") {
+    val stmts = DumpSource.parseStatements(
+      """INSERT INTO t1 SELECT * FROM src;
+        |INSERT INTO t2 VALUES (1, 2);""".stripMargin)
+    assert(stmts.length === 1)
+    assert(stmts.head.table === "t2")
+    assert(stmts.head.rows.map(_.toSeq) === Seq(Seq("1", "2")))
+  }
+
+  test("INSERT IGNORE and the VALUE spelling parse at the statement head") {
+    val stmts = DumpSource.parseStatements(
+      """INSERT IGNORE INTO t VALUES (1);
+        |INSERT INTO u VALUE (2);""".stripMargin)
+    assert(stmts.map(_.table) === Seq("t", "u"))
+    assert(stmts.map(_.rows.head.toSeq) === Seq(Seq("1"), Seq("2")))
+  }
+
+  test("statement iterator is lazy and boundary-safe mid-file") {
+    val text =
+      """INSERT INTO a VALUES ('x');
+        |INSERT INTO b SELECT 1;
+        |REPLACE INTO c VALUES ('y'),('z');""".stripMargin
+    val it = DumpSource.statementIterator(text)
+    assert(it.next().table === "a")
+    assert(it.next().table === "c")
+    assert(!it.hasNext)
+  }
 }
