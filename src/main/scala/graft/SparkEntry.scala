@@ -51,6 +51,10 @@ object SparkEntry {
     "q_dedup_minhash" -> DedupQueries.dedupMinhash,
     "q_dedup_simhash" -> DedupQueries.dedupSimhash,
     "q_dedup_simhash_pairs" -> DedupQueries.dedupSimhashPairs,
+    "q_dedup_clusters" -> DedupQueries.dedupClusters,
+    "q_sample_strata" -> TextQueries.sampleStrata,
+    "q_vocab_topk" -> TextQueries.vocabTopk,
+    "q_best_per_lang" -> TextQueries.bestPerLang,
     "q_ann_bruteforce" -> SimilarityQueries.annBruteForce,
     "q_ann_lsh" -> SimilarityQueries.annLsh,
     "q_ann_ivf" -> SimilarityQueries.annIvf,
@@ -104,6 +108,10 @@ object SparkEntry {
     "q_dedup_minhash" -> DedupQueries.dedupMinhashSql,
     "q_dedup_simhash" -> DedupQueries.dedupSimhashSql,
     "q_dedup_simhash_pairs" -> DedupQueries.dedupSimhashPairsSql,
+    "q_dedup_clusters" -> DedupQueries.dedupClustersSql,
+    "q_sample_strata" -> TextQueries.sampleStrataSql,
+    "q_vocab_topk" -> TextQueries.vocabTopkSql,
+    "q_best_per_lang" -> TextQueries.bestPerLangSql,
     "q_ann_bruteforce" -> SimilarityQueries.annBruteForceSql,
     "q_ann_lsh" -> SimilarityQueries.annLshSql,
     "q_ann_ivf" -> SimilarityQueries.annIvfSql,

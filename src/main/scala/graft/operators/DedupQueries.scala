@@ -251,8 +251,12 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  def dedupSimhashPairsSql: String =
-    """WITH tc AS (SELECT doc_id, tok, count(*) AS cnt,
+  /** Shared CTE chain ending in `cand` (banded simhash candidate
+    * pairs) — the pairs query and the cluster query build on the same
+    * SQL, mirroring the Scala reuse of [[dedupSimhashPairs]].
+    */
+  private val simhashCandCte =
+    """tc AS (SELECT doc_id, tok, count(*) AS cnt,
       |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
       |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
       |        FROM documents)
@@ -267,10 +271,73 @@ object DedupQueries {
       |  FROM sim, UNNEST(range(4)) AS r(b)),
       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sa, y.doc_id AS doc_b, y.simhash AS sb
       |  FROM bands x JOIN bands y
-      |    ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
-      |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |    ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id)""".stripMargin
+
+  def dedupSimhashPairsSql: String =
+    s"""WITH $simhashCandCte
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------- duplicate clustering
+  /** Duplicate-cluster assignment: connected components over the
+    * simhash near-dup pair graph (hamming ≤ 3), labeling every
+    * clustered document with the min doc_id of its component — the
+    * "pick one canonical copy per duplicate group" step that follows
+    * pair detection in every dedup pipeline (A~B and B~C must collapse
+    * into ONE cluster even when A and C were never paired directly).
+    *
+    * Shape: iterative min-label propagation — each round is one
+    * equi-join of the (tiny) edge set with the labels plus a map-side-
+    * combining min-groupBy, repeated to the component diameter. Near-
+    * dup components are shallow (duplicates of a common source), so
+    * rounds stay single-digit at corpus scale; a pathological deep
+    * chain would call for the large-star/small-star variant, which
+    * halves diameter per round with the same join primitive. Labels
+    * are checkpointed per round so the plan never grows with the
+    * iteration count.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupSimhashPairs(spark, sfDir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("lab").as("plab"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), col("lab"),
+          least(col("lab"), coalesce(col("plab"), col("lab"))).as("nlab"))
+        .localCheckpoint(true)
+      converged = next.where(col("nlab") < col("lab")).isEmpty
+      val prev = labels
+      labels = next.select(col("id"), col("nlab").as("lab"))
+      prev.unpersist(false)
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: transitive closure via a recursive CTE over the same
+    * candidate pairs, min reachable id per node ≡ converged min-label.
+    */
+  def dedupClustersSql: String =
+    s"""WITH RECURSIVE $simhashCandCte,
+       |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(id, lab) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id)
+       |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
   def dedupSimhashSql: String =
     """WITH tc AS (SELECT doc_id, tok, count(*) AS cnt,

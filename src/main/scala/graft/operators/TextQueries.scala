@@ -170,6 +170,97 @@ object TextQueries {
        |    '$Ipv4Re', '<IP>', 'g')) AS fp_redacted
        |FROM p ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- stratified sample
+  /** Per-language sampling rates (percent) — downsample the dominant
+    * language, keep more of the rest: the mixture-rebalancing step of a
+    * pretraining pipeline. The SQL oracle interpolates the same map.
+    */
+  val sampleRates: Map[String, Int] = Map(
+    "en" -> 10, "de" -> 40, "es" -> 40, "fr" -> 40, "zh" -> 40)
+  private val DefaultRate = 25
+
+  /** Deterministic stratified sampling: a document is kept when
+    * md5(lang:doc_id) mod 100 falls under its language's rate. Hash
+    * selection (not `rand()`) makes the sample reproducible across
+    * runs, partitionings and engines — resumable at 100 TB, and the
+    * per-row decision is a narrow expression, so the operator is a
+    * filter at scan speed followed by one small per-stratum aggregate.
+    */
+  def sampleStrata(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = md5Long(concat_ws(":", col("lang"), col("doc_id"))) % 100
+    val rate = sampleRates.foldLeft(lit(DefaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    table(spark, sfDir, "documents")
+      .where(bucket < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+      .orderBy("lang")
+  }
+
+  def sampleStrataSql: String = {
+    val cases = sampleRates.toSeq.sorted
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM documents
+       |WHERE CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100
+       |  < CASE lang $cases ELSE $DefaultRate END
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ----------------------------------------------------- vocab top-k
+  /** Vocabulary induction: top 20 tokens by document frequency with a
+    * deterministic tie-break. Distinct-per-doc happens in the narrow
+    * stage (`array_distinct` before the explode), the groupBy combines
+    * map-side, and the top-k is a TakeOrdered — no global sort ever
+    * materializes, which is what makes a 100 TB vocab pass feasible.
+    */
+  def vocabTopk(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(explode(array_distinct(tokens(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(20)
+
+  def vocabTopkSql: String =
+    """SELECT tok, count(*) AS df
+      |FROM (SELECT DISTINCT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |      FROM documents)
+      |GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- best-per-stratum
+  /** Per-language top-5 documents by lexical diversity (distinct/total
+    * token ratio, doc_id tie-break) — the "keep the best N per stratum"
+    * curation step. The rank filter sits directly above the window, so
+    * Spark's WindowGroupLimit rewrite turns the per-group full sort
+    * into a per-partition top-k: each group keeps 5 rows before the
+    * shuffle, which is what makes per-stratum selection linear at
+    * corpus scale.
+    */
+  def bestPerLang(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val uniq = size(array_distinct(t)).cast("double") / size(t).cast("double")
+    val win = Window.partitionBy("lang")
+      .orderBy(col("uniq_ratio").desc, col("doc_id"))
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), uniq.as("uniq_ratio"))
+      .withColumn("rn", row_number().over(win).cast("long"))
+      .where(col("rn") <= 5)
+      .orderBy("lang", "rn")
+  }
+
+  def bestPerLangSql: String =
+    """WITH s AS (SELECT doc_id, lang,
+      |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+      |      / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS uniq_ratio
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang, uniq_ratio,
+      |    row_number() OVER (PARTITION BY lang ORDER BY uniq_ratio DESC, doc_id) AS rn
+      |  FROM s)
+      |SELECT doc_id, lang, uniq_ratio, CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
   // ------------------------------------------------------ fingerprint
   /** Document fingerprinting: md5 over the whitespace-normalized,
     * lowercased text — the canonical form used by exact dedup.
