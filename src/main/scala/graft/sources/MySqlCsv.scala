@@ -75,7 +75,12 @@ object MySqlCsv {
         .option("nullValue", if (dialect.notNull) "\u0000NONE" else dialect.nullValue)
         .option("emptyValue", "")
         .option("mode", "PERMISSIVE")
-      r = if (dialect.backslashEscape) r.option("escape", "\\") else r.option("escape", "\u0000")
+      // With backslash escapes off, MySQL still collapses a doubled
+      // delimiter inside a quoted field (reference `tests/issue_519`);
+      // univocity expresses that rule as escape == quote char.
+      r = if (dialect.backslashEscape) r.option("escape", "\\")
+          else if (dialect.delimiter.nonEmpty) r.option("escape", dialect.delimiter)
+          else r.option("escape", "\u0000")
       if (dialect.header) {
         // names from the header; inferSchema off keeps every column string
         val df = r.option("inferSchema", "false").csv(paths: _*)

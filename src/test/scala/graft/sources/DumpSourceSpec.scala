@@ -47,6 +47,15 @@ class DumpSourceSpec extends AnyFunSuite {
     assert(stmts.head.rows(0).toSeq === Seq("9", "z"))
   }
 
+  test("ctrl-Z escape and literal @-strings survive (reference tests/issue_282)") {
+    val stmts = DumpSource.parseStatements(
+      """INSERT INTO `t_access3` VALUES
+        |('@P&FLASHSHA');
+        |INSERT INTO `t_access3` VALUES
+        |('\Z');""".stripMargin)
+    assert(stmts.map(_.rows.head.toSeq) === Seq(Seq("@P&FLASHSHA"), Seq("\u001A")))
+  }
+
   test("a VALUES-less statement does not swallow the next statement's rows") {
     val stmts = DumpSource.parseStatements(
       """INSERT INTO t1 SELECT * FROM src;
