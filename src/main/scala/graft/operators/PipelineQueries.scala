@@ -69,12 +69,19 @@ object PipelineQueries {
       |  uname varchar(55) AS (upper(p_name)) VIRTUAL,
       |  prefix varchar(8) AS (substr(p_name, 1, 4)) STORED,
       |  hexkey varchar(20) AS (hex(p_partkey)) STORED,
+      |  sh2 varchar(64) AS (sha2(p_name, 256)) STORED,
+      |  ts0 varchar(19) AS (from_unixtime(p_partkey * 3600)) STORED,
+      |  wk bigint AS (week(from_unixtime(p_partkey * 86400))) STORED,
+      |  un varchar(4) AS (unhex(hex(p_partkey % 26 + 65))) STORED,
       |  PRIMARY KEY (p_partkey)
       |);""".stripMargin
 
   /** Wider generated-column function palette (SURVEY §2.8): pow,
-    * repeat, upper, substr, hex — each evaluated through the MySQL →
-    * Catalyst translation and replayed by the oracle.
+    * repeat, upper, substr, hex, sha2, from_unixtime, week (→ ISO
+    * weekofyear), unhex — each evaluated through the MySQL → Catalyst
+    * translation and replayed by the oracle. (sha1/aes_encrypt also
+    * parse as Spark builtins but DuckDB has no twin, so the
+    * oracle-checked set uses sha2.)
     */
   def gencolFuncs(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = MysqlDdl.parse(partFuncsDdl)
@@ -89,7 +96,11 @@ object PipelineQueries {
       |  repeat('x', CAST(p_partkey % 3 AS INT)) AS xs,
       |  upper(p_name) AS uname,
       |  substr(p_name, 1, 4) AS prefix,
-      |  upper(to_hex(p_partkey)) AS hexkey
+      |  upper(to_hex(p_partkey)) AS hexkey,
+      |  sha256(p_name) AS sh2,
+      |  strftime(to_timestamp(p_partkey * 3600), '%Y-%m-%d %H:%M:%S') AS ts0,
+      |  CAST(week(CAST(to_timestamp(p_partkey * 86400) AS DATE)) AS BIGINT) AS wk,
+      |  decode(unhex(to_hex(p_partkey % 26 + 65))) AS un
       |FROM part ORDER BY p_partkey""".stripMargin
 
   // ------------------------------------------------- §3.1 end-to-end
@@ -311,7 +322,11 @@ object PipelineQueries {
       sourceDir = src,
       targetDir = target,
       filters = Seq("tpch*.*", "!tpch.junk"),
-      routes = Seq(TableRoute("tpch_s*", "nation", "tpch", "nation"))))
+      routes = Seq(TableRoute("tpch_s*", "nation", "tpch", "nation")),
+      // three tables restore from three driver threads; their job
+      // chains interleave so no table's low-parallelism tail idles
+      // the executors (reference table-concurrency)
+      tableConcurrency = 3))
     import spark.implicits._
     reports.map(r => (r.table, r.nRows, r.checksumOk))
       .toDF("table_name", "n_rows", "checksum_ok")

@@ -38,7 +38,8 @@ object Ingest {
       stateDir: Option[String] = None,
       analyze: Boolean = true,
       strictMode: Boolean = false,
-      maxError: Long = Long.MaxValue)
+      maxError: Long = Long.MaxValue,
+      tableConcurrency: Int = 1)
 
   case class TableReport(
       db: String,
@@ -114,7 +115,7 @@ object Ingest {
   def run(spark: SparkSession, cfg: Config): Seq[TableReport] = {
     val state = new JobState(cfg.stateDir)
     val tables = discover(spark, cfg)
-    val reports = tables.map { d =>
+    def restoreOne(d: Discovered): TableReport = {
       val key = s"${d.db}.${d.table}"
       // rec.files.nonEmpty guards both resume paths: a legacy record
       // with no file list cannot prove which files it covers, so it
@@ -143,6 +144,24 @@ object Ingest {
           report
       }
     }
+    // Table-level concurrency (reference `index-concurrency`/
+    // `table-concurrency`, `tests/concurrent-restore`): each driver
+    // thread submits one table's job chain; Spark's scheduler
+    // interleaves their stages, so the cluster stays saturated while
+    // any one table is in its low-parallelism tail (final ranges,
+    // checksum collect). Report order stays the discovery order.
+    val reports =
+      if (cfg.tableConcurrency <= 1) tables.map(restoreOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(cfg.tableConcurrency)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          val futs = tables.map(d => scala.concurrent.Future(restoreOne(d)))
+          futs.map(f => scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
+      }
     // Views restore after all tables, like the reference (views are
     // serialized last, `lightning/restore/restore.go:443-448`): each
     // imported table gets a plain-name temp view over its output so the

@@ -35,9 +35,11 @@ class JobState(dir: Option[String]) {
     m
   }
 
-  def get(key: String): Option[Record] = cache.get(key)
+  def get(key: String): Option[Record] = synchronized { cache.get(key) }
 
-  def put(r: Record): Unit = {
+  // synchronized: concurrent table restores (Ingest tableConcurrency)
+  // record their state from separate driver threads
+  def put(r: Record): Unit = synchronized {
     cache(r.key) = r
     file.foreach { f =>
       Files.writeString(f, render(r) + "\n",

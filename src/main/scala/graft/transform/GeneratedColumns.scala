@@ -25,6 +25,10 @@ object GeneratedColumns {
     var e = mysqlExpr
       .replace("`", "")        // identifier quoting
       .replaceAll("(?i)\\bdiv\\b", "div") // integer division keyword exists in Spark
+      // MySQL week(d [, mode]) → Spark weekofyear(d) (ISO week; the
+      // reference pins the mode via the default_week_format sysvar,
+      // `lightning/restore/tidb.go:54`)
+      .replaceAll("(?i)\\bweek\\s*\\(", "weekofyear(")
     e = rewriteCall(e, "json_object", inner => s"to_json(map($inner))")
     e = rewriteCall(e, "json_quote", inner => s"to_json($inner)")
     e

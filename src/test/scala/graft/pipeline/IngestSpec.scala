@@ -28,6 +28,27 @@ class IngestSpec extends SparkSpec {
     assert(back.toSeq === Seq((1, "a"), (2, "b"), (3, null)))
   }
 
+  test("concurrent table restore matches the sequential reports") {
+    val root = Files.createTempDirectory("graft_ingest_conc").toString
+    def w(name: String, s: String) = Files.writeString(Paths.get(root, name), s)
+    (1 to 3).foreach { i =>
+      w(s"d.t$i-schema.sql",
+        s"CREATE TABLE t$i (id int NOT NULL, v varchar(10), PRIMARY KEY (id));")
+      w(s"d.t$i.0001.csv", s"$i,\"x\"\n${i + 10},\"y\"\n")
+    }
+    val outSeq = Files.createTempDirectory("graft_ingest_conc_s").toString
+    val outPar = Files.createTempDirectory("graft_ingest_conc_p").toString
+    val stateDir = Files.createTempDirectory("graft_ingest_conc_state").toString
+    val seqR = Ingest.run(spark, Ingest.Config(root, outSeq))
+    val parR = Ingest.run(spark, Ingest.Config(root, outPar,
+      stateDir = Some(stateDir), tableConcurrency = 3))
+    assert(parR === seqR.map(_.copy()))
+    assert(parR.forall(r => r.checksumOk && r.nRows === 2))
+    // state recorded for every table from the worker threads
+    val state = new JobState(Some(stateDir))
+    (1 to 3).foreach(i => assert(state.get(s"d.t$i").exists(_.status == "verified")))
+  }
+
   test("re-run with job state skips verified tables") {
     val src = mkFixture()
     val out = Files.createTempDirectory("graft_ingest_out2").toString
