@@ -67,6 +67,7 @@ object SparkEntry {
     "q_gencol" -> PipelineQueries.gencol,
     "q_gencol_funcs" -> PipelineQueries.gencolFuncs,
     "q_ingest_e2e" -> PipelineQueries.ingestE2e,
+    "q_auto_inc_e2e" -> PipelineQueries.autoIncE2e,
     "q_csv_gz" -> PipelineQueries.csvGz,
     "q_error_summary" -> PipelineQueries.errorSummary,
     "q_view" -> PipelineQueries.viewRestore,
@@ -124,6 +125,7 @@ object SparkEntry {
     "q_gencol" -> PipelineQueries.gencolSql,
     "q_gencol_funcs" -> PipelineQueries.gencolFuncsSql,
     "q_ingest_e2e" -> PipelineQueries.ingestE2eSql,
+    "q_auto_inc_e2e" -> PipelineQueries.autoIncE2eSql,
     "q_csv_gz" -> PipelineQueries.csvGzSql,
     "q_error_summary" -> PipelineQueries.errorSummarySql,
     "q_view" -> PipelineQueries.viewRestoreSql,

@@ -56,8 +56,18 @@ object TextFunctions {
     */
   def quant4(x: Column): Column = floor(x * 10000d).cast(LongType)
 
-  /** Exact integer dot product of two float arrays under [[quant]]. */
-  def quantDot(a: Column, b: Column): Column =
+  /** Exact integer dot product of two numeric arrays under [[quant]] —
+    * the codegen'd [[QuantDot]] expression (the `zip_with`+`aggregate`
+    * composition it replaced is interpreted per element; see
+    * [[quantDotComposed]], kept as the spec's semantic twin).
+    */
+  def quantDot(a: Column, b: Column): Column = QuantDot.quantDot(a, b)
+
+  /** The `functions._`-composed twin of [[quantDot]] — same semantics,
+    * interpreted evaluation. Used by specs to pin the codegen path to
+    * the declarative definition.
+    */
+  def quantDotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => quant(x) * quant(y)),
       lit(0L), (acc, v) => acc + v)

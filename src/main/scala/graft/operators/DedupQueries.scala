@@ -211,21 +211,31 @@ object DedupQueries {
   // ---------------------------------------------------------- SimHash
   /** 56-bit SimHash fingerprints: md5-hash each token, weight by term
     * frequency, majority-vote per bit.
+    *
+    * All 56 bit-votes ride ONE map-side-combining groupBy as separate
+    * aggregate columns (the same trick the MinHash pass uses for its 12
+    * hashes) — the naive shape explodes every token row ×56 and
+    * shuffles that, turning the fingerprint pass into the corpus's
+    * biggest exchange; here the shuffle carries one row per (doc,
+    * token) and the votes collapse map-side.
     */
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashDf(spark, sfDir).orderBy("doc_id")
+
+  private def simhashDf(spark: SparkSession, sfDir: String): DataFrame = {
     val tokCnt = table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5Long(col("tok")))
-    val votes = tokCnt
-      .withColumn("j", explode(sequence(lit(0), lit(55))))
-      .groupBy("doc_id", "j")
-      .agg(sum(when(expr("(h >> j) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-        .as("vote"))
-    votes.groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(0L)).as("simhash"))
-      .orderBy("doc_id")
+    val voteCols = (0 until 56).map { j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
+        .as(s"v$j")
+    }
+    tokCnt.groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 56).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the 56-bit fingerprint into 4×14-bit
@@ -235,7 +245,7 @@ object DedupQueries {
     * is the scale shape — no all-pairs comparison ever happens.
     */
   def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sim = dedupSimhash(spark, sfDir)
+    val sim = simhashDf(spark, sfDir)
     val bands = sim.withColumn("b", explode(sequence(lit(0), lit(3))))
       .withColumn("band_val", expr("shiftright(simhash, 14 * b) & 16383"))
     val cand = bands.as("x").join(bands.as("y"),

@@ -168,9 +168,10 @@ object PipelineQueries {
 
   private case class MySqlCsvText(df: DataFrame)
 
-  private def writeSingle(spark: SparkSession, src: MySqlCsvText, target: Path): Unit = {
+  private def writeSingle(spark: SparkSession, src: MySqlCsvText, target: Path,
+      dialect: graft.sources.CsvDialect = graft.sources.CsvDialect()): Unit = {
     val tmp = target.getParent.resolve(target.getFileName.toString + ".tmpdir")
-    MySqlCsv.writeRaw(src.df.coalesce(1), tmp.toString)
+    MySqlCsv.writeRaw(src.df.coalesce(1), tmp.toString, dialect)
     moveSinglePart(tmp, target)
   }
 
@@ -274,7 +275,63 @@ object PipelineQueries {
     buildFixture(spark, sfDir)
     buildViewFixture(spark, sfDir)
     errorFixture(spark, sfDir)
+    autoIncFixture(spark, sfDir)
   }
+
+  // ------------------------------------------------ T4 auto-increment
+  /** Fixture: customer arrives WITHOUT its declared AUTO_INCREMENT id
+    * column — two header-carrying CSV shards of payload columns only.
+    */
+  private def autoIncFixture(spark: SparkSession, sfDir: String): String = {
+    val root = Paths.get(fixRoot(sfDir), "autoinc_src")
+    if (Files.exists(root.resolve("_done"))) return root.toString
+    deleteRec(root)
+    Files.createDirectories(root)
+    Files.writeString(root.resolve("tpch.cust_ai-schema.sql"),
+      """CREATE TABLE cust_ai (
+        |  id bigint NOT NULL AUTO_INCREMENT,
+        |  c_name varchar(25),
+        |  c_acctbal double,
+        |  PRIMARY KEY (id)
+        |);""".stripMargin)
+    val cust = table(spark, sfDir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    Seq(0, 1).foreach { shard =>
+      val df = cust.filter(pmod(col("c_custkey"), lit(2)) === shard)
+        .select("c_name", "c_acctbal")
+      writeSingle(spark, MySqlCsvText(df),
+        root.resolve(s"tpch.cust_ai.000$shard.csv"),
+        graft.sources.CsvDialect(header = true))
+    }
+    Files.writeString(root.resolve("_done"), "ok")
+    root.toString
+  }
+
+  /** Auto-increment synthesis end-to-end (T4, reference
+    * `lightning/backend/sql2kv.go:310-312` + allocator rebase): the id
+    * column is absent from the source files, so the import synthesizes
+    * chunk-based IDs. The oracle-checkable contract is uniqueness +
+    * row preservation, not density — the reference's estimated chunk
+    * ranges leave ID gaps exactly the same way.
+    */
+  def autoIncE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = autoIncFixture(spark, sfDir)
+    val target = s"${fixRoot(sfDir)}/autoinc_out"
+    deleteRec(Paths.get(target))
+    Ingest.run(spark, Ingest.Config(sourceDir = src, targetDir = target,
+      csvDialect = graft.sources.CsvDialect(header = true)))
+    spark.read.parquet(s"$target/tpch.cust_ai")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("id")).as("n_ids"),
+        count(when(col("id").isNull, 1)).as("n_null_ids"),
+        sum(graft.functions.TextFunctions.quant4(col("c_acctbal"))).as("sum_bal"))
+  }
+
+  def autoIncE2eSql: String =
+    """SELECT count(*) AS n_rows, count(*) AS n_ids,
+      |  CAST(0 AS BIGINT) AS n_null_ids,
+      |  CAST(sum(CAST(floor(c_acctbal*10000) AS BIGINT)) AS BIGINT) AS sum_bal
+      |FROM customer""".stripMargin
 
   private def errorFixture(spark: SparkSession, sfDir: String): String = {
     val root = Paths.get(fixRoot(sfDir), "errsum_src")

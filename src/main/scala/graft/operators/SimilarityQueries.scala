@@ -248,10 +248,15 @@ object SimilarityQueries {
   def embedDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val base = table(spark, sfDir, "embeddings").select("vec_id", "label", "embedding")
     val planted = base.unionByName(base.withColumn("vec_id", col("vec_id") + 100000))
+    // bucket + norm computed ONCE and cached: `e` feeds both sides of
+    // the candidate join, and without the cache Catalyst re-evaluates
+    // the 6-plane bucket projection per side (the join blocks common
+    // subexpression reuse across its children)
     val e = planted
       .select(col("vec_id"), col("label"), col("embedding"),
         quantDot(col("embedding"), col("embedding")).as("nrm"),
         bucketCol(col("embedding")).as("bucket"))
+      .cache()
     // probe set = own bucket + one-bit flips (distinct values, so each
     // candidate pair is produced exactly once)
     val probeCols = col("bucket") +:
@@ -261,7 +266,7 @@ object SimilarityQueries {
     val pairs = probes.as("a").join(e.as("b"),
       col("a.label") === col("b.label") && col("a.probe") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-    pairs
+    val scored = pairs
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (quantDot(col("a.embedding"), col("b.embedding")).cast("double") /
@@ -269,6 +274,10 @@ object SimilarityQueries {
           .as("cosine"))
       .where(col("cosine") >= 0.95)
       .orderBy("vec_a", "vec_b")
+    // materialize the (small) pair set, then release the bucketed side
+    val out = scored.localCheckpoint(true)
+    e.unpersist(false)
+    out
   }
 
   def embedDedupSql: String =

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, sum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.discover.{FileKind, FileRouter, RouteResult, TableFilter, TableRoute, TableRouter}
@@ -49,7 +49,8 @@ object Ingest {
       checksumOk: Boolean,
       skipped: Boolean,
       statsRows: Option[Long] = None,
-      badRows: Long = 0L)
+      badRows: Long = 0L,
+      maxRowId: Long = 0L)
 
   case class Discovered(
       db: String,
@@ -124,7 +125,8 @@ object Ingest {
       state.get(key) match {
         case Some(rec) if rec.status == "verified" && rec.files.nonEmpty &&
             d.dataFiles.forall(f => rec.files.contains(f._1)) =>
-          TableReport(d.db, d.table, rec.nRows, rec.checksum, checksumOk = true, skipped = true)
+          TableReport(d.db, d.table, rec.nRows, rec.checksum, checksumOk = true,
+            skipped = true, maxRowId = rec.maxId)
         case Some(rec) if rec.status == "verified" && rec.files.nonEmpty =>
           // File-level incremental resume (reference per-chunk
           // checkpoints, `checkpoints.go:231-274`): only data files not
@@ -135,11 +137,11 @@ object Ingest {
           // is what makes verified-state + increment == full-table.
           val newFiles = d.dataFiles.filterNot(f => rec.files.contains(f._1))
           val prior = KvChecksum(rec.checksum, rec.nRows, rec.nBytes)
-          val (report, post) = restoreFiles(spark, cfg, d, newFiles, Some(prior))
+          val (report, post) = restoreFiles(spark, cfg, d, newFiles, Some(prior), rec.maxId)
           recordState(state, key, d, report, post)
           report
         case _ =>
-          val (report, post) = restoreFiles(spark, cfg, d, d.dataFiles, None)
+          val (report, post) = restoreFiles(spark, cfg, d, d.dataFiles, None, 0L)
           recordState(state, key, d, report, post)
           report
       }
@@ -207,17 +209,18 @@ object Ingest {
       report: TableReport, post: KvChecksum): Unit = {
     val status = if (report.checksumOk) "verified" else "failed"
     state.put(JobState.Record(key, status, post.totalKvs, post.checksum,
-      post.totalBytes, d.dataFiles.map(_._1)))
+      post.totalBytes, d.dataFiles.map(_._1), report.maxRowId))
   }
 
   /** Restore `files` into the table's output. With `prior` set this is
     * an incremental append: the batch's observed checksum XOR-combines
     * with the prior triple and the read-back of the WHOLE output must
-    * match the combination.
+    * match the combination; `priorMaxId` rebases auto-increment
+    * synthesis past the previous run's IDs.
     */
   private def restoreFiles(spark: SparkSession, cfg: Config, d: Discovered,
       files: Seq[(String, FileKind.Value)],
-      prior: Option[KvChecksum]): (TableReport, KvChecksum) = {
+      prior: Option[KvChecksum], priorMaxId: Long): (TableReport, KvChecksum) = {
     val schema: Option[TableSchema] = d.schemaFile.map { p =>
       MysqlDdl.parse(CharsetReader.readSchemaFile(
         spark.sparkContext.hadoopConfiguration, p, cfg.charset))
@@ -234,7 +237,26 @@ object Ingest {
         case other => throw new IllegalStateException(s"unroutable kind $other")
       }
     }
-    val merged = shards.reduce(_.unionByName(_))
+    val union = shards.reduce(_.unionByName(_))
+    // T4: auto-increment synthesis. A declared AUTO_INCREMENT column
+    // that the source doesn't carry (header/column-list projection) is
+    // synthesized from the chunk row-ID scheme; a NULL value in a
+    // carried column gets the next ID too (MySQL's NULL→allocate
+    // insert semantics, reference `lightning/backend/sql2kv.go:310-312`).
+    // The base rebases past the prior run's max (allocator rebase,
+    // `lightning/backend/allocator.go:23-61`).
+    val autoInc = schema.flatMap(_.columns.find(_.autoIncrement))
+    val merged = autoInc match {
+      case Some(c) =>
+        val synth = RowTransform.syntheticRowId(priorMaxId)
+        union.columns.find(_.equalsIgnoreCase(c.name)) match {
+          case Some(existing) =>
+            union.withColumn(existing,
+              coalesce(col(existing), synth.cast(union.schema(existing).dataType)))
+          case None => union.withColumn(c.name, synth)
+        }
+      case None => union
+    }
     // schema application adds a cast-error counter column that rides
     // the write pass as an observed metric (error summary, reference
     // `tests/error_summary`) and is dropped before the files land
@@ -255,11 +277,16 @@ object Ingest {
     val obs = org.apache.spark.sql.Observation()
     SortedParquetSink.writeObservedMetrics(typed, out, sortCols, obs,
       _ => Checksum.checksumColOf(dataCols) +:
-        errCol.toSeq.map(e => coalesce(sum(col(e)), lit(0L)).as("bad_rows")),
+        (errCol.toSeq.map(e => coalesce(sum(col(e)), lit(0L)).as("bad_rows")) ++
+          autoInc.map(c => coalesce(max(col(c.name).cast("long")), lit(0L))
+            .as("max_row_id"))),
       dropCols = errCol.toSeq,
       mode = if (prior.isDefined) "append" else "overwrite")
     val pre = Checksum.fromMetric(obs.get("kv_checksum"))
     val badRows = errCol.map(_ => obs.get("bad_rows").asInstanceOf[Long]).getOrElse(0L)
+    val maxRowId = autoInc
+      .map(_ => math.max(priorMaxId, obs.get("max_row_id").asInstanceOf[Long]))
+      .getOrElse(0L)
     val expected = prior.map(_.add(pre)).getOrElse(pre)
     val post = collectChecksum(spark.read.parquet(out))
     val ok = Checksum.matches(expected, post) && badRows <= cfg.maxError
@@ -268,7 +295,8 @@ object Ingest {
       if (ok && cfg.analyze) Analyze.analyze(spark, s"${d.db}.${d.table}", out)
       else None
     (TableReport(d.db, d.table, post.totalKvs, post.checksum,
-      checksumOk = ok, skipped = false, statsRows = statsRows, badRows = badRows), post)
+      checksumOk = ok, skipped = false, statsRows = statsRows, badRows = badRows,
+      maxRowId = maxRowId), post)
   }
 
   private def collectChecksum(df: DataFrame): KvChecksum = {

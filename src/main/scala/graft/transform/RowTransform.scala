@@ -163,6 +163,26 @@ object RowTransform {
     spark.createDataFrame(withId, df.schema.add(idCol, LongType, nullable = false))
   }
 
+  /** T4 for the import path: synthesized auto-increment values as a
+    * narrow expression — `monotonically_increasing_id()` (partition
+    * ordinal in the high bits, in-partition ordinal in the low bits)
+    * offset by `base`. This is the reference's chunk scheme exactly:
+    * each chunk gets a disjoint row-ID range and numbers rows within it
+    * (`lightning/mydump/region.go:236-286` — ranges are ESTIMATED
+    * there, so upstream IDs have gaps too; dense IDs are not part of
+    * the contract, uniqueness and monotone-per-chunk are). Unlike
+    * [[chunkedRowId]] there is no counting pass and no materialization
+    * — the right trade for a 100 TB import where the input partitioning
+    * is deterministic (pure file scans, no upstream shuffle).
+    *
+    * `base` rebase: pass the stored max ID of the previous run
+    * (reference rebases its allocator the same way,
+    * `lightning/backend/allocator.go:23-61`) so appended batches never
+    * collide with existing IDs.
+    */
+  def syntheticRowId(base: Long = 0L): Column =
+    monotonically_increasing_id() + lit(base + 1L)
+
   /** T5: auto_random PK synthesis — high `shardBits` bits from a seeded
     * shard, low bits from the row ID (reference
     * `lightning/backend/sql2kv.go:69-77,313-320`).

@@ -39,4 +39,36 @@ class TextFunctionsSpec extends SparkSpec {
     // floor(1.5e6)*floor(2e6) + floor(-0.25e6)*floor(4e6)
     assert(got === 1500000L * 2000000L + -250000L * 4000000L)
   }
+
+  test("quantDot codegen expression matches the composed twin, incl. null/edge cases") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq[java.lang.Float](1.5f, -0.25f, 0.007f), Seq[java.lang.Float](2.0f, 4.0f, -1.25f)),
+      (Seq[java.lang.Float](), Seq[java.lang.Float]()), // empty → 0
+      (Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](2.0f, 3.0f)), // null elem → null
+      (Seq[java.lang.Float](1.0f), Seq[java.lang.Float](2.0f, 3.0f)), // length mismatch → null
+      (null, Seq[java.lang.Float](1.0f)) // null array → null
+    )
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      quantDot(col("a"), col("b")).as("fast"),
+      quantDotComposed(col("a"), col("b")).as("slow")).collect()
+    got.foreach { r =>
+      assert(Option(r.get(0)) === Option(r.get(1)), s"mismatch on row $r")
+    }
+    assert(got(0).getLong(0) ===
+      1500000L * 2000000L + -250000L * 4000000L + 7000L * -1250000L)
+    assert(got(1).getLong(0) === 0L)
+    assert(got(2).isNullAt(0) && got(3).isNullAt(0) && got(4).isNullAt(0))
+  }
+
+  test("quantDot mixes float and long arrays (LSH plane literals)") {
+    import spark.implicits._
+    val df = Seq((Seq(0.5f, -1.0f), Seq(3L, 7L))).toDF("a", "b")
+    val got = df.select(
+      quantDot(col("a"), col("b")).as("fast"),
+      quantDotComposed(col("a"), col("b")).as("slow")).collect()(0)
+    assert(got.getLong(0) === got.getLong(1))
+    assert(got.getLong(0) === 500000L * 3000000L + -1000000L * 7000000L)
+  }
 }

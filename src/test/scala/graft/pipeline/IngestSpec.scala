@@ -161,6 +161,49 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/d.t").count() === 3)
   }
 
+  test("auto-increment column absent from the source is synthesized, unique, rebased on resume") {
+    val root = Files.createTempDirectory("graft_autoinc").toString
+    Files.writeString(Paths.get(root, "d.ai-schema.sql"),
+      "CREATE TABLE ai (id bigint NOT NULL AUTO_INCREMENT, v varchar(10), PRIMARY KEY (id));")
+    // header-carrying CSV without the id column
+    Files.writeString(Paths.get(root, "d.ai.0001.csv"), "v\n\"a\"\n\"b\"\n\"c\"\n")
+    val out = Files.createTempDirectory("graft_autoinc_out").toString
+    val state = Files.createTempDirectory("graft_autoinc_state").toString
+    val cfg = Ingest.Config(root, out, stateDir = Some(state),
+      csvDialect = graft.sources.CsvDialect(header = true))
+    val first = Ingest.run(spark, cfg).head
+    assert(first.nRows === 3 && first.checksumOk)
+    val ids1 = spark.read.parquet(s"$out/d.ai").collect().map(_.getLong(0))
+    assert(ids1.length === 3 && ids1.distinct.length === 3)
+    assert(ids1.min >= 1L && first.maxRowId === ids1.max)
+    // a new shard appends; its synthesized IDs rebase past the stored max
+    Files.writeString(Paths.get(root, "d.ai.0002.csv"), "v\n\"d\"\n\"e\"\n")
+    val second = Ingest.run(spark, cfg).head
+    assert(!second.skipped && second.checksumOk && second.nRows === 5)
+    val ids2 = spark.read.parquet(s"$out/d.ai").collect().map(_.getLong(0))
+    assert(ids2.length === 5 && ids2.distinct.length === 5)
+    assert(second.maxRowId === ids2.max)
+    // every new id sits above the first run's max
+    val newOnes = ids2.diff(ids1)
+    assert(newOnes.forall(_ > ids1.max))
+  }
+
+  test("NULL in a carried auto-increment column gets the next allocated id") {
+    val root = Files.createTempDirectory("graft_autoinc_null").toString
+    Files.writeString(Paths.get(root, "d.an-schema.sql"),
+      "CREATE TABLE an (id bigint NOT NULL AUTO_INCREMENT, v varchar(10), PRIMARY KEY (id));")
+    Files.writeString(Paths.get(root, "d.an.0001.csv"), "10,\"a\"\n\\N,\"b\"\n11,\"c\"\n")
+    val out = Files.createTempDirectory("graft_autoinc_null_out").toString
+    val r = Ingest.run(spark, Ingest.Config(root, out)).head
+    assert(r.nRows === 3 && r.checksumOk)
+    val rows = spark.read.parquet(s"$out/d.an").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(rows.length === 3 && rows.map(_._1).distinct.length === 3)
+    // explicit values kept; the NULL got a non-null allocation
+    val byV = rows.map { case (id, v) => v -> id }.toMap
+    assert(byV("a") === 10L && byV("c") === 11L && byV("b") >= 1L)
+  }
+
   test("viewSelect handles qualifier clauses and parenthesized bodies") {
     assert(Ingest.viewSelect(
       "CREATE ALGORITHM=UNDEFINED VIEW v AS SELECT a FROM t;")
