@@ -141,16 +141,23 @@ object DedupQueries {
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     // One row per doc: all 12 min-hashes computed in a single map-side-
     // combining groupBy (no ×k row explosion), plus the shingle set for
-    // candidate verification and its size. One shuffle total.
+    // candidate verification and its size. The input skips shingleDf's
+    // `distinct` — `min` is duplicate-insensitive and `collect_set`
+    // dedups in the aggregation buffer, so the pre-shuffle distinct
+    // would only add a second full shuffle of the largest intermediate
+    // for identical results. ONE shuffle total, truly.
     val aggCols =
-      collect_set(col("h")).as("hs") +: count(lit(1)).as("n") +:
+      collect_set(col("h")).as("hs") +:
         (0 until MinhashK).map { i =>
           min((lit(hashA(i)) * pmod(col("h"), lit(M31)) + lit(hashB(i))) % M31)
             .as(s"mh$i")
         }
-    val docs = shingleDf(spark, sfDir)
+    val docs = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
+      .select(col("doc_id"), md5Long(col("s")).as("h"))
       .groupBy("doc_id")
       .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("n", size(col("hs")).cast("long"))
       .cache()
     // 6 band signatures per doc (band b = minhashes 2b, 2b+1 joined by
     // a comma) — a 6-row explode of one-row-per-doc, not of shingles.
@@ -307,8 +314,55 @@ object DedupQueries {
     * are checkpointed per round so the plan never grows with the
     * iteration count.
     */
+  /** Edge count below which the component computation collapses to a
+    * driver-side union-find over the collected pair set. The pair graph
+    * is the OUTPUT of near-dup detection — orders of magnitude smaller
+    * than the corpus — so even at 100 TB it usually fits; past the
+    * threshold the distributed min-label loop takes over (the same
+    * adaptive small-side collapse AQE applies to joins).
+    */
+  private val UnionFindMaxEdges = 4000000L
+
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = dedupSimhashPairs(spark, sfDir).select("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val nEdges = pairs.count()
+    if (nEdges <= UnionFindMaxEdges) unionFindClusters(pairs)
+    else distributedClusters(pairs)
+  }
+
+  /** Driver union-find — the ≤threshold path: one collect of the
+    * (small) pair set, zero additional Spark jobs per iteration.
+    */
+  private[operators] def unionFindClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    val out = members.toSeq.sorted.map(id => (id, find(id)))
+    import spark.implicits._
+    out.toDF("doc_id", "cluster_id").orderBy("doc_id")
+  }
+
+  /** Distributed min-label propagation — the >threshold path: each
+    * round is one equi-join of the edge set with the labels plus a
+    * map-side-combining min-groupBy, repeated to the component
+    * diameter (shallow for near-dup graphs; a pathological chain would
+    * call for large-star/small-star with the same join primitive).
+    * Labels checkpoint per round so the plan never grows.
+    */
+  private[operators] def distributedClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)

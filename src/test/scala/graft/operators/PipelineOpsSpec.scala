@@ -34,6 +34,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("driver union-find and distributed propagation agree on the same edge set") {
+    import spark.implicits._
+    // chain 1-2-3-4 built from non-adjacent pairs, two extra components,
+    // duplicate edges — both paths must produce identical labelings
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (1L, 2L),
+      (10L, 11L),
+      (20L, 22L), (21L, 22L)
+    ).toDF("doc_a", "doc_b")
+    val uf = DedupQueries.unionFindClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = DedupQueries.distributedClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(uf === dist)
+    assert(uf.toMap === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("sampleStrata is deterministic and only keeps hash-selected rows") {
     val a = TextQueries.sampleStrata(spark, sf("sf0.01")).collect()
     val b = TextQueries.sampleStrata(spark, sf("sf0.01")).collect()
