@@ -215,6 +215,57 @@ object DedupQueries {
        |WHERE CAST(i.inter AS DOUBLE) / CAST(ca.n + cb.n - i.inter AS DOUBLE) >= 0.5
        |ORDER BY i.doc_a, i.doc_b""".stripMargin
 
+  // ------------------------------------------------ incremental dedup
+  /** Incremental (cross-run) dedup: drop batch documents whose exact
+    * text already exists in a standing corpus — the every-crawl-cycle
+    * operation of a training-data pipeline, where the corpus is orders
+    * of magnitude bigger than the batch.
+    *
+    * Scale shape: a Bloom filter over the corpus fingerprints is built
+    * distributed (one pass, merged on the driver) and broadcast; batch
+    * rows it rejects are DEFINITELY new and skip the join entirely, so
+    * only the tiny might-contain candidate set pays a shuffle against
+    * the corpus in the exact anti-join that removes false positives.
+    * False negatives are impossible, so the result is exact — identical
+    * to a plain anti-join, at a fraction of the shuffle.
+    *
+    * Fixture: corpus = even doc_ids; batch = odd doc_ids (genuinely
+    * new) plus copies of the even docs under shifted IDs (dupes to
+    * drop). Expected output: exactly the odd doc_ids.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val fp = md5(col("text").cast("binary"))
+    val corpus = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(fp.as("fp"))
+    val batch = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .withColumn("doc_id", col("doc_id") + 700000))
+      .select(col("doc_id"), fp.as("fp"))
+    val bf = corpus.stat.bloomFilter("fp",
+      expectedNumItems = math.max(1000L, corpus.count()), fpp = 0.01)
+    // The bloom check is one cheap driver-broadcast probe per row; a
+    // UDF here is fine — it GATES the expensive join rather than
+    // sitting in a per-element hot loop.
+    val mightContain = udf((s: String) => bf.mightContain(s))
+    val definitelyNew = batch.where(!mightContain(col("fp")))
+    val verifiedNew = batch.where(mightContain(col("fp")))
+      .join(corpus, Seq("fp"), "left_anti")
+    definitelyNew.select("doc_id")
+      .unionByName(verifiedNew.select("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  def dedupIncrementalSql: String =
+    """WITH corpus AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+      |batch AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 700000, md5(text) FROM documents WHERE doc_id % 2 = 0)
+      |SELECT doc_id FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- SimHash
   /** 56-bit SimHash fingerprints: md5-hash each token, weight by term
     * frequency, majority-vote per bit.
