@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.schema.MysqlDdl
+
+class StreamingIngestSpec extends SparkSpec {
+
+  private val ddl =
+    "CREATE TABLE st (id int NOT NULL, v varchar(10), " +
+      "vv varchar(20) AS (concat(v, '!')) STORED, PRIMARY KEY (id));"
+
+  test("streaming ingest drains landing files exactly once across restarts") {
+    val schema = MysqlDdl.parse(ddl)
+    val landing = Files.createTempDirectory("graft_sing_src").toString
+    val out = Files.createTempDirectory("graft_sing_out").toString
+    val ckpt = Files.createTempDirectory("graft_sing_ckpt").toString
+
+    Files.writeString(Paths.get(landing, "b1.csv"), "1,\"a\"\n2,\"b\"\n")
+    val q1 = StreamingIngest.run(spark, landing, schema, out, ckpt)
+    q1.awaitTermination()
+    val r1 = spark.read.parquet(out).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(r1.toSeq === Seq((1, "a", "a!"), (2, "b", "b!")))
+
+    // restart with a new file landed: only the NEW file is ingested —
+    // the source checkpoint remembers b1.csv (file-level resume)
+    Files.writeString(Paths.get(landing, "b2.csv"), "3,\\N\n")
+    val q2 = StreamingIngest.run(spark, landing, schema, out, ckpt)
+    q2.awaitTermination()
+    val r2 = spark.read.parquet(out).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).sortBy(_._1)
+    assert(r2.toSeq === Seq((1, Some("a")), (2, Some("b")), (3, None)))
+
+    // idempotent: a third drain with nothing new appends nothing
+    val q3 = StreamingIngest.run(spark, landing, schema, out, ckpt)
+    q3.awaitTermination()
+    assert(spark.read.parquet(out).count() === 3)
+  }
+}
