@@ -24,7 +24,10 @@ object Bench {
     catch { case _: Throwable => }
     try operators.SimilarityQueries.warmLayouts(spark, sfDir)
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixed name order: Map iteration order reshuffles whenever a query
+    // is added, which would move warm-up/cache effects between queries
+    // and break round-over-round comparability
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write, not count(): count() lets Spark prune every column
       // and elide sorts, understating real query cost.
@@ -34,7 +37,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
