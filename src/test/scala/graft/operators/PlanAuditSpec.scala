@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.verify.Checksum
+
+/** Physical-plan audits: the properties that make the operators scale
+  * are asserted, not assumed — filter pushdown reaching the parquet
+  * scan, column pruning, map-side partial aggregation, whole-stage
+  * codegen, no accidental cartesian products. A regression in any of
+  * these survives correctness tests (same rows, 100× the IO), so the
+  * plan itself is the test subject.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Plan after execution — AQE only materializes its final plan (and
+    * the WholeStageCodegen spans) once the query has run.
+    */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("aggPricing: filter pushed to scan, unused columns pruned, codegen'd") {
+    val plan = finalPlanOf(CoreQueries.aggPricing(spark, sf()))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThan(l_quantity"), plan)
+    // 16-column lineitem prunes to the 5 the query touches
+    assert(!plan.contains("l_comment") && !plan.contains("l_shipdate"), plan)
+    // codegen'd stages print as `*(n) Operator` in the final plan
+    assert(plan.contains("*("), plan)
+  }
+
+  test("aggPricing: aggregation combines map-side before the exchange") {
+    val plan = planOf(CoreQueries.aggPricing(spark, sf()))
+    // partial_ aggregate below the shuffle = map-side combine: the
+    // exchange carries one row per group per task, not per input row
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("tableChecksum: one scan, map-side-combined builtin aggregates") {
+    val li = graft.GraftSession.table(spark, sf(), "region")
+    val agg = Checksum.tableChecksum(li)
+    val plan = planOf(agg)
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("partial_"), plan)
+    assert(plan.contains("crc64"), plan)
+  }
+
+  test("saltedJoin: equi-join, never a cartesian/nested-loop explosion") {
+    val plan = planOf(CoreQueries.saltedJoin(spark, sf()))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("textStats: narrow projection — the only exchange is the output sort") {
+    val plan = planOf(TextQueries.textStats(spark, sf()))
+    // no data shuffle: the computation is a pure per-row projection;
+    // the single rangepartitioning exchange is the deterministic
+    // presentation sort the oracle compare needs
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+  }
+}
