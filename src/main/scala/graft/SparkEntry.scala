@@ -42,6 +42,7 @@ object SparkEntry {
     "q_analyze" -> IngestQueries.analyzeStats,
     "q_compact" -> IngestQueries.compactOutput,
     "q_text_stats" -> TextQueries.textStats,
+    "q_token_hist" -> TextQueries.tokenHist,
     "q_quality_score" -> TextQueries.qualityScore,
     "q_langid" -> TextQueries.langid,
     "q_fingerprint" -> TextQueries.fingerprint,
@@ -101,6 +102,7 @@ object SparkEntry {
     "q_analyze" -> IngestQueries.analyzeStatsSql,
     "q_compact" -> IngestQueries.compactOutputSql,
     "q_text_stats" -> TextQueries.textStatsSql,
+    "q_token_hist" -> TextQueries.tokenHistSql,
     "q_quality_score" -> TextQueries.qualityScoreSql,
     "q_langid" -> TextQueries.langidSql,
     "q_fingerprint" -> TextQueries.fingerprintSql,

@@ -58,6 +58,34 @@ object TextQueries {
        |  CAST(len(regexp_extract_all(text, '$BpePieceRe')) AS BIGINT) AS n_bpe_pieces
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- token histogram
+  /** Corpus length distribution: fixed-width token-count histogram
+    * (buckets of 50) with per-bucket doc counts and token totals — the
+    * first chart of every corpus analysis, and the input to
+    * truncation/packing decisions for a training pipeline. Integer
+    * floor-division buckets are engine-exact (a log-scale bucket via
+    * floor(log2(n)) is NOT: both engines compute log2 in floating
+    * point and can round differently at exact powers of two).
+    * One map-side-combining groupBy on a small key domain — the
+    * cheapest distributed histogram shape at any scale.
+    */
+  def tokenHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    table(spark, sfDir, "documents")
+      .select(n.as("n_tokens"))
+      .select((expr("n_tokens div 50") * 50).as("bucket_lo"), col("n_tokens"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("bucket_lo")
+  }
+
+  def tokenHistSql: String =
+    """WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |           FROM documents)
+      |SELECT (n_tokens // 50) * 50 AS bucket_lo,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------- quality score
   /** Quality scoring: length band + stopword-density + repetition
     * filters, the standard pretraining-corpus heuristics. Ratios are

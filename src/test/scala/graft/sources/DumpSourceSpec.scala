@@ -83,4 +83,15 @@ class DumpSourceSpec extends AnyFunSuite {
     assert(it.next().table === "c")
     assert(!it.hasNext)
   }
+
+  test("a gzipped dump file reads transparently (S8 beyond the reference)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dump_gz")
+    val gz = dir.resolve("d.t.0001.sql.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+    out.write("INSERT INTO t (a,b) VALUES (1,'x'),(2,'y');\n".getBytes("UTF-8"))
+    out.close()
+    val rows = DumpSource.readRaw(graft.SparkSpec.session, Seq(gz.toString), Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq === Seq(("1", "x"), ("2", "y")))
+  }
 }
