@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.Crc64Expr
+import graft.functions.{Crc64Expr, QuantDot}
 
 /** SparkSessionExtensions hook: makes graft's custom Catalyst
   * expressions available to plain SQL. Activate with
@@ -28,11 +28,19 @@ object GraftExtensions {
     * also usable directly against a session's FunctionRegistry.
     */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("crc64"),
-      new ExpressionInfo(classOf[Crc64Expr].getName, "crc64"),
-      (children: Seq[Expression]) => {
-        require(children.size == 1, "crc64 takes exactly one argument")
-        Crc64Expr(children.head)
-      }))
+    Seq(
+      (
+        FunctionIdentifier("crc64"),
+        new ExpressionInfo(classOf[Crc64Expr].getName, "crc64"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "crc64 takes exactly one argument")
+          Crc64Expr(children.head)
+        }),
+      (
+        FunctionIdentifier("quant_dot"),
+        new ExpressionInfo(classOf[QuantDot].getName, "quant_dot"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "quant_dot takes exactly two arguments")
+          QuantDot(children.head, children(1))
+        }))
 }

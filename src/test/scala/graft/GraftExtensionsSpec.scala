@@ -25,4 +25,17 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(viaApi === got)
   }
+
+  test("quant_dot registers as a SQL function and matches the DataFrame path") {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+    val got = spark.sql(
+      "SELECT quant_dot(array(CAST(1.5 AS FLOAT), CAST(-0.25 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect()(0).getLong(0)
+    assert(got === 1500000L * 2000000L + -250000L * 4000000L)
+  }
 }
