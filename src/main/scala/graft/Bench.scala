@@ -1,25 +1,13 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: JVM/codegen/parquet-footer costs land here, not on the
-    // first measured query; fixture dirs pre-build so pipeline queries
-    // measure the import, not the scaffolding that writes their input.
-    GraftSession.tableNames.foreach { t =>
-      try GraftSession.table(spark, sfDir, t).count()
-      catch { case _: Throwable => }
-    }
+    val spark = GraftSession.benchSession(cpus)
+    // Warm-up: table scans plus fixture dirs pre-build, so pipeline
+    // queries measure the import, not the scaffolding that writes
+    // their input.
+    GraftSession.warmTables(spark, sfDir)
     try operators.PipelineQueries.warmFixtures(spark, sfDir)
     catch { case _: Throwable => }
     try operators.SimilarityQueries.warmLayouts(spark, sfDir)

@@ -1,10 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Single-query timing harness for iterating on one operator:
-  * `runMain graft.BenchOne <queryName> [reps]`. Same session config as
-  * [[Bench]]; prints one line per rep so plan-flip nondeterminism (AQE
-  * broadcast decisions, cache warm-up) is visible across reps.
+  * `runMain graft.BenchOne <queryName> [reps]`. Shares [[GraftSession]]
+  * session config and warm-up with [[Bench]]; prints one line per rep
+  * so plan-flip nondeterminism (AQE broadcast decisions, cache
+  * warm-up) is visible across reps.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -12,19 +12,8 @@ object BenchOne {
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftSession.tableNames.foreach { t =>
-      try GraftSession.table(spark, sfDir, t).count()
-      catch { case _: Throwable => }
-    }
+    val spark = GraftSession.benchSession(cpus)
+    GraftSession.warmTables(spark, sfDir)
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()

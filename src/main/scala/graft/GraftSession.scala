@@ -27,6 +27,31 @@ object GraftSession {
     spark
   }
 
+  /** The benchmark-harness session — shared by Bench and BenchOne so a
+    * config change cannot make their timings non-comparable.
+    */
+  def benchSession(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Warm-up pass: JVM/codegen/parquet-footer costs land here, not on
+    * the first measured query.
+    */
+  def warmTables(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach { t =>
+      try table(spark, sfDir, t).count()
+      catch { case _: Throwable => }
+    }
+
   /** Root for generated fixtures/layouts of one sf dir — single source
     * of truth for every operator that materializes test scaffolding.
     */

@@ -26,6 +26,15 @@ case class QuantDot(left: Expression, right: Expression) extends BinaryExpressio
   override def dataType: DataType = LongType
   override def prettyName: String = "quant_dot"
 
+  /** Nullable even when both children are non-nullable: a length
+    * mismatch or a null ELEMENT yields NULL. Without this override the
+    * default (children-derived) nullability declares the expression
+    * non-null, and nullSafeCodeGen then renders `ev.isNull` as the
+    * literal `false` — the generated `false = true;` fails Janino
+    * compilation and silently falls back to interpreted execution.
+    */
+  override def nullable: Boolean = true
+
   private def elemOf(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 

@@ -238,16 +238,21 @@ object DedupQueries {
     val fp = md5(col("text").cast("binary"))
     val corpus = docs.where(pmod(col("doc_id"), lit(2)) === 0)
       .select(fp.as("fp"))
+    // the batch is small by premise — materialize its fingerprints once
+    // instead of re-parsing the union for each side of the split below
     val batch = docs.where(pmod(col("doc_id"), lit(2)) === 1)
       .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
         .withColumn("doc_id", col("doc_id") + 700000))
       .select(col("doc_id"), fp.as("fp"))
+      .localCheckpoint(true)
     val bf = corpus.stat.bloomFilter("fp",
       expectedNumItems = math.max(1000L, corpus.count()), fpp = 0.01)
     // The bloom check is one cheap driver-broadcast probe per row; a
     // UDF here is fine — it GATES the expensive join rather than
-    // sitting in a per-element hot loop.
-    val mightContain = udf((s: String) => bf.mightContain(s))
+    // sitting in a per-element hot loop. Null-safe: a NULL fingerprint
+    // (NULL text) is definitely-new, matching the oracle's NOT EXISTS
+    // (NULL never matches) — and BloomFilter.mightContain(null) throws.
+    val mightContain = udf((s: String) => s != null && bf.mightContain(s))
     val definitelyNew = batch.where(!mightContain(col("fp")))
     val verifiedNew = batch.where(mightContain(col("fp")))
       .join(corpus, Seq("fp"), "left_anti")
@@ -422,7 +427,8 @@ object DedupQueries {
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 32) {
+    val maxRounds = 64
+    while (!converged && rounds < maxRounds) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("lab").as("plab"))
       val next = labels.join(prop, Seq("id"), "left")
@@ -435,6 +441,11 @@ object DedupQueries {
       prev.unpersist(false)
       rounds += 1
     }
+    // silent non-convergence would label one component inconsistently —
+    // fail loudly instead (a >64-diameter near-dup chain is pathological;
+    // it would call for the large-star/small-star variant)
+    if (!converged) throw new IllegalStateException(
+      s"duplicate-cluster propagation did not converge in $maxRounds rounds")
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
       .orderBy("doc_id")
   }

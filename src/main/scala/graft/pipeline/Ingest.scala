@@ -28,6 +28,12 @@ import graft.verify.{Checksum, KvChecksum}
   */
 object Ingest {
 
+  /** Floor of the ID range used to fill NULLs in a carried
+    * auto-increment column (2⁵² — far above any realistic explicit
+    * ID, well inside BIGINT).
+    */
+  val NullFillBase: Long = 1L << 52
+
   case class Config(
       sourceDir: String,
       targetDir: String,
@@ -248,12 +254,24 @@ object Ingest {
     val autoInc = schema.flatMap(_.columns.find(_.autoIncrement))
     val merged = autoInc match {
       case Some(c) =>
-        val synth = RowTransform.syntheticRowId(priorMaxId)
         union.columns.find(_.equalsIgnoreCase(c.name)) match {
           case Some(existing) =>
+            // NULL-allocate in a CARRIED column: fills come from a high
+            // range (≥2⁵²) so they cannot collide with explicit IDs in
+            // the same batch — a low-range fill computed before the
+            // batch's explicit max is known could (MySQL bumps its
+            // counter per row in insert order, which has no
+            // order-independent distributed equivalent; the high range
+            // is the same disjoint-space trick auto_random plays with
+            // its shard bits)
+            val base = math.max(priorMaxId, NullFillBase)
+            val synth = RowTransform.syntheticRowId(base)
             union.withColumn(existing,
               coalesce(col(existing), synth.cast(union.schema(existing).dataType)))
-          case None => union.withColumn(c.name, synth)
+          case None =>
+            // column fully absent: every ID is synthesized, so the
+            // low range starting after the prior run's max is safe
+            union.withColumn(c.name, RowTransform.syntheticRowId(priorMaxId))
         }
       case None => union
     }

@@ -44,6 +44,26 @@ object MySqlCsv {
     RowTransform.applySchema(raw, schema)
   }
 
+  /** Native CSV reader options for a dialect — the single source of
+    * truth shared by the batch reader and the streaming ingest, so
+    * both parse a file identically. Notes: an empty delimiter maps to
+    * the \u0000 quote sentinel; `notNull` maps the null sentinel to an
+    * impossible value; with backslash escapes OFF, MySQL still
+    * collapses a doubled delimiter inside a quoted field (reference
+    * `tests/issue_519`), which univocity expresses as escape == quote.
+    */
+  def readerOptions(dialect: CsvDialect): Map[String, String] = Map(
+    "sep" -> dialect.separator,
+    "encoding" -> dialect.encoding,
+    "quote" -> (if (dialect.delimiter.isEmpty) "\u0000" else dialect.delimiter),
+    "header" -> dialect.header.toString,
+    "nullValue" -> (if (dialect.notNull) "\u0000NONE" else dialect.nullValue),
+    "emptyValue" -> "",
+    "mode" -> "PERMISSIVE",
+    "escape" -> (if (dialect.backslashEscape) "\\"
+      else if (dialect.delimiter.nonEmpty) dialect.delimiter
+      else "\u0000"))
+
   /** Untyped (all-string) read honoring the dialect.
     *
     * With `header=true` the column names come from the file header,
@@ -67,20 +87,7 @@ object MySqlCsv {
       "ISO-8859-1", "US-ASCII", "UTF-16", "UTF-16BE", "UTF-16LE", "UTF-32", "UTF-8")
     if (dialect.separator.length == 1 && !dialect.trimLastSep &&
         sparkReaderCharsets.contains(dialect.encoding.toUpperCase(java.util.Locale.ROOT))) {
-      var r = spark.read
-        .option("sep", dialect.separator)
-        .option("encoding", dialect.encoding)
-        .option("quote", if (dialect.delimiter.isEmpty) "\u0000" else dialect.delimiter)
-        .option("header", dialect.header.toString)
-        .option("nullValue", if (dialect.notNull) "\u0000NONE" else dialect.nullValue)
-        .option("emptyValue", "")
-        .option("mode", "PERMISSIVE")
-      // With backslash escapes off, MySQL still collapses a doubled
-      // delimiter inside a quoted field (reference `tests/issue_519`);
-      // univocity expresses that rule as escape == quote char.
-      r = if (dialect.backslashEscape) r.option("escape", "\\")
-          else if (dialect.delimiter.nonEmpty) r.option("escape", dialect.delimiter)
-          else r.option("escape", "\u0000")
+      val r = spark.read.options(readerOptions(dialect))
       if (dialect.header) {
         // names from the header; inferSchema off keeps every column string
         val df = r.option("inferSchema", "false").csv(paths: _*)
@@ -160,7 +167,7 @@ object MySqlCsv {
   }
 
   /** Split one line on a multi-char separator, honoring quotes. */
-  private[sources] def splitLine(
+  def splitLine(
       line: String, sep: String, quote: Char, backslashEscape: Boolean): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
@@ -185,7 +192,7 @@ object MySqlCsv {
     out.toArray
   }
 
-  private[sources] def stripQuotes(f: String, quote: Char, esc: Boolean): String = {
+  def stripQuotes(f: String, quote: Char, esc: Boolean): String = {
     if (f.length >= 2 && quote != '\u0000' && f.charAt(0) == quote && f.last == quote)
       SqlLiterals.unescape(f.substring(1, f.length - 1), quote)
     else if (esc) SqlLiterals.unescape(f, quote)

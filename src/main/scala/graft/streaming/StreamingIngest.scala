@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.SparkSession
 
 import graft.schema.TableSchema
-import graft.sources.CsvDialect
+import graft.sources.{CsvDialect, MySqlCsv}
 import graft.transform.{GeneratedColumns, RowTransform}
 
 /** Continuous import — the reference's server mode (`lightning/
@@ -50,20 +50,24 @@ object StreamingIngest {
       maxFilesPerTrigger: Int = 1000): StreamingQuery = {
     require(dialect.separator.length == 1,
       "streaming ingest uses the native CSV source (single-char separator)")
+    require(!dialect.trimLastSep,
+      "trim-last-sep needs the tokenizer path; not supported for streaming")
+    // A streaming source needs its schema up front. With header=true
+    // the column ORDER comes from the landing files' header (peeked
+    // from one file; consistent across files by contract — the batch
+    // path builds a per-file permutation, a stream cannot), so a
+    // reordered-vs-schema header still loads correctly once
+    // applySchema name-matches. Headerless files use schema order.
+    val rawNames =
+      if (dialect.header) peekHeader(spark, landingDir, dialect).getOrElse(schema.colNames)
+      else schema.colNames
     val rawSchema = StructType(
-      schema.colNames.map(StructField(_, StringType, nullable = true)))
-    var reader = spark.readStream
+      rawNames.map(StructField(_, StringType, nullable = true)))
+    val raw = spark.readStream
       .schema(rawSchema)
-      .option("sep", dialect.separator)
-      .option("quote", if (dialect.delimiter.isEmpty) "\u0000" else dialect.delimiter)
-      .option("header", dialect.header.toString)
-      .option("nullValue", if (dialect.notNull) "\u0000NONE" else dialect.nullValue)
-      .option("emptyValue", "")
+      .options(MySqlCsv.readerOptions(dialect)) // same parse as batch
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-    reader = if (dialect.backslashEscape) reader.option("escape", "\\")
-      else if (dialect.delimiter.nonEmpty) reader.option("escape", dialect.delimiter)
-      else reader.option("escape", "\u0000")
-    val raw = reader.csv(landingDir)
+      .csv(landingDir)
     val typed = GeneratedColumns(RowTransform.applySchema(raw, schema), schema)
     val writer = typed.writeStream
       .format("parquet")
@@ -71,5 +75,34 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Header names (lowercased) from the first line of one landing
+    * file, None when the directory has no data file yet. Driver-side,
+    * once per stream start.
+    */
+  private[streaming] def peekHeader(
+      spark: SparkSession,
+      landingDir: String,
+      dialect: CsvDialect): Option[Seq[String]] = {
+    val fs = new org.apache.hadoop.fs.Path(landingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(landingDir)
+    if (!fs.exists(dir)) return None
+    val files = fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+    files.headOption.map { f =>
+      val in = fs.open(f.getPath)
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, dialect.encoding))
+        val line = Option(br.readLine()).getOrElse("")
+        val quote = if (dialect.delimiter.nonEmpty) dialect.delimiter.charAt(0) else '\u0000'
+        MySqlCsv.splitLine(line, dialect.separator, quote, dialect.backslashEscape)
+          .map(c => MySqlCsv.stripQuotes(c, quote, dialect.backslashEscape).trim.toLowerCase)
+          .toSeq
+      } finally in.close()
+    }
   }
 }

@@ -62,6 +62,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2).isNullAt(0) && got(3).isNullAt(0) && got(4).isNullAt(0))
   }
 
+  test("quantDot with non-nullable literal children still yields NULL on length mismatch") {
+    // array(...) literals are non-nullable — without the nullable
+    // override this declared the expression non-null, broke codegen
+    // compilation, and could fold IsNull(...) to false
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    graft.GraftExtensions.functions.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+    val got = spark.sql(
+      "SELECT quant_dot(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d")
+      .collect()(0)
+    assert(got.isNullAt(0))
+  }
+
   test("quantDot mixes float and long arrays (LSH plane literals)") {
     import spark.implicits._
     val df = Seq((Seq(0.5f, -1.0f), Seq(3L, 7L))).toDF("a", "b")

@@ -188,20 +188,23 @@ class IngestSpec extends SparkSpec {
     assert(newOnes.forall(_ > ids1.max))
   }
 
-  test("NULL in a carried auto-increment column gets the next allocated id") {
+  test("NULL in a carried auto-increment column allocates without colliding with explicit ids") {
     val root = Files.createTempDirectory("graft_autoinc_null").toString
     Files.writeString(Paths.get(root, "d.an-schema.sql"),
       "CREATE TABLE an (id bigint NOT NULL AUTO_INCREMENT, v varchar(10), PRIMARY KEY (id));")
-    Files.writeString(Paths.get(root, "d.an.0001.csv"), "10,\"a\"\n\\N,\"b\"\n11,\"c\"\n")
+    // explicit ids 1 and 2 bracket the NULL row: a low-range fill
+    // (priorMax=0 → id 1 or 2) would collide with them
+    Files.writeString(Paths.get(root, "d.an.0001.csv"), "1,\"a\"\n\\N,\"b\"\n2,\"c\"\n")
     val out = Files.createTempDirectory("graft_autoinc_null_out").toString
     val r = Ingest.run(spark, Ingest.Config(root, out)).head
     assert(r.nRows === 3 && r.checksumOk)
     val rows = spark.read.parquet(s"$out/d.an").collect()
       .map(x => (x.getLong(0), x.getString(1)))
     assert(rows.length === 3 && rows.map(_._1).distinct.length === 3)
-    // explicit values kept; the NULL got a non-null allocation
+    // explicit values kept; the NULL allocated from the high range
     val byV = rows.map { case (id, v) => v -> id }.toMap
-    assert(byV("a") === 10L && byV("c") === 11L && byV("b") >= 1L)
+    assert(byV("a") === 1L && byV("c") === 2L && byV("b") >= Ingest.NullFillBase)
+    assert(r.maxRowId === byV("b")) // rebase point covers the fill
   }
 
   test("viewSelect handles qualifier clauses and parenthesized bodies") {

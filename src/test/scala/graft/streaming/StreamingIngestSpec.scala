@@ -38,4 +38,19 @@ class StreamingIngestSpec extends SparkSpec {
     q3.awaitTermination()
     assert(spark.read.parquet(out).count() === 3)
   }
+
+  test("streaming ingest with a reordered header name-matches like the batch path") {
+    val schema = MysqlDdl.parse(ddl)
+    val landing = Files.createTempDirectory("graft_sing_hdr_src").toString
+    val out = Files.createTempDirectory("graft_sing_hdr_out").toString
+    val ckpt = Files.createTempDirectory("graft_sing_hdr_ckpt").toString
+    // header order v,id — reversed relative to the schema
+    Files.writeString(Paths.get(landing, "b1.csv"), "v,id\n\"a\",1\n\"b\",2\n")
+    val q = StreamingIngest.run(spark, landing, schema, out, ckpt,
+      dialect = graft.sources.CsvDialect(header = true))
+    q.awaitTermination()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq === Seq((1, "a", "a!"), (2, "b", "b!")))
+  }
 }
