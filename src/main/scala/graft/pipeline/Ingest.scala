@@ -251,7 +251,20 @@ object Ingest {
     // insert semantics, reference `lightning/backend/sql2kv.go:310-312`).
     // The base rebases past the prior run's max (allocator rebase,
     // `lightning/backend/allocator.go:23-61`).
-    val autoInc = schema.flatMap(_.columns.find(_.autoIncrement))
+    // T5: AUTO_RANDOM synthesis — shard bits from the (deterministic)
+    // partition id, low bits from the chunk row-ID, exactly the
+    // reference's composition (`lightning/backend/sql2kv.go:69-77,313-320`
+    // uses a per-chunk seed the same way). Tracked/rebased by the LOW
+    // bits, mirroring AUTO_RANDOM_BASE (`lightning/restore/tidb.go:369-382`).
+    val autoRand = schema.flatMap(_.columns.find(_.autoRandomBits.isDefined))
+    val autoInc = schema.flatMap(_.columns.find(_.autoIncrement)).orElse(autoRand)
+    def synthFor(c: graft.schema.ColumnSpec, base: Long): org.apache.spark.sql.Column =
+      c.autoRandomBits match {
+        case Some(bits) => RowTransform.autoRandom(
+          RowTransform.syntheticRowId(base),
+          org.apache.spark.sql.functions.spark_partition_id(), bits)
+        case None => RowTransform.syntheticRowId(base)
+      }
     val merged = autoInc match {
       case Some(c) =>
         union.columns.find(_.equalsIgnoreCase(c.name)) match {
@@ -265,13 +278,12 @@ object Ingest {
             // is the same disjoint-space trick auto_random plays with
             // its shard bits)
             val base = math.max(priorMaxId, NullFillBase)
-            val synth = RowTransform.syntheticRowId(base)
             union.withColumn(existing,
-              coalesce(col(existing), synth.cast(union.schema(existing).dataType)))
+              coalesce(col(existing), synthFor(c, base).cast(union.schema(existing).dataType)))
           case None =>
             // column fully absent: every ID is synthesized, so the
             // low range starting after the prior run's max is safe
-            union.withColumn(c.name, RowTransform.syntheticRowId(priorMaxId))
+            union.withColumn(c.name, synthFor(c, priorMaxId))
         }
       case None => union
     }
@@ -296,8 +308,16 @@ object Ingest {
     SortedParquetSink.writeObservedMetrics(typed, out, sortCols, obs,
       _ => Checksum.checksumColOf(dataCols) +:
         (errCol.toSeq.map(e => coalesce(sum(col(e)), lit(0L)).as("bad_rows")) ++
-          autoInc.map(c => coalesce(max(col(c.name).cast("long")), lit(0L))
-            .as("max_row_id"))),
+          autoInc.map { c =>
+            // auto_random rebases by its LOW (row-ID) bits only — the
+            // shard prefix is not part of the allocation counter
+            val idCol = c.autoRandomBits match {
+              case Some(bits) =>
+                col(c.name).cast("long").bitwiseAND((1L << (63 - bits)) - 1)
+              case None => col(c.name).cast("long")
+            }
+            coalesce(max(idCol), lit(0L)).as("max_row_id")
+          }),
       dropCols = errCol.toSeq,
       mode = if (prior.isDefined) "append" else "overwrite")
     val pre = Checksum.fromMetric(obs.get("kv_checksum"))

@@ -19,7 +19,8 @@ case class ColumnSpec(
     generated: Option[GeneratedCol],
     autoIncrement: Boolean,
     unsigned: Boolean,
-    enumValues: Seq[String]) {
+    enumValues: Seq[String],
+    autoRandomBits: Option[Int] = None) {
   def field: StructField = StructField(name, sparkType, nullable)
 }
 
@@ -80,8 +81,15 @@ object MysqlDdl {
   private val CreateRe =
     """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"\w.]+)\s*\(""".r
 
+  /** Versioned/executable comments (`/*!50100 ... */`, TiDB
+    * `/*T![flag] ... */`) are UNWRAPPED — their content is real DDL the
+    * emitting server executes (TiDB ships AUTO_RANDOM this way) —
+    * before plain comments are stripped.
+    */
   private def stripComments(s: String): String =
-    s.replaceAll("(?s)/\\*.*?\\*/", " ").replaceAll("(?m)--.*$", " ")
+    s.replaceAll("(?s)/\\*(?:!\\d*|T!\\[[\\w]*\\])(.*?)\\*/", "$1")
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("(?m)--.*$", " ")
 
   private def parseQualifiedName(raw: String): (Option[String], String) = {
     val parts = splitTopLevel(raw, '.').map(unquoteIdent)
@@ -160,6 +168,10 @@ object MysqlDdl {
     val unsigned = restU.contains("UNSIGNED")
     val notNull = restU.contains("NOT NULL")
     val autoInc = restU.contains("AUTO_INCREMENT")
+    // TiDB extension: `bigint AUTO_RANDOM[(shard_bits)]`, default 5
+    // (reference `tests/alter_random`, `tests/auto_random_default`)
+    val autoRandom = AutoRandomRe.findFirstMatchIn(rest)
+      .map(m => Option(m.group(1)).map(_.toInt).getOrElse(5))
     val generated = GenRe.findFirstMatchIn(rest).map { g =>
       GeneratedCol(g.group(1).trim, !restU.contains("VIRTUAL"))
     }
@@ -173,8 +185,10 @@ object MysqlDdl {
       else Seq.empty
     ColumnSpec(name, baseType + (if (args.nonEmpty) s"($args)" else ""),
       sparkType(baseType, args, unsigned), nullable = !notNull,
-      default, generated, autoInc, unsigned, enumValues)
+      default, generated, autoInc, unsigned, enumValues, autoRandom)
   }
+
+  private val AutoRandomRe = """(?i)AUTO_RANDOM\s*(?:\((\d+)\))?""".r
 
   // `AS (expr)` — match the parenthesized expr with balanced parens handled
   // by greedy scan below; regex grabs from AS ( to the clause end keywords.

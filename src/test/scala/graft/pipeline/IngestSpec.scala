@@ -207,6 +207,33 @@ class IngestSpec extends SparkSpec {
     assert(r.maxRowId === byV("b")) // rebase point covers the fill
   }
 
+  test("AUTO_RANDOM column absent from the source synthesizes sharded unique ids") {
+    val root = Files.createTempDirectory("graft_autorand").toString
+    // TiDB dumps AUTO_RANDOM inside an executable comment
+    Files.writeString(Paths.get(root, "d.ar-schema.sql"),
+      "CREATE TABLE ar (id bigint NOT NULL /*T![auto_rand] AUTO_RANDOM(5) */, " +
+        "v varchar(10), PRIMARY KEY (id));")
+    Files.writeString(Paths.get(root, "d.ar.0001.csv"),
+      "v\n" + (1 to 40).map(i => s""""v$i"""").mkString("\n") + "\n")
+    val out = Files.createTempDirectory("graft_autorand_out").toString
+    val state = Files.createTempDirectory("graft_autorand_state").toString
+    val cfg = Ingest.Config(root, out, stateDir = Some(state),
+      csvDialect = graft.sources.CsvDialect(header = true))
+    val r = Ingest.run(spark, cfg).head
+    assert(r.nRows === 40 && r.checksumOk)
+    val ids = spark.read.parquet(s"$out/d.ar").collect().map(_.getLong(0))
+    assert(ids.length === 40 && ids.distinct.length === 40)
+    // low 58 bits are the row-ID portion; the report rebases on them
+    val mask = (1L << 58) - 1
+    assert(r.maxRowId === ids.map(_ & mask).max)
+    // resume: a new shard's ids stay unique against the first batch
+    Files.writeString(Paths.get(root, "d.ar.0002.csv"), "v\n\"w1\"\n\"w2\"\n")
+    val second = Ingest.run(spark, cfg).head
+    assert(second.checksumOk && second.nRows === 42)
+    val ids2 = spark.read.parquet(s"$out/d.ar").collect().map(_.getLong(0))
+    assert(ids2.length === 42 && ids2.distinct.length === 42)
+  }
+
   test("viewSelect handles qualifier clauses and parenthesized bodies") {
     assert(Ingest.viewSelect(
       "CREATE ALGORITHM=UNDEFINED VIEW v AS SELECT a FROM t;")

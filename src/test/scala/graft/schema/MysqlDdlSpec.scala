@@ -97,4 +97,28 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(byName("e").default === Some("a,b"))
     assert(byName("n").default === Some("0"))
   }
+
+  test("AUTO_RANDOM parses bare, with bits, and inside TiDB executable comments") {
+    val t = MysqlDdl.parse(
+      """CREATE TABLE ar (
+        |  a bigint AUTO_RANDOM,
+        |  b bigint /*T![auto_rand] AUTO_RANDOM(6) */ NOT NULL,
+        |  c bigint AUTO_INCREMENT,
+        |  d bigint
+        |);""".stripMargin)
+    val byName = t.columns.map(c => c.name -> c).toMap
+    assert(byName("a").autoRandomBits === Some(5)) // TiDB default shard bits
+    assert(byName("b").autoRandomBits === Some(6))
+    assert(!byName("b").nullable) // NOT NULL survives the unwrap
+    assert(byName("c").autoRandomBits === None && byName("c").autoIncrement)
+    assert(byName("d").autoRandomBits === None)
+  }
+
+  test("plain block comments still strip while versioned comments unwrap") {
+    val t = MysqlDdl.parse(
+      "CREATE TABLE x (a int /* just a note */, b int /*!50100 UNSIGNED */);")
+    val byName = t.columns.map(c => c.name -> c).toMap
+    assert(!byName("a").unsigned)
+    assert(byName("b").unsigned)
+  }
 }
