@@ -43,6 +43,7 @@ object SparkEntry {
     "q_compact" -> IngestQueries.compactOutput,
     "q_text_stats" -> TextQueries.textStats,
     "q_token_hist" -> TextQueries.tokenHist,
+    "q_pack_sequences" -> TextQueries.packSequences,
     "q_quality_score" -> TextQueries.qualityScore,
     "q_langid" -> TextQueries.langid,
     "q_fingerprint" -> TextQueries.fingerprint,
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_compact" -> IngestQueries.compactOutputSql,
     "q_text_stats" -> TextQueries.textStatsSql,
     "q_token_hist" -> TextQueries.tokenHistSql,
+    "q_pack_sequences" -> TextQueries.packSequencesSql,
     "q_quality_score" -> TextQueries.qualityScoreSql,
     "q_langid" -> TextQueries.langidSql,
     "q_fingerprint" -> TextQueries.fingerprintSql,

@@ -86,6 +86,48 @@ object TextQueries {
       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ sequence packing
+  /** Training-sequence packing: assign documents to fixed token-budget
+    * packs (2048 tokens) — the step that turns a curated corpus into
+    * model-ready sequences. Deterministic start-offset packing: docs
+    * order by doc_id within their language, each doc's pack is
+    * floor(start_offset / budget) where start_offset is the running
+    * token count before it. A doc longer than the budget just spans
+    * packs, like real packers truncate/continue.
+    *
+    * Scale: the window partitions by language, so the running sum
+    * distributes across strata instead of the single-reducer global
+    * window; within a stratum it is the standard distributed
+    * running-total shape. Output is per-pack stats (doc count, token
+    * total) — small everywhere.
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    val n = size(tokens(col("text"))).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), n.as("n_tokens"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) - col("n_tokens"))
+      .select(col("lang"), expr(s"start_off div $budget").as("pack_id"),
+        col("n_tokens"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("lang", "pack_id")
+  }
+
+  def packSequencesSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT lang, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens AS start_off
+      |  FROM t)
+      |SELECT lang, start_off // 2048 AS pack_id,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------- quality score
   /** Quality scoring: length band + stopword-density + repetition
     * filters, the standard pretraining-corpus heuristics. Ratios are
