@@ -77,8 +77,13 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("kept_id")).as("sum_ids"))
   }
 
+  // group-by-text, not count(*): the corpus is allowed to contain
+  // natural exact duplicates (sf0.1 has 8), and the operator must
+  // collapse those too — an oracle assuming all-unique texts would
+  // report the planted copies only
   def dedupExactSql: String =
-    "SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM documents"
+    """SELECT count(*) AS n_kept, CAST(sum(kept_id) AS BIGINT) AS sum_ids
+      |FROM (SELECT min(doc_id) AS kept_id FROM documents GROUP BY md5(text))""".stripMargin
 
   // ----------------------------------------------------- n-gram Jaccard
   /** Near-dup pairs by exact n-gram Jaccard ≥ 0.5 (the ground truth the
