@@ -21,7 +21,14 @@ object Bench {
       // and elide sorts, understating real query cost.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // release the previous query's localCheckpoint/cache blocks NOW:
+      // the ContextCleaner frees them only after a GC notices the
+      // dropped references, and letting them pile up makes later
+      // queries pay unrelated eviction/GC cost (observed as multi-x
+      // timing swings between identical runs)
+      System.gc()
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
