@@ -24,8 +24,16 @@ object TextFunctions {
 
   /** 56-bit hash from the first 14 hex chars of md5 — numerically
     * identical to DuckDB's CAST('0x'||substr(md5(x),1,14) AS BIGINT).
+    * Computed by the codegen'd [[Md5Long56]] kernel (digest bytes →
+    * long, no hex-string round trip); [[md5LongComposed]] is the
+    * `functions._` twin the specs pin it against.
     */
-  def md5Long(c: Column): Column =
+  def md5Long(c: Column): Column = Md5Long56.md5Long56(c.cast("binary"))
+
+  /** The composed (hex-string) form of [[md5Long]] — same value,
+    * slower; kept as the spec's semantic reference.
+    */
+  def md5LongComposed(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 14), 16, 10).cast(LongType)
 
   /** Seeded variant: hash family member i (for MinHash). */

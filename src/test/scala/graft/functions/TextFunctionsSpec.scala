@@ -32,6 +32,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fromSpark.toSeq === inputs.map(md5LongLocal))
   }
 
+  test("md5Long codegen kernel equals the hex-string composition and handles nulls") {
+    import spark.implicits._
+    val inputs: Seq[String] = Seq("hello", "", "émoji ✨", "a b c", null)
+    val rows = inputs.toDF("s")
+      .select(md5Long(col("s")).as("fast"), md5LongComposed(col("s")).as("slow"))
+      .collect()
+    rows.foreach { r => assert(Option(r.get(0)) === Option(r.get(1))) }
+    assert(rows.last.isNullAt(0))
+  }
+
   test("quantDot is exact integer math") {
     import spark.implicits._
     val df = Seq((Seq(1.5f, -0.25f), Seq(2.0f, 4.0f))).toDF("a", "b")
