@@ -234,6 +234,48 @@ class IngestSpec extends SparkSpec {
     assert(ids2.length === 42 && ids2.distinct.length === 42)
   }
 
+  test("various types round-trip through a dump import (reference tests/various_types)") {
+    val root = Files.createTempDirectory("graft_vt").toString
+    Files.writeString(Paths.get(root, "d.vt-schema.sql"),
+      """CREATE TABLE vt (
+        |  id bigint NOT NULL,
+        |  dt datetime,
+        |  d date,
+        |  dec decimal(10,2),
+        |  en enum('red','green','blue'),
+        |  st set('a','b','c'),
+        |  bt bit(8),
+        |  tm time,
+        |  yr year,
+        |  js json,
+        |  bl boolean,
+        |  PRIMARY KEY (id)
+        |);""".stripMargin)
+    Files.writeString(Paths.get(root, "d.vt.0001.sql"),
+      """INSERT INTO vt (id, dt, d, dec, en, st, bt, tm, yr, js, bl) VALUES
+        |(1, '2024-03-01 12:34:56', '2024-03-01', 12345.67, 'red', 'a,c', b'101', '10:20:30', 2024, '{"k": 1}', TRUE),
+        |(2, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, FALSE);""".stripMargin)
+    val out = Files.createTempDirectory("graft_vt_out").toString
+    val r = Ingest.run(spark, Ingest.Config(root, out)).head
+    assert(r.nRows === 2 && r.checksumOk)
+    val back = spark.read.parquet(s"$out/d.vt").orderBy("id").collect()
+    val r1 = back(0)
+    assert(r1.getLong(0) === 1L)
+    assert(r1.getTimestamp(1).toInstant.toString === "2024-03-01T12:34:56Z") // UTC session
+    assert(r1.getDate(2).toString === "2024-03-01")
+    assert(r1.getDecimal(3) === new java.math.BigDecimal("12345.67"))
+    assert(r1.getString(4) === "red")
+    assert(r1.getString(5) === "a,c")
+    assert(r1.getLong(6) === 5L) // b'101'
+    assert(r1.getString(7) === "10:20:30")
+    assert(r1.getInt(8) === 2024)
+    assert(r1.getString(9) === """{"k": 1}""")
+    assert(r1.getBoolean(10) === true)
+    val r2 = back(1)
+    assert(r2.getLong(0) === 2L && !r2.getBoolean(10))
+    (1 to 9).foreach(i => assert(r2.isNullAt(i), s"col $i should be null"))
+  }
+
   test("viewSelect handles qualifier clauses and parenthesized bodies") {
     assert(Ingest.viewSelect(
       "CREATE ALGORITHM=UNDEFINED VIEW v AS SELECT a FROM t;")
