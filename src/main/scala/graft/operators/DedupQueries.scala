@@ -45,18 +45,11 @@ object DedupQueries {
     Array.tabulate(MinhashK)(i => math.floorMod(md5LongLocal(s"b:$i"), M31))
   private def sqlLongList(xs: Array[Long]): String = xs.mkString("[", ", ", "]")
 
-  /** Distinct (doc_id, shingle-hash) pairs. Shingles leave the map
-    * stage as 56-bit md5 hashes, not strings: the self-join then
-    * shuffles 8-byte keys instead of ~40-byte 5-grams — at 100 TB
-    * that's the difference between a survivable and a pathological
-    * shuffle. The oracle hashes identically, so any (negligible,
-    * 2⁻⁵⁶) collision affects both engines the same way.
-    */
-  private def shingleDf(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
-      .select(col("doc_id"), md5Long(col("s")).as("h"))
-      .distinct()
+  // Shingles leave the map stage as 56-bit md5 hashes, not strings:
+  // downstream joins shuffle 8-byte keys instead of ~40-byte 5-grams —
+  // at 100 TB that's the difference between a survivable and a
+  // pathological shuffle. The oracle hashes identically, so any
+  // (negligible, 2⁻⁵⁶) collision affects both engines the same way.
 
   private val shingleCte =
     s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
@@ -98,7 +91,16 @@ object DedupQueries {
     * exactly.
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val shAll = shingleDf(spark, sfDir).cache()
+    // ONE groupBy(doc_id) produces the distinct shingle sets; the flat
+    // distinct (doc_id, h) view explodes back map-side — same rows as
+    // `.distinct()` for one full shuffle fewer, and the per-doc counts
+    // come free as size(hs)
+    val byDoc = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
+      .select(col("doc_id"), md5Long(col("s")).as("h"))
+      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+      .cache()
+    val shAll = byDoc.select(col("doc_id"), explode(col("hs")).as("h"))
     // the HOT set (df > cap) is tiny by construction — broadcast it and
     // anti-join, so the cap costs one map-side-combined groupBy plus a
     // broadcast, never a second full shuffle of the shingle set
@@ -121,7 +123,7 @@ object DedupQueries {
     // materialize the (small) pair set, then release the shingle caches
     val out = pairs.localCheckpoint(true)
     sh.unpersist(false)
-    shAll.unpersist(false)
+    byDoc.unpersist(false)
     out
   }
 
