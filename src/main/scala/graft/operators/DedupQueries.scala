@@ -93,8 +93,10 @@ object DedupQueries {
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     // ONE groupBy(doc_id) produces the distinct shingle sets; the flat
     // distinct (doc_id, h) view explodes back map-side — same rows as
-    // `.distinct()` for one full shuffle fewer, and the per-doc counts
-    // come free as size(hs)
+    // `.distinct()` for one full shuffle fewer. NB the per-doc counts
+    // are recomputed from the CAPPED set below (`cnt`), NOT size(hs):
+    // Jaccard must use the same capped universe on both sides or the
+    // oracle diverges.
     val byDoc = table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
       .select(col("doc_id"), md5Long(col("s")).as("h"))
@@ -148,11 +150,11 @@ object DedupQueries {
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     // One row per doc: all 12 min-hashes computed in a single map-side-
     // combining groupBy (no ×k row explosion), plus the shingle set for
-    // candidate verification and its size. The input skips shingleDf's
-    // `distinct` — `min` is duplicate-insensitive and `collect_set`
-    // dedups in the aggregation buffer, so the pre-shuffle distinct
-    // would only add a second full shuffle of the largest intermediate
-    // for identical results. ONE shuffle total, truly.
+    // candidate verification and its size. No pre-shuffle distinct —
+    // `min` is duplicate-insensitive and `collect_set` dedups in the
+    // aggregation buffer, so a distinct would only add a second full
+    // shuffle of the largest intermediate for identical results. ONE
+    // shuffle total.
     val aggCols =
       collect_set(col("h")).as("hs") +:
         (0 until MinhashK).map { i =>

@@ -265,10 +265,21 @@ object Ingest {
           org.apache.spark.sql.functions.spark_partition_id(), bits)
         case None => RowTransform.syntheticRowId(base)
       }
+    // The partition-shifted / high-range schemes produce values far
+    // beyond 2³¹ — fine for bigint (and AUTO_RANDOM is bigint by
+    // definition), but an int/smallint auto-inc column would overflow
+    // to NULL in the cast. Narrow columns take the dense counting
+    // scheme instead (chunkedRowId — one extra materialization pass,
+    // bounded by the narrow type's own row-count ceiling).
+    def wide(c: graft.schema.ColumnSpec): Boolean =
+      c.autoRandomBits.isDefined ||
+        c.sparkType == org.apache.spark.sql.types.LongType ||
+        c.sparkType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    val FillCol = "_graft_fill_id"
     val merged = autoInc match {
       case Some(c) =>
         union.columns.find(_.equalsIgnoreCase(c.name)) match {
-          case Some(existing) =>
+          case Some(existing) if wide(c) =>
             // NULL-allocate in a CARRIED column: fills come from a high
             // range (≥2⁵²) so they cannot collide with explicit IDs in
             // the same batch — a low-range fill computed before the
@@ -280,10 +291,23 @@ object Ingest {
             val base = math.max(priorMaxId, NullFillBase)
             union.withColumn(existing,
               coalesce(col(existing), synthFor(c, base).cast(union.schema(existing).dataType)))
-          case None =>
+          case Some(existing) =>
+            // narrow column: dense fills above the batch's explicit max
+            // (one narrow single-column agg) — they must fit the type
+            val explicitMax = Option(
+              union.agg(max(col(existing).cast("long"))).head.get(0))
+              .map(_.asInstanceOf[Long]).getOrElse(0L)
+            val base = math.max(priorMaxId, explicitMax)
+            RowTransform.chunkedRowId(union, FillCol, base)
+              .withColumn(existing,
+                coalesce(col(existing), col(FillCol).cast(union.schema(existing).dataType)))
+              .drop(FillCol)
+          case None if wide(c) =>
             // column fully absent: every ID is synthesized, so the
             // low range starting after the prior run's max is safe
             union.withColumn(c.name, synthFor(c, priorMaxId))
+          case None =>
+            RowTransform.chunkedRowId(union, c.name, priorMaxId)
         }
       case None => union
     }

@@ -84,12 +84,16 @@ object MysqlDdl {
   /** Versioned/executable comments (`/*!50100 ... */`, TiDB
     * `/*T![flag] ... */`) are UNWRAPPED — their content is real DDL the
     * emitting server executes (TiDB ships AUTO_RANDOM this way) —
-    * before plain comments are stripped.
+    * before plain block comments are stripped. Shared with
+    * `CharsetReader.clean` so schema-file cleaning and DDL parsing
+    * can't diverge.
     */
-  private def stripComments(s: String): String =
+  def unwrapAndStripBlockComments(s: String): String =
     s.replaceAll("(?s)/\\*(?:!\\d*|T!\\[[\\w]*\\])(.*?)\\*/", "$1")
       .replaceAll("(?s)/\\*.*?\\*/", " ")
-      .replaceAll("(?m)--.*$", " ")
+
+  private def stripComments(s: String): String =
+    unwrapAndStripBlockComments(s).replaceAll("(?m)--.*$", " ")
 
   private def parseQualifiedName(raw: String): (Option[String], String) = {
     val parts = splitTopLevel(raw, '.').map(unquoteIdent)
@@ -164,13 +168,20 @@ object MysqlDdl {
     val baseType = rawType.toLowerCase
     val args = Option(rawArgs).map(_.trim.stripPrefix("(").stripSuffix(")")).getOrElse("")
     val rest = Option(rawRest).getOrElse("")
-    val restU = rest.toUpperCase
+    // keyword flags scan over the rest with string literals BLANKED:
+    // `COMMENT 'migrated from auto_random'` or a DEFAULT containing
+    // "unsigned" must not flip column semantics. DefaultRe/GenRe keep
+    // the raw text (they extract literal/expression content).
+    val restFlags = blankStringLiterals(rest)
+    val restU = restFlags.toUpperCase
     val unsigned = restU.contains("UNSIGNED")
     val notNull = restU.contains("NOT NULL")
     val autoInc = restU.contains("AUTO_INCREMENT")
-    // TiDB extension: `bigint AUTO_RANDOM[(shard_bits)]`, default 5
-    // (reference `tests/alter_random`, `tests/auto_random_default`)
-    val autoRandom = AutoRandomRe.findFirstMatchIn(rest)
+    // TiDB extension: `bigint AUTO_RANDOM[(shard_bits[, range_bits])]`,
+    // default 5 shard bits (reference `tests/alter_random`,
+    // `tests/auto_random_default`; two-arg form since TiDB v6.3 — the
+    // range width is not needed for synthesis)
+    val autoRandom = AutoRandomRe.findFirstMatchIn(restFlags)
       .map(m => Option(m.group(1)).map(_.toInt).getOrElse(5))
     val generated = GenRe.findFirstMatchIn(rest).map { g =>
       GeneratedCol(g.group(1).trim, !restU.contains("VIRTUAL"))
@@ -188,7 +199,27 @@ object MysqlDdl {
       default, generated, autoInc, unsigned, enumValues, autoRandom)
   }
 
-  private val AutoRandomRe = """(?i)AUTO_RANDOM\s*(?:\((\d+)\))?""".r
+  private val AutoRandomRe =
+    """(?i)AUTO_RANDOM\s*(?:\(\s*(\d+)\s*(?:,\s*\d+\s*)?\))?""".r
+
+  /** Replace single/double-quoted literal contents with spaces so
+    * keyword scans can't match inside them (length-preserving).
+    */
+  private[schema] def blankStringLiterals(s: String): String = {
+    val sb = new StringBuilder(s)
+    var i = 0
+    var q: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) {
+        if (c == '\\' && i + 1 < s.length) { sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' '); i += 1 }
+        else if (c == q) q = 0
+        else sb.setCharAt(i, ' ')
+      } else if (c == '\'' || c == '"') q = c
+      i += 1
+    }
+    sb.toString
+  }
 
   // `AS (expr)` — match the parenthesized expr with balanced parens handled
   // by greedy scan below; regex grabs from AS ( to the clause end keywords.

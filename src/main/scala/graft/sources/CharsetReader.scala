@@ -58,13 +58,7 @@ object CharsetReader {
     clean(decode(bytes, charset))
   }
 
-  /** Versioned/executable comments (`/*!50100 ... */`, TiDB
-    * `/*T![flag] ... */`) unwrap — their content is DDL the emitting
-    * server executes (AUTO_RANDOM ships this way) — before plain
-    * comments strip. Same rule as `MysqlDdl.stripComments`.
-    */
   private def clean(s: String): String =
-    s.replaceAll("(?s)/\\*(?:!\\d*|T!\\[[\\w]*\\])(.*?)\\*/", "$1")
-      .replaceAll("(?s)/\\*.*?\\*/", " ")
+    graft.schema.MysqlDdl.unwrapAndStripBlockComments(s)
       .replaceAll("(?m)^\\s*--.*$", " ")
 }

@@ -44,6 +44,13 @@ object MySqlCsv {
     RowTransform.applySchema(raw, schema)
   }
 
+  /** Charsets Spark 4's native CSV reader accepts; anything else
+    * (GB18030 etc.) decodes through the JVM-charset tokenizer path.
+    */
+  def sparkReaderSupports(encoding: String): Boolean =
+    Set("ISO-8859-1", "US-ASCII", "UTF-16", "UTF-16BE", "UTF-16LE", "UTF-32", "UTF-8")
+      .contains(encoding.toUpperCase(java.util.Locale.ROOT))
+
   /** Native CSV reader options for a dialect — the single source of
     * truth shared by the batch reader and the streaming ingest, so
     * both parse a file identically. Notes: an empty delimiter maps to
@@ -83,10 +90,8 @@ object MySqlCsv {
     // per line, reference `csv_parser.go` `trim-last-sep`) needs
     // per-line field surgery, and Spark 4's CSV reader only accepts a
     // short charset list (GB18030 etc. decode via JVM charsets there).
-    val sparkReaderCharsets = Set(
-      "ISO-8859-1", "US-ASCII", "UTF-16", "UTF-16BE", "UTF-16LE", "UTF-32", "UTF-8")
     if (dialect.separator.length == 1 && !dialect.trimLastSep &&
-        sparkReaderCharsets.contains(dialect.encoding.toUpperCase(java.util.Locale.ROOT))) {
+        sparkReaderSupports(dialect.encoding)) {
       val r = spark.read.options(readerOptions(dialect))
       if (dialect.header) {
         // names from the header; inferSchema off keeps every column string

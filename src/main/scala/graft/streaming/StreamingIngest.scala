@@ -52,6 +52,8 @@ object StreamingIngest {
       "streaming ingest uses the native CSV source (single-char separator)")
     require(!dialect.trimLastSep,
       "trim-last-sep needs the tokenizer path; not supported for streaming")
+    require(MySqlCsv.sparkReaderSupports(dialect.encoding),
+      s"charset ${dialect.encoding} needs the tokenizer path; not supported for streaming")
     // A streaming source needs its schema up front. With header=true
     // the column ORDER comes from the landing files' header (peeked
     // from one file; consistent across files by contract — the batch
@@ -89,8 +91,12 @@ object StreamingIngest {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(landingDir)
     if (!fs.exists(dir)) return None
+    // same exclusions as Spark's file stream listing: '_'- and
+    // '.'-prefixed files are metadata/hidden (e.g. LocalFileSystem's
+    // .crc siblings), never data
     val files = fs.listStatus(dir).toSeq
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
     files.headOption.map { f =>
       val in = fs.open(f.getPath)

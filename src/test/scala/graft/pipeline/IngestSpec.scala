@@ -207,6 +207,25 @@ class IngestSpec extends SparkSpec {
     assert(r.maxRowId === byV("b")) // rebase point covers the fill
   }
 
+  test("narrow int auto-increment columns fill densely within the type's range") {
+    val root = Files.createTempDirectory("graft_autoinc_int").toString
+    Files.writeString(Paths.get(root, "d.ni-schema.sql"),
+      "CREATE TABLE ni (id int NOT NULL AUTO_INCREMENT, v varchar(10), PRIMARY KEY (id));")
+    // explicit ids 7 and 9 plus a NULL: the fill must stay in int range
+    // (the bigint high-range scheme would overflow to NULL) and sit
+    // above the batch's explicit max
+    Files.writeString(Paths.get(root, "d.ni.0001.csv"), "7,\"a\"\n\\N,\"b\"\n9,\"c\"\n")
+    val out = Files.createTempDirectory("graft_autoinc_int_out").toString
+    val r = Ingest.run(spark, Ingest.Config(root, out)).head
+    assert(r.nRows === 3 && r.checksumOk && r.badRows === 0L)
+    val rows = spark.read.parquet(s"$out/d.ni").collect()
+      .map(x => (x.getInt(0), x.getString(1)))
+    assert(rows.map(_._1).distinct.length === 3)
+    val byV = rows.map { case (id, v) => v -> id }.toMap
+    assert(byV("a") === 7 && byV("c") === 9)
+    assert(byV("b") > 9 && byV("b") <= 12) // dense: base=9 + rowid ≤ 3
+  }
+
   test("AUTO_RANDOM column absent from the source synthesizes sharded unique ids") {
     val root = Files.createTempDirectory("graft_autorand").toString
     // TiDB dumps AUTO_RANDOM inside an executable comment

@@ -114,6 +114,25 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(byName("d").autoRandomBits === None)
   }
 
+  test("keywords inside string literals do not flip column flags") {
+    val t = MysqlDdl.parse(
+      """CREATE TABLE f (
+        |  id bigint NOT NULL,
+        |  note varchar(50) COMMENT 'migrated from auto_random source',
+        |  u varchar(20) DEFAULT 'unsigned not null auto_increment'
+        |);""".stripMargin)
+    val byName = t.columns.map(c => c.name -> c).toMap
+    assert(byName("note").autoRandomBits === None)
+    assert(!byName("u").unsigned && !byName("u").autoIncrement && byName("u").nullable)
+    assert(byName("u").default === Some("unsigned not null auto_increment"))
+  }
+
+  test("two-argument AUTO_RANDOM(shard, range) takes the shard width") {
+    val t = MysqlDdl.parse(
+      "CREATE TABLE ar2 (id bigint /*T![auto_rand] AUTO_RANDOM(6, 54) */ NOT NULL);")
+    assert(t.columns.head.autoRandomBits === Some(6))
+  }
+
   test("plain block comments still strip while versioned comments unwrap") {
     val t = MysqlDdl.parse(
       "CREATE TABLE x (a int /* just a note */, b int /*!50100 UNSIGNED */);")
