@@ -55,6 +55,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> DedupQueries.dedupSimhashPairs,
     "q_dedup_clusters" -> DedupQueries.dedupClusters,
     "q_dedup_incremental" -> DedupQueries.dedupIncremental,
+    "q_decontaminate" -> DedupQueries.decontaminate,
     "q_sample_strata" -> TextQueries.sampleStrata,
     "q_vocab_topk" -> TextQueries.vocabTopk,
     "q_best_per_lang" -> TextQueries.bestPerLang,
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> DedupQueries.dedupSimhashPairsSql,
     "q_dedup_clusters" -> DedupQueries.dedupClustersSql,
     "q_dedup_incremental" -> DedupQueries.dedupIncrementalSql,
+    "q_decontaminate" -> DedupQueries.decontaminateSql,
     "q_sample_strata" -> TextQueries.sampleStrataSql,
     "q_vocab_topk" -> TextQueries.vocabTopkSql,
     "q_best_per_lang" -> TextQueries.bestPerLangSql,

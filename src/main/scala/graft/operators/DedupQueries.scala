@@ -224,6 +224,44 @@ object DedupQueries {
        |WHERE CAST(i.inter AS DOUBLE) / CAST(ca.n + cb.n - i.inter AS DOUBLE) >= 0.5
        |ORDER BY i.doc_a, i.doc_b""".stripMargin
 
+  // ---------------------------------------------- decontamination
+  /** Benchmark decontamination: flag corpus documents that share any
+    * shingle with a (small) eval set — the check every training
+    * pipeline runs before a corpus ships, so eval answers don't leak
+    * into training data.
+    *
+    * Scale shape: the eval side is tiny by definition, so its shingle
+    * hashes broadcast and the corpus pays ONE narrow semi-join probe
+    * per shingle — no shuffle of the corpus, no pair explosion. The
+    * contaminated doc list (with its witness count) is the output.
+    * Fixture: docs 0,10,20,30,40 play the eval set; every corpus doc
+    * sharing a 5-gram with them (including themselves under shifted
+    * IDs) must surface.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val evalIds = Seq(0L, 10L, 20L, 30L, 40L)
+    def shingleSet(df: DataFrame) = df
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
+      .select(col("doc_id"), md5Long(col("s")).as("h"))
+    val evalSh = shingleSet(docs.where(col("doc_id").isin(evalIds: _*)))
+      .select("h").distinct()
+    val corpus = docs.where(!col("doc_id").isin(evalIds: _*))
+    shingleSet(corpus)
+      .join(broadcast(evalSh), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateSql: String =
+    s"""WITH $shingleCte,
+       |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id IN (0, 10, 20, 30, 40)),
+       |corpus AS (SELECT doc_id, h FROM sh WHERE doc_id NOT IN (0, 10, 20, 30, 40))
+       |SELECT doc_id, count(DISTINCT h) AS n_hits
+       |FROM corpus WHERE h IN (SELECT h FROM ev)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ incremental dedup
   /** Incremental (cross-run) dedup: drop batch documents whose exact
     * text already exists in a standing corpus — the every-crawl-cycle

@@ -57,6 +57,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("decontaminate: eval set broadcasts, corpus never shuffles for the probe") {
+    val plan = finalPlanOf(DedupQueries.decontaminate(spark, sf()))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("textStats: narrow projection — the only exchange is the output sort") {
     val plan = planOf(TextQueries.textStats(spark, sf()))
     // no data shuffle: the computation is a pure per-row projection;
