@@ -44,6 +44,8 @@ object SparkEntry {
     "q_text_stats" -> TextQueries.textStats,
     "q_token_hist" -> TextQueries.tokenHist,
     "q_pack_sequences" -> TextQueries.packSequences,
+    "q_gopher_rules" -> TextQueries.gopherRules,
+    "q_doc_repetition" -> TextQueries.docRepetition,
     "q_quality_score" -> TextQueries.qualityScore,
     "q_langid" -> TextQueries.langid,
     "q_fingerprint" -> TextQueries.fingerprint,
@@ -106,6 +108,8 @@ object SparkEntry {
     "q_text_stats" -> TextQueries.textStatsSql,
     "q_token_hist" -> TextQueries.tokenHistSql,
     "q_pack_sequences" -> TextQueries.packSequencesSql,
+    "q_gopher_rules" -> TextQueries.gopherRulesSql,
+    "q_doc_repetition" -> TextQueries.docRepetitionSql,
     "q_quality_score" -> TextQueries.qualityScoreSql,
     "q_langid" -> TextQueries.langidSql,
     "q_fingerprint" -> TextQueries.fingerprintSql,

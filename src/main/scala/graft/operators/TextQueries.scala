@@ -86,6 +86,97 @@ object TextQueries {
       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------- Gopher-style rules
+  /** Gopher/C4-style document quality rules, each as an exact integer
+    * or ratio expression: mean token length, symbol-to-token ratio
+    * (# and … are the canonical boilerplate symbols), fraction of
+    * lines starting with a bullet, fraction ending with an ellipsis.
+    * A document passes when every rule does — the published Gopher
+    * thresholds. Pure narrow expressions; the quantized mean (×10⁴
+    * floor) keeps the pass/fail bit identical across engines.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val meanLenQ = floor(
+      (aggregate(transform(t, x => length(x).cast("long")), lit(0L), _ + _)
+        .cast("double") / nTok.cast("double")) * 10000d).cast("long")
+    val nHash = size(split(col("text"), "#", -1)).cast("long") - 1
+    val nEllipsis = size(split(col("text"), "\\.\\.\\.", -1)).cast("long") - 1
+    val lines = split(col("text"), "\n", -1)
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => trim(l).startsWith("-") || trim(l).startsWith("*")))
+      .cast("long")
+    val nEndEllipsis = size(filter(lines, l => trim(l).endsWith("...")))
+      .cast("long")
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), nTok.as("n_tokens"), meanLenQ.as("mean_tok_len_q"),
+        (nHash + nEllipsis).as("n_symbols"), nLines.as("n_lines"),
+        nBullet.as("n_bullet_lines"), nEndEllipsis.as("n_ellipsis_lines"))
+      .withColumn("accept",
+        col("n_tokens").between(50, 100000) &&
+          col("mean_tok_len_q").between(30000L, 100000L) && // mean len in [3,10]
+          (col("n_symbols").cast("double") / col("n_tokens").cast("double")) < 0.1 &&
+          (col("n_bullet_lines").cast("double") / col("n_lines").cast("double")) < 0.9 &&
+          (col("n_ellipsis_lines").cast("double") / col("n_lines").cast("double")) < 0.3)
+      .orderBy("doc_id")
+  }
+
+  def gopherRulesSql: String =
+    """WITH t AS (SELECT doc_id, text,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    string_split(text, chr(10)) AS lines
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(floor(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+      |      / len(toks) * 10000) AS BIGINT) AS mean_tok_len_q,
+      |    CAST(len(string_split(text, '#')) - 1
+      |      + len(string_split(text, '...')) - 1 AS BIGINT) AS n_symbols,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(lines, l -> starts_with(trim(l), '-')
+      |      OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet_lines,
+      |    CAST(len(list_filter(lines, l -> suffix(trim(l), '...'))) AS BIGINT) AS n_ellipsis_lines
+      |  FROM t)
+      |SELECT doc_id, n_tokens, mean_tok_len_q, n_symbols, n_lines,
+      |  n_bullet_lines, n_ellipsis_lines,
+      |  (n_tokens BETWEEN 50 AND 100000)
+      |    AND (mean_tok_len_q BETWEEN 30000 AND 100000)
+      |    AND (CAST(n_symbols AS DOUBLE) / n_tokens) < 0.1
+      |    AND (CAST(n_bullet_lines AS DOUBLE) / n_lines) < 0.9
+      |    AND (CAST(n_ellipsis_lines AS DOUBLE) / n_lines) < 0.3 AS accept
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------- within-doc repetition
+  /** Within-document repetition: fraction of duplicate lines and the
+    * hottest line's share — the C4 "repetitious text" filter. Narrow
+    * per-row array math (no shuffle): a doc whose text is mostly one
+    * repeated line scores near 1.0 on both measures.
+    */
+  def docRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = filter(split(col("text"), "\n", -1), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val nUniq = size(array_distinct(lines)).cast("long")
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), nLines.as("n_lines"), nUniq.as("n_uniq_lines"))
+      .where(col("n_lines") > 0)
+      .withColumn("dup_line_frac",
+        (col("n_lines") - col("n_uniq_lines")).cast("double") / col("n_lines").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  def docRepetitionSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(list_distinct(lines)) AS BIGINT) AS n_uniq_lines
+      |  FROM t)
+      |SELECT doc_id, n_lines, n_uniq_lines,
+      |  CAST(n_lines - n_uniq_lines AS DOUBLE) / n_lines AS dup_line_frac
+      |FROM m WHERE n_lines > 0 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ sequence packing
   /** Training-sequence packing: assign documents to fixed token-budget
     * packs (2048 tokens) — the step that turns a curated corpus into
