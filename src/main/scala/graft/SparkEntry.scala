@@ -46,6 +46,7 @@ object SparkEntry {
     "q_pack_sequences" -> TextQueries.packSequences,
     "q_gopher_rules" -> TextQueries.gopherRules,
     "q_doc_repetition" -> TextQueries.docRepetition,
+    "q_jsonl_roundtrip" -> TextQueries.jsonlRoundtrip,
     "q_quality_score" -> TextQueries.qualityScore,
     "q_langid" -> TextQueries.langid,
     "q_fingerprint" -> TextQueries.fingerprint,
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_pack_sequences" -> TextQueries.packSequencesSql,
     "q_gopher_rules" -> TextQueries.gopherRulesSql,
     "q_doc_repetition" -> TextQueries.docRepetitionSql,
+    "q_jsonl_roundtrip" -> TextQueries.jsonlRoundtripSql,
     "q_quality_score" -> TextQueries.qualityScoreSql,
     "q_langid" -> TextQueries.langidSql,
     "q_fingerprint" -> TextQueries.fingerprintSql,

@@ -177,6 +177,36 @@ object TextQueries {
       |  CAST(n_lines - n_uniq_lines AS DOUBLE) / n_lines AS dup_line_frac
       |FROM m WHERE n_lines > 0 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- JSONL round trip
+  /** JSONL export + re-import: training pipelines hand corpora around
+    * as line-delimited JSON, so the engine must write and read it
+    * losslessly. Spark's native json source is splittable (newline
+    * boundaries) and schema-applied on read — the same late-typing
+    * discipline as the CSV path. The round trip re-aggregates to prove
+    * content equality against the source table.
+    */
+  def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${graft.GraftSession.fixtureRoot(sfDir)}/docs_jsonl"
+    table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text", "n_chars")
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, text STRING, n_chars BIGINT")
+      .json(out)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
+  def jsonlRoundtripSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------ sequence packing
   /** Training-sequence packing: assign documents to fixed token-budget
     * packs (2048 tokens) — the step that turns a curated corpus into
