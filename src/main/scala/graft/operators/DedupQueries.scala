@@ -234,19 +234,21 @@ object DedupQueries {
     * hashes broadcast and the corpus pays ONE narrow semi-join probe
     * per shingle — no shuffle of the corpus, no pair explosion. The
     * contaminated doc list (with its witness count) is the output.
-    * Fixture: docs 0,10,20,30,40 play the eval set; every corpus doc
-    * sharing a 5-gram with them (including themselves under shifted
-    * IDs) must surface.
+    * Fixture: docs 0,10,20,30,40 play the eval set; the corpus is the
+    * rest of the table PLUS copies of the eval docs under shifted IDs
+    * (+900000) — planted leaks the probe MUST flag (a vacuous fixture
+    * where both engines return empty would pass with a broken join).
     */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val evalIds = Seq(0L, 10L, 20L, 30L, 40L)
+    val evalDocs = docs.where(col("doc_id").isin(evalIds: _*))
     def shingleSet(df: DataFrame) = df
       .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
       .select(col("doc_id"), md5Long(col("s")).as("h"))
-    val evalSh = shingleSet(docs.where(col("doc_id").isin(evalIds: _*)))
-      .select("h").distinct()
+    val evalSh = shingleSet(evalDocs).select("h").distinct()
     val corpus = docs.where(!col("doc_id").isin(evalIds: _*))
+      .unionByName(evalDocs.withColumn("doc_id", col("doc_id") + 900000))
     shingleSet(corpus)
       .join(broadcast(evalSh), Seq("h"), "left_semi")
       .groupBy("doc_id")
@@ -255,11 +257,21 @@ object DedupQueries {
   }
 
   def decontaminateSql: String =
-    s"""WITH $shingleCte,
-       |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id IN (0, 10, 20, 30, 40)),
-       |corpus AS (SELECT doc_id, h FROM sh WHERE doc_id NOT IN (0, 10, 20, 30, 40))
+    s"""WITH corpus_docs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id NOT IN (0, 10, 20, 30, 40)
+       |  UNION ALL
+       |  SELECT doc_id + 900000, text FROM documents WHERE doc_id IN (0, 10, 20, 30, 40)),
+       |ev_toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE doc_id IN (0, 10, 20, 30, 40)),
+       |ev AS (SELECT DISTINCT
+       |    CAST(('0x' || substr(md5(array_to_string(t[j:j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT) AS h
+       |  FROM ev_toks, UNNEST(range(1, len(t)-${ShingleN - 2})) AS u(j)),
+       |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus_docs),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    CAST(('0x' || substr(md5(array_to_string(t[j:j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT) AS h
+       |  FROM toks, UNNEST(range(1, len(t)-${ShingleN - 2})) AS u(j))
        |SELECT doc_id, count(DISTINCT h) AS n_hits
-       |FROM corpus WHERE h IN (SELECT h FROM ev)
+       |FROM sh WHERE h IN (SELECT h FROM ev)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------ incremental dedup

@@ -102,13 +102,17 @@ object TextQueries {
       (aggregate(transform(t, x => length(x).cast("long")), lit(0L), _ + _)
         .cast("double") / nTok.cast("double")) * 10000d).cast("long")
     val nHash = size(split(col("text"), "#", -1)).cast("long") - 1
-    val nEllipsis = size(split(col("text"), "\\.\\.\\.", -1)).cast("long") - 1
+    // both ASCII '...' and the Unicode ellipsis '…' count (the
+    // published rule names the symbol, dumps contain either spelling)
+    val nEllipsis =
+      (size(split(col("text"), "\\.\\.\\.", -1)).cast("long") - 1) +
+        (size(split(col("text"), "…", -1)).cast("long") - 1)
     val lines = split(col("text"), "\n", -1)
     val nLines = size(lines).cast("long")
     val nBullet = size(filter(lines, l => trim(l).startsWith("-") || trim(l).startsWith("*")))
       .cast("long")
-    val nEndEllipsis = size(filter(lines, l => trim(l).endsWith("...")))
-      .cast("long")
+    val nEndEllipsis = size(filter(lines,
+      l => trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("long")
     table(spark, sfDir, "documents")
       .select(col("doc_id"), nTok.as("n_tokens"), meanLenQ.as("mean_tok_len_q"),
         (nHash + nEllipsis).as("n_symbols"), nLines.as("n_lines"),
@@ -132,11 +136,13 @@ object TextQueries {
       |    CAST(floor(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
       |      / len(toks) * 10000) AS BIGINT) AS mean_tok_len_q,
       |    CAST(len(string_split(text, '#')) - 1
-      |      + len(string_split(text, '...')) - 1 AS BIGINT) AS n_symbols,
+      |      + len(string_split(text, '...')) - 1
+      |      + len(string_split(text, '…')) - 1 AS BIGINT) AS n_symbols,
       |    CAST(len(lines) AS BIGINT) AS n_lines,
       |    CAST(len(list_filter(lines, l -> starts_with(trim(l), '-')
       |      OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet_lines,
-      |    CAST(len(list_filter(lines, l -> suffix(trim(l), '...'))) AS BIGINT) AS n_ellipsis_lines
+      |    CAST(len(list_filter(lines, l -> suffix(trim(l), '...')
+      |      OR suffix(trim(l), '…'))) AS BIGINT) AS n_ellipsis_lines
       |  FROM t)
       |SELECT doc_id, n_tokens, mean_tok_len_q, n_symbols, n_lines,
       |  n_bullet_lines, n_ellipsis_lines,
@@ -157,11 +163,20 @@ object TextQueries {
     val lines = filter(split(col("text"), "\n", -1), l => length(trim(l)) > 0)
     val nLines = size(lines).cast("long")
     val nUniq = size(array_distinct(lines)).cast("long")
+    // hottest line's occurrence count: per distinct line, count its
+    // occurrences — O(L²) per doc on the (short) line list, still a
+    // narrow per-row expression
+    val topCount = array_max(transform(array_distinct(lines),
+      d => size(filter(lines, l => l === d)).cast("long")))
     table(spark, sfDir, "documents")
-      .select(col("doc_id"), nLines.as("n_lines"), nUniq.as("n_uniq_lines"))
+      .select(col("doc_id"), nLines.as("n_lines"), nUniq.as("n_uniq_lines"),
+        topCount.as("top_count"))
       .where(col("n_lines") > 0)
-      .withColumn("dup_line_frac",
-        (col("n_lines") - col("n_uniq_lines")).cast("double") / col("n_lines").cast("double"))
+      .select(col("doc_id"), col("n_lines"), col("n_uniq_lines"),
+        ((col("n_lines") - col("n_uniq_lines")).cast("double") / col("n_lines").cast("double"))
+          .as("dup_line_frac"),
+        (col("top_count").cast("double") / col("n_lines").cast("double"))
+          .as("top_line_share"))
       .orderBy("doc_id")
   }
 
@@ -171,10 +186,13 @@ object TextQueries {
       |  FROM documents),
       |m AS (SELECT doc_id,
       |    CAST(len(lines) AS BIGINT) AS n_lines,
-      |    CAST(len(list_distinct(lines)) AS BIGINT) AS n_uniq_lines
+      |    CAST(len(list_distinct(lines)) AS BIGINT) AS n_uniq_lines,
+      |    CAST(list_max(list_transform(list_distinct(lines),
+      |      d -> len(list_filter(lines, l -> l = d)))) AS BIGINT) AS top_count
       |  FROM t)
       |SELECT doc_id, n_lines, n_uniq_lines,
-      |  CAST(n_lines - n_uniq_lines AS DOUBLE) / n_lines AS dup_line_frac
+      |  CAST(n_lines - n_uniq_lines AS DOUBLE) / n_lines AS dup_line_frac,
+      |  CAST(top_count AS DOUBLE) / n_lines AS top_line_share
       |FROM m WHERE n_lines > 0 ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- JSONL round trip

@@ -271,10 +271,13 @@ object Ingest {
     // to NULL in the cast. Narrow columns take the dense counting
     // scheme instead (chunkedRowId — one extra materialization pass,
     // bounded by the narrow type's own row-count ceiling).
+    // classified by the MYSQL type, not the Spark type: `int unsigned`
+    // maps to LongType but its real domain tops out at 2³²−1, so it
+    // must take the dense path too — only true bigint (and AUTO_RANDOM,
+    // bigint by definition) can hold the high-range/partition-shifted
+    // values
     def wide(c: graft.schema.ColumnSpec): Boolean =
-      c.autoRandomBits.isDefined ||
-        c.sparkType == org.apache.spark.sql.types.LongType ||
-        c.sparkType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+      c.autoRandomBits.isDefined || c.mysqlType.startsWith("bigint")
     val FillCol = "_graft_fill_id"
     val merged = autoInc match {
       case Some(c) =>
@@ -293,15 +296,24 @@ object Ingest {
               coalesce(col(existing), synthFor(c, base).cast(union.schema(existing).dataType)))
           case Some(existing) =>
             // narrow column: dense fills above the batch's explicit max
-            // (one narrow single-column agg) — they must fit the type
-            val explicitMax = Option(
-              union.agg(max(col(existing).cast("long"))).head.get(0))
-              .map(_.asInstanceOf[Long]).getOrElse(0L)
-            val base = math.max(priorMaxId, explicitMax)
-            RowTransform.chunkedRowId(union, FillCol, base)
-              .withColumn(existing,
-                coalesce(col(existing), col(FillCol).cast(union.schema(existing).dataType)))
-              .drop(FillCol)
+            // — they must fit the type. ONE single-column agg finds the
+            // max and the null count together; the common all-explicit
+            // dump pays only that narrow pass, never the counting
+            // materialization
+            val stats = union.agg(
+              max(col(existing).cast("long")),
+              org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.when(col(existing).isNull, 1))).head
+            val explicitMax = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+            val nNulls = stats.getLong(1)
+            if (nNulls == 0L) union
+            else {
+              val base = math.max(priorMaxId, explicitMax)
+              RowTransform.chunkedRowId(union, FillCol, base)
+                .withColumn(existing,
+                  coalesce(col(existing), col(FillCol).cast(union.schema(existing).dataType)))
+                .drop(FillCol)
+            }
           case None if wide(c) =>
             // column fully absent: every ID is synthesized, so the
             // low range starting after the prior run's max is safe

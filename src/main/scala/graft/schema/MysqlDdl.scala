@@ -183,11 +183,15 @@ object MysqlDdl {
     // range width is not needed for synthesis)
     val autoRandom = AutoRandomRe.findFirstMatchIn(restFlags)
       .map(m => Option(m.group(1)).map(_.toInt).getOrElse(5))
-    val generated = GenRe.findFirstMatchIn(rest).map { g =>
-      GeneratedCol(g.group(1).trim, !restU.contains("VIRTUAL"))
+    // GenRe/DefaultRe LOCATE on the blanked text (so `COMMENT 'has a
+    // default value'` can't fabricate clauses) but EXTRACT from the raw
+    // text at the same offsets — blanking is length-preserving, so the
+    // group bounds line up
+    val generated = GenRe.findFirstMatchIn(restFlags).map { g =>
+      GeneratedCol(rest.substring(g.start(1), g.end(1)).trim, !restU.contains("VIRTUAL"))
     }
-    val default = DefaultRe.findFirstMatchIn(rest).map { d =>
-      val v = d.group(1).trim
+    val default = DefaultRe.findFirstMatchIn(restFlags).map { d =>
+      val v = rest.substring(d.start(1), d.end(1)).trim
       if (v.startsWith("'")) v.stripPrefix("'").stripSuffix("'") else v
     }.filter(_.toUpperCase != "NULL")
     val enumValues =
@@ -202,8 +206,10 @@ object MysqlDdl {
   private val AutoRandomRe =
     """(?i)AUTO_RANDOM\s*(?:\(\s*(\d+)\s*(?:,\s*\d+\s*)?\))?""".r
 
-  /** Replace single/double-quoted literal contents with spaces so
-    * keyword scans can't match inside them (length-preserving).
+  /** Replace quoted contents with spaces so keyword scans can't match
+    * inside them (length-preserving). Covers string literals ('…', "…")
+    * AND backtick identifiers — a column named `unsigned_raw` inside a
+    * generation expression must not flip the UNSIGNED flag.
     */
   private[schema] def blankStringLiterals(s: String): String = {
     val sb = new StringBuilder(s)
@@ -212,10 +218,12 @@ object MysqlDdl {
     while (i < s.length) {
       val c = s.charAt(i)
       if (q != 0) {
-        if (c == '\\' && i + 1 < s.length) { sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' '); i += 1 }
+        if (c == '\\' && q != '`' && i + 1 < s.length) {
+          sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' '); i += 1
+        }
         else if (c == q) q = 0
         else sb.setCharAt(i, ' ')
-      } else if (c == '\'' || c == '"') q = c
+      } else if (c == '\'' || c == '"' || c == '`') q = c
       i += 1
     }
     sb.toString
