@@ -127,6 +127,22 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(byName("u").default === Some("unsigned not null auto_increment"))
   }
 
+  test("DEFAULT/AS clauses inside COMMENT strings are not extracted; real ones are") {
+    val t = MysqlDdl.parse(
+      """CREATE TABLE g (
+        |  a varchar(20) COMMENT 'reverts to default value at runtime',
+        |  b varchar(20) COMMENT 'computed as (x + 1) elsewhere',
+        |  c int DEFAULT 7 COMMENT 'the default 9 never applies',
+        |  d bigint AS (`unsigned_raw` + 1) STORED
+        |);""".stripMargin)
+    val byName = t.columns.map(c => c.name -> c).toMap
+    assert(byName("a").default === None)
+    assert(byName("b").generated === None)
+    assert(byName("c").default === Some("7"))
+    assert(byName("d").generated.map(_.expr) === Some("`unsigned_raw` + 1"))
+    assert(!byName("d").unsigned) // identifier must not flip the flag
+  }
+
   test("two-argument AUTO_RANDOM(shard, range) takes the shard width") {
     val t = MysqlDdl.parse(
       "CREATE TABLE ar2 (id bigint /*T![auto_rand] AUTO_RANDOM(6, 54) */ NOT NULL);")
