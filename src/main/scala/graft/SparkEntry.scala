@@ -67,6 +67,9 @@ object SparkEntry {
     "q_ann_ivf" -> SimilarityQueries.annIvf,
     "q_ann_lsh_bucketed" -> SimilarityQueries.annLshBucketed,
     "q_embed_dedup" -> SimilarityQueries.embedDedup,
+    // rows-only check: float centroid means aren't bit-reproducible in
+    // SQL, so no oracle entry (driver records the weaker gate)
+    "q_kmeans_cells" -> ((s: SparkSession, dir: String) => KMeans.kmeansCells(s, dir)),
     "q_media_meta" -> Multimodal.mediaMeta,
     "q_media_frames" -> Multimodal.mediaFrames,
     "q_window_hourly" -> EventQueries.windowHourly,

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Distributed Lloyd's k-means over an embedding column — the "train
+  * the coarse quantizer" step that turns the IVF stand-in centroids
+  * into learned ones. Deterministic: init from the first k vectors by
+  * id (no RNG), assignment by exact integer-quantized dot distance, so
+  * re-runs converge identically on identical data.
+  *
+  * Scale shape per iteration: ONE narrow assignment projection (k
+  * quantized dot products per row, codegen'd) + ONE map-side-combining
+  * groupBy((cell, dim)) mean over the posexploded vectors — shuffle
+  * volume is k×dim doubles, independent of corpus size. The driver
+  * holds only the k×dim centroid matrix.
+  */
+object KMeans {
+
+  case class Model(centroids: Array[Array[Double]], inertia: Double, iters: Int)
+
+  /** Squared L2 distance between a vector column and a centroid
+    * literal, in exact integer space (floor(x·10⁶) per element —
+    * deterministic across partitionings).
+    */
+  private def qdist(emb: Column, c: Array[Double]): Column = {
+    val lit_ = typedLit(c.map(x => math.floor(x * 1000000d).toLong).toSeq)
+    // |a|² - 2a·b + |b|² over quantized ints; aggregate/zip_with are
+    // fine here (k evaluations per row, not the per-pair hot loop)
+    aggregate(
+      zip_with(emb, lit_, (x, y) => {
+        val d = floor(x * 1000000d).cast("long") - y
+        d * d
+      }),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  private def cellOf(emb: Column, cents: Array[Array[Double]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(qdist(emb, c).as("d"), lit(i).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Train on `df`'s (id, vec) columns. Init = the k vectors with the
+    * smallest ids (deterministic). Empty cells keep their previous
+    * centroid (the standard Lloyd fallback).
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Model = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    val dim = base.select(size(col("v"))).head.getInt(0)
+    var cents: Array[Array[Double]] = base.orderBy("id").limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = base.withColumn("cell", cellOf(col("v"), cents))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+      it += 1
+    }
+    val inertia = base.withColumn("cell", cellOf(col("v"), cents))
+      .select((0 until cents.length).map(i =>
+        sum(when(col("cell") === i, qdist(col("v"), cents(i)))).as(s"s$i")): _*)
+      .head.toSeq.map(v => Option(v).map(_.asInstanceOf[Long]).getOrElse(0L)).sum
+      .toDouble / 1e12
+    base.unpersist(false)
+    Model(cents, inertia, iters)
+  }
+
+  /** Query surface: train k=8 for 4 iterations on the embeddings and
+    * report per-cell population + the model inertia — rows-only check
+    * (float means are not bit-reproducible in SQL, so no DuckDB twin).
+    */
+  def kmeansCells(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val emb = graft.GraftSession.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val m = fit(emb, "vec_id", "embedding", k = 8, iters = 4)
+    emb.withColumn("cell", cellOf(col("embedding"), m.centroids))
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cell")
+  }
+}

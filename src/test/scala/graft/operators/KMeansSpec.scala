@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class KMeansSpec extends SparkSpec {
+
+  test("k-means training reduces inertia and is deterministic") {
+    val emb = graft.GraftSession.table(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val m1 = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val m5 = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 5)
+    // more Lloyd iterations never increase inertia
+    assert(m5.inertia <= m1.inertia + 1e-9,
+      s"inertia went up: ${m1.inertia} -> ${m5.inertia}")
+    // deterministic: same data, same init, same result
+    val m5b = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 5)
+    assert(m5.inertia === m5b.inertia)
+    assert(m5.centroids.flatten.toSeq === m5b.centroids.flatten.toSeq)
+  }
+
+  test("kmeansCells partitions every vector into one of k cells") {
+    val cells = KMeans.kmeansCells(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val total = graft.GraftSession.table(spark, sf(), "embeddings").count()
+    assert(cells.map(_._2).sum === total)
+    assert(cells.map(_._1).distinct.length === cells.length)
+    assert(cells.forall(_._2 > 0) || cells.length < 8) // empty cells dropped by groupBy
+  }
+}
