@@ -51,11 +51,19 @@ object DedupQueries {
   // pathological shuffle. The oracle hashes identically, so any
   // (negligible, 2⁻⁵⁶) collision affects both engines the same way.
 
-  private val shingleCte =
-    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-       |sh AS (SELECT DISTINCT doc_id,
+  /** Parameterized shingle-hash CTE: distinct (doc_id, 56-bit-hash)
+    * pairs for `srcRel`, named `toksName`/`shName`. ONE copy of the
+    * hash recipe — every oracle that shingles builds on this, so the
+    * recipe cannot drift between queries (it must stay bit-identical
+    * to the Spark side's md5Long + shingles).
+    */
+  private def shingleCteFor(srcRel: String, toksName: String, shName: String): String =
+    s"""$toksName AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $srcRel),
+       |$shName AS (SELECT DISTINCT doc_id,
        |         CAST(('0x' || substr(md5(array_to_string(t[j:j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT) AS h
-       |       FROM toks, UNNEST(range(1, len(t)-${ShingleN - 2})) AS u(j))""".stripMargin
+       |       FROM $toksName, UNNEST(range(1, len(t)-${ShingleN - 2})) AS u(j))""".stripMargin
+
+  private val shingleCte = shingleCteFor("documents", "toks", "sh")
 
   // ------------------------------------------------------------ exact
   /** Exact dedup: duplicate the corpus under shifted IDs, keep the
@@ -257,21 +265,16 @@ object DedupQueries {
   }
 
   def decontaminateSql: String =
-    s"""WITH corpus_docs AS (
+    s"""WITH eval_docs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id IN (0, 10, 20, 30, 40)),
+       |corpus_docs AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id NOT IN (0, 10, 20, 30, 40)
        |  UNION ALL
-       |  SELECT doc_id + 900000, text FROM documents WHERE doc_id IN (0, 10, 20, 30, 40)),
-       |ev_toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
-       |  FROM documents WHERE doc_id IN (0, 10, 20, 30, 40)),
-       |ev AS (SELECT DISTINCT
-       |    CAST(('0x' || substr(md5(array_to_string(t[j:j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT) AS h
-       |  FROM ev_toks, UNNEST(range(1, len(t)-${ShingleN - 2})) AS u(j)),
-       |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus_docs),
-       |sh AS (SELECT DISTINCT doc_id,
-       |    CAST(('0x' || substr(md5(array_to_string(t[j:j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT) AS h
-       |  FROM toks, UNNEST(range(1, len(t)-${ShingleN - 2})) AS u(j))
+       |  SELECT doc_id + 900000, text FROM eval_docs),
+       |${shingleCteFor("eval_docs", "ev_toks", "ev_sh")},
+       |${shingleCteFor("corpus_docs", "toks", "sh")}
        |SELECT doc_id, count(DISTINCT h) AS n_hits
-       |FROM sh WHERE h IN (SELECT h FROM ev)
+       |FROM sh WHERE h IN (SELECT h FROM ev_sh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------ incremental dedup

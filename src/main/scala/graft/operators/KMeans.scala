@@ -20,16 +20,17 @@ object KMeans {
   case class Model(centroids: Array[Array[Double]], inertia: Double, iters: Int)
 
   /** Squared L2 distance between a vector column and a centroid
-    * literal, in exact integer space (floor(x·10⁶) per element —
+    * literal, in exact integer space (the shared floor(x·10⁶)
+    * quantization, [[graft.functions.TextFunctions.quant]] —
     * deterministic across partitionings).
     */
   private def qdist(emb: Column, c: Array[Double]): Column = {
     val lit_ = typedLit(c.map(x => math.floor(x * 1000000d).toLong).toSeq)
-    // |a|² - 2a·b + |b|² over quantized ints; aggregate/zip_with are
-    // fine here (k evaluations per row, not the per-pair hot loop)
+    // per-row sums stay well inside int64; aggregate/zip_with are fine
+    // here (k evaluations per row, not the per-pair hot loop)
     aggregate(
       zip_with(emb, lit_, (x, y) => {
-        val d = floor(x * 1000000d).cast("long") - y
+        val d = graft.functions.TextFunctions.quant(x) - y
         d * d
       }),
       lit(0L), (acc, v) => acc + v)
@@ -46,30 +47,37 @@ object KMeans {
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Model = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
-    val dim = base.select(size(col("v"))).head.getInt(0)
     var cents: Array[Array[Double]] = base.orderBy("id").limit(k)
       .select("v").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var it = 0
     while (it < iters) {
       val assigned = base.withColumn("cell", cellOf(col("v"), cents))
+      // centroid means in exact integer space: SUM of quantized longs
+      // (order-independent — a double avg() merges partial sums in
+      // shuffle-fetch order and is bit-nondeterministic) divided on the
+      // driver. Sums fit comfortably: 10⁶-scale elements × 10⁹ rows.
       val sums = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(avg(col("x")).as("m"))
+        .agg(sum(graft.functions.TextFunctions.quant(col("x"))).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
       sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3) / 1e6
       }
       cents = next
       it += 1
     }
-    val inertia = base.withColumn("cell", cellOf(col("v"), cents))
-      .select((0 until cents.length).map(i =>
-        sum(when(col("cell") === i, qdist(col("v"), cents(i)))).as(s"s$i")): _*)
-      .head.toSeq.map(v => Option(v).map(_.asInstanceOf[Long]).getOrElse(0L)).sum
-      .toDouble / 1e12
+    // one k-distance pass: the argmin struct already carries the min
+    // distance; per-row values are exact longs, the corpus-wide total
+    // accumulates in double (a long sum would wrap at ~10⁷ rows)
+    val best = array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(qdist(col("v"), c).as("d"), lit(i).as("cid"))
+    }: _*))
+    val inertia = base.select(sum(best.getField("d").cast("double")).as("s"))
+      .head.getDouble(0) / 1e12
     base.unpersist(false)
     Model(cents, inertia, iters)
   }

@@ -233,8 +233,12 @@ object MysqlDdl {
   // by greedy scan below; regex grabs from AS ( to the clause end keywords.
   private val GenRe =
     """(?is)(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s*(?:STORED|VIRTUAL)?\s*(?:NOT\s+NULL|NULL)?\s*(?:COMMENT.*)?$""".r
+  // the optional [_\w]* prefix covers introducer/typed literals
+  // (b'101', x'6869', _utf8mb4'abc') — the clause LOCATES on blanked
+  // text, where the bare [^\s,]+ alternative would stop at the first
+  // blanked character inside the quotes and truncate the default
   private val DefaultRe =
-    """(?is)DEFAULT\s+('(?:[^'\\]|\\.)*'|[^\s,]+)""".r
+    """(?is)DEFAULT\s+((?:[_\w]*)'(?:[^'\\]|\\.)*'|[^\s,]+)""".r
 
   /** SURVEY §1.2 type map. */
   def sparkType(base: String, args: String, unsigned: Boolean): DataType = base match {

@@ -11,8 +11,11 @@ class KMeansSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"))
     val m1 = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
     val m5 = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 5)
-    // more Lloyd iterations never increase inertia
-    assert(m5.inertia <= m1.inertia + 1e-9,
+    // more Lloyd iterations do not meaningfully increase inertia.
+    // Strict monotonicity needs assignment and update to optimize the
+    // SAME objective; ours assigns on the quantized distance while the
+    // update minimizes the true one, so allow quantization-scale slack.
+    assert(m5.inertia <= m1.inertia * 1.001,
       s"inertia went up: ${m1.inertia} -> ${m5.inertia}")
     // deterministic: same data, same init, same result
     val m5b = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 5)
@@ -26,6 +29,9 @@ class KMeansSpec extends SparkSpec {
     val total = graft.GraftSession.table(spark, sf(), "embeddings").count()
     assert(cells.map(_._2).sum === total)
     assert(cells.map(_._1).distinct.length === cells.length)
-    assert(cells.forall(_._2 > 0) || cells.length < 8) // empty cells dropped by groupBy
+    assert(cells.length <= 8)
+    // the data genuinely spreads: training that collapsed everything
+    // into one cell would indicate a broken assignment
+    assert(cells.length >= 2, s"all vectors landed in ${cells.length} cell(s)")
   }
 }

@@ -143,6 +143,19 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(!byName("d").unsigned) // identifier must not flip the flag
   }
 
+  test("prefixed literal defaults (bit/hex/introducer) extract in full") {
+    val t = MysqlDdl.parse(
+      """CREATE TABLE p (
+        |  a bigint DEFAULT b'101',
+        |  b varbinary(4) DEFAULT x'68 69',
+        |  c varchar(10) DEFAULT _utf8mb4'hi there'
+        |);""".stripMargin)
+    val byName = t.columns.map(c => c.name -> c).toMap
+    assert(byName("a").default === Some("b'101'"))
+    assert(byName("b").default === Some("x'68 69'"))
+    assert(byName("c").default === Some("_utf8mb4'hi there'"))
+  }
+
   test("two-argument AUTO_RANDOM(shard, range) takes the shard width") {
     val t = MysqlDdl.parse(
       "CREATE TABLE ar2 (id bigint /*T![auto_rand] AUTO_RANDOM(6, 54) */ NOT NULL);")
