@@ -47,6 +47,7 @@ object SparkEntry {
     "q_gopher_rules" -> TextQueries.gopherRules,
     "q_doc_repetition" -> TextQueries.docRepetition,
     "q_jsonl_roundtrip" -> TextQueries.jsonlRoundtrip,
+    "q_corpus_report" -> TextQueries.corpusReport,
     "q_quality_score" -> TextQueries.qualityScore,
     "q_langid" -> TextQueries.langid,
     "q_fingerprint" -> TextQueries.fingerprint,
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_gopher_rules" -> TextQueries.gopherRulesSql,
     "q_doc_repetition" -> TextQueries.docRepetitionSql,
     "q_jsonl_roundtrip" -> TextQueries.jsonlRoundtripSql,
+    "q_corpus_report" -> TextQueries.corpusReportSql,
     "q_quality_score" -> TextQueries.qualityScoreSql,
     "q_langid" -> TextQueries.langidSql,
     "q_fingerprint" -> TextQueries.fingerprintSql,

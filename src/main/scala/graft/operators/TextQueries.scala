@@ -195,6 +195,49 @@ object TextQueries {
       |  CAST(top_count AS DOUBLE) / n_lines AS top_line_share
       |FROM m WHERE n_lines > 0 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- corpus report
+  /** The corpus "data card" row: doc/token/language totals, exact-dup
+    * rate, and the quality-gate pass count (same accept rule as
+    * [[qualityScore]]) — the one-line summary every pipeline emits
+    * when a corpus ships. ONE map-side-combining aggregate over a
+    * narrow projection; at 100 TB this is a single scan.
+    */
+  def corpusReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val en = stopwords("en")
+    val nTok = size(t).cast("long")
+    val nStop = size(filter(t, x => x.isin(en: _*))).cast("long")
+    val nUniq = size(array_distinct(t)).cast("long")
+    val accept = nTok >= 10 && nTok <= 5000 &&
+      (nUniq.cast("double") / nTok.cast("double")) > 0.1 &&
+      (nStop.cast("double") / nTok.cast("double")) < 0.9
+    table(spark, sfDir, "documents")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_uniq_texts"),
+        sum(when(accept, 1L).otherwise(0L)).as("n_quality_pass"))
+  }
+
+  def corpusReportSql: String = {
+    val en = sqlList(stopwords("en"))
+    s"""WITH m AS (SELECT text, lang,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> list_contains($en, x))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_uniq
+       |  FROM documents)
+       |SELECT count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  count(DISTINCT lang) AS n_langs,
+       |  count(DISTINCT md5(text)) AS n_uniq_texts,
+       |  CAST(sum(CASE WHEN n_tok BETWEEN 10 AND 5000
+       |    AND CAST(n_uniq AS DOUBLE) / n_tok > 0.1
+       |    AND CAST(n_stop AS DOUBLE) / n_tok < 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+       |FROM m""".stripMargin
+  }
+
   // ------------------------------------------------- JSONL round trip
   /** JSONL export + re-import: training pipelines hand corpora around
     * as line-delimited JSON, so the engine must write and read it
