@@ -72,12 +72,15 @@ object KMeans {
     }
     // one k-distance pass: the argmin struct already carries the min
     // distance; per-row values are exact longs, the corpus-wide total
-    // accumulates in double (a long sum would wrap at ~10⁷ rows)
+    // accumulates in DECIMAL(38,0) — exact and order-independent,
+    // where a long sum wraps at ~10⁷ rows and a double sum merges
+    // partials in shuffle-fetch order (bit-nondeterministic)
     val best = array_min(array(cents.zipWithIndex.map { case (c, i) =>
       struct(qdist(col("v"), c).as("d"), lit(i).as("cid"))
     }: _*))
-    val inertia = base.select(sum(best.getField("d").cast("double")).as("s"))
-      .head.getDouble(0) / 1e12
+    val inertia = Option(
+      base.select(sum(best.getField("d").cast("decimal(38,0)")).as("s")).head.getDecimal(0))
+      .map(_.doubleValue).getOrElse(0.0) / 1e12
     base.unpersist(false)
     Model(cents, inertia, iters)
   }

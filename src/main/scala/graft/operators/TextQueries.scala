@@ -203,14 +203,8 @@ object TextQueries {
     * narrow projection; at 100 TB this is a single scan.
     */
   def corpusReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val en = stopwords("en")
-    val nTok = size(t).cast("long")
-    val nStop = size(filter(t, x => x.isin(en: _*))).cast("long")
-    val nUniq = size(array_distinct(t)).cast("long")
-    val accept = nTok >= 10 && nTok <= 5000 &&
-      (nUniq.cast("double") / nTok.cast("double")) > 0.1 &&
-      (nStop.cast("double") / nTok.cast("double")) < 0.9
+    val (nTok, nStop, nUniq) = qualityStats
+    val accept = qualityAccept(nTok, nStop, nUniq)
     table(spark, sfDir, "documents")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -315,20 +309,32 @@ object TextQueries {
     * filters, the standard pretraining-corpus heuristics. Ratios are
     * double divisions of exact integers — bit-identical across engines.
     */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The quality rule's token-stat columns (total, stopword, unique
+    * counts) and the accept predicate — ONE definition consumed by both
+    * [[qualityScore]] and [[corpusReport]], so the shipped data card's
+    * pass count can never drift from the per-doc gate.
+    */
+  private def qualityStats: (Column, Column, Column) = {
     val t = tokens(col("text"))
     val en = stopwords("en")
-    val nTok = size(t).cast("long")
-    val nStop = size(filter(t, x => x.isin(en: _*))).cast("long")
-    val nUniq = size(array_distinct(t)).cast("long")
+    (size(t).cast("long"),
+      size(filter(t, x => x.isin(en: _*))).cast("long"),
+      size(array_distinct(t)).cast("long"))
+  }
+
+  private def qualityAccept(nTok: Column, nStop: Column, nUniq: Column): Column =
+    nTok >= 10 && nTok <= 5000 &&
+      (nUniq.cast("double") / nTok.cast("double")) > 0.1 &&
+      (nStop.cast("double") / nTok.cast("double")) < 0.9
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nTok, nStop, nUniq) = qualityStats
     table(spark, sfDir, "documents").select(
       col("doc_id"),
       nTok.as("n_tokens"),
       (nStop.cast("double") / nTok.cast("double")).as("stop_ratio"),
-      (nUniq.cast("double") / nTok.cast("double")).as("uniq_ratio"))
-      .withColumn("accept",
-        col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
-          col("uniq_ratio") > 0.1 && col("stop_ratio") < 0.9)
+      (nUniq.cast("double") / nTok.cast("double")).as("uniq_ratio"),
+      qualityAccept(nTok, nStop, nUniq).as("accept"))
       .orderBy("doc_id")
   }
 

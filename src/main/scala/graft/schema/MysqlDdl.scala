@@ -190,10 +190,9 @@ object MysqlDdl {
     val generated = GenRe.findFirstMatchIn(restFlags).map { g =>
       GeneratedCol(rest.substring(g.start(1), g.end(1)).trim, !restU.contains("VIRTUAL"))
     }
-    val default = DefaultRe.findFirstMatchIn(restFlags).map { d =>
-      val v = rest.substring(d.start(1), d.end(1)).trim
-      if (v.startsWith("'")) v.stripPrefix("'").stripSuffix("'") else v
-    }.filter(_.toUpperCase != "NULL")
+    val default = DefaultRe.findFirstMatchIn(restFlags)
+      .map(d => normalizeDefault(rest.substring(d.start(1), d.end(1)).trim))
+      .filter(_.toUpperCase != "NULL")
     val enumValues =
       if (baseType == "enum" || baseType == "set")
         splitTopLevel(args, ',').map(_.trim.stripPrefix("'").stripSuffix("'"))
@@ -233,12 +232,35 @@ object MysqlDdl {
   // by greedy scan below; regex grabs from AS ( to the clause end keywords.
   private val GenRe =
     """(?is)(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s*(?:STORED|VIRTUAL)?\s*(?:NOT\s+NULL|NULL)?\s*(?:COMMENT.*)?$""".r
-  // the optional [_\w]* prefix covers introducer/typed literals
-  // (b'101', x'6869', _utf8mb4'abc') — the clause LOCATES on blanked
-  // text, where the bare [^\s,]+ alternative would stop at the first
-  // blanked character inside the quotes and truncate the default
+  // the optional identifier prefix (with optional space) covers
+  // introducer/typed literals (b'101', x'6869', _utf8mb4'abc',
+  // _utf8mb4 'abc') — the clause LOCATES on blanked text, where the
+  // bare [^\s,]+ alternative would stop at the first blanked character
+  // inside the quotes and truncate the default
   private val DefaultRe =
-    """(?is)DEFAULT\s+((?:[_\w]*)'(?:[^'\\]|\\.)*'|[^\s,]+)""".r
+    """(?is)DEFAULT\s+((?:[A-Za-z_]\w*\s*)?'(?:[^'\\]|\\.)*'|[^\s,]+)""".r
+
+  /** Decode a DEFAULT literal to the plain value the default-fill
+    * expression should inject: strip quotes, collapse bit/hex literals
+    * to their numeric/decoded form (same token semantics as the dump
+    * parser's bare-token decoding), drop charset introducers.
+    */
+  private[schema] def normalizeDefault(v: String): String = {
+    val BitRe = """(?is)^b'([01]+)'$""".r
+    val HexRe = """(?is)^x'([0-9a-f]*)'$""".r
+    val IntroRe = """(?is)^_\w+\s*'((?:[^'\\]|\\.)*)'$""".r
+    v match {
+      case BitRe(bits) => java.lang.Long.parseLong(bits, 2).toString
+      case HexRe(hex) =>
+        val h = if (hex.length % 2 == 1) "0" + hex else hex
+        new String(
+          h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      case IntroRe(body) => body
+      case s if s.startsWith("'") => s.stripPrefix("'").stripSuffix("'")
+      case s => s
+    }
+  }
 
   /** SURVEY §1.2 type map. */
   def sparkType(base: String, args: String, unsigned: Boolean): DataType = base match {

@@ -143,17 +143,19 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(!byName("d").unsigned) // identifier must not flip the flag
   }
 
-  test("prefixed literal defaults (bit/hex/introducer) extract in full") {
+  test("prefixed literal defaults (bit/hex/introducer) decode to plain values") {
     val t = MysqlDdl.parse(
       """CREATE TABLE p (
         |  a bigint DEFAULT b'101',
-        |  b varbinary(4) DEFAULT x'68 69',
-        |  c varchar(10) DEFAULT _utf8mb4'hi there'
+        |  b varchar(4) DEFAULT x'6869',
+        |  c varchar(10) DEFAULT _utf8mb4'hi there',
+        |  d varchar(10) DEFAULT _utf8mb4 'spaced'
         |);""".stripMargin)
     val byName = t.columns.map(c => c.name -> c).toMap
-    assert(byName("a").default === Some("b'101'"))
-    assert(byName("b").default === Some("x'68 69'"))
-    assert(byName("c").default === Some("_utf8mb4'hi there'"))
+    assert(byName("a").default === Some("5")) // b'101' = 5, castable to bigint
+    assert(byName("b").default === Some("hi")) // x'6869' = "hi"
+    assert(byName("c").default === Some("hi there"))
+    assert(byName("d").default === Some("spaced"))
   }
 
   test("two-argument AUTO_RANDOM(shard, range) takes the shard width") {
