@@ -39,6 +39,8 @@ object SparkEntry {
     "q_sorted_write" -> IngestQueries.sortedWrite,
     "q_checksum_roundtrip" -> IngestQueries.checksumRoundtrip,
     "q_dedup_policy" -> IngestQueries.dedupPolicy,
+    "q_dedup_error" -> IngestQueries.dedupError,
+    "q_dedup_conflicts" -> IngestQueries.dedupConflicts,
     "q_analyze" -> IngestQueries.analyzeStats,
     "q_compact" -> IngestQueries.compactOutput,
     "q_text_stats" -> TextQueries.textStats,
@@ -108,6 +110,8 @@ object SparkEntry {
     "q_sorted_write" -> IngestQueries.sortedWriteSql,
     "q_checksum_roundtrip" -> IngestQueries.checksumRoundtripSql,
     "q_dedup_policy" -> IngestQueries.dedupPolicySql,
+    "q_dedup_error" -> IngestQueries.dedupErrorSql,
+    "q_dedup_conflicts" -> IngestQueries.dedupConflictsSql,
     "q_analyze" -> IngestQueries.analyzeStatsSql,
     "q_compact" -> IngestQueries.compactOutputSql,
     "q_text_stats" -> TextQueries.textStatsSql,

@@ -457,4 +457,37 @@ object IngestQueries {
     """SELECT count(*) AS n_rows,
       |  CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) AS sum_price
       |FROM orders""".stripMargin
+
+  /** On-duplicate "error" policy (E4), happy path: a key-unique input
+    * passes through the uniqueness assertion untouched (the failure
+    * path — a planted duplicate raising — is spec-covered in
+    * DedupErrorSpec; an erroring query can't be oracle-checked).
+    */
+  def dedupError(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+    SortedParquetSink.dedup(orders, Seq("o_orderkey"), "error")
+      .agg(count(lit(1)).as("n_rows"), sum(quant("o_totalprice")).as("sum_price"))
+  }
+
+  def dedupErrorSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) AS sum_price
+      |FROM orders""".stripMargin
+
+  /** Duplicate-key conflict report (E4's non-throwing face): plant
+    * duplicates by re-unioning the low keys of `nation`, report each
+    * conflicting key with its multiplicity.
+    */
+  def dedupConflicts(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = table(spark, sfDir, "nation")
+    val planted = nation.unionByName(nation.filter(col("n_nationkey") < 3))
+    SortedParquetSink.conflicts(planted, Seq("n_nationkey"))
+      .orderBy("n_nationkey")
+  }
+
+  def dedupConflictsSql: String =
+    """SELECT n_nationkey, count(*) AS n_rows
+      |FROM (SELECT n_nationkey FROM nation
+      |      UNION ALL SELECT n_nationkey FROM nation WHERE n_nationkey < 3)
+      |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
 }

@@ -271,23 +271,59 @@ object TextQueries {
     * token count before it. A doc longer than the budget just spans
     * packs, like real packers truncate/continue.
     *
-    * Scale: the window partitions by language, so the running sum
-    * distributes across strata instead of the single-reducer global
-    * window; within a stratum it is the standard distributed
-    * running-total shape. Output is per-pack stats (doc count, token
-    * total) — small everywhere.
+    * Scale: a per-language running sum as a SQL window
+    * (`PARTITION BY lang ORDER BY doc_id`) would serialize every
+    * document of a language through ONE reducer's sort — with an
+    * en-dominant corpus that is most of 100 TB through a single task.
+    * Instead this is a two-level prefix sum (the
+    * [[graft.transform.RowTransform.chunkedRowId]] pattern): range-
+    * partition by (lang, doc_id) so every partition holds a contiguous
+    * doc_id run, take per-(partition, lang) token subtotals — a
+    * driver-side collect of O(#partitions + #langs) longs, NOT data —
+    * scan those into per-(partition, lang) base offsets, then a second
+    * narrow pass assigns each doc `base + running-within-partition`.
+    * Identical output to the window, no single-reducer stage; the input
+    * is localCheckpoint'ed so both passes see the same (sampled, hence
+    * nondeterministic) range partitioning.
     */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
     val budget = 2048L
     val n = size(tokens(col("text"))).cast("long")
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    table(spark, sfDir, "documents")
+    val stable = table(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), n.as("n_tokens"))
-      .withColumn("start_off",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)) - col("n_tokens"))
-      .select(col("lang"), expr(s"start_off div $budget").as("pack_id"),
-        col("n_tokens"))
+      .repartitionByRange(col("lang"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .localCheckpoint(true)
+    val rdd = stable.rdd
+    // pass 1: per-(partition, lang) token subtotals — tiny
+    val subtotals = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r => val l = r.getString(1); m(l) = m.getOrElse(l, 0L) + r.getLong(2) }
+      m.iterator.map { case (l, tot) => (i, l, tot) }
+    }.collect().sortBy(_._1)
+    // driver scan: cumulative token count of each lang BEFORE partition i
+    val cum = scala.collection.mutable.Map.empty[String, Long]
+    val bases: Map[(Int, String), Long] = subtotals.map { case (i, l, tot) =>
+      val b = cum.getOrElse(l, 0L); cum(l) = b + tot; ((i, l), b)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(bases)
+    // pass 2: narrow — per-partition running sum seeded with the base
+    val packed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val off = scala.collection.mutable.Map.empty[String, Long]
+      it.map { r =>
+        val l = r.getString(1); val nt = r.getLong(2)
+        val start = off.getOrElse(l, bc.value((i, l)))
+        off(l) = start + nt
+        Row(l, start / budget, nt)
+      }
+    }
+    val schema = new StructType()
+      .add("lang", StringType, nullable = false)
+      .add("pack_id", LongType, nullable = false)
+      .add("n_tokens", LongType, nullable = false)
+    spark.createDataFrame(packed, schema)
       .groupBy("lang", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
       .orderBy("lang", "pack_id")
@@ -300,7 +336,7 @@ object TextQueries {
       |o AS (SELECT lang, n_tokens,
       |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens AS start_off
       |  FROM t)
-      |SELECT lang, start_off // 2048 AS pack_id,
+      |SELECT lang, CAST(start_off // 2048 AS BIGINT) AS pack_id,
       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

@@ -101,12 +101,31 @@ object SortedParquetSink {
       policy: String, orderCol: Option[String] = None): Unit =
     write(dedup(df, keyCols, policy, orderCol), path, keyCols)
 
-  /** The on-duplicate policy as a standalone operator. */
+  /** The on-duplicate policy as a standalone operator (reference
+    * `lightning/config/config.go:62-67`, `tests/tidb_duplicate_data`):
+    * "error" asserts key uniqueness and FAILS the job on the first
+    * conflict (the reference surfaces the duplicate-key error from the
+    * target); "replace"/"ignore" keep last/first per key.
+    */
   def dedup(df: DataFrame, keyCols: Seq[String],
       policy: String, orderCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     policy match {
-      case "error" => df // caller asserts uniqueness separately
+      case "error" =>
+        // Conflicting keys come from a map-side-combined groupBy (the
+        // shuffle carries (key, partial-count), never rows) and join
+        // back onto the data path; a clean input's conflict set is
+        // EMPTY, so AQE broadcasts it and the data never shuffles. Any
+        // matched row raises with the offending key in the message —
+        // assert_true is NULL when the predicate holds, so the filter
+        // passes every row of a clean input untouched.
+        val keyTxt = concat_ws(",", keyCols.map(c => col(c).cast("string")): _*)
+        val msg = concat(lit("on-duplicate policy 'error': duplicate key ("),
+          keyTxt, lit(s") on [${keyCols.mkString(",")}]"))
+        val confl = conflicts(df, keyCols).withColumnRenamed("n_rows", "_g_cnt")
+        df.join(confl, keyCols, "left")
+          .filter(assert_true(col("_g_cnt").isNull, msg).isNull)
+          .select(df.columns.map(col): _*) // restore input column order
       case "replace" | "ignore" =>
         val ord = orderCol.map(col).getOrElse(lit(1))
         val w = Window.partitionBy(keyCols.map(col): _*)
@@ -115,6 +134,16 @@ object SortedParquetSink {
           .filter(col("_g_rn") === 1).drop("_g_rn")
     }
   }
+
+  /** Duplicate-key report — the non-throwing face of the "error"
+    * policy, surfaced like `badRows`: one row per conflicting key with
+    * its multiplicity. Empty ⇔ `dedup(df, keys, "error")` would pass.
+    * A single map-side-combined groupBy; no window, no sort.
+    */
+  def conflicts(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
 }
 
 /** Executor-side connection source for [[JdbcSink]]. Serializable so

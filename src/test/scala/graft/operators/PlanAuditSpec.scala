@@ -63,6 +63,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("packSequences: no global-window exchange of the corpus") {
+    // the running sum must be the two-level prefix sum, not a
+    // per-language Window: a Window node here means the whole corpus of
+    // one language funnels through a single reducer's sort at 100 TB
+    val df = TextQueries.packSequences(spark, sf())
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), plan)
+    assert(!df.queryExecution.analyzed.toString.contains("windowspec"), plan)
+  }
+
   test("textStats: narrow projection — the only exchange is the output sort") {
     val plan = planOf(TextQueries.textStats(spark, sf()))
     // no data shuffle: the computation is a pure per-row projection;
