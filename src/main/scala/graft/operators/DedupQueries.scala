@@ -157,24 +157,25 @@ object DedupQueries {
     */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     // One row per doc: all 12 min-hashes computed in a single map-side-
-    // combining groupBy (no ×k row explosion), plus the shingle set for
-    // candidate verification and its size. No pre-shuffle distinct —
-    // `min` is duplicate-insensitive and `collect_set` dedups in the
-    // aggregation buffer, so a distinct would only add a second full
-    // shuffle of the largest intermediate for identical results. ONE
-    // shuffle total.
+    // combining groupBy (no ×k row explosion) plus the DISTINCT shingle
+    // count (`collect_set` dedups in the aggregation buffer; `min` is
+    // duplicate-insensitive). The set itself is dropped BEFORE the
+    // cache: the cached signature relation is 14 longs per doc — at
+    // 100 TB it must never carry the corpus's whole shingle universe.
     val aggCols =
       collect_set(col("h")).as("hs") +:
         (0 until MinhashK).map { i =>
           min((lit(hashA(i)) * pmod(col("h"), lit(M31)) + lit(hashB(i))) % M31)
             .as(s"mh$i")
         }
-    val docs = table(spark, sfDir, "documents")
+    def shingleRel = table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
       .select(col("doc_id"), md5Long(col("s")).as("h"))
+    val docs = shingleRel
       .groupBy("doc_id")
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("n", size(col("hs")).cast("long"))
+      .drop("hs")
       .cache()
     // 6 band signatures per doc (band b = minhashes 2b, 2b+1 joined by
     // a comma) — a 6-row explode of one-row-per-doc, not of shingles.
@@ -191,13 +192,26 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Only LSH candidates pay verification: exact Jaccard from the two
-    // shingle sets — never an all-pairs shared-shingle join.
-    val sets = docs.select(col("doc_id"), col("hs"), col("n"))
-    val pairs = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .localCheckpoint(true) // small; used twice below
+    // Only LSH candidates pay verification: re-derive the (doc_id, h)
+    // relation semi-filtered to candidate docs — the broadcast filter
+    // sits directly on the rescan, so only candidate docs' shingles are
+    // ever shuffled (the corpus-wide set relation is never cached or
+    // re-shuffled) — then count common shingles with a groupBy.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shC = shingleRel
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .distinct()
+    val inter = shC.as("a").join(shC.as("b"), "h")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    val cnts = docs.select(col("doc_id"), col("n"))
+    val pairs = inter
+      .join(cnts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .where(col("jaccard") >= 0.5)
@@ -435,11 +449,12 @@ object DedupQueries {
   /** Edge count below which the component computation collapses to a
     * driver-side union-find over the collected pair set. The pair graph
     * is the OUTPUT of near-dup detection — orders of magnitude smaller
-    * than the corpus — so even at 100 TB it usually fits; past the
+    * than the corpus — and 1M edges ≈ tens of MiB of driver heap
+    * (collected rows + parent map), comfortably bounded; past the
     * threshold the distributed min-label loop takes over (the same
     * adaptive small-side collapse AQE applies to joins).
     */
-  private val UnionFindMaxEdges = 4000000L
+  private val UnionFindMaxEdges = 1000000L
 
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = dedupSimhashPairs(spark, sfDir).select("doc_a", "doc_b")
