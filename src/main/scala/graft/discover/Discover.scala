@@ -50,7 +50,30 @@ object FileRouter {
   private val ViewSchema = """(?i)^(?:.*/)?([^/]+)\.(.+?)-schema-view\.sql$""".r
   private val TblSchema = """(?i)^(?:.*/)?([^/]+)\.(.+?)-schema\.sql$""".r
   private val Data =
-    """(?i)^(?:.*/)?([^/.]+)\.(.+?)(?:\.([0-9]+))?\.(sql|csv|parquet)(?:\.(gz|gzip|lz4|zstd|zst|xz))?$""".r
+    """(?i)^(?:.*/)?([^/.]+)\.(.+?)(?:\.([0-9]+))?\.(sql|csv|parquet)(?:\.(gz|gzip|bz2|lz4|zstd|zst|xz))?$""".r
+
+  /** Compression codecs the Spark/Hadoop runtime actually decodes end
+    * to end (the reference REJECTS every compressed source,
+    * `lightning/mydump/router.go:256-273` — gz/bz2 support exceeds it).
+    * lz4 is excluded deliberately: Hadoop's Lz4Codec reads its own
+    * block framing, not the lz4 CLI frame format, so a CLI-written
+    * `.lz4` would fail mid-read with a baffling error; zstd needs a
+    * native libhadoop this image lacks; xz has no Hadoop codec at all.
+    * Such files still ROUTE (the name classifies), but discovery fails
+    * loudly naming the file — see [[requireReadable]].
+    */
+  val SupportedCompression: Set[String] = Set("gz", "gzip", "bz2")
+
+  /** Fail discovery with an explicit message if `r` names a codec the
+    * runtime cannot decode — at listing time, not hours into the read.
+    */
+  def requireReadable(path: String, r: RouteResult): Unit =
+    r.compression.filterNot(SupportedCompression).foreach { c =>
+      throw new IllegalArgumentException(
+        s"unsupported compression '.$c' on source file $path — " +
+          s"supported: ${SupportedCompression.toSeq.sorted.mkString(", ")}, " +
+          "or decompress the file before import")
+    }
 
   val defaultRules: Seq[Rule] = Seq(
     { case DbSchema(db) => RouteResult(db, "", FileKind.SchemaSchema, None, "") },

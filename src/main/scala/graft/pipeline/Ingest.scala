@@ -79,7 +79,10 @@ object Ingest {
       val f = it.next()
       val rel = f.getPath.toString.stripPrefix(
         fs.makeQualified(new Path(cfg.sourceDir)).toString).stripPrefix("/")
-      router.route(rel).foreach { r => files += ((f.getPath.toString, r)) }
+      router.route(rel).foreach { r =>
+        FileRouter.requireReadable(f.getPath.toString, r) // reject lz4/zstd/xz loudly (S8)
+        files += ((f.getPath.toString, r))
+      }
     }
     files
       .filter { case (_, r) => r.kind == FileKind.SchemaSchema || filter.matches(r.database, r.table) }

@@ -43,6 +43,28 @@ class DiscoverSpec extends AnyFunSuite {
       Some(("数据", "表")))
   }
 
+  test("unsupported codecs route but fail validation naming the file (S8)") {
+    // names still classify…
+    val zst = router.route("d.t.0001.csv.zst")
+    assert(zst === Some(RouteResult("d", "t", FileKind.Csv, Some("zst"), "0001")))
+    // …but discovery must reject them loudly, not hand Hadoop a frame
+    // format it can't decode
+    val e = intercept[IllegalArgumentException] {
+      FileRouter.requireReadable("/src/d.t.0001.csv.zst", zst.get)
+    }
+    assert(e.getMessage.contains("d.t.0001.csv.zst"), e.getMessage)
+    assert(e.getMessage.contains("zst"), e.getMessage)
+    for (ext <- Seq("lz4", "xz", "zstd")) {
+      val r = router.route(s"d.t.csv.$ext").get
+      intercept[IllegalArgumentException](FileRouter.requireReadable(s"d.t.csv.$ext", r))
+    }
+    // supported codecs pass validation untouched
+    for (ext <- Seq("gz", "gzip", "bz2")) {
+      val r = router.route(s"d.t.csv.$ext").get
+      FileRouter.requireReadable(s"d.t.csv.$ext", r)
+    }
+  }
+
   test("table filter: last match wins, negation, default deny") {
     val f = new TableFilter(Seq("tpch.*", "!tpch.secret*"))
     assert(f.matches("tpch", "lineitem"))

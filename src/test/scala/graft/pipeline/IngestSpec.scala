@@ -28,6 +28,34 @@ class IngestSpec extends SparkSpec {
     assert(back.toSeq === Seq((1, "a"), (2, "b"), (3, null)))
   }
 
+  test("bz2-compressed CSV ingests end-to-end (S8: Hadoop pure-Java codec)") {
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream
+    val root = Files.createTempDirectory("graft_ingest_bz2").toString
+    Files.writeString(Paths.get(root, "d.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, v varchar(10), PRIMARY KEY (id));")
+    val bz = new BZip2CompressorOutputStream(
+      Files.newOutputStream(Paths.get(root, "d.t.0001.csv.bz2")))
+    try bz.write("1,\"a\"\n2,\"b\"\n".getBytes("UTF-8")) finally bz.close()
+    val out = Files.createTempDirectory("graft_ingest_bz2_out").toString
+    val reports = Ingest.run(spark, Ingest.Config(root, out))
+    assert(reports.length === 1 && reports.head.nRows === 2 && reports.head.checksumOk)
+    val back = spark.read.parquet(s"$out/d.t").orderBy("id").collect()
+      .map(x => (x.getInt(0), x.getString(1)))
+    assert(back.toSeq === Seq((1, "a"), (2, "b")))
+  }
+
+  test("unsupported codec in the source dir fails discovery, naming the file") {
+    val root = Files.createTempDirectory("graft_ingest_zst").toString
+    Files.writeString(Paths.get(root, "d.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, PRIMARY KEY (id));")
+    Files.write(Paths.get(root, "d.t.0001.csv.zst"), Array[Byte](0x28, (0xb5).toByte))
+    val out = Files.createTempDirectory("graft_ingest_zst_out").toString
+    val e = intercept[IllegalArgumentException] {
+      Ingest.run(spark, Ingest.Config(root, out))
+    }
+    assert(e.getMessage.contains("d.t.0001.csv.zst"), e.getMessage)
+  }
+
   test("concurrent table restore matches the sequential reports") {
     val root = Files.createTempDirectory("graft_ingest_conc").toString
     def w(name: String, s: String) = Files.writeString(Paths.get(root, name), s)
