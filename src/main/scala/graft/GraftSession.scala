@@ -21,6 +21,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // see [[events]]
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,6 +38,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // see [[events]]
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -67,13 +69,17 @@ object GraftSession {
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright; read it as a raw nanos long (legacy flag) and rebuild a
-    * microsecond TimestampType column (the corpus has no sub-µs
-    * components). Integer `div` keeps the conversion exact — a double
-    * division would lose precision above 2^53 ns.
+    * outright; read it as a raw nanos long (legacy flag, set ONCE at
+    * session build — mutating conf inside a table getter would be a
+    * global side effect per read) and rebuild a microsecond
+    * TimestampType column (the corpus has no sub-µs components).
+    * Integer `div` keeps the conversion exact — a double division
+    * would lose precision above 2^53 ns.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(GraftSession.build/benchSession set it)")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(

@@ -47,9 +47,11 @@ object KMeans {
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Model = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    // element type is whatever the vector column carries (float for the
+    // embeddings table, but array<double> inputs must not ClassCastException)
     var cents: Array[Array[Double]] = base.orderBy("id").limit(k)
       .select("v").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
     var it = 0
     while (it < iters) {
       val assigned = base.withColumn("cell", cellOf(col("v"), cents))

@@ -281,6 +281,17 @@ object Ingest {
     // values
     def wide(c: graft.schema.ColumnSpec): Boolean =
       c.autoRandomBits.isDefined || c.mysqlType.startsWith("bigint")
+    // MySQL integer-domain ceiling for the dense-fill overflow guard
+    def narrowTypeMax(c: graft.schema.ColumnSpec): Long = {
+      val signedMax = c.mysqlType.takeWhile(_.isLetter).toLowerCase match {
+        case "tinyint" => 127L
+        case "smallint" => 32767L
+        case "mediumint" => 8388607L
+        case "int" | "integer" => 2147483647L
+        case _ => Long.MaxValue // bigint handled by the wide path
+      }
+      if (c.unsigned) signedMax * 2 + 1 else signedMax
+    }
     val FillCol = "_graft_fill_id"
     val merged = autoInc match {
       case Some(c) =>
@@ -312,6 +323,15 @@ object Ingest {
             if (nNulls == 0L) union
             else {
               val base = math.max(priorMaxId, explicitMax)
+              // fail BEFORE synthesizing: a fill past the MySQL type's
+              // ceiling would otherwise null out in the non-ANSI cast
+              // and surface only as an opaque cast-error count
+              val ceil = narrowTypeMax(c)
+              if (base + nNulls > ceil) throw new IllegalStateException(
+                s"auto-increment fill overflows ${c.mysqlType}" +
+                  s"${if (c.unsigned) " unsigned" else ""} column " +
+                  s"${d.db}.${d.table}.${c.name}: base $base + $nNulls fills " +
+                  s"exceeds the type max $ceil")
               RowTransform.chunkedRowId(union, FillCol, base)
                 .withColumn(existing,
                   coalesce(col(existing), col(FillCol).cast(union.schema(existing).dataType)))

@@ -191,7 +191,7 @@ object MysqlDdl {
       GeneratedCol(rest.substring(g.start(1), g.end(1)).trim, !restU.contains("VIRTUAL"))
     }
     val default = DefaultRe.findFirstMatchIn(restFlags)
-      .map(d => normalizeDefault(rest.substring(d.start(1), d.end(1)).trim))
+      .map(d => normalizeDefault(rest.substring(d.start(1), d.end(1)).trim, baseType))
       .filter(_.toUpperCase != "NULL")
     val enumValues =
       if (baseType == "enum" || baseType == "set")
@@ -240,18 +240,38 @@ object MysqlDdl {
   private val DefaultRe =
     """(?is)DEFAULT\s+((?:[A-Za-z_]\w*\s*)?'(?:[^'\\]|\\.)*'|[^\s,]+)""".r
 
+  private val HexLitRe = """(?is)^x'([0-9a-f]*)'$""".r
+
+  /** Byte payload of an `x'..'` hex literal, if `v` is one. */
+  def hexLiteralBytes(v: String): Option[Array[Byte]] = v match {
+    case HexLitRe(hex) =>
+      val h = if (hex.length % 2 == 1) "0" + hex else hex
+      Some(h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray)
+    case _ => None
+  }
+
+  /** True for MySQL types whose values are raw bytes, not characters. */
+  def binaryTyped(baseType: String): Boolean =
+    Set("binary", "varbinary", "blob", "tinyblob", "mediumblob", "longblob")
+      .contains(baseType)
+
   /** Decode a DEFAULT literal to the plain value the default-fill
     * expression should inject: strip quotes, collapse bit/hex literals
     * to their numeric/decoded form (same token semantics as the dump
     * parser's bare-token decoding), drop charset introducers.
+    *
+    * Hex defaults on BINARY-typed columns keep their `x'..'` form: a
+    * UTF-8 string decode is lossy for arbitrary byte sequences (0x80+
+    * bytes mangle), so the byte payload is re-extracted type-aware at
+    * fill time ([[hexLiteralBytes]] in RowTransform.defaultValue).
     */
-  private[schema] def normalizeDefault(v: String): String = {
+  private[schema] def normalizeDefault(v: String, baseType: String = ""): String = {
     val BitRe = """(?is)^b'([01]+)'$""".r
-    val HexRe = """(?is)^x'([0-9a-f]*)'$""".r
     val IntroRe = """(?is)^_\w+\s*'((?:[^'\\]|\\.)*)'$""".r
     v match {
       case BitRe(bits) => java.lang.Long.parseLong(bits, 2).toString
-      case HexRe(hex) =>
+      case HexLitRe(_) if binaryTyped(baseType) => v // keep bytes exact
+      case HexLitRe(hex) =>
         val h = if (hex.length % 2 == 1) "0" + hex else hex
         new String(
           h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray,

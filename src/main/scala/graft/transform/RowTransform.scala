@@ -31,12 +31,21 @@ object RowTransform {
     df.select(cols: _*)
   }
 
-  /** T3: literal for a column's DEFAULT under its Spark type. */
+  /** T3: literal for a column's DEFAULT under its Spark type. Hex
+    * defaults on binary-typed columns arrive still in `x'..'` form
+    * (see MysqlDdl.normalizeDefault) and become exact byte literals —
+    * a string round-trip would mangle non-UTF-8 sequences.
+    */
   def defaultValue(c: ColumnSpec): Column = c.default match {
     case None => lit(null).cast(c.sparkType)
     case Some(d) if d.equalsIgnoreCase("CURRENT_TIMESTAMP") =>
       current_timestamp()
-    case Some(d) => lit(d).cast(c.sparkType)
+    case Some(d) =>
+      graft.schema.MysqlDdl.hexLiteralBytes(d) match {
+        case Some(bytes) if c.sparkType == org.apache.spark.sql.types.BinaryType =>
+          lit(bytes)
+        case _ => lit(d).cast(c.sparkType)
+      }
   }
 
   /** T2: cast every (string-ish) column to its declared type, switched

@@ -254,6 +254,21 @@ class IngestSpec extends SparkSpec {
     assert(byV("b") > 9 && byV("b") <= 12) // dense: base=9 + rowid ≤ 3
   }
 
+  test("narrow auto-increment fill past the type ceiling fails with a clear error") {
+    val root = Files.createTempDirectory("graft_autoinc_ovf").toString
+    Files.writeString(Paths.get(root, "d.nt-schema.sql"),
+      "CREATE TABLE nt (id tinyint NOT NULL AUTO_INCREMENT, v varchar(10), PRIMARY KEY (id));")
+    // explicit max 126 + 2 NULL fills > tinyint max 127 → must fail
+    // loudly, not null out in the cast
+    Files.writeString(Paths.get(root, "d.nt.0001.csv"), "126,\"a\"\n\\N,\"b\"\n\\N,\"c\"\n")
+    val out = Files.createTempDirectory("graft_autoinc_ovf_out").toString
+    val e = intercept[IllegalStateException] {
+      Ingest.run(spark, Ingest.Config(root, out))
+    }
+    assert(e.getMessage.contains("overflows tinyint"), e.getMessage)
+    assert(e.getMessage.contains("d.nt.id"), e.getMessage)
+  }
+
   test("AUTO_RANDOM column absent from the source synthesizes sharded unique ids") {
     val root = Files.createTempDirectory("graft_autorand").toString
     // TiDB dumps AUTO_RANDOM inside an executable comment

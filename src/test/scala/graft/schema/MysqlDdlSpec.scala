@@ -158,6 +158,22 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(byName("d").default === Some("spaced"))
   }
 
+  test("hex defaults on binary columns keep exact bytes (no UTF-8 mangling)") {
+    val t = MysqlDdl.parse(
+      """CREATE TABLE bb (
+        |  raw varbinary(4) DEFAULT x'80ff00aa',
+        |  txt varchar(4) DEFAULT x'6869'
+        |);""".stripMargin)
+    val byName = t.columns.map(c => c.name -> c).toMap
+    // binary-typed: the x'..' form survives parse, and its byte payload
+    // round-trips exactly — 0x80/0xff are not valid UTF-8 lead bytes
+    assert(byName("raw").default === Some("x'80ff00aa'"))
+    assert(MysqlDdl.hexLiteralBytes("x'80ff00aa'").get.toSeq ===
+      Seq(0x80.toByte, 0xff.toByte, 0x00.toByte, 0xaa.toByte))
+    // character-typed columns still decode to the string
+    assert(byName("txt").default === Some("hi"))
+  }
+
   test("two-argument AUTO_RANDOM(shard, range) takes the shard width") {
     val t = MysqlDdl.parse(
       "CREATE TABLE ar2 (id bigint /*T![auto_rand] AUTO_RANDOM(6, 54) */ NOT NULL);")

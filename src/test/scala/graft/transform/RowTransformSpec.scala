@@ -5,6 +5,16 @@ import graft.SparkSpec
 
 class RowTransformSpec extends SparkSpec {
 
+  test("binary-column hex DEFAULT fills exact bytes (no UTF-8 mangling)") {
+    import spark.implicits._
+    val t = graft.schema.MysqlDdl.parse(
+      "CREATE TABLE bb (id int NOT NULL, raw varbinary(4) DEFAULT x'80ff00aa');")
+    val c = t.columns.find(_.name == "raw").get
+    val out = Seq(1).toDF("id")
+      .select(RowTransform.defaultValue(c).as("raw")).head.getAs[Array[Byte]](0)
+    assert(out.toSeq === Seq(0x80.toByte, 0xff.toByte, 0x00.toByte, 0xaa.toByte))
+  }
+
   test("chunkedRowId is dense, unique, and follows range order") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
