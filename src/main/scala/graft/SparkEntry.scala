@@ -82,6 +82,7 @@ object SparkEntry {
     "q_ingest_e2e" -> PipelineQueries.ingestE2e,
     "q_auto_inc_e2e" -> PipelineQueries.autoIncE2e,
     "q_csv_gz" -> PipelineQueries.csvGz,
+    "q_partitioned_e2e" -> PipelineQueries.partitionedE2e,
     "q_error_summary" -> PipelineQueries.errorSummary,
     "q_view" -> PipelineQueries.viewRestore,
   )
@@ -150,6 +151,7 @@ object SparkEntry {
     "q_ingest_e2e" -> PipelineQueries.ingestE2eSql,
     "q_auto_inc_e2e" -> PipelineQueries.autoIncE2eSql,
     "q_csv_gz" -> PipelineQueries.csvGzSql,
+    "q_partitioned_e2e" -> PipelineQueries.partitionedE2eSql,
     "q_error_summary" -> PipelineQueries.errorSummarySql,
     "q_view" -> PipelineQueries.viewRestoreSql,
   )

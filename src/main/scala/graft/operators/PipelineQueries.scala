@@ -195,6 +195,56 @@ object PipelineQueries {
     }
   }
 
+  // -------------------------------- partitioned-table output layout
+  /** `PARTITION BY` DDL → partitioned parquet layout
+    * (`tests/partitioned-table` analog): nation declared
+    * `PARTITION BY HASH(n_regionkey)` imports into one directory per
+    * region key; the probe reads back through the layout with a
+    * partition-key filter, which prunes at the file listing (the
+    * pruning property itself is pinned in PartitionedIngestSpec).
+    */
+  private val nationPartDdl =
+    """CREATE TABLE nation (
+      |  n_nationkey int NOT NULL,
+      |  n_name varchar(25),
+      |  n_regionkey int,
+      |  PRIMARY KEY (n_nationkey)
+      |) partition by hash(n_regionkey) partitions 5;""".stripMargin
+
+  private val partIngested = scala.collection.mutable.Set[String]()
+
+  private def ingestPartitionedFixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = Paths.get(fixRoot(sfDir), "part_src")
+    if (!Files.exists(root.resolve("_done"))) {
+      deleteRec(root)
+      Files.createDirectories(root)
+      writeSingle(spark, MySqlCsvText(table(spark, sfDir, "nation")),
+        root.resolve("tpch.nation.0001.csv"))
+      Files.writeString(root.resolve("tpch.nation-schema.sql"), nationPartDdl)
+      Files.writeString(root.resolve("_done"), "ok")
+    }
+    val target = s"${fixRoot(sfDir)}/part_ingest_out"
+    if (!partIngested.contains(target)) {
+      deleteRec(Paths.get(target))
+      val r = Ingest.run(spark, Ingest.Config(root.toString, target)).head
+      require(r.checksumOk, s"partitioned ingest failed verification: $r")
+      partIngested += target
+    }
+    target
+  }
+
+  def partitionedE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = ingestPartitionedFixture(spark, sfDir)
+    spark.read.parquet(s"$target/tpch.nation")
+      .filter(col("n_regionkey") === 2)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey").cast("int"))
+      .orderBy("n_nationkey")
+  }
+
+  def partitionedE2eSql: String =
+    """SELECT n_nationkey, n_name, CAST(n_regionkey AS INT) AS n_regionkey
+      |FROM nation WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin
+
   // ----------------------------------------- S8 (gz) + view restore
   private def gzipFile(src: Path, dst: Path): Unit = {
     val in = Files.newInputStream(src)

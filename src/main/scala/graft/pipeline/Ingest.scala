@@ -358,6 +358,13 @@ object Ingest {
     val dataCols = typed.columns.toSeq.filterNot(errCol.contains)
     val sortCols = schema.map(_.primaryKey).filter(_.nonEmpty)
       .getOrElse(dataCols.take(1))
+    // PARTITION BY key from the DDL → partitioned directory layout
+    // (`tests/partitioned-table` analog): reads through the output
+    // prune at the file listing. Resolved case-insensitively against
+    // the real output columns; an unknown name is ignored (harmless,
+    // like the reference ignoring placement it can't act on).
+    val partCols = schema.map(_.partitionBy).getOrElse(Nil)
+      .flatMap(p => dataCols.find(_.equalsIgnoreCase(p)))
     val out = s"${cfg.targetDir}/${d.db}.${d.table}"
     // Pre-write checksum rides the write pass as an observed metric —
     // one scan of the source instead of two (the parse/cast plan is
@@ -378,14 +385,24 @@ object Ingest {
             coalesce(max(idCol), lit(0L)).as("max_row_id")
           }),
       dropCols = errCol.toSeq,
-      mode = if (prior.isDefined) "append" else "overwrite")
+      mode = if (prior.isDefined) "append" else "overwrite",
+      partitionCols = partCols)
     val pre = Checksum.fromMetric(obs.get("kv_checksum"))
     val badRows = errCol.map(_ => obs.get("bad_rows").asInstanceOf[Long]).getOrElse(0L)
     val maxRowId = autoInc
       .map(_ => math.max(priorMaxId, obs.get("max_row_id").asInstanceOf[Long]))
       .getOrElse(0L)
     val expected = prior.map(_.add(pre)).getOrElse(pre)
-    val post = collectChecksum(spark.read.parquet(out))
+    // Partitioned output read-back needs the WRITTEN schema: directory-
+    // encoded partition columns would otherwise come back type-inferred
+    // and appended last, and the canonical row encoding the checksum
+    // hashes is column-order- and type-sensitive.
+    val writtenSchema = org.apache.spark.sql.types.StructType(
+      typed.schema.filterNot(f => errCol.contains(f.name)))
+    val readBack =
+      if (partCols.nonEmpty) spark.read.schema(writtenSchema).parquet(out)
+      else spark.read.parquet(out)
+    val post = collectChecksum(readBack)
     val ok = Checksum.matches(expected, post) && badRows <= cfg.maxError
     // A7: collect catalog statistics once the table verified
     val statsRows =

@@ -31,7 +31,8 @@ case class TableSchema(
     database: Option[String],
     table: String,
     columns: Seq[ColumnSpec],
-    primaryKey: Seq[String]) {
+    primaryKey: Seq[String],
+    partitionBy: Seq[String] = Nil) {
   def struct: StructType = StructType(columns.map(_.field))
   def colNames: Seq[String] = columns.map(_.name)
 }
@@ -75,8 +76,34 @@ object MysqlDdl {
         }
       }
     }
-    TableSchema(db, tbl, cols.toSeq, pk)
+    // table options follow the body's closing paren (body starts right
+    // after the '(' at m.end - 1); PARTITION BY lives there
+    val tail = noComments.substring(m.end + body.length)
+    TableSchema(db, tbl, cols.toSeq, pk, partitionColumns(tail))
   }
+
+  /** `PARTITION BY <method>(cols)` → the partition column list, the
+    * key of the Spark-idiomatic analog (`tests/partitioned-table`):
+    * the reference leaves row placement to the target cluster; a file
+    * target's analog is a `partitionBy(key)` directory layout, which
+    * gives the same effect — partition-pruned reads. Only simple
+    * column lists are actionable (`HASH(a)`, `KEY(a,b)`,
+    * `RANGE COLUMNS(a)`); an expression like `RANGE (YEAR(d))` has no
+    * direct column analog and is ignored (harmless, as before).
+    */
+  private val PartitionByRe =
+    """(?is)\bPARTITION\s+BY\s+(?:LINEAR\s+)?(?:RANGE|LIST|HASH|KEY)\s*(?:COLUMNS)?\s*\(([^)]*)\)""".r
+
+  private[schema] def partitionColumns(tableOptions: String): Seq[String] =
+    // LOCATE on blanked text (a `COMMENT='partition by hash(x)'` table
+    // option must not fabricate a clause), EXTRACT from the raw text at
+    // the same offsets — blanking is length-preserving
+    PartitionByRe.findFirstMatchIn(blankStringLiterals(tableOptions)).map { pm =>
+      val raw = tableOptions.substring(pm.start(1), pm.end(1))
+      val idents = splitTopLevel(raw, ',')
+        .map(x => unquoteIdent(x.trim)).filter(_.nonEmpty)
+      if (idents.nonEmpty && idents.forall(_.matches("[\\w$]+"))) idents else Nil
+    }.getOrElse(Nil)
 
   private val CreateRe =
     """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"\w.]+)\s*\(""".r

@@ -50,12 +50,16 @@ object SortedParquetSink {
     *   reference's splitter rule. AQE may still coalesce further.
     */
   def write(df: DataFrame, path: String, sortCols: Seq[String], numRanges: Int = 0,
-      mode: String = "overwrite"): Unit = {
-    val keys = sortCols.map(col)
+      mode: String = "overwrite", partitionCols: Seq[String] = Nil): Unit = {
+    // With partition columns the range shuffle leads with them, so each
+    // task holds a contiguous run of partition values and writes a few
+    // directories instead of fanning a file into every one (the
+    // small-files failure mode of hash-partitioned partitionBy writes).
+    val keys = (partitionCols ++ sortCols.filterNot(partitionCols.contains)).map(col)
     val n = if (numRanges > 0) numRanges else rangesFor(df)
-    df.repartitionByRange(n, keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .write.mode(mode).parquet(path)
+    val sorted = df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+    val w = sorted.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
   /** [[write]] with an observed metric riding the write pass, so the
@@ -80,16 +84,18 @@ object SortedParquetSink {
     */
   def writeObservedMetrics(df: DataFrame, path: String, sortCols: Seq[String],
       obs: org.apache.spark.sql.Observation, metrics: DataFrame => Seq[Column],
-      dropCols: Seq[String], numRanges: Int = 0, mode: String = "overwrite"): Unit = {
-    val keys = sortCols.map(col)
+      dropCols: Seq[String], numRanges: Int = 0, mode: String = "overwrite",
+      partitionCols: Seq[String] = Nil): Unit = {
+    val keys = (partitionCols ++ sortCols.filterNot(partitionCols.contains)).map(col)
     val n = if (numRanges > 0) numRanges else rangesFor(df)
     val ranged = df.repartitionByRange(n, keys: _*)
     val ms = metrics(ranged)
-    ranged
+    val sorted = ranged
       .observe(obs, ms.head, ms.tail: _*)
       .drop(dropCols: _*)
       .sortWithinPartitions(keys: _*)
-      .write.mode(mode).parquet(path)
+    val w = sorted.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
   /** Write with a dedup policy applied on the key, mirroring the tidb

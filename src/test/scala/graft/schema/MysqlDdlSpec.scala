@@ -73,9 +73,10 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(t.columns.map(_.name) === Seq("key_mod", "index_col", "unique_id"))
   }
 
-  test("partitioned-table DDL parses; PARTITION BY clause is ignored") {
-    // reference tests/partitioned-table: partitions are a storage
-    // detail of the target, not a schema property of the rows
+  test("partitioned-table DDL parses; expression partitioning extracts no key") {
+    // reference tests/partitioned-table: an expression partition key
+    // (YEAR(created)) has no partitionBy-column analog — columns still
+    // parse, the key list stays empty
     val t = MysqlDdl.parse(
       """CREATE TABLE p (
         |  id bigint NOT NULL,
@@ -87,6 +88,26 @@ class MysqlDdlSpec extends AnyFunSuite {
         |);""".stripMargin)
     assert(t.columns.map(_.name) === Seq("id", "created"))
     assert(t.primaryKey === Seq("id"))
+    assert(t.partitionBy === Nil)
+  }
+
+  test("column-list PARTITION BY forms extract the partition key") {
+    // the reference's own fixture shape (tests/partitioned-table)
+    val h = MysqlDdl.parse(
+      "create table a (a int, b varchar(16), KEY key_b (`b`)) " +
+        "partition by hash(a) partitions 5;")
+    assert(h.partitionBy === Seq("a"))
+    val k = MysqlDdl.parse(
+      "CREATE TABLE t (x int, y int) PARTITION BY LINEAR KEY (`x`, `y`) PARTITIONS 3;")
+    assert(k.partitionBy === Seq("x", "y"))
+    val rc = MysqlDdl.parse(
+      "CREATE TABLE t (x int, y date) PARTITION BY RANGE COLUMNS(x) " +
+        "(PARTITION p0 VALUES LESS THAN (10));")
+    assert(rc.partitionBy === Seq("x"))
+    // a false positive inside a column COMMENT string must not trigger
+    val c = MysqlDdl.parse(
+      "CREATE TABLE t (x int COMMENT 'partition by hash(x)', y int);")
+    assert(c.partitionBy === Nil)
   }
 
   test("defaults with commas inside enum args survive splitting") {
