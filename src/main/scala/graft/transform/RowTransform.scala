@@ -81,7 +81,11 @@ object RowTransform {
     val errs =
       if (strict) lit(0L)
       else schema.columns.map { c =>
-        when(col(c.name).isNotNull && castTo(col(c.name), c).isNull, 1L).otherwise(0L)
+        // a MySQL zero date is the server's own "no value" sentinel,
+        // not malformed input — it coerces to NULL (see [[isZeroDate]])
+        // without burning the error budget
+        when(col(c.name).isNotNull && !isZeroDate(col(c.name), c) &&
+          castTo(col(c.name), c).isNull, 1L).otherwise(0L)
       }.reduce(_ + _)
     permuted.select(castColumns(schema, strict) :+ errs.as(ErrorsCol): _*)
   }
@@ -112,6 +116,18 @@ object RowTransform {
     * (MySQL inserts '' there — we prefer the honest NULL) and strict
     * mode turns into an error.
     */
+  /** MySQL zero-date sentinel (`0000-00-00[ 00:00:00]`, reference
+    * `tests/sqlmode/`) heading into a date/timestamp column. Spark's
+    * proleptic calendar cannot represent it, so the engine's CONTRACT
+    * (deliberate deviation, documented in README): non-strict mode
+    * coerces it to NULL without counting a cast error; strict mode
+    * raises, matching MySQL's NO_ZERO_DATE-under-strict default.
+    */
+  private[transform] def isZeroDate(c: Column, spec: ColumnSpec): Column =
+    if (spec.sparkType == DateType || spec.sparkType == TimestampType)
+      c.try_cast(StringType).rlike("^0000-00-00( 00:00:00(\\.0+)?)?$")
+    else lit(false)
+
   private def castTo(c: Column, spec: ColumnSpec): Column = {
     val base = c.try_cast(spec.sparkType)
     if (spec.enumValues.isEmpty) base

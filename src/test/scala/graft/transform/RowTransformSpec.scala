@@ -5,6 +5,29 @@ import graft.SparkSpec
 
 class RowTransformSpec extends SparkSpec {
 
+  test("zero dates: NULL without an error count non-strict, raise strict") {
+    import spark.implicits._
+    val schema = graft.schema.MysqlDdl.parse(
+      "CREATE TABLE z (id int NOT NULL, d date, ts datetime, PRIMARY KEY (id));")
+    val df = Seq(
+      ("1", "0000-00-00", "0000-00-00 00:00:00"),
+      ("2", "2024-05-01", "2024-05-01 10:00:00"),
+      ("3", "garbage", "2024-05-01 10:00:00")).toDF("id", "d", "ts")
+    val out = RowTransform.applySchemaWithErrors(df, schema)
+    val rows = out.orderBy("id").collect()
+    // zero dates coerce to NULL and do NOT burn the error budget…
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(0).getLong(3) === 0L)
+    // …while genuinely malformed input still counts
+    assert(rows(2).isNullAt(1) && rows(2).getLong(3) === 1L)
+    assert(!rows(1).isNullAt(1) && rows(1).getLong(3) === 0L)
+    // strict mode raises on the zero date, like MySQL NO_ZERO_DATE
+    val e = intercept[Exception] {
+      RowTransform.applySchema(df.filter($"id" === "1"), schema, strict = true).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("binary-column hex DEFAULT fills exact bytes (no UTF-8 mangling)") {
     import spark.implicits._
     val t = graft.schema.MysqlDdl.parse(
