@@ -65,6 +65,68 @@ object DedupQueries {
 
   private val shingleCte = shingleCteFor("documents", "toks", "sh")
 
+  // -------------------------------------------------- span-level exact
+  private val SpanLen = 10
+
+  /** Exact-substring dedup at span granularity (the engine analog of
+    * suffix-array exact dedup, Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better"): each document is chunked
+    * into consecutive [[SpanLen]]-token spans; a span keeps only its
+    * FIRST corpus occurrence (min (doc_id, pos)); later occurrences —
+    * boilerplate, quoted passages, copied paragraphs — are dropped and
+    * the surviving text fingerprinted per doc.
+    *
+    * Scale shape: tokens explode ≈1× corpus, the first-occurrence
+    * groupBy is a min(struct) that combines map-side (a hot span — a
+    * license header repeated a billion times — still reduces to one
+    * row per partition before the shuffle, so there is no skewed
+    * reducer), the join back is an equi-join on the span, and the
+    * per-doc regroup shuffles each doc's own spans only. Two shuffles
+    * total, both linear in corpus size.
+    */
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    // starts 1, 11, 21, … — sequence() needs the empty-text guard
+    // (sequence(1, 0, 10) is an illegal range, not an empty one)
+    val spanArr = when(size(ts) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ts), lit(SpanLen)),
+        j => array_join(slice(ts, j, lit(SpanLen)), " ")))
+    val spans = table(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(spanArr).as(Seq("pos", "span")))
+    val firsts = spans
+      .groupBy("span")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("span"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    val kept = col("doc_id") === col("f_doc") && col("pos") === col("f_pos")
+    spans.join(firsts, "span")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(kept, struct(col("pos"), col("span"))))),
+            x => x.getField("span")),
+          " ").cast("binary")).as("fp_kept"))
+      .orderBy("doc_id")
+  }
+
+  def spanDedupSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |s AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+       |    array_to_string(ts[CAST(u.i*$SpanLen+1 AS INT):CAST(u.i*$SpanLen+$SpanLen AS INT)], ' ') AS span
+       |  FROM t, UNNEST(range(0, CAST(ceil(len(ts)/$SpanLen.0) AS INT))) AS u(i)),
+       |r AS (SELECT doc_id, pos, span,
+       |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+       |  FROM s)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos), '')) AS fp_kept
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ exact
   /** Exact dedup: duplicate the corpus under shifted IDs, keep the
     * min-ID copy per exact text — collapses back to the original set.

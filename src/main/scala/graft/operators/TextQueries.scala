@@ -480,27 +480,37 @@ object TextQueries {
     * per-row decision is a narrow expression, so the operator is a
     * filter at scan speed followed by one small per-stratum aggregate.
     */
-  def sampleStrata(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The hash-sample keep predicate — ONE definition consumed by both
+    * [[sampleStrata]] and [[curateE2e]] (and mirrored by
+    * [[sampleKeepSqlPredicate]] for their oracles).
+    */
+  private def sampleKeep: Column = {
     val bucket = md5Long(concat_ws(":", col("lang"), col("doc_id"))) % 100
     val rate = sampleRates.foldLeft(lit(DefaultRate)) { case (acc, (l, r)) =>
       when(col("lang") === l, lit(r)).otherwise(acc)
     }
+    bucket < rate
+  }
+
+  private def sampleKeepSqlPredicate: String = {
+    val cases = sampleRates.toSeq.sorted
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100
+       |  < CASE lang $cases ELSE $DefaultRate END""".stripMargin
+  }
+
+  def sampleStrata(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
-      .where(bucket < rate)
+      .where(sampleKeep)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
       .orderBy("lang")
-  }
 
-  def sampleStrataSql: String = {
-    val cases = sampleRates.toSeq.sorted
-      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+  def sampleStrataSql: String =
     s"""SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
        |FROM documents
-       |WHERE CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100
-       |  < CASE lang $cases ELSE $DefaultRate END
+       |WHERE $sampleKeepSqlPredicate
        |GROUP BY lang ORDER BY lang""".stripMargin
-  }
 
   // ----------------------------------------------------- vocab top-k
   /** Vocabulary induction: top 20 tokens by document frequency with a
@@ -570,4 +580,129 @@ object TextQueries {
     """SELECT doc_id,
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- mixture weights
+  /** Training-mixture weights per source with temperature-style
+    * upsampling: weight ∝ √tokens (α = 0.5), the rebalancing used for
+    * multilingual/multi-domain pretraining mixes (low-resource strata
+    * get more than their raw share). α = 0.5 is deliberate: IEEE 754
+    * requires sqrt be exactly rounded, so Spark and the oracle compute
+    * bit-identical weights, where a pow(x, 0.3) could differ in the
+    * last ulp between libm implementations. The √ is quantized to
+    * integer micro-units before the normalizing sum so the total is
+    * exact int arithmetic (a double sum would depend on reduce order).
+    *
+    * One groupBy over the corpus + a broadcast of the 1-row total:
+    * scan-speed at 100 TB.
+    */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = table(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("q", floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val total = per.agg(sum("q").as("qt"))
+    val w = col("q").cast("double") / col("qt").cast("double")
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        w.as("weight"),
+        floor(w * 100000d).cast("long").as("target_per_100k"))
+      .orderBy("source")
+  }
+
+  def mixtureWeightsSql: String =
+    """WITH per AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |q AS (SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS qv
+      |  FROM per),
+      |t AS (SELECT CAST(sum(qv) AS BIGINT) AS qt FROM q)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(qv AS DOUBLE) / CAST(qt AS DOUBLE) AS weight,
+      |  CAST(floor(CAST(qv AS DOUBLE) / CAST(qt AS DOUBLE) * 100000) AS BIGINT) AS target_per_100k
+      |FROM q, t ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------- BPE pairs
+  /** One BPE-training iteration: the top-20 most frequent adjacent
+    * character pairs inside words, weighted by occurrence — the merge
+    * candidates a byte-pair tokenizer trainer would fuse first. Full
+    * training iterates this count-and-merge; each iteration is exactly
+    * this shape: a narrow double explode (word, then its len−1 pairs),
+    * a map-side-combining groupBy, and a TakeOrdered top-k — no global
+    * sort, no join, linear in corpus characters.
+    */
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairsOf = when(length(col("w")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2))))
+    table(spark, sfDir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .select(explode(pairsOf).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(20)
+  }
+
+  def bpePairsSql: String =
+    """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |p AS (SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w)
+      |SELECT pair, count(*) AS pair_count
+      |FROM p GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- curation pipeline
+  /** The full curation chain composed end-to-end — quality gate → exact
+    * dedup (keep min doc_id per text) → deterministic stratified sample
+    * → per-language data card. Every stage reuses the SINGLE shared
+    * rule definition of its standalone operator ([[qualityAccept]],
+    * [[sampleKeep]]), so this pipeline can never drift from the
+    * per-operator gates.
+    *
+    * Scale shape: the quality gate and sample predicate are narrow
+    * filters at scan speed; dedup is one min(struct) groupBy on the
+    * text hash (map-side combine, no skewed reducer — the struct
+    * reduces per partition before the shuffle); the report is one small
+    * aggregate. Two shuffles over the filtered corpus, total.
+    */
+  def curateE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nTok, nStop, nUniq) = qualityStats
+    val scored = table(spark, sfDir, "documents")
+      .where(qualityAccept(nTok, nStop, nUniq))
+      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
+        md5(col("text").cast("binary")).as("fp"))
+    val deduped = scored
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.n_tokens").as("n_tokens"))
+    deduped
+      .where(sampleKeep)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_ids"),
+        sum("n_tokens").as("sum_tokens"))
+      .orderBy("lang")
+  }
+
+  def curateE2eSql: String = {
+    val en = sqlList(stopwords("en"))
+    s"""WITH t AS (SELECT doc_id, lang, md5(text) AS fp,
+       |    regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       |a AS (SELECT doc_id, lang, fp, CAST(len(tk) AS BIGINT) AS n_tokens
+       |  FROM t
+       |  WHERE len(tk) >= 10 AND len(tk) <= 5000
+       |    AND CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) > 0.1
+       |    AND CAST(len(list_filter(tk, x -> list_contains($en, x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) < 0.9),
+       |d AS (SELECT doc_id, lang, n_tokens,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |  FROM a),
+       |s AS (SELECT doc_id, lang, n_tokens FROM d
+       |  WHERE rn = 1 AND $sampleKeepSqlPredicate)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

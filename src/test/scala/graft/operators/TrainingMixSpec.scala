@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for the training-mix operators: span-level exact dedup,
+  * temperature mixture weights, BPE pair counting.
+  */
+class TrainingMixSpec extends SparkSpec {
+
+  private def docsFixture(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("spanDedup keeps the first corpus occurrence of a span and drops the rest") {
+    val tenA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10" // one exact 10-token span
+    val tenB = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val dir = docsFixture(Seq(
+      (1L, s"$tenA $tenB"),      // doc 1: spans [tenA, tenB], both first
+      (2L, s"$tenA c1 c2"),      // doc 2: copies doc 1's first span + a fresh tail
+      (3L, "d1 d2 d3")           // doc 3: single short span, unique
+    ))
+    val out = DedupQueries.spanDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 keeps both spans; doc 2 loses the copied span, keeps its
+    // tail; doc 3 untouched
+    assert(out === Map(1L -> ((2L, 2L)), 2L -> ((2L, 1L)), 3L -> ((1L, 1L))))
+    // determinism: the min-(doc_id, pos) winner does not depend on
+    // partitioning — rerun under a different layout
+    val re = DedupQueries.spanDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(re === out)
+  }
+
+  test("spanDedup fingerprints surviving text in span order") {
+    val dir = docsFixture(Seq(
+      (1L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 y1 y2"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 z1 z2")
+    ))
+    val rows = DedupQueries.spanDedup(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    // doc 1 survives intact → fingerprint of its full text; doc 2's
+    // surviving text is just the fresh tail
+    def md5s(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(byId(1L) === md5s("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 y1 y2"))
+    assert(byId(2L) === md5s("z1 z2"))
+  }
+
+  test("spanDedup plan stays equi-join only (no cartesian product)") {
+    val plan = DedupQueries.spanDedup(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("mixtureWeights upsamples low-token strata relative to raw share") {
+    val rows = TextQueries.mixtureWeights(spark, sf("sf0.01")).collect()
+    val tokens = rows.map(_.getLong(2))
+    val weights = rows.map(_.getDouble(3))
+    assert(weights.forall(w => w > 0 && w < 1))
+    assert(math.abs(weights.sum - 1.0) < 1e-9)
+    // α=0.5 flattening: the smallest stratum's weight exceeds its raw
+    // token share, the largest stratum's weight is below its share
+    val total = tokens.sum.toDouble
+    val iMin = tokens.indexOf(tokens.min)
+    val iMax = tokens.indexOf(tokens.max)
+    assert(weights(iMin) > tokens(iMin) / total)
+    assert(weights(iMax) < tokens(iMax) / total)
+    // integer targets are consistent with the weights
+    rows.foreach { r =>
+      assert(r.getLong(4) === math.floor(r.getDouble(3) * 100000).toLong)
+    }
+  }
+
+  test("curateE2e composes quality gate, exact dedup and hash sample") {
+    import graft.functions.TextFunctions.md5LongLocal
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val dir = docsFixture(Seq(
+      (1L, good),              // accepted, first copy → kept by dedup
+      (2L, good),              // exact duplicate → dropped by dedup
+      (3L, "too short text"),  // rejected by the length gate
+      (4L, good.replace("alpha", "omega")) // accepted, unique
+    ))
+    // fixture lang is "en" (rate 10) — compute the expected sample
+    // keeps with the same hash the operator uses
+    val expected = Seq(1L, 4L)
+      .filter(id => math.floorMod(md5LongLocal(s"en:$id"), 100) < 10)
+    val rows = TextQueries.curateE2e(spark, dir).collect()
+    if (expected.isEmpty) assert(rows.isEmpty)
+    else {
+      assert(rows.length === 1)
+      assert(rows.head.getLong(1) === expected.length.toLong)
+      assert(rows.head.getLong(2) === expected.sum)
+      assert(rows.head.getLong(3) === expected.length.toLong * 12)
+    }
+  }
+
+  test("bpePairs counts adjacent character pairs weighted by occurrence") {
+    val dir = docsFixture(Seq(
+      (1L, "abab abab cd"), // ab:2×2, ba:1×2, cd:1
+      (2L, "abab x")        // ab:2, ba:1; 1-char word contributes nothing
+    ))
+    val out = TextQueries.bpePairs(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("ab" -> 6L, "ba" -> 3L, "cd" -> 1L))
+  }
+}
