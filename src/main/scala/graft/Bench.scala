@@ -15,7 +15,12 @@ object Bench {
     // fixed name order: Map iteration order reshuffles whenever a query
     // is added, which would move warm-up/cache effects between queries
     // and break round-over-round comparability
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated query names (local perf iteration;
+    // the driver invokes with no args → full run)
+    val only = args.headOption.map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write, not count(): count() lets Spark prune every column
       // and elide sorts, understating real query cost.

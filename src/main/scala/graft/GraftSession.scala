@@ -65,8 +65,27 @@ object GraftSession {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    fanOut(spark,
+      if (name == "events") events(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Fan a scan out to the cluster's parallelism when its split count
+    * can't feed the cores. Parquet parallelism is bounded by row-group
+    * count, and these test tables are single-row-group files — without
+    * this, every CPU-heavy narrow chain above a scan (shingle md5,
+    * token explode, signature hashing) runs on ONE core while the
+    * other 31 idle. On a real 100 TB layout the scan has thousands of
+    * splits ≫ cores, the condition never fires, and the read is
+    * returned untouched — a small-file adaptation, not a plan change
+    * at scale. Filters and column pruning still push through the
+    * exchange (`PushPredicateThroughNonJoin` / `ColumnPruning` both
+    * traverse `Repartition`), so pushdown-audited plans keep their
+    * `PushedFilters`.
+    */
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= cores) df.repartition(cores) else df
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
     * outright; read it as a raw nanos long (legacy flag, set ONCE at

@@ -262,9 +262,15 @@ object DedupQueries {
     // re-shuffled) — then count common shingles with a groupBy.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // materialized once (eager checkpoint): the self-join below would
+    // otherwise recompute the scan+md5 chain for each side. Bounded by
+    // candidate docs' shingles — candidates ≪ corpus, so this stays
+    // small at any scale (unlike the corpus-wide set relation, which
+    // is never materialized anywhere).
     val shC = shingleRel
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .distinct()
+      .localCheckpoint(true)
     val inter = shC.as("a").join(shC.as("b"), "h")
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
