@@ -27,11 +27,13 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => }
       val sec = (System.nanoTime() - t0) / 1e9
-      // release the previous query's localCheckpoint/cache blocks NOW:
-      // the ContextCleaner frees them only after a GC notices the
-      // dropped references, and letting them pile up makes later
-      // queries pay unrelated eviction/GC cost (observed as multi-x
-      // timing swings between identical runs)
+      // release the previous query's cache/localCheckpoint blocks NOW,
+      // synchronously: waiting for the async ContextCleaner (GC-driven)
+      // lets a heavy query's blocks linger into the NEXT measurement —
+      // observed as 3× swings (ngram 5.4 s isolated vs 17 s following
+      // minhash's cached signatures and checkpointed candidates)
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       name -> sec
     }
