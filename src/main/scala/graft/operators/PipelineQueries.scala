@@ -103,6 +103,49 @@ object PipelineQueries {
       |  decode(unhex(to_hex(p_partkey % 26 + 65))) AS un
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  private val ordersGenDdl =
+    """CREATE TABLE orders_g (
+      |  o_orderkey bigint NOT NULL,
+      |  o_totalprice double,
+      |  o_orderdate datetime,
+      |  o_orderpriority varchar(20),
+      |  day_name varchar(12) AS (date_format(o_orderdate, '%W')) STORED,
+      |  ym varchar(8) AS (date_format(o_orderdate, '%Y-%m')) STORED,
+      |  md varchar(16) AS (mid(o_orderpriority, 3, 6)) STORED,
+      |  uc varchar(20) AS (ucase(o_orderpriority)) VIRTUAL,
+      |  nd bigint AS (to_days(o_orderdate)) STORED,
+      |  tp1 double AS (truncate(o_totalprice, 1)) STORED,
+      |  oc varchar(24) AS (oct(o_orderkey)) STORED,
+      |  rt datetime AS (str_to_date(date_format(o_orderdate, '%Y-%m-%d %H:%i:%s'), '%Y-%m-%d %H:%i:%s')) STORED,
+      |  PRIMARY KEY (o_orderkey)
+      |);""".stripMargin
+
+  /** Date/time + numeric generated-column palette with no literal Spark
+    * twin: MySQL %-format strings (date_format, str_to_date round
+    * trip), to_days' year-0 epoch, truncate-toward-zero, oct, and the
+    * ucase/mid alias spellings — all through the same MySQL → Catalyst
+    * translation ([[GeneratedColumns.translate]]), oracle-replayed.
+    */
+  def gencolDatetime(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = MysqlDdl.parse(ordersGenDdl)
+    val base = table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    GeneratedColumns(RowTransform.applySchema(base, schema), schema)
+      .orderBy("o_orderkey")
+  }
+
+  def gencolDatetimeSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderdate, o_orderpriority,
+      |  strftime(o_orderdate, '%A') AS day_name,
+      |  strftime(o_orderdate, '%Y-%m') AS ym,
+      |  substr(o_orderpriority, 3, 6) AS md,
+      |  upper(o_orderpriority) AS uc,
+      |  CAST(date_diff('day', DATE '0001-01-01', CAST(o_orderdate AS DATE)) + 366 AS BIGINT) AS nd,
+      |  sign(o_totalprice) * floor(abs(o_totalprice) * power(10, 1)) / power(10, 1) AS tp1,
+      |  printf('%o', o_orderkey) AS oc,
+      |  strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS rt
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------- §3.1 end-to-end
   private val nationDdl =
     """CREATE TABLE nation (

@@ -29,9 +29,108 @@ object GeneratedColumns {
       // reference pins the mode via the default_week_format sysvar,
       // `lightning/restore/tidb.go:54`)
       .replaceAll("(?i)\\bweek\\s*\\(", "weekofyear(")
+      // alias spellings with direct Spark twins
+      .replaceAll("(?i)\\bucase\\s*\\(", "upper(")
+      .replaceAll("(?i)\\blcase\\s*\\(", "lower(")
+      .replaceAll("(?i)\\bmid\\s*\\(", "substring(")
     e = rewriteCall(e, "json_object", inner => s"to_json(map($inner))")
     e = rewriteCall(e, "json_quote", inner => s"to_json($inner)")
+    // MySQL date_format/str_to_date use %-tokens — convert the (literal)
+    // format argument to a Catalyst datetime pattern
+    e = rewriteCall(e, "date_format", inner => {
+      val args = splitArgs(inner).map(_.trim)
+      literalOf(args.last) match {
+        case Some(f) if args.length == 2 =>
+          s"date_format(${args.head}, '${convertFormat(f)}')"
+        case _ => s"date_format($inner)"
+      }
+    })
+    e = rewriteCall(e, "str_to_date", inner => {
+      val args = splitArgs(inner).map(_.trim)
+      literalOf(args.last) match {
+        case Some(f) if args.length == 2 =>
+          s"to_timestamp(${args.head}, '${convertFormat(f)}')"
+        case _ => s"str_to_date($inner)" // unsupported shape — let it fail loudly
+      }
+    })
+    // to_days counts from year 0 (to_days('0001-01-01') = 366); Spark's
+    // proleptic calendar starts at 0001-01-01
+    e = rewriteCall(e, "to_days",
+      inner => s"(datediff(($inner), date'0001-01-01') + 366)")
+    e = rewriteCall(e, "oct", inner => s"conv(($inner), 10, 8)")
+    // truncate-toward-zero at d decimals. floor-of-abs, NOT a bigint
+    // cast: engines disagree on double→int cast rounding (DuckDB
+    // rounds, Spark truncates), while floor() is exact everywhere
+    e = rewriteCall(e, "truncate", inner => {
+      splitArgs(inner).map(_.trim) match {
+        case Seq(x, d) =>
+          s"(sign($x) * floor(abs($x) * pow(10, $d)) / pow(10, $d))"
+        case _ => s"truncate($inner)"
+      }
+    })
     e
+  }
+
+  /** Split `args` of a call at top-level commas (quote- and
+    * paren-aware).
+    */
+  private[transform] def splitArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var q: Char = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) { if (c == q) q = 0 }
+      else c match {
+        case '\'' | '"' => q = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** The payload of a simple quoted literal, if `s` is one. */
+  private def literalOf(s: String): Option[String] =
+    if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
+      Some(s.substring(1, s.length - 1))
+    else None
+
+  /** MySQL %-token → Catalyst datetime pattern letters. */
+  private val mysqlFmtTokens: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "M", 'd' -> "dd",
+    'e' -> "d", 'H' -> "HH", 'k' -> "H", 'h' -> "hh", 'l' -> "h",
+    'i' -> "mm", 's' -> "ss", 'S' -> "ss", 'f' -> "SSSSSS", 'j' -> "DDD",
+    'W' -> "EEEE", 'a' -> "EEE", 'M' -> "MMMM", 'b' -> "MMM", 'p' -> "a",
+    'T' -> "HH:mm:ss", 'r' -> "hh:mm:ss a")
+
+  private[transform] def convertFormat(f: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < f.length) {
+      val c = f.charAt(i)
+      if (c == '%' && i + 1 < f.length) {
+        val t = f.charAt(i + 1)
+        if (t == '%') sb.append('%')
+        else sb.append(mysqlFmtTokens.getOrElse(t, throw new IllegalArgumentException(
+          s"unsupported MySQL date format token %$t in '$f'")))
+        i += 2
+      } else {
+        // pattern letters are reserved — literal alphabetics must be
+        // quoted (and the quote itself doubled for the SQL literal)
+        if (c.isLetter) sb.append('\'').append(c).append('\'')
+        else if (c == '\'') sb.append("\\'")
+        else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
   }
 
   /** Rewrite every `fn(args)` call via `body(args)`, keeping balanced

@@ -1,0 +1,59 @@
+package graft.transform
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** MySQL → Catalyst translation rules for generated-column expressions,
+  * focused on the spellings with no literal Spark twin.
+  */
+class GeneratedColumnsSpec extends SparkSpec {
+
+  test("format tokens convert to Catalyst pattern letters") {
+    assert(GeneratedColumns.convertFormat("%Y-%m-%d %H:%i:%s") === "yyyy-MM-dd HH:mm:ss")
+    assert(GeneratedColumns.convertFormat("%W") === "EEEE")
+    assert(GeneratedColumns.convertFormat("%d/%c/%y") === "dd/M/yy")
+    // literal alphabetics are quoted so they can't collide with
+    // pattern letters; %% is a literal percent
+    assert(GeneratedColumns.convertFormat("%YT%m%%") === "yyyy'T'MM%")
+    intercept[IllegalArgumentException](GeneratedColumns.convertFormat("%Q"))
+  }
+
+  test("splitArgs honors nesting and quoted commas") {
+    assert(GeneratedColumns.splitArgs("a, f(b, c), 'x,y'") ===
+      Seq("a", " f(b, c)", " 'x,y'"))
+  }
+
+  test("translate rewrites the MySQL-only spellings") {
+    assert(GeneratedColumns.translate("ucase(s)") === "upper(s)")
+    assert(GeneratedColumns.translate("mid(s, 2, 3)") === "substring(s, 2, 3)")
+    assert(GeneratedColumns.translate("oct(n)") === "conv((n), 10, 8)")
+    assert(GeneratedColumns.translate("to_days(d)") ===
+      "(datediff((d), date'0001-01-01') + 366)")
+    assert(GeneratedColumns.translate("truncate(x, 2)") ===
+      "(sign(x) * floor(abs(x) * pow(10, 2)) / pow(10, 2))")
+    assert(GeneratedColumns.translate("date_format(d, '%Y-%m')") ===
+      "date_format(d, 'yyyy-MM')")
+    assert(GeneratedColumns.translate("str_to_date(s, '%Y-%m-%d')") ===
+      "to_timestamp(s, 'yyyy-MM-dd')")
+  }
+
+  test("translated expressions evaluate with MySQL semantics") {
+    import spark.implicits._
+    val df = Seq(("2024-03-05 07:08:09", 123.456, -9.99, 64L))
+      .toDF("ts", "x", "neg", "n")
+      .withColumn("d", col("ts").cast("timestamp"))
+    val out = df.select(
+      GeneratedColumns.column("date_format(d, '%W')").as("w"),
+      GeneratedColumns.column("to_days(d)").as("nd"),
+      GeneratedColumns.column("truncate(x, 1)").as("t1"),
+      GeneratedColumns.column("truncate(neg, 1)").as("tn"),
+      GeneratedColumns.column("oct(n)").as("o")).head()
+    assert(out.getString(0) === "Tuesday")
+    // MySQL: SELECT TO_DAYS('2024-03-05') = 739315
+    assert(out.getInt(1) === 739315)
+    assert(out.getDouble(2) === 123.4)
+    assert(out.getDouble(3) === -9.9) // truncate is toward zero, not floor
+    assert(out.getString(4) === "100")
+  }
+}
