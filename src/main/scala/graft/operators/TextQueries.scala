@@ -652,6 +652,42 @@ object TextQueries {
       |SELECT pair, count(*) AS pair_count
       |FROM p GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
 
+  // -------------------------------------------- unigram commonness
+  /** Unigram-frequency quality proxy (the integer-exact stand-in for a
+    * CCNet-style LM perplexity score): per doc, the mean corpus
+    * frequency of its tokens, in parts-per-million of a token. Rare-
+    * token documents (garbled text, codes, boilerplate IDs) score low;
+    * stopword soup scores high — both tails are what a quality gate
+    * cuts. log-prob would be the classical form, but libm log is not
+    * exactly rounded and engines could disagree in the last ulp; mean
+    * frequency ranks documents identically for gating purposes and is
+    * exact integer arithmetic (products stay < 2⁵³).
+    *
+    * Scale shape: one explode, one map-side-combining vocab count, one
+    * equi-join back on the token (both sides hash-partition on `tok`;
+    * AQE broadcasts the vocab side when it is small), one per-doc
+    * aggregate. No driver-side state — the vocab never collects.
+    */
+  def unigramQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    toks.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        floor(lit(1000000d) * sum(col("cnt")) / count(lit(1)))
+          .cast("long").as("commonness_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def unigramQualitySql: String =
+    """WITH e AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(floor(1000000.0 * CAST(sum(cnt) AS BIGINT) / count(*)) AS BIGINT) AS commonness_ppm
+      |FROM e JOIN c USING (tok) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- curation pipeline
   /** The full curation chain composed end-to-end — quality gate → exact
     * dedup (keep min doc_id per text) → deterministic stratified sample

@@ -104,6 +104,15 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
+  test("unigramQuality scores mean corpus token frequency in ppm") {
+    val dir = docsFixture(Seq((1L, "x x y"), (2L, "x z")))
+    val out = TextQueries.unigramQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // corpus counts: x=3, y=1, z=1
+    // doc 1: (3+3+1)/3 → 2333333 ppm; doc 2: (3+1)/2 → 2000000 ppm
+    assert(out === Map(1L -> ((3L, 2333333L)), 2L -> ((2L, 2000000L))))
+  }
+
   test("bpePairs counts adjacent character pairs weighted by occurrence") {
     val dir = docsFixture(Seq(
       (1L, "abab abab cd"), // ab:2×2, ba:1×2, cd:1
