@@ -45,7 +45,8 @@ object Ingest {
       analyze: Boolean = true,
       strictMode: Boolean = false,
       maxError: Long = Long.MaxValue,
-      tableConcurrency: Int = 1)
+      tableConcurrency: Int = 1,
+      noSchema: Boolean = false)
 
   case class TableReport(
       db: String,
@@ -227,13 +228,38 @@ object Ingest {
     * match the combination; `priorMaxId` rebases auto-increment
     * synthesis past the previous run's IDs.
     */
+  /** No-schema mode (reference `tests/no_schema`, lightning's
+    * `mydumper.no-schema` flag): when the dump carries no
+    * `-schema.sql`, adopt the EXISTING target table's schema — names,
+    * types, nullability — the way the reference imports into an
+    * already-created downstream table. A missing target fails loudly,
+    * mirroring the reference's abort when the table does not exist.
+    * MySQL-only attributes (auto-increment, defaults, generation) have
+    * no parquet representation, so none are synthesized.
+    */
+  private def targetSchema(spark: SparkSession, cfg: Config, d: Discovered): TableSchema = {
+    val path = s"${cfg.targetDir}/${d.db}.${d.table}"
+    val st =
+      try spark.read.parquet(path).schema
+      catch {
+        case e: Throwable => throw new IllegalStateException(
+          s"no-schema mode: target table $path must already exist with a readable schema", e)
+      }
+    TableSchema(Some(d.db), d.table,
+      st.fields.toSeq.map(f => graft.schema.ColumnSpec(
+        f.name, f.dataType.simpleString, f.dataType, f.nullable,
+        default = None, generated = None, autoIncrement = false,
+        unsigned = false, enumValues = Nil)),
+      primaryKey = Nil)
+  }
+
   private def restoreFiles(spark: SparkSession, cfg: Config, d: Discovered,
       files: Seq[(String, FileKind.Value)],
       prior: Option[KvChecksum], priorMaxId: Long): (TableReport, KvChecksum) = {
     val schema: Option[TableSchema] = d.schemaFile.map { p =>
       MysqlDdl.parse(CharsetReader.readSchemaFile(
         spark.sparkContext.hadoopConfiguration, p, cfg.charset))
-    }
+    }.orElse(if (cfg.noSchema) Some(targetSchema(spark, cfg, d)) else None)
     val shards: Seq[DataFrame] = files.map { case (path, kind) =>
       kind match {
         case FileKind.Csv =>

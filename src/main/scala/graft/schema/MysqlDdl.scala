@@ -105,8 +105,10 @@ object MysqlDdl {
       if (idents.nonEmpty && idents.forall(_.matches("[\\w$]+"))) idents else Nil
     }.getOrElse(Nil)
 
+  // (?U): \w must cover unicode identifiers — MySQL allows unquoted
+  // non-ASCII table names (reference tests/exotic_filenames, 中文表)
   private val CreateRe =
-    """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"\w.]+)\s*\(""".r
+    """(?isU)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"\w.]+)\s*\(""".r
 
   /** Versioned/executable comments (`/*!50100 ... */`, TiDB
     * `/*T![flag] ... */`) are UNWRAPPED — their content is real DDL the

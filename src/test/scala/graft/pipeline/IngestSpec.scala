@@ -16,6 +16,50 @@ class IngestSpec extends SparkSpec {
     root
   }
 
+  test("no-schema mode adopts the existing target table's schema") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_noschema").toString
+    Files.writeString(Paths.get(root, "noschema.t.0001.csv"), "5,\"hi\"\n6,\"yo\"\n")
+    val out = Files.createTempDirectory("graft_noschema_out").toString
+    // the pre-created downstream table: (x int, v string), zero rows
+    spark.range(0).select(col("id").cast("int").as("x"), lit("").as("v"))
+      .write.parquet(s"$out/noschema.t")
+    val reports = Ingest.run(spark,
+      Ingest.Config(root, out, noSchema = true))
+    assert(reports.length === 1 && reports.head.nRows === 2 && reports.head.checksumOk)
+    val back = spark.read.parquet(s"$out/noschema.t").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq === Seq((5, "hi"), (6, "yo")))
+  }
+
+  test("no-schema mode without an existing target fails loudly") {
+    val root = Files.createTempDirectory("graft_noschema2").toString
+    Files.writeString(Paths.get(root, "noschema.t.0001.csv"), "1\n")
+    val out = Files.createTempDirectory("graft_noschema2_out").toString
+    val e = intercept[IllegalStateException] {
+      Ingest.run(spark, Ingest.Config(root, out, noSchema = true))
+    }
+    assert(e.getMessage.contains("no-schema mode"))
+  }
+
+  test("a 256-column table imports positionally (reference tests/too_many_columns)") {
+    val root = Files.createTempDirectory("graft_wide").toString
+    val cols = (1 to 256).map(i => f"COL$i%03d")
+    Files.writeString(Paths.get(root, "w.t-schema.sql"),
+      cols.map(c => s"$c VARCHAR(16)").mkString("CREATE TABLE t (", ", ", ");"))
+    Files.writeString(Paths.get(root, "w.t.0001.csv"),
+      (1 to 256).map(i => 1000 + i).mkString("", ",", "\n"))
+    val out = Files.createTempDirectory("graft_wide_out").toString
+    val reports = Ingest.run(spark, Ingest.Config(root, out))
+    assert(reports.head.nRows === 1 && reports.head.checksumOk)
+    val row = spark.read.parquet(s"$out/w.t").head()
+    val schema = spark.read.parquet(s"$out/w.t").schema
+    assert(schema.fieldNames.toSeq === cols)
+    assert(row.getString(schema.fieldIndex("COL001")) === "1001")
+    assert(row.getString(schema.fieldIndex("COL100")) === "1100")
+    assert(row.getString(schema.fieldIndex("COL256")) === "1256")
+  }
+
   test("ingest restores a CSV table with verified checksum") {
     val src = mkFixture()
     val out = Files.createTempDirectory("graft_ingest_out").toString

@@ -208,4 +208,18 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(!byName("a").unsigned)
     assert(byName("b").unsigned)
   }
+
+  test("exotic table names parse: escaped backticks and unicode (reference tests/exotic_filenames)") {
+    // the routed FILE name is authoritative for the table identity;
+    // the DDL must still parse its column list under these names
+    val t1 = MysqlDdl.parse(
+      "create table `exotic``table````name` (a varchar(6) primary key, " +
+        "b int unique auto_increment) auto_increment=80000;")
+    assert(t1.colNames === Seq("a", "b"))
+    assert(t1.columns(1).autoIncrement)
+    assert(t1.primaryKey === Seq("a"))
+    val t2 = MysqlDdl.parse("create table 中文表(a int primary key);")
+    assert(t2.colNames === Seq("a"))
+    assert(t2.table.nonEmpty)
+  }
 }
