@@ -81,6 +81,39 @@ object SimilarityQueries {
        |FROM embeddings e, q
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
+  // --------------------------------------------------- cosine variant
+  /** Exact top-10 by cosine: the quantized dot normalized by the
+    * quantized L2 norms. All inputs to the doubles are exact int64
+    * (quantDot of a vector with itself is the quantized squared norm),
+    * and sqrt/division are exactly-rounded IEEE ops, so both engines
+    * produce bit-identical cosines. Zero-norm vectors score 0 rather
+    * than NaN (engines disagree on NaN ordering). Same scan-speed
+    * shape as [[annBruteForce]]: narrow projection + TakeOrdered.
+    */
+  def annCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = typedLit(queryVec(spark, sfDir))
+    val e = col("embedding")
+    val cos = when(quantDot(e, e) === 0, lit(0d)).otherwise(
+      quantDot(e, q).cast("double") /
+        (sqrt(quantDot(e, e).cast("double")) * sqrt(quantDot(q, q).cast("double"))))
+    table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), cos.as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  def annCosineSql: String =
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |s AS (SELECT e.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(e.embedding, q.embedding), p -> $QDot)) AS BIGINT) AS dot,
+       |    CAST(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> $QDot)) AS BIGINT) AS na,
+       |    CAST(list_sum(list_transform(list_zip(q.embedding, q.embedding), p -> $QDot)) AS BIGINT) AS nq
+       |  FROM embeddings e, q)
+       |SELECT vec_id,
+       |  CASE WHEN na = 0 THEN 0.0
+       |       ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) END AS cosine
+       |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   // ----------------------------------------------------------- LSH ANN
   /** Bucketed ANN: 6 sign-projection bits → 64 buckets; search only the
     * query's bucket. The per-vector bucket is a narrow expression; on a

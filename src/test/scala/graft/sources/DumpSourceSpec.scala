@@ -47,6 +47,13 @@ class DumpSourceSpec extends AnyFunSuite {
     assert(stmts.head.rows(0).toSeq === Seq("9", "z"))
   }
 
+  test("double-quoted string values parse (reference tests/tool_1420)") {
+    val stmts = DumpSource.parseStatements(
+      """INSERT INTO `pt_role` (`ROLE_ID`) VALUES ("1");
+        |INSERT INTO `pt_role` (`ROLE_ID`) VALUES ("say ""hi"" \" ok");""".stripMargin)
+    assert(stmts.map(_.rows.head.toSeq) === Seq(Seq("1"), Seq("say \"hi\" \" ok")))
+  }
+
   test("ctrl-Z escape and literal @-strings survive (reference tests/issue_282)") {
     val stmts = DumpSource.parseStatements(
       """INSERT INTO `t_access3` VALUES
