@@ -24,7 +24,7 @@ object KMeans {
     * quantization, [[graft.functions.TextFunctions.quant]] —
     * deterministic across partitionings).
     */
-  private def qdist(emb: Column, c: Array[Double]): Column = {
+  private[operators] def qdist(emb: Column, c: Array[Double]): Column = {
     val lit_ = typedLit(c.map(x => math.floor(x * 1000000d).toLong).toSeq)
     // per-row sums stay well inside int64; aggregate/zip_with are fine
     // here (k evaluations per row, not the per-pair hot loop)
@@ -36,7 +36,7 @@ object KMeans {
       lit(0L), (acc, v) => acc + v)
   }
 
-  private def cellOf(emb: Column, cents: Array[Array[Double]]): Column =
+  private[operators] def cellOf(emb: Column, cents: Array[Array[Double]]): Column =
     array_min(array(cents.zipWithIndex.map { case (c, i) =>
       struct(qdist(emb, c).as("d"), lit(i).as("cid"))
     }: _*)).getField("cid")

@@ -263,6 +263,93 @@ object SimilarityQueries {
        |WHERE vc.cid IN (SELECT cid FROM qc)
        |ORDER BY s.score DESC, s.vec_id LIMIT 10""".stripMargin
 
+  // -------------------------------------------------- product quantization
+  private val PqM = 4 // subspaces
+  private val PqK = 16 // codes per subspace → 4 bits each, m·4 = 16 bits/vector
+  private val PqRerank = 50
+
+  /** PQ-compressed ANN with asymmetric-distance scan + exact re-rank —
+    * the storage shape that makes trillion-vector search feasible. The
+    * vector column is never scanned at query time: each vector is
+    * encoded once into [[PqM]] sub-quantizer codes (k-means per
+    * subspace slice, trained by the same exact-integer
+    * [[KMeans.fit]]), and the query scans the CODE relation with a
+    * driver-built ADC lookup table (dot-product flavor, so the metric
+    * matches [[annBruteForce]]); only the ADC top-[[PqRerank]]
+    * candidates pay a join back to the true vectors for exact
+    * re-ranking. At 100 TB the code relation is ~2 bytes/vector vs
+    * 256 bytes of float — the scan is 100× smaller, and the candidate
+    * join is Rerank rows, not the corpus. Codebook training is
+    * deterministic (min-id init, exact integer sums), so the whole
+    * pipeline is reproducible; there is no SQL oracle (replaying 4
+    * k-means trainings in DuckDB is infeasible) — the spec pins
+    * determinism and recall against the exact scan instead.
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    // Joint codebook training: ALL subspaces in one init job + one
+    // Lloyd pass (same min-id init and exact-integer centroid means as
+    // KMeans.fit — four separate fit() calls would pay 4× the job
+    // overhead for identical math). Empty cells keep their init
+    // centroid, the standard Lloyd fallback. The single init collect
+    // also yields the dimension and the query vector (vec_id 0 is
+    // among the k smallest ids), so training + query setup is two
+    // driver jobs total.
+    val base = emb.select(col("vec_id"), col("embedding")).cache()
+    val initRows = base.orderBy("vec_id").limit(PqK).collect()
+    val initVecs: Array[Array[Double]] =
+      initRows.map(_.getSeq[Number](1).map(_.doubleValue).toArray)
+    val q: Seq[Float] = initRows.find(_.getLong(0) == 0L)
+      .map(_.getSeq[Float](1))
+      .getOrElse(queryVec(spark, sfDir))
+    val dim = initVecs(0).length
+    require(dim % PqM == 0, s"dim $dim not divisible into $PqM subspaces")
+    val span = dim / PqM
+    def sub(s: Int): Column = slice(col("embedding"), s * span + 1, span)
+    val init: Array[Array[Array[Double]]] = Array.tabulate(PqM)(s =>
+      initVecs.map(v => v.slice(s * span, (s + 1) * span)))
+    val subCells = array((0 until PqM).map { s =>
+      struct(lit(s).as("s"), KMeans.cellOf(sub(s), init(s)).as("cell"),
+        sub(s).as("v"))
+    }: _*)
+    val sums = base
+      .select(posexplode(subCells).as(Seq("_i", "sc")))
+      .select(col("sc.s").as("s"), col("sc.cell").as("cell"),
+        posexplode(col("sc.v")).as(Seq("pos", "x")))
+      .groupBy("s", "cell", "pos")
+      .agg(sum(quant(col("x"))).as("sm"), count(lit(1)).as("n"))
+      .collect()
+    val books: Array[Array[Array[Double]]] = init.map(_.map(_.clone()))
+    sums.foreach { r =>
+      books(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        r.getLong(3).toDouble / r.getLong(4) / 1e6
+    }
+    // one-time encode: the PQ "index build" (on a cluster this writes
+    // a codes table; here it stays a narrow projection)
+    val codes = base.select(
+      col("vec_id") +: (0 until PqM).map(s =>
+        KMeans.cellOf(sub(s), books(s)).as(s"c$s")): _*)
+    // driver-side ADC table: exact-integer dot of the query slice with
+    // every sub-centroid (m×k longs)
+    val qQuant = q.map(x => math.floor(x * 1000000d).toLong)
+    val adcTab: IndexedSeq[Seq[Long]] = (0 until PqM).map { s =>
+      books(s).toSeq.map { c =>
+        c.indices.map(j => qQuant(s * span + j) * math.floor(c(j) * 1000000d).toLong).sum
+      }
+    }
+    val adc = (0 until PqM).map(s =>
+      element_at(typedLit(adcTab(s)), col(s"c$s").cast("int") + 1)).reduce(_ + _)
+    val cand = codes.select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(PqRerank)
+    // exact re-rank: only the ADC candidates touch true vectors
+    base.join(broadcast(cand), "vec_id")
+      .select(col("vec_id"),
+        quantDot(col("embedding"), typedLit(q)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
   // ------------------------------------------- embedding-cosine dedup
   /** Near-dup pairs by embedding cosine ≥ 0.95, blocked by
     * (label, LSH bucket) with MULTI-PROBE radius 1: one side explodes

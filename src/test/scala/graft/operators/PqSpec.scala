@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PQ-compressed ANN: determinism, candidate bounds, and recall
+  * against the exact scan (no SQL oracle can replay the k-means
+  * codebook training, so the recall pin is the correctness gate).
+  */
+class PqSpec extends SparkSpec {
+
+  test("annIvfPq is deterministic across runs") {
+    val a = SimilarityQueries.annIvfPq(spark, sf("sf0.01")).collect().toSeq
+    val b = SimilarityQueries.annIvfPq(spark, sf("sf0.01")).collect().toSeq
+    assert(a === b)
+    assert(a.length === 10)
+  }
+
+  test("annIvfPq recalls most of the exact top-10 and scores exactly") {
+    val exact = SimilarityQueries.annBruteForce(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = SimilarityQueries.annIvfPq(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // re-ranked scores are the EXACT quantized dot — any vector the PQ
+    // path returns must carry the same score the exact scan gives it
+    pq.foreach { case (id, s) => exact.get(id).foreach(es => assert(es === s)) }
+    val recall = pq.keySet.intersect(exact.keySet).size / 10.0
+    assert(recall >= 0.6, s"recall@10 = $recall")
+  }
+}
