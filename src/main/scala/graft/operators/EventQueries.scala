@@ -56,4 +56,62 @@ object EventQueries {
       |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
       |  count(*) AS n_events
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Day-over-day cohort retention: per active day, how many users
+    * were active and how many returned the next day. One distinct
+    * (user, day) pass, one self-equi-join on (user, day+1), one small
+    * aggregate — every shuffle keys on user/day, nothing global.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = table(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val nxt = d.select(col("user_id"), date_sub(col("day"), 1).as("day"),
+      lit(1L).as("r"))
+    d.join(nxt, Seq("user_id", "day"), "left")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("r"), lit(0L))).as("n_retained"))
+      .orderBy("day")
+  }
+
+  def retentionSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |n AS (SELECT user_id, day - 1 AS day, 1 AS r FROM d)
+      |SELECT d.day AS day, count(*) AS n_active,
+      |  CAST(sum(coalesce(n.r, 0)) AS BIGINT) AS n_retained
+      |FROM d LEFT JOIN n USING (user_id, day)
+      |GROUP BY d.day ORDER BY day""".stripMargin
+
+  /** Ordered funnel view → click → purchase by first occurrence: a
+    * user converts a stage only after converting the previous one.
+    * Three per-user min-aggregates chained by timestamp inequality —
+    * each stage is one filtered aggregate plus an equi-join on
+    * user_id; the inequality is applied as a post-join filter, never a
+    * join condition, so every join stays hash-partitioned.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = table(spark, sfDir, "events")
+    def first(tpe: String) =
+      e.where(col("event_type") === tpe).groupBy("user_id")
+    val v = first("view").agg(min(col("ts")).as("t1"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  def funnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_view_click,
+      |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin
 }
