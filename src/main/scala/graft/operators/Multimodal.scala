@@ -138,4 +138,25 @@ object Multimodal {
       |  CAST(length(frame) AS BIGINT) AS frame_len,
       |  CAST(('0x' || substr(md5(frame), 1, 14)) AS BIGINT) AS frame_fp
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Exact dedup over the BINARY payload — the image/audio analog of
+    * text exact-dedup (byte-identical assets collapse regardless of
+    * filename or metadata). One md5-groupBy with map-side combine;
+    * content hashes, never payloads, reach the shuffle, so the wire
+    * cost per asset is 16 bytes even when the asset is megabytes.
+    */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    packBinary(graft.GraftSession.table(spark, sfDir, "documents"))
+      .groupBy(md5(col("payload")).as("fp"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_uniq"),
+        sum(col("n")).as("n_media"),
+        sum(col("n") - 1).as("n_dup_copies"))
+  }
+
+  def mediaDedupSql: String =
+    """SELECT count(*) AS n_uniq, CAST(sum(n) AS BIGINT) AS n_media,
+      |  CAST(sum(n - 1) AS BIGINT) AS n_dup_copies
+      |FROM (SELECT md5(text) AS fp, count(*) AS n FROM documents GROUP BY 1)""".stripMargin
 }
