@@ -1,0 +1,73 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.sink.InsertDumpWriter
+import graft.sources.DumpSource
+
+/** Manual throughput probe for the INSERT-dump parser (SURVEY §7.5
+  * risk register): renders lineitem into a MyDumper-style dump file,
+  * then times a full distributed parse. The reference's published
+  * anchor is ~28 MiB/s whole-cluster import throughput
+  * (`lightning/restore/restore.go:959`); this isolates OUR parse leg
+  * so the comparison is explicit and reproducible.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.tools.DumpThroughput [cores]"
+  */
+object DumpThroughput {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cores = args.headOption.getOrElse("8")
+    val spark = GraftSession.benchSession(cores)
+    val dump = Paths.get("/tmp/graft_dump_probe.sql")
+    if (!Files.exists(dump) || Files.size(dump) < (1L << 20)) {
+      val stmts = InsertDumpWriter.statements(
+        GraftSession.table(spark, sfDir, "lineitem"), "lineitem", 100)
+      val text = stmts.collect().map(_.getString(0)).mkString("\n")
+      Files.writeString(dump, text)
+    }
+    val bytes = Files.size(dump)
+    // SQL dumps are not byte-splittable (a split can land inside a
+    // string literal — same constraint as the reference), so one file
+    // = one task; MyDumper's ≤256 MiB files make files the parallel
+    // unit. Measure both shapes: single file (per-core speed) and the
+    // file-per-core layout a real dump directory has.
+    val shardDir = Paths.get("/tmp/graft_dump_probe_shards")
+    val nShards = cores.toInt
+    if (!Files.exists(shardDir.resolve(s"done_$nShards"))) {
+      // statements span multiple lines (one tuple per line) — shard by
+      // statement block, never by raw line
+      import scala.jdk.CollectionConverters._
+      val blocks = scala.collection.mutable.ArrayBuffer[StringBuilder]()
+      Files.readAllLines(dump).asScala.foreach { line =>
+        if (line.startsWith("INSERT") || blocks.isEmpty)
+          blocks += new StringBuilder(line)
+        else blocks.last.append('\n').append(line)
+      }
+      Files.createDirectories(shardDir)
+      (0 until nShards).foreach { s =>
+        val part = (s until blocks.size by nShards).map(blocks(_).toString)
+        Files.writeString(shardDir.resolve(s"part$s.sql"), part.mkString("\n"))
+      }
+      Files.writeString(shardDir.resolve(s"done_$nShards"), "ok")
+    }
+    val shardPaths = (0 until nShards).map(s => shardDir.resolve(s"part$s.sql").toString)
+    val cols = GraftSession.table(spark, sfDir, "lineitem").columns.toSeq
+    def timed(paths: Seq[String]): (Long, Double) = {
+      DumpSource.readRaw(spark, paths, cols).count() // warm-up: JIT + codegen
+      val t0 = System.nanoTime()
+      val n = DumpSource.readRaw(spark, paths, cols).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (n1, sec1) = timed(Seq(dump.toString))
+    val (nk, seck) = timed(shardPaths)
+    val mib1 = bytes / 1048576.0 / sec1
+    val mibk = bytes / 1048576.0 / seck
+    println(f"""{"metric":"dump_parse","bytes":$bytes,"rows":$n1,"single_file_sec":$sec1%.3f,"single_file_mib_per_sec":$mib1%.1f,"sharded_rows":$nk,"sharded_sec":$seck%.3f,"sharded_mib_per_sec":$mibk%.1f,"shards":$nShards,"cores":$cores}""")
+    spark.stop()
+  }
+}
