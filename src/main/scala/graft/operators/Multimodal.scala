@@ -145,15 +145,13 @@ object Multimodal {
     * content hashes, never payloads, reach the shuffle, so the wire
     * cost per asset is 16 bytes even when the asset is megabytes.
     */
-  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    packBinary(graft.GraftSession.table(spark, sfDir, "documents"))
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    packBinary(table(spark, sfDir, "documents"))
       .groupBy(md5(col("payload")).as("fp"))
       .agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_uniq"),
         sum(col("n")).as("n_media"),
         sum(col("n") - 1).as("n_dup_copies"))
-  }
 
   def mediaDedupSql: String =
     """SELECT count(*) AS n_uniq, CAST(sum(n) AS BIGINT) AS n_media,

@@ -91,13 +91,24 @@ object SimilarityQueries {
     * shape as [[annBruteForce]]: narrow projection + TakeOrdered.
     */
   def annCosine(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = typedLit(queryVec(spark, sfDir))
+    val qv = queryVec(spark, sfDir)
+    // the query's own norm is constant — computed ONCE on the driver
+    // with the identical integer quantization (QuantDot is a custom
+    // expression Catalyst can't constant-fold, so leaving it in the
+    // row expression would pay a 64-wide dot per scanned row)
+    val qq = {
+      val q = qv.map(x => math.floor(x * 1000000d).toLong)
+      q.map(x => x * x).sum
+    }
+    val sqrtQq = math.sqrt(qq.toDouble)
     val e = col("embedding")
-    val cos = when(quantDot(e, e) === 0, lit(0d)).otherwise(
-      quantDot(e, q).cast("double") /
-        (sqrt(quantDot(e, e).cast("double")) * sqrt(quantDot(q, q).cast("double"))))
     table(spark, sfDir, "embeddings")
-      .select(col("vec_id"), cos.as("cosine"))
+      .select(col("vec_id"), quantDot(e, typedLit(qv)).as("dot"),
+        quantDot(e, e).as("na"))
+      .select(col("vec_id"),
+        when(col("na") === 0, lit(0d)).otherwise(
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * lit(sqrtQq))).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }
@@ -339,11 +350,18 @@ object SimilarityQueries {
     }
     val adc = (0 until PqM).map(s =>
       element_at(typedLit(adcTab(s)), col(s"c$s").cast("int") + 1)).reduce(_ + _)
+    // the candidate set is materialized eagerly (PqRerank rows) so the
+    // training cache can be RELEASED before returning — otherwise every
+    // call would pin the full vector projection in executor storage
+    // for the session's lifetime (Verify runs ~all queries in one
+    // session)
     val cand = codes.select(col("vec_id"), adc.as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(PqRerank)
+      .localCheckpoint(true)
+    base.unpersist()
     // exact re-rank: only the ADC candidates touch true vectors
-    base.join(broadcast(cand), "vec_id")
+    emb.join(broadcast(cand), "vec_id")
       .select(col("vec_id"),
         quantDot(col("embedding"), typedLit(q)).as("score"))
       .orderBy(col("score").desc, col("vec_id"))

@@ -256,10 +256,16 @@ object Ingest {
   private def restoreFiles(spark: SparkSession, cfg: Config, d: Discovered,
       files: Seq[(String, FileKind.Value)],
       prior: Option[KvChecksum], priorMaxId: Long): (TableReport, KvChecksum) = {
-    val schema: Option[TableSchema] = d.schemaFile.map { p =>
-      MysqlDdl.parse(CharsetReader.readSchemaFile(
-        spark.sparkContext.hadoopConfiguration, p, cfg.charset))
-    }.orElse(if (cfg.noSchema) Some(targetSchema(spark, cfg, d)) else None)
+    // no-schema mode IGNORES any -schema.sql in the dump (the
+    // reference's --no-schema precedence: the pre-created downstream
+    // table is authoritative, even when stale schema files are lying
+    // around the dump directory)
+    val schema: Option[TableSchema] =
+      if (cfg.noSchema) Some(targetSchema(spark, cfg, d))
+      else d.schemaFile.map { p =>
+        MysqlDdl.parse(CharsetReader.readSchemaFile(
+          spark.sparkContext.hadoopConfiguration, p, cfg.charset))
+      }
     val shards: Seq[DataFrame] = files.map { case (path, kind) =>
       kind match {
         case FileKind.Csv =>

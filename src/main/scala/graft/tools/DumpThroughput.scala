@@ -23,7 +23,10 @@ object DumpThroughput {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cores = args.headOption.getOrElse("8")
     val spark = GraftSession.benchSession(cores)
-    val dump = Paths.get("/tmp/graft_dump_probe.sql")
+    // fixture paths carry the sf dir so a re-run against a different
+    // scale never silently reuses stale data
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dump = Paths.get(s"/tmp/graft_dump_probe_$tag.sql")
     if (!Files.exists(dump) || Files.size(dump) < (1L << 20)) {
       val stmts = InsertDumpWriter.statements(
         GraftSession.table(spark, sfDir, "lineitem"), "lineitem", 100)
@@ -36,7 +39,7 @@ object DumpThroughput {
     // = one task; MyDumper's ≤256 MiB files make files the parallel
     // unit. Measure both shapes: single file (per-core speed) and the
     // file-per-core layout a real dump directory has.
-    val shardDir = Paths.get("/tmp/graft_dump_probe_shards")
+    val shardDir = Paths.get(s"/tmp/graft_dump_probe_shards_$tag")
     val nShards = cores.toInt
     if (!Files.exists(shardDir.resolve(s"done_$nShards"))) {
       // statements span multiple lines (one tuple per line) — shard by

@@ -41,7 +41,7 @@ object GeneratedColumns {
       val args = splitArgs(inner).map(_.trim)
       literalOf(args.last) match {
         case Some(f) if args.length == 2 =>
-          s"date_format(${args.head}, '${convertFormat(f)}')"
+          s"date_format(${args.head}, '${sqlQuote(convertFormat(f))}')"
         case _ => s"date_format($inner)"
       }
     })
@@ -49,7 +49,7 @@ object GeneratedColumns {
       val args = splitArgs(inner).map(_.trim)
       literalOf(args.last) match {
         case Some(f) if args.length == 2 =>
-          s"to_timestamp(${args.head}, '${convertFormat(f)}')"
+          s"to_timestamp(${args.head}, '${sqlQuote(convertFormat(f))}')"
         case _ => s"str_to_date($inner)" // unsupported shape — let it fail loudly
       }
     })
@@ -123,15 +123,24 @@ object GeneratedColumns {
         i += 2
       } else {
         // pattern letters are reserved — literal alphabetics must be
-        // quoted (and the quote itself doubled for the SQL literal)
+        // quoted; a literal quote char is '' at the PATTERN layer
+        // (DateTimeFormatter's own escape — SQL-literal escaping is
+        // [[sqlQuote]]'s job at the embed site, never mixed in here)
         if (c.isLetter) sb.append('\'').append(c).append('\'')
-        else if (c == '\'') sb.append("\\'")
+        else if (c == '\'') sb.append("''")
         else sb.append(c)
         i += 1
       }
     }
     sb.toString
   }
+
+  /** Escape a converted pattern for embedding inside a single-quoted
+    * Spark SQL string literal (the pattern's own quote chars would
+    * otherwise terminate the literal).
+    */
+  private def sqlQuote(pattern: String): String =
+    pattern.replace("\\", "\\\\").replace("'", "\\'")
 
   /** Rewrite every `fn(args)` call via `body(args)`, keeping balanced
     * parens (a plain regex can't close the extra paren).

@@ -32,6 +32,23 @@ class IngestSpec extends SparkSpec {
     assert(back.toSeq === Seq((5, "hi"), (6, "yo")))
   }
 
+  test("no-schema mode ignores schema files in the dump (target wins)") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_noschema3").toString
+    // a stale schema file with a DIFFERENT column set lies in the dump;
+    // the reference's --no-schema ignores it entirely
+    Files.writeString(Paths.get(root, "noschema.t-schema.sql"),
+      "CREATE TABLE t (wrong1 int, wrong2 int, wrong3 int);")
+    Files.writeString(Paths.get(root, "noschema.t.0001.csv"), "7,\"ok\"\n")
+    val out = Files.createTempDirectory("graft_noschema3_out").toString
+    spark.range(0).select(col("id").cast("int").as("x"), lit("").as("v"))
+      .write.parquet(s"$out/noschema.t")
+    Ingest.run(spark, Ingest.Config(root, out, noSchema = true))
+    val back = spark.read.parquet(s"$out/noschema.t")
+    assert(back.columns.toSeq === Seq("x", "v"))
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((7, "ok")))
+  }
+
   test("no-schema mode without an existing target fails loudly") {
     val root = Files.createTempDirectory("graft_noschema2").toString
     Files.writeString(Paths.get(root, "noschema.t.0001.csv"), "1\n")

@@ -38,6 +38,19 @@ class GeneratedColumnsSpec extends SparkSpec {
       "to_timestamp(s, 'yyyy-MM-dd')")
   }
 
+  test("literal letters in formats survive both quoting layers") {
+    // 'T' is quoted at the pattern layer AND escaped for the SQL
+    // string literal — the naive embedding would terminate the literal
+    assert(GeneratedColumns.translate("date_format(d, '%YT%H')") ===
+      "date_format(d, 'yyyy\\'T\\'HH')")
+    import spark.implicits._
+    val out = Seq("2024-03-05 07:08:09").toDF("ts")
+      .withColumn("d", col("ts").cast("timestamp"))
+      .select(GeneratedColumns.column("date_format(d, '%YT%Hh%im')").as("v"))
+      .head()
+    assert(out.getString(0) === "2024T07h08m")
+  }
+
   test("translated expressions evaluate with MySQL semantics") {
     import spark.implicits._
     val df = Seq(("2024-03-05 07:08:09", 123.456, -9.99, 64L))
