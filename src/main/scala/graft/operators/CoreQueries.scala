@@ -54,6 +54,28 @@ object CoreQueries {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** ROLLUP aggregation: the same pricing aggregate at three grouping
+    * levels — (flag, status), per-flag subtotals, grand total — in ONE
+    * pass (Spark expands the grouping sets before the partial
+    * aggregate, so the map-side combine still applies at every level;
+    * no per-level rescans). NULL grouping keys mark subtotal rows,
+    * same convention both engines.
+    */
+  def rollupPricing(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(quant("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  def rollupPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(floor(l_quantity*10000) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   def aggPricingSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(sum(CAST(floor(l_quantity*10000) AS BIGINT)) AS BIGINT) AS sum_qty,

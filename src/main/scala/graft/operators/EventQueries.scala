@@ -114,4 +114,29 @@ object EventQueries {
       |SELECT (SELECT count(*) FROM v) AS n_view,
       |  (SELECT count(*) FROM c) AS n_view_click,
       |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily event-type pivot: one row per day, one count column per
+    * type. The pivot's value list is FIXED (not discovered), so the
+    * plan is a single groupBy with conditional aggregates — no extra
+    * pass to collect distinct pivot keys, and the schema is stable for
+    * downstream consumers.
+    */
+  def pivotDaily(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy("day")
+
+  def pivotDailySql: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(",\n  ")
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
 }
