@@ -332,6 +332,47 @@ object IngestQueries {
 
   def csvHeaderSql: String = columnPermutationSql
 
+  /** Quote-torture CSV (S6, reference `tests/issue_519`): single-quote
+    * delimiter with backslash escapes OFF. MySQL semantics this pins:
+    * a doubled delimiter inside a quoted field collapses to one (MySQL
+    * always, even with escapes off — expressed on the native reader
+    * path as escape == quote, see [[MySqlCsv.readerOptions]]); the
+    * field separator and the *other* quote kind ride through quoted
+    * fields as data; a backslash is a literal character; the `\N`
+    * sentinel still means NULL; quoted whitespace and quoted-empty
+    * survive exactly.
+    */
+  def csvQuoteTorture(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(fixDir(sfDir, "quote_torture_csv"))
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("qt.csv"),
+      """'id','a','b'
+        |1,'plain','text'
+        |2,'''','"'
+        |3,'a,b','c''d'
+        |4,'\n','x\\y'
+        |5,'|*|sep|*|','- '
+        |6,'',' '
+        |7,\N,'nullleft'
+        |""".stripMargin)
+    val dialect = CsvDialect(delimiter = "'", header = true, backslashEscape = false)
+    val schema = MysqlDdl.parse(
+      "CREATE TABLE qt (id int NOT NULL, a text, b text);")
+    MySqlCsv.read(spark, Seq(dir.toString), schema, dialect).orderBy("id")
+  }
+
+  def csvQuoteTortureSql: String =
+    """SELECT * FROM (VALUES
+      |  (1, 'plain', 'text'),
+      |  (2, '''', '"'),
+      |  (3, 'a,b', 'c''d'),
+      |  (4, '\n', 'x\\y'),
+      |  (5, '|*|sep|*|', '- '),
+      |  (6, '', ' '),
+      |  (7, CAST(NULL AS VARCHAR), 'nullleft')
+      |) AS t(id, a, b) ORDER BY id""".stripMargin
+
   // ------------------------------------------------------------ S5/T9/E4
   private val supplierDdl =
     """CREATE TABLE supplier (
