@@ -373,6 +373,102 @@ object IngestQueries {
       |  (7, CAST(NULL AS VARCHAR), 'nullleft')
       |) AS t(id, a, b) ORDER BY id""".stripMargin
 
+  /** Collation-aware duplicate detection (reference
+    * `tests/new_collation`): under utf8mb4_general_ci, `Abc`, `ABC `
+    * and `abc` are the SAME key, so a unique check must compare
+    * normalized keys ([[graft.functions.Collation.generalCiKey]]), not
+    * bytes. The probe builds three binary-distinct variants per
+    * customer name (case-flipped, trailing-spaced) and shows the
+    * binary-distinct count is 3× the collation-distinct count — the
+    * difference is exactly the duplicate set a collation-aware import
+    * must police.
+    */
+  def dedupCollate(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = table(spark, sfDir, "customer").select(col("c_name"))
+    val variants = c
+      .union(c.select(upper(col("c_name")).as("c_name")))
+      .union(c.select(concat(col("c_name"), lit("  ")).as("c_name")))
+    variants.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("c_name")).as("n_binary"),
+      countDistinct(graft.functions.Collation.generalCiKey(col("c_name"))).as("n_ci"))
+  }
+
+  def dedupCollateSql: String =
+    """WITH v AS (
+      |  SELECT c_name FROM customer
+      |  UNION ALL SELECT upper(c_name) FROM customer
+      |  UNION ALL SELECT c_name || '  ' FROM customer
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT c_name) AS BIGINT) AS n_binary,
+      |  CAST(count(DISTINCT lower(rtrim(c_name))) AS BIGINT) AS n_ci
+      |FROM v""".stripMargin
+
+  /** Exotic-type dump e2e (reference `tests/various_types`): one table
+    * exercising the whole §1.2 type-map surface through the dump parser
+    * and DDL casts — BINARY via mixed-case `x'…'`/`0x…` hex (non-UTF-8
+    * byte patterns, lossless via the parser's hex sentinel), BIT(8) via
+    * `b'…'`, DECIMAL(6,4), JSON passthrough, DATETIME(6)/TIMESTAMP(3)
+    * fractional seconds, exact DOUBLEs, BIGINT UNSIGNED at the uint64
+    * ceiling (→ DECIMAL(20,0)), YEAR, unicode and empty strings, and an
+    * all-NULL row. Binary is projected as `hex()` so the compare is
+    * byte-exact without blob stringification hazards.
+    */
+  def variousTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(fixDir(sfDir, "various_types_sql"))
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("vt.exotic.0001.sql"),
+      """INSERT INTO exotic VALUES
+        |(1, x'EE72ae0aef354c5d', b'10100101', 12.3456,
+        | '{"a": 1, "b": ["x", "y"]}', '2021-03-04 05:06:07.000123',
+        | '2021-03-04 05:06:07.89', 2.5, 18446744073709551615, 'héllo', 1999),
+        |(2, 0xDEADBEEF, b'1', -9.9999, '[]', '1970-01-02 00:00:00',
+        | '2000-02-29 12:00:00.001', -0.125, 0, '', 2024),
+        |(3, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL);
+        |""".stripMargin)
+    val schema = MysqlDdl.parse(
+      """CREATE TABLE exotic (
+        |  id int NOT NULL,
+        |  bin varbinary(16),
+        |  bits bit(8),
+        |  dec6 decimal(6,4),
+        |  js json,
+        |  dt datetime(6),
+        |  ts3 timestamp(3),
+        |  dbl double,
+        |  big bigint UNSIGNED,
+        |  s varchar(20),
+        |  yr year,
+        |  PRIMARY KEY (id)
+        |);""".stripMargin)
+    DumpSource.read(spark, Seq(dir.toString), schema)
+      .select(col("id"), hex(col("bin")).as("bin_hex"), col("bits"),
+        col("dec6"), col("js"), col("dt"), col("ts3"), col("dbl"),
+        col("big"), col("s"), col("yr"))
+      .orderBy("id")
+  }
+
+  def variousTypesSql: String =
+    """SELECT * FROM (VALUES
+      |  (1, 'EE72AE0AEF354C5D', CAST(165 AS BIGINT),
+      |   CAST(12.3456 AS DECIMAL(6,4)), '{"a": 1, "b": ["x", "y"]}',
+      |   TIMESTAMP '2021-03-04 05:06:07.000123',
+      |   TIMESTAMP '2021-03-04 05:06:07.89', CAST(2.5 AS DOUBLE),
+      |   CAST('18446744073709551615' AS DECIMAL(20,0)), 'héllo', 1999),
+      |  (2, 'DEADBEEF', CAST(1 AS BIGINT), CAST(-9.9999 AS DECIMAL(6,4)),
+      |   '[]', TIMESTAMP '1970-01-02 00:00:00',
+      |   TIMESTAMP '2000-02-29 12:00:00.001', CAST(-0.125 AS DOUBLE),
+      |   CAST(0 AS DECIMAL(20,0)), '', 2024),
+      |  (3, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+      |   CAST(NULL AS DECIMAL(6,4)), CAST(NULL AS VARCHAR),
+      |   CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+      |   CAST(NULL AS DOUBLE), CAST(NULL AS DECIMAL(20,0)),
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER))
+      |) AS t(id, bin_hex, bits, dec6, js, dt, ts3, dbl, big, s, yr)
+      |ORDER BY id""".stripMargin
+
   // ------------------------------------------------------------ S5/T9/E4
   private val supplierDdl =
     """CREATE TABLE supplier (

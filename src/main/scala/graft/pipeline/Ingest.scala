@@ -273,7 +273,11 @@ object Ingest {
           MySqlCsv.readRaw(spark, Seq(path), names, cfg.csvDialect)
         case FileKind.Sql =>
           val names = schema.map(_.colNames).getOrElse(Seq.empty)
-          DumpSource.readRaw(spark, Seq(path), names)
+          val raw = DumpSource.readRaw(spark, Seq(path), names)
+          // hex literals stay lexical out of the parser; resolve them
+          // against the target schema (bytes vs UTF-8 text) before the
+          // shard union — CSV/parquet shards never carry the sentinel
+          schema.map(DumpSource.resolveHex(raw, _)).getOrElse(raw)
         case FileKind.Parquet => spark.read.parquet(path)
         case other => throw new IllegalStateException(s"unroutable kind $other")
       }

@@ -32,7 +32,8 @@ object DumpSource {
       spark: SparkSession,
       paths: Seq[String],
       schema: TableSchema): DataFrame =
-    RowTransform.applySchema(readRaw(spark, paths, schema.colNames), schema)
+    RowTransform.applySchema(
+      resolveHex(readRaw(spark, paths, schema.colNames), schema), schema)
 
   /** Untyped read: parses every INSERT/REPLACE statement in the files.
     * Column names default to the table column order; statements with an
@@ -264,32 +265,80 @@ object DumpSource {
     (SqlLiterals.unescape(sb.toString, q), i)
   }
 
+  /** Lexical form a hex literal (`0x…` / `x'…'`) parses to. The
+    * parser is untyped (all strings), but a hex datum's meaning depends
+    * on the target column: raw bytes into a BINARY-typed column, UTF-8
+    * text into a character column — the reference's parser keeps hex
+    * datums as a distinct byte-typed token kind for the same reason
+    * (`lightning/mydump/parser.go:474-511`). Decoding to UTF-8 at parse
+    * time would corrupt arbitrary binary (invalid sequences collapse to
+    * U+FFFD — the reference's `tests/various_types` BINARY(16) keys hit
+    * exactly this), so the literal stays lexical under this sentinel
+    * until [[resolveHex]] sees the schema. A real string datum would
+    * need a leading NUL byte to collide, which MyDumper never emits
+    * unescaped.
+    */
+  val HexSentinel = "\u0000hex:"
+
+  private def isHexBody(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ok = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
+  private def hexSentinel(body: String): String = {
+    val h = if (body.length % 2 == 1) "0" + body else body
+    HexSentinel + h.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Resolve [[HexSentinel]] values in a parser-produced (all-string)
+    * DataFrame against the target schema: bytes for BINARY-typed
+    * columns, UTF-8 text elsewhere. Runs only on the dump path — CSV
+    * and parquet shards can never contain the sentinel, so they never
+    * pay for (or falsely match) this branch.
+    */
+  def resolveHex(df: DataFrame, schema: TableSchema): DataFrame = {
+    import org.apache.spark.sql.functions.{col, decode, substring, unhex, when}
+    val binCols = schema.columns
+      .filter(_.sparkType == org.apache.spark.sql.types.BinaryType)
+      .map(_.name.toLowerCase).toSet
+    df.select(df.columns.map { name =>
+      val c = col(name)
+      val payload = unhex(substring(c, HexSentinel.length + 1, Integer.MAX_VALUE))
+      val out =
+        if (binCols(name.toLowerCase))
+          when(c.startsWith(HexSentinel), payload)
+            .otherwise(c.cast(org.apache.spark.sql.types.BinaryType))
+        else
+          when(c.startsWith(HexSentinel), decode(payload, "UTF-8")).otherwise(c)
+      out.as(name)
+    }.toSeq: _*)
+  }
+
   /** Bare (unquoted) token → lexical value. Mirrors the reference's
     * token kinds (`lightning/mydump/parser.go:474-511`): NULL→null,
-    * TRUE/FALSE→1/0, 0x…/x'…' hex → decoded UTF-8 when printable else
-    * kept as 0x literal, b'…' bit → integer text, numbers as-is.
+    * TRUE/FALSE→1/0, 0x…/x'…' hex → [[HexSentinel]] lexical form
+    * (resolved type-aware by [[resolveHex]]), b'…' bit → integer text,
+    * numbers as-is. A malformed hex body stays lexical untouched, to
+    * fail (or count) at cast time rather than throw mid-parse.
     */
   private[sources] def decodeBareToken(tok: String, src: String, at: Int): String = {
     val u = tok.toUpperCase
     if (u == "NULL") null
     else if (u == "TRUE") "1"
     else if (u == "FALSE") "0"
-    else if (u.startsWith("0X")) hexToString(tok.substring(2))
-    else if ((u.startsWith("X'") || u.startsWith("B'")) && tok.endsWith("'")) {
+    else if (u.startsWith("0X")) {
+      val body = tok.substring(2)
+      if (isHexBody(body)) hexSentinel(body) else tok
+    } else if ((u.startsWith("X'") || u.startsWith("B'")) && tok.endsWith("'")) {
       val body = tok.substring(2, tok.length - 1)
-      if (u.startsWith("X'")) hexToString(body)
+      if (u.startsWith("X'")) { if (isHexBody(body)) hexSentinel(body) else tok }
       else java.lang.Long.parseLong(body, 2).toString
     } else tok
-  }
-
-  private def hexToString(hex: String): String = {
-    val h = if (hex.length % 2 == 1) "0" + hex else hex
-    val bytes = new Array[Byte](h.length / 2)
-    var i = 0
-    while (i < bytes.length) {
-      bytes(i) = Integer.parseInt(h.substring(i * 2, i * 2 + 2), 16).toByte
-      i += 1
-    }
-    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 }

@@ -13,7 +13,10 @@ class DumpSourceSpec extends AnyFunSuite {
     assert(stmts.head.table === "db.t")
     val rows = stmts.head.rows
     assert(rows(0).toSeq === Seq("1", "alice", null, "3.14"))
-    assert(rows(1).toSeq === Seq("2", "bob; the builder", "1", "ABC"))
+    // hex literals stay lexical (type-aware resolution happens against
+    // the schema, see resolveHex)
+    assert(rows(1).toSeq === Seq("2", "bob; the builder", "1",
+      DumpSource.HexSentinel + "414243"))
   }
 
   test("semicolons and quotes inside strings do not break statement parsing") {
@@ -36,7 +39,37 @@ class DumpSourceSpec extends AnyFunSuite {
   test("bit and negative number literals") {
     val stmts = DumpSource.parseStatements(
       "INSERT INTO t VALUES (b'101', -42, x'6869', FALSE);")
-    assert(stmts.head.rows(0).toSeq === Seq("5", "-42", "hi", "0"))
+    assert(stmts.head.rows(0).toSeq ===
+      Seq("5", "-42", DumpSource.HexSentinel + "6869", "0"))
+  }
+
+  test("hex literals resolve type-aware: bytes into BINARY, text elsewhere") {
+    val spark = graft.SparkSpec.session
+    val dir = java.nio.file.Files.createTempDirectory("graft_dump_hex")
+    val f = dir.resolve("vt.t.0001.sql")
+    // 0xEE72AE0A is NOT valid UTF-8: a parse-time string decode would
+    // corrupt it to U+FFFD (reference tests/various_types BINARY keys)
+    java.nio.file.Files.writeString(f,
+      "INSERT INTO t VALUES (1, x'EE72ae0a', x'68656C6C6F', 0x5A);\n" +
+      "INSERT INTO t VALUES (2, 0xDEADBEEF, 'plain', NULL);")
+    val schema = graft.schema.MysqlDdl.parse(
+      "CREATE TABLE t (id int NOT NULL, bin varbinary(16), s varchar(20), c char(4));")
+    val rows = DumpSource.read(spark, Seq(f.toString), schema)
+      .orderBy("id").collect()
+    assert(rows(0).getAs[Array[Byte]]("bin").toSeq ===
+      Seq(0xEE, 0x72, 0xAE, 0x0A).map(_.toByte))
+    assert(rows(0).getAs[String]("s") === "hello")
+    assert(rows(0).getAs[String]("c") === "Z")
+    assert(rows(1).getAs[Array[Byte]]("bin").toSeq ===
+      Seq(0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte))
+    assert(rows(1).getAs[String]("s") === "plain")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("c")))
+  }
+
+  test("malformed hex body stays lexical instead of throwing mid-parse") {
+    val stmts = DumpSource.parseStatements(
+      "INSERT INTO t VALUES (0xZZ, x'nothex');")
+    assert(stmts.head.rows(0).toSeq === Seq("0xZZ", "x'nothex'"))
   }
 
   test("REPLACE INTO and noise between statements") {
