@@ -340,6 +340,100 @@ object TextQueries {
       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- RAG chunking
+  /** Overlapping token-window chunking (RAG / retrieval-index prep,
+    * the other direction from [[packSequences]]): window W=128 tokens,
+    * stride S=96 (32-token overlap). Chunk i of a doc starts at
+    * i·S; K = 1 chunk for docs within one window, else
+    * ceil((n−W)/S)+1, so every token is covered and only the last
+    * chunk may be short. A narrow per-row explode — no shuffle,
+    * chunking streams at scan speed at any corpus size; the ORDER BY
+    * is presentation for the oracle compare.
+    */
+  def chunkRag(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 128L; val S = 96L
+    val t = table(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("k_max", expr(
+        s"CASE WHEN n <= $W THEN CAST(0 AS BIGINT) ELSE (n - $W + ${S - 1}) div $S END"))
+    t.select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("k_max"))).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * S)
+      .withColumn("n_chunk_tokens", least(lit(W), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_chunk_tokens"),
+        array_join(slice(col("toks"), (col("start_tok") + 1).cast("int"),
+          col("n_chunk_tokens").cast("int")), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def chunkRagSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents WHERE len(trim(text)) > 0
+      |), c AS (
+      |  SELECT doc_id, toks, n,
+      |    unnest(generate_series(0,
+      |      CASE WHEN n <= 128 THEN 0 ELSE (n - 128 + 95) // 96 END)) AS chunk_id
+      |  FROM s
+      |)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(chunk_id * 96 AS BIGINT) AS start_tok,
+      |  CAST(least(128, n - chunk_id * 96) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(
+      |    toks[(chunk_id * 96 + 1):(chunk_id * 96 + least(128, n - chunk_id * 96))],
+      |    ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ------------------------------------------------- TF-IDF keywords
+  /** Per-document keyword extraction, TF-IDF-style but integer-exact:
+    * terms rank by (tf DESC, df ASC, term ASC) — document frequency is
+    * the exact integer idf proxy (idf is monotone-decreasing in df),
+    * so the ranking is hash-comparable across engines with no float
+    * score. Plan shape at scale: one shuffle for tf (map-side
+    * combined), one for df, an equi-join on term, and a per-doc window
+    * (millions of independent doc partitions — WindowGroupLimit
+    * applies, no global sort).
+    */
+  def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val terms = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term").rlike("^[a-z]{3,}$"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  def tfidfTopkSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents WHERE len(trim(text)) > 0
+      |), ft AS (
+      |  SELECT * FROM terms WHERE regexp_matches(term, '^[a-z]{3,}$')
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ft GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), r AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+      |  FROM tf JOIN df USING (term)
+      |)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df
+      |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
+
   // ---------------------------------------------------- quality score
   /** Quality scoring: length band + stopword-density + repetition
     * filters, the standard pretraining-corpus heuristics. Ratios are
