@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Crc64Expr, QuantDot}
+import graft.functions.{Crc64Expr, QuantDot, ZOrder2}
 
 /** SparkSessionExtensions hook: makes graft's custom Catalyst
   * expressions available to plain SQL. Activate with
@@ -42,5 +42,12 @@ object GraftExtensions {
         (children: Seq[Expression]) => {
           require(children.size == 2, "quant_dot takes exactly two arguments")
           QuantDot(children.head, children(1))
+        }),
+      (
+        FunctionIdentifier("zorder2"),
+        new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "zorder2 takes exactly two arguments")
+          ZOrder2(children.head, children(1))
         }))
 }

@@ -513,6 +513,49 @@ object IngestQueries {
       |  CAST(sum(CAST(floor(l_quantity*10000) AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Z-order clustered layout (D1/D2 generalized to two dimensions):
+    * range-partition + sort the bulk write on the Morton interleave of
+    * (p_partkey, p_size) so parquet min/max stats and range-file bounds
+    * prune selective predicates on EITHER column — a lexicographic
+    * (p_partkey, p_size) sort clusters only the leading key. The key is
+    * the codegen'd [[graft.functions.ZOrder2]] expression; the oracle
+    * reproduces the interleave with the same mask-shift cascade in SQL,
+    * so the values are pinned bit-exact, and the read-back proves the
+    * layout round-trips.
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = fixDir(sfDir, "part_zorder")
+    val dfz = table(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_size"))
+      .withColumn("z",
+        graft.functions.ZOrder2.zorder2(col("p_partkey"), col("p_size")))
+    SortedParquetSink.write(dfz, out, Seq("z"), numRanges = 8)
+    spark.read.parquet(out).orderBy("p_partkey")
+  }
+
+  def zorderLayoutSql: String =
+    """WITH s0 AS (SELECT p_partkey, p_size,
+      |    CAST(p_partkey AS BIGINT) & 4294967295 AS xa,
+      |    CAST(p_size AS BIGINT) & 4294967295 AS xb
+      |  FROM part),
+      |s1 AS (SELECT p_partkey, p_size,
+      |    (xa | (xa << 16)) & 281470681808895 AS xa,
+      |    (xb | (xb << 16)) & 281470681808895 AS xb FROM s0),
+      |s2 AS (SELECT p_partkey, p_size,
+      |    (xa | (xa << 8)) & 71777214294589695 AS xa,
+      |    (xb | (xb << 8)) & 71777214294589695 AS xb FROM s1),
+      |s3 AS (SELECT p_partkey, p_size,
+      |    (xa | (xa << 4)) & 1085102592571150095 AS xa,
+      |    (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s2),
+      |s4 AS (SELECT p_partkey, p_size,
+      |    (xa | (xa << 2)) & 3689348814741910323 AS xa,
+      |    (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s3),
+      |s5 AS (SELECT p_partkey, p_size,
+      |    (xa | (xa << 1)) & 6148914691236517205 AS xa,
+      |    (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4)
+      |SELECT p_partkey, p_size, CAST(xa | (xb << 1) AS BIGINT) AS z
+      |FROM s5 ORDER BY p_partkey""".stripMargin
+
   // ------------------------------------------------------------ A3/A5
   /** End-to-end checksum verification (A3/A5): CRC64-XOR before the
     * bulk write vs over the read-back output. `is_match` flips to false
