@@ -29,6 +29,30 @@ object EventQueries {
       |  CAST(sum(CAST(floor(value*10000) AS BIGINT)) AS BIGINT) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Semi-structured property extraction: the `props` column is a JSON
+    * string (the universal escape hatch for evolving event payloads);
+    * `get_json_object` pulls typed fields out at scan speed — codegen'd
+    * path extraction, no UDF, no schema migration. Aggregates are exact
+    * integers so the compare is engine-identical.
+    */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  def jsonPropsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Sessionization: per-user sessions split on >30 min inactivity
     * gaps; the batch twin of the mapGroupsWithState streaming session
     * operator. Window functions partition by user — scales by hash

@@ -384,10 +384,10 @@ object IngestQueries {
     * must police.
     */
   def dedupCollate(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = table(spark, sfDir, "customer").select(col("c_name"))
-    val variants = c
-      .union(c.select(upper(col("c_name")).as("c_name")))
-      .union(c.select(concat(col("c_name"), lit("  ")).as("c_name")))
+    // one scan, narrow explode — not a 3-way self-union (3 scans)
+    val variants = table(spark, sfDir, "customer")
+      .select(explode(array(col("c_name"), upper(col("c_name")),
+        concat(col("c_name"), lit("  ")))).as("c_name"))
     variants.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("c_name")).as("n_binary"),
