@@ -610,6 +610,51 @@ object DedupQueries {
        |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- canonical pick
+  /** Source-priority canonical selection — the step after clustering
+    * in a curation pipeline: every duplicate cluster keeps exactly one
+    * copy, chosen by source priority (here the numeric source rank,
+    * lower = more trusted; in production a wiki>books>web table), then
+    * min doc_id as the deterministic tie-break. One min(struct)
+    * groupBy over the (tiny) clustered subset — the struct reduces
+    * map-side, so the shuffle carries one candidate per cluster per
+    * partition, never the member lists.
+    */
+  def canonicalPick(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = dedupClusters(spark, sfDir).select("doc_id", "cluster_id")
+    val docs = table(spark, sfDir, "documents").select(col("doc_id"), col("source"))
+    clusters.join(docs, "doc_id")
+      .withColumn("prio", substring(col("source"), 4, 10).cast("long"))
+      .groupBy("cluster_id")
+      .agg(min(struct(col("prio"), col("doc_id"), col("source"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("w.doc_id").as("keep_doc_id"),
+        col("w.source").as("keep_source"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  def canonicalPickSql: String =
+    s"""WITH RECURSIVE $simhashCandCte,
+       |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(id, lab) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+       |cl AS (SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+       |  FROM walk GROUP BY id),
+       |m AS (SELECT cl.cluster_id, cl.doc_id, d.source,
+       |    CAST(substr(d.source, 4) AS BIGINT) AS prio
+       |  FROM cl JOIN documents d USING (doc_id)),
+       |r AS (SELECT cluster_id, doc_id, source,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY prio, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM m)
+       |SELECT cluster_id, doc_id AS keep_doc_id, source AS keep_source,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   def dedupSimhashSql: String =
     """WITH tc AS (SELECT doc_id, tok, count(*) AS cnt,
       |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
