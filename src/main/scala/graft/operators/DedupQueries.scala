@@ -451,22 +451,92 @@ object DedupQueries {
     * threshold is exact); verify with bit_count(xor). The banded join
     * is the scale shape — no all-pairs comparison ever happens.
     */
-  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashCands(spark, sfDir)
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+
+  /** Banded candidate pairs (doc_a, sa, doc_b, sb): docs agreeing on
+    * ≥1 of the 4×14-bit simhash bands. Shared by the hamming-verified
+    * pairs query and the edit-distance verifier.
+    */
+  private def simhashCands(spark: SparkSession, sfDir: String): DataFrame = {
     val sim = simhashDf(spark, sfDir)
     val bands = sim.withColumn("b", explode(sequence(lit(0), lit(3))))
       .withColumn("band_val", expr("shiftright(simhash, 14 * b) & 16383"))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sa"),
         col("y.doc_id").as("doc_b"), col("y.simhash").as("sb"))
       .distinct()
+  }
+
+  /** Edit-distance near-dup verification: the banded SimHash
+    * candidates, verified by EXACT Levenshtein distance ≤
+    * [[EditDistMax]] — the gold-standard fuzzy-duplicate check,
+    * affordable at corpus scale only because the O(len²) comparison
+    * runs on banded CANDIDATES (linear fanout), never all pairs. The
+    * hamming verify ([[dedupSimhashPairs]]) is the cheap filter;
+    * this is the precise one — both consume the same candidate join.
+    */
+  private val EditDistMax = 50L
+
+  def dedupEditDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = simhashCands(spark, sfDir).select("doc_a", "doc_b")
+    val d = table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     cand
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
-      .where(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .where(col("dist") <= EditDistMax)
+      .select("doc_a", "doc_b", "dist")
       .orderBy("doc_a", "doc_b")
   }
+
+  def dedupEditDistSql: String =
+    s"""WITH $simhashCandCte
+       |SELECT doc_a, doc_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+       |FROM cand JOIN documents da ON da.doc_id = cand.doc_a
+       |          JOIN documents db ON db.doc_id = cand.doc_b
+       |WHERE levenshtein(da.text, db.text) <= $EditDistMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Boilerplate detection: a shingle present in ≥ [[BoilerDf]]
+    * distinct documents is boilerplate (license headers, navigation
+    * chrome, templated disclaimers); each affected document reports
+    * its distinct-shingle count and how many are boilerplate — the
+    * per-doc coverage a cleaning pass would cut. Same 56-bit shingle
+    * hash recipe as the dedup family (8-byte shuffle keys); one
+    * map-side-combined groupBy for document frequency, one equi-join
+    * back.
+    */
+  private val BoilerDf = 3
+
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
+      .select(col("doc_id"), md5Long(col("s")).as("h"))
+      .distinct()
+    val bp = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= BoilerDf)
+    sh.join(bp.select(col("h"), lit(1L).as("is_bp")), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_bp"), lit(0L))).as("n_boiler"))
+      .where(col("n_boiler") > 0)
+      .orderBy("doc_id")
+  }
+
+  def boilerplateSql: String =
+    s"""WITH $shingleCte,
+       |bp AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= $BoilerDf),
+       |j AS (SELECT sh.doc_id, CASE WHEN bp.h IS NULL THEN 0 ELSE 1 END AS is_bp
+       |      FROM sh LEFT JOIN bp ON sh.h = bp.h)
+       |SELECT doc_id, count(*) AS n_shingles, CAST(sum(is_bp) AS BIGINT) AS n_boiler
+       |FROM j GROUP BY doc_id HAVING sum(is_bp) > 0 ORDER BY doc_id""".stripMargin
 
   /** Shared CTE chain ending in `cand` (banded simhash candidate
     * pairs) — the pairs query and the cluster query build on the same
