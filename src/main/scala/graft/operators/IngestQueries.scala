@@ -405,6 +405,53 @@ object IngestQueries {
       |  CAST(count(DISTINCT lower(rtrim(c_name))) AS BIGINT) AS n_ci
       |FROM v""".stripMargin
 
+  /** Schema-evolution read (the dump-side analog of the reference's
+    * column-count tolerance, `tests/checkpoint_columns` /
+    * column-permutation): an older batch written WITHOUT a
+    * later-added column unions with a newer batch that has it —
+    * `mergeSchema` reconciles parquet footers per file, old rows
+    * surface NULL for the new column, and no rewrite of the old batch
+    * is needed. This is how an append-only 100 TB lake absorbs a
+    * column add.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = fixDir(sfDir, "schema_evo")
+    val n = table(spark, sfDir, "nation")
+    n.where(col("n_nationkey") < 13).select("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$root/batch1")
+    n.where(col("n_nationkey") >= 13)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$root/batch2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/batch1", s"$root/batch2")
+      .orderBy("n_nationkey")
+  }
+
+  def schemaEvolutionSql: String =
+    """SELECT n_nationkey, n_name,
+      |  CASE WHEN n_nationkey >= 13 THEN n_regionkey END AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** Skew diagnostic — the measurement that justifies (or rules out)
+    * the salted-join path: exact per-key counts, top keys by weight
+    * with a total for the share calculation. One map-side-combined
+    * groupBy + a TakeOrdered(10) — no global sort; ties break on the
+    * key so the cut is deterministic.
+    */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders")
+    val cnt = o.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    cnt.orderBy(col("n").desc, col("o_custkey")).limit(10)
+      .crossJoin(o.agg(count(lit(1)).as("n_total")))
+  }
+
+  def skewReportSql: String =
+    """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders)
+      |SELECT o_custkey, n, n_total FROM c, t
+      |ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin
+
   /** Exotic-type dump e2e (reference `tests/various_types`): one table
     * exercising the whole §1.2 type-map surface through the dump parser
     * and DDL casts — BINARY via mixed-case `x'…'`/`0x…` hex (non-UTF-8
