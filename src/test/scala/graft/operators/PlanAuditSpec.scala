@@ -85,4 +85,34 @@ class PlanAuditSpec extends SparkSpec {
       .filterNot(_.contains("RoundRobin")).size
     assert(nonFanout === 1, plan)
   }
+
+  test("chunkRag: chunking is narrow — explode, never a data shuffle") {
+    val plan = planOf(TextQueries.chunkRag(spark, sf()))
+    assert(!plan.contains("hashpartitioning"), plan)
+    val nonFanout = "Exchange \\w+".r.findAllIn(plan)
+      .filterNot(_.contains("RoundRobin")).size
+    assert(nonFanout === 1, plan) // presentation sort only
+  }
+
+  test("tfidfTopk: per-doc window carries the rank limit down (WindowGroupLimit)") {
+    val df = TextQueries.tfidfTopk(spark, sf())
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // rank-filter-above-window rewrites to a group limit: each window
+    // partition keeps k rows instead of sorting all terms per doc
+    assert(optimized.contains("WindowGroupLimit"), optimized)
+    assert(!planOf(df).contains("CartesianProduct"), planOf(df))
+  }
+
+  test("jsonProps: scan prunes to the two touched columns") {
+    val plan = planOf(EventQueries.jsonProps(spark, sf()))
+    assert(plan.contains("partial_"), plan) // map-side combine
+    assert(!plan.contains("user_id") && !plan.contains("event_id"), plan)
+  }
+
+  test("boilerplate: df count combines map-side; joins are equi-joins") {
+    val plan = planOf(DedupQueries.boilerplate(spark, sf()))
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
