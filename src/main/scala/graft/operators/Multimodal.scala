@@ -139,6 +139,70 @@ object Multimodal {
       |  CAST(('0x' || substr(md5(frame), 1, 14)) AS BIGINT) AS frame_fp
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------- real-format header parse
+  /** Big-endian uint32 → 4 raw bytes, as a column expression. */
+  private def int32be(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 8, "0"))
+
+  /** Deterministic dimensions for the synthetic PNG fixture. */
+  private def dimsOf(docId: org.apache.spark.sql.Column) =
+    (pmod(docId, lit(640)) + 16, pmod(docId * 7, lit(480)) + 16)
+
+  /** A REAL (truncated) PNG: 8-byte signature + IHDR chunk with
+    * big-endian width/height + the doc text as stand-in body bytes.
+    * Anything that parses PNG accepts this header — the fixture is
+    * synthetic, the format is not.
+    */
+  private def pngPayload(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column) = {
+    val (w, h) = dimsOf(docId)
+    concat(
+      lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+        0x0D, 0x0A, 0x1A, 0x0A)),
+      lit(Array[Byte](0, 0, 0, 13)), // IHDR length
+      lit("IHDR".getBytes("US-ASCII")),
+      int32be(w), int32be(h),
+      lit(Array[Byte](8, 6, 0, 0, 0)), // depth 8, RGBA
+      encode(text, "UTF-8"))
+  }
+
+  /** PNG metadata WITHOUT a codec: the signature check and the IHDR
+    * width/height live at fixed byte offsets, so `substring` on the
+    * binary column + a hex→int conversion extract them inside
+    * whole-stage codegen — real-format metadata at scan speed, the
+    * pattern that handles "what resolution distribution does this
+    * 100 TB image corpus have" without decoding a single pixel. (The
+    * pixel decode itself stays behind the documented stub.)
+    */
+  def pngMeta(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val p = col(payloadCol)
+    val beLong = (from: Int) => conv(hex(substring(p, from, 4)), 16, 10).cast("long")
+    media
+      .withColumn("is_png",
+        hex(substring(p, 1, 8)) === "89504E470D0A1A0A")
+      .withColumn("width", when(col("is_png"), beLong(17)))
+      .withColumn("height", when(col("is_png"), beLong(21)))
+  }
+
+  /** Query: build real PNG headers from the documents table, then
+    * recover the dimensions by parsing the BYTES. The oracle computes
+    * the expected dimensions arithmetically — a parser bug cannot
+    * cancel out, because the two sides never share the binary path.
+    */
+  def mediaPng(spark: SparkSession, sfDir: String): DataFrame =
+    pngMeta(table(spark, sfDir, "documents")
+        .select(col("doc_id"), pngPayload(col("doc_id"), col("text")).as("payload")))
+      .select(col("doc_id"), col("is_png"), col("width"), col("height"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+
+  def mediaPngSql: String =
+    """SELECT doc_id, TRUE AS is_png,
+      |  CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+      |  CAST((doc_id * 7) % 480 + 16 AS BIGINT) AS height,
+      |  CAST(octet_length(CAST(text AS BLOB)) + 29 AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Exact dedup over the BINARY payload — the image/audio analog of
     * text exact-dedup (byte-identical assets collapse regardless of
     * filename or metadata). One md5-groupBy with map-side combine;
