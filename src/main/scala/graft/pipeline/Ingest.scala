@@ -273,16 +273,25 @@ object Ingest {
           MySqlCsv.readRaw(spark, Seq(path), names, cfg.csvDialect)
         case FileKind.Sql =>
           val names = schema.map(_.colNames).getOrElse(Seq.empty)
-          val raw = DumpSource.readRaw(spark, Seq(path), names)
-          // hex literals stay lexical out of the parser; resolve them
-          // against the target schema (bytes vs UTF-8 text) before the
-          // shard union — CSV/parquet shards never carry the sentinel
-          schema.map(DumpSource.resolveHex(raw, _)).getOrElse(raw)
+          DumpSource.readRaw(spark, Seq(path), names)
         case FileKind.Parquet => spark.read.parquet(path)
         case other => throw new IllegalStateException(s"unroutable kind $other")
       }
     }
-    val union = shards.reduce(_.unionByName(_))
+    // Hex literals leave the dump parser as lexical sentinels; resolve
+    // them AFTER the shard union so (a) a table mixing SQL and CSV
+    // shards unions as all-strings (an early BinaryType column on the
+    // SQL side would fail the union — Spark does not coerce
+    // string↔binary), and (b) the schema-less path still decodes the
+    // sentinels as text instead of leaking them to the output. CSV and
+    // parquet shards never carry the sentinel (dump-quoted strings that
+    // would collide are str-guarded at parse), so the extra branch is
+    // a no-op for them.
+    val rawUnion = shards.reduce(_.unionByName(_))
+    val union =
+      if (!files.exists(_._2 == FileKind.Sql)) rawUnion
+      else schema.map(DumpSource.resolveHex(rawUnion, _))
+        .getOrElse(DumpSource.resolveHexText(rawUnion))
     // T4: auto-increment synthesis. A declared AUTO_INCREMENT column
     // that the source doesn't carry (header/column-list projection) is
     // synthesized from the chunk row-ID scheme; a NULL value in a

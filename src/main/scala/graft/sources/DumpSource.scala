@@ -222,7 +222,7 @@ object DumpSource {
       if (c == ')') { vals += null; done = true; i += 1 } // empty slot / trailing
       else if (c == '\'' || c == '"') {
         val (v, j) = readQuoted(s, i, c)
-        vals += v
+        vals += guardQuoted(v)
         i = afterValue(s, j, vals, () => done = true)
       } else {
         // bare token: number, NULL, TRUE/FALSE, 0x…, b'…', x'…'
@@ -274,11 +274,29 @@ object DumpSource {
     * time would corrupt arbitrary binary (invalid sequences collapse to
     * U+FFFD — the reference's `tests/various_types` BINARY(16) keys hit
     * exactly this), so the literal stays lexical under this sentinel
-    * until [[resolveHex]] sees the schema. A real string datum would
-    * need a leading NUL byte to collide, which MyDumper never emits
-    * unescaped.
+    * until [[resolveHex]] sees the schema. A quoted string datum that
+    * itself begins with a sentinel (reachable via the `\\0` escape) is
+    * guarded with [[StrSentinel]] so resolution is bijective.
     */
   val HexSentinel = "\u0000hex:"
+
+  /** Escape prefix for a QUOTED string datum that happens to begin
+    * with one of the sentinels - reachable, because MyDumper writes a
+    * NUL byte as the `\\0` escape and [[SqlLiterals.unescape]] restores
+    * it before resolution sees the value. [[resolveHex]] strips exactly
+    * one `StrSentinel`, so the mapping is bijective: hex literal ->
+    * `hex:`-form, colliding string -> one extra `str:` prefix,
+    * everything else untouched.
+    */
+  val StrSentinel = "\u0000str:"
+
+  /** Quoted-datum guard: prefix a value that would masquerade as a
+    * sentinel. Two startsWith checks per quoted value - free.
+    */
+  private def guardQuoted(v: String): String =
+    if (v != null && (v.startsWith(HexSentinel) || v.startsWith(StrSentinel)))
+      StrSentinel + v
+    else v
 
   private def isHexBody(s: String): Boolean = {
     var i = 0
@@ -302,20 +320,34 @@ object DumpSource {
     * and parquet shards can never contain the sentinel, so they never
     * pay for (or falsely match) this branch.
     */
-  def resolveHex(df: DataFrame, schema: TableSchema): DataFrame = {
-    import org.apache.spark.sql.functions.{col, decode, substring, unhex, when}
-    val binCols = schema.columns
+  def resolveHex(df: DataFrame, schema: TableSchema): DataFrame =
+    resolveSentinels(df, schema.columns
       .filter(_.sparkType == org.apache.spark.sql.types.BinaryType)
-      .map(_.name.toLowerCase).toSet
+      .map(_.name.toLowerCase).toSet)
+
+  /** Schema-less resolution: every hex datum decodes as UTF-8 text
+    * (the only type a schema-less read has), string-guard prefixes
+    * strip. Used when a dump file arrives with no -schema.sql and no
+    * pre-created target.
+    */
+  def resolveHexText(df: DataFrame): DataFrame = resolveSentinels(df, Set.empty)
+
+  private def resolveSentinels(df: DataFrame, binCols: Set[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, decode, substring, unhex, when}
     df.select(df.columns.map { name =>
       val c = col(name)
       val payload = unhex(substring(c, HexSentinel.length + 1, Integer.MAX_VALUE))
+      val unguarded = substring(c, StrSentinel.length + 1, Integer.MAX_VALUE)
       val out =
         if (binCols(name.toLowerCase))
           when(c.startsWith(HexSentinel), payload)
+            .when(c.startsWith(StrSentinel),
+              unguarded.cast(org.apache.spark.sql.types.BinaryType))
             .otherwise(c.cast(org.apache.spark.sql.types.BinaryType))
         else
-          when(c.startsWith(HexSentinel), decode(payload, "UTF-8")).otherwise(c)
+          when(c.startsWith(HexSentinel), decode(payload, "UTF-8"))
+            .when(c.startsWith(StrSentinel), unguarded)
+            .otherwise(c)
       out.as(name)
     }.toSeq: _*)
   }
@@ -338,7 +370,14 @@ object DumpSource {
     } else if ((u.startsWith("X'") || u.startsWith("B'")) && tok.endsWith("'")) {
       val body = tok.substring(2, tok.length - 1)
       if (u.startsWith("X'")) { if (isHexBody(body)) hexSentinel(body) else tok }
-      else java.lang.Long.parseLong(body, 2).toString
+      else if (body.nonEmpty && body.length <= 64 &&
+          body.forall(ch => ch == '0' || ch == '1'))
+        // up to BIT(64): parsed as the uint64 bit pattern (two's
+        // complement long for 64-bit values, matching the reference's
+        // uint encoding of BIT); the signed decimal casts losslessly
+        // into the LongType the §1.2 type map assigns
+        String.valueOf(java.lang.Long.parseUnsignedLong(body, 2))
+      else tok // malformed/oversized bit body: lexical, fails at cast
     } else tok
   }
 }

@@ -77,6 +77,39 @@ class IngestSpec extends SparkSpec {
     assert(row.getString(schema.fieldIndex("COL256")) === "1256")
   }
 
+  test("mixed SQL+CSV shards with a BINARY column union and import") {
+    // regression: hex-sentinel resolution must run AFTER the shard
+    // union — resolving the SQL shard alone types its binary column
+    // early, and Spark does not coerce string<->binary in a union
+    val root = Files.createTempDirectory("graft_mixed_bin").toString
+    Files.writeString(Paths.get(root, "m.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, payload varbinary(8), PRIMARY KEY (id));")
+    Files.writeString(Paths.get(root, "m.t.0001.sql"),
+      "INSERT INTO t VALUES (1, x'DEADBEEF');")
+    Files.writeString(Paths.get(root, "m.t.0002.csv"), "2,\"ab\"\n")
+    val out = Files.createTempDirectory("graft_mixed_bin_out").toString
+    val reports = Ingest.run(spark, Ingest.Config(root, out))
+    assert(reports.head.nRows === 2 && reports.head.checksumOk)
+    val back = spark.read.parquet(s"$out/m.t").orderBy("id").collect()
+    assert(back(0).getAs[Array[Byte]]("payload").toSeq ===
+      Seq(0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte))
+    assert(back(1).getAs[Array[Byte]]("payload").toSeq ===
+      "ab".getBytes("UTF-8").toSeq)
+  }
+
+  test("schema-less SQL dump decodes hex datums, no sentinel in output") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_noschema_sql").toString
+    Files.writeString(Paths.get(root, "noschema.t.0001.sql"),
+      "INSERT INTO t VALUES (8, 0x686579);")
+    val out = Files.createTempDirectory("graft_noschema_sql_out").toString
+    spark.range(0).select(col("id").cast("int").as("x"), lit("").as("v"))
+      .write.parquet(s"$out/noschema.t")
+    Ingest.run(spark, Ingest.Config(root, out, noSchema = true))
+    val back = spark.read.parquet(s"$out/noschema.t").collect()
+    assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((8, "hey")))
+  }
+
   test("ingest restores a CSV table with verified checksum") {
     val src = mkFixture()
     val out = Files.createTempDirectory("graft_ingest_out").toString

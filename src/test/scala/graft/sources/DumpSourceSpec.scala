@@ -72,6 +72,40 @@ class DumpSourceSpec extends AnyFunSuite {
     assert(stmts.head.rows(0).toSeq === Seq("0xZZ", "x'nothex'"))
   }
 
+  test("bit literals: 64-bit pattern parses, malformed stays lexical") {
+    val stmts = DumpSource.parseStatements(
+      "INSERT INTO t VALUES (b'" + "1" * 64 + "', b'', b'102');")
+    // BIT(64) all-ones = uint64 max = two's-complement -1 in LongType
+    assert(stmts.head.rows(0).toSeq === Seq("-1", "b''", "b'102'"))
+  }
+
+  test("a string datum colliding with the hex sentinel survives exactly") {
+    val spark = graft.SparkSpec.session
+    val dir = java.nio.file.Files.createTempDirectory("graft_dump_guard")
+    val f = dir.resolve("g.t.0001.sql")
+    // \0 is MyDumper's escape for a NUL byte: this datum unescapes to
+    // NUL+"hex:4142" — byte-identical to what a hex literal parses to
+    java.nio.file.Files.writeString(f,
+      "INSERT INTO t VALUES (1, '\\0hex:4142', x'4142');")
+    val schema = graft.schema.MysqlDdl.parse(
+      "CREATE TABLE t (id int NOT NULL, s varchar(20), s2 varchar(20));")
+    val r = DumpSource.read(spark, Seq(f.toString), schema).collect()(0)
+    assert(r.getString(1) === "\u0000hex:4142") // the literal string, intact
+    assert(r.getString(2) === "AB") // the real hex literal decodes
+  }
+
+  test("schema-less resolution decodes hex datums as text, no sentinel leak") {
+    val spark = graft.SparkSpec.session
+    val dir = java.nio.file.Files.createTempDirectory("graft_dump_noschema")
+    val f = dir.resolve("n.t.0001.sql")
+    java.nio.file.Files.writeString(f,
+      "INSERT INTO t VALUES (0x414243, 'plain');")
+    val raw = DumpSource.readRaw(spark, Seq(f.toString), Seq("a", "b"))
+    val r = DumpSource.resolveHexText(raw).collect()(0)
+    assert(r.getString(0) === "ABC")
+    assert(r.getString(1) === "plain")
+  }
+
   test("REPLACE INTO and noise between statements") {
     val stmts = DumpSource.parseStatements(
       """/* comment */ SET NAMES utf8;
