@@ -53,6 +53,90 @@ object EventQueries {
       |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** As-of join — the operator Spark has no builtin for (DuckDB ships
+    * one; the oracle uses it, pinning OUR composition against a native
+    * implementation): each purchase picks up the value of the most
+    * recent view at-or-before it for the same user. Composition: tag
+    * both streams, union, and carry the last non-null view value
+    * forward with a per-user running window (`last(_, ignoreNulls)`
+    * over rows-unbounded-preceding). Scale shape: ONE hash shuffle on
+    * user_id and a within-partition sort — millions of users means
+    * millions of independent window partitions, no global sort, no
+    * range join, no skewed reducer. Ties at the same timestamp sort
+    * views first (tag 0), so an exactly-simultaneous view counts, and
+    * view values dedupe per (user, ts) with max() so the answer is
+    * deterministic on any input.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max(quant("value")).as("view_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val tagged = views.select(col("user_id"), col("ts"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("view_value"))
+      .unionByName(purchases.select(col("user_id"), col("ts"), lit(1).as("tag"),
+        col("event_id"), lit(null).cast("long").as("view_value")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_view", last(col("view_value"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1 && col("asof_view").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_view"))
+      .orderBy("event_id")
+  }
+
+  def asofJoinSql: String =
+    """WITH v AS (SELECT user_id, ts,
+      |    max(CAST(floor(value*10000) AS BIGINT)) AS view_value
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts, v.view_value AS asof_view
+      |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY event_id""".stripMargin
+
+  /** Range (interval) join WITHOUT an equi key — naively a
+    * nested-loop/cartesian, the canonical 100 TB scale-killer. The
+    * scale path is bucket expansion: each interval explodes to the
+    * hour buckets it covers (bounded fanout: 2 per 2-hour window),
+    * each event keys by its hour, and the join becomes a plain
+    * equi-join on the bucket plus an exact residual filter. The
+    * windows here (daily 06–08 and 18–20 maintenance slots derived
+    * from the data's own days) stand in for any interval dimension.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+    val days = ev.select(date_trunc("DAY", col("ts")).as("day")).distinct()
+    val wins = days.select(explode(array(
+        struct(expr("day + INTERVAL 6 HOURS").as("win_start"),
+          expr("day + INTERVAL 8 HOURS").as("win_end")),
+        struct(expr("day + INTERVAL 18 HOURS").as("win_start"),
+          expr("day + INTERVAL 20 HOURS").as("win_end")))).as("w"))
+      .select(col("w.win_start"), col("w.win_end"))
+    val winBuckets = wins.withColumn("bucket",
+      explode(sequence(date_trunc("HOUR", col("win_start")),
+        date_trunc("HOUR", expr("win_end - INTERVAL 1 SECOND")),
+        expr("INTERVAL 1 HOUR"))))
+    val evBuckets = ev.withColumn("bucket", date_trunc("HOUR", col("ts")))
+    evBuckets.join(winBuckets, "bucket")
+      .where(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .groupBy("win_start")
+      .agg(count(lit(1)).as("n_events"), sum(quant("value")).as("sum_value"))
+      .orderBy("win_start")
+  }
+
+  def rangeJoinSql: String =
+    """WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+      |wins AS (
+      |  SELECT day + INTERVAL 6 HOUR AS win_start, day + INTERVAL 8 HOUR AS win_end FROM days
+      |  UNION ALL
+      |  SELECT day + INTERVAL 18 HOUR, day + INTERVAL 20 HOUR FROM days)
+      |SELECT win_start, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value*10000) AS BIGINT)) AS BIGINT) AS sum_value
+      |FROM events e JOIN wins w ON e.ts >= w.win_start AND e.ts < w.win_end
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Sessionization: per-user sessions split on >30 min inactivity
     * gaps; the batch twin of the mapGroupsWithState streaming session
     * operator. Window functions partition by user — scales by hash

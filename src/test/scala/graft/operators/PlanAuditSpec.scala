@@ -109,6 +109,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("user_id") && !plan.contains("event_id"), plan)
   }
 
+  test("asofJoin: one user-hash shuffle, no range/nested-loop join") {
+    val plan = planOf(EventQueries.asofJoin(spark, sf()))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // the as-of semantics ride a window over user partitions: two hash
+    // shuffles total — the (user, ts) view-dedup aggregate and the
+    // user_id window — and nothing quadratic
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("rangeJoin: bucket expansion keeps the interval join an equi-join") {
+    val plan = planOf(EventQueries.rangeJoin(spark, sf()))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("boilerplate: df count combines map-side; joins are equi-joins") {
     val plan = planOf(DedupQueries.boilerplate(spark, sf()))
     assert(plan.contains("partial_"), plan)
