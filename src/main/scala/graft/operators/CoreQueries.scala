@@ -86,6 +86,72 @@ object CoreQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Window-function palette over per-customer order sequences —
+    * ranking (row_number/rank/dense_rank over a possibly-tied date
+    * order), navigation (lag/lead on the unique key order), ntile
+    * bucketing, and the rational-exact distribution functions
+    * (percent_rank/cume_dist are integer ratios; both engines divide
+    * the same ints, so the doubles agree bitwise). Hash-partitioned by
+    * customer — millions of independent window partitions, no global
+    * sort.
+    */
+  def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    table(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(byKey).cast("long").as("rn"),
+        rank().over(byDate).cast("long").as("rnk"),
+        dense_rank().over(byDate).cast("long").as("drnk"),
+        lag(col("o_orderkey"), 1).over(byKey).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(byKey).as("next_key"),
+        ntile(4).over(byKey).cast("long").as("quartile"),
+        percent_rank().over(byKey).as("pr"),
+        cume_dist().over(byKey).as("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def windowFuncsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER wk AS rn,
+      |  rank() OVER wd AS rnk,
+      |  dense_rank() OVER wd AS drnk,
+      |  lag(o_orderkey, 1) OVER wk AS prev_key,
+      |  lead(o_orderkey, 1) OVER wk AS next_key,
+      |  ntile(4) OVER wk AS quartile,
+      |  percent_rank() OVER wk AS pr,
+      |  cume_dist() OVER wk AS cd
+      |FROM orders
+      |WINDOW wk AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+      |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Set operations with engine-pinned DISTINCT semantics: customers
+    * with vs without orders via INTERSECT / EXCEPT / UNION. All three
+    * reduce to one summary row, so the compare pins the semantics
+    * (bag vs set) rather than 100k raw keys.
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ck = table(spark, sfDir, "customer").select(col("c_custkey").as("k"))
+    val ok = table(spark, sfDir, "orders").select(col("o_custkey").as("k"))
+    val inter = ck.intersect(ok).count()
+    val except = ck.except(ok).count()
+    val union = ck.union(ok).distinct().count()
+    import spark.implicits._
+    Seq((inter, except, union)).toDF("n_intersect", "n_except", "n_union")
+  }
+
+  def setOpsSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+      |     INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
+      |  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+      |     EXCEPT SELECT o_custkey FROM orders)) AS n_except,
+      |  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+      |     UNION SELECT o_custkey FROM orders)) AS n_union""".stripMargin
+
   /** Conditional-count probes in the style of the reference's CSV
     * oracle (`count(*)`, `sum(col)`, `count(col) WHERE …`).
     */
