@@ -53,6 +53,72 @@ object EventQueries {
       |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Time-series gap fill: the hourly count series per event type,
+    * with MISSING hours materialized as zeros over the data's own
+    * [min, max] hour span — the resample step every downstream
+    * time-series consumer (anomaly detection, forecasting) needs. The
+    * spine (hours × types) is bounded by the time range, not the
+    * corpus, so it broadcast-joins against the one aggregated counts
+    * relation regardless of input size.
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+    val counts = ev
+      .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val span = ev.agg(min(date_trunc("HOUR", col("ts"))).as("h0"),
+        max(date_trunc("HOUR", col("ts"))).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    // left-outer keeps the spine; the broadcast-able side of a left
+    // join is the RIGHT one — and the aggregated counts relation is
+    // just as bounded (hours × types) as the spine itself
+    span.crossJoin(types)
+      .join(broadcast(counts), Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("h", "event_type")
+  }
+
+  def gapFillSql: String =
+    """WITH c AS (SELECT date_trunc('hour', ts) AS h, event_type,
+      |    count(*) AS n FROM events GROUP BY 1, 2),
+      |span AS (SELECT unnest(generate_series(
+      |    (SELECT min(date_trunc('hour', ts)) FROM events),
+      |    (SELECT max(date_trunc('hour', ts)) FROM events),
+      |    INTERVAL 1 HOUR)) AS h),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT span.h AS h, types.event_type, coalesce(c.n, 0) AS n
+      |FROM span CROSS JOIN types
+      |LEFT JOIN c ON c.h = span.h AND c.event_type = types.event_type
+      |ORDER BY span.h, types.event_type""".stripMargin
+
+  /** Moving-window aggregate: 3-hour rolling event count per type over
+    * the hourly series. The window runs on the AGGREGATED relation —
+    * bounded by the time range, not the corpus — so the per-type
+    * partitions are small at any input scale; the corpus-sized work is
+    * the one map-side-combined groupBy beneath it.
+    */
+  def movingSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = table(spark, sfDir, "events")
+      .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("h"))
+      .rowsBetween(-2, Window.currentRow)
+    hourly
+      .withColumn("moving_3h", sum(col("n")).over(w))
+      .orderBy("h", "event_type")
+  }
+
+  def movingSumSql: String =
+    """WITH c AS (SELECT date_trunc('hour', ts) AS h, event_type,
+      |    count(*) AS n FROM events GROUP BY 1, 2)
+      |SELECT h, event_type, n,
+      |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_3h
+      |FROM c ORDER BY h, event_type""".stripMargin
+
   /** As-of join — the operator Spark has no builtin for (DuckDB ships
     * one; the oracle uses it, pinning OUR composition against a native
     * implementation): each purchase picks up the value of the most
