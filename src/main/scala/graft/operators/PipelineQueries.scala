@@ -23,6 +23,33 @@ object PipelineQueries {
   private def fixRoot(sfDir: String): String =
     graft.GraftSession.fixtureRoot(sfDir)
 
+  // ------------------------------------------------------------ export
+  /** Export → re-import identity (the dumpling direction): customer
+    * exports to a MyDumper dump — rendered DDL ([[MysqlDdl.render]],
+    * the parser's inverse) plus distributed INSERT shards — and
+    * [[Ingest.run]] restores it through the FULL pipeline (discovery,
+    * dump parse, DDL casts, sorted write, checksum verify). The
+    * re-imported table must equal the source exactly: doubles
+    * round-trip because `Double.toString` → cast-to-double is the
+    * identity, and the checksum gate inside Ingest already failed the
+    * query if anything was lost.
+    */
+  def exportRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dump = Paths.get(fixRoot(sfDir), "export_dump")
+    val tgt = Paths.get(fixRoot(sfDir), "export_reimport")
+    deleteRec(dump); deleteRec(tgt)
+    val src = table(spark, sfDir, "customer")
+    graft.pipeline.Export.table(src, "exp", "customer", dump.toString,
+      rowsPerStatement = 50, shards = 3, primaryKey = Seq("c_custkey"))
+    val reports = Ingest.run(spark, Ingest.Config(dump.toString, tgt.toString))
+    require(reports.forall(_.checksumOk), "export roundtrip checksum failed")
+    spark.read.parquet(s"$tgt/exp.customer").orderBy("c_custkey")
+  }
+
+  def exportRoundtripSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   // ------------------------------------------------------------- T7
   private val partGencolDdl =
     """CREATE TABLE part_g (

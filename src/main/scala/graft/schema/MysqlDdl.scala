@@ -311,6 +311,71 @@ object MysqlDdl {
     }
   }
 
+  /** Inverse §1.2 map, for the export direction: a Spark type renders
+    * to the widest MySQL type that round-trips it ([[sparkType]] of the
+    * result recovers the input type exactly, which ExportSpec pins).
+    */
+  def mysqlTypeOf(dt: DataType): String = dt match {
+    case ByteType => "tinyint"
+    case ShortType => "smallint"
+    case IntegerType => "int"
+    case LongType => "bigint"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case BinaryType => "longblob"
+    case DateType => "date"
+    case TimestampType => "datetime(6)"
+    case BooleanType => "boolean"
+    case _ => "longtext"
+  }
+
+  /** TableSchema from a Spark StructType (export / no-schema targets).
+    * MySQL-only attributes (defaults, generation, auto-increment) have
+    * no parquet representation, so none are synthesized.
+    */
+  def fromStruct(db: String, table: String, st: StructType,
+      primaryKey: Seq[String] = Nil): TableSchema =
+    TableSchema(Some(db), table,
+      st.fields.toSeq.map(f => ColumnSpec(
+        f.name, mysqlTypeOf(f.dataType), f.dataType, f.nullable,
+        default = None, generated = None, autoIncrement = false,
+        unsigned = false, enumValues = Nil)),
+      primaryKey)
+
+  /** Inverse of [[parse]]: render a TableSchema back to MySQL
+    * `CREATE TABLE` text the parser (and MyDumper consumers) read. The
+    * partition method is not retained by [[parse]], so a partitioned
+    * schema renders as `PARTITION BY HASH`.
+    */
+  def render(ts: TableSchema): String = {
+    val cols = ts.columns.map { c =>
+      val sb = new StringBuilder(s"  `${c.name}` ${c.mysqlType}")
+      if (c.unsigned && !c.mysqlType.toUpperCase.contains("UNSIGNED"))
+        sb ++= " UNSIGNED"
+      if (!c.nullable) sb ++= " NOT NULL"
+      c.generated.foreach(g =>
+        sb ++= s" AS (${g.expr}) ${if (g.stored) "STORED" else "VIRTUAL"}")
+      c.default.foreach { d =>
+        if (d.equalsIgnoreCase("CURRENT_TIMESTAMP")) sb ++= " DEFAULT CURRENT_TIMESTAMP"
+        else sb ++= s" DEFAULT '${d.replace("'", "''")}'"
+      }
+      if (c.autoIncrement && c.autoRandomBits.isEmpty) sb ++= " AUTO_INCREMENT"
+      c.autoRandomBits.foreach(b => sb ++= s" /*T![auto_rand] AUTO_RANDOM($b) */")
+      sb.toString
+    }
+    val pk =
+      if (ts.primaryKey.nonEmpty)
+        Seq(s"  PRIMARY KEY (${ts.primaryKey.map(k => s"`$k`").mkString(", ")})")
+      else Nil
+    val name = ts.database.map(d => s"`$d`.`${ts.table}`").getOrElse(s"`${ts.table}`")
+    val part =
+      if (ts.partitionBy.nonEmpty)
+        s"\nPARTITION BY HASH(${ts.partitionBy.map(k => s"`$k`").mkString(", ")})"
+      else ""
+    s"CREATE TABLE $name (\n${(cols ++ pk).mkString(",\n")}\n)$part;"
+  }
+
   /** SURVEY §1.2 type map. */
   def sparkType(base: String, args: String, unsigned: Boolean): DataType = base match {
     case "tinyint" | "smallint" | "mediumint" | "int" | "integer" =>
