@@ -128,6 +128,31 @@ object CoreQueries {
       |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Exact percentiles over quantized integers: `percentile` (Spark)
+    * and `quantile_cont` (DuckDB) share the classic linear
+    * interpolation — (1−d)·a + d·b on the two neighboring order
+    * statistics — and the inputs are exact int64, so the resulting
+    * doubles agree bitwise. The per-group sort is bounded by the
+    * group, not the corpus; for a 100 TB single-group percentile the
+    * approx sketch (SketchSpec) is the scale path and this is the
+    * verifier.
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(CAST(floor(o_totalprice*10000) AS BIGINT), 0.5)").as("p50"),
+        expr("percentile(CAST(floor(o_totalprice*10000) AS BIGINT), 0.9)").as("p90"),
+        expr("percentile(CAST(floor(o_totalprice*10000) AS BIGINT), 0.99)").as("p99"))
+      .orderBy("o_orderstatus")
+
+  def percentilesSql: String =
+    """SELECT o_orderstatus,
+      |  quantile_cont(CAST(floor(o_totalprice*10000) AS BIGINT), 0.5) AS p50,
+      |  quantile_cont(CAST(floor(o_totalprice*10000) AS BIGINT), 0.9) AS p90,
+      |  quantile_cont(CAST(floor(o_totalprice*10000) AS BIGINT), 0.99) AS p99
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Set operations with engine-pinned DISTINCT semantics: customers
     * with vs without orders via INTERSECT / EXCEPT / UNION. All three
     * reduce to one summary row, so the compare pins the semantics
