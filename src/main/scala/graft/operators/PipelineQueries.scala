@@ -23,6 +23,38 @@ object PipelineQueries {
   private def fixRoot(sfDir: String): String =
     graft.GraftSession.fixtureRoot(sfDir)
 
+  // ------------------------------------------------------------ quarantine
+  /** Bad-row quarantine (the reference's error-report tables,
+    * `lightning.max-error` family: the OFFENDING ROWS are recorded,
+    * not just counted): rows failing ≥1 cast land as raw JSON beside
+    * the import — still lexical, so the user fixes and re-imports
+    * them. The import itself proceeds (errors within budget), the
+    * quarantine holds exactly the two planted bad rows.
+    */
+  def quarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Paths.get(fixRoot(sfDir), "quarantine_src")
+    val qdir = Paths.get(fixRoot(sfDir), "quarantine_bad")
+    val tgt = Paths.get(fixRoot(sfDir), "quarantine_out")
+    deleteRec(root); deleteRec(qdir); deleteRec(tgt)
+    Files.createDirectories(root)
+    Files.writeString(root.resolve("q.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, n int, d date);")
+    Files.writeString(root.resolve("q.t.0001.csv"),
+      "1,10,2021-01-01\n2,notanum,2021-01-02\n3,30,notadate\n4,40,2021-01-04\n")
+    val reports = Ingest.run(spark, Ingest.Config(root.toString, tgt.toString,
+      quarantineDir = Some(qdir.toString)))
+    require(reports.head.badRows == 2, s"expected 2 bad rows: ${reports.head}")
+    spark.read.json(s"$qdir/q.t")
+      .select(col("id"), col("n"), col("d"), col(RowTransform.ErrorsCol))
+      .orderBy("id")
+  }
+
+  def quarantineSql: String =
+    """SELECT * FROM (VALUES
+      |  ('2', 'notanum', '2021-01-02', CAST(1 AS BIGINT)),
+      |  ('3', '30', 'notadate', CAST(1 AS BIGINT))
+      |) AS t(id, n, d, _graft_cast_errors) ORDER BY id""".stripMargin
+
   // ------------------------------------------------------------ export
   /** Export → re-import identity (the dumpling direction): customer
     * exports to a MyDumper dump — rendered DDL ([[MysqlDdl.render]],

@@ -46,7 +46,8 @@ object Ingest {
       strictMode: Boolean = false,
       maxError: Long = Long.MaxValue,
       tableConcurrency: Int = 1,
-      noSchema: Boolean = false)
+      noSchema: Boolean = false,
+      quarantineDir: Option[String] = None)
 
   case class TableReport(
       db: String,
@@ -390,6 +391,17 @@ object Ingest {
             RowTransform.chunkedRowId(union, c.name, priorMaxId)
         }
       case None => union
+    }
+    // Error-report side output (the reference's error tables record
+    // the OFFENDING ROWS, not just a counter): raw rows failing ≥1
+    // cast land as JSON beside the import for fix-and-reimport. An
+    // extra pass over the parsed relation, paid only when the
+    // quarantine is requested, writing only the bad rows.
+    cfg.quarantineDir.foreach { qd =>
+      schema.foreach { ts =>
+        RowTransform.quarantineRows(merged, ts)
+          .write.mode("overwrite").json(s"$qd/${d.db}.${d.table}")
+      }
     }
     // schema application adds a cast-error counter column that rides
     // the write pass as an observed metric (error summary, reference

@@ -78,16 +78,32 @@ object RowTransform {
   def applySchemaWithErrors(df: DataFrame, schema: TableSchema,
       strict: Boolean = false): DataFrame = {
     val permuted = permute(df, schema)
-    val errs =
-      if (strict) lit(0L)
-      else schema.columns.map { c =>
-        // a MySQL zero date is the server's own "no value" sentinel,
-        // not malformed input — it coerces to NULL (see [[isZeroDate]])
-        // without burning the error budget
-        when(col(c.name).isNotNull && !isZeroDate(col(c.name), c) &&
-          castTo(col(c.name), c).isNull, 1L).otherwise(0L)
-      }.reduce(_ + _)
+    val errs = if (strict) lit(0L) else errorCount(schema)
     permuted.select(castColumns(schema, strict) :+ errs.as(ErrorsCol): _*)
+  }
+
+  /** Per-row count of values that would fail their cast. A MySQL zero
+    * date is the server's own "no value" sentinel, not malformed input
+    * — it coerces to NULL (see [[isZeroDate]]) without burning the
+    * error budget.
+    */
+  private def errorCount(schema: TableSchema): Column =
+    schema.columns.map { c =>
+      when(col(c.name).isNotNull && !isZeroDate(col(c.name), c) &&
+        castTo(col(c.name), c).isNull, 1L).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** The RAW (pre-cast) rows that would fail ≥1 cast under the schema,
+    * with their failure count — the reference's error-report rows
+    * (`lightning.max-error` + error tables record the offending row,
+    * not just a counter), kept lexical so the user can fix and
+    * re-import them.
+    */
+  def quarantineRows(df: DataFrame, schema: TableSchema): DataFrame = {
+    val permuted = permute(df, schema)
+    permuted
+      .withColumn(ErrorsCol, errorCount(schema))
+      .filter(col(ErrorsCol) > 0)
   }
 
   private def castColumns(schema: TableSchema, strict: Boolean): Seq[Column] =
