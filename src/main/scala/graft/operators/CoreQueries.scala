@@ -128,6 +128,30 @@ object CoreQueries {
       |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** CUBE: all four grouping sets of (flag, status) in one pass, with
+    * `grouping()` markers so a subtotal NULL is distinguishable from a
+    * NULL data value — completing the ROLLUP/PIVOT/CUBE grouping
+    * surface. Same one-pass expand + map-side combine as the rollup.
+    */
+  def cubePricing(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(quant("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("count_order"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  def cubePricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(floor(l_quantity*10000) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  count(*) AS count_order,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Exact percentiles over quantized integers: `percentile` (Spark)
     * and `quantile_cont` (DuckDB) share the classic linear
     * interpolation — (1−d)·a + d·b on the two neighboring order
