@@ -98,8 +98,11 @@ object CoreQueries {
   def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byKey = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
-    val byDate = Window.partitionBy("o_custkey")
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // deliberately NO tiebreaker: same-date orders must produce equal
+    // rank values (and dense_rank gaps) or this pin tests nothing; the
+    // output compare stays deterministic because the result sort
+    // includes the unique o_orderkey
+    val byDate = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
     table(spark, sfDir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
         row_number().over(byKey).cast("long").as("rn"),
@@ -125,7 +128,7 @@ object CoreQueries {
       |  cume_dist() OVER wk AS cd
       |FROM orders
       |WINDOW wk AS (PARTITION BY o_custkey ORDER BY o_orderkey),
-      |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** CUBE: all four grouping sets of (flag, status) in one pass, with

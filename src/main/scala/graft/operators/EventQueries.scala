@@ -62,15 +62,17 @@ object EventQueries {
     * relation regardless of input size.
     */
   def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = table(spark, sfDir, "events")
-    val counts = ev
+    // ONE corpus scan: span and types both derive from the already-
+    // aggregated (hours × types)-bounded counts relation, which
+    // materializes once and feeds all three uses
+    val counts = table(spark, sfDir, "events")
       .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val span = ev.agg(min(date_trunc("HOUR", col("ts"))).as("h0"),
-        max(date_trunc("HOUR", col("ts"))).as("h1"))
+      .localCheckpoint(true)
+    val span = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(explode(sequence(col("h0"), col("h1"),
         expr("INTERVAL 1 HOUR"))).as("h"))
-    val types = ev.select(col("event_type")).distinct()
+    val types = counts.select(col("event_type")).distinct()
     // left-outer keeps the spine; the broadcast-able side of a left
     // join is the RIGHT one — and the aggregated counts relation is
     // just as bounded (hours × types) as the spine itself
@@ -139,16 +141,24 @@ object EventQueries {
       .groupBy("user_id", "ts").agg(max(quant("value")).as("view_value"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
+    // the carried value is a one-field STRUCT: non-null for every view
+    // ROW (even when its value is NULL), null for purchase rows — so
+    // `last(ignoreNulls)` picks the most recent view ROW, matching the
+    // oracle's ASOF row semantics, instead of skipping a NULL-valued
+    // view and reaching back to an older one
     val tagged = views.select(col("user_id"), col("ts"), lit(0).as("tag"),
-        lit(null).cast("long").as("event_id"), col("view_value"))
+        lit(null).cast("long").as("event_id"),
+        struct(col("view_value")).as("vrec"))
       .unionByName(purchases.select(col("user_id"), col("ts"), lit(1).as("tag"),
-        col("event_id"), lit(null).cast("long").as("view_value")))
+        col("event_id"),
+        lit(null).cast("struct<view_value:bigint>").as("vrec")))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .withColumn("asof_view", last(col("view_value"), ignoreNulls = true).over(w))
-      .where(col("tag") === 1 && col("asof_view").isNotNull)
-      .select(col("event_id"), col("user_id"), col("ts"), col("asof_view"))
+      .withColumn("asof_rec", last(col("vrec"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1 && col("asof_rec").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_rec.view_value").as("asof_view"))
       .orderBy("event_id")
   }
 

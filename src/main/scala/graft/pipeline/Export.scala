@@ -36,9 +36,8 @@ object Export {
     val tmp = out.resolve(s"_$tbl.tmpdir")
     InsertDumpWriter.statements(df.repartition(shards), tbl, rowsPerStatement)
       .write.mode("overwrite").text(tmp.toString)
-    import scala.jdk.CollectionConverters._
-    val parts = Files.list(tmp).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    val parts = listDir(tmp)
+      .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
     val moved = parts.zipWithIndex.map { case (p, i) =>
       val target = out.resolve(f"$db.$tbl.${i + 1}%04d.sql")
       Files.move(p, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -51,13 +50,11 @@ object Export {
   /** Export every `{db}.{table}` parquet dir under a warehouse root. */
   def run(spark: SparkSession, warehouseDir: String, outDir: String,
       db: String, rowsPerStatement: Int = 100, shards: Int = 4): Map[String, Seq[Path]] = {
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(warehouseDir)
-    val tables = Files.list(root).iterator().asScala
+    val tables = listDir(Paths.get(warehouseDir))
       .filter(Files.isDirectory(_))
       .map(_.getFileName.toString)
       .filter(_.startsWith(s"$db."))
-      .toSeq.sorted
+      .sorted
     tables.map { dirName =>
       val tbl = dirName.stripPrefix(s"$db.")
       val df = spark.read.parquet(s"$warehouseDir/$dirName")
@@ -65,10 +62,25 @@ object Export {
     }.toMap
   }
 
+  // directory streams hold an OS fd until closed — always drain
+  // eagerly inside the resource scope
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq
+    } finally s.close()
+  }
+
   private def deleteRec(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val s = Files.walk(p)
+      val all =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq
+        } finally s.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 }

@@ -400,7 +400,11 @@ object Ingest {
     cfg.quarantineDir.foreach { qd =>
       schema.foreach { ts =>
         RowTransform.quarantineRows(merged, ts)
-          .write.mode("overwrite").json(s"$qd/${d.db}.${d.table}")
+          .write
+          // incremental resume appends to the main table — earlier
+          // batches' quarantined rows must survive too
+          .mode(if (prior.isDefined) "append" else "overwrite")
+          .json(s"$qd/${d.db}.${d.table}")
       }
     }
     // schema application adds a cast-error counter column that rides

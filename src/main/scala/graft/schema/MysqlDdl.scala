@@ -305,15 +305,23 @@ object MysqlDdl {
         new String(
           h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray,
           java.nio.charset.StandardCharsets.UTF_8)
-      case IntroRe(body) => body
-      case s if s.startsWith("'") => s.stripPrefix("'").stripSuffix("'")
+      case IntroRe(body) => graft.sources.SqlLiterals.unescape(body, '\'')
+      case s if s.startsWith("'") =>
+        // the quoted literal's CONTENTS: MySQL backslash escapes and
+        // doubled quotes decode here, so the stored default is the
+        // actual value (DEFAULT 'o\'brien' → o'brien) — and
+        // [[render]]'s SqlLiterals.escape is its exact inverse
+        graft.sources.SqlLiterals.unescape(
+          s.stripPrefix("'").stripSuffix("'"), '\'')
       case s => s
     }
   }
 
-  /** Inverse §1.2 map, for the export direction: a Spark type renders
-    * to the widest MySQL type that round-trips it ([[sparkType]] of the
-    * result recovers the input type exactly, which ExportSpec pins).
+  /** Inverse §1.2 map, for the export direction. Values always
+    * round-trip; TYPES round-trip except that integers narrower than
+    * INT widen (tinyint/smallint parse back as IntegerType, mirroring
+    * the forward map) — DdlRenderSpec pins both the exact cases and
+    * the documented widening.
     */
   def mysqlTypeOf(dt: DataType): String = dt match {
     case ByteType => "tinyint"
@@ -358,7 +366,10 @@ object MysqlDdl {
         sb ++= s" AS (${g.expr}) ${if (g.stored) "STORED" else "VIRTUAL"}")
       c.default.foreach { d =>
         if (d.equalsIgnoreCase("CURRENT_TIMESTAMP")) sb ++= " DEFAULT CURRENT_TIMESTAMP"
-        else sb ++= s" DEFAULT '${d.replace("'", "''")}'"
+        // backslash convention: parse's DefaultRe/blankStringLiterals
+        // read backslash escapes, not doubled quotes — render must
+        // emit what parse reads or the inverse contract breaks
+        else sb ++= s" DEFAULT '${graft.sources.SqlLiterals.escape(d)}'"
       }
       if (c.autoIncrement && c.autoRandomBits.isEmpty) sb ++= " AUTO_INCREMENT"
       c.autoRandomBits.foreach(b => sb ++= s" /*T![auto_rand] AUTO_RANDOM($b) */")

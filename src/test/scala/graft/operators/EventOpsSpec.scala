@@ -34,6 +34,25 @@ class EventOpsSpec extends SparkSpec {
       "2024-01-02" -> ((1L, 0L))))
   }
 
+  test("asof join picks the most recent view ROW even when its value is NULL") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    Seq(
+      (1L, nanos("2024-01-01 09:00:00"), 1L, "view", Some(5.0), "{}"),
+      // the MOST RECENT view before the purchase carries a NULL value:
+      // ASOF semantics match this row (with NULL), never reach back to 09:00
+      (2L, nanos("2024-01-01 10:00:00"), 1L, "view", None, "{}"),
+      (3L, nanos("2024-01-01 11:00:00"), 1L, "purchase", Some(1.0), "{}"),
+      // purchase with no prior view at all: dropped (inner asof)
+      (4L, nanos("2024-01-01 08:00:00"), 2L, "purchase", Some(1.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val out = EventQueries.asofJoin(spark, tmp).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 3L)
+    assert(out(0).isNullAt(3), out(0).toString)
+  }
+
   test("funnel requires stage order: view before click before purchase") {
     val dir = fixture(Seq(
       // user 1 converts the full funnel in order

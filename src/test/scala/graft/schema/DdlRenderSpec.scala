@@ -62,4 +62,26 @@ class DdlRenderSpec extends AnyFunSuite {
       st.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(back.primaryKey === Seq("a"))
   }
+
+  test("sub-int integers widen to int on re-parse (documented), others exact") {
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("b8", ByteType),
+      StructField("b16", ShortType),
+      StructField("f32", FloatType),
+      StructField("bool", BooleanType)))
+    val back = MysqlDdl.parse(MysqlDdl.render(MysqlDdl.fromStruct("db", "t", st)))
+    assert(back.struct("b8").dataType === IntegerType)   // tinyint widens
+    assert(back.struct("b16").dataType === IntegerType)  // smallint widens
+    assert(back.struct("f32").dataType === FloatType)
+    assert(back.struct("bool").dataType === BooleanType)
+  }
+
+  test("a DEFAULT containing quotes and backslashes survives render-parse") {
+    val ddl = """CREATE TABLE t (s varchar(30) DEFAULT 'o\'brien \\ 100%');"""
+    val once = MysqlDdl.parse(ddl)
+    assert(once.columns.head.default === Some("o'brien \\ 100%"))
+    val twice = MysqlDdl.parse(MysqlDdl.render(once))
+    assert(twice.columns.head.default === once.columns.head.default)
+  }
 }
