@@ -14,6 +14,9 @@ import java.nio.file.{Files, Paths}
   *   compact <targetDir> <table> [n]        rewrite a table's output into n
   *                                          files (post-import compaction,
   *                                          reference D6)
+  *   export <warehouseDir> <outDir> <db>    render a database's tables back
+  *                                          to the MyDumper layout (the
+  *                                          dumpling direction, [[Export]])
   */
 object Ctl {
 
@@ -43,10 +46,19 @@ object Ctl {
       println(s"compacted $table: $before -> $after files")
       spark.stop()
 
+    case "export" :: warehouseDir :: outDir :: db :: Nil =>
+      val spark = graft.GraftSession.build()
+      val written = Export.run(spark, warehouseDir, outDir, db)
+      written.foreach { case (tbl, files) =>
+        println(s"exported $db.$tbl: ${files.size} data files")
+      }
+      spark.stop()
+
     case _ =>
       System.err.println(
         "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
-          "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n]")
+          "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n] | " +
+          "export <warehouseDir> <outDir> <db>")
       sys.exit(2)
   }
 
