@@ -284,10 +284,13 @@ object Ingest {
     // shards unions as all-strings (an early BinaryType column on the
     // SQL side would fail the union — Spark does not coerce
     // string↔binary), and (b) the schema-less path still decodes the
-    // sentinels as text instead of leaking them to the output. CSV and
-    // parquet shards never carry the sentinel (dump-quoted strings that
-    // would collide are str-guarded at parse), so the extra branch is
-    // a no-op for them.
+    // sentinels as text instead of leaking them to the output.
+    // Collision safety: dump-quoted strings that would masquerade as a
+    // sentinel are str-guarded at parse, and parquet can't produce
+    // one, so the dump path is collision-proof. Residual (documented):
+    // the branch only runs when a SQL shard exists, and a CSV shard of
+    // the SAME table whose field deliberately encodes a leading NUL +
+    // "hex:" would resolve as hex — a shape no MySQL tool emits.
     val rawUnion = shards.reduce(_.unionByName(_))
     val union =
       if (!files.exists(_._2 == FileKind.Sql)) rawUnion

@@ -1,0 +1,85 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Scaling probe: run the REAL operators (same `queries` entries the
+  * driver gates) on k-fold self-unioned copies of the sf0.1 corpus and
+  * report wall-clock vs k — the "would this survive a scale-up"
+  * question answered with measurements instead of plan-reading. The
+  * k-fold corpus is written as a normal `documents.parquet` under a
+  * temp sfDir, so every operator runs its production path untouched.
+  *
+  * Interpretation caveat, printed with the numbers: self-union
+  * multiplies every document k-fold, so near-dup PAIR outputs grow
+  * ~k² by construction (each original duplicate group gains k²
+  * cross-copy pairs) — for the pair family, output size, not plan
+  * shape, sets the slope. The narrow/linear family should scale ~k.
+  *
+  * Usage: sbt "runMain graft.tools.ScalingProbe [maxK]"
+  */
+object ScalingProbe {
+
+  private val LinearOps = Seq("q_chunk_rag", "q_tfidf_topk", "q_boilerplate",
+    "q_pack_sequences", "q_quality_score", "q_dedup_exact")
+  private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
+    "q_dedup_editdist")
+
+  def main(args: Array[String]): Unit = {
+    val maxK = args.headOption.map(_.toInt).getOrElse(4)
+    val spark = GraftSession.benchSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val ks = Seq(1, 2, 4).filter(_ <= maxK)
+
+    val dirs: Map[Int, String] = ks.map { k =>
+      if (k == 1) k -> base
+      else {
+        val dir = Paths.get(s"/tmp/graft_scaling_${k}x")
+        val docsOut = dir.resolve("documents.parquet")
+        if (!Files.exists(docsOut)) {
+          Files.createDirectories(dir)
+          val docs = spark.read.parquet(s"$base/documents.parquet")
+          (0 until k).map { i =>
+            docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          }.reduce(_.unionByName(_))
+            .write.mode("overwrite").parquet(docsOut.toString)
+        }
+        k -> dir.toString
+      }
+    }.toMap
+
+    def time(name: String, dir: String): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def probe(names: Seq[String], kList: Seq[Int]): Map[String, Map[Int, Double]] =
+      names.map { n =>
+        // untimed warm-up at 1x: the first run of a query absorbs JIT +
+        // codegen compilation, which would otherwise inflate the 1x
+        // point and fake sublinear scaling
+        time(n, dirs(1))
+        n -> kList.map(k => k -> time(n, dirs(k))).toMap
+      }.toMap
+
+    // pair ops capped at 2x: their OUTPUT grows ~k^2 by construction
+    val linear = probe(LinearOps, ks)
+    val pairs = probe(PairOps, ks.filter(_ <= 2))
+
+    def render(m: Map[String, Map[Int, Double]]): String =
+      m.toSeq.sortBy(_._1).map { case (n, t) =>
+        val s = t.toSeq.sorted.map { case (k, sec) => f""""${k}x":$sec%.2f""" }
+        s""""$n":{${s.mkString(",")}}"""
+      }.mkString(",")
+
+    println(s"""{"metric":"scaling","sf_base":"$base","caveat":"self-union multiplies duplicate groups; pair-family output grows ~k^2 by construction","linear":{${render(linear)}},"pairs":{${render(pairs)}}}""")
+    spark.stop()
+  }
+}
