@@ -110,6 +110,24 @@ class IngestSpec extends SparkSpec {
     assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((8, "hey")))
   }
 
+  test("strict mode fails the whole import loudly on one bad value") {
+    val root = Files.createTempDirectory("graft_strict").toString
+    Files.writeString(Paths.get(root, "s.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, n int);")
+    Files.writeString(Paths.get(root, "s.t.0001.csv"), "1,10\n2,notanum\n")
+    val out = Files.createTempDirectory("graft_strict_out").toString
+    val e = intercept[Exception] {
+      Ingest.run(spark, Ingest.Config(root, out, strictMode = true))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("strict mode")), e.toString)
+    // non-strict mode imports the same dir, nulling the bad value
+    val out2 = Files.createTempDirectory("graft_strict_out2").toString
+    val reports = Ingest.run(spark, Ingest.Config(root, out2))
+    assert(reports.head.nRows === 2 && reports.head.badRows === 1)
+  }
+
   test("ingest restores a CSV table with verified checksum") {
     val src = mkFixture()
     val out = Files.createTempDirectory("graft_ingest_out").toString

@@ -74,6 +74,19 @@ class CsvHeaderSpec extends SparkSpec {
     assert(b.toSeq === Seq(("1", "中文"), ("2", "测试")))
   }
 
+  test("latin1-encoded data decodes on the native Spark reader path") {
+    val dir = Files.createTempDirectory("graft-csv-latin1")
+    val line = "1,café\n2,naïve\n"
+    Files.write(dir.resolve("part-0000.csv"), line.getBytes("ISO-8859-1"))
+    // ISO-8859-1 is in the native reader's charset set — no tokenizer
+    // fallback; the bytes are NOT valid UTF-8, so a wrong-charset read
+    // would corrupt the accents
+    val a = MySqlCsv.readRaw(spark, Seq(dir.toString), Seq("k", "v"),
+      CsvDialect(encoding = "ISO-8859-1"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(a.toSeq === Seq(("1", "café"), ("2", "naïve")))
+  }
+
   test("writeRaw header=true emits a header per output file") {
     import spark.implicits._
     val df = (1 to 20).map(i => (i, s"v$i")).toDF("k", "v").repartition(3)
