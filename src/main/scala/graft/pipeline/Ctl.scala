@@ -47,12 +47,21 @@ object Ctl {
       spark.stop()
 
     case "export" :: warehouseDir :: outDir :: db :: Nil =>
+      if (!Files.isDirectory(Paths.get(warehouseDir))) {
+        System.err.println(s"export: warehouse dir not found: $warehouseDir")
+        sys.exit(2)
+      }
       val spark = graft.GraftSession.build()
       val written = Export.run(spark, warehouseDir, outDir, db)
+      spark.stop()
+      if (written.isEmpty) {
+        // a typo'd db must not look like a successful no-op export
+        System.err.println(s"export: no tables matching '$db.*' under $warehouseDir")
+        sys.exit(1)
+      }
       written.foreach { case (tbl, files) =>
         println(s"exported $db.$tbl: ${files.size} data files")
       }
-      spark.stop()
 
     case _ =>
       System.err.println(

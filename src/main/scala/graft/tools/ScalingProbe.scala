@@ -30,17 +30,22 @@ object ScalingProbe {
 
   def main(args: Array[String]): Unit = {
     val maxK = args.headOption.map(_.toInt).getOrElse(4)
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
     val spark = GraftSession.benchSession(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val ks = Seq(1, 2, 4).filter(_ <= maxK)
 
+    // cache key carries the base corpus AND completeness: a different
+    // base must not reuse old scaled copies, and a crashed write
+    // (no _SUCCESS) must rebuild instead of timing a partial corpus
+    val baseTag = base.replaceAll("[^A-Za-z0-9.]", "_")
     val dirs: Map[Int, String] = ks.map { k =>
       if (k == 1) k -> base
       else {
-        val dir = Paths.get(s"/tmp/graft_scaling_${k}x")
+        val dir = Paths.get(s"/tmp/graft_scaling_${baseTag}_${k}x")
         val docsOut = dir.resolve("documents.parquet")
-        if (!Files.exists(docsOut)) {
+        if (!Files.exists(docsOut.resolve("_SUCCESS"))) {
           Files.createDirectories(dir)
           val docs = spark.read.parquet(s"$base/documents.parquet")
           (0 until k).map { i =>
@@ -79,7 +84,8 @@ object ScalingProbe {
         s""""$n":{${s.mkString(",")}}"""
       }.mkString(",")
 
-    println(s"""{"metric":"scaling","sf_base":"$base","caveat":"self-union multiplies duplicate groups; pair-family output grows ~k^2 by construction","linear":{${render(linear)}},"pairs":{${render(pairs)}}}""")
+    val baseJson = base.replace("\\", "\\\\").replace("\"", "\\\"")
+    println(s"""{"metric":"scaling","sf_base":"$baseJson","caveat":"self-union multiplies duplicate groups; pair-family output grows ~k^2 by construction","linear":{${render(linear)}},"pairs":{${render(pairs)}}}""")
     spark.stop()
   }
 }

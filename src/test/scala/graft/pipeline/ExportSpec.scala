@@ -23,13 +23,17 @@ class ExportSpec extends SparkSpec {
     val written = Export.run(spark, wh, out, "exp", shards = 2)
     assert(written.keySet === Set("nation", "region"))
 
-    val names = Files.list(Paths.get(out)).map[String](_.getFileName.toString)
-      .sorted.toArray.toSeq
+    val stream = Files.list(Paths.get(out))
+    val names: Seq[String] =
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      } finally stream.close()
     assert(names.contains("exp-schema-create.sql"))
     assert(names.contains("exp.nation-schema.sql"))
     assert(names.contains("exp.region-schema.sql"))
-    assert(names.count(_.toString.matches("""exp\.nation\.\d{4}\.sql""")) === 2)
-    assert(names.count(_.toString.matches("""exp\.region\.\d{4}\.sql""")) === 2)
+    assert(names.count(_.matches("""exp\.nation\.\d{4}\.sql""")) === 2)
+    assert(names.count(_.matches("""exp\.region\.\d{4}\.sql""")) === 2)
 
     // and the exported dir re-ingests: full-circle row counts match
     val tgt = Files.createTempDirectory("graft_export_reimp").toString
