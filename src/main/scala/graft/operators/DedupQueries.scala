@@ -346,6 +346,53 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Span-level contamination localization — the follow-up to
+    * [[decontaminate]]'s doc-level verdict: WHICH token offsets of a
+    * contaminated document overlap the eval set, so a cleaning pass
+    * can cut the leaking span instead of dropping the whole document.
+    * Position-tagged shingles (posexplode — still a narrow transform)
+    * semi-join the broadcast eval set; per doc: hit count and the
+    * first/last leaking offsets.
+    */
+  def decontaminateSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val evalIds = Seq(0L, 10L, 20L, 30L, 40L)
+    val evalDocs = docs.where(col("doc_id").isin(evalIds: _*))
+    val evalSh = evalDocs
+      .select(explode(shingles(tokens(col("text")), ShingleN)).as("s"))
+      .select(md5Long(col("s")).as("h")).distinct()
+    val corpus = docs.where(!col("doc_id").isin(evalIds: _*))
+      .unionByName(evalDocs.withColumn("doc_id", col("doc_id") + 900000))
+    corpus
+      .select(col("doc_id"),
+        posexplode(shingles(tokens(col("text")), ShingleN)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), md5Long(col("s")).as("h"))
+      .join(broadcast(evalSh), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_spans"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateSpansSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       |eval AS (SELECT DISTINCT
+       |    CAST(('0x' || substr(md5(array_to_string(tk[j:j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT) AS h
+       |  FROM t, UNNEST(range(1, len(tk)-${ShingleN - 2})) AS u(j)
+       |  WHERE doc_id IN (0, 10, 20, 30, 40)),
+       |corpus AS (SELECT doc_id, tk FROM t WHERE doc_id NOT IN (0, 10, 20, 30, 40)
+       |  UNION ALL SELECT doc_id + 900000, tk FROM t
+       |  WHERE doc_id IN (0, 10, 20, 30, 40)),
+       |ps AS (SELECT doc_id, j - 1 AS pos,
+       |    CAST(('0x' || substr(md5(array_to_string(tk[j:j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT) AS h
+       |  FROM corpus, UNNEST(range(1, len(tk)-${ShingleN - 2})) AS u(j))
+       |SELECT ps.doc_id, count(*) AS n_hit_spans,
+       |  CAST(min(ps.pos) AS BIGINT) AS first_pos,
+       |  CAST(max(ps.pos) AS BIGINT) AS last_pos
+       |FROM ps JOIN eval USING (h)
+       |GROUP BY ps.doc_id ORDER BY ps.doc_id""".stripMargin
+
   def decontaminateSql: String =
     s"""WITH eval_docs AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id IN (0, 10, 20, 30, 40)),
