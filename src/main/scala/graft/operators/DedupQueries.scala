@@ -127,6 +127,47 @@ object DedupQueries {
        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos), '')) AS fp_kept
        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- normalized exact dedup
+  /** Exact dedup under TEXT NORMALIZATION — the standard first pass
+    * before any fuzzy method: case fold, strip punctuation, collapse
+    * whitespace. Two documents differing only in casing/punctuation/
+    * spacing are the same training example; byte-exact dedup misses
+    * them, near-dup methods pay a quadratic candidate step to find
+    * them. This is one codegen'd regex chain + one combining groupBy —
+    * the cheap middle ground. Reports corpus totals and how many
+    * groups only normalization could collapse.
+    */
+  def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    // plant normalization-only variants: case-flipped and re-spaced
+    val variants = docs
+      .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+        upper(col("text")).as("text")))
+      .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
+        regexp_replace(col("text"), " ", "   ").as("text")))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    variants
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_raw"),
+        md5(norm.cast("binary")).as("fp_norm"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp_raw")).as("n_byte_distinct"),
+        countDistinct(col("fp_norm")).as("n_norm_distinct"))
+  }
+
+  def dedupNormalizedSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents
+      |  UNION ALL SELECT doc_id + 2000000, replace(text, ' ', '   ') FROM documents
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_byte_distinct,
+      |  CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(
+      |    lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))) AS BIGINT)
+      |    AS n_norm_distinct
+      |FROM v""".stripMargin
+
   // ------------------------------------------------------------ exact
   /** Exact dedup: duplicate the corpus under shifted IDs, keep the
     * min-ID copy per exact text — collapses back to the original set.
