@@ -255,31 +255,39 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------ MinHash LSH
-  /** MinHash + banded LSH near-dup detection: k=12 md5-family hashes,
-    * 6 bands × 2 rows, candidates verified with exact Jaccard ≥ 0.5.
+  /** One row per doc: all 12 min-hashes computed in a single map-side-
+    * combining groupBy (no ×k row explosion) plus the DISTINCT shingle
+    * count (`collect_set` dedups in the aggregation buffer; `min` is
+    * duplicate-insensitive). The set itself is dropped BEFORE any
+    * caching: the signature relation is 14 longs per doc — at 100 TB
+    * it must never carry the corpus's whole shingle universe. Shared
+    * by [[dedupMinhash]] and [[minhashEstimate]].
     */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    // One row per doc: all 12 min-hashes computed in a single map-side-
-    // combining groupBy (no ×k row explosion) plus the DISTINCT shingle
-    // count (`collect_set` dedups in the aggregation buffer; `min` is
-    // duplicate-insensitive). The set itself is dropped BEFORE the
-    // cache: the cached signature relation is 14 longs per doc — at
-    // 100 TB it must never carry the corpus's whole shingle universe.
+  private def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     val aggCols =
       collect_set(col("h")).as("hs") +:
         (0 until MinhashK).map { i =>
           min((lit(hashA(i)) * pmod(col("h"), lit(M31)) + lit(hashB(i))) % M31)
             .as(s"mh$i")
         }
-    def shingleRel = table(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
-      .select(col("doc_id"), md5Long(col("s")).as("h"))
-    val docs = shingleRel
+    minhashShingleRel(spark, sfDir)
       .groupBy("doc_id")
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("n", size(col("hs")).cast("long"))
       .drop("hs")
-      .cache()
+  }
+
+  private def minhashShingleRel(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
+      .select(col("doc_id"), md5Long(col("s")).as("h"))
+
+  /** MinHash + banded LSH near-dup detection: k=12 md5-family hashes,
+    * 6 bands × 2 rows, candidates verified with exact Jaccard ≥ 0.5.
+    */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    def shingleRel = minhashShingleRel(spark, sfDir)
+    val docs = minhashSignatures(spark, sfDir).cache()
     // 6 band signatures per doc (band b = minhashes 2b, 2b+1 joined by
     // a comma) — a 6-row explode of one-row-per-doc, not of shingles.
     val bandCols = (0 until MinhashK / BandRows).map { b =>
@@ -331,6 +339,91 @@ object DedupQueries {
     docs.unpersist(false)
     out
   }
+
+  /** MinHash ESTIMATE quality report: for every banded candidate
+    * pair, the signature agreement count (matched hashes out of
+    * [[MinhashK]] — the integer numerator of the Jaccard estimate)
+    * next to the EXACT intersection and set sizes. All integers, so
+    * the estimate-vs-truth table hash-compares across engines — this
+    * is the sketch-accuracy audit a tuning pass reads before trusting
+    * bands-only dedup on the full corpus.
+    */
+  def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = minhashSignatures(spark, sfDir).localCheckpoint(true)
+    val bandCols = (0 until MinhashK / BandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until BandRows).map(r =>
+          col(s"mh${b * BandRows + r}").cast("string")): _*).as("band_sig"))
+    }
+    val bands = docs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val sigA = docs.select(
+      col("doc_id").as("doc_a") +: col("n").as("n_a") +:
+        (0 until MinhashK).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val sigB = docs.select(
+      col("doc_id").as("doc_b") +: col("n").as("n_b") +:
+        (0 until MinhashK).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    val nSigMatch = (0 until MinhashK)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val withSig = cand.join(sigA, "doc_a").join(sigB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), nSigMatch.as("n_sig_match"),
+        col("n_a"), col("n_b"))
+    // exact ground truth: same semi-filtered rescan dedupMinhash uses
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shC = minhashShingleRel(spark, sfDir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .distinct()
+      .localCheckpoint(true)
+    val inter = shC.as("a").join(shC.as("b"), "h")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    withSig.join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n_sig_match"),
+        coalesce(col("inter"), lit(0L)).as("inter"), col("n_a"), col("n_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def minhashEstimateSql: String =
+    s"""WITH $shingleCte,
+       |hashes AS (SELECT doc_id, i,
+       |    ((${sqlLongList(hashA)}[i + 1] * (h % $M31)) + ${sqlLongList(hashB)}[i + 1]) % $M31 AS hi
+       |  FROM sh, UNNEST(range($MinhashK)) AS r(i)),
+       |sig AS (SELECT doc_id, i, min(hi) AS mh FROM hashes GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // $BandRows AS band,
+       |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+       |sigmatch AS (SELECT c.doc_a, c.doc_b, count(*) AS n_sig_match
+       |  FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+       |    JOIN sig b ON b.doc_id = c.doc_b AND b.i = a.i AND b.mh = a.mh
+       |  GROUP BY 1, 2),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(coalesce(sm.n_sig_match, 0) AS BIGINT) AS n_sig_match,
+       |  CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       |  ca.n AS n_a, cb.n AS n_b
+       |FROM cand c
+       |LEFT JOIN sigmatch sm ON sm.doc_a = c.doc_a AND sm.doc_b = c.doc_b
+       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN cnt ca ON ca.doc_id = c.doc_a
+       |JOIN cnt cb ON cb.doc_id = c.doc_b
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
   def dedupMinhashSql: String =
     s"""WITH $shingleCte,
