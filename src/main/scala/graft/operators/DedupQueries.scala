@@ -51,16 +51,23 @@ object DedupQueries {
   // pathological shuffle. The oracle hashes identically, so any
   // (negligible, 2⁻⁵⁶) collision affects both engines the same way.
 
+  /** THE one copy of the SQL shingle-hash recipe (56-bit md5 of the
+    * space-joined [[ShingleN]]-gram at 1-based token offset `j` of
+    * token array `t`) — both CTE shapes below and any positional
+    * oracle interpolate this, so the recipe cannot drift between
+    * queries (it must stay bit-identical to the Spark side's
+    * md5Long + shingles).
+    */
+  private def shingleHashSql(t: String, j: String): String =
+    s"CAST(('0x' || substr(md5(array_to_string($t[$j:$j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT)"
+
   /** Parameterized shingle-hash CTE: distinct (doc_id, 56-bit-hash)
-    * pairs for `srcRel`, named `toksName`/`shName`. ONE copy of the
-    * hash recipe — every oracle that shingles builds on this, so the
-    * recipe cannot drift between queries (it must stay bit-identical
-    * to the Spark side's md5Long + shingles).
+    * pairs for `srcRel`, named `toksName`/`shName`.
     */
   private def shingleCteFor(srcRel: String, toksName: String, shName: String): String =
     s"""$toksName AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $srcRel),
        |$shName AS (SELECT DISTINCT doc_id,
-       |         CAST(('0x' || substr(md5(array_to_string(t[j:j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT) AS h
+       |         ${shingleHashSql("t", "j")} AS h
        |       FROM $toksName, UNNEST(range(1, len(t)-${ShingleN - 2})) AS u(j))""".stripMargin
 
   private val shingleCte = shingleCteFor("documents", "toks", "sh")
@@ -282,14 +289,12 @@ object DedupQueries {
       .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
       .select(col("doc_id"), md5Long(col("s")).as("h"))
 
-  /** MinHash + banded LSH near-dup detection: k=12 md5-family hashes,
-    * 6 bands × 2 rows, candidates verified with exact Jaccard ≥ 0.5.
+  /** 6 band signatures per doc (band b = minhashes 2b, 2b+1 joined by
+    * a comma) — a 6-row explode of one-row-per-doc, not of shingles —
+    * self-joined into the distinct, eagerly-materialized candidate
+    * pair set. Shared by [[dedupMinhash]] and [[minhashEstimate]].
     */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    def shingleRel = minhashShingleRel(spark, sfDir)
-    val docs = minhashSignatures(spark, sfDir).cache()
-    // 6 band signatures per doc (band b = minhashes 2b, 2b+1 joined by
-    // a comma) — a 6-row explode of one-row-per-doc, not of shingles.
+  private def minhashCandidates(docs: DataFrame): DataFrame = {
     val bandCols = (0 until MinhashK / BandRows).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until BandRows).map(r =>
@@ -298,32 +303,45 @@ object DedupQueries {
     val bands = docs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint(true) // small; used twice below
-    // Only LSH candidates pay verification: re-derive the (doc_id, h)
-    // relation semi-filtered to candidate docs — the broadcast filter
-    // sits directly on the rescan, so only candidate docs' shingles are
-    // ever shuffled (the corpus-wide set relation is never cached or
-    // re-shuffled) — then count common shingles with a groupBy.
+      .localCheckpoint(true)
+  }
+
+  /** Exact pairwise intersection counts for the candidate pairs: the
+    * (doc_id, h) relation re-derived SEMI-FILTERED to candidate docs —
+    * the broadcast filter sits directly on the rescan, so only
+    * candidate docs' shingles are ever shuffled (the corpus-wide set
+    * relation is never cached or re-shuffled anywhere), materialized
+    * once because the self-join would otherwise recompute the
+    * scan+md5 chain per side. Candidates ≪ corpus, so this stays
+    * small at any scale. Shared by both MinHash queries.
+    */
+  private def minhashExactInter(spark: SparkSession, sfDir: String,
+      cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // materialized once (eager checkpoint): the self-join below would
-    // otherwise recompute the scan+md5 chain for each side. Bounded by
-    // candidate docs' shingles — candidates ≪ corpus, so this stays
-    // small at any scale (unlike the corpus-wide set relation, which
-    // is never materialized anywhere).
-    val shC = shingleRel
+    val shC = minhashShingleRel(spark, sfDir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .distinct()
       .localCheckpoint(true)
-    val inter = shC.as("a").join(shC.as("b"), "h")
+    shC.as("a").join(shC.as("b"), "h")
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  /** MinHash + banded LSH near-dup detection: k=12 md5-family hashes,
+    * 6 bands × 2 rows, candidates verified with exact Jaccard ≥ 0.5.
+    */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = minhashSignatures(spark, sfDir).cache()
+    val cand = minhashCandidates(docs)
+    // Only LSH candidates pay verification.
+    val inter = minhashExactInter(spark, sfDir, cand)
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
     val cnts = docs.select(col("doc_id"), col("n"))
     val pairs = inter
@@ -350,20 +368,7 @@ object DedupQueries {
     */
   def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = minhashSignatures(spark, sfDir).localCheckpoint(true)
-    val bandCols = (0 until MinhashK / BandRows).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until BandRows).map(r =>
-          col(s"mh${b * BandRows + r}").cast("string")): _*).as("band_sig"))
-    }
-    val bands = docs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-      .localCheckpoint(true)
+    val cand = minhashCandidates(docs)
     val sigA = docs.select(
       col("doc_id").as("doc_a") +: col("n").as("n_a") +:
         (0 until MinhashK).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
@@ -376,17 +381,8 @@ object DedupQueries {
     val withSig = cand.join(sigA, "doc_a").join(sigB, "doc_b")
       .select(col("doc_a"), col("doc_b"), nSigMatch.as("n_sig_match"),
         col("n_a"), col("n_b"))
-    // exact ground truth: same semi-filtered rescan dedupMinhash uses
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shC = minhashShingleRel(spark, sfDir)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .distinct()
-      .localCheckpoint(true)
-    val inter = shC.as("a").join(shC.as("b"), "h")
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // exact ground truth: the same semi-filtered rescan dedupMinhash uses
+    val inter = minhashExactInter(spark, sfDir, cand)
     withSig.join(inter, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("n_sig_match"),
         coalesce(col("inter"), lit(0L)).as("inter"), col("n_a"), col("n_b"))
@@ -509,18 +505,13 @@ object DedupQueries {
   }
 
   def decontaminateSpansSql: String =
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
-       |  FROM documents),
-       |eval AS (SELECT DISTINCT
-       |    CAST(('0x' || substr(md5(array_to_string(tk[j:j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT) AS h
-       |  FROM t, UNNEST(range(1, len(tk)-${ShingleN - 2})) AS u(j)
+    s"""WITH $shingleCte,
+       |eval AS (SELECT DISTINCT h FROM sh WHERE doc_id IN (0, 10, 20, 30, 40)),
+       |corpus AS (SELECT doc_id, t FROM toks WHERE doc_id NOT IN (0, 10, 20, 30, 40)
+       |  UNION ALL SELECT doc_id + 900000, t FROM toks
        |  WHERE doc_id IN (0, 10, 20, 30, 40)),
-       |corpus AS (SELECT doc_id, tk FROM t WHERE doc_id NOT IN (0, 10, 20, 30, 40)
-       |  UNION ALL SELECT doc_id + 900000, tk FROM t
-       |  WHERE doc_id IN (0, 10, 20, 30, 40)),
-       |ps AS (SELECT doc_id, j - 1 AS pos,
-       |    CAST(('0x' || substr(md5(array_to_string(tk[j:j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT) AS h
-       |  FROM corpus, UNNEST(range(1, len(tk)-${ShingleN - 2})) AS u(j))
+       |ps AS (SELECT doc_id, j - 1 AS pos, ${shingleHashSql("t", "j")} AS h
+       |  FROM corpus, UNNEST(range(1, len(t)-${ShingleN - 2})) AS u(j))
        |SELECT ps.doc_id, count(*) AS n_hit_spans,
        |  CAST(min(ps.pos) AS BIGINT) AS first_pos,
        |  CAST(max(ps.pos) AS BIGINT) AS last_pos

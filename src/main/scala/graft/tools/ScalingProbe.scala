@@ -38,8 +38,11 @@ object ScalingProbe {
 
     // cache key carries the base corpus AND completeness: a different
     // base must not reuse old scaled copies, and a crashed write
-    // (no _SUCCESS) must rebuild instead of timing a partial corpus
-    val baseTag = base.replaceAll("[^A-Za-z0-9.]", "_")
+    // (no _SUCCESS) must rebuild instead of timing a partial corpus.
+    // The readable tag is lossy (non-alnum collapses to _), so a hash
+    // of the raw path disambiguates bases the tag would conflate.
+    val baseTag = base.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(base))
     val dirs: Map[Int, String] = ks.map { k =>
       if (k == 1) k -> base
       else {
@@ -80,11 +83,19 @@ object ScalingProbe {
 
     def render(m: Map[String, Map[Int, Double]]): String =
       m.toSeq.sortBy(_._1).map { case (n, t) =>
-        val s = t.toSeq.sorted.map { case (k, sec) => f""""${k}x":$sec%.2f""" }
+        val s = t.toSeq.sorted.map { case (k, sec) =>
+          // Locale.ROOT: a comma-decimal default locale would emit 0,52
+          s""""${k}x":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))}"""
+        }
         s""""$n":{${s.mkString(",")}}"""
       }.mkString(",")
 
-    val baseJson = base.replace("\\", "\\\\").replace("\"", "\\\"")
+    val baseJson = base.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     println(s"""{"metric":"scaling","sf_base":"$baseJson","caveat":"self-union multiplies duplicate groups; pair-family output grows ~k^2 by construction","linear":{${render(linear)}},"pairs":{${render(pairs)}}}""")
     spark.stop()
   }
