@@ -67,7 +67,8 @@ object GraftSession {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     fanOut(spark,
       if (name == "events") events(spark, sfDir)
-      else spark.read.parquet(s"$sfDir/$name.parquet"))
+      else spark.read.parquet(s"$sfDir/$name.parquet"),
+      cacheKey = Some((spark.sparkContext.applicationId, sfDir, name)))
 
   /** Fan a scan out to the cluster's parallelism when its split count
     * can't feed the cores. Parquet parallelism is bounded by row-group
@@ -82,9 +83,22 @@ object GraftSession {
     * traverse `Repartition`), so pushdown-audited plans keep their
     * `PushedFilters`.
     */
-  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+  private val splitCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Integer]()
+
+  private def fanOut(spark: SparkSession, df: DataFrame,
+      cacheKey: Option[(String, String, String)] = None): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= cores) df.repartition(cores) else df
+    // df.rdd forces plan analysis + file-listing per call; tables are read
+    // many times per query, so memoize the measured split count per
+    // (app, sfDir, table) — it only depends on the file layout + session
+    // read confs, both fixed for an application's lifetime.
+    val splits = cacheKey match {
+      case Some(k) =>
+        splitCounts.computeIfAbsent(k, _ => df.rdd.getNumPartitions).intValue()
+      case None => df.rdd.getNumPartitions
+    }
+    if (splits * 2 <= cores) df.repartition(cores) else df
   }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects

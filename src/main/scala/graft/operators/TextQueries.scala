@@ -706,7 +706,8 @@ object TextQueries {
 
   def mixtureWeightsSql: String =
     """WITH per AS (SELECT source, count(*) AS n_docs,
-      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY source),
       |q AS (SELECT source, n_docs, n_tokens,
       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS qv
@@ -740,7 +741,7 @@ object TextQueries {
 
   def bpePairsSql: String =
     """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-      |  FROM documents),
+      |  FROM documents WHERE len(trim(text)) > 0),
       |p AS (SELECT unnest(list_transform(range(1, len(w)),
       |    i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w)
       |SELECT pair, count(*) AS pair_count
@@ -776,7 +777,7 @@ object TextQueries {
 
   def unigramQualitySql: String =
     """WITH e AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-      |  FROM documents),
+      |  FROM documents WHERE len(trim(text)) > 0),
       |c AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok)
       |SELECT doc_id, count(*) AS n_tokens,
       |  CAST(floor(1000000.0 * CAST(sum(cnt) AS BIGINT) / count(*)) AS BIGINT) AS commonness_ppm

@@ -450,6 +450,23 @@ class IngestSpec extends SparkSpec {
     (1 to 9).foreach(i => assert(r2.isNullAt(i), s"col $i should be null"))
   }
 
+  test("variousTypesDec pins the typed DECIMAL values the driver probe isolates") {
+    import graft.operators.IngestQueries
+    val rows = IngestQueries.variousTypesDec(spark, sf()).collect()
+    assert(rows.length === 3)
+    assert(rows(0).getDecimal(1) === new java.math.BigDecimal("12.3456"))
+    assert(rows(0).getDecimal(2) === new java.math.BigDecimal("18446744073709551615"))
+    assert(rows(1).getDecimal(1) === new java.math.BigDecimal("-9.9999"))
+    assert(rows(1).getDecimal(2) === new java.math.BigDecimal("0"))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    // the string twins in variousTypes render the same values losslessly
+    val full = IngestQueries.variousTypes(spark, sf()).collect()
+    assert(full(0).getAs[String]("dec6_str") === "12.3456")
+    assert(full(0).getAs[String]("big_str") === "18446744073709551615")
+    assert(full(1).getAs[String]("dec6_str") === "-9.9999")
+    assert(full(1).getAs[String]("big_str") === "0")
+  }
+
   test("viewSelect handles qualifier clauses and parenthesized bodies") {
     assert(Ingest.viewSelect(
       "CREATE ALGORITHM=UNDEFINED VIEW v AS SELECT a FROM t;")
