@@ -209,24 +209,24 @@ object DedupQueries {
     * exactly.
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    // ONE groupBy(doc_id) produces the distinct shingle sets; the flat
-    // distinct (doc_id, h) view explodes back map-side — same rows as
-    // `.distinct()` for one full shuffle fewer. NB the per-doc counts
-    // are recomputed from the CAPPED set below (`cnt`), NOT size(hs):
-    // Jaccard must use the same capped universe on both sides or the
-    // oracle diverges.
-    val byDoc = table(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
-      .select(col("doc_id"), md5Long(col("s")).as("h"))
-      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
-      .cache()
-    val shAll = byDoc.select(col("doc_id"), explode(col("hs")).as("h"))
+    // The shingle universe is never materialized as per-doc sets (no
+    // collect_set): df comes straight off the RAW exploded relation
+    // (countDistinct dedups intra-doc repeats in the aggregation), and
+    // the only cached relation is the df-CAPPED flat distinct (doc_id,
+    // h) — 16 bytes/row with every boilerplate shingle already gone,
+    // the same recompute-beats-caching trade as [[minhashExactInter]].
+    // The raw scan runs twice (df pass + capped pass), both at scan
+    // speed. NB the per-doc counts are computed from the CAPPED
+    // relation below (`cnt`): Jaccard must use the same capped
+    // universe on both sides or the oracle diverges.
+    val raw = minhashShingleRel(spark, sfDir)
     // the HOT set (df > cap) is tiny by construction — broadcast it and
     // anti-join, so the cap costs one map-side-combined groupBy plus a
     // broadcast, never a second full shuffle of the shingle set
-    val hot = shAll.groupBy("h").agg(count(lit(1)).as("df"))
+    val hot = raw.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") > DfCap).select("h")
-    val sh = shAll.join(broadcast(hot), Seq("h"), "left_anti").cache()
+    val sh = raw.join(broadcast(hot), Seq("h"), "left_anti")
+      .distinct().cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), "h")
       .where(col("a.doc_id") < col("b.doc_id"))
@@ -240,10 +240,9 @@ object DedupQueries {
       .where(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "inter", "jaccard")
       .orderBy("doc_a", "doc_b")
-    // materialize the (small) pair set, then release the shingle caches
+    // materialize the (small) pair set, then release the shingle cache
     val out = pairs.localCheckpoint(true)
     sh.unpersist(false)
-    byDoc.unpersist(false)
     out
   }
 
