@@ -267,14 +267,23 @@ object Ingest {
         MysqlDdl.parse(CharsetReader.readSchemaFile(
           spark.sparkContext.hadoopConfiguration, p, cfg.charset))
       }
+    // cfg.charset governs DATA files too (reference data-character-set):
+    // a non-UTF-8 charset routes the CSV read through the JVM-charset
+    // tokenizer path and the dump read through a byte-decode, instead
+    // of silently mojibake-ing through a UTF-8 text scan. An explicit
+    // dialect encoding wins over the table-level charset.
+    val dataDialect =
+      if (cfg.csvDialect.encoding == "UTF-8" && !CharsetReader.isNativeUtf8(cfg.charset))
+        cfg.csvDialect.copy(encoding = CharsetReader.jvmName(cfg.charset))
+      else cfg.csvDialect
     val shards: Seq[DataFrame] = files.map { case (path, kind) =>
       kind match {
         case FileKind.Csv =>
           val names = schema.map(_.colNames).getOrElse(Seq.empty)
-          MySqlCsv.readRaw(spark, Seq(path), names, cfg.csvDialect)
+          MySqlCsv.readRaw(spark, Seq(path), names, dataDialect)
         case FileKind.Sql =>
           val names = schema.map(_.colNames).getOrElse(Seq.empty)
-          DumpSource.readRaw(spark, Seq(path), names)
+          DumpSource.readRaw(spark, Seq(path), names, cfg.charset)
         case FileKind.Parquet => spark.read.parquet(path)
         case other => throw new IllegalStateException(s"unroutable kind $other")
       }

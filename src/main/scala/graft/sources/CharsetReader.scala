@@ -20,6 +20,29 @@ object CharsetReader {
       case other => new String(bytes, Charset.forName(other))
     }
 
+  /** True when `charset` is UTF-8 (or `auto`, whose DATA-path contract
+    * is UTF-8 — auto-detection applies to schema files only, which are
+    * small enough to buffer): those can go through Spark's native
+    * UTF-8 text readers with no per-byte decode step.
+    */
+  def isNativeUtf8(charset: String): Boolean =
+    charset.toLowerCase match {
+      case "utf8" | "utf-8" | "auto" => true
+      case _ => false
+    }
+
+  /** JVM charset name for a reference charset config value, for the
+    * CSV tokenizer path (`binary` maps to ISO-8859-1: a 1:1 byte→char
+    * round trip, the "don't decode" contract).
+    */
+  def jvmName(charset: String): String =
+    charset.toLowerCase match {
+      case "utf8" | "utf-8" | "auto" => "UTF-8"
+      case "gb18030" => "GB18030"
+      case "binary" => "ISO-8859-1"
+      case other => Charset.forName(other).name()
+    }
+
   private def strictUtf8(bytes: Array[Byte]): Option[String] = {
     val dec = StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)

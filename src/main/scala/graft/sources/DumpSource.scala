@@ -38,12 +38,28 @@ object DumpSource {
   /** Untyped read: parses every INSERT/REPLACE statement in the files.
     * Column names default to the table column order; statements with an
     * explicit column list are projected onto `colNames` by name.
+    *
+    * `charset` routes non-UTF-8 DATA files (reference
+    * `[mydumper] data-character-set`, `lightning/mydump/reader.go`)
+    * through a whole-file byte read + [[CharsetReader.decode]] — the
+    * distribution model is unchanged (one task per ≤256 MiB dump
+    * file), only the decode differs. UTF-8/auto keeps Spark's native
+    * text read.
     */
-  def readRaw(spark: SparkSession, paths: Seq[String], colNames: Seq[String]): DataFrame = {
+  def readRaw(spark: SparkSession, paths: Seq[String], colNames: Seq[String],
+      charset: String = "utf8"): DataFrame = {
     val n = colNames.size
     val names = colNames.map(_.toLowerCase)
     val outSchema = StructType(colNames.map(StructField(_, StringType, nullable = true)))
-    val files = spark.read.option("wholetext", "true").textFile(paths: _*)
+    val files: org.apache.spark.sql.Dataset[String] =
+      if (CharsetReader.isNativeUtf8(charset))
+        spark.read.option("wholetext", "true").textFile(paths: _*)
+      else {
+        import spark.implicits._
+        spark.sparkContext.binaryFiles(paths.mkString(","))
+          .map { case (_, stream) => CharsetReader.decode(stream.toArray(), charset) }
+          .toDS()
+      }
     val rows = files.rdd.flatMap { text =>
       // statementIterator is lazy: peak task memory is the file text
       // plus ONE statement's rows, not the whole file parsed up front

@@ -16,6 +16,38 @@ class IngestSpec extends SparkSpec {
     root
   }
 
+  test("GB18030 data files decode through the configured charset (CSV + dump)") {
+    // reference tests/character_sets: the data-character-set config must
+    // reach the DATA files, not just the schema read — a GB18030 CSV or
+    // dump read as UTF-8 would mojibake silently.
+    val root = Files.createTempDirectory("graft_gbk").toString
+    val s1 = "中文测试"
+    val s2 = "汉字"
+    Files.writeString(Paths.get(root, "d.c-schema.sql"),
+      "CREATE TABLE c (id int NOT NULL, v varchar(20), PRIMARY KEY (id));")
+    Files.write(Paths.get(root, "d.c.0001.csv"),
+      s"""1,"$s1"\n2,"$s2"\n""".getBytes("GB18030"))
+    Files.writeString(Paths.get(root, "d.s-schema.sql"),
+      "CREATE TABLE s (id int NOT NULL, v varchar(20), PRIMARY KEY (id));")
+    Files.write(Paths.get(root, "d.s.0001.sql"),
+      s"INSERT INTO s VALUES (1, '$s1'), (2, '$s2');".getBytes("GB18030"))
+    val out = Files.createTempDirectory("graft_gbk_out").toString
+    val reports = Ingest.run(spark, Ingest.Config(root, out, charset = "gb18030"))
+    assert(reports.length === 2 && reports.forall(_.checksumOk))
+    for (t <- Seq("c", "s")) {
+      val back = spark.read.parquet(s"$out/d.$t").collect()
+        .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+      assert(back.toSeq === Seq((1, s1), (2, s2)), s"table $t")
+    }
+    // the same bytes imported as UTF-8 must NOT round-trip (sanity that
+    // the fixture actually exercises the decode)
+    val out2 = Files.createTempDirectory("graft_gbk_utf8").toString
+    Ingest.run(spark, Ingest.Config(root, out2))
+    val mojibake = spark.read.parquet(s"$out2/d.c").collect()
+      .map(_.getString(1)).toSet
+    assert(!mojibake.contains(s1))
+  }
+
   test("no-schema mode adopts the existing target table's schema") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_noschema").toString
