@@ -47,7 +47,49 @@ object Ingest {
       maxError: Long = Long.MaxValue,
       tableConcurrency: Int = 1,
       noSchema: Boolean = false,
-      quarantineDir: Option[String] = None)
+      quarantineDir: Option[String] = None,
+      pauseFile: Option[String] = None,
+      strictFormat: Boolean = false,
+      chunkBytes: Long = 256L << 20,
+      chunkBatch: Int = 8,
+      failpointAfterBatches: Option[Int] = None)
+
+  /** One import unit: a whole data file, or (strict-format CSV only) a
+    * byte-range chunk of one — the reference's `ChunkCheckpoint`
+    * (`lightning/checkpoints/checkpoints.go:231-274`). The token is
+    * what `JobState.Record.files` stores, so sub-file progress
+    * round-trips through the checkpoint file.
+    */
+  private[pipeline] case class DataUnit(
+      path: String, kind: FileKind.Value, start: Long = 0L, len: Long = -1L) {
+    def isChunk: Boolean = len >= 0L
+    def token: String = if (isChunk) s"$path@$start+$len" else path
+  }
+
+  /** Expand a table's data files into import units. Large CSV files
+    * split into `chunkBytes` ranges ONLY under `strictFormat` — the
+    * same precondition the reference imposes (`strict-format=true`,
+    * `lightning/mydump/region.go:236-286`): byte-splitting is safe
+    * only when quoted fields cannot embed newlines. Dump/parquet files
+    * stay whole (a split can land inside a string literal; parquet has
+    * row groups). NB enabling strictFormat over state written without
+    * it re-imports chunked files once (tokens differ from bare paths;
+    * the final checksum verify catches and heals any overlap).
+    */
+  private def expandUnits(spark: SparkSession, cfg: Config, d: Discovered): Seq[DataUnit] = {
+    val canChunk = cfg.strictFormat && (d.schemaFile.nonEmpty || cfg.noSchema)
+    d.dataFiles.flatMap { case (path, kind) =>
+      if (kind != FileKind.Csv || !canChunk) Seq(DataUnit(path, kind))
+      else {
+        val p = new Path(path)
+        val size = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+        if (size <= cfg.chunkBytes) Seq(DataUnit(path, kind))
+        else (0L until size by cfg.chunkBytes).map(off =>
+          DataUnit(path, kind, off, math.min(cfg.chunkBytes, size - off)))
+      }
+    }
+  }
 
   case class TableReport(
       db: String,
@@ -128,34 +170,75 @@ object Ingest {
     val state = new JobState(cfg.stateDir)
     val tables = discover(spark, cfg)
     def restoreOne(d: Discovered): TableReport = {
+      awaitUnpaused(cfg.pauseFile)
       val key = s"${d.db}.${d.table}"
-      // rec.files.nonEmpty guards both resume paths: a legacy record
-      // with no file list cannot prove which files it covers, so it
+      val units = expandUnits(spark, cfg, d)
+      // rec.files.nonEmpty guards every resume path: a legacy record
+      // with no unit list cannot prove which units it covers, so it
       // falls through to a full overwrite rather than appending a
-      // duplicate of everything.
-      state.get(key) match {
-        case Some(rec) if rec.status == "verified" && rec.files.nonEmpty &&
-            d.dataFiles.forall(f => rec.files.contains(f._1)) =>
+      // duplicate of everything. "imported" records (crash between
+      // chunk batches) resume the same way "verified" ones do — the
+      // stored triple is the accumulated pre-write expectation, and
+      // the final whole-table read-back verifies the combination.
+      val resumable = state.get(key).filter(r =>
+        (r.status == "verified" || r.status == "imported") && r.files.nonEmpty)
+      val done: Set[String] = resumable.map(_.files.toSet).getOrElse(Set.empty)
+      val newUnits = units.filterNot(u => done(u.token))
+      resumable match {
+        case Some(rec) if rec.status == "verified" && newUnits.isEmpty =>
           TableReport(d.db, d.table, rec.nRows, rec.checksum, checksumOk = true,
             skipped = true, maxRowId = rec.maxId)
-        case Some(rec) if rec.status == "verified" && rec.files.nonEmpty =>
-          // File-level incremental resume (reference per-chunk
-          // checkpoints, `checkpoints.go:231-274`): only data files not
-          // in the verified set are parsed; their sorted batch appends
-          // to the output (each batch = one "engine" of sorted ranges,
-          // like the reference's multi-engine tables) and the stored
-          // checksum XOR-combines with the new batch's — commutativity
-          // is what makes verified-state + increment == full-table.
-          val newFiles = d.dataFiles.filterNot(f => rec.files.contains(f._1))
-          val prior = KvChecksum(rec.checksum, rec.nRows, rec.nBytes)
-          val (report, post) = restoreFiles(spark, cfg, d, newFiles, Some(prior), rec.maxId)
-          recordState(state, key, d, report, post)
-          report
+        case Some(rec) if newUnits.nonEmpty =>
+          // Incremental resume (reference per-chunk checkpoints):
+          // only units not in the covered set are parsed; their sorted
+          // batch appends to the output (each batch = one "engine" of
+          // sorted ranges, like the reference's multi-engine tables)
+          // and the stored checksum XOR-combines with the new batch's —
+          // commutativity is what makes covered-state + increment ==
+          // full-table.
+          importUnits(state, key, d, Some(rec), newUnits)
         case _ =>
-          val (report, post) = restoreFiles(spark, cfg, d, d.dataFiles, None, 0L)
-          recordState(state, key, d, report, post)
-          report
+          importUnits(state, key, d, None, units)
       }
+    }
+    def importUnits(state: JobState, key: String, d: Discovered,
+        rec: Option[JobState.Record], units: Seq[DataUnit]): TableReport = {
+      var prior = rec.map(r => KvChecksum(r.checksum, r.nRows, r.nBytes))
+      var maxId = rec.map(_.maxId).getOrElse(0L)
+      var doneTokens = rec.map(_.files).getOrElse(Nil)
+      // Sub-file chunks import in batches of `chunkBatch` units, each
+      // batch one Spark write job with a state record after it — the
+      // crash-loss bound drops from the whole table to one batch. An
+      // unchunked table stays a single job (no extra records, no
+      // behavior change). Only the FINAL batch pays the whole-table
+      // read-back verification, like the reference's one table-level
+      // checksum after all chunks land.
+      val batches: Seq[Seq[DataUnit]] =
+        if (units.exists(_.isChunk)) units.grouped(math.max(1, cfg.chunkBatch)).toSeq
+        else Seq(units)
+      var result: TableReport = null
+      batches.zipWithIndex.foreach { case (batch, i) =>
+        val isLast = i == batches.size - 1
+        val (rep, post) = restoreFiles(spark, cfg, d, batch, prior, maxId,
+          verify = isLast)
+        doneTokens = doneTokens ++ batch.map(_.token)
+        if (isLast) {
+          recordState(state, key, doneTokens, rep, post)
+          result = rep
+        } else {
+          state.put(JobState.Record(key, "imported", post.totalKvs, post.checksum,
+            post.totalBytes, doneTokens, rep.maxRowId))
+          prior = Some(post)
+          maxId = rep.maxRowId
+          // test-only failpoint (the reference's GO_FAILPOINTS kill in
+          // tests/checkpoint_chunks): simulate a crash between batches
+          cfg.failpointAfterBatches.foreach { n =>
+            if (i + 1 >= n) throw new IllegalStateException(
+              s"failpoint: crashed after ${i + 1} chunk batches of $key")
+          }
+        }
+      }
+      result
     }
     // Table-level concurrency (reference `index-concurrency`/
     // `table-concurrency`, `tests/concurrent-restore`): each driver
@@ -204,6 +287,19 @@ object Ingest {
     reports
   }
 
+  /** Cooperative pause gate (reference `Pauser`, `restore.go:2412`;
+    * the server's `/pause` verb): while the configured pause file
+    * exists, the import blocks BETWEEN table restores — a running
+    * table's job chain finishes, nothing new starts. Deleting the file
+    * resumes. Checked per table, so with table concurrency each worker
+    * thread parks at its next table boundary.
+    */
+  private def awaitUnpaused(pauseFile: Option[String]): Unit =
+    pauseFile.foreach { pf =>
+      val p = java.nio.file.Paths.get(pf)
+      while (java.nio.file.Files.exists(p)) Thread.sleep(200L)
+    }
+
   /** Extract the defining SELECT from `CREATE … VIEW … AS SELECT …`
     * (MySQL dumps prepend ALGORITHM/DEFINER/SECURITY clauses; some
     * tools parenthesize the body: `AS (SELECT …)`).
@@ -216,11 +312,11 @@ object Ingest {
         else s
       }
 
-  private def recordState(state: JobState, key: String, d: Discovered,
+  private def recordState(state: JobState, key: String, tokens: Seq[String],
       report: TableReport, post: KvChecksum): Unit = {
     val status = if (report.checksumOk) "verified" else "failed"
     state.put(JobState.Record(key, status, post.totalKvs, post.checksum,
-      post.totalBytes, d.dataFiles.map(_._1), report.maxRowId))
+      post.totalBytes, tokens, report.maxRowId))
   }
 
   /** Restore `files` into the table's output. With `prior` set this is
@@ -255,8 +351,9 @@ object Ingest {
   }
 
   private def restoreFiles(spark: SparkSession, cfg: Config, d: Discovered,
-      files: Seq[(String, FileKind.Value)],
-      prior: Option[KvChecksum], priorMaxId: Long): (TableReport, KvChecksum) = {
+      files: Seq[DataUnit],
+      prior: Option[KvChecksum], priorMaxId: Long,
+      verify: Boolean = true): (TableReport, KvChecksum) = {
     // no-schema mode IGNORES any -schema.sql in the dump (the
     // reference's --no-schema precedence: the pre-created downstream
     // table is authoritative, even when stale schema files are lying
@@ -276,15 +373,18 @@ object Ingest {
       if (cfg.csvDialect.encoding == "UTF-8" && !CharsetReader.isNativeUtf8(cfg.charset))
         cfg.csvDialect.copy(encoding = CharsetReader.jvmName(cfg.charset))
       else cfg.csvDialect
-    val shards: Seq[DataFrame] = files.map { case (path, kind) =>
-      kind match {
+    val shards: Seq[DataFrame] = files.map { u =>
+      u.kind match {
+        case FileKind.Csv if u.isChunk =>
+          MySqlCsv.readRawChunk(spark, u.path, u.start, u.len,
+            schema.map(_.colNames).getOrElse(Seq.empty), dataDialect)
         case FileKind.Csv =>
           val names = schema.map(_.colNames).getOrElse(Seq.empty)
-          MySqlCsv.readRaw(spark, Seq(path), names, dataDialect)
+          MySqlCsv.readRaw(spark, Seq(u.path), names, dataDialect)
         case FileKind.Sql =>
           val names = schema.map(_.colNames).getOrElse(Seq.empty)
-          DumpSource.readRaw(spark, Seq(path), names, cfg.charset)
-        case FileKind.Parquet => spark.read.parquet(path)
+          DumpSource.readRaw(spark, Seq(u.path), names, cfg.charset)
+        case FileKind.Parquet => spark.read.parquet(u.path)
         case other => throw new IllegalStateException(s"unroutable kind $other")
       }
     }
@@ -302,7 +402,7 @@ object Ingest {
     // "hex:" would resolve as hex — a shape no MySQL tool emits.
     val rawUnion = shards.reduce(_.unionByName(_))
     val union =
-      if (!files.exists(_._2 == FileKind.Sql)) rawUnion
+      if (!files.exists(_.kind == FileKind.Sql)) rawUnion
       else schema.map(DumpSource.resolveHex(rawUnion, _))
         .getOrElse(DumpSource.resolveHexText(rawUnion))
     // T4: auto-increment synthesis. A declared AUTO_INCREMENT column
@@ -466,6 +566,15 @@ object Ingest {
       .map(_ => math.max(priorMaxId, obs.get("max_row_id").asInstanceOf[Long]))
       .getOrElse(0L)
     val expected = prior.map(_.add(pre)).getOrElse(pre)
+    if (!verify) {
+      // intermediate chunk batch: no read-back — the returned triple is
+      // the accumulated pre-write expectation, carried forward by the
+      // caller and proven by the FINAL batch's whole-table read-back
+      // (the reference likewise checksums once after all chunks land)
+      return (TableReport(d.db, d.table, expected.totalKvs, expected.checksum,
+        checksumOk = badRows <= cfg.maxError, skipped = false,
+        badRows = badRows, maxRowId = maxRowId), expected)
+    }
     // Partitioned output read-back needs the WRITTEN schema: directory-
     // encoded partition columns would otherwise come back type-inferred
     // and appended last, and the canonical row encoding the checksum

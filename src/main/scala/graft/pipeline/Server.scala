@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
   *                                 reference's front/back reorder verbs,
   *                                 delete = cancel)
   *   <spool>/done/…  /failed/…     task file + result line after the run
+  *   <spool>/pause                 while present, the RUNNING import
+  *                                 parks at its next table boundary
+  *                                 (reference /pause + Pauser gate);
+  *                                 delete to resume
+  *   <spool>/stop                  drain loop exits after current poll
   *
   * A task file is a flat JSON object: `sourceDir`, `targetDir`,
   * optional `filters` (comma-separated), optional `stateDir`. Progress
@@ -41,7 +46,11 @@ object Server {
       val name = tf.getFileName.toString
       val result =
         try {
+          // <spool>/pause gates the running import at table boundaries
+          // (the reference's /pause handler + Pauser gate); deleting
+          // the file resumes mid-task.
           val cfg = parseTask(Files.readString(tf))
+            .copy(pauseFile = Some(Paths.get(spool, "pause").toString))
           val reports = Ingest.run(spark, cfg)
           val ok = reports.forall(_.checksumOk)
           TaskResult(name, ok, reports.size,

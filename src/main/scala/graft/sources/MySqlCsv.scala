@@ -171,6 +171,125 @@ object MySqlCsv {
     }
   }
 
+  /** Byte-range chunk read (reference `lightning/mydump/region.go`
+    * strict-format CSV splitting + `ChunkCheckpoint` offsets): parse
+    * ONLY the lines of `[start, start+len)` of one file, with
+    * MyDumper-region alignment — a chunk starting past 0 skips its
+    * first (partial) line, and every chunk reads past its end to
+    * finish the last line it owns. Line ownership is by the line's
+    * first byte, so consecutive chunks partition the file exactly.
+    * Only valid for strict-format CSV (no newlines inside quoted
+    * fields — the same precondition the reference imposes before
+    * splitting). One Spark task per chunk; the task streams the byte
+    * range, never buffering the file.
+    *
+    * Returns the same all-strings shape as [[readRaw]]. `header`
+    * drops the offset-0 line (only the chunk that owns byte 0 sees
+    * it); header-derived NAMES for chunked reads must come from the
+    * caller (the schema), since other chunks never see the header.
+    */
+  def readRawChunk(
+      spark: SparkSession,
+      path: String,
+      start: Long,
+      len: Long,
+      colNames: Seq[String],
+      dialect: CsvDialect): DataFrame = {
+    require(colNames.nonEmpty, "chunked CSV read requires schema column names")
+    val sep = dialect.separator
+    val quote = if (dialect.delimiter.nonEmpty) dialect.delimiter.charAt(0) else '\u0000'
+    val nullV = dialect.nullValue
+    val notNull = dialect.notNull
+    val esc = dialect.backslashEscape
+    val trimLast = dialect.trimLastSep
+    val header = dialect.header
+    val encoding = dialect.encoding
+    val n = colNames.size
+    // ship the Hadoop conf as plain entries (public API only) so the
+    // chunk read resolves the same filesystems the driver's listing did
+    val confEntries = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
+    val outSchema = StructType(colNames.map(StructField(_, StringType, nullable = true)))
+    val rows = spark.sparkContext.parallelize(Seq((path, start, len)), 1)
+      .flatMap { case (p, s, l) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        chunkLines(conf, p, s, l).collect {
+          case (off, bytes) if !(header && off == 0L) && bytes.nonEmpty =>
+            val line = new String(bytes, encoding)
+            val split = splitLine(line, sep, quote, esc)
+            val fields =
+              if (trimLast && split.length > 1 && split.last.isEmpty) split.dropRight(1)
+              else split
+            val padded = fields.padTo(n, null).take(n).map { f =>
+              if (!notNull && f == nullV) null
+              else if (f == null) null
+              else stripQuotes(f, quote, esc)
+            }
+            org.apache.spark.sql.Row(padded: _*)
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Stream the newline-aligned lines owned by `[start, start+len)`:
+    * (lineStartOffset, lineBytes) with `\n` consumed and a trailing
+    * `\r` stripped. Byte-level `\n` scanning is charset-safe for
+    * UTF-8 and GB18030 (neither uses 0x0A as a trailing byte).
+    */
+  private[sources] def chunkLines(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String,
+      start: Long,
+      len: Long): Iterator[(Long, Array[Byte])] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    // a chunk starting mid-file hands its partial first line to the
+    // previous chunk (which reads past its own end to finish it). The
+    // skip starts at start-1 — Hadoop LineRecordReader's trick — so a
+    // chunk whose start lands EXACTLY on a line start consumes only
+    // the previous line's '\n' and keeps the line it owns.
+    val seekPos = math.min(if (start > 0L) start - 1 else 0L, fileLen)
+    val in = new java.io.BufferedInputStream(
+      { val s = fs.open(p); s.seek(seekPos); s }, 1 << 16)
+    var pos = seekPos
+    if (start > 0L) {
+      var b = in.read()
+      if (b >= 0) pos += 1
+      while (b >= 0 && b != '\n') { b = in.read(); if (b >= 0) pos += 1 }
+    }
+    val end = start + len
+    new Iterator[(Long, Array[Byte])] {
+      private var nextLine: (Long, Array[Byte]) = _
+      private var done = false
+      private def fetch(): Unit = {
+        if (pos >= end || pos >= fileLen) { done = true; in.close(); return }
+        val lineStart = pos
+        val buf = new java.io.ByteArrayOutputStream(256)
+        var b = in.read()
+        while (b >= 0 && b != '\n') { pos += 1; buf.write(b); b = in.read() }
+        if (b == '\n') pos += 1
+        if (buf.size() == 0 && b < 0) { done = true; in.close(); return }
+        val bytes = buf.toByteArray
+        val trimmed =
+          if (bytes.nonEmpty && bytes.last == '\r') bytes.dropRight(1) else bytes
+        nextLine = (lineStart, trimmed)
+      }
+      override def hasNext: Boolean = {
+        if (nextLine == null && !done) fetch()
+        nextLine != null
+      }
+      override def next(): (Long, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextLine; nextLine = null; r
+      }
+    }
+  }
+
   /** Split one line on a multi-char separator, honoring quotes. */
   def splitLine(
       line: String, sep: String, quote: Char, backslashEscape: Boolean): Array[String] = {

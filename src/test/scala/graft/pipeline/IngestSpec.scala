@@ -16,6 +16,46 @@ class IngestSpec extends SparkSpec {
     root
   }
 
+  test("chunk-level resume: a crash mid-file resumes at the chunk, not the file") {
+    // reference tests/checkpoint_chunks: kill the import partway through
+    // one large strict-format CSV, then resume — verified chunks must
+    // not re-import (a re-parse would append duplicates and fail the
+    // final whole-table checksum).
+    val root = Files.createTempDirectory("graft_chunks").toString
+    Files.writeString(Paths.get(root, "d.big-schema.sql"),
+      "CREATE TABLE big (id int NOT NULL, v varchar(24), PRIMARY KEY (id));")
+    val body = (1 to 400).map(i => s"""$i,"val_$i"""").mkString("", "\n", "\n")
+    Files.writeString(Paths.get(root, "d.big.0001.csv"), body)
+    val size = Files.size(Paths.get(root, "d.big.0001.csv"))
+    val out = Files.createTempDirectory("graft_chunks_out").toString
+    val stateDir = Files.createTempDirectory("graft_chunks_state").toString
+    val cfg = Ingest.Config(root, out, stateDir = Some(stateDir),
+      strictFormat = true, chunkBytes = 1024L, chunkBatch = 1)
+    val nChunks = ((size + 1023) / 1024).toInt
+    assert(nChunks >= 3, s"fixture must split into >=3 chunks, got $nChunks")
+    // run 1: crash after 2 chunk batches
+    val e = intercept[IllegalStateException] {
+      Ingest.run(spark, cfg.copy(failpointAfterBatches = Some(2)))
+    }
+    assert(e.getMessage.contains("failpoint"))
+    val afterCrash = Files.readString(Paths.get(stateDir, "state.jsonl"))
+    val lastLine = afterCrash.trim.linesIterator.toSeq.last
+    assert(lastLine.contains("\"imported\""), lastLine)
+    assert(lastLine.contains("@0+1024") && lastLine.contains("@1024+1024"), lastLine)
+    assert(!lastLine.contains("@2048+"), "crash must leave later chunks unrecorded")
+    // run 2: resume — remaining chunks append, final checksum verifies
+    val reports = Ingest.run(spark, cfg)
+    assert(reports.length === 1 && reports.head.checksumOk && !reports.head.skipped)
+    assert(reports.head.nRows === 400)
+    val back = spark.read.parquet(s"$out/d.big").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(back.length === 400, "duplicates would mean verified chunks re-imported")
+    assert(back.map(_._1).sorted.toSeq === (1 to 400))
+    assert(back.toMap.apply(37) === "val_37")
+    // run 3: fully verified table skips
+    assert(Ingest.run(spark, cfg).head.skipped)
+  }
+
   test("GB18030 data files decode through the configured charset (CSV + dump)") {
     // reference tests/character_sets: the data-character-set config must
     // reach the DATA files, not just the schema read — a GB18030 CSV or

@@ -50,6 +50,27 @@ class ServerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/d.t").count() === 2)
   }
 
+  test("pause file parks the import at the table boundary; delete resumes") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val src = mkSource()
+    val out = Files.createTempDirectory("graft_pause_out").toString
+    val pause = Files.createTempDirectory("graft_pause").resolve("pause")
+    Files.createFile(pause)
+    val fut = Future {
+      Ingest.run(spark, Ingest.Config(src, out, pauseFile = Some(pause.toString)))
+    }
+    Thread.sleep(1000L)
+    // gate is checked before the first table: nothing may have started
+    assert(!fut.isCompleted, "import must park while the pause file exists")
+    assert(!Files.exists(Paths.get(s"$out/d.t")))
+    Files.delete(pause)
+    val reports = Await.result(fut, 60.seconds)
+    assert(reports.length === 1 && reports.head.checksumOk)
+    assert(spark.read.parquet(s"$out/d.t").count() === 2)
+  }
+
   test("task JSON parses filters and stateDir") {
     val cfg = Server.parseTask(
       """{"sourceDir":"/s","targetDir":"/t","filters":"a.*, !a.junk","stateDir":"/st"}""")

@@ -19,4 +19,31 @@ class MySqlCsvSpec extends AnyFunSuite {
     val fields = MySqlCsv.splitLine(""""a\"x"||b""", "||", '"', backslashEscape = true)
     assert(fields.toSeq === Seq("\"a\\\"x\"", "b"))
   }
+
+  test("chunkLines partitions a file exactly at every chunk size") {
+    // MyDumper-region alignment: each line belongs to exactly one chunk
+    // (the one owning its first byte), chunks reading past their end to
+    // finish a line, later chunks skipping their partial first line —
+    // for ANY chunk size, including boundaries landing mid-line.
+    val tmp = java.nio.file.Files.createTempFile("graft_chunklines", ".csv")
+    val lines = (1 to 57).map(i => s"$i,row_number_$i")
+    java.nio.file.Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    val size = java.nio.file.Files.size(tmp)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    for (chunk <- Seq(1L, 7L, 64L, 100L, size, size + 5)) {
+      val got = (0L until size by chunk).flatMap { off =>
+        MySqlCsv.chunkLines(conf, tmp.toString, off, math.min(chunk, size - off))
+          .map(t => new String(t._2, "UTF-8")).toSeq
+      }
+      assert(got === lines, s"chunk size $chunk")
+    }
+    // CRLF + no trailing newline
+    java.nio.file.Files.writeString(tmp, "a,1\r\nb,2\r\nc,3")
+    val sz2 = java.nio.file.Files.size(tmp)
+    val got2 = (0L until sz2 by 5L).flatMap { off =>
+      MySqlCsv.chunkLines(conf, tmp.toString, off, math.min(5L, sz2 - off))
+        .map(t => new String(t._2, "UTF-8")).toSeq
+    }
+    assert(got2 === Seq("a,1", "b,2", "c,3"))
+  }
 }
