@@ -35,6 +35,19 @@ object TextQueries {
     */
   private val BpePieceRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** DuckDB twin of `TextFunctions.tokens` for oracle SQL: guards the
+    * empty/whitespace-only document — `regexp_split_to_array(trim(''))`
+    * is `['']` (one empty token) where `tokens()` is `[]`. Derived
+    * ratios then agree too: 0-token docs divide 0/0, which is NULL in
+    * BOTH engines (Spark non-ANSI Divide and DuckDB return NULL on a
+    * zero divisor). Every token-counting oracle must use this guard or
+    * a `WHERE len(trim(text)) > 0` filter (for explode-shaped queries,
+    * where Spark drops the doc entirely).
+    */
+  private val sqlToks: String =
+    "CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+
   /** Per-document token statistics (token counting operator). */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = tokens(col("text"))
@@ -50,13 +63,14 @@ object TextQueries {
   }
 
   def textStatsSql: String =
-    s"""SELECT doc_id,
-       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-       |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_uniq_tokens,
-       |  CAST(list_max(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> len(x))) AS BIGINT) AS max_token_len,
+    s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+       |  CAST(list_max(list_transform(toks, x -> len(x))) AS BIGINT) AS max_token_len,
        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
        |  CAST(len(regexp_extract_all(text, '$BpePieceRe')) AS BIGINT) AS n_bpe_pieces
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |FROM t ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- token histogram
   /** Corpus length distribution: fixed-width token-count histogram
@@ -80,7 +94,7 @@ object TextQueries {
   }
 
   def tokenHistSql: String =
-    """WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    s"""WITH t AS (SELECT CAST(len($sqlToks) AS BIGINT) AS n_tokens
       |           FROM documents)
       |SELECT (n_tokens // 50) * 50 AS bucket_lo,
       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
@@ -127,8 +141,8 @@ object TextQueries {
   }
 
   def gopherRulesSql: String =
-    """WITH t AS (SELECT doc_id, text,
-      |    regexp_split_to_array(trim(text), '\s+') AS toks,
+    s"""WITH t AS (SELECT doc_id, text,
+      |    $sqlToks AS toks,
       |    string_split(text, chr(10)) AS lines
       |  FROM documents),
       |m AS (SELECT doc_id,
@@ -216,12 +230,13 @@ object TextQueries {
 
   def corpusReportSql: String = {
     val en = sqlList(stopwords("en"))
-    s"""WITH m AS (SELECT text, lang,
-       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
-       |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+    s"""WITH tk AS (SELECT text, lang, $sqlToks AS toks FROM documents),
+       |m AS (SELECT text, lang,
+       |    CAST(len(toks) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(toks,
        |      x -> list_contains($en, x))) AS BIGINT) AS n_stop,
-       |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_uniq
-       |  FROM documents)
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+       |  FROM tk)
        |SELECT count(*) AS n_docs,
        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  count(DISTINCT lang) AS n_langs,
@@ -330,8 +345,8 @@ object TextQueries {
   }
 
   def packSequencesSql: String =
-    """WITH t AS (SELECT doc_id, lang,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    s"""WITH t AS (SELECT doc_id, lang,
+      |    CAST(len($sqlToks) AS BIGINT) AS n_tokens
       |  FROM documents),
       |o AS (SELECT lang, n_tokens,
       |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens AS start_off
@@ -470,7 +485,7 @@ object TextQueries {
 
   def qualityScoreSql: String = {
     val en = sqlList(stopwords("en"))
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents)
        |SELECT doc_id,
        |  CAST(len(tk) AS BIGINT) AS n_tokens,
        |  CAST(len(list_filter(tk, x -> list_contains($en, x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS stop_ratio,
@@ -623,7 +638,7 @@ object TextQueries {
   def vocabTopkSql: String =
     """SELECT tok, count(*) AS df
       |FROM (SELECT DISTINCT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
-      |      FROM documents)
+      |      FROM documents WHERE len(trim(text)) > 0)
       |GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin
 
   // ------------------------------------------------- best-per-stratum
@@ -649,10 +664,11 @@ object TextQueries {
   }
 
   def bestPerLangSql: String =
-    """WITH s AS (SELECT doc_id, lang,
-      |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
-      |      / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS uniq_ratio
-      |  FROM documents),
+    s"""WITH tk AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE)
+      |      / CAST(len(toks) AS DOUBLE) AS uniq_ratio
+      |  FROM tk),
       |r AS (SELECT doc_id, lang, uniq_ratio,
       |    row_number() OVER (PARTITION BY lang ORDER BY uniq_ratio DESC, doc_id) AS rn
       |  FROM s)
