@@ -66,30 +66,43 @@ object Ingest {
     def token: String = if (isChunk) s"$path@$start+$len" else path
   }
 
-  /** Expand a table's data files into import units. Large CSV files
-    * split into `chunkBytes` ranges ONLY under `strictFormat` — the
-    * same precondition the reference imposes (`strict-format=true`,
+  /** Expand a table's data files into import units. CSV files split
+    * into `chunkBytes` ranges ONLY under `strictFormat` — the same
+    * precondition the reference imposes (`strict-format=true`,
     * `lightning/mydump/region.go:236-286`): byte-splitting is safe
-    * only when quoted fields cannot embed newlines. Dump/parquet files
-    * stay whole (a split can land inside a string literal; parquet has
-    * row groups). NB enabling strictFormat over state written without
-    * it re-imports chunked files once (tokens differ from bare paths;
-    * the final checksum verify catches and heals any overlap).
+    * only when quoted fields cannot embed newlines. Under strictFormat
+    * EVERY CSV of the table becomes chunk units (small files = one
+    * chunk) so the whole table parses through ONE code path — mixing
+    * the native reader for small files with the chunk tokenizer for
+    * big ones would let the two parsers' corner-case differences
+    * (quoted null sentinels) split behavior mid-table. header=true
+    * dialects never chunk: the un-chunked path name-matches reordered
+    * header columns, which a chunk that cannot see the header can't
+    * do. Dump/parquet files stay whole (a split can land inside a
+    * string literal; parquet has row groups). Toggling strictFormat
+    * (or retuning chunkBytes) over existing state re-imports affected
+    * tables from scratch — see the scheme-mismatch guard in `run`.
     */
   private def expandUnits(spark: SparkSession, cfg: Config, d: Discovered): Seq[DataUnit] = {
-    val canChunk = cfg.strictFormat && (d.schemaFile.nonEmpty || cfg.noSchema)
+    val canChunk = cfg.strictFormat && !cfg.csvDialect.header &&
+      (d.schemaFile.nonEmpty || cfg.noSchema)
     d.dataFiles.flatMap { case (path, kind) =>
       if (kind != FileKind.Csv || !canChunk) Seq(DataUnit(path, kind))
       else {
         val p = new Path(path)
         val size = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .getFileStatus(p).getLen
-        if (size <= cfg.chunkBytes) Seq(DataUnit(path, kind))
-        else (0L until size by cfg.chunkBytes).map(off =>
+        (0L until math.max(size, 1L) by cfg.chunkBytes).map(off =>
           DataUnit(path, kind, off, math.min(cfg.chunkBytes, size - off)))
       }
     }
   }
+
+  /** The recorded token for `path`, under any scheme: bare, or chunked
+    * with any grid.
+    */
+  private def tokenPath(token: String): String =
+    token.replaceAll("@\\d+\\+\\d+$", "")
 
   case class TableReport(
       db: String,
@@ -184,7 +197,16 @@ object Ingest {
         (r.status == "verified" || r.status == "imported") && r.files.nonEmpty)
       val done: Set[String] = resumable.map(_.files.toSet).getOrElse(Set.empty)
       val newUnits = units.filterNot(u => done(u.token))
-      resumable match {
+      // Scheme-mismatch guard: a recorded token for the SAME path under
+      // a DIFFERENT unit scheme (bare vs chunked, or another chunk
+      // grid — strictFormat toggled or chunkBytes retuned between
+      // runs) means the covered-set can no longer prove which BYTES
+      // are in the output; appending "new" units would duplicate rows
+      // that the accumulated checksum would then expect, so the verify
+      // could not catch it. Full overwrite instead.
+      val donePaths = done.map(tokenPath)
+      val schemeMismatch = newUnits.exists(u => donePaths.contains(u.path))
+      resumable.filter(_ => !schemeMismatch) match {
         case Some(rec) if rec.status == "verified" && newUnits.isEmpty =>
           TableReport(d.db, d.table, rec.nRows, rec.checksum, checksumOk = true,
             skipped = true, maxRowId = rec.maxId)
@@ -216,15 +238,25 @@ object Ingest {
       val batches: Seq[Seq[DataUnit]] =
         if (units.exists(_.isChunk)) units.grouped(math.max(1, cfg.chunkBatch)).toSeq
         else Seq(units)
+      // bad-row counts are per-batch observations; the maxError gate
+      // (and the reported total) must see their SUM across the whole
+      // run, or a chunked table could pass with any error count buried
+      // in a non-final batch. NB a resumed run cannot see pre-crash
+      // batches' bad rows (the reference's error counters reset the
+      // same way); the quarantine dir retains every batch's rows.
+      var cumBad = 0L
       var result: TableReport = null
       batches.zipWithIndex.foreach { case (batch, i) =>
         val isLast = i == batches.size - 1
         val (rep, post) = restoreFiles(spark, cfg, d, batch, prior, maxId,
           verify = isLast)
         doneTokens = doneTokens ++ batch.map(_.token)
+        cumBad += rep.badRows
         if (isLast) {
-          recordState(state, key, doneTokens, rep, post)
-          result = rep
+          val adjusted = rep.copy(badRows = cumBad,
+            checksumOk = rep.checksumOk && cumBad <= cfg.maxError)
+          recordState(state, key, doneTokens, adjusted, post)
+          result = adjusted
         } else {
           state.put(JobState.Record(key, "imported", post.totalKvs, post.checksum,
             post.totalBytes, doneTokens, rep.maxRowId))

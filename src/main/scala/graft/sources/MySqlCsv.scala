@@ -155,18 +155,8 @@ object MySqlCsv {
       val trimLast = dialect.trimLastSep
       val rows = body
         .filter(_.nonEmpty)
-        .map { line =>
-          val split = splitLine(line, sep, quote, esc)
-          val fields =
-            if (trimLast && split.length > 1 && split.last.isEmpty) split.dropRight(1)
-            else split
-          val padded = fields.padTo(n, null).take(n).map { f =>
-            if (!notNull && f == nullV) null
-            else if (f == null) null
-            else stripQuotes(f, quote, esc)
-          }
-          Row(padded: _*)
-        }
+        .map(line =>
+          Row(tokenizeLine(line, sep, quote, esc, trimLast, nullV, notNull, n): _*))
       spark.createDataFrame(rows, outSchema)
     }
   }
@@ -217,22 +207,35 @@ object MySqlCsv {
       .flatMap { case (p, s, l) =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confEntries.foreach { case (k, v) => conf.set(k, v) }
-        chunkLines(conf, p, s, l).collect {
+        val lines = chunkLines(conf, p, s, l)
+        // a task that dies mid-iteration (kill, downstream throw) must
+        // not leak the open FS stream
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => lines.close()))
+        lines.collect {
           case (off, bytes) if !(header && off == 0L) && bytes.nonEmpty =>
-            val line = new String(bytes, encoding)
-            val split = splitLine(line, sep, quote, esc)
-            val fields =
-              if (trimLast && split.length > 1 && split.last.isEmpty) split.dropRight(1)
-              else split
-            val padded = fields.padTo(n, null).take(n).map { f =>
-              if (!notNull && f == nullV) null
-              else if (f == null) null
-              else stripQuotes(f, quote, esc)
-            }
-            org.apache.spark.sql.Row(padded: _*)
+            org.apache.spark.sql.Row(tokenizeLine(new String(bytes, encoding),
+              sep, quote, esc, trimLast, nullV, notNull, n): _*)
         }
       }
     spark.createDataFrame(rows, outSchema)
+  }
+
+  /** One line → n padded field values, the SINGLE tokenizer-path parse
+    * recipe shared by [[readRaw]]'s TextInputFormat branch and
+    * [[readRawChunk]] — any dialect fix lands in both or neither.
+    */
+  private def tokenizeLine(line: String, sep: String, quote: Char, esc: Boolean,
+      trimLast: Boolean, nullV: String, notNull: Boolean, n: Int): Seq[String] = {
+    val split = splitLine(line, sep, quote, esc)
+    val fields =
+      if (trimLast && split.length > 1 && split.last.isEmpty) split.dropRight(1)
+      else split
+    fields.padTo(n, null).take(n).map { f =>
+      if (!notNull && f == nullV) null
+      else if (f == null) null
+      else stripQuotes(f, quote, esc)
+    }.toSeq
   }
 
   /** Stream the newline-aligned lines owned by `[start, start+len)`:
@@ -240,11 +243,49 @@ object MySqlCsv {
     * `\r` stripped. Byte-level `\n` scanning is charset-safe for
     * UTF-8 and GB18030 (neither uses 0x0A as a trailing byte).
     */
+  /** Closable line iterator over one byte range; `close()` is
+    * idempotent and also called on normal exhaustion.
+    */
+  private[sources] final class ChunkLineIterator(
+      in: java.io.InputStream, startPos: Long, end: Long, fileLen: Long)
+      extends Iterator[(Long, Array[Byte])] {
+    private var pos = startPos
+    private var nextLine: (Long, Array[Byte]) = _
+    private var done = false
+    def close(): Unit = if (!done) { done = true; in.close() }
+    private[sources] def skipPartialFirstLine(): Unit = {
+      var b = in.read()
+      if (b >= 0) pos += 1
+      while (b >= 0 && b != '\n') { b = in.read(); if (b >= 0) pos += 1 }
+    }
+    private def fetch(): Unit = {
+      if (pos >= end || pos >= fileLen) { close(); return }
+      val lineStart = pos
+      val buf = new java.io.ByteArrayOutputStream(256)
+      var b = in.read()
+      while (b >= 0 && b != '\n') { pos += 1; buf.write(b); b = in.read() }
+      if (b == '\n') pos += 1
+      if (buf.size() == 0 && b < 0) { close(); return }
+      val bytes = buf.toByteArray
+      val trimmed =
+        if (bytes.nonEmpty && bytes.last == '\r') bytes.dropRight(1) else bytes
+      nextLine = (lineStart, trimmed)
+    }
+    override def hasNext: Boolean = {
+      if (nextLine == null && !done) fetch()
+      nextLine != null
+    }
+    override def next(): (Long, Array[Byte]) = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = nextLine; nextLine = null; r
+    }
+  }
+
   private[sources] def chunkLines(
       conf: org.apache.hadoop.conf.Configuration,
       path: String,
       start: Long,
-      len: Long): Iterator[(Long, Array[Byte])] = {
+      len: Long): ChunkLineIterator = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val fileLen = fs.getFileStatus(p).getLen
@@ -256,38 +297,9 @@ object MySqlCsv {
     val seekPos = math.min(if (start > 0L) start - 1 else 0L, fileLen)
     val in = new java.io.BufferedInputStream(
       { val s = fs.open(p); s.seek(seekPos); s }, 1 << 16)
-    var pos = seekPos
-    if (start > 0L) {
-      var b = in.read()
-      if (b >= 0) pos += 1
-      while (b >= 0 && b != '\n') { b = in.read(); if (b >= 0) pos += 1 }
-    }
-    val end = start + len
-    new Iterator[(Long, Array[Byte])] {
-      private var nextLine: (Long, Array[Byte]) = _
-      private var done = false
-      private def fetch(): Unit = {
-        if (pos >= end || pos >= fileLen) { done = true; in.close(); return }
-        val lineStart = pos
-        val buf = new java.io.ByteArrayOutputStream(256)
-        var b = in.read()
-        while (b >= 0 && b != '\n') { pos += 1; buf.write(b); b = in.read() }
-        if (b == '\n') pos += 1
-        if (buf.size() == 0 && b < 0) { done = true; in.close(); return }
-        val bytes = buf.toByteArray
-        val trimmed =
-          if (bytes.nonEmpty && bytes.last == '\r') bytes.dropRight(1) else bytes
-        nextLine = (lineStart, trimmed)
-      }
-      override def hasNext: Boolean = {
-        if (nextLine == null && !done) fetch()
-        nextLine != null
-      }
-      override def next(): (Long, Array[Byte]) = {
-        if (!hasNext) throw new NoSuchElementException
-        val r = nextLine; nextLine = null; r
-      }
-    }
+    val it = new ChunkLineIterator(in, seekPos, start + len, fileLen)
+    if (start > 0L) it.skipPartialFirstLine()
+    it
   }
 
   /** Split one line on a multi-char separator, honoring quotes. */

@@ -56,6 +56,45 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.run(spark, cfg).head.skipped)
   }
 
+  test("toggling strictFormat over existing state re-imports, never duplicates") {
+    val root = Files.createTempDirectory("graft_scheme").toString
+    Files.writeString(Paths.get(root, "d.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, v varchar(24), PRIMARY KEY (id));")
+    val body = (1 to 300).map(i => s"""$i,"v_$i"""").mkString("", "\n", "\n")
+    Files.writeString(Paths.get(root, "d.t.0001.csv"), body)
+    val out = Files.createTempDirectory("graft_scheme_out").toString
+    val stateDir = Files.createTempDirectory("graft_scheme_state").toString
+    val cfg = Ingest.Config(root, out, stateDir = Some(stateDir))
+    assert(Ingest.run(spark, cfg).head.checksumOk)
+    // run 2 flips strictFormat: tokens change scheme (bare → chunked);
+    // appending under the old record would double every row and the
+    // accumulated checksum would NOT catch it — the guard must force a
+    // clean overwrite instead
+    val r2 = Ingest.run(spark,
+      cfg.copy(strictFormat = true, chunkBytes = 512L, chunkBatch = 2)).head
+    assert(r2.checksumOk && !r2.skipped && r2.nRows === 300)
+    assert(spark.read.parquet(s"$out/d.t").count() === 300)
+    // run 3 (same scheme) skips
+    assert(Ingest.run(spark,
+      cfg.copy(strictFormat = true, chunkBytes = 512L, chunkBatch = 2)).head.skipped)
+  }
+
+  test("maxError counts bad rows across ALL chunk batches, not just the last") {
+    val root = Files.createTempDirectory("graft_cumbad").toString
+    Files.writeString(Paths.get(root, "d.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, v varchar(24), PRIMARY KEY (id));")
+    // the bad rows sit at the FRONT of the file — early batches only
+    val bad = (1 to 3).map(i => s"""xx$i,"v"""")
+    val good = (4 to 200).map(i => s"""$i,"v_$i"""")
+    Files.writeString(Paths.get(root, "d.t.0001.csv"),
+      (bad ++ good).mkString("", "\n", "\n"))
+    val out = Files.createTempDirectory("graft_cumbad_out").toString
+    val r = Ingest.run(spark, Ingest.Config(root, out,
+      strictFormat = true, chunkBytes = 256L, chunkBatch = 1, maxError = 0L)).head
+    assert(r.badRows === 3L, s"badRows=${r.badRows}")
+    assert(!r.checksumOk, "3 bad rows must fail a maxError=0 import")
+  }
+
   test("GB18030 data files decode through the configured charset (CSV + dump)") {
     // reference tests/character_sets: the data-character-set config must
     // reach the DATA files, not just the schema read — a GB18030 CSV or
