@@ -852,4 +852,154 @@ object TextQueries {
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  // ------------------------------------------------- corpus version diff
+  /** Corpus-version diff — the release audit every dataset refresh
+    * ships: which documents were added / removed / changed / unchanged
+    * between two snapshot versions, as per-class counts plus an id
+    * checksum. V2 is derived deterministically from V1 inside the
+    * query (every 10th doc removed, every 7th rewritten, five new ids
+    * appended) so both engines diff identical snapshots.
+    *
+    * Scale shape: each side reduces to (doc_id, 16-byte fingerprint)
+    * at scan speed; ONE full-outer sort-merge join on the id and a
+    * map-side-combining class aggregate. Linear in corpus size, no
+    * wide rows past the scan.
+    */
+  def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val v1 = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val v2 = docs.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).cast("binary")).as("fp"))
+      .unionByName(spark.range(1, 6).select(
+        (col("id") + 10000000L).as("doc_id"),
+        md5(concat(lit("new doc "), col("id").cast("string")).cast("binary")).as("fp")))
+    v1.as("a").join(v2.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(
+        when(col("a.doc_id").isNull, "added")
+          .when(col("b.doc_id").isNull, "removed")
+          .when(col("a.fp") =!= col("b.fp"), "changed")
+          .otherwise("unchanged").as("class"),
+        coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy("class")
+  }
+
+  def corpusDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |v2 AS (SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+      |  FROM documents WHERE doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT i + 10000000, md5('new doc ' || CAST(i AS VARCHAR)) FROM range(1, 6) t(i)),
+      |j AS (SELECT
+      |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |         WHEN v2.doc_id IS NULL THEN 'removed'
+      |         WHEN v1.fp <> v2.fp THEN 'changed'
+      |         ELSE 'unchanged' END AS class,
+      |    coalesce(v1.doc_id, v2.doc_id) AS doc_id
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT class, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM j GROUP BY class ORDER BY class""".stripMargin
+
+  // ------------------------------------------- cross-corpus line dedup
+  /** C4-style duplicated-line removal: a line (≥10 chars trimmed)
+    * appearing in ≥3 DISTINCT documents is boilerplate (nav bars,
+    * license headers, cookie banners) and is dropped from every
+    * document that carries it. The corpus's documents are single-line,
+    * so the page structure web text would arrive with is synthesized
+    * deterministically in-query: every doc gets a corpus-wide header
+    * line, and even-id docs a per-source footer — giving the df pass
+    * two distinct hot populations (df=500 and df≈5) above unique body
+    * lines. Emits the per-document rewrite ledger (total/kept/dropped
+    * line counts).
+    *
+    * Scale shape: one narrow line explode; the hot set is found by a
+    * map-side-combining (line, doc) count and is SMALL by construction
+    * (only lines crossing the df threshold); the rewrite is an
+    * equi-join of the line relation against it (AQE broadcasts when
+    * it fits) and a per-doc combining count. No per-doc sets, no
+    * self-join — linear at 100 TB.
+    */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val page = concat(
+      lit("COMMON SITE HEADER NAVIGATION\n"), col("text"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("\nfooter boilerplate of "), col("source"))).otherwise(lit("")))
+    val lines = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(page, "\n", -1)).as("line"))
+    val hot = lines
+      .where(length(trim(col("line"))) >= 10)
+      .groupBy("line").agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 3)
+      .select(col("line"), lit(1).as("hot"))
+    lines.join(hot, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("hot"), lit(0))).as("n_dropped"))
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - col("n_dropped")).as("n_kept"), col("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  def lineDedupSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    'COMMON SITE HEADER NAVIGATION' || chr(10) || text ||
+      |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'footer boilerplate of ' || source
+      |         ELSE '' END AS page
+      |  FROM documents),
+      |l AS (SELECT doc_id, unnest(string_split(page, chr(10))) AS line FROM p),
+      |c AS (SELECT line FROM l WHERE len(trim(line)) >= 10
+      |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+      |m AS (SELECT l.doc_id, CASE WHEN c.line IS NOT NULL THEN 1 ELSE 0 END AS hot
+      |  FROM l LEFT JOIN c ON l.line = c.line)
+      |SELECT doc_id, count(*) AS n_lines,
+      |  CAST(count(*) - sum(hot) AS BIGINT) AS n_kept,
+      |  CAST(sum(hot) AS BIGINT) AS n_dropped
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------- conjunctive search
+  /** Conjunctive (AND) term search with exact-tf ranking — the boolean
+    * retrieval primitive under corpus exploration tools: documents
+    * containing EVERY query term, ranked by total term frequency with
+    * a doc_id tie-break, top 20. Integer-exact end to end.
+    *
+    * Scale shape: the explode filters to the query's terms at scan
+    * speed (predicate on the token — a tiny IN list), so the groupBy
+    * only ever shuffles rows for matching terms; the AND is a
+    * count-distinct-terms == K filter on the combined aggregate, and
+    * the top-k is a TakeOrdered. On the bucketed layouts the same
+    * probe reads only the terms' buckets ([[SimilarityQueries]]'
+    * pattern); here the filter-first explode keeps it linear.
+    */
+  val SearchTerms: Seq[String] = Seq("spark", "merge")
+
+  def searchTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = SearchTerms
+    val hits = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .where(col("tok").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("total_tf"))
+      .where(col("n_terms") === terms.size)
+    hits.select(col("doc_id"), col("total_tf"))
+      .orderBy(col("total_tf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  def searchTopkSql: String = {
+    val terms = sqlList(SearchTerms)
+    val k = SearchTerms.size
+    s"""WITH e AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |h AS (SELECT doc_id, count(DISTINCT tok) AS n_terms, count(*) AS total_tf
+       |  FROM e WHERE list_contains($terms, tok) GROUP BY doc_id)
+       |SELECT doc_id, CAST(total_tf AS BIGINT) AS total_tf
+       |FROM h WHERE n_terms = $k
+       |ORDER BY total_tf DESC, doc_id LIMIT 20""".stripMargin
+  }
 }
