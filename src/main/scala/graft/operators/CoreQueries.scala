@@ -198,9 +198,11 @@ object CoreQueries {
       .groupBy("k")
       .agg(max(col("a")).as("a"), max(col("b")).as("b"))
       .agg(
-        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+        // coalesce: sum over ZERO groups is NULL where the oracle's
+        // scalar count(*) subqueries give 0 — the empty-input edge
+        coalesce(sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)), lit(0L))
           .as("n_intersect"),
-        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+        coalesce(sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)), lit(0L))
           .as("n_except"),
         count(lit(1)).as("n_union"))
   }

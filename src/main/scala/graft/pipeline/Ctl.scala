@@ -17,6 +17,10 @@ import java.nio.file.{Files, Paths}
   *   export <warehouseDir> <outDir> <db>    render a database's tables back
   *                                          to the MyDumper layout (the
   *                                          dumpling direction, [[Export]])
+  *   pause <spoolDir>                       park the running import at its
+  *                                          next table boundary (reference
+  *                                          /pause handler + Pauser gate)
+  *   resume <spoolDir>                      clear the pause
   */
 object Ctl {
 
@@ -63,11 +67,21 @@ object Ctl {
         println(s"exported $db.$tbl: ${files.size} data files")
       }
 
+    case "pause" :: spoolDir :: Nil =>
+      Files.createDirectories(Paths.get(spoolDir))
+      val p = Paths.get(spoolDir, "pause")
+      if (!Files.exists(p)) Files.createFile(p)
+      println(s"paused: imports park at the next table boundary ($p)")
+
+    case "resume" :: spoolDir :: Nil =>
+      Files.deleteIfExists(Paths.get(spoolDir, "pause"))
+      println("resumed")
+
     case _ =>
       System.err.println(
         "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
           "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n] | " +
-          "export <warehouseDir> <outDir> <db>")
+          "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir>")
       sys.exit(2)
   }
 

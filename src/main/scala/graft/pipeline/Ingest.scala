@@ -83,11 +83,19 @@ object Ingest {
     * (or retuning chunkBytes) over existing state re-imports affected
     * tables from scratch — see the scheme-mismatch guard in `run`.
     */
+  /** Compressed data files are never byte-splittable (a gzip stream
+    * has no mid-file entry points — the reference likewise only splits
+    * uncompressed files, `region.go:236-286`); they stay whole-file
+    * units and decompress through the codec-aware readers.
+    */
+  private def compressed(path: String): Boolean =
+    path.endsWith(".gz") || path.endsWith(".bz2")
+
   private def expandUnits(spark: SparkSession, cfg: Config, d: Discovered): Seq[DataUnit] = {
     val canChunk = cfg.strictFormat && !cfg.csvDialect.header &&
       (d.schemaFile.nonEmpty || cfg.noSchema)
     d.dataFiles.flatMap { case (path, kind) =>
-      if (kind != FileKind.Csv || !canChunk) Seq(DataUnit(path, kind))
+      if (kind != FileKind.Csv || !canChunk || compressed(path)) Seq(DataUnit(path, kind))
       else {
         val p = new Path(path)
         val size = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -197,15 +205,20 @@ object Ingest {
         (r.status == "verified" || r.status == "imported") && r.files.nonEmpty)
       val done: Set[String] = resumable.map(_.files.toSet).getOrElse(Set.empty)
       val newUnits = units.filterNot(u => done(u.token))
-      // Scheme-mismatch guard: a recorded token for the SAME path under
-      // a DIFFERENT unit scheme (bare vs chunked, or another chunk
-      // grid — strictFormat toggled or chunkBytes retuned between
-      // runs) means the covered-set can no longer prove which BYTES
-      // are in the output; appending "new" units would duplicate rows
-      // that the accumulated checksum would then expect, so the verify
-      // could not catch it. Full overwrite instead.
-      val donePaths = done.map(tokenPath)
-      val schemeMismatch = newUnits.exists(u => donePaths.contains(u.path))
+      // Scheme-mismatch guard: a RECORDED token that no current unit
+      // produces, for a path the current run still covers (bare vs
+      // chunked, or another chunk grid — strictFormat toggled or
+      // chunkBytes retuned between runs), means the covered-set can no
+      // longer prove which BYTES are in the output; appending "new"
+      // units would duplicate rows that the accumulated checksum would
+      // then expect, so the verify could not catch it. Full overwrite
+      // instead. Unfinished chunks of the SAME grid are ordinary
+      // newUnits — their recorded siblings all match current tokens —
+      // so plain crash resume never trips this.
+      val unitTokens = units.map(_.token).toSet
+      val unitPaths = units.map(_.path).toSet
+      val schemeMismatch = done.exists(t =>
+        !unitTokens.contains(t) && unitPaths.contains(tokenPath(t)))
       resumable.filter(_ => !schemeMismatch) match {
         case Some(rec) if rec.status == "verified" && newUnits.isEmpty =>
           TableReport(d.db, d.table, rec.nRows, rec.checksum, checksumOk = true,
@@ -412,7 +425,8 @@ object Ingest {
             schema.map(_.colNames).getOrElse(Seq.empty), dataDialect)
         case FileKind.Csv =>
           val names = schema.map(_.colNames).getOrElse(Seq.empty)
-          MySqlCsv.readRaw(spark, Seq(u.path), names, dataDialect)
+          MySqlCsv.readRaw(spark, Seq(u.path), names, dataDialect,
+            forceTokenizer = cfg.strictFormat && !cfg.csvDialect.header)
         case FileKind.Sql =>
           val names = schema.map(_.colNames).getOrElse(Seq.empty)
           DumpSource.readRaw(spark, Seq(u.path), names, cfg.charset)

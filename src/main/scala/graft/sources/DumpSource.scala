@@ -57,7 +57,12 @@ object DumpSource {
       else {
         import spark.implicits._
         spark.sparkContext.binaryFiles(paths.mkString(","))
-          .map { case (_, stream) => CharsetReader.decode(stream.toArray(), charset) }
+          .map { case (p, stream) =>
+            // binaryFiles hands back raw bytes — unlike textFile it
+            // applies no codec, so compressed dumps decompress here
+            // before the charset decode
+            CharsetReader.decode(decompress(p, stream.toArray()), charset)
+          }
           .toDS()
       }
     val rows = files.rdd.flatMap { text =>
@@ -73,6 +78,27 @@ object DumpSource {
       }
     }
     spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Inflate `.gz`/`.bz2` payloads (the two codecs discovery admits,
+    * `FileRouter.requireReadable`); anything else passes through.
+    */
+  private def decompress(path: String, raw: Array[Byte]): Array[Byte] = {
+    def readAll(in: java.io.InputStream): Array[Byte] =
+      try {
+        val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    if (path.endsWith(".gz"))
+      readAll(new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw)))
+    else if (path.endsWith(".bz2")) {
+      val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+      codec.setConf(new org.apache.hadoop.conf.Configuration())
+      readAll(codec.createInputStream(new java.io.ByteArrayInputStream(raw)))
+    } else raw
   }
 
   case class Insert(table: String, columns: Seq[String], rows: Seq[Array[String]])

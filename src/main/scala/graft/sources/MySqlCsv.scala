@@ -84,13 +84,19 @@ object MySqlCsv {
       spark: SparkSession,
       paths: Seq[String],
       colNames: Seq[String],
-      dialect: CsvDialect): DataFrame = {
+      dialect: CsvDialect,
+      forceTokenizer: Boolean = false): DataFrame = {
     // The tokenizer path also serves two dialect corners the Spark
     // reader cannot: trim-last-sep (MyDumper emits a trailing separator
     // per line, reference `csv_parser.go` `trim-last-sep`) needs
     // per-line field surgery, and Spark 4's CSV reader only accepts a
     // short charset list (GB18030 etc. decode via JVM charsets there).
-    if (dialect.separator.length == 1 && !dialect.trimLastSep &&
+    // `forceTokenizer` keeps strict-format tables on ONE parser: their
+    // compressed (unsplittable) files read whole here, and must parse
+    // exactly like their chunked siblings (TextInputFormat applies the
+    // gzip/bzip2 codec before the per-line map either way).
+    if (!forceTokenizer &&
+        dialect.separator.length == 1 && !dialect.trimLastSep &&
         sparkReaderSupports(dialect.encoding)) {
       val r = spark.read.options(readerOptions(dialect))
       if (dialect.header) {

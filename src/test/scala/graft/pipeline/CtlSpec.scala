@@ -44,4 +44,14 @@ class CtlSpec extends AnyFunSuite {
     assert(st.get("d.b") === None)
     assert(st.get("d.a").isDefined) // untouched
   }
+
+  test("pause/resume toggle the spool's pause file idempotently") {
+    val spool = Files.createTempDirectory("graft_ctl_spool").toString
+    Ctl.main(Array("pause", spool))
+    assert(Files.exists(Paths.get(spool, "pause")))
+    Ctl.main(Array("pause", spool)) // second pause is a no-op, not a crash
+    Ctl.main(Array("resume", spool))
+    assert(!Files.exists(Paths.get(spool, "pause")))
+    Ctl.main(Array("resume", spool)) // resume when not paused is fine
+  }
 }

@@ -47,6 +47,13 @@ class IngestSpec extends SparkSpec {
     val reports = Ingest.run(spark, cfg)
     assert(reports.length === 1 && reports.head.checksumOk && !reports.head.skipped)
     assert(reports.head.nRows === 400)
+    // the resume must be INCREMENTAL: run 1 recorded 2 batches, run 2
+    // imports only the remaining nChunks-2 (state lines prove it — a
+    // full redo would write nChunks more records, not nChunks-2)
+    val allLines = Files.readString(Paths.get(stateDir, "state.jsonl"))
+      .trim.linesIterator.size
+    assert(allLines === 2 + (nChunks - 2),
+      s"expected incremental resume (2 + ${nChunks - 2} state records), got $allLines")
     val back = spark.read.parquet(s"$out/d.big").collect()
       .map(r => (r.getInt(0), r.getString(1)))
     assert(back.length === 400, "duplicates would mean verified chunks re-imported")
@@ -93,6 +100,42 @@ class IngestSpec extends SparkSpec {
       strictFormat = true, chunkBytes = 256L, chunkBatch = 1, maxError = 0L)).head
     assert(r.badRows === 3L, s"badRows=${r.badRows}")
     assert(!r.checksumOk, "3 bad rows must fail a maxError=0 import")
+  }
+
+  private def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  test("strictFormat never byte-chunks compressed CSVs (whole-file, codec-decoded)") {
+    val root = Files.createTempDirectory("graft_gzchunk").toString
+    Files.writeString(Paths.get(root, "d.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, v varchar(10), PRIMARY KEY (id));")
+    val rows = (1 to 50).map(i => s"""$i,"g_$i"""").mkString("", "\n", "\n")
+    Files.write(Paths.get(root, "d.t.0001.csv.gz"), gzip(rows.getBytes("UTF-8")))
+    val out = Files.createTempDirectory("graft_gzchunk_out").toString
+    // chunkBytes far below the compressed size: chunking MUST not apply
+    // to the gz (raw gzip bytes parsed as CSV would import garbage)
+    val r = Ingest.run(spark, Ingest.Config(root, out,
+      strictFormat = true, chunkBytes = 64L, chunkBatch = 1)).head
+    assert(r.checksumOk && r.nRows === 50)
+    val back = spark.read.parquet(s"$out/d.t").orderBy("id").collect()
+    assert(back.length === 50 && back(0).getString(1) === "g_1")
+  }
+
+  test("compressed dumps decode through a non-UTF-8 charset") {
+    val root = Files.createTempDirectory("graft_gzgbk").toString
+    Files.writeString(Paths.get(root, "d.g-schema.sql"),
+      "CREATE TABLE g (id int NOT NULL, v varchar(20), PRIMARY KEY (id));")
+    val s1 = "压缩中文"
+    Files.write(Paths.get(root, "d.g.0001.sql.gz"),
+      gzip(s"INSERT INTO g VALUES (1, '$s1');".getBytes("GB18030")))
+    val out = Files.createTempDirectory("graft_gzgbk_out").toString
+    val r = Ingest.run(spark, Ingest.Config(root, out, charset = "gb18030")).head
+    assert(r.checksumOk && r.nRows === 1)
+    assert(spark.read.parquet(s"$out/d.g").collect()(0).getString(1) === s1)
   }
 
   test("GB18030 data files decode through the configured charset (CSV + dump)") {
