@@ -294,17 +294,23 @@ object DumpSource {
   }
 
   private def readQuoted(s: String, open: Int, q: Char): (String, Int) = {
-    val sb = new StringBuilder
+    // scan for the closing quote WITHOUT copying: the escape pairs stay
+    // verbatim in the slice, so a single substring + unescape (which
+    // early-returns on clean strings — the overwhelmingly common case)
+    // replaces the old per-char StringBuilder copy in the parser's
+    // hottest loop.
     var i = open + 1
-    while (i < s.length) {
+    var closed = false
+    while (!closed && i < s.length) {
       val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) { sb += c; sb += s.charAt(i + 1); i += 2 }
+      if (c == '\\' && i + 1 < s.length) i += 2
       else if (c == q) {
-        if (i + 1 < s.length && s.charAt(i + 1) == q) { sb += c; sb += c; i += 2 }
-        else return (SqlLiterals.unescape(sb.toString, q), i + 1)
-      } else { sb += c; i += 1 }
+        if (i + 1 < s.length && s.charAt(i + 1) == q) i += 2
+        else closed = true
+      } else i += 1
     }
-    (SqlLiterals.unescape(sb.toString, q), i)
+    val raw = s.substring(open + 1, i)
+    (SqlLiterals.unescape(raw, q), if (closed) i + 1 else i)
   }
 
   /** Lexical form a hex literal (`0x…` / `x'…'`) parses to. The
