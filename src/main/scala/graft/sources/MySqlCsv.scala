@@ -308,29 +308,33 @@ object MySqlCsv {
     it
   }
 
-  /** Split one line on a multi-char separator, honoring quotes. */
+  /** Split one line on a (possibly multi-char) separator, honoring
+    * quotes. Zero-copy: fields keep their quotes and escape pairs
+    * verbatim (stripQuotes handles them later), so the scan only finds
+    * boundaries and slices — no per-char buffer in the per-row hot
+    * loop the tokenizer and chunk readers share.
+    */
   def splitLine(
       line: String, sep: String, quote: Char, backslashEscape: Boolean): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    val cur = new StringBuilder
+    var segStart = 0
     var i = 0
     var inQ = false
     while (i < line.length) {
       val c = line.charAt(i)
       if (inQ) {
-        if (backslashEscape && c == '\\' && i + 1 < line.length) {
-          cur += c; cur += line.charAt(i + 1); i += 2
-        } else if (c == quote) {
-          if (i + 1 < line.length && line.charAt(i + 1) == quote) { cur += c; cur += c; i += 2 }
-          else { cur += c; inQ = false; i += 1 }
-        } else { cur += c; i += 1 }
+        if (backslashEscape && c == '\\' && i + 1 < line.length) i += 2
+        else if (c == quote) {
+          if (i + 1 < line.length && line.charAt(i + 1) == quote) i += 2
+          else { inQ = false; i += 1 }
+        } else i += 1
       } else if (c == quote && quote != '\u0000') {
-        cur += c; inQ = true; i += 1
+        inQ = true; i += 1
       } else if (line.startsWith(sep, i)) {
-        out += cur.toString; cur.clear(); i += sep.length
-      } else { cur += c; i += 1 }
+        out += line.substring(segStart, i); i += sep.length; segStart = i
+      } else i += 1
     }
-    out += cur.toString
+    out += line.substring(segStart)
     out.toArray
   }
 
