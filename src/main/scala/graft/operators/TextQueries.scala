@@ -853,6 +853,60 @@ object TextQueries {
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------ eval split / trim
+  /** Deterministic 80/10/10 train/val/test split by content-free id
+    * hash — reproducible across runs, partitionings, and engines
+    * (md5 of the decimal id string; the first 16 bits mod 10 pick the
+    * bucket). A narrow expression + one small combining aggregate:
+    * scan speed at any scale, and a document's split never changes
+    * when the corpus grows — the property that keeps eval sets stable
+    * across dataset versions.
+    */
+  def evalSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long") % 10)
+    val split = when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), split.as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy("lang", "split")
+  }
+
+  def evalSplitSql: String =
+    """WITH s AS (SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 AS b
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Token-budget truncation (context-window prep): cap every document
+    * at 64 tokens, reporting kept/trimmed counts and the md5 of the
+    * kept text so the truncation itself — not just the arithmetic —
+    * is cross-engine exact. Pure narrow expressions at scan speed.
+    */
+  def tokenBudgetTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t).cast("long")
+    val kept = least(n, lit(64L))
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), n.as("n_tokens"), kept.as("n_kept"),
+        (n - kept).as("n_trimmed"),
+        md5(array_join(slice(t, 1, 64), " ").cast("binary")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  def tokenBudgetTrimSql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(least(len(toks), 64) AS BIGINT) AS n_kept,
+       |  CAST(len(toks) - least(len(toks), 64) AS BIGINT) AS n_trimmed,
+       |  md5(array_to_string(toks[1:64], ' ')) AS kept_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- corpus version diff
   /** Corpus-version diff — the release audit every dataset refresh
     * ships: which documents were added / removed / changed / unchanged

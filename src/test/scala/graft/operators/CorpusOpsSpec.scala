@@ -49,6 +49,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(7L) === ((3L, 2L, 1L))) // only the header dropped
   }
 
+  test("evalSplit is a function of the id alone — stable when the corpus grows") {
+    val small = docsFixture((1L to 40L).map(i => (i, s"doc $i")))
+    val grown = docsFixture((1L to 80L).map(i => (i, s"doc $i")))
+    // aggregate-level check: the first 40 ids' (split → n, sum_ids)
+    // contribution is unchanged after growth, computed by filtering the
+    // grown corpus to the original ids under the same hash rule.
+    import org.apache.spark.sql.functions._
+    val a = TextQueries.evalSplit(spark, small).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long") % 10)
+    val splitCol = when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+    val b = spark.read.parquet(s"$grown/documents.parquet")
+      .where(col("doc_id") <= 40L)
+      .select(col("lang"), splitCol.as("split"), col("doc_id"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("s")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(a === b, "existing docs must keep their split when the corpus grows")
+    // rough 80/10/10 shape: train strictly largest
+    val byCat = a.groupBy(_._1._2).view.mapValues(_.values.map(_._1).sum).toMap
+    assert(byCat.getOrElse("train", 0L) > byCat.getOrElse("val", 0L))
+    assert(byCat.getOrElse("train", 0L) > byCat.getOrElse("test", 0L))
+  }
+
+  test("tokenBudgetTrim caps at 64 tokens and hashes exactly the kept prefix") {
+    val longText = (1 to 100).map(i => s"w$i").mkString(" ")
+    val dir = docsFixture(Seq((1L, longText), (2L, "short doc")))
+    val out = TextQueries.tokenBudgetTrim(spark, dir).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) === 100L && r1.getLong(2) === 64L && r1.getLong(3) === 36L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 64).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r1.getString(4) === expected)
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getLong(1) === 2L && r2.getLong(3) === 0L)
+  }
+
   test("searchTopk requires every term and ranks by exact total tf") {
     val dir = docsFixture(Seq(
       (1L, "spark merge spark merge spark"), // both terms, tf 5

@@ -20,6 +20,32 @@ class MySqlCsvSpec extends AnyFunSuite {
     assert(fields.toSeq === Seq("\"a\\\"x\"", "b"))
   }
 
+  test("native and tokenizer paths parse round-trip data identically") {
+    // the two parsers are allowed to differ only on dialect corners no
+    // MySQL tool emits (quoted "\N"); on writeRaw's rendering — quoted
+    // strings, backslash escapes, bare \N nulls, numbers — they must
+    // agree byte for byte, since strictFormat routes whole tables to
+    // the tokenizer that the default path reads natively.
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "plain", 1.5),
+      (2L, "comma, quote \" backslash \\ mix", -2.25),
+      (3L, null.asInstanceOf[String], 0.0),
+      (4L, "tab\there nl-escape \\n literal", 9.75))
+      .toDF("id", "s", "d")
+    val dir = java.nio.file.Files.createTempDirectory("graft_eqv").toString
+    MySqlCsv.writeRaw(df.repartition(1), dir)
+    val cols = Seq("id", "s", "d")
+    val native = MySqlCsv.readRaw(spark, Seq(dir), cols, CsvDialect())
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val tok = MySqlCsv.readRaw(spark, Seq(dir), cols, CsvDialect(), forceTokenizer = true)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(native.toSeq === tok.toSeq)
+    assert(native.length === 4 && native(2)(1) == null)
+  }
+
   test("chunkLines partitions a file exactly at every chunk size") {
     // MyDumper-region alignment: each line belongs to exactly one chunk
     // (the one owning its first byte), chunks reading past their end to
