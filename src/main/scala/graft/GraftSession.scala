@@ -64,11 +64,25 @@ object GraftSession {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
     fanOut(spark,
       if (name == "events") events(spark, sfDir)
-      else spark.read.parquet(s"$sfDir/$name.parquet"),
-      cacheKey = Some((spark.sparkContext.applicationId, sfDir, name)))
+      else spark.read.parquet(path),
+      // the path's (mtime, len) stamp keys the memo so a table
+      // regenerated mid-application re-measures instead of keeping a
+      // frozen split count — one FS metadata stat per read, vs the
+      // plan-analysis + file-listing cost of df.rdd
+      cacheKey = Some((spark.sparkContext.applicationId, sfDir,
+        s"$name@${pathStamp(spark, path)}")))
+  }
+
+  private def pathStamp(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      st.getModificationTime ^ (st.getLen << 20)
+    } catch { case _: Throwable => 0L }
 
   /** Fan a scan out to the cluster's parallelism when its split count
     * can't feed the cores. Parquet parallelism is bounded by row-group

@@ -70,7 +70,11 @@ object Ctl {
     case "pause" :: spoolDir :: Nil =>
       Files.createDirectories(Paths.get(spoolDir))
       val p = Paths.get(spoolDir, "pause")
-      if (!Files.exists(p)) Files.createFile(p)
+      // createFile + swallow "already exists" rather than
+      // exists-then-create: two concurrent pause invocations must both
+      // succeed (idempotent verb), not race into a crash
+      try Files.createFile(p)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
       println(s"paused: imports park at the next table boundary ($p)")
 
     case "resume" :: spoolDir :: Nil =>

@@ -259,13 +259,23 @@ object Ingest {
       // same way); the quarantine dir retains every batch's rows.
       var cumBad = 0L
       var result: TableReport = null
-      batches.zipWithIndex.foreach { case (batch, i) =>
+      batches.zipWithIndex.takeWhile { case (batch, i) =>
         val isLast = i == batches.size - 1
         val (rep, post) = restoreFiles(spark, cfg, d, batch, prior, maxId,
           verify = isLast)
         doneTokens = doneTokens ++ batch.map(_.token)
         cumBad += rep.badRows
-        if (isLast) {
+        // Fail fast once the error budget is provably blown (the
+        // reference aborts when max-error is exceeded, it doesn't keep
+        // importing): remaining batches would be hours of writes at
+        // scale that the final gate then throws away. State records
+        // "failed" with what landed so the quarantine dir + report
+        // carry the evidence.
+        if (!isLast && cumBad > cfg.maxError) {
+          val failed = rep.copy(badRows = cumBad, checksumOk = false)
+          recordState(state, key, doneTokens, failed, post)
+          result = failed
+        } else if (isLast) {
           val adjusted = rep.copy(badRows = cumBad,
             checksumOk = rep.checksumOk && cumBad <= cfg.maxError)
           recordState(state, key, doneTokens, adjusted, post)
@@ -282,6 +292,7 @@ object Ingest {
               s"failpoint: crashed after ${i + 1} chunk batches of $key")
           }
         }
+        result == null // continue while no terminal report yet
       }
       result
     }

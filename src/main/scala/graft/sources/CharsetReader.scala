@@ -12,7 +12,11 @@ object CharsetReader {
 
   def decode(bytes: Array[Byte], charset: String = "auto"): String =
     charset.toLowerCase match {
-      case "utf8" | "utf-8" => new String(bytes, StandardCharsets.UTF_8)
+      // utf8mb4/utf8mb3 are MySQL's spellings of UTF-8 (byte-identical
+      // on the wire) — the reference's accepted value is `utf8mb4`
+      // (`lightning/mydump/reader.go:43`)
+      case "utf8" | "utf-8" | "utf8mb4" | "utf8mb3" =>
+        new String(bytes, StandardCharsets.UTF_8)
       case "gb18030" => new String(bytes, Charset.forName("GB18030"))
       case "binary" => new String(bytes, StandardCharsets.ISO_8859_1)
       case "auto" =>
@@ -27,7 +31,7 @@ object CharsetReader {
     */
   def isNativeUtf8(charset: String): Boolean =
     charset.toLowerCase match {
-      case "utf8" | "utf-8" | "auto" => true
+      case "utf8" | "utf-8" | "utf8mb4" | "utf8mb3" | "auto" => true
       case _ => false
     }
 
@@ -37,7 +41,7 @@ object CharsetReader {
     */
   def jvmName(charset: String): String =
     charset.toLowerCase match {
-      case "utf8" | "utf-8" | "auto" => "UTF-8"
+      case "utf8" | "utf-8" | "utf8mb4" | "utf8mb3" | "auto" => "UTF-8"
       case "gb18030" => "GB18030"
       case "binary" => "ISO-8859-1"
       case other => Charset.forName(other).name()

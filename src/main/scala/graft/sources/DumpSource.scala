@@ -56,7 +56,13 @@ object DumpSource {
         spark.read.option("wholetext", "true").textFile(paths: _*)
       else {
         import spark.implicits._
-        spark.sparkContext.binaryFiles(paths.mkString(","))
+        val sc = spark.sparkContext
+        // one binaryFiles call PER path, unioned: binaryFiles treats
+        // its string as a comma-separated list, so a joined
+        // `paths.mkString(",")` would split a legal file name
+        // containing a comma into two nonexistent paths
+        paths.map(sc.binaryFiles(_))
+          .reduce(_ union _)
           .map { case (p, stream) =>
             // binaryFiles hands back raw bytes — unlike textFile it
             // applies no codec, so compressed dumps decompress here

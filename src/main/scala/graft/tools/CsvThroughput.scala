@@ -31,8 +31,11 @@ object CsvThroughput {
       Files.writeString(dir.resolve(s"done_$nShards"), "ok")
     }
     val csvDir = dir.resolve("csv").toString
-    val bytes = Files.list(Paths.get(csvDir)).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.toString.endsWith(".txt")).map(Files.size).sum
+    val listing = Files.list(Paths.get(csvDir))
+    val bytes =
+      try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".txt")).map(Files.size).sum
+      finally listing.close()
     val cols = GraftSession.table(spark, sfDir, "lineitem").columns.toSeq
     val dialect = CsvDialect()
     def timed(force: Boolean): (Long, Double) = {

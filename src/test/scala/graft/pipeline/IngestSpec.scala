@@ -102,6 +102,47 @@ class IngestSpec extends SparkSpec {
     assert(!r.checksumOk, "3 bad rows must fail a maxError=0 import")
   }
 
+  test("a blown error budget aborts between chunk batches, not after the last") {
+    val root = Files.createTempDirectory("graft_earlyabort").toString
+    Files.writeString(Paths.get(root, "d.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, v varchar(24), PRIMARY KEY (id));")
+    val bad = (1 to 3).map(i => s"""xx$i,"v"""")
+    val good = (4 to 200).map(i => s"""$i,"v_$i"""")
+    Files.writeString(Paths.get(root, "d.t.0001.csv"),
+      (bad ++ good).mkString("", "\n", "\n"))
+    val out = Files.createTempDirectory("graft_earlyabort_out").toString
+    // bad rows all land in batch 1; the failpoint would throw after
+    // batch 2 — reaching it means the import kept going after the
+    // budget was provably blown. The early gate must return a failed
+    // report BEFORE the failpoint can fire.
+    val r = Ingest.run(spark, Ingest.Config(root, out,
+      strictFormat = true, chunkBytes = 256L, chunkBatch = 1, maxError = 0L,
+      failpointAfterBatches = Some(2))).head
+    assert(!r.checksumOk && r.badRows >= 3L,
+      s"expected early-aborted failed report, got $r")
+  }
+
+  test("utf8mb4 charset spelling takes the native UTF-8 path (CSV + dump)") {
+    // the reference's accepted value is `utf8mb4` (reader.go:43) — it
+    // must not crash with UnsupportedCharsetException, and multibyte
+    // data must round-trip exactly as with utf8
+    val root = Files.createTempDirectory("graft_mb4").toString
+    val s1 = "émoji✓中文"
+    Files.writeString(Paths.get(root, "d.c-schema.sql"),
+      "CREATE TABLE c (id int NOT NULL, v varchar(20), PRIMARY KEY (id));")
+    Files.write(Paths.get(root, "d.c.0001.csv"),
+      s"""1,"$s1"\n""".getBytes("UTF-8"))
+    Files.writeString(Paths.get(root, "d.s-schema.sql"),
+      "CREATE TABLE s (id int NOT NULL, v varchar(20), PRIMARY KEY (id));")
+    Files.write(Paths.get(root, "d.s.0001.sql"),
+      s"INSERT INTO s VALUES (1, '$s1');".getBytes("UTF-8"))
+    val out = Files.createTempDirectory("graft_mb4_out").toString
+    val reports = Ingest.run(spark, Ingest.Config(root, out, charset = "utf8mb4"))
+    assert(reports.length === 2 && reports.forall(_.checksumOk))
+    for (t <- Seq("c", "s"))
+      assert(spark.read.parquet(s"$out/d.$t").collect()(0).getString(1) === s1)
+  }
+
   private def gzip(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
