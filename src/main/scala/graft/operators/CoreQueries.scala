@@ -275,4 +275,30 @@ object CoreQueries {
     // count(*) > 0 (not literal TRUE) so the witness agrees with the
     // Spark side on an empty table, where the XOR checksum is 0.
     "SELECT count(*) AS total_kvs, count(*) > 0 AS checksum_nonzero FROM lineitem"
+
+  /** HLL-sketch distinct-count audit (the sketch face of the A6 stats
+    * surface): per event type, the exact distinct-user count next to a
+    * witness that the mergeable HLL sketch estimate lands within its
+    * documented 5% band. At 100 TB the exact count is the expensive
+    * side (a full shuffle of the keys) and the sketch is the cheap one
+    * (a few KB per partition, map-side combined, and MERGEABLE across
+    * shards/days — the property exact counts lack; SketchSpec pins the
+    * merge contract). The estimate itself is implementation-specific,
+    * so the oracle checks the exact counts and the within-band
+    * verdict, not the estimate's value.
+    */
+  def sketchDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") <=
+          lit(0.05) * col("exact_users").cast("double")).as("hll_within_5pct"))
+      .orderBy("event_type")
+
+  def sketchDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS hll_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

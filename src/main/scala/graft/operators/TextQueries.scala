@@ -1056,4 +1056,103 @@ object TextQueries {
        |FROM h WHERE n_terms = $k
        |ORDER BY total_tf DESC, doc_id LIMIT 20""".stripMargin
   }
+
+  // ------------------------------------------- importance weighting
+  /** DSIR-style data-selection scoring (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how target-domain-like its unigram distribution
+    * is, so a pretraining mix can upsample raw data that resembles a
+    * trusted target corpus. Target domain here = the `en` slice; raw =
+    * the whole corpus. Per token the affinity is the frequency ratio
+    * (p_target / p_corpus) in ppm; per document, the floor-mean of its
+    * tokens' affinities (DSIR's log-likelihood-ratio becomes a ratio
+    * mean: libm `log` is not exactly rounded so engines could differ in
+    * the last ulp, while this fixed tree of IEEE-exactly-rounded
+    * divide/multiply ops is bit-identical across engines and ranks
+    * documents the same way for selection purposes).
+    *
+    * Scale shape: one token explode, ONE vocab groupBy carrying both
+    * counts (corpus count + conditional target count — not two
+    * aggregations), two broadcast 1-row totals, one equi-join of the
+    * token stream back to the vocab, one per-doc aggregate. Linear,
+    * skew-free (hot tokens join against a single vocab row), no
+    * driver-side state.
+    */
+  def importanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(
+      count(lit(1)).as("cnt_s"),
+      count(when(col("lang") === "en", 1)).as("cnt_t"))
+    val totals = vocab.agg(
+      sum("cnt_s").as("ns"), sum("cnt_t").as("nt"))
+    // fixed op order, each exactly rounded: (cnt_t/nt) / (cnt_s/ns),
+    // then *1e6, then floor — the oracle spells the identical tree
+    val affinity = floor(lit(1000000d) *
+      ((col("cnt_t").cast("double") / col("nt").cast("double")) /
+        (col("cnt_s").cast("double") / col("ns").cast("double")))).cast("long")
+    val perTok = toks.select("doc_id", "tok") // probe side: lang not needed past the vocab build
+      .join(vocab, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), affinity.as("aff"))
+    perTok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        floor(sum(col("aff")) / count(lit(1))).cast("long").as("affinity_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def importanceWeightsSql: String =
+    """WITH e AS (SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |v AS (SELECT tok, count(*) AS cnt_s,
+      |    count(CASE WHEN lang = 'en' THEN 1 END) AS cnt_t
+      |  FROM e GROUP BY tok),
+      |t AS (SELECT CAST(sum(cnt_s) AS BIGINT) AS ns, CAST(sum(cnt_t) AS BIGINT) AS nt FROM v),
+      |p AS (SELECT e.doc_id,
+      |    CAST(floor(1000000.0 *
+      |      ((CAST(v.cnt_t AS DOUBLE) / CAST(t.nt AS DOUBLE)) /
+      |       (CAST(v.cnt_s AS DOUBLE) / CAST(t.ns AS DOUBLE)))) AS BIGINT) AS aff
+      |  FROM e JOIN v USING (tok), t)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(floor(CAST(sum(aff) AS DOUBLE) / count(*)) AS BIGINT) AS affinity_ppm
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- n-gram diversity
+  /** Corpus diversity report: distinct-n over total-n for word n-grams
+    * (n = 1, 2, 3) — the "distinct-n" diversity metric used to detect
+    * mode collapse in generated corpora and template boilerplate in
+    * scraped ones (low distinct-2/3 = the same phrasings repeated).
+    *
+    * Scale shape: per n, one narrow explode (shingling is per-doc, no
+    * shuffle) and ONE combining aggregate — `count(distinct)` over
+    * n-gram strings is the unavoidable shuffle and it is exactly one
+    * per n; the three rows union. The n-gram relation is never
+    * materialized twice (total and distinct come from the same
+    * aggregate).
+    */
+  def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val perN = (1 to 3).map { n =>
+      docs.select(explode(shingles(tokens(col("text")), n)).as("g"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("g")).as("distinct_ngrams"))
+        .select(lit(n).as("n"), col("total_ngrams"), col("distinct_ngrams"),
+          floor(lit(1000000d) * col("distinct_ngrams").cast("double") /
+            col("total_ngrams").cast("double")).cast("long").as("distinct_ppm"))
+    }
+    perN.reduce(_ unionByName _).orderBy("n")
+  }
+
+  def ngramDiversitySql: String = {
+    def leg(n: Int) =
+      s"""SELECT $n AS n, CAST(count(*) AS BIGINT) AS total_ngrams,
+         |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+         |  CAST(floor(1000000.0 * CAST(count(DISTINCT g) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS distinct_ppm
+         |FROM (SELECT unnest(list_transform(range(1, len(toks) - $n + 2),
+         |    j -> array_to_string(list_slice(toks, CAST(j AS INT), CAST(j AS INT) + $n - 1), ' '))) AS g
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+         |        FROM documents WHERE len(trim(text)) > 0) WHERE len(toks) >= $n)""".stripMargin
+    (1 to 3).map(leg).mkString("", "\nUNION ALL\n", "\nORDER BY n")
+  }
 }
