@@ -971,12 +971,14 @@ object TextQueries {
     * lines. Emits the per-document rewrite ledger (total/kept/dropped
     * line counts).
     *
-    * Scale shape: one narrow line explode; the hot set is found by a
-    * map-side-combining (line, doc) count and is SMALL by construction
-    * (only lines crossing the df threshold); the rewrite is an
-    * equi-join of the line relation against it (AQE broadcasts when
-    * it fits) and a per-doc combining count. No per-doc sets, no
-    * self-join — linear at 100 TB.
+    * Scale shape: one narrow line explode; every shuffle and join key
+    * is the line's 56-bit md5 fingerprint, not the line text — 8 bytes
+    * per row reach the df groupBy and the rewrite join, never the full
+    * line (web lines are unbounded; license blocks run KBs). The hot
+    * set is SMALL by construction (only fingerprints crossing the df
+    * threshold; AQE broadcasts it) and the per-doc ledger is a
+    * combining count. No per-doc sets, no self-join — linear at
+    * 100 TB.
     */
   def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val page = concat(
@@ -984,13 +986,16 @@ object TextQueries {
       when(col("doc_id") % 2 === 0,
         concat(lit("\nfooter boilerplate of "), col("source"))).otherwise(lit("")))
     val lines = table(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(split(page, "\n", -1)).as("line"))
+      .select(col("doc_id"),
+        explode(split(page, "\n", -1)).as("line"))
+      .select(col("doc_id"), md5Long(col("line")).as("lh"),
+        (length(trim(col("line"))) >= 10).as("eligible"))
     val hot = lines
-      .where(length(trim(col("line"))) >= 10)
-      .groupBy("line").agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("eligible"))
+      .groupBy("lh").agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= 3)
-      .select(col("line"), lit(1).as("hot"))
-    lines.join(hot, Seq("line"), "left")
+      .select(col("lh"), lit(1).as("hot"))
+    lines.join(hot, Seq("lh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(coalesce(col("hot"), lit(0))).as("n_dropped"))
@@ -1005,11 +1010,14 @@ object TextQueries {
       |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'footer boilerplate of ' || source
       |         ELSE '' END AS page
       |  FROM documents),
-      |l AS (SELECT doc_id, unnest(string_split(page, chr(10))) AS line FROM p),
-      |c AS (SELECT line FROM l WHERE len(trim(line)) >= 10
-      |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
-      |m AS (SELECT l.doc_id, CASE WHEN c.line IS NOT NULL THEN 1 ELSE 0 END AS hot
-      |  FROM l LEFT JOIN c ON l.line = c.line)
+      |l AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(line), 1, 14) AS BIGINT) AS lh,
+      |    len(trim(line)) >= 10 AS eligible
+      |  FROM (SELECT doc_id, unnest(string_split(page, chr(10))) AS line FROM p)),
+      |c AS (SELECT lh FROM l WHERE eligible
+      |  GROUP BY lh HAVING count(DISTINCT doc_id) >= 3),
+      |m AS (SELECT l.doc_id, CASE WHEN c.lh IS NOT NULL THEN 1 ELSE 0 END AS hot
+      |  FROM l LEFT JOIN c ON l.lh = c.lh)
       |SELECT doc_id, count(*) AS n_lines,
       |  CAST(count(*) - sum(hot) AS BIGINT) AS n_kept,
       |  CAST(sum(hot) AS BIGINT) AS n_dropped
