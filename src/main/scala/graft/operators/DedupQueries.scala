@@ -26,7 +26,11 @@ import graft.functions.TextFunctions._
   */
 object DedupQueries {
 
-  private val ShingleN = 5
+  /** Shingle width shared by every contamination/Jaccard op — also the
+    * streaming decontamination path ([[graft.streaming.StreamingOps]]),
+    * so live and backfill agree on what "overlap" means.
+    */
+  private[graft] val ShingleN = 5
   private val MinhashK = 12
   private val BandRows = 2 // 6 bands × 2 rows → LSH threshold ≈ 0.41
   private val DfCap = 64 // max docs a shingle may appear in before it's dropped

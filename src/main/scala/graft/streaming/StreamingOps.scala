@@ -53,6 +53,44 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming benchmark decontamination — the live path of the batch
+    * `decontaminate` operator: drop any incoming document that shares a
+    * [[graft.operators.DedupQueries.ShingleN]]-gram shingle with the
+    * (static, small) eval set. A stream-static LEFT ANTI join: the
+    * static side broadcasts, the stream pays one narrow probe per
+    * shingle, no streaming state at all — the contamination gate runs
+    * at ingest speed forever. Same shingle recipe (md5Long over
+    * space-joined 5-grams) as batch, so a document the backfill would
+    * flag is exactly the document the live gate drops.
+    *
+    * A join-then-re-aggregate would need a watermark (streaming aggs
+    * are stateful); the stateless form is the right one — the eval
+    * shingle set ships as a literal array (it is bounded and small by
+    * definition, like the LSH hyperplane constants) and the gate is a
+    * pure `arrays_overlap` filter: no state, no shuffle, no late-data
+    * semantics to reason about.
+    */
+  def decontaminateStream(docs: DataFrame, evalShingles: Array[Long]): DataFrame = {
+    import graft.functions.TextFunctions.{md5Long, shingles, tokens}
+    val sh = transform(
+      shingles(tokens(col("text")), graft.operators.DedupQueries.ShingleN),
+      s => md5Long(s))
+    docs.where(!arrays_overlap(sh, lit(evalShingles)))
+  }
+
+  /** Eval-side shingle hashes for [[decontaminateStream]] — a bounded
+    * collect (the eval set is small by definition; the batch op
+    * broadcasts the same relation).
+    */
+  def evalShingleArray(evalDocs: DataFrame): Array[Long] = {
+    import graft.functions.TextFunctions.{md5Long, shingles, tokens}
+    evalDocs
+      .select(explode(shingles(tokens(col("text")),
+        graft.operators.DedupQueries.ShingleN)).as("s"))
+      .select(md5Long(col("s")).as("h")).distinct()
+      .collect().map(_.getLong(0))
+  }
+
   /** Per-user sessionization with a 30-minute inactivity gap, held as
     * keyed state with an event-time timeout (watermark-driven: no
     * wall-clock batch churn, state expires as event time advances —

@@ -55,6 +55,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream drops exactly the docs the batch probe flags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // eval set: two 5-gram-bearing docs; the stream carries one exact
+    // leak, one partial-overlap leak (shares a full shingle), one
+    // clean doc, and one too-short-to-shingle doc (must pass: no
+    // shingles means nothing can overlap)
+    val evalDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val eval = evalShingleArray(evalDocs)
+    assert(eval.nonEmpty)
+    val input = MemoryStream[Doc]
+    val q = decontaminateStream(input.toDF(), eval).writeStream
+      .format("memory").queryName("decon").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Doc(10, ts(0), "the quick brown fox jumps over the lazy dog"), // exact leak
+        Doc(11, ts(1), "intro words pack my box with five dozen liquor jugs"), // embedded leak
+        Doc(12, ts(2), "a perfectly original sentence about spark engines at scale"),
+        Doc(13, ts(3), "too short"))
+      q.processAllAvailable()
+      val kept = spark.table("decon").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(12L, 13L), s"kept=$kept")
+    } finally q.stop()
+  }
+
   test("sessionize splits on the inactivity gap and counts events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
