@@ -114,35 +114,27 @@ object DumpSource {
     */
   def parseStatements(text: String): Seq[Insert] = statementIterator(text).toSeq
 
-  /** Lazy statement scanner. Tolerant of leading comments/noise
-    * between statements, like the reference's parser (which skips
-    * anything until the next INSERT keyword). Case-insensitive scans
-    * via regionMatches — no uppercase copy of the (up to 256 MiB) file
-    * text in task memory.
-    *
-    * Each keyword's scan position is cached and only ever moves
-    * forward, so a whole-file iteration costs O(fileSize) per keyword
-    * total — not O(statements × fileSize) when one of the keywords
-    * (typically REPLACE) never occurs.
+  /** Lazy statement scanner. Skips comments, quoted strings and other
+    * statements between INSERTs the way the reference's lexer does
+    * (`lightning/mydump/parser.rl`'s comment/string machines) — a
+    * commented-out `-- INSERT INTO …` line or an INSERT-shaped string
+    * inside a `SET @a = '…'` must NOT inject phantom rows.
+    * Case-insensitive scans via regionMatches — no uppercase copy of
+    * the (up to 256 MiB) file text in task memory; the scan position
+    * only ever moves forward, so a whole-file iteration is O(fileSize).
     */
   def statementIterator(text: String): Iterator[Insert] = new Iterator[Insert] {
     private var pos = 0
-    private var insAt = indexOfIgnoreCase(text, "INSERT", 0)
-    private var repAt = indexOfIgnoreCase(text, "REPLACE", 0)
     private var nextIns: Insert = _
     private var exhausted = false
 
     @annotation.tailrec
     private def fetch(): Unit = {
-      if (insAt >= 0 && insAt < pos) insAt = indexOfIgnoreCase(text, "INSERT", pos)
-      if (repAt >= 0 && repAt < pos) repAt = indexOfIgnoreCase(text, "REPLACE", pos)
-      val start =
-        if (insAt < 0) repAt
-        else if (repAt < 0) insAt
-        else math.min(insAt, repAt)
+      val start = nextStatementKeyword(text, pos)
       if (start < 0) { exhausted = true }
       else {
-        pos = start + (if (start == insAt) "INSERT".length else "REPLACE".length)
+        pos = start +
+          (if (text.regionMatches(true, start, "INSERT", 0, 6)) 6 else 7)
         parseHead(text, pos) match {
           case Some((ins, resume)) => pos = resume; nextIns = ins
           case None => fetch() // not a VALUES statement; rescan after the keyword
@@ -202,12 +194,47 @@ object DumpSource {
     Some((Insert(table, columns, rows.toSeq), p))
   }
 
-  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '$'
+
+  /** Index of the next INSERT/REPLACE keyword at or after `from` that
+    * sits in plain SQL context: `-- ` and `#` line comments, block
+    * comments and quoted strings/identifiers are consumed, not
+    * scanned into. `--` only opens a comment when followed by
+    * whitespace/EOL (MySQL's rule — `--5` is arithmetic). Word
+    * boundaries guard against REINSERT-style substrings. -1 = none.
+    */
+  private def nextStatementKeyword(s: String, from: Int): Int = {
     var i = math.max(0, from)
-    val last = s.length - needle.length
-    while (i <= last) {
-      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
-      i += 1
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-' &&
+          (i + 2 >= n || s.charAt(i + 2) == ' ' || s.charAt(i + 2) == '\t' ||
+            s.charAt(i + 2) == '\r' || s.charAt(i + 2) == '\n')) {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '#') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        i = if (end < 0) n else end + 2
+      } else if (c == '\'' || c == '"') {
+        i = readQuoted(s, i, c)._2
+      } else if (c == '`') {
+        i += 1
+        while (i < n && s.charAt(i) != '`') i += 1
+        i += 1
+      } else if ((c == 'I' || c == 'i') &&
+          s.regionMatches(true, i, "INSERT", 0, 6) &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+          (i + 6 >= n || !isIdentChar(s.charAt(i + 6)))) {
+        return i
+      } else if ((c == 'R' || c == 'r') &&
+          s.regionMatches(true, i, "REPLACE", 0, 7) &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+          (i + 7 >= n || !isIdentChar(s.charAt(i + 7)))) {
+        return i
+      } else i += 1
     }
     -1
   }

@@ -114,6 +114,34 @@ class DumpSourceSpec extends AnyFunSuite {
     assert(stmts.head.rows(0).toSeq === Seq("9", "z"))
   }
 
+  test("commented-out and string-embedded INSERTs never inject phantom rows") {
+    // the reference's lexer skips comments/strings before keyword
+    // matching (parser.rl); a keyword-hunting scanner without that
+    // state would ingest all three decoys below as data
+    val stmts = DumpSource.parseStatements(
+      """-- INSERT INTO t VALUES (901),(902);
+        |# INSERT INTO t VALUES (903);
+        |/* multi-line
+        |   INSERT INTO t VALUES (904); */
+        |SET @msg = 'INSERT INTO t VALUES (905)';
+        |INSERT INTO t VALUES (1),(2);
+        |-- trailing comment: REPLACE INTO t VALUES (906);
+        |REPLACE INTO t VALUES (3);""".stripMargin)
+    assert(stmts.map(_.rows.map(_.head).toSeq) === Seq(Seq("1", "2"), Seq("3")))
+  }
+
+  test("line comments with apostrophes and --5 arithmetic don't derail the scan") {
+    val stmts = DumpSource.parseStatements(
+      """-- don't trip on this apostrophe
+        |INSERT INTO t VALUES (1--5);
+        |INSERT INTO t VALUES (2);""".stripMargin)
+    // --5 after a value is MySQL arithmetic (1 - (-5)), not a comment:
+    // the bare-token reader keeps it lexical; crucially the second
+    // INSERT still parses
+    assert(stmts.length === 2)
+    assert(stmts(1).rows.head.toSeq === Seq("2"))
+  }
+
   test("double-quoted string values parse (reference tests/tool_1420)") {
     val stmts = DumpSource.parseStatements(
       """INSERT INTO `pt_role` (`ROLE_ID`) VALUES ("1");
