@@ -1079,12 +1079,15 @@ object TextQueries {
     * divide/multiply ops is bit-identical across engines and ranks
     * documents the same way for selection purposes).
     *
-    * Scale shape: one token explode, ONE vocab groupBy carrying both
-    * counts (corpus count + conditional target count — not two
-    * aggregations), two broadcast 1-row totals, one equi-join of the
-    * token stream back to the vocab, one per-doc aggregate. Linear,
-    * skew-free (hot tokens join against a single vocab row), no
-    * driver-side state.
+    * Scale shape: ONE vocab groupBy carrying both counts (corpus
+    * count + conditional target count — not two aggregations),
+    * materialized once (`localCheckpoint` — the vocab is unique
+    * tokens, orders of magnitude smaller than the corpus; without it
+    * Spark re-derives the corpus explode for the totals aggregate AND
+    * the probe join, tripling the dominant scan), one broadcast 1-row
+    * totals, one equi-join of the token stream back to the vocab, one
+    * per-doc aggregate. Two corpus passes total; linear, skew-free
+    * (hot tokens join against a single vocab row).
     */
   def importanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = table(spark, sfDir, "documents")
@@ -1092,6 +1095,7 @@ object TextQueries {
     val vocab = toks.groupBy("tok").agg(
       count(lit(1)).as("cnt_s"),
       count(when(col("lang") === "en", 1)).as("cnt_t"))
+      .localCheckpoint(true)
     val totals = vocab.agg(
       sum("cnt_s").as("ns"), sum("cnt_t").as("nt"))
     // fixed op order, each exactly rounded: (cnt_t/nt) / (cnt_s/ns),
@@ -1131,24 +1135,28 @@ object TextQueries {
     * mode collapse in generated corpora and template boilerplate in
     * scraped ones (low distinct-2/3 = the same phrasings repeated).
     *
-    * Scale shape: per n, one narrow explode (shingling is per-doc, no
-    * shuffle) and ONE combining aggregate — `count(distinct)` over
-    * n-gram strings is the unavoidable shuffle and it is exactly one
-    * per n; the three rows union. The n-gram relation is never
+    * Scale shape: ONE corpus pass — each document emits its 1/2/3-gram
+    * shingles tagged with n in a single narrow explode (three
+    * per-query scans would triple the dominant tokenize cost), then
+    * one groupBy(n) aggregate; `count(distinct)` over n-gram strings
+    * is the unavoidable shuffle. The n-gram relation is never
     * materialized twice (total and distinct come from the same
     * aggregate).
     */
   def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = table(spark, sfDir, "documents")
-    val perN = (1 to 3).map { n =>
-      docs.select(explode(shingles(tokens(col("text")), n)).as("g"))
-        .agg(count(lit(1)).as("total_ngrams"),
-          countDistinct(col("g")).as("distinct_ngrams"))
-        .select(lit(n).as("n"), col("total_ngrams"), col("distinct_ngrams"),
-          floor(lit(1000000d) * col("distinct_ngrams").cast("double") /
-            col("total_ngrams").cast("double")).cast("long").as("distinct_ppm"))
-    }
-    perN.reduce(_ unionByName _).orderBy("n")
+    val toks = tokens(col("text"))
+    val tagged = (1 to 3).map(n =>
+      transform(shingles(toks, n), g => struct(lit(n).as("n"), g.as("g"))))
+    table(spark, sfDir, "documents")
+      .select(explode(flatten(array(tagged: _*))).as("t"))
+      .select(col("t.n").as("n"), col("t.g").as("g"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("g")).as("distinct_ngrams"))
+      .select(col("n").cast("int").as("n"), col("total_ngrams"), col("distinct_ngrams"),
+        floor(lit(1000000d) * col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double")).cast("long").as("distinct_ppm"))
+      .orderBy("n")
   }
 
   def ngramDiversitySql: String = {

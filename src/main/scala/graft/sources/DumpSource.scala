@@ -197,12 +197,42 @@ object DumpSource {
   private def isIdentChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_' || c == '$'
 
+  /** Index just after the closing quote of the string opening at
+    * `open` (backslash escapes + doubled quotes, no allocation);
+    * -1 when the string never closes.
+    */
+  private def closeOfQuote(s: String, open: Int, q: Char): Int = {
+    var i = open + 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) i += 2
+      else if (c == q) {
+        if (i + 1 < s.length && s.charAt(i + 1) == q) i += 2
+        else return i + 1
+      } else i += 1
+    }
+    -1
+  }
+
   /** Index of the next INSERT/REPLACE keyword at or after `from` that
     * sits in plain SQL context: `-- ` and `#` line comments, block
     * comments and quoted strings/identifiers are consumed, not
     * scanned into. `--` only opens a comment when followed by
     * whitespace/EOL (MySQL's rule — `--5` is arithmetic). Word
     * boundaries guard against REINSERT-style substrings. -1 = none.
+    *
+    * Two deliberate deviations from a plain comment lexer (the
+    * slash-star spellings below are written as [slash][star] because
+    * Scala block comments nest):
+    *  - [slash][star]! versioned conditional comments are NOT
+    *    skipped — MySQL executes their contents, so an INSERT inside
+    *    one is data; the bang prefix is consumed and lexing continues
+    *    inside (a stray [star][slash] close in plain context is then
+    *    consumed silently).
+    *  - An UNTERMINATED quote/comment in noise falls back to plain
+    *    scanning from the char after the opener instead of swallowing
+    *    the rest of a 256 MiB file silently (the reference's lexer
+    *    errors there; tolerant-recovery keeps every later statement).
     */
   private def nextStatementKeyword(s: String, from: Int): Int = {
     var i = math.max(0, from)
@@ -216,14 +246,19 @@ object DumpSource {
       } else if (c == '#') {
         while (i < n && s.charAt(i) != '\n') i += 1
       } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
-        val end = s.indexOf("*/", i + 2)
-        i = if (end < 0) n else end + 2
+        if (i + 2 < n && s.charAt(i + 2) == '!') i += 3 // versioned: executes
+        else {
+          val end = s.indexOf("*/", i + 2)
+          i = if (end < 0) i + 2 else end + 2 // unterminated: recover, don't swallow
+        }
+      } else if (c == '*' && i + 1 < n && s.charAt(i + 1) == '/') {
+        i += 2 // close of a versioned comment whose body we lexed
       } else if (c == '\'' || c == '"') {
-        i = readQuoted(s, i, c)._2
+        val end = closeOfQuote(s, i, c)
+        i = if (end < 0) i + 1 else end // unterminated: recover, don't swallow
       } else if (c == '`') {
-        i += 1
-        while (i < n && s.charAt(i) != '`') i += 1
-        i += 1
+        val end = s.indexOf('`', i + 1)
+        i = if (end < 0) i + 1 else end + 1
       } else if ((c == 'I' || c == 'i') &&
           s.regionMatches(true, i, "INSERT", 0, 6) &&
           (i == 0 || !isIdentChar(s.charAt(i - 1))) &&

@@ -65,17 +65,23 @@ object StreamingOps {
     *
     * A join-then-re-aggregate would need a watermark (streaming aggs
     * are stateful); the stateless form is the right one — the eval
-    * shingle set ships as a literal array (it is bounded and small by
-    * definition, like the LSH hyperplane constants) and the gate is a
-    * pure `arrays_overlap` filter: no state, no shuffle, no late-data
-    * semantics to reason about.
+    * shingle set (bounded and small by definition) broadcasts ONCE as
+    * a hash set and the gate is a pure filter: no state, no shuffle,
+    * no late-data semantics to reason about. The set probe is a UDF on
+    * the Bloom-gate precedent (an `arrays_overlap` against a literal
+    * array would rebuild its probe set per ROW — O(|eval|) per
+    * document; the broadcast set keeps it O(|doc shingles|)).
+    * Null-safe: NULL text has no shingles, so it can't overlap and
+    * passes — exactly the batch probe's verdict.
     */
   def decontaminateStream(docs: DataFrame, evalShingles: Array[Long]): DataFrame = {
     import graft.functions.TextFunctions.{md5Long, shingles, tokens}
+    val evalSet = docs.sparkSession.sparkContext.broadcast(evalShingles.toSet)
+    val leaks = udf((sh: Seq[Long]) => sh != null && sh.exists(evalSet.value.contains))
     val sh = transform(
       shingles(tokens(col("text")), graft.operators.DedupQueries.ShingleN),
       s => md5Long(s))
-    docs.where(!arrays_overlap(sh, lit(evalShingles)))
+    docs.where(!leaks(sh))
   }
 
   /** Eval-side shingle hashes for [[decontaminateStream]] — a bounded

@@ -130,6 +130,25 @@ class DumpSourceSpec extends AnyFunSuite {
     assert(stmts.map(_.rows.map(_.head).toSeq) === Seq(Seq("1", "2"), Seq("3")))
   }
 
+  test("versioned /*! */ comments execute their contents like MySQL") {
+    val stmts = DumpSource.parseStatements(
+      """/*!40101 INSERT INTO t VALUES (7) */;
+        |INSERT INTO t VALUES (2);""".stripMargin)
+    assert(stmts.map(_.rows.head.toSeq) === Seq(Seq("7"), Seq("2")))
+  }
+
+  test("an unterminated quote in noise recovers instead of swallowing the file") {
+    // the reference's lexer errors here; tolerant-recovery must at
+    // minimum keep every later statement instead of silently dropping
+    // the rest of a 256 MiB file
+    val stmts = DumpSource.parseStatements(
+      """SELECT 'unterminated...
+        |INSERT INTO t VALUES (1);
+        |/* also unterminated
+        |INSERT INTO t VALUES (2);""".stripMargin)
+    assert(stmts.map(_.rows.head.toSeq) === Seq(Seq("1"), Seq("2")))
+  }
+
   test("line comments with apostrophes and --5 arithmetic don't derail the scan") {
     val stmts = DumpSource.parseStatements(
       """-- don't trip on this apostrophe

@@ -76,10 +76,11 @@ class StreamingOpsSpec extends SparkSpec {
         Doc(10, ts(0), "the quick brown fox jumps over the lazy dog"), // exact leak
         Doc(11, ts(1), "intro words pack my box with five dozen liquor jugs"), // embedded leak
         Doc(12, ts(2), "a perfectly original sentence about spark engines at scale"),
-        Doc(13, ts(3), "too short"))
+        Doc(13, ts(3), "too short"),
+        Doc(14, ts(4), null)) // NULL text: no shingles, must pass (batch never flags it)
       q.processAllAvailable()
       val kept = spark.table("decon").select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(kept === Set(12L, 13L), s"kept=$kept")
+      assert(kept === Set(12L, 13L, 14L), s"kept=$kept")
     } finally q.stop()
   }
 
