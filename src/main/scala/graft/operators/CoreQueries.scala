@@ -278,8 +278,8 @@ object CoreQueries {
 
   /** HLL-sketch distinct-count audit (the sketch face of the A6 stats
     * surface): per event type, the exact distinct-user count next to a
-    * witness that the mergeable HLL sketch estimate lands within its
-    * documented 5% band. At 100 TB the exact count is the expensive
+    * witness that the mergeable HLL sketch estimate lands within a
+    * 10% band. At 100 TB the exact count is the expensive
     * side (a full shuffle of the keys) and the sketch is the cheap one
     * (a few KB per partition, map-side combined, and MERGEABLE across
     * shards/days — the property exact counts lack; SketchSpec pins the

@@ -979,6 +979,15 @@ object TextQueries {
     * threshold; AQE broadcasts it) and the per-doc ledger is a
     * combining count. No per-doc sets, no self-join — linear at
     * 100 TB.
+    *
+    * The 56-bit key is a deliberate tradeoff (same as [[DedupQueries]]'
+    * SimHash band keys), NOT free: at d distinct lines, ~d²/2^57
+    * unique↔hot collision pairs each misclassify one rare line as
+    * boilerplate — at d = 1e11 (100 TB of web pages) that is ~7e4
+    * wrongly-dropped lines, a ~1e-6 fraction of documents with an
+    * off-by-one ledger. Acceptable for corpus cleaning (C4 drops these
+    * lines heuristically anyway); a compliance-grade rewrite should
+    * widen the key to the full 128-bit md5 at 2× shuffle width.
     */
   def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val page = concat(
@@ -1099,10 +1108,15 @@ object TextQueries {
     val totals = vocab.agg(
       sum("cnt_s").as("ns"), sum("cnt_t").as("nt"))
     // fixed op order, each exactly rounded: (cnt_t/nt) / (cnt_s/ns),
-    // then *1e6, then floor — the oracle spells the identical tree
-    val affinity = floor(lit(1000000d) *
-      ((col("cnt_t").cast("double") / col("nt").cast("double")) /
-        (col("cnt_s").cast("double") / col("ns").cast("double")))).cast("long")
+    // then *1e6, then floor — the oracle spells the identical tree.
+    // nt = 0 (no target-domain docs at all) would be 0/0 — NULL under
+    // Spark's non-ANSI divide, NaN on the oracle's — so it is pinned
+    // to affinity 0 explicitly on BOTH sides: with an empty target
+    // every token is equally (un)informative.
+    val affinity = when(col("nt") === 0, lit(0L)).otherwise(
+      floor(lit(1000000d) *
+        ((col("cnt_t").cast("double") / col("nt").cast("double")) /
+          (col("cnt_s").cast("double") / col("ns").cast("double")))).cast("long"))
     val perTok = toks.select("doc_id", "tok") // probe side: lang not needed past the vocab build
       .join(vocab, "tok")
       .crossJoin(broadcast(totals))
@@ -1121,9 +1135,9 @@ object TextQueries {
       |  FROM e GROUP BY tok),
       |t AS (SELECT CAST(sum(cnt_s) AS BIGINT) AS ns, CAST(sum(cnt_t) AS BIGINT) AS nt FROM v),
       |p AS (SELECT e.doc_id,
-      |    CAST(floor(1000000.0 *
+      |    CASE WHEN t.nt = 0 THEN 0 ELSE CAST(floor(1000000.0 *
       |      ((CAST(v.cnt_t AS DOUBLE) / CAST(t.nt AS DOUBLE)) /
-      |       (CAST(v.cnt_s AS DOUBLE) / CAST(t.ns AS DOUBLE)))) AS BIGINT) AS aff
+      |       (CAST(v.cnt_s AS DOUBLE) / CAST(t.ns AS DOUBLE)))) AS BIGINT) END AS aff
       |  FROM e JOIN v USING (tok), t)
       |SELECT doc_id, count(*) AS n_tokens,
       |  CAST(floor(CAST(sum(aff) AS DOUBLE) / count(*)) AS BIGINT) AS affinity_ppm
@@ -1138,8 +1152,15 @@ object TextQueries {
     * Scale shape: ONE corpus pass — each document emits its 1/2/3-gram
     * shingles tagged with n in a single narrow explode (three
     * per-query scans would triple the dominant tokenize cost), then
-    * one groupBy(n) aggregate; `count(distinct)` over n-gram strings
-    * is the unavoidable shuffle. The n-gram relation is never
+    * one groupBy(n) aggregate; the distinct count is the unavoidable
+    * shuffle, and it shuffles the 56-bit md5 FINGERPRINT of each
+    * n-gram, not the string ([[lineDedup]]'s convention — web n-grams
+    * are unbounded, 8 bytes/row cross the wire). Both engines
+    * fingerprint the same strings, so collisions are shared and the
+    * compare stays bit-exact; vs true string-distinct the count is low
+    * by ~d²/2^57 (d distinct n-grams) — at 1e11 n-grams that is a
+    * ~4e-5 relative error on a ppm-scale diversity metric, far below
+    * the metric's own sampling noise. The n-gram relation is never
     * materialized twice (total and distinct come from the same
     * aggregate).
     */
@@ -1149,7 +1170,7 @@ object TextQueries {
       transform(shingles(toks, n), g => struct(lit(n).as("n"), g.as("g"))))
     table(spark, sfDir, "documents")
       .select(explode(flatten(array(tagged: _*))).as("t"))
-      .select(col("t.n").as("n"), col("t.g").as("g"))
+      .select(col("t.n").as("n"), md5Long(col("t.g")).as("g"))
       .groupBy("n")
       .agg(count(lit(1)).as("total_ngrams"),
         countDistinct(col("g")).as("distinct_ngrams"))
@@ -1160,15 +1181,21 @@ object TextQueries {
   }
 
   def ngramDiversitySql: String = {
+    // 56-bit fingerprint distinct (lineDedupSql's recipe) and a
+    // HAVING guard: a bare aggregate leg always emits a row, but the
+    // Spark side's groupBy(n) emits nothing for an n no document
+    // reaches — the guard drops the leg's empty row (and with it the
+    // 0/0 it would otherwise compute) so degenerate corpora agree.
     def leg(n: Int) =
       s"""SELECT $n AS n, CAST(count(*) AS BIGINT) AS total_ngrams,
-         |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
-         |  CAST(floor(1000000.0 * CAST(count(DISTINCT g) AS DOUBLE)
+         |  CAST(count(DISTINCT CAST('0x' || substr(md5(g), 1, 14) AS BIGINT)) AS BIGINT) AS distinct_ngrams,
+         |  CAST(floor(1000000.0 * CAST(count(DISTINCT CAST('0x' || substr(md5(g), 1, 14) AS BIGINT)) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS distinct_ppm
          |FROM (SELECT unnest(list_transform(range(1, len(toks) - $n + 2),
          |    j -> array_to_string(list_slice(toks, CAST(j AS INT), CAST(j AS INT) + $n - 1), ' '))) AS g
          |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
-         |        FROM documents WHERE len(trim(text)) > 0) WHERE len(toks) >= $n)""".stripMargin
+         |        FROM documents WHERE len(trim(text)) > 0) WHERE len(toks) >= $n)
+         |HAVING count(*) > 0""".stripMargin
     (1 to 3).map(leg).mkString("", "\nUNION ALL\n", "\nORDER BY n")
   }
 }

@@ -199,12 +199,20 @@ object DumpSource {
 
   /** Index just after the closing quote of the string opening at
     * `open` (backslash escapes + doubled quotes, no allocation);
-    * -1 when the string never closes.
+    * -1 when the string never closes ON ITS OWN LINE. Dump-format
+    * string literals never contain a raw newline — mysqldump/MyDumper
+    * escape LF/CR to backslash sequences (mysql_real_escape_string) —
+    * so a quote still open at a raw newline is unterminated (truncated
+    * dump or decoy), NOT a multi-line string. Without this clamp an
+    * unterminated opener would silently pair with the next same-quote
+    * char anywhere later in the file, inverting quote parity and
+    * swallowing real statements between here and there.
     */
   private def closeOfQuote(s: String, open: Int, q: Char): Int = {
     var i = open + 1
     while (i < s.length) {
       val c = s.charAt(i)
+      if (c == '\n' || c == '\r') return -1
       if (c == '\\' && i + 1 < s.length) i += 2
       else if (c == q) {
         if (i + 1 < s.length && s.charAt(i + 1) == q) i += 2
@@ -257,8 +265,11 @@ object DumpSource {
         val end = closeOfQuote(s, i, c)
         i = if (end < 0) i + 1 else end // unterminated: recover, don't swallow
       } else if (c == '`') {
+        // same newline clamp as closeOfQuote: dump identifiers are
+        // single-line, so an opener unmatched on its line is noise
         val end = s.indexOf('`', i + 1)
-        i = if (end < 0) i + 1 else end + 1
+        val eol = s.indexOf('\n', i + 1)
+        i = if (end < 0 || (eol >= 0 && eol < end)) i + 1 else end + 1
       } else if ((c == 'I' || c == 'i') &&
           s.regionMatches(true, i, "INSERT", 0, 6) &&
           (i == 0 || !isIdentChar(s.charAt(i - 1))) &&

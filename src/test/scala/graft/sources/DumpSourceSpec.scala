@@ -149,6 +149,18 @@ class DumpSourceSpec extends AnyFunSuite {
     assert(stmts.map(_.rows.head.toSeq) === Seq(Seq("1"), Seq("2")))
   }
 
+  test("an unterminated quote must not pair with a quote on a LATER line") {
+    // dump strings never contain raw newlines (mysqldump escapes
+    // LF/CR), so a quote open at EOL is truncation. If it paired with
+    // the next apostrophe below, parity would invert and both INSERTs
+    // would be swallowed or mis-split.
+    val stmts = DumpSource.parseStatements(
+      """SET @a = 'truncated...
+        |INSERT INTO t VALUES (1,'a');
+        |INSERT INTO t VALUES (2,'b');""".stripMargin)
+    assert(stmts.map(_.rows.head.toSeq) === Seq(Seq("1", "a"), Seq("2", "b")))
+  }
+
   test("line comments with apostrophes and --5 arithmetic don't derail the scan") {
     val stmts = DumpSource.parseStatements(
       """-- don't trip on this apostrophe
