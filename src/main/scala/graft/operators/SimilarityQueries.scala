@@ -524,4 +524,70 @@ object SimilarityQueries {
        |      AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cosine FROM scored
        |WHERE cosine >= 0.95 ORDER BY vec_a, vec_b""".stripMargin
+
+  // ------------------------------------------- random-projection ANN
+  private val RpDims = 8
+
+  /** Deterministic ±1 Rademacher projection matrix (Achlioptas 2001 —
+    * the database-friendly Johnson–Lindenstrauss construction): sign
+    * (j,i) from md5, shared with the oracle by recipe.
+    */
+  private[operators] def rpSigns: Array[Array[Long]] =
+    Array.tabulate(RpDims, 64) { (j, i) =>
+      if (md5LongLocal(s"rp:$j,$i") % 2 == 0) 1L else -1L
+    }
+
+  /** Johnson–Lindenstrauss random-projection ANN: every 64-dim vector
+    * is projected to [[RpDims]] integer coordinates (quantized vector
+    * · ±1 sign row — [[graft.functions.QuantDot]], so each coordinate
+    * is one codegen'd kernel call), and the top-10 neighbors of the
+    * query are ranked by squared L2 distance in the PROJECTED space.
+    * JL says the 8-dim distances preserve relative distances within
+    * (1±ε); the payoff at 100 TB is the index footprint — 64 bytes per
+    * vector instead of 256, so the distance scan touches 4× less data
+    * and the projected relation fits memory tiers the raw vectors
+    * can't. This is the third compression point on the ANN accuracy
+    * axis (exact scan > PQ codes > JL projection), complementing the
+    * *partition*-pruning family (LSH buckets, IVF cells): projection
+    * shrinks bytes-per-candidate, bucketing shrinks candidates.
+    *
+    * All-integer math end to end (quantized components × ±1, exact
+    * int64 sums and squares — |coord| ≤ 64·10⁶ so squares stay far
+    * under 2⁶³), hence bit-exact across engines and, unlike float
+    * dots, independent of summation order.
+    */
+  def annRp(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = queryVec(spark, sfDir)
+    val qQuant = q.map(x => math.floor(x * 1000000d).toLong)
+    val qProj = rpSigns.map(s => s.indices.map(i => qQuant(i) * s(i)).sum)
+    // quantDot quantizes BOTH operands, so the ±1 sign row enters as
+    // ±10⁶ and the kernel's sum is 10⁶ × the projected coordinate.
+    // Every term is an exact multiple of 10⁶ and the sum stays < 2⁵³,
+    // so the double divide below is exact and the long coordinate
+    // matches the oracle's unscaled Σ floor(10⁶·xᵢ)·sᵢ bit for bit.
+    val dist = (0 until RpDims).map { j =>
+      val coord = (quantDot(col("embedding"), typedLit(rpSigns(j).toSeq)) /
+        lit(1000000d)).cast("long")
+      val d = coord - lit(qProj(j))
+      d * d
+    }.reduce(_ + _)
+    table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), dist.as("rp_dist"))
+      .orderBy(col("rp_dist"), col("vec_id"))
+      .limit(10)
+  }
+
+  def annRpSql: String =
+    s"""WITH planes AS (SELECT j, i,
+       |    CASE WHEN CAST('0x' || substr(md5('rp:' || CAST(j AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 14) AS BIGINT) % 2 = 0
+       |         THEN 1 ELSE -1 END AS r
+       |  FROM range($RpDims) t1(j), range(64) t2(i)),
+       |proj AS (SELECT e.vec_id, p.j,
+       |    CAST(sum(CAST(floor(CAST(e.embedding[p.i + 1] AS DOUBLE) * 1000000) AS BIGINT) * p.r) AS BIGINT) AS d
+       |  FROM embeddings e, planes p GROUP BY 1, 2),
+       |qp AS (SELECT j, d FROM proj WHERE vec_id = 0),
+       |dist AS (SELECT proj.vec_id,
+       |    CAST(sum((proj.d - qp.d) * (proj.d - qp.d)) AS BIGINT) AS rp_dist
+       |  FROM proj JOIN qp ON proj.j = qp.j GROUP BY proj.vec_id)
+       |SELECT vec_id, rp_dist FROM dist ORDER BY rp_dist, vec_id LIMIT 10""".stripMargin
 }

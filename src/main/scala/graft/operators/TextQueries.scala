@@ -1198,4 +1198,146 @@ object TextQueries {
          |HAVING count(*) > 0""".stripMargin
     (1 to 3).map(leg).mkString("", "\nUNION ALL\n", "\nORDER BY n")
   }
+
+  // ------------------------------------ model-based quality classifier
+  /** Model-based quality filtering — the linear-classifier gate of a
+    * FineWeb-Edu / fastText-style pipeline — scored entirely inside one
+    * narrow expression chain: each token hashes into one of 1024 weight
+    * buckets (the hashing trick, so there is NO vocabulary relation and
+    * NO join), the per-doc score is the sum of bucket weights,
+    * length-normalized, and the keep gate compares it to 0. Inference
+    * is scan-speed at 100 TB: zero shuffles, zero driver state, the
+    * whole thing lives in one WholeStageCodegen span.
+    *
+    * The weights are a deterministic md5-derived stand-in for trained
+    * parameters (same honesty contract as the multimodal codec stub —
+    * the image libs / trained model aren't in this container): the
+    * hashing-trick plumbing, integer scoring, and gate are the real
+    * production shape, and swapping in trained weights is a
+    * one-relation change (broadcast a 1024-row weight table or bake
+    * literals). Integer weights in [-1000, 1000] keep every sum exact
+    * (|sum| < 2⁵³ up to 9×10⁴⁹ tokens/doc) so the gate is bit-identical
+    * across engines.
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val weightOf = (w: Column) =>
+      md5Long(concat(lit("w:"), pmod(md5Long(w), lit(1024L)).cast("string"))) % 2001L - 1000L
+    val scoreSum = aggregate(transform(t, weightOf), lit(0L), (acc, x) => acc + x)
+    val avg = when(col("n_tokens") === 0, lit(0L)).otherwise(
+      floor(col("score_sum").cast("double") / col("n_tokens").cast("double")).cast("long"))
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), size(t).cast("long").as("n_tokens"), scoreSum.as("score_sum"))
+      .withColumn("score_avg", avg)
+      .withColumn("keep", (col("score_avg") > 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  def qualityClassifierSql: String = {
+    val weight = "(CAST('0x' || substr(md5('w:' || CAST(" +
+      "CAST('0x' || substr(md5(w), 1, 14) AS BIGINT) % 1024" +
+      " AS VARCHAR)), 1, 14) AS BIGINT) % 2001) - 1000"
+    s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(list_sum(list_transform(toks, w -> $weight)), 0) AS BIGINT) AS score_sum
+       |  FROM tk),
+       |a AS (SELECT doc_id, n_tokens, score_sum,
+       |    CASE WHEN n_tokens = 0 THEN 0
+       |         ELSE CAST(floor(CAST(score_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+       |    END AS score_avg
+       |  FROM s)
+       |SELECT doc_id, n_tokens, score_sum, score_avg,
+       |  CAST(CASE WHEN score_avg > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------- bigram LM quality scoring
+  /** N-gram LM quality scoring — the CCNet-style perplexity-filtering
+    * stage: train a bigram model on a held-in half of the corpus
+    * (even doc_ids — [[evalSplit]]'s hash convention), score EVERY
+    * document by its mean per-bigram score under stupid backoff
+    * (Brants et al. 2007: score = c(w₁w₂)/c(w₁), backing off to
+    * 0.4·c(w₂)/N for unseen bigrams, 0 for OOV — scores, not
+    * normalized probabilities, exactly as published). Garbled text and
+    * boilerplate land in the low tail, natural prose in the middle —
+    * the gate CCNet cuts on. Scores are quantized to integer ppm at
+    * each division (fixed op order both engines) so the compare is
+    * exact; a float log-prob would hit libm's last-ulp divergence
+    * ([[unigramQuality]]'s rationale).
+    *
+    * Scale shape: the model IS two count relations (unigrams, bigrams
+    * — map-side-combining groupBys over the training half, no driver
+    * state); scoring is three left equi-joins from the per-doc
+    * DISTINCT bigram ledger (occurrences pre-aggregated to (doc, w₁,
+    * w₂, k) so repeated bigrams join once) + one broadcast of the
+    * 1-row token total, then a per-doc combining aggregate. Every
+    * shuffle keys on token text — Zipf skew on the model side is
+    * bounded because the join's build relations are counts, not
+    * occurrences; AQE handles the probe side. Linear at 100 TB.
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = table(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    def bigramsOf(df: DataFrame) = df.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = all.where(col("doc_id") % 2 === 0)
+    val trTok = train.select(explode(col("t")).as("w"))
+    val uni = trTok.groupBy("w").agg(count(lit(1)).as("c1"))
+    val nTr = trTok.agg(count(lit(1)).as("n"))
+    // ONE bigram pass over the corpus: the per-doc occurrence ledger is
+    // built once, and the training bigram counts fold out of it (the
+    // training half's ledger rows re-aggregated) instead of exploding
+    // the training documents a second time.
+    val occ = bigramsOf(all).groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    val big = occ.where(col("doc_id") % 2 === 0)
+      .groupBy("w1", "w2").agg(sum("k").as("c2"))
+    val s = when(col("c2").isNotNull,
+        floor(lit(1000000d) * col("c2").cast("double") / col("c1").cast("double")))
+      .otherwise(when(col("cw2").isNotNull,
+        floor(lit(400000d) * col("cw2").cast("double") / col("n").cast("double")))
+      .otherwise(lit(0d))).cast("long")
+    occ
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("cw2")), Seq("w2"), "left")
+      .crossJoin(broadcast(nTr))
+      .select(col("doc_id"), col("k"), s.as("s"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"),
+        floor(sum(col("k") * col("s")).cast("double") /
+          sum(col("k")).cast("double")).cast("long").as("lm_score_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def lmScoreSql: String =
+    """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |trt AS (SELECT unnest(toks) AS w FROM tk WHERE doc_id % 2 = 0),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM trt GROUP BY w),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trt),
+      |bg AS (SELECT doc_id,
+      |    unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+      |    unnest(list_slice(toks, 2, len(toks))) AS w2
+      |  FROM tk WHERE len(toks) >= 2),
+      |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      |  FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+      |occ AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+      |  FROM bg GROUP BY doc_id, w1, w2),
+      |sc AS (SELECT o.doc_id, o.k,
+      |    CASE WHEN b.c2 IS NOT NULL
+      |         THEN CAST(floor(1000000.0 * CAST(b.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)) AS BIGINT)
+      |         WHEN u2.c1 IS NOT NULL
+      |         THEN CAST(floor(400000.0 * CAST(u2.c1 AS DOUBLE) / CAST(n.n AS DOUBLE)) AS BIGINT)
+      |         ELSE 0 END AS s
+      |  FROM occ o
+      |  LEFT JOIN big b ON o.w1 = b.w1 AND o.w2 = b.w2
+      |  LEFT JOIN uni u1 ON o.w1 = u1.w
+      |  LEFT JOIN uni u2 ON o.w2 = u2.w, n)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |  CAST(floor(CAST(sum(k * s) AS DOUBLE) / CAST(sum(k) AS DOUBLE)) AS BIGINT) AS lm_score_ppm
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
