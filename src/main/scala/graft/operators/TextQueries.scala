@@ -1219,15 +1219,26 @@ object TextQueries {
     * (|sum| < 2⁵³ up to 9×10⁴⁹ tokens/doc) so the gate is bit-identical
     * across engines.
     */
-  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The classifier's (n_tokens, score_sum) expressions over `text` —
+    * ONE definition consumed by the batch op and the streaming gate
+    * ([[graft.streaming.StreamingOps.qualityGateStream]]), so a
+    * document the backfill keeps is exactly the document the live gate
+    * keeps.
+    */
+  private[graft] def classifierExprs: (Column, Column) = {
     val t = tokens(col("text"))
     val weightOf = (w: Column) =>
       md5Long(concat(lit("w:"), pmod(md5Long(w), lit(1024L)).cast("string"))) % 2001L - 1000L
-    val scoreSum = aggregate(transform(t, weightOf), lit(0L), (acc, x) => acc + x)
+    (size(t).cast("long"),
+      aggregate(transform(t, weightOf), lit(0L), (acc, x) => acc + x))
+  }
+
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nToks, scoreSum) = classifierExprs
     val avg = when(col("n_tokens") === 0, lit(0L)).otherwise(
       floor(col("score_sum").cast("double") / col("n_tokens").cast("double")).cast("long"))
     table(spark, sfDir, "documents")
-      .select(col("doc_id"), size(t).cast("long").as("n_tokens"), scoreSum.as("score_sum"))
+      .select(col("doc_id"), nToks.as("n_tokens"), scoreSum.as("score_sum"))
       .withColumn("score_avg", avg)
       .withColumn("keep", (col("score_avg") > 0).cast("long"))
       .orderBy("doc_id")

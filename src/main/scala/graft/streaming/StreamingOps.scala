@@ -84,6 +84,23 @@ object StreamingOps {
     docs.where(!leaks(sh))
   }
 
+  /** Stateless streaming quality gate: the SAME hashing-trick linear
+    * classifier as the batch op ([[graft.operators.TextQueries
+    * .qualityClassifier]] — the (n_tokens, score_sum) expressions are
+    * shared, not re-derived), keeping documents whose length-normalized
+    * score clears the gate. A pure narrow filter: no state, no
+    * watermark, no shuffle — model-based filtering at ingest speed
+    * forever, which is exactly why the hashing trick matters here (a
+    * vocabulary-join classifier would force a stream-static join per
+    * batch; the 1024 bucket weights live inside the expression).
+    * Empty and NULL texts score 0 and are dropped, the batch keep=0
+    * verdict.
+    */
+  def qualityGateStream(docs: DataFrame): DataFrame = {
+    val (n, s) = graft.operators.TextQueries.classifierExprs
+    docs.where(n > 0 && floor(s.cast("double") / n.cast("double")) > 0)
+  }
+
   /** Eval-side shingle hashes for [[decontaminateStream]] — a bounded
     * collect (the eval set is small by definition; the batch op
     * broadcasts the same relation).

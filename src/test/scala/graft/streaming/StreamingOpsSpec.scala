@@ -84,6 +84,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityGateStream keeps exactly the docs the batch classifier keeps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    implicit val sqlCtx = spark.sqlContext
+    // enough lexical variety that both keep-verdicts occur; the batch
+    // op is the ground truth (shared expressions, independent path)
+    val docs = (1L to 20L).map(i => (i, s"tok${i}a tok${i}b common word$i here")) ++
+      Seq((21L, "   "), (22L, "single"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qgate").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batchKept = graft.operators.TextQueries.qualityClassifier(spark, tmp)
+      .where(col("keep") === 1L).collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && batchKept.size < docs.size) // both verdicts occur
+    val input = MemoryStream[Doc]
+    val q = qualityGateStream(input.toDF()).writeStream
+      .format("memory").queryName("qgate").outputMode(OutputMode.Append())
+      .start()
+    try {
+      val (head, tail) = docs.splitAt(docs.size / 2)
+      input.addData(head.map { case (id, t) => Doc(id, ts(id.toInt), t) })
+      q.processAllAvailable()
+      input.addData(tail.map { case (id, t) => Doc(id, ts(id.toInt), t) })
+      q.processAllAvailable()
+      val streamKept = spark.table("qgate").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamKept === batchKept)
+    } finally q.stop()
+  }
+
   test("sessionize splits on the inactivity gap and counts events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
