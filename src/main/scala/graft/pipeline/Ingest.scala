@@ -54,8 +54,8 @@ object Ingest {
       chunkBatch: Int = 8,
       failpointAfterBatches: Option[Int] = None)
 
-  /** One import unit: a whole data file, or (strict-format CSV only) a
-    * byte-range chunk of one — the reference's `ChunkCheckpoint`
+  /** One import unit: a whole data file, or (strict-format CSV and
+    * dump files) a byte-range chunk of one — the reference's `ChunkCheckpoint`
     * (`lightning/checkpoints/checkpoints.go:231-274`). The token is
     * what `JobState.Record.files` stores, so sub-file progress
     * round-trips through the checkpoint file.
@@ -78,8 +78,12 @@ object Ingest {
     * (quoted null sentinels) split behavior mid-table. header=true
     * dialects never chunk: the un-chunked path name-matches reordered
     * header columns, which a chunk that cannot see the header can't
-    * do. Dump/parquet files stay whole (a split can land inside a
-    * string literal; parquet has row groups). Toggling strictFormat
+    * do. Parquet files stay whole (row groups already give Spark
+    * sub-file parallelism); `.sql` dumps chunk under the extra
+    * conditions below — going past the reference, which never splits
+    * dump files across workers (`region.go` splits CSV only) even
+    * though it checkpoints statement offsets within them. Toggling
+    * strictFormat
     * (or retuning chunkBytes) over existing state re-imports affected
     * tables from scratch — see the scheme-mismatch guard in `run`.
     */
@@ -94,8 +98,21 @@ object Ingest {
   private def expandUnits(spark: SparkSession, cfg: Config, d: Discovered): Seq[DataUnit] = {
     val canChunk = cfg.strictFormat && !cfg.csvDialect.header &&
       (d.schemaFile.nonEmpty || cfg.noSchema)
+    // .sql dumps chunk under the same strict-format gate (machine-
+    // generated files keep string literals newline-free, which is what
+    // makes line starts safe statement-scan anchors), but additionally
+    // need a known schema (the chunk parser projects by name with no
+    // table context) and a native-UTF-8 charset (a byte-seek into a
+    // legacy-charset file cannot re-synchronize the decoder).
+    val canChunkSql = cfg.strictFormat && d.schemaFile.nonEmpty &&
+      CharsetReader.isNativeUtf8(cfg.charset)
     d.dataFiles.flatMap { case (path, kind) =>
-      if (kind != FileKind.Csv || !canChunk || compressed(path)) Seq(DataUnit(path, kind))
+      val chunkable = !compressed(path) && (kind match {
+        case FileKind.Csv => canChunk
+        case FileKind.Sql => canChunkSql
+        case _ => false
+      })
+      if (!chunkable) Seq(DataUnit(path, kind))
       else {
         val p = new Path(path)
         val size = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -438,6 +455,9 @@ object Ingest {
           val names = schema.map(_.colNames).getOrElse(Seq.empty)
           MySqlCsv.readRaw(spark, Seq(u.path), names, dataDialect,
             forceTokenizer = cfg.strictFormat && !cfg.csvDialect.header)
+        case FileKind.Sql if u.isChunk =>
+          DumpSource.readRawChunk(spark, u.path, u.start, u.len,
+            schema.map(_.colNames).getOrElse(Seq.empty))
         case FileKind.Sql =>
           val names = schema.map(_.colNames).getOrElse(Seq.empty)
           DumpSource.readRaw(spark, Seq(u.path), names, cfg.charset)

@@ -74,16 +74,185 @@ object DumpSource {
     val rows = files.rdd.flatMap { text =>
       // statementIterator is lazy: peak task memory is the file text
       // plus ONE statement's rows, not the whole file parsed up front
-      statementIterator(text).flatMap { stmt =>
-        val perm: Seq[Int] =
-          if (stmt.columns.isEmpty) (0 until n)
-          else names.map(c => stmt.columns.indexWhere(_.equalsIgnoreCase(c)))
-        stmt.rows.map { vals =>
-          Row(perm.map(i => if (i >= 0 && i < vals.length) vals(i) else null): _*)
-        }
-      }
+      statementIterator(text).flatMap(stmtRows(_, names, n))
     }
     spark.createDataFrame(rows, outSchema)
+  }
+
+  /** One statement's rows permuted onto the schema column order — the
+    * SINGLE projection recipe shared by [[readRaw]] and
+    * [[readRawChunk]], so explicit-column-list handling can't drift
+    * between the whole-file and chunked paths.
+    */
+  private def stmtRows(stmt: Insert, names: Seq[String], n: Int): Seq[Row] = {
+    val perm: Seq[Int] =
+      if (stmt.columns.isEmpty) (0 until n)
+      else names.map(c => stmt.columns.indexWhere(_.equalsIgnoreCase(c)))
+    stmt.rows.map { vals =>
+      Row(perm.map(i => if (i >= 0 && i < vals.length) vals(i) else null): _*)
+    }
+  }
+
+  /** Read one byte-range chunk of an uncompressed UTF-8 dump file —
+    * the `.sql` face of the CSV chunk reader, sharing its ownership
+    * convention (Hadoop `LineRecordReader`'s): a chunk owns every
+    * statement whose INSERT keyword sits on a line that STARTS inside
+    * `[start, start+len)`; the partial first line belongs to the
+    * previous chunk, and the statement crossing the end boundary is
+    * finished by reading past it. Line starts are safe scan anchors
+    * because dump string literals never contain raw newlines
+    * (mysqldump/MyDumper escape LF/CR — the [[closeOfQuote]] clamp
+    * enforces exactly this), so a chunk can never begin mid-literal.
+    *
+    * The tail window past the chunk end grows geometrically until the
+    * boundary line closes and every owned statement parses clean of
+    * the window end (or EOF), so an owned statement is never silently
+    * truncated; the worst case (one statement spanning the whole rest
+    * of the file) degrades to the whole-file read's memory shape.
+    * Boundary arithmetic is done in BYTES (a '\n' byte is never part
+    * of a multi-byte UTF-8 sequence) and converted to char offsets by
+    * counting code units, so a chunk end that splits a multi-byte
+    * character still decodes through the single combined buffer.
+    */
+  def readRawChunk(
+      spark: SparkSession,
+      path: String,
+      start: Long,
+      len: Long,
+      colNames: Seq[String],
+      tailWindowBytes: Long = 4L << 20): DataFrame = {
+    require(colNames.nonEmpty, "chunked dump read requires schema column names")
+    val n = colNames.size
+    val names = colNames.map(_.toLowerCase)
+    val outSchema = StructType(colNames.map(StructField(_, StringType, nullable = true)))
+    val confEntries = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
+    val rows = spark.sparkContext.parallelize(Seq((path, start, len)), 1)
+      .flatMap { case (p, s0, l) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        val fileLen = fs.getFileStatus(hp).getLen
+        val in = fs.open(hp)
+        try {
+          chunkInserts((pos, buf) => in.readFully(pos, buf, 0, buf.length),
+            fileLen, s0, l, tailWindowBytes)
+            .flatMap(stmtRows(_, names, n))
+        } finally in.close()
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** The chunk scan against any positional reader (`read(pos, buf)`
+    * fills `buf` from byte offset `pos`) — ONE implementation behind
+    * both the Hadoop-FS task in [[readRawChunk]] and the in-memory
+    * grid-sweep specs, so boundary arithmetic is pinned where it can
+    * be swept exhaustively.
+    */
+  private[sources] def chunkInserts(
+      read: (Long, Array[Byte]) => Unit,
+      fileLen: Long, start: Long, len: Long,
+      tailWindowBytes: Long): Iterator[Insert] = {
+    val end = math.min(start + len, fileLen)
+    // snap: first line start at or after `start` (the start-1 trick —
+    // a chunk landing exactly on a line start keeps that line)
+    val snap =
+      if (start == 0L) 0L
+      else {
+        var pos = start - 1
+        var found = -1L
+        val buf = new Array[Byte](1 << 16)
+        while (found < 0 && pos < end) {
+          val want = math.min(buf.length.toLong, end - pos).toInt
+          val window = new Array[Byte](want)
+          read(pos, window)
+          var i = 0
+          while (found < 0 && i < want) {
+            if (window(i) == '\n') found = pos + i + 1
+            i += 1
+          }
+          pos += want
+        }
+        found // -1: the whole range is the middle of one line
+      }
+    if (snap < 0 || snap >= end) Iterator.empty
+    else {
+      val ownedLen = (end - snap).toInt
+      var stmts: Seq[Insert] = null
+      var tailLen = math.min(tailWindowBytes, fileLen - end)
+      var grow = math.max(1L, tailWindowBytes)
+      while (stmts == null) {
+        val eof = end + tailLen >= fileLen
+        val buf = new Array[Byte]((ownedLen + tailLen).toInt)
+        read(snap, buf)
+        chunkStatements(buf, ownedLen, eof) match {
+          case Some(ss) => stmts = ss
+          case None =>
+            tailLen = math.min(fileLen - end, tailLen + grow)
+            grow *= 2
+        }
+      }
+      stmts.iterator
+    }
+  }
+
+  /** Statements owned by the first `ownedLen` bytes of `buf` under the
+    * line-start ownership rule; None when the window must grow: the
+    * boundary line hasn't closed, an owned statement's parse ran into
+    * the window end, or an owned INSERT keyword failed to parse with
+    * nothing but window-end behind it (indistinguishable from
+    * truncation until more text or EOF proves otherwise).
+    */
+  private[sources] def chunkStatements(
+      buf: Array[Byte], ownedLen: Int, eof: Boolean): Option[Seq[Insert]] = {
+    // ownership cutoff: first line start at byte offset >= ownedLen
+    val boundaryByte: Int =
+      if (ownedLen <= 0) 0
+      else if (buf(ownedLen - 1) == '\n') ownedLen
+      else {
+        var i = ownedLen
+        while (i < buf.length && buf(i) != '\n') i += 1
+        if (i < buf.length) i + 1
+        else if (eof) buf.length
+        else return None // boundary line still open at window end
+      }
+    // byte offset -> UTF-16 code units: one per non-continuation byte,
+    // plus one more per 4-byte lead (surrogate pair). Exact for valid
+    // UTF-8, which strict-format machine dumps are.
+    var boundaryChars = 0
+    var bi = 0
+    while (bi < boundaryByte) {
+      val b = buf(bi) & 0xFF
+      if ((b & 0xC0) != 0x80) boundaryChars += (if (b >= 0xF0) 2 else 1)
+      bi += 1
+    }
+    val text = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    val kept = scala.collection.mutable.ArrayBuffer[Insert]()
+    var lastResume = 0
+    var crossed = false
+    val it = statementsWithOffsets(text)
+    while (!crossed && it.hasNext) {
+      val (ins, kw, resume) = it.next()
+      if (kw >= boundaryChars) crossed = true
+      else {
+        if (!eof && resume >= text.length) return None // owned parse hit window end
+        kept += ins
+        lastResume = resume
+      }
+    }
+    if (!crossed && !eof) {
+      // an owned keyword the iterator skipped with only window-end
+      // behind it: can't tell noise from truncation yet — grow. (If a
+      // later statement parsed — `crossed` — the skip was proven noise
+      // by the text continuing past it.)
+      val kw = nextStatementKeyword(text, lastResume)
+      if (kw >= 0 && kw < boundaryChars) return None
+    }
+    Some(kept.toSeq)
   }
 
   /** Inflate `.gz`/`.bz2` payloads (the two codecs discovery admits,
@@ -123,9 +292,17 @@ object DumpSource {
     * the (up to 256 MiB) file text in task memory; the scan position
     * only ever moves forward, so a whole-file iteration is O(fileSize).
     */
-  def statementIterator(text: String): Iterator[Insert] = new Iterator[Insert] {
+  def statementIterator(text: String): Iterator[Insert] =
+    statementsWithOffsets(text).map(_._1)
+
+  /** [[statementIterator]] with (statement, keyword char offset,
+    * resume char offset) — the offsets let [[chunkStatements]] decide
+    * chunk ownership and detect window-end truncation.
+    */
+  private[sources] def statementsWithOffsets(
+      text: String): Iterator[(Insert, Int, Int)] = new Iterator[(Insert, Int, Int)] {
     private var pos = 0
-    private var nextIns: Insert = _
+    private var nextIns: (Insert, Int, Int) = _
     private var exhausted = false
 
     @annotation.tailrec
@@ -136,7 +313,7 @@ object DumpSource {
         pos = start +
           (if (text.regionMatches(true, start, "INSERT", 0, 6)) 6 else 7)
         parseHead(text, pos) match {
-          case Some((ins, resume)) => pos = resume; nextIns = ins
+          case Some((ins, resume)) => pos = resume; nextIns = (ins, start, resume)
           case None => fetch() // not a VALUES statement; rescan after the keyword
         }
       }
@@ -147,7 +324,7 @@ object DumpSource {
       nextIns != null
     }
 
-    override def next(): Insert = {
+    override def next(): (Insert, Int, Int) = {
       if (!hasNext) throw new NoSuchElementException("no more statements")
       val r = nextIns
       nextIns = null

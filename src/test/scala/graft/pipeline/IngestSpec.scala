@@ -63,6 +63,68 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.run(spark, cfg).head.skipped)
   }
 
+  test("dump files chunk under strictFormat: crash mid-file resumes at the chunk") {
+    // the .sql face of the checkpoint_chunks scenario: one large dump
+    // file splits into byte-range units, a crash after 2 batches
+    // leaves their tokens recorded, and the resume imports only the
+    // remaining chunks (append without re-parse, final checksum green)
+    val root = Files.createTempDirectory("graft_sqlchunks").toString
+    Files.writeString(Paths.get(root, "d.big-schema.sql"),
+      "CREATE TABLE big (id int NOT NULL, v varchar(24), PRIMARY KEY (id));")
+    val body = (1 to 400).map(i => s"INSERT INTO big VALUES ($i,'val_$i');")
+      .mkString("", "\n", "\n")
+    Files.writeString(Paths.get(root, "d.big.0001.sql"), body)
+    val size = Files.size(Paths.get(root, "d.big.0001.sql"))
+    val out = Files.createTempDirectory("graft_sqlchunks_out").toString
+    val stateDir = Files.createTempDirectory("graft_sqlchunks_state").toString
+    val cfg = Ingest.Config(root, out, stateDir = Some(stateDir),
+      strictFormat = true, chunkBytes = 2048L, chunkBatch = 1)
+    val nChunks = ((size + 2047) / 2048).toInt
+    assert(nChunks >= 3, s"fixture must split into >=3 chunks, got $nChunks")
+    val e = intercept[IllegalStateException] {
+      Ingest.run(spark, cfg.copy(failpointAfterBatches = Some(2)))
+    }
+    assert(e.getMessage.contains("failpoint"))
+    val lastLine = Files.readString(Paths.get(stateDir, "state.jsonl"))
+      .trim.linesIterator.toSeq.last
+    assert(lastLine.contains("@0+2048") && lastLine.contains("@2048+2048"), lastLine)
+    assert(!lastLine.contains("@4096+"), "crash must leave later chunks unrecorded")
+    val reports = Ingest.run(spark, cfg)
+    assert(reports.length === 1 && reports.head.checksumOk && !reports.head.skipped)
+    assert(reports.head.nRows === 400)
+    val back = spark.read.parquet(s"$out/d.big").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(back.length === 400, "duplicates would mean verified chunks re-imported")
+    assert(back.map(_._1).sorted.toSeq === (1 to 400))
+    assert(back.toMap.apply(37) === "val_37")
+    assert(Ingest.run(spark, cfg).head.skipped)
+  }
+
+  test("compressed dumps stay whole-file units beside chunked plain dumps") {
+    val root = Files.createTempDirectory("graft_sqlmix").toString
+    Files.writeString(Paths.get(root, "d.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, v varchar(24), PRIMARY KEY (id));")
+    val plain = (1 to 120).map(i => s"INSERT INTO t VALUES ($i,'p_$i');")
+      .mkString("", "\n", "\n")
+    Files.writeString(Paths.get(root, "d.t.0001.sql"), plain)
+    val gzBody = (121 to 150).map(i => s"INSERT INTO t VALUES ($i,'z_$i');")
+      .mkString("", "\n", "\n")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(Paths.get(root, "d.t.0002.sql.gz")))
+    gz.write(gzBody.getBytes("UTF-8")); gz.close()
+    val out = Files.createTempDirectory("graft_sqlmix_out").toString
+    val stateDir = Files.createTempDirectory("graft_sqlmix_state").toString
+    val r = Ingest.run(spark, Ingest.Config(root, out, stateDir = Some(stateDir),
+      strictFormat = true, chunkBytes = 1024L, chunkBatch = 8)).head
+    assert(r.checksumOk && r.nRows === 150)
+    val state = Files.readString(Paths.get(stateDir, "state.jsonl"))
+    assert(state.contains("d.t.0001.sql@0+1024"), state)
+    assert(state.contains("d.t.0002.sql.gz\"") || state.contains("d.t.0002.sql.gz,"),
+      s"gz file must record as a whole-file token: $state")
+    assert(!state.contains("d.t.0002.sql.gz@"), state)
+    assert(spark.read.parquet(s"$out/d.t").count() === 150)
+  }
+
   test("toggling strictFormat over existing state re-imports, never duplicates") {
     val root = Files.createTempDirectory("graft_scheme").toString
     Files.writeString(Paths.get(root, "d.t-schema.sql"),

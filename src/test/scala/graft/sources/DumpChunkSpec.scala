@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Chunked dump reading: every byte-grid over a torture fixture must
+  * reproduce exactly the whole-file parse — no lost, duplicated, or
+  * phantom rows, whatever line/statement/character the boundary
+  * splits. The sweep runs against [[DumpSource.chunkInserts]] with an
+  * in-memory positional reader (the same implementation the Hadoop-FS
+  * task calls), with tail windows down to 1 byte so the
+  * grow-until-parseable path is exercised at essentially every
+  * boundary position.
+  */
+class DumpChunkSpec extends AnyFunSuite {
+
+  // multi-line statements, two statements on one line, explicit column
+  // list, comment/string INSERT noise, quote escapes, multi-byte UTF-8
+  private val fixture =
+    """/* mydumper-style header comment */
+      |INSERT INTO t VALUES (1,'alpha');
+      |INSERT INTO t (v, id) VALUES ('beta-β', 2);
+      |INSERT INTO t VALUES (3,'multi'),
+      |(4,'line'),
+      |(5,'values');
+      |INSERT INTO t VALUES (6,'a'); INSERT INTO t VALUES (7,'same line');
+      |-- INSERT INTO t VALUES (97,'comment noise')
+      |SET @x = 'INSERT INTO t VALUES (98,''string noise'')';
+      |INSERT INTO t VALUES (8,'it''s \n escaped');
+      |INSERT INTO t VALUES (9,'日本語テキスト');
+      |""".stripMargin
+
+  private def sweep(text: String, grid: Long, window: Long): Seq[Seq[String]] = {
+    val bytes = text.getBytes(UTF_8)
+    val read = (pos: Long, buf: Array[Byte]) =>
+      System.arraycopy(bytes, pos.toInt, buf, 0, buf.length)
+    (0L until bytes.length.toLong by grid).flatMap { off =>
+      DumpSource.chunkInserts(read, bytes.length.toLong, off,
+        math.min(grid, bytes.length - off), window).toSeq
+    }.flatMap(_.rows).map(_.toSeq)
+  }
+
+  test("every chunk grid and tail window reproduces the whole-file parse") {
+    val whole = DumpSource.parseStatements(fixture).flatMap(_.rows).map(_.toSeq)
+    assert(whole.size === 9)
+    for (grid <- Seq(1L, 3L, 7L, 13L, 64L, 1000L); window <- Seq(1L, 5L, 4096L)) {
+      val chunked = sweep(fixture, grid, window)
+      assert(chunked === whole, s"grid=$grid window=$window")
+    }
+  }
+
+  test("explicit column lists keep their permutation through the chunked path") {
+    val bytes = fixture.getBytes(UTF_8)
+    val read = (pos: Long, buf: Array[Byte]) =>
+      System.arraycopy(bytes, pos.toInt, buf, 0, buf.length)
+    val stmts = (0L until bytes.length.toLong by 16L).flatMap { off =>
+      DumpSource.chunkInserts(read, bytes.length.toLong, off, 16L, 8L).toSeq
+    }
+    val withCols = stmts.filter(_.columns.nonEmpty)
+    assert(withCols.map(_.columns) === Seq(Seq("v", "id")))
+    assert(withCols.head.rows.head.toSeq === Seq("beta-β", "2"))
+  }
+
+  test("a statement larger than chunk and window parses once, in its owner chunk") {
+    val big = "INSERT INTO t VALUES " +
+      (1 to 200).map(i => s"($i,'v$i')").mkString(",") + ";\n"
+    val text = "INSERT INTO t VALUES (0,'small');\n" + big
+    val whole = DumpSource.parseStatements(text).flatMap(_.rows).map(_.toSeq)
+    assert(whole.size === 201)
+    assert(sweep(text, 40L, 10L) === whole)
+  }
+
+  test("a trailing line without newline is owned by the last covering chunk") {
+    val text = "INSERT INTO t VALUES (1,'a');\nINSERT INTO t VALUES (2,'b');"
+    val whole = DumpSource.parseStatements(text).flatMap(_.rows).map(_.toSeq)
+    for (grid <- Seq(3L, 10L, 31L))
+      assert(sweep(text, grid, 4L) === whole, s"grid=$grid")
+  }
+}
