@@ -1226,7 +1226,10 @@ object TextQueries {
     * keeps.
     */
   private[graft] def classifierExprs: (Column, Column) = {
-    val t = tokens(col("text"))
+    // NULL text scores as empty (0 tokens, score 0, keep 0) on BOTH
+    // engines — without the coalesce, Spark's NULL array would leak
+    // NULL through size/aggregate while the oracle's coalesce yields 0
+    val t = tokens(coalesce(col("text"), lit("")))
     val weightOf = (w: Column) =>
       md5Long(concat(lit("w:"), pmod(md5Long(w), lit(1024L)).cast("string"))) % 2001L - 1000L
     (size(t).cast("long"),
@@ -1248,7 +1251,12 @@ object TextQueries {
     val weight = "(CAST('0x' || substr(md5('w:' || CAST(" +
       "CAST('0x' || substr(md5(w), 1, 14) AS BIGINT) % 1024" +
       " AS VARCHAR)), 1, 14) AS BIGINT) % 2001) - 1000"
-    s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+    // NULL text folds to '' before tokenizing — the twin of the Spark
+    // side's coalesce, so a NULL row is (0, 0, 0, keep 0) on both
+    val toks = "CASE WHEN len(trim(coalesce(text, ''))) = 0 " +
+      "THEN CAST([] AS VARCHAR[]) " +
+      "ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+') END"
+    s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
        |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        |    CAST(coalesce(list_sum(list_transform(toks, w -> $weight)), 0) AS BIGINT) AS score_sum
        |  FROM tk),
@@ -1264,9 +1272,12 @@ object TextQueries {
 
   // --------------------------------------- bigram LM quality scoring
   /** N-gram LM quality scoring — the CCNet-style perplexity-filtering
-    * stage: train a bigram model on a held-in half of the corpus
-    * (even doc_ids — [[evalSplit]]'s hash convention), score EVERY
-    * document by its mean per-bigram score under stupid backoff
+    * stage: train a bigram model on a held-in half of the corpus (the
+    * even-doc_id parity split — deliberately simpler than
+    * [[evalSplit]]'s md5-bucket convention, and spelled identically in
+    * the oracle), then score every document WITH at least one bigram
+    * (docs of fewer than two tokens have no bigrams and emit no row,
+    * on both engines) by its mean per-bigram score under stupid backoff
     * (Brants et al. 2007: score = c(w₁w₂)/c(w₁), backing off to
     * 0.4·c(w₂)/N for unseen bigrams, 0 for OOV — scores, not
     * normalized probabilities, exactly as published). Garbled text and

@@ -101,10 +101,12 @@ object Ingest {
     // .sql dumps chunk under the same strict-format gate (machine-
     // generated files keep string literals newline-free, which is what
     // makes line starts safe statement-scan anchors), but additionally
-    // need a known schema (the chunk parser projects by name with no
-    // table context) and a native-UTF-8 charset (a byte-seek into a
-    // legacy-charset file cannot re-synchronize the decoder).
-    val canChunkSql = cfg.strictFormat && d.schemaFile.nonEmpty &&
+    // need known column names — from the schema file or noSchema's
+    // target-table lookup, the same pair the CSV gate accepts — and a
+    // native-UTF-8 charset (a byte-seek into a legacy-charset file
+    // cannot re-synchronize the decoder).
+    val canChunkSql = cfg.strictFormat &&
+      (d.schemaFile.nonEmpty || cfg.noSchema) &&
       CharsetReader.isNativeUtf8(cfg.charset)
     d.dataFiles.flatMap { case (path, kind) =>
       val chunkable = !compressed(path) && (kind match {

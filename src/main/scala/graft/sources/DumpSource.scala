@@ -125,17 +125,11 @@ object DumpSource {
     val n = colNames.size
     val names = colNames.map(_.toLowerCase)
     val outSchema = StructType(colNames.map(StructField(_, StringType, nullable = true)))
-    val confEntries = {
-      import scala.jdk.CollectionConverters._
-      spark.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => (e.getKey, e.getValue)).toArray
-    }
+    val confEntries = ConfShip.entries(spark)
     val rows = spark.sparkContext.parallelize(Seq((path, start, len)), 1)
       .flatMap { case (p, s0, l) =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(conf)
+        val fs = hp.getFileSystem(ConfShip.rebuild(confEntries))
         val fileLen = fs.getFileStatus(hp).getLen
         val in = fs.open(hp)
         try {
@@ -179,13 +173,26 @@ object DumpSource {
         }
         found // -1: the whole range is the middle of one line
       }
+    // a byte[] window caps at Int range; chunk grids are far below it
+    // (256 MiB default) and a window driven past it by one enormous
+    // statement/boundary line must fail loudly, not wrap negative
+    val maxWindow = (Int.MaxValue - 64).toLong
     if (snap < 0 || snap >= end) Iterator.empty
+    else if (end - snap > maxWindow)
+      throw new IllegalStateException(
+        s"dump chunk [$start+$len) spans ${end - snap} bytes after the " +
+          "line snap — over the 2 GiB window limit; lower chunkBytes")
     else {
       val ownedLen = (end - snap).toInt
       var stmts: Seq[Insert] = null
       var tailLen = math.min(tailWindowBytes, fileLen - end)
       var grow = math.max(1L, tailWindowBytes)
       while (stmts == null) {
+        if (ownedLen + tailLen > maxWindow)
+          throw new IllegalStateException(
+            s"dump chunk window at [$start+$len) grew past 2 GiB without " +
+              "closing a statement or boundary line; the file is not " +
+              "strict-format — import it without chunking")
         val eof = end + tailLen >= fileLen
         val buf = new Array[Byte]((ownedLen + tailLen).toInt)
         read(snap, buf)
@@ -207,6 +214,13 @@ object DumpSource {
     * nothing but window-end behind it (indistinguishable from
     * truncation until more text or EOF proves otherwise).
     */
+  /** A failed head-parse more than this far from the window end is
+    * proven noise (a real `INSERT INTO tbl (cols) VALUES` head
+    * resolves in far less), not truncation — bounds the window growth
+    * a noise keyword near EOF could otherwise drive to the whole file.
+    */
+  private val HeadProbeChars = 1 << 20
+
   private[sources] def chunkStatements(
       buf: Array[Byte], ownedLen: Int, eof: Boolean): Option[Seq[Insert]] = {
     // ownership cutoff: first line start at byte offset >= ownedLen
@@ -231,6 +245,26 @@ object DumpSource {
       bi += 1
     }
     val text = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    // chunking precondition: no multi-line plain block comments — a
+    // later chunk would snap to a line start INSIDE one and lex its
+    // body as SQL (phantom rows the checksum would then bless). Fail
+    // the import loudly rather than corrupt silently; single-line
+    // comments (all mysqldump/MyDumper ever emit) and versioned
+    // comments (bodies are executable SQL) pass.
+    val (multilineAt, untermAt) = blockCommentIssue(text)
+    if (multilineAt >= 0)
+      throw new IllegalStateException(
+        s"multi-line block comment at offset $multilineAt breaks dump " +
+          "chunking (a chunk boundary inside it would misparse); this " +
+          "file is not strict-format — import it without chunking")
+    if (untermAt >= 0) {
+      if (!eof) return None // closer beyond window: grow until known
+      if (text.indexOf('\n', untermAt) >= 0)
+        throw new IllegalStateException(
+          s"unterminated block comment at offset $untermAt spans lines; " +
+            "not strict-format — import without chunking")
+      // single-line trailing garbage at EOF: scanner recovery handles it
+    }
     val kept = scala.collection.mutable.ArrayBuffer[Insert]()
     var lastResume = 0
     var crossed = false
@@ -247,10 +281,11 @@ object DumpSource {
     if (!crossed && !eof) {
       // an owned keyword the iterator skipped with only window-end
       // behind it: can't tell noise from truncation yet — grow. (If a
-      // later statement parsed — `crossed` — the skip was proven noise
-      // by the text continuing past it.)
+      // later statement parsed — `crossed` — or the keyword sits a full
+      // head-probe before the window end, the skip is proven noise.)
       val kw = nextStatementKeyword(text, lastResume)
-      if (kw >= 0 && kw < boundaryChars) return None
+      if (kw >= 0 && kw < boundaryChars && text.length - kw < HeadProbeChars)
+        return None
     }
     Some(kept.toSeq)
   }
@@ -442,11 +477,7 @@ object DumpSource {
         val end = closeOfQuote(s, i, c)
         i = if (end < 0) i + 1 else end // unterminated: recover, don't swallow
       } else if (c == '`') {
-        // same newline clamp as closeOfQuote: dump identifiers are
-        // single-line, so an opener unmatched on its line is noise
-        val end = s.indexOf('`', i + 1)
-        val eol = s.indexOf('\n', i + 1)
-        i = if (end < 0 || (eol >= 0 && eol < end)) i + 1 else end + 1
+        i = closeOfBacktick(s, i)
       } else if ((c == 'I' || c == 'i') &&
           s.regionMatches(true, i, "INSERT", 0, 6) &&
           (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
@@ -460,6 +491,68 @@ object DumpSource {
       } else i += 1
     }
     -1
+  }
+
+  /** Scan position after a backtick identifier opening at `open`, with
+    * the same line clamp as [[closeOfQuote]] (both '\n' and '\r' —
+    * dump identifiers are single-line whatever the line ending): an
+    * opener unmatched on its own line is noise, scan resumes one char
+    * in rather than pairing with a backtick lines later and inverting
+    * parity.
+    */
+  private def closeOfBacktick(s: String, open: Int): Int = {
+    var i = open + 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\n' || c == '\r') return open + 1
+      if (c == '`') return i + 1
+      i += 1
+    }
+    open + 1
+  }
+
+  /** First block comment that breaks the chunking precondition, as
+    * (multilineAt, untermAt): `multilineAt` ≥ 0 — a plain (non-
+    * versioned) block comment provably spans a line boundary, which a
+    * later chunk would snap into and lex as SQL (phantom-row risk —
+    * the chunked import must fail loudly); `untermAt` ≥ 0 — an opener
+    * whose closer lies beyond the text (the chunk window must grow
+    * before the verdict is known). (-1, -1) = clean. The walk mirrors
+    * [[nextStatementKeyword]]'s lexical branches exactly (strings,
+    * backticks, line comments, versioned comments whose bodies lex as
+    * SQL and are therefore chunk-safe) so a `[slash][star]` inside a
+    * string literal can't false-positive — `DumpChunkSpec` pins the
+    * two walkers' agreement on the torture fixtures.
+    */
+  private[sources] def blockCommentIssue(s: String): (Int, Int) = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-' &&
+          (i + 2 >= n || s.charAt(i + 2) == ' ' || s.charAt(i + 2) == '\t' ||
+            s.charAt(i + 2) == '\r' || s.charAt(i + 2) == '\n')) {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '#') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        if (i + 2 < n && s.charAt(i + 2) == '!') i += 3 // versioned: lexes as SQL
+        else {
+          val end = s.indexOf("*/", i + 2)
+          if (end < 0) return (-1, i)
+          if (s.lastIndexOf('\n', end) > i) return (i, -1)
+          i = end + 2
+        }
+      } else if (c == '*' && i + 1 < n && s.charAt(i + 1) == '/') {
+        i += 2
+      } else if (c == '\'' || c == '"') {
+        val end = closeOfQuote(s, i, c)
+        i = if (end < 0) i + 1 else end
+      } else if (c == '`') {
+        i = closeOfBacktick(s, i)
+      } else i += 1
+    }
+    (-1, -1)
   }
 
   private def skipWs(s: String, from: Int): Int = {

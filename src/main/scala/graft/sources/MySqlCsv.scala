@@ -201,19 +201,11 @@ object MySqlCsv {
     val header = dialect.header
     val encoding = dialect.encoding
     val n = colNames.size
-    // ship the Hadoop conf as plain entries (public API only) so the
-    // chunk read resolves the same filesystems the driver's listing did
-    val confEntries = {
-      import scala.jdk.CollectionConverters._
-      spark.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => (e.getKey, e.getValue)).toArray
-    }
+    val confEntries = ConfShip.entries(spark)
     val outSchema = StructType(colNames.map(StructField(_, StringType, nullable = true)))
     val rows = spark.sparkContext.parallelize(Seq((path, start, len)), 1)
       .flatMap { case (p, s, l) =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
-        val lines = chunkLines(conf, p, s, l)
+        val lines = chunkLines(ConfShip.rebuild(confEntries), p, s, l)
         // a task that dies mid-iteration (kill, downstream throw) must
         // not leak the open FS stream
         Option(org.apache.spark.TaskContext.get())

@@ -31,13 +31,15 @@ class QualityModelSpec extends SparkSpec {
     val dir = docsFixture(Seq(
       (1L, "alpha beta alpha"),
       (2L, "gamma"),
-      (3L, "   "))) // whitespace-only: 0 tokens, score 0, keep 0
+      (3L, "   "),   // whitespace-only: 0 tokens, score 0, keep 0
+      (4L, null)))   // NULL text folds to empty — same verdict as doc 3
     val out = QualityRef.rows(TextQueries.qualityClassifier(spark, dir))
     val s1 = 2 * weightOf("alpha") + weightOf("beta")
     val s2 = weightOf("gamma")
     assert(out(1L) === ((3L, s1, math.floor(s1 / 3.0).toLong)))
     assert(out(2L) === ((1L, s2, math.floor(s2 / 1.0).toLong)))
     assert(out(3L) === ((0L, 0L, 0L)))
+    assert(out(4L) === ((0L, 0L, 0L)))
     // the keep gate is exactly score_avg > 0
     val keeps = TextQueries.qualityClassifier(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(4)).toMap

@@ -16,7 +16,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class DumpChunkSpec extends AnyFunSuite {
 
   // multi-line statements, two statements on one line, explicit column
-  // list, comment/string INSERT noise, quote escapes, multi-byte UTF-8
+  // list, comment/string INSERT noise, quote escapes, multi-byte UTF-8,
+  // a comment-opener inside a string, a multi-line VERSIONED comment
+  // (its body lexes as SQL, so it is chunk-safe, unlike plain ones)
   private val fixture =
     """/* mydumper-style header comment */
       |INSERT INTO t VALUES (1,'alpha');
@@ -29,6 +31,10 @@ class DumpChunkSpec extends AnyFunSuite {
       |SET @x = 'INSERT INTO t VALUES (98,''string noise'')';
       |INSERT INTO t VALUES (8,'it''s \n escaped');
       |INSERT INTO t VALUES (9,'日本語テキスト');
+      |INSERT INTO t VALUES (10,'slash /* star');
+      |/*!40000 ALTER TABLE t
+      |  DISABLE KEYS */;
+      |INSERT INTO t VALUES (11,'after versioned');
       |""".stripMargin
 
   private def sweep(text: String, grid: Long, window: Long): Seq[Seq[String]] = {
@@ -43,11 +49,46 @@ class DumpChunkSpec extends AnyFunSuite {
 
   test("every chunk grid and tail window reproduces the whole-file parse") {
     val whole = DumpSource.parseStatements(fixture).flatMap(_.rows).map(_.toSeq)
-    assert(whole.size === 9)
+    assert(whole.size === 11)
     for (grid <- Seq(1L, 3L, 7L, 13L, 64L, 1000L); window <- Seq(1L, 5L, 4096L)) {
       val chunked = sweep(fixture, grid, window)
       assert(chunked === whole, s"grid=$grid window=$window")
     }
+  }
+
+  test("a multi-line PLAIN block comment fails the chunked read loudly") {
+    // a chunk snapping to a line start inside the comment would lex
+    // its body as SQL and emit the phantom row — with a checksum
+    // computed from the same parse, the corruption would verify green.
+    // The owner chunk must refuse instead.
+    val poisoned =
+      """/* header spanning
+        |INSERT INTO t VALUES (99,'phantom');
+        |lines */
+        |INSERT INTO t VALUES (1,'real');
+        |""".stripMargin
+    assert(DumpSource.parseStatements(poisoned)
+      .flatMap(_.rows).map(_.toSeq) === Seq(Seq("1", "real")))
+    for (grid <- Seq(10L, 20L, 37L, 1000L)) {
+      val e = intercept[IllegalStateException](sweep(poisoned, grid, 64L))
+      assert(e.getMessage.contains("block comment"), s"grid=$grid: ${e.getMessage}")
+    }
+  }
+
+  test("an unterminated multi-line comment at EOF also refuses; single-line trailing garbage passes") {
+    val unterm = "INSERT INTO t VALUES (1,'a');\n/* trailing\nnever closed"
+    val e = intercept[IllegalStateException](sweep(unterm, 16L, 8L))
+    assert(e.getMessage.contains("block comment"))
+    val singleLine = "INSERT INTO t VALUES (1,'a');\n/* trailing junk"
+    assert(sweep(singleLine, 16L, 8L) === Seq(Seq("1", "a")))
+  }
+
+  test("CR-only line endings: a stray backtick clamps at the line end") {
+    // without the \r clamp the opener would pair with `t`'s backtick
+    // lines later and swallow the INSERT between them
+    val text = "SET @x = `broken\rINSERT INTO `t` VALUES (1,'a');\r"
+    val rows = DumpSource.parseStatements(text).flatMap(_.rows).map(_.toSeq)
+    assert(rows === Seq(Seq("1", "a")))
   }
 
   test("explicit column lists keep their permutation through the chunked path") {
