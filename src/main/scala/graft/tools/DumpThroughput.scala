@@ -34,11 +34,11 @@ object DumpThroughput {
       Files.writeString(dump, text)
     }
     val bytes = Files.size(dump)
-    // SQL dumps are not byte-splittable (a split can land inside a
-    // string literal — same constraint as the reference), so one file
-    // = one task; MyDumper's ≤256 MiB files make files the parallel
-    // unit. Measure both shapes: single file (per-core speed) and the
-    // file-per-core layout a real dump directory has.
+    // Three shapes: single file through the whole-file reader (per-core
+    // parse speed), the file-per-core layout a MyDumper directory has,
+    // and the single file CHUNKED through readRawChunk — the shape
+    // that parallelizes inside one big file, which the reference never
+    // does (its region maker splits CSV only).
     val shardDir = Paths.get(s"/tmp/graft_dump_probe_shards_$tag")
     val nShards = cores.toInt
     if (!Files.exists(shardDir.resolve(s"done_$nShards"))) {
@@ -68,9 +68,22 @@ object DumpThroughput {
     }
     val (n1, sec1) = timed(Seq(dump.toString))
     val (nk, seck) = timed(shardPaths)
+    def timedChunked(nChunks: Int): (Long, Double) = {
+      val grid = math.max(1L, (bytes + nChunks - 1) / nChunks)
+      def df = (0L until bytes by grid)
+        .map(off => DumpSource.readRawChunk(
+          spark, dump.toString, off, math.min(grid, bytes - off), cols))
+        .reduce(_ union _)
+      df.count() // warm-up: JIT + codegen
+      val t0 = System.nanoTime()
+      val n = df.count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nc, secc) = timedChunked(cores.toInt)
     val mib1 = bytes / 1048576.0 / sec1
     val mibk = bytes / 1048576.0 / seck
-    println(f"""{"metric":"dump_parse","bytes":$bytes,"rows":$n1,"single_file_sec":$sec1%.3f,"single_file_mib_per_sec":$mib1%.1f,"sharded_rows":$nk,"sharded_sec":$seck%.3f,"sharded_mib_per_sec":$mibk%.1f,"shards":$nShards,"cores":$cores}""")
+    val mibc = bytes / 1048576.0 / secc
+    println(f"""{"metric":"dump_parse","bytes":$bytes,"rows":$n1,"single_file_sec":$sec1%.3f,"single_file_mib_per_sec":$mib1%.1f,"sharded_rows":$nk,"sharded_sec":$seck%.3f,"sharded_mib_per_sec":$mibk%.1f,"chunked_rows":$nc,"chunked_sec":$secc%.3f,"chunked_mib_per_sec":$mibc%.1f,"shards":$nShards,"cores":$cores}""")
     spark.stop()
   }
 }
