@@ -305,4 +305,40 @@ object CoreQueries {
     """SELECT event_type, count(DISTINCT user_id) AS exact_users,
       |  TRUE AS hll_within_10pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Heavy-hitters audit (the frequency face of the sketch surface,
+    * beside [[sketchDistinct]]'s cardinality face): the corpus's true
+    * heavy-hitter tokens — exact count > N/32 — each witnessed
+    * present in a 64-counter Misra–Gries summary built in one
+    * map-side-combining pass ([[graft.functions.MisraGries]]). The
+    * witness leans only on the sketch's order-independent guarantee
+    * (undercount ≤ N/64 < the N/32 threshold margin), so it is
+    * deterministic even though the sketch's non-heavy tail varies
+    * with partitioning; the oracle states the same guarantee as a
+    * literal. At 100 TB the sketch pass is the cheap mergeable one —
+    * it is exactly the hot-key list a salted join wants — and the
+    * exact count beside it is the expensive audit-only pass.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.MisraGries
+    val toks = table(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val sketch = toks.agg(
+      map_keys(MisraGries.sketch(64, col("tok"))).as("hh"),
+      count(lit(1)).as("n"))
+    toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(sketch))
+      .where(col("cnt") * 32 > col("n"))
+      .select(col("tok"), col("cnt"),
+        array_contains(col("hh"), col("tok")).cast("long").as("in_sketch"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  def heavyHittersSql: String =
+    """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+      |SELECT tok, cnt, CAST(1 AS BIGINT) AS in_sketch
+      |FROM c, n WHERE cnt * 32 > n ORDER BY cnt DESC, tok""".stripMargin
 }
