@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.functions.{coalesce, col, lit, max, sum}
+import org.apache.spark.sql.functions.{coalesce, col, countDistinct, lit, max, sum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.discover.{FileKind, FileRouter, RouteResult, TableFilter, TableRoute, TableRouter}
@@ -96,8 +96,19 @@ object Ingest {
     path.endsWith(".gz") || path.endsWith(".bz2")
 
   private def expandUnits(spark: SparkSession, cfg: Config, d: Discovered): Seq[DataUnit] = {
+    // the effective DATA encoding (mirrors restoreFiles' dataDialect):
+    // an explicit dialect encoding wins over the table-level charset.
+    // Chunking additionally needs 0x0A to be an unambiguous line
+    // anchor in that encoding — byte-oriented charsets (UTF-8,
+    // GB18030, latin1…) qualify; UTF-16/32 would split lines mid-
+    // character and decode odd-length fragments as garbage.
+    val csvDataEncoding =
+      if (cfg.csvDialect.encoding == "UTF-8" && !CharsetReader.isNativeUtf8(cfg.charset))
+        CharsetReader.jvmName(cfg.charset)
+      else cfg.csvDialect.encoding
     val canChunk = cfg.strictFormat && !cfg.csvDialect.header &&
-      (d.schemaFile.nonEmpty || cfg.noSchema)
+      (d.schemaFile.nonEmpty || cfg.noSchema) &&
+      CharsetReader.newlineByteSafe(csvDataEncoding)
     // .sql dumps chunk under the same strict-format gate (machine-
     // generated files keep string literals newline-free, which is what
     // makes line starts safe statement-scan anchors), but additionally
@@ -267,8 +278,22 @@ object Ingest {
       // behavior change). Only the FINAL batch pays the whole-table
       // read-back verification, like the reference's one table-level
       // checksum after all chunks land.
+      //
+      // A NARROW auto-inc column forces one batch: its dense NULL
+      // fills allocate above the batch-local explicit max, so a fill
+      // from an early batch could collide with an explicit id a later
+      // batch hasn't parsed yet — and the accumulated checksum would
+      // bless the duplicate (it expects both rows). One batch computes
+      // the explicit max over the whole table, like the unchunked
+      // path; chunk-parallel PARSE is kept, only the write-job split
+      // (and with it mid-file resume for these tables) is given up.
+      // Wide columns fill from the ≥2⁵² range, disjoint from any
+      // explicit id, so they keep the batch split.
+      val narrowAutoInc = loadSchema(spark, cfg, d).exists(_.columns.exists(c =>
+        (c.autoIncrement || c.autoRandomBits.isDefined) && !wideAuto(c)))
       val batches: Seq[Seq[DataUnit]] =
-        if (units.exists(_.isChunk)) units.grouped(math.max(1, cfg.chunkBatch)).toSeq
+        if (units.exists(_.isChunk) && !narrowAutoInc)
+          units.grouped(math.max(1, cfg.chunkBatch)).toSeq
         else Seq(units)
       // bad-row counts are per-batch observations; the maxError gate
       // (and the reported total) must see their SUM across the whole
@@ -425,20 +450,33 @@ object Ingest {
       primaryKey = Nil)
   }
 
+  /** The table's schema under the config's precedence rules: no-schema
+    * mode IGNORES any -schema.sql in the dump (the reference's
+    * --no-schema precedence: the pre-created downstream table is
+    * authoritative, even when stale schema files are lying around the
+    * dump directory).
+    */
+  private def loadSchema(spark: SparkSession, cfg: Config, d: Discovered): Option[TableSchema] =
+    if (cfg.noSchema) Some(targetSchema(spark, cfg, d))
+    else d.schemaFile.map { p =>
+      MysqlDdl.parse(CharsetReader.readSchemaFile(
+        spark.sparkContext.hadoopConfiguration, p, cfg.charset))
+    }
+
+  /** Only true bigint (and AUTO_RANDOM, bigint by definition) can hold
+    * the high-range/partition-shifted synthesis schemes; anything
+    * narrower takes the dense counting path. Classified by the MYSQL
+    * type, not the Spark type: `int unsigned` maps to LongType but its
+    * real domain tops out at 2³²−1.
+    */
+  private def wideAuto(c: graft.schema.ColumnSpec): Boolean =
+    c.autoRandomBits.isDefined || c.mysqlType.startsWith("bigint")
+
   private def restoreFiles(spark: SparkSession, cfg: Config, d: Discovered,
       files: Seq[DataUnit],
       prior: Option[KvChecksum], priorMaxId: Long,
       verify: Boolean = true): (TableReport, KvChecksum) = {
-    // no-schema mode IGNORES any -schema.sql in the dump (the
-    // reference's --no-schema precedence: the pre-created downstream
-    // table is authoritative, even when stale schema files are lying
-    // around the dump directory)
-    val schema: Option[TableSchema] =
-      if (cfg.noSchema) Some(targetSchema(spark, cfg, d))
-      else d.schemaFile.map { p =>
-        MysqlDdl.parse(CharsetReader.readSchemaFile(
-          spark.sparkContext.hadoopConfiguration, p, cfg.charset))
-      }
+    val schema: Option[TableSchema] = loadSchema(spark, cfg, d)
     // cfg.charset governs DATA files too (reference data-character-set):
     // a non-UTF-8 charset routes the CSV read through the JVM-charset
     // tokenizer path and the dump read through a byte-decode, instead
@@ -506,18 +544,12 @@ object Ingest {
         case None => RowTransform.syntheticRowId(base)
       }
     // The partition-shifted / high-range schemes produce values far
-    // beyond 2³¹ — fine for bigint (and AUTO_RANDOM is bigint by
-    // definition), but an int/smallint auto-inc column would overflow
-    // to NULL in the cast. Narrow columns take the dense counting
-    // scheme instead (chunkedRowId — one extra materialization pass,
-    // bounded by the narrow type's own row-count ceiling).
-    // classified by the MYSQL type, not the Spark type: `int unsigned`
-    // maps to LongType but its real domain tops out at 2³²−1, so it
-    // must take the dense path too — only true bigint (and AUTO_RANDOM,
-    // bigint by definition) can hold the high-range/partition-shifted
-    // values
-    def wide(c: graft.schema.ColumnSpec): Boolean =
-      c.autoRandomBits.isDefined || c.mysqlType.startsWith("bigint")
+    // beyond 2³¹ — fine for bigint, but an int/smallint auto-inc
+    // column would overflow to NULL in the cast. Narrow columns take
+    // the dense counting scheme instead (chunkedRowId — one extra
+    // materialization pass, bounded by the narrow type's own
+    // row-count ceiling).
+    def wide(c: graft.schema.ColumnSpec): Boolean = wideAuto(c)
     // MySQL integer-domain ceiling for the dense-fill overflow guard
     def narrowTypeMax(c: graft.schema.ColumnSpec): Long = {
       val signedMax = c.mysqlType.takeWhile(_.isLetter).toLowerCase match {
@@ -560,17 +592,25 @@ object Ingest {
             if (nNulls == 0L) union
             else {
               val base = math.max(priorMaxId, explicitMax)
-              // fail BEFORE synthesizing: a fill past the MySQL type's
-              // ceiling would otherwise null out in the non-ANSI cast
-              // and surface only as an opaque cast-error count
+              // fills are base + ROW POSITION (chunkedRowId numbers
+              // every row; the coalesce picks it up only where the
+              // carried value is NULL), so the highest fill is the
+              // LAST NULL ROW's id — guard on exactly that, BEFORE the
+              // non-ANSI cast would null an overflow out silently. The
+              // agg reads the checkpointed relation chunkedRowId
+              // already materialized, so it is one cheap extra pass
+              // paid only on the fill path.
+              val withFill = RowTransform.chunkedRowId(union, FillCol, base)
+              val maxFill = withFill.agg(
+                max(org.apache.spark.sql.functions.when(
+                  col(existing).isNull, col(FillCol)))).head.getLong(0)
               val ceil = narrowTypeMax(c)
-              if (base + nNulls > ceil) throw new IllegalStateException(
+              if (maxFill > ceil) throw new IllegalStateException(
                 s"auto-increment fill overflows ${c.mysqlType}" +
                   s"${if (c.unsigned) " unsigned" else ""} column " +
-                  s"${d.db}.${d.table}.${c.name}: base $base + $nNulls fills " +
+                  s"${d.db}.${d.table}.${c.name}: highest fill id $maxFill " +
                   s"exceeds the type max $ceil")
-              RowTransform.chunkedRowId(union, FillCol, base)
-                .withColumn(existing,
+              withFill.withColumn(existing,
                   coalesce(col(existing), col(FillCol).cast(union.schema(existing).dataType)))
                 .drop(FillCol)
             }
@@ -664,6 +704,25 @@ object Ingest {
       if (partCols.nonEmpty) spark.read.schema(writtenSchema).parquet(out)
       else spark.read.parquet(out)
     val post = collectChecksum(readBack)
+    // Duplicate-key guard on a single-column auto-inc PRIMARY KEY:
+    // MySQL rejects these at insert; the accumulated checksum cannot
+    // (it expects every pre-write row, duplicates included). Catches
+    // both source dumps carrying explicit duplicates and the one fill
+    // scheme that can manufacture them — dense narrow fills from an
+    // earlier RUN colliding with explicit ids a later resume appends.
+    // One column-pruned agg beside the full read-back scan.
+    autoInc
+      .filter(c => schema.exists(_.primaryKey.map(_.toLowerCase) == Seq(c.name.toLowerCase)))
+      .flatMap(c => readBack.columns.find(_.equalsIgnoreCase(c.name)))
+      .foreach { cn =>
+        val r = readBack.agg(
+          org.apache.spark.sql.functions.count(col(cn)),
+          countDistinct(col(cn))).head
+        if (r.getLong(0) != r.getLong(1)) throw new IllegalStateException(
+          s"duplicate auto-increment primary key values in ${d.db}.${d.table}.$cn: " +
+            s"${r.getLong(0)} non-null rows but only ${r.getLong(1)} distinct ids " +
+            "(explicit ids colliding with earlier fills, or duplicates in the source)")
+      }
     val ok = Checksum.matches(expected, post) && badRows <= cfg.maxError
     // A7: collect catalog statistics once the table verified
     val statsRows =

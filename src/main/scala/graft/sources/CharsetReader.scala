@@ -12,16 +12,12 @@ object CharsetReader {
 
   def decode(bytes: Array[Byte], charset: String = "auto"): String =
     charset.toLowerCase match {
-      // utf8mb4/utf8mb3 are MySQL's spellings of UTF-8 (byte-identical
-      // on the wire) — the reference's accepted value is `utf8mb4`
-      // (`lightning/mydump/reader.go:43`)
-      case "utf8" | "utf-8" | "utf8mb4" | "utf8mb3" =>
-        new String(bytes, StandardCharsets.UTF_8)
-      case "gb18030" => new String(bytes, Charset.forName("GB18030"))
-      case "binary" => new String(bytes, StandardCharsets.ISO_8859_1)
       case "auto" =>
         strictUtf8(bytes).getOrElse(new String(bytes, Charset.forName("GB18030")))
-      case other => new String(bytes, Charset.forName(other))
+      // every explicit charset resolves through the ONE alias table
+      // (jvmName) so the schema-decode and data-tokenizer paths cannot
+      // disagree on what a config value means
+      case other => new String(bytes, Charset.forName(jvmName(other)))
     }
 
   /** True when `charset` is UTF-8 (or `auto`, whose DATA-path contract
@@ -35,9 +31,12 @@ object CharsetReader {
       case _ => false
     }
 
-  /** JVM charset name for a reference charset config value, for the
-    * CSV tokenizer path (`binary` maps to ISO-8859-1: a 1:1 byte→char
-    * round trip, the "don't decode" contract).
+  /** JVM charset name for a reference charset config value — THE alias
+    * table (decode and the CSV tokenizer path both resolve through it).
+    * utf8mb4/utf8mb3 are MySQL's spellings of UTF-8 (byte-identical on
+    * the wire; the reference's accepted value is `utf8mb4`,
+    * `lightning/mydump/reader.go:43`); `binary` maps to ISO-8859-1 (a
+    * 1:1 byte→char round trip, the "don't decode" contract).
     */
   def jvmName(charset: String): String =
     charset.toLowerCase match {
@@ -46,6 +45,19 @@ object CharsetReader {
       case "binary" => "ISO-8859-1"
       case other => Charset.forName(other).name()
     }
+
+  /** True when a 0x0A byte in `charset`-encoded text can ONLY be the
+    * newline character — the invariant byte-range chunking and raw
+    * line splitting rely on. Every byte-oriented MySQL charset
+    * qualifies (UTF-8/GB18030/GBK/Big5/Shift_JIS/latin1 all keep
+    * 0x00-0x3F out of their multi-byte tails); UTF-16/UTF-32 do not
+    * ('\n' itself is a multi-byte unit and 0x0A appears inside other
+    * characters' code units).
+    */
+  def newlineByteSafe(charset: String): Boolean = {
+    val n = jvmName(charset).toUpperCase
+    !(n.contains("UTF-16") || n.contains("UTF-32"))
+  }
 
   private def strictUtf8(bytes: Array[Byte]): Option[String] = {
     val dec = StandardCharsets.UTF_8.newDecoder()

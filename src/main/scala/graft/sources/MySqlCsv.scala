@@ -117,6 +117,14 @@ object MySqlCsv {
       // marks exactly the first line of each file — the header drop is
       // per-file and exact (a data line that happens to equal the
       // header text is kept), with no driver-side first() action.
+      //
+      // TextInputFormat splits lines on raw 0x0A bytes, so the
+      // encoding must keep 0x0A unambiguous — reject UTF-16/32 loudly
+      // here (the lz4 precedent) rather than decode garbled fragments.
+      require(CharsetReader.newlineByteSafe(dialect.encoding),
+        s"charset ${dialect.encoding} cannot take the line-tokenizer CSV path: " +
+          "0x0A is not an unambiguous line end in it (UTF-16/32 encode '\\n' " +
+          "as a multi-byte unit); use a dialect the native reader supports")
       val sep = dialect.separator
       val quote = if (dialect.delimiter.nonEmpty) dialect.delimiter.charAt(0) else '\u0000'
       val nullV = dialect.nullValue
@@ -192,6 +200,11 @@ object MySqlCsv {
       colNames: Seq[String],
       dialect: CsvDialect): DataFrame = {
     require(colNames.nonEmpty, "chunked CSV read requires schema column names")
+    // same 0x0A invariant as readRaw's tokenizer branch: chunkLines
+    // scans raw bytes for line ends before any decode
+    require(CharsetReader.newlineByteSafe(dialect.encoding),
+      s"charset ${dialect.encoding} cannot be byte-range chunked: " +
+        "0x0A is not an unambiguous line end in it (UTF-16/32)")
     val sep = dialect.separator
     val quote = if (dialect.delimiter.nonEmpty) dialect.delimiter.charAt(0) else '\u0000'
     val nullV = dialect.nullValue

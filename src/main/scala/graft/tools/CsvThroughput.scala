@@ -24,6 +24,14 @@ object CsvThroughput {
     val nShards = cores.toInt
     if (!Files.exists(dir.resolve(s"done_$nShards"))) {
       Files.createDirectories(dir)
+      // drop any other grid's marker FIRST: csv/ is about to be
+      // rewritten with this run's shard count, so a later run at the
+      // old count must regenerate rather than probe the wrong layout
+      val stale = Files.list(dir)
+      try stale.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("done_"))
+        .foreach(Files.delete)
+      finally stale.close()
       // file-per-core layout, quoted strings + escapes in the mix
       val df = GraftSession.table(spark, sfDir, "lineitem")
         .repartition(nShards)

@@ -63,6 +63,51 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.run(spark, cfg).head.skipped)
   }
 
+  test("narrow auto-inc NULL fills cannot collide with later chunks' explicit ids") {
+    // id int AUTO_INCREMENT with a NULL early in the file and a later
+    // explicit id just above the early rows' max: per-batch fills
+    // would allocate that same id from the first batch's local max
+    // (and the accumulated checksum would bless the duplicate — it
+    // expects both rows). The narrow-auto-inc gate forces one batch,
+    // so the fill allocates above the WHOLE table's explicit max.
+    val root = Files.createTempDirectory("graft_autoinc_chunks").toString
+    Files.writeString(Paths.get(root, "d.a-schema.sql"),
+      "CREATE TABLE a (id int AUTO_INCREMENT, v varchar(24), PRIMARY KEY (id));")
+    val early = (1 to 60).map(i => s"""$i,"val_$i"""")
+    val late = (61 to 120).map(i => s"""$i,"val_$i"""")
+    val body = (early ++ Seq("""\N,"filled"""") ++ late).mkString("", "\n", "\n")
+    Files.writeString(Paths.get(root, "d.a.0001.csv"), body)
+    val size = Files.size(Paths.get(root, "d.a.0001.csv"))
+    assert(size > 3 * 384, "fixture must span >=3 chunk grid cells")
+    val out = Files.createTempDirectory("graft_autoinc_out").toString
+    val rep = Ingest.run(spark, Ingest.Config(root, out,
+      strictFormat = true, chunkBytes = 384L, chunkBatch = 1)).head
+    assert(rep.checksumOk && rep.nRows === 121)
+    val ids = spark.read.parquet(s"$out/d.a").collect().map(_.getInt(0))
+    assert(ids.length === 121)
+    assert(ids.distinct.length === 121, "fill collided with an explicit id")
+    // the fill landed above the WHOLE table's explicit max (position-
+    // based: base 120 + row position), not above batch 1's local max 60
+    val filled = spark.read.parquet(s"$out/d.a")
+      .where("v = 'filled'").collect().map(_.getInt(0)).toSeq
+    assert(filled.length === 1 && filled.head > 120, s"fill got $filled")
+  }
+
+  test("duplicate explicit ids on an auto-inc primary key fail the import loudly") {
+    // MySQL rejects the second insert with a duplicate-key error; the
+    // read-back checksum alone cannot (it expects every pre-write row,
+    // duplicates included), so the verify leg checks id cardinality.
+    val root = Files.createTempDirectory("graft_autoinc_dup").toString
+    Files.writeString(Paths.get(root, "d.dup-schema.sql"),
+      "CREATE TABLE dup (id bigint AUTO_INCREMENT, v varchar(10), PRIMARY KEY (id));")
+    Files.writeString(Paths.get(root, "d.dup.0001.csv"), "1,\"a\"\n1,\"b\"\n")
+    val out = Files.createTempDirectory("graft_autoinc_dup_out").toString
+    val e = intercept[IllegalStateException] {
+      Ingest.run(spark, Ingest.Config(root, out))
+    }
+    assert(e.getMessage.contains("duplicate auto-increment"), e.getMessage)
+  }
+
   test("dump files chunk under strictFormat: crash mid-file resumes at the chunk") {
     // the .sql face of the checkpoint_chunks scenario: one large dump
     // file splits into byte-range units, a crash after 2 batches

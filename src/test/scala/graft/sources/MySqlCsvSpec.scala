@@ -72,4 +72,25 @@ class MySqlCsvSpec extends AnyFunSuite {
     }
     assert(got2 === Seq("a,1", "b,2", "c,3"))
   }
+
+  test("UTF-16 rejects loudly on every byte-splitting path") {
+    // 0x0A bytes are not unambiguous line ends in UTF-16/32 ('\n' is
+    // 0A 00, and other characters' code units contain 0x0A too), so
+    // the tokenizer and chunk readers must refuse rather than decode
+    // garbled fragments; byte-oriented charsets stay chunkable.
+    val d16 = CsvDialect(encoding = "UTF-16")
+    // the guards fire before any session/file use, so no Spark needed
+    val e1 = intercept[IllegalArgumentException] {
+      MySqlCsv.readRaw(null, Seq("/tmp/nope.csv"), Seq("a"), d16, forceTokenizer = true)
+    }
+    assert(e1.getMessage.contains("UTF-16/32"))
+    val e2 = intercept[IllegalArgumentException] {
+      MySqlCsv.readRawChunk(null, "/tmp/nope.csv", 0L, 10L, Seq("a"), d16)
+    }
+    assert(e2.getMessage.contains("UTF-16/32"))
+    for (cs <- Seq("UTF-8", "GB18030", "ISO-8859-1", "GBK", "Big5"))
+      assert(graft.sources.CharsetReader.newlineByteSafe(cs), cs)
+    for (cs <- Seq("UTF-16", "UTF-16LE", "UTF-32", "utf-16be"))
+      assert(!graft.sources.CharsetReader.newlineByteSafe(cs), cs)
+  }
 }
