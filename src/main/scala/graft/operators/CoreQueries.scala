@@ -334,6 +334,43 @@ object CoreQueries {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Per-column data-quality profile (A6/A7's table-wide face): null
+    * count and exact distinct cardinality for EVERY column of
+    * `lineitem`, in ONE pass — the profile report a pipeline runs
+    * before accepting a new data drop. Spark plans the 11 DISTINCT
+    * aggregates as a single Expand (×n_cols row fan-out) feeding one
+    * two-stage aggregate: one scan, map-side partials, no per-column
+    * jobs — where the oracle's UNION ALL shape is 11 separate scans.
+    * At 100 TB swap `count_distinct` for `approx_count_distinct`
+    * (HLL, no Expand) — the probe keeps exact counts because the
+    * correctness gate needs engine-exact integers.
+    */
+  def profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = table(spark, sfDir, "lineitem")
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"__n_$c"),
+      count_distinct(col(c)).as(s"__d_$c")))
+    val profiled = cols.map(c => struct(
+      lit(c).as("col_name"),
+      col(s"__n_$c").as("n_nulls"),
+      col(s"__d_$c").as("n_distinct")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(profiled: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct"))
+      .orderBy("col_name")
+  }
+
+  def profileSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem")
+      .mkString("", " UNION ALL ", " ORDER BY col_name")
+  }
+
   def heavyHittersSql: String =
     """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
       |  FROM documents WHERE len(trim(text)) > 0),
