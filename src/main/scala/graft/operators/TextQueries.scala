@@ -1362,4 +1362,108 @@ object TextQueries {
       |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
       |  CAST(floor(CAST(sum(k * s) AS DOUBLE) / CAST(sum(k) AS DOUBLE)) AS BIGINT) AS lm_score_ppm
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- shuffle-shard layout
+  /** Reproducible corpus shuffle + sharding, audited per shard: every
+    * document is assigned shard = md5("shuf:"‖doc_id) mod 16 — the
+    * deterministic global shuffle every pretraining run needs (hash
+    * order is reproducible across runs, partitionings and engines,
+    * where `rand()`/`repartition` orderings are not; the reference's
+    * engine-per-chunk split plays the same role for import,
+    * `lightning/mydump/region.go`). The probe emits each shard's doc
+    * count, token mass, and doc_id checksum: balance + membership in
+    * one 16-row relation.
+    *
+    * Scale shape: the assignment is a narrow expression at scan speed
+    * and the audit is one map-side-combining groupBy on 16 keys. The
+    * production write is `.repartition(N, shard).sortWithinPartitions
+    * (shard, key)` — hash exchange + per-partition sort, NO global
+    * range sort — and N scales with the cluster, not with this fixed
+    * 16 (a window/row_number per shard would serialize each shard
+    * through one reducer; file-local write order is the contract
+    * real tokenizer pipelines use instead).
+    */
+  def shuffleShard(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = md5Long(concat(lit("shuf:"), col("doc_id").cast("string")))
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("nt"),
+        (key % 16).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        sum("doc_id").as("sum_ids"))
+      .orderBy("shard")
+  }
+
+  def shuffleShardSql: String =
+    """WITH a AS (SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+      |    CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 16 AS shard
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
+  // --------------------------------------------- mix materialization
+  /** Token budget for [[mixSample]] — the corpus-independent knob. */
+  val MixBudgetTokens = 20000L
+
+  /** Materialize the training mix: apply [[mixtureWeights]]' √-
+    * temperature weights as a deterministic per-source Bernoulli
+    * sample at a fixed token budget. Source s keeps each document
+    * with probability budget·w_s / tokens_s (capped at 1), decided by
+    * md5("mix:"‖doc_id) mod 10⁶ < rate_ppm — reproducible, join-free
+    * per row, and exactly the documents a re-run or a resumed 100 TB
+    * job would pick again. The per-source audit (requested rate, kept
+    * docs, kept tokens) is the mix card a training run logs.
+    *
+    * Scale shape: two corpus scans (per-source stats, then the
+    * filtered audit) + a broadcast of the 20-row rate relation into
+    * an equi-join on `source`; the keep decision itself is a narrow
+    * expression — no shuffle of the corpus beyond the audit's own
+    * 20-key groupBy. The double arithmetic (budget·(q/qt)/tokens·10⁶,
+    * floored) is IEEE-754-identical across engines, so the quantized
+    * rate is engine-exact like [[mixtureWeights]]' weight column.
+    */
+  def mixSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val per = docs.groupBy("source")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("q", floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val total = per.agg(sum("q").as("qt"))
+    val rates = per.crossJoin(broadcast(total))
+      .select(col("source"), least(lit(1000000L),
+        floor(lit(MixBudgetTokens.toDouble) *
+          (col("q").cast("double") / col("qt").cast("double")) /
+          col("n_tokens").cast("double") * 1e6).cast("long")).as("rate_ppm"))
+    val keep = md5Long(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000L
+    docs.join(broadcast(rates), "source")
+      .where(keep < col("rate_ppm"))
+      .groupBy("source", "rate_ppm")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(tokens(col("text"))).cast("long")).as("kept_tokens"))
+      .select(col("source"), col("rate_ppm"), col("n_kept"), col("kept_tokens"))
+      .orderBy("source")
+  }
+
+  def mixSampleSql: String =
+    s"""WITH per AS (SELECT source,
+      |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |q AS (SELECT source, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS qv
+      |  FROM per),
+      |t AS (SELECT CAST(sum(qv) AS BIGINT) AS qt FROM q),
+      |r AS (SELECT source, n_tokens,
+      |    least(1000000, CAST(floor(${MixBudgetTokens}.0 *
+      |      (CAST(qv AS DOUBLE) / CAST(qt AS DOUBLE)) /
+      |      CAST(n_tokens AS DOUBLE) * 1000000) AS BIGINT)) AS rate_ppm
+      |  FROM q, t)
+      |SELECT d.source, r.rate_ppm, count(*) AS n_kept,
+      |  CAST(sum(CASE WHEN len(trim(d.text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END) AS BIGINT) AS kept_tokens
+      |FROM documents d JOIN r ON d.source = r.source
+      |WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 1000000 < r.rate_ppm
+      |GROUP BY d.source, r.rate_ppm ORDER BY d.source""".stripMargin
 }
