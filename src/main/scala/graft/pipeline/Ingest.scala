@@ -289,10 +289,12 @@ object Ingest {
       // (and with it mid-file resume for these tables) is given up.
       // Wide columns fill from the ≥2⁵² range, disjoint from any
       // explicit id, so they keep the batch split.
-      val narrowAutoInc = loadSchema(spark, cfg, d).exists(_.columns.exists(c =>
-        (c.autoIncrement || c.autoRandomBits.isDefined) && !wideAuto(c)))
+      val chunked = units.exists(_.isChunk)
+      val narrowAutoInc = chunked &&
+        loadSchema(spark, cfg, d).exists(_.columns.exists(c =>
+          (c.autoIncrement || c.autoRandomBits.isDefined) && !wideAuto(c)))
       val batches: Seq[Seq[DataUnit]] =
-        if (units.exists(_.isChunk) && !narrowAutoInc)
+        if (chunked && !narrowAutoInc)
           units.grouped(math.max(1, cfg.chunkBatch)).toSeq
         else Seq(units)
       // bad-row counts are per-batch observations; the maxError gate

@@ -26,7 +26,8 @@ object ScalingProbe {
   private val LinearOps = Seq("q_chunk_rag", "q_tfidf_topk", "q_boilerplate",
     "q_pack_sequences", "q_quality_score", "q_dedup_exact",
     "q_corpus_diff", "q_line_dedup", "q_search_topk",
-    "q_importance_weights", "q_ngram_diversity")
+    "q_importance_weights", "q_ngram_diversity",
+    "q_heavy_hitters", "q_shuffle_shard", "q_mix_sample")
   private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
     "q_dedup_editdist")
 
