@@ -705,12 +705,29 @@ object TextQueries {
     * One groupBy over the corpus + a broadcast of the 1-row total:
     * scan-speed at 100 TB.
     */
-  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val per = table(spark, sfDir, "documents")
-      .groupBy("source")
+  /** Per-source doc/token mass and the √-temperature quantity q — ONE
+    * definition consumed by [[mixtureWeights]] and [[mixSample]] (SQL
+    * twin: [[sourceStatsCtes]]), so the weights a run reports and the
+    * mix it materializes can never disagree on the temperature.
+    */
+  private def sourceTokenStats(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
       .withColumn("q", floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+
+  private def sourceStatsCtes: String =
+    """per AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |q AS (SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS qv
+      |  FROM per),
+      |t AS (SELECT CAST(sum(qv) AS BIGINT) AS qt FROM q)""".stripMargin
+
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = sourceTokenStats(table(spark, sfDir, "documents"))
     val total = per.agg(sum("q").as("qt"))
     val w = col("q").cast("double") / col("qt").cast("double")
     per.crossJoin(broadcast(total))
@@ -721,14 +738,7 @@ object TextQueries {
   }
 
   def mixtureWeightsSql: String =
-    """WITH per AS (SELECT source, count(*) AS n_docs,
-      |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
-      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY source),
-      |q AS (SELECT source, n_docs, n_tokens,
-      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS qv
-      |  FROM per),
-      |t AS (SELECT CAST(sum(qv) AS BIGINT) AS qt FROM q)
+    s"""WITH $sourceStatsCtes
       |SELECT source, n_docs, n_tokens,
       |  CAST(qv AS DOUBLE) / CAST(qt AS DOUBLE) AS weight,
       |  CAST(floor(CAST(qv AS DOUBLE) / CAST(qt AS DOUBLE) * 100000) AS BIGINT) AS target_per_100k
@@ -1427,15 +1437,18 @@ object TextQueries {
     */
   def mixSample(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = table(spark, sfDir, "documents")
-    val per = docs.groupBy("source")
-      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
-      .withColumn("q", floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val per = sourceTokenStats(docs)
     val total = per.agg(sum("q").as("qt"))
+    // a zero-token source keeps nothing, by explicit guard: the double
+    // pipeline would produce NaN here, and Spark's non-ANSI cast (0)
+    // and DuckDB's NULL-division + least() (1000000) would diverge to
+    // OPPOSITE verdicts — keep-none vs keep-all
     val rates = per.crossJoin(broadcast(total))
-      .select(col("source"), least(lit(1000000L),
-        floor(lit(MixBudgetTokens.toDouble) *
-          (col("q").cast("double") / col("qt").cast("double")) /
-          col("n_tokens").cast("double") * 1e6).cast("long")).as("rate_ppm"))
+      .select(col("source"), when(col("n_tokens") === 0, lit(0L))
+        .otherwise(least(lit(1000000L),
+          floor(lit(MixBudgetTokens.toDouble) *
+            (col("q").cast("double") / col("qt").cast("double")) /
+            col("n_tokens").cast("double") * 1e6).cast("long"))).as("rate_ppm"))
     val keep = md5Long(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000L
     docs.join(broadcast(rates), "source")
       .where(keep < col("rate_ppm"))
@@ -1447,18 +1460,12 @@ object TextQueries {
   }
 
   def mixSampleSql: String =
-    s"""WITH per AS (SELECT source,
-      |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
-      |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY source),
-      |q AS (SELECT source, n_tokens,
-      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS qv
-      |  FROM per),
-      |t AS (SELECT CAST(sum(qv) AS BIGINT) AS qt FROM q),
+    s"""WITH $sourceStatsCtes,
       |r AS (SELECT source, n_tokens,
-      |    least(1000000, CAST(floor(${MixBudgetTokens}.0 *
+      |    CASE WHEN n_tokens = 0 THEN 0
+      |    ELSE least(1000000, CAST(floor(${MixBudgetTokens}.0 *
       |      (CAST(qv AS DOUBLE) / CAST(qt AS DOUBLE)) /
-      |      CAST(n_tokens AS DOUBLE) * 1000000) AS BIGINT)) AS rate_ppm
+      |      CAST(n_tokens AS DOUBLE) * 1000000) AS BIGINT)) END AS rate_ppm
       |  FROM q, t)
       |SELECT d.source, r.rate_ppm, count(*) AS n_kept,
       |  CAST(sum(CASE WHEN len(trim(d.text)) = 0 THEN 0

@@ -95,20 +95,28 @@ object Ingest {
   private def compressed(path: String): Boolean =
     path.endsWith(".gz") || path.endsWith(".bz2")
 
+  /** The dialect the CSV DATA readers actually use — cfg.charset
+    * governs data files too (reference data-character-set): a
+    * non-UTF-8 table charset routes the read through the JVM-charset
+    * tokenizer path instead of silently mojibake-ing through a UTF-8
+    * text scan. An explicit dialect encoding wins over the
+    * table-level charset. ONE definition, shared by the chunking gate
+    * and the read path, so they cannot disagree on the effective
+    * encoding.
+    */
+  private def dataDialect(cfg: Config): graft.sources.CsvDialect =
+    if (cfg.csvDialect.encoding == "UTF-8" && !CharsetReader.isNativeUtf8(cfg.charset))
+      cfg.csvDialect.copy(encoding = CharsetReader.jvmName(cfg.charset))
+    else cfg.csvDialect
+
   private def expandUnits(spark: SparkSession, cfg: Config, d: Discovered): Seq[DataUnit] = {
-    // the effective DATA encoding (mirrors restoreFiles' dataDialect):
-    // an explicit dialect encoding wins over the table-level charset.
     // Chunking additionally needs 0x0A to be an unambiguous line
-    // anchor in that encoding — byte-oriented charsets (UTF-8,
-    // GB18030, latin1…) qualify; UTF-16/32 would split lines mid-
-    // character and decode odd-length fragments as garbage.
-    val csvDataEncoding =
-      if (cfg.csvDialect.encoding == "UTF-8" && !CharsetReader.isNativeUtf8(cfg.charset))
-        CharsetReader.jvmName(cfg.charset)
-      else cfg.csvDialect.encoding
+    // anchor in the effective data encoding — byte-oriented charsets
+    // (UTF-8, GB18030, latin1…) qualify; UTF-16/32 would split lines
+    // mid-character and decode odd-length fragments as garbage.
     val canChunk = cfg.strictFormat && !cfg.csvDialect.header &&
       (d.schemaFile.nonEmpty || cfg.noSchema) &&
-      CharsetReader.newlineByteSafe(csvDataEncoding)
+      CharsetReader.newlineByteSafe(dataDialect(cfg).encoding)
     // .sql dumps chunk under the same strict-format gate (machine-
     // generated files keep string literals newline-free, which is what
     // makes line starts safe statement-scan anchors), but additionally
@@ -290,9 +298,11 @@ object Ingest {
       // Wide columns fill from the ≥2⁵² range, disjoint from any
       // explicit id, so they keep the batch split.
       val chunked = units.exists(_.isChunk)
+      // (auto-random is bigint by definition, so wideAuto filters it
+      // out — only declared-narrow AUTO_INCREMENT forces one batch)
       val narrowAutoInc = chunked &&
         loadSchema(spark, cfg, d).exists(_.columns.exists(c =>
-          (c.autoIncrement || c.autoRandomBits.isDefined) && !wideAuto(c)))
+          c.autoIncrement && !wideAuto(c)))
       val batches: Seq[Seq[DataUnit]] =
         if (chunked && !narrowAutoInc)
           units.grouped(math.max(1, cfg.chunkBatch)).toSeq
@@ -479,23 +489,15 @@ object Ingest {
       prior: Option[KvChecksum], priorMaxId: Long,
       verify: Boolean = true): (TableReport, KvChecksum) = {
     val schema: Option[TableSchema] = loadSchema(spark, cfg, d)
-    // cfg.charset governs DATA files too (reference data-character-set):
-    // a non-UTF-8 charset routes the CSV read through the JVM-charset
-    // tokenizer path and the dump read through a byte-decode, instead
-    // of silently mojibake-ing through a UTF-8 text scan. An explicit
-    // dialect encoding wins over the table-level charset.
-    val dataDialect =
-      if (cfg.csvDialect.encoding == "UTF-8" && !CharsetReader.isNativeUtf8(cfg.charset))
-        cfg.csvDialect.copy(encoding = CharsetReader.jvmName(cfg.charset))
-      else cfg.csvDialect
+    val dialect = dataDialect(cfg)
     val shards: Seq[DataFrame] = files.map { u =>
       u.kind match {
         case FileKind.Csv if u.isChunk =>
           MySqlCsv.readRawChunk(spark, u.path, u.start, u.len,
-            schema.map(_.colNames).getOrElse(Seq.empty), dataDialect)
+            schema.map(_.colNames).getOrElse(Seq.empty), dialect)
         case FileKind.Csv =>
           val names = schema.map(_.colNames).getOrElse(Seq.empty)
-          MySqlCsv.readRaw(spark, Seq(u.path), names, dataDialect,
+          MySqlCsv.readRaw(spark, Seq(u.path), names, dialect,
             forceTokenizer = cfg.strictFormat && !cfg.csvDialect.header)
         case FileKind.Sql if u.isChunk =>
           DumpSource.readRawChunk(spark, u.path, u.start, u.len,
@@ -712,20 +714,29 @@ object Ingest {
     // both source dumps carrying explicit duplicates and the one fill
     // scheme that can manufacture them — dense narrow fills from an
     // earlier RUN colliding with explicit ids a later resume appends.
-    // One column-pruned agg beside the full read-back scan.
-    autoInc
+    // One column-pruned agg beside the full read-back scan. The
+    // verdict FAILS THE REPORT (the checksum-mismatch path) rather
+    // than throwing: a throw here would skip the caller's state
+    // record, leave the stale "verified" record + token set behind,
+    // and make every retry re-append the same units — the "failed"
+    // record instead forces a clean full overwrite on the next run.
+    val dupIds: Option[String] = autoInc
       .filter(c => schema.exists(_.primaryKey.map(_.toLowerCase) == Seq(c.name.toLowerCase)))
       .flatMap(c => readBack.columns.find(_.equalsIgnoreCase(c.name)))
-      .foreach { cn =>
+      .flatMap { cn =>
         val r = readBack.agg(
           org.apache.spark.sql.functions.count(col(cn)),
           countDistinct(col(cn))).head
-        if (r.getLong(0) != r.getLong(1)) throw new IllegalStateException(
-          s"duplicate auto-increment primary key values in ${d.db}.${d.table}.$cn: " +
-            s"${r.getLong(0)} non-null rows but only ${r.getLong(1)} distinct ids " +
-            "(explicit ids colliding with earlier fills, or duplicates in the source)")
+        if (r.getLong(0) == r.getLong(1)) None
+        else Some(s"duplicate auto-increment primary key values in " +
+          s"${d.db}.${d.table}.$cn: ${r.getLong(0)} non-null rows but only " +
+          s"${r.getLong(1)} distinct ids (explicit ids colliding with earlier " +
+          "fills, or duplicates in the source); table marked failed, next run " +
+          "re-imports it from scratch")
       }
-    val ok = Checksum.matches(expected, post) && badRows <= cfg.maxError
+    dupIds.foreach(System.err.println)
+    val ok = Checksum.matches(expected, post) && badRows <= cfg.maxError &&
+      dupIds.isEmpty
     // A7: collect catalog statistics once the table verified
     val statsRows =
       if (ok && cfg.analyze) Analyze.analyze(spark, s"${d.db}.${d.table}", out)

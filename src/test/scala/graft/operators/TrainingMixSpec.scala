@@ -81,6 +81,27 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
+  test("mixSample keeps nothing from a zero-token source, keeps all when budget >> tokens") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mixsample").toString
+    Seq((1L, "w1 w2 w3 w4", "live"), (2L, "w5 w6 w7 w8 w9", "live"),
+        (3L, "", "empty"), (4L, "   ", "empty"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextQueries.mixSample(spark, tmp).collect()
+    // zero-token source: rate 0 by EXPLICIT guard, no row emitted —
+    // without it Spark's NaN→cast(0) and DuckDB's NULL-division +
+    // least() (1000000) reach OPPOSITE verdicts (keep-none vs keep-all)
+    assert(!out.exists(_.getString(0) == "empty"), out.mkString(","))
+    // the live source holds the whole q mass and the budget exceeds
+    // its token count, so its rate caps at 1e6 and every doc is kept
+    val live = out.filter(_.getString(0) == "live")
+    assert(live.length === 1 && live.head.getLong(1) === 1000000L &&
+      live.head.getLong(2) === 2L && live.head.getLong(3) === 9L)
+  }
+
   test("curateE2e composes quality gate, exact dedup and hash sample") {
     import graft.functions.TextFunctions.md5LongLocal
     val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"

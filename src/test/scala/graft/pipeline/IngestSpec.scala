@@ -93,19 +93,29 @@ class IngestSpec extends SparkSpec {
     assert(filled.length === 1 && filled.head > 120, s"fill got $filled")
   }
 
-  test("duplicate explicit ids on an auto-inc primary key fail the import loudly") {
+  test("duplicate explicit ids on an auto-inc primary key fail the report, not the state") {
     // MySQL rejects the second insert with a duplicate-key error; the
     // read-back checksum alone cannot (it expects every pre-write row,
     // duplicates included), so the verify leg checks id cardinality.
+    // The verdict lands as a FAILED report (the checksum-mismatch
+    // path), never a throw: a throw would skip the state record, so a
+    // resume-append that landed duplicates would keep its stale
+    // verified record and re-append the same units on every retry.
     val root = Files.createTempDirectory("graft_autoinc_dup").toString
     Files.writeString(Paths.get(root, "d.dup-schema.sql"),
       "CREATE TABLE dup (id bigint AUTO_INCREMENT, v varchar(10), PRIMARY KEY (id));")
     Files.writeString(Paths.get(root, "d.dup.0001.csv"), "1,\"a\"\n1,\"b\"\n")
     val out = Files.createTempDirectory("graft_autoinc_dup_out").toString
-    val e = intercept[IllegalStateException] {
-      Ingest.run(spark, Ingest.Config(root, out))
-    }
-    assert(e.getMessage.contains("duplicate auto-increment"), e.getMessage)
+    val stateDir = Files.createTempDirectory("graft_autoinc_dup_state").toString
+    val cfg = Ingest.Config(root, out, stateDir = Some(stateDir))
+    val rep = Ingest.run(spark, cfg).head
+    assert(!rep.checksumOk && rep.nRows === 2)
+    assert(Files.readString(Paths.get(stateDir, "state.jsonl")).contains("\"failed\""))
+    // a failed record re-imports from scratch: the output must not
+    // accumulate another copy per retry
+    val rep2 = Ingest.run(spark, cfg).head
+    assert(!rep2.checksumOk && rep2.nRows === 2)
+    assert(spark.read.parquet(s"$out/d.dup").count() === 2)
   }
 
   test("dump files chunk under strictFormat: crash mid-file resumes at the chunk") {
