@@ -131,4 +131,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("profile: ONE scan feeds all per-column distinct aggregates via Expand") {
+    // the one-pass claim is the operator's reason to exist (the oracle
+    // pays 11 scans); a regression to per-column jobs would still
+    // return identical rows at 11× the IO
+    val plan = planOf(CoreQueries.profile(spark, sf()))
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("Expand"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("mixSample: the rate relation broadcasts; the corpus join is never a cartesian") {
+    val plan = planOf(TextQueries.mixSample(spark, sf()))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // corpus side: stats pass + audit pass, nothing more
+    assert("Scan parquet".r.findAllIn(plan).size <= 3, plan)
+  }
+
+  test("shuffleShard: narrow assignment, one map-side-combined 16-key aggregate") {
+    val plan = planOf(TextQueries.shuffleShard(spark, sf()))
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("Window"), plan) // no per-shard serialization
+  }
 }
