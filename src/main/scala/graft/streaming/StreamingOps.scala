@@ -101,6 +101,32 @@ object StreamingOps {
     docs.where(n > 0 && floor(s.cast("double") / n.cast("double")) > 0)
   }
 
+  /** Per-window hot tokens on a live stream: the [[graft.functions
+    * .MisraGries]] summary as a watermarked windowed aggregate — the
+    * streaming face of the batch heavy-hitters audit
+    * ([[graft.operators.CoreQueries.heavyHitters]]). The sketch
+    * buffer IS the aggregation state (a few KB per window, mergeable
+    * across micro-batches exactly like across partitions), so the
+    * hot-key list a salted join or a trending panel wants is
+    * continuously maintained with bounded state — where an exact
+    * per-token count would hold the window's whole vocabulary.
+    * The same superset caveat as batch applies: every true heavy
+    * hitter of the window is present; which light keys ride along
+    * depends on arrival order.
+    */
+  def hotTokensStream(docs: DataFrame,
+      k: Int = 64,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(window(col("ts"), windowLength))
+      .agg(map_keys(graft.functions.MisraGries.sketch(k, col("tok"))).as("hot_tokens"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("window.start").as("window_start"), col("hot_tokens"),
+        col("n_tokens"))
+
   /** Eval-side shingle hashes for [[decontaminateStream]] — a bounded
     * collect (the eval set is small by definition; the batch op
     * broadcasts the same relation).

@@ -55,6 +55,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hotTokensStream surfaces every true heavy hitter of the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = hotTokensStream(input.toDF(), k = 8)
+      .writeStream.format("memory").queryName("htk")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      // "hot" carries >1/8 of the window's mass split across batches;
+      // tail tokens are all distinct
+      input.addData(Doc(1, ts(0), Seq.fill(30)("hot").mkString(" ")),
+        Doc(2, ts(5), (1 to 20).map(i => s"t$i").mkString(" ")))
+      q.processAllAvailable()
+      input.addData(Doc(3, ts(10), Seq.fill(30)("hot").mkString(" ")),
+        Doc(4, ts(15), (21 to 40).map(i => s"u$i").mkString(" ")))
+      q.processAllAvailable()
+      val rows = spark.table("htk").collect()
+      assert(rows.length === 1)
+      val hot = rows.head.getSeq[String](1)
+      assert(hot.contains("hot"), hot.mkString(","))
+      assert(hot.size <= 8)
+      assert(rows.head.getLong(2) === 100L)
+    } finally q.stop()
+  }
+
   test("decontaminateStream drops exactly the docs the batch probe flags") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
