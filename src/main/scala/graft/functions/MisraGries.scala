@@ -39,7 +39,19 @@ class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[Strin
     }
 
   def reduce(b: Map[String, Long], a: String): Map[String, Long] =
-    bound(b.updated(a, b.getOrElse(a, 0L) + 1L))
+    b.get(a) match {
+      case Some(c) => b.updated(a, c + 1L) // hot path: O(1), no sort
+      case None if b.size < k => b.updated(a, 1L)
+      case None =>
+        // classic Misra–Gries decrement on a full-map miss: the new
+        // element's 1 cancels against every counter — O(k) only here,
+        // amortized O(1) per input (each decrement repays an earlier
+        // increment), where sort-based re-bounding would pay
+        // O(k log k) per TAIL element of the stream. The sort-based
+        // bound stays in merge(), where the (k+1)-largest subtraction
+        // is what makes the summary mergeable.
+        b.collect { case (key, c) if c > 1L => key -> (c - 1L) }
+    }
 
   def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
     bound(y.foldLeft(x) { case (acc, (key, c)) =>

@@ -298,11 +298,15 @@ object Ingest {
       // Wide columns fill from the ≥2⁵² range, disjoint from any
       // explicit id, so they keep the batch split.
       val chunked = units.exists(_.isChunk)
+      // parsed ONCE per table and threaded through every chunk batch:
+      // per-batch re-parsing would pay B extra driver reads and let a
+      // schema file mutated mid-import split one table across two
+      // schema versions
+      val schema = loadSchema(spark, cfg, d)
       // (auto-random is bigint by definition, so wideAuto filters it
       // out — only declared-narrow AUTO_INCREMENT forces one batch)
-      val narrowAutoInc = chunked &&
-        loadSchema(spark, cfg, d).exists(_.columns.exists(c =>
-          c.autoIncrement && !wideAuto(c)))
+      val narrowAutoInc = chunked && schema.exists(_.columns.exists(c =>
+        c.autoIncrement && !wideAuto(c)))
       val batches: Seq[Seq[DataUnit]] =
         if (chunked && !narrowAutoInc)
           units.grouped(math.max(1, cfg.chunkBatch)).toSeq
@@ -318,7 +322,7 @@ object Ingest {
       batches.zipWithIndex.takeWhile { case (batch, i) =>
         val isLast = i == batches.size - 1
         val (rep, post) = restoreFiles(spark, cfg, d, batch, prior, maxId,
-          verify = isLast)
+          schema, verify = isLast)
         doneTokens = doneTokens ++ batch.map(_.token)
         cumBad += rep.badRows
         // Fail fast once the error budget is provably blown (the
@@ -487,8 +491,8 @@ object Ingest {
   private def restoreFiles(spark: SparkSession, cfg: Config, d: Discovered,
       files: Seq[DataUnit],
       prior: Option[KvChecksum], priorMaxId: Long,
+      schema: Option[TableSchema],
       verify: Boolean = true): (TableReport, KvChecksum) = {
-    val schema: Option[TableSchema] = loadSchema(spark, cfg, d)
     val dialect = dataDialect(cfg)
     val shards: Seq[DataFrame] = files.map { u =>
       u.kind match {

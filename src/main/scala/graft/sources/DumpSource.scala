@@ -279,13 +279,20 @@ object DumpSource {
       }
     }
     if (!crossed && !eof) {
-      // an owned keyword the iterator skipped with only window-end
-      // behind it: can't tell noise from truncation yet — grow. (If a
-      // later statement parsed — `crossed` — or the keyword sits a full
-      // head-probe before the window end, the skip is proven noise.)
-      val kw = nextStatementKeyword(text, lastResume)
-      if (kw >= 0 && kw < boundaryChars && text.length - kw < HeadProbeChars)
-        return None
+      // owned keywords the iterator skipped with only window-end
+      // behind them: can't tell noise from truncation yet — grow. (If
+      // a later statement parsed — `crossed` — or a keyword sits a
+      // full head-probe before the window end, that skip is proven
+      // noise.) EVERY owned keyword after the last parsed statement
+      // is probed, not just the first: proven noise (an INSERT…SELECT
+      // the head parser rejects mid-window) can precede a genuinely
+      // truncated INSERT head closer to the end — stopping at the
+      // first keyword would drop that owned statement silently.
+      var kw = nextStatementKeyword(text, lastResume)
+      while (kw >= 0 && kw < boundaryChars) {
+        if (text.length - kw < HeadProbeChars) return None
+        kw = nextStatementKeyword(text, kw + 1)
+      }
     }
     Some(kept.toSeq)
   }

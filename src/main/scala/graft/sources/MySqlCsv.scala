@@ -121,10 +121,16 @@ object MySqlCsv {
       // TextInputFormat splits lines on raw 0x0A bytes, so the
       // encoding must keep 0x0A unambiguous — reject UTF-16/32 loudly
       // here (the lz4 precedent) rather than decode garbled fragments.
+      // NB Spark's native reader is NOT a fallback here: probed on this
+      // Spark 4, per-line CSV with encoding=UTF-16LE splits on raw
+      // 0x0A too and garbles every row after the first — UTF-16/32
+      // CSV import is unsupported, full stop, and saying so beats
+      // silently producing mojibake on either path.
       require(CharsetReader.newlineByteSafe(dialect.encoding),
-        s"charset ${dialect.encoding} cannot take the line-tokenizer CSV path: " +
+        s"charset ${dialect.encoding} cannot be line-split on this path: " +
           "0x0A is not an unambiguous line end in it (UTF-16/32 encode '\\n' " +
-          "as a multi-byte unit); use a dialect the native reader supports")
+          "as a multi-byte unit) — re-encode the data to UTF-8 or another " +
+          "byte-oriented charset")
       val sep = dialect.separator
       val quote = if (dialect.delimiter.nonEmpty) dialect.delimiter.charAt(0) else '\u0000'
       val nullV = dialect.nullValue
@@ -132,7 +138,9 @@ object MySqlCsv {
       val esc = dialect.backslashEscape
       import org.apache.hadoop.io.{LongWritable, Text}
       import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
-      val encoding = dialect.encoding
+      // MySQL charset spellings (utf8mb4, binary…) resolve through the
+      // ONE alias table — the raw config value is not a JVM charset name
+      val encoding = CharsetReader.jvmName(dialect.encoding)
       val withOffset = spark.sparkContext.newAPIHadoopFile(
           paths.mkString(","), classOf[TextInputFormat],
           classOf[LongWritable], classOf[Text],
@@ -212,7 +220,10 @@ object MySqlCsv {
     val esc = dialect.backslashEscape
     val trimLast = dialect.trimLastSep
     val header = dialect.header
-    val encoding = dialect.encoding
+    // same alias-table normalization as readRaw's tokenizer branch:
+    // the chunk gate accepts MySQL spellings (utf8mb4, binary) that
+    // java.lang.String's decoder would reject at task runtime
+    val encoding = CharsetReader.jvmName(dialect.encoding)
     val n = colNames.size
     val confEntries = ConfShip.entries(spark)
     val outSchema = StructType(colNames.map(StructField(_, StringType, nullable = true)))

@@ -118,6 +118,26 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/d.dup").count() === 2)
   }
 
+  test("UTF-16 CSV under strictFormat fails loudly, never chunks or garbles") {
+    // neither CSV path can line-split UTF-16 ('\n' is 0A 00, and
+    // Spark's native per-line reader splits on raw 0x0A too — probed:
+    // it garbles every row after the first), so the import must say
+    // so instead of producing mojibake; the chunk gate independently
+    // refuses to byte-split the file.
+    val root = Files.createTempDirectory("graft_utf16").toString
+    Files.writeString(Paths.get(root, "d.w-schema.sql"),
+      "CREATE TABLE w (id int NOT NULL, v varchar(24), PRIMARY KEY (id));")
+    Files.write(Paths.get(root, "d.w.0001.csv"),
+      "1,\"héllo\"\n2,\"wörld\"\n".getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+    val out = Files.createTempDirectory("graft_utf16_out").toString
+    val e = intercept[Exception] {
+      Ingest.run(spark, Ingest.Config(root, out,
+        csvDialect = graft.sources.CsvDialect(encoding = "UTF-16LE"),
+        strictFormat = true, chunkBytes = 8L, chunkBatch = 1))
+    }
+    assert(e.getMessage.contains("UTF-16/32"), e.getMessage)
+  }
+
   test("dump files chunk under strictFormat: crash mid-file resumes at the chunk") {
     // the .sql face of the checkpoint_chunks scenario: one large dump
     // file splits into byte-range units, a crash after 2 batches

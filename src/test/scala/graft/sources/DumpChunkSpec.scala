@@ -56,6 +56,31 @@ class DumpChunkSpec extends AnyFunSuite {
     }
   }
 
+  test("proven noise cannot mask a truncated multi-line INSERT head at the window end") {
+    // after the last parsed statement: an INSERT…SELECT the head
+    // parser rejects (noise), then >1 MiB of comments, then an INSERT
+    // whose (id, v) head line closes inside the window but whose
+    // VALUES keyword is cut by the window end. Probing only the FIRST
+    // skipped keyword calls the whole tail proven noise and silently
+    // drops the truncated statement's rows; every owned keyword must
+    // be probed so the window grows instead.
+    val filler = (1 to 30000)
+      .map(i => s"-- filler comment line $i padding padding padding").mkString("\n")
+    val text = "INSERT INTO t VALUES (1,'a');\n" +
+      "INSERT INTO t SELECT 1, 'not values';\n" +
+      filler + "\n" +
+      "INSERT INTO t (id, v)\nVALUES (2,'b');\n" +
+      "INSERT INTO t VALUES (3,'c');\n"
+    val whole = DumpSource.parseStatements(text).flatMap(_.rows).map(_.toSeq)
+    assert(whole.size === 3)
+    val p = text.indexOf("INSERT INTO t (id, v)") // ASCII: byte pos == char pos
+    assert(p > (1 << 20) + 100, "noise keyword must sit a full head-probe before the window end")
+    // chunk 1 owns the head line (grid cuts inside it); the 14-byte
+    // tail closes the head line but truncates VALUES
+    val got = sweep(text, (p + 10).toLong, 14L)
+    assert(got === whole)
+  }
+
   test("a multi-line PLAIN block comment fails the chunked read loudly") {
     // a chunk snapping to a line start inside the comment would lex
     // its body as SQL and emit the phantom row — with a checksum
