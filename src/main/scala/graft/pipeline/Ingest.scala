@@ -320,6 +320,13 @@ object Ingest {
       var cumBad = 0L
       var result: TableReport = null
       batches.zipWithIndex.takeWhile { case (batch, i) =>
+        // the pause gate also parks BETWEEN chunk batches — the
+        // reference's Pauser stops a RUNNING import mid-table
+        // (`restore.go:2412`), and a chunked table's batch boundary is
+        // the closest consistent point: state is recorded, nothing is
+        // half-written. Unchunked tables still park at table
+        // boundaries only (one batch = one write job).
+        if (i > 0) awaitUnpaused(cfg.pauseFile)
         val isLast = i == batches.size - 1
         val (rep, post) = restoreFiles(spark, cfg, d, batch, prior, maxId,
           schema, verify = isLast)

@@ -71,6 +71,48 @@ class ServerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/d.t").count() === 2)
   }
 
+  test("pause file parks a chunked import at the next batch boundary") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // reference Pauser semantics (`restore.go:2412`): a RUNNING import
+    // parks mid-table — here at the next chunk-batch boundary, where
+    // state is recorded and nothing is half-written.
+    val root = Files.createTempDirectory("graft_bpause_src").toString
+    Files.writeString(Paths.get(root, "d.big-schema.sql"),
+      "CREATE TABLE big (id int NOT NULL, v varchar(24), PRIMARY KEY (id));")
+    val body = (1 to 800).map(i => s"""$i,"val_$i"""").mkString("", "\n", "\n")
+    Files.writeString(Paths.get(root, "d.big.0001.csv"), body)
+    val out = Files.createTempDirectory("graft_bpause_out").toString
+    val stateDir = Files.createTempDirectory("graft_bpause_state").toString
+    val pause = Files.createTempDirectory("graft_bpause").resolve("pause")
+    val statePath = Paths.get(stateDir, "state.jsonl")
+    val fut = Future {
+      Ingest.run(spark, Ingest.Config(root, out, stateDir = Some(stateDir),
+        pauseFile = Some(pause.toString),
+        strictFormat = true, chunkBytes = 1024L, chunkBatch = 1))
+    }
+    // wait for the first batch record, then drop the pause file while
+    // the import is mid-table
+    val deadline = System.nanoTime() + 30_000_000_000L
+    while ((!Files.exists(statePath) ||
+        !Files.readString(statePath).contains("\"imported\"")) &&
+        System.nanoTime() < deadline && !fut.isCompleted)
+      Thread.sleep(20L)
+    assert(!fut.isCompleted, "import finished before the pause could land")
+    Files.createFile(pause)
+    Thread.sleep(1500L)
+    val lines1 = Files.readString(statePath).trim.linesIterator.size
+    Thread.sleep(1500L)
+    val lines2 = Files.readString(statePath).trim.linesIterator.size
+    assert(lines1 === lines2, "batches kept landing while paused")
+    assert(!fut.isCompleted, "import must park at the batch boundary")
+    Files.delete(pause)
+    val reports = Await.result(fut, 120.seconds)
+    assert(reports.length === 1 && reports.head.checksumOk)
+    assert(reports.head.nRows === 800)
+  }
+
   test("task JSON parses filters and stateDir") {
     val cfg = Server.parseTask(
       """{"sourceDir":"/s","targetDir":"/t","filters":"a.*, !a.junk","stateDir":"/st"}""")
