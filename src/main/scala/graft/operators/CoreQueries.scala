@@ -334,6 +334,43 @@ object CoreQueries {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Heavy hitters PER GROUP (the grouped face of [[heavyHitters]]):
+    * one Misra–Gries summary per language, built by the same UDAF
+    * riding an ordinary groupBy — k counters of state per (group,
+    * partition), map-side combined like any aggregate. This is the
+    * per-shard/per-tenant hot-key report shape: at 100 TB the sketch
+    * column is a few KB per group however large the group, where an
+    * exact per-(group, token) count would shuffle the full vocabulary
+    * of every group. The audit witnesses, per language, that every
+    * token with exact count > N_lang/32 appears in that language's
+    * 64-counter summary (undercount ≤ N_lang/64 — the guarantee is
+    * per-group because each group owns its own sketch).
+    */
+  def heavyHittersByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.MisraGries
+    val toks = table(spark, sfDir, "documents")
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val sketches = toks.groupBy("lang").agg(
+      map_keys(MisraGries.sketch(64, col("tok"))).as("hh"),
+      count(lit(1)).as("n"))
+    toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .join(sketches, "lang")
+      .where(col("cnt") * 32 > col("n"))
+      .select(col("lang"), col("tok"), col("cnt"),
+        array_contains(col("hh"), col("tok")).cast("long").as("in_sketch"))
+      .orderBy(col("lang"), col("cnt").desc, col("tok"))
+  }
+
+  def heavyHittersByLangSql: String =
+    """WITH t AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY lang, tok),
+      |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY lang)
+      |SELECT c.lang, tok, cnt, CAST(1 AS BIGINT) AS in_sketch
+      |FROM c JOIN n ON c.lang = n.lang WHERE cnt * 32 > n
+      |ORDER BY c.lang, cnt DESC, tok""".stripMargin
+
   /** Per-column data-quality profile (A6/A7's table-wide face): null
     * count and exact distinct cardinality for EVERY column of
     * `lineitem`, in ONE pass — the profile report a pipeline runs
