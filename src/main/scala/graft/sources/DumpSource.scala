@@ -132,11 +132,14 @@ object DumpSource {
         val fs = hp.getFileSystem(ConfShip.rebuild(confEntries))
         val fileLen = fs.getFileStatus(hp).getLen
         val in = fs.open(hp)
-        try {
-          chunkInserts((pos, buf) => in.readFully(pos, buf, 0, buf.length),
-            fileLen, s0, l, tailWindowBytes)
-            .flatMap(stmtRows(_, names, n))
-        } finally in.close()
+        // the chunk iterator is LAZY (one statement in flight): the
+        // stream must outlive this lambda and close at task end — a
+        // try/finally here would close it before Spark consumed a row
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        chunkInserts((pos, buf) => in.readFully(pos, buf, 0, buf.length),
+          fileLen, s0, l, tailWindowBytes)
+          .flatMap(stmtRows(_, names, n))
       }
     spark.createDataFrame(rows, outSchema)
   }
@@ -182,38 +185,155 @@ object DumpSource {
       throw new IllegalStateException(
         s"dump chunk [$start+$len) spans ${end - snap} bytes after the " +
           "line snap — over the 2 GiB window limit; lower chunkBytes")
-    else {
-      val ownedLen = (end - snap).toInt
-      var stmts: Seq[Insert] = null
-      var tailLen = math.min(tailWindowBytes, fileLen - end)
-      var grow = math.max(1L, tailWindowBytes)
-      while (stmts == null) {
+    else new Iterator[Insert] {
+      // STREAMING emit: one statement in flight, never the chunk's
+      // whole parsed row set (a 256 MiB chunk's rows in Java-object
+      // form are several times the chunk — the eager shape would OOM
+      // real executors where the whole-file path streams). Emitting
+      // before the window is proven big enough is safe because (a)
+      // char offsets are stable under growth — the text only extends
+      // at its end — so re-scans skip exactly the already-emitted
+      // statements, and (b) the loud preconditions (multi-line
+      // comment, 2 GiB window) THROW, failing the whole Spark task,
+      // whose partial output is discarded.
+      private var tailLen = math.min(tailWindowBytes, fileLen - end)
+      private var growStep = math.max(1L, tailWindowBytes)
+      private var eof = false
+      private var text: String = null
+      private var boundaryChars = 0
+      private var scanner: scala.collection.BufferedIterator[(Insert, Int, Int)] = null
+      private var emittedUpTo = -1 // kw offset of the last emitted statement
+      private var lastResume = 0 // resume offset of the last emitted statement
+      private var pending: Insert = null
+      private var finished = false
+
+      private val ownedLen = (end - snap).toInt
+
+      /** (Re)read + decode the current window; false = must grow
+        * before any scanning (boundary line or a block comment still
+        * open at the window end — both only possible when !eof, so
+        * growth always makes progress).
+        */
+      private def load(): Boolean = {
         if (ownedLen + tailLen > maxWindow)
           throw new IllegalStateException(
             s"dump chunk window at [$start+$len) grew past 2 GiB without " +
               "closing a statement or boundary line; the file is not " +
               "strict-format — import it without chunking")
-        val eof = end + tailLen >= fileLen
+        eof = end + tailLen >= fileLen
         val buf = new Array[Byte]((ownedLen + tailLen).toInt)
         read(snap, buf)
-        chunkStatements(buf, ownedLen, eof) match {
-          case Some(ss) => stmts = ss
-          case None =>
-            tailLen = math.min(fileLen - end, tailLen + grow)
-            grow *= 2
+        // ownership cutoff: first line start at byte offset >= ownedLen
+        val boundaryByte: Int =
+          if (ownedLen <= 0) 0
+          else if (buf(ownedLen - 1) == '\n') ownedLen
+          else {
+            var i = ownedLen
+            while (i < buf.length && buf(i) != '\n') i += 1
+            if (i < buf.length) i + 1
+            else if (eof) buf.length
+            else return false // boundary line still open at window end
+          }
+        // byte offset -> UTF-16 code units: one per non-continuation
+        // byte, plus one more per 4-byte lead (surrogate pair). Exact
+        // for valid UTF-8, which strict-format machine dumps are.
+        boundaryChars = 0
+        var bi = 0
+        while (bi < boundaryByte) {
+          val b = buf(bi) & 0xFF
+          if ((b & 0xC0) != 0x80) boundaryChars += (if (b >= 0xF0) 2 else 1)
+          bi += 1
         }
+        text = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        // chunking precondition: no multi-line plain block comments — a
+        // later chunk would snap to a line start INSIDE one and lex its
+        // body as SQL (phantom rows the checksum would then bless).
+        // Fail the import loudly rather than corrupt silently;
+        // single-line comments (all mysqldump/MyDumper ever emit) and
+        // versioned comments (bodies are executable SQL) pass.
+        val (multilineAt, untermAt) = blockCommentIssue(text)
+        if (multilineAt >= 0)
+          throw new IllegalStateException(
+            s"multi-line block comment at offset $multilineAt breaks dump " +
+              "chunking (a chunk boundary inside it would misparse); this " +
+              "file is not strict-format — import it without chunking")
+        if (untermAt >= 0) {
+          if (!eof) { text = null; return false } // closer beyond window
+          if (text.indexOf('\n', untermAt) >= 0)
+            throw new IllegalStateException(
+              s"unterminated block comment at offset $untermAt spans lines; " +
+                "not strict-format — import without chunking")
+          // single-line trailing garbage at EOF: scanner recovery handles it
+        }
+        // fast-forward past already-emitted statements (offsets stable
+        // across growth; geometric growth bounds total re-scan at ~2x)
+        val s = statementsWithOffsets(text).buffered
+        while (s.hasNext && s.head._2 <= emittedUpTo) {
+          lastResume = s.head._3
+          s.next()
+        }
+        scanner = s
+        true
       }
-      stmts.iterator
+
+      private def growWindow(): Unit = {
+        tailLen = math.min(fileLen - end, tailLen + growStep)
+        growStep *= 2
+        text = null
+        scanner = null
+      }
+
+      @annotation.tailrec
+      private def advance(): Unit =
+        if (pending == null && !finished) {
+          if (text == null) {
+            if (!load()) growWindow()
+            advance()
+          } else if (scanner.hasNext) {
+            val (ins, kw, resume) = scanner.head
+            if (kw >= boundaryChars) finished = true // next chunk's statement
+            else if (!eof && resume >= text.length) { growWindow(); advance() }
+            else {
+              scanner.next()
+              pending = ins
+              emittedUpTo = kw
+              lastResume = resume
+            }
+          } else if (eof) finished = true
+          else {
+            // scanner exhausted without crossing: owned keywords it
+            // skipped with only window-end behind them are
+            // indistinguishable from truncation — probe EVERY one (a
+            // skipped keyword a full head-probe before the window end
+            // is proven noise; proven noise can precede a genuinely
+            // truncated INSERT head closer to the end, so stopping at
+            // the first keyword would drop that owned statement).
+            var kw = nextStatementKeyword(text, lastResume)
+            var mustGrow = false
+            while (!mustGrow && kw >= 0 && kw < boundaryChars) {
+              if (text.length - kw < HeadProbeChars) mustGrow = true
+              else kw = nextStatementKeyword(text, kw + 1)
+            }
+            if (mustGrow) { growWindow(); advance() }
+            else finished = true
+          }
+        }
+
+      override def hasNext: Boolean = {
+        advance()
+        pending != null
+      }
+
+      override def next(): Insert = {
+        advance()
+        if (pending == null) throw new NoSuchElementException("no more statements")
+        val r = pending
+        pending = null
+        r
+      }
     }
   }
 
-  /** Statements owned by the first `ownedLen` bytes of `buf` under the
-    * line-start ownership rule; None when the window must grow: the
-    * boundary line hasn't closed, an owned statement's parse ran into
-    * the window end, or an owned INSERT keyword failed to parse with
-    * nothing but window-end behind it (indistinguishable from
-    * truncation until more text or EOF proves otherwise).
-    */
   /** A failed head-parse more than this far from the window end is
     * proven noise (a real `INSERT INTO tbl (cols) VALUES` head
     * resolves in far less), not truncation — bounds the window growth
@@ -221,89 +341,16 @@ object DumpSource {
     */
   private val HeadProbeChars = 1 << 20
 
-  private[sources] def chunkStatements(
-      buf: Array[Byte], ownedLen: Int, eof: Boolean): Option[Seq[Insert]] = {
-    // ownership cutoff: first line start at byte offset >= ownedLen
-    val boundaryByte: Int =
-      if (ownedLen <= 0) 0
-      else if (buf(ownedLen - 1) == '\n') ownedLen
-      else {
-        var i = ownedLen
-        while (i < buf.length && buf(i) != '\n') i += 1
-        if (i < buf.length) i + 1
-        else if (eof) buf.length
-        else return None // boundary line still open at window end
-      }
-    // byte offset -> UTF-16 code units: one per non-continuation byte,
-    // plus one more per 4-byte lead (surrogate pair). Exact for valid
-    // UTF-8, which strict-format machine dumps are.
-    var boundaryChars = 0
-    var bi = 0
-    while (bi < boundaryByte) {
-      val b = buf(bi) & 0xFF
-      if ((b & 0xC0) != 0x80) boundaryChars += (if (b >= 0xF0) 2 else 1)
-      bi += 1
-    }
-    val text = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-    // chunking precondition: no multi-line plain block comments — a
-    // later chunk would snap to a line start INSIDE one and lex its
-    // body as SQL (phantom rows the checksum would then bless). Fail
-    // the import loudly rather than corrupt silently; single-line
-    // comments (all mysqldump/MyDumper ever emit) and versioned
-    // comments (bodies are executable SQL) pass.
-    val (multilineAt, untermAt) = blockCommentIssue(text)
-    if (multilineAt >= 0)
-      throw new IllegalStateException(
-        s"multi-line block comment at offset $multilineAt breaks dump " +
-          "chunking (a chunk boundary inside it would misparse); this " +
-          "file is not strict-format — import it without chunking")
-    if (untermAt >= 0) {
-      if (!eof) return None // closer beyond window: grow until known
-      if (text.indexOf('\n', untermAt) >= 0)
-        throw new IllegalStateException(
-          s"unterminated block comment at offset $untermAt spans lines; " +
-            "not strict-format — import without chunking")
-      // single-line trailing garbage at EOF: scanner recovery handles it
-    }
-    val kept = scala.collection.mutable.ArrayBuffer[Insert]()
-    var lastResume = 0
-    var crossed = false
-    val it = statementsWithOffsets(text)
-    while (!crossed && it.hasNext) {
-      val (ins, kw, resume) = it.next()
-      if (kw >= boundaryChars) crossed = true
-      else {
-        if (!eof && resume >= text.length) return None // owned parse hit window end
-        kept += ins
-        lastResume = resume
-      }
-    }
-    if (!crossed && !eof) {
-      // owned keywords the iterator skipped with only window-end
-      // behind them: can't tell noise from truncation yet — grow. (If
-      // a later statement parsed — `crossed` — or a keyword sits a
-      // full head-probe before the window end, that skip is proven
-      // noise.) EVERY owned keyword after the last parsed statement
-      // is probed, not just the first: proven noise (an INSERT…SELECT
-      // the head parser rejects mid-window) can precede a genuinely
-      // truncated INSERT head closer to the end — stopping at the
-      // first keyword would drop that owned statement silently.
-      var kw = nextStatementKeyword(text, lastResume)
-      while (kw >= 0 && kw < boundaryChars) {
-        if (text.length - kw < HeadProbeChars) return None
-        kw = nextStatementKeyword(text, kw + 1)
-      }
-    }
-    Some(kept.toSeq)
-  }
-
   /** Inflate `.gz`/`.bz2` payloads (the two codecs discovery admits,
     * `FileRouter.requireReadable`); anything else passes through.
     */
   private def decompress(path: String, raw: Array[Byte]): Array[Byte] = {
     def readAll(in: java.io.InputStream): Array[Byte] =
       try {
-        val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+        // clamp the size hint: raw.length * 4 overflows Int for
+        // compressed payloads over 512 MiB
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(Int.MaxValue.toLong - 64L, raw.length * 4L).toInt)
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
@@ -338,7 +385,7 @@ object DumpSource {
     statementsWithOffsets(text).map(_._1)
 
   /** [[statementIterator]] with (statement, keyword char offset,
-    * resume char offset) — the offsets let [[chunkStatements]] decide
+    * resume char offset) — the offsets let [[chunkInserts]] decide
     * chunk ownership and detect window-end truncation.
     */
   private[sources] def statementsWithOffsets(
