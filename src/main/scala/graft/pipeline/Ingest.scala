@@ -255,14 +255,12 @@ object Ingest {
       // so plain crash resume never trips this.
       val unitTokens = units.map(_.token).toSet
       val unitPaths = units.map(_.path).toSet
-      // `unitPaths.contains(t)` covers a file whose real NAME ends in
-      // '@N+M': its bare token parses as "chunk of a shorter path", so
-      // tokenPath(t) would miss the match and a bare→chunked toggle on
-      // that file would silently append duplicates the accumulated
-      // checksum then expects
+      // tokenPath is unambiguous for every routable file: Discover's
+      // data regex anchors on the .sql/.csv/.parquet(+codec) extension,
+      // so no data path can END in '@N+M' and a bare token never parses
+      // as a chunk token of a shorter path
       val schemeMismatch = done.exists(t =>
-        !unitTokens.contains(t) &&
-          (unitPaths.contains(t) || unitPaths.contains(tokenPath(t))))
+        !unitTokens.contains(t) && unitPaths.contains(tokenPath(t)))
       resumable.filter(_ => !schemeMismatch) match {
         case Some(rec) if rec.status == "verified" && newUnits.isEmpty =>
           TableReport(d.db, d.table, rec.nRows, rec.checksum, checksumOk = true,

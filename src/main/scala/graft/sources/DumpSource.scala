@@ -192,17 +192,17 @@ object DumpSource {
       // real executors where the whole-file path streams). Emitting
       // before the window is proven big enough is safe because (a)
       // char offsets are stable under growth — the text only extends
-      // at its end — so re-scans skip exactly the already-emitted
-      // statements, and (b) the loud preconditions (multi-line
-      // comment, 2 GiB window) THROW, failing the whole Spark task,
-      // whose partial output is discarded.
+      // at its end — so validation and lexing RESUME at the last
+      // emitted statement's offset, never re-parsing what was emitted,
+      // and (b) the loud preconditions (multi-line comment, 2 GiB
+      // window) THROW, failing the whole Spark task, whose partial
+      // output is discarded.
       private var tailLen = math.min(tailWindowBytes, fileLen - end)
       private var growStep = math.max(1L, tailWindowBytes)
       private var eof = false
       private var text: String = null
       private var boundaryChars = 0
       private var scanner: scala.collection.BufferedIterator[(Insert, Int, Int)] = null
-      private var emittedUpTo = -1 // kw offset of the last emitted statement
       private var lastResume = 0 // resume offset of the last emitted statement
       private var pending: Insert = null
       private var finished = false
@@ -251,7 +251,12 @@ object DumpSource {
         // Fail the import loudly rather than corrupt silently;
         // single-line comments (all mysqldump/MyDumper ever emit) and
         // versioned comments (bodies are executable SQL) pass.
-        val (multilineAt, untermAt) = blockCommentIssue(text)
+        // Validation and lexing both RESUME at lastResume — a
+        // plain-SQL-context offset whose prefix every earlier (smaller)
+        // window already validated and emitted — so window growth
+        // re-reads bytes (bounded ~2x total by the geometric growth)
+        // but never re-parses emitted statements.
+        val (multilineAt, untermAt) = blockCommentIssue(text, lastResume)
         if (multilineAt >= 0)
           throw new IllegalStateException(
             s"multi-line block comment at offset $multilineAt breaks dump " +
@@ -265,14 +270,7 @@ object DumpSource {
                 "not strict-format — import without chunking")
           // single-line trailing garbage at EOF: scanner recovery handles it
         }
-        // fast-forward past already-emitted statements (offsets stable
-        // across growth; geometric growth bounds total re-scan at ~2x)
-        val s = statementsWithOffsets(text).buffered
-        while (s.hasNext && s.head._2 <= emittedUpTo) {
-          lastResume = s.head._3
-          s.next()
-        }
-        scanner = s
+        scanner = statementsWithOffsets(text, lastResume).buffered
         true
       }
 
@@ -296,7 +294,6 @@ object DumpSource {
             else {
               scanner.next()
               pending = ins
-              emittedUpTo = kw
               lastResume = resume
             }
           } else if (eof) finished = true
@@ -347,10 +344,11 @@ object DumpSource {
   private def decompress(path: String, raw: Array[Byte]): Array[Byte] = {
     def readAll(in: java.io.InputStream): Array[Byte] =
       try {
-        // clamp the size hint: raw.length * 4 overflows Int for
-        // compressed payloads over 512 MiB
+        // size hint capped at 256 MiB: raw.length * 4 overflows Int
+        // past 512 MiB, and an eager multi-GiB initial array would
+        // itself OOM — the stream doubles on demand beyond the hint
         val out = new java.io.ByteArrayOutputStream(
-          math.min(Int.MaxValue.toLong - 64L, raw.length * 4L).toInt)
+          math.min(256L << 20, raw.length * 4L).toInt)
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
@@ -389,8 +387,12 @@ object DumpSource {
     * chunk ownership and detect window-end truncation.
     */
   private[sources] def statementsWithOffsets(
-      text: String): Iterator[(Insert, Int, Int)] = new Iterator[(Insert, Int, Int)] {
-    private var pos = 0
+      text: String,
+      from: Int = 0): Iterator[(Insert, Int, Int)] = new Iterator[(Insert, Int, Int)] {
+    // `from` must be a plain-SQL-context offset (0, or a previous
+    // statement's resume) — the scanner assumes no string/comment is
+    // open there
+    private var pos = from
     private var nextIns: (Insert, Int, Int) = _
     private var exhausted = false
 
@@ -578,8 +580,11 @@ object DumpSource {
     * string literal can't false-positive — `DumpChunkSpec` pins the
     * two walkers' agreement on the torture fixtures.
     */
-  private[sources] def blockCommentIssue(s: String): (Int, Int) = {
-    var i = 0
+  private[sources] def blockCommentIssue(s: String, from: Int = 0): (Int, Int) = {
+    // `from` must be a plain-SQL-context offset (0, or a previous
+    // statement's resume): earlier regions were validated by earlier,
+    // smaller windows, so re-validation can start where lexing resumes
+    var i = from
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
