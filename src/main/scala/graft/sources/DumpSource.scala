@@ -441,6 +441,11 @@ object DumpSource {
     var columns = Seq.empty[String]
     if (p < s.length && s.charAt(p) == '(') {
       val close = matchParen(s, p)
+      // unclosed list with '(' as the last char: matchParen's
+      // s.length-1 fallback lands AT p and substring(p+1, p) would
+      // throw — a truncated window/file head is a None (the chunk
+      // reader's probe then grows the window), never a crash
+      if (close <= p) return None
       columns = graft.schema.MysqlDdl
         .splitTopLevel(s.substring(p + 1, close), ',')
         .map(c => graft.schema.MysqlDdl.unquoteIdent(c.trim))
@@ -668,6 +673,10 @@ object DumpSource {
     var done = false
     while (!done && i < s.length) {
       i = skipWs(s, i)
+      // a tuple truncated at the window end after whitespace ("(1, ")
+      // must return, not index past the text — the caller's
+      // resume-at-window-end check then grows the window
+      if (i >= s.length) return (vals.toArray, i)
       val c = s.charAt(i)
       if (c == ')') { vals += null; done = true; i += 1 } // empty slot / trailing
       else if (c == '\'' || c == '"') {

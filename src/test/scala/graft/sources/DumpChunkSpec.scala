@@ -143,4 +143,45 @@ class DumpChunkSpec extends AnyFunSuite {
     for (grid <- Seq(3L, 10L, 31L))
       assert(sweep(text, grid, 4L) === whole, s"grid=$grid")
   }
+
+  test("seeded random dumps: every grid/window reproduces the whole-file parse") {
+    // property sweep over GENERATED dumps: random INSERTs (escaped
+    // hostile strings, multi-byte text, multi-row, explicit column
+    // lists) interleaved with comment/SET/INSERT-SELECT noise —
+    // boundary arithmetic must hold for shapes nobody hand-picked.
+    // Seeded: failures reproduce.
+    val rnd = new scala.util.Random(20260813L)
+    def value(): String = rnd.nextInt(4) match {
+      case 0 => rnd.nextInt(100000).toString
+      case 1 => "NULL"
+      case 2 =>
+        val alphabet = "ab',\\\"β日#;-( )/*"
+        "'" + SqlLiterals.escape((0 until rnd.nextInt(12))
+          .map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString) + "'"
+      case _ => "'" + ("x" * rnd.nextInt(30)) + "'"
+    }
+    def statement(): String = {
+      val cols = if (rnd.nextBoolean()) "" else " (a, b)"
+      val rows = (0 until 1 + rnd.nextInt(3))
+        .map(_ => s"(${value()},${value()})").mkString(",")
+      s"INSERT INTO t$cols VALUES $rows;"
+    }
+    def noise(): String = rnd.nextInt(4) match {
+      case 0 => "-- INSERT INTO t VALUES (0,'decoy')"
+      case 1 => "SET @x = 'INSERT INTO t VALUES (0,''decoy'')';"
+      case 2 => "INSERT INTO t SELECT * FROM other;"
+      case _ => "/*!40000 ALTER TABLE t DISABLE KEYS */;"
+    }
+    for (round <- 1 to 16) {
+      val text = (0 until 12)
+        .map(_ => if (rnd.nextInt(4) == 0) noise() else statement())
+        .mkString("", "\n", "\n")
+      val whole = DumpSource.parseStatements(text).flatMap(_.rows).map(_.toSeq)
+      val grids = Seq(1L, 2L + rnd.nextInt(9), 17L + rnd.nextInt(40),
+        text.getBytes(UTF_8).length.toLong)
+      for (grid <- grids; window <- Seq(1L, 3L + rnd.nextInt(20), 4096L))
+        assert(sweep(text, grid, window) === whole,
+          s"round=$round grid=$grid window=$window text=\n$text")
+    }
+  }
 }
