@@ -73,6 +73,37 @@ class MySqlCsvSpec extends AnyFunSuite {
     assert(got2 === Seq("a,1", "b,2", "c,3"))
   }
 
+  test("seeded random CSVs: every chunk grid reproduces the file's lines") {
+    // property sweep over GENERATED strict-format CSVs (quoted fields
+    // with escaped hostile chars, multi-byte text, CRLF or LF, with
+    // and without a trailing newline) — line-boundary arithmetic must
+    // hold for shapes nobody hand-picked. Seeded: failures reproduce.
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = "ab\"',\\|;β日 \t#" // no raw newlines: the strict-format precondition
+    def field(): String =
+      if (rnd.nextBoolean()) "\"" + SqlLiterals.escape((0 until rnd.nextInt(10))
+        .map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString) + "\""
+      else rnd.nextInt(1000).toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    for (round <- 1 to 12) {
+      val lines = (0 until 3 + rnd.nextInt(40))
+        .map(_ => (0 until 1 + rnd.nextInt(5)).map(_ => field()).mkString(","))
+      val sep = if (rnd.nextBoolean()) "\r\n" else "\n"
+      val body = lines.mkString(sep) + (if (rnd.nextBoolean()) sep else "")
+      val tmp = java.nio.file.Files.createTempFile("graft_csvprop", ".csv")
+      java.nio.file.Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val size = java.nio.file.Files.size(tmp)
+      for (chunk <- Seq(1L, 2L + rnd.nextInt(15), 64L, size + 3)) {
+        val got = (0L until size by chunk).flatMap { off =>
+          MySqlCsv.chunkLines(conf, tmp.toString, off, math.min(chunk, size - off))
+            .map(t => new String(t._2, "UTF-8")).toSeq
+        }
+        assert(got === lines, s"round=$round chunk=$chunk sep=${sep.length}")
+      }
+      java.nio.file.Files.delete(tmp)
+    }
+  }
+
   test("UTF-16 rejects loudly on every byte-splitting path") {
     // 0x0A bytes are not unambiguous line ends in UTF-16/32 ('\n' is
     // 0A 00, and other characters' code units contain 0x0A too), so
