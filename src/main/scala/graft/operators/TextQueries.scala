@@ -496,6 +496,52 @@ object TextQueries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Calibrate the quality gate to a token budget: the per-bucket
+    * curve of "keep everything scoring ≥ s" — docs, tokens, and the
+    * cumulative token mass from the top score down, with the
+    * within-budget frontier marked. Reading the table gives the
+    * threshold a curation run should set to land a target token count
+    * (the gate-side complement of [[mixSample]]'s source-side budget
+    * and [[tokenBudgetTrim]]'s doc-side cap). The score is the
+    * quantized unique-token ratio ([[qualityStats]]' signal), so the
+    * calibration can never drift from the gate it tunes.
+    *
+    * Scale shape: one narrow scan + a map-side-combining groupBy onto
+    * a DOMAIN-bounded bucket relation (≤ 10⁴ rows at any corpus
+    * size); the running sum windows over that bounded relation, never
+    * the corpus — the one-reducer window is 10k rows however many
+    * exabytes scored.
+    */
+  val CalibrateBudgetTokens = 15000L
+
+  def qualityCalibrate(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nTok, _, nUniq) = qualityStats
+    val buckets = table(spark, sfDir, "documents")
+      .where(length(trim(col("text"))) > 0)
+      .select(floor(lit(10000d) * nUniq.cast("double") / nTok.cast("double"))
+        .cast("long").as("score"), nTok.as("nt"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    buckets
+      .withColumn("cum_tokens",
+        expr("sum(n_tokens) OVER (ORDER BY score DESC)"))
+      .withColumn("in_budget",
+        (col("cum_tokens") <= CalibrateBudgetTokens).cast("long"))
+      .orderBy(col("score").desc)
+  }
+
+  def qualityCalibrateSql: String =
+    s"""WITH t AS (SELECT $sqlToks AS tk FROM documents WHERE len(trim(text)) > 0),
+      |s AS (SELECT CAST(floor(10000.0 * len(list_distinct(tk)) / len(tk)) AS BIGINT) AS score,
+      |    CAST(len(tk) AS BIGINT) AS nt FROM t),
+      |b AS (SELECT score, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+      |  FROM s GROUP BY score)
+      |SELECT score, n_docs, n_tokens,
+      |  CAST(sum(n_tokens) OVER (ORDER BY score DESC) AS BIGINT) AS cum_tokens,
+      |  CAST(CASE WHEN CAST(sum(n_tokens) OVER (ORDER BY score DESC) AS BIGINT)
+      |    <= ${CalibrateBudgetTokens} THEN 1 ELSE 0 END AS BIGINT) AS in_budget
+      |FROM b ORDER BY score DESC""".stripMargin
+
   // ---------------------------------------------------------- lang id
   /** Language ID: distinct-stopword hit count per language, argmax with
     * fixed priority tie-break (en > de > es > fr > und). An n-gram
