@@ -24,8 +24,14 @@ object Bench {
       val t0 = System.nanoTime()
       // noop write, not count(): count() lets Spark prune every column
       // and elide sorts, understating real query cost.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => }
+      // A failing query must NOT record its time-to-crash as a run time
+      // — that hid 13 analysis-broken queries for two rounds. Record -1
+      // and the error so a regression poisons the report visibly.
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case t: Throwable =>
+          Some(Option(t.getMessage).getOrElse(t.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)) }
       val sec = (System.nanoTime() - t0) / 1e9
       // release the previous query's cache/localCheckpoint blocks NOW,
       // synchronously: waiting for the async ContextCleaner (GC-driven)
@@ -35,12 +41,15 @@ object Bench {
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
-      name -> sec
+      (name, if (err.isEmpty) sec else -1.0, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

@@ -115,22 +115,33 @@ object GraftSession {
     if (splits * 2 <= cores) df.repartition(cores) else df
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright; read it as a raw nanos long (legacy flag, set ONCE at
-    * session build — mutating conf inside a table getter would be a
-    * global side effect per read) and rebuild a microsecond
-    * TimestampType column (the corpus has no sub-µs components).
-    * Integer `div` keeps the conversion exact — a double division
-    * would lose precision above 2^53 ns.
+  /** events.ts has drifted across testdata generations: originally
+    * parquet TIMESTAMP(NANOS) (which Spark 4 rejects outright, hence
+    * the legacy nanosAsLong flag set ONCE at session build), later
+    * regenerated as plain TIMESTAMP micros without a timezone
+    * annotation (read as TIMESTAMP_NTZ). Branch on the dtype Spark
+    * actually loaded so both layouts — and a future tz-annotated one —
+    * normalize to the same session-UTC TimestampType column:
+    *  - LongType (nanosAsLong): integer `div 1000` keeps the nanos→µs
+    *    conversion exact (double division loses precision above 2^53),
+    *    then `timestamp_micros` rebuilds the timestamp.
+    *  - TIMESTAMP_NTZ: the wall-clock values ARE the intended UTC
+    *    instants; cast to TimestampType under the session's UTC zone
+    *    is value-preserving.
+    *  - TimestampType: already canonical; pass through.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(GraftSession.build/benchSession set it)")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsCol = raw.schema("ts").dataType match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other — extend GraftSession.events")
+    }
+    raw.withColumn("ts", tsCol)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 }

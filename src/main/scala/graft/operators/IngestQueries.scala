@@ -545,7 +545,9 @@ object IngestQueries {
     * by `DumpSourceSpec`.
     */
   def variousTypesDec(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = exoticTable(spark, sfDir)
+    // cached: both the per-row select and the totals agg read it, and an
+    // uncached plan would re-run the fixture write + dump parse twice
+    val t = exoticTable(spark, sfDir).cache()
     val totals = t.agg(
       sum(col("dec6")).cast("decimal(12,4)").cast("string").as("dec6_sum"),
       sum(col("big")).cast("decimal(21,0)").cast("string").as("big_sum"))

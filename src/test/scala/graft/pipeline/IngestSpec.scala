@@ -782,21 +782,24 @@ class IngestSpec extends SparkSpec {
     (1 to 9).foreach(i => assert(r2.isNullAt(i), s"col $i should be null"))
   }
 
-  test("variousTypesDec pins the typed DECIMAL values the driver probe isolates") {
+  test("variousTypesDec pins the string-rendered DECIMAL arithmetic the driver probe isolates") {
     import graft.operators.IngestQueries
     val rows = IngestQueries.variousTypesDec(spark, sf()).collect()
     assert(rows.length === 3)
-    assert(rows(0).getDecimal(1) === new java.math.BigDecimal("12.3456"))
-    assert(rows(0).getDecimal(2) === new java.math.BigDecimal("18446744073709551615"))
-    assert(rows(1).getDecimal(1) === new java.math.BigDecimal("-9.9999"))
-    assert(rows(1).getDecimal(2) === new java.math.BigDecimal("0"))
-    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
-    // the string twins in variousTypes render the same values losslessly
-    val full = IngestQueries.variousTypes(spark, sf()).collect()
-    assert(full(0).getAs[String]("dec6_str") === "12.3456")
-    assert(full(0).getAs[String]("big_str") === "18446744073709551615")
-    assert(full(1).getAs[String]("dec6_str") === "-9.9999")
-    assert(full(1).getAs[String]("big_str") === "0")
+    val r0 = rows(0)
+    assert(r0.getAs[String]("dec6_str") === "12.3456")
+    assert(r0.getAs[String]("dec6_x3") === "37.0368")
+    assert(r0.getAs[String]("dec6_r2") === "12.35") // Spark decimal cast rounds HALF_UP
+    assert(r0.getAs[String]("big_str") === "18446744073709551615")
+    assert(r0.getAs[String]("big_minus1") === "18446744073709551614")
+    assert(r0.getAs[String]("dec6_sum") === "2.3457")
+    assert(r0.getAs[String]("big_sum") === "18446744073709551615")
+    val r1 = rows(1)
+    assert(r1.getAs[String]("dec6_str") === "-9.9999")
+    assert(r1.getAs[String]("dec6_r2") === "-10.00")
+    assert(r1.getAs[String]("big_str") === "0")
+    assert(r1.getAs[String]("big_minus1") === "-1")
+    (1 to 5).foreach(i => assert(rows(2).isNullAt(i), s"col $i should be null"))
   }
 
   test("viewSelect handles qualifier clauses and parenthesized bodies") {
