@@ -18,30 +18,40 @@ object Bench {
     // optional arg: comma-separated query names (local perf iteration;
     // the driver invokes with no args → full run)
     val only = args.headOption.map(_.split(",").toSet)
+    // SPARK_GRAFT_REPS>1 → median-of-reps per query (single-shot serial
+    // timings swing up to 3× under sandbox load; the driver runs with
+    // the default 1, so round-over-round totals stay comparable)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write, not count(): count() lets Spark prune every column
-      // and elide sorts, understating real query cost.
-      // A failing query must NOT record its time-to-crash as a run time
-      // — that hid 13 analysis-broken queries for two rounds. Record -1
-      // and the error so a regression poisons the report visibly.
-      val err: Option[String] =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case t: Throwable =>
-          Some(Option(t.getMessage).getOrElse(t.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)) }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // release the previous query's cache/localCheckpoint blocks NOW,
-      // synchronously: waiting for the async ContextCleaner (GC-driven)
-      // lets a heavy query's blocks linger into the NEXT measurement —
-      // observed as 3× swings (ngram 5.4 s isolated vs 17 s following
-      // minhash's cached signatures and checkpointed candidates)
-      spark.sqlContext.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      System.gc()
-      (name, if (err.isEmpty) sec else -1.0, err)
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop write, not count(): count() lets Spark prune every column
+        // and elide sorts, understating real query cost.
+        // A failing query must NOT record its time-to-crash as a run time
+        // — that hid 13 analysis-broken queries for two rounds. Record -1
+        // and the error so a regression poisons the report visibly.
+        val err: Option[String] =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case t: Throwable =>
+            Some(Option(t.getMessage).getOrElse(t.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // release the previous query's cache/localCheckpoint blocks NOW,
+        // synchronously: waiting for the async ContextCleaner (GC-driven)
+        // lets a heavy query's blocks linger into the NEXT measurement —
+        // observed as 3× swings (ngram 5.4 s isolated vs 17 s following
+        // minhash's cached signatures and checkpointed candidates)
+        spark.sqlContext.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+        (sec, err)
+      }
+      val err = runs.flatMap(_._2).headOption
+      val ok = runs.collect { case (s, None) => s }.sorted
+      val sec = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      (name, sec, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -21,6 +21,10 @@ import java.nio.file.{Files, Paths}
   *                                          next table boundary (reference
   *                                          /pause handler + Pauser gate)
   *   resume <spoolDir>                      clear the pause
+  *   front <spoolDir> <task>                move a queued task to the head
+  *   back <spoolDir> <task>                 … or the tail of the queue
+  *                                          (reference PATCH /tasks/{id}/
+  *                                          front|back, lightning.go:518-547)
   */
 object Ctl {
 
@@ -81,11 +85,20 @@ object Ctl {
       Files.deleteIfExists(Paths.get(spoolDir, "pause"))
       println("resumed")
 
+    case verb :: spoolDir :: task :: Nil if verb == "front" || verb == "back" =>
+      Server.reorder(spoolDir, task, front = verb == "front") match {
+        case Some(name) => println(s"$verb: $task is now $name")
+        case None =>
+          System.err.println(s"$verb: no queued task matches '$task'")
+          sys.exit(1)
+      }
+
     case _ =>
       System.err.println(
         "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
           "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n] | " +
-          "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir>")
+          "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir> | " +
+          "front <spoolDir> <task> | back <spoolDir> <task>")
       sys.exit(2)
   }
 

@@ -12,8 +12,9 @@ import org.apache.spark.sql.SparkSession
   * front end (cron, HTTP shim, workflow engine) can feed:
   *
   *   <spool>/queue/NNN-name.json   pending tasks, processed in
-  *                                 lexicographic order (rename = the
-  *                                 reference's front/back reorder verbs,
+  *                                 lexicographic order ([[reorder]] /
+  *                                 `Ctl front|back` = the reference's
+  *                                 front/back reorder verbs,
   *                                 delete = cancel)
   *   <spool>/done/…  /failed/…     task file + result line after the run
   *   <spool>/pause                 while present, the RUNNING import
@@ -37,11 +38,7 @@ object Server {
     if (!Files.isDirectory(queue)) return Seq.empty
     val done = Files.createDirectories(Paths.get(spool, "done"))
     val failed = Files.createDirectories(Paths.get(spool, "failed"))
-    val listing = Files.list(queue)
-    val tasks =
-      try listing.iterator().asScala.toSeq
-        .filter(_.toString.endsWith(".json")).sortBy(_.getFileName.toString)
-      finally listing.close() // a leaked DirectoryStream fd per poll adds up in the server loop
+    val tasks = queued(queue)
     tasks.map { tf =>
       val name = tf.getFileName.toString
       val result =
@@ -65,6 +62,58 @@ object Server {
         s"""{"task":${jsonStr(result.task)},"ok":${result.ok},""" +
           s""""tables":${result.tables},"detail":${jsonStr(result.detail)}}\n""")
       result
+    }
+  }
+
+  /** Queued task files in execution order. Dot-prefixed names are
+    * excluded — [[reorder]] parks files under temp dot-names mid-rename,
+    * and a concurrent poll must not pick a half-reordered queue entry.
+    */
+  private def queued(queue: Path): Seq[Path] = {
+    val listing = Files.list(queue)
+    try listing.iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".json"))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .sortBy(_.getFileName.toString)
+    finally listing.close() // a leaked DirectoryStream fd per poll adds up in the server loop
+  }
+
+  /** Move a queued task to the front or back of the queue — the
+    * reference's `PATCH /tasks/{id}/front|back`
+    * (`lightning/lightning.go:518-547`). Queue order is lexicographic
+    * filename order, so the reorder renumbers every pending entry with
+    * a fresh `NNN-` prefix after placing the target first (or last).
+    * The task is matched by full filename or by its name with the
+    * numeric prefix stripped. Returns the task's new filename, or None
+    * if no pending entry matches. Like the reference handler (which
+    * holds the server's task lock), this is an admin verb for a queue
+    * that is not mid-drain; a concurrent poll sees either the old or
+    * the new order, never a partial one (temp names are dot-prefixed
+    * and invisible to [[drainOnce]]).
+    */
+  def reorder(spool: String, task: String, front: Boolean): Option[String] = {
+    val queue = Paths.get(spool, "queue")
+    if (!Files.isDirectory(queue)) return None
+    val tasks = queued(queue)
+    def base(p: Path) = p.getFileName.toString.replaceFirst("^\\d+-", "")
+    tasks.find(p => p.getFileName.toString == task || base(p) == task).map { t =>
+      val rest = tasks.filterNot(_ == t)
+      // base names are taken from the ORIGINAL paths once — re-deriving
+      // them from the parked temp names would bake the temp prefix in
+      val order = (if (front) t +: rest else rest :+ t).map(p => (p, base(p)))
+      // two-phase rename: renumbering in place can collide with a
+      // still-unrenamed file holding the destination name
+      val parked = order.zipWithIndex.map { case ((p, b), i) =>
+        val tmp = queue.resolve(f".reorder-$i%03d-$b")
+        Files.move(p, tmp, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        (tmp, b)
+      }
+      val finals = parked.zipWithIndex.map { case ((p, b), i) =>
+        val dst = queue.resolve(f"$i%03d-$b")
+        Files.move(p, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        dst
+      }
+      (if (front) finals.head else finals.last).getFileName.toString
     }
   }
 

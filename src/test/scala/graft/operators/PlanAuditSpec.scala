@@ -125,6 +125,16 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("setOps: ONE fused pass — single key exchange, no per-set-op re-scan") {
+    // the r4 rewrite folded INTERSECT/EXCEPT/UNION into one tagged
+    // union + groupBy; a regression to three separate set-op jobs shows
+    // up as extra scans and extra hash exchanges
+    val plan = planOf(CoreQueries.setOps(spark, sf()))
+    assert("Scan parquet".r.findAllIn(plan).size === 2, plan) // customer + orders, once each
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("partial_"), plan) // map-side combine on the key merge
+  }
+
   test("boilerplate: df count combines map-side; joins are equi-joins") {
     val plan = planOf(DedupQueries.boilerplate(spark, sf()))
     assert(plan.contains("partial_"), plan)

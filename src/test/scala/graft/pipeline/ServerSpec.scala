@@ -2,6 +2,8 @@ package graft.pipeline
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 
 class ServerSpec extends SparkSpec {
@@ -32,6 +34,32 @@ class ServerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out2/d.t").count() === 2)
     assert(!Files.list(spool.resolve("queue")).iterator().hasNext)
     assert(Files.exists(spool.resolve("done/001-first.json.result")))
+  }
+
+  test("reorder moves a queued task to the front or back (reference PATCH /tasks front|back)") {
+    val spool = Files.createTempDirectory("graft_server_reorder")
+    val queue = Files.createDirectories(spool.resolve("queue"))
+    Seq("001-a.json", "002-b.json", "003-c.json")
+      .foreach(n => Files.writeString(queue.resolve(n), "{}"))
+
+    // by base name, to the front: c jumps ahead of a and b
+    assert(Server.reorder(spool.toString, "c.json", front = true)
+      === Some("000-c.json"))
+    def names() = {
+      val l = Files.list(queue)
+      try l.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      finally l.close()
+    }
+    assert(names() === Seq("000-c.json", "001-a.json", "002-b.json"))
+
+    // by full filename, to the back: c returns to the tail
+    assert(Server.reorder(spool.toString, "000-c.json", front = false)
+      === Some("002-c.json"))
+    assert(names() === Seq("000-a.json", "001-b.json", "002-c.json"))
+
+    // unknown task is a loud no-op
+    assert(Server.reorder(spool.toString, "zzz.json", front = true) === None)
+    assert(names() === Seq("000-a.json", "001-b.json", "002-c.json"))
   }
 
   test("a broken task lands in failed/ and does not block the queue") {
