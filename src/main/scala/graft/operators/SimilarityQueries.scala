@@ -590,4 +590,54 @@ object SimilarityQueries {
        |    CAST(sum((proj.d - qp.d) * (proj.d - qp.d)) AS BIGINT) AS rp_dist
        |  FROM proj JOIN qp ON proj.j = qp.j GROUP BY proj.vec_id)
        |SELECT vec_id, rp_dist FROM dist ORDER BY rp_dist, vec_id LIMIT 10""".stripMargin
+
+  // --------------------------------------------- hard-negative mining
+  private val HnAnchors = 5
+  private val HnK = 5
+
+  /** Hard-negative mining for contrastive embedding training: for each
+    * anchor vector, the top-k most-similar vectors carrying a DIFFERENT
+    * label (the "hard" negatives — near the anchor in embedding space
+    * but semantically distinct; random negatives are too easy to teach
+    * a margin).
+    *
+    * Scale shape: the anchor set is tiny and broadcast, so the corpus
+    * is scanned once and never shuffled as vectors — each row scores
+    * against all anchors in-place, and only narrow (anchor, vec, score)
+    * triples reach the per-anchor top-k. That top-k is a rank window,
+    * which Catalyst rewrites to WindowGroupLimit: each map partition
+    * keeps k rows per anchor BEFORE the exchange, so the shuffle
+    * carries ≤ k·anchors·partitions rows regardless of corpus size.
+    * Scores are quantized int64 dots (quantDot) — exact, order-
+    * independent, bit-identical to the oracle.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = table(spark, sfDir, "embeddings")
+    val anchors = emb.where(col("vec_id") < HnAnchors)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+        col("label").as("a_label"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    emb.join(broadcast(anchors), col("label") =!= col("a_label"))
+      .select(col("anchor_id"), col("vec_id"),
+        quantDot(col("embedding"), col("a_emb")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= HnK)
+      .orderBy("anchor_id", "rnk")
+  }
+
+  def hardNegativesSql: String =
+    s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS a_emb,
+       |    label AS a_label FROM embeddings WHERE vec_id < $HnAnchors),
+       |s AS (SELECT a.anchor_id, e.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(e.embedding, a.a_emb),
+       |      p -> $QDot)) AS BIGINT) AS score
+       |  FROM embeddings e, a WHERE e.label <> a.a_label),
+       |r AS (SELECT anchor_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY score DESC, vec_id) AS rnk
+       |  FROM s)
+       |SELECT anchor_id, vec_id, score, rnk FROM r
+       |WHERE rnk <= $HnK ORDER BY anchor_id, rnk""".stripMargin
 }
