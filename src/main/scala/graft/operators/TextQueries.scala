@@ -542,6 +542,57 @@ object TextQueries {
       |    <= ${CalibrateBudgetTokens} THEN 1 ELSE 0 END AS BIGINT) AS in_budget
       |FROM b ORDER BY score DESC""".stripMargin
 
+  /** Curriculum bucketing: every doc tagged with its length QUARTILE
+    * (0 = shortest … 3 = longest), the stratification a curriculum-
+    * ordered training run samples from (easy-to-hard by length proxy).
+    *
+    * Exact quantiles WITHOUT a global sort: `n_chars` has a bounded
+    * domain, so exact cut points fall out of a (value, count)
+    * histogram — one map-side-combining groupBy onto ≤ max-doc-length
+    * rows, a running sum over that bounded relation (one-reducer
+    * window over the histogram, never the corpus — same shape as
+    * [[qualityCalibrate]]), then a single-row cut relation broadcast
+    * back over the corpus as a narrow CASE. All-integer cut logic
+    * (`cum·4 ≥ q·total` — no float quantile semantics to disagree on),
+    * so both engines pick identical cut points. Contrast Spark's exact
+    * `percentile`, which buffers every value per group, or
+    * `approx_percentile`, whose error bound an oracle can't replicate.
+    */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", expr("sum(cnt) OVER (ORDER BY n_chars)"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("total"))))
+    val cuts = cum.agg(
+      min(when(col("cum") * 4 >= col("total"), col("n_chars"))).as("c25"),
+      min(when(col("cum") * 2 >= col("total"), col("n_chars"))).as("c50"),
+      min(when(col("cum") * 4 >= col("total") * 3, col("n_chars"))).as("c75"))
+    docs.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") <= col("c25"), 0)
+          .when(col("n_chars") <= col("c50"), 1)
+          .when(col("n_chars") <= col("c75"), 2)
+          .otherwise(3).cast("int").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  def curriculumSql: String =
+    """WITH hist AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
+      |c AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum FROM hist),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+      |cuts AS (SELECT
+      |    min(CASE WHEN cum * 4 >= total THEN n_chars END) AS c25,
+      |    min(CASE WHEN cum * 2 >= total THEN n_chars END) AS c50,
+      |    min(CASE WHEN cum * 4 >= total * 3 THEN n_chars END) AS c75
+      |  FROM c, t)
+      |SELECT d.doc_id, d.n_chars,
+      |  CAST(CASE WHEN d.n_chars <= cuts.c25 THEN 0
+      |            WHEN d.n_chars <= cuts.c50 THEN 1
+      |            WHEN d.n_chars <= cuts.c75 THEN 2
+      |            ELSE 3 END AS INT) AS bucket
+      |FROM documents d, cuts ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- lang id
   /** Language ID: distinct-stopword hit count per language, argmax with
     * fixed priority tie-break (en > de > es > fr > und). An n-gram

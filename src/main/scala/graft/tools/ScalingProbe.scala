@@ -27,7 +27,13 @@ object ScalingProbe {
     "q_pack_sequences", "q_quality_score", "q_dedup_exact",
     "q_corpus_diff", "q_line_dedup", "q_search_topk",
     "q_importance_weights", "q_ngram_diversity",
-    "q_heavy_hitters", "q_shuffle_shard", "q_mix_sample")
+    "q_heavy_hitters", "q_shuffle_shard", "q_mix_sample",
+    // event family (events folded on the user axis: k× users, same
+    // per-user history — window/session work is per-user, so the
+    // expectation is ~k) and the anchor-broadcast ANN op (k× corpus,
+    // fixed anchors — one scan, expectation ~k)
+    "q_sessionize", "q_window_hourly", "q_asof_join", "q_range_join",
+    "q_retention", "q_funnel", "q_moving_sum", "q_hard_negatives")
   private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
     "q_dedup_editdist")
 
@@ -58,6 +64,30 @@ object ScalingProbe {
             docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
           }.reduce(_.unionByName(_))
             .write.mode("overwrite").parquet(docsOut.toString)
+        }
+        // events fold on the USER axis (new ids per copy): k× users with
+        // the same per-user history, the realistic growth direction for
+        // session/window/funnel work — per-user partitions multiply,
+        // per-partition work stays fixed
+        val eventsOut = dir.resolve("events.parquet")
+        if (!Files.exists(eventsOut.resolve("_SUCCESS"))) {
+          val ev = spark.read.parquet(s"$base/events.parquet")
+          (0 until k).map { i =>
+            ev.withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+              .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+          }.reduce(_.unionByName(_))
+            .write.mode("overwrite").parquet(eventsOut.toString)
+        }
+        // embeddings fold keeps the anchor set fixed (vec_id 0..4 exist
+        // only in copy 0): the corpus under the one-scan ANN ops grows
+        // k× while the broadcast side stays constant
+        val embOut = dir.resolve("embeddings.parquet")
+        if (!Files.exists(embOut.resolve("_SUCCESS"))) {
+          val emb = spark.read.parquet(s"$base/embeddings.parquet")
+          (0 until k).map { i =>
+            emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+          }.reduce(_.unionByName(_))
+            .write.mode("overwrite").parquet(embOut.toString)
         }
         k -> dir.toString
       }

@@ -125,6 +125,42 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
+  test("curriculum buckets are exact length quartiles, ~N/4 each modulo ties") {
+    val rows = TextQueries.curriculum(spark, sf()).collect()
+    val n = rows.length
+    assert(n > 0)
+    // buckets are ordered by length: every doc in bucket b is no longer
+    // than any doc in bucket b+1
+    val maxLenPerBucket = rows.groupBy(_.getAs[Int]("bucket"))
+      .map { case (b, g) => b -> g.map(_.getAs[Long]("n_chars")).max }
+    val minLenPerBucket = rows.groupBy(_.getAs[Int]("bucket"))
+      .map { case (b, g) => b -> g.map(_.getAs[Long]("n_chars")).min }
+    (0 to 2).foreach { b =>
+      if (maxLenPerBucket.contains(b) && minLenPerBucket.contains(b + 1))
+        assert(maxLenPerBucket(b) <= minLenPerBucket(b + 1))
+    }
+    // quartile balance: each cut point is the smallest length whose
+    // cumulative count reaches q·N, so a bucket can exceed N/4 only by
+    // the tie mass AT its cut — bounded by the largest length-tie group
+    val maxTie = rows.groupBy(_.getAs[Long]("n_chars")).values.map(_.size).max
+    val sizes = rows.groupBy(_.getAs[Int]("bucket")).view.mapValues(_.size)
+    sizes.foreach { case (b, s) =>
+      assert(s <= n / 4 + maxTie, s"bucket $b size $s vs N/4=${n / 4} + tie $maxTie")
+    }
+  }
+
+  test("curriculum plan: corpus is never globally sorted — window only over the histogram") {
+    val df = TextQueries.curriculum(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    // cut relation broadcasts back over the corpus
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    // exactly one one-reducer window, fed by the bounded histogram
+    // aggregate (partial_count proves the groupBy combined map-side
+    // BELOW the window — the corpus never reaches the single reducer)
+    assert("Window ".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("unigramQuality scores mean corpus token frequency in ppm") {
     val dir = docsFixture(Seq((1L, "x x y"), (2L, "x z")))
     val out = TextQueries.unigramQuality(spark, dir).collect()
