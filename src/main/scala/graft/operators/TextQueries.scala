@@ -788,6 +788,122 @@ object TextQueries {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- winnowing
+  private val WinnowK = 4 // k-gram length (tokens)
+  private val WinnowW = 4 // winnowing window (k-grams)
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    * w-gram window, keep the minimum hash per window (rightmost on
+    * ties), dedupe. The guarantee: any shared substring of
+    * ≥ w+k-1 tokens yields at least one shared fingerprint, while
+    * only ~2/(w+1) of positions are kept — position-robust partial-
+    * overlap detection at a fraction of the full k-gram relation,
+    * the classic primitive under plagiarism / near-dup span search.
+    *
+    * Scale shape: selection is entirely per-document — one narrow
+    * projection of nested higher-order functions (all codegen'd, no
+    * UDF), and only the SELECTED (doc_id, pos, fp) triples ever leave
+    * the row. No shuffle except the presentation sort. Docs shorter
+    * than k tokens have no k-gram and are absent, matching the oracle.
+    *
+    * Ties pick the RIGHTMOST minimal position (the paper's choice, for
+    * window-to-window consistency): both engines express it as
+    * max(position where hash = window-min), integer logic only.
+    */
+  def winnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = WinnowW
+    val hsCol = transform(shingles(tokens(col("text")), WinnowK), s => md5Long(s))
+    val hs = col("hs")
+    // window i (0-based over k-gram index): min of hs[i..i+w-1], at the
+    // rightmost position holding it; sequence bounds keep element_at
+    // in-range under ANSI. size<w degrades to one whole-array window.
+    val sel = transform(
+      sequence(lit(0), greatest(size(hs) - w, lit(0))),
+      i => {
+        val wmin = array_min(slice(hs, i + lit(1), lit(w)))
+        val pos = array_max(transform(
+          sequence(i + lit(1), least(i + lit(w), size(hs))),
+          j => when(element_at(hs, j) === wmin, j - lit(1)).otherwise(lit(-1))))
+        struct(pos.cast("long").as("pos"), wmin.as("fp"))
+      })
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), hsCol.as("hs"))
+      .where(size(hs) >= 1)
+      .select(col("doc_id"), explode(array_distinct(sel)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Shared winnowing CTE chain (toks → hs → sel), ending without a
+    * final SELECT so both [[winnowSql]] and [[winnowPairsSql]] splice it.
+    */
+  private def winnowCte: String = {
+    val (k, w) = (WinnowK, WinnowW)
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |hs AS (SELECT doc_id,
+       |    list_transform(range(1, greatest(len(t) - $k + 2, 1)), j ->
+       |      CAST(('0x' || substr(md5(array_to_string(t[j:j+${k - 1}], ' ')), 1, 14)) AS BIGINT)) AS h
+       |  FROM toks),
+       |sel AS (SELECT doc_id,
+       |    list_transform(range(1, greatest(len(h) - $w + 2, 2)), i ->
+       |      {'pos': list_aggregate(list_transform(range(i, least(i + $w, len(h) + 1)), j ->
+       |                 CASE WHEN h[j] = list_aggregate(h[i:i+${w - 1}], 'min') THEN j - 1 ELSE -1 END), 'max'),
+       |       'fp': list_aggregate(h[i:i+${w - 1}], 'min')}) AS sels
+       |  FROM hs WHERE len(h) >= 1)""".stripMargin
+  }
+
+  def winnowSql: String =
+    s"""WITH $winnowCte
+       |SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp
+       |FROM sel, UNNEST(sels) AS u(s)
+       |ORDER BY doc_id, pos""".stripMargin
+
+  private val WinnowDfCap = 50L  // boilerplate fingerprints never pair
+  private val WinnowMinShared = 2L
+
+  /** Cross-document overlap candidates from the winnowing fingerprints:
+    * doc pairs sharing ≥ [[WinnowMinShared]] selected fingerprints —
+    * each shared fingerprint witnesses a shared ≥ k-token run, so the
+    * pair list is the span-overlap candidate set a plagiarism / near-
+    * dup pipeline verifies (the guarantee direction: any shared run of
+    * ≥ w+k−1 tokens is CAUGHT by at least one shared fingerprint).
+    *
+    * Scale: the pair generator is an equi-join on fp, and fingerprints
+    * carried by more than [[WinnowDfCap]] docs are dropped first (the
+    * [[DedupQueries]] DfCap discipline — ubiquitous boilerplate grams
+    * would otherwise contribute df² pair rows while witnessing nothing
+    * distinctive). Fanout is bounded by cap² per fingerprint; no
+    * all-pairs join anywhere.
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // distinct (doc, fp): the same fingerprint can win several windows
+    // at different positions; a pair must count it once
+    val fps = winnow(spark, sfDir).select("doc_id", "fp").distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= WinnowDfCap).select("fp")
+    val rf = fps.join(rare, Seq("fp"), "left_semi")
+    rf.as("a").join(rf.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= WinnowMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def winnowPairsSql: String =
+    s"""WITH $winnowCte,
+       |fps AS (SELECT DISTINCT doc_id, s.fp AS fp
+       |  FROM sel, UNNEST(sels) AS u(s)),
+       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WinnowDfCap),
+       |rf AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------- mixture weights
   /** Training-mixture weights per source with temperature-style
     * upsampling: weight ∝ √tokens (α = 0.5), the rebalancing used for
