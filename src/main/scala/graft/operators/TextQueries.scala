@@ -957,6 +957,75 @@ object TextQueries {
       |  CAST(floor(CAST(qv AS DOUBLE) / CAST(qt AS DOUBLE) * 100000) AS BIGINT) AS target_per_100k
       |FROM q, t ORDER BY source""".stripMargin
 
+  private val UniMaxBudget = 50000L
+  private val UniMaxCap = 2L
+
+  /** UniMax mixture allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a token budget across sources as
+    * uniformly as possible subject to a per-source epoch cap — small
+    * sources contribute at most [[UniMaxCap]] epochs of their data,
+    * the rest of the budget splits evenly over the larger sources.
+    * The published alternative to [[mixtureWeights]]' temperature
+    * sampling (no source is oversampled past the cap, no source is
+    * starved below the even share).
+    *
+    * Water-filling in closed form, all-integer: sources ascend by
+    * token mass; the breakpoint k is the first rank whose capped mass
+    * c·t exceeds the running fair share (B − c·T_prev) div (remaining
+    * sources); ranks below k allocate c·t, ranks ≥ k split the budget
+    * remainder evenly with the mod going to the largest sources — a
+    * spec pins this closed form equal to the sequential fair-share
+    * loop. Scale shape: one map-side-combining groupBy onto the
+    * bounded per-source relation; every window below ranges over
+    * ≤ #sources rows, never the corpus (the [[qualityCalibrate]]
+    * bounded-relation discipline).
+    */
+  def unimax(spark: SparkSession, sfDir: String,
+      b: Long = UniMaxBudget, c: Long = UniMaxCap): DataFrame = {
+    val per = table(spark, sfDir, "documents").groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    per
+      .withColumn("rn", expr("cast(row_number() over (order by n_tokens, source) as bigint)"))
+      .withColumn("n", expr("cast(count(1) over () as bigint)"))
+      .withColumn("tprev", expr(
+        s"""cast(coalesce(sum($c * n_tokens) over (order by n_tokens, source
+           |  rows between unbounded preceding and 1 preceding), 0) as bigint)""".stripMargin))
+      .withColumn("capped", expr(s"$c * n_tokens > ($b - tprev) div (n - rn + 1)"))
+      .withColumn("k", expr("min(case when capped then rn end) over ()"))
+      .withColumn("basek", expr(s"max(case when rn = k then $b - tprev end) over ()"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), expr(
+        s"""cast(case when k is null or rn < k then $c * n_tokens
+           |  else basek div (n - k + 1)
+           |       + (case when rn > n - basek % (n - k + 1) then 1 else 0 end)
+           |  end as bigint)""".stripMargin).as("alloc_tokens"))
+      .orderBy("source")
+  }
+
+  def unimaxSql: String = {
+    val (b, c) = (UniMaxBudget, UniMaxCap)
+    s"""WITH per AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |r AS (SELECT source, n_docs, n_tokens,
+       |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER () AS BIGINT) AS n,
+       |    CAST(coalesce(sum($c * n_tokens) OVER (ORDER BY n_tokens, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tprev
+       |  FROM per),
+       |f AS (SELECT *, ($c * n_tokens > ($b - tprev) // (n - rn + 1)) AS capped FROM r),
+       |kk AS (SELECT *, min(CASE WHEN capped THEN rn END) OVER () AS k FROM f),
+       |bb AS (SELECT *, max(CASE WHEN rn = k THEN $b - tprev END) OVER () AS basek FROM kk)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(CASE WHEN k IS NULL OR rn < k THEN $c * n_tokens
+       |       ELSE basek // (n - k + 1)
+       |            + CASE WHEN rn > n - basek % (n - k + 1) THEN 1 ELSE 0 END
+       |  END AS BIGINT) AS alloc_tokens
+       |FROM bb ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------- BPE pairs
   /** One BPE-training iteration: the top-20 most frequent adjacent
     * character pairs inside words, weighted by occurrence — the merge

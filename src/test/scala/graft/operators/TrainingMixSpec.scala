@@ -125,6 +125,45 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
+  test("unimax closed form equals the sequential fair-share loop (both regimes + remainder)") {
+    // per-source token masses 5, 10, 50, 60; cap 2, budget 121:
+    // loop → fair 30: 10 | fair 37: 20 | fair 45: 45 (capped from here) | 46
+    val tmp = java.nio.file.Files.createTempDirectory("graft_unimax").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (1L, (1 to 5).map(i => s"t$i").mkString(" "), "en", "sA", 0L),
+      (2L, (1 to 10).map(i => s"t$i").mkString(" "), "en", "sB", 0L),
+      (3L, (1 to 50).map(i => s"t$i").mkString(" "), "en", "sC", 0L),
+      (4L, (1 to 60).map(i => s"t$i").mkString(" "), "en", "sD", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.unimax(spark, tmp, b = 121L, c = 2L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(got === Map("sA" -> 10L, "sB" -> 20L, "sC" -> 45L, "sD" -> 46L))
+
+    // independent sequential reference on the same masses
+    var (rem, m) = (121L, 4)
+    val ref = Seq(("sA", 5L), ("sB", 10L), ("sC", 50L), ("sD", 60L)).map { case (s, t) =>
+      val a = math.min(2L * t, rem / m); rem -= a; m -= 1; s -> a
+    }.toMap
+    assert(got === ref)
+  }
+
+  test("unimax on the corpus: allocations respect the cap and exhaust the budget at the breakpoint") {
+    val rows = TextQueries.unimax(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    val anyBelowCap = rows.exists(r =>
+      r.getAs[Long]("alloc_tokens") !== 2L * r.getAs[Long]("n_tokens"))
+    // either every source fits under its cap (budget underspent by
+    // design) or the equal-split tail exists and the budget is exact
+    if (anyBelowCap) assert(total === 50000L) else assert(total <= 50000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= 2L * r.getAs[Long]("n_tokens") + 1)
+    }
+  }
+
   test("curriculum buckets are exact length quartiles, ~N/4 each modulo ties") {
     val rows = TextQueries.curriculum(spark, sf()).collect()
     val n = rows.length
