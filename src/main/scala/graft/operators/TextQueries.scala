@@ -879,8 +879,13 @@ object TextQueries {
     */
   def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // distinct (doc, fp): the same fingerprint can win several windows
-    // at different positions; a pair must count it once
+    // at different positions; a pair must count it once. Materialized
+    // eagerly (the [[DedupQueries]] candidate discipline): the df
+    // count, the semi filter, and BOTH self-join sides read it, and an
+    // unmaterialized plan would re-run the md5+selection chain per
+    // reference — ~16 bytes/fingerprint, a corpus-scale-safe residue
     val fps = winnow(spark, sfDir).select("doc_id", "fp").distinct()
+      .localCheckpoint(true)
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= WinnowDfCap).select("fp")
     val rf = fps.join(rare, Seq("fp"), "left_semi")

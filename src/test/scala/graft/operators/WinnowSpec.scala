@@ -82,6 +82,29 @@ class WinnowSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("winnow property sweep: seeded random/adversarial texts match the reference") {
+    // hash ties from heavy repetition, doc lengths straddling k and w,
+    // single-token and empty docs — the shapes that break off-by-ones
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Array("a", "b", "ab", "ba", "aa")  // tiny vocab → many equal k-grams
+    val texts = (0 until 60).map { i =>
+      val len = i % 12 // 0..11 tokens: below k, between k and w+k-1, above
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    } :+ "x " * 200 :+ "" :+ "solo"
+    val tmp = Files.createTempDirectory("graft_winnow_sweep").toString
+    val spark2 = spark
+    import spark2.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.winnow(spark, tmp).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got.getOrElse(i.toLong, Set.empty) === ref(t), s"doc $i: '$t'")
+    }
+  }
+
   test("winnow plan is narrow: no data shuffle besides the presentation sort") {
     val plan = TextQueries.winnow(spark, sf()).queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning"), plan)
