@@ -31,6 +31,50 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCounts over the REAL events table equals the batch aggregation") {
+    // the live path and the backfill path must agree on the same data:
+    // stream the actual events parquet through the watermarked window
+    // and compare every (window, type) group against the batch run of
+    // the identical expression
+    import org.apache.spark.sql.functions._
+    val src = s"${sf()}/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("part-00000.parquet"))
+    val raw = spark.read.parquet(src)
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", col("ts").cast("timestamp"))
+    val stream = normalize(
+      spark.readStream.schema(raw.schema).parquet(dir.toString))
+    val q = windowedCounts(stream).writeStream
+      .format("memory").queryName("wc_real").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wc_real").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val want = normalize(raw)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("window.start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(got.keySet === want.keySet)
+      assert(got.nonEmpty)
+      got.foreach { case (k, (n, s)) =>
+        val (wn, ws) = want(k)
+        assert(n === wn, s"count mismatch at $k")
+        // double sums may associate differently between the streaming
+        // partials and the batch hash aggregate
+        assert(math.abs(s - ws) <= math.max(1e-9 * math.abs(ws), 1e-9),
+          s"sum mismatch at $k: $s vs $ws")
+      }
+    } finally q.stop()
+  }
+
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
   test("dedupStream keeps first occurrence per fingerprint across batches") {
