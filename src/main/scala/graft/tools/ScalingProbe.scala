@@ -33,7 +33,8 @@ object ScalingProbe {
     // expectation is ~k) and the anchor-broadcast ANN op (k× corpus,
     // fixed anchors — one scan, expectation ~k)
     "q_sessionize", "q_window_hourly", "q_asof_join", "q_range_join",
-    "q_retention", "q_funnel", "q_moving_sum", "q_hard_negatives",
+    "q_retention", "q_funnel", "q_moving_sum", "q_gap_fill",
+    "q_json_props", "q_pivot_daily", "q_hard_negatives",
     // per-doc selection / bounded-relation allocation: expectation ~k
     "q_winnow", "q_curriculum", "q_unimax")
   private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
