@@ -877,24 +877,61 @@ object TextQueries {
     * distinctive). Fanout is bounded by cap² per fingerprint; no
     * all-pairs join anywhere.
     */
-  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // distinct (doc, fp): the same fingerprint can win several windows
-    // at different positions; a pair must count it once. Materialized
-    // eagerly (the [[DedupQueries]] candidate discipline): the df
-    // count, the semi filter, and BOTH self-join sides read it, and an
-    // unmaterialized plan would re-run the md5+selection chain per
-    // reference — ~16 bytes/fingerprint, a corpus-scale-safe residue
-    val fps = winnow(spark, sfDir).select("doc_id", "fp").distinct()
-      .localCheckpoint(true)
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+  /** Pair candidates from a materialized distinct (doc_id, fp)
+    * relation — shared by [[winnowPairs]] and [[winnowAlign]] so the
+    * candidate definition cannot drift between them.
+    */
+  /** Fingerprints under the document-frequency cap — boilerplate
+    * grams neither pair nor align.
+    */
+  private def rareWinnowFps(fps: DataFrame): DataFrame =
+    fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= WinnowDfCap).select("fp")
-    val rf = fps.join(rare, Seq("fp"), "left_semi")
+
+  private def winnowPairsFrom(fps: DataFrame): DataFrame = {
+    val rf = fps.join(rareWinnowFps(fps), Seq("fp"), "left_semi")
     rf.as("a").join(rf.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= WinnowMinShared)
+  }
+
+  /** Distinct (doc, fp) pairs, materialized eagerly (the
+    * [[DedupQueries]] candidate discipline): the df count, the semi
+    * filter, and BOTH self-join sides read it, and an unmaterialized
+    * plan would re-run the md5+selection chain per reference —
+    * ~16 bytes/fingerprint, a corpus-scale-safe residue. (The same
+    * fingerprint can win several windows at different positions; a
+    * pair must count it once, hence the distinct.)
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame =
+    winnowPairsFrom(
+      winnow(spark, sfDir).select("doc_id", "fp").distinct()
+        .localCheckpoint(true))
       .orderBy("doc_a", "doc_b")
+
+  /** The verify/locate stage over [[winnowPairs]]' candidates: for
+    * every candidate pair, each shared fingerprint with BOTH
+    * positions — the alignment table a plagiarism/overlap report
+    * renders (doc_a's token offset against doc_b's for every shared
+    * ≥ k-token run). The full positioned relation materializes ONCE
+    * and feeds the candidate generator and both alignment sides; all
+    * joins are equi-joins on (doc, fp), output bounded by
+    * pairs × positions-per-fingerprint.
+    */
+  def winnowAlign(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = winnow(spark, sfDir).localCheckpoint(true) // doc_id, pos, fp
+    val fps = pos.select("doc_id", "fp").distinct()
+    val pairs = winnowPairsFrom(fps).select("doc_a", "doc_b")
+    // alignment rides the SAME df-capped fingerprint set the candidate
+    // generator used
+    val rfPos = pos.join(rareWinnowFps(fps), Seq("fp"), "left_semi")
+    val a = rfPos.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("fp"))
+    val b = rfPos.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("fp"))
+    pairs.join(a, "doc_a").join(b, Seq("doc_b", "fp"))
+      .select(col("doc_a"), col("doc_b"), col("fp"), col("pos_a"), col("pos_b"))
+      .orderBy("doc_a", "doc_b", "fp", "pos_a", "pos_b")
   }
 
   def winnowPairsSql: String =
@@ -908,6 +945,24 @@ object TextQueries {
        |FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  def winnowAlignSql: String =
+    s"""WITH $winnowCte,
+       |pos AS (SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp
+       |  FROM sel, UNNEST(sels) AS u(s)),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM pos),
+       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WinnowDfCap),
+       |rf AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp)),
+       |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared),
+       |rpos AS (SELECT pos.doc_id, pos.pos, pos.fp FROM pos JOIN rare USING (fp))
+       |SELECT prs.doc_a, prs.doc_b, a.fp AS fp,
+       |  a.pos AS pos_a, b.pos AS pos_b
+       |FROM prs
+       |JOIN rpos a ON a.doc_id = prs.doc_a
+       |JOIN rpos b ON b.doc_id = prs.doc_b AND b.fp = a.fp
+       |ORDER BY doc_a, doc_b, fp, pos_a, pos_b""".stripMargin
 
   // ------------------------------------------------- mixture weights
   /** Training-mixture weights per source with temperature-style

@@ -75,6 +75,32 @@ class WinnowSpec extends SparkSpec {
     assert(nShared >= 2 && nShared <= 13, s"n_shared=$nShared")
   }
 
+  test("winnowAlign locates both positions of every shared fingerprint") {
+    val shared = (1 to 16).map(i => s"al$i").mkString(" ")
+    val tmp = Files.createTempDirectory("graft_winnow_align").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (1L, s"pre amble words here $shared post amble", "en", "a", 0L),
+      (2L, s"$shared completely unrelated closing run text", "en", "b", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextQueries.winnowAlign(spark, tmp).collect()
+    assert(rows.nonEmpty)
+    // every alignment row names the one candidate pair, and the
+    // positions differ by doc 1's 4-token prefix for fingerprints
+    // inside the shared run
+    val fps1 = TextQueries.winnow(spark, tmp).collect()
+      .filter(_.getLong(0) == 1L).map(r => r.getLong(2) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+      assert(fps1(r.getLong(2)) === r.getLong(3)) // pos_a is doc 1's position
+    }
+    // at least one aligned fingerprint has pos_a = pos_b + 4 (the
+    // prefix offset) — the signature of a located shared span
+    assert(rows.exists(r => r.getLong(3) === r.getLong(4) + 4))
+  }
+
   test("winnowPairs plan: pair generation is an equi-join, never a cartesian") {
     val plan = TextQueries.winnowPairs(spark, sf())
       .queryExecution.executedPlan.toString
