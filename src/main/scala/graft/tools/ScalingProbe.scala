@@ -38,7 +38,7 @@ object ScalingProbe {
     // per-doc selection / bounded-relation allocation: expectation ~k
     "q_winnow", "q_curriculum", "q_unimax")
   private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
-    "q_dedup_editdist", "q_winnow_pairs")
+    "q_dedup_editdist", "q_winnow_pairs", "q_winnow_align")
 
   def main(args: Array[String]): Unit = {
     val maxK = args.headOption.map(_.toInt).getOrElse(4)
