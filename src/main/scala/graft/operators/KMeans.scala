@@ -88,15 +88,69 @@ object KMeans {
   }
 
   /** Query surface: train k=8 for 4 iterations on the embeddings and
-    * report per-cell population + the model inertia — rows-only check
-    * (float means are not bit-reproducible in SQL, so no DuckDB twin).
+    * report per-cell population + the per-cell integer inertia (sum of
+    * each member's min quantized squared distance). Fully oracle-able:
+    * the training is deterministic (min-id init, integer-exact sums,
+    * IEEE-exact double divisions), so [[kmeansCellsSql]] replays all 4
+    * Lloyd iterations in DuckDB and both engines agree bit for bit.
+    * Inertia stays BIGINT at test scale (≤ 2.6e14 per row); a
+    * trillion-row corpus would promote the sum to decimal(38,0) the
+    * way [[fit]]'s total inertia already does.
     */
   def kmeansCells(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val emb = graft.GraftSession.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val m = fit(emb, "vec_id", "embedding", k = 8, iters = 4)
-    emb.withColumn("cell", cellOf(col("embedding"), m.centroids))
-      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    val best = array_min(array(m.centroids.zipWithIndex.map { case (c, i) =>
+      struct(qdist(col("embedding"), c).as("d"), lit(i).as("cid"))
+    }: _*))
+    // cell as long: DuckDB's row_number()-derived replay cell is BIGINT
+    emb.select(best.getField("cid").cast("long").as("cell"),
+        best.getField("d").as("d"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d")).as("inertia"))
       .orderBy("cell")
+  }
+
+  /** DuckDB replay of [[kmeansCells]]: the 4 Lloyd iterations unrolled
+    * as CTE blocks — each is (integer argmin assignment → integer sums
+    * → sm/n/1e6 centroid update with empty cells keeping the previous
+    * centroid), exactly [[fit]]'s math. Every float→double conversion,
+    * floor quantization, and the two-step double division are the same
+    * IEEE ops both engines execute, so the replay is bit-exact.
+    */
+  def kmeansCellsSql: String = {
+    val qd2 = "(CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(floor(p[2]*1000000) AS BIGINT))" +
+      " * (CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(floor(p[2]*1000000) AS BIGINT))"
+    val init =
+      """c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8))""".stripMargin
+    val iters = (0 until 4).map { i =>
+      s"""asg$i AS (SELECT v.vec_id, b.cell,
+         |    CAST(list_sum(list_transform(list_zip(v.embedding, b.cv), p -> $qd2)) AS BIGINT) AS d
+         |  FROM embeddings v, c$i b),
+         |ar$i AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM asg$i),
+         |va$i AS (SELECT vec_id, cell FROM ar$i WHERE rn = 1),
+         |sm$i AS (SELECT a.cell, p.pos,
+         |    sum(CAST(floor(CAST(v.embedding[p.pos + 1] AS DOUBLE)*1000000) AS BIGINT)) AS sm,
+         |    count(*) AS n
+         |  FROM va$i a JOIN embeddings v USING (vec_id), range(64) p(pos) GROUP BY 1, 2),
+         |br$i AS (SELECT b.cell, p.pos,
+         |    COALESCE(CAST(s2.sm AS DOUBLE)/CAST(s2.n AS DOUBLE)/1000000, b.cv[p.pos + 1]) AS c
+         |  FROM c$i b CROSS JOIN range(64) p(pos)
+         |  LEFT JOIN sm$i s2 ON s2.cell = b.cell AND s2.pos = p.pos),
+         |c${i + 1} AS (SELECT cell, list(c ORDER BY pos) AS cv FROM br$i GROUP BY 1)""".stripMargin
+    }
+    val fin =
+      s"""fin AS (SELECT v.vec_id, b.cell,
+         |    CAST(list_sum(list_transform(list_zip(v.embedding, b.cv), p -> $qd2)) AS BIGINT) AS d
+         |  FROM embeddings v, c4 b),
+         |fr AS (SELECT vec_id, cell, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM fin)""".stripMargin
+    (init +: iters :+ fin).mkString("WITH ", ",\n", "\n") +
+      """SELECT cell, count(*) AS n_vectors, CAST(sum(d) AS BIGINT) AS inertia
+        |FROM fr WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin
   }
 }

@@ -308,10 +308,10 @@ object SimilarityQueries {
     * re-ranking. At 100 TB the code relation is ~2 bytes/vector vs
     * 256 bytes of float — the scan is 100× smaller, and the candidate
     * join is Rerank rows, not the corpus. Codebook training is
-    * deterministic (min-id init, exact integer sums), so the whole
-    * pipeline is reproducible; there is no SQL oracle (replaying 4
-    * k-means trainings in DuckDB is infeasible) — the spec pins
-    * determinism and recall against the exact scan instead.
+    * deterministic (min-id init, exact integer sums, one Lloyd pass),
+    * so the whole pipeline is reproducible AND oracle-able —
+    * [[annIvfPqSql]] replays training, encoding, pruning, ADC scan,
+    * and re-rank in DuckDB bit for bit.
     */
   /** Train the PQ codebooks: joint training of ALL subspaces in one
     * init job + one Lloyd pass (same min-id init and exact-integer
@@ -410,9 +410,10 @@ object SimilarityQueries {
     * At 100 TB the probe reads 6/16ths of a ~2 byte/vector relation
     * and joins [[PqRerank]] rows back — never a full float scan.
     * Codebook training is deterministic (min-id init, exact integer
-    * sums); there is no SQL oracle (replaying 4 k-means trainings in
-    * DuckDB is infeasible) — the spec pins determinism, the pruned +
-    * codes-only plan shape, and recall against the exact scan.
+    * sums, one Lloyd pass), so [[annIvfPqSql]] replays the whole
+    * pipeline in DuckDB; the spec additionally pins determinism, the
+    * pruned + codes-only plan shape, and recall against the exact
+    * scan.
     */
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val layout = ivfPqLayout(spark, sfDir)
@@ -445,6 +446,80 @@ object SimilarityQueries {
         quantDot(col("embedding"), typedLit(q)).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** DuckDB replay of the ENTIRE IVF-PQ pipeline — training included.
+    * Feasible because [[pqTrain]] is a single Lloyd pass: min-id init,
+    * integer-exact assignment and sums, and a two-step IEEE double
+    * division (sm/n/1e6) for the refined centroids — every step is a
+    * deterministic sequence of exactly-rounded ops both engines share,
+    * so codebooks, codes, the ADC table, candidate set, and the final
+    * re-rank all agree bit for bit (verified at sf0.001/0.01/0.1).
+    * Closes the last `no_oracle` gap from round 7.
+    */
+  def annIvfPqSql: String = {
+    val qd2 = "(CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(floor(p[2]*1000000) AS BIGINT))" +
+      " * (CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(floor(p[2]*1000000) AS BIGINT))"
+    val span = 16 // 64 dims / PqM subspaces
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |cent AS (SELECT vec_id - 1 AS cid, embedding AS c
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND $IvfCells),
+       |cdots AS (SELECT e.vec_id, cent.cid,
+       |    CAST(list_sum(list_transform(list_zip(e.embedding, cent.c), p -> $QDot)) AS BIGINT) AS d
+       |  FROM embeddings e, cent),
+       |crank AS (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM cdots),
+       |vcell AS (SELECT vec_id, cid FROM crank WHERE rn = 1),
+       |qcells AS (SELECT cid FROM crank WHERE vec_id = 0 AND rn <= $IvfPqProbes),
+       |ini AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+       |inib AS (SELECT s.s, i.cell,
+       |    list_transform(list_slice(i.embedding, s.s*$span + 1, s.s*$span + $span),
+       |      x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM ini i, range($PqM) s(s)),
+       |asg0 AS (SELECT v.vec_id, b.s, b.cell,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(list_slice(v.embedding, b.s*$span + 1, b.s*$span + $span), b.cv),
+       |      p -> $qd2)) AS BIGINT) AS d
+       |  FROM embeddings v, inib b),
+       |asgr AS (SELECT vec_id, s, cell,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cell) AS rn FROM asg0),
+       |vassign AS (SELECT vec_id, s, cell FROM asgr WHERE rn = 1),
+       |sums AS (SELECT a.s, a.cell, p.pos,
+       |    sum(CAST(floor(CAST(v.embedding[a.s*$span + p.pos + 1] AS DOUBLE)*1000000) AS BIGINT)) AS sm,
+       |    count(*) AS n
+       |  FROM vassign a JOIN embeddings v USING (vec_id), range($span) p(pos)
+       |  GROUP BY 1, 2, 3),
+       |bookr AS (SELECT b.s, b.cell, p.pos,
+       |    COALESCE(CAST(s2.sm AS DOUBLE)/CAST(s2.n AS DOUBLE)/1000000, b.cv[p.pos + 1]) AS c
+       |  FROM inib b CROSS JOIN range($span) p(pos)
+       |  LEFT JOIN sums s2 ON s2.s = b.s AND s2.cell = b.cell AND s2.pos = p.pos),
+       |books AS (SELECT s, cell, list(c ORDER BY pos) AS cv FROM bookr GROUP BY 1, 2),
+       |casg AS (SELECT v.vec_id, b.s, b.cell,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(list_slice(v.embedding, b.s*$span + 1, b.s*$span + $span), b.cv),
+       |      p -> $qd2)) AS BIGINT) AS d
+       |  FROM embeddings v, books b),
+       |casgr AS (SELECT vec_id, s, cell,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cell) AS rn FROM casg),
+       |vcodes AS (SELECT vec_id, s, cell FROM casgr WHERE rn = 1),
+       |adct AS (SELECT b.s, b.cell,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(list_slice(q.embedding, b.s*$span + 1, b.s*$span + $span), b.cv),
+       |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT)
+       |         * CAST(floor(p[2]*1000000) AS BIGINT))) AS BIGINT) AS t
+       |  FROM books b, q),
+       |adc AS (SELECT c.vec_id, sum(t.t) AS adc
+       |  FROM vcodes c JOIN adct t ON c.s = t.s AND c.cell = t.cell
+       |  JOIN vcell vc ON vc.vec_id = c.vec_id
+       |  WHERE vc.cid IN (SELECT cid FROM qcells)
+       |  GROUP BY 1),
+       |cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT $PqRerank),
+       |scored AS (SELECT e.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(e.embedding, q.embedding), p -> $QDot)) AS BIGINT) AS score
+       |  FROM embeddings e JOIN cand USING (vec_id), q)
+       |SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
   // ------------------------------------------- embedding-cosine dedup

@@ -25,7 +25,7 @@ class KMeansSpec extends SparkSpec {
 
   test("kmeansCells partitions every vector into one of k cells") {
     val cells = KMeans.kmeansCells(spark, sf())
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val total = graft.GraftSession.table(spark, sf(), "embeddings").count()
     assert(cells.map(_._2).sum === total)
     assert(cells.map(_._1).distinct.length === cells.length)

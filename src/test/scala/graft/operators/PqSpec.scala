@@ -3,8 +3,9 @@ package graft.operators
 import graft.SparkSpec
 
 /** PQ-compressed ANN: determinism, candidate bounds, and recall
-  * against the exact scan (no SQL oracle can replay the k-means
-  * codebook training, so the recall pin is the correctness gate).
+  * against the exact scan. The driver's DuckDB oracle replays the full
+  * pipeline (annIvfPqSql) — these pins guard the properties a hash
+  * compare can't express (plan shape, recall floor).
   */
 class PqSpec extends SparkSpec {
 
