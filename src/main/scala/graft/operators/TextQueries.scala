@@ -813,7 +813,12 @@ object TextQueries {
     */
   def winnow(spark: SparkSession, sfDir: String): DataFrame = {
     val w = WinnowW
-    val hsCol = transform(shingles(tokens(col("text")), WinnowK), s => md5Long(s))
+    // k-gram fingerprints via the codegen'd modular polynomial kernel
+    // (PolyHash): ~6 integer ops per character instead of an md5
+    // compression per shingle, no shingle-string concatenation, and
+    // exactly mirrored by integer SQL in the oracle
+    val hsCol = graft.functions.PolyGramHash.polyGramHash(
+      tokens(col("text")), WinnowK)
     val hs = col("hs")
     // window i (0-based over k-gram index): min of hs[i..i+w-1], at the
     // rightmost position holding it; sequence bounds keep element_at
@@ -840,12 +845,22 @@ object TextQueries {
     */
   private def winnowCte: String = {
     val (k, w) = (WinnowK, WinnowW)
+    // the hash stage mirrors PolyHash: per-token two 30-bit modular
+    // polynomial folds over unicode code points, then a per-gram fold,
+    // packed g1·2³¹+g2 — all BIGINT-safe integer ops
     s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |  FROM documents),
+       |th AS (SELECT doc_id, list_transform(t, tok -> {
+       |    'a': list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h*131 + c + 1) % 1000000007),
+       |    'b': list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h*137 + c + 1) % 998244353)
+       |  }) AS th FROM toks),
        |hs AS (SELECT doc_id,
-       |    list_transform(range(1, greatest(len(t) - $k + 2, 1)), j ->
-       |      CAST(('0x' || substr(md5(array_to_string(t[j:j+${k - 1}], ' ')), 1, 14)) AS BIGINT)) AS h
-       |  FROM toks),
+       |    list_transform(range(1, greatest(len(th) - $k + 2, 1)), j ->
+       |      list_reduce(list_prepend({'a': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT)}, th[j:j+${k - 1}]),
+       |        (acc, x) -> {'a': (acc.a*1000003 + x.a) % 1000000007, 'b': (acc.b*1000033 + x.b) % 998244353}).a * 2147483648
+       |      + list_reduce(list_prepend({'a': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT)}, th[j:j+${k - 1}]),
+       |        (acc, x) -> {'a': (acc.a*1000003 + x.a) % 1000000007, 'b': (acc.b*1000033 + x.b) % 998244353}).b) AS h
+       |  FROM th),
        |sel AS (SELECT doc_id,
        |    list_transform(range(1, greatest(len(h) - $w + 2, 2)), i ->
        |      {'pos': list_aggregate(list_transform(range(i, least(i + $w, len(h) + 1)), j ->

@@ -3,19 +3,19 @@ package graft.operators
 import java.nio.file.Files
 
 import graft.SparkSpec
-import graft.functions.TextFunctions.md5LongLocal
+import graft.functions.PolyHash
 
 class WinnowSpec extends SparkSpec {
 
   private val K = 4
   private val W = 4
 
-  /** Independent driver-side winnowing (same md5-56 convention). */
+  /** Independent driver-side winnowing (same PolyHash convention). */
   private def ref(text: String): Set[(Long, Long)] = {
     val t = text.trim
     if (t.isEmpty) return Set.empty
     val toks = t.split("\\s+")
-    val hs = toks.sliding(K).filter(_.length == K).map(g => md5LongLocal(g.mkString(" "))).toArray
+    val hs = toks.sliding(K).filter(_.length == K).map(g => PolyHash.gramLocal(g.toSeq)).toArray
     if (hs.isEmpty) return Set.empty
     (0 to math.max(hs.length - W, 0)).map { i =>
       val hi = math.min(i + W, hs.length)
