@@ -57,7 +57,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    // total sums every query with at least one ok rep (its median is a
+    // real run time even if another rep errored — the error still
+    // reports and fails the exit code); only fully-failed queries
+    // (sec = -1 sentinel) are excluded, so sum(queries ok) == total
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)

@@ -1,0 +1,191 @@
+package graft.pipeline
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
+
+/** HTTP front for the spool-directory task queue — the reference's
+  * REST surface (`lightning/lightning.go:137-144` routes, handlers
+  * `:374-623`) mapped 1:1 onto [[Server]]'s filesystem verbs, so an
+  * HTTP client can drive the queue the way the reference's can while
+  * the drain loop ([[Server.main]]) keeps running unchanged in its own
+  * process:
+  *
+  *   GET    /tasks                 {"queue":[names…]} in execution order
+  *   POST   /tasks[?name=n]        enqueue flat-JSON task body → {"id":name}
+  *   GET    /tasks/{name}          task JSON (queued, done, or failed)
+  *   DELETE /tasks/{name}          cancel a QUEUED task (= reference
+  *                                 DELETE /tasks/{id})
+  *   GET    /tasks/{name}/result   result record from done/ or failed/
+  *   PATCH  /tasks/{name}/front    move to queue head (reference
+  *   PATCH  /tasks/{name}/back     PATCH /tasks/{id}/front|back)
+  *   GET    /pause                 {"paused":bool}
+  *   PUT    /pause | /resume       park / release the running import
+  *                                 (reference /pause, /resume)
+  *
+  * The body format is the spool queue's flat-JSON task (`sourceDir`,
+  * `targetDir`, optional `filters`, `stateDir`) — validated with
+  * [[Server.parseTask]] BEFORE it is enqueued, so a malformed task
+  * 400s at submission instead of failing later in the drain loop.
+  * State lives entirely in the spool directory; the shim holds none,
+  * so any number of shims and drain loops can share one spool.
+  */
+object HttpServer {
+
+  /** Start a shim bound to `port` (0 = ephemeral); returns the server
+    * (call `.stop(0)` to shut down) — separated from [[main]] so specs
+    * can run a real localhost round trip.
+    */
+  def start(spool: String, port: Int): JdkHttpServer = {
+    val queue = Files.createDirectories(Paths.get(spool, "queue"))
+    val srv = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    def err(ex: HttpExchange, code: Int, msg: String): Unit =
+      respond(ex, code, s"""{"error":${jsonStr(msg)}}""")
+
+    def listQueue(): Seq[String] = {
+      val l = Files.list(queue)
+      try l.iterator().asScala.toSeq.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && !n.startsWith(".")).sorted
+      finally l.close()
+    }
+    // visible task names only: dot-prefixed files are internal temp
+    // state, and "." / ".." must never resolve outside the spool
+    def valid(name: String): Boolean =
+      name.nonEmpty && !name.startsWith(".") && !name.contains("/")
+    def findTask(name: String): Option[Path] =
+      Seq("queue", "done", "failed").iterator
+        .filter(_ => valid(name))
+        .map(d => Paths.get(spool, d, name))
+        .find(Files.isRegularFile(_))
+
+    srv.createContext("/tasks", (ex: HttpExchange) => {
+      try {
+        val rest = ex.getRequestURI.getPath.stripPrefix("/tasks")
+          .stripPrefix("/").split("/", 2).toList match {
+          case "" :: Nil => Nil
+          case parts => parts
+        }
+        (ex.getRequestMethod, rest) match {
+          case ("GET", Nil) =>
+            respond(ex, 200,
+              listQueue().map(jsonStr).mkString("""{"queue":[""", ",", "]}"))
+          case ("POST", Nil) =>
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            val invalid =
+              try { Server.parseTask(body); None }
+              catch { case e: IllegalArgumentException => Some(e.getMessage) }
+            invalid match {
+              case Some(msg) => err(ex, 400, msg)
+              case None => enqueue(ex, body)
+            }
+          case ("GET", name :: Nil) =>
+            findTask(name) match {
+              case Some(p) => respond(ex, 200, Files.readString(p))
+              case None => err(ex, 404, s"task not found: $name")
+            }
+          case ("DELETE", name :: Nil) =>
+            if (valid(name) && Files.deleteIfExists(queue.resolve(name)))
+              respond(ex, 200, s"""{"cancelled":${jsonStr(name)}}""")
+            else err(ex, 404, s"no queued task: $name")
+          case ("GET", List(name, "result")) =>
+            Seq("done", "failed").iterator
+              .filter(_ => valid(name))
+              .map(d => Paths.get(spool, d, name + ".result"))
+              .find(Files.isRegularFile(_)) match {
+              case Some(p) => respond(ex, 200, Files.readString(p))
+              case None => err(ex, 404, s"no result for: $name")
+            }
+          case ("PATCH", List(name, dir)) if dir == "front" || dir == "back" =>
+            Server.reorder(spool, name, front = dir == "front") match {
+              case Some(n) => respond(ex, 200, s"""{"id":${jsonStr(n)}}""")
+              case None => err(ex, 404, s"no queued task: $name")
+            }
+          case (m, _) => err(ex, 405, s"unsupported: $m ${ex.getRequestURI.getPath}")
+        }
+      } catch { case e: Exception => err(ex, 500, String.valueOf(e.getMessage)) }
+    })
+
+    def enqueue(ex: HttpExchange, body: String): Unit = {
+      val base = Option(ex.getRequestURI.getQuery)
+              .flatMap(q => q.split("&").collectFirst {
+                case kv if kv.startsWith("name=") =>
+                  kv.stripPrefix("name=").replaceAll("[^A-Za-z0-9._-]", "_")
+              }).filter(_.nonEmpty).getOrElse("task")
+      // next free index keeps POST order = execution order
+      val next = listQueue()
+        .flatMap(n => "^(\\d+)-".r.findFirstMatchIn(n).map(_.group(1).toInt))
+        .maxOption.getOrElse(-1) + 1
+      var name = f"$next%03d-$base.json"
+      var k = 0
+      while (Files.exists(queue.resolve(name))) { // same-name resubmits
+        k += 1; name = f"$next%03d-$base-$k.json"
+      }
+      // dot-prefixed write + atomic rename: the drain loop must
+      // never read a half-written task file
+      val tmp = queue.resolve(s".post-$name")
+      Files.writeString(tmp, body)
+      Files.move(tmp, queue.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      respond(ex, 200, s"""{"id":${jsonStr(name)}}""")
+    }
+
+    srv.createContext("/pause", (ex: HttpExchange) => {
+      val p = Paths.get(spool, "pause")
+      ex.getRequestMethod match {
+        case "GET" => respond(ex, 200, s"""{"paused":${Files.exists(p)}}""")
+        case "PUT" | "POST" =>
+          try Files.createFile(p)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          respond(ex, 200, """{"paused":true}""")
+        case m => err(ex, 405, s"unsupported: $m /pause")
+      }
+    })
+    srv.createContext("/resume", (ex: HttpExchange) => {
+      ex.getRequestMethod match {
+        case "PUT" | "POST" =>
+          Files.deleteIfExists(Paths.get(spool, "pause"))
+          respond(ex, 200, """{"paused":false}""")
+        case m => err(ex, 405, s"unsupported: $m /resume")
+      }
+    })
+
+    srv.start()
+    srv
+  }
+
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    Option(s).getOrElse("").foreach {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < ' ' => sb ++= "\\u%04x".format(c.toInt)
+      case c => sb += c
+    }
+    sb.append('"').toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spool = args.headOption.getOrElse(
+      sys.error("usage: HttpServer <spoolDir> [port]"))
+    val port = args.lift(1).map(_.toInt).getOrElse(8289)
+    val srv = start(spool, port)
+    println(s"graft task API on http://127.0.0.1:${srv.getAddress.getPort} (spool: $spool)")
+    // park the main thread; the JDK server runs on its own executor
+    Thread.currentThread.join()
+  }
+}

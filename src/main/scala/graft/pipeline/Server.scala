@@ -68,14 +68,47 @@ object Server {
   /** Queued task files in execution order. Dot-prefixed names are
     * excluded — [[reorder]] parks files under temp dot-names mid-rename,
     * and a concurrent poll must not pick a half-reordered queue entry.
+    * Parked files from a crashed reorder are first recovered to their
+    * intended visible names, so no task is ever silently stranded.
     */
   private def queued(queue: Path): Seq[Path] = {
+    recoverParked(queue)
     val listing = Files.list(queue)
     try listing.iterator().asScala.toSeq
       .filter(_.toString.endsWith(".json"))
       .filterNot(_.getFileName.toString.startsWith("."))
       .sortBy(_.getFileName.toString)
     finally listing.close() // a leaked DirectoryStream fd per poll adds up in the server loop
+  }
+
+  /** Crash recovery for [[reorder]]'s two-phase rename: a process dying
+    * between the park and final phases leaves tasks under dot-prefixed
+    * `.reorder-NNN-base` names that the queue listing filters out —
+    * without recovery those tasks are lost forever. The parked name
+    * already encodes the intended final name (`NNN-base`), so recovery
+    * just completes phase two. A name collision (possible only when two
+    * distinct tasks share a base name across a crashed reorder and a
+    * fresh enqueue) lands the file at `NNN-rK-base`, preserving its
+    * slot in lexicographic order rather than clobbering either task.
+    */
+  private def recoverParked(queue: Path): Unit = {
+    val listing = Files.list(queue)
+    val parked =
+      try listing.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith(".reorder-"))
+      finally listing.close()
+    parked.foreach { p =>
+      val intended = p.getFileName.toString.stripPrefix(".reorder-")
+      val (prefix, base) = intended.splitAt(4) // "NNN-" + base
+      var dst = queue.resolve(intended)
+      var k = 0
+      while (Files.exists(dst)) {
+        k += 1
+        dst = queue.resolve(s"$prefix" + s"r$k-$base")
+      }
+      try Files.move(p, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.NoSuchFileException => () } // raced another recoverer
+    }
   }
 
   /** Move a queued task to the front or back of the queue — the
@@ -85,17 +118,24 @@ object Server {
     * a fresh `NNN-` prefix after placing the target first (or last).
     * The task is matched by full filename or by its name with the
     * numeric prefix stripped. Returns the task's new filename, or None
-    * if no pending entry matches. Like the reference handler (which
-    * holds the server's task lock), this is an admin verb for a queue
-    * that is not mid-drain; a concurrent poll sees either the old or
-    * the new order, never a partial one (temp names are dot-prefixed
-    * and invisible to [[drainOnce]]).
+    * if no pending entry matches. The reference handler holds the
+    * server's task lock; a filesystem queue cannot, so the verb is
+    * crash- and race-tolerant instead: temp names are dot-prefixed
+    * (invisible to [[drainOnce]]), a crash mid-rename is healed by
+    * [[recoverParked]] on the next listing, and a file the drain loop
+    * moves to done/ mid-reorder is skipped per-file rather than
+    * aborting the rename sequence half way (the drained task simply
+    * drops out of the new order; its old name is returned).
     */
   def reorder(spool: String, task: String, front: Boolean): Option[String] = {
     val queue = Paths.get(spool, "queue")
     if (!Files.isDirectory(queue)) return None
     val tasks = queued(queue)
     def base(p: Path) = p.getFileName.toString.replaceFirst("^\\d+-", "")
+    // park/finalize one file, tolerating a racing drain having moved it
+    def tryMove(from: Path, to: Path): Option[Path] =
+      try Some(Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE))
+      catch { case _: java.nio.file.NoSuchFileException => None }
     tasks.find(p => p.getFileName.toString == task || base(p) == task).map { t =>
       val rest = tasks.filterNot(_ == t)
       // base names are taken from the ORIGINAL paths once — re-deriving
@@ -103,17 +143,15 @@ object Server {
       val order = (if (front) t +: rest else rest :+ t).map(p => (p, base(p)))
       // two-phase rename: renumbering in place can collide with a
       // still-unrenamed file holding the destination name
-      val parked = order.zipWithIndex.map { case ((p, b), i) =>
-        val tmp = queue.resolve(f".reorder-$i%03d-$b")
-        Files.move(p, tmp, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        (tmp, b)
+      val parked = order.zipWithIndex.flatMap { case ((p, b), i) =>
+        tryMove(p, queue.resolve(f".reorder-$i%03d-$b"))
+          .map(tmp => (tmp, b, p == t))
       }
-      val finals = parked.zipWithIndex.map { case ((p, b), i) =>
-        val dst = queue.resolve(f"$i%03d-$b")
-        Files.move(p, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        dst
+      val finals = parked.zipWithIndex.flatMap { case ((p, b, isTarget), i) =>
+        tryMove(p, queue.resolve(f"$i%03d-$b")).map(dst => (dst, isTarget))
       }
-      (if (front) finals.head else finals.last).getFileName.toString
+      finals.collectFirst { case (dst, true) => dst.getFileName.toString }
+        .getOrElse(t.getFileName.toString) // target drained mid-reorder
     }
   }
 

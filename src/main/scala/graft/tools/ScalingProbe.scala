@@ -38,7 +38,16 @@ object ScalingProbe {
     // per-doc selection / bounded-relation allocation: expectation ~k
     "q_winnow", "q_curriculum", "q_unimax")
   private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
-    "q_dedup_editdist", "q_winnow_pairs", "q_winnow_align")
+    "q_dedup_editdist")
+
+  /** Pair generators whose fanout a df cap bounds tightly enough to
+    * probe at the full fold range: the winnow family drops any
+    * fingerprint carried by > 50 docs BEFORE pairing, so k-folding
+    * pushes boilerplate fps over the cap instead of squaring their
+    * pair count. Output still grows ~k² for surviving duplicate
+    * groups (the construction caveat) — stated with the numbers.
+    */
+  private val CappedPairOps = Seq("q_winnow_pairs", "q_winnow_align")
 
   def main(args: Array[String]): Unit = {
     val maxK = args.headOption.map(_.toInt).getOrElse(4)
@@ -59,9 +68,20 @@ object ScalingProbe {
       if (k == 1) k -> base
       else {
         val dir = Paths.get(s"/tmp/graft_scaling_${baseTag}_${k}x")
+        // fold strides assume base ids sit below them — at a larger
+        // base sf a silent overflow would alias users/vectors ACROSS
+        // copies (merging per-user histories) and corrupt the
+        // measurement, so fail loudly instead
+        def assertStride(tbl: String, idCol: String, stride: Long): Unit = {
+          val mx = spark.read.parquet(s"$base/$tbl.parquet")
+            .agg(max(col(idCol))).head.getAs[Number](0).longValue
+          require(mx < stride,
+            s"$tbl.$idCol max $mx >= fold stride $stride — raise the stride")
+        }
         val docsOut = dir.resolve("documents.parquet")
         if (!Files.exists(docsOut.resolve("_SUCCESS"))) {
           Files.createDirectories(dir)
+          assertStride("documents", "doc_id", 10000000L)
           val docs = spark.read.parquet(s"$base/documents.parquet")
           (0 until k).map { i =>
             docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
@@ -74,6 +94,8 @@ object ScalingProbe {
         // per-partition work stays fixed
         val eventsOut = dir.resolve("events.parquet")
         if (!Files.exists(eventsOut.resolve("_SUCCESS"))) {
+          assertStride("events", "event_id", 1000000000L)
+          assertStride("events", "user_id", 10000000L)
           val ev = spark.read.parquet(s"$base/events.parquet")
           (0 until k).map { i =>
             ev.withColumn("event_id", col("event_id") + lit(i * 1000000000L))
@@ -86,6 +108,7 @@ object ScalingProbe {
         // k× while the broadcast side stays constant
         val embOut = dir.resolve("embeddings.parquet")
         if (!Files.exists(embOut.resolve("_SUCCESS"))) {
+          assertStride("embeddings", "vec_id", 10000000L)
           val emb = spark.read.parquet(s"$base/embeddings.parquet")
           (0 until k).map { i =>
             emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
@@ -113,9 +136,10 @@ object ScalingProbe {
         n -> kList.map(k => k -> time(n, dirs(k))).toMap
       }.toMap
 
-    // pair ops capped at 2x: their OUTPUT grows ~k^2 by construction
+    // pair ops capped at 2x: their OUTPUT grows ~k^2 by construction;
+    // the df-capped winnow family is probed at the full fold range
     val linear = probe(LinearOps, ks)
-    val pairs = probe(PairOps, ks.filter(_ <= 2))
+    val pairs = probe(PairOps, ks.filter(_ <= 2)) ++ probe(CappedPairOps, ks)
 
     def render(m: Map[String, Map[Int, Double]]): String =
       m.toSeq.sortBy(_._1).map { case (n, t) =>

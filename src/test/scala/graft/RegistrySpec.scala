@@ -8,9 +8,14 @@ package graft
   * runs on every `sbt test`.
   *
   * Forcing `.schema` builds and analyzes the full logical plan without
-  * executing it, so the sweep stays cheap; builder-side eager work
-  * (fixture writes, driver-side inits) still runs, which is exactly
-  * what the driver's Verify pays too.
+  * executing it, so the sweep is cheap for MOST queries; builders with
+  * eager construction-time work still execute it here — fixture
+  * writes, driver-side inits, and notably q_winnow_pairs/q_winnow_align
+  * whose builders localCheckpoint(true) the full winnow relation — so
+  * this test really runs a few heavy jobs. That cost is accepted: it is
+  * exactly what the driver's Verify pays, and memoizing the checkpoint
+  * across queries would break under Bench's synchronous unpersist-all
+  * between measurements (a freed localCheckpoint is unrecoverable).
   */
 class RegistrySpec extends SparkSpec {
 
