@@ -166,4 +166,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
     assert(!plan.contains("Window"), plan) // no per-shard serialization
   }
+
+  test("winnowAlign: ONE materialized winnow relation feeds every leg") {
+    // the localCheckpoint reuse is load-bearing for cost: the df
+    // count, the candidate pair join, and BOTH alignment sides must
+    // ride the checkpointed (doc, pos, fp) relation — a regression
+    // re-running the tokenize+hash+selection chain per leg would
+    // return identical rows at ~5× the CPU and is invisible to the
+    // oracle. In the plan that reads as: no parquet scan of documents,
+    // no poly_gram_hash expression anywhere, and every leg scanning
+    // the checkpointed RDD.
+    val plan = planOf(TextQueries.winnowAlign(spark, sf()))
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("poly_gram_hash"), plan)
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -206,4 +206,60 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows.contains((7L, 1L, false)))
     } finally q.stop()
   }
+
+  test("sessionize over the REAL events table matches the batch operator") {
+    // the stateful parity pin: stream the production events parquet
+    // through the mapGroupsWithState sessionizer and compare per-user
+    // session COUNTS and session START boundaries against the batch
+    // EventQueries.sessionize / its window expression. Precision note:
+    // batch gaps compare unix_timestamp SECONDS, streaming state
+    // compares epoch MILLIS — equivalent unless a gap lands within 1 s
+    // of the 1800 s threshold, which the real corpus never does
+    // (verified at every sf); synthetic edge gaps are covered by the
+    // MemoryStream test above.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val src = s"${sf()}/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("part-00000.parquet"))
+    val raw = spark.read.parquet(src)
+    val stream = spark.readStream.schema(raw.schema).parquet(dir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    val q = sessionize(stream).writeStream
+      .format("memory").queryName("sess_real").outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      // reconstruct final sessions: a session is keyed by (user,
+      // started); later updates supersede earlier ones (same session
+      // grows across batches, then may close), so keep the max view
+      val sessions = spark.table("sess_real")
+        .groupBy(col("user_id"), col("started"))
+        .agg(max(col("n_events")).as("n_events"), max(col("ended")).as("ended"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getLong(2), r.getTimestamp(3).getTime))
+      val gotCounts = sessions.groupBy(_._1).view
+        .mapValues(s => (s.length.toLong, s.map(_._3).sum)).toMap
+      val want = graft.operators.EventQueries.sessionize(spark, sf()).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(gotCounts === want)
+      // boundary parity: the streaming session starts are exactly the
+      // batch new_sess=1 event timestamps (compared at millis — the
+      // streaming state's precision)
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val batchStarts = raw.withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .where(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800)
+        .select("user_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+      assert(sessions.map(s => (s._1, s._2)).toSet === batchStarts)
+      assert(sessions.nonEmpty)
+    } finally q.stop()
+  }
 }
