@@ -19,27 +19,19 @@ object KMeans {
 
   case class Model(centroids: Array[Array[Double]], inertia: Double, iters: Int)
 
-  /** Squared L2 distance between a vector column and a centroid
-    * literal, in exact integer space (the shared floor(x·10⁶)
-    * quantization, [[graft.functions.TextFunctions.quant]] —
-    * deterministic across partitionings).
+  /** struct(d, cid) of the nearest centroid in exact integer space
+    * (the shared floor(x·10⁶) quantization) — one codegen'd kernel
+    * call per row ([[graft.functions.QDistArgmin]]). The earlier
+    * zip_with/aggregate composition computed the same integers but
+    * paid interpreted HOF dispatch per element per centroid (Spark's
+    * higher-order functions are CodegenFallback) — the assignment
+    * pass was the whole cost of training.
     */
-  private[operators] def qdist(emb: Column, c: Array[Double]): Column = {
-    val lit_ = typedLit(c.map(x => math.floor(x * 1000000d).toLong).toSeq)
-    // per-row sums stay well inside int64; aggregate/zip_with are fine
-    // here (k evaluations per row, not the per-pair hot loop)
-    aggregate(
-      zip_with(emb, lit_, (x, y) => {
-        val d = graft.functions.TextFunctions.quant(x) - y
-        d * d
-      }),
-      lit(0L), (acc, v) => acc + v)
-  }
+  private[operators] def nearest(emb: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.QDistArgmin.qdistArgmin(emb, cents)
 
   private[operators] def cellOf(emb: Column, cents: Array[Array[Double]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(qdist(emb, c).as("d"), lit(i).as("cid"))
-    }: _*)).getField("cid")
+    nearest(emb, cents).getField("cid")
 
   /** Train on `df`'s (id, vec) columns. Init = the k vectors with the
     * smallest ids (deterministic). Empty cells keep their previous
@@ -77,9 +69,7 @@ object KMeans {
     // accumulates in DECIMAL(38,0) — exact and order-independent,
     // where a long sum wraps at ~10⁷ rows and a double sum merges
     // partials in shuffle-fetch order (bit-nondeterministic)
-    val best = array_min(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(qdist(col("v"), c).as("d"), lit(i).as("cid"))
-    }: _*))
+    val best = nearest(col("v"), cents)
     val inertia = Option(
       base.select(sum(best.getField("d").cast("decimal(38,0)")).as("s")).head.getDecimal(0))
       .map(_.doubleValue).getOrElse(0.0) / 1e12
@@ -101,9 +91,7 @@ object KMeans {
     val emb = graft.GraftSession.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val m = fit(emb, "vec_id", "embedding", k = 8, iters = 4)
-    val best = array_min(array(m.centroids.zipWithIndex.map { case (c, i) =>
-      struct(qdist(col("embedding"), c).as("d"), lit(i).as("cid"))
-    }: _*))
+    val best = nearest(col("embedding"), m.centroids)
     // cell as long: DuckDB's row_number()-derived replay cell is BIGINT
     emb.select(best.getField("cid").cast("long").as("cell"),
         best.getField("d").as("d"))
