@@ -1533,11 +1533,16 @@ object TextQueries {
     */
   def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokens(col("text"))
+    // gram fingerprints via the codegen'd polynomial kernel (PolyHash)
+    // instead of md5 over space-joined shingle strings: no per-gram
+    // string allocation, no digest, and the 61-bit fingerprint's
+    // collision rate matches the md5-56 distinct-count convention
     val tagged = (1 to 3).map(n =>
-      transform(shingles(toks, n), g => struct(lit(n).as("n"), g.as("g"))))
+      transform(graft.functions.PolyGramHash.polyGramHash(toks, n),
+        h => struct(lit(n).as("n"), h.as("g"))))
     table(spark, sfDir, "documents")
       .select(explode(flatten(array(tagged: _*))).as("t"))
-      .select(col("t.n").as("n"), md5Long(col("t.g")).as("g"))
+      .select(col("t.n").as("n"), col("t.g").as("g"))
       .groupBy("n")
       .agg(count(lit(1)).as("total_ngrams"),
         countDistinct(col("g")).as("distinct_ngrams"))
@@ -1548,21 +1553,30 @@ object TextQueries {
   }
 
   def ngramDiversitySql: String = {
-    // 56-bit fingerprint distinct (lineDedupSql's recipe) and a
+    // the PolyHash fingerprint mirrored in integer SQL (winnowCte's
+    // recipe: per-token code-point folds, then a per-gram fold), and a
     // HAVING guard: a bare aggregate leg always emits a row, but the
     // Spark side's groupBy(n) emits nothing for an n no document
     // reaches — the guard drops the leg's empty row (and with it the
     // 0/0 it would otherwise compute) so degenerate corpora agree.
-    def leg(n: Int) =
+    val gramReduce = "list_reduce(list_prepend({'a': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT)}, GSLICE)," +
+      " (acc, x) -> {'a': (acc.a*1000003 + x.a) % 1000000007, 'b': (acc.b*1000033 + x.b) % 998244353})"
+    def leg(n: Int) = {
+      val slice = s"th[j:j+${n - 1}]"
       s"""SELECT $n AS n, CAST(count(*) AS BIGINT) AS total_ngrams,
-         |  CAST(count(DISTINCT CAST('0x' || substr(md5(g), 1, 14) AS BIGINT)) AS BIGINT) AS distinct_ngrams,
-         |  CAST(floor(1000000.0 * CAST(count(DISTINCT CAST('0x' || substr(md5(g), 1, 14) AS BIGINT)) AS DOUBLE)
+         |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+         |  CAST(floor(1000000.0 * CAST(count(DISTINCT g) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS distinct_ppm
-         |FROM (SELECT unnest(list_transform(range(1, len(toks) - $n + 2),
-         |    j -> array_to_string(list_slice(toks, CAST(j AS INT), CAST(j AS INT) + $n - 1), ' '))) AS g
-         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
-         |        FROM documents WHERE len(trim(text)) > 0) WHERE len(toks) >= $n)
+         |FROM (SELECT unnest(list_transform(range(1, len(th) - $n + 2), j ->
+         |    ${gramReduce.replace("GSLICE", slice)}.a * 2147483648
+         |    + ${gramReduce.replace("GSLICE", slice)}.b)) AS g
+         |  FROM (SELECT list_transform(regexp_split_to_array(trim(text), '\\s+'), tok -> {
+         |      'a': list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h*131 + c + 1) % 1000000007),
+         |      'b': list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h*137 + c + 1) % 998244353)
+         |    }) AS th
+         |        FROM documents WHERE len(trim(text)) > 0) WHERE len(th) >= $n)
          |HAVING count(*) > 0""".stripMargin
+    }
     (1 to 3).map(leg).mkString("", "\nUNION ALL\n", "\nORDER BY n")
   }
 
