@@ -53,6 +53,31 @@ object PolyHash {
     (h1, h2)
   }
 
+  // ---- DuckDB oracle twins: THE one copy of the SQL-side recipe ----
+  // (winnow, ngram diversity, and the shingle CTE family all
+  // interpolate these, so the hash can never drift between queries)
+
+  /** SQL: per-token {'a','b'} hash-struct list over token array expr
+    * `tokArr` — the token level of the polynomial fingerprint.
+    */
+  def thSql(tokArr: String): String =
+    s"""list_transform($tokArr, tok -> {
+       |      'a': list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h*$B1 + c + 1) % $M1),
+       |      'b': list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h*$B2 + c + 1) % $M2)
+       |    })""".stripMargin
+
+  /** SQL: the packed 61-bit fingerprint of the k-gram at 1-based token
+    * offset `j` of a [[thSql]] list named `th`. (The fold runs twice —
+    * once per packed half — because DuckDB lambdas cannot bind
+    * locals; oracle-side cost only.)
+    */
+  def gramSql(th: String, j: String, k: Int): String = {
+    def fold(field: String) =
+      s"list_reduce(list_prepend({'a': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT)}, $th[$j:$j+${k - 1}]), " +
+        s"(acc, x) -> {'a': (acc.a*$G1 + x.a) % $M1, 'b': (acc.b*$G2 + x.b) % $M2}).$field"
+    s"(${fold("a")} * 2147483648 + ${fold("b")})"
+  }
+
   /** Driver-side twin for spec replays: fingerprint of one k-gram. */
   def gramLocal(toks: Seq[String]): Long = {
     var g1 = 0L

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.GraftSession.table
 import graft.functions.TextFunctions._
@@ -49,30 +49,36 @@ object DedupQueries {
     Array.tabulate(MinhashK)(i => math.floorMod(md5LongLocal(s"b:$i"), M31))
   private def sqlLongList(xs: Array[Long]): String = xs.mkString("[", ", ", "]")
 
-  // Shingles leave the map stage as 56-bit md5 hashes, not strings:
-  // downstream joins shuffle 8-byte keys instead of ~40-byte 5-grams —
-  // at 100 TB that's the difference between a survivable and a
-  // pathological shuffle. The oracle hashes identically, so any
-  // (negligible, 2⁻⁵⁶) collision affects both engines the same way.
+  // Shingles leave the map stage as 61-bit polynomial fingerprints,
+  // not strings: downstream joins shuffle 8-byte keys instead of
+  // ~40-byte 5-grams — at 100 TB that's the difference between a
+  // survivable and a pathological shuffle. The fingerprint is the
+  // codegen'd [[graft.functions.PolyGramHash]] kernel (~6 integer ops
+  // per character; the md5-56 it replaced paid a digest compression
+  // per shingle plus the space-joined string allocation). The oracle
+  // interpolates the ONE copy of the SQL twin
+  // ([[graft.functions.PolyHash.thSql]]/`gramSql`), so any
+  // (negligible, ~2⁻⁶⁰) collision affects both engines the same way.
 
-  /** THE one copy of the SQL shingle-hash recipe (56-bit md5 of the
-    * space-joined [[ShingleN]]-gram at 1-based token offset `j` of
-    * token array `t`) — both CTE shapes below and any positional
-    * oracle interpolate this, so the recipe cannot drift between
-    * queries (it must stay bit-identical to the Spark side's
-    * md5Long + shingles).
+  /** Spark-side shingle fingerprints of a text column: the gram-hash
+    * array, one entry per [[ShingleN]]-gram in token order — explode
+    * for the flat (doc_id, h) relation, posexplode when the position
+    * matters.
     */
-  private def shingleHashSql(t: String, j: String): String =
-    s"CAST(('0x' || substr(md5(array_to_string($t[$j:$j+${ShingleN - 1}], ' ')), 1, 14)) AS BIGINT)"
+  private[graft] def shingleHashes(text: Column): Column =
+    graft.functions.PolyGramHash.polyGramHash(tokens(text), ShingleN)
 
-  /** Parameterized shingle-hash CTE: distinct (doc_id, 56-bit-hash)
-    * pairs for `srcRel`, named `toksName`/`shName`.
+  /** Parameterized shingle-hash CTE: distinct (doc_id, fingerprint)
+    * pairs for `srcRel`, named `toksName`/`shName`; also exposes
+    * `<toksName>_th` (the per-token hash-struct level) for positional
+    * oracles.
     */
   private def shingleCteFor(srcRel: String, toksName: String, shName: String): String =
     s"""$toksName AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $srcRel),
+       |${toksName}_th AS (SELECT doc_id, ${graft.functions.PolyHash.thSql("t")} AS th FROM $toksName),
        |$shName AS (SELECT DISTINCT doc_id,
-       |         ${shingleHashSql("t", "j")} AS h
-       |       FROM $toksName, UNNEST(range(1, len(t)-${ShingleN - 2})) AS u(j))""".stripMargin
+       |         ${graft.functions.PolyHash.gramSql("th", "j", ShingleN)} AS h
+       |       FROM ${toksName}_th, UNNEST(range(1, len(th)-${ShingleN - 2})) AS u(j))""".stripMargin
 
   private val shingleCte = shingleCteFor("documents", "toks", "sh")
 
@@ -289,8 +295,7 @@ object DedupQueries {
 
   private def minhashShingleRel(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
-      .select(col("doc_id"), md5Long(col("s")).as("h"))
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
 
   /** 6 band signatures per doc (band b = minhashes 2b, 2b+1 joined by
     * a comma) — a 6-row explode of one-row-per-doc, not of shingles —
@@ -467,8 +472,7 @@ object DedupQueries {
     val evalIds = Seq(0L, 10L, 20L, 30L, 40L)
     val evalDocs = docs.where(col("doc_id").isin(evalIds: _*))
     def shingleSet(df: DataFrame) = df
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
-      .select(col("doc_id"), md5Long(col("s")).as("h"))
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
     val evalSh = shingleSet(evalDocs).select("h").distinct()
     val corpus = docs.where(!col("doc_id").isin(evalIds: _*))
       .unionByName(evalDocs.withColumn("doc_id", col("doc_id") + 900000))
@@ -492,14 +496,13 @@ object DedupQueries {
     val evalIds = Seq(0L, 10L, 20L, 30L, 40L)
     val evalDocs = docs.where(col("doc_id").isin(evalIds: _*))
     val evalSh = evalDocs
-      .select(explode(shingles(tokens(col("text")), ShingleN)).as("s"))
-      .select(md5Long(col("s")).as("h")).distinct()
+      .select(explode(shingleHashes(col("text"))).as("h")).distinct()
     val corpus = docs.where(!col("doc_id").isin(evalIds: _*))
       .unionByName(evalDocs.withColumn("doc_id", col("doc_id") + 900000))
     corpus
       .select(col("doc_id"),
-        posexplode(shingles(tokens(col("text")), ShingleN)).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), md5Long(col("s")).as("h"))
+        posexplode(shingleHashes(col("text"))).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
       .join(broadcast(evalSh), Seq("h"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_spans"),
@@ -510,11 +513,11 @@ object DedupQueries {
   def decontaminateSpansSql: String =
     s"""WITH $shingleCte,
        |eval AS (SELECT DISTINCT h FROM sh WHERE doc_id IN (0, 10, 20, 30, 40)),
-       |corpus AS (SELECT doc_id, t FROM toks WHERE doc_id NOT IN (0, 10, 20, 30, 40)
-       |  UNION ALL SELECT doc_id + 900000, t FROM toks
+       |corpus AS (SELECT doc_id, th FROM toks_th WHERE doc_id NOT IN (0, 10, 20, 30, 40)
+       |  UNION ALL SELECT doc_id + 900000, th FROM toks_th
        |  WHERE doc_id IN (0, 10, 20, 30, 40)),
-       |ps AS (SELECT doc_id, j - 1 AS pos, ${shingleHashSql("t", "j")} AS h
-       |  FROM corpus, UNNEST(range(1, len(t)-${ShingleN - 2})) AS u(j))
+       |ps AS (SELECT doc_id, j - 1 AS pos, ${graft.functions.PolyHash.gramSql("th", "j", ShingleN)} AS h
+       |  FROM corpus, UNNEST(range(1, len(th)-${ShingleN - 2})) AS u(j))
        |SELECT ps.doc_id, count(*) AS n_hit_spans,
        |  CAST(min(ps.pos) AS BIGINT) AS first_pos,
        |  CAST(max(ps.pos) AS BIGINT) AS last_pos
@@ -716,8 +719,7 @@ object DedupQueries {
 
   def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = table(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleN)).as("s"))
-      .select(col("doc_id"), md5Long(col("s")).as("h"))
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
       .distinct()
     val bp = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") >= BoilerDf)

@@ -845,21 +845,16 @@ object TextQueries {
     */
   private def winnowCte: String = {
     val (k, w) = (WinnowK, WinnowW)
-    // the hash stage mirrors PolyHash: per-token two 30-bit modular
-    // polynomial folds over unicode code points, then a per-gram fold,
-    // packed g1·2³¹+g2 — all BIGINT-safe integer ops
+    // the hash stage interpolates the ONE copy of the PolyHash SQL
+    // twin (graft.functions.PolyHash.thSql/gramSql) — per-token
+    // modular code-point folds, then a per-gram fold, packed
+    // g1·2³¹+g2, all BIGINT-safe integer ops
     s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |  FROM documents),
-       |th AS (SELECT doc_id, list_transform(t, tok -> {
-       |    'a': list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h*131 + c + 1) % 1000000007),
-       |    'b': list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h*137 + c + 1) % 998244353)
-       |  }) AS th FROM toks),
+       |th AS (SELECT doc_id, ${graft.functions.PolyHash.thSql("t")} AS th FROM toks),
        |hs AS (SELECT doc_id,
        |    list_transform(range(1, greatest(len(th) - $k + 2, 1)), j ->
-       |      list_reduce(list_prepend({'a': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT)}, th[j:j+${k - 1}]),
-       |        (acc, x) -> {'a': (acc.a*1000003 + x.a) % 1000000007, 'b': (acc.b*1000033 + x.b) % 998244353}).a * 2147483648
-       |      + list_reduce(list_prepend({'a': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT)}, th[j:j+${k - 1}]),
-       |        (acc, x) -> {'a': (acc.a*1000003 + x.a) % 1000000007, 'b': (acc.b*1000033 + x.b) % 998244353}).b) AS h
+       |      ${graft.functions.PolyHash.gramSql("th", "j", k)}) AS h
        |  FROM th),
        |sel AS (SELECT doc_id,
        |    list_transform(range(1, greatest(len(h) - $w + 2, 2)), i ->
@@ -1553,30 +1548,23 @@ object TextQueries {
   }
 
   def ngramDiversitySql: String = {
-    // the PolyHash fingerprint mirrored in integer SQL (winnowCte's
-    // recipe: per-token code-point folds, then a per-gram fold), and a
-    // HAVING guard: a bare aggregate leg always emits a row, but the
-    // Spark side's groupBy(n) emits nothing for an n no document
-    // reaches — the guard drops the leg's empty row (and with it the
-    // 0/0 it would otherwise compute) so degenerate corpora agree.
-    val gramReduce = "list_reduce(list_prepend({'a': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT)}, GSLICE)," +
-      " (acc, x) -> {'a': (acc.a*1000003 + x.a) % 1000000007, 'b': (acc.b*1000033 + x.b) % 998244353})"
-    def leg(n: Int) = {
-      val slice = s"th[j:j+${n - 1}]"
+    // the PolyHash fingerprint via the one-copy SQL twin
+    // (graft.functions.PolyHash.thSql/gramSql), and a HAVING guard: a
+    // bare aggregate leg always emits a row, but the Spark side's
+    // groupBy(n) emits nothing for an n no document reaches — the
+    // guard drops the leg's empty row (and with it the 0/0 it would
+    // otherwise compute) so degenerate corpora agree.
+    import graft.functions.PolyHash
+    def leg(n: Int) =
       s"""SELECT $n AS n, CAST(count(*) AS BIGINT) AS total_ngrams,
          |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
          |  CAST(floor(1000000.0 * CAST(count(DISTINCT g) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS distinct_ppm
          |FROM (SELECT unnest(list_transform(range(1, len(th) - $n + 2), j ->
-         |    ${gramReduce.replace("GSLICE", slice)}.a * 2147483648
-         |    + ${gramReduce.replace("GSLICE", slice)}.b)) AS g
-         |  FROM (SELECT list_transform(regexp_split_to_array(trim(text), '\\s+'), tok -> {
-         |      'a': list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h*131 + c + 1) % 1000000007),
-         |      'b': list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h*137 + c + 1) % 998244353)
-         |    }) AS th
+         |    ${PolyHash.gramSql("th", "j", n)})) AS g
+         |  FROM (SELECT ${PolyHash.thSql("regexp_split_to_array(trim(text), '\\s+')")} AS th
          |        FROM documents WHERE len(trim(text)) > 0) WHERE len(th) >= $n)
          |HAVING count(*) > 0""".stripMargin
-    }
     (1 to 3).map(leg).mkString("", "\nUNION ALL\n", "\nORDER BY n")
   }
 

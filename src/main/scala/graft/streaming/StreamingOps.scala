@@ -59,9 +59,11 @@ object StreamingOps {
     * (static, small) eval set. A stream-static LEFT ANTI join: the
     * static side broadcasts, the stream pays one narrow probe per
     * shingle, no streaming state at all — the contamination gate runs
-    * at ingest speed forever. Same shingle recipe (md5Long over
-    * space-joined 5-grams) as batch, so a document the backfill would
-    * flag is exactly the document the live gate drops.
+    * at ingest speed forever. Same shingle recipe as batch (the
+    * polynomial 5-gram fingerprint, [[graft.operators.DedupQueries
+    * .shingleHashes]] — ONE definition, not a re-derivation), so a
+    * document the backfill would flag is exactly the document the
+    * live gate drops.
     *
     * A join-then-re-aggregate would need a watermark (streaming aggs
     * are stateful); the stateless form is the right one — the eval
@@ -75,13 +77,9 @@ object StreamingOps {
     * passes — exactly the batch probe's verdict.
     */
   def decontaminateStream(docs: DataFrame, evalShingles: Array[Long]): DataFrame = {
-    import graft.functions.TextFunctions.{md5Long, shingles, tokens}
     val evalSet = docs.sparkSession.sparkContext.broadcast(evalShingles.toSet)
     val leaks = udf((sh: Seq[Long]) => sh != null && sh.exists(evalSet.value.contains))
-    val sh = transform(
-      shingles(tokens(col("text")), graft.operators.DedupQueries.ShingleN),
-      s => md5Long(s))
-    docs.where(!leaks(sh))
+    docs.where(!leaks(graft.operators.DedupQueries.shingleHashes(col("text"))))
   }
 
   /** Stateless streaming quality gate: the SAME hashing-trick linear
@@ -132,11 +130,10 @@ object StreamingOps {
     * broadcasts the same relation).
     */
   def evalShingleArray(evalDocs: DataFrame): Array[Long] = {
-    import graft.functions.TextFunctions.{md5Long, shingles, tokens}
     evalDocs
-      .select(explode(shingles(tokens(col("text")),
-        graft.operators.DedupQueries.ShingleN)).as("s"))
-      .select(md5Long(col("s")).as("h")).distinct()
+      .select(explode(
+        graft.operators.DedupQueries.shingleHashes(col("text"))).as("h"))
+      .distinct()
       .collect().map(_.getLong(0))
   }
 
