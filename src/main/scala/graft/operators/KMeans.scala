@@ -100,45 +100,55 @@ object KMeans {
       .orderBy("cell")
   }
 
-  /** DuckDB replay of [[kmeansCells]]: the 4 Lloyd iterations unrolled
-    * as CTE blocks — each is (integer argmin assignment → integer sums
-    * → sm/n/1e6 centroid update with empty cells keeping the previous
-    * centroid), exactly [[fit]]'s math. Every float→double conversion,
-    * floor quantization, and the two-step double division are the same
-    * IEEE ops both engines execute, so the replay is bit-exact.
-    */
-  def kmeansCellsSql: String = {
-    val qd2 = "(CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(floor(p[2]*1000000) AS BIGINT))" +
+  private val Qd2Sql =
+    "(CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(floor(p[2]*1000000) AS BIGINT))" +
       " * (CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(floor(p[2]*1000000) AS BIGINT))"
+
+  /** THE one copy of the DuckDB Lloyd-replay CTE chain: `iters`
+    * unrolled iterations of (integer argmin assignment → integer sums
+    * → sm/n/1e6 centroid update, empty cells keeping the previous
+    * centroid) over relation `srcRel` (must expose vec_id, embedding),
+    * ending in `fr` = (vec_id, cell, d, rn) with rn = 1 marking the
+    * FINAL assignment and its min distance — exactly [[fit]]'s math.
+    * Every float→double conversion, floor quantization, and the
+    * two-step double division are the same IEEE ops both engines
+    * execute, so the replay is bit-exact. Shared by [[kmeansCellsSql]]
+    * and [[SimilarityQueries.semDedupSql]].
+    */
+  private[operators] def lloydCte(srcRel: String, k: Int, iters: Int, dim: Int): String = {
     val init =
-      """c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8))""".stripMargin
-    val iters = (0 until 4).map { i =>
+      s"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM (SELECT * FROM $srcRel ORDER BY vec_id LIMIT $k))""".stripMargin
+    val steps = (0 until iters).map { i =>
       s"""asg$i AS (SELECT v.vec_id, b.cell,
-         |    CAST(list_sum(list_transform(list_zip(v.embedding, b.cv), p -> $qd2)) AS BIGINT) AS d
-         |  FROM embeddings v, c$i b),
+         |    CAST(list_sum(list_transform(list_zip(v.embedding, b.cv), p -> $Qd2Sql)) AS BIGINT) AS d
+         |  FROM $srcRel v, c$i b),
          |ar$i AS (SELECT vec_id, cell,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM asg$i),
          |va$i AS (SELECT vec_id, cell FROM ar$i WHERE rn = 1),
          |sm$i AS (SELECT a.cell, p.pos,
          |    sum(CAST(floor(CAST(v.embedding[p.pos + 1] AS DOUBLE)*1000000) AS BIGINT)) AS sm,
          |    count(*) AS n
-         |  FROM va$i a JOIN embeddings v USING (vec_id), range(64) p(pos) GROUP BY 1, 2),
+         |  FROM va$i a JOIN $srcRel v USING (vec_id), range($dim) p(pos) GROUP BY 1, 2),
          |br$i AS (SELECT b.cell, p.pos,
          |    COALESCE(CAST(s2.sm AS DOUBLE)/CAST(s2.n AS DOUBLE)/1000000, b.cv[p.pos + 1]) AS c
-         |  FROM c$i b CROSS JOIN range(64) p(pos)
+         |  FROM c$i b CROSS JOIN range($dim) p(pos)
          |  LEFT JOIN sm$i s2 ON s2.cell = b.cell AND s2.pos = p.pos),
          |c${i + 1} AS (SELECT cell, list(c ORDER BY pos) AS cv FROM br$i GROUP BY 1)""".stripMargin
     }
     val fin =
       s"""fin AS (SELECT v.vec_id, b.cell,
-         |    CAST(list_sum(list_transform(list_zip(v.embedding, b.cv), p -> $qd2)) AS BIGINT) AS d
-         |  FROM embeddings v, c4 b),
+         |    CAST(list_sum(list_transform(list_zip(v.embedding, b.cv), p -> $Qd2Sql)) AS BIGINT) AS d
+         |  FROM $srcRel v, c$iters b),
          |fr AS (SELECT vec_id, cell, d,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM fin)""".stripMargin
-    (init +: iters :+ fin).mkString("WITH ", ",\n", "\n") +
+    (init +: steps :+ fin).mkString(",\n")
+  }
+
+  /** DuckDB replay of [[kmeansCells]] via [[lloydCte]]. */
+  def kmeansCellsSql: String =
+    "WITH " + lloydCte("embeddings", k = 8, iters = 4, dim = 64) + "\n" +
       """SELECT cell, count(*) AS n_vectors, CAST(sum(d) AS BIGINT) AS inertia
         |FROM fr WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin
-  }
 }

@@ -522,6 +522,99 @@ object SimilarityQueries {
        |SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // ------------------------------------------------------- SemDeDup
+  private val SemDedupK = 8
+  private val SemDedupIters = 4
+  private val SemDedupTau = 0.95
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space with k-means, then find near-identical pairs ONLY
+    * within each cluster and drop the pair member closer to the
+    * cluster centroid (keeping the farther one preserves the cluster's
+    * boundary diversity — the paper's keep-far policy). The clustering
+    * is what makes semantic dedup tractable: candidate pairs are
+    * per-cell, never corpus-wide, and at production scale k grows with
+    * the corpus so cell populations stay bounded (the paper uses
+    * k ≈ 10⁴–10⁵; the within-cell pair scan is the same
+    * blocked-quadratic shape as [[embedDedup]]'s LSH buckets, with the
+    * quantizer as the blocking function instead of random planes).
+    *
+    * Fully deterministic and oracle-replayable: training is
+    * [[KMeans.fit]] (min-id init, integer sums), assignment and
+    * centroid similarity are exact quantized integer dots, and the
+    * cosine uses the [[annCosine]] recipe — identical IEEE ops both
+    * engines. The corpus has no natural near-dups (max same-label
+    * cosine ≈ 0.47), so the query plants exact copies under shifted
+    * IDs, which the operator must pair with cosine 1 and resolve by
+    * the tie rule (drop the higher id).
+    */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val planted = base.unionByName(
+      base.withColumn("vec_id", col("vec_id") + 100000))
+    val m = KMeans.fit(planted, "vec_id", "embedding",
+      k = SemDedupK, iters = SemDedupIters)
+    // per-vector: cell, squared norm, and dot with the OWN cell's
+    // centroid — one narrow pass, materialized ONCE (localCheckpoint,
+    // the winnowPairs candidate discipline) because both pair sides
+    // read it and an unmaterialized plan would re-run assignment per
+    // side; the pair join itself returns lazily so its plan shape
+    // stays auditable
+    val cd = element_at(
+      array(m.centroids.map(c =>
+        quantDot(col("embedding"), typedLit(c.toSeq))): _*),
+      col("cell").cast("int") + 1)
+    val e = planted
+      .select(col("vec_id"), col("embedding"),
+        KMeans.cellOf(col("embedding"), m.centroids).cast("long").as("cell"),
+        quantDot(col("embedding"), col("embedding")).as("nrm"))
+      .withColumn("cdot", cd)
+      .localCheckpoint(true)
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        when(col("a.nrm") === 0 || col("b.nrm") === 0, lit(0d)).otherwise(
+          quantDot(col("a.embedding"), col("b.embedding")).cast("double") /
+            (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
+          .as("cosine"),
+        // keep-far: drop the member MORE similar to the centroid;
+        // exact ties (planted copies) drop the higher id
+        when(col("a.cdot") > col("b.cdot"), col("a.vec_id"))
+          .when(col("a.cdot") < col("b.cdot"), col("b.vec_id"))
+          .otherwise(greatest(col("a.vec_id"), col("b.vec_id"))).as("drop_id"))
+      .where(col("cosine") >= SemDedupTau)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def semDedupSql: String = {
+    // quantized dot of a FLOAT vector against a DOUBLE centroid list
+    val qdotMixed = "CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) * CAST(floor(p[2]*1000000) AS BIGINT)"
+    s"""WITH planted AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM embeddings),
+       |${KMeans.lloydCte("planted", SemDedupK, SemDedupIters, 64)},
+       |asgn AS (SELECT vec_id, cell FROM fr WHERE rn = 1),
+       |e AS (SELECT v.vec_id, a.cell, v.embedding,
+       |    CAST(list_sum(list_transform(list_zip(v.embedding, v.embedding), p -> $QDot)) AS BIGINT) AS nrm,
+       |    CAST(list_sum(list_transform(list_zip(v.embedding, c.cv), p -> $qdotMixed)) AS BIGINT) AS cdot
+       |  FROM planted v
+       |  JOIN asgn a ON a.vec_id = v.vec_id
+       |  JOIN c$SemDedupIters c ON c.cell = a.cell),
+       |pairs AS (SELECT x.cell, x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |    CASE WHEN x.nrm = 0 OR y.nrm = 0 THEN 0.0
+       |         ELSE CAST(CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding), p -> $QDot)) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) END AS cosine,
+       |    CASE WHEN x.cdot > y.cdot THEN x.vec_id
+       |         WHEN x.cdot < y.cdot THEN y.vec_id
+       |         ELSE greatest(x.vec_id, y.vec_id) END AS drop_id
+       |  FROM e x JOIN e y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+       |SELECT cell, vec_a, vec_b, cosine, drop_id FROM pairs
+       |WHERE cosine >= $SemDedupTau ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // ------------------------------------------- embedding-cosine dedup
   /** Near-dup pairs by embedding cosine ≥ 0.95, blocked by
     * (label, LSH bucket) with MULTI-PROBE radius 1: one side explodes
