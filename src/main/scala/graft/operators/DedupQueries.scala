@@ -710,10 +710,10 @@ object DedupQueries {
     * distinct documents is boilerplate (license headers, navigation
     * chrome, templated disclaimers); each affected document reports
     * its distinct-shingle count and how many are boilerplate — the
-    * per-doc coverage a cleaning pass would cut. Same 56-bit shingle
-    * hash recipe as the dedup family (8-byte shuffle keys); one
-    * map-side-combined groupBy for document frequency, one equi-join
-    * back.
+    * per-doc coverage a cleaning pass would cut. Same polynomial
+    * shingle fingerprint as the dedup family (8-byte shuffle keys);
+    * one map-side-combined groupBy for document frequency, one
+    * equi-join back.
     */
   private val BoilerDf = 3
 

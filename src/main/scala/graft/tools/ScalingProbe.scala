@@ -37,8 +37,12 @@ object ScalingProbe {
     "q_json_props", "q_pivot_daily", "q_hard_negatives",
     // per-doc selection / bounded-relation allocation: expectation ~k
     "q_winnow", "q_curriculum", "q_unimax")
+  // q_semdedup folds quadratically BY CONSTRUCTION here: the probe
+  // holds k fixed while folding the corpus, so cell populations grow
+  // k-fold (at production scale k grows with the corpus and cells
+  // stay bounded — the paper's regime, not the probe's)
   private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
-    "q_dedup_editdist")
+    "q_dedup_editdist", "q_semdedup")
 
   /** Pair generators whose fanout a df cap bounds tightly enough to
     * probe at the full fold range: the winnow family drops any
