@@ -483,6 +483,50 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Contamination attribution — WHICH eval document each flagged
+    * corpus document overlaps, with the shared-shingle count: the
+    * per-pair evidence a benchmark-leak report needs ([[decontaminate]]
+    * says "this doc is contaminated", this says "by that eval doc, n
+    * shingles' worth"). Same broadcast-eval equi-join shape — the
+    * corpus side is scanned once and only (corpus_doc, eval_doc, h)
+    * triples that MATCH the tiny eval set reach the aggregate, so the
+    * output is bounded by true contamination, not corpus size. Pairs
+    * sharing a single shingle are noise and dropped (≥ 2, the
+    * [[TextQueries]] winnow-pair convention).
+    */
+  def decontaminatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val evalIds = Seq(0L, 10L, 20L, 30L, 40L)
+    val evalDocs = docs.where(col("doc_id").isin(evalIds: _*))
+    def shingleSet(df: DataFrame) = df
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+      .distinct()
+    val evalSh = shingleSet(evalDocs)
+      .select(col("doc_id").as("eval_doc"), col("h"))
+    val corpus = docs.where(!col("doc_id").isin(evalIds: _*))
+      .unionByName(evalDocs.withColumn("doc_id", col("doc_id") + 900000))
+    shingleSet(corpus)
+      .join(broadcast(evalSh), "h")
+      .groupBy(col("doc_id"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .orderBy("doc_id", "eval_doc")
+  }
+
+  def decontaminatePairsSql: String =
+    s"""WITH eval_docs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id IN (0, 10, 20, 30, 40)),
+       |corpus_docs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id NOT IN (0, 10, 20, 30, 40)
+       |  UNION ALL
+       |  SELECT doc_id + 900000, text FROM eval_docs),
+       |${shingleCteFor("eval_docs", "ev_toks", "ev_sh")},
+       |${shingleCteFor("corpus_docs", "toks", "sh")}
+       |SELECT sh.doc_id AS doc_id, ev_sh.doc_id AS eval_doc, count(*) AS n_shared
+       |FROM sh JOIN ev_sh ON sh.h = ev_sh.h
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_id, eval_doc""".stripMargin
+
   /** Span-level contamination localization — the follow-up to
     * [[decontaminate]]'s doc-level verdict: WHICH token offsets of a
     * contaminated document overlap the eval set, so a cleaning pass
