@@ -364,6 +364,61 @@ object SimilarityQueries {
     * join. Rebuilt when the version bumps or the source parquet is
     * newer than the cached layout.
     */
+  /** Encode vectors into (vec_id, c0..c3, cell) code rows with FROZEN
+    * codebooks + coarse centroids — the one encoding definition shared
+    * by the initial build, [[ivfPqAppend]], and the append-equivalence
+    * spec, so incremental and from-scratch encodes cannot drift.
+    */
+  private def pqEncode(vecs: DataFrame, books: Array[Array[Array[Double]]],
+      cents: Array[(Long, Seq[Float])]): DataFrame = {
+    val span = books(0)(0).length
+    def sub(s: Int): Column = slice(col("embedding"), s * span + 1, span)
+    vecs.select(col("vec_id") +:
+      (0 until PqM).map(s => KMeans.cellOf(sub(s), books(s)).as(s"c$s")) :+
+      ivfCellOf(cents)(col("embedding")).as("cell"): _*)
+  }
+
+  /** Build the IVF-PQ index (codes + trained books) at an EXPLICIT
+    * path — [[ivfPqLayout]] calls this for the per-sf cached copy;
+    * specs call it with a temp dir so append experiments never mutate
+    * the shared fixture.
+    */
+  private[operators] def buildIvfPq(spark: SparkSession, sfDir: String,
+      layout: String): Unit = {
+    val books = pqTrain(spark, sfDir)
+    val cents = ivfCentroids(spark, sfDir)
+    pqEncode(table(spark, sfDir, "embeddings"), books, cents)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$layout/codes")
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.flatMap { case (c, cell) =>
+        c.zipWithIndex.map { case (v, pos) => (s, cell, pos, v) }
+      }
+    }.toSeq.toDF("s", "cell", "pos", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$layout/books")
+  }
+
+  /** Incremental index maintenance — the production path between
+    * periodic re-trains: encode NEW vectors with the layout's frozen
+    * codebooks/centroids and APPEND their code rows to the existing
+    * cell directories. Cost is one encode pass over the new vectors
+    * only (the standing codes are untouched — at 100 TB an append of
+    * a day's vectors never rewrites the index), and the result is
+    * bit-identical to a from-scratch encode of the union with the
+    * same books ([[pqEncode]] is the shared definition; the spec pins
+    * the equivalence). Re-training (codebook drift after heavy
+    * appends) is a rebuild via [[buildIvfPq]], as in any IVF system.
+    */
+  def ivfPqAppend(spark: SparkSession, sfDir: String, layout: String,
+      newVecs: DataFrame): Unit = {
+    val books = readBooks(spark, layout)
+    val cents = ivfCentroids(spark, sfDir)
+    pqEncode(newVecs.select(col("vec_id"), col("embedding")), books, cents)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$layout/codes")
+  }
+
   private[operators] def ivfPqLayout(spark: SparkSession, sfDir: String): String = {
     val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/ivfpq_v$IvfPqVersion"
     val codesOk = new java.io.File(s"$layout/codes/_SUCCESS")
@@ -371,25 +426,8 @@ object SimilarityQueries {
     val src = new java.io.File(s"$sfDir/embeddings.parquet")
     val stale = src.exists() && codesOk.exists() &&
       src.lastModified() > codesOk.lastModified()
-    if (!codesOk.exists() || !booksOk.exists() || stale) {
-      val books = pqTrain(spark, sfDir)
-      val span = books(0)(0).length
-      def sub(s: Int): Column = slice(col("embedding"), s * span + 1, span)
-      val cents = ivfCentroids(spark, sfDir)
-      table(spark, sfDir, "embeddings")
-        .select(col("vec_id") +:
-          (0 until PqM).map(s => KMeans.cellOf(sub(s), books(s)).as(s"c$s")) :+
-          ivfCellOf(cents)(col("embedding")).as("cell"): _*)
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$layout/codes")
-      import spark.implicits._
-      books.zipWithIndex.flatMap { case (book, s) =>
-        book.zipWithIndex.flatMap { case (c, cell) =>
-          c.zipWithIndex.map { case (v, pos) => (s, cell, pos, v) }
-        }
-      }.toSeq.toDF("s", "cell", "pos", "v")
-        .coalesce(1).write.mode("overwrite").parquet(s"$layout/books")
-    }
+    if (!codesOk.exists() || !booksOk.exists() || stale)
+      buildIvfPq(spark, sfDir, layout)
     layout
   }
 
@@ -416,7 +454,18 @@ object SimilarityQueries {
     * scan.
     */
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
-    val layout = ivfPqLayout(spark, sfDir)
+    val vecs = table(spark, sfDir, "embeddings")
+    annIvfPqAt(spark, sfDir, ivfPqLayout(spark, sfDir), vecs)
+  }
+
+  /** The probe against an EXPLICIT layout and vector relation (the
+    * cached per-sf copy + source table for [[annIvfPq]]; an appended
+    * temp copy + grown corpus for the maintenance path — index codes
+    * and true vectors append TOGETHER in production, and the exact
+    * re-rank must read the same corpus the codes index).
+    */
+  private[operators] def annIvfPqAt(spark: SparkSession, sfDir: String,
+      layout: String, vecs: DataFrame): DataFrame = {
     val books = readBooks(spark, layout)
     val span = books(0)(0).length
     val cents = ivfCentroids(spark, sfDir)
@@ -441,7 +490,7 @@ object SimilarityQueries {
       .limit(PqRerank)
       .localCheckpoint(true)
     // exact re-rank: only the ADC candidates touch true vectors
-    table(spark, sfDir, "embeddings").join(broadcast(cand), "vec_id")
+    vecs.join(broadcast(cand), "vec_id")
       .select(col("vec_id"),
         quantDot(col("embedding"), typedLit(q)).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
