@@ -123,21 +123,36 @@ object HttpServer {
                 case kv if kv.startsWith("name=") =>
                   kv.stripPrefix("name=").replaceAll("[^A-Za-z0-9._-]", "_")
               }).filter(_.nonEmpty).getOrElse("task")
-      // next free index keeps POST order = execution order
+      // next free index keeps POST order = execution order; a racing
+      // shim on the SAME spool can win the name (one shim is
+      // single-threaded — the JDK server's default dispatcher — but
+      // several shims may share a spool), so the atomic claim retries
+      // with the next suffix instead of 500ing
       val next = listQueue()
         .flatMap(n => "^(\\d+)-".r.findFirstMatchIn(n).map(_.group(1).toInt))
         .maxOption.getOrElse(-1) + 1
-      var name = f"$next%03d-$base.json"
-      var k = 0
-      while (Files.exists(queue.resolve(name))) { // same-name resubmits
-        k += 1; name = f"$next%03d-$base-$k.json"
-      }
-      // dot-prefixed write + atomic rename: the drain loop must
-      // never read a half-written task file
-      val tmp = queue.resolve(s".post-$name")
+      // the full body is written once to a dot-prefixed temp (invisible
+      // to the drain loop), then CLAIMED under the final name with a
+      // hard link — link() is atomic and FAILS if the name exists
+      // (unlike rename(), which silently replaces on POSIX), so two
+      // shims can never clobber each other's tasks and the drain loop
+      // can never observe a half-written file
+      val tmp = queue.resolve(s".post-${java.util.UUID.randomUUID()}")
       Files.writeString(tmp, body)
-      Files.move(tmp, queue.resolve(name),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      var k = 0
+      var name = f"$next%03d-$base.json"
+      var placed = false
+      try {
+        while (!placed) {
+          try {
+            Files.createLink(queue.resolve(name), tmp)
+            placed = true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              k += 1; name = f"$next%03d-$base-$k.json"
+          }
+        }
+      } finally Files.deleteIfExists(tmp)
       respond(ex, 200, s"""{"id":${jsonStr(name)}}""")
     }
 

@@ -99,7 +99,10 @@ object Server {
       finally listing.close()
     parked.foreach { p =>
       val intended = p.getFileName.toString.stripPrefix(".reorder-")
-      val (prefix, base) = intended.splitAt(4) // "NNN-" + base
+      // "NNN-base" with any index width (a >999-entry queue renumbers
+      // with 4+ digits — a fixed splitAt would corrupt those names)
+      val (prefix, base) = "^(\\d+-)(.*)$".r.findFirstMatchIn(intended)
+        .map(m => (m.group(1), m.group(2))).getOrElse(("", intended))
       var dst = queue.resolve(intended)
       var k = 0
       while (Files.exists(dst)) {
