@@ -323,4 +323,61 @@ object EventQueries {
        |  $cols
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
+
+  /** Per-user activity anomaly detection: hours where a user's event
+    * count exceeds their own mean by > 2 standard deviations — the
+    * monitoring primitive over the hourly series (bot bursts, runaway
+    * clients, broken instrumentation). Two map-side-combining
+    * aggregates (user-hour counts → per-user moments) and an equi-join
+    * back on user_id; per-user stats are ~16 bytes regardless of
+    * history length, so the stats relation broadcasts at any scale.
+    *
+    * Numeric policy: the moments come from exact integer sums (n,
+    * Σc, Σc²), and mean/std/z are then the same exactly-rounded IEEE
+    * double ops in both engines, with the z-score floor-quantized to
+    * ppm — a deterministic hash-checkable verdict (a double std
+    * computed via Spark's stddev would merge partials in shuffle
+    * order and diverge). Single-hour users (n = 1) and flat series
+    * (std = 0) can't flag — guarded identically on both sides.
+    */
+  def eventAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = table(spark, sfDir, "events")
+      .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("sq"))
+      .where(col("n") > 1)
+    val mean = col("s").cast("double") / col("n").cast("double")
+    // population variance from exact integer moments: (sq - s²/n) / n
+    val variance = (col("sq").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / col("n").cast("double")) /
+      col("n").cast("double")
+    hourly.join(stats, "user_id")
+      .withColumn("mean", mean)
+      .withColumn("std", sqrt(variance))
+      .where(col("std") > 0 &&
+        (col("c").cast("double") - col("mean")) > lit(2d) * col("std"))
+      .select(col("user_id"), col("hour"), col("c").as("n_events"),
+        floor((col("c").cast("double") - col("mean")) / col("std") * 1000000d)
+          .cast("long").as("z_ppm"))
+      .orderBy("user_id", "hour")
+  }
+
+  def eventAnomalySql: String =
+    """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (SELECT user_id, count(*) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c*c) AS BIGINT) AS sq
+      |  FROM hourly GROUP BY 1 HAVING count(*) > 1)
+      |SELECT h.user_id, h.hour, h.c AS n_events,
+      |  CAST(floor((CAST(h.c AS DOUBLE) - CAST(s.s AS DOUBLE)/CAST(s.n AS DOUBLE))
+      |    / sqrt((CAST(s.sq AS DOUBLE) - CAST(s.s AS DOUBLE)*CAST(s.s AS DOUBLE)/CAST(s.n AS DOUBLE))/CAST(s.n AS DOUBLE))
+      |    * 1000000) AS BIGINT) AS z_ppm
+      |FROM hourly h JOIN stats s USING (user_id)
+      |WHERE sqrt((CAST(s.sq AS DOUBLE) - CAST(s.s AS DOUBLE)*CAST(s.s AS DOUBLE)/CAST(s.n AS DOUBLE))/CAST(s.n AS DOUBLE)) > 0
+      |  AND (CAST(h.c AS DOUBLE) - CAST(s.s AS DOUBLE)/CAST(s.n AS DOUBLE))
+      |    > 2 * sqrt((CAST(s.sq AS DOUBLE) - CAST(s.s AS DOUBLE)*CAST(s.s AS DOUBLE)/CAST(s.n AS DOUBLE))/CAST(s.n AS DOUBLE))
+      |ORDER BY user_id, hour""".stripMargin
 }
