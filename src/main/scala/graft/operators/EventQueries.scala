@@ -340,11 +340,19 @@ object EventQueries {
     * order and diverge). Single-hour users (n = 1) and flat series
     * (std = 0) can't flag — guarded identically on both sides.
     */
-  def eventAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = table(spark, sfDir, "events")
+  private def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
       .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("hour"))
       .agg(count(lit(1)).as("c"))
-    val stats = hourly.groupBy("user_id")
+
+  /** Per-user (mean, std) of the hourly counts — the TRAINED side of
+    * the anomaly train/serve split, shared by the batch detector and
+    * the streaming gate ([[graft.streaming.StreamingOps
+    * .anomalyGateStream]]) so both flag from identical statistics.
+    * Exact integer moments, IEEE-exact mean/std (see [[eventAnomaly]]).
+    */
+  def userHourlyStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = hourlyCounts(spark, sfDir).groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("sq"))
       .where(col("n") > 1)
@@ -353,14 +361,27 @@ object EventQueries {
     val variance = (col("sq").cast("double") -
       col("s").cast("double") * col("s").cast("double") / col("n").cast("double")) /
       col("n").cast("double")
-    hourly.join(stats, "user_id")
-      .withColumn("mean", mean)
-      .withColumn("std", sqrt(variance))
-      .where(col("std") > 0 &&
-        (col("c").cast("double") - col("mean")) > lit(2d) * col("std"))
+    stats.select(col("user_id"), mean.as("mean"), sqrt(variance).as("std"))
+  }
+
+  /** The flagging expressions over an (n_events, mean, std) row — ONE
+    * definition consumed by the batch detector and the streaming gate.
+    */
+  private[graft] def anomalyFlag(c: org.apache.spark.sql.Column): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val keep = col("std") > 0 &&
+      (c.cast("double") - col("mean")) > lit(2d) * col("std")
+    val zPpm = floor((c.cast("double") - col("mean")) / col("std") * 1000000d)
+      .cast("long")
+    (keep, zPpm)
+  }
+
+  def eventAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val (keep, zPpm) = anomalyFlag(col("c"))
+    hourlyCounts(spark, sfDir)
+      .join(userHourlyStats(spark, sfDir), "user_id")
+      .where(keep)
       .select(col("user_id"), col("hour"), col("c").as("n_events"),
-        floor((col("c").cast("double") - col("mean")) / col("std") * 1000000d)
-          .cast("long").as("z_ppm"))
+        zPpm.as("z_ppm"))
       .orderBy("user_id", "hour")
   }
 

@@ -99,6 +99,30 @@ object StreamingOps {
     docs.where(n > 0 && floor(s.cast("double") / n.cast("double")) > 0)
   }
 
+  /** Live anomaly gate — the SERVE side of the anomaly train/serve
+    * split: watermarked per-(window, user) counts joined against the
+    * broadcast per-user statistics the batch side trained
+    * ([[graft.operators.EventQueries.userHourlyStats]]), flagging with
+    * the SAME shared expressions ([[graft.operators.EventQueries
+    * .anomalyFlag]]) — an hour the backfill detector flags is exactly
+    * the hour the live gate flags. The stats relation is ~16 bytes per
+    * user and broadcasts; the only state is the windowed count,
+    * bounded by the watermark horizon.
+    */
+  def anomalyGateStream(events: DataFrame, stats: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val (keep, zPpm) = graft.operators.EventQueries.anomalyFlag(col("n_events"))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .join(broadcast(stats), "user_id")
+      .where(keep)
+      .select(col("user_id"), col("window.start").as("hour"),
+        col("n_events"), zPpm.as("z_ppm"))
+  }
+
   /** Per-window hot tokens on a live stream: the [[graft.functions
     * .MisraGries]] summary as a watermarked windowed aggregate — the
     * streaming face of the batch heavy-hitters audit

@@ -207,6 +207,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyGateStream flags exactly the hours the batch detector flags") {
+    // train/serve parity on the REAL events: stats trained by the
+    // batch side, the stream gated with the shared expressions —
+    // flagged (user, hour, count, z) sets must be identical
+    import org.apache.spark.sql.functions._
+    val src = s"${sf()}/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_anom")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("part-00000.parquet"))
+    val raw = spark.read.parquet(src)
+    val stream = spark.readStream.schema(raw.schema).parquet(dir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val stats = graft.operators.EventQueries.userHourlyStats(spark, sf())
+      .localCheckpoint(true) // static side of the stream-static join
+    val q = anomalyGateStream(stream, stats).writeStream
+      .format("memory").queryName("anom").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("anom").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+      val want = graft.operators.EventQueries.eventAnomaly(spark, sf()).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize over the REAL events table matches the batch operator") {
     // the stateful parity pin: stream the production events parquet
     // through the mapGroupsWithState sessionizer and compare per-user
