@@ -34,7 +34,8 @@ object ScalingProbe {
     // fixed anchors — one scan, expectation ~k)
     "q_sessionize", "q_window_hourly", "q_asof_join", "q_range_join",
     "q_retention", "q_funnel", "q_moving_sum", "q_gap_fill",
-    "q_json_props", "q_pivot_daily", "q_hard_negatives",
+    "q_json_props", "q_pivot_daily", "q_event_anomaly",
+    "q_hard_negatives",
     // per-doc selection / bounded-relation allocation: expectation ~k
     "q_winnow", "q_curriculum", "q_unimax")
   // q_semdedup folds quadratically BY CONSTRUCTION here: the probe
