@@ -167,6 +167,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan) // no per-shard serialization
   }
 
+  test("eventAnomaly: both aggregates combine map-side; no cartesian anywhere") {
+    val plan = planOf(EventQueries.eventAnomaly(spark, sf()))
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the scan prunes to the two touched columns of the 6-column table
+    assert(!plan.contains("props") && !plan.contains("event_type"), plan)
+  }
+
+  test("decontaminatePairs: the eval side broadcasts; corpus scanned, not shuffled as text") {
+    val plan = planOf(DedupQueries.decontaminatePairs(spark, sf()))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("winnowAlign: ONE materialized winnow relation feeds every leg") {
     // the localCheckpoint reuse is load-bearing for cost: the df
     // count, the candidate pair join, and BOTH alignment sides must
