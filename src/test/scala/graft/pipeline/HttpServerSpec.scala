@@ -92,6 +92,41 @@ class HttpServerSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent POSTs from two shims on one spool never lose or clobber a task") {
+    // the hard-link claim under real contention: two servers, many
+    // parallel submissions with the SAME preferred name — every task
+    // must land under a distinct name with its own body intact
+    val spool = Files.createTempDirectory("graft_http_race")
+    val s1 = HttpServer.start(spool.toString, 0)
+    val s2 = HttpServer.start(spool.toString, 0)
+    try {
+      val bases = Seq(s"http://127.0.0.1:${s1.getAddress.getPort}",
+        s"http://127.0.0.1:${s2.getAddress.getPort}")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val ids = Await.result(Future.sequence((0 until 20).map { i =>
+        Future {
+          val (c, b) = req(bases(i % 2), "POST", "/tasks?name=same",
+            s"""{"sourceDir":"/tmp/s$i","targetDir":"/tmp/t$i"}""")
+          assert(c === 200, b)
+          "\"id\":\"([^\"]+)\"".r.findFirstMatchIn(b).get.group(1)
+        }
+      }), 60.seconds)
+      assert(ids.distinct.size === 20, ids.sorted.mkString(","))
+      // every body survived intact under its returned name
+      val bodies = ids.map(id =>
+        Files.readString(spool.resolve(s"queue/$id"))).toSet
+      assert(bodies.size === 20)
+      // no temp droppings left behind
+      import scala.jdk.CollectionConverters._
+      val leftovers = Files.list(spool.resolve("queue"))
+      try assert(!leftovers.iterator().asScala
+        .exists(_.getFileName.toString.startsWith(".")))
+      finally leftovers.close()
+    } finally { s1.stop(0); s2.stop(0) }
+  }
+
   test("GET result serves done/failed records; dot names never resolve") {
     withShim { (base, spool) =>
       Files.createDirectories(spool.resolve("done"))
