@@ -35,9 +35,14 @@ object KMeans {
 
   /** Train on `df`'s (id, vec) columns. Init = the k vectors with the
     * smallest ids (deterministic). Empty cells keep their previous
-    * centroid (the standard Lloyd fallback).
+    * centroid (the standard Lloyd fallback). `withInertia = false`
+    * skips the final corpus-wide distance pass (Model.inertia = NaN) —
+    * the query surfaces ([[kmeansCells]], [[SimilarityQueries
+    * .semDedup]]) derive their own per-cell statistics and would pay
+    * that pass twice.
     */
-  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Model = {
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      withInertia: Boolean = true): Model = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
     // element type is whatever the vector column carries (float for the
     // embeddings table, but array<double> inputs must not ClassCastException)
@@ -69,10 +74,12 @@ object KMeans {
     // accumulates in DECIMAL(38,0) — exact and order-independent,
     // where a long sum wraps at ~10⁷ rows and a double sum merges
     // partials in shuffle-fetch order (bit-nondeterministic)
-    val best = nearest(col("v"), cents)
-    val inertia = Option(
-      base.select(sum(best.getField("d").cast("decimal(38,0)")).as("s")).head.getDecimal(0))
-      .map(_.doubleValue).getOrElse(0.0) / 1e12
+    val inertia = if (!withInertia) Double.NaN else {
+      val best = nearest(col("v"), cents)
+      Option(
+        base.select(sum(best.getField("d").cast("decimal(38,0)")).as("s")).head.getDecimal(0))
+        .map(_.doubleValue).getOrElse(0.0) / 1e12
+    }
     base.unpersist(false)
     Model(cents, inertia, iters)
   }
@@ -90,7 +97,8 @@ object KMeans {
   def kmeansCells(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val emb = graft.GraftSession.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val m = fit(emb, "vec_id", "embedding", k = 8, iters = 4)
+    val m = fit(emb, "vec_id", "embedding", k = 8, iters = 4,
+      withInertia = false) // per-cell inertia computed below instead
     val best = nearest(col("embedding"), m.centroids)
     // cell as long: DuckDB's row_number()-derived replay cell is BIGINT
     emb.select(best.getField("cid").cast("long").as("cell"),

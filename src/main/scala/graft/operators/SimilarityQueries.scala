@@ -603,7 +603,7 @@ object SimilarityQueries {
     val planted = base.unionByName(
       base.withColumn("vec_id", col("vec_id") + 100000))
     val m = KMeans.fit(planted, "vec_id", "embedding",
-      k = SemDedupK, iters = SemDedupIters)
+      k = SemDedupK, iters = SemDedupIters, withInertia = false)
     // per-vector: cell, squared norm, and dot with the OWN cell's
     // centroid — one narrow pass, materialized ONCE (localCheckpoint,
     // the winnowPairs candidate discipline) because both pair sides
