@@ -21,6 +21,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
   *   DELETE /tasks/{name}          cancel a QUEUED task (= reference
   *                                 DELETE /tasks/{id})
   *   GET    /tasks/{name}/result   result record from done/ or failed/
+  *   GET    /tasks/{name}/progress job-state records for the task's
+  *                                 stateDir (= reference
+  *                                 /progress/task|table)
   *   PATCH  /tasks/{name}/front    move to queue head (reference
   *   PATCH  /tasks/{name}/back     PATCH /tasks/{id}/front|back)
   *   GET    /pause                 {"paused":bool}
@@ -99,6 +102,24 @@ object HttpServer {
             if (valid(name) && Files.deleteIfExists(queue.resolve(name)))
               respond(ex, 200, s"""{"cancelled":${jsonStr(name)}}""")
             else err(ex, 404, s"no queued task: $name")
+          case ("GET", List(name, "progress")) =>
+            // the reference's /progress/task|table analog: the task's
+            // job-state records (one JSON object per line in the
+            // task's stateDir), returned as a JSON array — per-table
+            // status/rows/checksum, the same facts the reference's
+            // progress endpoints serve
+            findTask(name) match {
+              case None => err(ex, 404, s"task not found: $name")
+              case Some(p) =>
+                val stateDir =
+                  try Server.parseTask(Files.readString(p)).stateDir
+                  catch { case _: Exception => None }
+                val lines = stateDir.map(d => Paths.get(d, "state.jsonl"))
+                  .filter(Files.isRegularFile(_))
+                  .map(f => Files.readAllLines(f).asScala.toSeq)
+                  .getOrElse(Seq.empty)
+                respond(ex, 200, lines.mkString("[", ",", "]"))
+            }
           case ("GET", List(name, "result")) =>
             Seq("done", "failed").iterator
               .filter(_ => valid(name))

@@ -81,6 +81,25 @@ class HttpServerSpec extends AnyFunSuite {
     }
   }
 
+  test("GET progress serves the task's job-state records") {
+    withShim { (base, spool) =>
+      val stateDir = Files.createTempDirectory("graft_http_state")
+      Files.writeString(stateDir.resolve("state.jsonl"),
+        """{"key":"d.t","status":"imported","nRows":2,"checksum":7}""" + "\n")
+      val body = s"""{"sourceDir":"/tmp/s","targetDir":"/tmp/t","stateDir":"$stateDir"}"""
+      val (_, idBody) = req(base, "POST", "/tasks?name=p", body)
+      val id = "\"id\":\"([^\"]+)\"".r.findFirstMatchIn(idBody).get.group(1)
+      val (c, b) = req(base, "GET", s"/tasks/$id/progress")
+      assert(c === 200 && b.contains("\"status\":\"imported\"") &&
+        b.startsWith("[") && b.endsWith("]"), b)
+      // a task without a stateDir reports an empty record set, not a 500
+      val (_, id2Body) = req(base, "POST", "/tasks?name=q", task(9))
+      val id2 = "\"id\":\"([^\"]+)\"".r.findFirstMatchIn(id2Body).get.group(1)
+      assert(req(base, "GET", s"/tasks/$id2/progress") === ((200, "[]")))
+      assert(req(base, "GET", "/tasks/nope.json/progress")._1 === 404)
+    }
+  }
+
   test("pause/resume toggle the drain gate file") {
     withShim { (base, spool) =>
       assert(req(base, "GET", "/pause")._2 === """{"paused":false}""")
