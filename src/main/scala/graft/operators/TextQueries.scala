@@ -1515,9 +1515,10 @@ object TextQueries {
     * shingles tagged with n in a single narrow explode (three
     * per-query scans would triple the dominant tokenize cost), then
     * one groupBy(n) aggregate; the distinct count is the unavoidable
-    * shuffle, and it shuffles the 56-bit md5 FINGERPRINT of each
-    * n-gram, not the string ([[lineDedup]]'s convention — web n-grams
-    * are unbounded, 8 bytes/row cross the wire). Both engines
+    * shuffle, and it shuffles the 61-bit polynomial FINGERPRINT of
+    * each n-gram ([[graft.functions.PolyGramHash]]), not the string
+    * ([[lineDedup]]'s convention — web n-grams are unbounded, 8
+    * bytes/row cross the wire). Both engines
     * fingerprint the same strings, so collisions are shared and the
     * compare stays bit-exact; vs true string-distinct the count is low
     * by ~d²/2^57 (d distinct n-grams) — at 1e11 n-grams that is a
