@@ -483,6 +483,101 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source duplicate rates — WHERE the duplication comes from:
+    * for each source, how many of its documents carry a text that
+    * appears more than once corpus-wide, as a ppm rate. The curation
+    * diagnostic that decides which crawl/feed gets deduped first (a
+    * mirror source at 40% duplication is a different problem than a
+    * 0.1% background rate). One md5-groupBy for group sizes, one
+    * equi-join back on the fingerprint, one per-source aggregate —
+    * all map-side-combining, shuffle keys 8–16 bytes.
+    *
+    * The corpus's natural duplicate rate at small sf is ~0, so the
+    * query plants a 'mirror' source copying every 7th document — the
+    * operator must attribute those dups to BOTH the mirror (100% dup)
+    * and each victim source (its copied share).
+    */
+  def dupBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents").select(
+      col("doc_id"), col("source"), col("text"))
+    val planted = docs.unionByName(
+      docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          lit("mirror").as("source"), col("text")))
+    val sized = planted
+      .select(col("source"), md5(col("text").cast("binary")).as("fp"))
+    val groups = sized.groupBy("fp").agg(count(lit(1)).as("gsz"))
+    sized.join(groups, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("gsz") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_ppm",
+        floor(col("n_dup_docs").cast("double") * 1000000d /
+          col("n_docs").cast("double")).cast("long"))
+      .orderBy("source")
+  }
+
+  def dupBySourceSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 500000, 'mirror', text FROM documents
+      |  WHERE doc_id % 7 = 0),
+      |sized AS (SELECT source, md5(text) AS fp FROM planted),
+      |groups AS (SELECT fp, count(*) AS gsz FROM sized GROUP BY 1)
+      |SELECT s.source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN g.gsz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(floor(CAST(sum(CASE WHEN g.gsz > 1 THEN 1 ELSE 0 END) AS DOUBLE) * 1000000
+      |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dup_ppm
+      |FROM sized s JOIN groups g USING (fp)
+      |GROUP BY s.source ORDER BY s.source""".stripMargin
+
+  /** Cross-source content overlap matrix: for every source pair, how
+    * many distinct shingles they share, as a ppm of the smaller side —
+    * the corpus diagnostic that surfaces syndication/mirroring BETWEEN
+    * feeds before document-level dedup runs. The per-(shingle, source)
+    * relation is distinct-compressed first, so the self-join's per-key
+    * fanout is bounded by the SOURCE COUNT (a constant ≪ corpus), and
+    * the output is ≤ sources² rows at any corpus size — this is the
+    * blocked-join discipline with the source domain as the bound.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = table(spark, sfDir, "documents")
+      .select(col("source"), explode(shingleHashes(col("text"))).as("h"))
+      .distinct()
+    val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(counts.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(counts.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .withColumn("overlap_ppm",
+        floor(col("n_shared").cast("double") * 1000000d /
+          least(col("na"), col("nb")).cast("double")).cast("long"))
+      .select("src_a", "src_b", "n_shared", "overlap_ppm")
+      .orderBy("src_a", "src_b")
+  }
+
+  def sourceOverlapSql: String = {
+    import graft.functions.PolyHash
+    s"""WITH toks AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |th AS (SELECT source, ${PolyHash.thSql("t")} AS th FROM toks),
+       |sh AS (SELECT DISTINCT source, ${PolyHash.gramSql("th", "j", ShingleN)} AS h
+       |  FROM th, UNNEST(range(1, len(th)-${ShingleN - 2})) AS u(j)),
+       |counts AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       |shared AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared,
+       |  CAST(floor(CAST(n_shared AS DOUBLE) * 1000000
+       |    / CAST(least(ca.n, cb.n) AS DOUBLE)) AS BIGINT) AS overlap_ppm
+       |FROM shared JOIN counts ca ON ca.source = src_a
+       |            JOIN counts cb ON cb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** Contamination attribution — WHICH eval document each flagged
     * corpus document overlaps, with the shared-shingle count: the
     * per-pair evidence a benchmark-leak report needs ([[decontaminate]]
