@@ -37,7 +37,10 @@ object ScalingProbe {
     "q_json_props", "q_pivot_daily", "q_event_anomaly",
     "q_hard_negatives",
     // per-doc selection / bounded-relation allocation: expectation ~k
-    "q_winnow", "q_curriculum", "q_unimax", "q_decontaminate_pairs")
+    "q_winnow", "q_curriculum", "q_unimax", "q_decontaminate_pairs",
+    // source-keyed diagnostics: the fold multiplies docs, not sources,
+    // so per-key fanout stays bounded by the constant source count
+    "q_dup_by_source", "q_source_overlap")
   // q_semdedup folds quadratically BY CONSTRUCTION here: the probe
   // holds k fixed while folding the corpus, so cell populations grow
   // k-fold (at production scale k grows with the corpus and cells
