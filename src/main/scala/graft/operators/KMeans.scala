@@ -159,4 +159,52 @@ object KMeans {
     "WITH " + lloydCte("embeddings", k = 8, iters = 4, dim = 64) + "\n" +
       """SELECT cell, count(*) AS n_vectors, CAST(sum(d) AS BIGINT) AS inertia
         |FROM fr WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin
+
+  /** Cluster-quality diagnostic: per k-means cell, its population, the
+    * majority label, and the purity (majority share in ppm) — the
+    * standard external-validation readout when labels exist. If the
+    * quantizer is learning real structure, purity beats the base rate;
+    * a purity ≈ 1/|labels| everywhere says the embedding space and
+    * the labels are unrelated (which itself is the finding). Same
+    * training as [[kmeansCells]]; the label join is a narrow column on
+    * the same row, so the only additions are one per-(cell, label)
+    * combine and an 8-row argmax.
+    */
+  def labelPurity(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val emb = graft.GraftSession.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val m = fit(emb, "vec_id", "embedding", k = 8, iters = 4,
+      withInertia = false)
+    val byLabel = emb
+      .select(cellOf(col("embedding"), m.centroids).cast("long").as("cell"),
+        col("label").cast("long").as("label"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("c"))
+    byLabel.groupBy("cell")
+      .agg(sum(col("c")).as("n_vectors"),
+        max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
+      .select(col("cell"), col("n_vectors"),
+        (-col("w.nl")).as("majority_label"),
+        floor(col("w.c").cast("double") * 1000000d /
+          col("n_vectors").cast("double")).cast("long").as("purity_ppm"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB replay: the Lloyd chain plus a per-(cell, label) count and
+    * an argmax with the SAME tie rule (max count, then min label —
+    * expressed as max(c, -label)).
+    */
+  def labelPuritySql: String =
+    "WITH " + lloydCte("embeddings", k = 8, iters = 4, dim = 64) + ",\n" +
+      """asgn AS (SELECT vec_id, cell FROM fr WHERE rn = 1),
+        |bl AS (SELECT a.cell, CAST(e.label AS BIGINT) AS label, count(*) AS c
+        |  FROM asgn a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+        |best AS (SELECT cell, label, c,
+        |    row_number() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn
+        |  FROM bl),
+        |tot AS (SELECT cell, CAST(sum(c) AS BIGINT) AS n_vectors FROM bl GROUP BY 1)
+        |SELECT t.cell, t.n_vectors, b.label AS majority_label,
+        |  CAST(floor(CAST(b.c AS DOUBLE) * 1000000
+        |    / CAST(t.n_vectors AS DOUBLE)) AS BIGINT) AS purity_ppm
+        |FROM tot t JOIN best b ON b.cell = t.cell AND b.rn = 1
+        |ORDER BY t.cell""".stripMargin
 }
