@@ -51,6 +51,34 @@ class QDistArgminSpec extends SparkSpec {
     assert(r === 0)
   }
 
+  test("seeded random sweep: kernel equals the HOF composition on hostile values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    // shapes that break quantization edge-handling: negatives, zeros,
+    // near-quantization-boundary values, large magnitudes
+    def v(dim: Int): Seq[Double] = Seq.tabulate(dim) { _ =>
+      rnd.nextInt(5) match {
+        case 0 => 0.0
+        case 1 => -rnd.nextDouble()
+        case 2 => rnd.nextInt(7) * 1e-6 // boundary multiples of the quantum
+        case 3 => (rnd.nextDouble() - 0.5) * 100
+        case _ => rnd.nextDouble()
+      }
+    }
+    val dim = 16
+    val cents = Array.fill(6)(v(dim).toArray)
+    val rows = Seq.fill(200)(v(dim))
+    val both = rows.toDF("vec")
+      .select(QDistArgmin.qdistArgmin(col("vec"), cents).as("k"),
+        hofNearest(col("vec"), cents).as("h"))
+      .select(col("k.d"), col("k.cid"), col("h.d").as("hd"), col("h.cid").as("hcid"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(0) === r.getLong(2))
+      assert(r.getInt(1) === r.getInt(3))
+    }
+  }
+
   test("dimension mismatch fails loudly instead of truncating") {
     import spark.implicits._
     val cents = Array(Array(1.0, 2.0, 3.0))
