@@ -1436,6 +1436,91 @@ object TextQueries {
        |ORDER BY total_tf DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------- BM25 ranking
+  /** Disjunctive query terms for BM25 — unlike [[SearchTerms]]' AND
+    * semantics, any match contributes to the score.
+    */
+  val Bm25Terms: Seq[String] = Seq("spark", "merge", "data")
+
+  /** BM25-ranked retrieval (Robertson & Zaragoza 2009) over the
+    * documents table with integer-exact scoring. k1=1.2 and b=0.75 are
+    * expressed as exact rationals (×6/5, ×3/4), and the idf's log is
+    * replaced by the RSJ odds ratio itself, (N−df+½)/(df+½) as
+    * (2N−2df+1)/(2df+1) — same monotonicity in df, but a fixed tree of
+    * BIGINT multiply/`div` ops both engines round identically, where
+    * libm `log` differs in the last ulp (the DSIR scorer below uses
+    * the same trick). Scales: idf in thousandths, the saturated-tf
+    * term in ppm, the summed score in ppm; every intermediate is
+    * bounded within int64 for tf ≤ 10⁶ and N ≤ 10⁹ (headroom noted
+    * inline).
+    *
+    * Scale shape: dl is a narrow `size()` per doc (no explode needed);
+    * corpus stats (N, total tokens) are ONE map-side-combining agg
+    * broadcast back as a single row; df is ≤|terms| rows, broadcast;
+    * the only wide shuffle is the (doc, term) tf groupBy, whose input
+    * is pre-filtered to query-term matches; the final top-k is
+    * TakeOrderedAndProject (per-partition heaps), never a global sort.
+    * At 100 TB the same plan holds: the posting list for the query
+    * terms is the only data that crosses the network.
+    */
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = table(spark, sfDir, "documents")
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .where(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      // avgdl in whole tokens (avgdl ≫ 1, so the truncation is noise)
+      .withColumn("avgdl", expr("t_tokens div n_docs"))
+      // RSJ odds ratio ×1000; ≤ ~667·N, so idf_mil·tfn_ppm < 1.5e18 at N=1e9
+      .withColumn("idf_mil", expr("(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)"))
+      // 1 − b + b·dl/avgdl in ppm, b = 3/4
+      .withColumn("bp_ppm", expr("250000 + (750000 * dl) div avgdl"))
+      // tf + k1·bp in ppm, k1 = 6/5
+      .withColumn("den_ppm", expr("1000000 * tf + (6 * bp_ppm) div 5"))
+      // (k1+1)·tf / den in ppm; 2.2e12·tf stays < 2⁶³ for tf ≤ 10⁶
+      .withColumn("tfn_ppm", expr("(2200000 * tf * 1000000) div den_ppm"))
+      .withColumn("contrib", expr("(idf_mil * tfn_ppm) div 1000"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("bm25_ppm"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  def bm25TopkSql: String = {
+    val terms = sqlList(Bm25Terms)
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS t_tokens FROM base),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+       |  WHERE list_contains($terms, tok) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    ((1000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1)
+       |     * ((2200000 * t.tf * 1000000) //
+       |        (1000000*t.tf +
+       |         (6 * (250000 + (750000 * t.dl) // (s.t_tokens // s.n_docs))) // 5))
+       |    ) // 1000 AS contrib
+       |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN stats s)
+       |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_ppm,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |FROM scored GROUP BY 1
+       |ORDER BY bm25_ppm DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   // ------------------------------------------- importance weighting
   /** DSIR-style data-selection scoring (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
