@@ -1463,7 +1463,15 @@ object TextQueries {
     * At 100 TB the same plan holds: the posting list for the query
     * terms is the only data that crosses the network.
     */
-  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Scored(spark, sfDir)
+      .orderBy(col("bm25_ppm").desc, col("doc_id"))
+      .limit(20)
+
+  /** Full scored relation (doc_id, bm25_ppm, n_terms) — shared by the
+    * top-k query and the RRF fusion below.
+    */
+  private[operators] def bm25Scored(spark: SparkSession, sfDir: String): DataFrame = {
     val base = table(spark, sfDir, "documents")
       .where(length(trim(col("text"))) > 0)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
@@ -1490,8 +1498,6 @@ object TextQueries {
       .withColumn("contrib", expr("(idf_mil * tfn_ppm) div 1000"))
       .groupBy("doc_id")
       .agg(sum(col("contrib")).as("bm25_ppm"), count(lit(1)).as("n_terms"))
-      .orderBy(col("bm25_ppm").desc, col("doc_id"))
-      .limit(20)
   }
 
   def bm25TopkSql: String = {
@@ -1519,6 +1525,81 @@ object TextQueries {
        |  CAST(count(*) AS BIGINT) AS n_terms
        |FROM scored GROUP BY 1
        |ORDER BY bm25_ppm DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // --------------------------------------------------- rank fusion
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) of two
+    * retrieval signals over the same query terms: BM25 (idf + length
+    * normalization) and raw disjunctive term frequency (no idf, no
+    * norm). Each ranker contributes 10⁶ div (60 + rank) — the paper's
+    * k=60 — as BIGINT division, so both engines fuse identically.
+    * The hybrid-retrieval shape every RAG stack runs (lexical ⊕
+    * dense); here both arms are lexical so the oracle can replay them
+    * exactly, while the ANN arm swaps in unchanged at call sites.
+    *
+    * Scale shape: each arm ends in a bounded top-100 candidate list
+    * (TakeOrderedAndProject), so the rank window and full-outer fuse
+    * run on ≤100-row relations — single-partition windows are fine
+    * there, the corpus-sized work stays in the arms.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pool = 100
+    val bmArm = bm25Scored(spark, sfDir)
+      .orderBy(col("bm25_ppm").desc, col("doc_id")).limit(pool)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25_ppm").desc, col("doc_id"))).as("bm25_rank"))
+    val tfArm = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .where(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("total_tf"))
+      .orderBy(col("total_tf").desc, col("doc_id")).limit(pool)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("total_tf").desc, col("doc_id"))).as("tf_rank"))
+    bmArm.join(tfArm, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm", expr(
+        "coalesce(1000000 div (60 + bm25_rank), 0) + " +
+          "coalesce(1000000 div (60 + tf_rank), 0)"))
+      .select(col("doc_id"), col("bm25_rank").cast("long").as("bm25_rank"),
+        col("tf_rank").cast("long").as("tf_rank"), col("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  def rrfFusionSql: String = {
+    val terms = sqlList(Bm25Terms)
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS t_tokens FROM base),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+       |  WHERE list_contains($terms, tok) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    ((1000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1)
+       |     * ((2200000 * t.tf * 1000000) //
+       |        (1000000*t.tf +
+       |         (6 * (250000 + (750000 * t.dl) // (s.t_tokens // s.n_docs))) // 5))
+       |    ) // 1000 AS contrib
+       |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN stats s),
+       |bm AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_ppm
+       |  FROM scored GROUP BY 1 ORDER BY bm25_ppm DESC, doc_id LIMIT 100),
+       |bm_rank AS (SELECT doc_id, CAST(row_number() OVER
+       |  (ORDER BY bm25_ppm DESC, doc_id) AS BIGINT) AS bm25_rank FROM bm),
+       |tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+       |  FROM tf GROUP BY 1 ORDER BY total_tf DESC, doc_id LIMIT 100),
+       |tf_rank AS (SELECT doc_id, CAST(row_number() OVER
+       |  (ORDER BY total_tf DESC, doc_id) AS BIGINT) AS tf_rank FROM tot)
+       |SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id, b.bm25_rank, t.tf_rank,
+       |  COALESCE(1000000 // (60 + b.bm25_rank), 0)
+       |    + COALESCE(1000000 // (60 + t.tf_rank), 0) AS rrf_ppm
+       |FROM bm_rank b FULL OUTER JOIN tf_rank t ON b.doc_id = t.doc_id
+       |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin
   }
 
   // ------------------------------------------- importance weighting

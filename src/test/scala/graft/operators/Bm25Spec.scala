@@ -89,6 +89,34 @@ class Bm25Spec extends SparkSpec {
     assert(scores(4L) > scores(2L), "rarer term must contribute more idf")
   }
 
+  test("rrfFusion fuses both arms with the paper's 1/(60+rank) weights") {
+    val filler = "pad "
+    // BM25 and raw-tf disagree on purpose: doc 1 has tf=2 of the rare
+    // term (idf-heavy, low raw tf), doc 2 has tf=6 of the common term
+    val rows = Seq(
+      1L -> ("merge merge " + filler * 8),
+      2L -> ("spark spark spark spark spark spark " + filler * 4),
+      3L -> ("spark " + filler * 9),
+      4L -> ("spark " + filler * 9),
+      5L -> (filler * 10).trim)
+    val dir = docsFixture(rows)
+    val out = TextQueries.rrfFusion(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))).toMap
+    assert(!out.contains(5L), "doc without query terms must not appear")
+    // every present doc carries contributions from exactly its arms
+    out.foreach { case (_, (bmR, tfR, rrf)) =>
+      val expected = bmR.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        tfR.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf === expected)
+    }
+    // both arms rank doc 1 and doc 2 first in some order; fusion keeps
+    // them above the tf=1 pair
+    val top2 = TextQueries.rrfFusion(spark, dir).collect().take(2).map(_.getLong(0)).toSet
+    assert(top2 === Set(1L, 2L))
+  }
+
   test("bm25 plan: top-k heaps, broadcast df and stats, one wide shuffle") {
     val plan = TextQueries.bm25Topk(spark, sf()).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
