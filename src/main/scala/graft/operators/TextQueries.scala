@@ -1602,6 +1602,106 @@ object TextQueries {
        |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // --------------------------------------------- query expansion
+  /** Pseudo-relevance-feedback query expansion (RM1-flavored, counts
+    * instead of the smoothed language model): take BM25's top-10
+    * documents as the relevant set, then surface the terms that occur
+    * across most of them — the candidates a second retrieval pass
+    * would OR into the query. Exact integers only (document
+    * frequency within the feedback set, total tf), so the oracle
+    * replays it bitwise.
+    *
+    * Scale shape: the feedback set is a bounded top-k
+    * (TakeOrderedAndProject) broadcast into a semi-join against the
+    * token stream — one corpus scan, and only feedback-doc tokens
+    * reach the (tiny, vocab-bounded) aggregate.
+    */
+  def queryExpand(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedback = bm25Scored(spark, sfDir)
+      .orderBy(col("bm25_ppm").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"))
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .join(broadcast(feedback), Seq("doc_id"))
+      .where(!col("tok").isin(Bm25Terms: _*))
+      .groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("total_tf"))
+      .orderBy(col("n_docs").desc, col("total_tf").desc, col("tok"))
+      .limit(15)
+  }
+
+  def queryExpandSql: String = {
+    val terms = sqlList(Bm25Terms)
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS t_tokens FROM base),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+       |  WHERE list_contains($terms, tok) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    ((1000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1)
+       |     * ((2200000 * t.tf * 1000000) //
+       |        (1000000*t.tf +
+       |         (6 * (250000 + (750000 * t.dl) // (s.t_tokens // s.n_docs))) // 5))
+       |    ) // 1000 AS contrib
+       |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN stats s),
+       |feedback AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_ppm
+       |  FROM scored GROUP BY 1 ORDER BY bm25_ppm DESC, doc_id LIMIT 10),
+       |ftoks AS (
+       |  SELECT e.doc_id, e.tok
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) e
+       |  JOIN feedback f ON e.doc_id = f.doc_id
+       |  WHERE NOT list_contains($terms, e.tok))
+       |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS total_tf
+       |FROM ftoks GROUP BY 1
+       |ORDER BY n_docs DESC, total_tf DESC, tok LIMIT 15""".stripMargin
+  }
+
+  // ----------------------------------------------- phrase search
+  /** Exact-phrase retrieval without a positional index: the phrase
+    * count per document is a pure nested-HOF expression over the
+    * token array (adjacent-bigram construction + filter) — narrow,
+    * codegen'd, zero shuffle until the bounded top-k. The classic
+    * "positional postings" operator re-expressed columnar: at 100 TB
+    * it streams at scan speed because nothing but (doc_id, count)
+    * survives the scan.
+    */
+  val PhraseQuery: Seq[String] = Seq("spark", "merge")
+
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val phrase = PhraseQuery.mkString(" ")
+    val toks = tokens(lower(col("text")))
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(filter(shingles(toks, PhraseQuery.size),
+          s => s === lit(phrase))).cast("long").as("n_phrase"))
+      .where(col("n_phrase") > 0)
+      .orderBy(col("n_phrase").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  def phraseSearchSql: String = {
+    val phrase = PhraseQuery.mkString(" ")
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |counted AS (
+       |  SELECT doc_id, CAST(len(list_filter(
+       |    list_transform(generate_series(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i + 1]),
+       |    s -> s = '$phrase')) AS BIGINT) AS n_phrase
+       |  FROM base)
+       |SELECT doc_id, n_phrase FROM counted WHERE n_phrase > 0
+       |ORDER BY n_phrase DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   // ------------------------------------------- importance weighting
   /** DSIR-style data-selection scoring (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score

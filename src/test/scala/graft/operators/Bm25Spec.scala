@@ -117,6 +117,39 @@ class Bm25Spec extends SparkSpec {
     assert(top2 === Set(1L, 2L))
   }
 
+  test("queryExpand surfaces co-occurring terms from the feedback set only") {
+    val rows = Seq(
+      // feedback docs: carry query terms plus the expansion signal
+      1L -> "spark merge alpha alpha beta",
+      2L -> "spark data alpha beta beta",
+      3L -> "merge data alpha gamma",
+      // no query terms → outside the feedback set; its exclusive token
+      // must never surface
+      4L -> "omega omega omega omega")
+    val dir = docsFixture(rows)
+    val out = TextQueries.queryExpand(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.keySet.exists(TextQueries.Bm25Terms.contains),
+      "query terms must be excluded from expansion")
+    assert(!out.contains("omega"), "non-feedback docs must not contribute")
+    assert(out("alpha") === ((3L, 4L)), "df=3 docs, tf=4")
+    assert(out("beta") === ((2L, 3L)))
+    assert(out("gamma") === ((1L, 1L)))
+  }
+
+  test("phraseSearch counts exact adjacent occurrences, not bags") {
+    val rows = Seq(
+      1L -> "spark merge x spark merge",   // 2 occurrences
+      2L -> "spark x merge",               // both words, never adjacent
+      3L -> "merge spark",                 // wrong order
+      4L -> "a spark merge b",             // 1 occurrence
+      5L -> "spark spark merge")           // 1 occurrence (overlap probe)
+    val dir = docsFixture(rows)
+    val out = TextQueries.phraseSearch(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("bm25 plan: top-k heaps, broadcast df and stats, one wide shuffle") {
     val plan = TextQueries.bm25Topk(spark, sf()).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
