@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.GraftSession.table
 import graft.discover.TableRoute
-import graft.pipeline.Ingest
+import graft.pipeline.{Ingest, TomlConfig}
 import graft.schema.MysqlDdl
 import graft.sink.InsertDumpWriter
 import graft.sources.MySqlCsv
@@ -548,4 +548,62 @@ object PipelineQueries {
       |  UNION ALL SELECT 'region', count(*), TRUE FROM region
       |  UNION ALL SELECT 'supplier', count(*), TRUE FROM supplier
       |) ORDER BY table_name""".stripMargin
+
+  /** The reference's primary UX, end to end: a verbatim
+    * `tidb-lightning.toml`-shaped config (filter, shard-merge routes,
+    * CSV dialect, file checkpoint, post-restore levels) loaded by
+    * [[TomlConfig]] drives the same three-format fixture import as
+    * `q_ingest_e2e` — config text in, checksum-verified tables out.
+    * `analyze = "off"` exercises the PostOpLevel tri-state on the way.
+    */
+  def tomlE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = buildFixture(spark, sfDir)
+    val target = s"${fixRoot(sfDir)}/toml_out"
+    deleteRec(Paths.get(target))
+    val toml =
+      s"""# reference-shaped config (sample: tidb-lightning.toml)
+         |[lightning]
+         |server-mode = false
+         |table-concurrency = 3
+         |
+         |[checkpoint]
+         |enable = true
+         |driver = "file"
+         |
+         |[tikv-importer]
+         |backend = "local"
+         |sorted-kv-dir = '$target'
+         |
+         |[mydumper]
+         |data-source-dir = '$src'
+         |filter = ['tpch*.*', '!tpch.junk']
+         |character-set = "auto"
+         |max-region-size = '256MiB'
+         |
+         |[mydumper.csv]
+         |separator = ','
+         |delimiter = '"'
+         |header = false
+         |null = '\\N'
+         |backslash-escape = true
+         |
+         |[[routes]]
+         |schema-pattern = "tpch_s*"
+         |table-pattern = "nation"
+         |target-schema = "tpch"
+         |target-table = "nation"
+         |
+         |[post-restore]
+         |checksum = "required"
+         |analyze = "off"
+         |""".stripMargin
+    val loaded = TomlConfig.load(toml)
+    val reports = Ingest.run(spark, loaded.config)
+    import spark.implicits._
+    reports.map(r => (r.table, r.nRows, r.checksumOk))
+      .toDF("table_name", "n_rows", "checksum_ok")
+      .orderBy("table_name")
+  }
+
+  def tomlE2eSql: String = ingestE2eSql
 }

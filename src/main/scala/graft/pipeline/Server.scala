@@ -175,8 +175,18 @@ object Server {
     sb.append('"').toString
   }
 
+  /** Task body parse: flat JSON (the spool's native shape) or a full
+    * `tidb-lightning.toml` — the reference's HTTP API takes the TOML
+    * config itself as the POST body (`curl http://…:8289/tasks
+    * --data-binary @tidb-lightning.toml`, sample config
+    * `tidb-lightning.toml:12-17`), so the queue accepts both.
+    */
+  private[pipeline] def parseTask(body: String): Ingest.Config =
+    if (body.trim.startsWith("{")) parseJsonTask(body)
+    else TomlConfig.load(body).config
+
   /** Minimal flat-JSON task parse (same conventions as JobState). */
-  private[pipeline] def parseTask(json: String): Ingest.Config = {
+  private def parseJsonTask(json: String): Ingest.Config = {
     def str(key: String): Option[String] =
       (s""""$key"\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(json).map(_.group(1))
     val source = str("sourceDir").getOrElse(
