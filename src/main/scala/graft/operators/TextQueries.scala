@@ -1477,9 +1477,12 @@ object TextQueries {
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    // pre-filter INSIDE the array so the explode emits only query-term
+    // matches (a handful per doc) instead of the full token stream
+    val isTerm = (t: Column) => Bm25Terms.map(term => t === lit(term)).reduce(_ || _)
     val tf = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .where(col("tok").isin(Bm25Terms: _*))
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), isTerm)).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -1620,9 +1623,11 @@ object TextQueries {
     val feedback = bm25Scored(spark, sfDir)
       .orderBy(col("bm25_ppm").desc, col("doc_id")).limit(10)
       .select(col("doc_id"))
+    // join BEFORE tokenizing: the broadcast semi-join survives only the
+    // feedback docs, so the explode runs on 10 documents, not the corpus
     table(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
       .join(broadcast(feedback), Seq("doc_id"))
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
       .where(!col("tok").isin(Bm25Terms: _*))
       .groupBy("tok")
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("total_tf"))
@@ -1667,21 +1672,29 @@ object TextQueries {
   // ----------------------------------------------- phrase search
   /** Exact-phrase retrieval without a positional index: the phrase
     * count per document is a pure nested-HOF expression over the
-    * token array (adjacent-bigram construction + filter) — narrow,
-    * codegen'd, zero shuffle until the bounded top-k. The classic
-    * "positional postings" operator re-expressed columnar: at 100 TB
-    * it streams at scan speed because nothing but (doc_id, count)
-    * survives the scan.
+    * token array (per-position term-by-term equality, no shingle
+    * strings allocated) — narrow, codegen'd, zero shuffle until the
+    * bounded top-k. The classic "positional postings" operator
+    * re-expressed columnar: at 100 TB it streams at scan speed
+    * because nothing but (doc_id, count) survives the scan.
     */
   val PhraseQuery: Seq[String] = Seq("spark", "merge")
 
   def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val phrase = PhraseQuery.mkString(" ")
-    val toks = tokens(lower(col("text")))
+    val n = PhraseQuery.size
+    val toksCol = tokens(lower(col("text")))
+    // positional equality instead of materializing shingle strings:
+    // for each start position, AND the term-by-term comparisons — no
+    // per-position string allocation, same codegen'd narrow pass
+    val hits = (toks: Column) =>
+      size(filter(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => PhraseQuery.zipWithIndex.map { case (term, j) =>
+          element_at(toks, i + j) === lit(term)
+        }.reduce(_ && _)), m => m))
     table(spark, sfDir, "documents")
       .select(col("doc_id"),
-        size(filter(shingles(toks, PhraseQuery.size),
-          s => s === lit(phrase))).cast("long").as("n_phrase"))
+        when(size(toksCol) < n, lit(0L))
+          .otherwise(hits(toksCol).cast("long")).as("n_phrase"))
       .where(col("n_phrase") > 0)
       .orderBy(col("n_phrase").desc, col("doc_id"))
       .limit(20)
