@@ -26,7 +26,7 @@ object ScalingProbe {
   private val LinearOps = Seq("q_chunk_rag", "q_tfidf_topk", "q_boilerplate",
     "q_pack_sequences", "q_quality_score", "q_dedup_exact",
     "q_corpus_diff", "q_line_dedup", "q_search_topk", "q_bm25_topk",
-    "q_phrase_search",
+    "q_phrase_search", "q_rrf_fusion", "q_query_expand",
     "q_importance_weights", "q_ngram_diversity",
     "q_heavy_hitters", "q_shuffle_shard", "q_mix_sample",
     // event family (events folded on the user axis: k× users, same
