@@ -32,10 +32,12 @@ case class RouteResult(
   * Custom regex rules (the `[[mydumper.files]]` config surface,
   * `tests/file_routing/`) can be prepended.
   */
-class FileRouter(customRules: Seq[FileRouter.Rule] = Nil) {
+class FileRouter(customRules: Seq[FileRouter.Rule] = Nil,
+    useDefaults: Boolean = true) {
   import FileRouter._
 
-  private val rules: Seq[Rule] = customRules ++ defaultRules
+  private val rules: Seq[Rule] =
+    customRules ++ (if (useDefaults) defaultRules else Nil)
 
   def route(relPath: String): Option[RouteResult] = {
     val name = relPath // routing is over the path relative to the source root
@@ -74,6 +76,82 @@ object FileRouter {
           s"supported: ${SupportedCompression.toSeq.sorted.mkString(", ")}, " +
           "or decompress the file before import")
     }
+
+  /** One `[[mydumper.files]]` rule (reference `router.go:183-260` +
+    * `config.go` FileRouteRule): a regex `pattern` (or literal `path`)
+    * over the source-relative file path, plus `$`-templates for every
+    * routed field. Exactly one of pattern/path must be set.
+    */
+  case class FileRule(
+      pattern: Option[String],
+      path: Option[String],
+      schema: String,
+      table: String = "",
+      typ: String = "",
+      key: String = "",
+      compression: String = "")
+
+  /** Compile a [[FileRule]] to a router [[Rule]]. Pattern syntax is
+    * Go-regexp-shaped: `(?P<name>…)` named groups translate to Java's
+    * `(?<name>…)`, matching is unanchored find (Go
+    * FindStringSubmatchIndex). Templates expand `$$` (literal `$`),
+    * `$1`/`${2}` (numbered groups), `$name`/`${name}` (named groups);
+    * unmatched optional groups expand empty, like Go's Expand. A
+    * template naming a group the pattern lacks, or an expanded type/
+    * compression outside the reference's vocabulary, fails loudly at
+    * route time — the reference's "match but invalid field" error.
+    */
+  def compile(rule: FileRule): Rule = {
+    require(rule.pattern.isDefined != rule.path.isDefined,
+      "[[mydumper.files]]: exactly one of `pattern` and `path` must be set")
+    val (regexStr, escapeTmpl) = rule.pattern match {
+      case Some(p) =>
+        (p.replace("(?P<", "(?<"), (t: String) => t)
+      case None =>
+        (java.util.regex.Pattern.quote(rule.path.get),
+          (t: String) => t.replace("$", "$$"))
+    }
+    val rx = java.util.regex.Pattern.compile(regexStr)
+    val TmplVar = """\$(?:(\$)|([0-9]+)|([A-Za-z_][A-Za-z0-9_]*)|\{([0-9]+)\}|\{([A-Za-z_][A-Za-z0-9_]*)\})""".r
+    def expand(tmplRaw: String, m: java.util.regex.Matcher): String = {
+      val tmpl = escapeTmpl(tmplRaw)
+      TmplVar.replaceAllIn(tmpl, mm =>
+        java.util.regex.Matcher.quoteReplacement {
+          if (mm.group(1) != null) "$"
+          else {
+            val byIdx = Option(mm.group(2)).orElse(Option(mm.group(4)))
+            val byName = Option(mm.group(3)).orElse(Option(mm.group(5)))
+            val g = byIdx match {
+              case Some(i) => m.group(i.toInt)
+              case None => m.group(byName.get) // throws on unknown name — loud
+            }
+            Option(g).getOrElse("") // unmatched optional group → empty
+          }
+        })
+    }
+    { case p if rx.matcher(p).find() =>
+        val m = rx.matcher(p); m.find()
+        val kind = expand(rule.typ, m).trim.toLowerCase(Locale.ROOT) match {
+          case "schema-schema" => FileKind.SchemaSchema
+          case "table-schema" => FileKind.TableSchema
+          case "view-schema" => FileKind.ViewSchema
+          case "sql" => FileKind.Sql
+          case "csv" => FileKind.Csv
+          case "parquet" => FileKind.Parquet
+          case "ignore" => FileKind.Ignore
+          case other => throw new IllegalArgumentException(
+            s"[[mydumper.files]]: unknown source type '$other' for $p")
+        }
+        val comp = expand(rule.compression, m).trim.toLowerCase(Locale.ROOT) match {
+          case "" => None
+          case c @ ("gz" | "gzip" | "bz2" | "lz4" | "zstd" | "zst" | "xz") => Some(c)
+          case other => throw new IllegalArgumentException(
+            s"[[mydumper.files]]: invalid compression type '$other' for $p")
+        }
+        RouteResult(expand(rule.schema, m), expand(rule.table, m), kind,
+          comp, expand(rule.key, m))
+    }
+  }
 
   val defaultRules: Seq[Rule] = Seq(
     { case DbSchema(db) => RouteResult(db, "", FileKind.SchemaSchema, None, "") },

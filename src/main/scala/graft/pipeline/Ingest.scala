@@ -52,7 +52,12 @@ object Ingest {
       strictFormat: Boolean = false,
       chunkBytes: Long = 256L << 20,
       chunkBatch: Int = 8,
-      failpointAfterBatches: Option[Int] = None)
+      failpointAfterBatches: Option[Int] = None,
+      // [[mydumper.files]] custom routing rules; defaults stay active
+      // unless defaultFileRules overrides the reference's implicit
+      // "custom rules present → defaults off"
+      fileRules: Seq[graft.discover.FileRouter.FileRule] = Nil,
+      defaultFileRules: Option[Boolean] = None)
 
   /** One import unit: a whole data file, or (strict-format CSV and
     * dump files) a byte-range chunk of one — the reference's `ChunkCheckpoint`
@@ -173,7 +178,10 @@ object Ingest {
   private def listRouted(spark: SparkSession, cfg: Config): Seq[(String, RouteResult)] = {
     val fs = new Path(cfg.sourceDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val router = new FileRouter()
+    // reference default-file-rules semantics (sample toml:152-157):
+    // absent → defaults on only when no custom rules are configured
+    val router = new FileRouter(cfg.fileRules.map(FileRouter.compile),
+      cfg.defaultFileRules.getOrElse(cfg.fileRules.isEmpty))
     val filter = new TableFilter(cfg.filters)
     val tableRouter = new TableRouter(cfg.routes)
     val it = fs.listFiles(new Path(cfg.sourceDir), true)
@@ -182,7 +190,7 @@ object Ingest {
       val f = it.next()
       val rel = f.getPath.toString.stripPrefix(
         fs.makeQualified(new Path(cfg.sourceDir)).toString).stripPrefix("/")
-      router.route(rel).foreach { r =>
+      router.route(rel).filter(_.kind != FileKind.Ignore).foreach { r =>
         FileRouter.requireReadable(f.getPath.toString, r) // reject lz4/zstd/xz loudly (S8)
         files += ((f.getPath.toString, r))
       }

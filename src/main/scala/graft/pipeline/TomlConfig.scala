@@ -23,6 +23,9 @@ import graft.sources.CsvDialect
   *    backend's sorted-KV output is this engine's parquet target)
   *  - `mydumper.filter`               → `filters`
   *  - `[[routes]]`                    → `routes`
+  *  - `[[mydumper.files]]` + `mydumper.default-file-rules` →
+  *    `fileRules`/`defaultFileRules` (custom regex file routing,
+  *    `router.go:183-260` semantics incl. Go named groups)
   *  - `[mydumper.csv]`                → `csvDialect`
   *  - `mydumper.character-set`        → `charset`
   *  - `mydumper.no-schema`            → `noSchema`
@@ -307,6 +310,18 @@ object TomlConfig {
         rs("target-schema"), rs("target-table"))
     }
 
+    val fileRules = p.arrays.getOrElse("mydumper.files", Nil).map { r =>
+      def fo(k: String) = r.get(k).map(str(_, s"mydumper.files.$k"))
+      graft.discover.FileRouter.FileRule(
+        pattern = fo("pattern"),
+        path = fo("path"),
+        schema = fo("schema").getOrElse(""),
+        table = fo("table").getOrElse(""),
+        typ = fo("type").getOrElse(""),
+        key = fo("key").getOrElse(""),
+        compression = fo("compression").getOrElse(""))
+    }
+
     val csv = CsvDialect(
       separator = take("mydumper.csv.separator")
         .map(str(_, "mydumper.csv.separator")).getOrElse(","),
@@ -361,7 +376,10 @@ object TomlConfig {
       strictFormat = take("mydumper.strict-format")
         .map(bool(_, "mydumper.strict-format")).getOrElse(false),
       chunkBytes = take("mydumper.max-region-size")
-        .map(parseSize).getOrElse(256L << 20))
+        .map(parseSize).getOrElse(256L << 20),
+      fileRules = fileRules,
+      defaultFileRules = take("mydumper.default-file-rules")
+        .map(bool(_, "mydumper.default-file-rules")))
 
     val serverMode = take("lightning.server-mode")
       .map(bool(_, "lightning.server-mode")).getOrElse(false)
@@ -369,7 +387,8 @@ object TomlConfig {
       .map(str(_, "lightning.status-addr")).filter(_.nonEmpty)
 
     val ignored = (p.scalars.keySet -- used).toSeq.sorted ++
-      (p.arrays.keySet - "routes").toSeq.sorted.map(n => s"[[$n]]")
+      (p.arrays.keySet - "routes" - "mydumper.files").toSeq.sorted
+        .map(n => s"[[$n]]")
     Loaded(cfg, serverMode, statusAddr, checksum, ignored)
   }
 

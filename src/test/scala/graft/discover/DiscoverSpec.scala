@@ -34,6 +34,68 @@ class DiscoverSpec extends AnyFunSuite {
     assert(r.route("d.t.csv").map(_.kind) === Some(FileKind.Csv)) // defaults still apply
   }
 
+  test("FileRule compile: the reference's file_routing rules route") {
+    // rules verbatim from /root/reference/tests/file_routing/config.toml
+    import FileRouter.FileRule
+    val rules = Seq(
+      FileRule(Some("""(?i)^(?:[^/]*/)*([a-z0-9]+)/schema\.sql$"""), None,
+        "$1", typ = "schema-schema"),
+      FileRule(Some("""(?i)^(?:[^/]*/)*([a-z0-9]+)/([a-z0-9]+)-table\.sql$"""),
+        None, "$1", "$2", "table-schema"),
+      FileRule(Some("""(?i)^(?:[^/]*/)*([a-z0-9]+)/([a-z0-9]+)-view\.sql$"""),
+        None, "$1", "$2", "view-schema"),
+      FileRule(None, Some("ff/test.SQL"), "fr", "tbl", "sql"),
+      FileRule(Some("""(?i)^(?:[^/]*/)*([^./]+)/([a-z]+)[0-9]*\.(sql|csv)(?:\.([0-9]+))?$"""),
+        None, "$1", "$2", "$3"),
+      FileRule(Some("""(?i)^(?:[^/]*/)*([a-z]+)[0-9]*\.(sql|csv)(?:\.([0-9]+))?$"""),
+        None, "fr", "$1", "$2"))
+    val r = new FileRouter(rules.map(FileRouter.compile), useDefaults = false)
+    assert(r.route("fr/schema.sql") ===
+      Some(RouteResult("fr", "", FileKind.SchemaSchema, None, "")))
+    assert(r.route("fr/tbl-table.sql") ===
+      Some(RouteResult("fr", "tbl", FileKind.TableSchema, None, "")))
+    assert(r.route("fr/v1-view.sql") ===
+      Some(RouteResult("fr", "v1", FileKind.ViewSchema, None, "")))
+    // literal-path rule, case-sensitive match, fixed fields
+    assert(r.route("ff/test.SQL") ===
+      Some(RouteResult("fr", "tbl", FileKind.Sql, None, "")))
+    // templated type: "$3" expands to the sql/csv extension
+    assert(r.route("fr/tbl01.sql") ===
+      Some(RouteResult("fr", "tbl", FileKind.Sql, None, "")))
+    assert(r.route("base/fr/ncd7.csv.04") ===
+      Some(RouteResult("fr", "ncd", FileKind.Csv, None, "")))
+    // default-file-rules = false: mydumper naming must NOT route
+    assert(r.route("db.tbl.0001.csv") === None)
+  }
+
+  test("FileRule: named groups, ${} refs, unmatched optional groups") {
+    val rule = FileRouter.FileRule(
+      Some("""^(?P<schema>[a-z]+)/(?P<table>[a-z]+)(?:\.([0-9]+))?\.csv$"""),
+      None, "${schema}", "$table", "csv", key = "$3")
+    val r = new FileRouter(Seq(FileRouter.compile(rule)), useDefaults = false)
+    assert(r.route("db/t.042.csv") ===
+      Some(RouteResult("db", "t", FileKind.Csv, None, "042")))
+    // optional group unmatched → empty key, like Go's Expand
+    assert(r.route("db/t.csv") ===
+      Some(RouteResult("db", "t", FileKind.Csv, None, "")))
+  }
+
+  test("FileRule: invalid expanded type fails loudly; path rules keep $ literal") {
+    val bad = FileRouter.compile(FileRouter.FileRule(
+      Some("""^x\.(\w+)$"""), None, "s", "t", "$1"))
+    val r = new FileRouter(Seq(bad), useDefaults = false)
+    val e = intercept[IllegalArgumentException](r.route("x.weird"))
+    assert(e.getMessage.contains("weird"))
+    intercept[IllegalArgumentException] {
+      FileRouter.compile(FileRouter.FileRule(None, None, "s"))
+    }
+    val lit = FileRouter.compile(FileRouter.FileRule(
+      None, Some("a$b.csv"), "s$x", "t", "csv"))
+    val r2 = new FileRouter(Seq(lit), useDefaults = false)
+    assert(r2.route("a$b.csv") ===
+      Some(RouteResult("s$x", "t", FileKind.Csv, None, "")))
+  }
+
   test("exotic filenames route (spaces, dashes, unicode)") {
     assert(router.route("middle earth.orcs.sql") ===
       Some(RouteResult("middle earth", "orcs", FileKind.Sql, None, "")))

@@ -153,6 +153,20 @@ class TomlConfigSpec extends AnyFunSuite {
     assert(l.config.analyze, "analyze = \"optional\" is still on")
   }
 
+  test("[[mydumper.files]] maps to fileRules; defaults toggle honored") {
+    val refConfig = java.nio.file.Paths.get(
+      "/root/reference/tests/file_routing/config.toml")
+    assume(java.nio.file.Files.exists(refConfig), "reference tests not present")
+    val text = java.nio.file.Files.readString(refConfig) +
+      "\n[mydumper]\ndata-source-dir='/s'\n[tikv-importer]\nsorted-kv-dir='/o'\n"
+    val l = TomlConfig.load(text)
+    assert(l.config.fileRules.size === 6)
+    assert(l.config.defaultFileRules === Some(false))
+    assert(l.config.fileRules(3) === graft.discover.FileRouter.FileRule(
+      None, Some("ff/test.SQL"), "fr", "tbl", "sql"))
+    assert(!l.ignored.exists(_.contains("mydumper.files")))
+  }
+
   test("server task bodies: TOML accepted alongside flat JSON") {
     val cfg = Server.parseTask(minimal)
     assert(cfg.sourceDir === "/src" && cfg.targetDir === "/out")
