@@ -6,32 +6,113 @@ import graft.pipeline.{HttpServer, Ingest, Server, TomlConfig}
 
 /** The reference's CLI entry point re-expressed: `tidb-lightning
   * --config x.toml` (reference `cmd/tidb-lightning/main.go:30-70`)
-  * becomes `runMain graft.Main --config x.toml`. One-shot mode runs
-  * the import immediately and exits nonzero on failure; server mode
-  * (`lightning.server-mode = true`) starts the task API on
-  * `lightning.status-addr` and drains the spool queue until
-  * `<spool>/stop` appears — the same switch the reference documents in
-  * its sample config.
+  * becomes `runMain graft.Main --config x.toml`. The Spark-relevant
+  * command-line overrides from `config/global.go:133-172` carry over
+  * and take precedence over the file, like the reference's
+  * `tests/cmdline_override`:
+  *
+  *   -c / --config <path>      config file (optional when -d and
+  *                             --sorted-kv-dir are given)
+  *   -d <dir>                  dump directory to import
+  *   --sorted-kv-dir <dir>     output target (--target-dir is an
+  *                             engine-native alias)
+  *   -f <glob>                 table filter, repeatable
+  *   --no-schema[=bool]        skip schema files
+  *   --enable-checkpoint[=bool]
+  *   --checksum <level>        off | optional | required | true | false
+  *   --analyze <level>         same levels
+  *   --server-mode[=bool]      wait for tasks instead of importing
+  *   --status-addr <addr>      task-API bind address
+  *   --spool <dir>             engine-native: server-mode queue dir
+  *
+  * One-shot mode runs the import immediately and exits nonzero on a
+  * required-checksum failure; server mode starts the task API and
+  * drains the spool queue until `<spool>/stop` appears.
   */
 object Main {
 
-  def main(args: Array[String]): Unit = {
-    def opt(flag: String): Option[String] =
-      args.sliding(2).collectFirst { case Array(`flag`, v) => v }
-    val cfgPath = opt("--config").getOrElse(
-      sys.error("usage: graft.Main --config <tidb-lightning.toml> " +
-        "[--target-dir <dir>] [--spool <dir>]"))
-    val loaded = TomlConfig.loadFile(cfgPath, opt("--target-dir"))
-    if (loaded.ignored.nonEmpty)
-      System.err.println(
-        s"[config] ignored keys (no Spark analog): ${loaded.ignored.mkString(", ")}")
+  private val ValueFlags = Set("-c", "--config", "-d", "--sorted-kv-dir",
+    "--target-dir", "-f", "--checksum", "--analyze", "--status-addr", "--spool")
+  private val BoolFlags = Set("--no-schema", "--enable-checkpoint", "--server-mode")
 
-    if (loaded.serverMode) {
+  /** Go-flag-style parse: `--flag value`, `--flag=value`, bare boolean
+    * flags, single or double dashes, `-f` repeatable.
+    */
+  private[graft] def parseArgs(args: Array[String]): Map[String, Seq[String]] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
+    def add(k: String, v: String): Unit =
+      out(k) = out.getOrElse(k, Vector.empty) :+ v
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("-"), s"unexpected argument: $a")
+      val (rawFlag, inline) = a.indexOf('=') match {
+        case -1 => (a, None)
+        case at => (a.substring(0, at), Some(a.substring(at + 1)))
+      }
+      // normalize single/double dash to the canonical spelling
+      val flag = Seq(rawFlag, "-" + rawFlag, rawFlag.drop(1))
+        .find(f => ValueFlags(f) || BoolFlags(f))
+        .getOrElse(sys.error(s"unknown flag: $rawFlag"))
+      inline match {
+        case Some(v) => add(flag, v); i += 1
+        case None if BoolFlags(flag) => add(flag, "true"); i += 1
+        case None =>
+          require(i + 1 < args.length, s"$flag needs a value")
+          add(flag, args(i + 1)); i += 2
+      }
+    }
+    out.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val flags = parseArgs(args)
+    def last(f: String): Option[String] = flags.get(f).map(_.last)
+    def lastBool(f: String): Option[Boolean] = last(f).map(_.toBoolean)
+    def level(f: String): Option[String] = last(f).map {
+      case "true" => "required"
+      case "false" => "off"
+      case l @ ("off" | "optional" | "required") => l
+      case other => sys.error(s"$f: invalid level '$other'")
+    }
+
+    val targetOverride = last("--sorted-kv-dir").orElse(last("--target-dir"))
+    val fromFile = last("--config").orElse(last("-c"))
+      .map(p => TomlConfig.loadFile(p, targetOverride))
+    val base = fromFile.getOrElse {
+      val src = last("-d").getOrElse(sys.error(
+        "no source: pass --config or -d <dump dir>"))
+      val tgt = targetOverride.getOrElse(sys.error(
+        "no target: pass --config, --sorted-kv-dir or --target-dir"))
+      TomlConfig.Loaded(Ingest.Config(src, tgt), serverMode = false,
+        statusAddr = None, checksum = "required", ignored = Nil)
+    }
+    if (base.ignored.nonEmpty)
+      System.err.println(
+        s"[config] ignored keys (no Spark analog): ${base.ignored.mkString(", ")}")
+
+    // command line wins over the file (reference global.go:219-261)
+    var cfg = base.config
+    last("-d").foreach(d => cfg = cfg.copy(sourceDir = d))
+    targetOverride.foreach(t => cfg = cfg.copy(targetDir = t))
+    flags.get("-f").foreach(fs => cfg = cfg.copy(filters = fs))
+    lastBool("--no-schema").foreach(b => cfg = cfg.copy(noSchema = b))
+    lastBool("--enable-checkpoint").foreach { b =>
+      cfg = cfg.copy(stateDir =
+        if (b) cfg.stateDir.orElse(Some(s"${cfg.targetDir}/_checkpoint"))
+        else None)
+    }
+    level("--analyze").foreach(l => cfg = cfg.copy(analyze = l != "off"))
+    val checksum = level("--checksum").getOrElse(base.checksum)
+    val serverMode = lastBool("--server-mode").getOrElse(base.serverMode)
+    val statusAddr = last("--status-addr").orElse(base.statusAddr)
+
+    if (serverMode) {
       // reference server mode: wait for tasks over HTTP
       // (`lightning.go:196-214`); tasks arrive as TOML or JSON bodies
-      val port = loaded.statusAddr
+      val port = statusAddr
         .map(_.split(":").last).filter(_.nonEmpty).map(_.toInt).getOrElse(8289)
-      val spool = opt("--spool").getOrElse(s"${loaded.config.targetDir}/_spool")
+      val spool = last("--spool").getOrElse(s"${cfg.targetDir}/_spool")
       Files.createDirectories(Paths.get(spool))
       val srv = HttpServer.start(spool, port)
       println(s"graft server mode on http://127.0.0.1:${srv.getAddress.getPort} " +
@@ -49,14 +130,14 @@ object Main {
     } else {
       val spark = GraftSession.build()
       try {
-        val reports = Ingest.run(spark, loaded.config)
+        val reports = Ingest.run(spark, cfg)
         reports.foreach { r =>
           println(f"${r.db}.${r.table}%-30s rows=${r.nRows}%-10d " +
             f"checksum_ok=${r.checksumOk} bad_rows=${r.badRows}" +
             (if (r.skipped) " (skipped: already imported)" else ""))
         }
         val failed = reports.filterNot(r => r.checksumOk || r.skipped)
-        if (failed.nonEmpty && loaded.checksum == "required") {
+        if (failed.nonEmpty && checksum == "required") {
           System.err.println(s"checksum FAILED for: ${failed.map(_.table).mkString(", ")}")
           sys.exit(1)
         } else if (failed.nonEmpty)
