@@ -203,6 +203,103 @@ object Multimodal {
       |  CAST(octet_length(CAST(text AS BLOB)) + 29 AS BIGINT) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Little-endian uint32/uint16 → raw bytes, as column expressions
+    * (RIFF formats are LE where PNG is BE — byte-swap via hex-pair
+    * reordering, still pure `functions._`).
+    */
+  private def int32le(c: org.apache.spark.sql.Column) = {
+    val hx = lpad(hex(c), 8, "0")
+    unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+      substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+  private def int16le(c: org.apache.spark.sql.Column) = {
+    val hx = lpad(hex(c), 4, "0")
+    unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+
+  /** Deterministic audio parameters for the synthetic WAV fixture. */
+  private def wavParams(docId: org.apache.spark.sql.Column) = {
+    val channels = pmod(docId, lit(2)) + 1
+    val rate = when(pmod(docId, lit(3)) === 0, 8000)
+      .when(pmod(docId, lit(3)) === 1, 16000)
+      .otherwise(44100)
+    (channels, rate)
+  }
+
+  /** A REAL canonical 44-byte PCM WAV header (RIFF + fmt + data
+    * chunks, all little-endian) over the doc text as stand-in sample
+    * bytes — same honesty contract as [[pngPayload]]: synthetic
+    * fixture, real format.
+    */
+  private def wavPayload(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column) = {
+    val (channels, rate) = wavParams(docId)
+    val bits = lit(16)
+    val data = encode(text, "UTF-8")
+    val dataLen = length(data)
+    val byteRate = rate * channels * 2 // bits/8 = 2
+    concat(
+      lit("RIFF".getBytes("US-ASCII")), int32le(dataLen + 36),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), int32le(lit(16)),
+      int16le(lit(1)), // PCM
+      int16le(channels), int32le(rate), int32le(byteRate),
+      int16le(channels * 2), // block align
+      int16le(bits),
+      lit("data".getBytes("US-ASCII")), int32le(dataLen),
+      data)
+  }
+
+  /** WAV metadata WITHOUT a codec: RIFF/WAVE signature check plus the
+    * little-endian fmt-chunk fields at their canonical offsets —
+    * substring + hex-pair reordering + conv, all inside the scan, so
+    * "what sample-rate/channel/duration distribution does this corpus
+    * have" runs at scan speed over opaque binary columns. Duration is
+    * derived from the PARSED byte-rate and data-size fields, not the
+    * fixture formula.
+    */
+  def wavMeta(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val p = col(payloadCol)
+    val le = (from: Int, len: Int) => conv(
+      concat((len to 1 by -1).map(i => hex(substring(p, from + i - 1, 1))): _*),
+      16, 10).cast("long")
+    media
+      .withColumn("is_wav",
+        hex(substring(p, 1, 4)) === "52494646" && // "RIFF"
+          hex(substring(p, 9, 4)) === "57415645") // "WAVE"
+      .withColumn("n_channels", when(col("is_wav"), le(23, 2)))
+      .withColumn("sample_rate", when(col("is_wav"), le(25, 4)))
+      .withColumn("bits_per_sample", when(col("is_wav"), le(35, 2)))
+      .withColumn("data_bytes", when(col("is_wav"), le(41, 4)))
+      .withColumn("duration_ms",
+        when(col("is_wav"), expr("data_bytes * 1000 div (sample_rate * n_channels * (bits_per_sample div 8))")))
+  }
+
+  /** Query: synthesize real WAV headers from the documents table and
+    * recover every fmt field by parsing the BYTES; the oracle computes
+    * the same fields arithmetically, so the two sides never share the
+    * binary path and a parser bug cannot cancel out.
+    */
+  def mediaWav(spark: SparkSession, sfDir: String): DataFrame =
+    wavMeta(table(spark, sfDir, "documents")
+        .select(col("doc_id"), wavPayload(col("doc_id"), col("text")).as("payload")))
+      .select(col("doc_id"), col("is_wav"), col("n_channels"),
+        col("sample_rate"), col("bits_per_sample"), col("data_bytes"),
+        col("duration_ms"))
+      .orderBy("doc_id")
+
+  def mediaWavSql: String =
+    """SELECT doc_id, TRUE AS is_wav,
+      |  CAST(doc_id % 2 + 1 AS BIGINT) AS n_channels,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |       ELSE 44100 END AS BIGINT) AS sample_rate,
+      |  CAST(16 AS BIGINT) AS bits_per_sample,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS data_bytes,
+      |  CAST(octet_length(CAST(text AS BLOB)) * 1000 //
+      |    ((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+      |     * (doc_id % 2 + 1) * 2) AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Exact dedup over the BINARY payload — the image/audio analog of
     * text exact-dedup (byte-identical assets collapse regardless of
     * filename or metadata). One md5-groupBy with map-side combine;
