@@ -210,6 +210,55 @@ class TableFilter(patterns: Seq[String], caseSensitive: Boolean = false) {
   }
 }
 
+/** One `(db-name, tbl-name)` pair in the legacy `[black-white-list]`
+  * config; names starting with `~` are regexes (unanchored find, like
+  * the tidb-tools filter the reference vendors).
+  */
+case class BWItem(db: String, tbl: String)
+
+/** The legacy filter rules as configured (`[black-white-list]`
+  * do-dbs/ignore-dbs/[[do-tables]]/[[ignore-tables]], reference
+  * `tests/black-white-list` configs).
+  */
+case class BWRules(
+    doDBs: Seq[String] = Nil,
+    ignoreDBs: Seq[String] = Nil,
+    doTables: Seq[BWItem] = Nil,
+    ignoreTables: Seq[BWItem] = Nil)
+
+/** The reference's legacy black-white-list filter, level by level:
+  * schema level first (`do-dbs` whitelist when present, else
+  * `ignore-dbs` blacklist), then table level (`do-tables` whitelist
+  * when present, else `ignore-tables` blacklist). The whitelist-
+  * shadows-blacklist shape at each level is pinned by the reference's
+  * own expectations: `even-table-only.toml` ignores ALL of firstdb
+  * yet still imports firstdb.second, because its `do-tables` match
+  * wins (`tests/black-white-list/run.sh` check_even_table_only).
+  */
+class BWFilter(rules: BWRules, caseSensitive: Boolean = false) {
+
+  private def matchOne(pat0: String, s0: String): Boolean = {
+    val (pat, s) =
+      if (caseSensitive) (pat0, s0)
+      else (pat0.toLowerCase(Locale.ROOT), s0.toLowerCase(Locale.ROOT))
+    if (pat.startsWith("~"))
+      java.util.regex.Pattern.compile(pat.substring(1)).matcher(s).find()
+    else pat == s
+  }
+
+  def matches(db: String, table: String): Boolean = {
+    val dbPass =
+      if (rules.doDBs.nonEmpty) rules.doDBs.exists(matchOne(_, db))
+      else !rules.ignoreDBs.exists(matchOne(_, db))
+    dbPass && {
+      if (rules.doTables.nonEmpty)
+        rules.doTables.exists(it => matchOne(it.db, db) && matchOne(it.tbl, table))
+      else
+        !rules.ignoreTables.exists(it => matchOne(it.db, db) && matchOne(it.tbl, table))
+    }
+  }
+}
+
 /** Table router (SURVEY S4): maps source (schema, table) to target
   * (schema, table) via glob patterns — N source shards mapping to one
   * target is the shard-merge case (`tests/routes/config.toml`), which

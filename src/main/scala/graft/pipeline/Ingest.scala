@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions.{coalesce, col, countDistinct, lit, max, sum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.discover.{FileKind, FileRouter, RouteResult, TableFilter, TableRoute, TableRouter}
+import graft.discover.{BWFilter, BWRules, FileKind, FileRouter, RouteResult, TableFilter, TableRoute, TableRouter}
 import graft.schema.{MysqlDdl, TableSchema}
 import graft.sink.SortedParquetSink
 import graft.sources.{CharsetReader, CsvDialect, DumpSource, MySqlCsv}
@@ -57,7 +57,10 @@ object Ingest {
       // unless defaultFileRules overrides the reference's implicit
       // "custom rules present → defaults off"
       fileRules: Seq[graft.discover.FileRouter.FileRule] = Nil,
-      defaultFileRules: Option[Boolean] = None)
+      defaultFileRules: Option[Boolean] = None,
+      // legacy [black-white-list] rules; ANDed with `filters` like the
+      // reference, which consults both filter generations
+      bwList: Option[BWRules] = None)
 
   /** One import unit: a whole data file, or (strict-format CSV and
     * dump files) a byte-range chunk of one — the reference's `ChunkCheckpoint`
@@ -183,6 +186,7 @@ object Ingest {
     val router = new FileRouter(cfg.fileRules.map(FileRouter.compile),
       cfg.defaultFileRules.getOrElse(cfg.fileRules.isEmpty))
     val filter = new TableFilter(cfg.filters)
+    val bwFilter = cfg.bwList.map(new BWFilter(_))
     val tableRouter = new TableRouter(cfg.routes)
     val it = fs.listFiles(new Path(cfg.sourceDir), true)
     val files = scala.collection.mutable.ArrayBuffer[(String, RouteResult)]()
@@ -196,7 +200,9 @@ object Ingest {
       }
     }
     files
-      .filter { case (_, r) => r.kind == FileKind.SchemaSchema || filter.matches(r.database, r.table) }
+      .filter { case (_, r) => r.kind == FileKind.SchemaSchema ||
+        (filter.matches(r.database, r.table) &&
+          bwFilter.forall(_.matches(r.database, r.table))) }
       .map { case (p, r) =>
         val (db, tbl) = tableRouter.route(r.database, r.table)
         (p, r.copy(database = db, table = tbl))

@@ -26,6 +26,8 @@ import graft.sources.CsvDialect
   *  - `[[mydumper.files]]` + `mydumper.default-file-rules` →
   *    `fileRules`/`defaultFileRules` (custom regex file routing,
   *    `router.go:183-260` semantics incl. Go named groups)
+  *  - `[black-white-list]` do-dbs/ignore-dbs/[[do-tables]]/
+  *    [[ignore-tables]] → `bwList` (the legacy filter generation)
   *  - `[mydumper.csv]`                → `csvDialect`
   *  - `mydumper.character-set`        → `charset`
   *  - `mydumper.no-schema`            → `noSchema`
@@ -310,6 +312,25 @@ object TomlConfig {
         rs("target-schema"), rs("target-table"))
     }
 
+    def bwPairs(name: String): Seq[graft.discover.BWItem] =
+      p.arrays.getOrElse(s"black-white-list.$name", Nil).map { r =>
+        def bs(k: String) = r.get(k).map(str(_, s"black-white-list.$name.$k"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"[[black-white-list.$name]] entry missing $k"))
+        graft.discover.BWItem(bs("db-name"), bs("tbl-name"))
+      }
+    def bwNames(key: String): Seq[String] = take(s"black-white-list.$key") match {
+      case Some(VArr(vs)) => vs.map(str(_, s"black-white-list.$key[]"))
+      case Some(other) => throw new IllegalArgumentException(
+        s"black-white-list.$key: array expected, got $other")
+      case None => Nil
+    }
+    val bwRules = {
+      val r = graft.discover.BWRules(bwNames("do-dbs"), bwNames("ignore-dbs"),
+        bwPairs("do-tables"), bwPairs("ignore-tables"))
+      if (r == graft.discover.BWRules()) None else Some(r)
+    }
+
     val fileRules = p.arrays.getOrElse("mydumper.files", Nil).map { r =>
       def fo(k: String) = r.get(k).map(str(_, s"mydumper.files.$k"))
       graft.discover.FileRouter.FileRule(
@@ -379,7 +400,8 @@ object TomlConfig {
         .map(parseSize).getOrElse(256L << 20),
       fileRules = fileRules,
       defaultFileRules = take("mydumper.default-file-rules")
-        .map(bool(_, "mydumper.default-file-rules")))
+        .map(bool(_, "mydumper.default-file-rules")),
+      bwList = bwRules)
 
     val serverMode = take("lightning.server-mode")
       .map(bool(_, "lightning.server-mode")).getOrElse(false)
@@ -387,8 +409,9 @@ object TomlConfig {
       .map(str(_, "lightning.status-addr")).filter(_.nonEmpty)
 
     val ignored = (p.scalars.keySet -- used).toSeq.sorted ++
-      (p.arrays.keySet - "routes" - "mydumper.files").toSeq.sorted
-        .map(n => s"[[$n]]")
+      (p.arrays.keySet -- Set("routes", "mydumper.files",
+        "black-white-list.do-tables", "black-white-list.ignore-tables"))
+        .toSeq.sorted.map(n => s"[[$n]]")
     Loaded(cfg, serverMode, statusAddr, checksum, ignored)
   }
 

@@ -96,6 +96,34 @@ class DiscoverSpec extends AnyFunSuite {
       Some(RouteResult("s$x", "t", FileKind.Csv, None, "")))
   }
 
+  test("black-white-list: the reference's own test expectations hold") {
+    // tests/black-white-list/run.sh ground truth. firstdb-only.toml:
+    val firstdbOnly = new BWFilter(BWRules(doDBs = Seq("~^f")))
+    assert(firstdbOnly.matches("firstdb", "first"))
+    assert(firstdbOnly.matches("firstdb", "second"))
+    assert(!firstdbOnly.matches("seconddb", "third"))
+    assert(!firstdbOnly.matches("mysql", "testtable"))
+    // even-table-only.toml: ignore-tables covers ALL of firstdb, yet
+    // firstdb.second imports because the do-tables whitelist shadows
+    // the blacklist at the table level
+    val evenOnly = new BWFilter(BWRules(
+      ignoreTables = Seq(BWItem("firstdb", "~.")),
+      doTables = Seq(BWItem("~.", "second"), BWItem("seconddb", "fourth"))))
+    assert(!evenOnly.matches("firstdb", "first"))
+    assert(evenOnly.matches("firstdb", "second"))
+    assert(!evenOnly.matches("seconddb", "third"))
+    assert(evenOnly.matches("seconddb", "fourth"))
+    assert(!evenOnly.matches("mysql", "testtable"))
+    // blacklist-only mode engages when no whitelist is present
+    val ignoreOnly = new BWFilter(BWRules(
+      ignoreDBs = Seq("mysql"), ignoreTables = Seq(BWItem("app", "tmp"))))
+    assert(!ignoreOnly.matches("mysql", "anything"))
+    assert(!ignoreOnly.matches("app", "tmp"))
+    assert(ignoreOnly.matches("app", "real"))
+    // case-insensitive by default, like the reference
+    assert(firstdbOnly.matches("FirstDB", "FIRST"))
+  }
+
   test("exotic filenames route (spaces, dashes, unicode)") {
     assert(router.route("middle earth.orcs.sql") ===
       Some(RouteResult("middle earth", "orcs", FileKind.Sql, None, "")))

@@ -167,6 +167,21 @@ class TomlConfigSpec extends AnyFunSuite {
     assert(!l.ignored.exists(_.contains("mydumper.files")))
   }
 
+  test("[black-white-list] sections parse from the reference's configs") {
+    import graft.discover.{BWItem, BWRules}
+    val dir = java.nio.file.Paths.get("/root/reference/tests/black-white-list")
+    assume(java.nio.file.Files.exists(dir), "reference tests not present")
+    def loadWith(name: String) = TomlConfig.load(
+      java.nio.file.Files.readString(dir.resolve(name)) + minimal)
+    assert(loadWith("firstdb-only.toml").config.bwList ===
+      Some(BWRules(doDBs = Seq("~^f"))))
+    assert(loadWith("even-table-only.toml").config.bwList ===
+      Some(BWRules(
+        doTables = Seq(BWItem("~.", "second"), BWItem("seconddb", "fourth")),
+        ignoreTables = Seq(BWItem("firstdb", "~.")))))
+    assert(TomlConfig.load(minimal).config.bwList === None)
+  }
+
   test("server task bodies: TOML accepted alongside flat JSON") {
     val cfg = Server.parseTask(minimal)
     assert(cfg.sourceDir === "/src" && cfg.targetDir === "/out")
