@@ -213,6 +213,58 @@ object EventQueries {
       |FROM events e JOIN wins w ON e.ts >= w.win_start AND e.ts < w.win_end
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Last-touch view→click attribution: each click joins the views of
+    * the same user in the preceding 30 minutes and keeps the latest
+    * (the canonical ad-attribution interval join, and the batch twin
+    * of [[graft.streaming.StreamingOps.attributionJoin]]). The
+    * interval join is the same bucket-expansion trick as
+    * [[rangeJoin]]: views sit in their hour bucket, clicks probe
+    * their own and the previous hour as an EQUI-join key, and the
+    * 30-minute residual filters after — no nested loop at any scale,
+    * and the shuffle keys on (user, hour) so hot users spread across
+    * hours. Latency is exact integer microseconds→ms (`unix_micros`
+    * both engines).
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        date_trunc("HOUR", col("ts")).as("bucket"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      .withColumn("bucket", explode(array(
+        date_trunc("HOUR", col("c_ts")),
+        expr("date_trunc('HOUR', c_ts) - INTERVAL 1 HOUR"))))
+    clicks.join(views, Seq("user_id", "bucket"))
+      .where(col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= expr("c_ts - INTERVAL 30 MINUTES"))
+      .groupBy(col("click_id"), col("user_id"), col("c_ts"))
+      .agg(max(col("v_ts")).as("last_view"))
+      .withColumn("latency_ms",
+        expr("(unix_micros(c_ts) - unix_micros(last_view)) div 1000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_attributed"),
+        sum(col("latency_ms")).as("sum_latency_ms"),
+        min(col("latency_ms")).as("min_latency_ms"))
+      .orderBy("user_id")
+  }
+
+  def attributionSql: String =
+    """WITH v AS (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+      |      WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT c.click_id, c.user_id, c.c_ts, max(v.v_ts) AS last_view
+      |  FROM c JOIN v ON v.user_id = c.user_id
+      |    AND v.v_ts <= c.c_ts AND v.v_ts >= c.c_ts - INTERVAL 30 MINUTE
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_attributed,
+      |  CAST(sum((epoch_us(c_ts) - epoch_us(last_view)) // 1000) AS BIGINT)
+      |    AS sum_latency_ms,
+      |  CAST(min((epoch_us(c_ts) - epoch_us(last_view)) // 1000) AS BIGINT)
+      |    AS min_latency_ms
+      |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** Sessionization: per-user sessions split on >30 min inactivity
     * gaps; the batch twin of the mapGroupsWithState streaming session
     * operator. Window functions partition by user — scales by hash

@@ -123,6 +123,32 @@ object StreamingOps {
         col("n_events"), zPpm.as("z_ppm"))
   }
 
+  /** Stream-stream interval join (live view→click attribution): the
+    * raw attributed pairs, each click matched to the same user's
+    * views in the preceding `horizon`. Both sides carry watermarks
+    * and the join condition time-bounds the match, so Spark retires
+    * per-user join state once the watermark passes the horizon —
+    * state is bounded by (delay + horizon) of traffic per user, never
+    * the stream's history. The batch twin
+    * ([[graft.operators.EventQueries.attribution]]) runs the same
+    * predicate over the backfill; the parity spec pins the two pair
+    * sets equal on the production events.
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+      watermarkDelay: String = "2 hours",
+      horizon: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"),
+        col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermarkDelay)
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    c.join(v, expr(
+      s"v_user = c_user AND v_ts <= c_ts AND v_ts >= c_ts - INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   /** Per-window hot tokens on a live stream: the [[graft.functions
     * .MisraGries]] summary as a watermarked windowed aggregate — the
     * streaming face of the batch heavy-hitters audit

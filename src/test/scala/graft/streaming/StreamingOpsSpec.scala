@@ -290,4 +290,65 @@ class StreamingOpsSpec extends SparkSpec {
       assert(sessions.nonEmpty)
     } finally q.stop()
   }
+
+  test("attributionJoin matches clicks to in-horizon views only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = attributionJoin(views.toDF(), clicks.toDF()).writeStream
+      .format("memory").queryName("attr").outputMode(OutputMode.Append())
+      .start()
+    try {
+      views.addData(
+        Event(10, ts(0), 1, "view", 0.0),   // user 1 views at t+0
+        Event(11, ts(20), 1, "view", 0.0),  // and again at t+20
+        Event(12, ts(0), 2, "view", 0.0))   // user 2 views at t+0
+      clicks.addData(
+        Event(20, ts(25), 1, "click", 1.0), // in horizon of BOTH user-1 views
+        Event(21, ts(45), 1, "click", 1.0), // only the t+20 view is within 30m
+        Event(22, ts(45), 2, "click", 1.0), // user-2 view is 45m old — no match
+        Event(23, ts(5), 3, "click", 1.0))  // user 3 never viewed
+      q.processAllAvailable()
+      val pairs = spark.table("attr")
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((20L, 10L), (20L, 11L), (21L, 11L)))
+    } finally q.stop()
+  }
+
+  test("attributionJoin over the REAL events equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val src = s"${sf()}/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_attr")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("part-00000.parquet"))
+    val raw = spark.read.parquet(src)
+    def side(tpe: String) = spark.readStream.schema(raw.schema)
+      .parquet(dir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .where(col("event_type") === tpe)
+    val q = attributionJoin(side("view"), side("click")).writeStream
+      .format("memory").queryName("attr_real").outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr_real")
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = raw.withColumn("ts", col("ts").cast("timestamp"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+      val want = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        .join(v, expr(
+          "vu = cu AND v_ts <= c_ts AND v_ts >= c_ts - INTERVAL 30 MINUTES"))
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+      assert(got.nonEmpty, "the real corpus must produce attributed pairs")
+    } finally q.stop()
+  }
 }
