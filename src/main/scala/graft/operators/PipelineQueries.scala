@@ -82,6 +82,44 @@ object PipelineQueries {
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------- forget (GDPR)
+  /** Deletion propagation (right-to-be-forgotten): a bounded request
+    * list of user ids is broadcast anti-joined across every
+    * user-keyed table, the surviving rows are REWRITTEN as a new
+    * corpus version, and the audit row reports before/removed/after
+    * with `after` counted from the read-back — so the number proves
+    * the physical propagation, not the plan. Scale shape: the request
+    * list is bounded (people, not rows) and broadcasts; each table
+    * pays one scan + one write; nothing shuffles.
+    */
+  def forget(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+    // the request list: a deterministic bounded cohort of real users
+    val requests = ev.select(col("user_id")).distinct()
+      .where(pmod(col("user_id"), lit(97)) === 0)
+    val out = Paths.get(fixRoot(sfDir), "forget_out")
+    deleteRec(out)
+    ev.join(broadcast(requests), Seq("user_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$out/events")
+    val after = spark.read.parquet(s"$out/events").count()
+    val before = ev.count()
+    val nUsers = requests.count()
+    import spark.implicits._
+    Seq(("events", before, before - after, after, nUsers))
+      .toDF("table_name", "n_before", "n_removed", "n_after", "n_users_forgotten")
+  }
+
+  def forgetSql: String =
+    """SELECT 'events' AS table_name,
+      |  count(*) AS n_before,
+      |  CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(sum(CASE WHEN user_id % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_after,
+      |  CAST(count(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END)
+      |    AS BIGINT) AS n_users_forgotten
+      |FROM events""".stripMargin
+
   // ------------------------------------------------------------- T7
   private val partGencolDdl =
     """CREATE TABLE part_g (
