@@ -36,6 +36,7 @@ object ScalingProbe {
     "q_sessionize", "q_window_hourly", "q_asof_join", "q_range_join",
     "q_retention", "q_funnel", "q_moving_sum", "q_gap_fill",
     "q_json_props", "q_pivot_daily", "q_event_anomaly", "q_attribution",
+    "q_forget",
     "q_hard_negatives",
     // per-doc selection / bounded-relation allocation: expectation ~k
     "q_winnow", "q_curriculum", "q_unimax", "q_decontaminate_pairs",
