@@ -857,4 +857,44 @@ object SimilarityQueries {
        |  FROM s)
        |SELECT anchor_id, vec_id, score, rnk FROM r
        |WHERE rnk <= $HnK ORDER BY anchor_id, rnk""".stripMargin
+
+  // --------------------------------------- label-centroid similarity
+  /** Cross-label centroid similarity matrix: per-label component SUMS
+    * of the quantized embeddings (integer-exact — the un-normalized
+    * centroid), then pairwise dot products between labels. The
+    * corpus-level "which classes live close together" audit that
+    * decides stratification and hard-negative pools. Scale shape: the
+    * per-(label, dim) sums reduce map-side to a labels×dims relation
+    * (bounded, hundreds of rows), and the pairwise join runs on THAT,
+    * never on vectors; one posexplode scan is the only
+    * corpus-proportional work. Sum-dot magnitudes stay inside int64
+    * for |q|≤10⁴, dims ≤ 128 and ≤ ~10⁹ vectors per label.
+    */
+  def labelCentroidSim(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = table(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("v") * 10000).cast("long")).as("s"))
+    val a = comp.select(col("label").as("label_a"), col("pos"), col("s").as("sa"))
+    val b = comp.select(col("label").as("label_b"), col("pos"), col("s").as("sb"))
+    a.join(b, Seq("pos"))
+      .where(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+      .orderBy("label_a", "label_b")
+  }
+
+  def labelCentroidSimSql: String =
+    """WITH q AS (
+      |  SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+      |    i -> {'i': i,
+      |          'q': CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)})) AS c
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT label, c.i AS i, CAST(sum(c.q) AS BIGINT) AS s
+      |  FROM q GROUP BY 1, 2)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  CAST(sum(a.s * b.s) AS BIGINT) AS dot
+      |FROM comp a JOIN comp b ON a.i = b.i AND a.label < b.label
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

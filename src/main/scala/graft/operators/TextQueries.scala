@@ -1715,6 +1715,46 @@ object TextQueries {
        |ORDER BY n_phrase DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // --------------------------------------------- vocab coverage
+  /** Tokenizer-vocabulary coverage audit: how much of each language's
+    * token stream the top-50 corpus vocabulary covers (the OOV-rate
+    * check run before freezing a tokenizer on a corpus). Exact
+    * integers end to end — per-lang totals, covered counts, coverage
+    * in ppm by BIGINT division. Scale shape: the vocabulary is a
+    * bounded TakeOrdered relation broadcast into the token stream;
+    * one scan, one combining per-lang aggregate.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = table(spark, sfDir, "documents")
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(50)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0)).cast("long")).as("n_covered"))
+      .withColumn("coverage_ppm",
+        expr("(1000000 * n_covered) div n_tokens"))
+      .orderBy("lang")
+  }
+
+  def vocabCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS c FROM toks GROUP BY 1
+      |    ORDER BY c DESC, tok LIMIT 50)),
+      |flags AS (
+      |  SELECT t.lang, CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS cov
+      |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+      |SELECT lang, count(*) AS n_tokens,
+      |  CAST(sum(cov) AS BIGINT) AS n_covered,
+      |  (1000000 * CAST(sum(cov) AS BIGINT)) // count(*) AS coverage_ppm
+      |FROM flags GROUP BY 1 ORDER BY lang""".stripMargin
+
   // ------------------------------------------- importance weighting
   /** DSIR-style data-selection scoring (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
