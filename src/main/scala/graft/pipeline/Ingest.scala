@@ -553,8 +553,16 @@ object Ingest {
     val rawUnion = shards.reduce(_.unionByName(_))
     val union =
       if (!files.exists(_.kind == FileKind.Sql)) rawUnion
-      else schema.map(DumpSource.resolveHex(rawUnion, _))
-        .getOrElse(DumpSource.resolveHexText(rawUnion))
+      else {
+        // omitted-column defaults (T3 on the dump path) substitute
+        // BEFORE hex resolution so a hex default still decodes
+        // type-aware; CSV/parquet shards can't carry the sentinel
+        val defaulted = schema
+          .map(RowTransform.applyOmittedDefaults(rawUnion, _))
+          .getOrElse(rawUnion)
+        schema.map(DumpSource.resolveHex(defaulted, _))
+          .getOrElse(DumpSource.resolveHexText(defaulted))
+      }
     // T4: auto-increment synthesis. A declared AUTO_INCREMENT column
     // that the source doesn't carry (header/column-list projection) is
     // synthesized from the chunk row-ID scheme; a NULL value in a

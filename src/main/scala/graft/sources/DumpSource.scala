@@ -33,7 +33,8 @@ object DumpSource {
       paths: Seq[String],
       schema: TableSchema): DataFrame =
     RowTransform.applySchema(
-      resolveHex(readRaw(spark, paths, schema.colNames), schema), schema)
+      resolveHex(RowTransform.applyOmittedDefaults(
+        readRaw(spark, paths, schema.colNames), schema), schema), schema)
 
   /** Untyped read: parses every INSERT/REPLACE statement in the files.
     * Column names default to the table column order; statements with an
@@ -85,11 +86,27 @@ object DumpSource {
     * between the whole-file and chunked paths.
     */
   private def stmtRows(stmt: Insert, names: Seq[String], n: Int): Seq[Row] = {
-    val perm: Seq[Int] =
-      if (stmt.columns.isEmpty) (0 until n)
-      else names.map(c => stmt.columns.indexWhere(_.equalsIgnoreCase(c)))
-    stmt.rows.map { vals =>
-      Row(perm.map(i => if (i >= 0 && i < vals.length) vals(i) else null): _*)
+    stmt.columns match {
+      case None =>
+        // positional: `VALUES ()` is MySQL's all-defaults row; a
+        // non-empty tuple maps 1:1 (short tuples null-pad — the
+        // bad-row tolerance, MySQL would reject the arity)
+        stmt.rows.map { vals =>
+          if (vals.isEmpty) Row(Seq.fill(n)(DefaultSentinel): _*)
+          else Row((0 until n).map(i =>
+            if (i < vals.length) vals(i) else null): _*)
+        }
+      case Some(cs) =>
+        // explicit list (possibly empty): a column NOT in the list
+        // takes its DEFAULT (distinct from an explicit NULL value) —
+        // reference sql2kv getDefault / tests/default-columns
+        val perm = names.map(c => cs.indexWhere(_.equalsIgnoreCase(c)))
+        stmt.rows.map { vals =>
+          Row(perm.map(i =>
+            if (i < 0) DefaultSentinel
+            else if (i < vals.length) vals(i)
+            else null): _*)
+        }
     }
   }
 
@@ -363,7 +380,12 @@ object DumpSource {
     } else raw
   }
 
-  case class Insert(table: String, columns: Seq[String], rows: Seq[Array[String]])
+  /** One parsed INSERT/REPLACE. `columns` distinguishes the three
+    * MySQL head shapes: None = no column list (positional), Some(cs)
+    * = explicit list, Some(Nil) = explicit EMPTY list `()` — every
+    * column takes its default (reference `tests/default-columns`).
+    */
+  case class Insert(table: String, columns: Option[Seq[String]], rows: Seq[Array[String]])
 
   /** Parse all INSERT/REPLACE statements in a file's text (strict form
     * of [[statementIterator]], used by tests and small inputs).
@@ -438,7 +460,7 @@ object DumpSource {
     val (table, p1) = readIdent(s, p)
     if (table.isEmpty) return None
     p = skipWs(s, p1)
-    var columns = Seq.empty[String]
+    var columns: Option[Seq[String]] = None
     if (p < s.length && s.charAt(p) == '(') {
       val close = matchParen(s, p)
       // unclosed list with '(' as the last char: matchParen's
@@ -446,9 +468,13 @@ object DumpSource {
       // throw — a truncated window/file head is a None (the chunk
       // reader's probe then grows the window), never a crash
       if (close <= p) return None
-      columns = graft.schema.MysqlDdl
-        .splitTopLevel(s.substring(p + 1, close), ',')
-        .map(c => graft.schema.MysqlDdl.unquoteIdent(c.trim))
+      val body = s.substring(p + 1, close).trim
+      // `INSERT INTO t () VALUES …`: an explicit EMPTY list — zero
+      // provided columns, not "no list" (tests/default-columns)
+      columns = Some(
+        if (body.isEmpty) Nil
+        else graft.schema.MysqlDdl.splitTopLevel(body, ',')
+          .map(c => graft.schema.MysqlDdl.unquoteIdent(c.trim)))
       p = skipWs(s, close + 1)
     }
     // VALUES (MySQL also accepts VALUE) must be the next token
@@ -678,7 +704,12 @@ object DumpSource {
       // resume-at-window-end check then grows the window
       if (i >= s.length) return (vals.toArray, i)
       val c = s.charAt(i)
-      if (c == ')') { vals += null; done = true; i += 1 } // empty slot / trailing
+      if (c == ')') {
+        // `()` is MySQL's all-defaults empty tuple — zero values, not
+        // one NULL; a ')' AFTER values is a trailing empty slot
+        if (vals.nonEmpty) vals += null
+        done = true; i += 1
+      }
       else if (c == '\'' || c == '"') {
         val (v, j) = readQuoted(s, i, c)
         vals += guardQuoted(v)
@@ -755,11 +786,19 @@ object DumpSource {
     */
   val StrSentinel = "\u0000str:"
 
+  /** Marker for a column the INSERT statement did not provide (omitted
+    * from an explicit column list, or an all-defaults `()` tuple).
+    * Replaced by the column's DEFAULT before hex resolution --
+    * [[graft.transform.RowTransform.applyOmittedDefaults]].
+    */
+  val DefaultSentinel = "\u0000default"
+
   /** Quoted-datum guard: prefix a value that would masquerade as a
     * sentinel. Two startsWith checks per quoted value - free.
     */
   private def guardQuoted(v: String): String =
-    if (v != null && (v.startsWith(HexSentinel) || v.startsWith(StrSentinel)))
+    if (v != null && (v.startsWith(HexSentinel) || v.startsWith(StrSentinel) ||
+      v.startsWith(DefaultSentinel)))
       StrSentinel + v
     else v
 

@@ -48,6 +48,45 @@ object RowTransform {
       }
   }
 
+  /** Replace [[graft.sources.DumpSource.DefaultSentinel]] markers
+    * (columns an INSERT did not provide) with the column's DEFAULT in
+    * pre-cast lexical string form, so the substitution composes with
+    * hex resolution and the normal cast pipeline. Runs on the dump
+    * path only, before [[graft.sources.DumpSource.resolveHex]] — a
+    * hex default is re-emitted in sentinel form so binary columns
+    * still decode bytes, not mangled UTF-8.
+    */
+  def applyOmittedDefaults(df: DataFrame, schema: TableSchema): DataFrame = {
+    val byName = schema.columns.map(c => c.name.toLowerCase -> c).toMap
+    df.select(df.columns.map { name =>
+      byName.get(name.toLowerCase) match {
+        case Some(c) =>
+          when(col(name) === lit(graft.sources.DumpSource.DefaultSentinel),
+            lexicalDefault(c)).otherwise(col(name)).as(name)
+        case None => col(name)
+      }
+    }.toSeq: _*)
+  }
+
+  /** A column's DEFAULT as the lexical string the dump parser would
+    * have produced: CURRENT_TIMESTAMP evaluates now (insert-time
+    * semantics), hex defaults stay in sentinel form for type-aware
+    * resolution, everything else is the normalized DDL literal. No
+    * default → NULL (auto-increment synthesis then fills ID columns).
+    */
+  private def lexicalDefault(c: ColumnSpec): Column = c.default match {
+    case None => lit(null).cast("string")
+    case Some(d) if d.equalsIgnoreCase("CURRENT_TIMESTAMP") =>
+      date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss")
+    case Some(d) =>
+      graft.schema.MysqlDdl.hexLiteralBytes(d) match {
+        case Some(bytes) =>
+          lit(graft.sources.DumpSource.HexSentinel +
+            bytes.map(b => f"${b & 0xff}%02x").mkString)
+        case None => lit(d)
+      }
+  }
+
   /** T2: cast every (string-ish) column to its declared type, switched
     * on SQL mode like the reference (`lightning/backend/tidb.go:324-331`,
     * `tests/sqlmode/`):

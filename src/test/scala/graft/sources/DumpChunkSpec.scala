@@ -124,7 +124,7 @@ class DumpChunkSpec extends AnyFunSuite {
       DumpSource.chunkInserts(read, bytes.length.toLong, off, 16L, 8L).toSeq
     }
     val withCols = stmts.filter(_.columns.nonEmpty)
-    assert(withCols.map(_.columns) === Seq(Seq("v", "id")))
+    assert(withCols.map(_.columns) === Seq(Some(Seq("v", "id"))))
     assert(withCols.head.rows.head.toSeq === Seq("beta-β", "2"))
   }
 

@@ -32,7 +32,7 @@ class DumpSourceSpec extends AnyFunSuite {
   test("explicit column list recorded for projection") {
     val stmts = DumpSource.parseStatements(
       "INSERT INTO t (b, a) VALUES (1, 2), (3, 4);")
-    assert(stmts.head.columns === Seq("b", "a"))
+    assert(stmts.head.columns === Some(Seq("b", "a")))
     assert(stmts.head.rows.map(_.toSeq) === Seq(Seq("1", "2"), Seq("3", "4")))
   }
 
