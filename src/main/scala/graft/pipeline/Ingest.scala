@@ -224,7 +224,10 @@ object Ingest {
         Discovered(db, tbl, schemaFile, data.toSeq)
       }
       .toSeq
-      .filter(_.dataFiles.nonEmpty)
+      // schema-only tables restore EMPTY (reference behavior); under
+      // noSchema there is no way to type a dataless table, skip it
+      .filter(d => d.dataFiles.nonEmpty ||
+        (d.schemaFile.nonEmpty && !cfg.noSchema))
       .sortBy(d => (d.dataFiles.size, d.db, d.table)) // smallest tables first
   }
 
@@ -519,7 +522,25 @@ object Ingest {
       schema: Option[TableSchema],
       verify: Boolean = true): (TableReport, KvChecksum) = {
     val dialect = dataDialect(cfg)
-    val shards: Seq[DataFrame] = files.map { u =>
+    // a schema-only table (no data files) restores EMPTY — the
+    // reference creates the table and imports zero rows
+    // (`tests/tool_241` pins count(*)=0 for its dataless tables); a
+    // zero-row all-string shard rides the identical transform/write/
+    // verify chain, so the output carries the real column types
+    if (files.isEmpty) {
+      val names = schema.map(_.colNames).getOrElse(Seq.empty)
+      if (names.isEmpty) throw new IllegalStateException(
+        s"table ${d.db}.${d.table} has no data files and no readable " +
+          "schema — nothing to restore")
+    }
+    val emptyShard: Seq[DataFrame] =
+      if (files.nonEmpty) Nil
+      else Seq(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          schema.get.colNames.map(n => org.apache.spark.sql.types.StructField(
+            n, org.apache.spark.sql.types.StringType, nullable = true)))))
+    val shards: Seq[DataFrame] = emptyShard ++ files.map { u =>
       u.kind match {
         case FileKind.Csv if u.isChunk =>
           MySqlCsv.readRawChunk(spark, u.path, u.start, u.len,

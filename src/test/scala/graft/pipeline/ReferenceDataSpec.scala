@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Full imports over MORE of the reference's own test corpora, with
+  * the exact values its run.sh scripts check: tool_135 (1000-row dump
+  * aggregates), too_many_columns (a 256-column CSV row), tool_241
+  * (schema-only tables restore EMPTY; the one populated table's id
+  * range).
+  */
+class ReferenceDataSpec extends SparkSpec {
+
+  private def imp(name: String): String = {
+    val src = Paths.get(s"/root/reference/tests/$name/data")
+    assume(Files.exists(src), "reference tests not present")
+    val out = Files.createTempDirectory(s"graft_$name").toString
+    val reports = Ingest.run(spark, Ingest.Config(src.toString, out))
+    assert(reports.forall(_.checksumOk),
+      s"checksums: ${reports.map(r => r.table -> r.checksumOk)}")
+    out
+  }
+
+  test("tool_135: dump aggregates match the reference's pins") {
+    val out = imp("tool_135")
+    // run.sh pins bar1 exactly: count 1000, sum 601500, min 102,
+    // max 1101; the other shards carry their own 1000-row series
+    val r = spark.read.parquet(s"$out/tool_135.bar1")
+      .agg(count(col("a")), sum(col("a")), min(col("a")), max(col("a")))
+      .collect()(0)
+    assert(r.getLong(0) === 1000L)
+    assert(r.getAs[Number](1).longValue === 601500L)
+    assert(r.getAs[Number](2).longValue === 102L)
+    assert(r.getAs[Number](3).longValue === 1101L)
+    Seq("bar2", "bar3", "bar4", "bar5").foreach { t =>
+      assert(spark.read.parquet(s"$out/tool_135.$t").count() === 1000L, t)
+    }
+  }
+
+  test("too_many_columns: a 256-column CSV row survives the permutation") {
+    val out = imp("too_many_columns")
+    val df = spark.read.parquet(s"$out/too_many_columns.t")
+    assert(df.columns.length === 256)
+    val row = df.collect()(0)
+    // run.sh: COL001=1001, COL100=1100, COL256=1256
+    assert(row.getAs[String]("COL001") === "1001")
+    assert(row.getAs[String]("COL100") === "1100")
+    assert(row.getAs[String]("COL256") === "1256")
+  }
+
+  test("tool_241: schema-only tables restore empty; populated ids pin") {
+    val out = imp("tool_241")
+    // the five dataless tables exist with zero rows (reference
+    // run.sh checks count(*): 0 for each)
+    Seq("q_alarm_receiver", "q_config", "q_report_circular_data",
+      "q_report_desc", "q_report_summary").foreach { t =>
+      assert(spark.read.parquet(s"$out/qyjc.$t").count() === 0L,
+        s"$t must restore empty")
+    }
+    val fish = spark.read.parquet(s"$out/qyjc.q_fish_event")
+      .agg(count(col("id")), min(col("id")), max(col("id"))).collect()(0)
+    assert(fish.getLong(0) === 84L)
+    assert(fish.getAs[Number](1).longValue === 8343146L)
+    assert(fish.getAs[Number](2).longValue === 8343229L)
+  }
+}
