@@ -70,7 +70,7 @@ object MysqlDdl {
     // inline `PRIMARY KEY` on a column def
     if (pk.isEmpty) {
       entries.map(_.trim).foreach { e =>
-        if (e.toUpperCase.matches("(?s)^`?\\w+`?\\s+.*PRIMARY KEY.*") &&
+        if (e.toUpperCase.matches("(?sU)^(`[^`]+`|\\w+)\\s+.*PRIMARY KEY.*") &&
           !e.toUpperCase.startsWith("PRIMARY")) {
           pk = Seq(unquoteIdent(e.split("\\s+")(0)))
         }
@@ -102,7 +102,7 @@ object MysqlDdl {
       val raw = tableOptions.substring(pm.start(1), pm.end(1))
       val idents = splitTopLevel(raw, ',')
         .map(x => unquoteIdent(x.trim)).filter(_.nonEmpty)
-      if (idents.nonEmpty && idents.forall(_.matches("[\\w$]+"))) idents else Nil
+      if (idents.nonEmpty && idents.forall(_.matches("(?U)[\\w$]+"))) idents else Nil
     }.getOrElse(Nil)
 
   // (?U): \w must cover unicode identifiers — MySQL allows unquoted
@@ -189,7 +189,11 @@ object MysqlDdl {
       .map(c => unquoteIdent(c.trim.replaceAll("\\(\\d+\\)$", "")))
   }
 
-  private val ColRe = """(?s)^([`"]?[\w$]+[`"]?)\s+(\w+)(\s*\([^)]*\))?(.*)$""".r
+  // (?U) + the quoted alternatives: column names may be non-ASCII
+  // (reference tests/character_sets `主键`) and backquoted names may
+  // contain spaces/punctuation
+  private val ColRe =
+    """(?sU)^(`[^`]+`|"[^"]+"|[\w$]+)\s+(\w+)(\s*\([^)]*\))?(.*)$""".r
 
   private def parseColumn(entry: String): ColumnSpec = {
     val ColRe(rawName, rawType, rawArgs, rawRest) = entry.trim

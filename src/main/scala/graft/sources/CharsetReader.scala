@@ -16,8 +16,26 @@ object CharsetReader {
         strictUtf8(bytes).getOrElse(new String(bytes, Charset.forName("GB18030")))
       // every explicit charset resolves through the ONE alias table
       // (jvmName) so the schema-decode and data-tokenizer paths cannot
-      // disagree on what a config value means
-      case other => new String(bytes, Charset.forName(jvmName(other)))
+      // disagree on what a config value means. Decoding is STRICT: the
+      // reference errors when a file does not match the configured
+      // charset ("the schema files must be encoded as UTF-8, otherwise
+      // will emit errors" — sample config; `tests/character_sets` runs
+      // utf8mb4.toml against gb18030 data expecting failure). `binary`
+      // (ISO-8859-1) is total, so it never fails — that's its point.
+      case other =>
+        val cs = Charset.forName(jvmName(other))
+        if (cs == StandardCharsets.ISO_8859_1) new String(bytes, cs)
+        else {
+          val dec = cs.newDecoder()
+            .onMalformedInput(CodingErrorAction.REPORT)
+            .onUnmappableCharacter(CodingErrorAction.REPORT)
+          try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          catch {
+            case e: java.nio.charset.CharacterCodingException =>
+              throw new IllegalArgumentException(
+                s"file is not valid $other (configured character-set): $e", e)
+          }
+        }
     }
 
   /** True when `charset` is UTF-8 (or `auto`, whose DATA-path contract
