@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.GraftSession.table
 import graft.discover.{FileKind, FileRouter, TableFilter, TableRoute, TableRouter}
+import graft.pipeline.Ingest
 import graft.schema.MysqlDdl
 import graft.sink.{InsertDumpWriter, SortedParquetSink}
 import graft.sources.{CsvDialect, DumpSource, MySqlCsv}
@@ -26,6 +27,12 @@ object IngestQueries {
 
   private def fixDir(sfDir: String, name: String): String =
     s"${graft.GraftSession.fixtureRoot(sfDir)}/$name"
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => java.nio.file.Files.deleteIfExists(x))
+    }
 
   // ---------------------------------------------------------------- S2
   /** File router golden check over MyDumper naming (S2). */
@@ -252,6 +259,39 @@ object IngestQueries {
     """SELECT o_orderkey, o_custkey,
       |  row_number() OVER (ORDER BY o_orderkey) AS row_id
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** `_tidb_rowid` through the REAL import (T6 e2e): a varchar-pk
+    * table (no integer handle) built from `nation`, imported via
+    * `Ingest.run` — the output must carry the pseudo-column, filled
+    * densely 1..N in file order (single dump file → statement order →
+    * deterministic), so the oracle is a plain row_number replay.
+    */
+  def rowidE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(fixDir(sfDir, "rowid_e2e_src"))
+    val tgt = fixDir(sfDir, "rowid_e2e_out")
+    deleteRecursively(root)
+    deleteRecursively(java.nio.file.Paths.get(tgt))
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.writeString(root.resolve("d.nn-schema.sql"),
+      "CREATE TABLE nn (n_name varchar(25) NOT NULL, n_regionkey int, PRIMARY KEY (n_name));")
+    val rows = table(spark, sfDir, "nation")
+      .select("n_name", "n_regionkey").orderBy("n_name").collect()
+      .map(r => s"('${r.getString(0)}', ${r.getInt(1)})")
+    java.nio.file.Files.writeString(root.resolve("d.nn.0001.sql"),
+      s"insert into nn values ${rows.mkString(",\n")};")
+    val reports = Ingest.run(spark,
+      Ingest.Config(root.toString, tgt, analyze = false))
+    require(reports.forall(_.checksumOk), s"rowid e2e checksum: $reports")
+    spark.read.parquet(s"$tgt/d.nn")
+      .select(col("n_name"), col("n_regionkey"),
+        col("_tidb_rowid").cast("long").as("tidb_rowid"))
+      .orderBy("n_name")
+  }
+
+  def rowidE2eSql: String =
+    """SELECT n_name, n_regionkey,
+      |  row_number() OVER (ORDER BY n_name) AS tidb_rowid
+      |FROM nation ORDER BY n_name""".stripMargin
 
   // ------------------------------------------------------------ T5
   /** auto_random synthesis (T5): 5 shard bits from the key, low 58 bits

@@ -158,6 +158,34 @@ object Ingest {
   private def tokenPath(token: String): String =
     token.replaceAll("@\\d+\\+\\d+$", "")
 
+  /** The `_tidb_rowid` pseudo-column (SURVEY T6): tables whose handle
+    * is NOT a single integer primary key (and not AUTO_RANDOM) carry
+    * an implicit bigint row id. The import emits it like the
+    * reference's local backend: explicit values from dumps/headered
+    * CSVs are preserved, NULLs fill densely above the explicit max,
+    * and the max rebases across incremental runs
+    * (reference `tests/tidb_rowid`, `sql2kv.go:322-346`).
+    */
+  val TidbRowidCol = "_tidb_rowid"
+
+  private[pipeline] def rowidRequired(ts: TableSchema): Boolean = {
+    val intHandle = ts.primaryKey.size == 1 &&
+      ts.columns.find(_.name.equalsIgnoreCase(ts.primaryKey.head)).exists { c =>
+        Set("tinyint", "smallint", "mediumint", "int", "integer", "bigint")
+          .contains(c.mysqlType.takeWhile(_.isLetter).toLowerCase)
+      }
+    !intHandle && !ts.columns.exists(_.autoRandomBits.isDefined) &&
+      !ts.columns.exists(_.name.equalsIgnoreCase(TidbRowidCol))
+  }
+
+  private def rowidSpec: graft.schema.ColumnSpec = graft.schema.ColumnSpec(
+    TidbRowidCol, "bigint", org.apache.spark.sql.types.LongType,
+    nullable = true, default = None, generated = None,
+    autoIncrement = false, unsigned = false, enumValues = Nil)
+
+  private[pipeline] def withRowid(ts: TableSchema): TableSchema =
+    if (rowidRequired(ts)) ts.copy(columns = ts.columns :+ rowidSpec) else ts
+
   case class TableReport(
       db: String,
       table: String,
@@ -167,7 +195,8 @@ object Ingest {
       skipped: Boolean,
       statsRows: Option[Long] = None,
       badRows: Long = 0L,
-      maxRowId: Long = 0L)
+      maxRowId: Long = 0L,
+      maxTidbRowid: Long = 0L)
 
   case class Discovered(
       db: String,
@@ -281,7 +310,7 @@ object Ingest {
       resumable.filter(_ => !schemeMismatch) match {
         case Some(rec) if rec.status == "verified" && newUnits.isEmpty =>
           TableReport(d.db, d.table, rec.nRows, rec.checksum, checksumOk = true,
-            skipped = true, maxRowId = rec.maxId)
+            skipped = true, maxRowId = rec.maxId, maxTidbRowid = rec.maxRowid)
         case Some(rec) if newUnits.nonEmpty =>
           // Incremental resume (reference per-chunk checkpoints):
           // only units not in the covered set are parsed; their sorted
@@ -299,6 +328,7 @@ object Ingest {
         rec: Option[JobState.Record], units: Seq[DataUnit]): TableReport = {
       var prior = rec.map(r => KvChecksum(r.checksum, r.nRows, r.nBytes))
       var maxId = rec.map(_.maxId).getOrElse(0L)
+      var rowidMax = rec.map(_.maxRowid).getOrElse(0L)
       var doneTokens = rec.map(_.files).getOrElse(Nil)
       // Sub-file chunks import in batches of `chunkBatch` units, each
       // batch one Spark write job with a state record after it — the
@@ -350,7 +380,7 @@ object Ingest {
         if (i > 0) awaitUnpaused(cfg.pauseFile)
         val isLast = i == batches.size - 1
         val (rep, post) = restoreFiles(spark, cfg, d, batch, prior, maxId,
-          schema, verify = isLast)
+          schema, verify = isLast, priorRowid = rowidMax)
         doneTokens = doneTokens ++ batch.map(_.token)
         cumBad += rep.badRows
         // Fail fast once the error budget is provably blown (the
@@ -370,9 +400,10 @@ object Ingest {
           result = adjusted
         } else {
           state.put(JobState.Record(key, "imported", post.totalKvs, post.checksum,
-            post.totalBytes, doneTokens, rep.maxRowId))
+            post.totalBytes, doneTokens, rep.maxRowId, rep.maxTidbRowid))
           prior = Some(post)
           maxId = rep.maxRowId
+          rowidMax = rep.maxTidbRowid
           // test-only failpoint (the reference's GO_FAILPOINTS kill in
           // tests/checkpoint_chunks): simulate a crash between batches
           cfg.failpointAfterBatches.foreach { n =>
@@ -460,7 +491,7 @@ object Ingest {
       report: TableReport, post: KvChecksum): Unit = {
     val status = if (report.checksumOk) "verified" else "failed"
     state.put(JobState.Record(key, status, post.totalKvs, post.checksum,
-      post.totalBytes, tokens, report.maxRowId))
+      post.totalBytes, tokens, report.maxRowId, report.maxTidbRowid))
   }
 
   /** Restore `files` into the table's output. With `prior` set this is
@@ -519,9 +550,21 @@ object Ingest {
   private def restoreFiles(spark: SparkSession, cfg: Config, d: Discovered,
       files: Seq[DataUnit],
       prior: Option[KvChecksum], priorMaxId: Long,
-      schema: Option[TableSchema],
-      verify: Boolean = true): (TableReport, KvChecksum) = {
+      schema0: Option[TableSchema],
+      verify: Boolean = true,
+      priorRowid: Long = 0L): (TableReport, KvChecksum) = {
     val dialect = dataDialect(cfg)
+    // T6: tables without an integer handle carry `_tidb_rowid` — the
+    // TRANSFORM schema gains the pseudo-column; readers that map BY
+    // NAME (dump column lists, headered CSVs) read it from the source
+    // when present, positional readers keep the original layout and
+    // the column back-fills NULL below
+    // no-schema mode mirrors the pre-created TARGET exactly — whether
+    // it carries a rowid column is the target's business, never
+    // synthesized here
+    val rowidNeeded = !cfg.noSchema && schema0.exists(rowidRequired)
+    val schema: Option[TableSchema] =
+      if (rowidNeeded) schema0.map(withRowid) else schema0
     // a schema-only table (no data files) restores EMPTY — the
     // reference creates the table and imports zero rows
     // (`tests/tool_241` pins count(*)=0 for its dataless tables); a
@@ -540,24 +583,32 @@ object Ingest {
         org.apache.spark.sql.types.StructType(
           schema.get.colNames.map(n => org.apache.spark.sql.types.StructField(
             n, org.apache.spark.sql.types.StringType, nullable = true)))))
-    val shards: Seq[DataFrame] = emptyShard ++ files.map { u =>
+    val namesExt = schema.map(_.colNames).getOrElse(Seq.empty)
+    val namesPos = schema0.map(_.colNames).getOrElse(Seq.empty)
+    val shards0: Seq[DataFrame] = emptyShard ++ files.map { u =>
       u.kind match {
         case FileKind.Csv if u.isChunk =>
-          MySqlCsv.readRawChunk(spark, u.path, u.start, u.len,
-            schema.map(_.colNames).getOrElse(Seq.empty), dialect)
+          // chunked CSV is always positional (headered files never
+          // chunk) — original layout
+          MySqlCsv.readRawChunk(spark, u.path, u.start, u.len, namesPos, dialect)
         case FileKind.Csv =>
-          val names = schema.map(_.colNames).getOrElse(Seq.empty)
-          MySqlCsv.readRaw(spark, Seq(u.path), names, dialect,
+          MySqlCsv.readRaw(spark, Seq(u.path),
+            if (dialect.header) namesExt else namesPos, dialect,
             forceTokenizer = cfg.strictFormat && !cfg.csvDialect.header)
         case FileKind.Sql if u.isChunk =>
-          DumpSource.readRawChunk(spark, u.path, u.start, u.len,
-            schema.map(_.colNames).getOrElse(Seq.empty))
+          DumpSource.readRawChunk(spark, u.path, u.start, u.len, namesExt)
         case FileKind.Sql =>
-          val names = schema.map(_.colNames).getOrElse(Seq.empty)
-          DumpSource.readRaw(spark, Seq(u.path), names, cfg.charset)
+          DumpSource.readRaw(spark, Seq(u.path), namesExt, cfg.charset)
         case FileKind.Parquet => spark.read.parquet(u.path)
         case other => throw new IllegalStateException(s"unroutable kind $other")
       }
+    }
+    // positional shards lack the rowid column — back-fill NULL so the
+    // shard union lines up
+    val shards = if (!rowidNeeded) shards0 else shards0.map { df =>
+      if (df.columns.exists(_.equalsIgnoreCase(TidbRowidCol))) df
+      else df.withColumn(TidbRowidCol,
+        org.apache.spark.sql.functions.lit(null).cast("string"))
     }
     // Hex literals leave the dump parser as lexical sentinels; resolve
     // them AFTER the shard union so (a) a table mixing SQL and CSV
@@ -685,6 +736,28 @@ object Ingest {
         }
       case None => union
     }
+    // T6 fill: NULL `_tidb_rowid` values (positional sources, rows
+    // whose dump simply omitted it) allocate densely above
+    // max(explicit max, prior run's max) — same discipline as the
+    // narrow auto-inc fill, independent of it (a table can carry
+    // both, reference `tests/tidb_rowid` non_pk_auto_inc)
+    val rowidFilled = if (!rowidNeeded) merged else {
+      val rc = TidbRowidCol
+      val stats = merged.agg(
+        max(col(rc).cast("long")),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.when(col(rc).isNull, 1))).head
+      val explicitMax = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+      val nNulls = stats.getLong(1)
+      if (nNulls == 0L) merged
+      else {
+        val base = math.max(priorRowid, explicitMax)
+        val RFill = "_graft_fill_tidb_rowid"
+        RowTransform.chunkedRowId(merged, RFill, base)
+          .withColumn(rc, coalesce(col(rc), col(RFill).cast("string")))
+          .drop(RFill)
+      }
+    }
     // Error-report side output (the reference's error tables record
     // the OFFENDING ROWS, not just a counter): raw rows failing ≥1
     // cast land as JSON beside the import for fix-and-reimport. An
@@ -692,7 +765,7 @@ object Ingest {
     // quarantine is requested, writing only the bad rows.
     cfg.quarantineDir.foreach { qd =>
       schema.foreach { ts =>
-        RowTransform.quarantineRows(merged, ts)
+        RowTransform.quarantineRows(rowidFilled, ts)
           .write
           // incremental resume appends to the main table — earlier
           // batches' quarantined rows must survive too
@@ -705,8 +778,8 @@ object Ingest {
     // `tests/error_summary`) and is dropped before the files land
     val typed = schema match {
       case Some(ts) =>
-        GeneratedColumns(RowTransform.applySchemaWithErrors(merged, ts, cfg.strictMode), ts)
-      case None => merged
+        GeneratedColumns(RowTransform.applySchemaWithErrors(rowidFilled, ts, cfg.strictMode), ts)
+      case None => rowidFilled
     }
     val errCol = schema.map(_ => RowTransform.ErrorsCol)
     val dataCols = typed.columns.toSeq.filterNot(errCol.contains)
@@ -728,6 +801,10 @@ object Ingest {
     SortedParquetSink.writeObservedMetrics(typed, out, sortCols, obs,
       _ => Checksum.checksumColOf(dataCols) +:
         (errCol.toSeq.map(e => coalesce(sum(col(e)), lit(0L)).as("bad_rows")) ++
+          (if (rowidNeeded)
+            Seq(coalesce(max(col(TidbRowidCol).cast("long")), lit(0L))
+              .as("max_tidb_rowid"))
+          else Nil) ++
           autoInc.map { c =>
             // auto_random rebases by its LOW (row-ID) bits only — the
             // shard prefix is not part of the allocation counter
@@ -746,6 +823,10 @@ object Ingest {
     val maxRowId = autoInc
       .map(_ => math.max(priorMaxId, obs.get("max_row_id").asInstanceOf[Long]))
       .getOrElse(0L)
+    val maxTidbRowid =
+      if (rowidNeeded)
+        math.max(priorRowid, obs.get("max_tidb_rowid").asInstanceOf[Long])
+      else 0L
     val expected = prior.map(_.add(pre)).getOrElse(pre)
     if (!verify) {
       // intermediate chunk batch: no read-back — the returned triple is
@@ -754,7 +835,8 @@ object Ingest {
       // (the reference likewise checksums once after all chunks land)
       return (TableReport(d.db, d.table, expected.totalKvs, expected.checksum,
         checksumOk = badRows <= cfg.maxError, skipped = false,
-        badRows = badRows, maxRowId = maxRowId), expected)
+        badRows = badRows, maxRowId = maxRowId,
+        maxTidbRowid = maxTidbRowid), expected)
     }
     // Partitioned output read-back needs the WRITTEN schema: directory-
     // encoded partition columns would otherwise come back type-inferred
@@ -801,7 +883,7 @@ object Ingest {
       else None
     (TableReport(d.db, d.table, post.totalKvs, post.checksum,
       checksumOk = ok, skipped = false, statsRows = statsRows, badRows = badRows,
-      maxRowId = maxRowId), post)
+      maxRowId = maxRowId, maxTidbRowid = maxTidbRowid), post)
   }
 
   private def collectChecksum(df: DataFrame): KvChecksum = {

@@ -59,27 +59,30 @@ object JobState {
     * `ALTER TABLE AUTO_INCREMENT=`, `lightning/restore/tidb.go:349-367`).
     */
   case class Record(key: String, status: String, nRows: Long, checksum: Long,
-      nBytes: Long = 0L, files: Seq[String] = Nil, maxId: Long = 0L)
+      nBytes: Long = 0L, files: Seq[String] = Nil, maxId: Long = 0L,
+      maxRowid: Long = 0L)
 
   private[pipeline] def render(r: Record): String = {
     val fs = r.files.map(f => "\"" + f + "\"").mkString(",")
     s"""{"key":"${r.key}","status":"${r.status}","nRows":${r.nRows},""" +
       s""""checksum":${r.checksum},"nBytes":${r.nBytes},"files":[$fs],""" +
-      s""""maxId":${r.maxId}}"""
+      s""""maxId":${r.maxId},"maxRowid":${r.maxRowid}}"""
   }
 
   private val Re =
     ("""\{"key":"([^"]*)","status":"([^"]*)","nRows":(-?\d+),"checksum":(-?\d+)""" +
-      """(?:,"nBytes":(-?\d+))?(?:,"files":\[([^\]]*)\])?(?:,"maxId":(-?\d+))?\}""").r
+      """(?:,"nBytes":(-?\d+))?(?:,"files":\[([^\]]*)\])?(?:,"maxId":(-?\d+))?""" +
+      """(?:,"maxRowid":(-?\d+))?\}""").r
 
   private[pipeline] def parse(line: String): Option[Record] = line.trim match {
-    case Re(k, s, n, c, b, fs, mx) =>
+    case Re(k, s, n, c, b, fs, mx, mr) =>
       val files = Option(fs).filter(_.nonEmpty)
         .map(_.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\"")))
         .getOrElse(Nil)
       Some(Record(k, s, n.toLong, c.toLong,
         Option(b).map(_.toLong).getOrElse(0L), files,
-        Option(mx).map(_.toLong).getOrElse(0L)))
+        Option(mx).map(_.toLong).getOrElse(0L),
+        Option(mr).map(_.toLong).getOrElse(0L)))
     case _ => None
   }
 }

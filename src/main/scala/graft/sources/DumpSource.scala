@@ -455,8 +455,11 @@ object DumpSource {
   private def parseHead(s: String, afterKw: Int): Option[(Insert, Int)] = {
     var p = skipWs(s, afterKw)
     if (s.regionMatches(true, p, "IGNORE", 0, 6)) p = skipWs(s, p + 6)
-    if (!s.regionMatches(true, p, "INTO", 0, 4)) return None
-    p = skipWs(s, p + 4)
+    // INTO is optional in MySQL (`INSERT tbl VALUES …` — the
+    // reference's tests/tidb_rowid specific_auto_inc dump uses it)
+    if (s.regionMatches(true, p, "INTO", 0, 4) &&
+      (p + 4 >= s.length || !isIdentChar(s.charAt(p + 4))))
+      p = skipWs(s, p + 4)
     val (table, p1) = readIdent(s, p)
     if (table.isEmpty) return None
     p = skipWs(s, p1)

@@ -70,7 +70,9 @@ class CharsetsE2eSpec extends SparkSpec {
     // latin1 reading in our byte-faithful contract (the reference
     // POSTs the raw bytes to MySQL, which re-reads them as utf8)
     val name = new String("唯一键".getBytes("UTF-8"), "ISO-8859-1")
-    assert(df.columns.toSeq === Seq(name))
+    // unique key only — no integer handle, so the _tidb_rowid
+    // pseudo-column rides along
+    assert(df.columns.toSeq === Seq(name, "_tidb_rowid"))
     assert(df.agg(sum(col(s"`$name`"))).collect()(0).getAs[Number](0)
       .longValue === 5291L)
   }

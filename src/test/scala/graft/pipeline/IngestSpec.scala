@@ -403,7 +403,9 @@ class IngestSpec extends SparkSpec {
     assert(reports.head.nRows === 1 && reports.head.checksumOk)
     val row = spark.read.parquet(s"$out/w.t").head()
     val schema = spark.read.parquet(s"$out/w.t").schema
-    assert(schema.fieldNames.toSeq === cols)
+    // + _tidb_rowid: 256 varchar columns and no primary key → no
+    // integer handle
+    assert(schema.fieldNames.toSeq === cols :+ "_tidb_rowid")
     assert(row.getString(schema.fieldIndex("COL001")) === "1001")
     assert(row.getString(schema.fieldIndex("COL100")) === "1100")
     assert(row.getString(schema.fieldIndex("COL256")) === "1256")
