@@ -53,9 +53,14 @@ object TomlConfig {
 
   /** Flattened parse: dotted-path scalars plus array-of-table
     * sections ([[routes]] → arrays("routes") = one Map per entry).
+    * `sections` records every `[header]` seen, so empty unknown
+    * sections (a typo'd `[mydumperr]`) still surface in the
+    * ignored-keys report like the reference's unused-config warning
+    * (`tests/unused_config_keys`).
     */
   final case class Parsed(scalars: Map[String, Value],
-      arrays: Map[String, Seq[Map[String, Value]]])
+      arrays: Map[String, Seq[Map[String, Value]]],
+      sections: Seq[String] = Nil)
 
   final case class Loaded(
       config: Ingest.Config,
@@ -164,6 +169,7 @@ object TomlConfig {
 
   def parse(text: String): Parsed = {
     val scalars = scala.collection.mutable.LinkedHashMap[String, Value]()
+    val sections = scala.collection.mutable.ArrayBuffer[String]()
     val arrays = scala.collection.mutable.LinkedHashMap[String,
       Vector[scala.collection.mutable.LinkedHashMap[String, Value]]]()
     var section = "" // current [section] prefix, "" = top level
@@ -190,6 +196,7 @@ object TomlConfig {
           scala.collection.mutable.LinkedHashMap[String, Value]()
       } else if (line.startsWith("[") && line.endsWith("]")) {
         section = line.substring(1, line.length - 1).trim
+        sections += section
         arraySection = None
       } else {
         val eq = {
@@ -217,7 +224,8 @@ object TomlConfig {
       }
     }
     Parsed(scalars.toMap,
-      arrays.map { case (k, v) => k -> v.map(_.toMap) }.toMap)
+      arrays.map { case (k, v) => k -> v.map(_.toMap) }.toMap,
+      sections.toSeq)
   }
 
   /** '256MiB' / '64KiB' / plain integers → bytes. Binary multipliers
@@ -408,7 +416,17 @@ object TomlConfig {
     val statusAddr = take("lightning.status-addr")
       .map(str(_, "lightning.status-addr")).filter(_.nonEmpty)
 
+    // empty UNKNOWN sections (a typo'd header with no keys) surface
+    // too — the reference logs every unused config item
+    // (`tests/unused_config_keys` greps its typo-1/-3 headers)
+    val knownSections = Set("lightning", "security", "checkpoint",
+      "tikv-importer", "mydumper", "mydumper.csv", "tidb",
+      "tidb.security", "post-restore", "cron", "black-white-list")
+    val emptySections = p.sections.distinct
+      .filterNot(knownSections)
+      .filterNot(s => p.scalars.keys.exists(_.startsWith(s + ".")))
     val ignored = (p.scalars.keySet -- used).toSeq.sorted ++
+      emptySections.sorted.map(s => s"[$s]") ++
       (p.arrays.keySet -- Set("routes", "mydumper.files",
         "black-white-list.do-tables", "black-white-list.ignore-tables"))
         .toSeq.sorted.map(n => s"[[$n]]")

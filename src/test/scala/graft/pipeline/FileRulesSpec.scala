@@ -11,6 +11,23 @@ import graft.SparkSpec
   */
 class FileRulesSpec extends SparkSpec {
 
+  test("symlinked data files import (reference tests/source_linkfile)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_link")
+    val raw = root.resolve("raw"); java.nio.file.Files.createDirectories(raw)
+    val src = root.resolve("src"); java.nio.file.Files.createDirectories(src)
+    java.nio.file.Files.writeString(raw.resolve("l.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, PRIMARY KEY (id));")
+    java.nio.file.Files.writeString(raw.resolve("l.t.0001.csv"), "1\n2\n3\n")
+    // the source dir holds only symlinks, like the reference's
+    // `ln -s` loop
+    java.nio.file.Files.list(raw).forEach(p =>
+      java.nio.file.Files.createSymbolicLink(src.resolve(p.getFileName), p))
+    val out = root.resolve("out").toString
+    val reports = Ingest.run(spark, Ingest.Config(src.toString, out))
+    assert(reports.map(r => (r.table, r.nRows, r.checksumOk)) ===
+      Seq(("t", 3L, true)))
+  }
+
   test("custom file rules drive a full import from TOML config") {
     val root = Files.createTempDirectory("graft_frules")
     val src = root.resolve("src"); Files.createDirectories(src.resolve("zoo"))

@@ -182,6 +182,24 @@ class TomlConfigSpec extends AnyFunSuite {
     assert(TomlConfig.load(minimal).config.bwList === None)
   }
 
+  test("unused config keys surface like the reference's warning") {
+    // tests/unused_config_keys: typo-1 (empty section), typo-2
+    // (unknown key in a known section), [[typo-3]] must all be
+    // reported; a known-but-empty section must not
+    val l = TomlConfig.load(
+      """[typo-1]
+        |[lightning]
+        |typo-2 = "unused test"
+        |[[typo-3]]
+        |[post-restore]
+        |""".stripMargin + minimal)
+    assert(l.ignored.contains("[typo-1]"))
+    assert(l.ignored.contains("lightning.typo-2"))
+    assert(l.ignored.contains("[[typo-3]]"))
+    assert(!l.ignored.exists(_.contains("post-restore")))
+    assert(!l.ignored.exists(_.contains("typo-4")))
+  }
+
   test("server task bodies: TOML accepted alongside flat JSON") {
     val cfg = Server.parseTask(minimal)
     assert(cfg.sourceDir === "/src" && cfg.targetDir === "/out")
