@@ -1755,6 +1755,42 @@ object TextQueries {
       |  (1000000 * CAST(sum(cov) AS BIGINT)) // count(*) AS coverage_ppm
       |FROM flags GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // -------------------------------------- unicode normalization
+  /** Unicode NFC canonicalization audit (the [[graft.functions
+    * .NfcNormalize]] codegen'd expression): decomposed and composed
+    * renderings of the same text are different BYTES, so every
+    * fingerprint operator in the repo would treat them as different
+    * documents — normalization is the step before hashing. The corpus
+    * is ASCII, so the query plants a decomposed `é` (e + U+0301) per
+    * document and reports the rewrite: changed flag, char lengths
+    * before/after (composition drops one), and the md5 of the
+    * normalized text — all replayed exactly by DuckDB's
+    * `nfc_normalize`. Narrow, zero shuffle.
+    */
+  def normalizeNfc(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfcNormalize
+    val raw = concat(col("text"), lit(" Café "), col("lang"))
+    table(spark, sfDir, "documents").select(
+      col("doc_id"),
+      (nfcNormalize(raw) =!= raw).cast("long").as("changed"),
+      md5(nfcNormalize(raw).cast("binary")).as("fp_nfc"),
+      length(raw).cast("long").as("len_raw"),
+      length(nfcNormalize(raw)).cast("long").as("len_nfc"))
+      .orderBy("doc_id")
+  }
+
+  def normalizeNfcSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, text || ' Cafe' || chr(769) || ' ' || lang AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN nfc_normalize(raw) = raw THEN 0 ELSE 1 END AS BIGINT)
+      |    AS changed,
+      |  md5(nfc_normalize(raw)) AS fp_nfc,
+      |  CAST(len(raw) AS BIGINT) AS len_raw,
+      |  CAST(len(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+      |FROM p ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- importance weighting
   /** DSIR-style data-selection scoring (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score

@@ -164,7 +164,11 @@ object Ingest {
     * reference's local backend: explicit values from dumps/headered
     * CSVs are preserved, NULLs fill densely above the explicit max,
     * and the max rebases across incremental runs
-    * (reference `tests/tidb_rowid`, `sql2kv.go:322-346`).
+    * (reference `tests/tidb_rowid`, `sql2kv.go:322-346`). This is the
+    * NON-clustered default: TiDB's clustered-index mode
+    * (`tests/common_handle`, `tidb_enable_clustered_index=1`) makes a
+    * non-int pk the handle itself and drops the column — a
+    * target-side mode this engine does not model.
     */
   val TidbRowidCol = "_tidb_rowid"
 
