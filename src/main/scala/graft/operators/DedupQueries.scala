@@ -156,14 +156,23 @@ object DedupQueries {
     */
   def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
-    // plant normalization-only variants: case-flipped and re-spaced
+    // plant normalization-only variants: case-flipped, re-spaced, and
+    // the same accent in composed vs decomposed Unicode form — the
+    // pair only collapses because NFC runs FIRST in the norm chain
+    // (without it the ascii strip turns é into "" but e+U+0301 into
+    // "e", silently splitting byte-different renderings of one text)
     val variants = docs
       .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
         upper(col("text")).as("text")))
       .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
         regexp_replace(col("text"), " ", "   ").as("text")))
+      .unionByName(docs.select((col("doc_id") + 3000000).as("doc_id"),
+        concat(col("text"), lit(" café")).as("text")))
+      .unionByName(docs.select((col("doc_id") + 4000000).as("doc_id"),
+        concat(col("text"), lit(" café")).as("text")))
     val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      regexp_replace(lower(graft.functions.NfcNormalize.nfcNormalize(col("text"))),
+        "[^a-z0-9\\s]", ""), "\\s+", " "))
     variants
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_raw"),
         md5(norm.cast("binary")).as("fp_norm"))
@@ -177,12 +186,14 @@ object DedupQueries {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents
       |  UNION ALL SELECT doc_id + 2000000, replace(text, ' ', '   ') FROM documents
+      |  UNION ALL SELECT doc_id + 3000000, text || ' caf' || chr(233) FROM documents
+      |  UNION ALL SELECT doc_id + 4000000, text || ' cafe' || chr(769) FROM documents
       |)
       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_byte_distinct,
       |  CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(
-      |    lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))) AS BIGINT)
-      |    AS n_norm_distinct
+      |    lower(nfc_normalize(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))))
+      |    AS BIGINT) AS n_norm_distinct
       |FROM v""".stripMargin
 
   // ------------------------------------------------------------ exact
