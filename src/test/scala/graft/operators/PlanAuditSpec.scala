@@ -198,4 +198,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("attribution: interval join stays an equi-join via hour buckets") {
+    // the 30-minute interval predicate must ride the (user, bucket)
+    // equi-join with a residual filter — never a nested loop (the
+    // no-equi-key interval join's default physical shape)
+    val plan = planOf(EventQueries.attribution(spark, sf()))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("forget: the request cohort broadcasts into a LeftAnti join") {
+    // forget returns only the audit relation (the rewrite runs
+    // eagerly), so pin the join shape it executes: the anti-join side
+    // must be the broadcast build — a shuffled anti join would move
+    // the full events table for a people-sized request list
+    val ev = graft.GraftSession.table(spark, sf(), "events")
+    val requests = ev.select(col("user_id")).distinct()
+      .where(pmod(col("user_id"), lit(97)) === 0)
+    val plan = planOf(ev.join(broadcast(requests), Seq("user_id"), "left_anti"))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("rrfFusion: both arms end in top-k heaps before the bounded fuse") {
+    val plan = planOf(TextQueries.rrfFusion(spark, sf()))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("labelCentroidSim: pairwise dots ride the bounded sum relation") {
+    val plan = planOf(SimilarityQueries.labelCentroidSim(spark, sf()))
+    // the per-(label, dim) aggregate combines map-side; the self-join
+    // on dim position must not degenerate to a nested loop
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
