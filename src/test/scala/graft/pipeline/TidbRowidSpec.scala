@@ -81,6 +81,32 @@ class TidbRowidSpec extends SparkSpec {
     assert(Ingest.rowidRequired(compositePk))
   }
 
+  test("chunk-crash resume keeps rowids collision-free (failpoint)") {
+    // a chunked no-handle table crashes after the first chunk batch,
+    // then resumes: fills from the second run must start above the
+    // recorded max — a collision would double-count silently because
+    // the accumulated checksum expects both rows
+    val root = Files.createTempDirectory("graft_rowid_fp")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    val state = root.resolve("state").toString
+    val tgt = root.resolve("out").toString
+    Files.writeString(srcDir.resolve("d.t-schema.sql"),
+      "CREATE TABLE t (pk varchar(8) NOT NULL, PRIMARY KEY (pk));")
+    Files.writeString(srcDir.resolve("d.t.0001.csv"),
+      (1 to 40).map(i => f"pk$i%04d").mkString("", "\n", "\n"))
+    val cfg = Ingest.Config(srcDir.toString, tgt, stateDir = Some(state),
+      strictFormat = true, chunkBytes = 64L, chunkBatch = 1)
+    intercept[IllegalStateException] {
+      Ingest.run(spark, cfg.copy(failpointAfterBatches = Some(2)))
+    }
+    val reports = Ingest.run(spark, cfg)
+    assert(reports.head.checksumOk)
+    val ids = spark.read.parquet(s"$tgt/d.t").collect()
+      .map(_.getAs[Number]("_tidb_rowid").longValue)
+    assert(ids.length === 40)
+    assert(ids.distinct.length === 40, "rowid collision across resume")
+  }
+
   test("incremental resume rebases rowid fills past the prior max") {
     // import half the rows, then the rest with state — fills must not
     // collide across the two runs
