@@ -1791,6 +1791,73 @@ object TextQueries {
       |  CAST(len(nfc_normalize(raw)) AS BIGINT) AS len_nfc
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ script mix
+  /** Unicode-script mix audit: per language, the ppm share of Latin,
+    * CJK, Cyrillic and digit codepoints — the triage a multilingual
+    * pipeline runs to catch wrong-language contamination before
+    * langid ever sees the text. Pure HOFs over the per-character
+    * codepoints (`ascii`/`unicode` agree on full codepoints in both
+    * engines), exact integer counts, ppm by BIGINT division. The
+    * corpus is ASCII, so a fixed multilingual suffix is planted per
+    * doc to prove the classifier discriminates. One scan, one
+    * combining per-lang aggregate.
+    */
+  def scriptMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = concat(col("text"), lit(" 中文 кириллица 123"))
+    val cps = filter(transform(split(planted, ""), c => ascii(c)), c => c > 32)
+    def share(lo: Int, hi: Int) =
+      size(filter(cps, c => c >= lo && c <= hi)).cast("long")
+    table(spark, sfDir, "documents")
+      .select(col("lang"),
+        size(cps).cast("long").as("n_cp"),
+        (share(97, 122) + share(65, 90)).as("n_latin"),
+        share(0x4E00, 0x9FFF).as("n_cjk"),
+        share(0x400, 0x4FF).as("n_cyr"),
+        share(48, 57).as("n_digit"))
+      .groupBy("lang")
+      .agg(sum(col("n_cp")).as("n_cp"),
+        sum(col("n_latin")).as("n_latin"),
+        sum(col("n_cjk")).as("n_cjk"),
+        sum(col("n_cyr")).as("n_cyr"),
+        sum(col("n_digit")).as("n_digit"))
+      .withColumn("latin_ppm", expr("(1000000 * n_latin) div n_cp"))
+      .withColumn("cjk_ppm", expr("(1000000 * n_cjk) div n_cp"))
+      .withColumn("cyr_ppm", expr("(1000000 * n_cyr) div n_cp"))
+      .orderBy("lang")
+  }
+
+  def scriptMixSql: String =
+    """WITH p AS (
+      |  SELECT lang, text || ' 中文 кириллица 123' AS t FROM documents),
+      |c AS (
+      |  SELECT lang, list_filter(list_transform(
+      |    generate_series(1, len(t)), i -> unicode(t[i:i])), x -> x > 32) AS cps
+      |  FROM p),
+      |d AS (
+      |  SELECT lang,
+      |    CAST(len(cps) AS BIGINT) AS n_cp,
+      |    CAST(len(list_filter(cps, x -> (x >= 97 AND x <= 122)
+      |      OR (x >= 65 AND x <= 90))) AS BIGINT) AS n_latin,
+      |    CAST(len(list_filter(cps, x -> x >= 19968 AND x <= 40959)) AS BIGINT)
+      |      AS n_cjk,
+      |    CAST(len(list_filter(cps, x -> x >= 1024 AND x <= 1279)) AS BIGINT)
+      |      AS n_cyr,
+      |    CAST(len(list_filter(cps, x -> x >= 48 AND x <= 57)) AS BIGINT)
+      |      AS n_digit
+      |  FROM c)
+      |SELECT lang, CAST(sum(n_cp) AS BIGINT) AS n_cp,
+      |  CAST(sum(n_latin) AS BIGINT) AS n_latin,
+      |  CAST(sum(n_cjk) AS BIGINT) AS n_cjk,
+      |  CAST(sum(n_cyr) AS BIGINT) AS n_cyr,
+      |  CAST(sum(n_digit) AS BIGINT) AS n_digit,
+      |  (1000000 * CAST(sum(n_latin) AS BIGINT)) // CAST(sum(n_cp) AS BIGINT)
+      |    AS latin_ppm,
+      |  (1000000 * CAST(sum(n_cjk) AS BIGINT)) // CAST(sum(n_cp) AS BIGINT)
+      |    AS cjk_ppm,
+      |  (1000000 * CAST(sum(n_cyr) AS BIGINT)) // CAST(sum(n_cp) AS BIGINT)
+      |    AS cyr_ppm
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------- importance weighting
   /** DSIR-style data-selection scoring (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
