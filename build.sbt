@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the sandbox shell has no locale (C/POSIX), which makes the JVM's
+// native path encoding reject non-ASCII FILE NAMES (the reference's
+// exotic_filenames corpus uses them); forked JVMs get a UTF-8 locale
+Test / envVars += "LC_ALL" -> "C.UTF-8"
+run / envVars += "LC_ALL" -> "C.UTF-8"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -129,8 +129,18 @@ object MysqlDdl {
     if (parts.length == 2) (Some(parts(0)), parts(1)) else (None, parts.last)
   }
 
-  def unquoteIdent(s: String): String =
-    s.trim.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
+  /** Strip identifier quoting, collapsing the doubled-quote escapes:
+    * `` `exotic``table````name` `` names the literal
+    * ``exotic`table``name`` (reference `tests/exotic_filenames`).
+    */
+  def unquoteIdent(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.startsWith("`") && t.endsWith("`"))
+      t.substring(1, t.length - 1).replace("``", "`")
+    else if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+      t.substring(1, t.length - 1).replace("\"\"", "\"")
+    else t
+  }
 
   /** Body between the CREATE TABLE '(' (at `openIdx`) and its matching ')'. */
   private def extractParenBody(s: String, openIdx: Int): String = {

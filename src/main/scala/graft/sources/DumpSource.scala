@@ -659,8 +659,16 @@ object DumpSource {
     val sb = new StringBuilder
     if (i < s.length && s.charAt(i) == '`') {
       i += 1
-      while (i < s.length && s.charAt(i) != '`') { sb += s.charAt(i); i += 1 }
-      i += 1
+      // a doubled backtick is an ESCAPED backtick inside the name
+      // (`exotic``name` → exotic`name, tests/exotic_filenames)
+      var closed = false
+      while (!closed && i < s.length) {
+        val c = s.charAt(i)
+        if (c == '`') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '`') { sb += '`'; i += 2 }
+          else { closed = true; i += 1 }
+        } else { sb += c; i += 1 }
+      }
       // qualified `db`.`table`
       if (i < s.length && s.charAt(i) == '.') {
         val (rest, j) = readIdent(s, i + 1)
