@@ -60,6 +60,24 @@ class ReferenceDataSpec extends SparkSpec {
     assert(row.getAs[String]("COL256") === "1256")
   }
 
+  test("auto_random_default: absent AUTO_RANDOM pk synthesizes distinct ids") {
+    val out = imp("auto_random_default")
+    val df = spark.read.parquet(s"$out/auto_random.t")
+    // run.sh: 6 rows; ids distinct with positive low-58-bit payloads
+    // (the reference pins its allocator's exact low bits — 1..3 and
+    // 25..27 — which are allocation-strategy-specific; the INVARIANTS
+    // are what both engines must share)
+    val rows = df.collect()
+    assert(rows.length === 6)
+    val ids = rows.map(_.getAs[Number]("id").longValue)
+    assert(ids.distinct.length === 6, s"ids must be distinct: ${ids.toSeq}")
+    val low = ids.map(_ & ((1L << 58) - 1))
+    assert(low.forall(_ > 0L), s"low bits positive: ${low.toSeq}")
+    assert(low.distinct.length === 6)
+    assert(rows.map(_.getAs[String]("s")).sorted.toSeq ===
+      Seq("", "", "", "test1", "test2", "test3"))
+  }
+
   test("tool_241: schema-only tables restore empty; populated ids pin") {
     val out = imp("tool_241")
     // the five dataless tables exist with zero rows (reference
