@@ -78,6 +78,17 @@ class ReferenceDataSpec extends SparkSpec {
       Seq("", "", "", "test1", "test2", "test3"))
   }
 
+  test("alter_random: explicit AUTO_RANDOM ids carry through verbatim") {
+    val out = imp("alter_random")
+    val ids = spark.read.parquet(s"$out/alter_random.t").collect()
+      .map(_.getAs[Number]("id").longValue).sorted
+    // run.sh pins the low-58-bit payloads 1, 2, 3 on the dump's
+    // explicit shard-prefixed values
+    assert(ids.toSeq === Seq(5764607523034234881L, 7493989779944505347L,
+      8646911284551352322L))
+    assert(ids.map(_ & ((1L << 58) - 1)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("tool_241: schema-only tables restore empty; populated ids pin") {
     val out = imp("tool_241")
     // the five dataless tables exist with zero rows (reference
