@@ -112,10 +112,19 @@ object Ingest {
     * and the read path, so they cannot disagree on the effective
     * encoding.
     */
-  private def dataDialect(cfg: Config): graft.sources.CsvDialect =
+  private def dataDialect(cfg: Config): graft.sources.CsvDialect = {
+    // NB multiline stays opt-in (CsvDialect.multiline) rather than
+    // defaulting on for non-strict imports: univocity has ONE
+    // quote-escape char, so a multiline parse of a dialect that also
+    // uses MySQL's doubled-quote escape can swallow rows into an
+    // unterminated quote (silent row loss, worse than the per-line
+    // parse's contained damage. Full fidelity for
+    // multiline+doubled-quote+backslash needs a byte-level multiline
+    // tokenizer — documented divergence, reference tests/csv).
     if (cfg.csvDialect.encoding == "UTF-8" && !CharsetReader.isNativeUtf8(cfg.charset))
       cfg.csvDialect.copy(encoding = CharsetReader.jvmName(cfg.charset))
     else cfg.csvDialect
+  }
 
   private def expandUnits(spark: SparkSession, cfg: Config, d: Discovered): Seq[DataUnit] = {
     // Chunking additionally needs 0x0A to be an unambiguous line

@@ -18,7 +18,13 @@ case class CsvDialect(
     nullValue: String = "\\N",
     backslashEscape: Boolean = true,
     trimLastSep: Boolean = false,
-    encoding: String = "UTF-8")
+    encoding: String = "UTF-8",
+    // quoted fields may contain raw newlines — the reference's
+    // NON-strict contract (`strict-format=false` exists precisely
+    // because such files cannot be byte-split; `tests/csv` escapes.CSV
+    // embeds them). Costs intra-file split parallelism, so the import
+    // pipeline enables it only when strictFormat is off.
+    multiline: Boolean = false)
 
 /** CSV scan, MySQL `LOAD DATA` semantics (SURVEY S6).
   *
@@ -67,6 +73,7 @@ object MySqlCsv {
     "nullValue" -> (if (dialect.notNull) "\u0000NONE" else dialect.nullValue),
     "emptyValue" -> "",
     "mode" -> "PERMISSIVE",
+    "multiLine" -> dialect.multiline.toString,
     "escape" -> (if (dialect.backslashEscape) "\\"
       else if (dialect.delimiter.nonEmpty) dialect.delimiter
       else "\u0000"))
