@@ -89,6 +89,39 @@ class ReferenceDataSpec extends SparkSpec {
     assert(ids.map(_ & ((1L << 58) - 1)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("parquet corpus: dumpling layout routes via the config's file rules") {
+    // tests/parquet: a dumpling-style tree (test/test.<table>/part-*.
+    // gz.parquet) routed ENTIRELY by the reference config's
+    // [[mydumper.files]] pattern; parquet shards carry their own
+    // schema (the reference pre-creates tables and runs no-schema —
+    // here the native parquet types stand in)
+    val base = Paths.get("/root/reference/tests/parquet")
+    assume(Files.exists(base), "reference tests not present")
+    val outDir = Files.createTempDirectory("graft_refpq").toString
+    val toml = Files.readString(base.resolve("config.toml"))
+      .replace("no-schema=true", "no-schema=false") +
+      s"\ndata-source-dir = '${base.resolve("data")}'\n" +
+      "[tikv-importer]\nsorted-kv-dir = '" + outDir + "'\n"
+    val loaded = TomlConfig.load(toml)
+    assert(loaded.config.fileRules.size === 1)
+    val reports = Ingest.run(spark, loaded.config)
+    assert(reports.forall(_.checksumOk))
+    // run.sh row-count pins
+    val counts = Map("customer" -> 20L, "district" -> 10L,
+      "history" -> 100L, "item" -> 100L, "new_order" -> 100L,
+      "order_line" -> 100L, "orders" -> 100L, "stock" -> 50L,
+      "warehouse" -> 1L)
+    counts.foreach { case (t, n) =>
+      assert(spark.read.parquet(s"$outDir/test.$t").count() === n, t)
+    }
+    // run.sh value pins
+    val c = spark.read.parquet(s"$outDir/test.customer")
+    assert(c.agg(sum(col("c_id"))).collect()(0)
+      .getAs[Number](0).longValue === 210L)
+    val w = spark.read.parquet(s"$outDir/test.warehouse").collect()(0)
+    assert(w.getAs[String]("w_name") === "eLNEDIW")
+  }
+
   test("tool_241: schema-only tables restore empty; populated ids pin") {
     val out = imp("tool_241")
     // the five dataless tables exist with zero rows (reference
