@@ -464,13 +464,48 @@ object Ingest {
           catch { case _: org.apache.spark.sql.AnalysisException => }
         }
       }
-      views.foreach { case (_, name, path) =>
-        val ddl = CharsetReader.readSchemaFile(
-          spark.sparkContext.hadoopConfiguration, path, cfg.charset)
-        viewSelect(ddl).foreach { sel =>
-          spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$name` AS $sel")
-        }
+      // cross-database references (`db1`.`v1`) flatten onto the bare
+      // temp-view namespace; views may depend on OTHER views restored
+      // later in discovery order, so analysis failures defer to the
+      // next pass until a fixpoint (reference `tests/view`: db0.v2
+      // reads db1.v1 reads db1.tbl)
+      val knownNames = (tables.map(_.table) ++ views.map(_._2))
+        .map(_.toLowerCase).toSet
+      def dequalify(sql: String): String =
+        "`([^`]+)`\\s*\\.\\s*`([^`]+)`".r.replaceAllIn(sql, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            if (knownNames(m.group(2).toLowerCase)) s"`${m.group(2)}`"
+            else m.matched))
+      // every pass re-creates EVERY resolvable view: a view created in
+      // an earlier pass may have bound a dependency that a later pass
+      // (re)defined — or a stale same-named temp view from a previous
+      // run — and temp views capture the plan at creation time, so
+      // only re-creation rebinds them. Passes are bounded by the view
+      // count (each pass can extend a dependency chain by ≥1).
+      var unresolved = Set.empty[String]
+      (0 until math.max(1, views.size)).foreach { _ =>
+        unresolved = views.flatMap { case (db, name, path) =>
+          val ddl = CharsetReader.readSchemaFile(
+            spark.sparkContext.hadoopConfiguration, path, cfg.charset)
+          viewParts(ddl) match {
+            case Some((cols, sel)) =>
+              try {
+                val df0 = spark.sql(dequalify(sel))
+                // an explicit view column list renames the output
+                val df = if (cols.nonEmpty) df0.toDF(cols: _*) else df0
+                df.createOrReplaceTempView(name)
+                None
+              } catch {
+                case _: org.apache.spark.sql.AnalysisException =>
+                  Some(s"$db.$name")
+              }
+            case None => None
+          }
+        }.toSet
       }
+      if (unresolved.nonEmpty)
+        System.err.println(
+          s"[views] unresolved after fixpoint: ${unresolved.mkString(", ")}")
     }
     reports
   }
@@ -493,12 +528,44 @@ object Ingest {
     * tools parenthesize the body: `AS (SELECT …)`).
     */
   private[pipeline] def viewSelect(ddl: String): Option[String] =
-    "(?is)\\bAS\\b\\s*(\\(?\\s*SELECT.*)".r.findFirstMatchIn(ddl)
-      .map(_.group(1).trim.stripSuffix(";").trim)
-      .map { s =>
-        if (s.startsWith("(") && s.endsWith(")")) s.substring(1, s.length - 1).trim
-        else s
+    viewParts(ddl).map(_._2)
+
+  /** The view's explicit column list (empty when none) and its
+    * defining SELECT. The SELECT is cut at its own terminating
+    * top-level `;` — MyDumper view files surround the CREATE with
+    * SET/DROP statements (reference `tests/view`), which must not
+    * leak into the Spark SQL text.
+    */
+  private[pipeline] def viewParts(ddl: String): Option[(Seq[String], String)] =
+    "(?is)\\bAS\\b\\s*(\\(?\\s*SELECT.*)".r.findFirstMatchIn(ddl).map { m =>
+      val header = ddl.substring(0, m.start).trim
+      val cols = "\\(([^()]*)\\)$".r.findFirstMatchIn(header)
+        .map(_.group(1).split(",").toSeq
+          .map(c => MysqlDdl.unquoteIdent(c.trim)).filter(_.nonEmpty))
+        .getOrElse(Nil)
+      var sel = cutAtSemicolon(m.group(1)).trim
+      if (sel.startsWith("(") && sel.endsWith(")"))
+        sel = sel.substring(1, sel.length - 1).trim
+      (cols, sel)
+    }
+
+  /** Prefix of `s` up to (excluding) the first `;` outside quotes
+    * and backticks.
+    */
+  private def cutAtSemicolon(s: String): String = {
+    var i = 0; var q: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) { if (c == q) q = 0 }
+      else c match {
+        case '\'' | '"' | '`' => q = c
+        case ';' => return s.substring(0, i)
+        case _ =>
       }
+      i += 1
+    }
+    s
+  }
 
   private def recordState(state: JobState, key: String, tokens: Seq[String],
       report: TableReport, post: KvChecksum): Unit = {
