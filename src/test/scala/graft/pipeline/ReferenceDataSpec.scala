@@ -122,6 +122,29 @@ class ReferenceDataSpec extends SparkSpec {
     assert(w.getAs[String]("w_name") === "eLNEDIW")
   }
 
+  test("no_schema: schema-only dirs import nothing; target schema wins") {
+    val base = Paths.get("/root/reference/tests/no_schema")
+    assume(Files.exists(base), "reference tests not present")
+    // leg 1 (run.sh): --no-schema over a dir holding ONLY schema
+    // files creates nothing
+    val out1 = Files.createTempDirectory("graft_noschema1").toString
+    val r1 = Ingest.run(spark, Ingest.Config(
+      base.resolve("schema-data").toString, out1, noSchema = true))
+    assert(r1.isEmpty, s"nothing should import: $r1")
+    // leg 2: pre-created target (x int primary key) + the dump dir →
+    // rows adopt the target's schema, sum(x) = 120
+    val out2 = Files.createTempDirectory("graft_noschema2").toString
+    import spark.implicits._
+    Seq.empty[Int].toDF("x")
+      .write.mode("overwrite").parquet(s"$out2/noschema.t")
+    val r2 = Ingest.run(spark, Ingest.Config(
+      base.resolve("data").toString, out2, noSchema = true))
+    assert(r2.map(_.table) === Seq("t") && r2.head.checksumOk)
+    val sum = spark.read.parquet(s"$out2/noschema.t")
+      .agg(org.apache.spark.sql.functions.sum(col("x"))).collect()(0)
+    assert(sum.getAs[Number](0).longValue === 120L)
+  }
+
   test("tool_241: schema-only tables restore empty; populated ids pin") {
     val out = imp("tool_241")
     // the five dataless tables exist with zero rows (reference
