@@ -145,6 +145,43 @@ class ReferenceDataSpec extends SparkSpec {
     assert(sum.getAs[Number](0).longValue === 120L)
   }
 
+  test("examples corpus: 10k-row tables, crc32 pins, case-folding torture") {
+    // the reference's oldest corpus (lightning/mydump/examples), with
+    // run.sh's runtime rename to the Turkish dotless ı — the table
+    // whose name and whose `ſ` column break any ToUpper-based index
+    // logic (the fixture's own comment)
+    val data = Paths.get("/root/reference/lightning/mydump/examples")
+    assume(Files.exists(data), "reference examples not present")
+    val root = Files.createTempDirectory("graft_examples")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    Files.list(data).forEach { p =>
+      val name = p.getFileName.toString.replace("mocker_test.i-schema",
+        "mocker_test.ı-schema").replace("mocker_test.i.sql", "mocker_test.ı.sql")
+      Files.copy(p, src.resolve(name))
+    }
+    val out = root.resolve("out").toString
+    val reports = Ingest.run(spark, Ingest.Config(src.toString, out))
+    assert(reports.forall(_.checksumOk))
+    val auto = spark.read.parquet(s"$out/mocker_test.tbl_autoid")
+    val a = auto.agg(countDistinct(col("ID")), sum(col("ID")),
+      sum(crc32(col("Name").cast("binary")))).collect()(0)
+    assert(a.getLong(0) === 10000L)
+    assert(a.getAs[Number](1).longValue === 50005000L)
+    assert(a.getAs[Number](2).longValue === 21388950023608L)
+    val multi = spark.read.parquet(s"$out/mocker_test.tbl_multi_index")
+    val m = multi.agg(countDistinct(col("Name")),
+      sum(crc32(col("Name").cast("binary")))).collect()(0)
+    assert(m.getLong(0) === 10000L)
+    assert(m.getAs[Number](1).longValue === 21433704622808L)
+    val dotless = spark.read.parquet(s"$out/mocker_test.ı").collect()
+    assert(dotless.length === 1)
+    assert(dotless(0).getAs[String]("ſ") === "🤪")
+    val risk = spark.read.parquet(s"$out/mocker_test.report_case_high_risk")
+      .collect()
+    assert(risk.length === 1)
+    assert(risk(0).getAs[Number]("id").longValue === 2L)
+  }
+
   test("tool_241: schema-only tables restore empty; populated ids pin") {
     val out = imp("tool_241")
     // the five dataless tables exist with zero rows (reference
