@@ -60,6 +60,16 @@ object GraftSession {
   def fixtureRoot(sfDir: String): String =
     s"/tmp/graft_fixtures/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
+  /** Recursive local delete — the ONE implementation behind every
+    * fixture/staging cleanup (was triplicated across the query and
+    * export modules).
+    */
+  def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

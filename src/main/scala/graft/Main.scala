@@ -110,8 +110,14 @@ object Main {
     if (serverMode) {
       // reference server mode: wait for tasks over HTTP
       // (`lightning.go:196-214`); tasks arrive as TOML or JSON bodies
-      val port = statusAddr
-        .map(_.split(":").last).filter(_.nonEmpty).map(_.toInt).getOrElse(8289)
+      // ":8289" / "host:8289" → that port; host-only or bare-IPv6
+      // addresses (no numeric tail after the last ':') → the default
+      // port rather than a NumberFormatException
+      val port = statusAddr.flatMap { a =>
+        val tail = a.substring(a.lastIndexOf(':') + 1)
+        if (a.contains(':') && tail.matches("[0-9]+")) Some(tail.toInt)
+        else None
+      }.getOrElse(8289)
       val spool = last("--spool").getOrElse(s"${cfg.targetDir}/_spool")
       Files.createDirectories(Paths.get(spool))
       val srv = HttpServer.start(spool, port)

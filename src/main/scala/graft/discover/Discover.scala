@@ -104,9 +104,21 @@ object FileRouter {
   def compile(rule: FileRule): Rule = {
     require(rule.pattern.isDefined != rule.path.isDefined,
       "[[mydumper.files]]: exactly one of `pattern` and `path` must be set")
+    // Go group names allow chars Java rejects (underscores, digits
+    // anywhere); sanitize the name in the PATTERN and remember the
+    // mapping so `$schema_name` template references still resolve
+    val GoGroup = """\(\?P<([^>]+)>""".r
+    val nameMap = scala.collection.mutable.Map[String, String]()
+    def sanitize(n: String): String = {
+      val s = n.replaceAll("[^A-Za-z0-9]", "")
+      val ok = if (s.isEmpty || !s.head.isLetter) "g" + s else s
+      nameMap(n) = ok; ok
+    }
     val (regexStr, escapeTmpl) = rule.pattern match {
       case Some(p) =>
-        (p.replace("(?P<", "(?<"), (t: String) => t)
+        (GoGroup.replaceAllIn(p, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"(?<${sanitize(m.group(1))}>")), (t: String) => t)
       case None =>
         (java.util.regex.Pattern.quote(rule.path.get),
           (t: String) => t.replace("$", "$$"))
@@ -123,7 +135,8 @@ object FileRouter {
             val byName = Option(mm.group(3)).orElse(Option(mm.group(5)))
             val g = byIdx match {
               case Some(i) => m.group(i.toInt)
-              case None => m.group(byName.get) // throws on unknown name — loud
+              case None => // throws on unknown name — loud
+                m.group(nameMap.getOrElse(byName.get, byName.get))
             }
             Option(g).getOrElse("") // unmatched optional group → empty
           }

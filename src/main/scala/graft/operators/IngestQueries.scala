@@ -28,11 +28,6 @@ object IngestQueries {
   private def fixDir(sfDir: String, name: String): String =
     s"${graft.GraftSession.fixtureRoot(sfDir)}/$name"
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(x => java.nio.file.Files.deleteIfExists(x))
-    }
 
   // ---------------------------------------------------------------- S2
   /** File router golden check over MyDumper naming (S2). */
@@ -269,8 +264,8 @@ object IngestQueries {
   def rowidE2e(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Paths.get(fixDir(sfDir, "rowid_e2e_src"))
     val tgt = fixDir(sfDir, "rowid_e2e_out")
-    deleteRecursively(root)
-    deleteRecursively(java.nio.file.Paths.get(tgt))
+    graft.GraftSession.deleteRec(root)
+    graft.GraftSession.deleteRec(java.nio.file.Paths.get(tgt))
     java.nio.file.Files.createDirectories(root)
     java.nio.file.Files.writeString(root.resolve("d.nn-schema.sql"),
       "CREATE TABLE nn (n_name varchar(25) NOT NULL, n_regionkey int, PRIMARY KEY (n_name));")

@@ -328,12 +328,7 @@ object PipelineQueries {
     deleteRec(tmpDir)
   }
 
-  private def deleteRec(p: Path): Unit = {
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
-  }
+  private def deleteRec(p: Path): Unit = graft.GraftSession.deleteRec(p)
 
   // -------------------------------- partitioned-table output layout
   /** `PARTITION BY` DDL → partitioned parquet layout

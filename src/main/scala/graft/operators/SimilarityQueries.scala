@@ -874,7 +874,10 @@ object SimilarityQueries {
     val comp = table(spark, sfDir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
-      .agg(sum(floor(col("v") * 10000).cast("long")).as("s"))
+      // cast BEFORE the multiply: float×int would compute in FLOAT and
+      // can round across an integer boundary differently than the
+      // oracle's CAST(… AS DOUBLE) * 10000
+      .agg(sum(floor(col("v").cast("double") * 10000).cast("long")).as("s"))
     val a = comp.select(col("label").as("label_a"), col("pos"), col("s").as("sa"))
     val b = comp.select(col("label").as("label_b"), col("pos"), col("s").as("sb"))
     a.join(b, Seq("pos"))

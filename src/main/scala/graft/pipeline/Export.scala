@@ -72,15 +72,5 @@ object Export {
     } finally s.close()
   }
 
-  private def deleteRec(p: Path): Unit = {
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      val all =
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toSeq
-        } finally s.close()
-      all.reverse.foreach(Files.deleteIfExists(_))
-    }
-  }
+  private def deleteRec(p: Path): Unit = graft.GraftSession.deleteRec(p)
 }

@@ -556,8 +556,12 @@ object Ingest {
     var i = 0; var q: Char = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (q != 0) { if (c == q) q = 0 }
-      else c match {
+      if (q != 0) {
+        // backslash escapes inside '…'/"…" literals (mysqldump emits
+        // \' etc.); backticked identifiers have no backslash escapes
+        if (c == '\\' && q != '`' && i + 1 < s.length) i += 1
+        else if (c == q) q = 0
+      } else c match {
         case '\'' | '"' | '`' => q = c
         case ';' => return s.substring(0, i)
         case _ =>
@@ -821,14 +825,23 @@ object Ingest {
     // max(explicit max, prior run's max) — same discipline as the
     // narrow auto-inc fill, independent of it (a table can carry
     // both, reference `tests/tidb_rowid` non_pk_auto_inc)
+    // when NO shard carries an explicit source column (the usual
+    // case — the column was back-filled NULL above), the stats agg is
+    // provably (max=NULL, nulls=all): skip the extra full re-parse of
+    // the batch and fill directly
+    val anyExplicitRowid = rowidNeeded && shards0.exists(
+      _.columns.exists(_.equalsIgnoreCase(TidbRowidCol)))
     val rowidFilled = if (!rowidNeeded) merged else {
       val rc = TidbRowidCol
-      val stats = merged.agg(
-        max(col(rc).cast("long")),
-        org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.when(col(rc).isNull, 1))).head
-      val explicitMax = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-      val nNulls = stats.getLong(1)
+      val (explicitMax, nNulls) =
+        if (!anyExplicitRowid) (0L, 1L)
+        else {
+          val stats = merged.agg(
+            max(col(rc).cast("long")),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.when(col(rc).isNull, 1))).head
+          (if (stats.isNullAt(0)) 0L else stats.getLong(0), stats.getLong(1))
+        }
       if (nNulls == 0L) merged
       else {
         val base = math.max(priorRowid, explicitMax)

@@ -396,8 +396,11 @@ object TomlConfig {
       analyze = analyze != "off",
       strictMode = take("tidb.sql-mode").map(str(_, "tidb.sql-mode"))
         .exists(_.toUpperCase.contains("STRICT")),
+      // absent max-error → 0: the reference aborts on bad rows rather
+      // than silently tolerating them (the programmatic Ingest.Config
+      // default stays permissive for library users who opt in)
       maxError = take("lightning.max-error").orElse(take("app.max-error"))
-        .map(long(_, "max-error")).getOrElse(Long.MaxValue),
+        .map(long(_, "max-error")).getOrElse(0L),
       tableConcurrency = take("lightning.table-concurrency")
         .map(long(_, "lightning.table-concurrency")).getOrElse(1L).toInt,
       noSchema = take("mydumper.no-schema")

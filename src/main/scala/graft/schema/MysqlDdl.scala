@@ -67,12 +67,15 @@ object MysqlDdl {
         cols += parseColumn(e)
       }
     }
-    // inline `PRIMARY KEY` on a column def
+    // inline `PRIMARY KEY` on a column def: capture the (possibly
+    // backquoted, possibly space-containing) name with the identifier
+    // grammar — a whitespace split would truncate `my col` to "`my"
+    val InlinePk = "(?isU)^((?:`(?:[^`]|``)+`)|[\\w$]+)\\s+.*PRIMARY\\s+KEY.*".r
     if (pk.isEmpty) {
       entries.map(_.trim).foreach { e =>
-        if (e.toUpperCase.matches("(?sU)^(`[^`]+`|\\w+)\\s+.*PRIMARY KEY.*") &&
-          !e.toUpperCase.startsWith("PRIMARY")) {
-          pk = Seq(unquoteIdent(e.split("\\s+")(0)))
+        if (!e.toUpperCase.startsWith("PRIMARY")) e match {
+          case InlinePk(rawName) => pk = Seq(unquoteIdent(rawName))
+          case _ =>
         }
       }
     }
@@ -200,10 +203,11 @@ object MysqlDdl {
   }
 
   // (?U) + the quoted alternatives: column names may be non-ASCII
-  // (reference tests/character_sets `主键`) and backquoted names may
-  // contain spaces/punctuation
+  // (reference tests/character_sets `主键`), backquoted names may
+  // contain spaces/punctuation, and a doubled backtick is an escaped
+  // backtick inside the name — same grammar as table identifiers
   private val ColRe =
-    """(?sU)^(`[^`]+`|"[^"]+"|[\w$]+)\s+(\w+)(\s*\([^)]*\))?(.*)$""".r
+    """(?sU)^(`(?:[^`]|``)+`|"[^"]+"|[\w$]+)\s+(\w+)(\s*\([^)]*\))?(.*)$""".r
 
   private def parseColumn(entry: String): ColumnSpec = {
     val ColRe(rawName, rawType, rawArgs, rawRest) = entry.trim

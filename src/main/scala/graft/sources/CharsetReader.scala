@@ -10,21 +10,26 @@ import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
   */
 object CharsetReader {
 
-  def decode(bytes: Array[Byte], charset: String = "auto"): String =
+  /** `lenient = false` (schema files): the reference errors when the
+    * file does not match the configured charset ("the schema files
+    * must be encoded as UTF-8, otherwise will emit errors" — sample
+    * config; `tests/character_sets` runs utf8mb4.toml against gb18030
+    * data expecting failure). `lenient = true` (DATA files): the
+    * reference substitutes invalid sequences with a replacement char
+    * and continues — one malformed byte must not abort a whole-table
+    * import. `binary` (ISO-8859-1) is total either way.
+    */
+  def decode(bytes: Array[Byte], charset: String = "auto",
+      lenient: Boolean = false): String =
     charset.toLowerCase match {
       case "auto" =>
         strictUtf8(bytes).getOrElse(new String(bytes, Charset.forName("GB18030")))
       // every explicit charset resolves through the ONE alias table
       // (jvmName) so the schema-decode and data-tokenizer paths cannot
-      // disagree on what a config value means. Decoding is STRICT: the
-      // reference errors when a file does not match the configured
-      // charset ("the schema files must be encoded as UTF-8, otherwise
-      // will emit errors" — sample config; `tests/character_sets` runs
-      // utf8mb4.toml against gb18030 data expecting failure). `binary`
-      // (ISO-8859-1) is total, so it never fails — that's its point.
+      // disagree on what a config value means
       case other =>
         val cs = Charset.forName(jvmName(other))
-        if (cs == StandardCharsets.ISO_8859_1) new String(bytes, cs)
+        if (cs == StandardCharsets.ISO_8859_1 || lenient) new String(bytes, cs)
         else {
           val dec = cs.newDecoder()
             .onMalformedInput(CodingErrorAction.REPORT)

@@ -68,7 +68,11 @@ object DumpSource {
             // binaryFiles hands back raw bytes — unlike textFile it
             // applies no codec, so compressed dumps decompress here
             // before the charset decode
-            CharsetReader.decode(decompress(p, stream.toArray()), charset)
+            // lenient: DATA files replace invalid sequences instead of
+            // aborting (reference data-invalid-char-replace; only
+            // SCHEMA decode is strict)
+            CharsetReader.decode(decompress(p, stream.toArray()), charset,
+              lenient = true)
           }
           .toDS()
       }

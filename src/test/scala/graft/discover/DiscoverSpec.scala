@@ -80,6 +80,17 @@ class DiscoverSpec extends AnyFunSuite {
       Some(RouteResult("db", "t", FileKind.Csv, None, "")))
   }
 
+  test("FileRule: Go group names Java rejects are sanitized consistently") {
+    // underscores are legal in Go group names, illegal in Java's —
+    // both the pattern and the template references must keep working
+    val rule = FileRouter.FileRule(
+      Some("""^(?P<schema_name>[a-z]+)/(?P<table_1>[a-z]+)\.sql$"""),
+      None, "${schema_name}", "$table_1", "sql")
+    val r = new FileRouter(Seq(FileRouter.compile(rule)), useDefaults = false)
+    assert(r.route("db/t.sql") ===
+      Some(RouteResult("db", "t", FileKind.Sql, None, "")))
+  }
+
   test("FileRule: invalid expanded type fails loudly; path rules keep $ literal") {
     val bad = FileRouter.compile(FileRouter.FileRule(
       Some("""^x\.(\w+)$"""), None, "s", "t", "$1"))

@@ -87,6 +87,28 @@ class CharsetsE2eSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("utf8mb4"))
   }
 
+  test("data files decode leniently: a malformed byte does not abort") {
+    // SCHEMA decode is strict (reference errors), but a DATA file with
+    // one invalid sequence imports with the replacement char — the
+    // reference's data-invalid-char-replace behavior; aborting a
+    // whole-table import on one byte would be a regression vs upstream
+    val root = Files.createTempDirectory("graft_cs_lenient")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    Files.writeString(src.resolve("d.t-schema.sql"),
+      "CREATE TABLE t (id int NOT NULL, s varchar(10), PRIMARY KEY (id));")
+    val bytes = "insert into t values (1, 'a".getBytes("GB18030") ++
+      Array(0xFF.toByte) ++ "b'), (2, 'ok');".getBytes("GB18030")
+    Files.write(src.resolve("d.t.0001.sql"), bytes)
+    val out = root.resolve("out").toString
+    val reports = Ingest.run(spark, Ingest.Config(
+      src.toString, out, charset = "gb18030"))
+    assert(reports.head.nRows === 2L && reports.head.checksumOk)
+    val rows = spark.read.parquet(s"$out/d.t").orderBy("id").collect()
+      .map(_.getString(1))
+    assert(rows(0).contains('�'), s"replacement char expected: ${rows(0)}")
+    assert(rows(1) === "ok")
+  }
+
   test("binary mode: gb18030 bytes survive undecoded (mojibake name)") {
     assume(Files.exists(base), "reference tests not present")
     val out = imp("gb18030", "binary")

@@ -804,6 +804,18 @@ class IngestSpec extends SparkSpec {
     (1 to 5).foreach(i => assert(rows(2).isNullAt(i), s"col $i should be null"))
   }
 
+  test("viewSelect stops at the statement end, not inside string literals") {
+    // trailing SET statements (MyDumper view files) must not leak in
+    assert(Ingest.viewSelect(
+      "CREATE VIEW v AS SELECT a FROM t;\nSET x = 1;")
+      === Some("SELECT a FROM t"))
+    // a backslash-escaped quote followed by ';' inside a literal must
+    // not truncate the SELECT mid-string
+    assert(Ingest.viewSelect(
+      "CREATE VIEW v AS SELECT 'a\\';b' AS x;\nSET y = 2;")
+      === Some("SELECT 'a\\';b' AS x"))
+  }
+
   test("viewSelect handles qualifier clauses and parenthesized bodies") {
     assert(Ingest.viewSelect(
       "CREATE ALGORITHM=UNDEFINED VIEW v AS SELECT a FROM t;")

@@ -23,6 +23,9 @@ class TomlConfigSpec extends AnyFunSuite {
     assert(l.config.targetDir === "/out")
     assert(l.config.filters === Nil)
     assert(l.config.chunkBytes === (256L << 20))
+    // absent max-error → 0: the reference aborts on bad rows (the
+    // programmatic Config default stays permissive for library users)
+    assert(l.config.maxError === 0L)
     assert(l.config.analyze, "post-restore.analyze defaults to required")
     assert(!l.serverMode)
     assert(l.checksum === "required")

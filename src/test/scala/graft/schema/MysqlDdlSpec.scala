@@ -222,4 +222,19 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(t2.colNames === Seq("a"))
     assert(t2.table.nonEmpty)
   }
+
+  test("spaced and escaped backquoted identifiers parse whole") {
+    // a spaced backquoted pk must survive whole — a whitespace split
+    // would truncate it to "`my" and break the int-handle detection
+    val t = MysqlDdl.parse(
+      "CREATE TABLE t (`my id` bigint PRIMARY KEY, v varchar(4));")
+    assert(t.colNames === Seq("my id", "v"))
+    assert(t.primaryKey === Seq("my id"))
+    // doubled backticks are ESCAPED backticks, for columns exactly
+    // like for table names
+    val e = MysqlDdl.parse("CREATE TABLE t (`a``b` int, c int);")
+    assert(e.colNames === Seq("a`b", "c"))
+    assert(MysqlDdl.unquoteIdent("`a``b`") === "a`b")
+    assert(MysqlDdl.unquoteIdent("\"x\"\"y\"") === "x\"y")
+  }
 }
