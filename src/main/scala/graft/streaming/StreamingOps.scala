@@ -149,6 +149,21 @@ object StreamingOps {
         col("c_ts"), col("v_ts"))
   }
 
+  /** Deletion propagation on the LIVE path: events from forgotten
+    * users are dropped before they ever land, via a stream-static
+    * LeftAnti join against the (bounded, broadcast) request cohort —
+    * the serving twin of the batch rewrite
+    * ([[graft.operators.PipelineQueries.forget]]): the batch pass
+    * purges history, this gate keeps the purge from re-accreting.
+    * Stateless (no watermark needed — the static side is a lookup,
+    * not a stream), so it composes in front of any downstream
+    * windowed operator.
+    */
+  def forgetStream(events: DataFrame, requests: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(requests.select("user_id")),
+      Seq("user_id"), "left_anti")
+
   /** Per-window hot tokens on a live stream: the [[graft.functions
     * .MisraGries]] summary as a watermarked windowed aggregate — the
     * streaming face of the batch heavy-hitters audit

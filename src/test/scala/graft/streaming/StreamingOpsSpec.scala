@@ -291,6 +291,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forgetStream drops exactly the batch rewrite's victims (parity)") {
+    import org.apache.spark.sql.functions._
+    val src = s"${sf()}/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_forget")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("part-00000.parquet"))
+    val raw = spark.read.parquet(src)
+    // the same deterministic cohort the batch forget operator purges
+    val requests = raw.select(col("user_id")).distinct()
+      .where(pmod(col("user_id"), lit(97)) === 0)
+    val stream = spark.readStream.schema(raw.schema).parquet(dir.toString)
+    val q = forgetStream(stream, requests).writeStream
+      .format("memory").queryName("forget_live").outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("forget_live").select("event_id").collect()
+        .map(_.getLong(0)).toSet
+      val want = raw.join(broadcast(requests), Seq("user_id"), "left_anti")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got === want)
+      assert(got.size < raw.count(), "the cohort must actually drop events")
+    } finally q.stop()
+  }
+
   test("attributionJoin matches clicks to in-horizon views only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
