@@ -236,6 +236,40 @@ object IngestQueries {
       |  (SELECT count(*) FROM events WHERE event_id % 10 <> 0) AS n_strict_rows
       |FROM events""".stripMargin
 
+  /** MySQL non-strict coercions (T2 lenient path, reference
+    * `tests/sqlmode/off.toml` — replayed e2e on the fixture itself in
+    * `SqlModeSpec`; this query puts the same kernel under the DuckDB
+    * oracle): tinyint clamping both ends, decimal rounding, NaN→0,
+    * NULL→implicit default on NOT NULL, varchar truncation, SET
+    * bitmask decode / dedupe-canonicalize / invalid-member→''.
+    */
+  def lenientCast(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = MysqlDdl.parse(
+      """CREATE TABLE t (event_id bigint NOT NULL, b tinyint NOT NULL,
+        |  s varchar(5), st set('x','y') NOT NULL);""".stripMargin)
+    val m5 = pmod(col("event_id"), lit(5))
+    val m4 = pmod(col("event_id"), lit(4))
+    val src = table(spark, sfDir, "events")
+      .select(col("event_id").cast(StringType).as("event_id"),
+        when(m5 === 0, lit("NaN")).when(m5 === 1, lit("200"))
+          .when(m5 === 2, lit("-999")).when(m5 === 3, lit("6.7"))
+          .otherwise(lit(null).cast(StringType)).as("b"),
+        col("event_type").cast(StringType).as("s"),
+        when(m4 === 0, lit("x,y,z")).when(m4 === 1, lit("3"))
+          .when(m4 === 2, lit("y,x,y")).otherwise(lit("y")).as("st"))
+    RowTransform.applySchema(src, schema, RowTransform.CastPolicy.Lenient)
+      .orderBy("event_id")
+  }
+
+  def lenientCastSql: String =
+    """SELECT event_id,
+      |  CASE event_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 127 WHEN 2 THEN -128
+      |    WHEN 3 THEN 7 ELSE 0 END AS b,
+      |  substr(event_type, 1, 5) AS s,
+      |  CASE event_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'x,y' WHEN 2 THEN 'x,y'
+      |    ELSE 'y' END AS st
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ T4/T6
   /** Deterministic row-ID assignment (T4/T6) with the scalable
     * two-level scheme: range-partition on the business key, sort within

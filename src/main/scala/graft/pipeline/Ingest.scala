@@ -44,6 +44,10 @@ object Ingest {
       stateDir: Option[String] = None,
       analyze: Boolean = true,
       strictMode: Boolean = false,
+      // MySQL non-strict coercions (clamp/truncate/implicit-default)
+      // instead of the library's honest-NULL default — what an explicit
+      // non-STRICT `tidb.sql-mode` selects (reference `tests/sqlmode`)
+      lenientCasts: Boolean = false,
       maxError: Long = Long.MaxValue,
       tableConcurrency: Int = 1,
       noSchema: Boolean = false,
@@ -869,9 +873,13 @@ object Ingest {
     // schema application adds a cast-error counter column that rides
     // the write pass as an observed metric (error summary, reference
     // `tests/error_summary`) and is dropped before the files land
+    val castPolicy =
+      if (cfg.strictMode) RowTransform.CastPolicy.Strict
+      else if (cfg.lenientCasts) RowTransform.CastPolicy.Lenient
+      else RowTransform.CastPolicy.NullOut
     val typed = schema match {
       case Some(ts) =>
-        GeneratedColumns(RowTransform.applySchemaWithErrors(rowidFilled, ts, cfg.strictMode), ts)
+        GeneratedColumns(RowTransform.applySchemaWithErrors(rowidFilled, ts, castPolicy), ts)
       case None => rowidFilled
     }
     val errCol = schema.map(_ => RowTransform.ErrorsCol)

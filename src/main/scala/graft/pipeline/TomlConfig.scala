@@ -384,6 +384,9 @@ object TomlConfig {
     val checksum = take("post-restore.checksum")
       .map(postOpLevel(_, "post-restore.checksum")).getOrElse("required")
 
+    val sqlMode = take("tidb.sql-mode")
+      .map(str(_, "tidb.sql-mode").toUpperCase)
+
     val cfg = Ingest.Config(
       sourceDir = sourceDir,
       targetDir = targetDir,
@@ -394,8 +397,12 @@ object TomlConfig {
         .map(str(_, "mydumper.character-set")).getOrElse("auto"),
       stateDir = stateDir,
       analyze = analyze != "off",
-      strictMode = take("tidb.sql-mode").map(str(_, "tidb.sql-mode"))
-        .exists(_.toUpperCase.contains("STRICT")),
+      strictMode = sqlMode.exists(_.contains("STRICT")),
+      // an EXPLICIT non-strict sql-mode selects MySQL's lenient
+      // coercions (clamp/truncate/implicit defaults — what the server
+      // does without STRICT_TRANS_TABLES, `tests/sqlmode/off.toml`);
+      // absent sql-mode keeps the library's honest-NULL default
+      lenientCasts = sqlMode.exists(!_.contains("STRICT")),
       // absent max-error → 0: the reference aborts on bad rows rather
       // than silently tolerating them (the programmatic Ingest.Config
       // default stays permissive for library users who opt in)

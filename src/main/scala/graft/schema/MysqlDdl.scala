@@ -20,8 +20,27 @@ case class ColumnSpec(
     autoIncrement: Boolean,
     unsigned: Boolean,
     enumValues: Seq[String],
-    autoRandomBits: Option[Int] = None) {
+    autoRandomBits: Option[Int] = None,
+    charset: Option[String] = None) {
   def field: StructField = StructField(name, sparkType, nullable)
+
+  /** Declared length for char/varchar/binary/varbinary (`varchar(25)` →
+    * 25) — the truncation bound MySQL's non-strict mode applies
+    * (reference `tests/sqlmode` pins `VARCHAR(1)` truncating 'too long'
+    * to 't'). None for length-less types (text/blob/int display widths
+    * are NOT lengths and are excluded).
+    */
+  def typeLength: Option[Int] = {
+    val base = mysqlType.takeWhile(_ != '(')
+    if (Set("char", "varchar", "binary", "varbinary")(base)) {
+      val i = mysqlType.indexOf('(')
+      if (i < 0) None
+      else mysqlType.substring(i + 1, mysqlType.length - 1).trim match {
+        case s if s.forall(_.isDigit) && s.nonEmpty => Some(s.toInt)
+        case _ => None
+      }
+    } else None
+  }
 }
 
 /** `AS (expr) STORED|VIRTUAL` generation clause. */
@@ -244,13 +263,31 @@ object MysqlDdl {
       if (baseType == "enum" || baseType == "set")
         splitTopLevel(args, ',').map(_.trim.stripPrefix("'").stripSuffix("'"))
       else Seq.empty
+    // column-level `CHARSET x` / `CHARACTER SET x` (reference
+    // `tests/sqlmode` `c VARCHAR(1) CHARSET latin1`). A single-byte
+    // charset column is a BYTE string — TiDB stores it un-recoded, and
+    // values like x'99' or a truncated UTF-8 prefix are not valid
+    // UTF-8, which Spark's StringType cannot hold — so it maps to
+    // BinaryType. Table-level DEFAULT CHARSET is untouched.
+    val colCharset = CharsetRe.findFirstMatchIn(restFlags).map(_.group(1).toLowerCase)
+    val baseSparkType = sparkType(baseType, args, unsigned)
+    val effType =
+      if (baseSparkType == StringType && colCharset.exists(ByteCharsets)) BinaryType
+      else baseSparkType
     ColumnSpec(name, baseType + (if (args.nonEmpty) s"($args)" else ""),
-      sparkType(baseType, args, unsigned), nullable = !notNull,
-      default, generated, autoInc, unsigned, enumValues, autoRandom)
+      effType, nullable = !notNull,
+      default, generated, autoInc, unsigned, enumValues, autoRandom, colCharset)
   }
 
   private val AutoRandomRe =
     """(?i)AUTO_RANDOM\s*(?:\(\s*(\d+)\s*(?:,\s*\d+\s*)?\))?""".r
+
+  private val CharsetRe = """(?i)(?:CHARACTER\s+SET|CHARSET)\s+(\w+)""".r
+
+  /** Charsets whose column values are raw byte strings to us (not
+    * recodable to UTF-8 losslessly value-by-value).
+    */
+  private val ByteCharsets = Set("latin1", "binary")
 
   /** Replace quoted contents with spaces so keyword scans can't match
     * inside them (length-preserving). Covers string literals ('…', "…")

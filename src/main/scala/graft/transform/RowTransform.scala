@@ -99,9 +99,25 @@ object RowTransform {
     *    around the same cast — still a narrow codegen'd expression, no
     *    session-wide ANSI flag needed.
     */
-  def applySchema(df: DataFrame, schema: TableSchema, strict: Boolean = false): DataFrame = {
+  def applySchema(df: DataFrame, schema: TableSchema, strict: Boolean = false): DataFrame =
+    applySchema(df, schema, if (strict) CastPolicy.Strict else CastPolicy.NullOut)
+
+  /** Three-valued SQL-mode switch (reference `tests/sqlmode` runs the
+    * same data under `off.toml`/`on.toml`):
+    *
+    *  - [[CastPolicy.NullOut]] — the engine's library default: a bad
+    *    value becomes an honest NULL (documented deviation from MySQL,
+    *    which coerces);
+    *  - [[CastPolicy.Lenient]] — MySQL non-strict semantics: clamp
+    *    out-of-range numbers, truncate overlong strings, normalize SET
+    *    values, fill NOT NULL implicit defaults (what a `sql-mode`
+    *    without STRICT_TRANS_TABLES does server-side);
+    *  - [[CastPolicy.Strict]] — STRICT_TRANS_TABLES: raise on the
+    *    first bad value, failing the import loudly.
+    */
+  def applySchema(df: DataFrame, schema: TableSchema, policy: CastPolicy.Value): DataFrame = {
     val permuted = permute(df, schema)
-    permuted.select(castColumns(schema, strict): _*)
+    permuted.select(castColumns(schema, policy): _*)
   }
 
   /** Marker column added by [[applySchemaWithErrors]]. */
@@ -115,10 +131,21 @@ object RowTransform {
     * raise before they could be counted, so the column is constant 0.
     */
   def applySchemaWithErrors(df: DataFrame, schema: TableSchema,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false): DataFrame =
+    applySchemaWithErrors(df, schema,
+      if (strict) CastPolicy.Strict else CastPolicy.NullOut)
+
+  /** [[applySchemaWithErrors]] under a [[CastPolicy]]. Strict raises
+    * before an error could be counted; Lenient coerces everything MySQL
+    * coerces (warnings in MySQL, not errors — they never consume the
+    * max-error budget there either); both leave the counter at 0.
+    */
+  def applySchemaWithErrors(df: DataFrame, schema: TableSchema,
+      policy: CastPolicy.Value): DataFrame = {
     val permuted = permute(df, schema)
-    val errs = if (strict) lit(0L) else errorCount(schema)
-    permuted.select(castColumns(schema, strict) :+ errs.as(ErrorsCol): _*)
+    val errs =
+      if (policy == CastPolicy.NullOut) errorCount(schema) else lit(0L)
+    permuted.select(castColumns(schema, policy) :+ errs.as(ErrorsCol): _*)
   }
 
   /** Per-row count of values that would fail their cast. A MySQL zero
@@ -145,18 +172,25 @@ object RowTransform {
       .filter(col(ErrorsCol) > 0)
   }
 
-  private def castColumns(schema: TableSchema, strict: Boolean): Seq[Column] =
+  /** SQL-mode selector for the cast pipeline — see [[applySchema]]. */
+  object CastPolicy extends Enumeration {
+    val NullOut, Lenient, Strict = Value
+  }
+
+  private def castColumns(schema: TableSchema, policy: CastPolicy.Value): Seq[Column] =
     schema.columns.map { c =>
       val raw = col(c.name)
-      val casted = castTo(raw, c)
-      val v =
-        if (strict)
+      val v = policy match {
+        case CastPolicy.Lenient => lenientCast(raw, c)
+        case CastPolicy.Strict =>
+          val casted = castTo(raw, c)
           when(raw.isNotNull && casted.isNull,
             raise_error(concat(
               lit(s"strict mode: invalid value for column ${c.name}: '"),
               raw.try_cast(StringType), lit("'"))).cast(c.sparkType))
             .otherwise(casted)
-        else casted
+        case CastPolicy.NullOut => castTo(raw, c)
+      }
       v.as(c.name)
     }
 
@@ -183,14 +217,197 @@ object RowTransform {
       c.try_cast(StringType).rlike("^0000-00-00( 00:00:00(\\.0+)?)?$")
     else lit(false)
 
+  /** MySQL type domains narrower than their Spark carrier type, keyed
+    * by the DDL base type (reference `CastValue` enforces the same
+    * ranges; `tests/sqlmode` pins tinyint 128/−99999 behavior). Signed
+    * int/bigint need no entry — they fill their carrier exactly, so
+    * try_cast already nulls overflow.
+    */
+  private val SignedRanges: Map[String, (Long, Long)] = Map(
+    "tinyint" -> (-128L, 127L),
+    "smallint" -> (-32768L, 32767L),
+    "mediumint" -> (-8388608L, 8388607L))
+
+  private val UnsignedMax: Map[String, BigDecimal] = Map(
+    "tinyint" -> BigDecimal(255),
+    "smallint" -> BigDecimal(65535),
+    "mediumint" -> BigDecimal(16777215),
+    "int" -> BigDecimal(4294967295L),
+    "integer" -> BigDecimal(4294967295L),
+    "bigint" -> (BigDecimal(2).pow(64) - 1))
+
+  private def baseTypeOf(spec: ColumnSpec): String =
+    spec.mysqlType.takeWhile(_ != '(')
+
+  /** Integer DDL base types — the branches that round+clamp in lenient
+    * mode. `bit`/decimal/float stay out (bit keeps its integer text,
+    * decimals keep their scale).
+    */
+  private val IntBases = Set(
+    "tinyint", "smallint", "mediumint", "int", "integer", "bigint", "year")
+
+  /** MySQL temporal domains: TIMESTAMP is epoch-bounded, DATE/DATETIME
+    * start at year 1000 — Spark's string→timestamp parse is laxer (it
+    * accepts a bare year like '9'), so without the bound a value MySQL
+    * rejects (`tests/sqlmode` row 1: integer 9 into TIMESTAMP) would
+    * silently become year 9.
+    */
+  private def temporalInRange(base: Column, spec: ColumnSpec): Column =
+    baseTypeOf(spec) match {
+      case "timestamp" =>
+        base >= to_timestamp(lit("1970-01-01 00:00:01")) &&
+          base <= to_timestamp(lit("2038-01-19 03:14:07"))
+      case "datetime" | "date" =>
+        base.cast(DateType) >= to_date(lit("1000-01-01")) &&
+          base.cast(DateType) <= to_date(lit("9999-12-31"))
+      case _ => lit(true)
+    }
+
   private def castTo(c: Column, spec: ColumnSpec): Column = {
-    val base = c.try_cast(spec.sparkType)
+    val base0 = c.try_cast(spec.sparkType)
+    val bt = baseTypeOf(spec)
+    // domain narrowing the carrier type can't express: narrow/unsigned
+    // integer ranges, temporal ranges, declared char/binary lengths.
+    // Out-of-domain → NULL, which NullOut keeps (honest NULL) and
+    // Strict turns into a raise — matching MySQL's strict error set.
+    val base = spec.sparkType match {
+      case IntegerType | LongType | _: DecimalType
+        if SignedRanges.contains(bt) || spec.unsigned =>
+        val (lo, hi) =
+          if (spec.unsigned)
+            (BigDecimal(0), UnsignedMax.getOrElse(bt, BigDecimal(Long.MaxValue)))
+          else {
+            val (l, h) = SignedRanges(bt); (BigDecimal(l), BigDecimal(h))
+          }
+        val d = base0.cast(DecimalType(38, 0))
+        when(d.between(lit(lo), lit(hi)), base0)
+      case TimestampType | DateType =>
+        when(temporalInRange(base0, spec), base0)
+      case StringType =>
+        // length() = characters on strings, bytes on binary — both are
+        // the MySQL bound for the respective column kind
+        spec.typeLength.map(n => when(length(base0) <= n, base0))
+          .getOrElse(base0)
+      case BinaryType =>
+        spec.typeLength.map(n => when(length(base0) <= n, base0))
+          .getOrElse(base0)
+      case _ => base0
+    }
     if (spec.enumValues.isEmpty) base
     else if (spec.mysqlType.startsWith("set"))
       when(size(array_except(split(c, ","), typedLit(spec.enumValues))) === 0, base)
     else
       when(c.isin(spec.enumValues.map(v => lit(v)): _*), base)
   }
+
+  /** MySQL non-strict coercion (`sql-mode` without STRICT_TRANS_TABLES;
+    * reference `tests/sqlmode/off.toml` pins every branch): numbers
+    * parse their leading numeric prefix, round, and CLAMP to the
+    * declared range ('NaN'→0, 128→127, −99999→−128, 99.999→100);
+    * strings truncate to the declared length (byte-wise for
+    * byte-charset columns: 'too long'→'t', '🤩'→0xF0); SET values
+    * normalize (numeric bitmask decode, dedupe to definition order,
+    * any invalid member → ''); NOT NULL columns fill their implicit
+    * default (0 / '' / empty bytes) on NULL input. Temporal columns
+    * keep the zero-date contract: anything MySQL would store as
+    * `0000-00-00` is NULL here (documented deviation — Spark's
+    * calendar has no zero date).
+    */
+  private def lenientCast(raw: Column, spec: ColumnSpec): Column = {
+    val bt = baseTypeOf(spec)
+    val s = raw.try_cast(StringType)
+    def notNullFill(v: Column, fill: Column): Column =
+      if (spec.nullable) v else coalesce(v, fill)
+    spec.sparkType match {
+      case _ if bt == "enum" =>
+        val vals = spec.enumValues
+        val member = when(s.isin(vals.map(lit): _*), s)
+        val idx = s.try_cast(IntegerType)
+        val ordinal = when(idx.between(1, vals.size), element_at(typedLit(vals), idx))
+        // invalid → '' (MySQL's enum error value), NULL input on a
+        // nullable column stays NULL
+        val v = when(raw.isNull, lit(null).cast(StringType))
+          .otherwise(coalesce(member, ordinal, lit("")))
+        notNullFill(v, lit(""))
+      case _ if bt == "set" =>
+        val vals = spec.enumValues
+        val elems = split(s, ",")
+        val validSplit = size(array_except(elems, typedLit(vals))) === 0
+        // canonical form: members in definition order, deduped
+        val canonical = concat_ws(",", vals.map(v =>
+          when(array_contains(elems, v), lit(v)).otherwise(lit(null).cast(StringType))): _*)
+        val n = s.try_cast(LongType)
+        val bitmask = concat_ws(",", vals.zipWithIndex.map { case (v, i) =>
+          when(shiftright(n, i).bitwiseAND(lit(1L)) === 1L, lit(v))
+            .otherwise(lit(null).cast(StringType))
+        }: _*)
+        // a 64-member SET fills the long exactly — no upper bound then
+        // (1L << 64 would wrap to 1)
+        val inMask =
+          if (vals.size >= 64) n.isNotNull && n >= 0
+          else n.isNotNull && n >= 0 && n < (1L << vals.size)
+        val v = when(raw.isNull, lit(null).cast(StringType))
+          .otherwise(
+            when(s === "", lit(""))
+              .when(validSplit, canonical)
+              .when(inMask, bitmask)
+              .otherwise(lit("")))
+        notNullFill(v, lit(""))
+      case IntegerType | LongType | _: DecimalType if IntBases(bt) =>
+        val (lo, hi) =
+          if (spec.unsigned)
+            (BigDecimal(0), UnsignedMax.getOrElse(bt, BigDecimal(Long.MaxValue)))
+          else SignedRanges.get(bt)
+            .map { case (l, h) => (BigDecimal(l), BigDecimal(h)) }
+            .getOrElse(bt match {
+              case "bigint" => (BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue))
+              case "year" => (BigDecimal(0), BigDecimal(2155))
+              case _ => (BigDecimal(Int.MinValue), BigDecimal(Int.MaxValue))
+            })
+        val num = numericPrefix(s)
+        val rounded = round(num, 0).cast(DecimalType(38, 0))
+        // greatest/least skip NULLs — an unparseable value must stay
+        // NULL here (→ 0 via the coalesce), not clamp to the low bound
+        val clamped = when(rounded.isNotNull,
+          least(greatest(rounded, lit(lo).cast(DecimalType(38, 0))),
+            lit(hi).cast(DecimalType(38, 0)))).cast(spec.sparkType)
+        val v = when(raw.isNull, lit(null).cast(spec.sparkType))
+          .otherwise(coalesce(clamped, lit(0).cast(spec.sparkType)))
+        notNullFill(v, lit(0).cast(spec.sparkType))
+      case FloatType | DoubleType | _: DecimalType =>
+        val v = when(raw.isNull, lit(null).cast(spec.sparkType))
+          .otherwise(coalesce(numericPrefix(s).try_cast(spec.sparkType),
+            lit(0).cast(spec.sparkType)))
+        notNullFill(v, lit(0).cast(spec.sparkType))
+      case TimestampType | DateType =>
+        // zero-date contract: invalid/out-of-range → NULL even NOT NULL
+        castTo(raw, spec)
+      case StringType =>
+        val t = spec.typeLength.map(n => substring(s, 1, n)).getOrElse(s)
+        notNullFill(t, lit(""))
+      case BinaryType =>
+        val b = raw.try_cast(BinaryType)
+        val t = spec.typeLength.map(n => substring(b, lit(1), lit(n))).getOrElse(b)
+        notNullFill(t, lit(Array.emptyByteArray))
+      case BooleanType =>
+        val v = when(raw.isNull, lit(null).cast(BooleanType))
+          .otherwise(coalesce(raw.try_cast(BooleanType),
+            numericPrefix(s) =!= 0, lit(false)))
+        notNullFill(v, lit(false))
+      case _ =>
+        notNullFill(castTo(raw, spec), lit(0).try_cast(spec.sparkType))
+    }
+  }
+
+  /** MySQL's string→number parse: the longest numeric PREFIX of the
+    * trimmed value ('12abc'→12, 'NaN'→no prefix→NULL, callers
+    * coalesce to 0). decimal(38,6) carrier: exact across the whole
+    * bigint range (a double would corrupt the low bits of large IDs).
+    */
+  private def numericPrefix(s: Column): Column =
+    regexp_extract(trim(s),
+      "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?", 0)
+      .try_cast(DecimalType(38, 6))
 
   /** T4/T6: deterministic row-ID assignment. The reference gives every
     * chunk a contiguous [PrevRowIDMax, RowIDMax) range and numbers rows
