@@ -57,6 +57,14 @@ object Ingest {
       chunkBytes: Long = 256L << 20,
       chunkBatch: Int = 8,
       failpointAfterBatches: Option[Int] = None,
+      // test-only failpoint (the reference's FailIfImportedSomeRows,
+      // tests/tidb_duplicate_data): write only the first N rows of the
+      // batch, then fail the import — leaves a PARTIAL table behind
+      // with no covering state, like a tidb-backend dying mid-INSERT
+      failpointPartialRows: Option[Int] = None,
+      // tidb-backend duplicate policy vs rows already in the target
+      // (reference tikv-importer.on-duplicate): replace|ignore|error
+      onDuplicate: Option[String] = None,
       // [[mydumper.files]] custom routing rules; defaults stay active
       // unless defaultFileRules overrides the reference's implicit
       // "custom rules present → defaults off"
@@ -894,12 +902,60 @@ object Ingest {
     val partCols = schema.map(_.partitionBy).getOrElse(Nil)
       .flatMap(p => dataCols.find(_.equalsIgnoreCase(p)))
     val out = s"${cfg.targetDir}/${d.db}.${d.table}"
+    // TiDB-backend analog (reference `tikv-importer.on-duplicate`,
+    // `tests/tidb_duplicate_data`): a fresh import into a target that
+    // ALREADY HOLDS rows (e.g. a prior run that died mid-import with no
+    // checkpoint) merges against them on the primary key — "replace"
+    // (incoming wins), "ignore" (existing wins), "error" (MySQL's
+    // `Duplicate entry` failure). Only the no-covering-state path
+    // merges: a checkpointed resume already proves disjointness.
+    // The merged table REWRITES (existing side localCheckpoint'ed
+    // first — reading and overwriting the same files otherwise races);
+    // the pre-write checksum then covers exactly the final table, so
+    // the read-back gate still holds. At 100 TB the production path is
+    // the checkpointed resume; this policy path is the
+    // compatibility surface for the reference's tidb backend.
+    val typedMerged = (cfg.onDuplicate, schema.map(_.primaryKey).getOrElse(Nil)) match {
+      case (Some(policy), pk) if pk.nonEmpty && prior.isEmpty && {
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(p)
+      } =>
+        val existing = spark.read.parquet(out).localCheckpoint(true)
+        val pkCols = pk.map(col)
+        val incomingCols = typed.columns.filterNot(errCol.contains)
+        // align the read-back to the incoming layout; the counter
+        // column is 0 for rows that already passed a previous import
+        val existingAligned = existing.select(incomingCols.map(col).toSeq: _*)
+        policy match {
+          case "error" =>
+            val dup = existingAligned.join(typed, pk, "inner")
+              .select(pkCols: _*).limit(1).collect()
+            if (dup.nonEmpty) throw new IllegalStateException(
+              s"Duplicate entry '${dup(0).toSeq.mkString("-")}' for key " +
+                s"'${d.db}.${d.table}.PRIMARY' (on-duplicate=error)")
+            typed
+          case "replace" =>
+            val kept = existingAligned.join(typed.select(pkCols: _*), pk, "left_anti")
+            errCol.foldLeft(kept)((df, e) => df.withColumn(e, lit(0L)))
+              .select(typed.columns.map(col).toSeq: _*).union(typed)
+          case "ignore" =>
+            val incoming = typed.join(existingAligned.select(pkCols: _*), pk, "left_anti")
+            errCol.foldLeft(existingAligned)((df, e) => df.withColumn(e, lit(0L)))
+              .select(typed.columns.map(col).toSeq: _*).union(incoming)
+          case other => throw new IllegalArgumentException(
+            s"on-duplicate=$other: expected replace|ignore|error")
+        }
+      case _ => typed
+    }
     // Pre-write checksum rides the write pass as an observed metric —
     // one scan of the source instead of two (the parse/cast plan is
     // expensive; at 100 TB a separate pre-pass doubles import cost).
     // Attached above the range shuffle: see SortedParquetSink.writeObserved.
     val obs = org.apache.spark.sql.Observation()
-    SortedParquetSink.writeObservedMetrics(typed, out, sortCols, obs,
+    val toWrite = cfg.failpointPartialRows
+      .map(typedMerged.limit).getOrElse(typedMerged)
+    SortedParquetSink.writeObservedMetrics(toWrite, out, sortCols, obs,
       _ => Checksum.checksumColOf(dataCols) +:
         (errCol.toSeq.map(e => coalesce(sum(col(e)), lit(0L)).as("bad_rows")) ++
           (if (rowidNeeded)
@@ -919,6 +975,13 @@ object Ingest {
       dropCols = errCol.toSeq,
       mode = if (prior.isDefined) "append" else "overwrite",
       partitionCols = partCols)
+    // the partial-rows failpoint fails AFTER the (truncated) write
+    // lands and BEFORE any state is recorded — the crash shape the
+    // duplicate-data corpus needs
+    cfg.failpointPartialRows.foreach { n =>
+      throw new IllegalStateException(
+        s"failpoint: imported $n rows of ${d.db}.${d.table}, then failed")
+    }
     val pre = Checksum.fromMetric(obs.get("kv_checksum"))
     val badRows = errCol.map(_ => obs.get("bad_rows").asInstanceOf[Long]).getOrElse(0L)
     val maxRowId = autoInc

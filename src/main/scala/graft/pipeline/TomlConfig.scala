@@ -417,6 +417,15 @@ object TomlConfig {
       chunkBytes = take("mydumper.max-region-size")
         .map(parseSize).getOrElse(256L << 20),
       fileRules = fileRules,
+      // tidb-backend merge policy vs pre-existing target rows
+      // (`tests/tidb_duplicate_data` replays all three values); the
+      // reference defaults the tidb backend to "replace" (config.go),
+      // so backend=tidb alone turns the policy on
+      onDuplicate = take("tikv-importer.on-duplicate")
+        .map(str(_, "tikv-importer.on-duplicate"))
+        .orElse(take("tikv-importer.backend")
+          .map(str(_, "tikv-importer.backend"))
+          .filter(_ == "tidb").map(_ => "replace")),
       defaultFileRules = take("mydumper.default-file-rules")
         .map(bool(_, "mydumper.default-file-rules")),
       bwList = bwRules)

@@ -104,7 +104,9 @@ class TomlConfigSpec extends AnyFunSuite {
     assert(c.routes === Seq(TableRoute("routes_a*", "t*", "routes_b", "u")))
     // tidb.host has no Spark analog — must be reported, not dropped
     assert(l.ignored.contains("tidb.host"))
-    assert(l.ignored.contains("tikv-importer.backend"))
+    // backend IS consumed now (tidb → on-duplicate default, local → none)
+    assert(!l.ignored.contains("tikv-importer.backend"))
+    assert(c.onDuplicate === None, "backend=local keeps the policy off")
   }
 
   test("value grammar: escapes, underscores, comments inside strings") {
