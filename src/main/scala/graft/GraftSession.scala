@@ -66,8 +66,11 @@ object GraftSession {
     */
   def deleteRec(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(x => java.nio.file.Files.deleteIfExists(x))
+      val walk = java.nio.file.Files.walk(p)
+      try
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => java.nio.file.Files.deleteIfExists(x))
+      finally walk.close() // walk streams hold directory handles
     }
 
   val tableNames: Seq[String] = Seq(

@@ -84,7 +84,12 @@ object Main {
         "no source: pass --config or -d <dump dir>"))
       val tgt = targetOverride.getOrElse(sys.error(
         "no target: pass --config, --sorted-kv-dir or --target-dir"))
-      TomlConfig.Loaded(Ingest.Config(src, tgt), serverMode = false,
+      // maxError = 0: the CLI is the reference binary's surface, which
+      // aborts on bad rows — matching TomlConfig.load's default, so the
+      // no-config path can't silently null-out rows the config path
+      // would refuse (the library Config default stays permissive)
+      TomlConfig.Loaded(Ingest.Config(src, tgt, maxError = 0L),
+        serverMode = false,
         statusAddr = None, checksum = "required", ignored = Nil)
     }
     if (base.ignored.nonEmpty)
@@ -115,7 +120,11 @@ object Main {
       // port rather than a NumberFormatException
       val port = statusAddr.flatMap { a =>
         val tail = a.substring(a.lastIndexOf(':') + 1)
-        if (a.contains(':') && tail.matches("[0-9]+")) Some(tail.toInt)
+        // a bracketless multi-colon address is bare IPv6 ("::1" — its
+        // last segment is NOT a port); only [host]:port or host:port
+        // forms carry one
+        val bareV6 = a.count(_ == ':') > 1 && !a.contains(']')
+        if (!bareV6 && a.contains(':') && tail.matches("[0-9]+")) Some(tail.toInt)
         else None
       }.getOrElse(8289)
       val spool = last("--spool").getOrElse(s"${cfg.targetDir}/_spool")

@@ -1702,13 +1702,19 @@ object TextQueries {
 
   def phraseSearchSql: String = {
     val phrase = PhraseQuery.mkString(" ")
+    // the shingle expression is GENERATED from PhraseQuery so the
+    // oracle tracks the Spark side's phrase width — a hardcoded bigram
+    // would silently break parity the day the query grows a term
+    val n = PhraseQuery.size
+    val shingle = (0 until n).map(j =>
+      if (j == 0) "toks[i]" else s"toks[i + $j]").mkString(" || ' ' || ")
     s"""WITH base AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
        |  FROM documents WHERE len(trim(text)) > 0),
        |counted AS (
        |  SELECT doc_id, CAST(len(list_filter(
-       |    list_transform(generate_series(1, len(toks) - 1),
-       |      i -> toks[i] || ' ' || toks[i + 1]),
+       |    list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |      i -> $shingle),
        |    s -> s = '$phrase')) AS BIGINT) AS n_phrase
        |  FROM base)
        |SELECT doc_id, n_phrase FROM counted WHERE n_phrase > 0

@@ -111,14 +111,22 @@ object HttpServer {
             findTask(name) match {
               case None => err(ex, 404, s"task not found: $name")
               case Some(p) =>
-                val stateDir =
-                  try Server.parseTask(Files.readString(p)).stateDir
-                  catch { case _: Exception => None }
-                val lines = stateDir.map(d => Paths.get(d, "state.jsonl"))
-                  .filter(Files.isRegularFile(_))
-                  .map(f => Files.readAllLines(f).asScala.toSeq)
-                  .getOrElse(Seq.empty)
-                respond(ex, 200, lines.mkString("[", ",", "]"))
+                // an unparseable task body is a 422, not an empty
+                // array — a client must be able to tell "no progress
+                // yet" from "the task itself is malformed"
+                val parsed =
+                  try Right(Server.parseTask(Files.readString(p)).stateDir)
+                  catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+                parsed match {
+                  case Left(msg) =>
+                    err(ex, 422, s"task body does not parse: $msg")
+                  case Right(stateDir) =>
+                    val lines = stateDir.map(d => Paths.get(d, "state.jsonl"))
+                      .filter(Files.isRegularFile(_))
+                      .map(f => Files.readAllLines(f).asScala.toSeq)
+                      .getOrElse(Seq.empty)
+                    respond(ex, 200, lines.mkString("[", ",", "]"))
+                }
             }
           case ("GET", List(name, "result")) =>
             Seq("done", "failed").iterator

@@ -236,9 +236,13 @@ object Ingest {
     val fs = new Path(cfg.sourceDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // reference default-file-rules semantics (sample toml:152-157):
-    // absent → defaults on only when no custom rules are configured
+    // absent → defaults on only when no custom rules are configured.
+    // An explicit false with ZERO custom rules would route nothing and
+    // import nothing silently — the reference's config Adjust forces
+    // the defaults back on in that case (config.go:535-537)
     val router = new FileRouter(cfg.fileRules.map(FileRouter.compile),
-      cfg.defaultFileRules.getOrElse(cfg.fileRules.isEmpty))
+      cfg.defaultFileRules.getOrElse(cfg.fileRules.isEmpty) ||
+        cfg.fileRules.isEmpty)
     val filter = new TableFilter(cfg.filters)
     val bwFilter = cfg.bwList.map(new BWFilter(_))
     val tableRouter = new TableRouter(cfg.routes)
