@@ -123,11 +123,18 @@ object KMeans {
     * execute, so the replay is bit-exact. Shared by [[kmeansCellsSql]]
     * and [[SimilarityQueries.semDedupSql]].
     */
-  private[operators] def lloydCte(srcRel: String, k: Int, iters: Int, dim: Int): String = {
+  private[operators] def lloydCte(srcRel: String, k: Int, iters: Int, dim: Int): String =
+    lloydCte(srcRel, k.toString, iters, dim)
+
+  /** k may be any DuckDB LIMIT expression — SemDeDup derives it from
+    * the corpus count (`greatest(8, ceil(n/target))`) so the oracle
+    * tracks the Spark side's corpus-proportional k.
+    */
+  private[operators] def lloydCte(srcRel: String, kSql: String, iters: Int, dim: Int): String = {
     val init =
       s"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM (SELECT * FROM $srcRel ORDER BY vec_id LIMIT $k))""".stripMargin
+         |  FROM (SELECT * FROM $srcRel ORDER BY vec_id LIMIT $kSql))""".stripMargin
     val steps = (0 until iters).map { i =>
       s"""asg$i AS (SELECT v.vec_id, b.cell,
          |    CAST(list_sum(list_transform(list_zip(v.embedding, b.cv), p -> $Qd2Sql)) AS BIGINT) AS d

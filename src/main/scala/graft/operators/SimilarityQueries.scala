@@ -572,7 +572,15 @@ object SimilarityQueries {
   }
 
   // ------------------------------------------------------- SemDeDup
-  private val SemDedupK = 8
+  /** Mean-cell-population target: k = max(8, ⌈n / target⌉), so cells
+    * stay bounded as the corpus grows (the paper's k ≈ 10⁴–10⁵ at
+    * web scale IS this rule: ~10⁹ docs / ~10⁴ per cell). The scale
+    * contract lives in the signature, not a comment — a fixed k would
+    * make the within-cell pair join quadratic in corpus size.
+    */
+  private[operators] val SemDedupCellTarget = 2048L
+  private[operators] def semDedupK(n: Long): Int =
+    math.max(8L, math.ceil(n.toDouble / SemDedupCellTarget).toLong).toInt
   private val SemDedupIters = 4
   private val SemDedupTau = 0.95
 
@@ -602,8 +610,11 @@ object SimilarityQueries {
     val base = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val planted = base.unionByName(
       base.withColumn("vec_id", col("vec_id") + 100000))
+    // k ∝ corpus (one cheap count of the narrow base relation — the
+    // planted union is exactly 2× it)
+    val k = semDedupK(2L * base.count())
     val m = KMeans.fit(planted, "vec_id", "embedding",
-      k = SemDedupK, iters = SemDedupIters, withInertia = false)
+      k = k, iters = SemDedupIters, withInertia = false)
     // per-vector: cell, squared norm, and dot with the OWN cell's
     // centroid — one narrow pass, materialized ONCE (localCheckpoint,
     // the winnowPairs candidate discipline) because both pair sides
@@ -644,7 +655,10 @@ object SimilarityQueries {
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 100000, embedding FROM embeddings),
-       |${KMeans.lloydCte("planted", SemDedupK, SemDedupIters, 64)},
+       |${KMeans.lloydCte("planted",
+          s"greatest(8, CAST(ceil(CAST((SELECT count(*) FROM planted) AS DOUBLE)" +
+            s" / $SemDedupCellTarget) AS BIGINT))",
+          SemDedupIters, 64)},
        |asgn AS (SELECT vec_id, cell FROM fr WHERE rn = 1),
        |e AS (SELECT v.vec_id, a.cell, v.embedding,
        |    CAST(list_sum(list_transform(list_zip(v.embedding, v.embedding), p -> $QDot)) AS BIGINT) AS nrm,

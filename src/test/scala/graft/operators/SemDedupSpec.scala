@@ -38,4 +38,40 @@ class SemDedupSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("k grows with the corpus: mean cell population stays bounded") {
+    // the contract in the signature: k = max(8, ceil(n/target)), so the
+    // MEAN cell population never exceeds the target no matter the n —
+    // the within-cell pair join stays blocked-quadratic, not quadratic
+    val t = SimilarityQueries.SemDedupCellTarget
+    Seq(1L, t, t * 8, t * 8 + 1, t * 1000, 1000L * 1000 * 1000).foreach { n =>
+      val k = SimilarityQueries.semDedupK(n)
+      assert(k >= 8, s"n=$n")
+      assert(n.toDouble / k <= t, s"n=$n k=$k mean=${n / k}")
+    }
+    assert(SimilarityQueries.semDedupK(t * 8 + 1) === 9, "crosses the floor")
+  }
+
+  test("derived k drives the clustering: folded corpus stays bounded per cell") {
+    import org.apache.spark.sql.functions._
+    // 4× fold of the embeddings under shifted ids — the ScalingProbe
+    // shape; with a test-sized target the derived k must exceed the
+    // floor and the realized MEAN population must honor the bound
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val folded = (0 until 4).map(i =>
+      base.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ unionByName _)
+    val n = folded.count()
+    val target = 64L
+    val k = math.max(8L, math.ceil(n.toDouble / target).toLong).toInt
+    assert(k > 8, s"fold must cross the floor: n=$n k=$k")
+    val m = KMeans.fit(folded, "vec_id", "embedding", k = k, iters = 2,
+      withInertia = false)
+    val pops = folded
+      .select(KMeans.cellOf(col("embedding"), m.centroids).as("cell"))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(pops.sum === n)
+    assert(n.toDouble / k <= target, "mean population within the target")
+  }
 }
