@@ -14,6 +14,8 @@ object Bench {
     catch { case _: Throwable => }
     try operators.DedupQueries.warmLayouts(spark, sfDir)
     catch { case _: Throwable => }
+    try operators.TextQueries.warmLayouts(spark, sfDir)
+    catch { case _: Throwable => }
     // fixed name order: Map iteration order reshuffles whenever a query
     // is added, which would move warm-up/cache effects between queries
     // and break round-over-round comparability

@@ -1436,6 +1436,85 @@ object TextQueries {
        |ORDER BY total_tf DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------- standing inverted index
+  /** The retrieval stack's SERVING layout: a (term → postings) parquet
+    * tree partitioned by a term-hash bucket, so a query for k terms
+    * reads k bucket directories at the file listing instead of
+    * re-tokenizing the corpus — the difference between an analytics
+    * pass and a serving path at 100 TB. Postings carry everything a
+    * scorer needs (tf, the doc length for BM25's normalization, and
+    * 1-based token positions for phrase queries), the classic
+    * self-contained impact-style posting entry. Same standing-layout
+    * discipline as [[DedupQueries.simhashLayout]]: built once per
+    * corpus, staleness-checked against the source parquet, warmed by
+    * Bench so probes measure the read, not the build.
+    */
+  private val InvIndexVersion = 1
+  private val InvIndexBuckets = 64
+
+  /** CRC32-based term bucket — the one hash both the Spark builtin
+    * (`crc32`, build side) and the plain JVM (driver-side probe
+    * pruning) compute identically.
+    */
+  private[operators] def termBucket(t: String): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Math.floorMod(c.getValue, InvIndexBuckets.toLong).toInt
+  }
+
+  private[operators] def invIndexLayout(spark: SparkSession, sfDir: String): String = {
+    val layout =
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/invindex_v$InvIndexVersion"
+    val marker = new java.io.File(s"$layout/_BUILT")
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val stale = src.exists() && src.lastModified() > marker.lastModified()
+    if (!marker.exists() || stale) {
+      val base = table(spark, sfDir, "documents")
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+      base.select(col("doc_id"), col("dl"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
+        .groupBy("tok", "doc_id", "dl")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos") + 1)).as("positions"))
+        .withColumn("tb", pmod(crc32(col("tok")), lit(InvIndexBuckets)).cast("int"))
+        // pre-shuffle on the partition key: each bucket directory is
+        // written by one task, ≤ one file per bucket instead of
+        // tasks × buckets fragments
+        .repartition(col("tb"))
+        .write.partitionBy("tb").mode("overwrite").parquet(s"$layout/postings")
+      base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$layout/stats")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(layout))
+      java.nio.file.Files.writeString(marker.toPath, s"v$InvIndexVersion")
+    }
+    layout
+  }
+
+  /** Pre-build the standing layouts (Bench warm-up counterpart of the
+    * simhash/ANN layout warms).
+    */
+  def warmLayouts(spark: SparkSession, sfDir: String): Unit = {
+    invIndexLayout(spark, sfDir)
+    ()
+  }
+
+  /** Postings for `terms`: the bucket filter prunes at the FILE
+    * LISTING (PartitionFilters, plan-pinned), the term filter drops
+    * bucket-mates inside the ≤|terms| directories read.
+    */
+  private def postingsFor(spark: SparkSession, sfDir: String,
+      terms: Seq[String]): DataFrame = {
+    val layout = invIndexLayout(spark, sfDir)
+    val buckets = terms.map(termBucket).distinct
+    spark.read.parquet(s"$layout/postings")
+      .where(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
+  }
+
+  private def indexStats(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${invIndexLayout(spark, sfDir)}/stats")
+
   // ------------------------------------------------- BM25 ranking
   /** Disjunctive query terms for BM25 — unlike [[SearchTerms]]' AND
     * semantics, any match contributes to the score.
@@ -1469,9 +1548,20 @@ object TextQueries {
       .limit(20)
 
   /** Full scored relation (doc_id, bm25_ppm, n_terms) — shared by the
-    * top-k query and the RRF fusion below.
+    * top-k query, the RRF fusion and the PRF feedback set. Serves from
+    * the standing inverted index: the only input read is |terms|
+    * posting buckets plus the one-row stats relation.
     */
-  private[operators] def bm25Scored(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def bm25Scored(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Score(
+      postingsFor(spark, sfDir, Bm25Terms).select("doc_id", "dl", "tok", "tf"),
+      indexStats(spark, sfDir))
+
+  /** The pre-index implementation — one corpus scan, tokenizing on the
+    * fly. Kept as the parity twin (`InvIndexSpec` pins index == scan on
+    * every retrieval query) and as the shape the index BUILD uses.
+    */
+  private[operators] def bm25ScoredScan(spark: SparkSession, sfDir: String): DataFrame = {
     val base = table(spark, sfDir, "documents")
       .where(length(trim(col("text"))) > 0)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
@@ -1485,6 +1575,14 @@ object TextQueries {
         explode(filter(col("toks"), isTerm)).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+    bm25Score(tf, stats)
+  }
+
+  /** THE one copy of the integer BM25 arithmetic, over any
+    * (doc_id, dl, tok, tf) relation — indexed and scan paths share it,
+    * so the scorer cannot drift between them.
+    */
+  private def bm25Score(tf: DataFrame, stats: DataFrame): DataFrame = {
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
@@ -1545,17 +1643,29 @@ object TextQueries {
     * run on ≤100-row relations — single-partition windows are fine
     * there, the corpus-sized work stays in the arms.
     */
-  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame =
+    rrfFuse(bm25Scored(spark, sfDir),
+      // the tf arm is one pruned postings read: Σtf per doc over the
+      // query terms == counting the exploded occurrences
+      postingsFor(spark, sfDir, Bm25Terms)
+        .groupBy("doc_id").agg(sum(col("tf")).as("total_tf")))
+
+  /** Scan-path twin (parity-pinned in `InvIndexSpec`). */
+  private[operators] def rrfFusionScan(spark: SparkSession, sfDir: String): DataFrame =
+    rrfFuse(bm25ScoredScan(spark, sfDir),
+      table(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+        .where(col("tok").isin(Bm25Terms: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("total_tf")))
+
+  private def rrfFuse(scored: DataFrame, totals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pool = 100
-    val bmArm = bm25Scored(spark, sfDir)
+    val bmArm = scored
       .orderBy(col("bm25_ppm").desc, col("doc_id")).limit(pool)
       .select(col("doc_id"), row_number().over(
         Window.orderBy(col("bm25_ppm").desc, col("doc_id"))).as("bm25_rank"))
-    val tfArm = table(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
-      .where(col("tok").isin(Bm25Terms: _*))
-      .groupBy("doc_id").agg(count(lit(1)).as("total_tf"))
+    val tfArm = totals
       .orderBy(col("total_tf").desc, col("doc_id")).limit(pool)
       .select(col("doc_id"), row_number().over(
         Window.orderBy(col("total_tf").desc, col("doc_id"))).as("tf_rank"))
@@ -1670,17 +1780,40 @@ object TextQueries {
   }
 
   // ----------------------------------------------- phrase search
-  /** Exact-phrase retrieval without a positional index: the phrase
-    * count per document is a pure nested-HOF expression over the
-    * token array (per-position term-by-term equality, no shingle
-    * strings allocated) — narrow, codegen'd, zero shuffle until the
-    * bounded top-k. The classic "positional postings" operator
-    * re-expressed columnar: at 100 TB it streams at scan speed
-    * because nothing but (doc_id, count) survives the scan.
+  /** Exact-phrase retrieval from the POSITIONAL postings of the
+    * standing index: one pruned bucket read per phrase term, an
+    * equi-join on doc_id (a doc must hold every term), and the match
+    * count is a pure array expression — positions of term 0 whose
+    * successors appear in each following term's positions. Nothing but
+    * |terms| posting lists is ever read; at 100 TB this is an
+    * index-read serving path, not a corpus scan.
     */
   val PhraseQuery: Seq[String] = Seq("spark", "merge")
 
   def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = PhraseQuery.size
+    val reads = PhraseQuery.zipWithIndex.map { case (t, j) =>
+      postingsFor(spark, sfDir, Seq(t))
+        .select(col("doc_id"), col("positions").as(s"p$j"))
+    }
+    val joined = reads.reduce((a, b) => a.join(b, "doc_id"))
+    // |{p ∈ pos(t0) : ∀j>0, p+j ∈ pos(tj)}| — exactly the token-stream
+    // consecutive-run count the scan twin computes
+    val nPhrase =
+      if (n == 1) size(col("p0"))
+      else size(filter(col("p0"), p =>
+        (1 until n).map(j => array_contains(col(s"p$j"), p + j)).reduce(_ && _)))
+    joined.select(col("doc_id"), nPhrase.cast("long").as("n_phrase"))
+      .where(col("n_phrase") > 0)
+      .orderBy(col("n_phrase").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Scan-path twin: the nested-HOF token-stream count over the raw
+    * corpus (no index) — parity-pinned against [[phraseSearch]] in
+    * `InvIndexSpec`.
+    */
+  private[operators] def phraseSearchScan(spark: SparkSession, sfDir: String): DataFrame = {
     val n = PhraseQuery.size
     val toksCol = tokens(lower(col("text")))
     // positional equality instead of materializing shingle strings:

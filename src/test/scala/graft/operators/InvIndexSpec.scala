@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The standing inverted index behind the retrieval stack: every
+  * indexed query must equal its corpus-scan twin row for row, the
+  * probe must prune posting buckets at the file listing, and a
+  * rewritten corpus must invalidate the layout (staleness).
+  */
+class InvIndexSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("bm25: index path == scan path") {
+    val idx = rows(TextQueries.bm25Topk(spark, sf()))
+    val scan = rows(TextQueries.bm25ScoredScan(spark, sf())
+      .orderBy(col("bm25_ppm").desc, col("doc_id")).limit(20))
+    assert(idx === scan)
+    assert(idx.nonEmpty)
+  }
+
+  test("phrase: positional index path == token-stream scan path") {
+    val idx = rows(TextQueries.phraseSearch(spark, sf()))
+    val scan = rows(TextQueries.phraseSearchScan(spark, sf()))
+    assert(idx === scan)
+    assert(idx.nonEmpty)
+  }
+
+  test("rrf: both fused arms match the scan twins") {
+    val idx = rows(TextQueries.rrfFusion(spark, sf()))
+    val scan = rows(TextQueries.rrfFusionScan(spark, sf()))
+    assert(idx === scan)
+    assert(idx.nonEmpty)
+  }
+
+  test("the probe prunes posting buckets at the file listing") {
+    val plan = TextQueries.bm25Topk(spark, sf()).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("tb"), plan)
+    // and no scan of the documents table survives in the indexed plan
+    assert(!plan.contains("documents.parquet"), plan)
+  }
+
+  test("termBucket matches Spark's crc32 for every query term") {
+    val terms = (TextQueries.Bm25Terms ++ TextQueries.PhraseQuery).distinct
+    import spark.implicits._
+    val viaSpark = terms.toDF("t")
+      .select(pmod(crc32(col("t")), lit(64)).cast("int")).as[Int].collect()
+    assert(viaSpark.toSeq === terms.map(TextQueries.termBucket))
+  }
+
+  test("staleness: a rewritten corpus invalidates the standing layout") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inv").toString
+    def write(text: String): Unit = {
+      Seq((1L, text)).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    }
+    write("spark merge spark merge")
+    val first = rows(TextQueries.phraseSearch(spark, tmp))
+    assert(first === Seq(Seq(1L, 2L)))
+    // rewrite with one fewer phrase occurrence; lastModified advances
+    Thread.sleep(1100) // FS mtime granularity
+    write("spark merge data")
+    val second = rows(TextQueries.phraseSearch(spark, tmp))
+    assert(second === Seq(Seq(1L, 1L)), "index rebuilt from the new corpus")
+  }
+}
