@@ -129,6 +129,10 @@ object Main {
       }.getOrElse(8289)
       val spool = last("--spool").getOrElse(s"${cfg.targetDir}/_spool")
       Files.createDirectories(Paths.get(spool))
+      // tasks stranded mid-run by a crashed (dead-pid) claimant go
+      // back to the queue; a live sibling server's claims are left alone
+      Server.recoverRunning(spool).foreach(n =>
+        System.err.println(s"[server] requeued stranded task: $n"))
       val srv = HttpServer.start(spool, port)
       println(s"graft server mode on http://127.0.0.1:${srv.getAddress.getPort} " +
         s"(spool: $spool) — stop with ${spool}/stop")

@@ -68,7 +68,7 @@ object HttpServer {
     def valid(name: String): Boolean =
       name.nonEmpty && !name.startsWith(".") && !name.contains("/")
     def findTask(name: String): Option[Path] =
-      Seq("queue", "done", "failed").iterator
+      Seq("queue", "running", "done", "failed").iterator
         .filter(_ => valid(name))
         .map(d => Paths.get(spool, d, name))
         .find(Files.isRegularFile(_))

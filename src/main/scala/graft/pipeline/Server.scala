@@ -32,36 +32,96 @@ object Server {
 
   case class TaskResult(task: String, ok: Boolean, tables: Int, detail: String)
 
-  /** Process every queued task once, in order; returns results. */
+  /** Process every queued task once, in order; returns results.
+    *
+    * Several drain loops may share one spool (the reference's
+    * `tests/concurrent-restore` runs two lightning instances on one
+    * source): each task is CLAIMED by an atomic rename into
+    * `<spool>/running/` before execution — rename either succeeds for
+    * exactly one claimant or throws for the losers, so a task can
+    * never run twice. The claimant records its pid beside the claim so
+    * [[recoverRunning]] can requeue tasks only from DEAD claimants.
+    */
   def drainOnce(spark: SparkSession, spool: String): Seq[TaskResult] = {
     val queue = Paths.get(spool, "queue")
     if (!Files.isDirectory(queue)) return Seq.empty
     val done = Files.createDirectories(Paths.get(spool, "done"))
     val failed = Files.createDirectories(Paths.get(spool, "failed"))
+    val running = Files.createDirectories(Paths.get(spool, "running"))
     val tasks = queued(queue)
-    tasks.map { tf =>
+    tasks.flatMap { tf =>
       val name = tf.getFileName.toString
-      val result =
-        try {
-          // <spool>/pause gates the running import at table boundaries
-          // (the reference's /pause handler + Pauser gate); deleting
-          // the file resumes mid-task.
-          val cfg = parseTask(Files.readString(tf))
-            .copy(pauseFile = Some(Paths.get(spool, "pause").toString))
-          val reports = Ingest.run(spark, cfg)
-          val ok = reports.forall(_.checksumOk)
-          TaskResult(name, ok, reports.size,
-            reports.map(r => s"${r.db}.${r.table}:${r.nRows}").mkString(","))
-        } catch {
-          case e: Exception =>
-            TaskResult(name, ok = false, 0, s"error: ${e.getMessage}")
+      val claimed = running.resolve(name)
+      val won =
+        try { Files.move(tf, claimed); true }
+        catch {
+          // another loop claimed it between the listing and our move
+          case _: java.nio.file.NoSuchFileException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
         }
-      val dest = (if (result.ok) done else failed).resolve(name)
-      Files.move(tf, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Files.writeString(dest.resolveSibling(name + ".result"),
-        s"""{"task":${jsonStr(result.task)},"ok":${result.ok},""" +
-          s""""tables":${result.tables},"detail":${jsonStr(result.detail)}}\n""")
-      result
+      if (!won) None
+      else {
+        Files.writeString(running.resolve(name + ".owner"),
+          ProcessHandle.current().pid().toString)
+        val result =
+          try {
+            // <spool>/pause gates the running import at table boundaries
+            // (the reference's /pause handler + Pauser gate); deleting
+            // the file resumes mid-task.
+            val cfg = parseTask(Files.readString(claimed))
+              .copy(pauseFile = Some(Paths.get(spool, "pause").toString))
+            val reports = Ingest.run(spark, cfg)
+            val ok = reports.forall(_.checksumOk)
+            TaskResult(name, ok, reports.size,
+              reports.map(r => s"${r.db}.${r.table}:${r.nRows}").mkString(","))
+          } catch {
+            case e: Exception =>
+              TaskResult(name, ok = false, 0, s"error: ${e.getMessage}")
+          }
+        val dest = (if (result.ok) done else failed).resolve(name)
+        Files.move(claimed, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.deleteIfExists(running.resolve(name + ".owner"))
+        Files.writeString(dest.resolveSibling(name + ".result"),
+          s"""{"task":${jsonStr(result.task)},"ok":${result.ok},""" +
+            s""""tables":${result.tables},"detail":${jsonStr(result.detail)}}\n""")
+        Some(result)
+      }
+    }
+  }
+
+  /** Requeue tasks stranded in `running/` by a DEAD claimant (crash
+    * between claim and completion). Called at server startup — never
+    * from the drain loop, where a live sibling's running tasks must be
+    * left alone. A claim with a live owner pid, or (conservatively) an
+    * unreadable owner record, stays put; the crashed import itself
+    * resumes from its job-state checkpoints when the task re-runs.
+    */
+  def recoverRunning(spool: String): Seq[String] = {
+    val running = Paths.get(spool, "running")
+    val queue = Paths.get(spool, "queue")
+    if (!Files.isDirectory(running)) return Seq.empty
+    val listing = Files.list(running)
+    val stranded =
+      try listing.iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".json"))
+      finally listing.close()
+    stranded.flatMap { p =>
+      val name = p.getFileName.toString
+      val owner = running.resolve(name + ".owner")
+      val ownerDead =
+        try {
+          val pid = Files.readString(owner).trim.toLong
+          val h = ProcessHandle.of(pid)
+          !h.isPresent || !h.get().isAlive
+        } catch { case _: Exception => false } // unreadable → assume live
+      if (!ownerDead) None
+      else {
+        Files.createDirectories(queue)
+        Files.move(p, queue.resolve(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.deleteIfExists(owner)
+        Some(name)
+      }
     }
   }
 

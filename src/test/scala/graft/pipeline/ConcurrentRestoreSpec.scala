@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+
+/** The reference's `tests/concurrent-restore` analog: TWO live drain
+  * loops share one spool (the reference runs two lightning instances
+  * against one source). The atomic rename-claim must make every task
+  * execute EXACTLY once across the racing loops, and dead-claimant
+  * recovery must requeue only tasks whose owner process is gone.
+  */
+class ConcurrentRestoreSpec extends SparkSpec {
+
+  private val TableCount = 8
+
+  /** One tiny dump source per task — the reference's tblN shape
+    * (`CREATE TABLE tblN(i TINYINT); INSERT INTO tblN VALUES (1);`).
+    */
+  private def mkSpool(): (String, Seq[String]) = {
+    val spool = Files.createTempDirectory("graft_conc").toString
+    val queue = Files.createDirectories(Paths.get(spool, "queue"))
+    val targets = (1 to TableCount).map { i =>
+      val src = Files.createTempDirectory(s"graft_conc_src$i")
+      Files.writeString(src.resolve(s"restore_conc.tbl$i-schema.sql"),
+        s"CREATE TABLE tbl$i(i TINYINT);")
+      Files.writeString(src.resolve(s"restore_conc.tbl$i.sql"),
+        s"INSERT INTO tbl$i VALUES (1);")
+      val tgt = Files.createTempDirectory(s"graft_conc_tgt$i").toString
+      Files.writeString(queue.resolve(f"$i%03d-tbl$i.json"),
+        s"""{"sourceDir":"$src","targetDir":"$tgt"}""")
+      tgt
+    }
+    (spool, targets)
+  }
+
+  private def listDir(spool: String, d: String): Seq[String] = {
+    val p = Paths.get(spool, d)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val l = Files.list(p)
+      try l.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally l.close()
+    }
+  }
+
+  test("two racing drain loops execute every task exactly once") {
+    val (spool, targets) = mkSpool()
+    val executed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val loops = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          var idle = 0
+          while (idle < 3) { // three empty polls after the queue drains
+            val r = Server.drainOnce(spark, spool)
+            r.foreach { t => assert(t.ok, t.detail); executed.add(t.task) }
+            if (r.isEmpty && listDir(spool, "queue").isEmpty) idle += 1
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    loops.foreach(_.start())
+    loops.foreach(_.join(180000))
+    assert(loops.forall(!_.isAlive), "both loops finished in time")
+    assert(failures.isEmpty, failures.asScala.map(_.toString).mkString("\n"))
+    // exactly once: the union of the two loops' executions covers all
+    // tasks with NO duplicates
+    val names = executed.asScala.toSeq
+    assert(names.distinct.size === names.size, s"double execution: $names")
+    assert(names.size === TableCount, names.sorted.mkString(","))
+    assert(listDir(spool, "done").count(_.endsWith(".json")) === TableCount)
+    assert(listDir(spool, "queue").isEmpty)
+    assert(listDir(spool, "running").isEmpty, "no stranded claims")
+    // every target holds its one imported row (reference: sum(i)=1)
+    targets.zipWithIndex.foreach { case (tgt, i) =>
+      val df = spark.read.parquet(s"$tgt/restore_conc.tbl${i + 1}")
+      assert(df.collect().map(_.getInt(0)).toSeq === Seq(1), tgt)
+    }
+  }
+
+  test("recovery requeues dead-claimant tasks, leaves live claims alone") {
+    val spool = Files.createTempDirectory("graft_conc_rec").toString
+    val running = Files.createDirectories(Paths.get(spool, "running"))
+    Files.createDirectories(Paths.get(spool, "queue"))
+    // dead claimant: a pid from a process that has already exited
+    val p = new ProcessBuilder("true").start()
+    p.waitFor()
+    Files.writeString(running.resolve("001-dead.json"), """{"sourceDir":"/x"}""")
+    Files.writeString(running.resolve("001-dead.json.owner"), p.pid().toString)
+    // live claimant: this very JVM
+    Files.writeString(running.resolve("002-live.json"), """{"sourceDir":"/y"}""")
+    Files.writeString(running.resolve("002-live.json.owner"),
+      ProcessHandle.current().pid().toString)
+    // ownerless claim: conservative — must stay (cannot prove death)
+    Files.writeString(running.resolve("003-orphan.json"), """{"sourceDir":"/z"}""")
+    val recovered = Server.recoverRunning(spool)
+    assert(recovered === Seq("001-dead.json"))
+    assert(listDir(spool, "queue") === Seq("001-dead.json"))
+    assert(listDir(spool, "running").toSet ===
+      Set("002-live.json", "002-live.json.owner", "003-orphan.json"))
+  }
+}

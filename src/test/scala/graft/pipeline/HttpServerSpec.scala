@@ -97,6 +97,13 @@ class HttpServerSpec extends AnyFunSuite {
       val id2 = "\"id\":\"([^\"]+)\"".r.findFirstMatchIn(id2Body).get.group(1)
       assert(req(base, "GET", s"/tasks/$id2/progress") === ((200, "[]")))
       assert(req(base, "GET", "/tasks/nope.json/progress")._1 === 404)
+      // a task whose BODY does not parse is a 422, not an empty array —
+      // "no progress yet" and "malformed task" must be tellable apart
+      // (POST validates, so plant the bad body in the spool directly)
+      Files.writeString(spool.resolve("queue").resolve("999-bad.json"),
+        "{not json at all")
+      val (cBad, bBad) = req(base, "GET", "/tasks/999-bad.json/progress")
+      assert(cBad === 422, s"$cBad $bBad")
     }
   }
 
