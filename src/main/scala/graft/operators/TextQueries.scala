@@ -1809,6 +1809,72 @@ object TextQueries {
       .limit(20)
   }
 
+  // -------------------------------------------- proximity search
+  /** Windowed co-occurrence retrieval ("terms within W tokens") from
+    * the positional postings: one pruned bucket read per term, a
+    * doc_id equi-join, and the score is the exact count of position
+    * pairs |p−q| ≤ W — the classic NEAR/W operator, served without
+    * touching the corpus. Scan twin below, parity-pinned.
+    */
+  val ProximityTerms: (String, String) = ("spark", "data")
+  val ProximityWindow: Int = 5
+
+  def proximitySearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val (t0, t1) = ProximityTerms
+    val a = postingsFor(spark, sfDir, Seq(t0))
+      .select(col("doc_id"), col("positions").as("pa"))
+    val b = postingsFor(spark, sfDir, Seq(t1))
+      .select(col("doc_id"), col("positions").as("pb"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"), proximityCount(col("pa"), col("pb")).as("n_prox"))
+      .where(col("n_prox") > 0)
+      .orderBy(col("n_prox").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Scan twin: positions recomputed from the token stream per query —
+    * what the operator costs without the standing index.
+    */
+  private[operators] def proximitySearchScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val (t0, t1) = ProximityTerms
+    val toks = tokens(lower(col("text")))
+    def positionsOf(term: String) =
+      filter(sequence(lit(1), size(toks)), i => element_at(toks, i) === lit(term))
+    table(spark, sfDir, "documents")
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        proximityCount(positionsOf(t0), positionsOf(t1)).as("n_prox"))
+      .where(col("n_prox") > 0)
+      .orderBy(col("n_prox").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Σ_{p∈pa} |{q ∈ pb : |q−p| ≤ W}| — one shared expression for both
+    * paths (long, so a pathological doc can't overflow int).
+    */
+  private def proximityCount(pa: Column, pb: Column): Column =
+    aggregate(pa, lit(0L), (acc, p) =>
+      acc + size(filter(pb, q => abs(q - p) <= ProximityWindow)).cast("long"))
+
+  def proximitySearchSql: String = {
+    val (t0, t1) = ProximityTerms
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |pos AS (
+       |  SELECT doc_id,
+       |    list_filter(generate_series(1, len(toks)), i -> toks[i] = '$t0') AS pa,
+       |    list_filter(generate_series(1, len(toks)), i -> toks[i] = '$t1') AS pb
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(pa,
+       |      p -> len(list_filter(pb, q -> abs(q - p) <= $ProximityWindow)))), 0)
+       |    AS BIGINT) AS n_prox
+       |  FROM pos)
+       |SELECT doc_id, n_prox FROM scored WHERE n_prox > 0
+       |ORDER BY n_prox DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** Scan-path twin: the nested-HOF token-stream count over the raw
     * corpus (no index) — parity-pinned against [[phraseSearch]] in
     * `InvIndexSpec`.

@@ -44,12 +44,15 @@ object ScalingProbe {
     // source-keyed diagnostics: the fold multiplies docs, not sources,
     // so per-key fanout stays bounded by the constant source count
     "q_dup_by_source", "q_source_overlap")
-  // q_semdedup folds quadratically BY CONSTRUCTION here: the probe
-  // holds k fixed while folding the corpus, so cell populations grow
-  // k-fold (at production scale k grows with the corpus and cells
-  // stay bounded — the paper's regime, not the probe's)
   private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
-    "q_dedup_editdist", "q_semdedup")
+    "q_dedup_editdist")
+
+  // q_semdedup's k now DERIVES from the corpus count (r9), so it probes
+  // at the full fold range: below the k=8 floor cells still grow with
+  // the fold (within-cell pairs ~k²-by-construction, like every
+  // self-union pair op), but past the floor k rises with n and the
+  // mean cell population pins to the target — the paper's regime
+  private val CorpusKPairOps = Seq("q_semdedup")
 
   /** Pair generators whose fanout a df cap bounds tightly enough to
     * probe at the full fold range: the winnow family drops any
@@ -137,6 +140,10 @@ object ScalingProbe {
         // not the one-time index build
         try graft.operators.DedupQueries.warmLayouts(spark, dir.toString)
         catch { case _: Throwable => }
+        try graft.operators.TextQueries.warmLayouts(spark, dir.toString)
+        catch { case _: Throwable => }
+        try graft.operators.SimilarityQueries.warmLayouts(spark, dir.toString)
+        catch { case _: Throwable => }
         k -> dir.toString
       }
     }.toMap
@@ -162,7 +169,8 @@ object ScalingProbe {
     // the df-capped winnow family is probed at the full fold range
     val linear = probe(keep(LinearOps), ks)
     val pairs = probe(keep(PairOps), ks.filter(_ <= 2)) ++
-      probe(keep(CappedPairOps), ks)
+      probe(keep(CappedPairOps), ks) ++
+      probe(keep(CorpusKPairOps), ks)
 
     def render(m: Map[String, Map[Int, Double]]): String =
       m.toSeq.sortBy(_._1).map { case (n, t) =>

@@ -29,6 +29,13 @@ class InvIndexSpec extends SparkSpec {
     assert(idx.nonEmpty)
   }
 
+  test("proximity: indexed NEAR/W == token-stream scan path") {
+    val idx = rows(TextQueries.proximitySearch(spark, sf()))
+    val scan = rows(TextQueries.proximitySearchScan(spark, sf()))
+    assert(idx === scan)
+    assert(idx.nonEmpty)
+  }
+
   test("rrf: both fused arms match the scan twins") {
     val idx = rows(TextQueries.rrfFusion(spark, sf()))
     val scan = rows(TextQueries.rrfFusionScan(spark, sf()))
