@@ -156,8 +156,10 @@ object Main {
             (if (r.skipped) " (skipped: already imported)" else ""))
         }
         val failed = reports.filterNot(r => r.checksumOk || r.skipped)
+        // reference-shaped error summary at the bottom of the log
+        // (tests/error_summary greps these lines)
+        Ingest.errorSummary(reports, cfg).foreach(System.err.println)
         if (failed.nonEmpty && checksum == "required") {
-          System.err.println(s"checksum FAILED for: ${failed.map(_.table).mkString(", ")}")
           sys.exit(1)
         } else if (failed.nonEmpty)
           System.err.println(s"[optional checksum] mismatch ignored for: " +

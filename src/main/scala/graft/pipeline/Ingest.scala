@@ -295,6 +295,30 @@ object Ingest {
       case (p, r) if r.kind == FileKind.ViewSchema => (r.database, r.table, p)
     }.sortBy(v => (v._1, v._2))
 
+  /** Reference-shaped end-of-run error summary
+    * (`lightning/restore/restore.go` errorSummaries — the lines
+    * `tests/error_summary`'s run.sh greps): a count header plus one
+    * `[-] [table=…] [status=checksum]` line per failed table, with the
+    * `error-destroy` recommendedAction when a checkpoint dir exists.
+    * Skipped tables are not failures; tables that verified are never
+    * listed. (Unlike the reference we deliberately do NOT fail-stop a
+    * rerun over a failed record — our failed-table retry is a full
+    * idempotent overwrite, spec-pinned duplicate-free, so the
+    * data-loss risk its stop guards against cannot arise here.)
+    */
+  def errorSummary(reports: Seq[TableReport], cfg: Config): Seq[String] = {
+    val failed = reports.filterNot(r => r.checksumOk || r.skipped)
+    if (failed.isEmpty) Nil
+    else s"""["tables failed to be imported"] [count=${failed.size}]""" +:
+      failed.map { r =>
+        val action = cfg.stateDir.map(sd =>
+          s""" [recommendedAction="Ctl error-destroy '$sd' '${cfg.targetDir}' """ +
+            s"""'${r.db}.${r.table}'"]""").getOrElse("")
+        s"""[-] [table=`${r.db}`.`${r.table}`] [status=checksum] """ +
+          s"""[error="checksum mismatched"]$action"""
+      }
+  }
+
   /** Run the import. Only tables whose stored status is "verified" are
     * skipped on re-run; a table whose checksum comparison failed is
     * recorded as "failed" and re-imported next run (the reference only
