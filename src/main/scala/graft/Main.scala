@@ -35,6 +35,18 @@ object Main {
     "--target-dir", "-f", "--checksum", "--analyze", "--status-addr", "--spool")
   private val BoolFlags = Set("--no-schema", "--enable-checkpoint", "--server-mode")
 
+  /** The reference CLI's cluster-connection flags (`config/global.go:
+    * 133-172` — log level/file, TiDB/PD endpoints, importer address):
+    * accepted so a reference invocation runs unchanged
+    * (`tests/cmdline_override` passes them all), reported as ignored
+    * like config keys with no Spark analog.
+    */
+  private val IgnoredValueFlags = Set("-L", "--log-level", "--log-file",
+    "--tidb-host", "--tidb-port", "--tidb-user", "--tidb-password",
+    "--tidb-status", "--pd-urls", "--importer", "--backend",
+    "--ca", "--cert", "--key")
+  private val IgnoredBoolFlags = Set("--check-requirements", "-V", "--version")
+
   /** Go-flag-style parse: `--flag value`, `--flag=value`, bare boolean
     * flags, single or double dashes, `-f` repeatable.
     */
@@ -52,11 +64,13 @@ object Main {
       }
       // normalize single/double dash to the canonical spelling
       val flag = Seq(rawFlag, "-" + rawFlag, rawFlag.drop(1))
-        .find(f => ValueFlags(f) || BoolFlags(f))
+        .find(f => ValueFlags(f) || BoolFlags(f) ||
+          IgnoredValueFlags(f) || IgnoredBoolFlags(f))
         .getOrElse(sys.error(s"unknown flag: $rawFlag"))
       inline match {
         case Some(v) => add(flag, v); i += 1
-        case None if BoolFlags(flag) => add(flag, "true"); i += 1
+        case None if BoolFlags(flag) || IgnoredBoolFlags(flag) =>
+          add(flag, "true"); i += 1
         case None =>
           require(i + 1 < args.length, s"$flag needs a value")
           add(flag, args(i + 1)); i += 2
@@ -65,7 +79,24 @@ object Main {
     out.toMap
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Fully resolved invocation: config-file values with CLI overrides
+    * applied, plus everything accepted-but-inapplicable (reported, not
+    * dropped — the reference warns about unused config the same way).
+    */
+  private[graft] case class Resolved(
+      cfg: Ingest.Config,
+      checksum: String,
+      serverMode: Boolean,
+      statusAddr: Option[String],
+      spool: Option[String],
+      ignored: Seq[String])
+
+  /** Flag parse + config load + override precedence (reference
+    * `global.go:219-261`: command line wins over the file) — the whole
+    * CLI surface minus the actual run, so `tests/cmdline_override`
+    * replays against it directly.
+    */
+  private[graft] def resolve(args: Array[String]): Resolved = {
     val flags = parseArgs(args)
     def last(f: String): Option[String] = flags.get(f).map(_.last)
     def lastBool(f: String): Option[Boolean] = last(f).map(_.toBoolean)
@@ -92,9 +123,6 @@ object Main {
         serverMode = false,
         statusAddr = None, checksum = "required", ignored = Nil)
     }
-    if (base.ignored.nonEmpty)
-      System.err.println(
-        s"[config] ignored keys (no Spark analog): ${base.ignored.mkString(", ")}")
 
     // command line wins over the file (reference global.go:219-261)
     var cfg = base.config
@@ -108,9 +136,26 @@ object Main {
         else None)
     }
     level("--analyze").foreach(l => cfg = cfg.copy(analyze = l != "off"))
-    val checksum = level("--checksum").getOrElse(base.checksum)
-    val serverMode = lastBool("--server-mode").getOrElse(base.serverMode)
-    val statusAddr = last("--status-addr").orElse(base.statusAddr)
+    val ignoredFlags = flags.keys.toSeq
+      .filter(f => IgnoredValueFlags(f) || IgnoredBoolFlags(f)).sorted
+      .map(f => s"flag $f")
+    Resolved(cfg,
+      checksum = level("--checksum").getOrElse(base.checksum),
+      serverMode = lastBool("--server-mode").getOrElse(base.serverMode),
+      statusAddr = last("--status-addr").orElse(base.statusAddr),
+      spool = last("--spool"),
+      ignored = base.ignored ++ ignoredFlags)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val r = resolve(args)
+    if (r.ignored.nonEmpty)
+      System.err.println(
+        s"[config] ignored keys (no Spark analog): ${r.ignored.mkString(", ")}")
+    val cfg = r.cfg
+    val checksum = r.checksum
+    val serverMode = r.serverMode
+    val statusAddr = r.statusAddr
 
     if (serverMode) {
       // reference server mode: wait for tasks over HTTP
@@ -127,7 +172,7 @@ object Main {
         if (!bareV6 && a.contains(':') && tail.matches("[0-9]+")) Some(tail.toInt)
         else None
       }.getOrElse(8289)
-      val spool = last("--spool").getOrElse(s"${cfg.targetDir}/_spool")
+      val spool = r.spool.getOrElse(s"${cfg.targetDir}/_spool")
       Files.createDirectories(Paths.get(spool))
       // tasks stranded mid-run by a crashed (dead-pid) claimant go
       // back to the queue; a live sibling server's claims are left alone
