@@ -383,6 +383,13 @@ object Ingest {
       var maxId = rec.map(_.maxId).getOrElse(0L)
       var rowidMax = rec.map(_.maxRowid).getOrElse(0L)
       var doneTokens = rec.map(_.files).getOrElse(Nil)
+      // the task timestamp every CURRENT_TIMESTAMP default evaluates
+      // to — minted once per table and REUSED on resume from the
+      // stored record, so all-default rows land one distinct ts across
+      // chunk batches and crashes (reference tests/checkpoint_timestamp)
+      val taskTsMillis = rec.map(_.taskTs).filter(_ > 0L)
+        .getOrElse(System.currentTimeMillis())
+      val taskTs = Some(new java.sql.Timestamp(taskTsMillis))
       // Sub-file chunks import in batches of `chunkBatch` units, each
       // batch one Spark write job with a state record after it — the
       // crash-loss bound drops from the whole table to one batch. An
@@ -433,7 +440,7 @@ object Ingest {
         if (i > 0) awaitUnpaused(cfg.pauseFile)
         val isLast = i == batches.size - 1
         val (rep, post) = restoreFiles(spark, cfg, d, batch, prior, maxId,
-          schema, verify = isLast, priorRowid = rowidMax)
+          schema, verify = isLast, priorRowid = rowidMax, taskTs = taskTs)
         doneTokens = doneTokens ++ batch.map(_.token)
         cumBad += rep.badRows
         // Fail fast once the error budget is provably blown (the
@@ -444,16 +451,17 @@ object Ingest {
         // carry the evidence.
         if (!isLast && cumBad > cfg.maxError) {
           val failed = rep.copy(badRows = cumBad, checksumOk = false)
-          recordState(state, key, doneTokens, failed, post)
+          recordState(state, key, doneTokens, failed, post, taskTsMillis)
           result = failed
         } else if (isLast) {
           val adjusted = rep.copy(badRows = cumBad,
             checksumOk = rep.checksumOk && cumBad <= cfg.maxError)
-          recordState(state, key, doneTokens, adjusted, post)
+          recordState(state, key, doneTokens, adjusted, post, taskTsMillis)
           result = adjusted
         } else {
           state.put(JobState.Record(key, "imported", post.totalKvs, post.checksum,
-            post.totalBytes, doneTokens, rep.maxRowId, rep.maxTidbRowid))
+            post.totalBytes, doneTokens, rep.maxRowId, rep.maxTidbRowid,
+            taskTsMillis))
           prior = Some(post)
           maxId = rep.maxRowId
           rowidMax = rep.maxTidbRowid
@@ -612,10 +620,10 @@ object Ingest {
   }
 
   private def recordState(state: JobState, key: String, tokens: Seq[String],
-      report: TableReport, post: KvChecksum): Unit = {
+      report: TableReport, post: KvChecksum, taskTs: Long = 0L): Unit = {
     val status = if (report.checksumOk) "verified" else "failed"
     state.put(JobState.Record(key, status, post.totalKvs, post.checksum,
-      post.totalBytes, tokens, report.maxRowId, report.maxTidbRowid))
+      post.totalBytes, tokens, report.maxRowId, report.maxTidbRowid, taskTs))
   }
 
   /** Restore `files` into the table's output. With `prior` set this is
@@ -676,7 +684,8 @@ object Ingest {
       prior: Option[KvChecksum], priorMaxId: Long,
       schema0: Option[TableSchema],
       verify: Boolean = true,
-      priorRowid: Long = 0L): (TableReport, KvChecksum) = {
+      priorRowid: Long = 0L,
+      taskTs: Option[java.sql.Timestamp] = None): (TableReport, KvChecksum) = {
     val dialect = dataDialect(cfg)
     // T6: tables without an integer handle carry `_tidb_rowid` — the
     // TRANSFORM schema gains the pseudo-column; readers that map BY
@@ -754,7 +763,7 @@ object Ingest {
         // BEFORE hex resolution so a hex default still decodes
         // type-aware; CSV/parquet shards can't carry the sentinel
         val defaulted = schema
-          .map(RowTransform.applyOmittedDefaults(rawUnion, _))
+          .map(RowTransform.applyOmittedDefaults(rawUnion, _, taskTs))
           .getOrElse(rawUnion)
         schema.map(DumpSource.resolveHex(defaulted, _))
           .getOrElse(DumpSource.resolveHexText(defaulted))
@@ -915,7 +924,8 @@ object Ingest {
       else RowTransform.CastPolicy.NullOut
     val typed = schema match {
       case Some(ts) =>
-        GeneratedColumns(RowTransform.applySchemaWithErrors(rowidFilled, ts, castPolicy), ts)
+        GeneratedColumns(
+          RowTransform.applySchemaWithErrors(rowidFilled, ts, castPolicy, taskTs), ts)
       case None => rowidFilled
     }
     val errCol = schema.map(_ => RowTransform.ErrorsCol)

@@ -58,31 +58,40 @@ object JobState {
     * (reference persists the same rebase in its checkpoint + final
     * `ALTER TABLE AUTO_INCREMENT=`, `lightning/restore/tidb.go:349-367`).
     */
+  /** `taskTs` is the import's epoch-millis task timestamp — the ONE
+    * value every CURRENT_TIMESTAMP default evaluates to for the whole
+    * table, stable across chunk batches and crash-resume (reference
+    * `tests/checkpoint_timestamp`: 98 all-default rows through a
+    * mid-chunk crash land ONE distinct ts; the reference anchors its
+    * task id to the same clock). 0 = legacy record, a resume mints a
+    * fresh value.
+    */
   case class Record(key: String, status: String, nRows: Long, checksum: Long,
       nBytes: Long = 0L, files: Seq[String] = Nil, maxId: Long = 0L,
-      maxRowid: Long = 0L)
+      maxRowid: Long = 0L, taskTs: Long = 0L)
 
   private[pipeline] def render(r: Record): String = {
     val fs = r.files.map(f => "\"" + f + "\"").mkString(",")
     s"""{"key":"${r.key}","status":"${r.status}","nRows":${r.nRows},""" +
       s""""checksum":${r.checksum},"nBytes":${r.nBytes},"files":[$fs],""" +
-      s""""maxId":${r.maxId},"maxRowid":${r.maxRowid}}"""
+      s""""maxId":${r.maxId},"maxRowid":${r.maxRowid},"taskTs":${r.taskTs}}"""
   }
 
   private val Re =
     ("""\{"key":"([^"]*)","status":"([^"]*)","nRows":(-?\d+),"checksum":(-?\d+)""" +
       """(?:,"nBytes":(-?\d+))?(?:,"files":\[([^\]]*)\])?(?:,"maxId":(-?\d+))?""" +
-      """(?:,"maxRowid":(-?\d+))?\}""").r
+      """(?:,"maxRowid":(-?\d+))?(?:,"taskTs":(-?\d+))?\}""").r
 
   private[pipeline] def parse(line: String): Option[Record] = line.trim match {
-    case Re(k, s, n, c, b, fs, mx, mr) =>
+    case Re(k, s, n, c, b, fs, mx, mr, ts) =>
       val files = Option(fs).filter(_.nonEmpty)
         .map(_.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\"")))
         .getOrElse(Nil)
       Some(Record(k, s, n.toLong, c.toLong,
         Option(b).map(_.toLong).getOrElse(0L), files,
         Option(mx).map(_.toLong).getOrElse(0L),
-        Option(mr).map(_.toLong).getOrElse(0L)))
+        Option(mr).map(_.toLong).getOrElse(0L),
+        Option(ts).map(_.toLong).getOrElse(0L)))
     case _ => None
   }
 }

@@ -20,26 +20,44 @@ object RowTransform {
     * columns not in the table are dropped; unknown-header errors are
     * the caller's job (reference `lightning/restore/restore.go:2055-2137`).
     */
-  def permute(df: DataFrame, schema: TableSchema): DataFrame = {
+  def permute(df: DataFrame, schema: TableSchema,
+      taskTs: Option[java.sql.Timestamp] = None): DataFrame = {
     val present = df.columns.map(c => c.toLowerCase -> c).toMap
     val cols = schema.columns.map { c =>
       present.get(c.name.toLowerCase) match {
         case Some(src) => col(src).as(c.name)
-        case None => defaultValue(c).as(c.name)
+        case None => defaultValue(c, taskTs).as(c.name)
       }
     }
     df.select(cols: _*)
   }
+
+  /** A `DEFAULT CURRENT_TIMESTAMP[(fsp)]` clause (any fractional
+    * precision — the reference's `tests/checkpoint_timestamp` declares
+    * `current_timestamp(6)`).
+    */
+  private def isCurrentTs(d: String): Boolean =
+    d.toUpperCase.matches("CURRENT_TIMESTAMP(\\(\\d*\\))?")
+
+  /** The task-stable now: every CURRENT_TIMESTAMP default in one
+    * import evaluates to the TASK timestamp (passed by Ingest from its
+    * job state, stable across chunk batches and crash-resume — the
+    * reference pins one distinct ts over 98 all-default rows through a
+    * mid-chunk crash). Absent (library callers outside an import run),
+    * per-query current_timestamp() keeps the old behavior.
+    */
+  private def nowCol(taskTs: Option[java.sql.Timestamp]): Column =
+    taskTs.map(t => lit(t)).getOrElse(current_timestamp())
 
   /** T3: literal for a column's DEFAULT under its Spark type. Hex
     * defaults on binary-typed columns arrive still in `x'..'` form
     * (see MysqlDdl.normalizeDefault) and become exact byte literals —
     * a string round-trip would mangle non-UTF-8 sequences.
     */
-  def defaultValue(c: ColumnSpec): Column = c.default match {
+  def defaultValue(c: ColumnSpec,
+      taskTs: Option[java.sql.Timestamp] = None): Column = c.default match {
     case None => lit(null).cast(c.sparkType)
-    case Some(d) if d.equalsIgnoreCase("CURRENT_TIMESTAMP") =>
-      current_timestamp()
+    case Some(d) if isCurrentTs(d) => nowCol(taskTs)
     case Some(d) =>
       graft.schema.MysqlDdl.hexLiteralBytes(d) match {
         case Some(bytes) if c.sparkType == org.apache.spark.sql.types.BinaryType =>
@@ -56,13 +74,14 @@ object RowTransform {
     * hex default is re-emitted in sentinel form so binary columns
     * still decode bytes, not mangled UTF-8.
     */
-  def applyOmittedDefaults(df: DataFrame, schema: TableSchema): DataFrame = {
+  def applyOmittedDefaults(df: DataFrame, schema: TableSchema,
+      taskTs: Option[java.sql.Timestamp] = None): DataFrame = {
     val byName = schema.columns.map(c => c.name.toLowerCase -> c).toMap
     df.select(df.columns.map { name =>
       byName.get(name.toLowerCase) match {
         case Some(c) =>
           when(col(name) === lit(graft.sources.DumpSource.DefaultSentinel),
-            lexicalDefault(c)).otherwise(col(name)).as(name)
+            lexicalDefault(c, taskTs)).otherwise(col(name)).as(name)
         case None => col(name)
       }
     }.toSeq: _*)
@@ -74,10 +93,13 @@ object RowTransform {
     * resolution, everything else is the normalized DDL literal. No
     * default → NULL (auto-increment synthesis then fills ID columns).
     */
-  private def lexicalDefault(c: ColumnSpec): Column = c.default match {
+  private def lexicalDefault(c: ColumnSpec,
+      taskTs: Option[java.sql.Timestamp] = None): Column = c.default match {
     case None => lit(null).cast("string")
-    case Some(d) if d.equalsIgnoreCase("CURRENT_TIMESTAMP") =>
-      date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss")
+    case Some(d) if isCurrentTs(d) =>
+      // micro precision: a datetime(6) column must round-trip the
+      // task timestamp exactly, not second-truncate it
+      date_format(nowCol(taskTs), "yyyy-MM-dd HH:mm:ss.SSSSSS")
     case Some(d) =>
       graft.schema.MysqlDdl.hexLiteralBytes(d) match {
         case Some(bytes) =>
@@ -115,8 +137,13 @@ object RowTransform {
     *  - [[CastPolicy.Strict]] — STRICT_TRANS_TABLES: raise on the
     *    first bad value, failing the import loudly.
     */
-  def applySchema(df: DataFrame, schema: TableSchema, policy: CastPolicy.Value): DataFrame = {
-    val permuted = permute(df, schema)
+  def applySchema(df: DataFrame, schema: TableSchema,
+      policy: CastPolicy.Value): DataFrame =
+    applySchema(df, schema, policy, None)
+
+  def applySchema(df: DataFrame, schema: TableSchema, policy: CastPolicy.Value,
+      taskTs: Option[java.sql.Timestamp]): DataFrame = {
+    val permuted = permute(df, schema, taskTs)
     permuted.select(castColumns(schema, policy): _*)
   }
 
@@ -141,8 +168,13 @@ object RowTransform {
     * max-error budget there either); both leave the counter at 0.
     */
   def applySchemaWithErrors(df: DataFrame, schema: TableSchema,
-      policy: CastPolicy.Value): DataFrame = {
-    val permuted = permute(df, schema)
+      policy: CastPolicy.Value): DataFrame =
+    applySchemaWithErrors(df, schema, policy, None)
+
+  def applySchemaWithErrors(df: DataFrame, schema: TableSchema,
+      policy: CastPolicy.Value,
+      taskTs: Option[java.sql.Timestamp]): DataFrame = {
+    val permuted = permute(df, schema, taskTs)
     val errs =
       if (policy == CastPolicy.NullOut) errorCount(schema) else lit(0L)
     permuted.select(castColumns(schema, policy) :+ errs.as(ErrorsCol): _*)
