@@ -278,7 +278,13 @@ object DumpSource {
         // re-reads bytes (bounded ~2x total by the geometric growth)
         // but never re-parses emitted statements.
         val (multilineAt, untermAt) = blockCommentIssue(text, lastResume)
-        if (multilineAt >= 0)
+        // a SINGLE-chunk file has no other boundary to land inside the
+        // comment, so the hazard cannot arise — the parse is equivalent
+        // to the whole-file path (reference tests/checkpoint_engines
+        // ships a multi-line comment in a file small enough to stay one
+        // chunk)
+        val wholeFile = start == 0L && end >= fileLen
+        if (multilineAt >= 0 && !wholeFile)
           throw new IllegalStateException(
             s"multi-line block comment at offset $multilineAt breaks dump " +
               "chunking (a chunk boundary inside it would misparse); this " +

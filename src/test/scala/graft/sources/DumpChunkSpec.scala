@@ -94,10 +94,14 @@ class DumpChunkSpec extends AnyFunSuite {
         |""".stripMargin
     assert(DumpSource.parseStatements(poisoned)
       .flatMap(_.rows).map(_.toSeq) === Seq(Seq("1", "real")))
-    for (grid <- Seq(10L, 20L, 37L, 1000L)) {
+    for (grid <- Seq(10L, 20L, 37L)) {
       val e = intercept[IllegalStateException](sweep(poisoned, grid, 64L))
       assert(e.getMessage.contains("block comment"), s"grid=$grid: ${e.getMessage}")
     }
+    // a grid that keeps the file in ONE chunk has no other boundary to
+    // land inside the comment — it must parse like the whole-file path
+    // (reference tests/checkpoint_engines ships exactly this shape)
+    assert(sweep(poisoned, 1000L, 64L) === Seq(Seq("1", "real")))
   }
 
   test("an unterminated multi-line comment at EOF also refuses; single-line trailing garbage passes") {
