@@ -39,13 +39,22 @@ object Ctl {
       println(s"removed ${if (key == "all") "all" else key}")
 
     case "error-destroy" :: stateDir :: targetDir :: key :: Nil =>
-      val out = Paths.get(targetDir, key)
-      if (Files.exists(out)) {
-        Files.walk(out).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
+      // `all` = every FAILED table (the reference's
+      // `--checkpoint-error-destroy=all`, tests/checkpoint_error_destroy
+      // loops it between retries); verified tables are never touched
+      val records = allRecords(stateDir)
+      val victims =
+        if (key == "all") records.filter(_.status == "failed").map(_.key)
+        else Seq(key)
+      victims.foreach { k =>
+        val out = Paths.get(targetDir, k)
+        if (Files.exists(out)) {
+          Files.walk(out).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        }
       }
-      rewrite(stateDir, allRecords(stateDir).filterNot(_.key == key))
-      println(s"destroyed $key")
+      rewrite(stateDir, records.filterNot(r => victims.contains(r.key)))
+      victims.foreach(k => println(s"destroyed $k"))
 
     case "compact" :: targetDir :: table :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(1)
