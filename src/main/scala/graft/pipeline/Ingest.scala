@@ -340,6 +340,25 @@ object Ingest {
       // the final whole-table read-back verifies the combination.
       val resumable = state.get(key).filter(r =>
         (r.status == "verified" || r.status == "imported") && r.files.nonEmpty)
+      // Illegal-checkpoint guard (reference tests/checkpoint_dirty_tableid:
+      // the target table was dropped/recreated between runs, so the
+      // checkpoint no longer describes it): a covering record whose
+      // OUTPUT is gone means the target was modified outside the
+      // import — skipping would report rows that do not exist, and
+      // appending would verify against a phantom base. Stop loudly and
+      // demand explicit removal, like the reference's "illegal
+      // checkpoints" abort + checkpoint-remove suggestion.
+      resumable.foreach { r =>
+        val outPath = new Path(s"${cfg.targetDir}/$key")
+        val ofs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!ofs.exists(outPath)) throw new IllegalStateException(
+          s"illegal checkpoint detected: `$key` has a ${r.status} record " +
+            s"but no output at $outPath — the target was modified outside " +
+            "the import. To prevent data mismatch, this run stops now. " +
+            "Please remove these checkpoints first: " +
+            s"Ctl checkpoint-remove <stateDir> '$key' " +
+            "(or checkpoint-remove <stateDir> all)")
+      }
       val done: Set[String] = resumable.map(_.files.toSet).getOrElse(Set.empty)
       val newUnits = units.filterNot(u => done(u.token))
       // Scheme-mismatch guard: a RECORDED token that no current unit
