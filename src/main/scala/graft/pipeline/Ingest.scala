@@ -65,6 +65,9 @@ object Ingest {
       // tidb-backend duplicate policy vs rows already in the target
       // (reference tikv-importer.on-duplicate): replace|ignore|error
       onDuplicate: Option[String] = None,
+      // TiDB clustered-index mode (tests/common_handle): a table with
+      // a primary key uses it as the handle — no _tidb_rowid column
+      clusteredIndex: Boolean = false,
       // [[mydumper.files]] custom routing rules; defaults stay active
       // unless defaultFileRules overrides the reference's implicit
       // "custom rules present → defaults off"
@@ -186,20 +189,25 @@ object Ingest {
     * CSVs are preserved, NULLs fill densely above the explicit max,
     * and the max rebases across incremental runs
     * (reference `tests/tidb_rowid`, `sql2kv.go:322-346`). This is the
-    * NON-clustered default: TiDB's clustered-index mode
-    * (`tests/common_handle`, `tidb_enable_clustered_index=1`) makes a
-    * non-int pk the handle itself and drops the column — a
-    * target-side mode this engine does not model.
+    * NON-clustered default; `Config.clusteredIndex` selects TiDB's
+    * clustered-index mode (`tests/common_handle`,
+    * `tidb_enable_clustered_index=1`), where a table WITH a primary
+    * key uses the key itself as the handle — no `_tidb_rowid` column
+    * (the corpus's ADMIN CHECKSUM pins exactly "no extra kv pairs").
+    * Pk-less tables still need the synthesized handle in both modes.
     */
   val TidbRowidCol = "_tidb_rowid"
 
-  private[pipeline] def rowidRequired(ts: TableSchema): Boolean = {
+  private[pipeline] def rowidRequired(ts: TableSchema,
+      clusteredIndex: Boolean = false): Boolean = {
     val intHandle = ts.primaryKey.size == 1 &&
       ts.columns.find(_.name.equalsIgnoreCase(ts.primaryKey.head)).exists { c =>
         Set("tinyint", "smallint", "mediumint", "int", "integer", "bigint")
           .contains(c.mysqlType.takeWhile(_.isLetter).toLowerCase)
       }
-    !intHandle && !ts.columns.exists(_.autoRandomBits.isDefined) &&
+    val commonHandle = clusteredIndex && ts.primaryKey.nonEmpty
+    !intHandle && !commonHandle &&
+      !ts.columns.exists(_.autoRandomBits.isDefined) &&
       !ts.columns.exists(_.name.equalsIgnoreCase(TidbRowidCol))
   }
 
@@ -714,7 +722,8 @@ object Ingest {
     // no-schema mode mirrors the pre-created TARGET exactly — whether
     // it carries a rowid column is the target's business, never
     // synthesized here
-    val rowidNeeded = !cfg.noSchema && schema0.exists(rowidRequired)
+    val rowidNeeded = !cfg.noSchema &&
+      schema0.exists(rowidRequired(_, cfg.clusteredIndex))
     val schema: Option[TableSchema] =
       if (rowidNeeded) schema0.map(withRowid) else schema0
     // a schema-only table (no data files) restores EMPTY — the
