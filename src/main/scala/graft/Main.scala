@@ -32,7 +32,8 @@ import graft.pipeline.{HttpServer, Ingest, Server, TomlConfig}
 object Main {
 
   private val ValueFlags = Set("-c", "--config", "-d", "--sorted-kv-dir",
-    "--target-dir", "-f", "--checksum", "--analyze", "--status-addr", "--spool")
+    "--target-dir", "-f", "--checksum", "--analyze", "--status-addr", "--spool",
+    "--backend")
   private val BoolFlags = Set("--no-schema", "--enable-checkpoint", "--server-mode")
 
   /** The reference CLI's cluster-connection flags (`config/global.go:
@@ -43,7 +44,7 @@ object Main {
     */
   private val IgnoredValueFlags = Set("-L", "--log-level", "--log-file",
     "--tidb-host", "--tidb-port", "--tidb-user", "--tidb-password",
-    "--tidb-status", "--pd-urls", "--importer", "--backend",
+    "--tidb-status", "--pd-urls", "--importer",
     "--ca", "--cert", "--key")
   private val IgnoredBoolFlags = Set("--check-requirements", "-V", "--version")
 
@@ -136,6 +137,15 @@ object Main {
         else None)
     }
     level("--analyze").foreach(l => cfg = cfg.copy(analyze = l != "off"))
+    // --backend is FUNCTIONAL, not a connection flag: it must carry the
+    // same semantics as tikv-importer.backend (tidb → on-duplicate
+    // merge, default replace), with the command line winning — a knob
+    // whose meaning depends on which surface set it would be a trap
+    last("--backend").foreach {
+      case "tidb" =>
+        cfg = cfg.copy(onDuplicate = cfg.onDuplicate.orElse(Some("replace")))
+      case _ => cfg = cfg.copy(onDuplicate = None)
+    }
     val ignoredFlags = flags.keys.toSeq
       .filter(f => IgnoredValueFlags(f) || IgnoredBoolFlags(f)).sorted
       .map(f => s"flag $f")

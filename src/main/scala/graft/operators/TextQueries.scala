@@ -1484,7 +1484,12 @@ object TextQueries {
         // tasks × buckets fragments
         .repartition(col("tb"))
         .write.partitionBy("tb").mode("overwrite").parquet(s"$layout/postings")
-      base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+      // stats derive from the WRITTEN postings (every base doc has ≥1
+      // token, so n_docs = distinct doc_id; Σtf = Σdl) — one compact
+      // index read instead of a second full corpus tokenization pass
+      spark.read.parquet(s"$layout/postings")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("tf")).as("t_tokens"))
         .coalesce(1).write.mode("overwrite").parquet(s"$layout/stats")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(layout))
       java.nio.file.Files.writeString(marker.toPath, s"v$InvIndexVersion")

@@ -46,13 +46,8 @@ object Ctl {
       val victims =
         if (key == "all") records.filter(_.status == "failed").map(_.key)
         else Seq(key)
-      victims.foreach { k =>
-        val out = Paths.get(targetDir, k)
-        if (Files.exists(out)) {
-          Files.walk(out).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.delete(p))
-        }
-      }
+      victims.foreach(k =>
+        graft.GraftSession.deleteRec(Paths.get(targetDir, k)))
       rewrite(stateDir, records.filterNot(r => victims.contains(r.key)))
       victims.foreach(k => println(s"destroyed $k"))
 

@@ -67,11 +67,25 @@ object HttpServer {
     // state, and "." / ".." must never resolve outside the spool
     def valid(name: String): Boolean =
       name.nonEmpty && !name.startsWith(".") && !name.contains("/")
-    def findTask(name: String): Option[Path] =
-      Seq("queue", "running", "done", "failed").iterator
+    def findTask(name: String): Option[Path] = {
+      // a RUNNING task's file carries the claimant-pid suffix — match
+      // on the claim prefix so the task stays resolvable mid-run
+      def runningClaim: Option[Path] = {
+        val dir = Paths.get(spool, "running")
+        if (!Files.isDirectory(dir)) None
+        else {
+          val l = Files.list(dir)
+          try l.iterator().asScala.toSeq.find(
+            _.getFileName.toString.startsWith(name + Server.ClaimSuffix))
+          finally l.close()
+        }
+      }
+      Seq("queue", "done", "failed").iterator
         .filter(_ => valid(name))
         .map(d => Paths.get(spool, d, name))
         .find(Files.isRegularFile(_))
+        .orElse(if (valid(name)) runningClaim else None)
+    }
 
     srv.createContext("/tasks", (ex: HttpExchange) => {
       try {
@@ -82,8 +96,12 @@ object HttpServer {
         }
         (ex.getRequestMethod, rest) match {
           case ("GET", Nil) =>
+            // running tasks stay listed for their whole lifetime — a
+            // polling client must not see a claimed task "vanish"
             respond(ex, 200,
-              listQueue().map(jsonStr).mkString("""{"queue":[""", ",", "]}"))
+              listQueue().map(jsonStr).mkString("""{"queue":[""", ",", "],") +
+                Server.runningTasks(spool).map(jsonStr)
+                  .mkString(""""running":[""", ",", "]}"))
           case ("POST", Nil) =>
             val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
             val invalid =

@@ -411,10 +411,14 @@ object Ingest {
       var rowidMax = rec.map(_.maxRowid).getOrElse(0L)
       var doneTokens = rec.map(_.files).getOrElse(Nil)
       // the task timestamp every CURRENT_TIMESTAMP default evaluates
-      // to — minted once per table and REUSED on resume from the
-      // stored record, so all-default rows land one distinct ts across
-      // chunk batches and crashes (reference tests/checkpoint_timestamp)
-      val taskTsMillis = rec.map(_.taskTs).filter(_ > 0L)
+      // to — minted once per table and REUSED when resuming an
+      // UNFINISHED import ("imported": crash between chunk batches —
+      // reference tests/checkpoint_timestamp pins one distinct ts
+      // across the crash). A VERIFIED record means the prior task
+      // COMPLETED; files appended later are a new task and stamp a
+      // fresh now, like a fresh reference invocation would.
+      val taskTsMillis = rec.filter(_.status == "imported")
+        .map(_.taskTs).filter(_ > 0L)
         .getOrElse(System.currentTimeMillis())
       val taskTs = Some(new java.sql.Timestamp(taskTsMillis))
       // Sub-file chunks import in batches of `chunkBatch` units, each
@@ -726,6 +730,33 @@ object Ingest {
       schema0.exists(rowidRequired(_, cfg.clusteredIndex))
     val schema: Option[TableSchema] =
       if (rowidNeeded) schema0.map(withRowid) else schema0
+    // On-duplicate merges run with NO covering state against a target
+    // that already holds rows — synthesized handles and auto-inc ids
+    // must rebase past what is ALREADY THERE, or the kept existing
+    // rows and the incoming fill would carry duplicate values the
+    // checksum read-back could never catch (it expects the union).
+    // One cheap column-pruned aggregate over the existing table.
+    val (mergeBaseRowid, mergeBaseId) = {
+      val autoIncName = schema0.flatMap(_.columns.find(_.autoIncrement)).map(_.name)
+      if (cfg.onDuplicate.isEmpty || prior.isDefined ||
+        (!rowidNeeded && autoIncName.isEmpty)) (0L, 0L)
+      else {
+        val p = new Path(s"${cfg.targetDir}/${d.db}.${d.table}")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) (0L, 0L)
+        else {
+          val existing = spark.read.parquet(p.toString)
+          def maxOf(c: String): Long =
+            if (!existing.columns.contains(c)) 0L
+            else existing.agg(coalesce(max(col(c).cast("long")), lit(0L)))
+              .head.getLong(0)
+          (if (rowidNeeded) maxOf(TidbRowidCol) else 0L,
+            autoIncName.map(maxOf).getOrElse(0L))
+        }
+      }
+    }
+    val effPriorRowid = math.max(priorRowid, mergeBaseRowid)
+    val effPriorMaxId = math.max(priorMaxId, mergeBaseId)
     // a schema-only table (no data files) restores EMPTY — the
     // reference creates the table and imports zero rows
     // (`tests/tool_241` pins count(*)=0 for its dataless tables); a
@@ -848,7 +879,7 @@ object Ingest {
             // order-independent distributed equivalent; the high range
             // is the same disjoint-space trick auto_random plays with
             // its shard bits)
-            val base = math.max(priorMaxId, NullFillBase)
+            val base = math.max(effPriorMaxId, NullFillBase)
             union.withColumn(existing,
               coalesce(col(existing), synthFor(c, base).cast(union.schema(existing).dataType)))
           case Some(existing) =>
@@ -865,7 +896,7 @@ object Ingest {
             val nNulls = stats.getLong(1)
             if (nNulls == 0L) union
             else {
-              val base = math.max(priorMaxId, explicitMax)
+              val base = math.max(effPriorMaxId, explicitMax)
               // fills are base + ROW POSITION (chunkedRowId numbers
               // every row; the coalesce picks it up only where the
               // carried value is NULL), so the highest fill is the
@@ -891,9 +922,9 @@ object Ingest {
           case None if wide(c) =>
             // column fully absent: every ID is synthesized, so the
             // low range starting after the prior run's max is safe
-            union.withColumn(c.name, synthFor(c, priorMaxId))
+            union.withColumn(c.name, synthFor(c, effPriorMaxId))
           case None =>
-            RowTransform.chunkedRowId(union, c.name, priorMaxId)
+            RowTransform.chunkedRowId(union, c.name, effPriorMaxId)
         }
       case None => union
     }
@@ -921,7 +952,7 @@ object Ingest {
         }
       if (nNulls == 0L) merged
       else {
-        val base = math.max(priorRowid, explicitMax)
+        val base = math.max(effPriorRowid, explicitMax)
         val RFill = "_graft_fill_tidb_rowid"
         RowTransform.chunkedRowId(merged, RFill, base)
           .withColumn(rc, coalesce(col(rc), col(RFill).cast("string")))
@@ -1051,11 +1082,11 @@ object Ingest {
     val pre = Checksum.fromMetric(obs.get("kv_checksum"))
     val badRows = errCol.map(_ => obs.get("bad_rows").asInstanceOf[Long]).getOrElse(0L)
     val maxRowId = autoInc
-      .map(_ => math.max(priorMaxId, obs.get("max_row_id").asInstanceOf[Long]))
+      .map(_ => math.max(effPriorMaxId, obs.get("max_row_id").asInstanceOf[Long]))
       .getOrElse(0L)
     val maxTidbRowid =
       if (rowidNeeded)
-        math.max(priorRowid, obs.get("max_tidb_rowid").asInstanceOf[Long])
+        math.max(effPriorRowid, obs.get("max_tidb_rowid").asInstanceOf[Long])
       else 0L
     val expected = prior.map(_.add(pre)).getOrElse(pre)
     if (!verify) {

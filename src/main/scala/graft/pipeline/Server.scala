@@ -51,7 +51,12 @@ object Server {
     val tasks = queued(queue)
     tasks.flatMap { tf =>
       val name = tf.getFileName.toString
-      val claimed = running.resolve(name)
+      // ownership is encoded IN the claim rename itself — one atomic
+      // operation, no window where a claim exists without a provable
+      // owner (a crash between a separate move and owner-write would
+      // strand the task as "live" forever)
+      val claimed = running.resolve(
+        name + ClaimSuffix + ProcessHandle.current().pid())
       val won =
         try { Files.move(tf, claimed); true }
         catch {
@@ -61,8 +66,6 @@ object Server {
         }
       if (!won) None
       else {
-        Files.writeString(running.resolve(name + ".owner"),
-          ProcessHandle.current().pid().toString)
         val result =
           try {
             // <spool>/pause gates the running import at table boundaries
@@ -80,7 +83,6 @@ object Server {
           }
         val dest = (if (result.ok) done else failed).resolve(name)
         Files.move(claimed, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Files.deleteIfExists(running.resolve(name + ".owner"))
         Files.writeString(dest.resolveSibling(name + ".result"),
           s"""{"task":${jsonStr(result.task)},"ok":${result.ok},""" +
             s""""tables":${result.tables},"detail":${jsonStr(result.detail)}}\n""")
@@ -89,40 +91,63 @@ object Server {
     }
   }
 
+  /** Claim-name suffix carrying the claimant pid:
+    * `NNN-task.json<ClaimSuffix><pid>`.
+    */
+  private[pipeline] val ClaimSuffix = ".claimed-"
+
   /** Requeue tasks stranded in `running/` by a DEAD claimant (crash
     * between claim and completion). Called at server startup — never
     * from the drain loop, where a live sibling's running tasks must be
-    * left alone. A claim with a live owner pid, or (conservatively) an
-    * unreadable owner record, stays put; the crashed import itself
-    * resumes from its job-state checkpoints when the task re-runs.
+    * left alone. The claimant pid is part of the claim NAME (written
+    * by the atomic claim rename itself), so every claim is provably
+    * owned; a claim whose pid is alive stays put, and a legacy entry
+    * with no pid suffix stays put conservatively. The crashed import
+    * itself resumes from its job-state checkpoints when the task
+    * re-runs.
     */
   def recoverRunning(spool: String): Seq[String] = {
     val running = Paths.get(spool, "running")
     val queue = Paths.get(spool, "queue")
     if (!Files.isDirectory(running)) return Seq.empty
     val listing = Files.list(running)
-    val stranded =
+    val claims =
       try listing.iterator().asScala.toSeq
-        .filter(_.toString.endsWith(".json"))
       finally listing.close()
-    stranded.flatMap { p =>
-      val name = p.getFileName.toString
-      val owner = running.resolve(name + ".owner")
-      val ownerDead =
-        try {
-          val pid = Files.readString(owner).trim.toLong
-          val h = ProcessHandle.of(pid)
-          !h.isPresent || !h.get().isAlive
-        } catch { case _: Exception => false } // unreadable → assume live
-      if (!ownerDead) None
-      else {
-        Files.createDirectories(queue)
-        Files.move(p, queue.resolve(name),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Files.deleteIfExists(owner)
-        Some(name)
+    val ClaimRe = ("""^(.*\.json)""" +
+      java.util.regex.Pattern.quote(ClaimSuffix) + """(\d+)$""").r
+    claims.flatMap { p =>
+      p.getFileName.toString match {
+        case ClaimRe(name, pid) =>
+          val h = ProcessHandle.of(pid.toLong)
+          val dead = !h.isPresent || !h.get().isAlive
+          if (!dead) None
+          else {
+            Files.createDirectories(queue)
+            Files.move(p, queue.resolve(name),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            Some(name)
+          }
+        case _ => None // legacy/unknown entry: cannot prove death
       }
     }
+  }
+
+  /** Task names currently claimed by a drain loop (claim suffix
+    * stripped) — the listing surface for GET /tasks, so a task stays
+    * visible for its whole lifetime instead of vanishing between
+    * claim and completion.
+    */
+  def runningTasks(spool: String): Seq[String] = {
+    val running = Paths.get(spool, "running")
+    if (!Files.isDirectory(running)) return Seq.empty
+    val listing = Files.list(running)
+    try listing.iterator().asScala.toSeq
+      .map(_.getFileName.toString)
+      .collect { case n if n.contains(ClaimSuffix) =>
+        n.substring(0, n.lastIndexOf(ClaimSuffix)) }
+      .sorted
+    finally listing.close()
   }
 
   /** Queued task files in execution order. Dot-prefixed names are

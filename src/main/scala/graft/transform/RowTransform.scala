@@ -303,8 +303,13 @@ object RowTransform {
     // Out-of-domain → NULL, which NullOut keeps (honest NULL) and
     // Strict turns into a raise — matching MySQL's strict error set.
     val base = spec.sparkType match {
+      // INTEGER base types: narrow/unsigned ranges the carrier type
+      // can't express. Non-integer numerics (unsigned decimal/float/
+      // double) get only the sign check below — their magnitude domain
+      // IS the carrier's (a 1e19 into DECIMAL(20,0) UNSIGNED is valid
+      // MySQL and must not be clamped to an int64 bound).
       case IntegerType | LongType | _: DecimalType
-        if SignedRanges.contains(bt) || spec.unsigned =>
+        if IntBases(bt) && (SignedRanges.contains(bt) || spec.unsigned) =>
         val (lo, hi) =
           if (spec.unsigned)
             (BigDecimal(0), UnsignedMax.getOrElse(bt, BigDecimal(Long.MaxValue)))
@@ -313,6 +318,8 @@ object RowTransform {
           }
         val d = base0.cast(DecimalType(38, 0))
         when(d.between(lit(lo), lit(hi)), base0)
+      case _: DecimalType | FloatType | DoubleType if spec.unsigned =>
+        when(base0 >= 0, base0)
       case TimestampType | DateType =>
         when(temporalInRange(base0, spec), base0)
       case StringType =>
@@ -373,10 +380,10 @@ object RowTransform {
           when(shiftright(n, i).bitwiseAND(lit(1L)) === 1L, lit(v))
             .otherwise(lit(null).cast(StringType))
         }: _*)
-        // a 64-member SET fills the long exactly — no upper bound then
-        // (1L << 64 would wrap to 1)
+        // 63+ members reach the long's sign bit — no upper bound then
+        // (1L << 63 wraps negative, 1L << 64 wraps to 1)
         val inMask =
-          if (vals.size >= 64) n.isNotNull && n >= 0
+          if (vals.size >= 63) n.isNotNull && n >= 0
           else n.isNotNull && n >= 0 && n < (1L << vals.size)
         val v = when(raw.isNull, lit(null).cast(StringType))
           .otherwise(
@@ -406,9 +413,25 @@ object RowTransform {
         val v = when(raw.isNull, lit(null).cast(spec.sparkType))
           .otherwise(coalesce(clamped, lit(0).cast(spec.sparkType)))
         notNullFill(v, lit(0).cast(spec.sparkType))
-      case FloatType | DoubleType | _: DecimalType =>
+      case dt: DecimalType =>
+        // MySQL non-strict CLAMPS an overflowing decimal to the
+        // declared range's edge (DECIMAL(5,2) + '99999.999' → 999.99),
+        // it does not zero it; unparseable → 0; unsigned floors at 0
+        val maxV = (BigDecimal(10).pow(dt.precision - dt.scale) - 1) +
+          (BigDecimal(10).pow(dt.scale) - 1) / BigDecimal(10).pow(dt.scale)
+        val minV = if (spec.unsigned) BigDecimal(0) else -maxV
+        val num = numericPrefix(s)
+        val clamped = when(num.isNotNull,
+          least(greatest(num, lit(minV).cast(DecimalType(38, 6))),
+            lit(maxV).cast(DecimalType(38, 6)))).try_cast(dt)
+        val v = when(raw.isNull, lit(null).cast(dt))
+          .otherwise(coalesce(clamped, lit(0).cast(dt)))
+        notNullFill(v, lit(0).cast(dt))
+      case FloatType | DoubleType =>
+        val num = numericPrefix(s)
+        val signed = if (spec.unsigned) greatest(num, lit(BigDecimal(0))) else num
         val v = when(raw.isNull, lit(null).cast(spec.sparkType))
-          .otherwise(coalesce(numericPrefix(s).try_cast(spec.sparkType),
+          .otherwise(coalesce(signed.try_cast(spec.sparkType),
             lit(0).cast(spec.sparkType)))
         notNullFill(v, lit(0).cast(spec.sparkType))
       case TimestampType | DateType =>

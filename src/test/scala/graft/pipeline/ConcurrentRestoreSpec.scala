@@ -85,21 +85,28 @@ class ConcurrentRestoreSpec extends SparkSpec {
     val spool = Files.createTempDirectory("graft_conc_rec").toString
     val running = Files.createDirectories(Paths.get(spool, "running"))
     Files.createDirectories(Paths.get(spool, "queue"))
+    // the claimant pid rides the claim NAME (written by the atomic
+    // claim rename — no claim can exist without a provable owner)
     // dead claimant: a pid from a process that has already exited
     val p = new ProcessBuilder("true").start()
     p.waitFor()
-    Files.writeString(running.resolve("001-dead.json"), """{"sourceDir":"/x"}""")
-    Files.writeString(running.resolve("001-dead.json.owner"), p.pid().toString)
+    Files.writeString(
+      running.resolve(s"001-dead.json${Server.ClaimSuffix}${p.pid()}"),
+      """{"sourceDir":"/x"}""")
     // live claimant: this very JVM
-    Files.writeString(running.resolve("002-live.json"), """{"sourceDir":"/y"}""")
-    Files.writeString(running.resolve("002-live.json.owner"),
-      ProcessHandle.current().pid().toString)
-    // ownerless claim: conservative — must stay (cannot prove death)
+    Files.writeString(
+      running.resolve(s"002-live.json${Server.ClaimSuffix}" +
+        ProcessHandle.current().pid()),
+      """{"sourceDir":"/y"}""")
+    // legacy suffix-less entry: conservative — must stay (no pid)
     Files.writeString(running.resolve("003-orphan.json"), """{"sourceDir":"/z"}""")
     val recovered = Server.recoverRunning(spool)
     assert(recovered === Seq("001-dead.json"))
     assert(listDir(spool, "queue") === Seq("001-dead.json"))
     assert(listDir(spool, "running").toSet ===
-      Set("002-live.json", "002-live.json.owner", "003-orphan.json"))
+      Set(s"002-live.json${Server.ClaimSuffix}" +
+        ProcessHandle.current().pid(), "003-orphan.json"))
+    // the listing surface strips the suffix and shows live claims
+    assert(Server.runningTasks(spool) === Seq("002-live.json"))
   }
 }

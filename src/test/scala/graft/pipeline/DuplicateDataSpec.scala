@@ -88,6 +88,33 @@ class DuplicateDataSpec extends SparkSpec {
     assert(readDup(out).size === 1)
   }
 
+  test("merge rebases synthesized handles past the existing table") {
+    // a varchar-pk table needs _tidb_rowid; the partial prior import
+    // synthesized 1..N — the policy rerun must fill the incoming rows
+    // ABOVE them, never re-issue the same handles into the union
+    val dir = Files.createTempDirectory("graft_dup_rowid")
+    Files.writeString(dir.resolve("d-schema-create.sql"), "CREATE DATABASE d;")
+    Files.writeString(dir.resolve("d.t-schema.sql"),
+      "create table t (pk varchar(4) primary key, v varchar(8));")
+    Files.writeString(dir.resolve("d.t.sql"),
+      "insert into t values ('a', 'old'), ('b', 'old'), ('c', 'old');")
+    val out = Files.createTempDirectory("graft_dup_rowid_out").toString
+    val e = intercept[IllegalStateException] {
+      Ingest.run(spark, Ingest.Config(dir.toString, out,
+        onDuplicate = Some("ignore"), failpointPartialRows = Some(2)))
+    }
+    assert(e.getMessage.contains("failpoint"))
+    val rerun = Ingest.run(spark, Ingest.Config(dir.toString, out,
+      onDuplicate = Some("ignore")))
+    assert(rerun.head.checksumOk)
+    val rows = spark.read.parquet(s"$out/d.t").collect()
+      .map(r => r.getAs[String]("pk") -> r.getAs[Number]("_tidb_rowid").longValue)
+    assert(rows.length === 3)
+    val handles = rows.map(_._2).toSeq
+    assert(handles.distinct.size === handles.size,
+      s"duplicate _tidb_rowid handles after the merge: ${rows.toSeq}")
+  }
+
   test("the corpus tomls parse: backend=tidb + on-duplicate map through") {
     assume(Files.exists(src), "reference tests not present")
     Seq("replace", "ignore", "error").foreach { p =>

@@ -39,13 +39,13 @@ class HttpServerSpec extends AnyFunSuite {
 
   test("POST enqueues validated tasks; GET lists them in execution order") {
     withShim { (base, spool) =>
-      assert(req(base, "GET", "/tasks") === ((200, """{"queue":[]}""")))
+      assert(req(base, "GET", "/tasks") === ((200, """{"queue":[],"running":[]}""")))
       val (c1, b1) = req(base, "POST", "/tasks?name=alpha", task(1))
       assert(c1 === 200 && b1 === """{"id":"000-alpha.json"}""")
       val (c2, b2) = req(base, "POST", "/tasks?name=beta", task(2))
       assert(c2 === 200 && b2 === """{"id":"001-beta.json"}""")
       assert(req(base, "GET", "/tasks")._2 ===
-        """{"queue":["000-alpha.json","001-beta.json"]}""")
+        """{"queue":["000-alpha.json","001-beta.json"],"running":[]}""")
       // the enqueued file is drain-loop-parseable and body-identical
       assert(req(base, "GET", "/tasks/000-alpha.json") === ((200, task(1))))
       assert(Server.parseTask(
@@ -58,7 +58,7 @@ class HttpServerSpec extends AnyFunSuite {
     withShim { (base, spool) =>
       val (code, body) = req(base, "POST", "/tasks", """{"sourceDir":"/x"}""")
       assert(code === 400 && body.contains("targetDir"))
-      assert(req(base, "GET", "/tasks")._2 === """{"queue":[]}""")
+      assert(req(base, "GET", "/tasks")._2 === """{"queue":[],"running":[]}""")
     }
   }
 
@@ -70,11 +70,11 @@ class HttpServerSpec extends AnyFunSuite {
       val (pc, pb) = req(base, "PATCH", "/tasks/c.json/front")
       assert(pc === 200 && pb === """{"id":"000-c.json"}""")
       assert(req(base, "GET", "/tasks")._2 ===
-        """{"queue":["000-c.json","001-a.json","002-b.json"]}""")
+        """{"queue":["000-c.json","001-a.json","002-b.json"],"running":[]}""")
       val (dc, db) = req(base, "DELETE", "/tasks/001-a.json")
       assert(dc === 200 && db === """{"cancelled":"001-a.json"}""")
       assert(req(base, "GET", "/tasks")._2 ===
-        """{"queue":["000-c.json","002-b.json"]}""")
+        """{"queue":["000-c.json","002-b.json"],"running":[]}""")
       assert(req(base, "PATCH", "/tasks/nope.json/front")._1 === 404)
       assert(req(base, "DELETE", "/tasks/nope.json")._1 === 404)
       assert(req(base, "GET", "/tasks/nope.json")._1 === 404)

@@ -144,4 +144,46 @@ class RowTransformSpec extends SparkSpec {
     assert(out.getString(1) === "dflt")
     assert(out.isNullAt(2))
   }
+
+  test("unsigned DECIMAL keeps its full domain; only the sign narrows") {
+    import spark.implicits._
+    val schema = graft.schema.MysqlDdl.parse(
+      "CREATE TABLE t (a decimal(20,0) unsigned, b decimal(20,0) unsigned)")
+    // 1e19 sits past int64 but well inside DECIMAL(20,0) UNSIGNED —
+    // it must survive every mode; the negative must not
+    val df = Seq(("10000000000000000000", "-1")).toDF("a", "b")
+    val out = RowTransform.applySchema(df, schema).collect()(0)
+    assert(out.getDecimal(0) === new java.math.BigDecimal("10000000000000000000"))
+    assert(out.isNullAt(1), "negative into unsigned nulls (NullOut)")
+    val lenient = RowTransform.applySchema(df, schema,
+      RowTransform.CastPolicy.Lenient).collect()(0)
+    assert(lenient.getDecimal(0) ===
+      new java.math.BigDecimal("10000000000000000000"))
+    assert(lenient.getDecimal(1).longValue === 0L, "lenient clamps to 0")
+  }
+
+  test("lenient DECIMAL clamps overflow to the declared edge, not zero") {
+    import spark.implicits._
+    val schema = graft.schema.MysqlDdl.parse(
+      "CREATE TABLE t (p decimal(5,2), q decimal(5,2), r double unsigned)")
+    val df = Seq(("99999.999", "-99999.999", "-3.5")).toDF("p", "q", "r")
+    val out = RowTransform.applySchema(df, schema,
+      RowTransform.CastPolicy.Lenient).collect()(0)
+    assert(out.getDecimal(0) === new java.math.BigDecimal("999.99"))
+    assert(out.getDecimal(1) === new java.math.BigDecimal("-999.99"))
+    assert(out.getDouble(2) === 0.0, "unsigned double floors at 0")
+  }
+
+  test("a 63-member SET decodes numeric bitmasks in lenient mode") {
+    import spark.implicits._
+    val members = (1 to 63).map(i => s"'m$i'").mkString(",")
+    val schema = graft.schema.MysqlDdl.parse(
+      s"CREATE TABLE t (s set($members))")
+    // bit 0 + bit 2 → m1,m3 (1L << 63 would wrap negative — the bound
+    // must not reject every valid mask)
+    val df = Seq(Tuple1("5")).toDF("s")
+    val out = RowTransform.applySchema(df, schema,
+      RowTransform.CastPolicy.Lenient).collect()(0)
+    assert(out.getString(0) === "m1,m3")
+  }
 }
