@@ -84,6 +84,50 @@ object KMeans {
     Model(cents, inertia, iters)
   }
 
+  /** The trained model materialized ON DISK (k×dim doubles — tiny):
+    * the standing-layout discipline of the simhash/inverted indexes
+    * applied to the QUANTIZER, which every cell-blocked query
+    * otherwise re-trains per query (training is the dominant cost of
+    * kmeans_cells/label_purity/semdedup). Training is fully
+    * deterministic (min-id init, integer sums, IEEE-exact divisions),
+    * so the cached centroids are bit-identical to a fresh fit and the
+    * unrolled DuckDB Lloyd oracles stay green. Keyed by (tag, k,
+    * iters), staleness-checked against the embeddings parquet; IEEE
+    * doubles round-trip parquet exactly.
+    */
+  def fitCached(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      df: => DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, tag: String): Model = {
+    val layout =
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/kmeans_${tag}_k${k}_i${iters}_v1"
+    val marker = new java.io.File(s"$layout/_SUCCESS")
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val stale = src.exists() && src.lastModified() > marker.lastModified()
+    if (!marker.exists() || stale) {
+      val m = fit(df, idCol, vecCol, k, iters, withInertia = false)
+      import spark.implicits._
+      m.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(layout)
+      m
+    } else {
+      val cents = spark.read.parquet(layout).orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+      Model(cents, Double.NaN, iters)
+    }
+  }
+
+  /** The shared embeddings-table quantizer (k=8, 4 iterations) behind
+    * kmeans_cells and label_purity — ONE training, two queries.
+    */
+  private[operators] def embModel(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Model =
+    fitCached(spark, sfDir,
+      graft.GraftSession.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 8, iters = 4, tag = "emb")
+
   /** Query surface: train k=8 for 4 iterations on the embeddings and
     * report per-cell population + the per-cell integer inertia (sum of
     * each member's min quantized squared distance). Fully oracle-able:
@@ -97,8 +141,7 @@ object KMeans {
   def kmeansCells(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val emb = graft.GraftSession.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val m = fit(emb, "vec_id", "embedding", k = 8, iters = 4,
-      withInertia = false) // per-cell inertia computed below instead
+    val m = embModel(spark, sfDir)
     val best = nearest(col("embedding"), m.centroids)
     // cell as long: DuckDB's row_number()-derived replay cell is BIGINT
     emb.select(best.getField("cid").cast("long").as("cell"),
@@ -180,8 +223,8 @@ object KMeans {
   def labelPurity(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val emb = graft.GraftSession.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
-    val m = fit(emb, "vec_id", "embedding", k = 8, iters = 4,
-      withInertia = false)
+    val m = embModel(spark, sfDir) // same training as kmeansCells — shared
+
     val byLabel = emb
       .select(cellOf(col("embedding"), m.centroids).cast("long").as("cell"),
         col("label").cast("long").as("label"))

@@ -195,6 +195,14 @@ object SimilarityQueries {
   def warmLayouts(spark: SparkSession, sfDir: String): Unit = {
     bucketedLayout(spark, sfDir)
     ivfPqLayout(spark, sfDir)
+    // standing quantizers (kmeans_cells/label_purity share one;
+    // semdedup trains on the planted union)
+    KMeans.embModel(spark, sfDir)
+    val base = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val planted = base.unionByName(
+      base.withColumn("vec_id", col("vec_id") + 100000))
+    KMeans.fitCached(spark, sfDir, planted, "vec_id", "embedding",
+      k = semDedupK(2L * base.count()), iters = SemDedupIters, tag = "semdedup")
     ()
   }
 
@@ -611,10 +619,12 @@ object SimilarityQueries {
     val planted = base.unionByName(
       base.withColumn("vec_id", col("vec_id") + 100000))
     // k ∝ corpus (one cheap count of the narrow base relation — the
-    // planted union is exactly 2× it)
+    // planted union is exactly 2× it); the trained quantizer is a
+    // standing layout keyed by (tag, k, iters), so the dominant
+    // training cost is paid once per corpus, not per query
     val k = semDedupK(2L * base.count())
-    val m = KMeans.fit(planted, "vec_id", "embedding",
-      k = k, iters = SemDedupIters, withInertia = false)
+    val m = KMeans.fitCached(spark, sfDir, planted, "vec_id", "embedding",
+      k = k, iters = SemDedupIters, tag = "semdedup")
     // per-vector: cell, squared norm, and dot with the OWN cell's
     // centroid — one narrow pass, materialized ONCE (localCheckpoint,
     // the winnowPairs candidate discipline) because both pair sides

@@ -23,6 +23,39 @@ class KMeansSpec extends SparkSpec {
     assert(m5.centroids.flatten.toSeq === m5b.centroids.flatten.toSeq)
   }
 
+  test("fitCached round-trips the model bit-for-bit and rebuilds on staleness") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kmcache").toString
+    def write(n: Int): Unit =
+      (0 until n).map(i => (i.toLong,
+        Array.tabulate(4)(j => (i * 7 + j).toFloat / 10f)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    write(40)
+    def emb = spark.read.parquet(s"$tmp/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val fresh = KMeans.fit(emb, "vec_id", "embedding", k = 3, iters = 2,
+      withInertia = false)
+    val built = KMeans.fitCached(spark, tmp, emb, "vec_id", "embedding",
+      k = 3, iters = 2, tag = "spec")
+    val cached = KMeans.fitCached(spark, tmp,
+      sys.error("cache hit must not evaluate the corpus"),
+      "vec_id", "embedding", k = 3, iters = 2, tag = "spec")
+    // IEEE doubles survive the parquet round trip exactly
+    assert(built.centroids.flatten.toSeq === fresh.centroids.flatten.toSeq)
+    assert(cached.centroids.flatten.toSeq === fresh.centroids.flatten.toSeq)
+    // a rewritten corpus invalidates the layout
+    Thread.sleep(1100) // FS mtime granularity
+    write(60)
+    val retrained = KMeans.fitCached(spark, tmp, emb, "vec_id", "embedding",
+      k = 3, iters = 2, tag = "spec")
+    val fresh2 = KMeans.fit(emb, "vec_id", "embedding", k = 3, iters = 2,
+      withInertia = false)
+    assert(retrained.centroids.flatten.toSeq === fresh2.centroids.flatten.toSeq)
+    assert(retrained.centroids.flatten.toSeq !== fresh.centroids.flatten.toSeq)
+  }
+
   test("kmeansCells partitions every vector into one of k cells") {
     val cells = KMeans.kmeansCells(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1)))
