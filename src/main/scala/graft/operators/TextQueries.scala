@@ -1880,6 +1880,65 @@ object TextQueries {
        |ORDER BY n_prox DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------- search highlight
+  /** Keyword-in-context snippets for the phrase hits — the serving
+    * feature a search result page needs: for each top phrase match,
+    * a ±2-token window around the FIRST occurrence. The positional
+    * index locates the occurrence (array_min over the matching start
+    * positions — no re-scan); only the ≤20 hit documents are then
+    * joined back to the corpus for their text, so the corpus pays one
+    * broadcast-semi-join probe, not a scan per result.
+    */
+  def searchHighlight(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = PhraseQuery.size
+    val reads = PhraseQuery.zipWithIndex.map { case (t, j) =>
+      postingsFor(spark, sfDir, Seq(t))
+        .select(col("doc_id"), col("positions").as(s"p$j"))
+    }
+    val joined = reads.reduce((a, b) => a.join(b, "doc_id"))
+    val matches =
+      if (n == 1) col("p0")
+      else filter(col("p0"), p =>
+        (1 until n).map(j => array_contains(col(s"p$j"), p + j)).reduce(_ && _))
+    val hits = joined
+      .select(col("doc_id"), size(matches).cast("long").as("n_phrase"),
+        array_min(matches).as("p"))
+      .where(col("n_phrase") > 0)
+      .orderBy(col("n_phrase").desc, col("doc_id"))
+      .limit(20)
+    val docs = table(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val s = greatest(lit(1), col("p") - 2)
+    val e = least(size(col("toks")), s + 5)
+    docs.join(broadcast(hits), "doc_id")
+      .select(col("doc_id"), col("n_phrase"),
+        array_join(slice(col("toks"), s, e - s + 1), " ").as("snippet"))
+      .orderBy(col("n_phrase").desc, col("doc_id"))
+  }
+
+  def searchHighlightSql: String = {
+    val nq = PhraseQuery.size
+    val cond = PhraseQuery.zipWithIndex.map { case (t, j) =>
+      if (j == 0) s"toks[i] = '$t'" else s"toks[i + $j] = '$t'"
+    }.mkString(" AND ")
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |m AS (
+       |  SELECT doc_id, toks,
+       |    list_filter(generate_series(1, len(toks) - ${nq - 1}),
+       |      i -> $cond) AS ms
+       |  FROM base),
+       |hits AS (
+       |  SELECT doc_id, toks, CAST(len(ms) AS BIGINT) AS n_phrase, ms[1] AS p
+       |  FROM m WHERE len(ms) > 0
+       |  ORDER BY n_phrase DESC, doc_id LIMIT 20)
+       |SELECT doc_id, n_phrase,
+       |  array_to_string(list_slice(toks, greatest(1, p - 2),
+       |    least(len(toks), greatest(1, p - 2) + 5)), ' ') AS snippet
+       |FROM hits ORDER BY n_phrase DESC, doc_id""".stripMargin
+  }
+
   /** Scan-path twin: the nested-HOF token-stream count over the raw
     * corpus (no index) — parity-pinned against [[phraseSearch]] in
     * `InvIndexSpec`.
