@@ -246,9 +246,11 @@ object IngestQueries {
   def lenientCast(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = MysqlDdl.parse(
       """CREATE TABLE t (event_id bigint NOT NULL, b tinyint NOT NULL,
-        |  s varchar(5), st set('x','y') NOT NULL);""".stripMargin)
+        |  s varchar(5), st set('x','y') NOT NULL,
+        |  d decimal(5,2) NOT NULL, e enum('lo','mid','hi'));""".stripMargin)
     val m5 = pmod(col("event_id"), lit(5))
     val m4 = pmod(col("event_id"), lit(4))
+    val m3 = pmod(col("event_id"), lit(3))
     val src = table(spark, sfDir, "events")
       .select(col("event_id").cast(StringType).as("event_id"),
         when(m5 === 0, lit("NaN")).when(m5 === 1, lit("200"))
@@ -256,7 +258,13 @@ object IngestQueries {
           .otherwise(lit(null).cast(StringType)).as("b"),
         col("event_type").cast(StringType).as("s"),
         when(m4 === 0, lit("x,y,z")).when(m4 === 1, lit("3"))
-          .when(m4 === 2, lit("y,x,y")).otherwise(lit("y")).as("st"))
+          .when(m4 === 2, lit("y,x,y")).otherwise(lit("y")).as("st"),
+        // decimal(5,2): overflow clamps to ±999.99, junk → 0
+        when(m4 === 0, lit("12345.678")).when(m4 === 1, lit("-12345.678"))
+          .when(m4 === 2, lit("1.239")).otherwise(lit("oops")).as("d"),
+        // enum: member, ordinal, invalid → '', NULL stays NULL
+        when(m3 === 0, lit("mid")).when(m3 === 1, lit("3"))
+          .otherwise(lit("nope")).as("e"))
     RowTransform.applySchema(src, schema, RowTransform.CastPolicy.Lenient)
       .orderBy("event_id")
   }
@@ -267,7 +275,10 @@ object IngestQueries {
       |    WHEN 3 THEN 7 ELSE 0 END AS b,
       |  substr(event_type, 1, 5) AS s,
       |  CASE event_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'x,y' WHEN 2 THEN 'x,y'
-      |    ELSE 'y' END AS st
+      |    ELSE 'y' END AS st,
+      |  CAST(CASE event_id % 4 WHEN 0 THEN '999.99' WHEN 1 THEN '-999.99'
+      |    WHEN 2 THEN '1.24' ELSE '0.00' END AS DECIMAL(5,2)) AS d,
+      |  CASE event_id % 3 WHEN 0 THEN 'mid' WHEN 1 THEN 'hi' ELSE '' END AS e
       |FROM events ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------ T4/T6
