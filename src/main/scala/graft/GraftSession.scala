@@ -97,6 +97,30 @@ object GraftSession {
       st.getModificationTime ^ (st.getLen << 20)
     } catch { case _: Throwable => 0L }
 
+  /** THE standing-layout freshness discipline (simhash index, inverted
+    * index, trained quantizers): the layout's marker file records the
+    * SOURCE's (mtime ^ len) stamp, taken BEFORE the build so a source
+    * mutated mid-build still reads stale next time. Content-stamp
+    * comparison is robust where a bare mtime ordering is not — a
+    * corpus restored with preserved attributes, or rewritten within
+    * one mtime tick, changes the stamp (length folds in) without
+    * having to be "newer". `build` runs only when stale; the marker is
+    * written after it completes, so a crashed build rebuilds.
+    */
+  def ensureLayout(spark: SparkSession, layoutDir: String, srcPath: String)(
+      build: => Unit): Unit = {
+    val marker = java.nio.file.Paths.get(layoutDir, "_GRAFT_STAMP")
+    val stamp = pathStamp(spark, srcPath).toString
+    val fresh =
+      try java.nio.file.Files.readString(marker).trim == stamp
+      catch { case _: Exception => false }
+    if (!fresh) {
+      build
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.writeString(marker, stamp)
+    }
+  }
+
   /** Fan a scan out to the cluster's parallelism when its split count
     * can't feed the cores. Parquet parallelism is bounded by row-group
     * count, and these test tables are single-row-group files — without

@@ -757,7 +757,7 @@ object DedupQueries {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashDf(spark, sfDir).orderBy("doc_id")
 
-  private val SimhashLayoutVersion = 1
+  private val SimhashLayoutVersion = 2 // v2: fp subdir + content-stamp marker
 
   /** The simhash fingerprint relation materialized ON DISK (8 bytes
     * per doc) — the "fingerprint index" five queries probe (simhash,
@@ -770,12 +770,13 @@ object DedupQueries {
     */
   private[operators] def simhashLayout(spark: SparkSession, sfDir: String): String = {
     val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/simhash_v$SimhashLayoutVersion"
-    val success = new java.io.File(s"$layout/_SUCCESS")
-    val src = new java.io.File(s"$sfDir/documents.parquet")
-    val stale = src.exists() && src.lastModified() > success.lastModified()
-    if (!success.exists() || stale)
-      simhashCompute(spark, sfDir).write.mode("overwrite").parquet(layout)
-    layout
+    graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
+      // fingerprints under a subdir: the parquet overwrite clears its
+      // own dir, and the stamp marker lives beside it, not inside it
+      simhashCompute(spark, sfDir).write.mode("overwrite")
+        .parquet(s"$layout/fp")
+    }
+    s"$layout/fp"
   }
 
   /** Pre-build the on-disk layouts so benchmark timings measure the

@@ -262,8 +262,10 @@ object IngestQueries {
         // decimal(5,2): overflow clamps to ±999.99, junk → 0
         when(m4 === 0, lit("12345.678")).when(m4 === 1, lit("-12345.678"))
           .when(m4 === 2, lit("1.239")).otherwise(lit("oops")).as("d"),
-        // enum: member, ordinal, invalid → '', NULL stays NULL
+        // enum: member, ordinal, invalid → '', NULL stays NULL on a
+        // nullable column
         when(m3 === 0, lit("mid")).when(m3 === 1, lit("3"))
+          .when(pmod(col("event_id"), lit(6)) === 2, lit(null).cast(StringType))
           .otherwise(lit("nope")).as("e"))
     RowTransform.applySchema(src, schema, RowTransform.CastPolicy.Lenient)
       .orderBy("event_id")
@@ -278,7 +280,8 @@ object IngestQueries {
       |    ELSE 'y' END AS st,
       |  CAST(CASE event_id % 4 WHEN 0 THEN '999.99' WHEN 1 THEN '-999.99'
       |    WHEN 2 THEN '1.24' ELSE '0.00' END AS DECIMAL(5,2)) AS d,
-      |  CASE event_id % 3 WHEN 0 THEN 'mid' WHEN 1 THEN 'hi' ELSE '' END AS e
+      |  CASE WHEN event_id % 3 = 0 THEN 'mid' WHEN event_id % 3 = 1 THEN 'hi'
+      |    WHEN event_id % 6 = 2 THEN NULL ELSE '' END AS e
       |FROM events ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------ T4/T6

@@ -100,20 +100,19 @@ object KMeans {
       k: Int, iters: Int, tag: String): Model = {
     val layout =
       s"${graft.GraftSession.fixtureRoot(sfDir)}/kmeans_${tag}_k${k}_i${iters}_v1"
-    val marker = new java.io.File(s"$layout/_SUCCESS")
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val stale = src.exists() && src.lastModified() > marker.lastModified()
-    if (!marker.exists() || stale) {
+    var trained: Option[Model] = None
+    graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/embeddings.parquet") {
       val m = fit(df, idCol, vecCol, k, iters, withInertia = false)
       import spark.implicits._
       m.centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "cv")
-        .coalesce(1).write.mode("overwrite").parquet(layout)
-      m
-    } else {
-      val cents = spark.read.parquet(layout).orderBy("cell").collect()
-        .map(_.getSeq[Double](1).toArray)
+        .coalesce(1).write.mode("overwrite").parquet(s"$layout/centroids")
+      trained = Some(m)
+    }
+    trained.getOrElse {
+      val cents = spark.read.parquet(s"$layout/centroids").orderBy("cell")
+        .collect().map(_.getSeq[Double](1).toArray)
       Model(cents, Double.NaN, iters)
     }
   }

@@ -196,13 +196,11 @@ object SimilarityQueries {
     bucketedLayout(spark, sfDir)
     ivfPqLayout(spark, sfDir)
     // standing quantizers (kmeans_cells/label_purity share one;
-    // semdedup trains on the planted union)
+    // semdedup trains on the planted union — ONE construction, shared
+    // with the query, so the warm can never train under a key the
+    // query doesn't read)
     KMeans.embModel(spark, sfDir)
-    val base = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
-    val planted = base.unionByName(
-      base.withColumn("vec_id", col("vec_id") + 100000))
-    KMeans.fitCached(spark, sfDir, planted, "vec_id", "embedding",
-      k = semDedupK(2L * base.count()), iters = SemDedupIters, tag = "semdedup")
+    semDedupModel(spark, sfDir)
     ()
   }
 
@@ -614,17 +612,26 @@ object SimilarityQueries {
     * IDs, which the operator must pair with cosine 1 and resolve by
     * the tie rule (drop the higher id).
     */
-  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The planted corpus, its derived k, and the (cached) trained
+    * quantizer — ONE construction shared by [[semDedup]] and
+    * [[warmLayouts]], so the warm cannot train under a key the query
+    * doesn't read. k ∝ corpus (one cheap count of the narrow base
+    * relation — the planted union is exactly 2× it); the layout is
+    * keyed by (tag, k, iters), so the dominant training cost is paid
+    * once per corpus, not per query.
+    */
+  private def semDedupModel(spark: SparkSession,
+      sfDir: String): (DataFrame, KMeans.Model) = {
     val base = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val planted = base.unionByName(
       base.withColumn("vec_id", col("vec_id") + 100000))
-    // k ∝ corpus (one cheap count of the narrow base relation — the
-    // planted union is exactly 2× it); the trained quantizer is a
-    // standing layout keyed by (tag, k, iters), so the dominant
-    // training cost is paid once per corpus, not per query
     val k = semDedupK(2L * base.count())
-    val m = KMeans.fitCached(spark, sfDir, planted, "vec_id", "embedding",
-      k = k, iters = SemDedupIters, tag = "semdedup")
+    (planted, KMeans.fitCached(spark, sfDir, planted, "vec_id", "embedding",
+      k = k, iters = SemDedupIters, tag = "semdedup"))
+  }
+
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (planted, m) = semDedupModel(spark, sfDir)
     // per-vector: cell, squared norm, and dot with the OWN cell's
     // centroid — one narrow pass, materialized ONCE (localCheckpoint,
     // the winnowPairs candidate discipline) because both pair sides

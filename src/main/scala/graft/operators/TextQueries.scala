@@ -1449,7 +1449,7 @@ object TextQueries {
     * corpus, staleness-checked against the source parquet, warmed by
     * Bench so probes measure the read, not the build.
     */
-  private val InvIndexVersion = 1
+  private val InvIndexVersion = 2 // v2: content-stamp marker
   private val InvIndexBuckets = 64
 
   /** CRC32-based term bucket — the one hash both the Spark builtin
@@ -1465,10 +1465,7 @@ object TextQueries {
   private[operators] def invIndexLayout(spark: SparkSession, sfDir: String): String = {
     val layout =
       s"${graft.GraftSession.fixtureRoot(sfDir)}/invindex_v$InvIndexVersion"
-    val marker = new java.io.File(s"$layout/_BUILT")
-    val src = new java.io.File(s"$sfDir/documents.parquet")
-    val stale = src.exists() && src.lastModified() > marker.lastModified()
-    if (!marker.exists() || stale) {
+    graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
       val base = table(spark, sfDir, "documents")
         .where(length(trim(col("text"))) > 0)
         .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
@@ -1491,8 +1488,6 @@ object TextQueries {
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           sum(col("tf")).as("t_tokens"))
         .coalesce(1).write.mode("overwrite").parquet(s"$layout/stats")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(layout))
-      java.nio.file.Files.writeString(marker.toPath, s"v$InvIndexVersion")
     }
     layout
   }
@@ -1795,24 +1790,35 @@ object TextQueries {
     */
   val PhraseQuery: Seq[String] = Seq("spark", "merge")
 
-  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+  /** THE phrase-match relation from the positional index:
+    * (doc_id, matches) where matches = the start positions p with
+    * p+j ∈ pos(term j) for every following term — one pruned bucket
+    * read per term, an equi-join on doc_id. Shared by [[phraseSearch]]
+    * and [[searchHighlight]] so the matching semantics cannot drift
+    * between them.
+    */
+  private def phraseMatches(spark: SparkSession, sfDir: String): DataFrame = {
     val n = PhraseQuery.size
     val reads = PhraseQuery.zipWithIndex.map { case (t, j) =>
       postingsFor(spark, sfDir, Seq(t))
         .select(col("doc_id"), col("positions").as(s"p$j"))
     }
     val joined = reads.reduce((a, b) => a.join(b, "doc_id"))
+    val matches =
+      if (n == 1) col("p0")
+      else filter(col("p0"), p =>
+        (1 until n).map(j => array_contains(col(s"p$j"), p + j)).reduce(_ && _))
+    joined.select(col("doc_id"), matches.as("matches"))
+  }
+
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame =
     // |{p ∈ pos(t0) : ∀j>0, p+j ∈ pos(tj)}| — exactly the token-stream
     // consecutive-run count the scan twin computes
-    val nPhrase =
-      if (n == 1) size(col("p0"))
-      else size(filter(col("p0"), p =>
-        (1 until n).map(j => array_contains(col(s"p$j"), p + j)).reduce(_ && _)))
-    joined.select(col("doc_id"), nPhrase.cast("long").as("n_phrase"))
+    phraseMatches(spark, sfDir)
+      .select(col("doc_id"), size(col("matches")).cast("long").as("n_phrase"))
       .where(col("n_phrase") > 0)
       .orderBy(col("n_phrase").desc, col("doc_id"))
       .limit(20)
-  }
 
   // -------------------------------------------- proximity search
   /** Windowed co-occurrence retrieval ("terms within W tokens") from
@@ -1890,31 +1896,30 @@ object TextQueries {
     * broadcast-semi-join probe, not a scan per result.
     */
   def searchHighlight(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = PhraseQuery.size
-    val reads = PhraseQuery.zipWithIndex.map { case (t, j) =>
-      postingsFor(spark, sfDir, Seq(t))
-        .select(col("doc_id"), col("positions").as(s"p$j"))
-    }
-    val joined = reads.reduce((a, b) => a.join(b, "doc_id"))
-    val matches =
-      if (n == 1) col("p0")
-      else filter(col("p0"), p =>
-        (1 until n).map(j => array_contains(col(s"p$j"), p + j)).reduce(_ && _))
-    val hits = joined
-      .select(col("doc_id"), size(matches).cast("long").as("n_phrase"),
-        array_min(matches).as("p"))
+    val hits = phraseMatches(spark, sfDir)
+      .select(col("doc_id"), size(col("matches")).cast("long").as("n_phrase"),
+        array_min(col("matches")).as("p"))
       .where(col("n_phrase") > 0)
       .orderBy(col("n_phrase").desc, col("doc_id"))
       .limit(20)
-    val docs = table(spark, sfDir, "documents")
-      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    // join the RAW text first: tokenization sits ABOVE the join, so
+    // only the ≤20 surviving rows pay it (a projection below the join
+    // would re-tokenize the whole corpus per query)
+    val docs = table(spark, sfDir, "documents").select("doc_id", "text")
+    val toks = tokens(lower(col("text")))
     val s = greatest(lit(1), col("p") - 2)
-    val e = least(size(col("toks")), s + 5)
+    val e = least(size(toks), s + lit(SnippetSpan))
     docs.join(broadcast(hits), "doc_id")
       .select(col("doc_id"), col("n_phrase"),
-        array_join(slice(col("toks"), s, e - s + 1), " ").as("snippet"))
+        array_join(slice(toks, s, e - s + 1), " ").as("snippet"))
       .orderBy(col("n_phrase").desc, col("doc_id"))
   }
+
+  /** Window extent past the start token: the phrase itself plus two
+    * context tokens each side — derived from PhraseQuery so a longer
+    * phrase still fits inside its own snippet.
+    */
+  private def SnippetSpan: Int = PhraseQuery.size + 3
 
   def searchHighlightSql: String = {
     val nq = PhraseQuery.size
@@ -1935,8 +1940,36 @@ object TextQueries {
        |  ORDER BY n_phrase DESC, doc_id LIMIT 20)
        |SELECT doc_id, n_phrase,
        |  array_to_string(list_slice(toks, greatest(1, p - 2),
-       |    least(len(toks), greatest(1, p - 2) + 5)), ' ') AS snippet
+       |    least(len(toks), greatest(1, p - 2) + $SnippetSpan)), ' ') AS snippet
        |FROM hits ORDER BY n_phrase DESC, doc_id""".stripMargin
+  }
+
+  /** Scan twin of [[searchHighlight]]: matches and snippet recomputed
+    * from the raw token stream, no index — parity-pinned so a shared
+    * Spark/oracle misunderstanding of the window arithmetic can't
+    * pass the hash gate unchecked.
+    */
+  private[operators] def searchHighlightScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = PhraseQuery.size
+    val toks = tokens(lower(col("text")))
+    val ms = when(size(toks) < n, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), size(toks) - (n - 1)),
+        i => PhraseQuery.zipWithIndex.map { case (t, j) =>
+          element_at(toks, i + j) === lit(t)
+        }.reduce(_ && _)).cast("array<int>"))
+    val hits = table(spark, sfDir, "documents")
+      .select(col("doc_id"), toks.as("toks"), ms.as("ms"))
+      .select(col("doc_id"), col("toks"),
+        size(col("ms")).cast("long").as("n_phrase"),
+        array_min(col("ms")).as("p"))
+      .where(col("n_phrase") > 0)
+      .orderBy(col("n_phrase").desc, col("doc_id"))
+      .limit(20)
+    val s = greatest(lit(1), col("p") - 2)
+    val e = least(size(col("toks")), s + lit(SnippetSpan))
+    hits.select(col("doc_id"), col("n_phrase"),
+        array_join(slice(col("toks"), s, e - s + 1), " ").as("snippet"))
+      .orderBy(col("n_phrase").desc, col("doc_id"))
   }
 
   /** Scan-path twin: the nested-HOF token-stream count over the raw

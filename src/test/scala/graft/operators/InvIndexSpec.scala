@@ -36,6 +36,13 @@ class InvIndexSpec extends SparkSpec {
     assert(idx.nonEmpty)
   }
 
+  test("highlight: indexed snippets == token-stream scan path") {
+    val idx = rows(TextQueries.searchHighlight(spark, sf()))
+    val scan = rows(TextQueries.searchHighlightScan(spark, sf()))
+    assert(idx === scan)
+    assert(idx.nonEmpty)
+  }
+
   test("rrf: both fused arms match the scan twins") {
     val idx = rows(TextQueries.rrfFusion(spark, sf()))
     val scan = rows(TextQueries.rrfFusionScan(spark, sf()))

@@ -48,7 +48,9 @@ class LenientCastPropertySpec extends SparkSpec {
       val elems = s.split(",", -1)
       if (elems.forall(SetDomain.contains))
         SetDomain.filter(elems.contains).mkString(",")
-      else s.toLongOption match {
+      // Spark's string→long cast trims surrounding whitespace — the
+      // model must too, or ' 5' diverges
+      else s.trim.toLongOption match {
         case Some(n) if n >= 0 && n < 8 =>
           SetDomain.zipWithIndex.collect {
             case (v, i) if ((n >> i) & 1L) == 1L => v
@@ -78,7 +80,8 @@ class LenientCastPropertySpec extends SparkSpec {
   private def setCases(seed: Long, n: Int): Seq[String] = {
     val rnd = new scala.util.Random(seed)
     val pool = Seq("a", "b", "c", "x")
-    Seq("", "a", "c,a", "a,a,b", "0", "7", "8", "5", "a,x", "nope") ++
+    Seq("", "a", "c,a", "a,a,b", "0", "7", "8", "5", " 5", " 6 ",
+      "a,x", "nope") ++
       (0 until n).map { _ =>
         rnd.nextInt(3) match {
           case 0 => (0 until 1 + rnd.nextInt(4))
