@@ -27,6 +27,7 @@ object ScalingProbe {
     "q_pack_sequences", "q_quality_score", "q_dedup_exact",
     "q_corpus_diff", "q_line_dedup", "q_search_topk", "q_bm25_topk",
     "q_phrase_search", "q_rrf_fusion", "q_query_expand",
+    "q_proximity_search", "q_search_highlight",
     "q_vocab_coverage", "q_label_centroid_sim", "q_normalize_nfc", "q_script_mix",
     "q_importance_weights", "q_ngram_diversity",
     "q_heavy_hitters", "q_shuffle_shard", "q_mix_sample",
