@@ -1500,6 +1500,43 @@ object TextQueries {
     ()
   }
 
+  /** Incremental index maintenance — the [[SimilarityQueries
+    * .ivfPqAppend]] sibling for the TEXT index: tokenize ONLY the new
+    * documents and append their postings into the standing bucket
+    * directories; the one-row stats update by addition. Bit-equal to
+    * a from-scratch rebuild of the union corpus (spec-pinned) because
+    * posting rows are per (tok, doc) and appended doc_ids are new —
+    * the production path keeps the serving index ahead of the batch
+    * corpus snapshot without ever re-tokenizing what already landed.
+    * Caller contract (ivfPqAppend's too): `newDocs` carries doc_ids
+    * not yet indexed.
+    */
+  def invIndexAppend(spark: SparkSession, sfDir: String,
+      newDocs: DataFrame): String = {
+    val layout = invIndexLayout(spark, sfDir) // ensure the base exists
+    val base = newDocs
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    base.select(col("doc_id"), col("dl"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .groupBy("tok", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos") + 1)).as("positions"))
+      .withColumn("tb", pmod(crc32(col("tok")), lit(InvIndexBuckets)).cast("int"))
+      .repartition(col("tb"))
+      .write.partitionBy("tb").mode("append").parquet(s"$layout/postings")
+    // one-row stats: old + delta, computed on the driver so the
+    // overwrite never reads the files it replaces
+    val old = spark.read.parquet(s"$layout/stats").head
+    val delta = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
+    import spark.implicits._
+    Seq((old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1)))
+      .toDF("n_docs", "t_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$layout/stats")
+    layout
+  }
+
   /** Postings for `terms`: the bucket filter prunes at the FILE
     * LISTING (PartitionFilters, plan-pinned), the term filter drops
     * bucket-mates inside the ≤|terms| directories read.

@@ -67,6 +67,43 @@ class InvIndexSpec extends SparkSpec {
     assert(viaSpark.toSeq === terms.map(TextQueries.termBucket))
   }
 
+  test("incremental append == from-scratch rebuild of the union corpus") {
+    import spark.implicits._
+    def docsDF(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    def write(dir: String, rows: Seq[(Long, String)]): Unit =
+      docsDF(rows).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val a = Seq(1L -> "spark merge data", 2L -> "data data spark", 3L -> "   ")
+    val b = Seq(10L -> "merge spark merge spark", 11L -> "fresh words here")
+    // standing index over A, then append B
+    val incDir = java.nio.file.Files.createTempDirectory("graft_inv_inc").toString
+    write(incDir, a)
+    TextQueries.invIndexAppend(spark, incDir, docsDF(b))
+    // from-scratch rebuild over A ∪ B
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_inv_full").toString
+    write(fullDir, a ++ b)
+    val fullLayout = TextQueries.invIndexLayout(spark, fullDir)
+    def postings(layout: String): Seq[Seq[Any]] =
+      spark.read.parquet(s"$layout/postings")
+        .select("tok", "doc_id", "dl", "tf", "positions", "tb")
+        .collect().toSeq.map(_.toSeq)
+        .sortBy(r => (r(0).toString, r(1).toString.toLong))
+    val incLayout = s"${graft.GraftSession.fixtureRoot(incDir)}/invindex_v2"
+    assert(postings(incLayout) === postings(fullLayout))
+    def stats(layout: String): (Long, Long) = {
+      val r = spark.read.parquet(s"$layout/stats").head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(stats(incLayout) === stats(fullLayout))
+    // and the probe READS the appended entries (doc 10 outranks on tf)
+    val hits = spark.read.parquet(s"$incLayout/postings")
+      .where(col("tok") === "spark").select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(hits.toSeq === Seq(1L, 2L, 10L))
+  }
+
   test("staleness: a rewritten corpus invalidates the standing layout") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_inv").toString

@@ -56,14 +56,16 @@ class ConcurrentRestoreSpec extends SparkSpec {
           var idle = 0
           while (idle < 3) { // three empty polls after the queue drains
             val r = Server.drainOnce(spark, spool)
-            r.foreach { t => assert(t.ok, t.detail); executed.add(t.task) }
+            r.foreach { t => assert(t.ok, s"${t.task}: ${t.detail}"); executed.add(t.task) }
             if (r.isEmpty && listDir(spool, "queue").isEmpty) idle += 1
+            Thread.sleep(25) // poll backoff: a tight FS spin under a
+            // loaded suite starves the sibling loop's Spark jobs
           }
         } catch { case t: Throwable => failures.add(t) }
       })
     }
     loops.foreach(_.start())
-    loops.foreach(_.join(180000))
+    loops.foreach(_.join(300000)) // generous under full-suite load
     assert(loops.forall(!_.isAlive), "both loops finished in time")
     assert(failures.isEmpty, failures.asScala.map(_.toString).mkString("\n"))
     // exactly once: the union of the two loops' executions covers all
