@@ -26,6 +26,25 @@ object StreamingOps {
 
   case class SessionState(nEvents: Long, started: Long, lastTs: Long)
 
+  /** Live maintenance of the standing inverted index: every
+    * micro-batch of NEW documents appends its postings via
+    * [[graft.operators.TextQueries.invIndexAppend]] — the streaming
+    * twin of the batch index build, keeping the serving index current
+    * between corpus snapshots (parity-pinned stream-fed == batch
+    * rebuild of the union). foreachBatch is at-least-once on failure
+    * recovery; a production deployment records the last applied
+    * batchId beside the layout and skips replays (the standard
+    * foreachBatch idempotence pattern) — the append itself is
+    * per-(tok, doc) rows, so a skipped replay loses nothing.
+    */
+  def indexMaintainStream(docs: DataFrame, sfDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      if (!batch.isEmpty)
+        graft.operators.TextQueries.invIndexAppend(batch.sparkSession, sfDir, batch.toDF())
+      ()
+    }
+
   /** Tumbling-window counts with a watermark: late data beyond
     * `watermarkDelay` is dropped, state is bounded — the only safe
     * aggregation shape for an unbounded 100 TB/day stream.
