@@ -51,17 +51,28 @@ object Server {
     val tasks = queued(queue)
     tasks.flatMap { tf =>
       val name = tf.getFileName.toString
-      // ownership is encoded IN the claim rename itself — one atomic
-      // operation, no window where a claim exists without a provable
-      // owner (a crash between a separate move and owner-write would
-      // strand the task as "live" forever)
+      // Two-step exclusive claim. The LOCK is an O_EXCL create —
+      // exactly one creator can ever win, the strongest exclusivity
+      // primitive the filesystem offers (a bare rename-claim was
+      // observed double-winning under thread contention on tmpfs).
+      // The task file then moves to a pid-suffixed claim name, so
+      // ownership is provable for dead-claimant recovery; the lock
+      // carries the pid too for the crash window before the move.
+      val lock = running.resolve(name + LockSuffix)
       val claimed = running.resolve(
         name + ClaimSuffix + ProcessHandle.current().pid())
       val won =
-        try { Files.move(tf, claimed); true }
-        catch {
-          // another loop claimed it between the listing and our move
-          case _: java.nio.file.NoSuchFileException => false
+        try {
+          Files.createFile(lock)
+          Files.writeString(lock, ProcessHandle.current().pid().toString)
+          try { Files.move(tf, claimed); true }
+          catch {
+            // the queue entry vanished before our lock (claimed by a
+            // pre-lock racer or cancelled) — release and skip
+            case _: java.nio.file.NoSuchFileException =>
+              Files.deleteIfExists(lock); false
+          }
+        } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
       if (!won) None
@@ -83,6 +94,7 @@ object Server {
           }
         val dest = (if (result.ok) done else failed).resolve(name)
         Files.move(claimed, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.deleteIfExists(lock)
         Files.writeString(dest.resolveSibling(name + ".result"),
           s"""{"task":${jsonStr(result.task)},"ok":${result.ok},""" +
             s""""tables":${result.tables},"detail":${jsonStr(result.detail)}}\n""")
@@ -95,6 +107,11 @@ object Server {
     * `NNN-task.json<ClaimSuffix><pid>`.
     */
   private[pipeline] val ClaimSuffix = ".claimed-"
+
+  /** O_EXCL claim lock beside the claim: `NNN-task.json.lock`, content
+    * = claimant pid.
+    */
+  private[pipeline] val LockSuffix = ".lock"
 
   /** Requeue tasks stranded in `running/` by a DEAD claimant (crash
     * between claim and completion). Called at server startup — never
@@ -116,21 +133,38 @@ object Server {
       finally listing.close()
     val ClaimRe = ("""^(.*\.json)""" +
       java.util.regex.Pattern.quote(ClaimSuffix) + """(\d+)$""").r
-    claims.flatMap { p =>
+    def pidDead(pid: Long): Boolean = {
+      val h = ProcessHandle.of(pid)
+      !h.isPresent || !h.get().isAlive
+    }
+    val recovered = claims.flatMap { p =>
       p.getFileName.toString match {
-        case ClaimRe(name, pid) =>
-          val h = ProcessHandle.of(pid.toLong)
-          val dead = !h.isPresent || !h.get().isAlive
-          if (!dead) None
-          else {
-            Files.createDirectories(queue)
-            Files.move(p, queue.resolve(name),
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            Some(name)
-          }
-        case _ => None // legacy/unknown entry: cannot prove death
+        case ClaimRe(name, pid) if pidDead(pid.toLong) =>
+          Files.createDirectories(queue)
+          Files.move(p, queue.resolve(name),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Files.deleteIfExists(running.resolve(name + LockSuffix))
+          Some(name)
+        case _ => None // live claim or legacy entry: cannot prove death
       }
     }
+    // a lock with no claim beside it = a crash between the O_EXCL
+    // create and the task move; if its recorded pid is dead, release
+    // it so the still-queued task becomes claimable again
+    claims.filter(_.getFileName.toString.endsWith(LockSuffix)).foreach { l =>
+      val name = l.getFileName.toString.stripSuffix(LockSuffix)
+      val hasClaim = {
+        val listing = Files.list(running)
+        try listing.iterator().asScala
+          .exists(_.getFileName.toString.startsWith(name + ClaimSuffix))
+        finally listing.close()
+      }
+      val dead =
+        try pidDead(Files.readString(l).trim.toLong)
+        catch { case _: Exception => false }
+      if (!hasClaim && dead) Files.deleteIfExists(l)
+    }
+    recovered
   }
 
   /** Task names currently claimed by a drain loop (claim suffix

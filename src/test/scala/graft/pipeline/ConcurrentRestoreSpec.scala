@@ -102,12 +102,23 @@ class ConcurrentRestoreSpec extends SparkSpec {
       """{"sourceDir":"/y"}""")
     // legacy suffix-less entry: conservative — must stay (no pid)
     Files.writeString(running.resolve("003-orphan.json"), """{"sourceDir":"/z"}""")
+    // the dead claim's lock must be released with it
+    Files.writeString(running.resolve(s"001-dead.json${Server.LockSuffix}"),
+      p.pid().toString)
+    // claimless lock from a dead pid (crash between O_EXCL create and
+    // the task move) — released so the queued task is claimable again
+    Files.writeString(running.resolve(s"004-lockonly.json${Server.LockSuffix}"),
+      p.pid().toString)
+    // claimless lock from THIS live JVM — stays
+    Files.writeString(running.resolve(s"005-livelock.json${Server.LockSuffix}"),
+      ProcessHandle.current().pid().toString)
     val recovered = Server.recoverRunning(spool)
     assert(recovered === Seq("001-dead.json"))
     assert(listDir(spool, "queue") === Seq("001-dead.json"))
     assert(listDir(spool, "running").toSet ===
       Set(s"002-live.json${Server.ClaimSuffix}" +
-        ProcessHandle.current().pid(), "003-orphan.json"))
+        ProcessHandle.current().pid(), "003-orphan.json",
+        s"005-livelock.json${Server.LockSuffix}"))
     // the listing surface strips the suffix and shows live claims
     assert(Server.runningTasks(spool) === Seq("002-live.json"))
   }
