@@ -268,6 +268,12 @@ object IngestQueries {
           .when(pmod(col("event_id"), lit(6)) === 2, lit(null).cast(StringType))
           .otherwise(lit("nope")).as("e"))
     RowTransform.applySchema(src, schema, RowTransform.CastPolicy.Lenient)
+      // House numeric policy (see q_various_types_dec): never ship a bare
+      // DECIMAL to the driver — Spark's and DuckDB's decimal values
+      // stringify differently in its canonicalization even when
+      // numerically identical. Stringify at the query boundary only; the
+      // lenient kernel itself still produces DECIMAL(5,2).
+      .withColumn("d", col("d").cast(StringType))
       .orderBy("event_id")
   }
 
@@ -278,8 +284,8 @@ object IngestQueries {
       |  substr(event_type, 1, 5) AS s,
       |  CASE event_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'x,y' WHEN 2 THEN 'x,y'
       |    ELSE 'y' END AS st,
-      |  CAST(CASE event_id % 4 WHEN 0 THEN '999.99' WHEN 1 THEN '-999.99'
-      |    WHEN 2 THEN '1.24' ELSE '0.00' END AS DECIMAL(5,2)) AS d,
+      |  CAST(CAST(CASE event_id % 4 WHEN 0 THEN '999.99' WHEN 1 THEN '-999.99'
+      |    WHEN 2 THEN '1.24' ELSE '0.00' END AS DECIMAL(5,2)) AS VARCHAR) AS d,
       |  CASE WHEN event_id % 3 = 0 THEN 'mid' WHEN event_id % 3 = 1 THEN 'hi'
       |    WHEN event_id % 6 = 2 THEN NULL ELSE '' END AS e
       |FROM events ORDER BY event_id""".stripMargin

@@ -1466,6 +1466,10 @@ object TextQueries {
     val layout =
       s"${graft.GraftSession.fixtureRoot(sfDir)}/invindex_v$InvIndexVersion"
     graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
+      // a rebuild is a new corpus snapshot — any streaming-maintenance
+      // batch marker from the previous snapshot is void
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(layout, "_LAST_BATCH"))
       val base = table(spark, sfDir, "documents")
         .where(length(trim(col("text"))) > 0)
         .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
@@ -1514,6 +1518,12 @@ object TextQueries {
   def invIndexAppend(spark: SparkSession, sfDir: String,
       newDocs: DataFrame): String = {
     val layout = invIndexLayout(spark, sfDir) // ensure the base exists
+    appendPostings(spark, layout, newDocs)
+    layout
+  }
+
+  private def appendPostings(spark: SparkSession, layout: String,
+      newDocs: DataFrame): Unit = {
     val base = newDocs
       .where(length(trim(col("text"))) > 0)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
@@ -1527,14 +1537,43 @@ object TextQueries {
       .repartition(col("tb"))
       .write.partitionBy("tb").mode("append").parquet(s"$layout/postings")
     // one-row stats: old + delta, computed on the driver so the
-    // overwrite never reads the files it replaces
+    // overwrite never reads the files it replaces. sum() over zero rows
+    // is NULL — coalesce so a batch of all-blank docs is a clean no-op
+    // instead of an NPE that kills the caller (incl. the streaming
+    // maintenance query, whose !isEmpty guard doesn't cover this).
     val old = spark.read.parquet(s"$layout/stats").head
-    val delta = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
+    val delta = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("t")).head
     import spark.implicits._
     Seq((old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1)))
       .toDF("n_docs", "t_tokens")
       .coalesce(1).write.mode("overwrite").parquet(s"$layout/stats")
-    layout
+  }
+
+  /** foreachBatch-idempotent append — the streaming maintenance
+    * entrypoint. foreachBatch is at-least-once on failure recovery: a
+    * replayed batch would re-append the same postings and double-add
+    * stats. The standard remedy: record the last APPLIED batchId
+    * beside the layout and skip any batch at or below it (batchIds are
+    * monotonic within one checkpointed query). Returns whether the
+    * batch was applied. A full index rebuild clears the marker (the
+    * corpus snapshot changed); pointing a NEW checkpoint at an
+    * already-maintained layout requires clearing it too — same
+    * contract as every foreachBatch-idempotence marker.
+    */
+  def invIndexAppendOnce(spark: SparkSession, sfDir: String,
+      newDocs: DataFrame, batchId: Long): Boolean = {
+    val layout = invIndexLayout(spark, sfDir)
+    val marker = java.nio.file.Paths.get(layout, "_LAST_BATCH")
+    val last =
+      try java.nio.file.Files.readString(marker).trim.toLong
+      catch { case _: Exception => Long.MinValue }
+    if (batchId <= last) false
+    else {
+      appendPostings(spark, layout, newDocs)
+      java.nio.file.Files.writeString(marker, batchId.toString)
+      true
+    }
   }
 
   /** Postings for `terms`: the bucket filter prunes at the FILE

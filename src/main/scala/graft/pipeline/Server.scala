@@ -63,8 +63,15 @@ object Server {
         name + ClaimSuffix + ProcessHandle.current().pid())
       val won =
         try {
-          Files.createFile(lock)
-          Files.writeString(lock, ProcessHandle.current().pid().toString)
+          // CREATE_NEW creates and writes in ONE call, so a lock always
+          // carries its pid — a create-then-write pair had a crash
+          // window leaving a pid-less lock that recovery could never
+          // attribute to a dead claimant
+          Files.write(lock,
+            ProcessHandle.current().pid().toString
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
           try { Files.move(tf, claimed); true }
           catch {
             // the queue entry vanished before our lock (claimed by a
@@ -141,16 +148,29 @@ object Server {
       p.getFileName.toString match {
         case ClaimRe(name, pid) if pidDead(pid.toLong) =>
           Files.createDirectories(queue)
-          Files.move(p, queue.resolve(name),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          Files.deleteIfExists(running.resolve(name + LockSuffix))
-          Some(name)
+          // two servers starting on a shared spool can both see the
+          // same dead claim; the loser's move throws NoSuchFileException
+          // — the claim was already recovered by the sibling, not an
+          // error worth aborting startup over
+          try {
+            Files.move(p, queue.resolve(name),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            Files.deleteIfExists(running.resolve(name + LockSuffix))
+            Some(name)
+          } catch {
+            case _: java.nio.file.NoSuchFileException => None
+          }
         case _ => None // live claim or legacy entry: cannot prove death
       }
     }
     // a lock with no claim beside it = a crash between the O_EXCL
     // create and the task move; if its recorded pid is dead, release
-    // it so the still-queued task becomes claimable again
+    // it so the still-queued task becomes claimable again. A lock whose
+    // pid does not PARSE can only be a legacy create-then-write
+    // artifact (the claim path now writes the pid atomically with
+    // CREATE_NEW): with no claim beside it and its queue entry still
+    // present, no claimant can be live mid-claim — release it too,
+    // else that task is stranded forever while still queued.
     claims.filter(_.getFileName.toString.endsWith(LockSuffix)).foreach { l =>
       val name = l.getFileName.toString.stripSuffix(LockSuffix)
       val hasClaim = {
@@ -161,7 +181,9 @@ object Server {
       }
       val dead =
         try pidDead(Files.readString(l).trim.toLong)
-        catch { case _: Exception => false }
+        catch {
+          case _: Exception => Files.exists(queue.resolve(name))
+        }
       if (!hasClaim && dead) Files.deleteIfExists(l)
     }
     recovered

@@ -32,17 +32,20 @@ object StreamingOps {
     * twin of the batch index build, keeping the serving index current
     * between corpus snapshots (parity-pinned stream-fed == batch
     * rebuild of the union). foreachBatch is at-least-once on failure
-    * recovery; a production deployment records the last applied
-    * batchId beside the layout and skips replays (the standard
-    * foreachBatch idempotence pattern) — the append itself is
-    * per-(tok, doc) rows, so a skipped replay loses nothing.
+    * recovery, so the append goes through
+    * [[graft.operators.TextQueries.invIndexAppendOnce]], which records
+    * the last applied batchId beside the layout and skips replays (the
+    * standard foreachBatch idempotence pattern) — a replayed batch is
+    * a no-op instead of doubled postings and stats.
     */
   def indexMaintainStream(docs: DataFrame, sfDir: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-      if (!batch.isEmpty)
-        graft.operators.TextQueries.invIndexAppend(batch.sparkSession, sfDir, batch.toDF())
-      ()
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.TextQueries.invIndexAppendOnce(
+            batch.sparkSession, sfDir, batch.toDF(), batchId)
+        ()
     }
 
   /** Tumbling-window counts with a watermark: late data beyond

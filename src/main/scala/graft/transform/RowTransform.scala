@@ -364,10 +364,12 @@ object RowTransform {
         val idx = s.try_cast(IntegerType)
         val ordinal = when(idx.between(1, vals.size), element_at(typedLit(vals), idx))
         // invalid → '' (MySQL's enum error value), NULL input on a
-        // nullable column stays NULL
+        // nullable column stays NULL; NULL into NOT NULL takes the
+        // implicit default, which for ENUM is the FIRST enumeration
+        // value — '' is reserved for invalid non-NULL inputs
         val v = when(raw.isNull, lit(null).cast(StringType))
           .otherwise(coalesce(member, ordinal, lit("")))
-        notNullFill(v, lit(""))
+        notNullFill(v, lit(vals.head))
       case _ if bt == "set" =>
         val vals = spec.enumValues
         val elems = split(s, ",")

@@ -20,15 +20,34 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   test("every registered query analyzes against the current testdata") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val schemas = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        try { fn(spark, sf()).schema; None }
+        try { name -> Right(fn(spark, sf()).schema) }
         catch { case e: Throwable =>
-          Some(s"$name: ${e.getClass.getSimpleName}: " +
+          name -> Left(s"${e.getClass.getSimpleName}: " +
             Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" "))
         }
     }
+    val failures = schemas.collect { case (n, Left(m)) => s"$n: $m" }
     assert(failures.isEmpty, failures.mkString("\n"))
+
+    // House numeric policy: no registered query may ship a bare DECIMAL
+    // output column to the driver — Spark's and DuckDB's decimal values
+    // stringify differently in the driver's canonicalization even when
+    // numerically identical (the r9 q_lenient_cast hash-fail). Decimals
+    // must cross the boundary as STRING (q_various_types_dec convention)
+    // or a scaled integer.
+    val decimals = schemas.collect {
+      case (n, Right(s)) =>
+        val offending = s.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+            f.name
+        }
+        (n, offending)
+    }.filter(_._2.nonEmpty)
+    assert(decimals.isEmpty,
+      "bare DECIMAL output columns (stringify them per q_various_types_dec): " +
+        decimals.map { case (n, cs) => s"$n(${cs.mkString(",")})" }.mkString(", "))
   }
 
   test("every oracle entry names a registered query") {

@@ -104,6 +104,49 @@ class InvIndexSpec extends SparkSpec {
     assert(hits.toSeq === Seq(1L, 2L, 10L))
   }
 
+  test("an all-blank append batch is a clean no-op, not an NPE") {
+    import spark.implicits._
+    def docsDF(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_blank").toString
+    docsDF(Seq(1L -> "spark merge data"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val layout = TextQueries.invIndexAppend(spark, dir,
+      docsDF(Seq(20L -> "   ", 21L -> ""))) // sum(dl) over zero rows is NULL
+    val st = spark.read.parquet(s"$layout/stats").head
+    assert((st.getLong(0), st.getLong(1)) === ((1L, 3L)), "stats unchanged")
+  }
+
+  test("invIndexAppendOnce skips a replayed batchId (foreachBatch idempotence)") {
+    import spark.implicits._
+    def docsDF(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_once").toString
+    docsDF(Seq(1L -> "spark merge data"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = docsDF(Seq(10L -> "merge spark merge"))
+    assert(TextQueries.invIndexAppendOnce(spark, dir, batch, batchId = 0L))
+    val layout = s"${graft.GraftSession.fixtureRoot(dir)}/invindex_v2"
+    def snapshot(): (Seq[Seq[Any]], Seq[Any]) = (
+      spark.read.parquet(s"$layout/postings")
+        .select("tok", "doc_id", "dl", "tf", "positions", "tb")
+        .collect().toSeq.map(_.toSeq)
+        .sortBy(r => (r(0).toString, r(1).toString.toLong)),
+      spark.read.parquet(s"$layout/stats").head.toSeq)
+    val afterFirst = snapshot()
+    // at-least-once replay of the SAME batch: no doubled postings/stats
+    assert(!TextQueries.invIndexAppendOnce(spark, dir, batch, batchId = 0L))
+    assert(snapshot() === afterFirst)
+    // the next batch still applies
+    assert(TextQueries.invIndexAppendOnce(spark, dir,
+      docsDF(Seq(11L -> "fresh words")), batchId = 1L))
+    assert(snapshot() !== afterFirst)
+  }
+
   test("staleness: a rewritten corpus invalidates the standing layout") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_inv").toString

@@ -122,4 +122,105 @@ class ConcurrentRestoreSpec extends SparkSpec {
     // the listing surface strips the suffix and shows live claims
     assert(Server.runningTasks(spool) === Seq("002-live.json"))
   }
+
+  test("a pid-less legacy lock releases only when its task is still queued") {
+    val spool = Files.createTempDirectory("graft_conc_pidless").toString
+    val running = Files.createDirectories(Paths.get(spool, "running"))
+    val queue = Files.createDirectories(Paths.get(spool, "queue"))
+    // pre-fix crash window artifact: lock created but pid never
+    // written. With no claim beside it and the queue entry still
+    // present, no claimant can be live — release, else the task is
+    // stranded forever while still queued.
+    Files.writeString(queue.resolve("001-stranded.json"), """{"sourceDir":"/x"}""")
+    Files.writeString(running.resolve(s"001-stranded.json${Server.LockSuffix}"), "")
+    // pid-less lock whose queue entry is GONE: nothing provable — stays
+    Files.writeString(running.resolve(s"002-unknown.json${Server.LockSuffix}"), "")
+    Server.recoverRunning(spool)
+    assert(listDir(spool, "running") ===
+      Seq(s"002-unknown.json${Server.LockSuffix}"))
+    assert(listDir(spool, "queue") === Seq("001-stranded.json"))
+  }
+
+  test("two servers recovering one dead claim concurrently: requeued once, no abort") {
+    val spool = Files.createTempDirectory("graft_conc_recrace").toString
+    val running = Files.createDirectories(Paths.get(spool, "running"))
+    Files.createDirectories(Paths.get(spool, "queue"))
+    val p = new ProcessBuilder("true").start()
+    p.waitFor()
+    Files.writeString(
+      running.resolve(s"001-dead.json${Server.ClaimSuffix}${p.pid()}"),
+      """{"sourceDir":"/x"}""")
+    Files.writeString(running.resolve(s"001-dead.json${Server.LockSuffix}"),
+      p.pid().toString)
+    // race many rounds: both startups list running/ before either moves
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val recovered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try { barrier.await(); Server.recoverRunning(spool).foreach(recovered.add) }
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(failures.isEmpty,
+      "loser's move must not abort startup: " +
+        failures.asScala.map(_.toString).mkString("\n"))
+    assert(recovered.asScala.toSeq === Seq("001-dead.json"),
+      "exactly one sibling reports the recovery")
+    assert(listDir(spool, "queue") === Seq("001-dead.json"))
+    assert(listDir(spool, "running").isEmpty)
+  }
+
+  test("a reorder racing the drain of the SAME task: exactly once, queue converges") {
+    // Server.scala's reorder tolerates a racing drain per-file (parked
+    // temp names are invisible to queued(); a claim winning between
+    // park and finalize drops the task from the new order) — this pins
+    // that argued interleaving the way the claim race was pinned.
+    val (spool, targets) = mkSpool()
+    val executed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val draining = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val drainer = new Thread(() => {
+      try {
+        var idle = 0
+        while (idle < 3) {
+          val r = Server.drainOnce(spark, spool)
+          r.foreach { t => assert(t.ok, s"${t.task}: ${t.detail}"); executed.add(t.task) }
+          if (r.isEmpty && listDir(spool, "queue").isEmpty) idle += 1
+          Thread.sleep(25)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+      finally draining.set(false)
+    })
+    val reorderer = new Thread(() => {
+      try {
+        var front = true
+        while (draining.get()) {
+          // target by base name so the verb keeps finding the task
+          // across renumbering; once drained, reorder returns None and
+          // keeps renumbering whatever is left — both paths must stay
+          // crash-free against the racing claims
+          Server.reorder(spool, s"tbl${TableCount}.json", front)
+          front = !front
+          Thread.sleep(5)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    drainer.start(); reorderer.start()
+    drainer.join(300000); reorderer.join(60000)
+    assert(!drainer.isAlive && !reorderer.isAlive, "both threads finished")
+    assert(failures.isEmpty, failures.asScala.map(_.toString).mkString("\n"))
+    val names = executed.asScala.toSeq
+    assert(names.distinct.size === names.size, s"double execution: $names")
+    assert(names.size === TableCount, names.sorted.mkString(","))
+    assert(listDir(spool, "done").count(_.endsWith(".json")) === TableCount)
+    // deterministic convergence: nothing queued, parked, or claimed
+    assert(listDir(spool, "queue").isEmpty, "no parked/queued leftovers")
+    assert(listDir(spool, "running").isEmpty, "no stranded claims")
+    targets.zipWithIndex.foreach { case (tgt, i) =>
+      val df = spark.read.parquet(s"$tgt/restore_conc.tbl${i + 1}")
+      assert(df.collect().map(_.getInt(0)).toSeq === Seq(1), tgt)
+    }
+  }
 }

@@ -56,6 +56,43 @@ class PartitionedIngestSpec extends SparkSpec {
     assert(scanned > 0 && scanned < all, s"scanned=$scanned of $all files")
   }
 
+  test("tests/partitioned-table replays on its own fixture with run.sh's pins") {
+    // The reference corpus itself (not a synthetic analog): a KEY
+    // (non-PK) table under `partition by hash(a) partitions 5`
+    // (`data/partitioned.a-schema.sql:1`), pins from run.sh:29-31 —
+    // count(1)=8, sum(a)=277151781 — plus its SHOW TABLE STATUS
+    // 'Create_options: partitioned' check, which here means the
+    // output layout really is partitioned.
+    val src = Paths.get("/root/reference/tests/partitioned-table/data")
+    assume(Files.exists(src), "reference tests not present")
+    val out = Files.createTempDirectory("graft_part_ref").toString
+    val reports = Ingest.run(spark, Ingest.Config(src.toString, out))
+    assert(reports.map(_.table) === Seq("a"))
+    assert(reports.head.nRows === 8 && reports.head.checksumOk, reports.head)
+    val df = spark.read.parquet(s"$out/partitioned.a")
+    val agg = df.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum(col("a"))).collect()(0)
+    assert(agg.getLong(0) === 8L)
+    assert(agg.getAs[Number](1).longValue === 277151781L)
+    // 'Create_options: partitioned' — the layout carries the partition
+    // key directories (one per distinct a; hash(a)%5 bucket COUNT is a
+    // TiKV region concern with no Spark analog, the value-partitioned
+    // layout is the pruning-equivalent here)
+    val dirs = Files.list(Paths.get(s"$out/partitioned.a")).iterator()
+    val partDirs = Iterator.continually(dirs).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).filter(_.startsWith("a=")).toSeq
+    assert(partDirs.sorted === Seq(0, 1, 4, 32, 65536, 262144, 8388608,
+      268435456).map(v => s"a=$v").sorted, partDirs.toString)
+    // the secondary KEY column's values survive (b carries the torture
+    // strings, incl. the numeric-looking '999' on a=0)
+    assert(df.where(col("a") === 0).collect().map(_.getAs[String]("b")).toSeq
+      === Seq("999"))
+    assert(df.where(col("a") === 268435456).collect()
+      .map(_.getAs[String]("b")).toSeq === Seq("268435456"))
+  }
+
   test("expression partitioning (no plain column list) is ignored, import stays green") {
     val src = mkFixture("") // no partition clause
     val srcExpr = Files.createTempDirectory("graft_part_spec_e").toString

@@ -182,6 +182,19 @@ class ReferenceDataSpec extends SparkSpec {
     assert(risk(0).getAs[Number]("id").longValue === 2L)
   }
 
+  test("tool_1420: non-lowercase schema/table/column names import intact") {
+    // run.sh:16-17 — `SELECT ROLE_ID FROM EE1420.pt_role` pins
+    // 'ROLE_ID: 1'. The corpus is THE mixed-case regression fixture:
+    // an uppercase database (EE1420), an uppercase column (ROLE_ID),
+    // and an INSERT with an explicit backtick-quoted column list —
+    // the case-insensitive permutation path end-to-end, with the
+    // original casing preserved in the output.
+    val out = imp("tool_1420")
+    val df = spark.read.parquet(s"$out/EE1420.pt_role")
+    assert(df.columns.contains("ROLE_ID"), df.columns.toSeq.toString)
+    assert(df.collect().map(_.getAs[String]("ROLE_ID")).toSeq === Seq("1"))
+  }
+
   test("tool_241: schema-only tables restore empty; populated ids pin") {
     val out = imp("tool_241")
     // the five dataless tables exist with zero rows (reference

@@ -174,6 +174,22 @@ class RowTransformSpec extends SparkSpec {
     assert(out.getDouble(2) === 0.0, "unsigned double floors at 0")
   }
 
+  test("lenient NULL into NOT NULL ENUM fills the FIRST member, not ''") {
+    import spark.implicits._
+    // MySQL's implicit default for a NOT NULL ENUM is the first
+    // enumeration value; '' is the error value for INVALID non-NULL
+    // input only. A NOT NULL SET's implicit default stays ''.
+    val schema = graft.schema.MysqlDdl.parse(
+      "CREATE TABLE t (e enum('lo','mid','hi') NOT NULL, " +
+        "s set('x','y') NOT NULL)")
+    val df = Seq((null: String, null: String), ("nope", "junk"))
+      .toDF("e", "s")
+    val out = RowTransform.applySchema(df, schema,
+      RowTransform.CastPolicy.Lenient).collect().sortBy(_.getString(0))
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("", ""), ("lo", "")))
+  }
+
   test("a 63-member SET decodes numeric bitmasks in lenient mode") {
     import spark.implicits._
     val members = (1 to 63).map(i => s"'m$i'").mkString(",")

@@ -52,6 +52,17 @@ def main(sf_dir, out_dir):
         rel = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         scols = [c[0] for c in rel.description]
         srows = rel.fetchall()
+        # The driver canonicalizes Spark-parquet decimals and DuckDB
+        # decimals differently (r9 q_lenient_cast lesson) — but this
+        # mirror fetches BOTH sides through DuckDB, which masks it.
+        # Enforce the house policy instead: a bare DECIMAL output column
+        # is a failure here even when values compare equal.
+        desc = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{d}/*.parquet')").fetchall()
+        dec_cols = [c for c, t, *_ in desc if t.upper().startswith("DECIMAL")]
+        if dec_cols:
+            results[name] = f"BARE_DECIMAL_OUTPUT cols={dec_cols} (stringify per q_various_types_dec)"
+            continue
         if name not in oracles:
             results[name] = f"ROWS_ONLY rows={len(srows)}" + (" EMPTY!" if not srows else "")
             continue
