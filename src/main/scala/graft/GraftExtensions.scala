@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Crc64Expr, QuantDot, ZOrder2}
+import graft.functions.{Crc64Expr, MysqlAes, QuantDot, ZOrder2}
 
 /** SparkSessionExtensions hook: makes graft's custom Catalyst
   * expressions available to plain SQL. Activate with
@@ -49,5 +49,23 @@ object GraftExtensions {
         (children: Seq[Expression]) => {
           require(children.size == 2, "zorder2 takes exactly two arguments")
           ZOrder2(children.head, children(1))
+        }),
+      (
+        FunctionIdentifier("mysql_aes_encrypt"),
+        new ExpressionInfo(classOf[MysqlAes].getName, "mysql_aes_encrypt"),
+        (children: Seq[Expression]) => {
+          require(children.size == 4,
+            "mysql_aes_encrypt takes (input, key, mode, iv)")
+          MysqlAes(children(0), children(1), children(2), children(3),
+            encrypt = true)
+        }),
+      (
+        FunctionIdentifier("mysql_aes_decrypt"),
+        new ExpressionInfo(classOf[MysqlAes].getName, "mysql_aes_decrypt"),
+        (children: Seq[Expression]) => {
+          require(children.size == 4,
+            "mysql_aes_decrypt takes (input, key, mode, iv)")
+          MysqlAes(children(0), children(1), children(2), children(3),
+            encrypt = false)
         }))
 }

@@ -408,6 +408,45 @@ object CoreQueries {
       .mkString("", " UNION ALL ", " ORDER BY col_name")
   }
 
+  /** The 100 TB form of [[profile]]: per-column HLL++ estimates
+    * (rsd 2%) instead of exact distincts. [[profile]]'s one scan is
+    * already right, but its 11 `count_distinct`s are the one shuffle
+    * here whose STATE grows with column cardinality — a high-cardinality
+    * column ships every distinct value; the sketch ships a fixed few-KB
+    * buffer per column regardless. Same audit shape as
+    * [[sketchDistinct]]: the exact distinct runs beside the estimate
+    * and the shipped verdict is the tolerance check (HLL++ is
+    * deterministic for a given dataset, so the verdict is stable), with
+    * the oracle stating the guarantee as a literal.
+    */
+  def profileApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = table(spark, sfDir, "lineitem")
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"__n_$c"),
+      approx_count_distinct(col(c), rsd = 0.02).as(s"__a_$c"),
+      count_distinct(col(c)).as(s"__d_$c")))
+    val profiled = cols.map(c => struct(
+      lit(c).as("col_name"),
+      col(s"__n_$c").as("n_nulls"),
+      (abs(col(s"__a_$c") - col(s"__d_$c")).cast("double") <=
+        lit(0.10) * col(s"__d_$c").cast("double")).as("approx_within_10pct")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(profiled: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_nulls"), col("p.approx_within_10pct"))
+      .orderBy("col_name")
+  }
+
+  def profileApproxSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+        "TRUE AS approx_within_10pct FROM lineitem")
+      .mkString("", " UNION ALL ", " ORDER BY col_name")
+  }
+
   def heavyHittersSql: String =
     """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
       |  FROM documents WHERE len(trim(text)) > 0),

@@ -75,7 +75,13 @@ object Ingest {
       defaultFileRules: Option[Boolean] = None,
       // legacy [black-white-list] rules; ANDed with `filters` like the
       // reference, which consults both filter generations
-      bwList: Option[BWRules] = None)
+      bwList: Option[BWRules] = None,
+      // target-session variables that change generated-column bytes —
+      // the reference reads them FROM the cluster
+      // (`lightning/restore/tidb.go:49-57`); here they are a library
+      // parameter (`tests/generated_columns`' run.sh SETs time_zone
+      // and block_encryption_mode before importing)
+      sessionVars: GeneratedColumns.SessionVars = GeneratedColumns.SessionVars())
 
   /** One import unit: a whole data file, or (strict-format CSV and
     * dump files) a byte-range chunk of one — the reference's `ChunkCheckpoint`
@@ -984,7 +990,8 @@ object Ingest {
     val typed = schema match {
       case Some(ts) =>
         GeneratedColumns(
-          RowTransform.applySchemaWithErrors(rowidFilled, ts, castPolicy, taskTs), ts)
+          RowTransform.applySchemaWithErrors(rowidFilled, ts, castPolicy, taskTs),
+          ts, cfg.sessionVars)
       case None => rowidFilled
     }
     val errCol = schema.map(_ => RowTransform.ErrorsCol)

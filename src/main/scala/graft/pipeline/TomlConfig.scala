@@ -356,8 +356,13 @@ object TomlConfig {
         .map(str(_, "mydumper.csv.separator")).getOrElse(","),
       delimiter = take("mydumper.csv.delimiter")
         .map(str(_, "mydumper.csv.delimiter")).getOrElse("\""),
+      // the reference's CONFIG default is header=true
+      // (`lightning/config/config.go:385`) — tests/column_permutation
+      // relies on it (its config.toml never sets header, its CSV leads
+      // with one). The programmatic CsvDialect() default stays false;
+      // only the TOML surface mirrors the reference's.
       header = take("mydumper.csv.header")
-        .map(bool(_, "mydumper.csv.header")).getOrElse(false),
+        .map(bool(_, "mydumper.csv.header")).getOrElse(true),
       notNull = take("mydumper.csv.not-null")
         .map(bool(_, "mydumper.csv.not-null")).getOrElse(false),
       nullValue = take("mydumper.csv.null")

@@ -315,7 +315,9 @@ object MysqlDdl {
   // `AS (expr)` — match the parenthesized expr with balanced parens handled
   // by greedy scan below; regex grabs from AS ( to the clause end keywords.
   private val GenRe =
-    """(?is)(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s*(?:STORED|VIRTUAL)?\s*(?:NOT\s+NULL|NULL)?\s*(?:COMMENT.*)?$""".r
+    // tail: index/null attributes may follow the STORED/VIRTUAL
+    // keyword (`tests/generated_columns`: `as (a + 1) virtual unique`)
+    """(?is)(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s*(?:STORED|VIRTUAL)?\s*(?:UNIQUE(?:\s+KEY)?)?\s*(?:PRIMARY\s+KEY|KEY)?\s*(?:NOT\s+NULL|NULL)?\s*(?:COMMENT.*)?$""".r
   // the optional identifier prefix (with optional space) covers
   // introducer/typed literals (b'101', x'6869', _utf8mb4'abc',
   // _utf8mb4 'abc') — the clause LOCATES on blanked text, where the

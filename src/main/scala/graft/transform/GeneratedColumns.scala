@@ -16,12 +16,28 @@ import graft.schema.TableSchema
   */
 object GeneratedColumns {
 
+  /** The target-session variables that change generated-column bytes —
+    * the reference retrieves these from the cluster precisely because
+    * the KV encode depends on them (`defaultImportantVariables`,
+    * `lightning/restore/tidb.go:49-57`; `tests/generated_columns/
+    * run.sh` SETs time_zone and block_encryption_mode before
+    * importing). Defaults are the reference's fallbacks. `timeZone`
+    * "SYSTEM" keeps Spark's session rendering; any explicit offset/
+    * zone makes `from_unixtime` render in it (sessions here pin UTC,
+    * so the shift is exactly MySQL's).
+    */
+  case class SessionVars(
+      timeZone: String = "SYSTEM",
+      blockEncryptionMode: String = "aes-128-ecb")
+
   /** MySQL → Spark SQL function/operator rewrites. Most of the
     * reference's gencol surface (sha1, pow, repeat, unhex, hex,
     * from_unixtime, aes_encrypt — SURVEY §2.8) parses unchanged; the
     * exceptions are rewritten here.
     */
-  def translate(mysqlExpr: String): String = {
+  def translate(mysqlExpr: String): String = translate(mysqlExpr, SessionVars())
+
+  def translate(mysqlExpr: String, vars: SessionVars): String = {
     var e = mysqlExpr
       .replace("`", "")        // identifier quoting
       .replaceAll("(?i)\\bdiv\\b", "div") // integer division keyword exists in Spark
@@ -58,6 +74,38 @@ object GeneratedColumns {
     e = rewriteCall(e, "to_days",
       inner => s"(datediff(($inner), date'0001-01-01') + 366)")
     e = rewriteCall(e, "oct", inner => s"conv(($inner), 10, 8)")
+    // MySQL AES: XOR-folded key, raw-ciphertext CBC with the caller's
+    // IV, mode from the block_encryption_mode sysvar — none of which
+    // Spark's builtin aes_encrypt reproduces (it demands exact-length
+    // keys and prepends its own IV). [[graft.functions.MysqlAes]] is
+    // the byte-faithful expression; ECB modes ignore the IV argument.
+    // Encrypt input passes through its string form (MySQL's
+    // string-context coercion: DECIMAL 1234.5678 encrypts the bytes of
+    // '1234.5678'); decrypt input is already binary and stays raw.
+    e = rewriteCall(e, "aes_encrypt", inner => {
+      val a = splitArgs(inner).map(_.trim)
+      val iv = if (a.size >= 3) a(2) else "X''"
+      s"mysql_aes_encrypt(cast((${a(0)}) as string), ${a(1)}, " +
+        s"'${vars.blockEncryptionMode}', $iv)"
+    })
+    e = rewriteCall(e, "aes_decrypt", inner => {
+      val a = splitArgs(inner).map(_.trim)
+      val iv = if (a.size >= 3) a(2) else "X''"
+      s"mysql_aes_decrypt(${a(0)}, ${a(1)}, '${vars.blockEncryptionMode}', $iv)"
+    })
+    // MySQL from_unixtime renders in the SESSION time zone; when the
+    // target's time_zone is pinned (run.sh SETs -08:00), shift the
+    // instant explicitly — sessions here render in UTC, so the
+    // from_utc_timestamp shift shows exactly the target zone's wall
+    // clock, MySQL's '1969-12-31 16:00:01' for from_unixtime(1)
+    if (vars.timeZone != "SYSTEM")
+      e = rewriteCall(e, "from_unixtime", inner => {
+        val a = splitArgs(inner).map(_.trim)
+        if (a.size == 1)
+          s"date_format(from_utc_timestamp(timestamp_seconds(${a.head}), " +
+            s"'${vars.timeZone}'), 'yyyy-MM-dd HH:mm:ss')"
+        else s"from_unixtime($inner)" // formatted shape: leave to Spark
+      })
     // truncate-toward-zero at d decimals. floor-of-abs, NOT a bigint
     // cast: engines disagree on double→int cast rounding (DuckDB
     // rounds, Spark truncates), while floor() is exact everywhere
@@ -180,13 +228,28 @@ object GeneratedColumns {
 
   def column(mysqlExpr: String): Column = expr(translate(mysqlExpr))
 
+  def column(mysqlExpr: String, vars: SessionVars): Column =
+    expr(translate(mysqlExpr, vars))
+
   /** Evaluate all generated columns of `schema` over `df`, in declared
     * column order, casting each to its target type.
     */
   def apply(df: DataFrame, schema: TableSchema): DataFrame =
+    apply(df, schema, SessionVars())
+
+  def apply(df: DataFrame, schema: TableSchema, vars: SessionVars): DataFrame =
     schema.columns.foldLeft(df) { (acc, c) =>
       c.generated match {
-        case Some(g) => acc.withColumn(c.name, column(g.expr).cast(c.sparkType))
+        case Some(g) =>
+          val v = column(g.expr, vars).cast(c.sparkType)
+          // a generated TIME column stores MySQL-normalized, exactly
+          // like a data column through the cast path ('1:2:3' →
+          // '01:02:03', tests/generated_columns' duration pin)
+          val stored =
+            if (c.mysqlType.takeWhile(_ != '(') == "time")
+              RowTransform.normalizeTime(v)
+            else v
+          acc.withColumn(c.name, stored)
         case None => acc
       }
     }

@@ -295,6 +295,31 @@ object RowTransform {
       case _ => lit(true)
     }
 
+  /** MySQL TIME canonicalization for the colon shapes:
+    * `[-][D ]H{1,3}:M{1,2}[:S{1,2}][.frac]` → `[-]HH:MM:SS[.frac]`,
+    * with a leading day count folded into hours (MySQL's own storage
+    * normalization). Anything else — including the out-of-range and
+    * numeric shapes — passes through lexically, the documented TIME
+    * contract (StringType carrier, SURVEY §1.2).
+    */
+  private val TimeShape =
+    "^\\s*(-)?(?:(\\d{1,2}) )?(\\d{1,3}):(\\d{1,2})(?::(\\d{1,2}))?(\\.\\d+)?\\s*$"
+
+  private[transform] def normalizeTime(c: Column): Column = {
+    def part(i: Int) = regexp_extract(c, TimeShape, i)
+    val days = when(part(2) === "", lit(0)).otherwise(part(2).cast(IntegerType))
+    val hours = days * 24 + part(3).cast(IntegerType)
+    // format_string, not lpad: lpad TRUNCATES beyond its length, which
+    // would corrupt a 3-digit hour count ('120:00:00' is legal TIME)
+    val canon = concat(
+      part(1),
+      format_string("%02d:%02d:%02d", hours,
+        part(4).cast(IntegerType),
+        when(part(5) === "", lit(0)).otherwise(part(5).cast(IntegerType))),
+      part(6))
+    when(c.rlike(TimeShape), canon).otherwise(c)
+  }
+
   private def castTo(c: Column, spec: ColumnSpec): Column = {
     val base0 = c.try_cast(spec.sparkType)
     val bt = baseTypeOf(spec)
@@ -322,6 +347,13 @@ object RowTransform {
         when(base0 >= 0, base0)
       case TimestampType | DateType =>
         when(temporalInRange(base0, spec), base0)
+      case StringType if bt == "time" =>
+        // MySQL normalizes TIME on storage: '1:2:3' → '01:02:03',
+        // 'D HH:MM:SS' folds days into hours (tests/generated_columns
+        // pins duration '1:2:3' reading back as 01:02:03). Values
+        // outside the colon shape keep the lexical contract
+        // (SURVEY §1.2) unchanged.
+        normalizeTime(base0)
       case StringType =>
         // length() = characters on strings, bytes on binary — both are
         // the MySQL bound for the respective column kind

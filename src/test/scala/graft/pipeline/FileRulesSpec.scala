@@ -44,6 +44,8 @@ class FileRulesSpec extends SparkSpec {
       s"""[mydumper]
          |data-source-dir = '$src'
          |default-file-rules = false
+         |[mydumper.csv]
+         |header = false
          |[tikv-importer]
          |sorted-kv-dir = '$out'
          |[post-restore]

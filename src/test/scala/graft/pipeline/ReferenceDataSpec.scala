@@ -195,6 +195,59 @@ class ReferenceDataSpec extends SparkSpec {
     assert(df.collect().map(_.getAs[String]("ROLE_ID")).toSeq === Seq("1"))
   }
 
+  test("column_permutation: its own config + header CSV permute onto the schema") {
+    // The fixture's CSV header lists a SUBSET of the schema's columns
+    // in its own order (no id/batch_date/crt_time), its config.toml
+    // sets ONLY strict-format=true + max-region-size=200 (200-byte
+    // chunking with a header, over a file with no trailing newline),
+    // and the header default comes from the reference's config default
+    // (header=true, config.go:385). run.sh pins count(*)=5 and the
+    // contract_no='…597' row's three values.
+    val base = Paths.get("/root/reference/tests/column_permutation")
+    assume(Files.exists(base), "reference tests not present")
+    val out = Files.createTempDirectory("graft_colperm").toString
+    val toml = Files.readString(base.resolve("config.toml")).replace("[mydumper]",
+      s"[mydumper]\ndata-source-dir = '${base.resolve("data")}'")
+    val cfg0 = TomlConfig.load(toml, targetDirOverride = Some(out)).config
+    assert(cfg0.strictFormat && cfg0.chunkBytes === 200L && cfg0.csvDialect.header)
+    // the reference's DEFAULT sql-mode is non-strict
+    // ("ONLY_FULL_GROUP_BY,NO_AUTO_CREATE_USER", config.go:368), so
+    // ITS import fills the absent NOT NULL id with MySQL's implicit 0;
+    // the library's absent-sql-mode default is the honest-NULL policy,
+    // so the faithful replay opts into the lenient kernel explicitly
+    val cfg = cfg0.copy(lenientCasts = true)
+    val reports = Ingest.run(spark, cfg)
+    assert(reports.map(r => (r.table, r.nRows, r.checksumOk)) ===
+      Seq(("test_perm", 5L, true)))
+    val df = spark.read.parquet(s"$out/perm.test_perm")
+    assert(df.count() === 5L)
+    val row = df.where(col("contract_no") === "2020061000019011020164030597")
+      .collect() match {
+      case Array(r) => r
+      case o => fail(s"expected 1 row, got ${o.length}")
+    }
+    assert(row.getAs[String]("fund_seq_no")
+      === "202006100001901102016403059520200627")
+    assert(row.getAs[String]("region_code") === "000002")
+    assert(row.getAs[String]("credit_code") === "33")
+    // columns absent from the CSV exist with their defaults: the
+    // NOT NULL id fills its implicit 0, crt_time its task timestamp
+    assert(df.where(col("id") === 0).count() === 5L)
+    assert(df.where(col("crt_time").isNull).count() === 0L)
+  }
+
+  test("row-format-v2: count and the sparse col14 domain pin") {
+    // The row-format itself is a TiKV KV-encoding concern (SURVEY
+    // scopes it out); the corpus' DATA leg pins are engine-neutral:
+    // count(1)=50, DISTINCT col14 = {NULL, 39} over a 256-column dump
+    val out = imp("row-format-v2")
+    val df = spark.read.parquet(s"$out/rowformatv2.t1")
+    assert(df.count() === 50L)
+    val col14 = df.select("col14").distinct().collect()
+      .map(r => if (r.isNullAt(0)) null else r.getAs[Number](0).intValue)
+    assert(col14.toSet === Set(null, 39))
+  }
+
   test("tool_241: schema-only tables restore empty; populated ids pin") {
     val out = imp("tool_241")
     // the five dataless tables exist with zero rows (reference
