@@ -408,33 +408,50 @@ object CoreQueries {
       .mkString("", " UNION ALL ", " ORDER BY col_name")
   }
 
-  /** The 100 TB form of [[profile]]: per-column HLL++ estimates
-    * (rsd 2%) instead of exact distincts. [[profile]]'s one scan is
-    * already right, but its 11 `count_distinct`s are the one shuffle
-    * here whose STATE grows with column cardinality — a high-cardinality
-    * column ships every distinct value; the sketch ships a fixed few-KB
-    * buffer per column regardless. Same audit shape as
-    * [[sketchDistinct]]: the exact distinct runs beside the estimate
-    * and the shipped verdict is the tolerance check (HLL++ is
-    * deterministic for a given dataset, so the verdict is stable), with
-    * the oracle stating the guarantee as a literal.
+  /** The 100 TB form of [[profile]]'s distinct counts: ONE pass of
+    * per-column HLL++ sketches (rsd 2%). [[profile]]'s scan is already
+    * right, but its 11 `count_distinct`s expand the input (one
+    * projection per distinct column) and their state grows with column
+    * cardinality — a high-cardinality column ships every distinct
+    * value; the sketch pass has NO Expand and ships a fixed few-KB
+    * buffer per column ([[profileSketchPass]], plan-pinned Expand-free
+    * in `PlanAuditSpec`). The REGISTERED query is the audit
+    * ([[sketchDistinct]]'s shape): the sketch pass joined against the
+    * exact [[profile]] (11 rows, broadcast) with the shipped verdict
+    * the tolerance check — HLL++ is deterministic for a given dataset,
+    * so the verdict is stable and the oracle states the guarantee as a
+    * literal. Crucially the two passes stay SEPARATE aggregations: a
+    * single agg mixing exact distincts and sketches plans
+    * catastrophically (the mixed-distinct fallback measured 16× the
+    * split form).
     */
   def profileApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val sketch = profileSketchPass(spark, sfDir)
+    val exact = profile(spark, sfDir)
+      .select(col("col_name"), col("n_distinct"))
+    sketch.join(broadcast(exact), "col_name")
+      .select(col("col_name"), col("n_nulls"),
+        (abs(col("n_distinct_est") - col("n_distinct")).cast("double") <=
+          lit(0.10) * col("n_distinct").cast("double")).as("approx_within_10pct"))
+      .orderBy("col_name")
+  }
+
+  /** The serving pass: per-column null counts + HLL++ distinct
+    * estimates in one Expand-free aggregation.
+    */
+  private[graft] def profileSketchPass(spark: SparkSession, sfDir: String): DataFrame = {
     val df = table(spark, sfDir, "lineitem")
     val cols = df.columns.toSeq
     val aggs = cols.flatMap(c => Seq(
       (count(lit(1)) - count(col(c))).as(s"__n_$c"),
-      approx_count_distinct(col(c), rsd = 0.02).as(s"__a_$c"),
-      count_distinct(col(c)).as(s"__d_$c")))
+      approx_count_distinct(col(c), rsd = 0.02).as(s"__a_$c")))
     val profiled = cols.map(c => struct(
       lit(c).as("col_name"),
       col(s"__n_$c").as("n_nulls"),
-      (abs(col(s"__a_$c") - col(s"__d_$c")).cast("double") <=
-        lit(0.10) * col(s"__d_$c").cast("double")).as("approx_within_10pct")))
+      col(s"__a_$c").as("n_distinct_est")))
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(profiled: _*)).as("p"))
-      .select(col("p.col_name"), col("p.n_nulls"), col("p.approx_within_10pct"))
-      .orderBy("col_name")
+      .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct_est"))
   }
 
   def profileApproxSql: String = {

@@ -222,6 +222,77 @@ object SimilarityQueries {
 
   def annLshBucketedSql: String = annLshSql
 
+  /** Batched ANN lookup — the SERVING shape: a bounded relation of
+    * query vectors answered in ONE pass over the standing bucketed
+    * layout. Per query: bucket via the shared [[bucketCol]] (so lookup
+    * and layout can never disagree), the distinct query buckets
+    * collected driver-side (bounded — it is a serving batch) so the
+    * layout scan prunes AT THE FILE LISTING, then one broadcast join
+    * query×bucket-mates, quantized dot, per-query rank ≤ k
+    * (WindowGroupLimit pushes the limit into the rank). Cost scales
+    * with |queries| × bucket population, never with corpus size — the
+    * shape a 100 TB vector-serving tier actually runs. The streaming
+    * twin ([[graft.streaming.StreamingOps.annServeStream]]) applies
+    * this per micro-batch.
+    */
+  def annBatchLookup(spark: SparkSession, sfDir: String,
+      queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val layout = bucketedLayout(spark, sfDir)
+    val qs = queries
+      .select(col("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q_bucket", bucketCol(col("q_emb")))
+    val buckets = qs.select("q_bucket").distinct().collect().map(_.getLong(0))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    spark.read.parquet(layout)
+      .where(col("bucket").isin(buckets: _*)) // listing-level pruning
+      .join(broadcast(qs), col("bucket") === col("q_bucket"))
+      .select(col("query_id"), col("vec_id"),
+        quantDot(col("embedding"), col("q_emb")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).drop("rn")
+      .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+  }
+
+  /** Registered form of [[annBatchLookup]]: three query vectors
+    * (vec_id 0, 100, 200) against the standing layout.
+    */
+  def annBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val queries = table(spark, sfDir, "embeddings")
+      .where(col("vec_id").isin(0L, 100L, 200L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    annBatchLookup(spark, sfDir, queries)
+  }
+
+  def annBatchSql: String =
+    s"""WITH qids(query_id) AS (VALUES (0), (100), (200)),
+       |planes AS (SELECT i, j,
+       |    (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 14) AS BIGINT) % 2001) - 1000 AS r
+       |  FROM range($LshPlanes) t1(i), range(64) t2(j)),
+       |dots AS (SELECT e.vec_id, p.i,
+       |    sum(CAST(floor(CAST(e.embedding[p.j + 1] AS DOUBLE) * 1000000) AS BIGINT) * p.r) AS d
+       |  FROM embeddings e, planes p GROUP BY 1, 2),
+       |buckets AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY 1),
+       |q AS (SELECT qids.query_id, e.embedding AS q_emb, b.bucket AS q_bucket
+       |  FROM qids JOIN embeddings e ON e.vec_id = qids.query_id
+       |  JOIN buckets b ON b.vec_id = qids.query_id),
+       |scored AS (SELECT q.query_id, e.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+       |      p -> $QDot)) AS BIGINT) AS score
+       |  FROM embeddings e
+       |  JOIN buckets b ON b.vec_id = e.vec_id
+       |  JOIN q ON b.bucket = q.q_bucket),
+       |ranked AS (SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, score
+       |FROM ranked WHERE rn <= 10
+       |ORDER BY query_id, score DESC, vec_id""".stripMargin
+
   // ----------------------------------------------------------- IVF ANN
   private val IvfCells = 16
   private val IvfProbes = 2

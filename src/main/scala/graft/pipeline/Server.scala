@@ -120,6 +120,12 @@ object Server {
     */
   private[pipeline] val LockSuffix = ".lock"
 
+  /** How old a PID-LESS lock must be before recovery may release it:
+    * far beyond the open→write gap of a live claimant, far below any
+    * human-scale stranding.
+    */
+  private[pipeline] val PidlessLockGraceMillis = 30000L
+
   /** Requeue tasks stranded in `running/` by a DEAD claimant (crash
     * between claim and completion). Called at server startup — never
     * from the drain loop, where a live sibling's running tasks must be
@@ -166,11 +172,13 @@ object Server {
     // a lock with no claim beside it = a crash between the O_EXCL
     // create and the task move; if its recorded pid is dead, release
     // it so the still-queued task becomes claimable again. A lock whose
-    // pid does not PARSE can only be a legacy create-then-write
-    // artifact (the claim path now writes the pid atomically with
-    // CREATE_NEW): with no claim beside it and its queue entry still
-    // present, no claimant can be live mid-claim — release it too,
-    // else that task is stranded forever while still queued.
+    // pid does not PARSE is a create-then-write artifact (the claim
+    // path now writes the pid with CREATE_NEW, but open+write is still
+    // two syscalls — a concurrent reader can observe the file empty
+    // for a moment): release it only when its queue entry is still
+    // present AND the lock is old enough that no live claimant can be
+    // inside that microsecond window — else that task is stranded
+    // forever while still queued.
     claims.filter(_.getFileName.toString.endsWith(LockSuffix)).foreach { l =>
       val name = l.getFileName.toString.stripSuffix(LockSuffix)
       val hasClaim = {
@@ -182,7 +190,12 @@ object Server {
       val dead =
         try pidDead(Files.readString(l).trim.toLong)
         catch {
-          case _: Exception => Files.exists(queue.resolve(name))
+          case _: Exception =>
+            val oldEnough =
+              try System.currentTimeMillis() -
+                Files.getLastModifiedTime(l).toMillis > PidlessLockGraceMillis
+              catch { case _: Exception => false }
+            oldEnough && Files.exists(queue.resolve(name))
         }
       if (!hasClaim && dead) Files.deleteIfExists(l)
     }

@@ -315,9 +315,12 @@ object MysqlDdl {
   // `AS (expr)` — match the parenthesized expr with balanced parens handled
   // by greedy scan below; regex grabs from AS ( to the clause end keywords.
   private val GenRe =
-    // tail: index/null attributes may follow the STORED/VIRTUAL
-    // keyword (`tests/generated_columns`: `as (a + 1) virtual unique`)
-    """(?is)(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s*(?:STORED|VIRTUAL)?\s*(?:UNIQUE(?:\s+KEY)?)?\s*(?:PRIMARY\s+KEY|KEY)?\s*(?:NOT\s+NULL|NULL)?\s*(?:COMMENT.*)?$""".r
+    // tail: MySQL accepts the storage keyword and index/null
+    // attributes in ANY order after the expression
+    // (`tests/generated_columns`: `as (a + 1) virtual unique`), so the
+    // tail is an unordered attribute-token repetition, not a fixed
+    // sequence — one more corpus must not need one more ordered group
+    """(?is)(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)(?:\s+(?:STORED|VIRTUAL|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY|KEY|NOT\s+NULL|NULL))*\s*(?:COMMENT.*)?$""".r
   // the optional identifier prefix (with optional space) covers
   // introducer/typed literals (b'101', x'6869', _utf8mb4'abc',
   // _utf8mb4 'abc') — the clause LOCATES on blanked text, where the

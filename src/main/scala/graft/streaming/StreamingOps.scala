@@ -48,6 +48,30 @@ object StreamingOps {
         ()
     }
 
+  /** Live ANN serving: a stream of query vectors (query_id, embedding)
+    * answered per micro-batch from the STANDING bucketed layout via
+    * [[graft.operators.SimilarityQueries.annBatchLookup]] — the
+    * serving twin of the batch lookup (parity-pinned: stream-fed hits
+    * == the batch lookup for the same queries). Each batch is one
+    * listing-pruned pass whose cost scales with the batch's queries ×
+    * bucket population, never the corpus — the query side of the
+    * vector tier whose maintenance side is `ivfPqAppend`. Hits land
+    * append-only under `outDir` stamped with their batchId, so
+    * downstream consumers can both tail the stream and re-read any
+    * batch's answers.
+    */
+  def annServeStream(queries: DataFrame, sfDir: String, outDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.SimilarityQueries
+            .annBatchLookup(batch.sparkSession, sfDir, batch.toDF())
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        ()
+    }
+
   /** Tumbling-window counts with a watermark: late data beyond
     * `watermarkDelay` is dropped, state is bounded — the only safe
     * aggregation shape for an unbounded 100 TB/day stream.

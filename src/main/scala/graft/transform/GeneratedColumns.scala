@@ -82,29 +82,47 @@ object GeneratedColumns {
     // Encrypt input passes through its string form (MySQL's
     // string-context coercion: DECIMAL 1234.5678 encrypts the bytes of
     // '1234.5678'); decrypt input is already binary and stays raw.
+    // ECB ignores the init_vector argument entirely (MySQL warns and
+    // proceeds — even a NULL iv must not null the result), so the IV
+    // is dropped AT TRANSLATE TIME for ECB modes; the expression's
+    // null-intolerant eval then can't see a NULL it shouldn't act on.
+    def aesIv(a: Seq[String]): String =
+      if (vars.blockEncryptionMode.toLowerCase.endsWith("-ecb")) "X''"
+      else if (a.size >= 3) a(2) else "X''"
     e = rewriteCall(e, "aes_encrypt", inner => {
       val a = splitArgs(inner).map(_.trim)
-      val iv = if (a.size >= 3) a(2) else "X''"
       s"mysql_aes_encrypt(cast((${a(0)}) as string), ${a(1)}, " +
-        s"'${vars.blockEncryptionMode}', $iv)"
+        s"'${vars.blockEncryptionMode}', ${aesIv(a)})"
     })
     e = rewriteCall(e, "aes_decrypt", inner => {
       val a = splitArgs(inner).map(_.trim)
-      val iv = if (a.size >= 3) a(2) else "X''"
-      s"mysql_aes_decrypt(${a(0)}, ${a(1)}, '${vars.blockEncryptionMode}', $iv)"
+      s"mysql_aes_decrypt(${a(0)}, ${a(1)}, '${vars.blockEncryptionMode}', ${aesIv(a)})"
     })
-    // MySQL from_unixtime renders in the SESSION time zone; when the
-    // target's time_zone is pinned (run.sh SETs -08:00), shift the
-    // instant explicitly — sessions here render in UTC, so the
-    // from_utc_timestamp shift shows exactly the target zone's wall
-    // clock, MySQL's '1969-12-31 16:00:01' for from_unixtime(1)
+    // MySQL from_unixtime renders in the SESSION time zone and its
+    // 2-arg form takes a %-token format; when the target's time_zone
+    // is pinned (run.sh SETs -08:00), shift the instant explicitly —
+    // sessions here render in UTC, so the from_utc_timestamp shift
+    // shows exactly the target zone's wall clock, MySQL's
+    // '1969-12-31 16:00:01' for from_unixtime(1). The 2-arg form gets
+    // the same shift plus the %-token conversion (a non-literal format
+    // fails loudly, the str_to_date convention — silently rendering in
+    // the wrong zone with an unconverted format would be worse).
     if (vars.timeZone != "SYSTEM")
       e = rewriteCall(e, "from_unixtime", inner => {
         val a = splitArgs(inner).map(_.trim)
-        if (a.size == 1)
-          s"date_format(from_utc_timestamp(timestamp_seconds(${a.head}), " +
-            s"'${vars.timeZone}'), 'yyyy-MM-dd HH:mm:ss')"
-        else s"from_unixtime($inner)" // formatted shape: leave to Spark
+        val ts = s"from_utc_timestamp(timestamp_seconds(${a.head}), " +
+          s"'${vars.timeZone}')"
+        a match {
+          case Seq(_) => s"date_format($ts, 'yyyy-MM-dd HH:mm:ss')"
+          case Seq(_, f) => literalOf(f) match {
+            case Some(fmt) =>
+              s"date_format($ts, '${sqlQuote(convertFormat(fmt))}')"
+            case None => throw new IllegalArgumentException(
+              s"from_unixtime with a non-literal format under a pinned " +
+                s"time_zone is not translatable: from_unixtime($inner)")
+          }
+          case _ => s"from_unixtime($inner)" // unknown arity: loud at analysis
+        }
       })
     // truncate-toward-zero at d decimals. floor-of-abs, NOT a bigint
     // cast: engines disagree on double→int cast rounding (DuckDB

@@ -471,6 +471,10 @@ object RowTransform {
       case TimestampType | DateType =>
         // zero-date contract: invalid/out-of-range → NULL even NOT NULL
         castTo(raw, spec)
+      case StringType if bt == "time" =>
+        // TIME storage normalization is sql-mode-INDEPENDENT in MySQL —
+        // the lenient kernel must agree with the strict/null-out path
+        notNullFill(normalizeTime(s), lit("00:00:00"))
       case StringType =>
         val t = spec.typeLength.map(n => substring(s, 1, n)).getOrElse(s)
         notNullFill(t, lit(""))

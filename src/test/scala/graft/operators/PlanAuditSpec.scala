@@ -152,6 +152,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("profileSketchPass: Expand-free — fixed HLL state per column, one scan") {
+    // the serving form's reason to exist: no Expand (count_distinct's
+    // per-column input multiplication) and no cardinality-sized
+    // distinct state — a regression to the mixed exact+sketch single
+    // aggregate measured 16× the split form
+    val plan = planOf(CoreQueries.profileSketchPass(spark, sf()))
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
   test("mixSample: the rate relation broadcasts; the corpus join is never a cartesian") {
     val plan = planOf(TextQueries.mixSample(spark, sf()))
     assert(plan.contains("BroadcastHashJoin"), plan)

@@ -123,22 +123,33 @@ class ConcurrentRestoreSpec extends SparkSpec {
     assert(Server.runningTasks(spool) === Seq("002-live.json"))
   }
 
-  test("a pid-less legacy lock releases only when its task is still queued") {
+  test("a pid-less legacy lock releases only when aged AND its task is still queued") {
     val spool = Files.createTempDirectory("graft_conc_pidless").toString
     val running = Files.createDirectories(Paths.get(spool, "running"))
     val queue = Files.createDirectories(Paths.get(spool, "queue"))
-    // pre-fix crash window artifact: lock created but pid never
-    // written. With no claim beside it and the queue entry still
-    // present, no claimant can be live — release, else the task is
-    // stranded forever while still queued.
+    def age(p: java.nio.file.Path): Unit = Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Server.PidlessLockGraceMillis - 5000))
+    // crash-window artifact: lock created but pid never written, and
+    // OLD enough that no live claimant can be mid-write. With no claim
+    // beside it and the queue entry still present, release — else the
+    // task is stranded forever while still queued.
     Files.writeString(queue.resolve("001-stranded.json"), """{"sourceDir":"/x"}""")
     Files.writeString(running.resolve(s"001-stranded.json${Server.LockSuffix}"), "")
+    age(running.resolve(s"001-stranded.json${Server.LockSuffix}"))
     // pid-less lock whose queue entry is GONE: nothing provable — stays
     Files.writeString(running.resolve(s"002-unknown.json${Server.LockSuffix}"), "")
+    age(running.resolve(s"002-unknown.json${Server.LockSuffix}"))
+    // FRESH pid-less lock with its task queued: a live claimant may be
+    // inside the open→write window this very moment — stays
+    Files.writeString(queue.resolve("003-fresh.json"), """{"sourceDir":"/y"}""")
+    Files.writeString(running.resolve(s"003-fresh.json${Server.LockSuffix}"), "")
     Server.recoverRunning(spool)
-    assert(listDir(spool, "running") ===
-      Seq(s"002-unknown.json${Server.LockSuffix}"))
-    assert(listDir(spool, "queue") === Seq("001-stranded.json"))
+    assert(listDir(spool, "running").sorted ===
+      Seq(s"002-unknown.json${Server.LockSuffix}",
+        s"003-fresh.json${Server.LockSuffix}"))
+    assert(listDir(spool, "queue").sorted ===
+      Seq("001-stranded.json", "003-fresh.json"))
   }
 
   test("two servers recovering one dead claim concurrently: requeued once, no abort") {

@@ -66,8 +66,13 @@ class GencolCorpusSpec extends SparkSpec {
     assert(r.getAs[String]("enum") === "c")
     assert(r.getAs[Number]("bit").longValue === 3L) // run.sh 0x03 (bit(4))
     assert(r.getAs[String]("set") === "c")
-    assert(r.getAs[java.sql.Timestamp]("time").toString
-      === "1987-06-05 04:03:02.1")
+    // render via date_format (session-tz controlled), not
+    // Timestamp.toString (JVM-default-tz dependent) — the pin must not
+    // depend on the machine's zone
+    val timeStr = spark.read.parquet(s"$out/gencol.various_types")
+      .select(date_format(col("time"), "yyyy-MM-dd HH:mm:ss.SSS"))
+      .collect()(0).getString(0)
+    assert(timeStr === "1987-06-05 04:03:02.100")
     assert(r.getAs[String]("json") === s"""{"$sha":0.5625}""")
     // the headline pin: MySQL aes-256-cbc bytes with the folded 'key'
     // and the sha1-digest IV — 0xA876B03CFC8AF93D22D19E2220BD2375

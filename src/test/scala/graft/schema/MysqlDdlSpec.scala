@@ -56,6 +56,26 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(byName("c").generated === Some(GeneratedCol("b + 1", stored = true)))
   }
 
+  test("generated-column attributes parse in ANY order after the expression") {
+    // MySQL accepts the storage keyword and index/null attributes in
+    // any order; an ordered-groups regex silently drops the generated
+    // clause for the orders it missed and the column imports as NULL
+    val t = MysqlDdl.parse(
+      """CREATE TABLE t (
+        |  a int,
+        |  b int AS (a + 1) VIRTUAL UNIQUE,
+        |  c int AS (a + 2) NOT NULL UNIQUE,
+        |  d int AS (a + 3) UNIQUE KEY STORED,
+        |  e int AS (a + 4) STORED NOT NULL COMMENT 'derived (really)'
+        |);""".stripMargin)
+    val byName = t.columns.map(c => c.name -> c).toMap
+    assert(byName("b").generated === Some(GeneratedCol("a + 1", stored = false)))
+    assert(byName("c").generated === Some(GeneratedCol("a + 2", stored = true)))
+    assert(byName("d").generated === Some(GeneratedCol("a + 3", stored = true)))
+    assert(byName("e").generated === Some(GeneratedCol("a + 4", stored = true)))
+    assert(!byName("c").nullable && !byName("e").nullable)
+  }
+
   test("comments and inline primary key") {
     val t = MysqlDdl.parse(
       """/* header */

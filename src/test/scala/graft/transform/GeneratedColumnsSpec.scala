@@ -38,6 +38,42 @@ class GeneratedColumnsSpec extends SparkSpec {
       "to_timestamp(s, 'yyyy-MM-dd')")
   }
 
+  test("ECB modes drop the IV at translate time; CBC passes it through") {
+    // MySQL IGNORES init_vector under ECB (warning only) — even a NULL
+    // iv must not null the ciphertext, so ECB never lets the user iv
+    // reach the expression's null-intolerant eval
+    val ecb = GeneratedColumns.SessionVars(blockEncryptionMode = "aes-128-ecb")
+    assert(GeneratedColumns.translate("aes_encrypt(v, 'k', iv)", ecb) ===
+      "mysql_aes_encrypt(cast((v) as string), 'k', 'aes-128-ecb', X'')")
+    val cbc = GeneratedColumns.SessionVars(blockEncryptionMode = "aes-256-cbc")
+    assert(GeneratedColumns.translate("aes_decrypt(v, 'k', iv)", cbc) ===
+      "mysql_aes_decrypt(v, 'k', 'aes-256-cbc', iv)")
+    // e2e: NULL iv under ECB still encrypts (MySQL parity)
+    import spark.implicits._
+    val out = Seq(("secret", null: Array[Byte])).toDF("v", "iv")
+      .select(GeneratedColumns.column("aes_encrypt(v, 'k', iv)", ecb).as("c"))
+      .head()
+    assert(out.getAs[Array[Byte]](0) != null && out.getAs[Array[Byte]](0).nonEmpty)
+  }
+
+  test("2-arg from_unixtime under a pinned time_zone shifts AND converts the format") {
+    val tz = GeneratedColumns.SessionVars(timeZone = "-08:00")
+    assert(GeneratedColumns.translate("from_unixtime(1, '%Y-%m-%d')", tz) ===
+      "date_format(from_utc_timestamp(timestamp_seconds(1), '-08:00'), " +
+        "'yyyy-MM-dd')")
+    import spark.implicits._
+    val out = Seq(Tuple1(1L)).toDF("t")
+      .select(GeneratedColumns.column("from_unixtime(t, '%Y-%m-%d %H')", tz).as("v"))
+      .head()
+    assert(out.getString(0) === "1969-12-31 16")
+    // a non-literal format cannot be silently rendered in the wrong
+    // zone — loud, the str_to_date convention
+    val e = intercept[IllegalArgumentException] {
+      GeneratedColumns.translate("from_unixtime(t, fmt_col)", tz)
+    }
+    assert(e.getMessage.contains("non-literal"))
+  }
+
   test("literal letters in formats survive both quoting layers") {
     // 'T' is quoted at the pattern layer AND escaped for the SQL
     // string literal — the naive embedding would terminate the literal

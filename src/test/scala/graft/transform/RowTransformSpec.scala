@@ -190,6 +190,29 @@ class RowTransformSpec extends SparkSpec {
       Seq(("", ""), ("lo", "")))
   }
 
+  test("TIME normalizes identically in every cast policy") {
+    import spark.implicits._
+    // MySQL TIME storage normalization is sql-mode-INDEPENDENT:
+    // '1:2:3' → '01:02:03', '2 3:4:5' folds days into hours,
+    // non-colon shapes keep the lexical contract
+    val schema = graft.schema.MysqlDdl.parse(
+      "CREATE TABLE t (a time, b time, c time)")
+    val df = Seq(("1:2:3", "2 3:4:5", "junk")).toDF("a", "b", "c")
+    for (p <- Seq(RowTransform.CastPolicy.NullOut,
+        RowTransform.CastPolicy.Lenient, RowTransform.CastPolicy.Strict)) {
+      val out = RowTransform.applySchema(df, schema, p).collect()(0)
+      assert(out.getString(0) === "01:02:03", p)
+      assert(out.getString(1) === "51:04:05", p)
+      assert(out.getString(2) === "junk", p)
+    }
+    // lenient NULL into NOT NULL TIME takes MySQL's implicit default
+    val nn = graft.schema.MysqlDdl.parse("CREATE TABLE t (a time NOT NULL)")
+    val out = RowTransform.applySchema(
+      Seq(Tuple1(null: String)).toDF("a"), nn,
+      RowTransform.CastPolicy.Lenient).collect()(0)
+    assert(out.getString(0) === "00:00:00")
+  }
+
   test("a 63-member SET decodes numeric bitmasks in lenient mode") {
     import spark.implicits._
     val members = (1 to 63).map(i => s"'m$i'").mkString(",")
