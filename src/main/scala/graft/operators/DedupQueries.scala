@@ -771,12 +771,50 @@ object DedupQueries {
   private[operators] def simhashLayout(spark: SparkSession, sfDir: String): String = {
     val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/simhash_v$SimhashLayoutVersion"
     graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
+      // a rebuild is a new corpus snapshot — void any streaming
+      // maintenance batch marker from the previous one
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(layout, "_LAST_BATCH"))
       // fingerprints under a subdir: the parquet overwrite clears its
       // own dir, and the stamp marker lives beside it, not inside it
       simhashCompute(spark, sfDir).write.mode("overwrite")
         .parquet(s"$layout/fp")
     }
     s"$layout/fp"
+  }
+
+  /** Incremental fingerprint maintenance — the
+    * [[graft.operators.TextQueries.invIndexAppend]] sibling for the
+    * simhash index: fingerprint ONLY the new documents and append
+    * their 8-byte rows. Bit-equal to a rebuild over the union corpus
+    * (spec-pinned) because fingerprints are per-doc and appended
+    * doc_ids are new — same caller contract as every append path.
+    */
+  def simhashAppend(spark: SparkSession, sfDir: String,
+      newDocs: DataFrame): String = {
+    val fp = simhashLayout(spark, sfDir) // ensure the base exists
+    simhashOf(newDocs).write.mode("append").parquet(fp)
+    fp
+  }
+
+  /** foreachBatch-idempotent append (the [[graft.operators.TextQueries
+    * .invIndexAppendOnce]] pattern): the last applied batchId rides a
+    * marker beside the layout, so an at-least-once replay is a no-op
+    * instead of duplicate fingerprint rows.
+    */
+  def simhashAppendOnce(spark: SparkSession, sfDir: String,
+      newDocs: DataFrame, batchId: Long): Boolean = {
+    val fp = simhashLayout(spark, sfDir)
+    val marker = java.nio.file.Paths.get(fp).getParent.resolve("_LAST_BATCH")
+    val last =
+      try java.nio.file.Files.readString(marker).trim.toLong
+      catch { case _: Exception => Long.MinValue }
+    if (batchId <= last) false
+    else {
+      simhashOf(newDocs).write.mode("append").parquet(fp)
+      java.nio.file.Files.writeString(marker, batchId.toString)
+      true
+    }
   }
 
   /** Pre-build the on-disk layouts so benchmark timings measure the
@@ -791,8 +829,15 @@ object DedupQueries {
   private def simhashDf(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(simhashLayout(spark, sfDir))
 
-  private def simhashCompute(spark: SparkSession, sfDir: String): DataFrame = {
-    val tokCnt = table(spark, sfDir, "documents")
+  private def simhashCompute(spark: SparkSession, sfDir: String): DataFrame =
+    simhashOf(table(spark, sfDir, "documents"))
+
+  /** 56-bit simhash fingerprints of an arbitrary documents relation —
+    * the ONE fingerprint recipe (full build and incremental append
+    * both call this, so the two can never drift).
+    */
+  private def simhashOf(docs: DataFrame): DataFrame = {
+    val tokCnt = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5Long(col("tok")))

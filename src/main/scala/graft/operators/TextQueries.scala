@@ -1576,6 +1576,33 @@ object TextQueries {
     }
   }
 
+  /** Standing-layout compaction — the D6 sibling for the index: every
+    * [[invIndexAppend]] adds one file per touched bucket directory, so
+    * a frequently-maintained index fragments (N appends → N+1 files in
+    * a hot bucket, and probe cost grows with file COUNT even when the
+    * byte total doesn't). Compaction rewrites the postings with the
+    * build's own pre-shuffle (one task per bucket → one file per
+    * bucket) into a sibling dir, then swaps — the read fully
+    * materializes before the old tree is dropped, a crash before the
+    * swap leaves the live tree untouched, and a leftover sibling from
+    * a crashed run is cleared first, so the operation is idempotent.
+    * Stats and the content stamp are untouched (the corpus snapshot
+    * didn't change). Postings are bit-identical before and after
+    * (spec-pinned).
+    */
+  def invIndexCompact(spark: SparkSession, sfDir: String): String = {
+    val layout = invIndexLayout(spark, sfDir)
+    val live = java.nio.file.Paths.get(layout, "postings")
+    val staged = java.nio.file.Paths.get(layout, "postings_compacting")
+    graft.GraftSession.deleteRec(staged) // crashed prior compaction
+    spark.read.parquet(live.toString)
+      .repartition(col("tb"))
+      .write.partitionBy("tb").mode("overwrite").parquet(staged.toString)
+    graft.GraftSession.deleteRec(live)
+    java.nio.file.Files.move(staged, live)
+    layout
+  }
+
   /** Postings for `terms`: the bucket filter prunes at the FILE
     * LISTING (PartitionFilters, plan-pinned), the term filter drops
     * bucket-mates inside the ≤|terms| directories read.

@@ -48,6 +48,23 @@ object StreamingOps {
         ()
     }
 
+  /** Live maintenance of the standing simhash fingerprint index — the
+    * [[indexMaintainStream]] sibling: every micro-batch of NEW
+    * documents appends its 8-byte fingerprint rows via
+    * [[graft.operators.DedupQueries.simhashAppendOnce]] (batchId-
+    * deduped, so an at-least-once replay is a no-op), keeping the
+    * near-dup blocking index current between corpus snapshots.
+    */
+  def simhashMaintainStream(docs: DataFrame, sfDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupQueries.simhashAppendOnce(
+            batch.sparkSession, sfDir, batch.toDF(), batchId)
+        ()
+    }
+
   /** Live ANN serving: a stream of query vectors (query_id, embedding)
     * answered per micro-batch from the STANDING bucketed layout via
     * [[graft.operators.SimilarityQueries.annBatchLookup]] — the

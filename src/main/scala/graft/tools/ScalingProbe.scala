@@ -39,7 +39,10 @@ object ScalingProbe {
     "q_retention", "q_funnel", "q_moving_sum", "q_gap_fill",
     "q_json_props", "q_pivot_daily", "q_event_anomaly", "q_attribution",
     "q_forget",
-    "q_hard_negatives",
+    // embeddings fold: the batched lookup's scan prunes to the three
+    // query buckets at the listing; self-union multiplies each
+    // bucket's population k-fold, so expectation ~k on a tiny base
+    "q_hard_negatives", "q_ann_batch",
     // per-doc selection / bounded-relation allocation: expectation ~k
     "q_winnow", "q_curriculum", "q_unimax", "q_decontaminate_pairs",
     // source-keyed diagnostics: the fold multiplies docs, not sources,

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Maintenance paths of the standing layouts: the simhash append must
+  * be bit-equal to a union rebuild, replayed batches must be no-ops,
+  * and index compaction must shrink the file count without changing a
+  * single posting.
+  */
+class LayoutMaintenanceSpec extends SparkSpec {
+
+  import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+
+  private def docsDF(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private def write(dir: String, rows: Seq[(Long, String)]): Unit =
+    docsDF(rows).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  private val a = Seq(1L -> "spark merge data", 2L -> "data data spark")
+  private val b = Seq(10L -> "merge spark merge", 11L -> "fresh words here")
+
+  test("simhashAppend == from-scratch rebuild of the union corpus") {
+    val incDir = java.nio.file.Files.createTempDirectory("graft_sh_inc").toString
+    write(incDir, a)
+    val fp = DedupQueries.simhashAppend(spark, incDir, docsDF(b))
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_sh_full").toString
+    write(fullDir, a ++ b)
+    val fullFp = DedupQueries.simhashLayout(spark, fullDir)
+    def rows(p: String): Seq[(Long, Long)] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows(fp) === rows(fullFp))
+    assert(rows(fp).map(_._1) === Seq(1L, 2L, 10L, 11L))
+  }
+
+  test("simhashAppendOnce skips a replayed batchId") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh_once").toString
+    write(dir, a)
+    assert(DedupQueries.simhashAppendOnce(spark, dir, docsDF(b), batchId = 0L))
+    val fp = DedupQueries.simhashLayout(spark, dir)
+    val afterFirst = spark.read.parquet(fp).count()
+    assert(!DedupQueries.simhashAppendOnce(spark, dir, docsDF(b), batchId = 0L))
+    assert(spark.read.parquet(fp).count() === afterFirst, "replay is a no-op")
+    assert(DedupQueries.simhashAppendOnce(spark, dir,
+      docsDF(Seq(20L -> "next batch")), batchId = 1L))
+    assert(spark.read.parquet(fp).count() === afterFirst + 1)
+  }
+
+  test("invIndexCompact: fewer files, identical postings, probes stay green") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    write(dir, a)
+    // three appends fragment the bucket directories
+    TextQueries.invIndexAppend(spark, dir, docsDF(Seq(10L -> "spark alpha")))
+    TextQueries.invIndexAppend(spark, dir, docsDF(Seq(11L -> "spark beta")))
+    TextQueries.invIndexAppend(spark, dir,
+      docsDF(Seq(12L -> "spark gamma merge")))
+    val layout = s"${graft.GraftSession.fixtureRoot(dir)}/invindex_v2"
+    def postings(): Seq[Seq[Any]] =
+      spark.read.parquet(s"$layout/postings")
+        .select("tok", "doc_id", "dl", "tf", "positions", "tb")
+        .collect().toSeq.map(_.toSeq)
+        .sortBy(r => (r(0).toString, r(1).toString.toLong))
+    def fileCount(): Long = {
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$layout/postings"))
+      try walk.filter(p => p.toString.endsWith(".parquet")).count()
+      finally walk.close()
+    }
+    val before = postings()
+    val fragsBefore = fileCount()
+    TextQueries.invIndexCompact(spark, dir)
+    assert(postings() === before, "compaction must not change one posting")
+    assert(fileCount() < fragsBefore,
+      s"compaction must shrink files: $fragsBefore -> ${fileCount()}")
+    // a leftover staging dir from a crashed compaction is cleared
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$layout/postings_compacting"))
+    TextQueries.invIndexCompact(spark, dir)
+    assert(postings() === before)
+  }
+}

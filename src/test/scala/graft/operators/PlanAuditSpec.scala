@@ -163,6 +163,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("annBatch: queries broadcast onto a listing-pruned layout scan, rank limited") {
+    // the serving shape's three claims: the layout scan prunes to the
+    // query buckets AT THE LISTING (PartitionFilters), the bounded
+    // query relation broadcasts (never a shuffle of the corpus side on
+    // the bucket key), and the per-query top-k rides WindowGroupLimit
+    val plan = planOf(SimilarityQueries.annBatch(spark, sf()))
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+  }
+
   test("mixSample: the rate relation broadcasts; the corpus join is never a cartesian") {
     val plan = planOf(TextQueries.mixSample(spark, sf()))
     assert(plan.contains("BroadcastHashJoin"), plan)
