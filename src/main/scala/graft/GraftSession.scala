@@ -75,6 +75,28 @@ object GraftSession {
       finally walk.close() // walk streams hold directory handles
     }
 
+  /** Compact a `partitionBy(partCol)` parquet tree back to ≤1 file per
+    * partition directory: append-maintained layouts gain one file per
+    * touched partition per append, and probe cost grows with file
+    * COUNT even when bytes don't. Rewrites into a staging sibling with
+    * the build's own pre-shuffle (one task per partition value → one
+    * file), then swaps — the read fully materializes before the live
+    * tree drops, a crash before the swap leaves it untouched, and a
+    * leftover staging dir from a crashed run is cleared first
+    * (idempotent). Rows are bit-identical before and after
+    * (spec-pinned at each call site).
+    */
+  def compactPartitioned(spark: SparkSession, dir: String, partCol: String): Unit = {
+    val live = java.nio.file.Paths.get(dir)
+    val staged = java.nio.file.Paths.get(dir + "_compacting")
+    deleteRec(staged)
+    spark.read.parquet(dir)
+      .repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(staged.toString)
+    deleteRec(live)
+    java.nio.file.Files.move(staged, live)
+  }
+
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -496,6 +496,18 @@ object SimilarityQueries {
       .write.mode("append").partitionBy("cell").parquet(s"$layout/codes")
   }
 
+  /** Compaction for the append-maintained codes relation — the
+    * [[graft.operators.TextQueries.invIndexCompact]] sibling: every
+    * [[ivfPqAppend]] adds one file per touched cell directory; this
+    * restores ≤1 file per cell with rows bit-identical (spec-pinned)
+    * and the codebooks untouched.
+    */
+  def ivfPqCompact(spark: SparkSession, sfDir: String): String = {
+    val layout = ivfPqLayout(spark, sfDir)
+    graft.GraftSession.compactPartitioned(spark, s"$layout/codes", "cell")
+    layout
+  }
+
   private[operators] def ivfPqLayout(spark: SparkSession, sfDir: String): String = {
     val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/ivfpq_v$IvfPqVersion"
     val codesOk = new java.io.File(s"$layout/codes/_SUCCESS")

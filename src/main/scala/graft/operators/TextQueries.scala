@@ -1592,14 +1592,7 @@ object TextQueries {
     */
   def invIndexCompact(spark: SparkSession, sfDir: String): String = {
     val layout = invIndexLayout(spark, sfDir)
-    val live = java.nio.file.Paths.get(layout, "postings")
-    val staged = java.nio.file.Paths.get(layout, "postings_compacting")
-    graft.GraftSession.deleteRec(staged) // crashed prior compaction
-    spark.read.parquet(live.toString)
-      .repartition(col("tb"))
-      .write.partitionBy("tb").mode("overwrite").parquet(staged.toString)
-    graft.GraftSession.deleteRec(live)
-    java.nio.file.Files.move(staged, live)
+    graft.GraftSession.compactPartitioned(spark, s"$layout/postings", "tb")
     layout
   }
 

@@ -83,4 +83,34 @@ class LayoutMaintenanceSpec extends SparkSpec {
     TextQueries.invIndexCompact(spark, dir)
     assert(postings() === before)
   }
+
+  test("ivfPqCompact: fewer code files, identical rows, probe stays green") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqcomp").toString
+    spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val layout = SimilarityQueries.ivfPqLayout(spark, dir)
+    // two appends fragment the cell directories
+    import org.apache.spark.sql.functions.typedLit
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    def fresh(id: Long) = base.where(col("vec_id") === 7L)
+      .select(lit(id).as("vec_id"), col("embedding"))
+    SimilarityQueries.ivfPqAppend(spark, dir, layout, fresh(900001L))
+    SimilarityQueries.ivfPqAppend(spark, dir, layout, fresh(900002L))
+    def codes(): Seq[Seq[Any]] =
+      spark.read.parquet(s"$layout/codes").collect().toSeq.map(_.toSeq)
+        .sortBy(_.head.toString.toLong)
+    def fileCount(): Long = {
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$layout/codes"))
+      try walk.filter(p => p.toString.endsWith(".parquet")).count()
+      finally walk.close()
+    }
+    val before = codes()
+    val fragsBefore = fileCount()
+    SimilarityQueries.ivfPqCompact(spark, dir)
+    assert(codes() === before, "compaction must not change one code row")
+    assert(fileCount() < fragsBefore,
+      s"compaction must shrink files: $fragsBefore -> ${fileCount()}")
+    assert(SimilarityQueries.annIvfPq(spark, dir).count() === 10L)
+  }
 }
