@@ -89,12 +89,46 @@ object GraftSession {
   def compactPartitioned(spark: SparkSession, dir: String, partCol: String): Unit = {
     val live = java.nio.file.Paths.get(dir)
     val staged = java.nio.file.Paths.get(dir + "_compacting")
-    deleteRec(staged)
+    // crash recovery BEFORE any delete: a crash inside the swap (after
+    // deleteRec(live), before the move) leaves the ONLY copy of the
+    // data in the staged dir — blindly clearing it would destroy the
+    // layout. A staged tree is complete iff its _SUCCESS marker exists
+    // (written last by the parquet commit): live missing + staged
+    // complete → finish the crashed swap; live present → staged is
+    // incomplete or superseded and clears safely.
+    val stagedComplete = java.nio.file.Files.exists(staged.resolve("_SUCCESS"))
+    if (!java.nio.file.Files.exists(live)) {
+      require(stagedComplete,
+        s"compaction found neither a live tree nor a complete staged tree at $dir")
+      java.nio.file.Files.move(staged, live)
+    } else deleteRec(staged)
     spark.read.parquet(dir)
       .repartition(org.apache.spark.sql.functions.col(partCol))
       .write.partitionBy(partCol).mode("overwrite").parquet(staged.toString)
     deleteRec(live)
     java.nio.file.Files.move(staged, live)
+  }
+
+  /** foreachBatch idempotence, shared by every streaming maintenance /
+    * serving sink: run `body` only when `batchId` is beyond the last
+    * applied id recorded in `marker`, then advance the marker.
+    * foreachBatch is at-least-once on failure recovery; batchIds are
+    * monotonic within one checkpointed query, so a replayed batch is a
+    * no-op. ONE implementation — the marker discipline (and any future
+    * hardening of it) cannot diverge across layouts.
+    */
+  def appliedOnce(marker: java.nio.file.Path, batchId: Long)(
+      body: => Unit): Boolean = {
+    val last =
+      try java.nio.file.Files.readString(marker).trim.toLong
+      catch { case _: Exception => Long.MinValue }
+    if (batchId <= last) false
+    else {
+      body
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.writeString(marker, batchId.toString)
+      true
+    }
   }
 
   val tableNames: Seq[String] = Seq(

@@ -113,23 +113,57 @@ object MysqlAes {
     out
   }
 
+  /** keyLen(bytes) + JCE transformation for a block_encryption_mode
+    * string, memoized — the mode is a translate-time literal, so the
+    * parse/validate must not re-run per row. The stream modes
+    * (cfb/ofb) have no JCE PKCS-padding analog and reject loudly.
+    */
+  private val modeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, String, Boolean)]()
+
+  private def parseMode(mode: String): (Int, String, Boolean) =
+    modeCache.computeIfAbsent(mode, { _ =>
+      val m = mode.toLowerCase.split("-")
+      require(m.length == 3 && m(0) == "aes" &&
+        Set("128", "192", "256")(m(1)) && Set("ecb", "cbc")(m(2)),
+        s"unsupported block_encryption_mode '$mode' (aes-{128,192,256}-{ecb,cbc})")
+      (m(1).toInt / 8,
+        if (m(2) == "ecb") "AES/ECB/PKCS5Padding" else "AES/CBC/PKCS5Padding",
+        m(2) == "ecb")
+    })
+
+  /** Folded-key memo: the key is usually a translate-time literal, so
+    * the XOR fold must not re-run per row. Keyed by content (the
+    * per-row byte arrays carry identical bytes); bounded so a
+    * pathological per-row key column cannot grow the map forever.
+    */
+  private val keyCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, java.nio.ByteBuffer), Array[Byte]]()
+
+  private def foldedKey(key: Array[Byte], len: Int): Array[Byte] =
+    if (keyCache.size > 64) foldKey(key, len)
+    else keyCache.computeIfAbsent(
+      (len, java.nio.ByteBuffer.wrap(key.clone())), _ => foldKey(key, len))
+
+  /** One Cipher per (thread, transformation) — Cipher.getInstance is a
+    * synchronized JCE provider lookup and must not run per row; init
+    * per call is required anyway (key/IV vary) and is cheap.
+    */
+  private val cipherCache: ThreadLocal[java.util.HashMap[String, Cipher]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, Cipher]())
+
   /** Encrypt/decrypt with MySQL semantics; decrypt failure → null
     * (MySQL returns NULL). Mode strings are the sysvar's
-    * ('aes-128-ecb' … 'aes-256-cbc'); the stream modes (cfb/ofb) have
-    * no JCE PKCS-padding analog and reject loudly.
+    * ('aes-128-ecb' … 'aes-256-cbc').
     */
   def crypt(input: Array[Byte], key: Array[Byte], mode: String,
       iv: Array[Byte], encrypt: Boolean): Array[Byte] = {
-    val m = mode.toLowerCase.split("-")
-    require(m.length == 3 && m(0) == "aes" &&
-      Set("128", "192", "256")(m(1)) && Set("ecb", "cbc")(m(2)),
-      s"unsupported block_encryption_mode '$mode' (aes-{128,192,256}-{ecb,cbc})")
-    val folded = foldKey(key, m(1).toInt / 8)
-    val cipher = Cipher.getInstance(
-      if (m(2) == "ecb") "AES/ECB/PKCS5Padding" else "AES/CBC/PKCS5Padding")
-    val keySpec = new SecretKeySpec(folded, "AES")
+    val (keyLen, transformation, ecb) = parseMode(mode)
+    val cipher = cipherCache.get().computeIfAbsent(transformation,
+      t => Cipher.getInstance(t))
+    val keySpec = new SecretKeySpec(foldedKey(key, keyLen), "AES")
     val dir = if (encrypt) Cipher.ENCRYPT_MODE else Cipher.DECRYPT_MODE
-    if (m(2) == "ecb") cipher.init(dir, keySpec)
+    if (ecb) cipher.init(dir, keySpec)
     else {
       require(iv.length >= 16,
         s"block_encryption_mode '$mode' needs a 16-byte init vector, got ${iv.length}")

@@ -805,15 +805,9 @@ object DedupQueries {
   def simhashAppendOnce(spark: SparkSession, sfDir: String,
       newDocs: DataFrame, batchId: Long): Boolean = {
     val fp = simhashLayout(spark, sfDir)
-    val marker = java.nio.file.Paths.get(fp).getParent.resolve("_LAST_BATCH")
-    val last =
-      try java.nio.file.Files.readString(marker).trim.toLong
-      catch { case _: Exception => Long.MinValue }
-    if (batchId <= last) false
-    else {
+    graft.GraftSession.appliedOnce(
+      java.nio.file.Paths.get(fp).getParent.resolve("_LAST_BATCH"), batchId) {
       simhashOf(newDocs).write.mode("append").parquet(fp)
-      java.nio.file.Files.writeString(marker, batchId.toString)
-      true
     }
   }
 

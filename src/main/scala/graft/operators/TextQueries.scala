@@ -1564,15 +1564,9 @@ object TextQueries {
   def invIndexAppendOnce(spark: SparkSession, sfDir: String,
       newDocs: DataFrame, batchId: Long): Boolean = {
     val layout = invIndexLayout(spark, sfDir)
-    val marker = java.nio.file.Paths.get(layout, "_LAST_BATCH")
-    val last =
-      try java.nio.file.Files.readString(marker).trim.toLong
-      catch { case _: Exception => Long.MinValue }
-    if (batchId <= last) false
-    else {
+    graft.GraftSession.appliedOnce(
+      java.nio.file.Paths.get(layout, "_LAST_BATCH"), batchId) {
       appendPostings(spark, layout, newDocs)
-      java.nio.file.Files.writeString(marker, batchId.toString)
-      true
     }
   }
 

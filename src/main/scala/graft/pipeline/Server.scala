@@ -67,12 +67,22 @@ object Server {
           // carries its pid — a create-then-write pair had a crash
           // window leaving a pid-less lock that recovery could never
           // attribute to a dead claimant
+          val pid = ProcessHandle.current().pid().toString
           Files.write(lock,
-            ProcessHandle.current().pid().toString
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            pid.getBytes(java.nio.charset.StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
-          try { Files.move(tf, claimed); true }
+          // verify the lock survived and is OURS before taking the
+          // task: if this process stalled past the pid-less grace
+          // between open and write, a sibling's startup recovery may
+          // have released the apparently-abandoned lock (and another
+          // drainer re-created it) — proceeding would rest exclusivity
+          // on the bare rename again
+          val mine =
+            try Files.readString(lock).trim == pid
+            catch { case _: Exception => false }
+          if (!mine) false
+          else try { Files.move(tf, claimed); true }
           catch {
             // the queue entry vanished before our lock (claimed by a
             // pre-lock racer or cancelled) — release and skip

@@ -253,8 +253,8 @@ object MysqlDdl {
     // default value'` can't fabricate clauses) but EXTRACT from the raw
     // text at the same offsets — blanking is length-preserving, so the
     // group bounds line up
-    val generated = GenRe.findFirstMatchIn(restFlags).map { g =>
-      GeneratedCol(rest.substring(g.start(1), g.end(1)).trim, !restU.contains("VIRTUAL"))
+    val generated = locateGenerated(restFlags).map { case (open, close) =>
+      GeneratedCol(rest.substring(open + 1, close).trim, !restU.contains("VIRTUAL"))
     }
     val default = DefaultRe.findFirstMatchIn(restFlags)
       .map(d => normalizeDefault(rest.substring(d.start(1), d.end(1)).trim, baseType))
@@ -312,15 +312,51 @@ object MysqlDdl {
     sb.toString
   }
 
-  // `AS (expr)` — match the parenthesized expr with balanced parens handled
-  // by greedy scan below; regex grabs from AS ( to the clause end keywords.
-  private val GenRe =
-    // tail: MySQL accepts the storage keyword and index/null
-    // attributes in ANY order after the expression
-    // (`tests/generated_columns`: `as (a + 1) virtual unique`), so the
-    // tail is an unordered attribute-token repetition, not a fixed
-    // sequence — one more corpus must not need one more ordered group
-    """(?is)(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)(?:\s+(?:STORED|VIRTUAL|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY|KEY|NOT\s+NULL|NULL))*\s*(?:COMMENT.*)?$""".r
+  // `[GENERATED ALWAYS] AS (` head of a generated-column clause. The
+  // expression itself is extracted by a BALANCED-PAREN scan from the
+  // opening paren ([[locateGenerated]]), not a regex group: MySQL
+  // accepts ANY column attributes after the closing paren, in any
+  // order (STORED/VIRTUAL, UNIQUE [KEY], NOT NULL, INVISIBLE,
+  // CHECK (...), COMMENT …) — a regex tail enumerating them silently
+  // drops the generated clause for whichever attribute it missed, and
+  // a greedy expr group mis-captures when the tail carries its own
+  // parens (CHECK). The head must sit at paren depth 0 of the blanked
+  // text, so an `AS (` inside a DEFAULT expression cannot match.
+  private val GenHeadRe =
+    """(?is)(?:\bGENERATED\s+ALWAYS\s+)?\bAS\s*\(""".r
+
+  /** (openParenIdx, closeParenIdx) of the generated-column expression
+    * in `blanked`, if the entry has one.
+    */
+  private def locateGenerated(blanked: String): Option[(Int, Int)] =
+    GenHeadRe.findAllMatchIn(blanked).flatMap { m =>
+      var depth = 0
+      var i = 0
+      while (i < m.start) {
+        blanked.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth != 0) None
+      else {
+        val open = m.end - 1
+        var d = 0
+        var j = open
+        var close = -1
+        while (j < blanked.length && close < 0) {
+          blanked.charAt(j) match {
+            case '(' => d += 1
+            case ')' => d -= 1; if (d == 0) close = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (close < 0) None else Some((open, close))
+      }
+    }.toSeq.headOption
   // the optional identifier prefix (with optional space) covers
   // introducer/typed literals (b'101', x'6869', _utf8mb4'abc',
   // _utf8mb4 'abc') — the clause LOCATES on blanked text, where the

@@ -47,7 +47,12 @@ object StreamingIngest {
       checkpointDir: String,
       dialect: CsvDialect = CsvDialect(),
       availableNow: Boolean = true,
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      // the same target-session variables the batch path threads
+      // (Ingest.Config.sessionVars): generated-column bytes must not
+      // depend on which path imported the file
+      sessionVars: GeneratedColumns.SessionVars =
+        GeneratedColumns.SessionVars()): StreamingQuery = {
     require(dialect.separator.length == 1,
       "streaming ingest uses the native CSV source (single-char separator)")
     require(!dialect.trimLastSep,
@@ -70,7 +75,8 @@ object StreamingIngest {
       .options(MySqlCsv.readerOptions(dialect)) // same parse as batch
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .csv(landingDir)
-    val typed = GeneratedColumns(RowTransform.applySchema(raw, schema), schema)
+    val typed = GeneratedColumns(
+      RowTransform.applySchema(raw, schema), schema, sessionVars)
     val writer = typed.writeStream
       .format("parquet")
       .option("path", outDir)

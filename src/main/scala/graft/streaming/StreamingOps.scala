@@ -75,17 +75,23 @@ object StreamingOps {
     * vector tier whose maintenance side is `ivfPqAppend`. Hits land
     * append-only under `outDir` stamped with their batchId, so
     * downstream consumers can both tail the stream and re-read any
-    * batch's answers.
+    * batch's answers. The append rides the shared batchId-idempotence
+    * marker ([[graft.GraftSession.appliedOnce]], the same guard as the
+    * maintenance streams): an at-least-once foreachBatch replay is a
+    * no-op instead of a doubled hit set under the same batch_id.
     */
   def annServeStream(queries: DataFrame, sfDir: String, outDir: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
-          graft.operators.SimilarityQueries
-            .annBatchLookup(batch.sparkSession, sfDir, batch.toDF())
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir)
+          graft.GraftSession.appliedOnce(
+            java.nio.file.Paths.get(outDir, "_LAST_BATCH"), batchId) {
+            graft.operators.SimilarityQueries
+              .annBatchLookup(batch.sparkSession, sfDir, batch.toDF())
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outDir)
+          }
         ()
     }
 

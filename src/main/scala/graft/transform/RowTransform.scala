@@ -295,15 +295,19 @@ object RowTransform {
       case _ => lit(true)
     }
 
-  /** MySQL TIME canonicalization for the colon shapes:
+  /** MySQL TIME canonicalization for the VALID colon shapes:
     * `[-][D ]H{1,3}:M{1,2}[:S{1,2}][.frac]` → `[-]HH:MM:SS[.frac]`,
     * with a leading day count folded into hours (MySQL's own storage
-    * normalization). Anything else — including the out-of-range and
-    * numeric shapes — passes through lexically, the documented TIME
-    * contract (StringType carrier, SURVEY §1.2).
+    * normalization). Minutes/seconds are bounded to 0–59 in the shape
+    * itself and the folded hour count to TIME's 838 maximum — a value
+    * MySQL would REJECT ('0:99:5', '900:00:00') must not be
+    * reformatted into canonical-looking output. Everything out of
+    * shape or range — including the numeric forms — passes through
+    * lexically, the documented TIME contract (StringType carrier,
+    * SURVEY §1.2).
     */
   private val TimeShape =
-    "^\\s*(-)?(?:(\\d{1,2}) )?(\\d{1,3}):(\\d{1,2})(?::(\\d{1,2}))?(\\.\\d+)?\\s*$"
+    "^\\s*(-)?(?:(\\d{1,2}) )?(\\d{1,3}):([0-5]?\\d)(?::([0-5]?\\d))?(\\.\\d+)?\\s*$"
 
   private[transform] def normalizeTime(c: Column): Column = {
     def part(i: Int) = regexp_extract(c, TimeShape, i)
@@ -317,7 +321,7 @@ object RowTransform {
         part(4).cast(IntegerType),
         when(part(5) === "", lit(0)).otherwise(part(5).cast(IntegerType))),
       part(6))
-    when(c.rlike(TimeShape), canon).otherwise(c)
+    when(c.rlike(TimeShape) && hours <= 838, canon).otherwise(c)
   }
 
   private def castTo(c: Column, spec: ColumnSpec): Column = {

@@ -84,6 +84,32 @@ class LayoutMaintenanceSpec extends SparkSpec {
     assert(postings() === before)
   }
 
+  test("compaction recovers a crash INSIDE the swap without losing the only copy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_swapcrash").toString
+    write(dir, a)
+    TextQueries.invIndexAppend(spark, dir, docsDF(Seq(10L -> "spark alpha")))
+    val layout = s"${graft.GraftSession.fixtureRoot(dir)}/invindex_v2"
+    def postings(): Seq[Seq[Any]] =
+      spark.read.parquet(s"$layout/postings")
+        .select("tok", "doc_id", "dl", "tf", "positions", "tb")
+        .collect().toSeq.map(_.toSeq)
+        .sortBy(r => (r(0).toString, r(1).toString.toLong))
+    val before = postings()
+    // simulate dying between deleteRec(live) and the final move: the
+    // COMPLETE staged tree (with its _SUCCESS) is the only copy left
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$layout/postings"),
+      java.nio.file.Paths.get(s"$layout/postings_compacting"))
+    TextQueries.invIndexCompact(spark, dir)
+    assert(postings() === before,
+      "recovery must finish the crashed swap, not destroy the staged copy")
+    // an INCOMPLETE staged tree (no _SUCCESS) beside a live tree clears
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$layout/postings_compacting/tb=0"))
+    TextQueries.invIndexCompact(spark, dir)
+    assert(postings() === before)
+  }
+
   test("ivfPqCompact: fewer code files, identical rows, probe stays green") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pqcomp").toString
     spark.read.parquet(s"${sf()}/embeddings.parquet")

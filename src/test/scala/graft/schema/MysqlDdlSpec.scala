@@ -76,6 +76,26 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(!byName("c").nullable && !byName("e").nullable)
   }
 
+  test("generated clause survives UNLISTED attributes and paren-bearing tails") {
+    // the attribute tail is open-ended in MySQL (INVISIBLE since
+    // 8.0.23, CHECK constraints carry their own parens); the expr is
+    // extracted by balanced-paren scan, so neither shape can silently
+    // drop the generated clause or mis-capture the expression
+    val t = MysqlDdl.parse(
+      """CREATE TABLE t (
+        |  a int,
+        |  b int AS (a + 1) VIRTUAL INVISIBLE,
+        |  c int AS (f(a, g(a))) STORED CHECK (c > 0),
+        |  d varchar(10) DEFAULT 'as (fake)' COMMENT 'not as (generated)'
+        |);""".stripMargin)
+    val byName = t.columns.map(c => c.name -> c).toMap
+    assert(byName("b").generated === Some(GeneratedCol("a + 1", stored = false)))
+    assert(byName("c").generated === Some(GeneratedCol("f(a, g(a))", stored = true)))
+    assert(byName("d").generated === None,
+      "AS ( inside string literals must not fabricate a generated clause")
+    assert(byName("d").default === Some("as (fake)"))
+  }
+
   test("comments and inline primary key") {
     val t = MysqlDdl.parse(
       """/* header */
