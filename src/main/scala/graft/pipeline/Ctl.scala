@@ -75,6 +75,28 @@ object Ctl {
         println(s"exported $db.$tbl: ${files.size} data files")
       }
 
+    case "index-compact" :: sfDir :: which :: Nil =>
+      // defragment the append-maintained standing layouts (every
+      // append adds one file per touched partition dir; probe cost
+      // grows with file count): invindex = the positional inverted
+      // index's postings, ivfpq = the ANN codes, all = both
+      val known = Set("invindex", "ivfpq", "all")
+      if (!known(which)) {
+        System.err.println(s"index-compact: unknown index '$which' (${known.mkString("|")})")
+        sys.exit(2)
+      }
+      val spark = graft.GraftSession.build()
+      try {
+        if (which == "invindex" || which == "all") {
+          graft.operators.TextQueries.invIndexCompact(spark, sfDir)
+          println("compacted inverted-index postings")
+        }
+        if (which == "ivfpq" || which == "all") {
+          graft.operators.SimilarityQueries.ivfPqCompact(spark, sfDir)
+          println("compacted ivf-pq codes")
+        }
+      } finally spark.stop()
+
     case "pause" :: spoolDir :: Nil =>
       Files.createDirectories(Paths.get(spoolDir))
       val p = Paths.get(spoolDir, "pause")
@@ -101,6 +123,7 @@ object Ctl {
       System.err.println(
         "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
           "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n] | " +
+          "index-compact <sfDir> <invindex|ivfpq|all> | " +
           "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir> | " +
           "front <spoolDir> <task> | back <spoolDir> <task>")
       sys.exit(2)
