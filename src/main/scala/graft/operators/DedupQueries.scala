@@ -811,6 +811,86 @@ object DedupQueries {
     }
   }
 
+  /** Near-dup ADMISSION against the standing corpus: of `incoming`
+    * documents, keep only those whose simhash is NOT within hamming ≤3
+    * of any fingerprint already in the standing index — the "don't
+    * ingest near-copies of what we already have" gate every
+    * training-data pipeline runs at the door. Scale shape: fingerprint
+    * only the incoming batch (one shared recipe with the index build),
+    * banded equi-join against the 8-byte-per-doc standing layout (the
+    * [[simhashCands]] bands — pigeonhole: any pair at hamming ≤3
+    * shares a band, so recall at the threshold is exact), verify by
+    * bit_count, and a bounded LeftAnti of the duplicate ids — the
+    * corpus is never re-fingerprinted and the incoming side never
+    * self-joins. Streaming twin:
+    * [[graft.streaming.StreamingOps.nearDupGateStream]].
+    */
+  def nearDupAdmitFor(spark: SparkSession, sfDir: String,
+      incoming: DataFrame): DataFrame = {
+    def bands(df: DataFrame): DataFrame = df
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_val", expr("shiftright(simhash, 14 * b) & 16383"))
+    val standing = bands(simhashDf(spark, sfDir))
+      .select(col("b"), col("band_val"), col("simhash").as("s_sim"))
+    val dupIds = bands(simhashOf(incoming))
+      .join(standing, Seq("b", "band_val"))
+      .where(expr("bit_count(simhash ^ s_sim) <= 3"))
+      .select("doc_id").distinct()
+    incoming.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+  }
+
+  /** Registered form: the incoming batch is a deterministic
+    * perturbation of every 100th corpus document (new ids, three
+    * appended tokens) — long documents stay within hamming 3 of their
+    * source and are REJECTED by the gate, short ones drift past the
+    * threshold and are admitted, so the query exercises both verdicts.
+    */
+  def nearDupAdmit(spark: SparkSession, sfDir: String): DataFrame = {
+    val incoming = table(spark, sfDir, "documents")
+      .where(pmod(col("doc_id"), lit(100)) === 7)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" zq unique marker")).as("text"))
+    nearDupAdmitFor(spark, sfDir, incoming)
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
+  def nearDupAdmitSql: String =
+    """WITH inc AS (SELECT doc_id + 10000000 AS doc_id,
+      |    text || ' zq unique marker' AS text
+      |  FROM documents WHERE doc_id % 100 = 7),
+      |corp_tc AS (SELECT doc_id, tok, count(*) AS cnt,
+      |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents) GROUP BY doc_id, tok),
+      |corp_votes AS (SELECT doc_id, j,
+      |    sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
+      |  FROM corp_tc, UNNEST(range(56)) AS r(j) GROUP BY doc_id, j),
+      |corp_sim AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |  FROM corp_votes GROUP BY doc_id),
+      |inc_tc AS (SELECT doc_id, tok, count(*) AS cnt,
+      |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM inc) GROUP BY doc_id, tok),
+      |inc_votes AS (SELECT doc_id, j,
+      |    sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
+      |  FROM inc_tc, UNNEST(range(56)) AS r(j) GROUP BY doc_id, j),
+      |inc_sim AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |  FROM inc_votes GROUP BY doc_id),
+      |corp_bands AS (SELECT simhash AS s_sim, j AS b,
+      |    (simhash >> (14 * j)) & 16383 AS band_val
+      |  FROM corp_sim, UNNEST(range(4)) AS r(j)),
+      |inc_bands AS (SELECT doc_id, simhash, j AS b,
+      |    (simhash >> (14 * j)) & 16383 AS band_val
+      |  FROM inc_sim, UNNEST(range(4)) AS r(j)),
+      |dups AS (SELECT DISTINCT i.doc_id
+      |  FROM inc_bands i JOIN corp_bands c ON i.b = c.b AND i.band_val = c.band_val
+      |  WHERE bit_count(xor(i.simhash, c.s_sim)) <= 3)
+      |SELECT doc_id FROM inc
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+      |ORDER BY doc_id""".stripMargin
+
   /** Pre-build the on-disk layouts so benchmark timings measure the
     * probes, not the one-time index build (the
     * [[SimilarityQueries.warmLayouts]] counterpart).

@@ -65,6 +65,32 @@ object StreamingOps {
         ()
     }
 
+  /** Live near-dup admission — the gate form of
+    * [[graft.operators.DedupQueries.nearDupAdmitFor]]: each
+    * micro-batch of incoming documents is fingerprinted (one shared
+    * recipe with the standing index), banded against the standing
+    * simhash layout, and only the documents with NO corpus fingerprint
+    * within hamming ≤3 land under `outDir` (batch-stamped; the shared
+    * batchId marker makes an at-least-once replay a no-op). This is
+    * the "don't ingest near-copies of what we already have" door —
+    * compose with [[simhashMaintainStream]] downstream of it to keep
+    * the index current with what was ADMITTED.
+    */
+  def nearDupGateStream(docs: DataFrame, sfDir: String, outDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.GraftSession.appliedOnce(
+            java.nio.file.Paths.get(outDir, "_LAST_BATCH"), batchId) {
+            graft.operators.DedupQueries
+              .nearDupAdmitFor(batch.sparkSession, sfDir, batch.toDF())
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outDir)
+          }
+        ()
+    }
+
   /** Live ANN serving: a stream of query vectors (query_id, embedding)
     * answered per micro-batch from the STANDING bucketed layout via
     * [[graft.operators.SimilarityQueries.annBatchLookup]] — the
