@@ -827,16 +827,17 @@ object DedupQueries {
     */
   def nearDupAdmitFor(spark: SparkSession, sfDir: String,
       incoming: DataFrame): DataFrame = {
-    def bands(df: DataFrame): DataFrame = df
-      .withColumn("b", explode(sequence(lit(0), lit(3))))
-      .withColumn("band_val", expr("shiftright(simhash, 14 * b) & 16383"))
-    val standing = bands(simhashDf(spark, sfDir))
+    val standing = simBands(simhashDf(spark, sfDir))
       .select(col("b"), col("band_val"), col("simhash").as("s_sim"))
-    val dupIds = bands(simhashOf(incoming))
+    // no broadcast HINT: dupIds is bounded by the incoming batch, so
+    // AQE broadcasts it when small and falls back to a shuffle join
+    // when a large ingest batch is mostly duplicates — a forced hint
+    // would crash at the broadcast cap instead of degrading
+    val dupIds = simBands(simhashOf(incoming))
       .join(standing, Seq("b", "band_val"))
       .where(expr("bit_count(simhash ^ s_sim) <= 3"))
       .select("doc_id").distinct()
-    incoming.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+    incoming.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
   /** Registered form: the incoming batch is a deterministic
@@ -943,12 +944,19 @@ object DedupQueries {
     * ≥1 of the 4×14-bit simhash bands. Shared by the hamming-verified
     * pairs query and the edit-distance verifier.
     */
+  /** The 4×14-bit band explosion of a (…, simhash) relation — the ONE
+    * banding recipe (self-join candidates and the admission gate both
+    * call this, so the pigeonhole guarantee — any pair at hamming ≤3
+    * shares a band — cannot drift between paths).
+    */
+  private def simBands(df: DataFrame): DataFrame = df
+    .withColumn("b", explode(sequence(lit(0), lit(3))))
+    .withColumn("band_val", expr("shiftright(simhash, 14 * b) & 16383"))
+
   private def simhashCands(spark: SparkSession, sfDir: String): DataFrame = {
     // both self-join sides read the on-disk fingerprint layout — an
     // 8-byte-per-doc parquet scan per side, no recompute to guard
-    val sim = simhashDf(spark, sfDir)
-    val bands = sim.withColumn("b", explode(sequence(lit(0), lit(3))))
-      .withColumn("band_val", expr("shiftright(simhash, 14 * b) & 16383"))
+    val bands = simBands(simhashDf(spark, sfDir))
     bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))

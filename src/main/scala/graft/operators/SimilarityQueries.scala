@@ -502,6 +502,13 @@ object SimilarityQueries {
     * restores ≤1 file per cell with rows bit-identical (spec-pinned)
     * and the codebooks untouched.
     */
+  /** Whether a standing IVF-PQ layout exists for `sfDir` (the
+    * [[graft.operators.TextQueries.invIndexPresent]] sibling).
+    */
+  def ivfPqPresent(sfDir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/ivfpq_v$IvfPqVersion/codes"))
+
   def ivfPqCompact(spark: SparkSession, sfDir: String): String = {
     val layout = ivfPqLayout(spark, sfDir)
     graft.GraftSession.compactPartitioned(spark, s"$layout/codes", "cell")

@@ -1584,6 +1584,16 @@ object TextQueries {
     * didn't change). Postings are bit-identical before and after
     * (spec-pinned).
     */
+  /** Whether a standing inverted index exists for `sfDir` — the guard
+    * an OPERATIONAL caller (Ctl index-compact) wants: compaction of a
+    * present-but-stale layout refreshes it first by design, but a
+    * missing layout should report "nothing to compact" instead of
+    * silently running a full index build.
+    */
+  def invIndexPresent(sfDir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/invindex_v$InvIndexVersion/postings"))
+
   def invIndexCompact(spark: SparkSession, sfDir: String): String = {
     val layout = invIndexLayout(spark, sfDir)
     graft.GraftSession.compactPartitioned(spark, s"$layout/postings", "tb")

@@ -85,15 +85,23 @@ object Ctl {
         System.err.println(s"index-compact: unknown index '$which' (${known.mkString("|")})")
         sys.exit(2)
       }
+      // a MISSING layout reports "nothing to compact" instead of
+      // silently running a full index BUILD (a present-but-stale one
+      // refreshes first by design — current-and-defragmented is what
+      // the operator asked for)
       val spark = graft.GraftSession.build()
       try {
         if (which == "invindex" || which == "all") {
-          graft.operators.TextQueries.invIndexCompact(spark, sfDir)
-          println("compacted inverted-index postings")
+          if (graft.operators.TextQueries.invIndexPresent(sfDir)) {
+            graft.operators.TextQueries.invIndexCompact(spark, sfDir)
+            println("compacted inverted-index postings")
+          } else println(s"no standing inverted index for $sfDir; nothing to compact")
         }
         if (which == "ivfpq" || which == "all") {
-          graft.operators.SimilarityQueries.ivfPqCompact(spark, sfDir)
-          println("compacted ivf-pq codes")
+          if (graft.operators.SimilarityQueries.ivfPqPresent(sfDir)) {
+            graft.operators.SimilarityQueries.ivfPqCompact(spark, sfDir)
+            println("compacted ivf-pq codes")
+          } else println(s"no standing ivf-pq layout for $sfDir; nothing to compact")
         }
       } finally spark.stop()
 

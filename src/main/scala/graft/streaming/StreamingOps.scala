@@ -71,22 +71,41 @@ object StreamingOps {
     * recipe with the standing index), banded against the standing
     * simhash layout, and only the documents with NO corpus fingerprint
     * within hamming ≤3 land under `outDir` (batch-stamped; the shared
-    * batchId marker makes an at-least-once replay a no-op). This is
-    * the "don't ingest near-copies of what we already have" door —
-    * compose with [[simhashMaintainStream]] downstream of it to keep
-    * the index current with what was ADMITTED.
+    * batchId marker makes an at-least-once replay a no-op).
+    *
+    * Admission CONTRACT (be precise, because a separate downstream
+    * maintenance stream cannot be): with `maintainIndex = true` (the
+    * production default) the gate itself appends the ADMITTED
+    * documents' fingerprints inside the same batch body, so batch N+1
+    * is gated against everything admitted through batch N — do NOT
+    * also compose [[simhashMaintainStream]], which would double-append.
+    * A detached maintenance stream has no ordering guarantee relative
+    * to the gate, so near-copies could slip in while the index lags.
+    * Within ONE micro-batch the incoming docs are not gated against
+    * each other (the batch is a single admission decision); dedupe
+    * intra-batch near-pairs upstream or with the batch pair pass.
     */
-  def nearDupGateStream(docs: DataFrame, sfDir: String, outDir: String):
+  def nearDupGateStream(docs: DataFrame, sfDir: String, outDir: String,
+      maintainIndex: Boolean = true):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.GraftSession.appliedOnce(
             java.nio.file.Paths.get(outDir, "_LAST_BATCH"), batchId) {
-            graft.operators.DedupQueries
+            val admitted = graft.operators.DedupQueries
               .nearDupAdmitFor(batch.sparkSession, sfDir, batch.toDF())
+            admitted
               .withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(outDir)
+            // read the landed batch back for the index append: the
+            // admitted plan must not recompute under a layout that the
+            // append below is about to change
+            if (maintainIndex)
+              graft.operators.DedupQueries.simhashAppend(
+                batch.sparkSession, sfDir,
+                batch.sparkSession.read.parquet(outDir)
+                  .where(col("batch_id") === batchId).drop("batch_id"))
           }
         ()
     }
