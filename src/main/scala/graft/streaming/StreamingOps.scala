@@ -93,19 +93,23 @@ object StreamingOps {
         if (!batch.isEmpty)
           graft.GraftSession.appliedOnce(
             java.nio.file.Paths.get(outDir, "_LAST_BATCH"), batchId) {
+            // materialize the admission verdict ONCE: the hits write
+            // and the index append below must both consume the SAME
+            // result — re-evaluating the plan for the append would
+            // re-run the gate under a layout the append itself is
+            // changing, and reading the sink back would pay a file
+            // listing that grows with the stream's lifetime
             val admitted = graft.operators.DedupQueries
               .nearDupAdmitFor(batch.sparkSession, sfDir, batch.toDF())
-            admitted
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(outDir)
-            // read the landed batch back for the index append: the
-            // admitted plan must not recompute under a layout that the
-            // append below is about to change
-            if (maintainIndex)
-              graft.operators.DedupQueries.simhashAppend(
-                batch.sparkSession, sfDir,
-                batch.sparkSession.read.parquet(outDir)
-                  .where(col("batch_id") === batchId).drop("batch_id"))
+              .localCheckpoint()
+            try {
+              admitted
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(outDir)
+              if (maintainIndex)
+                graft.operators.DedupQueries.simhashAppend(
+                  batch.sparkSession, sfDir, admitted)
+            } finally admitted.unpersist()
           }
         ()
     }
