@@ -1394,6 +1394,45 @@ object TextQueries {
       |  CAST(sum(hot) AS BIGINT) AS n_dropped
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** WITHIN-document repeated-line removal — the REWRITE face of
+    * repetition trimming ([[lineDedup]] is the cross-corpus audit):
+    * keep the FIRST occurrence of every line inside each document and
+    * reconstruct the cleaned text in original order, the classic
+    * within-page dedup of web-text curation. Scale shape: a PURE
+    * narrow pass — split to a lines array, keep element i iff its
+    * first array position is i (higher-order `filter` with index, no
+    * explode, no shuffle, no window), rejoin. The fixture doubles each
+    * document (`text\ntext`) so every line is repeated at least once
+    * and real within-text repeats stack on top; the rebuilt text ships
+    * as its md5 so the exact reconstruction is pinned compactly.
+    */
+  def lineDedupDoc(spark: SparkSession, sfDir: String): DataFrame = {
+    val page = concat(col("text"), lit("\n"), col("text"))
+    val lines = split(page, "\n", -1)
+    val kept = filter(lines, (l, i) => array_position(lines, l) === i + 1)
+    table(spark, sfDir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        md5(array_join(kept, "\n").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  def lineDedupDocSql: String =
+    """WITH p AS (SELECT doc_id, text || chr(10) || text AS page
+      |  FROM documents WHERE text IS NOT NULL),
+      |t AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM p),
+      |e AS (SELECT doc_id, i, lines[i] AS line, len(lines) AS n_lines
+      |  FROM t, UNNEST(range(1, len(lines) + 1)) AS r(i)),
+      |f AS (SELECT doc_id, i, line, n_lines,
+      |    min(i) OVER (PARTITION BY doc_id, line) AS fi FROM e)
+      |SELECT doc_id,
+      |  CAST(max(n_lines) AS BIGINT) AS n_lines,
+      |  CAST(count(*) FILTER (WHERE i = fi) AS BIGINT) AS n_kept,
+      |  md5(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE i = fi)) AS clean_md5
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- conjunctive search
   /** Conjunctive (AND) term search with exact-tf ranking — the boolean
     * retrieval primitive under corpus exploration tools: documents

@@ -25,7 +25,7 @@ object ScalingProbe {
 
   private val LinearOps = Seq("q_chunk_rag", "q_tfidf_topk", "q_boilerplate",
     "q_pack_sequences", "q_quality_score", "q_dedup_exact",
-    "q_corpus_diff", "q_line_dedup", "q_search_topk", "q_bm25_topk",
+    "q_corpus_diff", "q_line_dedup", "q_line_dedup_doc", "q_search_topk", "q_bm25_topk",
     "q_phrase_search", "q_rrf_fusion", "q_query_expand",
     "q_proximity_search", "q_search_highlight",
     "q_vocab_coverage", "q_label_centroid_sim", "q_normalize_nfc", "q_script_mix",

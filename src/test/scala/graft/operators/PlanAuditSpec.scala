@@ -86,6 +86,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(nonFanout === 1, plan)
   }
 
+  test("lineDedupDoc: within-doc rewrite is a pure narrow pass, no data shuffle") {
+    // the operator's reason to exist at scale: first-occurrence keep +
+    // text reconstruction happen INSIDE one row via higher-order array
+    // functions — no explode, no window, no per-line shuffle; the only
+    // exchange is the presentation sort
+    val plan = planOf(TextQueries.lineDedupDoc(spark, sf()))
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+    val nonFanout = "Exchange \\w+".r.findAllIn(plan)
+      .filterNot(_.contains("RoundRobin")).size
+    assert(nonFanout === 1, plan)
+  }
+
   test("chunkRag: chunking is narrow — explode, never a data shuffle") {
     val plan = planOf(TextQueries.chunkRag(spark, sf()))
     assert(!plan.contains("hashpartitioning"), plan)
