@@ -80,33 +80,118 @@ object GraftSession {
     * touched partition per append, and probe cost grows with file
     * COUNT even when bytes don't. Rewrites into a staging sibling with
     * the build's own pre-shuffle (one task per partition value → one
-    * file), then swaps — the read fully materializes before the live
-    * tree drops, a crash before the swap leaves it untouched, and a
-    * leftover staging dir from a crashed run is cleared first
-    * (idempotent). Rows are bit-identical before and after
-    * (spec-pinned at each call site).
+    * file), then swaps.
+    *
+    * Concurrency contract: the compaction SNAPSHOTS the live tree's
+    * data-file list up front, reads and deletes ONLY those files, and
+    * merges the compacted files back in beside whatever else arrived —
+    * so an append (`invIndexAppend` / `simhashAppendOnce` /
+    * `ivfPqAppend`, e.g. a live maintenance stream) landing at any
+    * point during the compaction is preserved, never silently dropped.
+    * (Appends only ever CREATE files; nothing rewrites in place, which
+    * is what makes snapshot-isolation sufficient here.) The one thing
+    * that must not run concurrently is a second compaction of the same
+    * tree — both would claim the same staging dir.
+    *
+    * Crash safety: the staged tree is authoritative only once its
+    * `_COMPACT_MANIFEST` (the snapshot list, written via temp + atomic
+    * move AFTER the parquet `_SUCCESS`) exists. Crash before the
+    * manifest → live tree untouched, staged cleared on the next run.
+    * Crash during the swap → the next run replays the swap from the
+    * manifest (delete snapshot files that remain, move staged files
+    * in — both idempotent). Rows are bit-identical before and after
+    * (spec-pinned at each call site; concurrent-append preservation
+    * and mid-swap recovery pinned in `LayoutMaintenanceSpec`).
     */
-  def compactPartitioned(spark: SparkSession, dir: String, partCol: String): Unit = {
+  def compactPartitioned(spark: SparkSession, dir: String, partCol: String): Unit =
+    compactPartitioned(spark, dir, partCol, () => ())
+
+  /** Test seam: `beforeSwap` runs after the staged tree + manifest are
+    * complete and before the swap — where a concurrent append or a
+    * crash is most interesting to pin.
+    */
+  private[graft] def compactPartitioned(spark: SparkSession, dir: String,
+      partCol: String, beforeSwap: () => Unit): Unit = {
     val live = java.nio.file.Paths.get(dir)
     val staged = java.nio.file.Paths.get(dir + "_compacting")
-    // crash recovery BEFORE any delete: a crash inside the swap (after
-    // deleteRec(live), before the move) leaves the ONLY copy of the
-    // data in the staged dir — blindly clearing it would destroy the
-    // layout. A staged tree is complete iff its _SUCCESS marker exists
-    // (written last by the parquet commit): live missing + staged
-    // complete → finish the crashed swap; live present → staged is
-    // incomplete or superseded and clears safely.
-    val stagedComplete = java.nio.file.Files.exists(staged.resolve("_SUCCESS"))
-    if (!java.nio.file.Files.exists(live)) {
-      require(stagedComplete,
+    val manifest = staged.resolve("_COMPACT_MANIFEST")
+    if (java.nio.file.Files.exists(manifest)) {
+      // a prior run crashed mid-swap: its staged tree is authoritative
+      // for the snapshot it compacted — finish that swap first, then
+      // compact afresh (files appended since remain untouched)
+      swapCompacted(live, staged, manifest)
+    } else if (!java.nio.file.Files.exists(live)) {
+      // legacy (pre-manifest) crash between deleteRec(live) and the
+      // wholesale move: the complete staged tree is the only copy
+      require(java.nio.file.Files.exists(staged.resolve("_SUCCESS")),
         s"compaction found neither a live tree nor a complete staged tree at $dir")
       java.nio.file.Files.move(staged, live)
     } else deleteRec(staged)
-    spark.read.parquet(dir)
+    val snapshot = dataFilesUnder(live)
+    if (snapshot.isEmpty) return
+    spark.read.option("basePath", dir)
+      .parquet(snapshot.map(r => live.resolve(r).toString): _*)
       .repartition(org.apache.spark.sql.functions.col(partCol))
       .write.partitionBy(partCol).mode("overwrite").parquet(staged.toString)
-    deleteRec(live)
-    java.nio.file.Files.move(staged, live)
+    val tmp = staged.resolve("_COMPACT_MANIFEST.tmp")
+    java.nio.file.Files.writeString(tmp, snapshot.mkString("\n"))
+    java.nio.file.Files.move(tmp, manifest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    beforeSwap()
+    swapCompacted(live, staged, manifest)
+  }
+
+  /** Relative paths of the parquet data files under `root` (markers —
+    * `_SUCCESS`, stamps, checksum dot-files — excluded, matching what
+    * a Spark scan lists).
+    */
+  private def dataFilesUnder(root: java.nio.file.Path): Seq[String] = {
+    if (!java.nio.file.Files.exists(root)) return Nil
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      val out = Seq.newBuilder[String]
+      walk.forEach { p =>
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) &&
+            !n.startsWith("_") && !n.startsWith("."))
+          out += root.relativize(p).toString
+      }
+      out.result()
+    } finally walk.close()
+  }
+
+  /** The idempotent swap leg: remove exactly the manifest's snapshot
+    * files from the live tree (concurrently appended files are not in
+    * the manifest and survive), merge the staged files in, clear the
+    * staging dir. Safe to replay after a crash at any point — deletes
+    * tolerate already-deleted files, moves tolerate already-moved ones.
+    */
+  private def swapCompacted(live: java.nio.file.Path,
+      staged: java.nio.file.Path, manifest: java.nio.file.Path): Unit = {
+    java.nio.file.Files.readString(manifest).split("\n").iterator
+      .map(_.trim).filter(_.nonEmpty).foreach { rel =>
+        val f = live.resolve(rel)
+        java.nio.file.Files.deleteIfExists(f)
+        // Hadoop LocalFS checksum sibling, if any
+        java.nio.file.Files.deleteIfExists(
+          f.resolveSibling("." + f.getFileName.toString + ".crc"))
+      }
+    dataFilesUnder(staged).foreach { rel =>
+      val src = staged.resolve(rel)
+      val tgt = live.resolve(rel)
+      java.nio.file.Files.createDirectories(tgt.getParent)
+      // staged file names carry a fresh job UUID, so a collision means
+      // this exact file was already moved by a crashed prior swap
+      if (!java.nio.file.Files.exists(tgt)) {
+        java.nio.file.Files.move(src, tgt)
+        val crc = src.resolveSibling("." + src.getFileName.toString + ".crc")
+        if (java.nio.file.Files.exists(crc))
+          java.nio.file.Files.move(crc,
+            tgt.resolveSibling("." + tgt.getFileName.toString + ".crc"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    deleteRec(staged)
   }
 
   /** foreachBatch idempotence, shared by every streaming maintenance /
@@ -116,6 +201,16 @@ object GraftSession {
     * monotonic within one checkpointed query, so a replayed batch is a
     * no-op. ONE implementation — the marker discipline (and any future
     * hardening of it) cannot diverge across layouts.
+    *
+    * The marker lands via temp file + atomic move, so a crash can
+    * never leave a torn marker that parses as "nothing applied" and
+    * silently re-admits every batch. The remaining (documented) window
+    * is a crash BETWEEN the body's sink append and the marker write:
+    * the replayed batch re-appends under the same batch_id. That
+    * window is inherent to sink-then-marker ordering (marker-first
+    * would trade duplicates for silent LOSS, which is worse); callers
+    * that need exactly-once across it should dedup on batch_id at
+    * read time or compact with a batch_id-keyed overwrite.
     */
   def appliedOnce(marker: java.nio.file.Path, batchId: Long)(
       body: => Unit): Boolean = {
@@ -126,7 +221,11 @@ object GraftSession {
     else {
       body
       java.nio.file.Files.createDirectories(marker.getParent)
-      java.nio.file.Files.writeString(marker, batchId.toString)
+      val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, batchId.toString)
+      java.nio.file.Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       true
     }
   }

@@ -35,8 +35,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Null/error contract (MySQL's): NULL input/key → NULL; a decrypt
   * that fails (wrong key, corrupt payload) → NULL; an ECB mode
-  * ignores the IV argument; a CBC call with an IV shorter than 16
-  * bytes raises, like MySQL's ER_AES_INVALID_IV.
+  * ignores the IV argument — INCLUDING a NULL one, so eval/codegen
+  * are hand-rolled rather than null-intolerant: the SQL-registered
+  * `mysql_aes_encrypt(x, k, 'aes-…-ecb', NULL)` returns ciphertext
+  * like MySQL, not NULL (the gencol rewriter also drops the IV at
+  * translate time, but that never protected raw SQL callers); a CBC
+  * call with a NULL IV is NULL, and with an IV shorter than 16 bytes
+  * raises, like MySQL's ER_AES_INVALID_IV.
   */
 case class MysqlAes(input: Expression, key: Expression, mode: Expression,
     iv: Expression, encrypt: Boolean) extends QuaternaryExpression {
@@ -51,11 +56,14 @@ case class MysqlAes(input: Expression, key: Expression, mode: Expression,
   override def prettyName: String =
     if (encrypt) "mysql_aes_encrypt" else "mysql_aes_decrypt"
 
-  private val okIn: Set[DataType] = Set(BinaryType, StringType)
+  // NullType admitted everywhere a value child is: a bare SQL NULL
+  // argument must analyze (MySQL accepts NULL init_vector; under ECB
+  // it even returns ciphertext) — eval handles the null routing
+  private val okIn: Set[DataType] = Set(BinaryType, StringType, NullType)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (okIn(input.dataType) && okIn(key.dataType) &&
-      mode.dataType == StringType && okIn(iv.dataType))
+      Set[DataType](StringType, NullType)(mode.dataType) && okIn(iv.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (binary|string, binary|string, string, " +
@@ -63,23 +71,54 @@ case class MysqlAes(input: Expression, key: Expression, mode: Expression,
         s"${key.dataType.simpleString}, ${mode.dataType.simpleString}, " +
         s"${iv.dataType.simpleString})")
 
-  override def nullSafeEval(in: Any, k: Any, m: Any, v: Any): Any =
-    MysqlAes.crypt(MysqlAes.bytes(in), MysqlAes.bytes(k),
-      m.asInstanceOf[UTF8String].toString, MysqlAes.bytes(v), encrypt)
+  // eval/codegen by hand: the stock null-intolerant Quaternary path
+  // would NULL the whole call when the IV child is NULL, but under
+  // ECB the IV is unused and MySQL returns ciphertext
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val in = input.eval(row)
+    val k = key.eval(row)
+    val m = mode.eval(row)
+    if (in == null || k == null || m == null) null
+    else {
+      val modeStr = m.asInstanceOf[UTF8String].toString
+      val v = iv.eval(row)
+      if (v == null && !MysqlAes.modeIgnoresIv(modeStr)) null
+      else MysqlAes.crypt(MysqlAes.bytes(in), MysqlAes.bytes(k), modeStr,
+        if (v == null) Array.emptyByteArray else MysqlAes.bytes(v), encrypt)
+    }
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (in, k, m, v) => {
-      val out = ctx.freshName("aesOut")
-      s"""
-         |byte[] $out = graft.functions.MysqlAes.crypt(
-         |  graft.functions.MysqlAes.bytes($in),
-         |  graft.functions.MysqlAes.bytes($k),
-         |  $m.toString(),
-         |  graft.functions.MysqlAes.bytes($v),
-         |  $encrypt);
-         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
-       """.stripMargin
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val inGen = input.genCode(ctx)
+    val kGen = key.genCode(ctx)
+    val mGen = mode.genCode(ctx)
+    val vGen = iv.genCode(ctx)
+    val modeStr = ctx.freshName("aesMode")
+    val out = ctx.freshName("aesOut")
+    ev.copy(code =
+      code"""
+        ${inGen.code}
+        ${kGen.code}
+        ${mGen.code}
+        ${vGen.code}
+        boolean ${ev.isNull} = true;
+        byte[] ${ev.value} = null;
+        if (!${inGen.isNull} && !${kGen.isNull} && !${mGen.isNull}) {
+          String $modeStr = ${mGen.value}.toString();
+          if (!${vGen.isNull} || graft.functions.MysqlAes.modeIgnoresIv($modeStr)) {
+            byte[] $out = graft.functions.MysqlAes.crypt(
+              graft.functions.MysqlAes.bytes(${inGen.value}),
+              graft.functions.MysqlAes.bytes(${kGen.value}),
+              $modeStr,
+              ${vGen.isNull} ? new byte[0]
+                : graft.functions.MysqlAes.bytes(${vGen.value}),
+              $encrypt);
+            if ($out != null) { ${ev.isNull} = false; ${ev.value} = $out; }
+          }
+        }
+      """)
+  }
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression, q: Expression): MysqlAes =
@@ -120,6 +159,11 @@ object MysqlAes {
     */
   private val modeCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, String, Boolean)]()
+
+  /** Whether `mode` takes no init vector (ECB) — the NULL-IV carve-out
+    * in eval/codegen. Throws on an unsupported mode, same as crypt.
+    */
+  def modeIgnoresIv(mode: String): Boolean = parseMode(mode)._3
 
   private def parseMode(mode: String): (Int, String, Boolean) =
     modeCache.computeIfAbsent(mode, { _ =>

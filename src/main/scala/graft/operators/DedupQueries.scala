@@ -940,10 +940,6 @@ object DedupQueries {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
 
-  /** Banded candidate pairs (doc_a, sa, doc_b, sb): docs agreeing on
-    * ≥1 of the 4×14-bit simhash bands. Shared by the hamming-verified
-    * pairs query and the edit-distance verifier.
-    */
   /** The 4×14-bit band explosion of a (…, simhash) relation — the ONE
     * banding recipe (self-join candidates and the admission gate both
     * call this, so the pigeonhole guarantee — any pair at hamming ≤3
@@ -953,6 +949,10 @@ object DedupQueries {
     .withColumn("b", explode(sequence(lit(0), lit(3))))
     .withColumn("band_val", expr("shiftright(simhash, 14 * b) & 16383"))
 
+  /** Banded candidate pairs (doc_a, sa, doc_b, sb): docs agreeing on
+    * ≥1 of the 4×14-bit simhash bands. Shared by the hamming-verified
+    * pairs query and the edit-distance verifier.
+    */
   private def simhashCands(spark: SparkSession, sfDir: String): DataFrame = {
     // both self-join sides read the on-disk fingerprint layout — an
     // 8-byte-per-doc parquet scan per side, no recompute to guard
@@ -1100,17 +1100,26 @@ object DedupQueries {
     * driver-side union-find over the collected pair set. The pair graph
     * is the OUTPUT of near-dup detection — orders of magnitude smaller
     * than the corpus — and 1M edges ≈ tens of MiB of driver heap
-    * (collected rows + parent map), comfortably bounded; past the
-    * threshold the distributed min-label loop takes over (the same
-    * adaptive small-side collapse AQE applies to joins).
+    * (collected rows + parent map), comfortably bounded on the default
+    * driver. NOT safe on every driver, though: the ceiling is derived
+    * from `spark.driver.maxResultSize` (≈200 bytes per collected
+    * two-long Row, kept to a quarter of the configured limit), so a
+    * small-driver deployment degrades to the distributed min-label
+    * loop instead of OOMing inside the "bounded" path — the same
+    * adaptive small-side collapse AQE applies to joins.
     */
-  private val UnionFindMaxEdges = 1000000L
+  private[operators] def unionFindMaxEdges(spark: SparkSession): Long = {
+    val maxResult = spark.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    if (maxResult <= 0) 1000000L // 0 = "unlimited": keep the 1M cap
+    else math.min(1000000L, maxResult / 800)
+  }
 
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = dedupSimhashPairs(spark, sfDir).select("doc_a", "doc_b")
       .localCheckpoint(true)
     val nEdges = pairs.count()
-    if (nEdges <= UnionFindMaxEdges) unionFindClusters(pairs)
+    if (nEdges <= unionFindMaxEdges(spark)) unionFindClusters(pairs)
     else distributedClusters(pairs)
   }
 

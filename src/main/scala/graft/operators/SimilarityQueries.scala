@@ -496,12 +496,6 @@ object SimilarityQueries {
       .write.mode("append").partitionBy("cell").parquet(s"$layout/codes")
   }
 
-  /** Compaction for the append-maintained codes relation — the
-    * [[graft.operators.TextQueries.invIndexCompact]] sibling: every
-    * [[ivfPqAppend]] adds one file per touched cell directory; this
-    * restores ≤1 file per cell with rows bit-identical (spec-pinned)
-    * and the codebooks untouched.
-    */
   /** Whether a standing IVF-PQ layout exists for `sfDir` (the
     * [[graft.operators.TextQueries.invIndexPresent]] sibling).
     */
@@ -509,6 +503,12 @@ object SimilarityQueries {
     java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"${graft.GraftSession.fixtureRoot(sfDir)}/ivfpq_v$IvfPqVersion/codes"))
 
+  /** Compaction for the append-maintained codes relation — the
+    * [[graft.operators.TextQueries.invIndexCompact]] sibling: every
+    * [[ivfPqAppend]] adds one file per touched cell directory; this
+    * restores ≤1 file per cell with rows bit-identical (spec-pinned)
+    * and the codebooks untouched.
+    */
   def ivfPqCompact(spark: SparkSession, sfDir: String): String = {
     val layout = ivfPqLayout(spark, sfDir)
     graft.GraftSession.compactPartitioned(spark, s"$layout/codes", "cell")

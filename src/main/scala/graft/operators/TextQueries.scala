@@ -1609,20 +1609,6 @@ object TextQueries {
     }
   }
 
-  /** Standing-layout compaction — the D6 sibling for the index: every
-    * [[invIndexAppend]] adds one file per touched bucket directory, so
-    * a frequently-maintained index fragments (N appends → N+1 files in
-    * a hot bucket, and probe cost grows with file COUNT even when the
-    * byte total doesn't). Compaction rewrites the postings with the
-    * build's own pre-shuffle (one task per bucket → one file per
-    * bucket) into a sibling dir, then swaps — the read fully
-    * materializes before the old tree is dropped, a crash before the
-    * swap leaves the live tree untouched, and a leftover sibling from
-    * a crashed run is cleared first, so the operation is idempotent.
-    * Stats and the content stamp are untouched (the corpus snapshot
-    * didn't change). Postings are bit-identical before and after
-    * (spec-pinned).
-    */
   /** Whether a standing inverted index exists for `sfDir` — the guard
     * an OPERATIONAL caller (Ctl index-compact) wants: compaction of a
     * present-but-stale layout refreshes it first by design, but a
@@ -1633,6 +1619,17 @@ object TextQueries {
     java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"${graft.GraftSession.fixtureRoot(sfDir)}/invindex_v$InvIndexVersion/postings"))
 
+  /** Standing-layout compaction — the D6 sibling for the index: every
+    * [[invIndexAppend]] adds one file per touched bucket directory, so
+    * a frequently-maintained index fragments (N appends → N+1 files in
+    * a hot bucket, and probe cost grows with file COUNT even when the
+    * byte total doesn't). Rides
+    * [[graft.GraftSession.compactPartitioned]]: snapshot-isolated (an
+    * append landing mid-compaction survives), crash-safe via the
+    * staged manifest, idempotent. Stats and the content stamp are
+    * untouched (the corpus snapshot didn't change). Postings are
+    * bit-identical before and after (spec-pinned).
+    */
   def invIndexCompact(spark: SparkSession, sfDir: String): String = {
     val layout = invIndexLayout(spark, sfDir)
     graft.GraftSession.compactPartitioned(spark, s"$layout/postings", "tb")

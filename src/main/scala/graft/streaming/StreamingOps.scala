@@ -71,7 +71,10 @@ object StreamingOps {
     * recipe with the standing index), banded against the standing
     * simhash layout, and only the documents with NO corpus fingerprint
     * within hamming ≤3 land under `outDir` (batch-stamped; the shared
-    * batchId marker makes an at-least-once replay a no-op).
+    * batchId marker makes an at-least-once replay a no-op — modulo
+    * [[graft.GraftSession.appliedOnce]]'s documented sink-then-marker
+    * crash window, inside which a replay re-appends under the same
+    * batch_id; the stamp is what lets a reader dedup across it).
     *
     * Admission CONTRACT (be precise, because a separate downstream
     * maintenance stream cannot be): with `maintainIndex = true` (the
@@ -127,7 +130,10 @@ object StreamingOps {
     * batch's answers. The append rides the shared batchId-idempotence
     * marker ([[graft.GraftSession.appliedOnce]], the same guard as the
     * maintenance streams): an at-least-once foreachBatch replay is a
-    * no-op instead of a doubled hit set under the same batch_id.
+    * no-op instead of a doubled hit set under the same batch_id —
+    * modulo [[graft.GraftSession.appliedOnce]]'s documented
+    * sink-then-marker crash window; the batch_id stamp is what lets a
+    * consumer dedup across it.
     */
   def annServeStream(queries: DataFrame, sfDir: String, outDir: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -60,30 +60,36 @@ object DumpThroughput {
     }
     val shardPaths = (0 until nShards).map(s => shardDir.resolve(s"part$s.sql").toString)
     val cols = GraftSession.table(spark, sfDir, "lineitem").columns.toSeq
-    def timed(paths: Seq[String]): (Long, Double) = {
-      DumpSource.readRaw(spark, paths, cols).count() // warm-up: JIT + codegen
-      val t0 = System.nanoTime()
-      val n = DumpSource.readRaw(spark, paths, cols).count()
-      (n, (System.nanoTime() - t0) / 1e9)
+    // Bench's discipline, adopted after r10's numbers halved vs r9's
+    // from ambient load alone: one warm-up, then median-of-3 with the
+    // spread RECORDED beside the number, so a round-to-round delta is
+    // falsifiable against the run's own noise band.
+    def medianOf3(run: () => Long): (Long, Double, Double, Double) = {
+      run() // warm-up: JIT + codegen + page cache
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = run()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val secs = samples.map(_._2).sorted
+      (samples.head._1, secs(1), secs.head, secs.last)
     }
-    val (n1, sec1) = timed(Seq(dump.toString))
-    val (nk, seck) = timed(shardPaths)
-    def timedChunked(nChunks: Int): (Long, Double) = {
+    def timed(paths: Seq[String]) =
+      medianOf3(() => DumpSource.readRaw(spark, paths, cols).count())
+    val (n1, sec1, lo1, hi1) = timed(Seq(dump.toString))
+    val (nk, seck, lok, hik) = timed(shardPaths)
+    def chunkedDf(nChunks: Int) = {
       val grid = math.max(1L, (bytes + nChunks - 1) / nChunks)
-      def df = (0L until bytes by grid)
+      (0L until bytes by grid)
         .map(off => DumpSource.readRawChunk(
           spark, dump.toString, off, math.min(grid, bytes - off), cols))
         .reduce(_ union _)
-      df.count() // warm-up: JIT + codegen
-      val t0 = System.nanoTime()
-      val n = df.count()
-      (n, (System.nanoTime() - t0) / 1e9)
     }
-    val (nc, secc) = timedChunked(cores.toInt)
-    val mib1 = bytes / 1048576.0 / sec1
-    val mibk = bytes / 1048576.0 / seck
-    val mibc = bytes / 1048576.0 / secc
-    println(f"""{"metric":"dump_parse","bytes":$bytes,"rows":$n1,"single_file_sec":$sec1%.3f,"single_file_mib_per_sec":$mib1%.1f,"sharded_rows":$nk,"sharded_sec":$seck%.3f,"sharded_mib_per_sec":$mibk%.1f,"chunked_rows":$nc,"chunked_sec":$secc%.3f,"chunked_mib_per_sec":$mibc%.1f,"shards":$nShards,"cores":$cores}""")
+    val (nc, secc, loc, hic) = medianOf3(() => chunkedDf(cores.toInt).count())
+    def mib(sec: Double): Double = bytes / 1048576.0 / sec
+    // MiB/s from the median; the spread is the (min..max) MiB/s band
+    // of the 3 runs (min seconds = max throughput)
+    println(f"""{"metric":"dump_parse","bytes":$bytes,"rows":$n1,"single_file_sec":$sec1%.3f,"single_file_mib_per_sec":${mib(sec1)}%.1f,"single_file_mib_band":[${mib(hi1)}%.1f,${mib(lo1)}%.1f],"sharded_rows":$nk,"sharded_sec":$seck%.3f,"sharded_mib_per_sec":${mib(seck)}%.1f,"sharded_mib_band":[${mib(hik)}%.1f,${mib(lok)}%.1f],"chunked_rows":$nc,"chunked_sec":$secc%.3f,"chunked_mib_per_sec":${mib(secc)}%.1f,"chunked_mib_band":[${mib(hic)}%.1f,${mib(loc)}%.1f],"shards":$nShards,"cores":$cores,"runs":3}""")
     spark.stop()
   }
 }

@@ -110,6 +110,55 @@ class LayoutMaintenanceSpec extends SparkSpec {
     assert(postings() === before)
   }
 
+  test("compactPartitioned preserves an append that lands DURING the compaction") {
+    // the snapshot-isolation contract: files created by a concurrent
+    // maintenance append (which only ever CREATES files) are not in
+    // the compaction's snapshot, so the swap neither reads nor deletes
+    // them — no silent loss under a live maintenance stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_concomp")
+      .toString + "/tree"
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "p")
+      .write.partitionBy("p").parquet(dir)
+    Seq((4L, "a")).toDF("id", "p")
+      .write.mode("append").partitionBy("p").parquet(dir) // fragment
+    def ids(): Seq[Long] = spark.read.parquet(dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    graft.GraftSession.compactPartitioned(spark, dir, "p", { () =>
+      // lands after the staged tree + manifest, before the swap — the
+      // worst spot: a naive tree swap would wipe it
+      Seq((99L, "c"), (100L, "a")).toDF("id", "p")
+        .write.mode("append").partitionBy("p").parquet(dir)
+    })
+    assert(ids() === Seq(1L, 2L, 3L, 4L, 99L, 100L),
+      "concurrently appended rows must survive the compaction swap")
+  }
+
+  test("compaction crash between staged build and swap replays idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crashcomp")
+      .toString + "/tree"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+      .write.partitionBy("p").parquet(dir)
+    Seq((3L, "a")).toDF("id", "p")
+      .write.mode("append").partitionBy("p").parquet(dir)
+    def ids(): Seq[Long] = spark.read.parquet(dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val boom = intercept[RuntimeException] {
+      graft.GraftSession.compactPartitioned(spark, dir, "p",
+        () => throw new RuntimeException("die before swap"))
+    }
+    assert(boom.getMessage === "die before swap")
+    // live tree untouched by the crashed run; staged + manifest linger
+    assert(ids() === Seq(1L, 2L, 3L))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      dir + "_compacting", "_COMPACT_MANIFEST")))
+    // the next run finishes the crashed swap from the manifest, then
+    // compacts afresh — rows identical, staging gone
+    graft.GraftSession.compactPartitioned(spark, dir, "p")
+    assert(ids() === Seq(1L, 2L, 3L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + "_compacting")))
+  }
+
   test("ivfPqCompact: fewer code files, identical rows, probe stays green") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pqcomp").toString
     spark.read.parquet(s"${sf()}/embeddings.parquet")

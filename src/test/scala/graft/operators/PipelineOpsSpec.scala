@@ -54,6 +54,18 @@ class PipelineOpsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("union-find ceiling derives from spark.driver.maxResultSize") {
+    // default driver (1g result limit) keeps the full 1M-edge cap; the
+    // derivation (limit/800 ≈ a quarter of the collected-row bytes)
+    // would shrink it on a small driver instead of OOMing the
+    // "bounded" path
+    assert(DedupQueries.unionFindMaxEdges(spark) === 1000000L)
+    val limit = spark.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    assert(limit <= 0 || 1000000L <= limit / 800 ||
+      DedupQueries.unionFindMaxEdges(spark) === limit / 800)
+  }
+
   test("sampleStrata is deterministic and only keeps hash-selected rows") {
     val a = TextQueries.sampleStrata(spark, sf("sf0.01")).collect()
     val b = TextQueries.sampleStrata(spark, sf("sf0.01")).collect()

@@ -176,6 +176,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("q_profile_approx REGISTERED query: Expand-free — exact pass cannot sneak back") {
+    // r10's weak row: the registered form joined the sketch pass to the
+    // exact profile "as an audit", paying the full 11-way
+    // count_distinct shuffle it exists to replace (18.5 s, 6× the
+    // next-slowest query). The tolerance audit lives in
+    // ProfileSketchSpec now; this pin makes a future "quick audit
+    // join" a test failure, not a silent 100 TB regression.
+    val plan = planOf(graft.SparkEntry.queries("q_profile_approx")(spark, sf()))
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Expand"), plan)
+    assert(!plan.toLowerCase.contains("count(distinct"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
   test("annBatch: queries broadcast onto a listing-pruned layout scan, rank limited") {
     // the serving shape's three claims: the layout scan prunes to the
     // query buckets AT THE LISTING (PartitionFilters), the bounded

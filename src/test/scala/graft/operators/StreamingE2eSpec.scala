@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.StreamingOps
+
+/** The COMPOSED live-ingest story, end to end on one session — every
+  * piece is individually parity-pinned in its own spec, this pins that
+  * they compose: a stream of incoming documents flows through
+  *
+  *   1. near-dup ADMISSION ([[StreamingOps.nearDupGateStream]], which
+  *      also maintains the simhash index with what it admits, so batch
+  *      N+1 is gated through batch N),
+  *   2. inverted-index MAINTENANCE ([[StreamingOps.indexMaintainStream]]
+  *      tailing the admitted directory — the realistic wiring: the
+  *      text index tracks exactly what the gate let in),
+  *   3. a SERVING probe (BM25 from the maintained index),
+  *
+  * and the end state must equal the batch pipeline over the admitted
+  * union: the standing simhash relation matches a from-scratch
+  * fingerprint build over (seed ∪ admitted), and the index-served BM25
+  * scores match the scan-path twin over the same union corpus.
+  * (Lives in the operators package for the twins' test-only
+  * visibility.)
+  */
+case class E2eDoc(doc_id: Long, text: String)
+
+class StreamingE2eSpec extends SparkSpec {
+
+  test("gate → index maintenance → serving probe == batch pipeline over the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def corpusify(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    // standing corpus: one long doc (near-copy bait) + one with the
+    // BM25 query terms, layouts warm before the streams start
+    val longSeed = (1 to 120).map(i => s"seed$i").mkString(" ")
+    val seed = Seq(1L -> longSeed, 2L -> "spark merge data spark corpus")
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    corpusify(seed).write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    DedupQueries.warmLayouts(spark, corpusDir)
+    TextQueries.warmLayouts(spark, corpusDir)
+
+    val longNew = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val batch0 = Seq(
+      E2eDoc(300L, longNew), // fresh long doc
+      E2eDoc(301L, "spark data merge fresh analytics words"))
+    val batch1 = Seq(
+      E2eDoc(310L, longNew), // copy of batch-0's 300 (hamming 0) — REJECT
+      E2eDoc(311L, longSeed + " coda"), // near-copy of corpus 1 — REJECT
+      E2eDoc(312L, "merge spark entirely novel document body"))
+
+    val outRoot = java.nio.file.Files.createTempDirectory("graft_e2e_out")
+    val admittedDir = outRoot.resolve("admitted").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(admittedDir))
+
+    val input = MemoryStream[E2eDoc]
+    val gate = StreamingOps.nearDupGateStream(
+      input.toDF(), corpusDir, admittedDir).start()
+    // the maintenance stream TAILS the gate's output directory — the
+    // index tracks admissions, not raw arrivals
+    val admittedSchema = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "text", "batch_id").schema
+    val maintain = StreamingOps.indexMaintainStream(
+      spark.readStream.schema(admittedSchema).parquet(admittedDir),
+      corpusDir).start()
+    try {
+      input.addData(batch0: _*)
+      gate.processAllAvailable()
+      maintain.processAllAvailable()
+      input.addData(batch1: _*)
+      gate.processAllAvailable()
+      maintain.processAllAvailable()
+    } finally { gate.stop(); maintain.stop() }
+
+    // 1. admissions: near-copies of the corpus AND of an earlier
+    // admission both rejected
+    val admitted = spark.read.parquet(admittedDir)
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(300L, 301L, 312L))
+
+    // the batch pipeline's view: the union corpus in its own dir
+    val unionDir = outRoot.resolve("union").toString
+    corpusify(seed ++ Seq(
+      300L -> longNew,
+      301L -> "spark data merge fresh analytics words",
+      312L -> "merge spark entirely novel document body"))
+      .write.mode("overwrite").parquet(s"$unionDir/documents.parquet")
+
+    // 2. standing simhash relation == from-scratch build over the union
+    def fps(dir: String): Seq[(Long, Long)] =
+      DedupQueries.dedupSimhash(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fps(corpusDir) === fps(unionDir),
+      "gate-maintained fingerprints must equal a rebuild over seed ∪ admitted")
+
+    // 3. serving probe: BM25 from the maintained index == the scan
+    // twin over the union corpus (one scorer, two paths)
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scores(TextQueries.bm25Scored(spark, corpusDir)) ===
+      scores(TextQueries.bm25ScoredScan(spark, unionDir)),
+      "index-served BM25 must equal the batch scan over seed ∪ admitted")
+  }
+}

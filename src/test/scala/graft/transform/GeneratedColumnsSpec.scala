@@ -56,6 +56,30 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(out.getAs[Array[Byte]](0) != null && out.getAs[Array[Byte]](0).nonEmpty)
   }
 
+  test("raw SQL mysql_aes_encrypt with NULL iv: ciphertext under ECB, NULL under CBC") {
+    // the translate-time IV drop only protects the gencol path; the
+    // SQL-registered function must ignore a NULL iv under ECB itself
+    // (MySQL parity) — the expression's eval/codegen carve-out
+    val r = spark.sql(
+      """SELECT mysql_aes_encrypt('secret', 'k', 'aes-128-ecb', NULL) AS e,
+        |       mysql_aes_encrypt('secret', 'k', 'aes-256-cbc', NULL) AS c""".stripMargin)
+      .head()
+    val ecbCipher = r.getAs[Array[Byte]]("e")
+    assert(ecbCipher != null && ecbCipher.nonEmpty,
+      "ECB ignores the IV — a NULL iv must still encrypt")
+    assert(r.isNullAt(r.fieldIndex("c")),
+      "CBC requires an IV — NULL iv propagates NULL")
+    // the NULL-iv ECB ciphertext matches the explicit-iv call (iv unused)
+    val same = spark.sql(
+      "SELECT mysql_aes_encrypt('secret', 'k', 'aes-128-ecb', X'') AS e").head()
+    assert(java.util.Arrays.equals(ecbCipher, same.getAs[Array[Byte]]("e")))
+    // and decrypt round-trips through the same NULL-iv carve-out
+    val back = spark.sql(
+      "SELECT CAST(mysql_aes_decrypt(mysql_aes_encrypt('secret', 'k', " +
+        "'aes-192-ecb', NULL), 'k', 'aes-192-ecb', NULL) AS STRING) AS v").head()
+    assert(back.getString(0) === "secret")
+  }
+
   test("2-arg from_unixtime under a pinned time_zone shifts AND converts the format") {
     val tz = GeneratedColumns.SessionVars(timeZone = "-08:00")
     assert(GeneratedColumns.translate("from_unixtime(1, '%Y-%m-%d')", tz) ===
