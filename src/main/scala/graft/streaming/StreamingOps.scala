@@ -65,6 +65,26 @@ object StreamingOps {
         ()
     }
 
+  /** Live maintenance of the standing per-day distinct-users sketch —
+    * the [[indexMaintainStream]] sibling for the SKETCH tier: each
+    * micro-batch of new events appends its daily HLL partials via
+    * [[graft.operators.CoreQueries.sketchAppendOnce]] (batchId-deduped
+    * so the exact n_events anchor stays exact under at-least-once
+    * replay; the sketches themselves are duplicate-insensitive), and
+    * any weekly/monthly distinct-users estimate serves from the
+    * layout by register-wise merge — the raw event stream is touched
+    * exactly once, at ingest.
+    */
+  def sketchMaintainStream(events: DataFrame, sfDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.CoreQueries.sketchAppendOnce(
+            batch.sparkSession, sfDir, batch.toDF(), batchId)
+        ()
+    }
+
   /** Live near-dup admission — the gate form of
     * [[graft.operators.DedupQueries.nearDupAdmitFor]]: each
     * micro-batch of incoming documents is fingerprinted (one shared

@@ -11,11 +11,11 @@ import graft.SparkSpec
   * 18.5 s outlier and scales strictly worse than the exact profile it
   * replaces). The certification lives HERE instead: the exact
   * [[CoreQueries.profile]] and the sketch pass run on the same fixture
-  * and every column's HLL++ estimate must land within the 10% the
-  * shipped `approx_within_10pct` column claims (rsd 0.02 puts 3σ at
-  * ~6%, so 10% has margin). HLL++ is deterministic for a given dataset
-  * and rsd, so this is a stable property of the sketch configuration,
-  * not a flaky statistical test.
+  * and every column's HLL estimate must land within the 10% the
+  * shipped `approx_within_10pct` column claims (lgK=12 → ~1.6% RSE,
+  * so 10% is >6σ of margin). The sketch is deterministic for a given
+  * dataset and lgK, so this is a stable property of the sketch
+  * configuration, not a flaky statistical test.
   */
 class ProfileSketchSpec extends SparkSpec {
 

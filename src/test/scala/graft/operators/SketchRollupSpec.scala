@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The sketch-rollup merge audit + live-maintenance parity.
+  *
+  * `q_sketch_rollup` serves weekly distinct-users estimates by merging
+  * the standing per-day HLL partials and ships the merge guarantee as
+  * a certified verdict (the `q_profile_approx` convention). The
+  * certification lives here: (1) the merged-from-partials weekly
+  * estimate must equal a direct sketch over the raw weekly events —
+  * sketch-of-union == union-of-sketches for a fixed lgK, the property
+  * `SketchSpec` pins on halves; (2) a layout maintained by streaming
+  * appends must serve the same estimates as one built from the union
+  * corpus in a single pass.
+  */
+class SketchRollupSpec extends SparkSpec {
+
+  private def directWeekly(events: org.apache.spark.sql.DataFrame) =
+    events
+      .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
+        .as("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("est_users"))
+
+  private def collectEst(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+
+  test("merged weekly estimate == direct sketch over the raw events") {
+    val served = collectEst(CoreQueries.sketchRollupEstimates(spark, sf()))
+    val direct = collectEst(
+      directWeekly(graft.GraftSession.table(spark, sf(), "events")))
+    assert(served.nonEmpty)
+    assert(served === direct,
+      "union-of-daily-sketches must equal sketch-of-raw-week")
+    // and the registered query's exact anchor agrees with raw counts
+    val anchor = CoreQueries.sketchRollup(spark, sf()).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val exact = graft.GraftSession.table(spark, sf(), "events")
+      .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
+        .as("week"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(anchor === exact)
+  }
+
+  test("streaming-maintained layout serves the same estimates as a one-pass build") {
+    // seed corpus = first half of the events; two appended "batches"
+    // = the second half, split — replayed batch must be a no-op
+    val ev = graft.GraftSession.table(spark, sf(), "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val half = ev.agg(expr("percentile(event_id, 0.5)")).head().getDouble(0)
+    val seed = ev.where(col("event_id") <= half)
+    val restA = ev.where(col("event_id") > half && col("event_id") % 2 === 0)
+    val restB = ev.where(col("event_id") > half && col("event_id") % 2 =!= 0)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    seed.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(CoreQueries.sketchAppendOnce(spark, dir, restA, batchId = 0L))
+    assert(!CoreQueries.sketchAppendOnce(spark, dir, restA, batchId = 0L),
+      "replayed batch must not double the n_events anchor")
+    assert(CoreQueries.sketchAppendOnce(spark, dir, restB, batchId = 1L))
+
+    assert(collectEst(CoreQueries.sketchRollupEstimates(spark, dir))
+      === collectEst(directWeekly(ev)),
+      "maintained partials must merge to the union's direct estimates")
+    // exact anchor: seed + two appends == all events
+    val n = CoreQueries.sketchRollup(spark, dir)
+      .agg(sum("n_events")).head().getLong(0)
+    assert(n === ev.count())
+  }
+}
