@@ -111,7 +111,24 @@ object GraftSession {
     * crash is most interesting to pin.
     */
   private[graft] def compactPartitioned(spark: SparkSession, dir: String,
-      partCol: String, beforeSwap: () => Unit): Unit = {
+      partCol: String, beforeSwap: () => Unit): Unit =
+    compactSnapshot(spark, dir, (df, staged) => df
+      .repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(staged),
+      beforeSwap)
+
+  /** The snapshot/manifest/swap engine behind every standing-layout
+    * compaction — [[compactPartitioned]] plugs in a per-partition
+    * rewrite, the sketch layout plugs in a SEMANTIC merge of its
+    * partial rows. `writeStaged` must fully materialize the given
+    * (snapshot-only) relation into the staged dir with parquet's
+    * `_SUCCESS` commit; everything else (snapshot isolation against
+    * concurrent appends, crash replay from the manifest, idempotent
+    * swap) is shared here so it cannot drift between layouts.
+    */
+  private[graft] def compactSnapshot(spark: SparkSession, dir: String,
+      writeStaged: (org.apache.spark.sql.DataFrame, String) => Unit,
+      beforeSwap: () => Unit = () => ()): Unit = {
     val live = java.nio.file.Paths.get(dir)
     val staged = java.nio.file.Paths.get(dir + "_compacting")
     val manifest = staged.resolve("_COMPACT_MANIFEST")
@@ -129,10 +146,10 @@ object GraftSession {
     } else deleteRec(staged)
     val snapshot = dataFilesUnder(live)
     if (snapshot.isEmpty) return
-    spark.read.option("basePath", dir)
-      .parquet(snapshot.map(r => live.resolve(r).toString): _*)
-      .repartition(org.apache.spark.sql.functions.col(partCol))
-      .write.partitionBy(partCol).mode("overwrite").parquet(staged.toString)
+    writeStaged(
+      spark.read.option("basePath", dir)
+        .parquet(snapshot.map(r => live.resolve(r).toString): _*),
+      staged.toString)
     val tmp = staged.resolve("_COMPACT_MANIFEST.tmp")
     java.nio.file.Files.writeString(tmp, snapshot.mkString("\n"))
     java.nio.file.Files.move(tmp, manifest,

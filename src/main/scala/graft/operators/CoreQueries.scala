@@ -359,6 +359,42 @@ object CoreQueries {
     }
   }
 
+  /** SEMANTIC compaction for the sketch layout — the
+    * [[graft.operators.TextQueries.invIndexCompact]] sibling, but
+    * where the postings compaction only re-packs files, sketch
+    * partials MERGE: N batches that touched one day collapse to ONE
+    * row per day (`hll_union_agg` + summed n_events), so steady-state
+    * layout size is calendar-sized however many batches ever ran.
+    * Estimates and exact anchors are invariant (spec-pinned). Rides
+    * the shared snapshot/manifest swap engine
+    * ([[graft.GraftSession.compactSnapshot]]): an append landing
+    * mid-compaction survives, a crash at any point replays safely.
+    */
+  def sketchCompact(spark: SparkSession, sfDir: String): String =
+    sketchCompact(spark, sfDir, () => ())
+
+  private[graft] def sketchCompact(spark: SparkSession, sfDir: String,
+      beforeSwap: () => Unit): String = {
+    val daily = userSketchLayout(spark, sfDir)
+    graft.GraftSession.compactSnapshot(spark, daily, (df, staged) => df
+      .groupBy("day")
+      .agg(hll_union_agg(col("sk")).as("sk"),
+        sum(col("n_events")).as("n_events"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staged),
+      beforeSwap)
+    daily
+  }
+
+  /** Whether a standing sketch layout exists for `sfDir` (the
+    * operational guard `Ctl index-compact` wants — a missing layout
+    * reports "nothing to compact" instead of silently running a
+    * build).
+    */
+  def userSketchPresent(sfDir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/usersketch_v$UserSketchVersion/daily"))
+
   /** Weekly distinct-users rollup SERVED from the standing daily
     * sketch relation — the mergeability story as a query: the weekly
     * estimate is `hll_union_agg` over ≤7 few-KB partial rows per week

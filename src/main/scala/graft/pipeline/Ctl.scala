@@ -80,7 +80,7 @@ object Ctl {
       // append adds one file per touched partition dir; probe cost
       // grows with file count): invindex = the positional inverted
       // index's postings, ivfpq = the ANN codes, all = both
-      val known = Set("invindex", "ivfpq", "all")
+      val known = Set("invindex", "ivfpq", "sketch", "all")
       if (!known(which)) {
         System.err.println(s"index-compact: unknown index '$which' (${known.mkString("|")})")
         sys.exit(2)
@@ -102,6 +102,12 @@ object Ctl {
             graft.operators.SimilarityQueries.ivfPqCompact(spark, sfDir)
             println("compacted ivf-pq codes")
           } else println(s"no standing ivf-pq layout for $sfDir; nothing to compact")
+        }
+        if (which == "sketch" || which == "all") {
+          if (graft.operators.CoreQueries.userSketchPresent(sfDir)) {
+            graft.operators.CoreQueries.sketchCompact(spark, sfDir)
+            println("compacted daily sketch partials")
+          } else println(s"no standing sketch layout for $sfDir; nothing to compact")
         }
       } finally spark.stop()
 
@@ -131,7 +137,7 @@ object Ctl {
       System.err.println(
         "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
           "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n] | " +
-          "index-compact <sfDir> <invindex|ivfpq|all> | " +
+          "index-compact <sfDir> <invindex|ivfpq|sketch|all> | " +
           "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir> | " +
           "front <spoolDir> <task> | back <spoolDir> <task>")
       sys.exit(2)

@@ -47,7 +47,15 @@ object ScalingProbe {
     "q_winnow", "q_curriculum", "q_unimax", "q_decontaminate_pairs",
     // source-keyed diagnostics: the fold multiplies docs, not sources,
     // so per-key fanout stays bounded by the constant source count
-    "q_dup_by_source", "q_source_overlap")
+    "q_dup_by_source", "q_source_overlap",
+    // lineitem fold (new-key rows per copy): the sketch profile's
+    // state is fixed per column whatever the cardinality — the whole
+    // point — so expectation ~k scan cost; the exact profile beside it
+    // shows the count_distinct state growing with the fold
+    "q_profile", "q_profile_approx",
+    // events fold: k× users multiplies daily partial CARDINALITY, not
+    // the calendar — the rollup serve stays calendar-sized
+    "q_sketch_rollup")
   private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
     "q_dedup_editdist")
 
@@ -127,6 +135,19 @@ object ScalingProbe {
           }.reduce(_.unionByName(_))
             .write.mode("overwrite").parquet(eventsOut.toString)
         }
+        // lineitem folds on the order axis (new keys per copy): the
+        // profile queries see k× rows AND k× distinct values in the
+        // key-ish columns — exactly the growth that separates the
+        // fixed-state sketch pass from the exact count_distinct
+        val liOut = dir.resolve("lineitem.parquet")
+        if (!Files.exists(liOut.resolve("_SUCCESS"))) {
+          assertStride("lineitem", "l_orderkey", 1000000000L)
+          val li = spark.read.parquet(s"$base/lineitem.parquet")
+          (0 until k).map { i =>
+            li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+          }.reduce(_.unionByName(_))
+            .write.mode("overwrite").parquet(liOut.toString)
+        }
         // embeddings fold keeps the anchor set fixed (vec_id 0..4 exist
         // only in copy 0): the corpus under the one-scan ANN ops grows
         // k× while the broadcast side stays constant
@@ -147,6 +168,8 @@ object ScalingProbe {
         try graft.operators.TextQueries.warmLayouts(spark, dir.toString)
         catch { case _: Throwable => }
         try graft.operators.SimilarityQueries.warmLayouts(spark, dir.toString)
+        catch { case _: Throwable => }
+        try graft.operators.CoreQueries.userSketchLayout(spark, dir.toString)
         catch { case _: Throwable => }
         k -> dir.toString
       }

@@ -70,5 +70,41 @@ class SketchRollupSpec extends SparkSpec {
     val n = CoreQueries.sketchRollup(spark, dir)
       .agg(sum("n_events")).head().getLong(0)
     assert(n === ev.count())
+
+    // SEMANTIC compaction: N batch partials collapse to one row per
+    // day; estimates and anchors invariant, row count = |days|
+    val daily = CoreQueries.userSketchLayout(spark, dir)
+    val estBefore = collectEst(CoreQueries.sketchRollupEstimates(spark, dir))
+    val rowsBefore = spark.read.parquet(daily).count()
+    val days = spark.read.parquet(daily).select("day").distinct().count()
+    assert(rowsBefore > days, "appends must have produced multiple partials per day")
+    CoreQueries.sketchCompact(spark, dir)
+    assert(spark.read.parquet(daily).count() === days,
+      "compaction must merge to exactly one row per day")
+    assert(collectEst(CoreQueries.sketchRollupEstimates(spark, dir)) === estBefore)
+    assert(CoreQueries.sketchRollup(spark, dir)
+      .agg(sum("n_events")).head().getLong(0) === n)
+  }
+
+  test("sketch compaction preserves a partial appended DURING the compaction") {
+    val ev = graft.GraftSession.table(spark, sf(), "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val seed = ev.where(col("event_id") % 2 === 0)
+    val late = ev.where(col("event_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_cc").toString
+    seed.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(!CoreQueries.userSketchPresent(dir),
+      "Ctl's nothing-to-compact guard must be false before the build")
+    CoreQueries.userSketchLayout(spark, dir)
+    assert(CoreQueries.userSketchPresent(dir))
+    // the append lands after the staged merge + manifest, before the
+    // swap — snapshot isolation must keep it
+    CoreQueries.sketchCompact(spark, dir,
+      () => assert(CoreQueries.sketchAppendOnce(spark, dir, late, batchId = 0L)))
+    assert(collectEst(CoreQueries.sketchRollupEstimates(spark, dir))
+      === collectEst(directWeekly(ev)),
+      "the mid-compaction append must survive the swap")
+    assert(CoreQueries.sketchRollup(spark, dir)
+      .agg(sum("n_events")).head().getLong(0) === ev.count())
   }
 }
