@@ -2693,4 +2693,108 @@ object TextQueries {
       |FROM documents d JOIN r ON d.source = r.source
       |WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 1000000 < r.rate_ppm
       |GROUP BY d.source, r.rate_ppm ORDER BY d.source""".stripMargin
+
+  // --------------------------------------------- distribution drift gate
+  private val LangStatsVersion = 1
+
+  /** L1 drift threshold in ppm: an incoming batch whose language
+    * distribution differs from the corpus by more than 20 points of
+    * total probability mass (Σ|p−q| > 0.2, i.e. TV > 0.1) is flagged.
+    */
+  val DriftThresholdPpm = 200000L
+
+  /** Standing corpus language histogram — the reference distribution
+    * the drift gate compares incoming batches against. |langs| rows,
+    * built once per corpus stamp ([[graft.GraftSession.ensureLayout]]);
+    * at 100 TB this is the point: the gate never rescans the corpus,
+    * it broadcasts a few-row histogram.
+    */
+  private[graft] def langStatsLayout(spark: SparkSession, sfDir: String): String = {
+    val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/langstats_v$LangStatsVersion"
+    graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
+      table(spark, sfDir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$layout/hist")
+    }
+    s"$layout/hist"
+  }
+
+  /** L1 distance (ppm) between a batch's language distribution and the
+    * standing histogram — THE one drift computation (batch query,
+    * streaming gate and spec all call this, so the metric cannot drift
+    * between paths). Exact integer arithmetic end to end: per-lang
+    * shares quantized by BIGINT floor-division to ppm, |diffs| summed —
+    * no log/entropy float whose last ulp differs between engines. The
+    * full-outer join keeps a lang that only one side has (its whole
+    * share counts as drift). Returns one row (n_docs, l1_ppm, drifted).
+    */
+  private[graft] def driftOf(batch: DataFrame, hist: DataFrame): DataFrame = {
+    val b = batch.groupBy("lang").agg(count(lit(1)).as("nb"))
+    val joined = hist.as("c").join(b.as("b"), Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n"), lit(0L)).as("nc"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tot = joined.agg(sum(col("nc")).as("tc"), sum(col("nb")).as("tb"))
+    joined.crossJoin(broadcast(tot))
+      .select(
+        expr("(1000000 * nc) div tc").as("corpus_ppm"),
+        expr("(1000000 * nb) div tb").as("batch_ppm"),
+        col("nb"))
+      .agg(sum(col("nb")).as("n_docs"),
+        sum(abs(col("corpus_ppm") - col("batch_ppm"))).as("l1_ppm"))
+      .select(col("n_docs"),
+        col("l1_ppm"),
+        (col("l1_ppm") > DriftThresholdPpm).as("drifted"))
+  }
+
+  /** Distribution-drift gate at the ingest door — the
+    * [[graft.operators.DedupQueries.nearDupAdmitFor]] sibling for
+    * BATCH-level QA: where the near-dup gate rejects individual
+    * documents it has seen before, the drift gate flags a whole batch
+    * whose language mix doesn't look like the corpus (a scraper stuck
+    * on one domain, a mislabeled source, an upstream langid
+    * regression). The registered form runs two deterministic synthetic
+    * batches so BOTH verdicts occur and the oracle replays the full
+    * construction: every-10th-doc (representative — small L1, passes)
+    * and single-language (all docs of the alphabetically-first lang —
+    * L1 ≈ 2·(1−share)·10⁶, flagged). Scale shape: the corpus side is
+    * the standing |langs|-row histogram (broadcast), the batch side is
+    * one combining groupBy over the batch only — corpus size never
+    * enters the per-batch cost. Live twin:
+    * [[graft.streaming.StreamingOps.driftGateStream]].
+    */
+  def driftGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = spark.read.parquet(langStatsLayout(spark, sfDir))
+    val docs = table(spark, sfDir, "documents")
+    // bounded driver value: the synthetic skewed batch's language
+    val minLang = docs.agg(min(col("lang"))).head.getString(0)
+    val rep = driftOf(docs.where(pmod(col("doc_id"), lit(10)) === 0), hist)
+      .select(lit("representative").as("batch_kind"), col("*"))
+    val skew = driftOf(docs.where(col("lang") === minLang), hist)
+      .select(lit("single_lang").as("batch_kind"), col("*"))
+    rep.unionByName(skew).orderBy("batch_kind")
+  }
+
+  def driftGateSql: String =
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS nc FROM documents GROUP BY lang),
+      |tc AS (SELECT CAST(sum(nc) AS BIGINT) AS tc FROM c),
+      |rep AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb FROM documents
+      |  WHERE doc_id % 10 = 0 GROUP BY lang),
+      |skew AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb FROM documents
+      |  WHERE lang = (SELECT min(lang) FROM documents) GROUP BY lang),
+      |jr AS (SELECT coalesce(c.nc, 0) AS nc, coalesce(rep.nb, 0) AS nb
+      |  FROM c FULL OUTER JOIN rep USING (lang)),
+      |js AS (SELECT coalesce(c.nc, 0) AS nc, coalesce(skew.nb, 0) AS nb
+      |  FROM c FULL OUTER JOIN skew USING (lang)),
+      |sr AS (SELECT 'representative' AS batch_kind,
+      |    CAST(sum(nb) AS BIGINT) AS n_docs,
+      |    CAST(sum(abs((1000000 * nc) // tc - (1000000 * nb) // tb)) AS BIGINT) AS l1_ppm
+      |  FROM jr, tc, (SELECT CAST(sum(nb) AS BIGINT) AS tb FROM jr)),
+      |ss AS (SELECT 'single_lang' AS batch_kind,
+      |    CAST(sum(nb) AS BIGINT) AS n_docs,
+      |    CAST(sum(abs((1000000 * nc) // tc - (1000000 * nb) // tb)) AS BIGINT) AS l1_ppm
+      |  FROM js, tc, (SELECT CAST(sum(nb) AS BIGINT) AS tb FROM js))
+      |SELECT batch_kind, n_docs, l1_ppm, l1_ppm > $DriftThresholdPpm AS drifted
+      |FROM (SELECT * FROM sr UNION ALL SELECT * FROM ss)
+      |ORDER BY batch_kind""".stripMargin
 }

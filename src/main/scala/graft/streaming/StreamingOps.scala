@@ -137,6 +137,35 @@ object StreamingOps {
         ()
     }
 
+  /** Live distribution-drift gate — the batch-level QA sibling of
+    * [[nearDupGateStream]] (which judges documents; this judges whole
+    * BATCHES): each micro-batch's language mix is compared to the
+    * standing corpus histogram (a broadcast few-row relation — the
+    * corpus is never rescanned) by exact-integer L1 ppm
+    * ([[graft.operators.TextQueries.driftOf]], the same computation
+    * the batch query and the parity spec use), and one audit row
+    * (batch_id, n_docs, l1_ppm, drifted) lands under `outDir` — the
+    * monitoring feed an ingest operator alarms on. Rides the shared
+    * batchId marker; replays are no-ops modulo the documented
+    * sink-then-marker window.
+    */
+  def driftGateStream(docs: DataFrame, sfDir: String, outDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.GraftSession.appliedOnce(
+            java.nio.file.Paths.get(outDir, "_LAST_BATCH"), batchId) {
+            val spark = batch.sparkSession
+            val hist = spark.read.parquet(
+              graft.operators.TextQueries.langStatsLayout(spark, sfDir))
+            graft.operators.TextQueries.driftOf(batch.toDF(), hist)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outDir)
+          }
+        ()
+    }
+
   /** Live ANN serving: a stream of query vectors (query_id, embedding)
     * answered per micro-batch from the STANDING bucketed layout via
     * [[graft.operators.SimilarityQueries.annBatchLookup]] — the

@@ -55,7 +55,10 @@ object ScalingProbe {
     "q_profile", "q_profile_approx",
     // events fold: k× users multiplies daily partial CARDINALITY, not
     // the calendar — the rollup serve stays calendar-sized
-    "q_sketch_rollup")
+    "q_sketch_rollup",
+    // synthetic batches are corpus slices, so the batch side grows ~k;
+    // the histogram side stays |langs| rows at any fold
+    "q_drift_gate")
   private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
     "q_dedup_editdist")
 
@@ -170,6 +173,8 @@ object ScalingProbe {
         try graft.operators.SimilarityQueries.warmLayouts(spark, dir.toString)
         catch { case _: Throwable => }
         try graft.operators.CoreQueries.userSketchLayout(spark, dir.toString)
+        catch { case _: Throwable => }
+        try graft.operators.TextQueries.langStatsLayout(spark, dir.toString)
         catch { case _: Throwable => }
         k -> dir.toString
       }

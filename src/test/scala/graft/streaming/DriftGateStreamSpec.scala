@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TextQueries
+
+/** Distribution-drift gate: the live per-batch audit must match the
+  * batch computation over the same slices (ONE shared driftOf), a
+  * representative batch passes while a single-language batch flags,
+  * and a replayed batchId is a no-op.
+  */
+case class DriftDoc(doc_id: Long, text: String, lang: String)
+
+class DriftGateStreamSpec extends SparkSpec {
+
+  test("stream audit rows == batch driftOf; skewed batch flags, balanced passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: 50/50 en/de
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    (1 to 40).map(i =>
+      DriftDoc(i.toLong, s"doc $i", if (i % 2 == 0) "en" else "de"))
+      .toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+
+    // batch 0 mirrors the mix (L1 = 0); batch 1 is all-en (L1 = 1M)
+    val balanced = Seq(DriftDoc(100, "a", "en"), DriftDoc(101, "b", "de"))
+    val skewed = (110 to 119).map(i => DriftDoc(i.toLong, "x", "en"))
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft_drift_out").toString
+    val input = MemoryStream[DriftDoc]
+    val q = StreamingOps.driftGateStream(input.toDF(), corpusDir, outDir).start()
+    try {
+      input.addData(balanced: _*)
+      q.processAllAvailable()
+      input.addData(skewed: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val audit = spark.read.parquet(outDir)
+      .orderBy("batch_id")
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("l1_ppm"), r.getAs[Boolean]("drifted")))
+    assert(audit.length === 2)
+    assert(audit(0) === ((0L, 2L, 0L, false)),
+      "a batch mirroring the corpus mix has zero L1 and passes")
+    assert(audit(1) === ((1L, 10L, 1000000L, true)),
+      "an all-one-language batch drifts by the full de share, flagged")
+
+    // parity: the shared computation gives the same rows directly
+    val hist = spark.read.parquet(TextQueries.langStatsLayout(spark, corpusDir))
+    val direct = TextQueries.driftOf(skewed.toDF(), hist).head()
+    assert((direct.getLong(0), direct.getLong(1), direct.getBoolean(2))
+      === ((10L, 1000000L, true)))
+
+    // replayed batchId is a no-op (at-least-once recovery)
+    assert(!graft.GraftSession.appliedOnce(
+      java.nio.file.Paths.get(outDir, "_LAST_BATCH"), 1L) {
+      fail("body must not run for a replayed batch")
+    })
+  }
+
+  test("registered q_drift_gate: both verdicts occur on the real corpus") {
+    val rows = graft.SparkEntry.queries("q_drift_gate")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getBoolean(3))).toMap
+    assert(rows === Map("representative" -> false, "single_lang" -> true))
+  }
+}
