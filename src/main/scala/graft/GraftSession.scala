@@ -125,6 +125,13 @@ object GraftSession {
     * `_SUCCESS` commit; everything else (snapshot isolation against
     * concurrent appends, crash replay from the manifest, idempotent
     * swap) is shared here so it cannot drift between layouts.
+    *
+    * Caller contract: a layout REBUILD (new corpus snapshot) must
+    * delete the `<dir>_compacting` sibling — a manifest left by a
+    * compaction that crashed before its swap is only valid for the
+    * tree it snapshotted, and replaying it onto a rebuilt tree would
+    * merge old-corpus files in. Every `ensureLayout` rebuild body does
+    * this, beside voiding its `_LAST_BATCH` marker.
     */
   private[graft] def compactSnapshot(spark: SparkSession, dir: String,
       writeStaged: (org.apache.spark.sql.DataFrame, String) => Unit,
@@ -158,9 +165,14 @@ object GraftSession {
     swapCompacted(live, staged, manifest)
   }
 
-  /** Relative paths of the parquet data files under `root` (markers —
-    * `_SUCCESS`, stamps, checksum dot-files — excluded, matching what
-    * a Spark scan lists).
+  /** Relative paths of the parquet data files under `root` — hidden
+    * names excluded at EVERY path component, matching what a Spark
+    * scan lists: a file under `_temporary/...` (an in-flight
+    * FileOutputCommitter job from a concurrent append) has a plain
+    * leaf name but must not enter the snapshot — reading it races the
+    * committer's rename, and deleting it in the swap would duplicate
+    * or kill the append. Markers (`_SUCCESS`, stamps) and checksum
+    * dot-files are excluded by the same rule.
     */
   private def dataFilesUnder(root: java.nio.file.Path): Seq[String] = {
     if (!java.nio.file.Files.exists(root)) return Nil
@@ -168,10 +180,14 @@ object GraftSession {
     try {
       val out = Seq.newBuilder[String]
       walk.forEach { p =>
-        val n = p.getFileName.toString
-        if (java.nio.file.Files.isRegularFile(p) &&
-            !n.startsWith("_") && !n.startsWith("."))
-          out += root.relativize(p).toString
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val rel = root.relativize(p)
+          val hidden = (0 until rel.getNameCount).exists { i =>
+            val n = rel.getName(i).toString
+            n.startsWith("_") || n.startsWith(".")
+          }
+          if (!hidden) out += rel.toString
+        }
       }
       out.result()
     } finally walk.close()

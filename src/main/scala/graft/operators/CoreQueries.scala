@@ -322,9 +322,13 @@ object CoreQueries {
     val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/usersketch_v$UserSketchVersion"
     graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/events.parquet") {
       // a rebuild is a new corpus snapshot — void any streaming
-      // maintenance batch marker from the previous one
+      // maintenance batch marker AND any crashed compaction's staging
+      // tree from the previous one (its manifest would otherwise merge
+      // old-corpus partials into the fresh layout)
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(layout, "_LAST_BATCH"))
+      graft.GraftSession.deleteRec(
+        java.nio.file.Paths.get(s"$layout/daily_compacting"))
       sketchPartials(table(spark, sfDir, "events"))
         .write.mode("overwrite").parquet(s"$layout/daily")
     }
@@ -560,6 +564,14 @@ object CoreQueries {
     * guarantees (that join is exactly the shape that made the audit
     * form 6× the next-slowest query, and strictly WORSE than the
     * exact profile it exists to replace at 100 TB).
+    *
+    * The estimates themselves are engine-specific, so the driver row
+    * cannot carry them — the registered projection drops
+    * `n_distinct_est` (serving callers use [[profileSketchPass]]
+    * directly for the values). The sketch aggregates still RUN:
+    * `PlanAuditSpec` pins `hll_sketch_agg` present in the registered
+    * plan, so the benchmark row keeps measuring the true serving-pass
+    * cost rather than a pruned null-count scan wearing its label.
     */
   def profileApprox(spark: SparkSession, sfDir: String): DataFrame =
     profileSketchPass(spark, sfDir)

@@ -462,6 +462,11 @@ object SimilarityQueries {
     */
   private[operators] def buildIvfPq(spark: SparkSession, sfDir: String,
       layout: String): Unit = {
+    // a rebuild voids a crashed compaction's staging tree (its
+    // manifest would otherwise merge old-corpus codes into the fresh
+    // layout — the invIndexLayout rebuild discipline)
+    graft.GraftSession.deleteRec(
+      java.nio.file.Paths.get(s"$layout/codes_compacting"))
     val books = pqTrain(spark, sfDir)
     val cents = ivfCentroids(spark, sfDir)
     pqEncode(table(spark, sfDir, "embeddings"), books, cents)

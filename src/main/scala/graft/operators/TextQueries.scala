@@ -1506,9 +1506,13 @@ object TextQueries {
       s"${graft.GraftSession.fixtureRoot(sfDir)}/invindex_v$InvIndexVersion"
     graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
       // a rebuild is a new corpus snapshot — any streaming-maintenance
-      // batch marker from the previous snapshot is void
+      // batch marker from the previous snapshot is void, and so is a
+      // crashed compaction's staging tree (its manifest would
+      // otherwise merge OLD-corpus postings into the fresh layout)
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(layout, "_LAST_BATCH"))
+      graft.GraftSession.deleteRec(
+        java.nio.file.Paths.get(s"$layout/postings_compacting"))
       val base = table(spark, sfDir, "documents")
         .where(length(trim(col("text"))) > 0)
         .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
@@ -2730,10 +2734,14 @@ object TextQueries {
     */
   private[graft] def driftOf(batch: DataFrame, hist: DataFrame): DataFrame = {
     val b = batch.groupBy("lang").agg(count(lit(1)).as("nb"))
+    // materialize the |langs|-row joined relation ONCE: it feeds both
+    // the totals and the per-lang shares, and without the checkpoint
+    // the batch aggregation + join would evaluate twice per gate call
     val joined = hist.as("c").join(b.as("b"), Seq("lang"), "full_outer")
       .select(col("lang"),
         coalesce(col("n"), lit(0L)).as("nc"),
         coalesce(col("nb"), lit(0L)).as("nb"))
+      .localCheckpoint(true)
     val tot = joined.agg(sum(col("nc")).as("tc"), sum(col("nb")).as("tb"))
     joined.crossJoin(broadcast(tot))
       .select(

@@ -159,6 +159,39 @@ class LayoutMaintenanceSpec extends SparkSpec {
       java.nio.file.Paths.get(dir + "_compacting")))
   }
 
+  test("a layout REBUILD voids a crashed compaction's staging — no stale merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString
+    write(dir, a)
+    TextQueries.invIndexAppend(spark, dir, docsDF(Seq(10L -> "spark alpha")))
+    val layout = s"${graft.GraftSession.fixtureRoot(dir)}/invindex_v2"
+    // compaction crashes AFTER its manifest lands (the authoritative-
+    // staged state a restart would normally replay)
+    intercept[RuntimeException] {
+      graft.GraftSession.compactPartitioned(spark, s"$layout/postings", "tb",
+        () => throw new RuntimeException("die before swap"))
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$layout/postings_compacting/_COMPACT_MANIFEST")))
+    // the corpus is regenerated → the stamp changes → next touch
+    // REBUILDS; replaying the old manifest onto the fresh tree would
+    // merge old-corpus postings in
+    write(dir, b)
+    TextQueries.invIndexCompact(spark, dir) // rebuild + compact
+    val fresh = java.nio.file.Files.createTempDirectory("graft_stale_ref").toString
+    write(fresh, b)
+    TextQueries.warmLayouts(spark, fresh)
+    val freshLayout = s"${graft.GraftSession.fixtureRoot(fresh)}/invindex_v2"
+    def postings(l: String): Seq[Seq[Any]] =
+      spark.read.parquet(s"$l/postings")
+        .select("tok", "doc_id", "dl", "tf", "positions", "tb")
+        .collect().toSeq.map(_.toSeq)
+        .sortBy(r => (r(0).toString, r(1).toString.toLong))
+    assert(postings(layout) === postings(freshLayout),
+      "rebuilt layout must match a clean build — no stale-manifest merge")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$layout/postings_compacting")))
+  }
+
   test("ivfPqCompact: fewer code files, identical rows, probe stays green") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pqcomp").toString
     spark.read.parquet(s"${sf()}/embeddings.parquet")

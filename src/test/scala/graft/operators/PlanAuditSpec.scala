@@ -188,6 +188,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Expand"), plan)
     assert(!plan.toLowerCase.contains("count(distinct"), plan)
     assert(plan.contains("partial_"), plan)
+    // ...and the sketches must actually RUN: the registered row is the
+    // benchmark's evidence for the serving pass's cost, so an optimizer
+    // pruning the (output-wise unused) estimate aggregates would make
+    // the bench measure a plain null-count scan under the sketch label
+    assert(plan.contains("hll_sketch_agg"), plan)
   }
 
   test("annBatch: queries broadcast onto a listing-pruned layout scan, rank limited") {
