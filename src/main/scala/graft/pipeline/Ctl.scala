@@ -79,7 +79,12 @@ object Ctl {
       // defragment the append-maintained standing layouts (every
       // append adds one file per touched partition dir; probe cost
       // grows with file count): invindex = the positional inverted
-      // index's postings, ivfpq = the ANN codes, all = both
+      // index's postings, ivfpq = the ANN codes, sketch = the daily
+      // distinct-users partials (SEMANTIC merge), all = every layout.
+      // Safe under live maintenance appends (snapshot-isolated swap,
+      // GraftSession.compactSnapshot); the one thing NOT to run is a
+      // second index-compact of the same layout concurrently — both
+      // would claim the same staging sibling
       val known = Set("invindex", "ivfpq", "sketch", "all")
       if (!known(which)) {
         System.err.println(s"index-compact: unknown index '$which' (${known.mkString("|")})")

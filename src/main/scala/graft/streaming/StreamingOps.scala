@@ -166,6 +166,49 @@ object StreamingOps {
         ()
     }
 
+  /** The ROUTING form of [[driftGateStream]] — the quarantine door:
+    * each micro-batch's documents land under `outDir/passed` or
+    * `outDir/quarantined` by the batch's drift verdict (whole-batch
+    * routing — drift is a property of the batch's distribution, not
+    * of any single document), and the audit row lands under
+    * `outDir/audit`; everything is batch_id-stamped and rides ONE
+    * shared batchId marker so the three sinks commit-or-skip together
+    * under at-least-once replay (modulo the documented
+    * sink-then-marker window). Composes ahead of [[nearDupGateStream]]
+    * by tailing `outDir/passed`: distribution QA first (cheap,
+    * histogram-broadcast), per-document near-dup admission second —
+    * a quarantined batch never costs a fingerprint pass
+    * (`StreamingE2eSpec` pins the composed chain).
+    */
+  def driftRouteStream(docs: DataFrame, sfDir: String, outDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.GraftSession.appliedOnce(
+            java.nio.file.Paths.get(outDir, "_LAST_BATCH"), batchId) {
+            val spark = batch.sparkSession
+            import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+            val hist = spark.read.parquet(
+              graft.operators.TextQueries.langStatsLayout(spark, sfDir))
+            // the batch feeds both the verdict and the routed write —
+            // materialize once (the nearDupGateStream discipline)
+            val b = batch.toDF().localCheckpoint()
+            try {
+              val v = graft.operators.TextQueries.driftOf(b, hist).head()
+              val (nDocs, l1, drifted) =
+                (v.getLong(0), v.getLong(1), v.getBoolean(2))
+              Seq((batchId, nDocs, l1, drifted))
+                .toDF("batch_id", "n_docs", "l1_ppm", "drifted")
+                .coalesce(1).write.mode("append").parquet(s"$outDir/audit")
+              val dest = if (drifted) "quarantined" else "passed"
+              b.withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(s"$outDir/$dest")
+            } finally { b.unpersist(); () }
+          }
+        ()
+    }
+
   /** Live ANN serving: a stream of query vectors (query_id, embedding)
     * answered per micro-batch from the STANDING bucketed layout via
     * [[graft.operators.SimilarityQueries.annBatchLookup]] — the

@@ -10,12 +10,16 @@ import graft.streaming.StreamingOps
   * piece is individually parity-pinned in its own spec, this pins that
   * they compose: a stream of incoming documents flows through
   *
-  *   1. near-dup ADMISSION ([[StreamingOps.nearDupGateStream]], which
-  *      also maintains the simhash index with what it admits, so batch
-  *      N+1 is gated through batch N),
+  *   0. the distribution-drift DOOR ([[StreamingOps.driftRouteStream]]:
+  *      a batch whose language mix doesn't look like the corpus is
+  *      quarantined whole — it never costs a fingerprint pass),
+  *   1. near-dup ADMISSION ([[StreamingOps.nearDupGateStream]] tailing
+  *      the door's `passed` directory; the gate also maintains the
+  *      simhash index with what it admits, so batch N+1 is gated
+  *      through batch N),
   *   2. inverted-index MAINTENANCE ([[StreamingOps.indexMaintainStream]]
-  *      tailing the admitted directory — the realistic wiring: the
-  *      text index tracks exactly what the gate let in),
+  *      tailing the admitted directory — the index tracks exactly what
+  *      the gates let in),
   *   3. a SERVING probe (BM25 from the maintained index),
   *
   * and the end state must equal the batch pipeline over the admitted
@@ -25,11 +29,11 @@ import graft.streaming.StreamingOps
   * (Lives in the operators package for the twins' test-only
   * visibility.)
   */
-case class E2eDoc(doc_id: Long, text: String)
+case class E2eDoc(doc_id: Long, text: String, lang: String)
 
 class StreamingE2eSpec extends SparkSpec {
 
-  test("gate → index maintenance → serving probe == batch pipeline over the union") {
+  test("drift door → near-dup gate → index maintenance → serving == batch pipeline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -48,38 +52,59 @@ class StreamingE2eSpec extends SparkSpec {
 
     val longNew = (1 to 120).map(i => s"tok$i").mkString(" ")
     val batch0 = Seq(
-      E2eDoc(300L, longNew), // fresh long doc
-      E2eDoc(301L, "spark data merge fresh analytics words"))
+      E2eDoc(300L, longNew, "en"), // fresh long doc
+      E2eDoc(301L, "spark data merge fresh analytics words", "en"))
     val batch1 = Seq(
-      E2eDoc(310L, longNew), // copy of batch-0's 300 (hamming 0) — REJECT
-      E2eDoc(311L, longSeed + " coda"), // near-copy of corpus 1 — REJECT
-      E2eDoc(312L, "merge spark entirely novel document body"))
+      E2eDoc(310L, longNew, "en"), // copy of batch-0's 300 (hamming 0) — REJECT
+      E2eDoc(311L, longSeed + " coda", "en"), // near-copy of corpus 1 — REJECT
+      E2eDoc(312L, "merge spark entirely novel document body", "en"))
+    // a wrong-language scrape: the DOOR quarantines the whole batch,
+    // so its (otherwise fresh) documents never reach the index
+    val batch2 = Seq(
+      E2eDoc(320L, "totally fresh words that would pass the dup gate", "zz"),
+      E2eDoc(321L, "more fresh words in the wrong language", "zz"))
 
     val outRoot = java.nio.file.Files.createTempDirectory("graft_e2e_out")
+    val doorDir = outRoot.resolve("door").toString
     val admittedDir = outRoot.resolve("admitted").toString
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(admittedDir))
+    Seq(s"$doorDir/passed", admittedDir).foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+
+    val routedSchema = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "batch_id").schema
 
     val input = MemoryStream[E2eDoc]
+    val door = StreamingOps.driftRouteStream(
+      input.toDF(), corpusDir, doorDir).start()
     val gate = StreamingOps.nearDupGateStream(
-      input.toDF(), corpusDir, admittedDir).start()
-    // the maintenance stream TAILS the gate's output directory — the
-    // index tracks admissions, not raw arrivals
-    val admittedSchema = Seq.empty[(Long, String, Long)]
-      .toDF("doc_id", "text", "batch_id").schema
+      spark.readStream.schema(routedSchema).parquet(s"$doorDir/passed"),
+      corpusDir, admittedDir).start()
     val maintain = StreamingOps.indexMaintainStream(
-      spark.readStream.schema(admittedSchema).parquet(admittedDir),
+      spark.readStream.schema(routedSchema).parquet(admittedDir),
       corpusDir).start()
+    def drain(): Unit = {
+      door.processAllAvailable()
+      gate.processAllAvailable()
+      maintain.processAllAvailable()
+    }
     try {
-      input.addData(batch0: _*)
-      gate.processAllAvailable()
-      maintain.processAllAvailable()
-      input.addData(batch1: _*)
-      gate.processAllAvailable()
-      maintain.processAllAvailable()
-    } finally { gate.stop(); maintain.stop() }
+      input.addData(batch0: _*); drain()
+      input.addData(batch1: _*); drain()
+      input.addData(batch2: _*); drain()
+    } finally { door.stop(); gate.stop(); maintain.stop() }
+
+    // 0. the door: two batches passed, the wrong-language one
+    // quarantined whole; the audit trail records all three verdicts
+    val audit = spark.read.parquet(s"$doorDir/audit")
+      .orderBy("batch_id").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Boolean]("drifted")))
+    assert(audit.toSeq === Seq((0L, false), (1L, false), (2L, true)))
+    assert(spark.read.parquet(s"$doorDir/quarantined")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(320L, 321L))
 
     // 1. admissions: near-copies of the corpus AND of an earlier
-    // admission both rejected
+    // admission rejected; quarantined docs never reached this gate
     val admitted = spark.read.parquet(admittedDir)
     assert(admitted.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       === Seq(300L, 301L, 312L))
