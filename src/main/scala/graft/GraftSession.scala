@@ -126,12 +126,15 @@ object GraftSession {
     * concurrent appends, crash replay from the manifest, idempotent
     * swap) is shared here so it cannot drift between layouts.
     *
-    * Caller contract: a layout REBUILD (new corpus snapshot) must
-    * delete the `<dir>_compacting` sibling — a manifest left by a
-    * compaction that crashed before its swap is only valid for the
-    * tree it snapshotted, and replaying it onto a rebuilt tree would
-    * merge old-corpus files in. Every `ensureLayout` rebuild body does
-    * this, beside voiding its `_LAST_BATCH` marker.
+    * Stale-manifest safety is STRUCTURAL, not a caller convention: a
+    * manifest is only replayed when the live tree still carries the
+    * `_COMPACT_IN_PROGRESS` breadcrumb this engine plants right before
+    * its swap. A layout REBUILD rewrites the live dir (parquet
+    * overwrite clears it, breadcrumb included), so a manifest from a
+    * compaction of the PREVIOUS corpus can never merge old files into
+    * the fresh tree — it is discarded instead. Rebuild bodies still
+    * delete the `<dir>_compacting` sibling eagerly (beside voiding
+    * `_LAST_BATCH`) as defense in depth and to clear the disk litter.
     */
   private[graft] def compactSnapshot(spark: SparkSession, dir: String,
       writeStaged: (org.apache.spark.sql.DataFrame, String) => Unit,
@@ -139,11 +142,20 @@ object GraftSession {
     val live = java.nio.file.Paths.get(dir)
     val staged = java.nio.file.Paths.get(dir + "_compacting")
     val manifest = staged.resolve("_COMPACT_MANIFEST")
+    val inProgress = live.resolve("_COMPACT_IN_PROGRESS")
     if (java.nio.file.Files.exists(manifest)) {
-      // a prior run crashed mid-swap: its staged tree is authoritative
-      // for the snapshot it compacted — finish that swap first, then
-      // compact afresh (files appended since remain untouched)
-      swapCompacted(live, staged, manifest)
+      if (java.nio.file.Files.exists(inProgress)) {
+        // a prior run crashed mid-swap ON THIS TREE: its staged files
+        // are authoritative for the snapshot it compacted — finish
+        // that swap first, then compact afresh (files appended since
+        // remain untouched)
+        swapCompacted(live, staged, manifest, inProgress)
+      } else {
+        // complete staged tree, but the live tree never entered (or
+        // was rebuilt since) its swap — the manifest is stale for this
+        // tree; discard it rather than merge old-corpus files in
+        deleteRec(staged)
+      }
     } else if (!java.nio.file.Files.exists(live)) {
       // legacy (pre-manifest) crash between deleteRec(live) and the
       // wholesale move: the complete staged tree is the only copy
@@ -161,8 +173,13 @@ object GraftSession {
     java.nio.file.Files.writeString(tmp, snapshot.mkString("\n"))
     java.nio.file.Files.move(tmp, manifest,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // the breadcrumb that authorizes a crash replay of THIS swap onto
+    // THIS tree: planted after the manifest (a crash between the two
+    // leaves a discardable staged tree and an intact live one), gone
+    // whenever the live dir is rebuilt
+    java.nio.file.Files.writeString(inProgress, "1")
     beforeSwap()
-    swapCompacted(live, staged, manifest)
+    swapCompacted(live, staged, manifest, inProgress)
   }
 
   /** Relative paths of the parquet data files under `root` — hidden
@@ -200,7 +217,8 @@ object GraftSession {
     * tolerate already-deleted files, moves tolerate already-moved ones.
     */
   private def swapCompacted(live: java.nio.file.Path,
-      staged: java.nio.file.Path, manifest: java.nio.file.Path): Unit = {
+      staged: java.nio.file.Path, manifest: java.nio.file.Path,
+      inProgress: java.nio.file.Path): Unit = {
     java.nio.file.Files.readString(manifest).split("\n").iterator
       .map(_.trim).filter(_.nonEmpty).foreach { rel =>
         val f = live.resolve(rel)
@@ -225,6 +243,10 @@ object GraftSession {
       }
     }
     deleteRec(staged)
+    // swap complete — the replay authorization goes LAST, so a crash
+    // anywhere above still replays (staged may already be empty; the
+    // replay is a no-op then)
+    java.nio.file.Files.deleteIfExists(inProgress)
   }
 
   /** foreachBatch idempotence, shared by every streaming maintenance /

@@ -2733,25 +2733,34 @@ object TextQueries {
     * share counts as drift). Returns one row (n_docs, l1_ppm, drifted).
     */
   private[graft] def driftOf(batch: DataFrame, hist: DataFrame): DataFrame = {
+    // totals via an all-rows window, NOT a second aggregation or a
+    // checkpoint: the |langs|-row joined relation evaluates exactly
+    // once (a checkpoint here would pin one RDD per micro-batch in a
+    // 24/7 gate; a re-evaluation would run the batch aggregation
+    // twice), and the single-partition WindowExec is bounded by lang
+    // cardinality. Zero totals guard explicitly: an EMPTY standing
+    // histogram has no reference distribution, so every batch's whole
+    // mass counts as drift (l1 = 1M, flagged) — loud, never a
+    // null-propagating crash in the routing stream.
     val b = batch.groupBy("lang").agg(count(lit(1)).as("nb"))
-    // materialize the |langs|-row joined relation ONCE: it feeds both
-    // the totals and the per-lang shares, and without the checkpoint
-    // the batch aggregation + join would evaluate twice per gate call
-    val joined = hist.as("c").join(b.as("b"), Seq("lang"), "full_outer")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    hist.as("c").join(b.as("b"), Seq("lang"), "full_outer")
       .select(col("lang"),
         coalesce(col("n"), lit(0L)).as("nc"),
         coalesce(col("nb"), lit(0L)).as("nb"))
-      .localCheckpoint(true)
-    val tot = joined.agg(sum(col("nc")).as("tc"), sum(col("nb")).as("tb"))
-    joined.crossJoin(broadcast(tot))
+      .withColumn("tc", sum(col("nc")).over(all))
+      .withColumn("tb", sum(col("nb")).over(all))
       .select(
-        expr("(1000000 * nc) div tc").as("corpus_ppm"),
-        expr("(1000000 * nb) div tb").as("batch_ppm"),
+        when(col("tc") === 0, lit(0L))
+          .otherwise(expr("(1000000 * nc) div tc")).as("corpus_ppm"),
+        when(col("tb") === 0, lit(0L))
+          .otherwise(expr("(1000000 * nb) div tb")).as("batch_ppm"),
         col("nb"))
       .agg(sum(col("nb")).as("n_docs"),
         sum(abs(col("corpus_ppm") - col("batch_ppm"))).as("l1_ppm"))
-      .select(col("n_docs"),
-        col("l1_ppm"),
+      .select(coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("l1_ppm"), lit(0L)).as("l1_ppm"))
+      .select(col("n_docs"), col("l1_ppm"),
         (col("l1_ppm") > DriftThresholdPpm).as("drifted"))
   }
 

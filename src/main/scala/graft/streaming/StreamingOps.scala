@@ -110,7 +110,10 @@ object StreamingOps {
     */
   def nearDupGateStream(docs: DataFrame, sfDir: String, outDir: String,
       maintainIndex: Boolean = true):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // eager, so a downstream file source tailing outDir (e.g. the
+    // index-maintenance stream) can start before the first batch lands
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
@@ -136,6 +139,7 @@ object StreamingOps {
           }
         ()
     }
+  }
 
   /** Live distribution-drift gate — the batch-level QA sibling of
     * [[nearDupGateStream]] (which judges documents; this judges whole
@@ -181,7 +185,11 @@ object StreamingOps {
     * (`StreamingE2eSpec` pins the composed chain).
     */
   def driftRouteStream(docs: DataFrame, sfDir: String, outDir: String):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // eager, so the advertised composition (a file source tailing
+    // `passed`) starts clean before any batch has passed the door
+    Seq("passed", "quarantined", "audit").foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir, d)))
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
@@ -208,6 +216,7 @@ object StreamingOps {
           }
         ()
     }
+  }
 
   /** Live ANN serving: a stream of query vectors (query_id, embedding)
     * answered per micro-batch from the STANDING bucketed layout via

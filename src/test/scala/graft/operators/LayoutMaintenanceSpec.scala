@@ -159,6 +159,35 @@ class LayoutMaintenanceSpec extends SparkSpec {
       java.nio.file.Paths.get(dir + "_compacting")))
   }
 
+  test("engine discards a stale manifest structurally — no rebuild convention needed") {
+    // a NEW layout that gains compaction without remembering the
+    // rebuild-clears-staging convention must still be safe: the
+    // _COMPACT_IN_PROGRESS breadcrumb lives in the live tree, so any
+    // rebuild (parquet overwrite clears the dir) revokes the replay
+    // authorization and the engine discards the staged tree
+    val dir = java.nio.file.Files.createTempDirectory("graft_struct")
+      .toString + "/tree"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+      .write.partitionBy("p").parquet(dir)
+    intercept[RuntimeException] {
+      graft.GraftSession.compactPartitioned(spark, dir, "p",
+        () => throw new RuntimeException("die before swap"))
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      dir + "_compacting", "_COMPACT_MANIFEST")))
+    // a rebuild from a NEW corpus rewrites the live dir wholesale —
+    // the breadcrumb vanishes with it
+    Seq((10L, "a"), (11L, "c")).toDF("id", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    graft.GraftSession.compactPartitioned(spark, dir, "p")
+    def ids(): Seq[Long] = spark.read.parquet(dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids() === Seq(10L, 11L),
+      "the stale staged tree must be discarded, never merged into the rebuilt layout")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + "_compacting")))
+  }
+
   test("a layout REBUILD voids a crashed compaction's staging — no stale merge") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString
     write(dir, a)

@@ -67,8 +67,8 @@ class StreamingE2eSpec extends SparkSpec {
     val outRoot = java.nio.file.Files.createTempDirectory("graft_e2e_out")
     val doorDir = outRoot.resolve("door").toString
     val admittedDir = outRoot.resolve("admitted").toString
-    Seq(s"$doorDir/passed", admittedDir).foreach(d =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    // no manual mkdir: each stream builder creates its own sink dirs,
+    // so the tailing composition needs no out-of-band setup
 
     val routedSchema = Seq.empty[(Long, String, String, Long)]
       .toDF("doc_id", "text", "lang", "batch_id").schema

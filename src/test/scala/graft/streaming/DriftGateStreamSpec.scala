@@ -62,6 +62,25 @@ class DriftGateStreamSpec extends SparkSpec {
     })
   }
 
+  test("empty standing histogram: batches flag loudly instead of crashing the stream") {
+    import spark.implicits._
+    // bootstrap / regenerated-empty corpus: no reference distribution
+    // exists, so the batch's whole mass counts as drift — the routing
+    // stream must get a verdict, never a null-propagating NPE
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_drift0").toString
+    Seq.empty[DriftDoc].toDF()
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val hist = spark.read.parquet(TextQueries.langStatsLayout(spark, corpusDir))
+    assert(hist.count() === 0)
+    val batch = (1 to 10).map(i => DriftDoc(i.toLong, "x", "en"))
+    val v = TextQueries.driftOf(batch.toDF(), hist).head()
+    assert((v.getLong(0), v.getLong(1), v.getBoolean(2))
+      === ((10L, 1000000L, true)))
+    // and the degenerate empty-vs-empty case stays well-defined
+    val v0 = TextQueries.driftOf(Seq.empty[DriftDoc].toDF(), hist).head()
+    assert((v0.getLong(0), v0.getLong(1), v0.getBoolean(2)) === ((0L, 0L, false)))
+  }
+
   test("registered q_drift_gate: both verdicts occur on the real corpus") {
     val rows = graft.SparkEntry.queries("q_drift_gate")(spark, sf()).collect()
       .map(r => (r.getString(0), r.getBoolean(3))).toMap
