@@ -514,9 +514,9 @@ object CoreQueries {
     * aggregates as a single Expand (×n_cols row fan-out) feeding one
     * two-stage aggregate: one scan, map-side partials, no per-column
     * jobs — where the oracle's UNION ALL shape is 11 separate scans.
-    * At 100 TB swap `count_distinct` for `approx_count_distinct`
-    * (HLL, no Expand) — the probe keeps exact counts because the
-    * correctness gate needs engine-exact integers.
+    * At 100 TB use [[profileApprox]] (the Datasketches sketch pass, no
+    * Expand, fixed per-column state) — this exact form is the audit,
+    * kept because the correctness gate needs engine-exact integers.
     */
   def profile(spark: SparkSession, sfDir: String): DataFrame = {
     val df = table(spark, sfDir, "lineitem")

@@ -154,7 +154,8 @@ object StreamingOps {
     * sink-then-marker window.
     */
   def driftGateStream(docs: DataFrame, sfDir: String, outDir: String):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
@@ -169,6 +170,7 @@ object StreamingOps {
           }
         ()
     }
+  }
 
   /** The ROUTING form of [[driftGateStream]] — the quarantine door:
     * each micro-batch's documents land under `outDir/passed` or
@@ -237,7 +239,8 @@ object StreamingOps {
     * consumer dedup across it.
     */
   def annServeStream(queries: DataFrame, sfDir: String, outDir: String):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     queries.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
@@ -250,6 +253,7 @@ object StreamingOps {
           }
         ()
     }
+  }
 
   /** Tumbling-window counts with a watermark: late data beyond
     * `watermarkDelay` is dropped, state is bounded — the only safe

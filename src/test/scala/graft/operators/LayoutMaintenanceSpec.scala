@@ -159,6 +159,43 @@ class LayoutMaintenanceSpec extends SparkSpec {
       java.nio.file.Paths.get(dir + "_compacting")))
   }
 
+  test("mid-swap crash replays from the manifest — no row lost or doubled") {
+    // the most safety-critical window: manifest + breadcrumb are
+    // down, the swap is partially applied (some snapshot files already
+    // deleted, some staged files already moved), and the process dies
+    val dir = java.nio.file.Files.createTempDirectory("graft_midswap")
+      .toString + "/tree"
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "p")
+      .write.partitionBy("p").parquet(dir)
+    Seq((4L, "b")).toDF("id", "p")
+      .write.mode("append").partitionBy("p").parquet(dir)
+    def ids(): Seq[Long] = spark.read.parquet(dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val boom = intercept[RuntimeException] {
+      graft.GraftSession.compactPartitioned(spark, dir, "p", { () =>
+        // simulate the swap dying after its first deletions: drop one
+        // live snapshot file by hand, then crash
+        val live = java.nio.file.Paths.get(dir)
+        val victim = java.nio.file.Files.walk(live)
+        try {
+          val f = victim.filter(p =>
+            p.toString.endsWith(".parquet") &&
+              java.nio.file.Files.isRegularFile(p)).findFirst().get()
+          java.nio.file.Files.delete(f)
+          java.nio.file.Files.deleteIfExists(
+            f.resolveSibling("." + f.getFileName.toString + ".crc"))
+        } finally victim.close()
+        throw new RuntimeException("die mid-swap")
+      })
+    }
+    assert(boom.getMessage === "die mid-swap")
+    // the live tree is now INCOMPLETE — only the manifest replay can
+    // restore it; the next run must finish the swap, not discard it
+    graft.GraftSession.compactPartitioned(spark, dir, "p")
+    assert(ids() === Seq(1L, 2L, 3L, 4L),
+      "replay must restore every row exactly once")
+  }
+
   test("engine discards a stale manifest structurally — no rebuild convention needed") {
     // a NEW layout that gains compaction without remembering the
     // rebuild-clears-staging convention must still be safe: the
