@@ -116,6 +116,22 @@ object Ctl {
         }
       } finally spark.stop()
 
+    case "quarantine-release" :: doorDir :: batchIdStr :: Nil =>
+      // manual override of the drift door: after inspection, feed a
+      // quarantined batch into the passed flow (the tailing admission
+      // gate picks it up like any passed batch); idempotence marker
+      // refuses a double release loudly
+      val spark = graft.GraftSession.build()
+      try {
+        val n = graft.streaming.StreamingOps.quarantineRelease(
+          spark, doorDir, batchIdStr.toLong)
+        println(s"released batch $batchIdStr: $n docs -> $doorDir/passed")
+      } catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"quarantine-release: ${e.getMessage}")
+          sys.exit(1)
+      } finally spark.stop()
+
     case "pause" :: spoolDir :: Nil =>
       Files.createDirectories(Paths.get(spoolDir))
       val p = Paths.get(spoolDir, "pause")
@@ -143,6 +159,7 @@ object Ctl {
         "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
           "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n] | " +
           "index-compact <sfDir> <invindex|ivfpq|sketch|all> | " +
+          "quarantine-release <doorDir> <batchId> | " +
           "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir> | " +
           "front <spoolDir> <task> | back <spoolDir> <task>")
       sys.exit(2)

@@ -220,6 +220,31 @@ object StreamingOps {
     }
   }
 
+  /** Operator release of a quarantined batch back into the `passed`
+    * flow — the door's manual override, for when inspection clears a
+    * batch the drift gate flagged (a deliberate new-language source,
+    * a known seasonal shift). The quarantined directory stays
+    * untouched as the historical record; a marker under
+    * `released/<batchId>` makes a second release a loud refusal
+    * instead of double-feeding the tailing admission gate. Exposed as
+    * `Ctl quarantine-release <doorDir> <batchId>`. Returns the number
+    * of documents released.
+    */
+  def quarantineRelease(spark: org.apache.spark.sql.SparkSession,
+      doorDir: String, batchId: Long): Long = {
+    val marker = java.nio.file.Paths.get(doorDir, "released", batchId.toString)
+    require(!java.nio.file.Files.exists(marker),
+      s"batch $batchId of $doorDir was already released")
+    val rows = spark.read.parquet(s"$doorDir/quarantined")
+      .where(col("batch_id") === batchId)
+    val n = rows.count()
+    require(n > 0, s"no quarantined rows for batch $batchId under $doorDir")
+    rows.write.mode("append").parquet(s"$doorDir/passed")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.writeString(marker, "released")
+    n
+  }
+
   /** Live ANN serving: a stream of query vectors (query_id, embedding)
     * answered per micro-batch from the STANDING bucketed layout via
     * [[graft.operators.SimilarityQueries.annBatchLookup]] — the

@@ -81,6 +81,43 @@ class DriftGateStreamSpec extends SparkSpec {
     assert((v0.getLong(0), v0.getLong(1), v0.getBoolean(2)) === ((0L, 0L, false)))
   }
 
+  test("quarantineRelease feeds a cleared batch to passed exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_qr").toString
+    (1 to 20).map(i => DriftDoc(i.toLong, s"doc $i", "en"))
+      .toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_qr_door").toString
+    val input = MemoryStream[DriftDoc]
+    val q = StreamingOps.driftRouteStream(input.toDF(), corpusDir, doorDir).start()
+    try {
+      input.addData((100 to 104).map(i => DriftDoc(i.toLong, "x", "zz")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$doorDir/quarantined").count() === 5)
+    assert(spark.read.schema(
+      Seq.empty[(Long, String, String, Long)]
+        .toDF("doc_id", "text", "lang", "batch_id").schema)
+      .parquet(s"$doorDir/passed").count() === 0)
+
+    // inspection clears the batch: release it to the passed flow
+    assert(StreamingOps.quarantineRelease(spark, doorDir, 0L) === 5L)
+    assert(spark.read.parquet(s"$doorDir/passed")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === (100L to 104L))
+    // the historical record stays; a double release refuses loudly
+    assert(spark.read.parquet(s"$doorDir/quarantined").count() === 5)
+    val dup = intercept[IllegalArgumentException] {
+      StreamingOps.quarantineRelease(spark, doorDir, 0L)
+    }
+    assert(dup.getMessage.contains("already released"))
+    // releasing a batch that was never quarantined refuses too
+    val missing = intercept[IllegalArgumentException] {
+      StreamingOps.quarantineRelease(spark, doorDir, 7L)
+    }
+    assert(missing.getMessage.contains("no quarantined rows"))
+  }
+
   test("registered q_drift_gate: both verdicts occur on the real corpus") {
     val rows = graft.SparkEntry.queries("q_drift_gate")(spark, sf()).collect()
       .map(r => (r.getString(0), r.getBoolean(3))).toMap
