@@ -226,7 +226,12 @@ object StreamingOps {
     * a known seasonal shift). The quarantined directory stays
     * untouched as the historical record; a marker under
     * `released/<batchId>` makes a second release a loud refusal
-    * instead of double-feeding the tailing admission gate. Exposed as
+    * instead of double-feeding the tailing admission gate (the marker
+    * lands after the append — the usual sink-then-marker ordering, so
+    * a crash between the two can double-feed on retry; the released
+    * rows keep their original batch_id, so the duplicate set is
+    * identifiable for read-side dedup, and any copy landing in a LATER
+    * gate micro-batch than its twin is rejected by content). Exposed as
     * `Ctl quarantine-release <doorDir> <batchId>`. Returns the number
     * of documents released.
     */
