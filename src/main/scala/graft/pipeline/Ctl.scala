@@ -120,17 +120,22 @@ object Ctl {
       // manual override of the drift door: after inspection, feed a
       // quarantined batch into the passed flow (the tailing admission
       // gate picks it up like any passed batch); idempotence marker
-      // refuses a double release loudly
+      // refuses a double release loudly. sys.exit only AFTER the
+      // try/finally — exiting inside a catch would skip spark.stop()
       val spark = graft.GraftSession.build()
-      try {
-        val n = graft.streaming.StreamingOps.quarantineRelease(
-          spark, doorDir, batchIdStr.toLong)
-        println(s"released batch $batchIdStr: $n docs -> $doorDir/passed")
-      } catch {
-        case e: IllegalArgumentException =>
-          System.err.println(s"quarantine-release: ${e.getMessage}")
-          sys.exit(1)
-      } finally spark.stop()
+      val failure: Option[String] =
+        try {
+          val n = graft.streaming.StreamingOps.quarantineRelease(
+            spark, doorDir, batchIdStr.toLong)
+          println(s"released batch $batchIdStr: $n docs -> $doorDir/passed")
+          None
+        } catch {
+          case e: IllegalArgumentException => Some(e.getMessage)
+        } finally spark.stop()
+      failure.foreach { m =>
+        System.err.println(s"quarantine-release: $m")
+        sys.exit(1)
+      }
 
     case "pause" :: spoolDir :: Nil =>
       Files.createDirectories(Paths.get(spoolDir))

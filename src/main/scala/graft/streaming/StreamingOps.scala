@@ -224,30 +224,95 @@ object StreamingOps {
     * flow — the door's manual override, for when inspection clears a
     * batch the drift gate flagged (a deliberate new-language source,
     * a known seasonal shift). The quarantined directory stays
-    * untouched as the historical record; a marker under
-    * `released/<batchId>` makes a second release a loud refusal
-    * instead of double-feeding the tailing admission gate (the marker
-    * lands after the append — the usual sink-then-marker ordering, so
-    * a crash between the two can double-feed on retry; the released
-    * rows keep their original batch_id, so the duplicate set is
-    * identifiable for read-side dedup, and any copy landing in a LATER
-    * gate micro-batch than its twin is rejected by content). Exposed as
+    * untouched as the historical record. Exposed as
     * `Ctl quarantine-release <doorDir> <batchId>`. Returns the number
     * of documents released.
+    *
+    * Hardening (this command typically runs from its OWN JVM beside a
+    * live door stream):
+    *  - the `released/<batchId>` marker is CLAIMED atomically up front
+    *    (`createFile`), so two concurrent releases cannot both pass a
+    *    check-then-act window and double-feed the gate; the claim is
+    *    dropped if the release fails, so a refused/errored attempt is
+    *    retryable. The marker's lifetime follows the door checkpoint's
+    *    (the `_LAST_BATCH` contract): resetting the door's checkpoint
+    *    means clearing `released/` too, since batchIds restart.
+    *  - the parquet write runs in a PRIVATE staging dir and only
+    *    finished files move into `passed/` (atomic per-file renames
+    *    with deterministic `release-<batchId>-<i>` names — a crashed
+    *    attempt's partial files are swept before retrying): two
+    *    committers sharing `passed/_temporary` could otherwise delete
+    *    each other's in-flight task files, silently truncating a live
+    *    door batch.
+    *  - an empty or absent quarantined dir (its NORMAL bootstrap
+    *    state — the door creates it eagerly) refuses with the friendly
+    *    message, not a schema-inference crash.
     */
   def quarantineRelease(spark: org.apache.spark.sql.SparkSession,
       doorDir: String, batchId: Long): Long = {
     val marker = java.nio.file.Paths.get(doorDir, "released", batchId.toString)
-    require(!java.nio.file.Files.exists(marker),
-      s"batch $batchId of $doorDir was already released")
-    val rows = spark.read.parquet(s"$doorDir/quarantined")
-      .where(col("batch_id") === batchId)
-    val n = rows.count()
-    require(n > 0, s"no quarantined rows for batch $batchId under $doorDir")
-    rows.write.mode("append").parquet(s"$doorDir/passed")
     java.nio.file.Files.createDirectories(marker.getParent)
-    java.nio.file.Files.writeString(marker, "released")
-    n
+    try java.nio.file.Files.createFile(marker)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"batch $batchId of $doorDir was already released")
+    }
+    var committed = false
+    try {
+      val qDir = java.nio.file.Paths.get(doorDir, "quarantined")
+      require(hasDataFiles(qDir),
+        s"no quarantined rows for batch $batchId under $doorDir")
+      val rows = spark.read.parquet(qDir.toString)
+        .where(col("batch_id") === batchId)
+        .localCheckpoint(true) // ONE scan feeds both count and write
+      try {
+        val n = rows.count()
+        require(n > 0,
+          s"no quarantined rows for batch $batchId under $doorDir")
+        val stage = java.nio.file.Paths.get(doorDir, s".release_stage_$batchId")
+        graft.GraftSession.deleteRec(stage)
+        rows.write.mode("overwrite").parquet(stage.toString)
+        val passed = java.nio.file.Paths.get(doorDir, "passed")
+        java.nio.file.Files.createDirectories(passed)
+        // sweep a crashed prior attempt's partial files, then move in
+        // under deterministic names — retry-idempotent
+        val sweep = java.nio.file.Files.list(passed)
+        try sweep.filter(p =>
+            p.getFileName.toString.startsWith(s"release-$batchId-"))
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally sweep.close()
+        var i = 0
+        val stagedFiles = java.nio.file.Files.list(stage)
+        try stagedFiles.filter { p =>
+            val fn = p.getFileName.toString
+            java.nio.file.Files.isRegularFile(p) &&
+              !fn.startsWith("_") && !fn.startsWith(".")
+          }.forEach { p =>
+            java.nio.file.Files.move(p,
+              passed.resolve(s"release-$batchId-$i.parquet"))
+            i += 1
+          }
+        finally stagedFiles.close()
+        graft.GraftSession.deleteRec(stage)
+        committed = true
+        n
+      } finally { rows.unpersist(); () }
+    } finally if (!committed) java.nio.file.Files.deleteIfExists(marker)
+  }
+
+  /** Whether `dir` holds any non-hidden regular file — the
+    * empty-parquet-dir probe (Spark's reader throws on schema
+    * inference over an empty dir, which is a normal state here).
+    */
+  private def hasDataFiles(dir: java.nio.file.Path): Boolean = {
+    if (!java.nio.file.Files.isDirectory(dir)) return false
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.anyMatch { p =>
+      val fn = p.getFileName.toString
+      java.nio.file.Files.isRegularFile(p) &&
+        !fn.startsWith("_") && !fn.startsWith(".")
+    } finally walk.close()
   }
 
   /** Live ANN serving: a stream of query vectors (query_id, embedding)

@@ -111,11 +111,25 @@ class DriftGateStreamSpec extends SparkSpec {
       StreamingOps.quarantineRelease(spark, doorDir, 0L)
     }
     assert(dup.getMessage.contains("already released"))
-    // releasing a batch that was never quarantined refuses too
+    // releasing a batch that was never quarantined refuses too — and
+    // the failed attempt drops its marker claim, so it stays retryable
     val missing = intercept[IllegalArgumentException] {
       StreamingOps.quarantineRelease(spark, doorDir, 7L)
     }
     assert(missing.getMessage.contains("no quarantined rows"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(doorDir, "released", "7")))
+
+    // a fresh door (quarantined dir exists but is EMPTY — its normal
+    // bootstrap state) refuses with the friendly message, not a
+    // parquet schema-inference crash
+    val fresh = java.nio.file.Files.createTempDirectory("graft_qr2").toString
+    val q2 = StreamingOps.driftRouteStream(
+      MemoryStream[DriftDoc].toDF(), corpusDir, fresh)
+    val empty = intercept[IllegalArgumentException] {
+      StreamingOps.quarantineRelease(spark, fresh, 0L)
+    }
+    assert(empty.getMessage.contains("no quarantined rows"))
   }
 
   test("registered q_drift_gate: both verdicts occur on the real corpus") {
