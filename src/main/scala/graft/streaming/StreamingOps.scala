@@ -230,14 +230,23 @@ object StreamingOps {
     *
     * Hardening (this command typically runs from its OWN JVM beside a
     * live door stream):
-    *  - the `released/<batchId>` marker is CLAIMED atomically up front
-    *    (`createFile`), so two concurrent releases cannot both pass a
-    *    check-then-act window and double-feed the gate; the claim is
-    *    dropped if the release fails, so a refused/errored attempt is
-    *    retryable. The marker's lifetime follows the door checkpoint's
-    *    (the `_LAST_BATCH` contract): resetting the door's checkpoint
-    *    means clearing `released/` too, since batchIds restart.
-    *  - the parquet write runs in a PRIVATE staging dir and only
+    *  - concurrency is claimed by ATOMIC CREATION of the private
+    *    staging dir (`createDirectory` throws if it exists), so two
+    *    concurrent releases cannot both pass a check-then-act window
+    *    and double-feed the gate; a refused/errored attempt drops the
+    *    claim in its `finally`, so it stays retryable.
+    *  - the `released/<batchId>` marker is written LAST, after every
+    *    moved file is in `passed/` — the marker means COMMITTED, never
+    *    "attempted". A hard crash (kill -9) mid-release therefore can
+    *    never misreport the batch as released: the leftover staging
+    *    dir makes the retry refuse loudly with recovery instructions
+    *    (delete the staging dir and rerun — the `release-<batchId>-*`
+    *    sweep below makes the rerun idempotent over any partial
+    *    files the crashed attempt already moved). The marker's
+    *    lifetime follows the door checkpoint's (the `_LAST_BATCH`
+    *    contract): resetting the door's checkpoint means clearing
+    *    `released/` too, since batchIds restart.
+    *  - the parquet write runs in the PRIVATE staging dir and only
     *    finished files move into `passed/` (atomic per-file renames
     *    with deterministic `release-<batchId>-<i>` names — a crashed
     *    attempt's partial files are swept before retrying): two
@@ -251,12 +260,16 @@ object StreamingOps {
   def quarantineRelease(spark: org.apache.spark.sql.SparkSession,
       doorDir: String, batchId: Long): Long = {
     val marker = java.nio.file.Paths.get(doorDir, "released", batchId.toString)
-    java.nio.file.Files.createDirectories(marker.getParent)
-    try java.nio.file.Files.createFile(marker)
+    if (java.nio.file.Files.exists(marker))
+      throw new IllegalArgumentException(
+        s"batch $batchId of $doorDir was already released")
+    val stage = java.nio.file.Paths.get(doorDir, s".release_stage_$batchId")
+    try java.nio.file.Files.createDirectory(stage)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalArgumentException(
-          s"batch $batchId of $doorDir was already released")
+          s"a release of batch $batchId is already in progress (or a " +
+            s"crashed attempt left $stage); delete that directory to retry")
     }
     var committed = false
     try {
@@ -270,9 +283,11 @@ object StreamingOps {
         val n = rows.count()
         require(n > 0,
           s"no quarantined rows for batch $batchId under $doorDir")
-        val stage = java.nio.file.Paths.get(doorDir, s".release_stage_$batchId")
-        graft.GraftSession.deleteRec(stage)
-        rows.write.mode("overwrite").parquet(stage.toString)
+        // a SUBdir of the claim: parquet's overwrite clears its own
+        // target, and clearing the claim dir itself would reopen the
+        // concurrency window for the delete-to-recreate instant
+        val stageData = stage.resolve("data")
+        rows.write.mode("overwrite").parquet(stageData.toString)
         val passed = java.nio.file.Paths.get(doorDir, "passed")
         java.nio.file.Files.createDirectories(passed)
         // sweep a crashed prior attempt's partial files, then move in
@@ -283,7 +298,7 @@ object StreamingOps {
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
         finally sweep.close()
         var i = 0
-        val stagedFiles = java.nio.file.Files.list(stage)
+        val stagedFiles = java.nio.file.Files.list(stageData)
         try stagedFiles.filter { p =>
             val fn = p.getFileName.toString
             java.nio.file.Files.isRegularFile(p) &&
@@ -295,10 +310,15 @@ object StreamingOps {
           }
         finally stagedFiles.close()
         graft.GraftSession.deleteRec(stage)
+        // commit point: everything is in passed/ — only now does the
+        // batch report as released (a crash ANYWHERE above leaves the
+        // marker absent, so the batch can never wedge half-released)
+        java.nio.file.Files.createDirectories(marker.getParent)
+        java.nio.file.Files.createFile(marker)
         committed = true
         n
       } finally { rows.unpersist(); () }
-    } finally if (!committed) java.nio.file.Files.deleteIfExists(marker)
+    } finally if (!committed) graft.GraftSession.deleteRec(stage)
   }
 
   /** Whether `dir` holds any non-hidden regular file — the

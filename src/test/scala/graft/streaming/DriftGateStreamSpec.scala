@@ -119,6 +119,9 @@ class DriftGateStreamSpec extends SparkSpec {
     assert(missing.getMessage.contains("no quarantined rows"))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(doorDir, "released", "7")))
+    // ...and drops its staging-dir claim, so nothing lingers
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(doorDir, ".release_stage_7")))
 
     // a fresh door (quarantined dir exists but is EMPTY — its normal
     // bootstrap state) refuses with the friendly message, not a
@@ -130,6 +133,55 @@ class DriftGateStreamSpec extends SparkSpec {
       StreamingOps.quarantineRelease(spark, fresh, 0L)
     }
     assert(empty.getMessage.contains("no quarantined rows"))
+  }
+
+  test("a crashed release attempt can never misreport the batch as released") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_qr_crash").toString
+    (1 to 20).map(i => DriftDoc(i.toLong, s"doc $i", "en"))
+      .toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_qr_crash_door").toString
+    val input = MemoryStream[DriftDoc]
+    val q = StreamingOps.driftRouteStream(input.toDF(), corpusDir, doorDir).start()
+    try {
+      input.addData((200 to 204).map(i => DriftDoc(i.toLong, "x", "zz")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // simulate a kill -9 mid-release: the staging-dir claim exists and
+    // one partial file already moved into passed/, but the released
+    // marker (written LAST) does not
+    val stage = java.nio.file.Paths.get(doorDir, ".release_stage_0")
+    java.nio.file.Files.createDirectories(stage)
+    val stalePartial = java.nio.file.Paths.get(doorDir, "passed", "release-0-0.parquet")
+    java.nio.file.Files.createDirectories(stalePartial.getParent)
+    java.nio.file.Files.writeString(stalePartial, "torn partial, not parquet")
+
+    // a retry refuses LOUDLY with the recovery instruction — it does
+    // NOT claim the batch was already released (the r11 wedge)
+    val crashed = intercept[IllegalArgumentException] {
+      StreamingOps.quarantineRelease(spark, doorDir, 0L)
+    }
+    assert(crashed.getMessage.contains("in progress"), crashed.getMessage)
+    assert(crashed.getMessage.contains(stage.toString), crashed.getMessage)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(doorDir, "released", "0")),
+      "the marker means COMMITTED; a crashed attempt must not plant it")
+
+    // the prescribed recovery: delete the staging dir, rerun — the
+    // release-<id>-* sweep absorbs the crashed attempt's partial file
+    graft.GraftSession.deleteRec(stage)
+    assert(StreamingOps.quarantineRelease(spark, doorDir, 0L) === 5L)
+    assert(spark.read.parquet(s"$doorDir/passed")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === (200L to 204L), "the torn partial must be swept, not read")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(doorDir, "released", "0")))
+    val dup = intercept[IllegalArgumentException] {
+      StreamingOps.quarantineRelease(spark, doorDir, 0L)
+    }
+    assert(dup.getMessage.contains("already released"))
   }
 
   test("registered q_drift_gate: both verdicts occur on the real corpus") {
