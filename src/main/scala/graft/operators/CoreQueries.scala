@@ -295,7 +295,7 @@ object CoreQueries {
     table(spark, sfDir, "events")
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"),
-        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(SketchLgK))).as("est"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("est") - col("exact_users")).cast("double") <=
           lit(0.10) * col("exact_users").cast("double")).as("hll_within_10pct"))
@@ -308,6 +308,21 @@ object CoreQueries {
 
   private val UserSketchVersion = 1
 
+  /** THE HLL precision for every Datasketches sketch this module
+    * builds — [[sketchDistinct]], [[sketchPartials]] (and through it
+    * the standing layout + streaming maintenance) and
+    * [[profileSketchPass]] all reference this one constant, because
+    * the merge contract (union-of-sketches == sketch-of-union, and the
+    * shipped `merge_matches_direct` / `approx_within_10pct` verdicts)
+    * only holds between sketches built at the SAME lgK. lgK=12 → 4096
+    * registers, ~1.6% relative stderr — the 10% verdict bands are >6σ.
+    * The value is also stamped into the layout path (beside
+    * [[UserSketchVersion]]), so changing it orphans the old layout and
+    * forces a rebuild instead of silently merging mixed-precision
+    * partials.
+    */
+  private[graft] val SketchLgK = 12
+
   /** The standing per-day distinct-users sketch relation — the
     * incremental-dashboard artifact behind [[sketchRollup]]: one row
     * per (day, batch) holding an HLL sketch of that slice's user_ids
@@ -319,7 +334,8 @@ object CoreQueries {
     * [[graft.streaming.StreamingOps.sketchMaintainStream]].
     */
   private[graft] def userSketchLayout(spark: SparkSession, sfDir: String): String = {
-    val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/usersketch_v$UserSketchVersion"
+    val layout =
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/usersketch_v${UserSketchVersion}_k$SketchLgK"
     graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/events.parquet") {
       // a rebuild is a new corpus snapshot — void any streaming
       // maintenance batch marker AND any crashed compaction's staging
@@ -342,7 +358,7 @@ object CoreQueries {
   private def sketchPartials(events: DataFrame): DataFrame =
     events.select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy("day")
-      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+      .agg(hll_sketch_agg(col("user_id"), lit(SketchLgK)).as("sk"),
         count(lit(1)).as("n_events"))
 
   /** foreachBatch-idempotent partial-sketch append (the
@@ -397,7 +413,7 @@ object CoreQueries {
     */
   def userSketchPresent(sfDir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(
-      s"${graft.GraftSession.fixtureRoot(sfDir)}/usersketch_v$UserSketchVersion/daily"))
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/usersketch_v${UserSketchVersion}_k$SketchLgK/daily"))
 
   /** Weekly distinct-users rollup SERVED from the standing daily
     * sketch relation — the mergeability story as a query: the weekly
@@ -597,7 +613,7 @@ object CoreQueries {
     val aggs = cols.flatMap(c => Seq(
       (count(lit(1)) - count(col(c))).as(s"__n_$c"),
       hll_sketch_estimate(
-        hll_sketch_agg(col(c).cast("string"), lit(12))).as(s"__a_$c")))
+        hll_sketch_agg(col(c).cast("string"), lit(SketchLgK))).as(s"__a_$c")))
     val profiled = cols.map(c => struct(
       lit(c).as("col_name"),
       col(s"__n_$c").as("n_nulls"),

@@ -2804,13 +2804,17 @@ object TextQueries {
       |js AS (SELECT coalesce(c.nc, 0) AS nc, coalesce(skew.nb, 0) AS nb
       |  FROM c FULL OUTER JOIN skew USING (lang)),
       |sr AS (SELECT 'representative' AS batch_kind,
-      |    CAST(sum(nb) AS BIGINT) AS n_docs,
-      |    CAST(sum(abs((1000000 * nc) // tc - (1000000 * nb) // tb)) AS BIGINT) AS l1_ppm
-      |  FROM jr, tc, (SELECT CAST(sum(nb) AS BIGINT) AS tb FROM jr)),
+      |    CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_docs,
+      |    CAST(coalesce(sum(abs(
+      |      CASE WHEN tc = 0 THEN 0 ELSE (1000000 * nc) // tc END -
+      |      CASE WHEN tb = 0 THEN 0 ELSE (1000000 * nb) // tb END)), 0) AS BIGINT) AS l1_ppm
+      |  FROM jr, tc, (SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS tb FROM jr)),
       |ss AS (SELECT 'single_lang' AS batch_kind,
-      |    CAST(sum(nb) AS BIGINT) AS n_docs,
-      |    CAST(sum(abs((1000000 * nc) // tc - (1000000 * nb) // tb)) AS BIGINT) AS l1_ppm
-      |  FROM js, tc, (SELECT CAST(sum(nb) AS BIGINT) AS tb FROM js))
+      |    CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_docs,
+      |    CAST(coalesce(sum(abs(
+      |      CASE WHEN tc = 0 THEN 0 ELSE (1000000 * nc) // tc END -
+      |      CASE WHEN tb = 0 THEN 0 ELSE (1000000 * nb) // tb END)), 0) AS BIGINT) AS l1_ppm
+      |  FROM js, tc, (SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS tb FROM js))
       |SELECT batch_kind, n_docs, l1_ppm, l1_ppm > $DriftThresholdPpm AS drifted
       |FROM (SELECT * FROM sr UNION ALL SELECT * FROM ss)
       |ORDER BY batch_kind""".stripMargin

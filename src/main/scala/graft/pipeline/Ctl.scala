@@ -17,6 +17,17 @@ import java.nio.file.{Files, Paths}
   *   export <warehouseDir> <outDir> <db>    render a database's tables back
   *                                          to the MyDumper layout (the
   *                                          dumpling direction, [[Export]])
+  *   index-compact <sfDir> <which|all>      defragment the append-maintained
+  *                                          standing layouts (invindex, ivfpq,
+  *                                          sketch)
+  *   quarantine-release <doorDir> <batchId> feed an inspection-cleared batch
+  *                                          back to the drift door's passed
+  *                                          flow; refuses a double release.
+  *                                          (Audit-feed consumers counting
+  *                                          drifted batches must dedup on
+  *                                          batch_id: rows are at-least-once
+  *                                          across the documented
+  *                                          sink-then-marker crash window.)
   *   pause <spoolDir>                       park the running import at its
   *                                          next table boundary (reference
   *                                          /pause handler + Pauser gate)

@@ -22,7 +22,8 @@ class SketchRollupSpec extends SparkSpec {
     events
       .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
         .as("week"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(CoreQueries.SketchLgK)))
         .as("est_users"))
 
   private def collectEst(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
