@@ -2708,20 +2708,92 @@ object TextQueries {
   val DriftThresholdPpm = 200000L
 
   /** Standing corpus language histogram — the reference distribution
-    * the drift gate compares incoming batches against. |langs| rows,
-    * built once per corpus stamp ([[graft.GraftSession.ensureLayout]]);
-    * at 100 TB this is the point: the gate never rescans the corpus,
-    * it broadcasts a few-row histogram.
+    * the drift gate compares incoming batches against. A few partial
+    * rows per lang (counts are trivially mergeable — [[driftOf]] sums
+    * them at read), seeded once per corpus stamp
+    * ([[graft.GraftSession.ensureLayout]]) and maintained LIVE by
+    * [[langStatsAppend]]/[[langStatsAppendOnce]] with what the door
+    * PASSES — a 24/7 door must track the corpus as it legitimately
+    * shifts, not compare against the day-one snapshot forever. At
+    * 100 TB this is the point: the gate never rescans the corpus, it
+    * broadcasts a langs-sized relation.
     */
   private[graft] def langStatsLayout(spark: SparkSession, sfDir: String): String = {
     val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/langstats_v$LangStatsVersion"
     graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
+      // a rebuild is a new corpus snapshot — void any streaming
+      // maintenance batch marker and any crashed compaction's staging
+      // tree from the previous one (the usersketch discipline)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(layout, "_LAST_BATCH"))
+      graft.GraftSession.deleteRec(
+        java.nio.file.Paths.get(s"$layout/hist_compacting"))
       table(spark, sfDir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .coalesce(1).write.mode("overwrite").parquet(s"$layout/hist")
     }
     s"$layout/hist"
   }
+
+  /** Histogram maintenance — the [[graft.operators.DedupQueries
+    * .simhashAppend]] sibling for the drift door's standing reference:
+    * the PASSED batch's per-lang counts append as partial rows (counts
+    * merge by sum, so the append is O(batch) and the layout never
+    * rewrites). Called by [[graft.streaming.StreamingOps
+    * .driftRouteStream]] inside the door's own batch body
+    * (`maintainHistogram = true`, the `nearDupGateStream
+    * maintainIndex` pattern), so batch N+1 is judged against
+    * everything the door passed through batch N.
+    */
+  private[graft] def langStatsAppend(spark: SparkSession, sfDir: String,
+      passedDocs: DataFrame): String = {
+    val hist = langStatsLayout(spark, sfDir) // ensure the base exists
+    passedDocs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(hist)
+    hist
+  }
+
+  /** foreachBatch-idempotent histogram append (the `simhashAppendOnce`
+    * pattern) — for a DETACHED maintenance stream; the door itself
+    * appends inline under its own batch marker instead.
+    */
+  def langStatsAppendOnce(spark: SparkSession, sfDir: String,
+      passedDocs: DataFrame, batchId: Long): Boolean = {
+    val hist = langStatsLayout(spark, sfDir)
+    graft.GraftSession.appliedOnce(
+      java.nio.file.Paths.get(hist).getParent.resolve("_LAST_BATCH"), batchId) {
+      passedDocs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .write.mode("append").parquet(hist)
+    }
+  }
+
+  /** SEMANTIC compaction for the histogram layout — the
+    * [[graft.operators.CoreQueries.sketchCompact]] sibling: N partial
+    * rows per lang collapse to one (counts sum), so steady-state size
+    * is |langs| however many batches the door ever passed. Verdicts
+    * invariant (spec-pinned); rides the shared snapshot/manifest swap
+    * engine, so a concurrent door append survives and a crash replays.
+    */
+  def langStatsCompact(spark: SparkSession, sfDir: String): String =
+    langStatsCompact(spark, sfDir, () => ())
+
+  private[graft] def langStatsCompact(spark: SparkSession, sfDir: String,
+      beforeSwap: () => Unit): String = {
+    val hist = langStatsLayout(spark, sfDir)
+    graft.GraftSession.compactSnapshot(spark, hist, (df, staged) => df
+      .groupBy("lang").agg(sum(col("n")).as("n"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staged),
+      beforeSwap)
+    hist
+  }
+
+  /** Whether a standing histogram exists for `sfDir` (the `Ctl
+    * index-compact` nothing-to-compact guard).
+    */
+  def langStatsPresent(sfDir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/langstats_v$LangStatsVersion/hist"))
 
   /** L1 distance (ppm) between a batch's language distribution and the
     * standing histogram — THE one drift computation (batch query,
@@ -2744,7 +2816,12 @@ object TextQueries {
     // null-propagating crash in the routing stream.
     val b = batch.groupBy("lang").agg(count(lit(1)).as("nb"))
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    hist.as("c").join(b.as("b"), Seq("lang"), "full_outer")
+    // merge partial rows first: an append-maintained histogram holds a
+    // few rows per lang (counts sum exactly), and the kernel owning the
+    // merge means every caller — batch query, door, spec — reads a
+    // maintained layout correctly without its own aggregation step
+    val c = hist.groupBy("lang").agg(sum(col("n")).as("n"))
+    c.as("c").join(b.as("b"), Seq("lang"), "full_outer")
       .select(col("lang"),
         coalesce(col("n"), lit(0L)).as("nc"),
         coalesce(col("nb"), lit(0L)).as("nb"))

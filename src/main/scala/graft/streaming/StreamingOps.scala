@@ -185,8 +185,27 @@ object StreamingOps {
     * histogram-broadcast), per-document near-dup admission second —
     * a quarantined batch never costs a fingerprint pass
     * (`StreamingE2eSpec` pins the composed chain).
+    *
+    * Maintenance CONTRACT (the `nearDupGateStream maintainIndex`
+    * pattern): with `maintainHistogram = true` (the production
+    * default) the door appends the PASSED batch's per-lang counts into
+    * the standing histogram inside the same batch body — the reference
+    * distribution tracks what the door has accepted, so a gradual
+    * legitimate shift (a new source ramping up, seasonal language mix)
+    * is absorbed instead of flagging forever against the day-one
+    * snapshot (spec-pinned: stream-fed histogram == a rebuild over
+    * seed ∪ passed). Quarantined batches never feed the reference —
+    * the door cannot be walked off its distribution by the very
+    * traffic it rejected — and a `quarantineRelease` deliberately
+    * feeds the PASSED FLOW only (the downstream admission gate), not
+    * the histogram: absorbing an inspected anomaly into the reference
+    * is a corpus-restamp decision, not a release side effect. Do NOT
+    * also run a detached
+    * [[graft.operators.TextQueries.langStatsAppendOnce]] stream on the
+    * same layout — that would double-count.
     */
-  def driftRouteStream(docs: DataFrame, sfDir: String, outDir: String):
+  def driftRouteStream(docs: DataFrame, sfDir: String, outDir: String,
+      maintainHistogram: Boolean = true):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // eager, so the advertised composition (a file source tailing
     // `passed`) starts clean before any batch has passed the door
@@ -214,6 +233,11 @@ object StreamingOps {
               val dest = if (drifted) "quarantined" else "passed"
               b.withColumn("batch_id", lit(batchId))
                 .write.mode("append").parquet(s"$outDir/$dest")
+              // the door maintains its own reference with what it
+              // passes — AFTER the verdict (this batch was judged
+              // against the histogram as of batch N-1)
+              if (maintainHistogram && !drifted)
+                graft.operators.TextQueries.langStatsAppend(spark, sfDir, b)
             } finally { b.unpersist(); () }
           }
         ()

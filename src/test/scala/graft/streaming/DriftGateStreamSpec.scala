@@ -184,6 +184,117 @@ class DriftGateStreamSpec extends SparkSpec {
     assert(dup.getMessage.contains("already released"))
   }
 
+  private def mergedHist(corpusDir: String): Map[String, Long] =
+    spark.read.parquet(TextQueries.langStatsLayout(spark, corpusDir))
+      .groupBy("lang").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("door-maintained histogram == rebuild over seed ∪ passed; quarantine never feeds it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val seed = (1 to 20).map(i =>
+      DriftDoc(i.toLong, s"doc $i", if (i % 2 == 0) "en" else "de"))
+    seed.toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_hist_door").toString
+    val input = MemoryStream[DriftDoc]
+    val q = StreamingOps.driftRouteStream(input.toDF(), corpusDir, doorDir).start()
+    val passed0 = Seq(DriftDoc(100, "a", "en"), DriftDoc(101, "b", "de"))
+    val rejected = (110 to 119).map(i => DriftDoc(i.toLong, "x", "zz"))
+    val passed2 = Seq(DriftDoc(120, "c", "en"), DriftDoc(121, "d", "de"),
+      DriftDoc(122, "e", "en"), DriftDoc(123, "f", "de"))
+    try {
+      input.addData(passed0: _*); q.processAllAvailable()
+      input.addData(rejected: _*); q.processAllAvailable()
+      input.addData(passed2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // the standing reference must equal a batch rebuild over what the
+    // door accepted — seed ∪ passed, never the quarantined batch
+    val expected = (seed ++ passed0 ++ passed2)
+      .groupBy(_.lang).map { case (l, ds) => l -> ds.size.toLong }
+    assert(mergedHist(corpusDir) === expected)
+    assert(!mergedHist(corpusDir).contains("zz"),
+      "a quarantined batch must never walk the reference distribution")
+
+    // SEMANTIC compaction: partials collapse to one row per lang;
+    // verdicts invariant; an append landing mid-compaction survives
+    val hist = TextQueries.langStatsLayout(spark, corpusDir)
+    assert(spark.read.parquet(hist).count() >
+      spark.read.parquet(hist).select("lang").distinct().count(),
+      "the door's appends must have produced multiple partials per lang")
+    val probe = (200 to 209).map(i => DriftDoc(i.toLong, "x", "en"))
+    val before = TextQueries.driftOf(probe.toDF(),
+      spark.read.parquet(hist)).head()
+    val late = Seq(DriftDoc(300, "g", "en"), DriftDoc(301, "h", "de"))
+    TextQueries.langStatsCompact(spark, corpusDir,
+      () => { TextQueries.langStatsAppend(spark, corpusDir, late.toDF()); () })
+    assert(mergedHist(corpusDir) ===
+      expected.map { case (l, n) => l -> (n + 1) },
+      "the mid-compaction append must survive the swap")
+    // one compacted row per lang plus the late append's partials
+    val after = TextQueries.driftOf(
+      probe.toDF(), spark.read.parquet(hist)).head()
+    assert(before.getLong(1) !== 0L)
+    assert(after.getBoolean(2) === before.getBoolean(2))
+    TextQueries.langStatsCompact(spark, corpusDir)
+    assert(spark.read.parquet(hist).count() === 2,
+      "a quiet compaction collapses to exactly one row per lang")
+    assert(mergedHist(corpusDir) === expected.map { case (l, n) => l -> (n + 1) })
+  }
+
+  test("langStatsAppendOnce: detached maintenance is batchId-idempotent") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_hist_once").toString
+    (1 to 10).map(i => DriftDoc(i.toLong, "t", "en"))
+      .toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val batch = Seq(DriftDoc(50, "u", "en"), DriftDoc(51, "v", "fr")).toDF()
+    assert(TextQueries.langStatsAppendOnce(spark, corpusDir, batch, batchId = 0L))
+    assert(!TextQueries.langStatsAppendOnce(spark, corpusDir, batch, batchId = 0L),
+      "a replayed batch must not double the counts")
+    assert(mergedHist(corpusDir) === Map("en" -> 11L, "fr" -> 1L))
+  }
+
+  test("a gradual legitimate shift is absorbed; a frozen door would flag it forever") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def enFr(base: Int, nEn: Int, nFr: Int): Seq[DriftDoc] =
+      (0 until nEn).map(i => DriftDoc((base + i).toLong, "x", "en")) ++
+        (0 until nFr).map(i => DriftDoc((base + nEn + i).toLong, "y", "fr"))
+    val seed = (1 to 20).map(i => DriftDoc(i.toLong, s"doc $i", "en"))
+
+    // the frozen reference: same seed corpus, nothing maintained
+    val frozenDir = java.nio.file.Files.createTempDirectory("graft_frozen").toString
+    seed.toDF().write.mode("overwrite").parquet(s"$frozenDir/documents.parquet")
+    val frozenHist = spark.read.parquet(
+      TextQueries.langStatsLayout(spark, frozenDir))
+
+    // the maintained door: three passing 10%-fr batches ramp the
+    // source in, then a 15%-fr batch arrives
+    val liveDir = java.nio.file.Files.createTempDirectory("graft_live").toString
+    seed.toDF().write.mode("overwrite").parquet(s"$liveDir/documents.parquet")
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_live_door").toString
+    val shifted = enFr(500, 17, 3) // 15% fr
+    val input = MemoryStream[DriftDoc]
+    val q = StreamingOps.driftRouteStream(input.toDF(), liveDir, doorDir).start()
+    try {
+      input.addData(enFr(100, 18, 2): _*); q.processAllAvailable()
+      input.addData(enFr(200, 18, 2): _*); q.processAllAvailable()
+      input.addData(enFr(300, 18, 2): _*); q.processAllAvailable()
+      input.addData(shifted: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val audit = spark.read.parquet(s"$doorDir/audit").orderBy("batch_id")
+      .collect().map(r => r.getAs[Boolean]("drifted")).toSeq
+    assert(audit === Seq(false, false, false, false),
+      "once the ramp is absorbed, the 15%-fr batch passes the maintained door")
+    // the same batch against the day-one snapshot: flagged — exactly
+    // the staleness the maintenance exists to fix
+    val frozen = TextQueries.driftOf(shifted.toDF(), frozenHist).head()
+    assert((frozen.getLong(1), frozen.getBoolean(2)) === ((300000L, true)))
+  }
+
   test("registered q_drift_gate: both verdicts occur on the real corpus") {
     val rows = graft.SparkEntry.queries("q_drift_gate")(spark, sf()).collect()
       .map(r => (r.getString(0), r.getBoolean(3))).toMap
