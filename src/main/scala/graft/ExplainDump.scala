@@ -6,15 +6,18 @@ object ExplainDump {
     val sf = "/root/testdata/sf0.01"
     def dump(name: String): Unit = {
       println(s"===== $name =====")
-      try println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(3500))
+      try println(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+        .toString.take(4500))
       catch { case e: Throwable => println(s"ERR ${e.getMessage}") }
     }
     // NB q_dedup_ngram / q_dedup_minhash eagerly localCheckpoint their
     // pair sets, so their "plan" is just a checkpoint scan — inspect
     // those by commenting out the checkpoint locally instead.
-    Seq("q_agg_pricing", "q_embed_dedup", "q_ann_lsh_bucketed",
-      "q_salted_join", "q_ann_bruteforce").foreach(dump)
+    val names =
+      if (args.nonEmpty) args(0).split(",").toSeq
+      else Seq("q_agg_pricing", "q_embed_dedup", "q_ann_lsh_bucketed",
+        "q_salted_join", "q_ann_bruteforce")
+    names.foreach(dump)
     spark.stop()
   }
 }

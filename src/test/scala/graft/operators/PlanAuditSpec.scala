@@ -278,6 +278,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q_drift_gate REGISTERED query: histogram side reads the standing layout, never a corpus rescan") {
+    // the gate's 100 TB shape: the corpus side is the langs-sized
+    // standing histogram; documents.parquet appears ONLY as the two
+    // synthetic batch slices (each pruned to (doc_id, lang) — a text
+    // read here would ship the corpus body through the door per batch)
+    val plan = planOf(graft.SparkEntry.queries("q_drift_gate")(spark, sf()))
+    assert("documents\\.parquet".r.findAllIn(plan).size === 2, plan)
+    assert("langstats".r.findAllIn(plan).size === 2, plan)
+    // representative slice reads (doc_id, lang); the single-lang slice
+    // prunes to lang alone with its equality filter PUSHED to the scan
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), plan)
+    assert(plan.contains("ReadSchema: struct<lang:string>"), plan)
+    assert(plan.contains("EqualTo(lang"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_sketch_rollup REGISTERED query: serves from the daily layout alone — no raw-events scan") {
+    // the layout IS the product: any window merges calendar-sized
+    // partials; a regression that re-derives from events.parquet would
+    // return identical rows while paying the full corpus scan
+    val plan = planOf(graft.SparkEntry.queries("q_sketch_rollup")(spark, sf()))
+    assert(!plan.contains("events.parquet"), plan)
+    assert(plan.contains("usersketch"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("partial_"), plan) // map-side combine on the merge
+  }
+
   test("rrfFusion: both arms end in top-k heaps before the bounded fuse") {
     val plan = planOf(TextQueries.rrfFusion(spark, sf()))
     assert(plan.contains("TakeOrderedAndProject"), plan)
