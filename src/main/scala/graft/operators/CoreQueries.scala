@@ -458,6 +458,59 @@ object CoreQueries {
       |  TRUE AS merge_matches_direct
       |FROM events GROUP BY 1 ORDER BY week""".stripMargin
 
+  /** ARBITRARY-window serving from the same daily layout — the
+    * mergeability story [[sketchRollup]] states for calendar weeks,
+    * demonstrated for a window nobody pre-aggregated: any `[start,
+    * end)` slice is `hll_union_agg` over its ≤|days| partial rows
+    * (register-wise merge is associative — no window alignment was
+    * ever baked into the layout) plus the summed exact anchor. The
+    * registered form derives a two-week window from the layout's OWN
+    * calendar (min day + 7 … + 21 — deliberately not week-aligned),
+    * so the query stays deterministic per corpus without touching raw
+    * events: the only driver value is a min over the calendar-sized
+    * layout. Estimates audited in `SketchRollupSpec` (window merge ==
+    * direct sketch over the raw slice); the oracle hash-checks the
+    * exact anchors.
+    */
+  def sketchWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = spark.read.parquet(userSketchLayout(spark, sfDir))
+    val d0 = daily.agg(min(col("day"))).head().getDate(0).toLocalDate
+    val (start, end) = (d0.plusDays(7).toString, d0.plusDays(21).toString)
+    sketchWindowSlice(daily, start, end)
+      .select(lit(start).as("window_start"), lit(end).as("window_end"),
+        col("n_days"), col("n_events"), lit(true).as("merge_matches_direct"))
+  }
+
+  /** The reusable window slice (exact anchors): callers pass any
+    * `[start, end)` ISO dates; cost is the slice's partial rows.
+    */
+  private def sketchWindowSlice(daily: DataFrame, start: String,
+      end: String): DataFrame =
+    daily.where(col("day") >= lit(start) && col("day") < lit(end))
+      .agg(countDistinct(col("day")).as("n_days"),
+        coalesce(sum(col("n_events")), lit(0L)).as("n_events"))
+
+  /** The merged window ESTIMATE over the same slice — what
+    * `SketchRollupSpec` audits against a direct raw-events sketch; not
+    * registered (estimates are engine-specific).
+    */
+  private[graft] def sketchWindowEstimate(spark: SparkSession, sfDir: String,
+      start: String, end: String): DataFrame =
+    spark.read.parquet(userSketchLayout(spark, sfDir))
+      .where(col("day") >= lit(start) && col("day") < lit(end))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+
+  def sketchWindowSql: String =
+    """WITH d AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+      |w AS (SELECT CAST(d0 + 7 AS DATE) AS ws, CAST(d0 + 21 AS DATE) AS we FROM d)
+      |SELECT strftime(ws, '%Y-%m-%d') AS window_start,
+      |  strftime(we, '%Y-%m-%d') AS window_end,
+      |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |  CAST(count(ts) AS BIGINT) AS n_events,
+      |  TRUE AS merge_matches_direct
+      |FROM w LEFT JOIN events ON CAST(ts AS DATE) >= ws AND CAST(ts AS DATE) < we
+      |GROUP BY ws, we""".stripMargin
+
   /** Heavy-hitters audit (the frequency face of the sketch surface,
     * beside [[sketchDistinct]]'s cardinality face): the corpus's true
     * heavy-hitter tokens — exact count > N/32 — each witnessed

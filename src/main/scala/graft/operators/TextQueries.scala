@@ -1544,6 +1544,8 @@ object TextQueries {
     */
   def warmLayouts(spark: SparkSession, sfDir: String): Unit = {
     invIndexLayout(spark, sfDir)
+    langStatsLayout(spark, sfDir)
+    scriptStatsLayout(spark, sfDir)
     ()
   }
 
@@ -2234,6 +2236,18 @@ object TextQueries {
       |FROM p ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------ script mix
+  /** THE per-character script classification — printable codepoints of
+    * a text column (`ascii`/`unicode` agree on full codepoints in both
+    * engines; c > 32 drops whitespace/control). [[scriptMix]], the
+    * drift door's script axis ([[scriptCountsOf]]) and their oracles
+    * all derive from this one recipe.
+    */
+  private def scriptCps(textCol: Column): Column =
+    filter(transform(split(textCol, ""), c => ascii(c)), c => c > 32)
+
+  private def scriptShare(cps: Column, lo: Int, hi: Int): Column =
+    size(filter(cps, c => c >= lo && c <= hi)).cast("long")
+
   /** Unicode-script mix audit: per language, the ppm share of Latin,
     * CJK, Cyrillic and digit codepoints — the triage a multilingual
     * pipeline runs to catch wrong-language contamination before
@@ -2246,9 +2260,8 @@ object TextQueries {
     */
   def scriptMix(spark: SparkSession, sfDir: String): DataFrame = {
     val planted = concat(col("text"), lit(" 中文 кириллица 123"))
-    val cps = filter(transform(split(planted, ""), c => ascii(c)), c => c > 32)
-    def share(lo: Int, hi: Int) =
-      size(filter(cps, c => c >= lo && c <= hi)).cast("long")
+    val cps = scriptCps(planted)
+    def share(lo: Int, hi: Int) = scriptShare(cps, lo, hi)
     table(spark, sfDir, "documents")
       .select(col("lang"),
         size(cps).cast("long").as("n_cp"),
@@ -2795,6 +2808,66 @@ object TextQueries {
     java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"${graft.GraftSession.fixtureRoot(sfDir)}/langstats_v$LangStatsVersion/hist"))
 
+  // --------------------------------------- script-axis drift reference
+  private val ScriptStatsVersion = 1
+
+  /** The SECOND standing drift reference: the corpus's per-script
+    * codepoint histogram (5 rows — bounded domain by construction,
+    * exactly like the lang axis's |langs|). Same lifecycle as
+    * [[langStatsLayout]]: seeded at the corpus stamp, maintained by
+    * appended partials, semantically compacted.
+    */
+  private[graft] def scriptStatsLayout(spark: SparkSession, sfDir: String): String = {
+    val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/scriptstats_v$ScriptStatsVersion"
+    graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(layout, "_LAST_BATCH"))
+      graft.GraftSession.deleteRec(
+        java.nio.file.Paths.get(s"$layout/hist_compacting"))
+      scriptCountsOf(table(spark, sfDir, "documents"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$layout/hist")
+    }
+    s"$layout/hist"
+  }
+
+  /** [[langStatsAppend]]'s script-axis twin: the passed batch's
+    * per-script codepoint counts append as 5 mergeable partial rows.
+    */
+  private[graft] def scriptStatsAppend(spark: SparkSession, sfDir: String,
+      passedDocs: DataFrame): String = {
+    val hist = scriptStatsLayout(spark, sfDir)
+    scriptCountsOf(passedDocs).write.mode("append").parquet(hist)
+    hist
+  }
+
+  /** foreachBatch-idempotent script-histogram append, for a DETACHED
+    * maintenance stream ([[langStatsAppendOnce]]'s twin).
+    */
+  def scriptStatsAppendOnce(spark: SparkSession, sfDir: String,
+      passedDocs: DataFrame, batchId: Long): Boolean = {
+    val hist = scriptStatsLayout(spark, sfDir)
+    graft.GraftSession.appliedOnce(
+      java.nio.file.Paths.get(hist).getParent.resolve("_LAST_BATCH"), batchId) {
+      scriptCountsOf(passedDocs).write.mode("append").parquet(hist)
+    }
+  }
+
+  /** Semantic compaction of the script histogram's partials
+    * ([[langStatsCompact]]'s twin — one row per script after).
+    */
+  def scriptStatsCompact(spark: SparkSession, sfDir: String): String = {
+    val hist = scriptStatsLayout(spark, sfDir)
+    graft.GraftSession.compactSnapshot(spark, hist, (df, staged) => df
+      .groupBy("script").agg(sum(col("n")).as("n"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staged))
+    hist
+  }
+
+  def scriptStatsPresent(sfDir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/scriptstats_v$ScriptStatsVersion/hist"))
+
   /** L1 distance (ppm) between a batch's language distribution and the
     * standing histogram — THE one drift computation (batch query,
     * streaming gate and spec all call this, so the metric cannot drift
@@ -2804,25 +2877,47 @@ object TextQueries {
     * full-outer join keeps a lang that only one side has (its whole
     * share counts as drift). Returns one row (n_docs, l1_ppm, drifted).
     */
-  private[graft] def driftOf(batch: DataFrame, hist: DataFrame): DataFrame = {
-    // totals via an all-rows window, NOT a second aggregation or a
-    // checkpoint: the |langs|-row joined relation evaluates exactly
-    // once (a checkpoint here would pin one RDD per micro-batch in a
-    // 24/7 gate; a re-evaluation would run the batch aggregation
-    // twice), and the single-partition WindowExec is bounded by lang
-    // cardinality. Zero totals guard explicitly: an EMPTY standing
-    // histogram has no reference distribution, so every batch's whole
-    // mass counts as drift (l1 = 1M, flagged) — loud, never a
-    // null-propagating crash in the routing stream.
-    val b = batch.groupBy("lang").agg(count(lit(1)).as("nb"))
+  private[graft] def driftOf(batch: DataFrame, hist: DataFrame): DataFrame =
+    driftCounts(batch.groupBy("lang").agg(count(lit(1)).as("nb")), hist, "lang")
+
+  /** The script-axis twin of [[driftOf]]: the batch's per-script
+    * codepoint counts ([[scriptCountsOf]]) against the standing script
+    * histogram, through the IDENTICAL integer-L1 kernel — one metric,
+    * two bounded-domain axes. The lang axis alone is easy to pass
+    * while the content shifts (same langs, junk text); this catches
+    * the junk. `n_docs` here counts CODEPOINTS (the axis's mass unit).
+    */
+  private[graft] def driftScriptOf(batch: DataFrame, hist: DataFrame): DataFrame =
+    driftCounts(scriptCountsOf(batch).withColumnRenamed("n", "nb"),
+      hist, "script")
+
+  /** THE drift kernel, shared by both axes (and any future
+    * bounded-domain axis): given pre-aggregated batch counts (key, nb)
+    * and the standing histogram (key, n), the L1 distance in ppm
+    * between the two distributions. Exact integer arithmetic end to
+    * end: per-key shares quantized by BIGINT floor-division to ppm,
+    * |diffs| summed — no log/entropy float whose last ulp differs
+    * between engines. The full-outer join keeps a key only one side
+    * has (its whole share counts as drift). Totals via an all-rows
+    * window, NOT a second aggregation or a checkpoint: the joined
+    * relation is key-cardinality-sized and evaluates exactly once (a
+    * checkpoint here would pin one RDD per micro-batch in a 24/7
+    * gate). The kernel owns the partial-row merge (an
+    * append-maintained histogram holds a few rows per key; counts sum
+    * exactly), so every caller — batch query, door, spec — reads a
+    * maintained layout correctly. Zero totals guard explicitly: an
+    * EMPTY standing histogram has no reference distribution, so every
+    * batch's whole mass counts as drift (l1 = 1M, flagged) — loud,
+    * never a null-propagating crash in the routing stream. Returns one
+    * row (n_docs, l1_ppm, drifted).
+    */
+  private[graft] def driftCounts(batchCounts: DataFrame, hist: DataFrame,
+      key: String): DataFrame = {
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    // merge partial rows first: an append-maintained histogram holds a
-    // few rows per lang (counts sum exactly), and the kernel owning the
-    // merge means every caller — batch query, door, spec — reads a
-    // maintained layout correctly without its own aggregation step
-    val c = hist.groupBy("lang").agg(sum(col("n")).as("n"))
-    c.as("c").join(b.as("b"), Seq("lang"), "full_outer")
-      .select(col("lang"),
+    val c = hist.groupBy(key).agg(sum(col("n")).as("n"))
+    val b = batchCounts.groupBy(key).agg(sum(col("nb")).as("nb"))
+    c.as("c").join(b.as("b"), Seq(key), "full_outer")
+      .select(col(key),
         coalesce(col("n"), lit(0L)).as("nc"),
         coalesce(col("nb"), lit(0L)).as("nb"))
       .withColumn("tc", sum(col("nc")).over(all))
@@ -2839,6 +2934,33 @@ object TextQueries {
         coalesce(col("l1_ppm"), lit(0L)).as("l1_ppm"))
       .select(col("n_docs"), col("l1_ppm"),
         (col("l1_ppm") > DriftThresholdPpm).as("drifted"))
+  }
+
+  /** Per-script codepoint counts of a document relation — (script, n)
+    * over the bounded domain {latin, cjk, cyr, digit, other}: ONE
+    * narrow map-side-combined pass classifying every printable
+    * codepoint by the shared [[scriptCps]] recipe, then a 5-row
+    * unpivot. NULL text counts as empty (a streaming batch may carry
+    * nulls; the door must get a verdict, not a null-propagating size
+    * of -1).
+    */
+  private[graft] def scriptCountsOf(docs: DataFrame): DataFrame = {
+    val cps = scriptCps(coalesce(col("text"), lit("")))
+    docs
+      .select(
+        size(cps).cast("long").as("n_cp"),
+        (scriptShare(cps, 97, 122) + scriptShare(cps, 65, 90)).as("latin"),
+        scriptShare(cps, 0x4E00, 0x9FFF).as("cjk"),
+        scriptShare(cps, 0x400, 0x4FF).as("cyr"),
+        scriptShare(cps, 48, 57).as("digit"))
+      .agg(coalesce(sum(col("n_cp")), lit(0L)).as("n_cp"),
+        coalesce(sum(col("latin")), lit(0L)).as("latin"),
+        coalesce(sum(col("cjk")), lit(0L)).as("cjk"),
+        coalesce(sum(col("cyr")), lit(0L)).as("cyr"),
+        coalesce(sum(col("digit")), lit(0L)).as("digit"))
+      .select(expr(
+        "stack(5, 'latin', latin, 'cjk', cjk, 'cyr', cyr, 'digit', digit, " +
+          "'other', n_cp - latin - cjk - cyr - digit) AS (script, n)"))
   }
 
   /** Distribution-drift gate at the ingest door — the
@@ -2895,4 +3017,139 @@ object TextQueries {
       |SELECT batch_kind, n_docs, l1_ppm, l1_ppm > $DriftThresholdPpm AS drifted
       |FROM (SELECT * FROM sr UNION ALL SELECT * FROM ss)
       |ORDER BY batch_kind""".stripMargin
+
+  /** The digit-noise batch's planted body — all-digit text that leaves
+    * the language column (and with it the lang axis) untouched while
+    * collapsing the script mix. Interpolated into the oracle too.
+    */
+  private[graft] val DigitNoiseText = "0123456789 0123456789"
+
+  /** TWO-AXIS drift gate — the registered form of the door's combined
+    * verdict ([[graft.streaming.StreamingOps.driftRouteStream]] with
+    * `scriptAxis = true`): each synthetic batch is judged on BOTH
+    * bounded-domain axes through the one shared [[driftCounts]]
+    * kernel — language mix vs the standing lang histogram AND
+    * per-script codepoint mix vs the standing script histogram — and
+    * flagged on the OR. The lang axis alone is easy to pass while the
+    * content shifts (same langs, junk text): `digit_noise` is exactly
+    * that adversary — the representative batch with its text replaced
+    * by digits — so it PASSES the lang axis and FLAGS the script axis,
+    * while `single_lang` flags lang and `representative` passes both.
+    * Scale shape: two standing histograms (|langs| + 5 rows), two
+    * combining aggregates over the batch only; the corpus is never
+    * rescanned per batch.
+    */
+  def driftAxes(spark: SparkSession, sfDir: String): DataFrame = {
+    val langHist = spark.read.parquet(langStatsLayout(spark, sfDir))
+    val scriptHist = spark.read.parquet(scriptStatsLayout(spark, sfDir))
+    val docs = table(spark, sfDir, "documents")
+    // bounded driver value: the synthetic skewed batch's language
+    val minLang = docs.agg(min(col("lang"))).head.getString(0)
+    def axes(kind: String, batch: DataFrame): DataFrame = {
+      val l = driftOf(batch, langHist)
+        .select(col("n_docs"), col("l1_ppm").as("lang_l1_ppm"),
+          col("drifted").as("lang_drifted"))
+      val s = driftScriptOf(batch, scriptHist)
+        .select(col("l1_ppm").as("script_l1_ppm"),
+          col("drifted").as("script_drifted"))
+      l.crossJoin(s) // one row × one row — a bounded fuse, not a blowup
+        .select(lit(kind).as("batch_kind"), col("n_docs"),
+          col("lang_l1_ppm"), col("lang_drifted"),
+          col("script_l1_ppm"), col("script_drifted"),
+          (col("lang_drifted") || col("script_drifted")).as("drifted"))
+    }
+    val rep = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    axes("digit_noise", rep.withColumn("text", lit(DigitNoiseText)))
+      .unionByName(axes("representative", rep))
+      .unionByName(axes("single_lang", docs.where(col("lang") === minLang)))
+      .orderBy("batch_kind")
+  }
+
+  def driftAxesSql: String = {
+    // one L1 leg of the kernel, replayed per (batch × axis) with the
+    // same zero-total guards as the Scala path
+    def l1(join: String) =
+      s"""SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(abs(
+        |      CASE WHEN tc = 0 THEN 0 ELSE (1000000 * nc) // tc END -
+        |      CASE WHEN tb = 0 THEN 0 ELSE (1000000 * nb) // tb END)), 0) AS BIGINT) AS l1
+        |  FROM $join, (SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS tc FROM $join),
+        |    (SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS tb FROM $join)""".stripMargin
+    s"""WITH lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS nc FROM documents GROUP BY lang),
+      |scd AS (SELECT doc_id, lang,
+      |    list_filter(list_transform(generate_series(1, len(text)),
+      |      i -> unicode(text[i:i])), x -> x > 32) AS cps
+      |  FROM documents),
+      |scc AS (SELECT doc_id, lang,
+      |    CAST(len(cps) AS BIGINT) AS n_cp,
+      |    CAST(len(list_filter(cps, x -> (x >= 97 AND x <= 122)
+      |      OR (x >= 65 AND x <= 90))) AS BIGINT) AS latin,
+      |    CAST(len(list_filter(cps, x -> x >= 19968 AND x <= 40959)) AS BIGINT) AS cjk,
+      |    CAST(len(list_filter(cps, x -> x >= 1024 AND x <= 1279)) AS BIGINT) AS cyr,
+      |    CAST(len(list_filter(cps, x -> x >= 48 AND x <= 57)) AS BIGINT) AS digit
+      |  FROM scd),
+      |st AS (SELECT CAST(sum(latin) AS BIGINT) AS latin, CAST(sum(cjk) AS BIGINT) AS cjk,
+      |    CAST(sum(cyr) AS BIGINT) AS cyr, CAST(sum(digit) AS BIGINT) AS digit,
+      |    CAST(sum(n_cp) AS BIGINT) AS n_cp FROM scc),
+      |sh AS (SELECT 'latin' AS script, latin AS nc FROM st
+      |  UNION ALL SELECT 'cjk', cjk FROM st
+      |  UNION ALL SELECT 'cyr', cyr FROM st
+      |  UNION ALL SELECT 'digit', digit FROM st
+      |  UNION ALL SELECT 'other', n_cp - latin - cjk - cyr - digit FROM st),
+      |rl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb FROM documents
+      |  WHERE doc_id % 10 = 0 GROUP BY lang),
+      |rst AS (SELECT CAST(sum(latin) AS BIGINT) AS latin, CAST(sum(cjk) AS BIGINT) AS cjk,
+      |    CAST(sum(cyr) AS BIGINT) AS cyr, CAST(sum(digit) AS BIGINT) AS digit,
+      |    CAST(sum(n_cp) AS BIGINT) AS n_cp FROM scc WHERE doc_id % 10 = 0),
+      |rs AS (SELECT 'latin' AS script, latin AS nb FROM rst
+      |  UNION ALL SELECT 'cjk', cjk FROM rst
+      |  UNION ALL SELECT 'cyr', cyr FROM rst
+      |  UNION ALL SELECT 'digit', digit FROM rst
+      |  UNION ALL SELECT 'other', n_cp - latin - cjk - cyr - digit FROM rst),
+      |ul AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb FROM documents
+      |  WHERE lang = (SELECT min(lang) FROM documents) GROUP BY lang),
+      |ust AS (SELECT CAST(sum(latin) AS BIGINT) AS latin, CAST(sum(cjk) AS BIGINT) AS cjk,
+      |    CAST(sum(cyr) AS BIGINT) AS cyr, CAST(sum(digit) AS BIGINT) AS digit,
+      |    CAST(sum(n_cp) AS BIGINT) AS n_cp FROM scc
+      |  WHERE lang = (SELECT min(lang) FROM documents)),
+      |us AS (SELECT 'latin' AS script, latin AS nb FROM ust
+      |  UNION ALL SELECT 'cjk', cjk FROM ust
+      |  UNION ALL SELECT 'cyr', cyr FROM ust
+      |  UNION ALL SELECT 'digit', digit FROM ust
+      |  UNION ALL SELECT 'other', n_cp - latin - cjk - cyr - digit FROM ust),
+      |dct AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents WHERE doc_id % 10 = 0),
+      |-- the planted batch body is all digits: 20 digit codepoints per
+      |-- doc (DigitNoiseText), zero everywhere else
+      |ds AS (SELECT 'latin' AS script, CAST(0 AS BIGINT) AS nb FROM dct
+      |  UNION ALL SELECT 'cjk', 0 FROM dct
+      |  UNION ALL SELECT 'cyr', 0 FROM dct
+      |  UNION ALL SELECT 'digit', 20 * c FROM dct
+      |  UNION ALL SELECT 'other', 0 FROM dct),
+      |jrl AS (SELECT coalesce(lc.nc, 0) AS nc, coalesce(rl.nb, 0) AS nb
+      |  FROM lc FULL OUTER JOIN rl USING (lang)),
+      |jul AS (SELECT coalesce(lc.nc, 0) AS nc, coalesce(ul.nb, 0) AS nb
+      |  FROM lc FULL OUTER JOIN ul USING (lang)),
+      |jrs AS (SELECT coalesce(sh.nc, 0) AS nc, coalesce(rs.nb, 0) AS nb
+      |  FROM sh FULL OUTER JOIN rs USING (script)),
+      |jus AS (SELECT coalesce(sh.nc, 0) AS nc, coalesce(us.nb, 0) AS nb
+      |  FROM sh FULL OUTER JOIN us USING (script)),
+      |jds AS (SELECT coalesce(sh.nc, 0) AS nc, coalesce(ds.nb, 0) AS nb
+      |  FROM sh FULL OUTER JOIN ds USING (script)),
+      |l1rl AS (${l1("jrl")}),
+      |l1ul AS (${l1("jul")}),
+      |l1rs AS (${l1("jrs")}),
+      |l1us AS (${l1("jus")}),
+      |l1ds AS (${l1("jds")})
+      |SELECT batch_kind, n_docs, lang_l1_ppm,
+      |  lang_l1_ppm > $DriftThresholdPpm AS lang_drifted,
+      |  script_l1_ppm, script_l1_ppm > $DriftThresholdPpm AS script_drifted,
+      |  (lang_l1_ppm > $DriftThresholdPpm)
+      |    OR (script_l1_ppm > $DriftThresholdPpm) AS drifted
+      |FROM (
+      |  SELECT 'representative' AS batch_kind, l.n_docs,
+      |    l.l1 AS lang_l1_ppm, s.l1 AS script_l1_ppm FROM l1rl l, l1rs s
+      |  UNION ALL SELECT 'single_lang', l.n_docs, l.l1, s.l1 FROM l1ul l, l1us s
+      |  UNION ALL SELECT 'digit_noise', l.n_docs, l.l1, s.l1 FROM l1rl l, l1ds s)
+      |ORDER BY batch_kind""".stripMargin
+  }
 }

@@ -30,6 +30,28 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
   *   PUT    /pause | /resume       park / release the running import
   *                                 (reference /pause, /resume)
   *
+  * With a door directory attached (`HttpServer <spool> [port]
+  * [doorDir]`), the drift door's operator verbs serve over the same
+  * shim — the reference serves every operator verb over HTTP
+  * (`lightning.go:137-144`); ours should too, not Ctl-only:
+  *
+  *   GET    /door/released         {"released":[batchIds]} — marker
+  *                                 listing, pure filesystem
+  *   GET    /door/audit            the audit feed as a JSON array
+  *                                 (routed verdicts + release records;
+  *                                 consumers dedup on (batch_id,
+  *                                 event) — at-least-once contract)
+  *   POST   /door/release/{id}     feed an inspection-cleared batch to
+  *                                 the passed flow (= Ctl
+  *                                 quarantine-release); refusals
+  *                                 (already released, in progress, no
+  *                                 rows) are 409, not 500
+  *
+  * The door verbs are the one place the shim touches Spark (parquet
+  * audit rows; the release's row selection): the session builds
+  * LAZILY on first use, so pure queue administration stays as light
+  * as before.
+  *
   * The body format is the spool queue's flat-JSON task (`sourceDir`,
   * `targetDir`, optional `filters`, `stateDir`) — validated with
   * [[Server.parseTask]] BEFORE it is enqueued, so a malformed task
@@ -43,7 +65,15 @@ object HttpServer {
     * (call `.stop(0)` to shut down) — separated from [[main]] so specs
     * can run a real localhost round trip.
     */
-  def start(spool: String, port: Int): JdkHttpServer = {
+  def start(spool: String, port: Int): JdkHttpServer =
+    start(spool, port, None, () => graft.GraftSession.build())
+
+  /** Full form: `doorDir` attaches the drift-door verbs;
+    * `sparkProvider` supplies the session they need (lazily invoked —
+    * specs pass their own session, [[main]] builds one on first use).
+    */
+  def start(spool: String, port: Int, doorDir: Option[String],
+      sparkProvider: () => org.apache.spark.sql.SparkSession): JdkHttpServer = {
     val queue = Files.createDirectories(Paths.get(spool, "queue"))
     val srv = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -203,6 +233,67 @@ object HttpServer {
       respond(ex, 200, s"""{"id":${jsonStr(name)}}""")
     }
 
+    doorDir.foreach { dd =>
+      lazy val spark = sparkProvider()
+      srv.createContext("/door", (ex: HttpExchange) => {
+        try {
+          val rest = ex.getRequestURI.getPath.stripPrefix("/door")
+            .stripPrefix("/").split("/").toList.filter(_.nonEmpty)
+          (ex.getRequestMethod, rest) match {
+            case ("GET", List("released")) =>
+              val dir = Paths.get(dd, "released")
+              val ids =
+                if (!Files.isDirectory(dir)) Seq.empty[String]
+                else {
+                  val l = Files.list(dir)
+                  try l.iterator().asScala.toSeq
+                    .map(_.getFileName.toString)
+                    .filter(_.forall(_.isDigit)).sortBy(_.toLong)
+                  finally l.close()
+                }
+              respond(ex, 200, ids.mkString("""{"released":[""", ",", "]}"))
+            case ("GET", List("audit")) =>
+              val dir = Paths.get(dd, "audit")
+              val hasRows = Files.isDirectory(dir) && {
+                val l = Files.list(dir)
+                try l.iterator().asScala.exists { p =>
+                  val fn = p.getFileName.toString
+                  Files.isRegularFile(p) && !fn.startsWith("_") && !fn.startsWith(".")
+                } finally l.close()
+              }
+              val rows =
+                if (!hasRows) Seq.empty[String]
+                else spark.read.parquet(dir.toString)
+                  .orderBy("batch_id", "event")
+                  .collect().toSeq // bounded: one row per (batch, event)
+                  .map { r =>
+                    def j(i: Int): String =
+                      if (r.isNullAt(i)) "null"
+                      else r.get(i) match {
+                        case s: String => jsonStr(s)
+                        case v => v.toString
+                      }
+                    r.schema.fieldNames.zipWithIndex
+                      .map { case (f, i) => s"${jsonStr(f)}:${j(i)}" }
+                      .mkString("{", ",", "}")
+                  }
+              respond(ex, 200, rows.mkString("[", ",", "]"))
+            case ("POST", List("release", id)) if id.forall(_.isDigit) =>
+              try {
+                val n = graft.streaming.StreamingOps
+                  .quarantineRelease(spark, dd, id.toLong)
+                respond(ex, 200, s"""{"released":$id,"n_docs":$n}""")
+              } catch {
+                // refusals are operator answers, not server faults
+                case e: IllegalArgumentException => err(ex, 409, e.getMessage)
+              }
+            case (m, p) =>
+              err(ex, 405, s"unsupported: $m /door/${p.mkString("/")}")
+          }
+        } catch { case e: Exception => err(ex, 500, String.valueOf(e.getMessage)) }
+      })
+    }
+
     srv.createContext("/pause", (ex: HttpExchange) => {
       val p = Paths.get(spool, "pause")
       ex.getRequestMethod match {
@@ -243,10 +334,12 @@ object HttpServer {
 
   def main(args: Array[String]): Unit = {
     val spool = args.headOption.getOrElse(
-      sys.error("usage: HttpServer <spoolDir> [port]"))
+      sys.error("usage: HttpServer <spoolDir> [port] [doorDir]"))
     val port = args.lift(1).map(_.toInt).getOrElse(8289)
-    val srv = start(spool, port)
-    println(s"graft task API on http://127.0.0.1:${srv.getAddress.getPort} (spool: $spool)")
+    val door = args.lift(2)
+    val srv = start(spool, port, door, () => graft.GraftSession.build())
+    println(s"graft task API on http://127.0.0.1:${srv.getAddress.getPort} (spool: $spool" +
+      door.map(d => s", door: $d").getOrElse("") + ")")
     // park the main thread; the JDK server runs on its own executor
     Thread.currentThread.join()
   }

@@ -203,9 +203,25 @@ object StreamingOps {
     * also run a detached
     * [[graft.operators.TextQueries.langStatsAppendOnce]] stream on the
     * same layout — that would double-count.
+    *
+    * `scriptAxis = true` adds the SECOND drift axis: the batch's
+    * per-script codepoint mix vs the standing script histogram
+    * ([[graft.operators.TextQueries.driftScriptOf]] — the identical
+    * integer-L1 kernel over the bounded {latin, cjk, cyr, digit,
+    * other} domain), and the routing verdict is the OR of the axes —
+    * the lang axis alone is easy to pass while the content shifts
+    * (same langs, junk text). With maintenance on, a passed batch
+    * feeds BOTH standing references. Opt-in (not the default) because
+    * the axis reads every batch character where the lang axis reads a
+    * column — enable it where the corpus is script-homogeneous enough
+    * for the threshold to mean something; enabling it mid-stream
+    * starts from the corpus-stamp snapshot (registered batch form:
+    * `q_drift_axes`). The audit schema is IDENTICAL in both modes
+    * (script columns null when the axis is off), so a reader never
+    * branches on door configuration.
     */
   def driftRouteStream(docs: DataFrame, sfDir: String, outDir: String,
-      maintainHistogram: Boolean = true):
+      maintainHistogram: Boolean = true, scriptAxis: Boolean = false):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // eager, so the advertised composition (a file source tailing
     // `passed`) starts clean before any batch has passed the door
@@ -225,19 +241,33 @@ object StreamingOps {
             val b = batch.toDF().localCheckpoint()
             try {
               val v = graft.operators.TextQueries.driftOf(b, hist).head()
-              val (nDocs, l1, drifted) =
+              val (nDocs, langL1, langDrifted) =
                 (v.getLong(0), v.getLong(1), v.getBoolean(2))
-              Seq((batchId, nDocs, l1, drifted))
-                .toDF("batch_id", "n_docs", "l1_ppm", "drifted")
+              val script: Option[(Long, Boolean)] =
+                if (!scriptAxis) None
+                else {
+                  val sh = spark.read.parquet(
+                    graft.operators.TextQueries.scriptStatsLayout(spark, sfDir))
+                  val s = graft.operators.TextQueries.driftScriptOf(b, sh).head()
+                  Some((s.getLong(1), s.getBoolean(2)))
+                }
+              val drifted = langDrifted || script.exists(_._2)
+              Seq((batchId, "routed", nDocs, langL1, langDrifted,
+                script.map(_._1), script.map(_._2), drifted))
+                .toDF("batch_id", "event", "n_docs", "lang_l1_ppm",
+                  "lang_drifted", "script_l1_ppm", "script_drifted", "drifted")
                 .coalesce(1).write.mode("append").parquet(s"$outDir/audit")
               val dest = if (drifted) "quarantined" else "passed"
               b.withColumn("batch_id", lit(batchId))
                 .write.mode("append").parquet(s"$outDir/$dest")
-              // the door maintains its own reference with what it
+              // the door maintains its own references with what it
               // passes — AFTER the verdict (this batch was judged
-              // against the histogram as of batch N-1)
-              if (maintainHistogram && !drifted)
+              // against the histograms as of batch N-1)
+              if (maintainHistogram && !drifted) {
                 graft.operators.TextQueries.langStatsAppend(spark, sfDir, b)
+                if (scriptAxis)
+                  graft.operators.TextQueries.scriptStatsAppend(spark, sfDir, b)
+              }
             } finally { b.unpersist(); () }
           }
         ()
@@ -334,6 +364,22 @@ object StreamingOps {
           }
         finally stagedFiles.close()
         graft.GraftSession.deleteRec(stage)
+        // tell the audit trail: an operator reading the door's alarm
+        // feed must see the release, not "quarantined" forever. Same
+        // schema as the routed rows (drift columns null — a release is
+        // an operator decision, not a verdict), batch_id-stamped and
+        // timestamp-free like the rest; at-least-once across a crash
+        // here, so audit consumers dedup on (batch_id, event).
+        val auditDir = java.nio.file.Paths.get(doorDir, "audit")
+        if (java.nio.file.Files.isDirectory(auditDir)) {
+          import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+          Seq((batchId, "released", n, Option.empty[Long],
+            Option.empty[Boolean], Option.empty[Long],
+            Option.empty[Boolean], Option.empty[Boolean]))
+            .toDF("batch_id", "event", "n_docs", "lang_l1_ppm",
+              "lang_drifted", "script_l1_ppm", "script_drifted", "drifted")
+            .coalesce(1).write.mode("append").parquet(auditDir.toString)
+        }
         // commit point: everything is in passed/ — only now does the
         // batch report as released (a crash ANYWHERE above leaves the
         // marker absent, so the batch can never wedge half-released)

@@ -55,10 +55,10 @@ object ScalingProbe {
     "q_profile", "q_profile_approx",
     // events fold: k× users multiplies daily partial CARDINALITY, not
     // the calendar — the rollup serve stays calendar-sized
-    "q_sketch_rollup",
+    "q_sketch_rollup", "q_sketch_window",
     // synthetic batches are corpus slices, so the batch side grows ~k;
-    // the histogram side stays |langs| rows at any fold
-    "q_drift_gate")
+    // the histogram side stays |langs| (and 5 script) rows at any fold
+    "q_drift_gate", "q_drift_axes")
   private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
     "q_dedup_editdist")
 
@@ -90,7 +90,9 @@ object ScalingProbe {
     val spark = GraftSession.benchSession(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val ks = Seq(1, 2, 4).filter(_ <= maxK)
+    // 8x/16x: the one-decade probe (r12) — a 16x fold of sf0.1 is
+    // ~250 MB of parquet, still comfortably /tmp-sized
+    val ks = Seq(1, 2, 4, 8, 16).filter(_ <= maxK)
 
     // cache key carries the base corpus AND completeness: a different
     // base must not reuse old scaled copies, and a crashed write

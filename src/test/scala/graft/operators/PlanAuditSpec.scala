@@ -295,6 +295,19 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q_drift_axes REGISTERED query: both axes read standing layouts — no corpus histogram rebuild") {
+    // three batch legs × two axes: each leg reads the langs-sized lang
+    // histogram and the 5-row script histogram from their standing
+    // layouts; a regression re-deriving either reference from
+    // documents.parquet would pay the full corpus text scan per batch
+    val plan = planOf(graft.SparkEntry.queries("q_drift_axes")(spark, sf()))
+    assert("langstats".r.findAllIn(plan).size === 3, plan)
+    assert("scriptstats".r.findAllIn(plan).size === 3, plan)
+    // the only nested-loop joins are the three 1-row × 1-row axis
+    // fuses (each side a global aggregate) — bounded by construction
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 3, plan)
+  }
+
   test("q_sketch_rollup REGISTERED query: serves from the daily layout alone — no raw-events scan") {
     // the layout IS the product: any window merges calendar-sized
     // partials; a regression that re-derives from events.parquet would
@@ -304,6 +317,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("usersketch"), plan)
     assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
     assert(plan.contains("partial_"), plan) // map-side combine on the merge
+  }
+
+  test("q_sketch_window REGISTERED query: an arbitrary window is still layout-only") {
+    // same claim for a window nobody pre-aggregated: the [start, end)
+    // slice filter rides the one layout scan; raw events never enter
+    val plan = planOf(graft.SparkEntry.queries("q_sketch_window")(spark, sf()))
+    assert(!plan.contains("events.parquet"), plan)
+    assert(plan.contains("usersketch"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(day), GreaterThanOrEqual(day"), plan)
   }
 
   test("rrfFusion: both arms end in top-k heaps before the bounded fuse") {

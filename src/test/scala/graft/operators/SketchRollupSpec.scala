@@ -87,6 +87,32 @@ class SketchRollupSpec extends SparkSpec {
       .agg(sum("n_events")).head().getLong(0) === n)
   }
 
+  test("arbitrary-window estimate == direct sketch over the raw slice") {
+    // the layout never baked in a window alignment: any [start, end)
+    // merges register-wise to exactly the sketch a direct pass over
+    // the raw slice builds — here the registered two-week window
+    // (min day + 7 … + 21, deliberately not week-aligned)
+    val ev = graft.GraftSession.table(spark, sf(), "events")
+    val d0 = ev.agg(min(to_date(col("ts")))).head().getDate(0).toLocalDate
+    val (start, end) = (d0.plusDays(7).toString, d0.plusDays(21).toString)
+    val served = CoreQueries.sketchWindowEstimate(spark, sf(), start, end)
+      .head().getLong(0)
+    val direct = ev
+      .where(to_date(col("ts")) >= lit(start) && to_date(col("ts")) < lit(end))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(CoreQueries.SketchLgK))))
+      .head().getLong(0)
+    assert(served === direct,
+      "union-of-daily-sketches over the slice must equal sketch-of-raw-slice")
+    // and the registered form's exact anchors agree with raw counts
+    val row = graft.SparkEntry.queries("q_sketch_window")(spark, sf()).head()
+    assert(row.getString(0) === start && row.getString(1) === end)
+    assert(row.getLong(2) === 14L) // both SFs span 30 contiguous days
+    assert(row.getLong(3) === ev
+      .where(to_date(col("ts")) >= lit(start) && to_date(col("ts")) < lit(end))
+      .count())
+  }
+
   test("sketch compaction preserves a partial appended DURING the compaction") {
     val ev = graft.GraftSession.table(spark, sf(), "events")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.StreamingOps
+
+/** The drift door's operator verbs over the HTTP shim — real localhost
+  * round trips against a door a real stream routed: the audit feed,
+  * the released-marker listing, and the release verb with its refusal
+  * codes (409, not 500 — a refusal is an operator answer). The
+  * reference serves every operator verb over HTTP
+  * (`lightning/lightning.go:137-144`); this pins that ours does too.
+  */
+case class HttpDoorDoc(doc_id: Long, text: String, lang: String)
+
+class HttpDoorSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def req(base: String, method: String, path: String): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+    val r = method match {
+      case "GET" => b.GET()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(""))
+    }
+    val resp = client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("door verbs: audit feed, release, refusal codes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_hd").toString
+    (1 to 20).map(i => HttpDoorDoc(i.toLong, s"doc $i", "en"))
+      .toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_hd_door").toString
+    val input = MemoryStream[HttpDoorDoc]
+    val q = StreamingOps.driftRouteStream(input.toDF(), corpusDir, doorDir).start()
+    try {
+      input.addData((100 to 104).map(i => HttpDoorDoc(i.toLong, "x", "zz")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val spool = java.nio.file.Files.createTempDirectory("graft_hd_spool").toString
+    val srv = HttpServer.start(spool, 0, Some(doorDir), () => spark)
+    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    try {
+      assert(req(base, "GET", "/door/released") === ((200, """{"released":[]}""")))
+      val (ac, ab) = req(base, "GET", "/door/audit")
+      assert(ac === 200)
+      assert(ab.startsWith("[{") && ab.endsWith("}]"), ab)
+      assert(ab.contains(""""event":"routed"""") &&
+        ab.contains(""""drifted":true"""), ab)
+
+      val (rc, rb) = req(base, "POST", "/door/release/0")
+      assert(rc === 200 && rb === """{"released":0,"n_docs":5}""")
+      assert(req(base, "GET", "/door/released") === ((200, """{"released":[0]}""")))
+      // the audit feed now carries the release record beside the verdict
+      val after = req(base, "GET", "/door/audit")._2
+      assert(after.contains(""""event":"released"""") &&
+        after.contains(""""lang_l1_ppm":null"""), after)
+
+      // refusals are 409s with the operator-facing message
+      val (dc, db) = req(base, "POST", "/door/release/0")
+      assert(dc === 409 && db.contains("already released"), (dc, db))
+      val (mc, mb) = req(base, "POST", "/door/release/7")
+      assert(mc === 409 && mb.contains("no quarantined rows"), (mc, mb))
+      // non-numeric ids never reach the release path
+      assert(req(base, "POST", "/door/release/abc")._1 === 405)
+      // the queue verbs are untouched by the door attachment
+      assert(req(base, "GET", "/tasks") ===
+        ((200, """{"queue":[],"running":[]}""")))
+    } finally srv.stop(0)
+  }
+
+  test("a fresh door serves empty feeds, not a schema-inference crash") {
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_hd_fresh").toString
+    val spool = java.nio.file.Files.createTempDirectory("graft_hd_spool2").toString
+    val srv = HttpServer.start(spool, 0, Some(doorDir), () => spark)
+    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    try {
+      assert(req(base, "GET", "/door/audit") === ((200, "[]")))
+      assert(req(base, "GET", "/door/released") === ((200, """{"released":[]}""")))
+    } finally srv.stop(0)
+  }
+}

@@ -105,6 +105,18 @@ class DriftGateStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$doorDir/passed")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       === (100L to 104L))
+    // the audit trail records the release beside the routing verdict —
+    // an operator reading the alarm feed must not see "quarantined"
+    // forever after the batch was fed back
+    val auditRows = spark.read.parquet(s"$doorDir/audit")
+      .orderBy("event").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("event"),
+        r.getAs[Long]("n_docs")))
+    assert(auditRows.toSeq === Seq((0L, "released", 5L), (0L, "routed", 5L)))
+    assert(spark.read.parquet(s"$doorDir/audit")
+      .where(col("event") === "released")
+      .select("lang_l1_ppm").head().isNullAt(0),
+      "a release is an operator decision, not a verdict — drift columns null")
     // the historical record stays; a double release refuses loudly
     assert(spark.read.parquet(s"$doorDir/quarantined").count() === 5)
     val dup = intercept[IllegalArgumentException] {
@@ -295,9 +307,88 @@ class DriftGateStreamSpec extends SparkSpec {
     assert((frozen.getLong(1), frozen.getBoolean(2)) === ((300000L, true)))
   }
 
+  test("two-axis door: junk-script batch quarantined though its language mix is perfect") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: all-latin text, 50/50 en/de
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_axes").toString
+    val seed = (1 to 40).map(i =>
+      DriftDoc(i.toLong, "alpha beta", if (i % 2 == 0) "en" else "de"))
+    seed.toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_axes_door").toString
+    val clean = Seq(DriftDoc(100, "alpha beta", "en"), DriftDoc(101, "alpha beta", "de"))
+    // the lang-axis blind spot: perfect language mix, all-digit bodies
+    val junk = Seq(DriftDoc(110, "0123 4567", "en"), DriftDoc(111, "0123 4567", "de"))
+    // ...and the converse: clean text, unknown language
+    val wrongLang = Seq(DriftDoc(120, "alpha beta", "zz"), DriftDoc(121, "alpha beta", "zz"))
+    val input = MemoryStream[DriftDoc]
+    val q = StreamingOps.driftRouteStream(
+      input.toDF(), corpusDir, doorDir, scriptAxis = true).start()
+    try {
+      input.addData(clean: _*); q.processAllAvailable()
+      input.addData(junk: _*); q.processAllAvailable()
+      input.addData(wrongLang: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val audit = spark.read.parquet(s"$doorDir/audit").orderBy("batch_id")
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Boolean]("lang_drifted"),
+        r.getAs[Boolean]("script_drifted"), r.getAs[Boolean]("drifted")))
+    assert(audit.toSeq === Seq(
+      (0L, false, false, false), // clean: passes both axes
+      (1L, false, true, true),   // junk script: ONLY the script axis catches it
+      (2L, true, false, true)),  // wrong lang: ONLY the lang axis catches it
+      audit.mkString(", "))
+    assert(spark.read.parquet(s"$doorDir/passed")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(100L, 101L))
+    assert(spark.read.parquet(s"$doorDir/quarantined")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(110L, 111L, 120L, 121L))
+
+    // maintenance feeds BOTH standing references with the passed batch
+    assert(mergedHist(corpusDir) === Map("en" -> 21L, "de" -> 21L))
+    val scriptHist = spark.read
+      .parquet(TextQueries.scriptStatsLayout(spark, corpusDir))
+      .groupBy("script").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "alpha beta" = 9 latin codepoints × (40 seed + 2 passed) docs
+    assert(scriptHist === Map("latin" -> 378L, "cjk" -> 0L, "cyr" -> 0L,
+      "digit" -> 0L, "other" -> 0L))
+
+    // detached-append idempotence + semantic compaction, script twin
+    assert(TextQueries.scriptStatsAppendOnce(spark, corpusDir,
+      Seq(DriftDoc(200, "x 5", "en")).toDF(), batchId = 7L))
+    assert(!TextQueries.scriptStatsAppendOnce(spark, corpusDir,
+      Seq(DriftDoc(200, "x 5", "en")).toDF(), batchId = 7L))
+    assert(TextQueries.scriptStatsPresent(corpusDir))
+    TextQueries.scriptStatsCompact(spark, corpusDir)
+    val hist = TextQueries.scriptStatsLayout(spark, corpusDir)
+    assert(spark.read.parquet(hist).count() === 5,
+      "compaction collapses to exactly one row per script")
+    assert(spark.read.parquet(hist)
+      .groupBy("script").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("latin" -> 379L, "cjk" -> 0L, "cyr" -> 0L,
+        "digit" -> 1L, "other" -> 0L))
+  }
+
   test("registered q_drift_gate: both verdicts occur on the real corpus") {
     val rows = graft.SparkEntry.queries("q_drift_gate")(spark, sf()).collect()
       .map(r => (r.getString(0), r.getBoolean(3))).toMap
     assert(rows === Map("representative" -> false, "single_lang" -> true))
+  }
+
+  test("registered q_drift_axes: each axis catches its own adversary") {
+    val rows = graft.SparkEntry.queries("q_drift_axes")(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Boolean]("lang_drifted"), r.getAs[Boolean]("script_drifted"),
+          r.getAs[Boolean]("drifted")))).toMap
+    assert(rows("representative") === ((false, false, false)))
+    assert(rows("digit_noise") === ((false, true, true)),
+      "digit noise passes the lang axis — only the script axis sees it")
+    assert(rows("single_lang")._1 === true)
+    assert(rows("single_lang")._3 === true)
   }
 }
