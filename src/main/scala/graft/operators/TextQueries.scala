@@ -2731,54 +2731,105 @@ object TextQueries {
     * 100 TB this is the point: the gate never rescans the corpus, it
     * broadcasts a langs-sized relation.
     */
-  private[graft] def langStatsLayout(spark: SparkSession, sfDir: String): String = {
-    val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/langstats_v$LangStatsVersion"
-    graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
-      // a rebuild is a new corpus snapshot — void any streaming
-      // maintenance batch marker and any crashed compaction's staging
-      // tree from the previous one (the usersketch discipline)
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(layout, "_LAST_BATCH"))
-      graft.GraftSession.deleteRec(
-        java.nio.file.Paths.get(s"$layout/hist_compacting"))
-      table(spark, sfDir, "documents")
-        .groupBy("lang").agg(count(lit(1)).as("n"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$layout/hist")
+  /** ONE implementation of the standing drift-reference lifecycle,
+    * shared by both axes (and free for any future bounded-domain
+    * axis): a histogram is defined by its layout name, its key column,
+    * and ONE counts recipe (`countsOf: docs => (key, n)`), and gets
+    * the full standing-layout symmetry — corpus-stamp seed with
+    * marker/staging voiding on rebuild (the usersketch discipline),
+    * O(batch) partial appends, a batchId-deduped appendOnce, semantic
+    * compaction on the shared snapshot/manifest engine, and a
+    * presence probe for `Ctl index-compact`.
+    */
+  private final class DriftReference(layoutName: String, key: String,
+      countsOf: DataFrame => DataFrame) {
+
+    def layout(spark: SparkSession, sfDir: String): String = {
+      val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/$layoutName"
+      graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
+        // a rebuild is a new corpus snapshot — void any streaming
+        // maintenance batch marker and any crashed compaction's
+        // staging tree from the previous one
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(layout, "_LAST_BATCH"))
+        graft.GraftSession.deleteRec(
+          java.nio.file.Paths.get(s"$layout/hist_compacting"))
+        countsOf(table(spark, sfDir, "documents"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$layout/hist")
+      }
+      s"$layout/hist"
     }
-    s"$layout/hist"
+
+    def append(spark: SparkSession, sfDir: String, passedDocs: DataFrame): String = {
+      val hist = layout(spark, sfDir) // ensure the base exists
+      countsOf(passedDocs).write.mode("append").parquet(hist)
+      hist
+    }
+
+    def appendOnce(spark: SparkSession, sfDir: String, passedDocs: DataFrame,
+        batchId: Long): Boolean = {
+      val hist = layout(spark, sfDir)
+      graft.GraftSession.appliedOnce(
+        java.nio.file.Paths.get(hist).getParent.resolve("_LAST_BATCH"), batchId) {
+        countsOf(passedDocs).write.mode("append").parquet(hist)
+      }
+    }
+
+    def compact(spark: SparkSession, sfDir: String,
+        beforeSwap: () => Unit): String = {
+      val hist = layout(spark, sfDir)
+      graft.GraftSession.compactSnapshot(spark, hist, (df, staged) => df
+        .groupBy(key).agg(sum(col("n")).as("n"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(staged),
+        beforeSwap)
+      hist
+    }
+
+    def present(sfDir: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"${graft.GraftSession.fixtureRoot(sfDir)}/$layoutName/hist"))
   }
+
+  private val ScriptStatsVersion = 1
+
+  /** Standing corpus language histogram (a few partial rows per lang;
+    * [[driftCounts]] sums them at read).
+    */
+  private val langStats = new DriftReference(s"langstats_v$LangStatsVersion",
+    "lang", _.groupBy("lang").agg(count(lit(1)).as("n")))
+
+  /** The SECOND standing drift reference: the corpus's per-script
+    * codepoint histogram (5 rows — bounded domain by construction,
+    * exactly like the lang axis's |langs|).
+    */
+  private val scriptStats = new DriftReference(
+    s"scriptstats_v$ScriptStatsVersion", "script", scriptCountsOf)
+
+  private[graft] def langStatsLayout(spark: SparkSession, sfDir: String): String =
+    langStats.layout(spark, sfDir)
 
   /** Histogram maintenance — the [[graft.operators.DedupQueries
     * .simhashAppend]] sibling for the drift door's standing reference:
     * the PASSED batch's per-lang counts append as partial rows (counts
     * merge by sum, so the append is O(batch) and the layout never
-    * rewrites). Called by [[graft.streaming.StreamingOps
-    * .driftRouteStream]] inside the door's own batch body
-    * (`maintainHistogram = true`, the `nearDupGateStream
-    * maintainIndex` pattern), so batch N+1 is judged against
-    * everything the door passed through batch N.
+    * rewrites).
     */
   private[graft] def langStatsAppend(spark: SparkSession, sfDir: String,
-      passedDocs: DataFrame): String = {
-    val hist = langStatsLayout(spark, sfDir) // ensure the base exists
-    passedDocs.groupBy("lang").agg(count(lit(1)).as("n"))
-      .write.mode("append").parquet(hist)
-    hist
-  }
+      passedDocs: DataFrame): String =
+    langStats.append(spark, sfDir, passedDocs)
 
   /** foreachBatch-idempotent histogram append (the `simhashAppendOnce`
-    * pattern) — for a DETACHED maintenance stream; the door itself
-    * appends inline under its own batch marker instead.
+    * pattern): the layout-local `_LAST_BATCH` marker makes a replayed
+    * batchId a no-op instead of double-counted partials — counts,
+    * unlike fingerprint rows, are corrupted by duplication, so the
+    * door's inline maintenance rides THIS form too (one door per
+    * layout: the marker namespaces batchIds per checkpoint, exactly
+    * the `_LAST_BATCH` lifetime contract).
     */
   def langStatsAppendOnce(spark: SparkSession, sfDir: String,
-      passedDocs: DataFrame, batchId: Long): Boolean = {
-    val hist = langStatsLayout(spark, sfDir)
-    graft.GraftSession.appliedOnce(
-      java.nio.file.Paths.get(hist).getParent.resolve("_LAST_BATCH"), batchId) {
-      passedDocs.groupBy("lang").agg(count(lit(1)).as("n"))
-        .write.mode("append").parquet(hist)
-    }
-  }
+      passedDocs: DataFrame, batchId: Long): Boolean =
+    langStats.appendOnce(spark, sfDir, passedDocs, batchId)
 
   /** SEMANTIC compaction for the histogram layout — the
     * [[graft.operators.CoreQueries.sketchCompact]] sibling: N partial
@@ -2788,85 +2839,45 @@ object TextQueries {
     * engine, so a concurrent door append survives and a crash replays.
     */
   def langStatsCompact(spark: SparkSession, sfDir: String): String =
-    langStatsCompact(spark, sfDir, () => ())
+    langStats.compact(spark, sfDir, () => ())
 
   private[graft] def langStatsCompact(spark: SparkSession, sfDir: String,
-      beforeSwap: () => Unit): String = {
-    val hist = langStatsLayout(spark, sfDir)
-    graft.GraftSession.compactSnapshot(spark, hist, (df, staged) => df
-      .groupBy("lang").agg(sum(col("n")).as("n"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(staged),
-      beforeSwap)
-    hist
-  }
+      beforeSwap: () => Unit): String =
+    langStats.compact(spark, sfDir, beforeSwap)
 
   /** Whether a standing histogram exists for `sfDir` (the `Ctl
     * index-compact` nothing-to-compact guard).
     */
-  def langStatsPresent(sfDir: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(
-      s"${graft.GraftSession.fixtureRoot(sfDir)}/langstats_v$LangStatsVersion/hist"))
+  def langStatsPresent(sfDir: String): Boolean = langStats.present(sfDir)
 
-  // --------------------------------------- script-axis drift reference
-  private val ScriptStatsVersion = 1
-
-  /** The SECOND standing drift reference: the corpus's per-script
-    * codepoint histogram (5 rows — bounded domain by construction,
-    * exactly like the lang axis's |langs|). Same lifecycle as
-    * [[langStatsLayout]]: seeded at the corpus stamp, maintained by
-    * appended partials, semantically compacted.
-    */
-  private[graft] def scriptStatsLayout(spark: SparkSession, sfDir: String): String = {
-    val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/scriptstats_v$ScriptStatsVersion"
-    graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(layout, "_LAST_BATCH"))
-      graft.GraftSession.deleteRec(
-        java.nio.file.Paths.get(s"$layout/hist_compacting"))
-      scriptCountsOf(table(spark, sfDir, "documents"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$layout/hist")
-    }
-    s"$layout/hist"
-  }
+  private[graft] def scriptStatsLayout(spark: SparkSession, sfDir: String): String =
+    scriptStats.layout(spark, sfDir)
 
   /** [[langStatsAppend]]'s script-axis twin: the passed batch's
     * per-script codepoint counts append as 5 mergeable partial rows.
     */
   private[graft] def scriptStatsAppend(spark: SparkSession, sfDir: String,
-      passedDocs: DataFrame): String = {
-    val hist = scriptStatsLayout(spark, sfDir)
-    scriptCountsOf(passedDocs).write.mode("append").parquet(hist)
-    hist
-  }
+      passedDocs: DataFrame): String =
+    scriptStats.append(spark, sfDir, passedDocs)
 
-  /** foreachBatch-idempotent script-histogram append, for a DETACHED
-    * maintenance stream ([[langStatsAppendOnce]]'s twin).
+  /** [[langStatsAppendOnce]]'s script-axis twin — same batchId-dedup
+    * rationale: counts are corrupted by replay duplication.
     */
   def scriptStatsAppendOnce(spark: SparkSession, sfDir: String,
-      passedDocs: DataFrame, batchId: Long): Boolean = {
-    val hist = scriptStatsLayout(spark, sfDir)
-    graft.GraftSession.appliedOnce(
-      java.nio.file.Paths.get(hist).getParent.resolve("_LAST_BATCH"), batchId) {
-      scriptCountsOf(passedDocs).write.mode("append").parquet(hist)
-    }
-  }
+      passedDocs: DataFrame, batchId: Long): Boolean =
+    scriptStats.appendOnce(spark, sfDir, passedDocs, batchId)
 
   /** Semantic compaction of the script histogram's partials
     * ([[langStatsCompact]]'s twin — one row per script after).
     */
-  def scriptStatsCompact(spark: SparkSession, sfDir: String): String = {
-    val hist = scriptStatsLayout(spark, sfDir)
-    graft.GraftSession.compactSnapshot(spark, hist, (df, staged) => df
-      .groupBy("script").agg(sum(col("n")).as("n"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(staged))
-    hist
-  }
+  def scriptStatsCompact(spark: SparkSession, sfDir: String): String =
+    scriptStats.compact(spark, sfDir, () => ())
 
-  def scriptStatsPresent(sfDir: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(
-      s"${graft.GraftSession.fixtureRoot(sfDir)}/scriptstats_v$ScriptStatsVersion/hist"))
+  private[graft] def scriptStatsCompact(spark: SparkSession, sfDir: String,
+      beforeSwap: () => Unit): String =
+    scriptStats.compact(spark, sfDir, beforeSwap)
+
+  def scriptStatsPresent(sfDir: String): Boolean = scriptStats.present(sfDir)
 
   /** L1 distance (ppm) between a batch's language distribution and the
     * standing histogram — THE one drift computation (batch query,
@@ -3045,23 +3056,30 @@ object TextQueries {
     val docs = table(spark, sfDir, "documents")
     // bounded driver value: the synthetic skewed batch's language
     val minLang = docs.agg(min(col("lang"))).head.getString(0)
-    def axes(kind: String, batch: DataFrame): DataFrame = {
-      val l = driftOf(batch, langHist)
+    def langLeg(batch: DataFrame): DataFrame =
+      driftOf(batch, langHist)
         .select(col("n_docs"), col("l1_ppm").as("lang_l1_ppm"),
           col("drifted").as("lang_drifted"))
-      val s = driftScriptOf(batch, scriptHist)
+    def scriptLeg(batch: DataFrame): DataFrame =
+      driftScriptOf(batch, scriptHist)
         .select(col("l1_ppm").as("script_l1_ppm"),
           col("drifted").as("script_drifted"))
+    def fuse(kind: String, l: DataFrame, s: DataFrame): DataFrame =
       l.crossJoin(s) // one row × one row — a bounded fuse, not a blowup
         .select(lit(kind).as("batch_kind"), col("n_docs"),
           col("lang_l1_ppm"), col("lang_drifted"),
           col("script_l1_ppm"), col("script_drifted"),
           (col("lang_drifted") || col("script_drifted")).as("drifted"))
-    }
     val rep = docs.where(pmod(col("doc_id"), lit(10)) === 0)
-    axes("digit_noise", rep.withColumn("text", lit(DigitNoiseText)))
-      .unionByName(axes("representative", rep))
-      .unionByName(axes("single_lang", docs.where(col("lang") === minLang)))
+    val single = docs.where(col("lang") === minLang)
+    // digit_noise rewrites TEXT only — its lang leg is the
+    // representative batch's, computed once (the SQL twin shares l1rl
+    // the same way)
+    val repLang = langLeg(rep)
+    fuse("digit_noise", repLang,
+        scriptLeg(rep.withColumn("text", lit(DigitNoiseText))))
+      .unionByName(fuse("representative", repLang, scriptLeg(rep)))
+      .unionByName(fuse("single_lang", langLeg(single), scriptLeg(single)))
       .orderBy("batch_kind")
   }
 

@@ -19,7 +19,7 @@ import java.nio.file.{Files, Paths}
   *                                          dumpling direction, [[Export]])
   *   index-compact <sfDir> <which|all>      defragment the append-maintained
   *                                          standing layouts (invindex, ivfpq,
-  *                                          sketch, langstats)
+  *                                          sketch, langstats, scriptstats)
   *   quarantine-release <doorDir> <batchId> feed an inspection-cleared batch
   *                                          back to the drift door's passed
   *                                          flow; refuses a double release.
@@ -91,14 +91,14 @@ object Ctl {
       // append adds one file per touched partition dir; probe cost
       // grows with file count): invindex = the positional inverted
       // index's postings, ivfpq = the ANN codes, sketch = the daily
-      // distinct-users partials (SEMANTIC merge), langstats = the
-      // drift door's per-lang count partials (SEMANTIC merge), all =
-      // every layout.
+      // distinct-users partials (SEMANTIC merge), langstats /
+      // scriptstats = the drift door's two standing references
+      // (SEMANTIC merge of count partials), all = every layout.
       // Safe under live maintenance appends (snapshot-isolated swap,
       // GraftSession.compactSnapshot); the one thing NOT to run is a
       // second index-compact of the same layout concurrently — both
       // would claim the same staging sibling
-      val known = Set("invindex", "ivfpq", "sketch", "langstats", "all")
+      val known = Set("invindex", "ivfpq", "sketch", "langstats", "scriptstats", "all")
       if (!known(which)) {
         System.err.println(s"index-compact: unknown index '$which' (${known.mkString("|")})")
         sys.exit(2)
@@ -130,8 +130,14 @@ object Ctl {
         if (which == "langstats" || which == "all") {
           if (graft.operators.TextQueries.langStatsPresent(sfDir)) {
             graft.operators.TextQueries.langStatsCompact(spark, sfDir)
-            println("compacted drift-door histogram partials")
+            println("compacted drift-door language histogram partials")
           } else println(s"no standing language histogram for $sfDir; nothing to compact")
+        }
+        if (which == "scriptstats" || which == "all") {
+          if (graft.operators.TextQueries.scriptStatsPresent(sfDir)) {
+            graft.operators.TextQueries.scriptStatsCompact(spark, sfDir)
+            println("compacted drift-door script histogram partials")
+          } else println(s"no standing script histogram for $sfDir; nothing to compact")
         }
       } finally spark.stop()
 
@@ -182,7 +188,7 @@ object Ctl {
       System.err.println(
         "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
           "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n] | " +
-          "index-compact <sfDir> <invindex|ivfpq|sketch|langstats|all> | " +
+          "index-compact <sfDir> <invindex|ivfpq|sketch|langstats|scriptstats|all> | " +
           "quarantine-release <doorDir> <batchId> | " +
           "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir> | " +
           "front <spoolDir> <task> | back <spoolDir> <task>")

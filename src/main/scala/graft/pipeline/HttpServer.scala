@@ -263,20 +263,31 @@ object HttpServer {
               }
               val rows =
                 if (!hasRows) Seq.empty[String]
-                else spark.read.parquet(dir.toString)
-                  .orderBy("batch_id", "event")
-                  .collect().toSeq // bounded: one row per (batch, event)
-                  .map { r =>
-                    def j(i: Int): String =
-                      if (r.isNullAt(i)) "null"
-                      else r.get(i) match {
-                        case s: String => jsonStr(s)
-                        case v => v.toString
-                      }
-                    r.schema.fieldNames.zipWithIndex
-                      .map { case (f, i) => s"${jsonStr(f)}:${j(i)}" }
-                      .mkString("{", ",", "}")
-                  }
+                else {
+                  // mergeSchema: a door dir predating the audit-schema
+                  // widening (event/axis columns) holds mixed-schema
+                  // files; the union schema reads them all, old rows
+                  // null-filled — the feed must not 500 on upgrade
+                  val df = spark.read.option("mergeSchema", "true")
+                    .parquet(dir.toString)
+                  val sorted =
+                    if (df.columns.contains("event"))
+                      df.orderBy("batch_id", "event")
+                    else df.orderBy("batch_id")
+                  sorted
+                    .collect().toSeq // bounded: one row per (batch, event)
+                    .map { r =>
+                      def j(i: Int): String =
+                        if (r.isNullAt(i)) "null"
+                        else r.get(i) match {
+                          case s: String => jsonStr(s)
+                          case v => v.toString
+                        }
+                      r.schema.fieldNames.zipWithIndex
+                        .map { case (f, i) => s"${jsonStr(f)}:${j(i)}" }
+                        .mkString("{", ",", "}")
+                    }
+                }
               respond(ex, 200, rows.mkString("[", ",", "]"))
             case ("POST", List("release", id)) if id.forall(_.isDigit) =>
               try {

@@ -199,10 +199,15 @@ object StreamingOps {
     * traffic it rejected — and a `quarantineRelease` deliberately
     * feeds the PASSED FLOW only (the downstream admission gate), not
     * the histogram: absorbing an inspected anomaly into the reference
-    * is a corpus-restamp decision, not a release side effect. Do NOT
-    * also run a detached
-    * [[graft.operators.TextQueries.langStatsAppendOnce]] stream on the
-    * same layout — that would double-count.
+    * is a corpus-restamp decision, not a release side effect. The
+    * appends ride the LAYOUT-LOCAL batchId marker
+    * ([[graft.operators.TextQueries.langStatsAppendOnce]]), so a
+    * replay of the door's own sink-then-marker window cannot
+    * double-count a batch into the reference. ONE maintaining writer
+    * per layout: the marker namespaces batchIds per checkpoint, so a
+    * detached maintenance stream beside the door would collide on it
+    * (and double-count what it didn't collide on) — don't compose
+    * both.
     *
     * `scriptAxis = true` adds the SECOND drift axis: the batch's
     * per-script codepoint mix vs the standing script histogram
@@ -262,11 +267,20 @@ object StreamingOps {
                 .write.mode("append").parquet(s"$outDir/$dest")
               // the door maintains its own references with what it
               // passes — AFTER the verdict (this batch was judged
-              // against the histograms as of batch N-1)
+              // against the histograms as of batch N-1). Through the
+              // batchId-deduped form, NOT the bare append: a crash in
+              // the door's own sink-then-marker window replays the
+              // whole body, and where a replayed fingerprint row is
+              // harmless (the admission join distincts), a replayed
+              // COUNT would silently skew the standing distribution —
+              // the layout-local marker makes the replay a no-op.
               if (maintainHistogram && !drifted) {
-                graft.operators.TextQueries.langStatsAppend(spark, sfDir, b)
+                graft.operators.TextQueries.langStatsAppendOnce(
+                  spark, sfDir, b, batchId)
                 if (scriptAxis)
-                  graft.operators.TextQueries.scriptStatsAppend(spark, sfDir, b)
+                  graft.operators.TextQueries.scriptStatsAppendOnce(
+                    spark, sfDir, b, batchId)
+                ()
               }
             } finally { b.unpersist(); () }
           }
@@ -287,8 +301,12 @@ object StreamingOps {
     *  - concurrency is claimed by ATOMIC CREATION of the private
     *    staging dir (`createDirectory` throws if it exists), so two
     *    concurrent releases cannot both pass a check-then-act window
-    *    and double-feed the gate; a refused/errored attempt drops the
-    *    claim in its `finally`, so it stays retryable.
+    *    and double-feed the gate. The claim drops in the `finally` —
+    *    i.e. on success only AFTER the marker is planted, so at every
+    *    instant a concurrent attempt sees the claim or the marker
+    *    (never a gap in which it could re-stage and sweep committed
+    *    files back out of `passed/`) — and on a refused/errored
+    *    attempt too, so it stays retryable.
     *  - the `released/<batchId>` marker is written LAST, after every
     *    moved file is in `passed/` — the marker means COMMITTED, never
     *    "attempted". A hard crash (kill -9) mid-release therefore can
@@ -314,10 +332,15 @@ object StreamingOps {
   def quarantineRelease(spark: org.apache.spark.sql.SparkSession,
       doorDir: String, batchId: Long): Long = {
     val marker = java.nio.file.Paths.get(doorDir, "released", batchId.toString)
-    if (java.nio.file.Files.exists(marker))
+    val stage = java.nio.file.Paths.get(doorDir, s".release_stage_$batchId")
+    if (java.nio.file.Files.exists(marker)) {
+      // committed — a leftover stage here is litter from a crash in
+      // the tiny window between marker and claim drop; clear it so the
+      // refusal leaves the door clean
+      graft.GraftSession.deleteRec(stage)
       throw new IllegalArgumentException(
         s"batch $batchId of $doorDir was already released")
-    val stage = java.nio.file.Paths.get(doorDir, s".release_stage_$batchId")
+    }
     try java.nio.file.Files.createDirectory(stage)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -325,7 +348,6 @@ object StreamingOps {
           s"a release of batch $batchId is already in progress (or a " +
             s"crashed attempt left $stage); delete that directory to retry")
     }
-    var committed = false
     try {
       val qDir = java.nio.file.Paths.get(doorDir, "quarantined")
       require(hasDataFiles(qDir),
@@ -363,7 +385,11 @@ object StreamingOps {
             i += 1
           }
         finally stagedFiles.close()
-        graft.GraftSession.deleteRec(stage)
+        // NB the staging-dir CLAIM is still held here and drops only
+        // in the finally below, strictly AFTER the marker exists — a
+        // concurrent release during the audit write cannot slip
+        // through a no-marker/no-claim gap and sweep committed files
+        // back out of passed/
         // tell the audit trail: an operator reading the door's alarm
         // feed must see the release, not "quarantined" forever. Same
         // schema as the routed rows (drift columns null — a release is
@@ -385,10 +411,13 @@ object StreamingOps {
         // marker absent, so the batch can never wedge half-released)
         java.nio.file.Files.createDirectories(marker.getParent)
         java.nio.file.Files.createFile(marker)
-        committed = true
         n
       } finally { rows.unpersist(); () }
-    } finally if (!committed) graft.GraftSession.deleteRec(stage)
+    } finally
+      // drop the claim LAST in both outcomes: on success only after
+      // the marker is planted (no window for a concurrent double to
+      // slip through), on refusal/error so the attempt stays retryable
+      graft.GraftSession.deleteRec(stage)
   }
 
   /** Whether `dir` holds any non-hidden regular file — the

@@ -300,12 +300,20 @@ class PlanAuditSpec extends SparkSpec {
     // histogram and the 5-row script histogram from their standing
     // layouts; a regression re-deriving either reference from
     // documents.parquet would pay the full corpus text scan per batch
-    val plan = planOf(graft.SparkEntry.queries("q_drift_axes")(spark, sf()))
+    val df = graft.SparkEntry.queries("q_drift_axes")(spark, sf())
+    val plan = planOf(df)
     assert("langstats".r.findAllIn(plan).size === 3, plan)
     assert("scriptstats".r.findAllIn(plan).size === 3, plan)
     // the only nested-loop joins are the three 1-row × 1-row axis
     // fuses (each side a global aggregate) — bounded by construction
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 3, plan)
+    // digit_noise shares the representative batch's lang leg (ONE
+    // DataFrame, like the SQL twin's shared l1rl CTE) — the printed
+    // tree duplicates the subtree per union branch, but at runtime
+    // AQE must dedup the identical exchanges
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("Reused"),
+      df.queryExecution.executedPlan.toString)
   }
 
   test("q_sketch_rollup REGISTERED query: serves from the daily layout alone — no raw-events scan") {

@@ -123,6 +123,15 @@ class DriftGateStreamSpec extends SparkSpec {
       StreamingOps.quarantineRelease(spark, doorDir, 0L)
     }
     assert(dup.getMessage.contains("already released"))
+    // a stage dir left by a crash BETWEEN marker and claim drop is
+    // litter of a COMMITTED release: the refusal sweeps it
+    val litter = java.nio.file.Paths.get(doorDir, ".release_stage_0")
+    java.nio.file.Files.createDirectories(litter)
+    val dup2 = intercept[IllegalArgumentException] {
+      StreamingOps.quarantineRelease(spark, doorDir, 0L)
+    }
+    assert(dup2.getMessage.contains("already released"))
+    assert(!java.nio.file.Files.exists(litter))
     // releasing a batch that was never quarantined refuses too — and
     // the failed attempt drops its marker claim, so it stays retryable
     val missing = intercept[IllegalArgumentException] {
