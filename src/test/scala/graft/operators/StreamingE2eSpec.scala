@@ -10,9 +10,11 @@ import graft.streaming.StreamingOps
   * piece is individually parity-pinned in its own spec, this pins that
   * they compose: a stream of incoming documents flows through
   *
-  *   0. the distribution-drift DOOR ([[StreamingOps.driftRouteStream]]:
-  *      a batch whose language mix doesn't look like the corpus is
-  *      quarantined whole — it never costs a fingerprint pass),
+  *   0. the distribution-drift DOOR ([[StreamingOps.driftRouteStream]]
+  *      in its production shape — BOTH axes on, language mix OR script
+  *      mix, self-maintaining references: a batch that doesn't look
+  *      like the corpus is quarantined whole — it never costs a
+  *      fingerprint pass),
   *   1. near-dup ADMISSION ([[StreamingOps.nearDupGateStream]] tailing
   *      the door's `passed` directory; the gate also maintains the
   *      simhash index with what it admits, so batch N+1 is gated
@@ -74,8 +76,10 @@ class StreamingE2eSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "batch_id").schema
 
     val input = MemoryStream[E2eDoc]
+    // the production door shape: BOTH drift axes on (language mix +
+    // script mix, OR of verdicts) and both references self-maintaining
     val door = StreamingOps.driftRouteStream(
-      input.toDF(), corpusDir, doorDir).start()
+      input.toDF(), corpusDir, doorDir, scriptAxis = true).start()
     val gate = StreamingOps.nearDupGateStream(
       spark.readStream.schema(routedSchema).parquet(s"$doorDir/passed"),
       corpusDir, admittedDir).start()
@@ -97,8 +101,15 @@ class StreamingE2eSpec extends SparkSpec {
     // quarantined whole; the audit trail records all three verdicts
     val audit = spark.read.parquet(s"$doorDir/audit")
       .orderBy("batch_id").collect()
-      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Boolean]("drifted")))
-    assert(audit.toSeq === Seq((0L, false), (1L, false), (2L, true)))
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Boolean]("lang_drifted"),
+        r.getAs[Boolean]("script_drifted"), r.getAs[Boolean]("drifted")))
+    // fresh en batches pass BOTH axes (their digit-bearing token shape
+    // mirrors the seed corpus); the zz scrape flags on language AND on
+    // script (its all-letter bodies lack the corpus's digit mass)
+    assert(audit.toSeq === Seq(
+      (0L, false, false, false),
+      (1L, false, false, false),
+      (2L, true, true, true)), audit.mkString(", "))
     assert(spark.read.parquet(s"$doorDir/quarantined")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       === Seq(320L, 321L))

@@ -77,6 +77,32 @@ class HttpDoorSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("a door predating the audit-schema widening still serves its feed") {
+    import spark.implicits._
+    // an audit dir holding a pre-widening file (batch_id, n_docs,
+    // l1_ppm, drifted) beside a current row must serve the union
+    // schema with old rows null-filled — an upgrade must not 500 the
+    // alarm feed
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_hd_legacy").toString
+    val audit = s"$doorDir/audit"
+    Seq((0L, 5L, 1000000L, true))
+      .toDF("batch_id", "n_docs", "l1_ppm", "drifted")
+      .coalesce(1).write.mode("append").parquet(audit)
+    Seq((1L, "routed", 3L, 0L, false))
+      .toDF("batch_id", "event", "n_docs", "lang_l1_ppm", "lang_drifted")
+      .coalesce(1).write.mode("append").parquet(audit)
+    val spool = java.nio.file.Files.createTempDirectory("graft_hd_spool3").toString
+    val srv = HttpServer.start(spool, 0, Some(doorDir), () => spark)
+    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    try {
+      val (code, body) = req(base, "GET", "/door/audit")
+      assert(code === 200, body)
+      assert(body.contains(""""l1_ppm":1000000""") &&
+        body.contains(""""event":"routed""""), body)
+      assert(body.contains(""""event":null"""), body) // legacy row, null-filled
+    } finally srv.stop(0)
+  }
+
   test("a fresh door serves empty feeds, not a schema-inference crash") {
     val doorDir = java.nio.file.Files.createTempDirectory("graft_hd_fresh").toString
     val spool = java.nio.file.Files.createTempDirectory("graft_hd_spool2").toString
