@@ -2767,10 +2767,20 @@ object TextQueries {
     }
 
     def appendOnce(spark: SparkSession, sfDir: String, passedDocs: DataFrame,
-        batchId: Long): Boolean = {
+        batchId: Long, marker: Option[java.nio.file.Path] = None): Boolean = {
       val hist = layout(spark, sfDir)
+      // marker placement is the CALLER's idempotence scope: the
+      // default (layout-local) suits a detached maintenance stream;
+      // the door passes a marker inside its own outDir, so the
+      // documented checkpoint-reset contract (clear the door dir,
+      // batchIds restart) clears the maintenance high-water mark WITH
+      // it — a reset door must not silently no-op its first N appends
+      // against a stale layout-local mark, and two doors feeding one
+      // layout from separate outDirs each stay replay-safe
       graft.GraftSession.appliedOnce(
-        java.nio.file.Paths.get(hist).getParent.resolve("_LAST_BATCH"), batchId) {
+        marker.getOrElse(
+          java.nio.file.Paths.get(hist).getParent.resolve("_LAST_BATCH")),
+        batchId) {
         countsOf(passedDocs).write.mode("append").parquet(hist)
       }
     }
@@ -2831,6 +2841,16 @@ object TextQueries {
       passedDocs: DataFrame, batchId: Long): Boolean =
     langStats.appendOnce(spark, sfDir, passedDocs, batchId)
 
+  /** The door's form: the idempotence marker lives where the CALLER's
+    * batchId namespace lives (inside the door's outDir), so the door
+    * checkpoint-reset contract clears it together with the door's own
+    * `_LAST_BATCH`.
+    */
+  private[graft] def langStatsAppendOnce(spark: SparkSession, sfDir: String,
+      passedDocs: DataFrame, batchId: Long,
+      marker: java.nio.file.Path): Boolean =
+    langStats.appendOnce(spark, sfDir, passedDocs, batchId, Some(marker))
+
   /** SEMANTIC compaction for the histogram layout — the
     * [[graft.operators.CoreQueries.sketchCompact]] sibling: N partial
     * rows per lang collapse to one (counts sum), so steady-state size
@@ -2866,6 +2886,11 @@ object TextQueries {
   def scriptStatsAppendOnce(spark: SparkSession, sfDir: String,
       passedDocs: DataFrame, batchId: Long): Boolean =
     scriptStats.appendOnce(spark, sfDir, passedDocs, batchId)
+
+  private[graft] def scriptStatsAppendOnce(spark: SparkSession, sfDir: String,
+      passedDocs: DataFrame, batchId: Long,
+      marker: java.nio.file.Path): Boolean =
+    scriptStats.appendOnce(spark, sfDir, passedDocs, batchId, Some(marker))
 
   /** Semantic compaction of the script histogram's partials
     * ([[langStatsCompact]]'s twin — one row per script after).

@@ -289,14 +289,23 @@ object HttpServer {
                     }
                 }
               respond(ex, 200, rows.mkString("[", ",", "]"))
-            case ("POST", List("release", id)) if id.forall(_.isDigit) =>
-              try {
-                val n = graft.streaming.StreamingOps
-                  .quarantineRelease(spark, dd, id.toLong)
-                respond(ex, 200, s"""{"released":$id,"n_docs":$n}""")
-              } catch {
-                // refusals are operator answers, not server faults
-                case e: IllegalArgumentException => err(ex, 409, e.getMessage)
+            case ("POST", List("release", id))
+                if id.nonEmpty && id.forall(c => c >= '0' && c <= '9') =>
+              // toLongOption: a 20+-digit id is operator input error
+              // (400), not a door-state refusal (409) and never a 500;
+              // the ASCII-range guard keeps Unicode digits out of the
+              // parse entirely
+              id.toLongOption match {
+                case None => err(ex, 400, s"batch id out of range: $id")
+                case Some(bid) =>
+                  try {
+                    val n = graft.streaming.StreamingOps
+                      .quarantineRelease(spark, dd, bid)
+                    respond(ex, 200, s"""{"released":$bid,"n_docs":$n}""")
+                  } catch {
+                    // refusals are operator answers, not server faults
+                    case e: IllegalArgumentException => err(ex, 409, e.getMessage)
+                  }
               }
             case (m, p) =>
               err(ex, 405, s"unsupported: $m /door/${p.mkString("/")}")

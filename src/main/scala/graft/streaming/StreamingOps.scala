@@ -274,12 +274,19 @@ object StreamingOps {
               // harmless (the admission join distincts), a replayed
               // COUNT would silently skew the standing distribution —
               // the layout-local marker makes the replay a no-op.
+              // the maintenance markers live in the door's OWN dir:
+              // this door's batchId namespace dies with its checkpoint
+              // (the documented reset contract clears outDir), so a
+              // reset door never silently no-ops its first N appends
+              // against a stale layout-local high-water mark
               if (maintainHistogram && !drifted) {
                 graft.operators.TextQueries.langStatsAppendOnce(
-                  spark, sfDir, b, batchId)
+                  spark, sfDir, b, batchId,
+                  java.nio.file.Paths.get(outDir, "_LANGSTATS_LAST_BATCH"))
                 if (scriptAxis)
                   graft.operators.TextQueries.scriptStatsAppendOnce(
-                    spark, sfDir, b, batchId)
+                    spark, sfDir, b, batchId,
+                    java.nio.file.Paths.get(outDir, "_SCRIPTSTATS_LAST_BATCH"))
                 ()
               }
             } finally { b.unpersist(); () }
@@ -348,6 +355,17 @@ object StreamingOps {
           s"a release of batch $batchId is already in progress (or a " +
             s"crashed attempt left $stage); delete that directory to retry")
     }
+    // re-check AFTER winning the claim: a racing release may have
+    // committed (marker planted, claim dropped) between our marker
+    // check above and the createDirectory — without this, the loser
+    // would re-stage a COMMITTED batch and sweep its files out of
+    // passed/. Claim-then-recheck makes the pair atomic: at every
+    // instant a second attempt is stopped by the claim or the marker.
+    if (java.nio.file.Files.exists(marker)) {
+      graft.GraftSession.deleteRec(stage)
+      throw new IllegalArgumentException(
+        s"batch $batchId of $doorDir was already released")
+    }
     try {
       val qDir = java.nio.file.Paths.get(doorDir, "quarantined")
       require(hasDataFiles(qDir),
@@ -399,12 +417,27 @@ object StreamingOps {
         val auditDir = java.nio.file.Paths.get(doorDir, "audit")
         if (java.nio.file.Files.isDirectory(auditDir)) {
           import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+          // through the SAME private-staging path as the data files: a
+          // direct append would share audit/_temporary with the live
+          // door's per-batch audit commits — the two-committer hazard
+          // this function exists to avoid. Deterministic name + sweep
+          // keeps the retry idempotent.
+          val auditStage = stage.resolve("audit")
           Seq((batchId, "released", n, Option.empty[Long],
             Option.empty[Boolean], Option.empty[Long],
             Option.empty[Boolean], Option.empty[Boolean]))
             .toDF("batch_id", "event", "n_docs", "lang_l1_ppm",
               "lang_drifted", "script_l1_ppm", "script_drifted", "drifted")
-            .coalesce(1).write.mode("append").parquet(auditDir.toString)
+            .coalesce(1).write.mode("overwrite").parquet(auditStage.toString)
+          val target = auditDir.resolve(s"release-audit-$batchId.parquet")
+          java.nio.file.Files.deleteIfExists(target)
+          val auditFiles = java.nio.file.Files.list(auditStage)
+          try auditFiles.filter { p =>
+              val fn = p.getFileName.toString
+              java.nio.file.Files.isRegularFile(p) &&
+                !fn.startsWith("_") && !fn.startsWith(".")
+            }.findFirst().ifPresent(p => java.nio.file.Files.move(p, target))
+          finally auditFiles.close()
         }
         // commit point: everything is in passed/ — only now does the
         // batch report as released (a crash ANYWHERE above leaves the

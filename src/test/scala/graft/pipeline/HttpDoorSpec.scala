@@ -71,6 +71,10 @@ class HttpDoorSpec extends SparkSpec {
       assert(mc === 409 && mb.contains("no quarantined rows"), (mc, mb))
       // non-numeric ids never reach the release path
       assert(req(base, "POST", "/door/release/abc")._1 === 405)
+      // an overflowing all-digit id is input error (400), never a 500
+      // and never a misleading door-state 409
+      val (oc, ob) = req(base, "POST", "/door/release/99999999999999999999")
+      assert(oc === 400 && ob.contains("out of range"), (oc, ob))
       // the queue verbs are untouched by the door attachment
       assert(req(base, "GET", "/tasks") ===
         ((200, """{"queue":[],"running":[]}""")))

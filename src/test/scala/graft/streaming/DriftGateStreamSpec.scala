@@ -113,6 +113,11 @@ class DriftGateStreamSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("event"),
         r.getAs[Long]("n_docs")))
     assert(auditRows.toSeq === Seq((0L, "released", 5L), (0L, "routed", 5L)))
+    // the release's audit row lands under a deterministic name via the
+    // private stage — never through a shared audit/_temporary with a
+    // live door's committer
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(doorDir, "audit", "release-audit-0.parquet")))
     assert(spark.read.parquet(s"$doorDir/audit")
       .where(col("event") === "released")
       .select("lang_l1_ppm").head().isNullAt(0),
@@ -239,6 +244,24 @@ class DriftGateStreamSpec extends SparkSpec {
     assert(!mergedHist(corpusDir).contains("zz"),
       "a quarantined batch must never walk the reference distribution")
 
+    // the maintenance high-water mark lives in the DOOR's dir, not the
+    // layout's: the checkpoint-reset contract (clear the door dir,
+    // batchIds restart) clears it together with the door's own marker
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(doorDir, "_LANGSTATS_LAST_BATCH")))
+    // ...so a SECOND door (fresh outDir, batchIds restarting at 0)
+    // maintains the same layout instead of silently no-oping against
+    // the first door's high-water mark — the post-reset freeze bug
+    val doorDir2 = java.nio.file.Files.createTempDirectory("graft_hist_door2").toString
+    val input2 = MemoryStream[DriftDoc]
+    val q2 = StreamingOps.driftRouteStream(input2.toDF(), corpusDir, doorDir2).start()
+    val passed3 = Seq(DriftDoc(130, "g", "en"), DriftDoc(131, "h", "de"))
+    try { input2.addData(passed3: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val expected2 = expected.map { case (l, n) => l -> (n + 1) }
+    assert(mergedHist(corpusDir) === expected2,
+      "a fresh door's batch 0 must append despite the first door's mark")
+
     // SEMANTIC compaction: partials collapse to one row per lang;
     // verdicts invariant; an append landing mid-compaction survives
     val hist = TextQueries.langStatsLayout(spark, corpusDir)
@@ -252,7 +275,7 @@ class DriftGateStreamSpec extends SparkSpec {
     TextQueries.langStatsCompact(spark, corpusDir,
       () => { TextQueries.langStatsAppend(spark, corpusDir, late.toDF()); () })
     assert(mergedHist(corpusDir) ===
-      expected.map { case (l, n) => l -> (n + 1) },
+      expected2.map { case (l, n) => l -> (n + 1) },
       "the mid-compaction append must survive the swap")
     // one compacted row per lang plus the late append's partials
     val after = TextQueries.driftOf(
@@ -262,7 +285,7 @@ class DriftGateStreamSpec extends SparkSpec {
     TextQueries.langStatsCompact(spark, corpusDir)
     assert(spark.read.parquet(hist).count() === 2,
       "a quiet compaction collapses to exactly one row per lang")
-    assert(mergedHist(corpusDir) === expected.map { case (l, n) => l -> (n + 1) })
+    assert(mergedHist(corpusDir) === expected2.map { case (l, n) => l -> (n + 1) })
   }
 
   test("langStatsAppendOnce: detached maintenance is batchId-idempotent") {
