@@ -2769,18 +2769,22 @@ object TextQueries {
     def appendOnce(spark: SparkSession, sfDir: String, passedDocs: DataFrame,
         batchId: Long, marker: Option[java.nio.file.Path] = None): Boolean = {
       val hist = layout(spark, sfDir)
+      val layoutLocal =
+        java.nio.file.Paths.get(hist).getParent.resolve("_LAST_BATCH")
       // marker placement is the CALLER's idempotence scope: the
       // default (layout-local) suits a detached maintenance stream;
       // the door passes a marker inside its own outDir, so the
       // documented checkpoint-reset contract (clear the door dir,
       // batchIds restart) clears the maintenance high-water mark WITH
       // it — a reset door must not silently no-op its first N appends
-      // against a stale layout-local mark, and two doors feeding one
-      // layout from separate outDirs each stay replay-safe
-      graft.GraftSession.appliedOnce(
-        marker.getOrElse(
-          java.nio.file.Paths.get(hist).getParent.resolve("_LAST_BATCH")),
-        batchId) {
+      // against a stale layout-local mark. ONE maintaining writer per
+      // layout either way (concurrent writers would share the hist
+      // dir's _temporary and clobber each other's commits); a caller
+      // with its own marker OWNS the layout, so the superseded
+      // layout-local mark is voided — it must not booby-trap a LATER
+      // switch to detached maintenance with a silent freeze.
+      marker.foreach(_ => java.nio.file.Files.deleteIfExists(layoutLocal))
+      graft.GraftSession.appliedOnce(marker.getOrElse(layoutLocal), batchId) {
         countsOf(passedDocs).write.mode("append").parquet(hist)
       }
     }

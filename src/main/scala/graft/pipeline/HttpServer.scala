@@ -243,15 +243,18 @@ object HttpServer {
             case ("GET", List("released")) =>
               val dir = Paths.get(dd, "released")
               val ids =
-                if (!Files.isDirectory(dir)) Seq.empty[String]
+                if (!Files.isDirectory(dir)) Seq.empty[Long]
                 else {
                   val l = Files.list(dir)
+                  // toLongOption, same hardening as the release verb:
+                  // a stray overflowing or Unicode-digit filename must
+                  // not 500 every subsequent listing
                   try l.iterator().asScala.toSeq
-                    .map(_.getFileName.toString)
-                    .filter(_.forall(_.isDigit)).sortBy(_.toLong)
+                    .flatMap(_.getFileName.toString.toLongOption).sorted
                   finally l.close()
                 }
-              respond(ex, 200, ids.mkString("""{"released":[""", ",", "]}"))
+              respond(ex, 200,
+                ids.map(_.toString).mkString("""{"released":[""", ",", "]}"))
             case ("GET", List("audit")) =>
               val dir = Paths.get(dd, "audit")
               val hasRows = Files.isDirectory(dir) && {

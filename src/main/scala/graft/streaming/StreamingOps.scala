@@ -200,14 +200,23 @@ object StreamingOps {
     * feeds the PASSED FLOW only (the downstream admission gate), not
     * the histogram: absorbing an inspected anomaly into the reference
     * is a corpus-restamp decision, not a release side effect. The
-    * appends ride the LAYOUT-LOCAL batchId marker
-    * ([[graft.operators.TextQueries.langStatsAppendOnce]]), so a
-    * replay of the door's own sink-then-marker window cannot
-    * double-count a batch into the reference. ONE maintaining writer
-    * per layout: the marker namespaces batchIds per checkpoint, so a
-    * detached maintenance stream beside the door would collide on it
-    * (and double-count what it didn't collide on) — don't compose
-    * both.
+    * appends ride batchId markers kept in the DOOR's own outDir
+    * (`_LANGSTATS_LAST_BATCH` / `_SCRIPTSTATS_LAST_BATCH`, via
+    * [[graft.operators.TextQueries.langStatsAppendOnce]]'s explicit-
+    * marker form), so a replay of the door's own sink-then-marker
+    * window cannot double-count a batch into the reference, AND the
+    * checkpoint-reset contract (clear the door dir; batchIds restart)
+    * clears the maintenance high-water mark together with the door's
+    * other state. ONE maintaining writer per layout — a detached
+    * maintenance stream beside the door shares NO marker with it and
+    * would double-count every batch, and two concurrent maintaining
+    * doors would share the hist dir's `_temporary` and clobber each
+    * other's commits. Reset semantics: a reset whose source delivers
+    * NEW data needs nothing (fresh markers, fresh appends); a reset
+    * that REPLAYS already-passed input must be paired with a
+    * reference reseed (delete the layout dir — it rebuilds at the
+    * corpus stamp on next touch), because no fresh marker can
+    * recognize replayed documents under new batchIds.
     *
     * `scriptAxis = true` adds the SECOND drift axis: the batch's
     * per-script codepoint mix vs the standing script histogram
@@ -393,11 +402,7 @@ object StreamingOps {
         finally sweep.close()
         var i = 0
         val stagedFiles = java.nio.file.Files.list(stageData)
-        try stagedFiles.filter { p =>
-            val fn = p.getFileName.toString
-            java.nio.file.Files.isRegularFile(p) &&
-              !fn.startsWith("_") && !fn.startsWith(".")
-          }.forEach { p =>
+        try stagedFiles.filter(isDataFile).forEach { p =>
             java.nio.file.Files.move(p,
               passed.resolve(s"release-$batchId-$i.parquet"))
             i += 1
@@ -429,14 +434,17 @@ object StreamingOps {
             .toDF("batch_id", "event", "n_docs", "lang_l1_ppm",
               "lang_drifted", "script_l1_ppm", "script_drifted", "drifted")
             .coalesce(1).write.mode("overwrite").parquet(auditStage.toString)
+          // ATOMIC_MOVE + REPLACE: a crashed prior attempt's file is
+          // replaced in one rename — never a delete-then-move window
+          // in which a live GET /door/audit could list a file that no
+          // longer exists (the audit dir has concurrent readers; the
+          // old append-only shape never removed files under them)
           val target = auditDir.resolve(s"release-audit-$batchId.parquet")
-          java.nio.file.Files.deleteIfExists(target)
           val auditFiles = java.nio.file.Files.list(auditStage)
-          try auditFiles.filter { p =>
-              val fn = p.getFileName.toString
-              java.nio.file.Files.isRegularFile(p) &&
-                !fn.startsWith("_") && !fn.startsWith(".")
-            }.findFirst().ifPresent(p => java.nio.file.Files.move(p, target))
+          try auditFiles.filter(isDataFile).findFirst().ifPresent(p =>
+            java.nio.file.Files.move(p, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING))
           finally auditFiles.close()
         }
         // commit point: everything is in passed/ — only now does the
@@ -453,6 +461,17 @@ object StreamingOps {
       graft.GraftSession.deleteRec(stage)
   }
 
+  /** THE "is this a parquet data file" rule — markers (`_SUCCESS`,
+    * stamps) and dot-files excluded. One predicate shared by the
+    * emptiness probe and both release move paths, so they can never
+    * disagree about the same directory.
+    */
+  private def isDataFile(p: java.nio.file.Path): Boolean = {
+    val fn = p.getFileName.toString
+    java.nio.file.Files.isRegularFile(p) &&
+      !fn.startsWith("_") && !fn.startsWith(".")
+  }
+
   /** Whether `dir` holds any non-hidden regular file — the
     * empty-parquet-dir probe (Spark's reader throws on schema
     * inference over an empty dir, which is a normal state here).
@@ -460,11 +479,7 @@ object StreamingOps {
   private def hasDataFiles(dir: java.nio.file.Path): Boolean = {
     if (!java.nio.file.Files.isDirectory(dir)) return false
     val walk = java.nio.file.Files.walk(dir)
-    try walk.anyMatch { p =>
-      val fn = p.getFileName.toString
-      java.nio.file.Files.isRegularFile(p) &&
-        !fn.startsWith("_") && !fn.startsWith(".")
-    } finally walk.close()
+    try walk.anyMatch(isDataFile) finally walk.close()
   }
 
   /** Live ANN serving: a stream of query vectors (query_id, embedding)

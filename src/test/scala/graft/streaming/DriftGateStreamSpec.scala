@@ -298,6 +298,20 @@ class DriftGateStreamSpec extends SparkSpec {
     assert(!TextQueries.langStatsAppendOnce(spark, corpusDir, batch, batchId = 0L),
       "a replayed batch must not double the counts")
     assert(mergedHist(corpusDir) === Map("en" -> 11L, "fr" -> 1L))
+
+    // switching to a door-scoped marker VOIDS the layout-local mark it
+    // supersedes: the door's batch 0 must append (not freeze against
+    // the detached scheme's high-water), and the stale mark is gone
+    val doorMark = java.nio.file.Files.createTempDirectory("graft_hist_mark")
+      .resolve("_LANGSTATS_LAST_BATCH")
+    val one = Seq(DriftDoc(60, "w", "fr")).toDF()
+    assert(TextQueries.langStatsAppendOnce(spark, corpusDir, one, 0L, doorMark))
+    assert(mergedHist(corpusDir) === Map("en" -> 11L, "fr" -> 2L))
+    val layoutLocal = java.nio.file.Paths.get(
+      TextQueries.langStatsLayout(spark, corpusDir)).getParent
+      .resolve("_LAST_BATCH")
+    assert(!java.nio.file.Files.exists(layoutLocal),
+      "the superseded layout-local mark must not booby-trap a later switch back")
   }
 
   test("a gradual legitimate shift is absorbed; a frozen door would flag it forever") {
