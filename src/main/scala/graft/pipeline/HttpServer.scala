@@ -40,7 +40,19 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
   *   GET    /door/audit            the audit feed as a JSON array
   *                                 (routed verdicts + release records;
   *                                 consumers dedup on (batch_id,
-  *                                 event) — at-least-once contract)
+  *                                 event) — at-least-once contract).
+  *                                 `?limit=N` (default 10000) keeps the
+  *                                 most recent N rows; `?since=B` pages
+  *                                 forward from batch_id B (exclusive)
+  *                                 — the feed grows one row per (batch,
+  *                                 event) forever, so an uncapped dump
+  *                                 would not survive a 24/7 door
+  *   GET    /door/quarantined      {"quarantined":[rows]} — the batches
+  *                                 awaiting inspection (quarantined
+  *                                 verdict rows minus released
+  *                                 markers), each with n_docs and the
+  *                                 per-axis drift readings an operator
+  *                                 weighs before /door/release
   *   POST   /door/release/{id}     feed an inspection-cleared batch to
   *                                 the passed flow (= Ctl
   *                                 quarantine-release); refusals
@@ -235,63 +247,122 @@ object HttpServer {
 
     doorDir.foreach { dd =>
       lazy val spark = sparkProvider()
+
+      def releasedIds(): Seq[Long] = {
+        val dir = Paths.get(dd, "released")
+        if (!Files.isDirectory(dir)) Seq.empty[Long]
+        else {
+          val l = Files.list(dir)
+          // toLongOption, same hardening as the release verb: a stray
+          // overflowing or Unicode-digit filename must not 500 every
+          // subsequent listing
+          try l.iterator().asScala.toSeq
+            .flatMap(_.getFileName.toString.toLongOption).sorted
+          finally l.close()
+        }
+      }
+      // the audit feed as a DataFrame, or None when the dir holds no
+      // data files yet (its normal bootstrap state). mergeSchema: a
+      // door dir predating an audit-schema widening (event/axis
+      // columns) holds mixed-schema files; the union schema reads them
+      // all, old rows null-filled — the feed must not 500 on upgrade.
+      def auditDf(): Option[org.apache.spark.sql.DataFrame] = {
+        val dir = Paths.get(dd, "audit")
+        val hasRows = Files.isDirectory(dir) && {
+          val l = Files.list(dir)
+          try l.iterator().asScala.exists { p =>
+            val fn = p.getFileName.toString
+            Files.isRegularFile(p) && !fn.startsWith("_") && !fn.startsWith(".")
+          } finally l.close()
+        }
+        if (!hasRows) None
+        else Some(spark.read.option("mergeSchema", "true").parquet(dir.toString))
+      }
+      def rowJson(r: org.apache.spark.sql.Row): String = {
+        def j(i: Int): String =
+          if (r.isNullAt(i)) "null"
+          else r.get(i) match {
+            case s: String => jsonStr(s)
+            case m: Map[_, _] => m.toSeq
+              .map { case (k, v) => s"${jsonStr(String.valueOf(k))}:${String.valueOf(v)}" }
+              .sorted.mkString("{", ",", "}")
+            case v => v.toString
+          }
+        r.schema.fieldNames.zipWithIndex
+          .map { case (f, i) => s"${jsonStr(f)}:${j(i)}" }
+          .mkString("{", ",", "}")
+      }
+      def qparam(ex: HttpExchange, k: String): Option[String] =
+        Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+          .collectFirst { case kv if kv.startsWith(k + "=") => kv.stripPrefix(k + "=") }
+
       srv.createContext("/door", (ex: HttpExchange) => {
         try {
           val rest = ex.getRequestURI.getPath.stripPrefix("/door")
             .stripPrefix("/").split("/").toList.filter(_.nonEmpty)
           (ex.getRequestMethod, rest) match {
             case ("GET", List("released")) =>
-              val dir = Paths.get(dd, "released")
-              val ids =
-                if (!Files.isDirectory(dir)) Seq.empty[Long]
-                else {
-                  val l = Files.list(dir)
-                  // toLongOption, same hardening as the release verb:
-                  // a stray overflowing or Unicode-digit filename must
-                  // not 500 every subsequent listing
-                  try l.iterator().asScala.toSeq
-                    .flatMap(_.getFileName.toString.toLongOption).sorted
-                  finally l.close()
-                }
               respond(ex, 200,
-                ids.map(_.toString).mkString("""{"released":[""", ",", "]}"))
+                releasedIds().map(_.toString)
+                  .mkString("""{"released":[""", ",", "]}"))
             case ("GET", List("audit")) =>
-              val dir = Paths.get(dd, "audit")
-              val hasRows = Files.isDirectory(dir) && {
-                val l = Files.list(dir)
-                try l.iterator().asScala.exists { p =>
-                  val fn = p.getFileName.toString
-                  Files.isRegularFile(p) && !fn.startsWith("_") && !fn.startsWith(".")
-                } finally l.close()
+              // a 24/7 door accrues one audit row per (batch, event)
+              // FOREVER — the feed is unbounded at steady state, so the
+              // response is capped: `?limit=N` (default 10000) keeps the
+              // MOST RECENT N rows of the selection, and `?since=B`
+              // pages forward (rows with batch_id > B only), which is
+              // also the incremental-consumer shape — poll with the
+              // last batch_id you saw and the scan prunes on the
+              // parquet batch_id column instead of re-reading history
+              val since = qparam(ex, "since").flatMap(_.toLongOption)
+              val limit = qparam(ex, "limit").flatMap(_.toIntOption)
+                .filter(_ >= 0).getOrElse(10000)
+              val rows = auditDf() match {
+                case None => Seq.empty[String]
+                case Some(df0) =>
+                  val df = since.fold(df0)(b =>
+                    df0.where(org.apache.spark.sql.functions.col("batch_id") > b))
+                  val sortCols =
+                    if (df.columns.contains("event")) Seq("batch_id", "event")
+                    else Seq("batch_id")
+                  // most-recent-N: take the tail of the sort in Spark
+                  // (desc + limit), then restore ascending order for the
+                  // response — the collect is bounded by `limit`
+                  df.orderBy(sortCols.map(c =>
+                      org.apache.spark.sql.functions.col(c).desc): _*)
+                    .limit(limit)
+                    .collect().toSeq.reverse
+                    .map(rowJson)
               }
-              val rows =
-                if (!hasRows) Seq.empty[String]
-                else {
-                  // mergeSchema: a door dir predating the audit-schema
-                  // widening (event/axis columns) holds mixed-schema
-                  // files; the union schema reads them all, old rows
-                  // null-filled — the feed must not 500 on upgrade
-                  val df = spark.read.option("mergeSchema", "true")
-                    .parquet(dir.toString)
-                  val sorted =
-                    if (df.columns.contains("event"))
-                      df.orderBy("batch_id", "event")
-                    else df.orderBy("batch_id")
-                  sorted
-                    .collect().toSeq // bounded: one row per (batch, event)
-                    .map { r =>
-                      def j(i: Int): String =
-                        if (r.isNullAt(i)) "null"
-                        else r.get(i) match {
-                          case s: String => jsonStr(s)
-                          case v => v.toString
-                        }
-                      r.schema.fieldNames.zipWithIndex
-                        .map { case (f, i) => s"${jsonStr(f)}:${j(i)}" }
-                        .mkString("{", ",", "}")
-                    }
-                }
               respond(ex, 200, rows.mkString("[", ",", "]"))
+            case ("GET", List("quarantined")) =>
+              // the operator's "what awaits inspection" view: every
+              // routed batch the door quarantined, minus the ones
+              // already released — the facts an operator needs to
+              // decide WHETHER to release, served the way
+              // /door/released serves markers (previously they had to
+              // read the quarantined parquet out-of-band). Row shape =
+              // the audit verdict row (n_docs + per-axis l1/drifted),
+              // so it widens automatically with the audit schema.
+              val released = releasedIds().toSet
+              val rows = auditDf() match {
+                case None => Seq.empty[String]
+                case Some(df) if !df.columns.contains("drifted") => Seq.empty[String]
+                case Some(df) =>
+                  import org.apache.spark.sql.functions.col
+                  val routed =
+                    if (df.columns.contains("event"))
+                      df.where(col("event").isNull || col("event") === "routed")
+                    else df
+                  routed.where(col("drifted") === true)
+                    .orderBy("batch_id")
+                    .collect().toSeq // bounded: one row per quarantined batch
+                    .filterNot(r => released.contains(
+                      r.getLong(r.fieldIndex("batch_id"))))
+                    .map(rowJson)
+              }
+              respond(ex, 200,
+                rows.mkString("""{"quarantined":[""", ",", "]}"))
             case ("POST", List("release", id))
                 if id.nonEmpty && id.forall(c => c >= '0' && c <= '9') =>
               // toLongOption: a 20+-digit id is operator input error

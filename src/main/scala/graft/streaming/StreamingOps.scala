@@ -419,8 +419,13 @@ object StreamingOps {
         // an operator decision, not a verdict), batch_id-stamped and
         // timestamp-free like the rest; at-least-once across a crash
         // here, so audit consumers dedup on (batch_id, event).
+        // the dir is created if absent (a hand-built or pre-audit door
+        // dir): the release must ALWAYS record itself — skipping the
+        // row would leave /door/audit and /door/released permanently
+        // disagreeing with no warning
         val auditDir = java.nio.file.Paths.get(doorDir, "audit")
-        if (java.nio.file.Files.isDirectory(auditDir)) {
+        java.nio.file.Files.createDirectories(auditDir)
+        locally {
           import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
           // through the SAME private-staging path as the data files: a
           // direct append would share audit/_temporary with the live

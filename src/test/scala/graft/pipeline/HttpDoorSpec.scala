@@ -55,6 +55,15 @@ class HttpDoorSpec extends SparkSpec {
       assert(ab.startsWith("[{") && ab.endsWith("}]"), ab)
       assert(ab.contains(""""event":"routed"""") &&
         ab.contains(""""drifted":true"""), ab)
+      // feed paging: since past the last batch → empty; limit=0 → empty
+      assert(req(base, "GET", "/door/audit?since=999999") === ((200, "[]")))
+      assert(req(base, "GET", "/door/audit?limit=0") === ((200, "[]")))
+      assert(req(base, "GET", "/door/audit?since=-1&limit=10")._2 === ab)
+      // the quarantined batch awaits inspection: listed with its
+      // verdict row (n_docs + axis readings) until released
+      val (qc0, qb0) = req(base, "GET", "/door/quarantined")
+      assert(qc0 === 200)
+      assert(qb0.contains(""""batch_id":0""") && qb0.contains(""""n_docs":5"""), qb0)
 
       val (rc, rb) = req(base, "POST", "/door/release/0")
       assert(rc === 200 && rb === """{"released":0,"n_docs":5}""")
@@ -63,6 +72,9 @@ class HttpDoorSpec extends SparkSpec {
       val after = req(base, "GET", "/door/audit")._2
       assert(after.contains(""""event":"released"""") &&
         after.contains(""""lang_l1_ppm":null"""), after)
+      // released → no longer listed as awaiting inspection
+      assert(req(base, "GET", "/door/quarantined") ===
+        ((200, """{"quarantined":[]}""")))
 
       // refusals are 409s with the operator-facing message
       val (dc, db) = req(base, "POST", "/door/release/0")
@@ -115,6 +127,25 @@ class HttpDoorSpec extends SparkSpec {
     try {
       assert(req(base, "GET", "/door/audit") === ((200, "[]")))
       assert(req(base, "GET", "/door/released") === ((200, """{"released":[]}""")))
+      assert(req(base, "GET", "/door/quarantined") ===
+        ((200, """{"quarantined":[]}""")))
     } finally srv.stop(0)
+  }
+
+  test("a release against a hand-built door (no audit dir) still records itself") {
+    import spark.implicits._
+    // a door dir assembled by hand — quarantined rows but no audit dir
+    // — must not silently skip the release's audit record: the feed
+    // and the marker listing would permanently disagree
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_hd_hand").toString
+    Seq((7L, "doc", "en", 3L))
+      .toDF("doc_id", "text", "lang", "batch_id")
+      .coalesce(1).write.mode("append").parquet(s"$doorDir/quarantined")
+    val n = StreamingOps.quarantineRelease(spark, doorDir, 3L)
+    assert(n === 1L)
+    val audit = spark.read.parquet(s"$doorDir/audit").collect()
+    assert(audit.length === 1)
+    assert(audit(0).getAs[String]("event") === "released")
+    assert(audit(0).getAs[Long]("batch_id") === 3L)
   }
 }
