@@ -90,6 +90,55 @@ case class QDistArgmin(child: Expression, cents: Array[Array[Long]])
     copy(child = newChild)
 }
 
+/** `qdist_argmin_grouped(vec, group)` — the per-GROUP form of
+  * [[QDistArgmin]] for two-level (coarse/fine) quantizers: the row's
+  * `group` value (its coarse cell) selects which centroid matrix the
+  * argmin runs over, so the per-row cost is |that group's centroids|
+  * (≈ √k for a √k×√k hierarchy), never the total centroid count — the
+  * structural fix for k-proportional-to-n flat assignment being
+  * O(n·k) = O(n²). Same integer math and lowest-id tie rule as
+  * [[QDistArgmin]]; groups may be ragged (a sparsely populated coarse
+  * cell trains fewer fine centroids).
+  */
+case class QDistArgminGrouped(vec: Expression, group: Expression,
+    groups: Array[Array[Array[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = group
+
+  private lazy val isFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = StructType(
+    Seq(StructField("d", LongType, nullable = false),
+      StructField("cid", IntegerType, nullable = false)))
+  override def prettyName: String = "qdist_argmin_grouped"
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, group.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (v, g) => TypeCheckResult.TypeCheckFailure(
+      s"qdist_argmin_grouped requires (ARRAY<FLOAT|DOUBLE>, INT), got (${v.simpleString}, ${g.simpleString})")
+  }
+
+  override def nullSafeEval(v: Any, g: Any): Any =
+    QDistKernel.argmin(v.asInstanceOf[ArrayData],
+      groups(g.asInstanceOf[Int]), isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val groupsRef = ctx.addReferenceObj("groups", groups, "long[][][]")
+    nullSafeCodeGen(ctx, ev, (v, g) =>
+      s"${ev.value} = graft.functions.QDistKernel.argmin($v, $groupsRef[$g], $isFloat);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): QDistArgminGrouped =
+    copy(vec = newLeft, group = newRight)
+}
+
 object QDistArgmin {
   /** Column wrapper: struct(d, cid) of the nearest centroid; `cents`
     * in original (unquantized) double space — quantized here once,
@@ -99,5 +148,17 @@ object QDistArgmin {
     import org.apache.spark.sql.graft.shims
     val q = cents.map(_.map(x => math.floor(x * 1000000d).toLong))
     shims.column(QDistArgmin(shims.expression(vec), q))
+  }
+
+  /** Grouped wrapper: struct(d, cid) of the nearest centroid within
+    * the row's group's matrix ([[QDistArgminGrouped]]); `groups` in
+    * unquantized double space, quantized once on the driver.
+    */
+  def qdistArgminGrouped(vec: Column, group: Column,
+      groups: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.shims
+    val q = groups.map(_.map(_.map(x => math.floor(x * 1000000d).toLong)))
+    shims.column(QDistArgminGrouped(shims.expression(vec),
+      shims.expression(group.cast("int")), q))
   }
 }

@@ -117,6 +117,93 @@ object KMeans {
     }
   }
 
+  /** Grouped Lloyd: an INDEPENDENT k-means per group value (the fine
+    * level of a two-level coarse/fine quantizer), trained for all
+    * groups together in ONE distributed job per iteration — never a
+    * driver loop of per-group fits. Init = each group's `kPerGroup`
+    * smallest-id members (deterministic; a group with fewer members
+    * trains fewer centroids — ragged groups are fine). Assignment is
+    * the codegen'd [[graft.functions.QDistArgminGrouped]] kernel (the
+    * row's group selects its matrix, so per-row cost is that group's
+    * centroid count, ≈ √k for a √k×√k hierarchy), and the centroid
+    * update is one map-side-combining groupBy((group, cell, dim)) of
+    * exact integer sums — shuffle volume is total-centroids×dim,
+    * independent of corpus size. Deterministic end to end, so the
+    * grouped DuckDB Lloyd replay ([[lloydGroupedCte]]) agrees bit for
+    * bit. Returns groups(g) = that group's centroid matrix.
+    */
+  def fitGrouped(df: DataFrame, idCol: String, vecCol: String, groupCol: String,
+      nGroups: Int, kPerGroup: Int, iters: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(groupCol).cast("int").as("g")).cache()
+    val w = Window.partitionBy("g").orderBy("id")
+    val initRows = base
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= kPerGroup)
+      .select("g", "rn", "v").collect() // bounded: ≤ nGroups·kPerGroup rows
+    var cents: Array[Array[Array[Double]]] = {
+      val byG = initRows.groupBy(_.getInt(0))
+      Array.tabulate(nGroups)(g =>
+        byG.getOrElse(g, Array.empty[org.apache.spark.sql.Row])
+          .sortBy(_.getInt(1))
+          .map(_.getSeq[Number](2).map(_.doubleValue).toArray))
+    }
+    var it = 0
+    while (it < iters) {
+      val fc = graft.functions.QDistArgmin
+        .qdistArgminGrouped(col("v"), col("g"), cents).getField("cid")
+      val sums = base.withColumn("fc", fc)
+        .select(col("g"), col("fc"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("g", "fc", "pos")
+        .agg(sum(graft.functions.TextFunctions.quant(col("x"))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getLong(3).toDouble / r.getLong(4) / 1e6
+      }
+      cents = next
+      it += 1
+    }
+    base.unpersist(false)
+    cents
+  }
+
+  /** [[fitCached]] for the grouped form: the per-group centroid
+    * matrices land as (g, cell, cv) rows beside the coarse model —
+    * total-centroids×dim doubles, tiny — keyed by (tag, nGroups,
+    * kPerGroup, iters) and staleness-checked against the embeddings
+    * parquet. IEEE doubles round-trip parquet exactly, so the cached
+    * read is bit-identical to a fresh fit.
+    */
+  def fitGroupedCached(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      df: => DataFrame, idCol: String, vecCol: String, groupCol: String,
+      nGroups: Int, kPerGroup: Int, iters: Int,
+      tag: String): Array[Array[Array[Double]]] = {
+    val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/" +
+      s"kmeans_grp_${tag}_g${nGroups}_k${kPerGroup}_i${iters}_v1"
+    var trained: Option[Array[Array[Array[Double]]]] = None
+    graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/embeddings.parquet") {
+      val m = fitGrouped(df, idCol, vecCol, groupCol, nGroups, kPerGroup, iters)
+      import spark.implicits._
+      m.zipWithIndex.flatMap { case (cs, g) =>
+        cs.zipWithIndex.map { case (c, cell) => (g, cell, c.toSeq) }
+      }.toSeq.toDF("g", "cell", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$layout/centroids")
+      trained = Some(m)
+    }
+    trained.getOrElse {
+      val rows = spark.read.parquet(s"$layout/centroids").collect()
+      val byG = rows.groupBy(_.getInt(0))
+      Array.tabulate(nGroups)(g =>
+        byG.getOrElse(g, Array.empty[org.apache.spark.sql.Row])
+          .sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).toArray))
+    }
+  }
+
   /** The shared embeddings-table quantizer (k=8, 4 iterations) behind
     * kmeans_cells and label_purity — ONE training, two queries.
     */
@@ -200,6 +287,52 @@ object KMeans {
          |  FROM $srcRel v, c$iters b),
          |fr AS (SELECT vec_id, cell, d,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM fin)""".stripMargin
+    (init +: steps :+ fin).mkString(",\n")
+  }
+
+  /** THE grouped twin of [[lloydCte]]: `iters` unrolled iterations of
+    * an independent Lloyd PER GROUP — `assignRel` (vec_id, ccell) fixes
+    * each vector's group, init is each group's `kfSql` min-id members,
+    * assignment joins a vector only to its OWN group's centroids, and
+    * the update groups by (ccell, fcell, pos) — exactly [[fitGrouped]]'s
+    * math (same quantization, same sm/n/1e6 division, same lowest-id
+    * tie rule, empty cells keeping the previous centroid). Ends in
+    * `f$iters` = (ccell, fcell, cv) and `ffr` = (vec_id, ccell, fcell,
+    * d, rn) with rn = 1 marking the final fine assignment.
+    */
+  private[operators] def lloydGroupedCte(srcRel: String, assignRel: String,
+      kfSql: String, iters: Int, dim: Int): String = {
+    val init =
+      s"""g0 AS (SELECT a.ccell, v.vec_id,
+         |    row_number() OVER (PARTITION BY a.ccell ORDER BY v.vec_id) - 1 AS fcell,
+         |    list_transform(v.embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM $srcRel v JOIN $assignRel a USING (vec_id)),
+         |f0 AS MATERIALIZED (SELECT ccell, fcell, cv FROM g0 WHERE fcell < $kfSql)""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s"""fa$i AS (SELECT v.vec_id, a.ccell, b.fcell,
+         |    CAST(list_sum(list_transform(list_zip(v.embedding, b.cv), p -> $Qd2Sql)) AS BIGINT) AS d
+         |  FROM $srcRel v JOIN $assignRel a USING (vec_id)
+         |  JOIN f$i b ON b.ccell = a.ccell),
+         |fw$i AS (SELECT vec_id, ccell, fcell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, fcell) AS rn FROM fa$i),
+         |fv$i AS (SELECT vec_id, ccell, fcell FROM fw$i WHERE rn = 1),
+         |fs$i AS (SELECT a.ccell, a.fcell, p.pos,
+         |    sum(CAST(floor(CAST(v.embedding[p.pos + 1] AS DOUBLE)*1000000) AS BIGINT)) AS sm,
+         |    count(*) AS n
+         |  FROM fv$i a JOIN $srcRel v USING (vec_id), range($dim) p(pos) GROUP BY 1, 2, 3),
+         |fb$i AS (SELECT b.ccell, b.fcell, p.pos,
+         |    COALESCE(CAST(s2.sm AS DOUBLE)/CAST(s2.n AS DOUBLE)/1000000, b.cv[p.pos + 1]) AS c
+         |  FROM f$i b CROSS JOIN range($dim) p(pos)
+         |  LEFT JOIN fs$i s2 ON s2.ccell = b.ccell AND s2.fcell = b.fcell AND s2.pos = p.pos),
+         |f${i + 1} AS MATERIALIZED (SELECT ccell, fcell, list(c ORDER BY pos) AS cv FROM fb$i GROUP BY 1, 2)""".stripMargin
+    }
+    val fin =
+      s"""ffin AS (SELECT v.vec_id, a.ccell, b.fcell,
+         |    CAST(list_sum(list_transform(list_zip(v.embedding, b.cv), p -> $Qd2Sql)) AS BIGINT) AS d
+         |  FROM $srcRel v JOIN $assignRel a USING (vec_id)
+         |  JOIN f$iters b ON b.ccell = a.ccell),
+         |ffr AS (SELECT vec_id, ccell, fcell, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, fcell) AS rn FROM ffin)""".stripMargin
     (init +: steps :+ fin).mkString(",\n")
   }
 

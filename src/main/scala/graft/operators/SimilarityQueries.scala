@@ -201,6 +201,7 @@ object SimilarityQueries {
     // query doesn't read)
     KMeans.embModel(spark, sfDir)
     semDedupModel(spark, sfDir)
+    warmSemDedupHier(spark, sfDir)
     ()
   }
 
@@ -698,6 +699,14 @@ object SimilarityQueries {
     * blocked-quadratic shape as [[embedDedup]]'s LSH buckets, with the
     * quantizer as the blocking function instead of random planes).
     *
+    * SCALE CAVEAT — this flat form is the small-SF audit shape, not
+    * the 100 TB path: with k ∝ n, every Lloyd pass and the per-query
+    * assignment is O(n·k) = O(n²/target) — measured quadratic past the
+    * 8× fold (1.97→10.08→16.68 s at 4×/8×/16×, SCALING_PROBE_r12).
+    * Production corpora run [[semDedupHier]] (registered as
+    * `q_semdedup_hier`): the identical verdict semantics on a
+    * two-level √k × √k quantizer, cutting train+assign to n·√k.
+    *
     * Fully deterministic and oracle-replayable: training is
     * [[KMeans.fit]] (min-id init, integer sums), assignment and
     * centroid similarity are exact quantized integer dots, and the
@@ -786,6 +795,154 @@ object SimilarityQueries {
        |         WHEN x.cdot < y.cdot THEN y.vec_id
        |         ELSE greatest(x.vec_id, y.vec_id) END AS drop_id
        |  FROM e x JOIN e y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+       |SELECT cell, vec_a, vec_b, cosine, drop_id FROM pairs
+       |WHERE cosine >= $SemDedupTau ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  // ----------------------------------------- SemDeDup, two-level form
+  /** The hierarchy's shape: k_total fine cells split as
+    * k_c = ⌈√k_total⌉ coarse × k_f = ⌈k_total/k_c⌉ fine per coarse —
+    * k_c·k_f ≥ k_total cells, each level ≈ √k_total centroids wide.
+    */
+  private[operators] def semDedupHierKs(n: Long): (Int, Int) = {
+    val kt = semDedupK(n)
+    val kc = math.ceil(math.sqrt(kt.toDouble)).toInt
+    val kf = math.ceil(kt.toDouble / kc).toInt
+    (kc, kf)
+  }
+
+  /** The 100 TB form of [[semDedup]] — SAME verdict semantics (within-
+    * cell cosine ≥ τ pairs, keep-far drop policy), sub-quadratic plan.
+    * [[semDedup]]'s flat k ∝ n rule keeps cells bounded but makes
+    * every Lloyd training pass and the per-query assignment O(n·k) =
+    * O(n²/target) — measured 1.97→10.08→16.68 s across 4×/8×/16× folds
+    * (SCALING_PROBE_r12.json). This variant splits the quantizer in
+    * two levels (the IVF-PQ coarse/fine shape): a k_c = ⌈√k⌉ coarse
+    * quantizer over the corpus, then an independent k_f = ⌈k/k_c⌉-cell
+    * fine quantizer per coarse cell ([[KMeans.fitGrouped]] — ONE
+    * distributed job per iteration, all groups at once), so train and
+    * assignment cost n·(k_c + k_f) ≈ 2n√k instead of n·k. A vector's
+    * cell is the (coarse, fine) pair; mean cell population honors the
+    * same n/k_total ≤ target bound, so the within-cell pair join stays
+    * blocked-quadratic.
+    *
+    * The centroid-similarity for the keep-far rule needs NO extra dot
+    * pass: the fine argmin already carries d = |q−c|², and
+    * 2·(q·c) = |q|² + |c|² − |q−c|² exactly in the quantized integer
+    * space — cdot derives from nrm, the per-cell |c|² constant, and d.
+    * Deterministic end to end (min-id inits, integer sums, IEEE-exact
+    * divisions), so [[semDedupHierSql]] replays BOTH Lloyd levels in
+    * DuckDB bit for bit. On the planted corpus the verdicts equal the
+    * flat form's exactly (identical vectors share any quantizer's
+    * cell; spec-pinned parity), with cell ids renamed to
+    * coarse·k_f + fine.
+    */
+  private def semDedupHierModel(spark: SparkSession, sfDir: String):
+      (DataFrame, KMeans.Model, Array[Array[Array[Double]]], Int, Int) = {
+    val base = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val planted = base.unionByName(
+      base.withColumn("vec_id", col("vec_id") + 100000))
+    val (kc, kf) = semDedupHierKs(2L * base.count())
+    val coarse = KMeans.fitCached(spark, sfDir, planted, "vec_id", "embedding",
+      k = kc, iters = SemDedupIters, tag = "semdedup_coarse")
+    val fine = KMeans.fitGroupedCached(spark, sfDir,
+      planted.withColumn("g",
+        KMeans.cellOf(col("embedding"), coarse.centroids)),
+      "vec_id", "embedding", "g", nGroups = kc, kPerGroup = kf,
+      iters = SemDedupIters, tag = "semdedup_fine")
+    (planted, coarse, fine, kc, kf)
+  }
+
+  private[operators] def warmSemDedupHier(spark: SparkSession, sfDir: String): Unit = {
+    semDedupHierModel(spark, sfDir)
+    ()
+  }
+
+  def semDedupHier(spark: SparkSession, sfDir: String): DataFrame = {
+    val (planted, coarse, fine, _, kf) = semDedupHierModel(spark, sfDir)
+    // per-fine-cell quantized |c|² constants, flattened with per-group
+    // offsets (groups are ragged) — driver-side longs, broadcast as
+    // literals into the narrow pass
+    val qfine = fine.map(_.map(_.map(x => math.floor(x * 1000000d).toLong)))
+    val csqFlat: Seq[Long] = qfine.toSeq.flatMap(_.map(c => c.map(x => x * x).sum))
+    val offsets: Seq[Long] = qfine.scanLeft(0L)((acc, g) => acc + g.length).init.toSeq
+    val e = planted
+      .withColumn("ccell",
+        KMeans.cellOf(col("embedding"), coarse.centroids))
+      .withColumn("fs", graft.functions.QDistArgmin
+        .qdistArgminGrouped(col("embedding"), col("ccell"), fine))
+      .select(col("vec_id"), col("embedding"),
+        col("ccell").cast("long").as("ccell"),
+        col("fs").getField("cid").cast("long").as("fcell"),
+        col("fs").getField("d").as("fd"),
+        quantDot(col("embedding"), col("embedding")).as("nrm"))
+      .withColumn("csq", element_at(typedLit(csqFlat),
+        (element_at(typedLit(offsets), col("ccell").cast("int") + 1)
+          + col("fcell")).cast("int") + 1))
+      // exact integer identity: 2·(q·c) = |q|² + |c|² − |q−c|², every
+      // term quantized the same way — the sum is even, div is exact
+      .withColumn("cdot", expr("(nrm + csq - fd) div 2"))
+      .localCheckpoint(true) // both pair sides read it (the semDedup discipline)
+    e.as("a").join(e.as("b"),
+        col("a.ccell") === col("b.ccell") && col("a.fcell") === col("b.fcell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select((col("a.ccell") * kf + col("a.fcell")).as("cell"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        when(col("a.nrm") === 0 || col("b.nrm") === 0, lit(0d)).otherwise(
+          quantDot(col("a.embedding"), col("b.embedding")).cast("double") /
+            (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
+          .as("cosine"),
+        when(col("a.cdot") > col("b.cdot"), col("a.vec_id"))
+          .when(col("a.cdot") < col("b.cdot"), col("b.vec_id"))
+          .otherwise(greatest(col("a.vec_id"), col("b.vec_id"))).as("drop_id"))
+      .where(col("cosine") >= SemDedupTau)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** DuckDB replay of the ENTIRE two-level pipeline — both Lloyd
+    * levels included: the coarse chain is [[KMeans.lloydCte]] with
+    * k_c, the fine chain is [[KMeans.lloydGroupedCte]] partitioned by
+    * the final coarse assignment, and cdot is the DIRECT fine-centroid
+    * dot (integer-identical to the Scala side's |q|²+|c|²−d identity).
+    */
+  def semDedupHierSql: String = {
+    val qdotMixed = "CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) * CAST(floor(p[2]*1000000) AS BIGINT)"
+    val kcSql = "(SELECT kc FROM ks)"
+    val kfSql = "(SELECT kf FROM ks)"
+    // MATERIALIZED on every multiply-referenced relation: DuckDB 1.0
+    // INLINES plain CTEs, and the fine chain references the coarse
+    // chain per iteration — inlined, the plan tree (and the
+    // optimizer's time) grows exponentially in the iteration count
+    s"""WITH planted AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM embeddings),
+       |kt AS (SELECT greatest(8, CAST(ceil(CAST((SELECT count(*) FROM planted) AS DOUBLE)
+       |    / $SemDedupCellTarget) AS BIGINT)) AS kt),
+       |ks AS MATERIALIZED (SELECT kt, CAST(ceil(sqrt(CAST(kt AS DOUBLE))) AS BIGINT) AS kc,
+       |    CAST(ceil(CAST(kt AS DOUBLE)
+       |      / CAST(ceil(sqrt(CAST(kt AS DOUBLE))) AS BIGINT)) AS BIGINT) AS kf
+       |  FROM kt),
+       |${KMeans.lloydCte("planted", kcSql, SemDedupIters, 64)},
+       |ca AS MATERIALIZED (SELECT vec_id, cell AS ccell FROM fr WHERE rn = 1),
+       |${KMeans.lloydGroupedCte("planted", "ca", kfSql, SemDedupIters, 64)},
+       |fasgn AS (SELECT vec_id, ccell, fcell FROM ffr WHERE rn = 1),
+       |e AS MATERIALIZED (SELECT v.vec_id, a.ccell, a.fcell, v.embedding,
+       |    CAST(list_sum(list_transform(list_zip(v.embedding, v.embedding), p -> $QDot)) AS BIGINT) AS nrm,
+       |    CAST(list_sum(list_transform(list_zip(v.embedding, c.cv), p -> $qdotMixed)) AS BIGINT) AS cdot
+       |  FROM planted v
+       |  JOIN fasgn a ON a.vec_id = v.vec_id
+       |  JOIN f$SemDedupIters c ON c.ccell = a.ccell AND c.fcell = a.fcell),
+       |pairs AS (SELECT x.ccell * $kfSql + x.fcell AS cell,
+       |    x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |    CASE WHEN x.nrm = 0 OR y.nrm = 0 THEN 0.0
+       |         ELSE CAST(CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding), p -> $QDot)) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) END AS cosine,
+       |    CASE WHEN x.cdot > y.cdot THEN x.vec_id
+       |         WHEN x.cdot < y.cdot THEN y.vec_id
+       |         ELSE greatest(x.vec_id, y.vec_id) END AS drop_id
+       |  FROM e x JOIN e y ON x.ccell = y.ccell AND x.fcell = y.fcell
+       |    AND x.vec_id < y.vec_id)
        |SELECT cell, vec_a, vec_b, cosine, drop_id FROM pairs
        |WHERE cosine >= $SemDedupTau ORDER BY vec_a, vec_b""".stripMargin
   }

@@ -67,7 +67,11 @@ object ScalingProbe {
   // the fold (within-cell pairs ~k²-by-construction, like every
   // self-union pair op), but past the floor k rises with n and the
   // mean cell population pins to the target — the paper's regime
-  private val CorpusKPairOps = Seq("q_semdedup")
+  private val CorpusKPairOps = Seq("q_semdedup",
+    // the two-level form: same corpus-derived k_total, but train +
+    // assignment cost n·(k_c + k_f) ≈ 2n√k instead of n·k — the probe
+    // should show the flat form's super-linear curve flattening
+    "q_semdedup_hier")
 
   /** Pair generators whose fanout a df cap bounds tightly enough to
     * probe at the full fold range: the winnow family drops any
