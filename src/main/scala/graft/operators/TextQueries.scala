@@ -1544,8 +1544,9 @@ object TextQueries {
     */
   def warmLayouts(spark: SparkSession, sfDir: String): Unit = {
     invIndexLayout(spark, sfDir)
-    langStatsLayout(spark, sfDir)
-    scriptStatsLayout(spark, sfDir)
+    langStatsSeed(spark, sfDir)
+    scriptStatsSeed(spark, sfDir)
+    lenStatsSeed(spark, sfDir)
     ()
   }
 
@@ -2712,7 +2713,7 @@ object TextQueries {
       |GROUP BY d.source, r.rate_ppm ORDER BY d.source""".stripMargin
 
   // --------------------------------------------- distribution drift gate
-  private val LangStatsVersion = 1
+  private val LangStatsVersion = 2
 
   /** L1 drift threshold in ppm: an incoming batch whose language
     * distribution differs from the corpus by more than 20 points of
@@ -2732,7 +2733,7 @@ object TextQueries {
     * broadcasts a langs-sized relation.
     */
   /** ONE implementation of the standing drift-reference lifecycle,
-    * shared by both axes (and free for any future bounded-domain
+    * shared by all axes (and free for any future bounded-domain
     * axis): a histogram is defined by its layout name, its key column,
     * and ONE counts recipe (`countsOf: docs => (key, n)`), and gets
     * the full standing-layout symmetry — corpus-stamp seed with
@@ -2740,37 +2741,77 @@ object TextQueries {
     * O(batch) partial appends, a batchId-deduped appendOnce, semantic
     * compaction on the shared snapshot/manifest engine, and a
     * presence probe for `Ctl index-compact`.
+    *
+    * v2 layout: the corpus-stamp SEED and the maintenance APPENDS live
+    * in separate subdirs (`seed/` + `hist/`). The registered batch
+    * queries read the seed ONLY — their DuckDB twins recompute the
+    * reference from `documents`, and a maintaining door appending into
+    * the same relation would silently break that parity contract
+    * forever (r12 advice). The door reads [[read]] = seed ∪ appends —
+    * the live reference that tracks what it accepted. A corpus-stamp
+    * REBUILD clears the appends with the seed (the documented reseed
+    * contract: a new corpus snapshot voids maintenance history).
     */
   private final class DriftReference(layoutName: String, key: String,
       countsOf: DataFrame => DataFrame) {
 
-    def layout(spark: SparkSession, sfDir: String): String = {
-      val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/$layoutName"
+    private def root(sfDir: String): String =
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/$layoutName"
+
+    /** Ensure the layout; returns the SEED dir — the parity-stable
+      * relation the registered queries scan.
+      */
+    def seed(spark: SparkSession, sfDir: String): String = {
+      val layout = root(sfDir)
       graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
         // a rebuild is a new corpus snapshot — void any streaming
-        // maintenance batch marker and any crashed compaction's
-        // staging tree from the previous one
+        // maintenance batch marker, any crashed compaction's staging
+        // tree, AND the appends themselves (reseed contract)
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(layout, "_LAST_BATCH"))
         graft.GraftSession.deleteRec(
           java.nio.file.Paths.get(s"$layout/hist_compacting"))
+        graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/hist"))
         countsOf(table(spark, sfDir, "documents"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$layout/hist")
+          .coalesce(1).write.mode("overwrite").parquet(s"$layout/seed")
       }
-      s"$layout/hist"
+      s"$layout/seed"
+    }
+
+    private def histDir(sfDir: String): String = s"${root(sfDir)}/hist"
+
+    private def histHasData(sfDir: String): Boolean = {
+      val dir = java.nio.file.Paths.get(histDir(sfDir))
+      if (!java.nio.file.Files.isDirectory(dir)) return false
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.anyMatch { p =>
+        val fn = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) &&
+          !fn.startsWith("_") && !fn.startsWith(".")
+      } finally walk.close()
+    }
+
+    /** The FULL standing reference — seed ∪ maintenance appends (the
+      * door's view; partial rows per key, summed by [[driftCounts]]).
+      */
+    def read(spark: SparkSession, sfDir: String): DataFrame = {
+      val s = spark.read.parquet(seed(spark, sfDir))
+      if (histHasData(sfDir)) s.unionByName(spark.read.parquet(histDir(sfDir)))
+      else s
     }
 
     def append(spark: SparkSession, sfDir: String, passedDocs: DataFrame): String = {
-      val hist = layout(spark, sfDir) // ensure the base exists
+      seed(spark, sfDir) // ensure the base exists
+      val hist = histDir(sfDir)
       countsOf(passedDocs).write.mode("append").parquet(hist)
       hist
     }
 
     def appendOnce(spark: SparkSession, sfDir: String, passedDocs: DataFrame,
         batchId: Long, marker: Option[java.nio.file.Path] = None): Boolean = {
-      val hist = layout(spark, sfDir)
+      seed(spark, sfDir)
       val layoutLocal =
-        java.nio.file.Paths.get(hist).getParent.resolve("_LAST_BATCH")
+        java.nio.file.Paths.get(root(sfDir)).resolve("_LAST_BATCH")
       // marker placement is the CALLER's idempotence scope: the
       // default (layout-local) suits a detached maintenance stream;
       // the door passes a marker inside its own outDir, so the
@@ -2785,27 +2826,35 @@ object TextQueries {
       // switch to detached maintenance with a silent freeze.
       marker.foreach(_ => java.nio.file.Files.deleteIfExists(layoutLocal))
       graft.GraftSession.appliedOnce(marker.getOrElse(layoutLocal), batchId) {
-        countsOf(passedDocs).write.mode("append").parquet(hist)
+        countsOf(passedDocs).write.mode("append").parquet(histDir(sfDir))
       }
     }
 
     def compact(spark: SparkSession, sfDir: String,
         beforeSwap: () => Unit): String = {
-      val hist = layout(spark, sfDir)
-      graft.GraftSession.compactSnapshot(spark, hist, (df, staged) => df
-        .groupBy(key).agg(sum(col("n")).as("n"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(staged),
-        beforeSwap)
+      seed(spark, sfDir)
+      val hist = histDir(sfDir)
+      // the seed never fragments (one file, rewritten only at corpus
+      // restamp) — compaction is an APPENDS concern; an append-free
+      // layout has nothing to do (and compactSnapshot requires a tree)
+      if (histHasData(sfDir))
+        graft.GraftSession.compactSnapshot(spark, hist, (df, staged) => df
+          .groupBy(key).agg(sum(col("n")).as("n"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(staged),
+          beforeSwap)
       hist
     }
 
     def present(sfDir: String): Boolean =
-      java.nio.file.Files.exists(java.nio.file.Paths.get(
-        s"${graft.GraftSession.fixtureRoot(sfDir)}/$layoutName/hist"))
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"${root(sfDir)}/seed"))
+
+    /** The layout's root dir (specs pin marker placement). */
+    def dir(sfDir: String): String = root(sfDir)
   }
 
-  private val ScriptStatsVersion = 1
+  private val ScriptStatsVersion = 2
 
   /** Standing corpus language histogram (a few partial rows per lang;
     * [[driftCounts]] sums them at read).
@@ -2820,8 +2869,39 @@ object TextQueries {
   private val scriptStats = new DriftReference(
     s"scriptstats_v$ScriptStatsVersion", "script", scriptCountsOf)
 
-  private[graft] def langStatsLayout(spark: SparkSession, sfDir: String): String =
-    langStats.layout(spark, sfDir)
+  private val LenStatsVersion = 1
+
+  /** Per-length-bucket doc counts — (len_bucket, n) over the bounded
+    * domain of DIGIT COUNTS of the char length (~1–8 buckets: a 3-char
+    * doc is bucket 1, a 514-char doc bucket 3). The THIRD drift axis's
+    * counts recipe: a scraper delivering TRUNCATED documents keeps its
+    * language AND script mix — neither other axis sees it — but
+    * collapses the length-bucket distribution. Exact integer
+    * arithmetic in both engines (char length → decimal digit count);
+    * NULL text counts as empty, the [[scriptCountsOf]] convention.
+    */
+  private[graft] def lenCountsOf(docs: DataFrame): DataFrame =
+    docs.groupBy(
+        length(length(coalesce(col("text"), lit(""))).cast("string"))
+          .cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The THIRD standing drift reference: the corpus's length-bucket
+    * histogram ([[lenCountsOf]]).
+    */
+  private val lenStats = new DriftReference(
+    s"lenstats_v$LenStatsVersion", "len_bucket", lenCountsOf)
+
+  private[graft] def langStatsSeed(spark: SparkSession, sfDir: String): String =
+    langStats.seed(spark, sfDir)
+
+  /** The door's view of the standing reference: seed ∪ maintenance
+    * appends — what a 24/7 gate compares batches against.
+    */
+  private[graft] def langStatsRead(spark: SparkSession, sfDir: String): DataFrame =
+    langStats.read(spark, sfDir)
+
+  private[graft] def langStatsDir(sfDir: String): String = langStats.dir(sfDir)
 
   /** Histogram maintenance — the [[graft.operators.DedupQueries
     * .simhashAppend]] sibling for the drift door's standing reference:
@@ -2874,8 +2954,11 @@ object TextQueries {
     */
   def langStatsPresent(sfDir: String): Boolean = langStats.present(sfDir)
 
-  private[graft] def scriptStatsLayout(spark: SparkSession, sfDir: String): String =
-    scriptStats.layout(spark, sfDir)
+  private[graft] def scriptStatsSeed(spark: SparkSession, sfDir: String): String =
+    scriptStats.seed(spark, sfDir)
+
+  private[graft] def scriptStatsRead(spark: SparkSession, sfDir: String): DataFrame =
+    scriptStats.read(spark, sfDir)
 
   /** [[langStatsAppend]]'s script-axis twin: the passed batch's
     * per-script codepoint counts append as 5 mergeable partial rows.
@@ -2908,6 +2991,43 @@ object TextQueries {
 
   def scriptStatsPresent(sfDir: String): Boolean = scriptStats.present(sfDir)
 
+  private[graft] def lenStatsSeed(spark: SparkSession, sfDir: String): String =
+    lenStats.seed(spark, sfDir)
+
+  private[graft] def lenStatsRead(spark: SparkSession, sfDir: String): DataFrame =
+    lenStats.read(spark, sfDir)
+
+  /** [[langStatsAppend]]'s length-axis twin: the passed batch's
+    * per-length-bucket doc counts append as mergeable partial rows.
+    */
+  private[graft] def lenStatsAppend(spark: SparkSession, sfDir: String,
+      passedDocs: DataFrame): String =
+    lenStats.append(spark, sfDir, passedDocs)
+
+  /** [[langStatsAppendOnce]]'s length-axis twin — same batchId-dedup
+    * rationale: counts are corrupted by replay duplication.
+    */
+  def lenStatsAppendOnce(spark: SparkSession, sfDir: String,
+      passedDocs: DataFrame, batchId: Long): Boolean =
+    lenStats.appendOnce(spark, sfDir, passedDocs, batchId)
+
+  private[graft] def lenStatsAppendOnce(spark: SparkSession, sfDir: String,
+      passedDocs: DataFrame, batchId: Long,
+      marker: java.nio.file.Path): Boolean =
+    lenStats.appendOnce(spark, sfDir, passedDocs, batchId, Some(marker))
+
+  /** Semantic compaction of the length histogram's partials
+    * ([[langStatsCompact]]'s twin — one row per bucket after).
+    */
+  def lenStatsCompact(spark: SparkSession, sfDir: String): String =
+    lenStats.compact(spark, sfDir, () => ())
+
+  private[graft] def lenStatsCompact(spark: SparkSession, sfDir: String,
+      beforeSwap: () => Unit): String =
+    lenStats.compact(spark, sfDir, beforeSwap)
+
+  def lenStatsPresent(sfDir: String): Boolean = lenStats.present(sfDir)
+
   /** L1 distance (ppm) between a batch's language distribution and the
     * standing histogram — THE one drift computation (batch query,
     * streaming gate and spec all call this, so the metric cannot drift
@@ -2930,6 +3050,16 @@ object TextQueries {
   private[graft] def driftScriptOf(batch: DataFrame, hist: DataFrame): DataFrame =
     driftCounts(scriptCountsOf(batch).withColumnRenamed("n", "nb"),
       hist, "script")
+
+  /** The length-axis twin of [[driftOf]]: the batch's per-length-bucket
+    * doc counts ([[lenCountsOf]]) against the standing length
+    * histogram, through the IDENTICAL integer-L1 kernel. Catches the
+    * truncation adversary the other two axes are blind to: cut-off
+    * documents keep their language and script mix exactly.
+    */
+  private[graft] def driftLenOf(batch: DataFrame, hist: DataFrame): DataFrame =
+    driftCounts(lenCountsOf(batch).withColumnRenamed("n", "nb"),
+      hist, "len_bucket")
 
   /** THE drift kernel, shared by both axes (and any future
     * bounded-domain axis): given pre-aggregated batch counts (key, nb)
@@ -3020,7 +3150,11 @@ object TextQueries {
     * [[graft.streaming.StreamingOps.driftGateStream]].
     */
   def driftGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val hist = spark.read.parquet(langStatsLayout(spark, sfDir))
+    // the SEED relation, not the maintained reference: the DuckDB twin
+    // recomputes the histogram from `documents`, and a maintaining
+    // door's appends into the same sfDir would otherwise silently
+    // diverge the two forever (r12 advice — parity contract)
+    val hist = spark.read.parquet(langStatsSeed(spark, sfDir))
     val docs = table(spark, sfDir, "documents")
     // bounded driver value: the synthetic skewed batch's language
     val minLang = docs.agg(min(col("lang"))).head.getString(0)
@@ -3080,8 +3214,10 @@ object TextQueries {
     * rescanned per batch.
     */
   def driftAxes(spark: SparkSession, sfDir: String): DataFrame = {
-    val langHist = spark.read.parquet(langStatsLayout(spark, sfDir))
-    val scriptHist = spark.read.parquet(scriptStatsLayout(spark, sfDir))
+    // seeds, not the maintained references — the parity contract (see
+    // [[driftGate]])
+    val langHist = spark.read.parquet(langStatsSeed(spark, sfDir))
+    val scriptHist = spark.read.parquet(scriptStatsSeed(spark, sfDir))
     val docs = table(spark, sfDir, "documents")
     // bounded driver value: the synthetic skewed batch's language
     val minLang = docs.agg(min(col("lang"))).head.getString(0)
@@ -3197,6 +3333,144 @@ object TextQueries {
       |    l.l1 AS lang_l1_ppm, s.l1 AS script_l1_ppm FROM l1rl l, l1rs s
       |  UNION ALL SELECT 'single_lang', l.n_docs, l.l1, s.l1 FROM l1ul l, l1us s
       |  UNION ALL SELECT 'digit_noise', l.n_docs, l.l1, s.l1 FROM l1rl l, l1ds s)
+      |ORDER BY batch_kind""".stripMargin
+  }
+
+  /** The truncation batch's cut: 40 codepoints — well under the
+    * corpus's typical document length, so every truncated doc falls
+    * into length-bucket ≤ 2 while the corpus mass sits in bucket 3.
+    * Shared with the oracle by value.
+    */
+  private[graft] val TruncLen = 40
+
+  /** THREE-AXIS drift gate — [[driftAxes]] plus the length-bucket axis
+    * ([[driftLenOf]]), the registered form of the door's
+    * `lenAxis = true` verdict. The adversary this axis exists for:
+    * `truncation` — the representative batch with every document cut
+    * to its first [[TruncLen]] codepoints. A scraper delivering
+    * cut-off documents keeps its language mix (lang axis blind) AND
+    * its script mix (truncating ASCII text stays ASCII — script axis
+    * blind), but collapses the length-bucket distribution to one
+    * bucket — only the length axis flags it. All three axes ride the
+    * one shared [[driftCounts]] integer-L1 kernel over bounded domains
+    * (|langs| + 5 scripts + ≤8 length buckets); the corpus is never
+    * rescanned per batch, and the shared rep lang leg is computed once
+    * (the [[driftAxes]] AQE exchange-reuse shape).
+    */
+  def driftAxes3(spark: SparkSession, sfDir: String): DataFrame = {
+    val langHist = spark.read.parquet(langStatsSeed(spark, sfDir))
+    val scriptHist = spark.read.parquet(scriptStatsSeed(spark, sfDir))
+    val lenHist = spark.read.parquet(lenStatsSeed(spark, sfDir))
+    val docs = table(spark, sfDir, "documents")
+    def langLeg(batch: DataFrame): DataFrame =
+      driftOf(batch, langHist)
+        .select(col("n_docs"), col("l1_ppm").as("lang_l1_ppm"),
+          col("drifted").as("lang_drifted"))
+    def scriptLeg(batch: DataFrame): DataFrame =
+      driftScriptOf(batch, scriptHist)
+        .select(col("l1_ppm").as("script_l1_ppm"),
+          col("drifted").as("script_drifted"))
+    def lenLeg(batch: DataFrame): DataFrame =
+      driftLenOf(batch, lenHist)
+        .select(col("l1_ppm").as("len_l1_ppm"),
+          col("drifted").as("len_drifted"))
+    def fuse(kind: String, l: DataFrame, s: DataFrame, n: DataFrame): DataFrame =
+      l.crossJoin(s).crossJoin(n) // 1-row × 1-row × 1-row fuses
+        .select(lit(kind).as("batch_kind"), col("n_docs"),
+          col("lang_l1_ppm"), col("lang_drifted"),
+          col("script_l1_ppm"), col("script_drifted"),
+          col("len_l1_ppm"), col("len_drifted"),
+          (col("lang_drifted") || col("script_drifted") || col("len_drifted"))
+            .as("drifted"))
+    val rep = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    // truncation rewrites TEXT only — its lang leg is the rep batch's,
+    // computed once (the digit_noise precedent)
+    val trunc = rep.withColumn("text", substring(col("text"), 1, TruncLen))
+    val repLang = langLeg(rep)
+    fuse("representative", repLang, scriptLeg(rep), lenLeg(rep))
+      .unionByName(fuse("truncation", repLang, scriptLeg(trunc), lenLeg(trunc)))
+      .orderBy("batch_kind")
+  }
+
+  def driftAxes3Sql: String = {
+    val l1 = (join: String) =>
+      s"""SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(abs(
+        |      CASE WHEN tc = 0 THEN 0 ELSE (1000000 * nc) // tc END -
+        |      CASE WHEN tb = 0 THEN 0 ELSE (1000000 * nb) // tb END)), 0) AS BIGINT) AS l1
+        |  FROM $join, (SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS tc FROM $join),
+        |    (SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS tb FROM $join)""".stripMargin
+    val scriptCols =
+      """CAST(len(cps) AS BIGINT) AS n_cp,
+        |    CAST(len(list_filter(cps, x -> (x >= 97 AND x <= 122)
+        |      OR (x >= 65 AND x <= 90))) AS BIGINT) AS latin,
+        |    CAST(len(list_filter(cps, x -> x >= 19968 AND x <= 40959)) AS BIGINT) AS cjk,
+        |    CAST(len(list_filter(cps, x -> x >= 1024 AND x <= 1279)) AS BIGINT) AS cyr,
+        |    CAST(len(list_filter(cps, x -> x >= 48 AND x <= 57)) AS BIGINT) AS digit""".stripMargin
+    def unpivot(src: String, as: String, valCol: String) =
+      s"""$as AS (SELECT 'latin' AS script, latin AS $valCol FROM $src
+        |  UNION ALL SELECT 'cjk', cjk FROM $src
+        |  UNION ALL SELECT 'cyr', cyr FROM $src
+        |  UNION ALL SELECT 'digit', digit FROM $src
+        |  UNION ALL SELECT 'other', n_cp - latin - cjk - cyr - digit FROM $src)""".stripMargin
+    s"""WITH lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS nc FROM documents GROUP BY lang),
+      |rl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb FROM documents
+      |  WHERE doc_id % 10 = 0 GROUP BY lang),
+      |jrl AS (SELECT coalesce(lc.nc, 0) AS nc, coalesce(rl.nb, 0) AS nb
+      |  FROM lc FULL OUTER JOIN rl USING (lang)),
+      |scd AS (SELECT doc_id, list_filter(list_transform(generate_series(1, len(text)),
+      |    i -> unicode(text[i:i])), x -> x > 32) AS cps
+      |  FROM documents),
+      |scc AS (SELECT doc_id, $scriptCols FROM scd),
+      |st AS (SELECT CAST(sum(latin) AS BIGINT) AS latin, CAST(sum(cjk) AS BIGINT) AS cjk,
+      |    CAST(sum(cyr) AS BIGINT) AS cyr, CAST(sum(digit) AS BIGINT) AS digit,
+      |    CAST(sum(n_cp) AS BIGINT) AS n_cp FROM scc),
+      |${unpivot("st", "sh", "nc")},
+      |rst AS (SELECT CAST(sum(latin) AS BIGINT) AS latin, CAST(sum(cjk) AS BIGINT) AS cjk,
+      |    CAST(sum(cyr) AS BIGINT) AS cyr, CAST(sum(digit) AS BIGINT) AS digit,
+      |    CAST(sum(n_cp) AS BIGINT) AS n_cp FROM scc WHERE doc_id % 10 = 0),
+      |${unpivot("rst", "rs", "nb")},
+      |tsrc AS (SELECT doc_id, text[1:$TruncLen] AS t FROM documents WHERE doc_id % 10 = 0),
+      |tcd AS (SELECT doc_id, list_filter(list_transform(generate_series(1, len(t)),
+      |    i -> unicode(t[i:i])), x -> x > 32) AS cps FROM tsrc),
+      |tcc AS (SELECT doc_id, $scriptCols FROM tcd),
+      |tst AS (SELECT CAST(sum(latin) AS BIGINT) AS latin, CAST(sum(cjk) AS BIGINT) AS cjk,
+      |    CAST(sum(cyr) AS BIGINT) AS cyr, CAST(sum(digit) AS BIGINT) AS digit,
+      |    CAST(sum(n_cp) AS BIGINT) AS n_cp FROM tcc),
+      |${unpivot("tst", "ts", "nb")},
+      |ll AS (SELECT CAST(len(CAST(len(text) AS VARCHAR)) AS BIGINT) AS len_bucket,
+      |    CAST(count(*) AS BIGINT) AS nc FROM documents GROUP BY 1),
+      |rll AS (SELECT CAST(len(CAST(len(text) AS VARCHAR)) AS BIGINT) AS len_bucket,
+      |    CAST(count(*) AS BIGINT) AS nb FROM documents
+      |  WHERE doc_id % 10 = 0 GROUP BY 1),
+      |tll AS (SELECT CAST(len(CAST(len(t) AS VARCHAR)) AS BIGINT) AS len_bucket,
+      |    CAST(count(*) AS BIGINT) AS nb FROM tsrc GROUP BY 1),
+      |jrs AS (SELECT coalesce(sh.nc, 0) AS nc, coalesce(rs.nb, 0) AS nb
+      |  FROM sh FULL OUTER JOIN rs USING (script)),
+      |jts AS (SELECT coalesce(sh.nc, 0) AS nc, coalesce(ts.nb, 0) AS nb
+      |  FROM sh FULL OUTER JOIN ts USING (script)),
+      |jrll AS (SELECT coalesce(ll.nc, 0) AS nc, coalesce(rll.nb, 0) AS nb
+      |  FROM ll FULL OUTER JOIN rll USING (len_bucket)),
+      |jtll AS (SELECT coalesce(ll.nc, 0) AS nc, coalesce(tll.nb, 0) AS nb
+      |  FROM ll FULL OUTER JOIN tll USING (len_bucket)),
+      |l1rl AS (${l1("jrl")}),
+      |l1rs AS (${l1("jrs")}),
+      |l1ts AS (${l1("jts")}),
+      |l1rll AS (${l1("jrll")}),
+      |l1tll AS (${l1("jtll")})
+      |SELECT batch_kind, n_docs, lang_l1_ppm,
+      |  lang_l1_ppm > $DriftThresholdPpm AS lang_drifted,
+      |  script_l1_ppm, script_l1_ppm > $DriftThresholdPpm AS script_drifted,
+      |  len_l1_ppm, len_l1_ppm > $DriftThresholdPpm AS len_drifted,
+      |  (lang_l1_ppm > $DriftThresholdPpm)
+      |    OR (script_l1_ppm > $DriftThresholdPpm)
+      |    OR (len_l1_ppm > $DriftThresholdPpm) AS drifted
+      |FROM (
+      |  SELECT 'representative' AS batch_kind, l.n_docs,
+      |    l.l1 AS lang_l1_ppm, s.l1 AS script_l1_ppm, n.l1 AS len_l1_ppm
+      |  FROM l1rl l, l1rs s, l1rll n
+      |  UNION ALL SELECT 'truncation', l.n_docs, l.l1, s.l1, n.l1
+      |  FROM l1rl l, l1ts s, l1tll n)
       |ORDER BY batch_kind""".stripMargin
   }
 }

@@ -20,6 +20,13 @@ import java.nio.file.{Files, Paths}
   *   index-compact <sfDir> <which|all>      defragment the append-maintained
   *                                          standing layouts (invindex, ivfpq,
   *                                          sketch, langstats, scriptstats)
+  *   door-run <sfDir> <incomingDir> <doorDir> <admittedDir>
+  *                        [--no-script-axis] [--len-axis]
+  *                                          run the production ingest chain
+  *                                          (drift door → near-dup admission
+  *                                          → index maintenance) over parquet
+  *                                          files landing in <incomingDir>,
+  *                                          until <doorDir>/stop appears
   *   quarantine-release <doorDir> <batchId> feed an inspection-cleared batch
   *                                          back to the drift door's passed
   *                                          flow; refuses a double release.
@@ -92,13 +99,14 @@ object Ctl {
       // grows with file count): invindex = the positional inverted
       // index's postings, ivfpq = the ANN codes, sketch = the daily
       // distinct-users partials (SEMANTIC merge), langstats /
-      // scriptstats = the drift door's two standing references
+      // scriptstats / lenstats = the drift door's standing references
       // (SEMANTIC merge of count partials), all = every layout.
       // Safe under live maintenance appends (snapshot-isolated swap,
       // GraftSession.compactSnapshot); the one thing NOT to run is a
       // second index-compact of the same layout concurrently — both
       // would claim the same staging sibling
-      val known = Set("invindex", "ivfpq", "sketch", "langstats", "scriptstats", "all")
+      val known = Set("invindex", "ivfpq", "sketch", "langstats",
+        "scriptstats", "lenstats", "all")
       if (!known(which)) {
         System.err.println(s"index-compact: unknown index '$which' (${known.mkString("|")})")
         sys.exit(2)
@@ -139,6 +147,33 @@ object Ctl {
             println("compacted drift-door script histogram partials")
           } else println(s"no standing script histogram for $sfDir; nothing to compact")
         }
+        if (which == "lenstats" || which == "all") {
+          if (graft.operators.TextQueries.lenStatsPresent(sfDir)) {
+            graft.operators.TextQueries.lenStatsCompact(spark, sfDir)
+            println("compacted drift-door length histogram partials")
+          } else println(s"no standing length histogram for $sfDir; nothing to compact")
+        }
+      } finally spark.stop()
+
+    case "door-run" :: sfDir :: incoming :: doorDir :: admitted :: rest
+        if rest.forall(Set("--no-script-axis", "--len-axis")) =>
+      // the spec-pinned four-stage composition as a launchable verb
+      // (StreamingOps.doorChain): the spool queue's `stop` convention
+      // ends it — touch <doorDir>/stop and the three streams stop at
+      // their next poll, checkpointed for a clean resume
+      val spark = graft.GraftSession.build()
+      try {
+        val qs = graft.streaming.StreamingOps.doorChain(spark, sfDir,
+          incoming, doorDir, admitted,
+          scriptAxis = !rest.contains("--no-script-axis"),
+          lenAxis = rest.contains("--len-axis"))
+        println(s"door chain running: $incoming -> door($doorDir) -> " +
+          s"admit($admitted); stop with: touch $doorDir/stop")
+        val stop = Paths.get(doorDir, "stop")
+        while (!Files.exists(stop)) Thread.sleep(1000)
+        qs.foreach(_.stop())
+        Files.deleteIfExists(stop)
+        println("door chain stopped")
       } finally spark.stop()
 
     case "quarantine-release" :: doorDir :: batchIdStr :: Nil =>

@@ -278,20 +278,23 @@ object HttpServer {
         if (!hasRows) None
         else Some(spark.read.option("mergeSchema", "true").parquet(dir.toString))
       }
-      def rowJson(r: org.apache.spark.sql.Row): String = {
-        def j(i: Int): String =
-          if (r.isNullAt(i)) "null"
-          else r.get(i) match {
-            case s: String => jsonStr(s)
-            case m: Map[_, _] => m.toSeq
-              .map { case (k, v) => s"${jsonStr(String.valueOf(k))}:${String.valueOf(v)}" }
-              .sorted.mkString("{", ",", "}")
-            case v => v.toString
-          }
-        r.schema.fieldNames.zipWithIndex
-          .map { case (f, i) => s"${jsonStr(f)}:${j(i)}" }
-          .mkString("{", ",", "}")
+      // generic value → JSON, covering the audit's v2 nesting (the
+      // axes map of structs) so the feed needs no per-schema code
+      def jval(v: Any): String = v match {
+        case null => "null"
+        case s: String => jsonStr(s)
+        case m: Map[_, _] => m.toSeq
+          .map { case (k, mv) => s"${jsonStr(String.valueOf(k))}:${jval(mv)}" }
+          .sorted.mkString("{", ",", "}")
+        case r: org.apache.spark.sql.Row if r.schema != null =>
+          r.schema.fieldNames.zipWithIndex
+            .map { case (f, i) =>
+              s"${jsonStr(f)}:${jval(if (r.isNullAt(i)) null else r.get(i))}" }
+            .mkString("{", ",", "}")
+        case sq: Seq[_] => sq.map(jval).mkString("[", ",", "]")
+        case other => other.toString
       }
+      def rowJson(r: org.apache.spark.sql.Row): String = jval(r)
       def qparam(ex: HttpExchange, k: String): Option[String] =
         Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
           .collectFirst { case kv if kv.startsWith(k + "=") => kv.stripPrefix(k + "=") }

@@ -162,8 +162,7 @@ object StreamingOps {
           graft.GraftSession.appliedOnce(
             java.nio.file.Paths.get(outDir, "_LAST_BATCH"), batchId) {
             val spark = batch.sparkSession
-            val hist = spark.read.parquet(
-              graft.operators.TextQueries.langStatsLayout(spark, sfDir))
+            val hist = graft.operators.TextQueries.langStatsRead(spark, sfDir)
             graft.operators.TextQueries.driftOf(batch.toDF(), hist)
               .withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(outDir)
@@ -224,18 +223,29 @@ object StreamingOps {
     * integer-L1 kernel over the bounded {latin, cjk, cyr, digit,
     * other} domain), and the routing verdict is the OR of the axes —
     * the lang axis alone is easy to pass while the content shifts
-    * (same langs, junk text). With maintenance on, a passed batch
-    * feeds BOTH standing references. Opt-in (not the default) because
-    * the axis reads every batch character where the lang axis reads a
-    * column — enable it where the corpus is script-homogeneous enough
-    * for the threshold to mean something; enabling it mid-stream
-    * starts from the corpus-stamp snapshot (registered batch form:
-    * `q_drift_axes`). The audit schema is IDENTICAL in both modes
-    * (script columns null when the axis is off), so a reader never
-    * branches on door configuration.
+    * (same langs, junk text). `lenAxis = true` adds the THIRD:
+    * the batch's length-bucket mix ([[graft.operators.TextQueries
+    * .driftLenOf]]) — the truncation adversary's axis: cut-off
+    * documents keep their language AND script mix exactly. With
+    * maintenance on, a passed batch feeds EVERY enabled axis's
+    * standing reference. Both extra axes are opt-in (the script axis
+    * reads every batch character; the length axis is cheap but only
+    * meaningful where document lengths are stationary); enabling one
+    * mid-stream starts from the corpus-stamp snapshot (registered
+    * batch forms: `q_drift_axes`, `q_drift_axes3`).
+    *
+    * AUDIT SCHEMA (v2): one row per (batch, event) with
+    * `axes: map<axis → struct(l1_ppm, drifted)>` carrying exactly the
+    * ENABLED axes (`lang` always; `script`/`len` when on) — adding a
+    * future axis is a new map key, never a schema change. The overall
+    * `drifted` flag is the OR over the map. Release records carry a
+    * null map (an operator decision, not a verdict). A door dir
+    * predating v2 holds flat per-axis columns; readers go through
+    * mergeSchema (`GET /door/audit` pins this).
     */
   def driftRouteStream(docs: DataFrame, sfDir: String, outDir: String,
-      maintainHistogram: Boolean = true, scriptAxis: Boolean = false):
+      maintainHistogram: Boolean = true, scriptAxis: Boolean = false,
+      lenAxis: Boolean = false):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // eager, so the advertised composition (a file source tailing
     // `passed`) starts clean before any batch has passed the door
@@ -248,8 +258,7 @@ object StreamingOps {
             java.nio.file.Paths.get(outDir, "_LAST_BATCH"), batchId) {
             val spark = batch.sparkSession
             import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
-            val hist = spark.read.parquet(
-              graft.operators.TextQueries.langStatsLayout(spark, sfDir))
+            val hist = graft.operators.TextQueries.langStatsRead(spark, sfDir)
             // the batch feeds both the verdict and the routed write —
             // materialize once (the nearDupGateStream discipline)
             val b = batch.toDF().localCheckpoint()
@@ -257,19 +266,28 @@ object StreamingOps {
               val v = graft.operators.TextQueries.driftOf(b, hist).head()
               val (nDocs, langL1, langDrifted) =
                 (v.getLong(0), v.getLong(1), v.getBoolean(2))
-              val script: Option[(Long, Boolean)] =
-                if (!scriptAxis) None
-                else {
-                  val sh = spark.read.parquet(
-                    graft.operators.TextQueries.scriptStatsLayout(spark, sfDir))
-                  val s = graft.operators.TextQueries.driftScriptOf(b, sh).head()
-                  Some((s.getLong(1), s.getBoolean(2)))
-                }
-              val drifted = langDrifted || script.exists(_._2)
-              Seq((batchId, "routed", nDocs, langL1, langDrifted,
-                script.map(_._1), script.map(_._2), drifted))
-                .toDF("batch_id", "event", "n_docs", "lang_l1_ppm",
-                  "lang_drifted", "script_l1_ppm", "script_drifted", "drifted")
+              def axisLeg(enabled: Boolean, leg: => org.apache.spark.sql.Row):
+                  Option[(Long, Boolean)] =
+                if (!enabled) None
+                else { val s = leg; Some((s.getLong(1), s.getBoolean(2))) }
+              val script = axisLeg(scriptAxis,
+                graft.operators.TextQueries.driftScriptOf(b,
+                  graft.operators.TextQueries.scriptStatsRead(spark, sfDir)).head())
+              val len = axisLeg(lenAxis,
+                graft.operators.TextQueries.driftLenOf(b,
+                  graft.operators.TextQueries.lenStatsRead(spark, sfDir)).head())
+              val drifted = langDrifted || script.exists(_._2) || len.exists(_._2)
+              val axisEntries: Seq[(String, Long, Boolean)] =
+                Seq(("lang", langL1, langDrifted)) ++
+                  script.map { case (l1, d) => ("script", l1, d) } ++
+                  len.map { case (l1, d) => ("len", l1, d) }
+              val axes = map(axisEntries.flatMap { case (nm, l1, d) =>
+                Seq(lit(nm), struct(lit(l1).as("l1_ppm"), lit(d).as("drifted")))
+              }: _*)
+              Seq((batchId, "routed", nDocs, drifted))
+                .toDF("batch_id", "event", "n_docs", "drifted")
+                .select(col("batch_id"), col("event"), col("n_docs"),
+                  axes.as("axes"), col("drifted"))
                 .coalesce(1).write.mode("append").parquet(s"$outDir/audit")
               val dest = if (drifted) "quarantined" else "passed"
               b.withColumn("batch_id", lit(batchId))
@@ -296,12 +314,64 @@ object StreamingOps {
                   graft.operators.TextQueries.scriptStatsAppendOnce(
                     spark, sfDir, b, batchId,
                     java.nio.file.Paths.get(outDir, "_SCRIPTSTATS_LAST_BATCH"))
+                if (lenAxis)
+                  graft.operators.TextQueries.lenStatsAppendOnce(
+                    spark, sfDir, b, batchId,
+                    java.nio.file.Paths.get(outDir, "_LENSTATS_LAST_BATCH"))
                 ()
               }
             } finally { b.unpersist(); () }
           }
         ()
     }
+  }
+
+  /** THE production door composition, launchable (`Ctl door-run`) —
+    * the four-stage chain `StreamingE2eSpec` pins, as three composed
+    * streams over file sources: incoming docs → the drift DOOR
+    * (batch-level distribution QA; quarantined batches stop here) →
+    * the near-dup ADMISSION gate tailing `doorDir/passed`
+    * (per-document fingerprint check vs the standing simhash layout)
+    * → standing-INDEX maintenance tailing `admittedDir` (every
+    * admitted doc's postings append to the serving index). Stage
+    * ordering is the cost ladder: distribution QA is a broadcast
+    * histogram compare, so a drifted batch never pays a fingerprint
+    * pass, and a rejected near-copy never pays an index append.
+    *
+    * Checkpoints live INSIDE the respective sink dirs
+    * (`doorDir/_checkpoints/…`, `admittedDir/_checkpoints/…`), which
+    * makes the documented reset contract one operation: clearing a
+    * door dir clears its checkpoint, its batchId markers, and its
+    * maintenance high-water marks together — batchIds restart in a
+    * consistent world. Returns the three started queries (door, gate,
+    * maintain) for the caller to await or stop.
+    */
+  def doorChain(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      incomingDir: String, doorDir: String, admittedDir: String,
+      scriptAxis: Boolean = true, lenAxis: Boolean = false):
+      Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val routedSchema = docSchema.add(StructField("batch_id", LongType))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(incomingDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(admittedDir))
+    val door = driftRouteStream(
+      spark.readStream.schema(docSchema).parquet(incomingDir),
+      sfDir, doorDir, scriptAxis = scriptAxis, lenAxis = lenAxis)
+      .option("checkpointLocation", s"$doorDir/_checkpoints/door")
+      .start()
+    val gate = nearDupGateStream(
+      spark.readStream.schema(routedSchema).parquet(s"$doorDir/passed"),
+      sfDir, admittedDir)
+      .option("checkpointLocation", s"$admittedDir/_checkpoints/gate")
+      .start()
+    val maintain = indexMaintainStream(
+      spark.readStream.schema(routedSchema).parquet(admittedDir), sfDir)
+      .option("checkpointLocation", s"$admittedDir/_checkpoints/index")
+      .start()
+    Seq(door, gate, maintain)
   }
 
   /** Operator release of a quarantined batch back into the `passed`
@@ -415,7 +485,7 @@ object StreamingOps {
         // back out of passed/
         // tell the audit trail: an operator reading the door's alarm
         // feed must see the release, not "quarantined" forever. Same
-        // schema as the routed rows (drift columns null — a release is
+        // schema as the routed rows (the axes map null — a release is
         // an operator decision, not a verdict), batch_id-stamped and
         // timestamp-free like the rest; at-least-once across a crash
         // here, so audit consumers dedup on (batch_id, event).
@@ -433,11 +503,13 @@ object StreamingOps {
           // this function exists to avoid. Deterministic name + sweep
           // keeps the retry idempotent.
           val auditStage = stage.resolve("audit")
-          Seq((batchId, "released", n, Option.empty[Long],
-            Option.empty[Boolean], Option.empty[Long],
-            Option.empty[Boolean], Option.empty[Boolean]))
-            .toDF("batch_id", "event", "n_docs", "lang_l1_ppm",
-              "lang_drifted", "script_l1_ppm", "script_drifted", "drifted")
+          Seq((batchId, "released", n, Option.empty[Boolean]))
+            .toDF("batch_id", "event", "n_docs", "drifted")
+            .select(col("batch_id"), col("event"), col("n_docs"),
+              lit(null).cast(
+                "map<string,struct<l1_ppm:bigint,drifted:boolean>>")
+                .as("axes"),
+              col("drifted"))
             .coalesce(1).write.mode("overwrite").parquet(auditStage.toString)
           // ATOMIC_MOVE + REPLACE: a crashed prior attempt's file is
           // replaced in one rename — never a delete-then-move window

@@ -57,8 +57,9 @@ object ScalingProbe {
     // the calendar — the rollup serve stays calendar-sized
     "q_sketch_rollup", "q_sketch_window",
     // synthetic batches are corpus slices, so the batch side grows ~k;
-    // the histogram side stays |langs| (and 5 script) rows at any fold
-    "q_drift_gate", "q_drift_axes")
+    // the histogram side stays |langs| (and 5 script / ≤8 length) rows
+    // at any fold
+    "q_drift_gate", "q_drift_axes", "q_drift_axes3")
   private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
     "q_dedup_editdist")
 
@@ -81,6 +82,16 @@ object ScalingProbe {
     * groups (the construction caveat) — stated with the numbers.
     */
   private val CappedPairOps = Seq("q_winnow_pairs", "q_winnow_align")
+
+  /** Ops probed on the REAL-SHAPED folds too: corpora folded WITHOUT
+    * duplicating groups (each copy's content is deterministically
+    * perturbed so cross-copy rows never pair), separating the
+    * self-union construction's ~k² pair-output growth from the
+    * operator's true data-growth slope — only the duplication each
+    * query itself plants (and the base corpus's own) survives, so
+    * output grows ~k and the wall-clock curve measures the PLAN.
+    */
+  private val RealShapedOps = Seq("q_winnow_align", "q_semdedup", "q_semdedup_hier")
 
   def main(args: Array[String]): Unit = {
     val maxK = args.headOption.map(_.toInt).getOrElse(4)
@@ -180,7 +191,59 @@ object ScalingProbe {
         catch { case _: Throwable => }
         try graft.operators.CoreQueries.userSketchLayout(spark, dir.toString)
         catch { case _: Throwable => }
-        try graft.operators.TextQueries.langStatsLayout(spark, dir.toString)
+        try graft.operators.TextQueries.langStatsSeed(spark, dir.toString)
+        catch { case _: Throwable => }
+        try graft.operators.TextQueries.scriptStatsSeed(spark, dir.toString)
+        catch { case _: Throwable => }
+        try graft.operators.TextQueries.lenStatsSeed(spark, dir.toString)
+        catch { case _: Throwable => }
+        k -> dir.toString
+      }
+    }.toMap
+
+    // REAL-SHAPED folds: same row counts as the self-union dirs, but
+    // each copy's CONTENT is deterministically perturbed so cross-copy
+    // rows never pair — documents through a per-copy letter
+    // substitution (rotating a 17-letter alphabet: every shingle
+    // changes, so winnow fingerprints differ across copies), embeddings
+    // through per-copy Walsh-Hadamard sign flips (negate component j
+    // when popcount(i & j) is odd: distinct patterns per copy i ≤ 15,
+    // cross-copy cosine ≈ 0, within-copy geometry isometric — a
+    // sign-flip is an orthogonal map, so cell populations stay
+    // realistic). Copy 0 is the untouched base.
+    val realAlpha = "etaoinshrdlucmfwy" // 17 letters: rotations distinct for i ≤ 16
+    val realDirs: Map[Int, String] = ks.map { k =>
+      if (k == 1) k -> base
+      else {
+        val dir = Paths.get(s"/tmp/graft_scaling_real_${baseTag}_${k}x")
+        val docsOut = dir.resolve("documents.parquet")
+        if (!Files.exists(docsOut.resolve("_SUCCESS"))) {
+          Files.createDirectories(dir)
+          val docs = spark.read.parquet(s"$base/documents.parquet")
+          (0 until k).map { i =>
+            val rot = realAlpha.drop(i % 17) + realAlpha.take(i % 17)
+            docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+              .withColumn("text",
+                if (i == 0) col("text") else translate(col("text"), realAlpha, rot))
+          }.reduce(_.unionByName(_))
+            .write.mode("overwrite").parquet(docsOut.toString)
+        }
+        val embOut = dir.resolve("embeddings.parquet")
+        if (!Files.exists(embOut.resolve("_SUCCESS"))) {
+          val emb = spark.read.parquet(s"$base/embeddings.parquet")
+          (0 until k).map { i =>
+            val flipped =
+              if (i == 0) col("embedding")
+              else transform(col("embedding"), (x, j) =>
+                when(bit_count(j.bitwiseAND(lit(i))) % 2 === 1, -x).otherwise(x))
+            emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+              .withColumn("embedding", flipped)
+          }.reduce(_.unionByName(_))
+            .write.mode("overwrite").parquet(embOut.toString)
+        }
+        // only the embedding-model layouts need a warm (winnow builds
+        // no standing layout)
+        try graft.operators.SimilarityQueries.warmLayouts(spark, dir.toString)
         catch { case _: Throwable => }
         k -> dir.toString
       }
@@ -194,14 +257,18 @@ object ScalingProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def probe(names: Seq[String], kList: Seq[Int]): Map[String, Map[Int, Double]] =
+    def probeOver(ds: Map[Int, String])(names: Seq[String],
+        kList: Seq[Int]): Map[String, Map[Int, Double]] =
       names.map { n =>
         // untimed warm-up at 1x: the first run of a query absorbs JIT +
         // codegen compilation, which would otherwise inflate the 1x
         // point and fake sublinear scaling
-        time(n, dirs(1))
-        n -> kList.map(k => k -> time(n, dirs(k))).toMap
+        time(n, ds(1))
+        n -> kList.map(k => k -> time(n, ds(k))).toMap
       }.toMap
+
+    def probe(names: Seq[String], kList: Seq[Int]): Map[String, Map[Int, Double]] =
+      probeOver(dirs)(names, kList)
 
     // pair ops capped at 2x: their OUTPUT grows ~k^2 by construction;
     // the df-capped winnow family is probed at the full fold range
@@ -209,6 +276,7 @@ object ScalingProbe {
     val pairs = probe(keep(PairOps), ks.filter(_ <= 2)) ++
       probe(keep(CappedPairOps), ks) ++
       probe(keep(CorpusKPairOps), ks)
+    val real = probeOver(realDirs)(keep(RealShapedOps), ks)
 
     def render(m: Map[String, Map[Int, Double]]): String =
       m.toSeq.sortBy(_._1).map { case (n, t) =>
@@ -225,7 +293,7 @@ object ScalingProbe {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    println(s"""{"metric":"scaling","sf_base":"$baseJson","caveat":"self-union multiplies duplicate groups; pair-family output grows ~k^2 by construction","linear":{${render(linear)}},"pairs":{${render(pairs)}}}""")
+    println(s"""{"metric":"scaling","sf_base":"$baseJson","caveat":"self-union multiplies duplicate groups; pair-family output grows ~k^2 by construction; the 'real' block folds WITHOUT duplicating groups (per-copy content perturbation), isolating the operator's true slope","linear":{${render(linear)}},"pairs":{${render(pairs)}},"real":{${render(real)}}}""")
     spark.stop()
   }
 }

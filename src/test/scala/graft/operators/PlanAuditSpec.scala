@@ -316,6 +316,27 @@ class PlanAuditSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("q_drift_axes3 REGISTERED query: all three axes read standing layouts — no corpus histogram rebuild") {
+    // two batch legs × three axes: lang + script + length references
+    // all come from their standing SEED layouts; a regression
+    // re-deriving any of them from documents.parquet would pay the
+    // full corpus scan per batch
+    val df = graft.SparkEntry.queries("q_drift_axes3")(spark, sf())
+    val plan = planOf(df)
+    assert("langstats".r.findAllIn(plan).size === 2, plan)
+    assert("scriptstats".r.findAllIn(plan).size === 2, plan)
+    assert("lenstats".r.findAllIn(plan).size === 2, plan)
+    // the only nested-loop joins are the 1-row × 1-row axis fuses
+    // (two crossJoins per batch leg) — bounded by construction
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 4, plan)
+    // truncation shares the representative batch's lang leg (ONE
+    // DataFrame, the digit_noise precedent) — AQE must dedup the
+    // identical exchanges at runtime
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("Reused"),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("q_sketch_rollup REGISTERED query: serves from the daily layout alone — no raw-events scan") {
     // the layout IS the product: any window merges calendar-sized
     // partials; a regression that re-derives from events.parquet would

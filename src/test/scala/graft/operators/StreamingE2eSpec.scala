@@ -99,10 +99,13 @@ class StreamingE2eSpec extends SparkSpec {
 
     // 0. the door: two batches passed, the wrong-language one
     // quarantined whole; the audit trail records all three verdicts
+    def axisDrifted(r: org.apache.spark.sql.Row, name: String): Boolean =
+      r.getAs[Map[String, org.apache.spark.sql.Row]]("axes")(name)
+        .getAs[Boolean]("drifted")
     val audit = spark.read.parquet(s"$doorDir/audit")
       .orderBy("batch_id").collect()
-      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Boolean]("lang_drifted"),
-        r.getAs[Boolean]("script_drifted"), r.getAs[Boolean]("drifted")))
+      .map(r => (r.getAs[Long]("batch_id"), axisDrifted(r, "lang"),
+        axisDrifted(r, "script"), r.getAs[Boolean]("drifted")))
     // fresh en batches pass BOTH axes (their digit-bearing token shape
     // mirrors the seed corpus); the zz scrape flags on language AND on
     // script (its all-letter bodies lack the corpus's digit mass)

@@ -55,6 +55,9 @@ class HttpDoorSpec extends SparkSpec {
       assert(ab.startsWith("[{") && ab.endsWith("}]"), ab)
       assert(ab.contains(""""event":"routed"""") &&
         ab.contains(""""drifted":true"""), ab)
+      // the v2 axes map renders as nested JSON, not a toString blob
+      assert(ab.contains(""""axes":{"lang":{"""), ab)
+      assert(ab.contains(""""l1_ppm":"""), ab)
       // feed paging: since past the last batch → empty; limit=0 → empty
       assert(req(base, "GET", "/door/audit?since=999999") === ((200, "[]")))
       assert(req(base, "GET", "/door/audit?limit=0") === ((200, "[]")))
@@ -71,7 +74,7 @@ class HttpDoorSpec extends SparkSpec {
       // the audit feed now carries the release record beside the verdict
       val after = req(base, "GET", "/door/audit")._2
       assert(after.contains(""""event":"released"""") &&
-        after.contains(""""lang_l1_ppm":null"""), after)
+        after.contains(""""axes":null"""), after)
       // released → no longer listed as awaiting inspection
       assert(req(base, "GET", "/door/quarantined") ===
         ((200, """{"quarantined":[]}""")))

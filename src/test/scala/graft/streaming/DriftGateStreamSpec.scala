@@ -50,7 +50,7 @@ class DriftGateStreamSpec extends SparkSpec {
       "an all-one-language batch drifts by the full de share, flagged")
 
     // parity: the shared computation gives the same rows directly
-    val hist = spark.read.parquet(TextQueries.langStatsLayout(spark, corpusDir))
+    val hist = TextQueries.langStatsRead(spark, corpusDir)
     val direct = TextQueries.driftOf(skewed.toDF(), hist).head()
     assert((direct.getLong(0), direct.getLong(1), direct.getBoolean(2))
       === ((10L, 1000000L, true)))
@@ -70,7 +70,7 @@ class DriftGateStreamSpec extends SparkSpec {
     val corpusDir = java.nio.file.Files.createTempDirectory("graft_drift0").toString
     Seq.empty[DriftDoc].toDF()
       .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
-    val hist = spark.read.parquet(TextQueries.langStatsLayout(spark, corpusDir))
+    val hist = TextQueries.langStatsRead(spark, corpusDir)
     assert(hist.count() === 0)
     val batch = (1 to 10).map(i => DriftDoc(i.toLong, "x", "en"))
     val v = TextQueries.driftOf(batch.toDF(), hist).head()
@@ -120,8 +120,8 @@ class DriftGateStreamSpec extends SparkSpec {
       java.nio.file.Paths.get(doorDir, "audit", "release-audit-0.parquet")))
     assert(spark.read.parquet(s"$doorDir/audit")
       .where(col("event") === "released")
-      .select("lang_l1_ppm").head().isNullAt(0),
-      "a release is an operator decision, not a verdict — drift columns null")
+      .select("axes").head().isNullAt(0),
+      "a release is an operator decision, not a verdict — the axes map is null")
     // the historical record stays; a double release refuses loudly
     assert(spark.read.parquet(s"$doorDir/quarantined").count() === 5)
     val dup = intercept[IllegalArgumentException] {
@@ -211,9 +211,16 @@ class DriftGateStreamSpec extends SparkSpec {
   }
 
   private def mergedHist(corpusDir: String): Map[String, Long] =
-    spark.read.parquet(TextQueries.langStatsLayout(spark, corpusDir))
+    TextQueries.langStatsRead(spark, corpusDir)
       .groupBy("lang").agg(sum("n").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** One axis's (l1_ppm, drifted) from a v2 audit row's axes map. */
+  private def axisOf(r: org.apache.spark.sql.Row, name: String): (Long, Boolean) = {
+    val m = r.getAs[Map[String, org.apache.spark.sql.Row]]("axes")
+    val a = m(name)
+    (a.getAs[Long]("l1_ppm"), a.getAs[Boolean]("drifted"))
+  }
 
   test("door-maintained histogram == rebuild over seed ∪ passed; quarantine never feeds it") {
     import spark.implicits._
@@ -262,29 +269,30 @@ class DriftGateStreamSpec extends SparkSpec {
     assert(mergedHist(corpusDir) === expected2,
       "a fresh door's batch 0 must append despite the first door's mark")
 
-    // SEMANTIC compaction: partials collapse to one row per lang;
-    // verdicts invariant; an append landing mid-compaction survives
-    val hist = TextQueries.langStatsLayout(spark, corpusDir)
-    assert(spark.read.parquet(hist).count() >
-      spark.read.parquet(hist).select("lang").distinct().count(),
+    // SEMANTIC compaction: append partials collapse to one row per
+    // lang; verdicts invariant; an append landing mid-compaction
+    // survives. (The seed never fragments — compaction is an appends
+    // concern, seed rows stay untouched beside the compacted partials.)
+    assert(TextQueries.langStatsRead(spark, corpusDir).count() >
+      TextQueries.langStatsRead(spark, corpusDir)
+        .select("lang").distinct().count(),
       "the door's appends must have produced multiple partials per lang")
     val probe = (200 to 209).map(i => DriftDoc(i.toLong, "x", "en"))
     val before = TextQueries.driftOf(probe.toDF(),
-      spark.read.parquet(hist)).head()
+      TextQueries.langStatsRead(spark, corpusDir)).head()
     val late = Seq(DriftDoc(300, "g", "en"), DriftDoc(301, "h", "de"))
     TextQueries.langStatsCompact(spark, corpusDir,
       () => { TextQueries.langStatsAppend(spark, corpusDir, late.toDF()); () })
     assert(mergedHist(corpusDir) ===
       expected2.map { case (l, n) => l -> (n + 1) },
       "the mid-compaction append must survive the swap")
-    // one compacted row per lang plus the late append's partials
     val after = TextQueries.driftOf(
-      probe.toDF(), spark.read.parquet(hist)).head()
+      probe.toDF(), TextQueries.langStatsRead(spark, corpusDir)).head()
     assert(before.getLong(1) !== 0L)
     assert(after.getBoolean(2) === before.getBoolean(2))
     TextQueries.langStatsCompact(spark, corpusDir)
-    assert(spark.read.parquet(hist).count() === 2,
-      "a quiet compaction collapses to exactly one row per lang")
+    assert(TextQueries.langStatsRead(spark, corpusDir).count() === 4,
+      "a quiet compaction collapses to seed row + one compacted partial per lang")
     assert(mergedHist(corpusDir) === expected2.map { case (l, n) => l -> (n + 1) })
   }
 
@@ -308,8 +316,7 @@ class DriftGateStreamSpec extends SparkSpec {
     assert(TextQueries.langStatsAppendOnce(spark, corpusDir, one, 0L, doorMark))
     assert(mergedHist(corpusDir) === Map("en" -> 11L, "fr" -> 2L))
     val layoutLocal = java.nio.file.Paths.get(
-      TextQueries.langStatsLayout(spark, corpusDir)).getParent
-      .resolve("_LAST_BATCH")
+      TextQueries.langStatsDir(corpusDir)).resolve("_LAST_BATCH")
     assert(!java.nio.file.Files.exists(layoutLocal),
       "the superseded layout-local mark must not booby-trap a later switch back")
   }
@@ -325,8 +332,7 @@ class DriftGateStreamSpec extends SparkSpec {
     // the frozen reference: same seed corpus, nothing maintained
     val frozenDir = java.nio.file.Files.createTempDirectory("graft_frozen").toString
     seed.toDF().write.mode("overwrite").parquet(s"$frozenDir/documents.parquet")
-    val frozenHist = spark.read.parquet(
-      TextQueries.langStatsLayout(spark, frozenDir))
+    val frozenHist = TextQueries.langStatsRead(spark, frozenDir)
 
     // the maintained door: three passing 10%-fr batches ramp the
     // source in, then a 15%-fr batch arrives
@@ -379,8 +385,8 @@ class DriftGateStreamSpec extends SparkSpec {
 
     val audit = spark.read.parquet(s"$doorDir/audit").orderBy("batch_id")
       .collect()
-      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Boolean]("lang_drifted"),
-        r.getAs[Boolean]("script_drifted"), r.getAs[Boolean]("drifted")))
+      .map(r => (r.getAs[Long]("batch_id"), axisOf(r, "lang")._2,
+        axisOf(r, "script")._2, r.getAs[Boolean]("drifted")))
     assert(audit.toSeq === Seq(
       (0L, false, false, false), // clean: passes both axes
       (1L, false, true, true),   // junk script: ONLY the script axis catches it
@@ -395,12 +401,12 @@ class DriftGateStreamSpec extends SparkSpec {
 
     // maintenance feeds BOTH standing references with the passed batch
     assert(mergedHist(corpusDir) === Map("en" -> 21L, "de" -> 21L))
-    val scriptHist = spark.read
-      .parquet(TextQueries.scriptStatsLayout(spark, corpusDir))
-      .groupBy("script").agg(sum("n").as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def scriptHist(): Map[String, Long] =
+      TextQueries.scriptStatsRead(spark, corpusDir)
+        .groupBy("script").agg(sum("n").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // "alpha beta" = 9 latin codepoints × (40 seed + 2 passed) docs
-    assert(scriptHist === Map("latin" -> 378L, "cjk" -> 0L, "cyr" -> 0L,
+    assert(scriptHist() === Map("latin" -> 378L, "cjk" -> 0L, "cyr" -> 0L,
       "digit" -> 0L, "other" -> 0L))
 
     // detached-append idempotence + semantic compaction, script twin
@@ -410,14 +416,135 @@ class DriftGateStreamSpec extends SparkSpec {
       Seq(DriftDoc(200, "x 5", "en")).toDF(), batchId = 7L))
     assert(TextQueries.scriptStatsPresent(corpusDir))
     TextQueries.scriptStatsCompact(spark, corpusDir)
-    val hist = TextQueries.scriptStatsLayout(spark, corpusDir)
-    assert(spark.read.parquet(hist).count() === 5,
-      "compaction collapses to exactly one row per script")
-    assert(spark.read.parquet(hist)
-      .groupBy("script").agg(sum("n").as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(TextQueries.scriptStatsRead(spark, corpusDir).count() === 10,
+      "compaction collapses appends to one partial per script beside the 5 seed rows")
+    assert(scriptHist()
       === Map("latin" -> 379L, "cjk" -> 0L, "cyr" -> 0L,
         "digit" -> 1L, "other" -> 0L))
+  }
+
+  test("three-axis door: truncated batch quarantined though lang AND script mix are perfect") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: latin text with a STATIONARY length mix (bucket 2 + 3)
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_len").toString
+    val seed = (1 to 40).map { i =>
+      val body = if (i % 2 == 0) "alpha beta gamma " * 8 else "alpha beta gam" // 136 / 14 chars
+      DriftDoc(i.toLong, body, if (i % 2 == 0) "en" else "de")
+    }
+    seed.toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_len_door").toString
+    def batch(base: Int, truncated: Boolean): Seq[DriftDoc] =
+      (0 until 4).map { i =>
+        val body =
+          if (truncated) "alpha beta gamma alpha beta gamma alpha "         // 40 chars: bucket 2
+          else if (i % 2 == 0) "alpha beta gamma " * 8 else "alpha beta gam"
+        DriftDoc((base + i).toLong, body, if (i % 2 == 0) "en" else "de")
+      }
+    val input = MemoryStream[DriftDoc]
+    val q = StreamingOps.driftRouteStream(input.toDF(), corpusDir, doorDir,
+      scriptAxis = true, lenAxis = true).start()
+    try {
+      input.addData(batch(100, truncated = false): _*); q.processAllAvailable()
+      // the truncation adversary: same langs, same (all-latin) script
+      // mix, every doc cut to one length bucket
+      input.addData(batch(200, truncated = true): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val audit = spark.read.parquet(s"$doorDir/audit").orderBy("batch_id")
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), axisOf(r, "lang")._2,
+        axisOf(r, "script")._2, axisOf(r, "len")._2, r.getAs[Boolean]("drifted")))
+    assert(audit.toSeq === Seq(
+      (0L, false, false, false, false), // representative: passes all three
+      (1L, false, false, true, true)),  // truncated: ONLY the length axis sees it
+      audit.mkString(", "))
+    assert(spark.read.parquet(s"$doorDir/quarantined")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === (200L to 203L))
+
+    // the passed batch fed the length reference; the quarantined one
+    // did not (seed 20+20 docs + 4 passed, len buckets 2/3)
+    def lenHist(): Map[Long, Long] =
+      TextQueries.lenStatsRead(spark, corpusDir)
+        .groupBy("len_bucket").agg(sum("n").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lenHist() === Map(2L -> 22L, 3L -> 22L))
+
+    // full maintenance symmetry: batchId-deduped detached append +
+    // semantic compaction + presence probe, the lang/script twins
+    assert(TextQueries.lenStatsAppendOnce(spark, corpusDir,
+      Seq(DriftDoc(300, "abc", "en")).toDF(), batchId = 9L))
+    assert(!TextQueries.lenStatsAppendOnce(spark, corpusDir,
+      Seq(DriftDoc(300, "abc", "en")).toDF(), batchId = 9L))
+    assert(TextQueries.lenStatsPresent(corpusDir))
+    TextQueries.lenStatsCompact(spark, corpusDir)
+    assert(lenHist() === Map(1L -> 1L, 2L -> 22L, 3L -> 22L))
+  }
+
+  test("a maintaining door never changes the registered queries' verdicts (seed parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the r12 advice item: the registered forms' DuckDB twins
+    // recompute the reference from `documents`, so the Scala side must
+    // read the corpus-stamp SEED — a door maintaining the same sfDir's
+    // standing references must not perturb them
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_seedpar").toString
+    (1 to 40).map(i =>
+      DriftDoc(i.toLong, s"doc number $i body", if (i % 2 == 0) "en" else "de"))
+      .toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    def gateRows() = TextQueries.driftGate(spark, corpusDir).collect().toSeq
+    def axesRows() = TextQueries.driftAxes(spark, corpusDir).collect().toSeq
+    val (gateBefore, axesBefore) = (gateRows(), axesRows())
+
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_seedpar_door").toString
+    val input = MemoryStream[DriftDoc]
+    val q = StreamingOps.driftRouteStream(input.toDF(), corpusDir, doorDir).start()
+    try {
+      // a passing batch whose mix SHIFTS the maintained shares: 6/4
+      // en/de is L1 = 200000 ppm — at the threshold, not over it, so
+      // the door passes it and appends it; the reference shares move
+      // to 26/24, which WOULD change every registered l1_ppm if the
+      // registered forms read the maintained relation
+      input.addData((0 until 6).map(i => DriftDoc((100 + i).toLong, "w", "en")) ++
+        (0 until 4).map(i => DriftDoc((110 + i).toLong, "w", "de")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$doorDir/passed").count() === 10,
+      "the maintenance batch must actually pass (and feed the appends)")
+    assert(mergedHist(corpusDir) === Map("en" -> 26L, "de" -> 24L),
+      "the door must have shifted the MAINTAINED reference's shares")
+    assert(gateRows() === gateBefore)
+    assert(axesRows() === axesBefore)
+  }
+
+  test("scriptCountsOf counts full codepoints on non-BMP text (oracle recipe parity)") {
+    import spark.implicits._
+    // the oracle classifies unicode(text[i:i]) — true codepoints. A
+    // UTF-16 code-unit split would count an emoji as TWO lone
+    // surrogates; Spark 4's split(col, "")/ascii are codepoint-aware,
+    // and this pins it so an engine upgrade can't silently diverge the
+    // script axis on supplementary-plane corpora
+    val emoji = new String(Character.toChars(0x1F600))  // U+1F600, beyond BMP
+    val extB = new String(Character.toChars(0x20000))   // CJK ext B — outside 4E00-9FFF
+    val docs = Seq((1L, s"ab${emoji}中 1$extB", "xx")).toDF("doc_id", "text", "lang")
+    val counts = TextQueries.scriptCountsOf(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a b → latin; 😀 → other (ONE codepoint, not two surrogates);
+    // 中 → cjk; 1 → digit; U+20000 → other
+    assert(counts === Map("latin" -> 2L, "cjk" -> 1L, "cyr" -> 0L,
+      "digit" -> 1L, "other" -> 2L))
+  }
+
+  test("registered q_drift_axes3: the truncation adversary is caught by the length axis alone") {
+    val rows = graft.SparkEntry.queries("q_drift_axes3")(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Boolean]("lang_drifted"), r.getAs[Boolean]("script_drifted"),
+          r.getAs[Boolean]("len_drifted"), r.getAs[Boolean]("drifted")))).toMap
+    assert(rows("representative") === ((false, false, false, false)))
+    assert(rows("truncation") === ((false, false, true, true)),
+      "truncated docs keep their language AND script mix — only the length axis flags")
   }
 
   test("registered q_drift_gate: both verdicts occur on the real corpus") {
