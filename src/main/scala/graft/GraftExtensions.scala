@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Crc64Expr, MysqlAes, QuantDot, ZOrder2}
+import graft.functions.{Crc64Expr, MysqlAes, QuantDot, ScriptCounts, ZOrder2}
 
 /** SparkSessionExtensions hook: makes graft's custom Catalyst
   * expressions available to plain SQL. Activate with
@@ -49,6 +49,13 @@ object GraftExtensions {
         (children: Seq[Expression]) => {
           require(children.size == 2, "zorder2 takes exactly two arguments")
           ZOrder2(children.head, children(1))
+        }),
+      (
+        FunctionIdentifier("script_counts"),
+        new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "script_counts takes exactly one argument")
+          ScriptCounts(children.head)
         }),
       (
         FunctionIdentifier("mysql_aes_encrypt"),

@@ -2237,17 +2237,22 @@ object TextQueries {
       |FROM p ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------ script mix
-  /** THE per-character script classification — printable codepoints of
-    * a text column (`ascii`/`unicode` agree on full codepoints in both
-    * engines; c > 32 drops whitespace/control). [[scriptMix]], the
+  /** THE per-character script classification — printable codepoints
+    * (cp > 32 drops whitespace/control) classified into {latin, cjk,
+    * cyr, digit, other} by the codegen'd [[graft.functions
+    * .ScriptCounts]] kernel: one codepoint loop per row, full
+    * codepoints (an emoji counts ONCE — non-BMP spec-pinned), exactly
+    * the oracle's `unicode(text[i:i])` recipe. [[scriptMix]], the
     * drift door's script axis ([[scriptCountsOf]]) and their oracles
-    * all derive from this one recipe.
+    * all derive from this one recipe; the earlier
+    * split("")/transform(ascii)/filter composition computed the same
+    * integers but paid interpreted HOF dispatch plus a per-character
+    * string allocation per range test (Spark's HOFs are
+    * CodegenFallback) — on the drift door this was the whole cost of
+    * the script axis.
     */
-  private def scriptCps(textCol: Column): Column =
-    filter(transform(split(textCol, ""), c => ascii(c)), c => c > 32)
-
-  private def scriptShare(cps: Column, lo: Int, hi: Int): Column =
-    size(filter(cps, c => c >= lo && c <= hi)).cast("long")
+  private def scriptCounts(textCol: Column): Column =
+    graft.functions.ScriptCounts.scriptCounts(textCol)
 
   /** Unicode-script mix audit: per language, the ppm share of Latin,
     * CJK, Cyrillic and digit codepoints — the triage a multilingual
@@ -2261,15 +2266,14 @@ object TextQueries {
     */
   def scriptMix(spark: SparkSession, sfDir: String): DataFrame = {
     val planted = concat(col("text"), lit(" 中文 кириллица 123"))
-    val cps = scriptCps(planted)
-    def share(lo: Int, hi: Int) = scriptShare(cps, lo, hi)
+    val sc = scriptCounts(planted)
     table(spark, sfDir, "documents")
       .select(col("lang"),
-        size(cps).cast("long").as("n_cp"),
-        (share(97, 122) + share(65, 90)).as("n_latin"),
-        share(0x4E00, 0x9FFF).as("n_cjk"),
-        share(0x400, 0x4FF).as("n_cyr"),
-        share(48, 57).as("n_digit"))
+        sc.getField("n_cp").as("n_cp"),
+        sc.getField("latin").as("n_latin"),
+        sc.getField("cjk").as("n_cjk"),
+        sc.getField("cyr").as("n_cyr"),
+        sc.getField("digit").as("n_digit"))
       .groupBy("lang")
       .agg(sum(col("n_cp")).as("n_cp"),
         sum(col("n_latin")).as("n_latin"),
@@ -3109,20 +3113,20 @@ object TextQueries {
   /** Per-script codepoint counts of a document relation — (script, n)
     * over the bounded domain {latin, cjk, cyr, digit, other}: ONE
     * narrow map-side-combined pass classifying every printable
-    * codepoint by the shared [[scriptCps]] recipe, then a 5-row
+    * codepoint by the shared [[scriptCounts]] kernel, then a 5-row
     * unpivot. NULL text counts as empty (a streaming batch may carry
     * nulls; the door must get a verdict, not a null-propagating size
     * of -1).
     */
   private[graft] def scriptCountsOf(docs: DataFrame): DataFrame = {
-    val cps = scriptCps(coalesce(col("text"), lit("")))
+    val sc = scriptCounts(coalesce(col("text"), lit("")))
     docs
       .select(
-        size(cps).cast("long").as("n_cp"),
-        (scriptShare(cps, 97, 122) + scriptShare(cps, 65, 90)).as("latin"),
-        scriptShare(cps, 0x4E00, 0x9FFF).as("cjk"),
-        scriptShare(cps, 0x400, 0x4FF).as("cyr"),
-        scriptShare(cps, 48, 57).as("digit"))
+        sc.getField("n_cp").as("n_cp"),
+        sc.getField("latin").as("latin"),
+        sc.getField("cjk").as("cjk"),
+        sc.getField("cyr").as("cyr"),
+        sc.getField("digit").as("digit"))
       .agg(coalesce(sum(col("n_cp")), lit(0L)).as("n_cp"),
         coalesce(sum(col("latin")), lit(0L)).as("latin"),
         coalesce(sum(col("cjk")), lit(0L)).as("cjk"),
