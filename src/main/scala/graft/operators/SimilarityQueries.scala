@@ -27,9 +27,15 @@ object SimilarityQueries {
 
   private val LshPlanes = 6 // 64 buckets; bits from md5-seeded hyperplanes
 
-  /** Deterministic integer hyperplanes: component (i,j) from md5. */
-  private[operators] def planes: Array[Array[Long]] =
-    Array.tabulate(LshPlanes, 64) { (i, j) => md5LongLocal(s"$i,$j") % 2001 - 1000 }
+  /** Deterministic integer hyperplanes: component (i,j) from md5.
+    * `planesFor(p)` is the p-plane prefix of one infinite family, so a
+    * corpus-derived plane count (the knn graph) and the fixed 6-plane
+    * standing layout share their first 6 hyperplanes exactly.
+    */
+  private[operators] def planesFor(p: Int): Array[Array[Long]] =
+    Array.tabulate(p, 64) { (i, j) => md5LongLocal(s"$i,$j") % 2001 - 1000 }
+
+  private[operators] def planes: Array[Array[Long]] = planesFor(LshPlanes)
 
   /** Sign-projection LSH bucket of an embedding column: one bit per
     * hyperplane, set when the quantized dot product is positive. The
@@ -37,10 +43,12 @@ object SimilarityQueries {
     * probe, and the dedup blocking all call this, so the
     * `annLsh == annLshBucketed` equivalence can't drift.
     */
-  private def bucketCol(emb: Column): Column =
-    planes.zipWithIndex.map { case (p, i) =>
+  private def bucketColFor(pl: Array[Array[Long]])(emb: Column): Column =
+    pl.zipWithIndex.map { case (p, i) =>
       when(quantDot(emb, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  private def bucketCol(emb: Column): Column = bucketColFor(planes)(emb)
 
   /** Driver-side twin of [[bucketCol]] for a literal query vector —
     * identical integer math (floor(x·10⁶) quantization, same planes).
@@ -1024,6 +1032,106 @@ object SimilarityQueries {
        |      AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cosine FROM scored
        |WHERE cosine >= 0.95 ORDER BY vec_a, vec_b""".stripMargin
+
+  // --------------------------------------------------- k-NN graph
+  private[operators] val KnnK = 5
+  private[operators] val KnnBucketTarget = 1024L
+
+  /** Plane count for the knn graph's blocking: the smallest p ≥ 6 with
+    * 2^p buckets ≥ ⌈n/target⌉ — mean bucket population stays ≤ target
+    * however large the corpus (the [[semDedupK]] scale-contract-in-
+    * the-signature rule applied to LSH: a FIXED plane count would make
+    * the per-bucket candidate join quadratic in corpus size). Pure
+    * integer derivation (no libm log whose rounding could differ
+    * between engines); the oracle replays it as a `min(p) WHERE
+    * (1 << p) >= cells` scan over a bounded range.
+    */
+  private[operators] def knnPlanes(n: Long): Int = {
+    val cells = math.max(1L, (n + KnnBucketTarget - 1) / KnnBucketTarget)
+    (6 to 30).find(p => (1L << p) >= cells).getOrElse(30)
+  }
+
+  /** k-NN GRAPH over the corpus — every vector's top-[[KnnK]] most
+    * similar neighbors by quantized dot, the similarity-graph
+    * primitive under graph-based curation (SemDeDup-graph,
+    * NN-descent seeding, diversity/coverage sampling, duplicate
+    * clustering). Exact all-pairs is O(n²); candidates here come from
+    * sign-LSH blocking with MULTI-PROBE radius 1 (own bucket + the p
+    * one-bit flips — the [[embedDedup]] recall shape: a neighbor that
+    * drifted across one hyperplane is still found), so each directed
+    * candidate set is the vector's bucket neighborhood, never the
+    * corpus. The plane count DERIVES from the corpus ([[knnPlanes]]):
+    * mean bucket population stays ≤ [[KnnBucketTarget]], so candidate
+    * cost is ≈ n·(p+1)·target — linear in n with a log-n probe
+    * fanout — and the per-vector top-k is a rank window Catalyst
+    * rewrites to WindowGroupLimit (each partition keeps ≤ k rows per
+    * vector BEFORE the exchange). The standard LSH tradeoff applies:
+    * more planes = tighter buckets = recall shifts onto the
+    * multi-probe ring; exact duplicates always share a bucket, so
+    * recall on true dups stays 1.0 at any p.
+    *
+    * Deterministic and fully oracle-replayable: md5-seeded integer
+    * hyperplanes (the [[planesFor]] family — the first 6 planes ARE
+    * the standing layout's), exact integer dots, lowest-id tie rule.
+    */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val p = knnPlanes(base.count())
+    val pl = planesFor(p)
+    // bucket computed ONCE and materialized: both join sides read it,
+    // and an unmaterialized plan would re-evaluate the p-plane
+    // projection per side (the embedDedup discipline)
+    val e = base
+      .select(col("vec_id"), col("embedding"),
+        bucketColFor(pl)(col("embedding")).as("bucket"))
+      .localCheckpoint(true)
+    val probeCols = col("bucket") +:
+      (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    val probes = e.select(col("vec_id"), col("embedding"),
+      explode(array(probeCols: _*)).as("probe"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    probes.as("a").join(e.as("b"),
+        col("a.probe") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        quantDot(col("a.embedding"), col("b.embedding")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= KnnK)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
+      .orderBy("vec_id", "rank")
+  }
+
+  def knnGraphSql: String =
+    s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+       |np AS (SELECT (SELECT min(p) FROM range(6, 31) r(p)
+       |    WHERE (CAST(1 AS BIGINT) << p) >=
+       |      greatest(1, (n + $KnnBucketTarget - 1) // $KnnBucketTarget)) AS p
+       |  FROM n),
+       |planes AS (SELECT i, j,
+       |    (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 14) AS BIGINT) % 2001) - 1000 AS r
+       |  FROM range(30) t1(i), range(64) t2(j)
+       |  WHERE i < (SELECT p FROM np)),
+       |dots AS (SELECT e.vec_id, p.i,
+       |    sum(CAST(floor(CAST(e.embedding[p.j + 1] AS DOUBLE) * 1000000) AS BIGINT) * p.r) AS d
+       |  FROM embeddings e, planes p GROUP BY 1, 2),
+       |buckets AS MATERIALIZED (SELECT vec_id,
+       |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY 1),
+       |scored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      p -> $QDot)) AS BIGINT) AS score
+       |  FROM embeddings a JOIN buckets ba ON ba.vec_id = a.vec_id
+       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
+       |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id),
+       |ranked AS (SELECT vec_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score
+       |FROM ranked WHERE rank <= $KnnK
+       |ORDER BY vec_id, rank""".stripMargin
 
   // ------------------------------------------- random-projection ANN
   private val RpDims = 8

@@ -72,7 +72,12 @@ object ScalingProbe {
     // the two-level form: same corpus-derived k_total, but train +
     // assignment cost n·(k_c + k_f) ≈ 2n√k instead of n·k — the probe
     // should show the flat form's super-linear curve flattening
-    "q_semdedup_hier")
+    "q_semdedup_hier",
+    // corpus-derived LSH plane count: mean bucket population pins to
+    // the target, so candidates ≈ n·(p+1)·target — linear with a
+    // log-n probe fanout (self-union caveat applies: 32 identical
+    // copies per vector share one bucket and pair quadratically)
+    "q_knn_graph")
 
   /** Pair generators whose fanout a df cap bounds tightly enough to
     * probe at the full fold range: the winnow family drops any
@@ -91,7 +96,8 @@ object ScalingProbe {
     * query itself plants (and the base corpus's own) survives, so
     * output grows ~k and the wall-clock curve measures the PLAN.
     */
-  private val RealShapedOps = Seq("q_winnow_align", "q_semdedup", "q_semdedup_hier")
+  private val RealShapedOps = Seq("q_winnow_align", "q_semdedup", "q_semdedup_hier",
+    "q_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val maxK = args.headOption.map(_.toInt).getOrElse(4)

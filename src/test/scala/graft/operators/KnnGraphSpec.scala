@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** k-NN graph: output shape invariants, the corpus-derived plane
+  * count's bucket-population bound, and the blocked (never all-pairs)
+  * plan shape with the rank limit pushed below the exchange.
+  */
+class KnnGraphSpec extends SparkSpec {
+
+  test("per-vector top-k: no self edges, ranks dense, scores non-increasing") {
+    val rows = SimilarityQueries.knnGraph(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, _, nb, _) => assert(v !== nb, s"self edge at $v") }
+    rows.groupBy(_._1).foreach { case (v, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.length <= SimilarityQueries.KnnK)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length), s"ranks at $v")
+      val scores = sorted.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"scores not non-increasing at $v")
+    }
+  }
+
+  test("plane count derives from the corpus: mean bucket population bounded") {
+    val t = SimilarityQueries.KnnBucketTarget
+    Seq(1L, t, t * 64, t * 64 + 1, t * 100000, 1000L * 1000 * 1000).foreach { n =>
+      val p = SimilarityQueries.knnPlanes(n)
+      assert(p >= 6, s"n=$n")
+      assert(p <= 30, s"n=$n")
+      // the contract: 2^p buckets cover n at <= target mean population
+      // (above the 6-plane floor)
+      if (n > t * 64)
+        assert(n.toDouble / (1L << p) <= t, s"n=$n p=$p mean=${n / (1L << p)}")
+    }
+    assert(SimilarityQueries.knnPlanes(t * 64 + 1) === 7, "crosses the floor")
+  }
+
+  test("candidates come from bucket blocking — an equi-join, never a cartesian") {
+    val plan = SimilarityQueries.knnGraph(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the per-vector rank-limit is pushed below the exchange: each map
+    // partition keeps <= k rows per vector before any shuffle
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("deterministic across runs") {
+    val a = SimilarityQueries.knnGraph(spark, sf()).collect().toSeq
+    val b = SimilarityQueries.knnGraph(spark, sf()).collect().toSeq
+    assert(a === b)
+  }
+
+  test("exact duplicates are each other's top neighbor (recall 1.0 on true dups)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // plant an exact copy of every vector under shifted ids in a temp
+    // corpus: identical vectors share any bucket, so each copy must be
+    // its original's rank-1 neighbor with score = quantized |v|²
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .select("vec_id", "embedding").where(org.apache.spark.sql.functions.col("vec_id") < 50)
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn").toString
+    base.unionByName(base.withColumn("vec_id", col("vec_id") + 100000))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top1 = SimilarityQueries.knnGraph(spark, dir)
+      .where(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ids = base.select("vec_id").collect().map(_.getLong(0))
+    ids.foreach { v =>
+      assert(top1(v) === v + 100000, s"original $v")
+      assert(top1(v + 100000) === v, s"copy of $v")
+    }
+  }
+}
