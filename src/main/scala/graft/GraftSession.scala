@@ -75,6 +75,21 @@ object GraftSession {
       finally walk.close() // walk streams hold directory handles
     }
 
+  /** Pre-append hygiene for every append-maintained layout and
+    * streaming sink dir: clear a DEAD job's `_temporary` tree before
+    * writing. Hadoop's FileOutputCommitter merges any committed-task
+    * files it finds under `<dir>/_temporary/0` into the NEXT job's
+    * commit — so a crashed append's partials would resurrect inside a
+    * later append's commit, materializing rows whose batch the
+    * idempotence marker never recorded (under at-least-once replay,
+    * a silent double count; for counting layouts like the drift
+    * histograms, a silently skewed reference). Safe under the
+    * documented ONE-writer-per-layout contract: any `_temporary`
+    * present when a new append starts is necessarily a dead job's.
+    */
+  def clearDeadAppend(dir: String): Unit =
+    deleteRec(java.nio.file.Paths.get(dir, "_temporary"))
+
   /** Compact a `partitionBy(partCol)` parquet tree back to ≤1 file per
     * partition directory: append-maintained layouts gain one file per
     * touched partition per append, and probe cost grows with file

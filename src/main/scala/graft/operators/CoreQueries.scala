@@ -375,6 +375,7 @@ object CoreQueries {
     val daily = userSketchLayout(spark, sfDir)
     graft.GraftSession.appliedOnce(
       java.nio.file.Paths.get(daily).getParent.resolve("_LAST_BATCH"), batchId) {
+      graft.GraftSession.clearDeadAppend(daily) // resurrection guard
       sketchPartials(newEvents).write.mode("append").parquet(daily)
     }
   }

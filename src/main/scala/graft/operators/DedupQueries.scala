@@ -793,6 +793,7 @@ object DedupQueries {
   def simhashAppend(spark: SparkSession, sfDir: String,
       newDocs: DataFrame): String = {
     val fp = simhashLayout(spark, sfDir) // ensure the base exists
+    graft.GraftSession.clearDeadAppend(fp) // resurrection guard
     simhashOf(newDocs).write.mode("append").parquet(fp)
     fp
   }
@@ -807,6 +808,7 @@ object DedupQueries {
     val fp = simhashLayout(spark, sfDir)
     graft.GraftSession.appliedOnce(
       java.nio.file.Paths.get(fp).getParent.resolve("_LAST_BATCH"), batchId) {
+      graft.GraftSession.clearDeadAppend(fp) // resurrection guard
       simhashOf(newDocs).write.mode("append").parquet(fp)
     }
   }

@@ -505,6 +505,7 @@ object SimilarityQueries {
       newVecs: DataFrame): Unit = {
     val books = readBooks(spark, layout)
     val cents = ivfCentroids(spark, sfDir)
+    graft.GraftSession.clearDeadAppend(s"$layout/codes") // resurrection guard
     pqEncode(newVecs.select(col("vec_id"), col("embedding")), books, cents)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$layout/codes")

@@ -1574,6 +1574,7 @@ object TextQueries {
       .where(length(trim(col("text"))) > 0)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
+    graft.GraftSession.clearDeadAppend(s"$layout/postings") // resurrection guard
     base.select(col("doc_id"), col("dl"),
         posexplode(col("toks")).as(Seq("pos", "tok")))
       .groupBy("tok", "doc_id", "dl")
@@ -2788,10 +2789,19 @@ object TextQueries {
       val dir = java.nio.file.Paths.get(histDir(sfDir))
       if (!java.nio.file.Files.isDirectory(dir)) return false
       val walk = java.nio.file.Files.walk(dir)
+      // hidden names rejected at EVERY path component, matching what a
+      // Spark scan lists: a crashed append leaves only
+      // hist/_temporary/…/part-*.parquet, whose LEAF name is plain —
+      // counting it as data would send read() into a zero-file parquet
+      // scan (schema-inference AnalysisException) and wedge the door
       try walk.anyMatch { p =>
-        val fn = p.getFileName.toString
-        java.nio.file.Files.isRegularFile(p) &&
-          !fn.startsWith("_") && !fn.startsWith(".")
+        java.nio.file.Files.isRegularFile(p) && {
+          val rel = dir.relativize(p)
+          !(0 until rel.getNameCount).exists { i =>
+            val n = rel.getName(i).toString
+            n.startsWith("_") || n.startsWith(".")
+          }
+        }
       } finally walk.close()
     }
 
@@ -2804,8 +2814,16 @@ object TextQueries {
       else s
     }
 
+    /** [[graft.GraftSession.clearDeadAppend]]: a crashed append's
+      * `_temporary` would otherwise resurrect inside the next append's
+      * commit — for a COUNTING layout, a silently skewed reference.
+      */
+    private def clearStaleTemporary(sfDir: String): Unit =
+      graft.GraftSession.clearDeadAppend(histDir(sfDir))
+
     def append(spark: SparkSession, sfDir: String, passedDocs: DataFrame): String = {
       seed(spark, sfDir) // ensure the base exists
+      clearStaleTemporary(sfDir)
       val hist = histDir(sfDir)
       countsOf(passedDocs).write.mode("append").parquet(hist)
       hist
@@ -2830,6 +2848,7 @@ object TextQueries {
       // switch to detached maintenance with a silent freeze.
       marker.foreach(_ => java.nio.file.Files.deleteIfExists(layoutLocal))
       graft.GraftSession.appliedOnce(marker.getOrElse(layoutLocal), batchId) {
+        clearStaleTemporary(sfDir) // see [[append]] — resurrection guard
         countsOf(passedDocs).write.mode("append").parquet(histDir(sfDir))
       }
     }
@@ -3434,7 +3453,11 @@ object TextQueries {
       |    CAST(sum(cyr) AS BIGINT) AS cyr, CAST(sum(digit) AS BIGINT) AS digit,
       |    CAST(sum(n_cp) AS BIGINT) AS n_cp FROM scc WHERE doc_id % 10 = 0),
       |${unpivot("rst", "rs", "nb")},
-      |tsrc AS (SELECT doc_id, text[1:$TruncLen] AS t FROM documents WHERE doc_id % 10 = 0),
+      |-- coalesce mirrors lenCountsOf/scriptCountsOf's NULL-text-as-
+      |-- empty convention: a NULL len_bucket would never merge in the
+      |-- FULL OUTER JOIN and the engines would count its mass apart
+      |tsrc AS (SELECT doc_id, coalesce(text, '')[1:$TruncLen] AS t
+      |  FROM documents WHERE doc_id % 10 = 0),
       |tcd AS (SELECT doc_id, list_filter(list_transform(generate_series(1, len(t)),
       |    i -> unicode(t[i:i])), x -> x > 32) AS cps FROM tsrc),
       |tcc AS (SELECT doc_id, $scriptCols FROM tcd),
@@ -3442,9 +3465,9 @@ object TextQueries {
       |    CAST(sum(cyr) AS BIGINT) AS cyr, CAST(sum(digit) AS BIGINT) AS digit,
       |    CAST(sum(n_cp) AS BIGINT) AS n_cp FROM tcc),
       |${unpivot("tst", "ts", "nb")},
-      |ll AS (SELECT CAST(len(CAST(len(text) AS VARCHAR)) AS BIGINT) AS len_bucket,
+      |ll AS (SELECT CAST(len(CAST(len(coalesce(text, '')) AS VARCHAR)) AS BIGINT) AS len_bucket,
       |    CAST(count(*) AS BIGINT) AS nc FROM documents GROUP BY 1),
-      |rll AS (SELECT CAST(len(CAST(len(text) AS VARCHAR)) AS BIGINT) AS len_bucket,
+      |rll AS (SELECT CAST(len(CAST(len(coalesce(text, '')) AS VARCHAR)) AS BIGINT) AS len_bucket,
       |    CAST(count(*) AS BIGINT) AS nb FROM documents
       |  WHERE doc_id % 10 = 0 GROUP BY 1),
       |tll AS (SELECT CAST(len(CAST(len(t) AS VARCHAR)) AS BIGINT) AS len_bucket,

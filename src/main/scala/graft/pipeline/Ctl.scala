@@ -160,21 +160,39 @@ object Ctl {
       // the spec-pinned four-stage composition as a launchable verb
       // (StreamingOps.doorChain): the spool queue's `stop` convention
       // ends it — touch <doorDir>/stop and the three streams stop at
-      // their next poll, checkpointed for a clean resume
+      // their next poll, checkpointed for a clean resume. sys.exit
+      // only AFTER the try/finally (the quarantine-release rule:
+      // exiting inside would skip spark.stop())
       val spark = graft.GraftSession.build()
-      try {
-        val qs = graft.streaming.StreamingOps.doorChain(spark, sfDir,
-          incoming, doorDir, admitted,
-          scriptAxis = !rest.contains("--no-script-axis"),
-          lenAxis = rest.contains("--len-axis"))
-        println(s"door chain running: $incoming -> door($doorDir) -> " +
-          s"admit($admitted); stop with: touch $doorDir/stop")
-        val stop = Paths.get(doorDir, "stop")
-        while (!Files.exists(stop)) Thread.sleep(1000)
-        qs.foreach(_.stop())
-        Files.deleteIfExists(stop)
-        println("door chain stopped")
-      } finally spark.stop()
+      val chainFailure: Option[String] =
+        try {
+          val qs = graft.streaming.StreamingOps.doorChain(spark, sfDir,
+            incoming, doorDir, admitted,
+            scriptAxis = !rest.contains("--no-script-axis"),
+            lenAxis = rest.contains("--len-axis"))
+          println(s"door chain running: $incoming -> door($doorDir) -> " +
+            s"admit($admitted); stop with: touch $doorDir/stop")
+          val stop = Paths.get(doorDir, "stop")
+          // liveness, not just the stop file: a stream that died
+          // (corrupt input, a wedged layout) must surface its exception
+          // and fail the verb loudly — a silent wait loop would look
+          // healthy while incoming files pile up unprocessed
+          var dead: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+          while (!Files.exists(stop) && dead.isEmpty) {
+            Thread.sleep(1000)
+            dead = qs.find(q => !q.isActive)
+          }
+          qs.foreach(q => if (q.isActive) q.stop())
+          Files.deleteIfExists(stop)
+          dead.map(d => d.exception.map(_.getMessage)
+            .getOrElse("stream stopped unexpectedly (no exception recorded)"))
+        } finally spark.stop()
+      chainFailure match {
+        case Some(msg) =>
+          System.err.println(s"door chain FAILED: $msg")
+          sys.exit(1)
+        case None => println("door chain stopped")
+      }
 
     case "quarantine-release" :: doorDir :: batchIdStr :: Nil =>
       // manual override of the drift door: after inspection, feed a

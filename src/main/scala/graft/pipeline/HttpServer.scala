@@ -347,6 +347,14 @@ object HttpServer {
               // read the quarantined parquet out-of-band). Row shape =
               // the audit verdict row (n_docs + per-axis l1/drifted),
               // so it widens automatically with the audit schema.
+              // This endpoint is ITSELF an audit consumer, so it obeys
+              // the at-least-once contract (dedup on batch_id — a
+              // replayed batch's duplicate 'routed' row must not list
+              // the batch twice) and the same most-recent-N cap as
+              // /door/audit (an unattended door accrues quarantined
+              // verdicts without bound).
+              val qlimit = qparam(ex, "limit").flatMap(_.toIntOption)
+                .filter(_ >= 0).getOrElse(10000)
               val released = releasedIds().toSet
               val rows = auditDf() match {
                 case None => Seq.empty[String]
@@ -358,8 +366,10 @@ object HttpServer {
                       df.where(col("event").isNull || col("event") === "routed")
                     else df
                   routed.where(col("drifted") === true)
-                    .orderBy("batch_id")
-                    .collect().toSeq // bounded: one row per quarantined batch
+                    .dropDuplicates("batch_id")
+                    .orderBy(col("batch_id").desc)
+                    .limit(qlimit)
+                    .collect().toSeq.reverse
                     .filterNot(r => released.contains(
                       r.getLong(r.fieldIndex("batch_id"))))
                     .map(rowJson)

@@ -129,6 +129,7 @@ object StreamingOps {
               .nearDupAdmitFor(batch.sparkSession, sfDir, batch.toDF())
               .localCheckpoint()
             try {
+              graft.GraftSession.clearDeadAppend(outDir) // resurrection guard
               admitted
                 .withColumn("batch_id", lit(batchId))
                 .write.mode("append").parquet(outDir)
@@ -163,6 +164,7 @@ object StreamingOps {
             java.nio.file.Paths.get(outDir, "_LAST_BATCH"), batchId) {
             val spark = batch.sparkSession
             val hist = graft.operators.TextQueries.langStatsRead(spark, sfDir)
+            graft.GraftSession.clearDeadAppend(outDir) // resurrection guard
             graft.operators.TextQueries.driftOf(batch.toDF(), hist)
               .withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(outDir)
@@ -284,12 +286,14 @@ object StreamingOps {
               val axes = map(axisEntries.flatMap { case (nm, l1, d) =>
                 Seq(lit(nm), struct(lit(l1).as("l1_ppm"), lit(d).as("drifted")))
               }: _*)
+              graft.GraftSession.clearDeadAppend(s"$outDir/audit")
               Seq((batchId, "routed", nDocs, drifted))
                 .toDF("batch_id", "event", "n_docs", "drifted")
                 .select(col("batch_id"), col("event"), col("n_docs"),
                   axes.as("axes"), col("drifted"))
                 .coalesce(1).write.mode("append").parquet(s"$outDir/audit")
               val dest = if (drifted) "quarantined" else "passed"
+              graft.GraftSession.clearDeadAppend(s"$outDir/$dest")
               b.withColumn("batch_id", lit(batchId))
                 .write.mode("append").parquet(s"$outDir/$dest")
               // the door maintains its own references with what it
@@ -552,11 +556,23 @@ object StreamingOps {
   /** Whether `dir` holds any non-hidden regular file — the
     * empty-parquet-dir probe (Spark's reader throws on schema
     * inference over an empty dir, which is a normal state here).
+    * Hidden names rejected at EVERY path component: a crashed writer's
+    * `_temporary/…/part-*` leaf has a plain name but is invisible to a
+    * Spark scan — counting it as data would answer "has rows" for a
+    * directory the read then finds empty.
     */
   private def hasDataFiles(dir: java.nio.file.Path): Boolean = {
     if (!java.nio.file.Files.isDirectory(dir)) return false
     val walk = java.nio.file.Files.walk(dir)
-    try walk.anyMatch(isDataFile) finally walk.close()
+    try walk.anyMatch { p =>
+      java.nio.file.Files.isRegularFile(p) && {
+        val rel = dir.relativize(p)
+        !(0 until rel.getNameCount).exists { i =>
+          val n = rel.getName(i).toString
+          n.startsWith("_") || n.startsWith(".")
+        }
+      }
+    } finally walk.close()
   }
 
   /** Live ANN serving: a stream of query vectors (query_id, embedding)
@@ -585,6 +601,7 @@ object StreamingOps {
         if (!batch.isEmpty)
           graft.GraftSession.appliedOnce(
             java.nio.file.Paths.get(outDir, "_LAST_BATCH"), batchId) {
+            graft.GraftSession.clearDeadAppend(outDir) // resurrection guard
             graft.operators.SimilarityQueries
               .annBatchLookup(batch.sparkSession, sfDir, batch.toDF())
               .withColumn("batch_id", lit(batchId))

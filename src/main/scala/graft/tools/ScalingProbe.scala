@@ -221,6 +221,14 @@ object ScalingProbe {
     val realDirs: Map[Int, String] = ks.map { k =>
       if (k == 1) k -> base
       else {
+        // the perturbations' distinctness has a ceiling (17 rotations;
+        // 4-bit sign patterns): a copy index past it would silently
+        // reintroduce cross-copy duplicates and revert the 'real'
+        // curve to the self-union ~k² shape this block exists to
+        // exclude — fail loudly instead (ks is currently capped at 16,
+        // this guards a future ladder extension)
+        require(k <= 16,
+          s"real-shaped fold supports k <= 16 (perturbation ceiling), got $k")
         val dir = Paths.get(s"/tmp/graft_scaling_real_${baseTag}_${k}x")
         val docsOut = dir.resolve("documents.parquet")
         if (!Files.exists(docsOut.resolve("_SUCCESS"))) {

@@ -122,6 +122,27 @@ class HttpDoorSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("quarantined listing dedups replayed audit rows (at-least-once contract)") {
+    import spark.implicits._
+    // the audit feed is at-least-once across the sink-then-marker
+    // window: a replayed batch appends a SECOND identical 'routed' row.
+    // /door/quarantined is itself an audit consumer, so it must dedup
+    // on batch_id — one listing per quarantined batch, not per row
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_hd_dup").toString
+    val row = Seq((5L, "routed", 3L, true))
+      .toDF("batch_id", "event", "n_docs", "drifted")
+    row.coalesce(1).write.mode("append").parquet(s"$doorDir/audit")
+    row.coalesce(1).write.mode("append").parquet(s"$doorDir/audit")
+    val spool = java.nio.file.Files.createTempDirectory("graft_hd_spool4").toString
+    val srv = HttpServer.start(spool, 0, Some(doorDir), () => spark)
+    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    try {
+      val (code, body) = req(base, "GET", "/door/quarantined")
+      assert(code === 200)
+      assert("\"batch_id\":5".r.findAllIn(body).size === 1, body)
+    } finally srv.stop(0)
+  }
+
   test("a fresh door serves empty feeds, not a schema-inference crash") {
     val doorDir = java.nio.file.Files.createTempDirectory("graft_hd_fresh").toString
     val spool = java.nio.file.Files.createTempDirectory("graft_hd_spool2").toString

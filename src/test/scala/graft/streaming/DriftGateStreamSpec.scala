@@ -547,6 +547,30 @@ class DriftGateStreamSpec extends SparkSpec {
       "truncated docs keep their language AND script mix — only the length axis flags")
   }
 
+  test("a crashed append's _temporary tree never wedges the reference read") {
+    import spark.implicits._
+    // the sink-then-marker window: a door JVM dies mid-append leaving
+    // ONLY hist/_temporary/…/part-* (plain leaf names, hidden parent).
+    // The read must treat that as "no appends" — counting it as data
+    // sends Spark into a zero-visible-file parquet scan that throws,
+    // permanently wedging every subsequent door batch
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    (1 to 10).map(i => DriftDoc(i.toLong, "t", "en"))
+      .toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    assert(mergedHist(corpusDir) === Map("en" -> 10L)) // seed built
+    val torn = java.nio.file.Paths.get(
+      TextQueries.langStatsDir(corpusDir), "hist", "_temporary", "0")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("part-00000.parquet"),
+      "torn partial, not parquet")
+    assert(mergedHist(corpusDir) === Map("en" -> 10L),
+      "an uncommitted append must read as absent, not crash the door")
+    // a real append beside the litter still lands and reads
+    TextQueries.langStatsAppend(spark, corpusDir,
+      Seq(DriftDoc(50, "u", "fr")).toDF())
+    assert(mergedHist(corpusDir) === Map("en" -> 10L, "fr" -> 1L))
+  }
+
   test("registered q_drift_gate: both verdicts occur on the real corpus") {
     val rows = graft.SparkEntry.queries("q_drift_gate")(spark, sf()).collect()
       .map(r => (r.getString(0), r.getBoolean(3))).toMap
