@@ -197,14 +197,43 @@ object GraftSession {
     swapCompacted(live, staged, manifest, inProgress)
   }
 
-  /** Relative paths of the parquet data files under `root` — hidden
-    * names excluded at EVERY path component, matching what a Spark
-    * scan lists: a file under `_temporary/...` (an in-flight
-    * FileOutputCommitter job from a concurrent append) has a plain
-    * leaf name but must not enter the snapshot — reading it races the
-    * committer's rename, and deleting it in the swap would duplicate
-    * or kill the append. Markers (`_SUCCESS`, stamps) and checksum
-    * dot-files are excluded by the same rule.
+  /** THE "would a Spark scan see this file" rule: hidden ('_'/'.')
+    * names rejected at EVERY path component below `root` — a file
+    * under `_temporary/...` (a FileOutputCommitter job's staging) has
+    * a plain leaf name but is invisible to a scan; markers
+    * (`_SUCCESS`, stamps) and checksum dot-files fall to the same
+    * rule. ONE predicate shared by the compaction snapshot
+    * ([[dataFilesUnder]]) and every emptiness probe
+    * ([[hasVisibleData]]), so they can never disagree about a
+    * directory.
+    */
+  private def visibleRel(root: java.nio.file.Path,
+      p: java.nio.file.Path): Boolean = {
+    val rel = root.relativize(p)
+    !(0 until rel.getNameCount).exists { i =>
+      val n = rel.getName(i).toString
+      n.startsWith("_") || n.startsWith(".")
+    }
+  }
+
+  /** Whether `dir` holds any data file a Spark scan would list — the
+    * empty-parquet-dir probe (Spark's reader throws on schema
+    * inference over a dir with zero visible files, which is a normal
+    * bootstrap state for append-maintained layouts and sink dirs; a
+    * crashed append's `_temporary/…/part-*` must read as absent).
+    */
+  def hasVisibleData(dir: java.nio.file.Path): Boolean = {
+    if (!java.nio.file.Files.isDirectory(dir)) return false
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.anyMatch(p =>
+      java.nio.file.Files.isRegularFile(p) && visibleRel(dir, p))
+    finally walk.close()
+  }
+
+  /** Relative paths of the parquet data files under `root` — the
+    * [[visibleRel]] rule, matching what a Spark scan lists: reading a
+    * `_temporary` file races the committer's rename, and deleting it
+    * in the compaction swap would duplicate or kill the append.
     */
   private def dataFilesUnder(root: java.nio.file.Path): Seq[String] = {
     if (!java.nio.file.Files.exists(root)) return Nil
@@ -212,14 +241,8 @@ object GraftSession {
     try {
       val out = Seq.newBuilder[String]
       walk.forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p)) {
-          val rel = root.relativize(p)
-          val hidden = (0 until rel.getNameCount).exists { i =>
-            val n = rel.getName(i).toString
-            n.startsWith("_") || n.startsWith(".")
-          }
-          if (!hidden) out += rel.toString
-        }
+        if (java.nio.file.Files.isRegularFile(p) && visibleRel(root, p))
+          out += root.relativize(p).toString
       }
       out.result()
     } finally walk.close()

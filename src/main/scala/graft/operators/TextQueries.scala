@@ -2785,25 +2785,8 @@ object TextQueries {
 
     private def histDir(sfDir: String): String = s"${root(sfDir)}/hist"
 
-    private def histHasData(sfDir: String): Boolean = {
-      val dir = java.nio.file.Paths.get(histDir(sfDir))
-      if (!java.nio.file.Files.isDirectory(dir)) return false
-      val walk = java.nio.file.Files.walk(dir)
-      // hidden names rejected at EVERY path component, matching what a
-      // Spark scan lists: a crashed append leaves only
-      // hist/_temporary/…/part-*.parquet, whose LEAF name is plain —
-      // counting it as data would send read() into a zero-file parquet
-      // scan (schema-inference AnalysisException) and wedge the door
-      try walk.anyMatch { p =>
-        java.nio.file.Files.isRegularFile(p) && {
-          val rel = dir.relativize(p)
-          !(0 until rel.getNameCount).exists { i =>
-            val n = rel.getName(i).toString
-            n.startsWith("_") || n.startsWith(".")
-          }
-        }
-      } finally walk.close()
-    }
+    private def histHasData(sfDir: String): Boolean =
+      graft.GraftSession.hasVisibleData(java.nio.file.Paths.get(histDir(sfDir)))
 
     /** The FULL standing reference — seed ∪ maintenance appends (the
       * door's view; partial rows per key, summed by [[driftCounts]]).

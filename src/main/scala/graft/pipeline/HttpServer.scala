@@ -355,7 +355,7 @@ object HttpServer {
               // verdicts without bound).
               val qlimit = qparam(ex, "limit").flatMap(_.toIntOption)
                 .filter(_ >= 0).getOrElse(10000)
-              val released = releasedIds().toSet
+              val released = releasedIds()
               val rows = auditDf() match {
                 case None => Seq.empty[String]
                 case Some(df) if !df.columns.contains("drifted") => Seq.empty[String]
@@ -365,13 +365,17 @@ object HttpServer {
                     if (df.columns.contains("event"))
                       df.where(col("event").isNull || col("event") === "routed")
                     else df
-                  routed.where(col("drifted") === true)
+                  // released filter BEFORE the cap: released batches
+                  // must not consume limit slots, or older unreleased
+                  // batches silently vanish from the inspection view
+                  val awaiting =
+                    if (released.isEmpty) routed
+                    else routed.where(!col("batch_id").isin(released: _*))
+                  awaiting.where(col("drifted") === true)
                     .dropDuplicates("batch_id")
                     .orderBy(col("batch_id").desc)
                     .limit(qlimit)
                     .collect().toSeq.reverse
-                    .filterNot(r => released.contains(
-                      r.getLong(r.fieldIndex("batch_id"))))
                     .map(rowJson)
               }
               respond(ex, 200,

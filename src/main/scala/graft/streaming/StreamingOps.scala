@@ -542,10 +542,13 @@ object StreamingOps {
       graft.GraftSession.deleteRec(stage)
   }
 
-  /** THE "is this a parquet data file" rule — markers (`_SUCCESS`,
-    * stamps) and dot-files excluded. One predicate shared by the
-    * emptiness probe and both release move paths, so they can never
-    * disagree about the same directory.
+  /** The FLAT-listing "is this a parquet data file" rule for the
+    * release's staged-dir moves — markers (`_SUCCESS`, stamps) and
+    * dot-files excluded by leaf name (the staged dirs are flat, so
+    * leaf == relative path). Recursive emptiness probes go through
+    * [[graft.GraftSession.hasVisibleData]] instead, whose
+    * every-component rule also rejects files under a crashed
+    * committer's `_temporary` tree.
     */
   private def isDataFile(p: java.nio.file.Path): Boolean = {
     val fn = p.getFileName.toString
@@ -553,27 +556,8 @@ object StreamingOps {
       !fn.startsWith("_") && !fn.startsWith(".")
   }
 
-  /** Whether `dir` holds any non-hidden regular file — the
-    * empty-parquet-dir probe (Spark's reader throws on schema
-    * inference over an empty dir, which is a normal state here).
-    * Hidden names rejected at EVERY path component: a crashed writer's
-    * `_temporary/…/part-*` leaf has a plain name but is invisible to a
-    * Spark scan — counting it as data would answer "has rows" for a
-    * directory the read then finds empty.
-    */
-  private def hasDataFiles(dir: java.nio.file.Path): Boolean = {
-    if (!java.nio.file.Files.isDirectory(dir)) return false
-    val walk = java.nio.file.Files.walk(dir)
-    try walk.anyMatch { p =>
-      java.nio.file.Files.isRegularFile(p) && {
-        val rel = dir.relativize(p)
-        !(0 until rel.getNameCount).exists { i =>
-          val n = rel.getName(i).toString
-          n.startsWith("_") || n.startsWith(".")
-        }
-      }
-    } finally walk.close()
-  }
+  private def hasDataFiles(dir: java.nio.file.Path): Boolean =
+    graft.GraftSession.hasVisibleData(dir)
 
   /** Live ANN serving: a stream of query vectors (query_id, embedding)
     * answered per micro-batch from the STANDING bucketed layout via

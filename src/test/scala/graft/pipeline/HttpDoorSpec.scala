@@ -140,6 +140,20 @@ class HttpDoorSpec extends SparkSpec {
       val (code, body) = req(base, "GET", "/door/quarantined")
       assert(code === 200)
       assert("\"batch_id\":5".r.findAllIn(body).size === 1, body)
+
+      // released batches must not consume limit slots: quarantine a
+      // NEWER batch, release it, and ask for the single most recent
+      // awaiting-inspection row — the older unreleased batch 5 must
+      // still be listed, not silently vanish behind the released one
+      Seq((6L, "routed", 2L, true))
+        .toDF("batch_id", "event", "n_docs", "drifted")
+        .coalesce(1).write.mode("append").parquet(s"$doorDir/audit")
+      val rel = java.nio.file.Paths.get(doorDir, "released")
+      java.nio.file.Files.createDirectories(rel)
+      java.nio.file.Files.createFile(rel.resolve("6"))
+      val limited = req(base, "GET", "/door/quarantined?limit=1")._2
+      assert(limited.contains("\"batch_id\":5"), limited)
+      assert(!limited.contains("\"batch_id\":6"), limited)
     } finally srv.stop(0)
   }
 
