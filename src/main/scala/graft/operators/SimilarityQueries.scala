@@ -1134,6 +1134,94 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
 
+  /** Embedding-space OUTLIER detection — the k-th-nearest-neighbor
+    * distance score (classic kNN outlier factor, cosine flavor): a
+    * document whose 5th-closest neighbor is still far is off the data
+    * manifold — encoder junk, corrupted input, or genuinely novel
+    * content a curation pass wants a human to see. Reported as the
+    * 20 LOWEST 5th-neighbor cosines (most isolated first). Same
+    * blocked candidate generation as [[knnGraph]] (corpus-derived
+    * plane count, multi-probe ring), so the score is the k-th cosine
+    * WITHIN the probe ring; a vector with fewer than k ring candidates
+    * is more isolated still and scores the −2.0 sentinel, ranking
+    * ahead of any true cosine — on the LSH geometry, an
+    * under-populated ring IS the outlier signal. Cosine via the
+    * [[annCosine]] recipe (exact integer dots, IEEE sqrt/divide —
+    * bit-identical across engines; zero-norm scores 0).
+    */
+  def knnOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val p = knnPlanes(base.count())
+    val pl = planesFor(p)
+    val e = base
+      .select(col("vec_id"), col("embedding"),
+        bucketColFor(pl)(col("embedding")).as("bucket"),
+        quantDot(col("embedding"), col("embedding")).as("nrm"))
+      .localCheckpoint(true)
+    val probeCols = col("bucket") +:
+      (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    val probes = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(probeCols: _*)).as("probe"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val kth = probes.as("a").join(e.as("b"),
+        col("a.probe") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        when(col("a.nrm") === 0 || col("b.nrm") === 0, lit(0d)).otherwise(
+          quantDot(col("a.embedding"), col("b.embedding")).cast("double") /
+            (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === KnnK)
+      .select(col("vec_id"), col("cosine").as("knn_cos"))
+    base.select("vec_id")
+      .join(kth, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("knn_cos"), lit(-2d)).as("knn_cos"))
+      .orderBy(col("knn_cos"), col("vec_id"))
+      .limit(20)
+  }
+
+  def knnOutliersSql: String =
+    s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+       |np AS (SELECT (SELECT min(p) FROM range(6, 31) r(p)
+       |    WHERE (CAST(1 AS BIGINT) << p) >=
+       |      greatest(1, (n + $KnnBucketTarget - 1) // $KnnBucketTarget)) AS p
+       |  FROM n),
+       |planes AS (SELECT i, j,
+       |    (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 14) AS BIGINT) % 2001) - 1000 AS r
+       |  FROM range(30) t1(i), range(64) t2(j)
+       |  WHERE i < (SELECT p FROM np)),
+       |dots AS (SELECT e.vec_id, p.i,
+       |    sum(CAST(floor(CAST(e.embedding[p.j + 1] AS DOUBLE) * 1000000) AS BIGINT) * p.r) AS d
+       |  FROM embeddings e, planes p GROUP BY 1, 2),
+       |buckets AS MATERIALIZED (SELECT vec_id,
+       |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY 1),
+       |nrm AS MATERIALIZED (SELECT vec_id,
+       |    CAST(list_sum(list_transform(list_zip(embedding, embedding), p -> $QDot)) AS BIGINT) AS nrm
+       |  FROM embeddings),
+       |scored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |         ELSE CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |           p -> $QDot)) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) END AS cosine
+       |  FROM embeddings a JOIN buckets ba ON ba.vec_id = a.vec_id
+       |  JOIN nrm na ON na.vec_id = a.vec_id
+       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
+       |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
+       |  JOIN nrm nb ON nb.vec_id = b.vec_id),
+       |ranked AS (SELECT vec_id, cosine,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM scored),
+       |kth AS (SELECT vec_id, cosine AS knn_cos FROM ranked WHERE rn = $KnnK)
+       |SELECT e.vec_id, coalesce(k.knn_cos, -2.0) AS knn_cos
+       |FROM embeddings e LEFT JOIN kth k ON k.vec_id = e.vec_id
+       |ORDER BY knn_cos, e.vec_id LIMIT 20""".stripMargin
+
   // ------------------------------------------- random-projection ANN
   private val RpDims = 8
 

@@ -77,7 +77,7 @@ object ScalingProbe {
     // the target, so candidates ≈ n·(p+1)·target — linear with a
     // log-n probe fanout (self-union caveat applies: 32 identical
     // copies per vector share one bucket and pair quadratically)
-    "q_knn_graph")
+    "q_knn_graph", "q_knn_outliers")
 
   /** Pair generators whose fanout a df cap bounds tightly enough to
     * probe at the full fold range: the winnow family drops any

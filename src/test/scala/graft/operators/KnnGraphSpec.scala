@@ -53,6 +53,36 @@ class KnnGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("knnOutliers: ascending k-th cosines; under-populated rings take the sentinel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = SimilarityQueries.knnOutliers(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length === 20)
+    val scores = out.map(_._2)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a <= b }, "ascending")
+    assert(scores.forall(s => s == -2.0 || (s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)))
+
+    def mk(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_out").toString
+      (0 until n).map(i => (i.toLong, Seq.fill(64)(0.5f)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    // 3 identical vectors: each ring holds only 2 candidates < k=5 —
+    // an under-populated ring IS the isolation signal, sentinel −2.0
+    val sparse = SimilarityQueries.knnOutliers(spark, mk(3)).collect()
+    assert(sparse.length === 3)
+    assert(sparse.forall(_.getDouble(1) === -2.0), sparse.mkString(","))
+    // 8 identical vectors: 7 candidates ≥ k, the 5th cosine is 1 (up
+    // to the shared sqrt rounding — identical in both engines)
+    val dense = SimilarityQueries.knnOutliers(spark, mk(8)).collect()
+    assert(dense.length === 8)
+    assert(dense.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9),
+      dense.mkString(","))
+  }
+
   test("exact duplicates are each other's top neighbor (recall 1.0 on true dups)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
