@@ -23,6 +23,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // see [[events]]
+      // typed-Aggregator buffers (TopKPairs, MisraGries) ride
+      // ObjectHashAggregate, whose default 128-entry fallback would
+      // push any high-cardinality groupBy back into a sort-based
+      // aggregation — re-introducing exactly the candidate-stream sort
+      // the bounded aggregates exist to avoid. Buffers here are a few
+      // hundred bytes, so 500k entries is tens of MB per task.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "500000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,6 +48,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // see [[events]]
+      // see [[build]]: keep ObjectHashAggregate in hash mode for the
+      // bounded typed aggregates' high-cardinality groups
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "500000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

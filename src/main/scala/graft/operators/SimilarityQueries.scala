@@ -1064,9 +1064,14 @@ object SimilarityQueries {
     * corpus. The plane count DERIVES from the corpus ([[knnPlanes]]):
     * mean bucket population stays ≤ [[KnnBucketTarget]], so candidate
     * cost is ≈ n·(p+1)·target — linear in n with a log-n probe
-    * fanout — and the per-vector top-k is a rank window Catalyst
-    * rewrites to WindowGroupLimit (each partition keeps ≤ k rows per
-    * vector BEFORE the exchange). The standard LSH tradeoff applies:
+    * fanout — and the per-vector top-k is the bounded
+    * [[graft.functions.TopKPairs]] aggregate: k pairs of state per
+    * vector, combined map-side, so the exchange carries ≤ k rows per
+    * vector and — unlike the rank-window formulation, whose partial
+    * WindowGroupLimit still SORTS every candidate row per partition —
+    * no candidate-stream sort exists anywhere in the plan (that sort,
+    * and its spill, was the measured dominant cost past ~10⁸
+    * candidates). The standard LSH tradeoff applies:
     * more planes = tighter buckets = recall shifts onto the
     * multi-probe ring; exact duplicates always share a bucket, so
     * recall on true dups stays 1.0 at any p.
@@ -1091,16 +1096,19 @@ object SimilarityQueries {
       (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
     val probes = e.select(col("vec_id"), col("embedding"),
       explode(array(probeCols: _*)).as("probe"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
     probes.as("a").join(e.as("b"),
         col("a.probe") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         quantDot(col("a.embedding"), col("b.embedding")).as("score"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= KnnK)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
+      // scores stay exact through the double heap: quantized dots are
+      // ≤ 2.6e14, far under 2⁵³
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKPairs.topK(KnnK,
+        col("score").cast("double"), col("neighbor_id")).as("nbrs"))
+      .select(col("vec_id"), posexplode(col("nbrs")).as(Seq("pos", "nb")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").cast("long").as("score"))
       .orderBy("vec_id", "rank")
   }
 
@@ -1150,7 +1158,6 @@ object SimilarityQueries {
     * bit-identical across engines; zero-norm scores 0).
     */
   def knnOutliers(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val p = knnPlanes(base.count())
     val pl = planesFor(p)
@@ -1163,8 +1170,9 @@ object SimilarityQueries {
       (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
     val probes = e.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array(probeCols: _*)).as("probe"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // the k-th cosine via the SAME bounded top-k aggregate as
+    // [[knnGraph]] (no candidate-stream sort); a ring with fewer than
+    // k candidates scores the sentinel inline
     val kth = probes.as("a").join(e.as("b"),
         col("a.probe") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -1173,9 +1181,13 @@ object SimilarityQueries {
           quantDot(col("a.embedding"), col("b.embedding")).cast("double") /
             (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
           .as("cosine"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === KnnK)
-      .select(col("vec_id"), col("cosine").as("knn_cos"))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKPairs.topK(KnnK,
+        col("cosine"), col("neighbor_id")).as("nbrs"))
+      .select(col("vec_id"),
+        when(size(col("nbrs")) === KnnK,
+          element_at(col("nbrs"), KnnK).getField("score"))
+          .otherwise(lit(-2d)).as("knn_cos"))
     base.select("vec_id")
       .join(kth, Seq("vec_id"), "left_outer")
       .select(col("vec_id"),

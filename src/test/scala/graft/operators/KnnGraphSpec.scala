@@ -42,9 +42,16 @@ class KnnGraphSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
-    // the per-vector rank-limit is pushed below the exchange: each map
-    // partition keeps <= k rows per vector before any shuffle
-    assert(plan.contains("WindowGroupLimit"), plan)
+    // the per-vector top-k is the bounded TopKPairs aggregate: k pairs
+    // of state per vector, combined map-side (partial_topkpairs before
+    // the exchange) — and NO candidate-stream sort anywhere (the
+    // rank-window form's partial WindowGroupLimit still sorted every
+    // candidate row per partition; that sort was the measured dominant
+    // cost and the spill at the 128x fold)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_topk_pairs"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("Window "), plan)
   }
 
   test("deterministic across runs") {
