@@ -23,13 +23,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // see [[events]]
-      // typed-Aggregator buffers (TopKPairs, MisraGries) ride
-      // ObjectHashAggregate, whose default 128-entry fallback would
-      // push any high-cardinality groupBy back into a sort-based
-      // aggregation — re-introducing exactly the candidate-stream sort
-      // the bounded aggregates exist to avoid. Buffers here are a few
-      // hundred bytes, so 500k entries is tens of MB per task.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "500000")
+      // NB the ObjectHashAggregate fallback threshold is deliberately
+      // NOT raised here: its 128-entry default is the OOM bound for
+      // UNBOUNDED object buffers (collect_set shingle sets, position
+      // lists). Operators whose buffers are provably bounded scope the
+      // raise to a child session (SimilarityQueries.knnSession).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,9 +46,6 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // see [[events]]
-      // see [[build]]: keep ObjectHashAggregate in hash mode for the
-      // bounded typed aggregates' high-cardinality groups
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "500000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

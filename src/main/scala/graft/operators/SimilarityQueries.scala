@@ -1080,40 +1080,55 @@ object SimilarityQueries {
     * hyperplanes (the [[planesFor]] family — the first 6 planes ARE
     * the standing layout's), exact integer dots, lowest-id tie rule.
     */
-  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Scoped session for the knn tier: the raised ObjectHashAggregate
+    * fallback threshold keeps the bounded ~100-byte [[graft.functions
+    * .TopKPairsAgg]] buffers in hash mode at high group cardinality
+    * WITHOUT weakening the memory bound anywhere else — the 128-entry
+    * default is the OOM protection for unbounded object buffers
+    * (collect_set shingle sets, position lists), so the conf lives on
+    * a child session the knn DataFrames are built (and therefore
+    * executed) under, never on the caller's.
+    */
+  private def knnSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "500000")
+    s
+  }
+
+  /** ONE candidate generation for the knn tier ([[knnGraph]] and
+    * [[knnOutliers]] — a probe-ring change lands in exactly one
+    * place): the checkpointed (vec_id, embedding, bucket, nrm)
+    * relation plus the multi-probe ring pairs self-joined on it
+    * (aliases `a`/`b`, both sides carrying id, embedding, nrm).
+    */
+  private def knnRing(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val base = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val p = knnPlanes(base.count())
     val pl = planesFor(p)
-    // bucket computed ONCE and materialized: both join sides read it,
-    // and an unmaterialized plan would re-evaluate the p-plane
-    // projection per side (the embedDedup discipline)
+    // bucket + norm computed ONCE and materialized: both join sides
+    // read them, and an unmaterialized plan would re-evaluate the
+    // p-plane projection per side (the embedDedup discipline)
     val e = base
       .select(col("vec_id"), col("embedding"),
-        bucketColFor(pl)(col("embedding")).as("bucket"))
+        bucketColFor(pl)(col("embedding")).as("bucket"),
+        quantDot(col("embedding"), col("embedding")).as("nrm"))
       .localCheckpoint(true)
     val probeCols = col("bucket") +:
       (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
-    val probes = e.select(col("vec_id"), col("embedding"),
+    val probes = e.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array(probeCols: _*)).as("probe"))
-    probes.as("a").join(e.as("b"),
-        col("a.probe") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        quantDot(col("a.embedding"), col("b.embedding")).as("score"))
-      // scores stay exact through the double heap: quantized dots are
-      // ≤ 2.6e14, far under 2⁵³
-      .groupBy("vec_id")
-      .agg(graft.functions.TopKPairs.topK(KnnK,
-        col("score").cast("double"), col("neighbor_id")).as("nbrs"))
-      .select(col("vec_id"), posexplode(col("nbrs")).as(Seq("pos", "nb")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("nb.id").as("neighbor_id"), col("nb.score").cast("long").as("score"))
-      .orderBy("vec_id", "rank")
+    val pairs = probes.as("a").join(e.as("b"),
+      col("a.probe") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+    (e, pairs)
   }
 
-  def knnGraphSql: String =
-    s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+  /** The [[knnRing]] SQL twin — shared prologue of both knn oracles:
+    * derived plane count, md5 planes, per-vector buckets.
+    */
+  private def knnRingCtes: String =
+    s"""n AS (SELECT count(*) AS n FROM embeddings),
        |np AS (SELECT (SELECT min(p) FROM range(6, 31) r(p)
        |    WHERE (CAST(1 AS BIGINT) << p) >=
        |      greatest(1, (n + $KnnBucketTarget - 1) // $KnnBucketTarget)) AS p
@@ -1127,7 +1142,31 @@ object SimilarityQueries {
        |  FROM embeddings e, planes p GROUP BY 1, 2),
        |buckets AS MATERIALIZED (SELECT vec_id,
        |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-       |  FROM dots GROUP BY 1),
+       |  FROM dots GROUP BY 1)""".stripMargin
+
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, pairs) = knnRing(knnSession(spark), sfDir)
+    pairs
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        quantDot(col("a.embedding"), col("b.embedding")).as("score"))
+      // malformed-embedding candidates (a NULL quantized dot: length
+      // mismatch or null element) are EXCLUDED by contract — explicit
+      // here, `WHERE score IS NOT NULL` in the oracle, so both engines
+      // agree instead of relying on rank-vs-heap NULL placement
+      .where(col("score").isNotNull)
+      // scores stay exact through the double heap: quantized dots are
+      // ≤ 2.6e14, far under 2⁵³
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKPairs.topK(KnnK,
+        col("score").cast("double"), col("neighbor_id")).as("nbrs"))
+      .select(col("vec_id"), posexplode(col("nbrs")).as(Seq("pos", "nb")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").cast("long").as("score"))
+      .orderBy("vec_id", "rank")
+  }
+
+  def knnGraphSql: String =
+    s"""WITH $knnRingCtes,
        |scored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
        |      p -> $QDot)) AS BIGINT) AS score
@@ -1137,7 +1176,7 @@ object SimilarityQueries {
        |ranked AS (SELECT vec_id, neighbor_id, score,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY score DESC, neighbor_id) AS rank
-       |  FROM scored)
+       |  FROM scored WHERE score IS NOT NULL)
        |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score
        |FROM ranked WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
@@ -1158,29 +1197,18 @@ object SimilarityQueries {
     * bit-identical across engines; zero-norm scores 0).
     */
   def knnOutliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
-    val p = knnPlanes(base.count())
-    val pl = planesFor(p)
-    val e = base
-      .select(col("vec_id"), col("embedding"),
-        bucketColFor(pl)(col("embedding")).as("bucket"),
-        quantDot(col("embedding"), col("embedding")).as("nrm"))
-      .localCheckpoint(true)
-    val probeCols = col("bucket") +:
-      (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
-    val probes = e.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array(probeCols: _*)).as("probe"))
+    val (e, pairs) = knnRing(knnSession(spark), sfDir)
     // the k-th cosine via the SAME bounded top-k aggregate as
     // [[knnGraph]] (no candidate-stream sort); a ring with fewer than
-    // k candidates scores the sentinel inline
-    val kth = probes.as("a").join(e.as("b"),
-        col("a.probe") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
+    // k candidates scores the sentinel inline. NULL cosines (malformed
+    // embeddings) excluded by the shared contract.
+    val kth = pairs
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         when(col("a.nrm") === 0 || col("b.nrm") === 0, lit(0d)).otherwise(
           quantDot(col("a.embedding"), col("b.embedding")).cast("double") /
             (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
           .as("cosine"))
+      .where(col("cosine").isNotNull)
       .groupBy("vec_id")
       .agg(graft.functions.TopKPairs.topK(KnnK,
         col("cosine"), col("neighbor_id")).as("nbrs"))
@@ -1188,7 +1216,9 @@ object SimilarityQueries {
         when(size(col("nbrs")) === KnnK,
           element_at(col("nbrs"), KnnK).getField("score"))
           .otherwise(lit(-2d)).as("knn_cos"))
-    base.select("vec_id")
+    // the spine reads vec_id off the already-checkpointed ring
+    // relation — never a third scan of the parquet
+    e.select("vec_id")
       .join(kth, Seq("vec_id"), "left_outer")
       .select(col("vec_id"),
         coalesce(col("knn_cos"), lit(-2d)).as("knn_cos"))
@@ -1197,21 +1227,7 @@ object SimilarityQueries {
   }
 
   def knnOutliersSql: String =
-    s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
-       |np AS (SELECT (SELECT min(p) FROM range(6, 31) r(p)
-       |    WHERE (CAST(1 AS BIGINT) << p) >=
-       |      greatest(1, (n + $KnnBucketTarget - 1) // $KnnBucketTarget)) AS p
-       |  FROM n),
-       |planes AS (SELECT i, j,
-       |    (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 14) AS BIGINT) % 2001) - 1000 AS r
-       |  FROM range(30) t1(i), range(64) t2(j)
-       |  WHERE i < (SELECT p FROM np)),
-       |dots AS (SELECT e.vec_id, p.i,
-       |    sum(CAST(floor(CAST(e.embedding[p.j + 1] AS DOUBLE) * 1000000) AS BIGINT) * p.r) AS d
-       |  FROM embeddings e, planes p GROUP BY 1, 2),
-       |buckets AS MATERIALIZED (SELECT vec_id,
-       |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-       |  FROM dots GROUP BY 1),
+    s"""WITH $knnRingCtes,
        |nrm AS MATERIALIZED (SELECT vec_id,
        |    CAST(list_sum(list_transform(list_zip(embedding, embedding), p -> $QDot)) AS BIGINT) AS nrm
        |  FROM embeddings),
@@ -1228,7 +1244,7 @@ object SimilarityQueries {
        |ranked AS (SELECT vec_id, cosine,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cosine DESC, neighbor_id) AS rn
-       |  FROM scored),
+       |  FROM scored WHERE cosine IS NOT NULL),
        |kth AS (SELECT vec_id, cosine AS knn_cos FROM ranked WHERE rn = $KnnK)
        |SELECT e.vec_id, coalesce(k.knn_cos, -2.0) AS knn_cos
        |FROM embeddings e LEFT JOIN kth k ON k.vec_id = e.vec_id
