@@ -52,6 +52,18 @@ object QDistKernel {
     }
     new GenericInternalRow(Array[Any](best, bc))
   }
+
+  /** Broadcast-dereferencing entry for [[QDistArgminGrouped]]: the
+    * matrices arrive as a torrent broadcast (fetched once per
+    * executor, cached by the block manager), so the generated code
+    * embeds only the tiny broadcast HANDLE — never the matrices
+    * themselves in every task closure. `bc.value` after first access
+    * is a lazy-val field read; the √k×dim argmin loop dominates it.
+    */
+  def argminBc(arr: ArrayData,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Long]]]],
+      g: Int, isFloat: Boolean): InternalRow =
+    argmin(arr, bc.value(g), isFloat)
 }
 
 /** `qdist_argmin(vec)` over a driver-supplied quantized centroid
@@ -99,9 +111,15 @@ case class QDistArgmin(child: Expression, cents: Array[Array[Long]])
   * O(n·k) = O(n²). Same integer math and lowest-id tie rule as
   * [[QDistArgmin]]; groups may be ragged (a sparsely populated coarse
   * cell trains fewer fine centroids).
+  *
+  * The matrices travel as a TORRENT BROADCAST, not a reference object:
+  * `addReferenceObj` serializes its value into every task's closure,
+  * and the grouped matrices grow with the corpus (k_total ∝ n/2048 —
+  * ~250 MB per closure at the 10⁹-doc regime). The broadcast handle
+  * is a few bytes per task; the value ships once per executor.
   */
 case class QDistArgminGrouped(vec: Expression, group: Expression,
-    groups: Array[Array[Array[Long]]])
+    bcGroups: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Long]]]])
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def left: Expression = vec
@@ -124,14 +142,17 @@ case class QDistArgminGrouped(vec: Expression, group: Expression,
       s"qdist_argmin_grouped requires (ARRAY<FLOAT|DOUBLE>, INT), got (${v.simpleString}, ${g.simpleString})")
   }
 
+  @transient private lazy val mats = bcGroups.value
+
   override def nullSafeEval(v: Any, g: Any): Any =
     QDistKernel.argmin(v.asInstanceOf[ArrayData],
-      groups(g.asInstanceOf[Int]), isFloat)
+      mats(g.asInstanceOf[Int]), isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val groupsRef = ctx.addReferenceObj("groups", groups, "long[][][]")
+    val bcRef = ctx.addReferenceObj("bcGroups", bcGroups,
+      "org.apache.spark.broadcast.Broadcast")
     nullSafeCodeGen(ctx, ev, (v, g) =>
-      s"${ev.value} = graft.functions.QDistKernel.argmin($v, $groupsRef[$g], $isFloat);")
+      s"${ev.value} = graft.functions.QDistKernel.argminBc($v, $bcRef, $g, $isFloat);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -152,13 +173,17 @@ object QDistArgmin {
 
   /** Grouped wrapper: struct(d, cid) of the nearest centroid within
     * the row's group's matrix ([[QDistArgminGrouped]]); `groups` in
-    * unquantized double space, quantized once on the driver.
+    * unquantized double space, quantized once on the driver, then
+    * torrent-broadcast (the handle rides the plan; the Spark
+    * ContextCleaner reclaims the blocks when the query's plan is
+    * garbage-collected).
     */
   def qdistArgminGrouped(vec: Column, group: Column,
       groups: Array[Array[Array[Double]]]): Column = {
     import org.apache.spark.sql.graft.shims
     val q = groups.map(_.map(_.map(x => math.floor(x * 1000000d).toLong)))
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(q)
     shims.column(QDistArgminGrouped(shims.expression(vec),
-      shims.expression(group.cast("int")), q))
+      shims.expression(group.cast("int")), bc))
   }
 }

@@ -153,16 +153,40 @@ object KMeans {
     while (it < iters) {
       val fc = graft.functions.QDistArgmin
         .qdistArgminGrouped(col("v"), col("g"), cents).getField("cid")
+      // the per-(group, cell, dim) integer sums PACK into one row per
+      // non-empty cell before the collect: the driver receives ≤
+      // k_total rows (each an ordered dim-array of exact sums), never
+      // k_total×dim individual Row objects — at the 10⁹-doc regime
+      // (k_total ∝ n/2048 ≈ 5×10⁵ cells) that is the difference
+      // between ~5×10⁵ rows and ~3×10⁷, and the driver's floor
+      // becomes the model itself (which it must hold anyway to
+      // quantize + broadcast for the next assignment pass). The
+      // second-stage pack groups only centroids×dim rows — noise next
+      // to the corpus-wide first stage, whose map-side partial
+      // aggregation is unchanged.
       val sums = base.withColumn("fc", fc)
         .select(col("g"), col("fc"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("g", "fc", "pos")
         .agg(sum(graft.functions.TextFunctions.quant(col("x"))).as("s"),
           count(lit(1)).as("n"))
+        .groupBy("g", "fc")
+        .agg(sort_array(collect_list(struct(col("pos"), col("s"), col("n"))))
+          .as("pv"))
+        .select(col("g"), col("fc"),
+          transform(col("pv"), e => e.getField("s")).as("sv"),
+          transform(col("pv"), e => e.getField("n")).as("nv"))
         .collect()
+      lastGroupedCollectRows = sums.length
       val next = cents.map(_.map(_.clone()))
       sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          r.getLong(3).toDouble / r.getLong(4) / 1e6
+        val sv = r.getSeq[Long](2)
+        val nv = r.getSeq[Long](3)
+        val row = next(r.getInt(0))(r.getInt(1))
+        var pos = 0
+        while (pos < sv.length) {
+          row(pos) = sv(pos).toDouble / nv(pos) / 1e6
+          pos += 1
+        }
       }
       cents = next
       it += 1
@@ -170,6 +194,13 @@ object KMeans {
     base.unpersist(false)
     cents
   }
+
+  /** Collected-row count of the LAST [[fitGrouped]] centroid-update
+    * pass — the spec-visible pin that the per-iteration driver
+    * transfer is one row per non-empty cell (≤ k_total), with no dim
+    * factor.
+    */
+  @volatile private[graft] var lastGroupedCollectRows: Long = -1L
 
   /** [[fitCached]] for the grouped form: the per-group centroid
     * matrices land as (g, cell, cv) rows beside the coarse model —

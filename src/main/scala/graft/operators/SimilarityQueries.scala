@@ -1089,10 +1089,20 @@ object SimilarityQueries {
     * a child session the knn DataFrames are built (and therefore
     * executed) under, never on the caller's.
     */
-  private def knnSession(spark: SparkSession): SparkSession = {
+  private def knnSession(spark: SparkSession, nVectors: Long): SparkSession = {
     val s = spark.newSession()
+    // sized from the corpus, not a fixed constant: a partition can
+    // never hold more distinct vec_id groups than the corpus has
+    // vectors, so threshold ≥ n makes the no-sort guarantee
+    // STRUCTURAL rather than conf-bounded (past a fixed 500k the
+    // aggregate would silently revert to sort-based mode and the
+    // candidate-stream sort this tier exists to avoid would be back).
+    // The memory this authorizes is the hash map's true state —
+    // (groups actually present per partition) × ~100 B bounded
+    // buffers — which is the cost of hash aggregation itself, not an
+    // unbounded buffer growing with candidate count.
     s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "500000")
+      math.max(500000L, nVectors).toString)
     s
   }
 
@@ -1102,9 +1112,14 @@ object SimilarityQueries {
     * relation plus the multi-probe ring pairs self-joined on it
     * (aliases `a`/`b`, both sides carrying id, embedding, nrm).
     */
-  private def knnRing(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  private def knnRing(parent: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val n = table(parent, sfDir, "embeddings").count()
+    // the scoped session's hash-agg threshold derives from n — the
+    // DataFrames below are BUILT under it so the knn aggregates
+    // execute with the structural no-sort bound
+    val spark = knnSession(parent, n)
     val base = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
-    val p = knnPlanes(base.count())
+    val p = knnPlanes(n)
     val pl = planesFor(p)
     // bucket + norm computed ONCE and materialized: both join sides
     // read them, and an unmaterialized plan would re-evaluate the
@@ -1129,9 +1144,9 @@ object SimilarityQueries {
     */
   private def knnRingCtes: String =
     s"""n AS (SELECT count(*) AS n FROM embeddings),
-       |np AS (SELECT (SELECT min(p) FROM range(6, 31) r(p)
+       |np AS (SELECT coalesce((SELECT min(p) FROM range(6, 31) r(p)
        |    WHERE (CAST(1 AS BIGINT) << p) >=
-       |      greatest(1, (n + $KnnBucketTarget - 1) // $KnnBucketTarget)) AS p
+       |      greatest(1, (n + $KnnBucketTarget - 1) // $KnnBucketTarget)), 30) AS p
        |  FROM n),
        |planes AS (SELECT i, j,
        |    (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 14) AS BIGINT) % 2001) - 1000 AS r
@@ -1145,7 +1160,7 @@ object SimilarityQueries {
        |  FROM dots GROUP BY 1)""".stripMargin
 
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, pairs) = knnRing(knnSession(spark), sfDir)
+    val (_, pairs) = knnRing(spark, sfDir)
     pairs
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         quantDot(col("a.embedding"), col("b.embedding")).as("score"))
@@ -1197,7 +1212,7 @@ object SimilarityQueries {
     * bit-identical across engines; zero-norm scores 0).
     */
   def knnOutliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, pairs) = knnRing(knnSession(spark), sfDir)
+    val (e, pairs) = knnRing(spark, sfDir)
     // the k-th cosine via the SAME bounded top-k aggregate as
     // [[knnGraph]] (no candidate-stream sort); a ring with fewer than
     // k candidates scores the sentinel inline. NULL cosines (malformed

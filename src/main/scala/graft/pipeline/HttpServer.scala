@@ -360,19 +360,45 @@ object HttpServer {
                 case None => Seq.empty[String]
                 case Some(df) if !df.columns.contains("drifted") => Seq.empty[String]
                 case Some(df) =>
-                  import org.apache.spark.sql.functions.col
+                  import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
                   val routed =
                     if (df.columns.contains("event"))
                       df.where(col("event").isNull || col("event") === "routed")
                     else df
                   // released filter BEFORE the cap: released batches
                   // must not consume limit slots, or older unreleased
-                  // batches silently vanish from the inspection view
+                  // batches silently vanish from the inspection view.
+                  // LEFT ANTI against a broadcast relation, not an In
+                  // literal: a long-running door accrues thousands of
+                  // release markers (an In-expression that grows per
+                  // request), and a negated isin silently drops any
+                  // NULL batch_id audit row — the anti-join keeps it.
                   val awaiting =
                     if (released.isEmpty) routed
-                    else routed.where(!col("batch_id").isin(released: _*))
+                    else routed.join(
+                      broadcast(spark.createDataFrame(
+                        spark.sparkContext.parallelize(
+                          released.map(org.apache.spark.sql.Row(_)), 1),
+                        org.apache.spark.sql.types.StructType(Seq(
+                          org.apache.spark.sql.types.StructField("batch_id",
+                            org.apache.spark.sql.types.LongType))))),
+                      Seq("batch_id"), "left_anti")
+                  // duplicate 'routed' rows per batch (at-least-once
+                  // replay) may MIX pre-v2 flat rows with v2 axes rows
+                  // for the same batch under mergeSchema — prefer the
+                  // v2 row (non-null axes map) deterministically, else
+                  // an arbitrary survivor could be the null-filled
+                  // legacy variant and lose the per-axis readings this
+                  // endpoint exists to show
+                  val pref =
+                    if (df.columns.contains("axes"))
+                      col("axes").isNotNull.desc
+                    else lit(1).asc
+                  val w = org.apache.spark.sql.expressions.Window
+                    .partitionBy(col("batch_id")).orderBy(pref)
                   awaiting.where(col("drifted") === true)
-                    .dropDuplicates("batch_id")
+                    .withColumn("__rn", row_number().over(w))
+                    .where(col("__rn") === 1).drop("__rn")
                     .orderBy(col("batch_id").desc)
                     .limit(qlimit)
                     .collect().toSeq.reverse
