@@ -210,6 +210,7 @@ object SimilarityQueries {
     KMeans.embModel(spark, sfDir)
     semDedupModel(spark, sfDir)
     warmSemDedupHier(spark, sfDir)
+    knnLayout(spark, sfDir)
     ()
   }
 
@@ -1213,6 +1214,15 @@ object SimilarityQueries {
     */
   def knnOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val (e, pairs) = knnRing(spark, sfDir)
+    knnOutliersFrom(e, pairs)
+  }
+
+  /** The outlier verdict math given a ring relation `e` (vec_id, …,
+    * nrm) and its candidate pairs (aliases a/b) — ONE definition
+    * shared by the scan twin ([[knnOutliers]]) and the layout-served
+    * form ([[knnOutliersIndexed]]).
+    */
+  private def knnOutliersFrom(e: DataFrame, pairs: DataFrame): DataFrame = {
     // the k-th cosine via the SAME bounded top-k aggregate as
     // [[knnGraph]] (no candidate-stream sort); a ring with fewer than
     // k candidates scores the sentinel inline. NULL cosines (malformed
@@ -1264,6 +1274,291 @@ object SimilarityQueries {
        |SELECT e.vec_id, coalesce(k.knn_cos, -2.0) AS knn_cos
        |FROM embeddings e LEFT JOIN kth k ON k.vec_id = e.vec_id
        |ORDER BY knn_cos, e.vec_id LIMIT 20""".stripMargin
+
+  // ------------------------------------------ standing knn-graph layout
+  private val KnnVersion = 1
+  private[operators] val KnnDirBuckets = 64
+
+  private[operators] def knnLayoutPath(sfDir: String): String =
+    s"${graft.GraftSession.fixtureRoot(sfDir)}/knn_v$KnnVersion"
+
+  /** Directory fan-out key: the LSH bucket folded into a FIXED number
+    * of partition dirs. Raw-bucket dirs would mean 2^p directories
+    * (10⁶ at the 10⁹-vector regime — file-listing pain on any object
+    * store); a fixed fan-out keeps the tree calendar-stable while kb
+    * pruning still skips (64 − touched)/64 of the bytes on append
+    * reads, and parquet min/max on the `bucket` column prunes inside
+    * a dir.
+    */
+  private def kbOf(bucket: Column): Column =
+    pmod(bucket, lit(KnnDirBuckets.toLong)).cast("int")
+
+  /** Encode vectors against a FROZEN plane count — the ONE encoding
+    * definition shared by the initial build, [[knnAppendAt]], and the
+    * append-equivalence spec (the [[pqEncode]] rule: incremental and
+    * from-scratch encodes cannot drift). The plane count freezes at
+    * build time; appends encode against it, and a rebuild (source
+    * stamp change) re-derives it from the grown corpus — exactly the
+    * IVF re-train contract.
+    */
+  private[operators] def knnEncode(vecs: DataFrame, p: Int): DataFrame = {
+    val pl = planesFor(p)
+    vecs.select(col("vec_id"), col("embedding"),
+        bucketColFor(pl)(col("embedding")).as("bucket"),
+        quantDot(col("embedding"), col("embedding")).as("nrm"))
+      .withColumn("kb", kbOf(col("bucket")))
+  }
+
+  /** Directed multi-probe ring candidates probe-side → bucket-side:
+    * (vec_id, vbucket, neighbor_id, score). Both sides need (vec_id,
+    * embedding, bucket).
+    */
+  private def knnCandidates(probeSide: DataFrame, bucketSide: DataFrame,
+      p: Int): DataFrame = {
+    val probeCols = col("bucket") +:
+      (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    probeSide.select(col("vec_id"), col("embedding"),
+        col("bucket").as("vbucket"),
+        explode(array(probeCols: _*)).as("probe")).as("a")
+      .join(bucketSide.select(col("vec_id"), col("embedding"), col("bucket")).as("b"),
+        col("a.probe") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.vbucket").as("vbucket"),
+        col("b.vec_id").as("neighbor_id"),
+        quantDot(col("a.embedding"), col("b.embedding")).as("score"))
+  }
+
+  /** Bounded top-k PARTIAL rows from a candidate stream — the edges
+    * relation's row shape (vec_id, neighbor_id, score, bucket, kb).
+    * Partials are MERGEABLE state (top-k of a union = top-k of the
+    * per-part top-ks), which is what makes the layout append-ONLY:
+    * an append contributes its own partials and never rewrites a
+    * standing file — the sketch layout's semantic-merge discipline
+    * applied to bounded top-k instead of count partials.
+    */
+  private def knnPartialsOf(cand: DataFrame): DataFrame =
+    cand.where(col("score").isNotNull)
+      .groupBy("vec_id", "vbucket")
+      .agg(graft.functions.TopKPairs.topK(KnnK,
+        col("score").cast("double"), col("neighbor_id")).as("nbrs"))
+      .select(col("vec_id"), col("vbucket"), explode(col("nbrs")).as("nb"))
+      .select(col("vec_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").cast("long").as("score"),
+        col("vbucket").as("bucket"))
+      .withColumn("kb", kbOf(col("bucket")))
+
+  /** Build (at an explicit path — specs use temp dirs) the standing
+    * knn layout: `vecs` = the materialized ring relation (vec_id,
+    * embedding, bucket, nrm) partitioned by kb — ON DISK, so every
+    * consumer reads replayable-lineage parquet instead of the scan
+    * form's executor-pinned `localCheckpoint` (one lost executor on a
+    * real cluster kills a localCheckpointed corpus relation; a disk
+    * relation just re-reads) — `edges` = gen-0 top-k partials, and a
+    * one-row `meta` (frozen plane count + build count).
+    */
+  private[operators] def buildKnn(spark: SparkSession, sfDir: String,
+      layout: String): Unit = {
+    // a rebuild is a new corpus snapshot: void the maintenance
+    // markers and any crashed compaction's staging trees (the
+    // invIndexLayout rebuild discipline)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(layout, "_LAST_BATCH"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(layout, "_LAST_BATCH_EDGES"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(layout, "_LAST_BATCH_VECS"))
+    graft.GraftSession.deleteRec(
+      java.nio.file.Paths.get(s"$layout/edges_compacting"))
+    graft.GraftSession.deleteRec(
+      java.nio.file.Paths.get(s"$layout/vecs_compacting"))
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val p = knnPlanes(n)
+    val s = knnSession(spark, n)
+    knnEncode(s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding"), p)
+      .repartition(col("kb"))
+      .write.partitionBy("kb").mode("overwrite").parquet(s"$layout/vecs")
+    import s.implicits._
+    Seq((p, n)).toDF("p", "n0").coalesce(1)
+      .write.mode("overwrite").parquet(s"$layout/meta")
+    val e = s.read.parquet(s"$layout/vecs")
+    knnPartialsOf(knnCandidates(e, e, p))
+      .repartition(col("kb"))
+      .write.partitionBy("kb").mode("overwrite").parquet(s"$layout/edges")
+  }
+
+  private[operators] def knnLayout(spark: SparkSession, sfDir: String): String = {
+    val layout = knnLayoutPath(sfDir)
+    graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/embeddings.parquet") {
+      buildKnn(spark, sfDir, layout)
+    }
+    layout
+  }
+
+  /** Whether a standing knn layout exists for `sfDir` (the
+    * [[ivfPqPresent]] sibling — Ctl's "nothing to compact" guard).
+    */
+  def knnPresent(sfDir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${knnLayoutPath(sfDir)}/edges"))
+
+  /** Incremental graph maintenance — the production path between
+    * periodic re-derivations of the plane count: encode the new batch
+    * against the FROZEN planes, then append exactly two partial sets,
+    * (a) each new vector's top-k over its ring in the grown corpus
+    * (old ∪ batch — batch-mates see each other), and (b) each
+    * AFFECTED old vector's top-k over the new batch only. An old
+    * vector is affected iff its bucket lies in the batch's ring-
+    * bucket set (hamming ≤ 1 is symmetric), so the delta work is
+    * batch-proportional: candidates ≈ |batch|·(p+1)·bucket-pop for
+    * (a) plus the affected×batch equi-join for (b) — never a corpus
+    * rescan. Standing files are untouched (append-only — partials
+    * merge at serve time), so the result equals a from-scratch build
+    * of the union at the same plane count (spec-pinned).
+    * Caller contract (the sibling appends'): `newVecs` carries
+    * vec_ids not yet indexed, batches are bounded (the ring-bucket
+    * set collects to the driver), one writer per layout.
+    */
+  def knnAppend(spark: SparkSession, sfDir: String, newVecs: DataFrame): String = {
+    val layout = knnLayout(spark, sfDir)
+    knnAppendAt(spark, layout, newVecs, (_, f) => f())
+    layout
+  }
+
+  /** foreachBatch-idempotent append — PER-STAGE markers because the
+    * edge partials and the vec rows land in separate jobs: a crash
+    * between any job commit and its marker would otherwise re-append
+    * the committed stage on replay (duplicate top-k partials
+    * double-count a neighbor into two of the k slots — worse than the
+    * siblings' duplicate-row failure). `_LAST_BATCH_EDGES` /
+    * `_LAST_BATCH_VECS` commit the stages; `_LAST_BATCH` commits the
+    * batch (the fast skip for fully-applied replays). A mid-append
+    * crash replays only the uncommitted stage — and the edge stage's
+    * candidate sets are replay-invariant by the anti-join contract
+    * (already-appended batch vec rows never double as corpus).
+    */
+  def knnAppendOnce(spark: SparkSession, sfDir: String, newVecs: DataFrame,
+      batchId: Long): Boolean = {
+    val layout = knnLayout(spark, sfDir)
+    graft.GraftSession.appliedOnce(
+      java.nio.file.Paths.get(layout, "_LAST_BATCH"), batchId) {
+      knnAppendAt(spark, layout, newVecs,
+        (name, f) => graft.GraftSession.appliedOnce(
+          java.nio.file.Paths.get(layout, s"_LAST_BATCH_$name"), batchId)(f()))
+    }
+  }
+
+  private[operators] def knnAppendAt(spark0: SparkSession, layout: String,
+      newVecs: DataFrame, stage: (String, () => Unit) => Unit): Unit = {
+    val meta = spark0.read.parquet(s"$layout/meta").head
+    val p = meta.getInt(0)
+    val spark = knnSession(spark0, meta.getLong(1))
+    val newE = knnEncode(
+      newVecs.select(col("vec_id"), col("embedding")), p)
+      .localCheckpoint(true) // batch-sized (bounded-batch contract)
+    val probeCols = col("bucket") +:
+      (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    // the batch's ring-bucket set: ≤ |batch|·(p+1) values
+    val ringB = newE.select(explode(array(probeCols: _*)).as("bucket"))
+      .distinct().localCheckpoint(true)
+    val affKb = ringB.select(kbOf(col("bucket")).as("kb")).distinct()
+      .collect().map(_.getInt(0)) // ≤ KnnDirBuckets values — static dir pruning
+    val newIds = newE.select("vec_id")
+    stage("EDGES", () => {
+      // old corpus = standing vecs minus the batch ids: under crash
+      // replay the batch's vec rows may already stand, and they must
+      // not double as corpus (the candidate sets — and therefore the
+      // appended partials — must be byte-identical across replays)
+      val old = spark.read.parquet(s"$layout/vecs")
+        .join(broadcast(newIds), Seq("vec_id"), "left_anti")
+      val affOld = old
+        .where(col("kb").isin(affKb.toSeq: _*))
+        .join(broadcast(ringB), Seq("bucket"), "left_semi")
+      def vc(d: DataFrame) = d.select("vec_id", "embedding", "bucket")
+      val dir1 = knnCandidates(newE, vc(old).unionByName(vc(newE)), p)
+      val dir2 = knnCandidates(affOld, newE, p)
+      graft.GraftSession.clearDeadAppend(s"$layout/edges") // resurrection guard
+      knnPartialsOf(dir1.unionByName(dir2))
+        .repartition(col("kb"))
+        .write.partitionBy("kb").mode("append").parquet(s"$layout/edges")
+    })
+    stage("VECS", () => {
+      graft.GraftSession.clearDeadAppend(s"$layout/vecs")
+      newE.repartition(col("kb"))
+        .write.partitionBy("kb").mode("append").parquet(s"$layout/vecs")
+    })
+  }
+
+  /** Standing-layout compaction, `Ctl index-compact <sf> knn`: vecs
+    * re-pack file-wise ([[graft.GraftSession.compactPartitioned]]);
+    * edges compact SEMANTICALLY (the sketch-layout discipline) — N
+    * generations of top-k partials per vector collapse back to ONE
+    * exact top-k, so steady-state edge size is k·corpus however many
+    * appends ever ran. Served rows are invariant (spec-pinned).
+    */
+  def knnCompact(spark: SparkSession, sfDir: String): String = {
+    val layout = knnLayout(spark, sfDir)
+    knnCompactAt(spark, layout)
+    layout
+  }
+
+  private[operators] def knnCompactAt(spark0: SparkSession, layout: String): Unit = {
+    graft.GraftSession.compactPartitioned(spark0, s"$layout/vecs", "kb")
+    val n = spark0.read.parquet(s"$layout/vecs").count()
+    val spark = knnSession(spark0, n)
+    graft.GraftSession.compactSnapshot(spark, s"$layout/edges", (df, staged) =>
+      knnPartialsOf(df.select(col("vec_id"), col("bucket").as("vbucket"),
+          col("neighbor_id"), col("score")))
+        .repartition(col("kb"))
+        .write.partitionBy("kb").mode("overwrite").parquet(staged))
+  }
+
+  /** The REGISTERED q_knn_graph — serves from the standing layout:
+    * one bounded top-k re-aggregation over the edge partials (≤
+    * k·generations rows per vector), no candidate generation, no
+    * corpus scan of the float vectors. The scan form ([[knnGraph]])
+    * stays as the parity twin (spec-pinned equal), exactly the BM25
+    * index/scan pairing. First call builds the layout (ensureLayout
+    * staleness discipline); steady state reads it.
+    */
+  def knnGraphIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val layout = knnLayout(spark, sfDir)
+    knnGraphAt(spark, layout)
+  }
+
+  private[operators] def knnGraphAt(spark0: SparkSession, layout: String): DataFrame = {
+    val n = spark0.read.parquet(s"$layout/vecs").count()
+    val spark = knnSession(spark0, n)
+    spark.read.parquet(s"$layout/edges")
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKPairs.topK(KnnK,
+        col("score").cast("double"), col("neighbor_id")).as("nbrs"))
+      .select(col("vec_id"), posexplode(col("nbrs")).as(Seq("pos", "nb")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").cast("long").as("score"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** The REGISTERED q_knn_outliers — same verdict math as
+    * [[knnOutliers]] but the ring relation is the layout's DISK-backed
+    * `vecs` (replayable lineage; the scan twin's corpus-sized
+    * `localCheckpoint` survives only in the spec-pinned twin).
+    */
+  def knnOutliersIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val layout = knnLayout(spark, sfDir)
+    val n = spark.read.parquet(s"$layout/vecs").count()
+    val p = spark.read.parquet(s"$layout/meta").head.getInt(0)
+    val s = knnSession(spark, n)
+    val e = s.read.parquet(s"$layout/vecs")
+      .select("vec_id", "embedding", "bucket", "nrm")
+    val probeCols = col("bucket") +:
+      (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    val probes = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(probeCols: _*)).as("probe"))
+    val pairs = probes.as("a").join(e.as("b"),
+      col("a.probe") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+    knnOutliersFrom(e, pairs)
+  }
 
   // ------------------------------------------- random-projection ANN
   private val RpDims = 8

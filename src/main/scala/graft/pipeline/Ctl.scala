@@ -97,7 +97,8 @@ object Ctl {
       // defragment the append-maintained standing layouts (every
       // append adds one file per touched partition dir; probe cost
       // grows with file count): invindex = the positional inverted
-      // index's postings, ivfpq = the ANN codes, sketch = the daily
+      // index's postings, ivfpq = the ANN codes, knn = the knn-graph
+      // vecs + edge partials (SEMANTIC top-k merge), sketch = the daily
       // distinct-users partials (SEMANTIC merge), langstats /
       // scriptstats / lenstats = the drift door's standing references
       // (SEMANTIC merge of count partials), all = every layout.
@@ -105,7 +106,7 @@ object Ctl {
       // GraftSession.compactSnapshot); the one thing NOT to run is a
       // second index-compact of the same layout concurrently — both
       // would claim the same staging sibling
-      val known = Set("invindex", "ivfpq", "sketch", "langstats",
+      val known = Set("invindex", "ivfpq", "knn", "sketch", "langstats",
         "scriptstats", "lenstats", "all")
       if (!known(which)) {
         System.err.println(s"index-compact: unknown index '$which' (${known.mkString("|")})")
@@ -128,6 +129,12 @@ object Ctl {
             graft.operators.SimilarityQueries.ivfPqCompact(spark, sfDir)
             println("compacted ivf-pq codes")
           } else println(s"no standing ivf-pq layout for $sfDir; nothing to compact")
+        }
+        if (which == "knn" || which == "all") {
+          if (graft.operators.SimilarityQueries.knnPresent(sfDir)) {
+            graft.operators.SimilarityQueries.knnCompact(spark, sfDir)
+            println("compacted knn-graph vecs + edge partials")
+          } else println(s"no standing knn layout for $sfDir; nothing to compact")
         }
         if (which == "sketch" || which == "all") {
           if (graft.operators.CoreQueries.userSketchPresent(sfDir)) {
@@ -241,7 +248,7 @@ object Ctl {
       System.err.println(
         "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
           "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n] | " +
-          "index-compact <sfDir> <invindex|ivfpq|sketch|langstats|scriptstats|all> | " +
+          "index-compact <sfDir> <invindex|ivfpq|knn|sketch|langstats|scriptstats|all> | " +
           "quarantine-release <doorDir> <batchId> | " +
           "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir> | " +
           "front <spoolDir> <task> | back <spoolDir> <task>")

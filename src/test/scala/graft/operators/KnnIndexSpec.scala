@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The standing knn-graph layout: append == from-scratch union
+  * rebuild, layout-served == scan twin, semantic edge compaction
+  * invariance, and foreachBatch idempotence of the two-stage append.
+  */
+class KnnIndexSpec extends SparkSpec {
+
+  /** Write `df` as a minimal corpus dir buildKnn can read. */
+  private def corpusDir(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_corpus").toString
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def served(layout: String): Seq[(Long, Long, Long, Long)] =
+    SimilarityQueries.knnGraphAt(spark, layout).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("append equals a from-scratch rebuild of the union at the same planes") {
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 400).select("vec_id", "embedding")
+    // the batch: shifted copies of 30 vectors plus 20 fresh ones —
+    // copies guarantee ring collisions (affected old vectors exist)
+    val batch = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 30)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      .unionByName(graft.GraftSession.table(spark, sf(), "embeddings")
+        .where(col("vec_id") >= 400 && col("vec_id") < 420)
+        .select("vec_id", "embedding"))
+    val dirA = corpusDir(base)
+    val layoutA = s"$dirA/knn_layout"
+    SimilarityQueries.buildKnn(spark, dirA, layoutA)
+    SimilarityQueries.knnAppendAt(spark, layoutA, batch, (_, f) => f())
+
+    val dirU = corpusDir(base.unionByName(batch))
+    val layoutU = s"$dirU/knn_layout"
+    SimilarityQueries.buildKnn(spark, dirU, layoutU)
+
+    val a = served(layoutA)
+    val u = served(layoutU)
+    assert(a.nonEmpty)
+    assert(a === u, "appended layout diverged from the union rebuild")
+    // an appended exact copy is its original's top neighbor
+    val top1 = a.filter(t => t._1 == 100000L && t._2 == 1L)
+    assert(top1.nonEmpty)
+  }
+
+  test("layout-served graph and outliers equal the scan twins") {
+    val g = SimilarityQueries.knnGraphIndexed(spark, sf()).collect().toSeq
+    val gScan = SimilarityQueries.knnGraph(spark, sf()).collect().toSeq
+    assert(g.nonEmpty && g === gScan)
+    val o = SimilarityQueries.knnOutliersIndexed(spark, sf()).collect().toSeq
+    val oScan = SimilarityQueries.knnOutliers(spark, sf()).collect().toSeq
+    assert(o.nonEmpty && o === oScan)
+  }
+
+  test("semantic edge compaction: served rows invariant, partials collapse") {
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 200).select("vec_id", "embedding")
+    val dir = corpusDir(base)
+    val layout = s"$dir/knn_layout"
+    SimilarityQueries.buildKnn(spark, dir, layout)
+    // two appends of exact copies → three partial generations for the
+    // copied vectors' buckets
+    def copies(lo: Int, hi: Int, shift: Long) =
+      graft.GraftSession.table(spark, sf(), "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
+    SimilarityQueries.knnAppendAt(spark, layout, copies(0, 20, 100000L), (_, f) => f())
+    SimilarityQueries.knnAppendAt(spark, layout, copies(0, 20, 200000L), (_, f) => f())
+    val before = served(layout)
+    val rowsBefore = spark.read.parquet(s"$layout/edges").count()
+    SimilarityQueries.knnCompactAt(spark, layout)
+    val after = served(layout)
+    val rowsAfter = spark.read.parquet(s"$layout/edges").count()
+    assert(after === before, "compaction changed the served graph")
+    assert(rowsAfter < rowsBefore,
+      s"compaction did not collapse partials ($rowsBefore -> $rowsAfter)")
+    // steady-state bound: ≤ k rows per vector
+    val nVecs = spark.read.parquet(s"$layout/vecs").count()
+    assert(rowsAfter <= nVecs * 5)
+  }
+
+  test("knnAppendOnce: a replayed batch is skipped; both stage markers recorded") {
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 100).select("vec_id", "embedding")
+    val dir = corpusDir(base)
+    val batch = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    assert(SimilarityQueries.knnAppendOnce(spark, dir, batch, batchId = 7L))
+    val layout = SimilarityQueries.knnLayoutPath(dir)
+    val once = served(layout)
+    // replay: the whole batch must skip (no duplicate partials —
+    // a duplicated neighbor would occupy two of the k slots)
+    assert(!SimilarityQueries.knnAppendOnce(spark, dir, batch, batchId = 7L))
+    assert(served(layout) === once)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(layout, "_LAST_BATCH")).trim === "7")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(layout, "_LAST_BATCH_EDGES")).trim === "7")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(layout, "_LAST_BATCH_VECS")).trim === "7")
+    // a crash AFTER both stage commits but BEFORE the batch marker:
+    // simulate by rolling the outer marker back — the replay must
+    // skip both committed stages (re-appending either would plant
+    // duplicate partials / duplicate vec rows)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(layout, "_LAST_BATCH"), "6")
+    val vecsBefore = spark.read.parquet(s"$layout/vecs").count()
+    val edgesBefore = spark.read.parquet(s"$layout/edges").count()
+    assert(SimilarityQueries.knnAppendOnce(spark, dir, batch, batchId = 7L))
+    assert(spark.read.parquet(s"$layout/edges").count() === edgesBefore)
+    assert(spark.read.parquet(s"$layout/vecs").count() === vecsBefore)
+    assert(served(layout) === once)
+  }
+}
