@@ -1279,7 +1279,7 @@ object SimilarityQueries {
   private val KnnVersion = 1
   private[operators] val KnnDirBuckets = 64
 
-  private[operators] def knnLayoutPath(sfDir: String): String =
+  def knnLayoutPath(sfDir: String): String =
     s"${graft.GraftSession.fixtureRoot(sfDir)}/knn_v$KnnVersion"
 
   /** Directory fan-out key: the LSH bucket folded into a FIXED number
@@ -1559,6 +1559,98 @@ object SimilarityQueries {
         col("a.vec_id") =!= col("b.vec_id"))
     knnOutliersFrom(e, pairs)
   }
+
+  // --------------------------------------------- knn duplicate clusters
+  /** Cosine floor for a mutual-knn edge to count as a duplicate-
+    * cluster edge. On this corpus the mutual-pair cosine distribution
+    * tops out ≈0.51 with a 0.9-quantile ≈0.34, so 0.35 keeps the
+    * strong tail (true near-neighbor structure) and drops the bulk —
+    * a production pipeline tunes this against its own embedding
+    * space, as with [[SemDedupTau]].
+    */
+  private val KnnClusterTau = 0.35
+
+  /** Connected-component duplicate clusters over the knn GRAPH — the
+    * SemDeDup-graph/diversity consumer the graph primitive exists
+    * for: an edge is a MUTUAL top-[[KnnK]] pair (each inside the
+    * other's neighbor list — the standard symmetrization that prunes
+    * hub-induced false edges) whose cosine clears [[KnnClusterTau]];
+    * components get the min-vec_id label via the SAME machinery as
+    * [[DedupQueries.dedupClusters]] (driver union-find under the
+    * maxResultSize-derived ceiling, distributed min-label propagation
+    * past it). Reads the STANDING layout ([[knnLayout]]): the served
+    * top-k relation plus the vecs norms — never a fresh candidate
+    * generation. Edge count is bounded by k·n/2 before the floor and
+    * by true duplication after it — the dedupClusters pair-graph
+    * contract.
+    */
+  def knnClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val layout = knnLayout(spark, sfDir)
+    val topk = knnGraphAt(spark, layout)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"), col("score"))
+    val mutual = topk.as("x")
+      .join(topk.select(col("b").as("a"), col("a").as("b")).as("y"),
+        Seq("a", "b"), "left_semi")
+      .where(col("a") < col("b"))
+    val nrm = spark.read.parquet(s"$layout/vecs").select("vec_id", "nrm")
+    val pairs = mutual
+      .join(nrm.select(col("vec_id").as("a"), col("nrm").as("na")), Seq("a"))
+      .join(nrm.select(col("vec_id").as("b"), col("nrm").as("nb")), Seq("b"))
+      .withColumn("cosine",
+        when(col("na") === 0 || col("nb") === 0, lit(0d)).otherwise(
+          col("score").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
+      .where(col("cosine") >= KnnClusterTau)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      .localCheckpoint(true) // detection output — pair-bounded
+    val nEdges = pairs.count()
+    val out =
+      if (nEdges <= DedupQueries.unionFindMaxEdges(spark))
+        DedupQueries.unionFindClusters(pairs)
+      else DedupQueries.distributedClusters(pairs)
+    out.select(col("doc_id").as("vec_id"), col("cluster_id")).orderBy("vec_id")
+  }
+
+  /** DuckDB replay: the ring prologue, scan top-k, mutual
+    * symmetrization, cosine floor, then transitive closure via the
+    * recursive min-label walk ([[DedupQueries.dedupClustersSql]]'s
+    * closure shape).
+    */
+  def knnClustersSql: String =
+    s"""WITH RECURSIVE $knnRingCtes,
+       |nrm AS MATERIALIZED (SELECT vec_id,
+       |    CAST(list_sum(list_transform(list_zip(embedding, embedding), p -> $QDot)) AS BIGINT) AS nrm
+       |  FROM embeddings),
+       |scored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      p -> $QDot)) AS BIGINT) AS score
+       |  FROM embeddings a JOIN buckets ba ON ba.vec_id = a.vec_id
+       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
+       |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id),
+       |ranked AS (SELECT vec_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored WHERE score IS NOT NULL),
+       |topk AS (SELECT vec_id, neighbor_id, score FROM ranked WHERE rank <= $KnnK),
+       |mutual AS (SELECT x.vec_id AS a, x.neighbor_id AS b, x.score
+       |  FROM topk x JOIN topk y
+       |    ON y.vec_id = x.neighbor_id AND y.neighbor_id = x.vec_id
+       |  WHERE x.vec_id < x.neighbor_id),
+       |prs AS (SELECT m.a, m.b
+       |  FROM mutual m JOIN nrm na ON na.vec_id = m.a
+       |  JOIN nrm nb ON nb.vec_id = m.b
+       |  WHERE (CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |         ELSE CAST(m.score AS DOUBLE)
+       |           / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) END)
+       |    >= $KnnClusterTau),
+       |edges AS (SELECT a AS src, b AS dst FROM prs
+       |          UNION ALL SELECT b, a FROM prs),
+       |walk(id, lab) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id)
+       |SELECT id AS vec_id, CAST(min(lab) AS BIGINT) AS cluster_id
+       |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------- random-projection ANN
   private val RpDims = 8

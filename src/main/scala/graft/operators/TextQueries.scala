@@ -1568,33 +1568,136 @@ object TextQueries {
     layout
   }
 
-  private def appendPostings(spark: SparkSession, layout: String,
-      newDocs: DataFrame): Unit = {
+  /** The one tokenize-and-group definition shared by the single-writer
+    * append, the job-scoped staged append, and (shape-wise) the build:
+    * returns (tokenized base, posting rows).
+    */
+  private def postingRowsOf(newDocs: DataFrame): (DataFrame, DataFrame) = {
     val base = newDocs
       .where(length(trim(col("text"))) > 0)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-    graft.GraftSession.clearDeadAppend(s"$layout/postings") // resurrection guard
-    base.select(col("doc_id"), col("dl"),
+    val rows = base.select(col("doc_id"), col("dl"),
         posexplode(col("toks")).as(Seq("pos", "tok")))
       .groupBy("tok", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos") + 1)).as("positions"))
       .withColumn("tb", pmod(crc32(col("tok")), lit(InvIndexBuckets)).cast("int"))
-      .repartition(col("tb"))
-      .write.partitionBy("tb").mode("append").parquet(s"$layout/postings")
-    // one-row stats: old + delta, computed on the driver so the
-    // overwrite never reads the files it replaces. sum() over zero rows
-    // is NULL — coalesce so a batch of all-blank docs is a clean no-op
-    // instead of an NPE that kills the caller (incl. the streaming
-    // maintenance query, whose !isEmpty guard doesn't cover this).
-    val old = spark.read.parquet(s"$layout/stats").head
-    val delta = base.agg(count(lit(1)).as("n"),
+    (base, rows)
+  }
+
+  /** The stats DELTA row for an append batch. sum() over zero rows is
+    * NULL — coalesce so a batch of all-blank docs is a clean (0, 0)
+    * partial instead of an NPE that kills the caller (incl. the
+    * streaming maintenance query, whose !isEmpty guard doesn't cover
+    * this).
+    */
+  private def statsDeltaOf(base: DataFrame): (Long, Long) = {
+    val d = base.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("t")).head
+    (d.getLong(0), d.getLong(1))
+  }
+
+  private def appendPostings(spark: SparkSession, layout: String,
+      newDocs: DataFrame): Unit = {
+    val (base, rows) = postingRowsOf(newDocs)
+    graft.GraftSession.clearDeadAppend(s"$layout/postings") // resurrection guard
+    rows.repartition(col("tb"))
+      .write.partitionBy("tb").mode("append").parquet(s"$layout/postings")
+    // stats land as an append-only DELTA partial (readers SUM the
+    // relation — [[indexStats]]): the read-add-overwrite update this
+    // replaces was the one stats write that could never be made
+    // multi-writer-safe (two appenders would both read the same old
+    // row and the second overwrite would swallow the first's delta)
+    val (dn, dt) = statsDeltaOf(base)
+    graft.GraftSession.clearDeadAppend(s"$layout/stats")
     import spark.implicits._
-    Seq((old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1)))
-      .toDF("n_docs", "t_tokens")
-      .coalesce(1).write.mode("overwrite").parquet(s"$layout/stats")
+    Seq((dn, dt)).toDF("n_docs", "t_tokens")
+      .coalesce(1).write.mode("append").parquet(s"$layout/stats")
+  }
+
+  /** CONCURRENT-writer append — the [[graft.streaming.StreamingOps
+    * .quarantineRelease]] private-stage + deterministic-rename shape
+    * ported to the busiest maintained layout, making N simultaneous
+    * appenders LEGAL here where the plain [[invIndexAppend]] is bound
+    * by the one-writer contract. Why the plain path can't be shared:
+    * two Spark jobs appending the same directory share its
+    * `_temporary/0` committer tree, so either job's cleanup can eat
+    * the other's in-flight task files (and [[graft.GraftSession
+    * .clearDeadAppend]] would eat a LIVE peer's). Here each appender
+    * (a) claims a private `.append_stage_<jobTag>` dir (atomic
+    * createDirectory — a second attempt under the same tag is refused,
+    * the quarantineRelease claim rule), (b) writes its postings +
+    * stats delta INSIDE the stage (its own committer tree, nobody
+    * else's), then (c) MOVES the data files into the live tree under
+    * deterministic `append-<jobTag>-<i>` names, sweeping same-prefix
+    * leftovers first so a retried crash is exactly-once. The stats
+    * delta lands as one ATOMIC_MOVE+REPLACE'd partial file. No step
+    * writes a shared `_temporary`; movers with distinct tags touch
+    * distinct names. Caller contract: unique jobTag per logical batch,
+    * doc_ids not yet indexed, layout fresh before appending (the
+    * ensureLayout rebuild itself is still one-writer).
+    */
+  def invIndexAppendStaged(spark: SparkSession, sfDir: String,
+      newDocs: DataFrame, jobTag: String): String = {
+    require(jobTag.nonEmpty &&
+      jobTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"jobTag must be [A-Za-z0-9_-]+, got '$jobTag'")
+    val layout = invIndexLayout(spark, sfDir)
+    val stage = java.nio.file.Paths.get(layout, s".append_stage_$jobTag")
+    def isData(p: java.nio.file.Path): Boolean = {
+      val fn = p.getFileName.toString
+      java.nio.file.Files.isRegularFile(p) &&
+        !fn.startsWith("_") && !fn.startsWith(".")
+    }
+    try java.nio.file.Files.createDirectory(stage)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"an append tagged '$jobTag' is already in progress (or a " +
+            s"crashed attempt left $stage); delete that directory to retry")
+    }
+    try {
+      val (base, rows) = postingRowsOf(newDocs)
+      val stageData = stage.resolve("data")
+      rows.repartition(col("tb"))
+        .write.partitionBy("tb").mode("overwrite").parquet(stageData.toString)
+      val livePost = java.nio.file.Paths.get(layout, "postings")
+      val parts = java.nio.file.Files.list(stageData)
+      try parts.filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("tb=")).forEach { pd =>
+        val live = livePost.resolve(pd.getFileName.toString)
+        java.nio.file.Files.createDirectories(live)
+        val sweep = java.nio.file.Files.list(live)
+        try sweep.filter(_.getFileName.toString.startsWith(s"append-$jobTag-"))
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally sweep.close()
+        var i = 0
+        val fs = java.nio.file.Files.list(pd)
+        try fs.filter(isData(_)).forEach { p =>
+          java.nio.file.Files.move(p,
+            live.resolve(s"append-$jobTag-$i.parquet"))
+          i += 1
+        }
+        finally fs.close()
+      }
+      finally parts.close()
+      val (dn, dt) = statsDeltaOf(base)
+      import spark.implicits._
+      val stageStats = stage.resolve("stats")
+      Seq((dn, dt)).toDF("n_docs", "t_tokens")
+        .coalesce(1).write.mode("overwrite").parquet(stageStats.toString)
+      val statsDir = java.nio.file.Paths.get(layout, "stats")
+      java.nio.file.Files.createDirectories(statsDir)
+      val sfiles = java.nio.file.Files.list(stageStats)
+      try sfiles.filter(isData(_)).findFirst().ifPresent(p =>
+        java.nio.file.Files.move(p,
+          statsDir.resolve(s"append-$jobTag.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      finally sfiles.close()
+    } finally graft.GraftSession.deleteRec(stage)
+    layout
   }
 
   /** foreachBatch-idempotent append — the streaming maintenance
@@ -1641,6 +1744,12 @@ object TextQueries {
   def invIndexCompact(spark: SparkSession, sfDir: String): String = {
     val layout = invIndexLayout(spark, sfDir)
     graft.GraftSession.compactPartitioned(spark, s"$layout/postings", "tb")
+    // stats partials MERGE back to one row (the sketch-layout
+    // semantic-compaction rule): N appends leave N delta rows; the
+    // summed relation is invariant
+    graft.GraftSession.compactSnapshot(spark, s"$layout/stats", (df, staged) => df
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_tokens")).as("t_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(staged))
     layout
   }
 
@@ -1656,8 +1765,14 @@ object TextQueries {
       .where(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
   }
 
+  /** The standing stats as ONE row — the relation on disk is a set of
+    * summable partials (base row + one delta per append), the shape
+    * that makes appends — including concurrent staged ones — never
+    * read-modify-write shared state.
+    */
   private def indexStats(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${invIndexLayout(spark, sfDir)}/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_tokens")).as("t_tokens"))
 
   // ------------------------------------------------- BM25 ranking
   /** Disjunctive query terms for BM25 — unlike [[SearchTerms]]' AND

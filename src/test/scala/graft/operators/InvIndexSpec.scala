@@ -14,6 +14,15 @@ class InvIndexSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
 
+  /** Stats as the summed relation — on disk it is a base row plus one
+    * delta partial per append (what makes concurrent appends legal).
+    */
+  private def statsOf(layout: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$layout/stats")
+      .agg(sum(col("n_docs")), sum(col("t_tokens"))).head
+    (r.getLong(0), r.getLong(1))
+  }
+
   test("bm25: index path == scan path") {
     val idx = rows(TextQueries.bm25Topk(spark, sf()))
     val scan = rows(TextQueries.bm25ScoredScan(spark, sf())
@@ -92,11 +101,7 @@ class InvIndexSpec extends SparkSpec {
         .sortBy(r => (r(0).toString, r(1).toString.toLong))
     val incLayout = s"${graft.GraftSession.fixtureRoot(incDir)}/invindex_v2"
     assert(postings(incLayout) === postings(fullLayout))
-    def stats(layout: String): (Long, Long) = {
-      val r = spark.read.parquet(s"$layout/stats").head
-      (r.getLong(0), r.getLong(1))
-    }
-    assert(stats(incLayout) === stats(fullLayout))
+    assert(statsOf(incLayout) === statsOf(fullLayout))
     // and the probe READS the appended entries (doc 10 outranks on tf)
     val hits = spark.read.parquet(s"$incLayout/postings")
       .where(col("tok") === "spark").select("doc_id").collect()
@@ -115,8 +120,7 @@ class InvIndexSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val layout = TextQueries.invIndexAppend(spark, dir,
       docsDF(Seq(20L -> "   ", 21L -> ""))) // sum(dl) over zero rows is NULL
-    val st = spark.read.parquet(s"$layout/stats").head
-    assert((st.getLong(0), st.getLong(1)) === ((1L, 3L)), "stats unchanged")
+    assert(statsOf(layout) === ((1L, 3L)), "stats unchanged")
   }
 
   test("invIndexAppendOnce skips a replayed batchId (foreachBatch idempotence)") {
@@ -136,7 +140,7 @@ class InvIndexSpec extends SparkSpec {
         .select("tok", "doc_id", "dl", "tf", "positions", "tb")
         .collect().toSeq.map(_.toSeq)
         .sortBy(r => (r(0).toString, r(1).toString.toLong)),
-      spark.read.parquet(s"$layout/stats").head.toSeq)
+      statsOf(layout).productIterator.toSeq)
     val afterFirst = snapshot()
     // at-least-once replay of the SAME batch: no doubled postings/stats
     assert(!TextQueries.invIndexAppendOnce(spark, dir, batch, batchId = 0L))

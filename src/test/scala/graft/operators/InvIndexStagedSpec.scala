@@ -1,0 +1,107 @@
+package graft.operators
+
+import scala.concurrent.duration.DurationInt
+import scala.concurrent.{Await, Future}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Job-scoped staged appends on the inverted index: TWO writers
+  * appending CONCURRENTLY must both commit — union == from-scratch
+  * rebuild — because each stages under its own claim dir and moves
+  * files in under deterministic names (no shared `_temporary`). Plus
+  * the claim rule (same tag refused while in progress / after a
+  * crash) and stats-partial compaction invariance.
+  */
+class InvIndexStagedSpec extends SparkSpec {
+
+  private def docsDF(rowsIn: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rowsIn.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private def postings(layout: String): Seq[Seq[Any]] =
+    spark.read.parquet(s"$layout/postings")
+      .select("tok", "doc_id", "dl", "tf", "positions", "tb")
+      .collect().toSeq.map(_.toSeq)
+      .sortBy(r => (r(0).toString, r(1).toString.toLong))
+
+  private def statsOf(layout: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$layout/stats")
+      .agg(sum(col("n_docs")), sum(col("t_tokens"))).head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("two concurrent staged appends both commit; union == rebuild") {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val a = Seq(1L -> "spark merge data", 2L -> "data data spark")
+    val b1 = (10L until 40L).map(i => i -> s"batch one doc $i spark")
+    val b2 = (50L until 80L).map(i => i -> s"batch two doc $i merge")
+    val incDir = java.nio.file.Files.createTempDirectory("graft_inv_race").toString
+    docsDF(a).write.mode("overwrite").parquet(s"$incDir/documents.parquet")
+    TextQueries.invIndexLayout(spark, incDir) // base build before the race
+    // the race: two appenders in flight at once, distinct tags
+    val f1 = Future(TextQueries.invIndexAppendStaged(spark, incDir, docsDF(b1), "w1"))
+    val f2 = Future(TextQueries.invIndexAppendStaged(spark, incDir, docsDF(b2), "w2"))
+    val layout = Await.result(f1, 5.minutes)
+    assert(Await.result(f2, 5.minutes) === layout)
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_inv_race_full").toString
+    docsDF(a ++ b1 ++ b2).write.mode("overwrite")
+      .parquet(s"$fullDir/documents.parquet")
+    val fullLayout = TextQueries.invIndexLayout(spark, fullDir)
+    assert(postings(layout) === postings(fullLayout),
+      "a concurrent appender's postings were lost or doubled")
+    assert(statsOf(layout) === statsOf(fullLayout))
+    // the probes read both appenders' rows
+    val hits = spark.read.parquet(s"$layout/postings")
+      .where(col("tok") === "spark").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 10L, 39L).subsetOf(hits))
+    // stats partials compact back to one row, sums invariant
+    val before = statsOf(layout)
+    TextQueries.invIndexCompact(spark, incDir)
+    assert(statsOf(layout) === before)
+    assert(spark.read.parquet(s"$layout/stats").count() === 1L)
+    assert(postings(layout) === postings(fullLayout))
+  }
+
+  test("the stage claim refuses a duplicate tag and a crashed leftover") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_claim").toString
+    docsDF(Seq(1L -> "spark merge data")).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val layout = TextQueries.invIndexLayout(spark, dir)
+    // plant a crashed attempt's stage dir: the claim must refuse with
+    // the delete-to-retry message, and the live tree must be untouched
+    val stale = java.nio.file.Paths.get(layout, ".append_stage_w9")
+    java.nio.file.Files.createDirectory(stale)
+    val before = postings(layout)
+    val ex = intercept[IllegalArgumentException] {
+      TextQueries.invIndexAppendStaged(spark, dir,
+        docsDF(Seq(5L -> "fresh doc")), "w9")
+    }
+    assert(ex.getMessage.contains("delete that directory to retry"))
+    assert(postings(layout) === before)
+    // operator clears the leftover → the retry lands exactly once
+    graft.GraftSession.deleteRec(stale)
+    TextQueries.invIndexAppendStaged(spark, dir,
+      docsDF(Seq(5L -> "fresh doc")), "w9")
+    val after = postings(layout)
+    assert(after.exists(r => r(1) == 5L))
+    // a RE-STAGED retry (crash after some moves) sweeps its own prefix
+    // instead of doubling: same tag again after clearing is refused
+    // only while in progress — here it must refuse nothing but also
+    // must not double rows
+    TextQueries.invIndexAppendStaged(spark, dir,
+      docsDF(Seq(5L -> "fresh doc")), "w9")
+    assert(postings(layout) === after, "a retried tag doubled its rows")
+    // invalid tags are rejected before touching the layout
+    intercept[IllegalArgumentException] {
+      TextQueries.invIndexAppendStaged(spark, dir,
+        docsDF(Seq(6L -> "x")), "../evil")
+    }
+  }
+}

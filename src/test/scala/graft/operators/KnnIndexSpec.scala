@@ -86,6 +86,33 @@ class KnnIndexSpec extends SparkSpec {
     assert(rowsAfter <= nVecs * 5)
   }
 
+  test("knnClusters: planted duplicate families land in one component each") {
+    // 100 base vectors + two exact copies of the first 8 — each
+    // (v, v+100000, v+200000) trio is mutually top-ranked at cosine
+    // 1.0 and must collapse into ONE component labeled min id = v
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 100).select("vec_id", "embedding")
+    def copies(shift: Long) =
+      graft.GraftSession.table(spark, sf(), "embeddings")
+        .where(col("vec_id") < 8)
+        .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
+    val dir = corpusDir(base.unionByName(copies(100000L)).unionByName(copies(200000L)))
+    val labels = SimilarityQueries.knnClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 8).foreach { v =>
+      assert(labels.contains(v.toLong), s"planted original $v missing")
+      assert(labels.get(v + 100000L) === Some(labels(v.toLong)),
+        s"copy $v+100000 split from its family")
+      assert(labels.get(v + 200000L) === Some(labels(v.toLong)),
+        s"copy $v+200000 split from its family")
+    }
+    // cluster labels are component minima: every label is a member id
+    // no greater than any member carrying it
+    labels.groupBy(_._2).foreach { case (lab, members) =>
+      assert(members.keys.min === lab, s"label $lab is not the component min")
+    }
+  }
+
   test("knnAppendOnce: a replayed batch is skipped; both stage markers recorded") {
     val base = graft.GraftSession.table(spark, sf(), "embeddings")
       .where(col("vec_id") < 100).select("vec_id", "embedding")
