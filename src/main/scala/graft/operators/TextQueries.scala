@@ -1547,6 +1547,7 @@ object TextQueries {
     langStatsSeed(spark, sfDir)
     scriptStatsSeed(spark, sfDir)
     lenStatsSeed(spark, sfDir)
+    tokStatsSeed(spark, sfDir)
     ()
   }
 
@@ -3013,6 +3014,42 @@ object TextQueries {
   private val lenStats = new DriftReference(
     s"lenstats_v$LenStatsVersion", "len_bucket", lenCountsOf)
 
+  private val TokStatsVersion = 1
+
+  /** Per-mean-token-length-bucket doc counts — (tok_bucket, n) over
+    * the bounded domain of DIGIT COUNTS of chars-per-token (BIGINT
+    * floor division; a 0-token blank doc is bucket 0, normal prose
+    * with ~5-char mean tokens bucket 1, a single-giant-token doc its
+    * length's digit count, ≤8). The FOURTH drift axis's counts
+    * recipe, and the proof the v2 map-typed audit schema holds its
+    * promise: this axis is ONE [[DriftReference]] constructor call and
+    * a map key — zero schema change anywhere. The adversary it
+    * catches: SLUGIFICATION (whitespace collapsed to hyphens by a
+    * mangling pipeline) keeps the language metadata, the script mix
+    * (space and hyphen both sit in the `other` codepoint class — a
+    * 1:1 swap inside one class), and every document length — all
+    * three standing axes blind — while the token count collapses to 1
+    * and the mean-token-length bucket jumps. Exact integers end to
+    * end; NULL text counts as empty (the [[lenCountsOf]] convention).
+    */
+  private[graft] def tokCountsOf(docs: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    docs
+      .select(length(txt).cast("long").as("chars"),
+        when(length(trim(txt)) === 0, lit(0L))
+          .otherwise(size(split(trim(txt), "\\s+")).cast("long")).as("ntok"))
+      .withColumn("tok_bucket",
+        when(col("ntok") === 0, lit(0L))
+          .otherwise(length(expr("chars div ntok").cast("string")).cast("long")))
+      .groupBy("tok_bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** The FOURTH standing drift reference: the corpus's mean-token-
+    * length-bucket histogram ([[tokCountsOf]]).
+    */
+  private val tokStats = new DriftReference(
+    s"tokstats_v$TokStatsVersion", "tok_bucket", tokCountsOf)
+
   private[graft] def langStatsSeed(spark: SparkSession, sfDir: String): String =
     langStats.seed(spark, sfDir)
 
@@ -3149,6 +3186,34 @@ object TextQueries {
 
   def lenStatsPresent(sfDir: String): Boolean = lenStats.present(sfDir)
 
+  private[graft] def tokStatsSeed(spark: SparkSession, sfDir: String): String =
+    tokStats.seed(spark, sfDir)
+
+  private[graft] def tokStatsRead(spark: SparkSession, sfDir: String): DataFrame =
+    tokStats.read(spark, sfDir)
+
+  private[graft] def tokStatsAppend(spark: SparkSession, sfDir: String,
+      passedDocs: DataFrame): String =
+    tokStats.append(spark, sfDir, passedDocs)
+
+  def tokStatsAppendOnce(spark: SparkSession, sfDir: String,
+      passedDocs: DataFrame, batchId: Long): Boolean =
+    tokStats.appendOnce(spark, sfDir, passedDocs, batchId)
+
+  private[graft] def tokStatsAppendOnce(spark: SparkSession, sfDir: String,
+      passedDocs: DataFrame, batchId: Long,
+      marker: java.nio.file.Path): Boolean =
+    tokStats.appendOnce(spark, sfDir, passedDocs, batchId, Some(marker))
+
+  def tokStatsCompact(spark: SparkSession, sfDir: String): String =
+    tokStats.compact(spark, sfDir, () => ())
+
+  private[graft] def tokStatsCompact(spark: SparkSession, sfDir: String,
+      beforeSwap: () => Unit): String =
+    tokStats.compact(spark, sfDir, beforeSwap)
+
+  def tokStatsPresent(sfDir: String): Boolean = tokStats.present(sfDir)
+
   /** L1 distance (ppm) between a batch's language distribution and the
     * standing histogram — THE one drift computation (batch query,
     * streaming gate and spec all call this, so the metric cannot drift
@@ -3181,6 +3246,15 @@ object TextQueries {
   private[graft] def driftLenOf(batch: DataFrame, hist: DataFrame): DataFrame =
     driftCounts(lenCountsOf(batch).withColumnRenamed("n", "nb"),
       hist, "len_bucket")
+
+  /** The mean-token-length twin of [[driftOf]]: the batch's per-
+    * tok-bucket doc counts ([[tokCountsOf]]) against the standing
+    * histogram, through the IDENTICAL integer-L1 kernel. Catches the
+    * slugification adversary all three other axes are blind to.
+    */
+  private[graft] def driftTokOf(batch: DataFrame, hist: DataFrame): DataFrame =
+    driftCounts(tokCountsOf(batch).withColumnRenamed("n", "nb"),
+      hist, "tok_bucket")
 
   /** THE drift kernel, shared by both axes (and any future
     * bounded-domain axis): given pre-aggregated batch counts (key, nb)
@@ -3596,6 +3670,173 @@ object TextQueries {
       |  FROM l1rl l, l1rs s, l1rll n
       |  UNION ALL SELECT 'truncation', l.n_docs, l.l1, s.l1, n.l1
       |  FROM l1rl l, l1ts s, l1tll n)
+      |ORDER BY batch_kind""".stripMargin
+  }
+
+  /** FOUR-AXIS drift gate — [[driftAxes3]] plus the mean-token-length
+    * axis ([[driftTokOf]]), the registered form of the door's
+    * `tokAxis = true` verdict and the live proof of the v2 audit
+    * design: the fourth axis cost ONE [[DriftReference]] constructor
+    * call and a map key, zero schema change. The adversary:
+    * `stripped` — the representative batch with every whitespace
+    * codepoint REMOVED (a concatenation/mangling bug upstream of the
+    * tokenizer). Language is metadata (lang axis blind); the script
+    * kernel never counts codepoints ≤ 32, so deleting spaces leaves
+    * every script count EXACTLY unchanged (script axis blind by
+    * construction — the result rows show identical script_l1_ppm);
+    * lengths shrink ~15% but mostly within their digit bucket (len
+    * axis under threshold on this corpus — measured 68k vs 200k ppm);
+    * the token count collapses to 1 per doc and the mean-token-length
+    * bucket jumps a decade — only the tok axis flags it. All four
+    * axes ride the one [[driftCounts]] integer-L1 kernel over bounded
+    * domains.
+    */
+  def driftAxes4(spark: SparkSession, sfDir: String): DataFrame = {
+    val langHist = spark.read.parquet(langStatsSeed(spark, sfDir))
+    val scriptHist = spark.read.parquet(scriptStatsSeed(spark, sfDir))
+    val lenHist = spark.read.parquet(lenStatsSeed(spark, sfDir))
+    val tokHist = spark.read.parquet(tokStatsSeed(spark, sfDir))
+    val docs = table(spark, sfDir, "documents")
+    def langLeg(batch: DataFrame): DataFrame =
+      driftOf(batch, langHist)
+        .select(col("n_docs"), col("l1_ppm").as("lang_l1_ppm"),
+          col("drifted").as("lang_drifted"))
+    def scriptLeg(batch: DataFrame): DataFrame =
+      driftScriptOf(batch, scriptHist)
+        .select(col("l1_ppm").as("script_l1_ppm"),
+          col("drifted").as("script_drifted"))
+    def lenLeg(batch: DataFrame): DataFrame =
+      driftLenOf(batch, lenHist)
+        .select(col("l1_ppm").as("len_l1_ppm"),
+          col("drifted").as("len_drifted"))
+    def tokLeg(batch: DataFrame): DataFrame =
+      driftTokOf(batch, tokHist)
+        .select(col("l1_ppm").as("tok_l1_ppm"),
+          col("drifted").as("tok_drifted"))
+    def fuse(kind: String, l: DataFrame, s: DataFrame, n: DataFrame,
+        t: DataFrame): DataFrame =
+      l.crossJoin(s).crossJoin(n).crossJoin(t) // 1-row fuses
+        .select(lit(kind).as("batch_kind"), col("n_docs"),
+          col("lang_l1_ppm"), col("lang_drifted"),
+          col("script_l1_ppm"), col("script_drifted"),
+          col("len_l1_ppm"), col("len_drifted"),
+          col("tok_l1_ppm"), col("tok_drifted"),
+          (col("lang_drifted") || col("script_drifted") ||
+            col("len_drifted") || col("tok_drifted")).as("drifted"))
+    val rep = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    // strip rewrites TEXT only — its lang leg is the rep batch's,
+    // computed once (the truncation precedent); script/len/tok legs
+    // compute FOR REAL on the stripped text so the blindness claims
+    // are visible in the output, never assumed
+    val strip = rep.withColumn("text", regexp_replace(col("text"), "\\s", ""))
+    val repLang = langLeg(rep)
+    fuse("representative", repLang, scriptLeg(rep), lenLeg(rep), tokLeg(rep))
+      .unionByName(
+        fuse("stripped", repLang, scriptLeg(strip), lenLeg(strip), tokLeg(strip)))
+      .orderBy("batch_kind")
+  }
+
+  def driftAxes4Sql: String = {
+    val l1 = (join: String) =>
+      s"""SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(abs(
+        |      CASE WHEN tc = 0 THEN 0 ELSE (1000000 * nc) // tc END -
+        |      CASE WHEN tb = 0 THEN 0 ELSE (1000000 * nb) // tb END)), 0) AS BIGINT) AS l1
+        |  FROM $join, (SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS tc FROM $join),
+        |    (SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS tb FROM $join)""".stripMargin
+    val scriptCols =
+      """CAST(len(cps) AS BIGINT) AS n_cp,
+        |    CAST(len(list_filter(cps, x -> (x >= 97 AND x <= 122)
+        |      OR (x >= 65 AND x <= 90))) AS BIGINT) AS latin,
+        |    CAST(len(list_filter(cps, x -> x >= 19968 AND x <= 40959)) AS BIGINT) AS cjk,
+        |    CAST(len(list_filter(cps, x -> x >= 1024 AND x <= 1279)) AS BIGINT) AS cyr,
+        |    CAST(len(list_filter(cps, x -> x >= 48 AND x <= 57)) AS BIGINT) AS digit""".stripMargin
+    def unpivot(src: String, as: String, valCol: String) =
+      s"""$as AS (SELECT 'latin' AS script, latin AS $valCol FROM $src
+        |  UNION ALL SELECT 'cjk', cjk FROM $src
+        |  UNION ALL SELECT 'cyr', cyr FROM $src
+        |  UNION ALL SELECT 'digit', digit FROM $src
+        |  UNION ALL SELECT 'other', n_cp - latin - cjk - cyr - digit FROM $src)""".stripMargin
+    // mean-token-length bucket of a text column t: digit count of
+    // chars // tokens, 0 for blank — exactly [[tokCountsOf]]
+    def tokB(t: String) =
+      s"""CASE WHEN len(trim($t)) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(len(CAST((len($t) // len(regexp_split_to_array(trim($t), '\\s+'))) AS VARCHAR)) AS BIGINT) END""".stripMargin
+    s"""WITH lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS nc FROM documents GROUP BY lang),
+      |rl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb FROM documents
+      |  WHERE doc_id % 10 = 0 GROUP BY lang),
+      |jrl AS (SELECT coalesce(lc.nc, 0) AS nc, coalesce(rl.nb, 0) AS nb
+      |  FROM lc FULL OUTER JOIN rl USING (lang)),
+      |scd AS (SELECT doc_id, list_filter(list_transform(generate_series(1, len(text)),
+      |    i -> unicode(text[i:i])), x -> x > 32) AS cps
+      |  FROM documents),
+      |scc AS (SELECT doc_id, $scriptCols FROM scd),
+      |st AS (SELECT CAST(sum(latin) AS BIGINT) AS latin, CAST(sum(cjk) AS BIGINT) AS cjk,
+      |    CAST(sum(cyr) AS BIGINT) AS cyr, CAST(sum(digit) AS BIGINT) AS digit,
+      |    CAST(sum(n_cp) AS BIGINT) AS n_cp FROM scc),
+      |${unpivot("st", "sh", "nc")},
+      |rst AS (SELECT CAST(sum(latin) AS BIGINT) AS latin, CAST(sum(cjk) AS BIGINT) AS cjk,
+      |    CAST(sum(cyr) AS BIGINT) AS cyr, CAST(sum(digit) AS BIGINT) AS digit,
+      |    CAST(sum(n_cp) AS BIGINT) AS n_cp FROM scc WHERE doc_id % 10 = 0),
+      |${unpivot("rst", "rs", "nb")},
+      |ssrc AS (SELECT doc_id, regexp_replace(coalesce(text, ''), '\\s', '', 'g') AS t
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |pcd AS (SELECT doc_id, list_filter(list_transform(generate_series(1, len(t)),
+      |    i -> unicode(t[i:i])), x -> x > 32) AS cps FROM ssrc),
+      |pcc AS (SELECT doc_id, $scriptCols FROM pcd),
+      |pst AS (SELECT CAST(sum(latin) AS BIGINT) AS latin, CAST(sum(cjk) AS BIGINT) AS cjk,
+      |    CAST(sum(cyr) AS BIGINT) AS cyr, CAST(sum(digit) AS BIGINT) AS digit,
+      |    CAST(sum(n_cp) AS BIGINT) AS n_cp FROM pcc),
+      |${unpivot("pst", "ps", "nb")},
+      |ll AS (SELECT CAST(len(CAST(len(coalesce(text, '')) AS VARCHAR)) AS BIGINT) AS len_bucket,
+      |    CAST(count(*) AS BIGINT) AS nc FROM documents GROUP BY 1),
+      |rll AS (SELECT CAST(len(CAST(len(coalesce(text, '')) AS VARCHAR)) AS BIGINT) AS len_bucket,
+      |    CAST(count(*) AS BIGINT) AS nb FROM documents
+      |  WHERE doc_id % 10 = 0 GROUP BY 1),
+      |sll AS (SELECT CAST(len(CAST(len(t) AS VARCHAR)) AS BIGINT) AS len_bucket,
+      |    CAST(count(*) AS BIGINT) AS nb FROM ssrc GROUP BY 1),
+      |tkc AS (SELECT ${tokB("coalesce(text, '')")} AS tok_bucket,
+      |    CAST(count(*) AS BIGINT) AS nc FROM documents GROUP BY 1),
+      |rtk AS (SELECT ${tokB("coalesce(text, '')")} AS tok_bucket,
+      |    CAST(count(*) AS BIGINT) AS nb FROM documents
+      |  WHERE doc_id % 10 = 0 GROUP BY 1),
+      |stk AS (SELECT ${tokB("t")} AS tok_bucket,
+      |    CAST(count(*) AS BIGINT) AS nb FROM ssrc GROUP BY 1),
+      |jrs AS (SELECT coalesce(sh.nc, 0) AS nc, coalesce(rs.nb, 0) AS nb
+      |  FROM sh FULL OUTER JOIN rs USING (script)),
+      |jps AS (SELECT coalesce(sh.nc, 0) AS nc, coalesce(ps.nb, 0) AS nb
+      |  FROM sh FULL OUTER JOIN ps USING (script)),
+      |jrll AS (SELECT coalesce(ll.nc, 0) AS nc, coalesce(rll.nb, 0) AS nb
+      |  FROM ll FULL OUTER JOIN rll USING (len_bucket)),
+      |jsll AS (SELECT coalesce(ll.nc, 0) AS nc, coalesce(sll.nb, 0) AS nb
+      |  FROM ll FULL OUTER JOIN sll USING (len_bucket)),
+      |jrtk AS (SELECT coalesce(tkc.nc, 0) AS nc, coalesce(rtk.nb, 0) AS nb
+      |  FROM tkc FULL OUTER JOIN rtk USING (tok_bucket)),
+      |jstk AS (SELECT coalesce(tkc.nc, 0) AS nc, coalesce(stk.nb, 0) AS nb
+      |  FROM tkc FULL OUTER JOIN stk USING (tok_bucket)),
+      |l1rl AS (${l1("jrl")}),
+      |l1rs AS (${l1("jrs")}),
+      |l1ps AS (${l1("jps")}),
+      |l1rll AS (${l1("jrll")}),
+      |l1sll AS (${l1("jsll")}),
+      |l1rtk AS (${l1("jrtk")}),
+      |l1stk AS (${l1("jstk")})
+      |SELECT batch_kind, n_docs, lang_l1_ppm,
+      |  lang_l1_ppm > $DriftThresholdPpm AS lang_drifted,
+      |  script_l1_ppm, script_l1_ppm > $DriftThresholdPpm AS script_drifted,
+      |  len_l1_ppm, len_l1_ppm > $DriftThresholdPpm AS len_drifted,
+      |  tok_l1_ppm, tok_l1_ppm > $DriftThresholdPpm AS tok_drifted,
+      |  (lang_l1_ppm > $DriftThresholdPpm)
+      |    OR (script_l1_ppm > $DriftThresholdPpm)
+      |    OR (len_l1_ppm > $DriftThresholdPpm)
+      |    OR (tok_l1_ppm > $DriftThresholdPpm) AS drifted
+      |FROM (
+      |  SELECT 'representative' AS batch_kind, l.n_docs,
+      |    l.l1 AS lang_l1_ppm, s.l1 AS script_l1_ppm,
+      |    n.l1 AS len_l1_ppm, t.l1 AS tok_l1_ppm
+      |  FROM l1rl l, l1rs s, l1rll n, l1rtk t
+      |  UNION ALL SELECT 'stripped', l.n_docs, l.l1, s.l1, n.l1, t.l1
+      |  FROM l1rl l, l1ps s, l1sll n, l1stk t)
       |ORDER BY batch_kind""".stripMargin
   }
 }

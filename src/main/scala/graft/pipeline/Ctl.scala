@@ -107,7 +107,7 @@ object Ctl {
       // second index-compact of the same layout concurrently — both
       // would claim the same staging sibling
       val known = Set("invindex", "ivfpq", "knn", "sketch", "langstats",
-        "scriptstats", "lenstats", "all")
+        "scriptstats", "lenstats", "tokstats", "all")
       if (!known(which)) {
         System.err.println(s"index-compact: unknown index '$which' (${known.mkString("|")})")
         sys.exit(2)
@@ -160,10 +160,16 @@ object Ctl {
             println("compacted drift-door length histogram partials")
           } else println(s"no standing length histogram for $sfDir; nothing to compact")
         }
+        if (which == "tokstats" || which == "all") {
+          if (graft.operators.TextQueries.tokStatsPresent(sfDir)) {
+            graft.operators.TextQueries.tokStatsCompact(spark, sfDir)
+            println("compacted drift-door token-length histogram partials")
+          } else println(s"no standing token-length histogram for $sfDir; nothing to compact")
+        }
       } finally spark.stop()
 
     case "door-run" :: sfDir :: incoming :: doorDir :: admitted :: rest
-        if rest.forall(Set("--no-script-axis", "--len-axis")) =>
+        if rest.forall(Set("--no-script-axis", "--len-axis", "--tok-axis")) =>
       // the spec-pinned four-stage composition as a launchable verb
       // (StreamingOps.doorChain): the spool queue's `stop` convention
       // ends it — touch <doorDir>/stop and the three streams stop at
@@ -176,7 +182,8 @@ object Ctl {
           val qs = graft.streaming.StreamingOps.doorChain(spark, sfDir,
             incoming, doorDir, admitted,
             scriptAxis = !rest.contains("--no-script-axis"),
-            lenAxis = rest.contains("--len-axis"))
+            lenAxis = rest.contains("--len-axis"),
+            tokAxis = rest.contains("--tok-axis"))
           println(s"door chain running: $incoming -> door($doorDir) -> " +
             s"admit($admitted); stop with: touch $doorDir/stop")
           val stop = Paths.get(doorDir, "stop")
@@ -248,7 +255,7 @@ object Ctl {
       System.err.println(
         "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
           "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n] | " +
-          "index-compact <sfDir> <invindex|ivfpq|knn|sketch|langstats|scriptstats|all> | " +
+          "index-compact <sfDir> <invindex|ivfpq|knn|sketch|langstats|scriptstats|lenstats|tokstats|all> | " +
           "quarantine-release <doorDir> <batchId> | " +
           "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir> | " +
           "front <spoolDir> <task> | back <spoolDir> <task>")

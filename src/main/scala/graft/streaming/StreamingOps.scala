@@ -48,6 +48,25 @@ object StreamingOps {
         ()
     }
 
+  /** Live maintenance of the standing knn GRAPH — the
+    * [[indexMaintainStream]] sibling for the similarity tier: every
+    * micro-batch of NEW vectors (vec_id, embedding) appends its edge
+    * partials + vec rows via [[graft.operators.SimilarityQueries
+    * .knnAppendOnce]], whose PER-STAGE markers make the two-job append
+    * exactly-once under at-least-once foreachBatch replay (a doubled
+    * edge partial would put one neighbor in two of the k top-k slots —
+    * worse than a doubled posting row).
+    */
+  def knnMaintainStream(vecs: DataFrame, sfDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.SimilarityQueries.knnAppendOnce(
+            batch.sparkSession, sfDir, batch.toDF(), batchId)
+        ()
+    }
+
   /** Live maintenance of the standing simhash fingerprint index — the
     * [[indexMaintainStream]] sibling: every micro-batch of NEW
     * documents appends its 8-byte fingerprint rows via
@@ -234,7 +253,12 @@ object StreamingOps {
     * reads every batch character; the length axis is cheap but only
     * meaningful where document lengths are stationary); enabling one
     * mid-stream starts from the corpus-stamp snapshot (registered
-    * batch forms: `q_drift_axes`, `q_drift_axes3`).
+    * batch forms: `q_drift_axes`, `q_drift_axes3`). `tokAxis = true`
+    * adds the FOURTH: the batch's mean-token-length-bucket mix
+    * ([[graft.operators.TextQueries.driftTokOf]]) — the slugification/
+    * concatenation adversary's axis (whitespace mangled away keeps
+    * lang, script, and length; the token count collapses). Each new
+    * axis is a map key in the v2 audit schema, never a schema change.
     *
     * AUDIT SCHEMA (v2): one row per (batch, event) with
     * `axes: map<axis → struct(l1_ppm, drifted)>` carrying exactly the
@@ -247,7 +271,7 @@ object StreamingOps {
     */
   def driftRouteStream(docs: DataFrame, sfDir: String, outDir: String,
       maintainHistogram: Boolean = true, scriptAxis: Boolean = false,
-      lenAxis: Boolean = false):
+      lenAxis: Boolean = false, tokAxis: Boolean = false):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // eager, so the advertised composition (a file source tailing
     // `passed`) starts clean before any batch has passed the door
@@ -278,11 +302,16 @@ object StreamingOps {
               val len = axisLeg(lenAxis,
                 graft.operators.TextQueries.driftLenOf(b,
                   graft.operators.TextQueries.lenStatsRead(spark, sfDir)).head())
-              val drifted = langDrifted || script.exists(_._2) || len.exists(_._2)
+              val tok = axisLeg(tokAxis,
+                graft.operators.TextQueries.driftTokOf(b,
+                  graft.operators.TextQueries.tokStatsRead(spark, sfDir)).head())
+              val drifted = langDrifted || script.exists(_._2) ||
+                len.exists(_._2) || tok.exists(_._2)
               val axisEntries: Seq[(String, Long, Boolean)] =
                 Seq(("lang", langL1, langDrifted)) ++
                   script.map { case (l1, d) => ("script", l1, d) } ++
-                  len.map { case (l1, d) => ("len", l1, d) }
+                  len.map { case (l1, d) => ("len", l1, d) } ++
+                  tok.map { case (l1, d) => ("tok", l1, d) }
               val axes = map(axisEntries.flatMap { case (nm, l1, d) =>
                 Seq(lit(nm), struct(lit(l1).as("l1_ppm"), lit(d).as("drifted")))
               }: _*)
@@ -322,6 +351,10 @@ object StreamingOps {
                   graft.operators.TextQueries.lenStatsAppendOnce(
                     spark, sfDir, b, batchId,
                     java.nio.file.Paths.get(outDir, "_LENSTATS_LAST_BATCH"))
+                if (tokAxis)
+                  graft.operators.TextQueries.tokStatsAppendOnce(
+                    spark, sfDir, b, batchId,
+                    java.nio.file.Paths.get(outDir, "_TOKSTATS_LAST_BATCH"))
                 ()
               }
             } finally { b.unpersist(); () }
@@ -352,7 +385,8 @@ object StreamingOps {
     */
   def doorChain(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       incomingDir: String, doorDir: String, admittedDir: String,
-      scriptAxis: Boolean = true, lenAxis: Boolean = false):
+      scriptAxis: Boolean = true, lenAxis: Boolean = false,
+      tokAxis: Boolean = false):
       Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     import org.apache.spark.sql.types._
     val docSchema = StructType(Seq(
@@ -363,7 +397,8 @@ object StreamingOps {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(admittedDir))
     val door = driftRouteStream(
       spark.readStream.schema(docSchema).parquet(incomingDir),
-      sfDir, doorDir, scriptAxis = scriptAxis, lenAxis = lenAxis)
+      sfDir, doorDir, scriptAxis = scriptAxis, lenAxis = lenAxis,
+      tokAxis = tokAxis)
       .option("checkpointLocation", s"$doorDir/_checkpoints/door")
       .start()
     val gate = nearDupGateStream(

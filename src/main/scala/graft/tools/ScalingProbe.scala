@@ -305,23 +305,36 @@ object ScalingProbe {
     // The embedding sign-flip family extends cleanly: patterns are
     // distinct for copy i < 64 (i & j spans the 6 index bits of a
     // 64-dim vector), so 64x is the construction's true ceiling.
-    val ksAbove = Seq(16, 32, 64).filter(_ <= maxK)
+    val ksAbove = Seq(16, 32, 64, 128).filter(_ <= maxK)
     val above: Map[String, Map[Int, Double]] =
       if (maxK < 32) Map.empty
       else {
         val aboveDirs: Map[Int, String] = ksAbove.map { k =>
-          require(k <= 64,
-            s"embedding sign-flip fold supports k <= 64 (6-bit patterns), got $k")
+          // per-copy isometry = coordinate ROTATION by (i / 64)
+          // composed with the Walsh–Hadamard sign flip of (i % 64):
+          // the flip patterns alone are distinct only for i < 64 (a
+          // 64-dim index has 6 bits), the rotation extends the family
+          // to 64·64 distinct orthogonal maps — still isometric, so
+          // within-copy geometry (and therefore bucket populations)
+          // stays realistic, while cross-copy cosines stay ≈ 0
+          require(k <= 4096,
+            s"embedding fold supports k <= 4096 (rot×flip family), got $k")
           val dir = Paths.get(s"/tmp/graft_scaling_real_${baseTag}_${k}x_emb")
           val embOut = dir.resolve("embeddings.parquet")
           if (!Files.exists(embOut.resolve("_SUCCESS"))) {
             Files.createDirectories(dir)
             val emb = spark.read.parquet(s"$base/embeddings.parquet")
             (0 until k).map { i =>
+              val flip = i % 64
+              val rot = i / 64
+              val rotated =
+                if (rot == 0) col("embedding")
+                else concat(slice(col("embedding"), rot + 1, 64 - rot),
+                  slice(col("embedding"), 1, rot))
               val flipped =
-                if (i == 0) col("embedding")
-                else transform(col("embedding"), (x, j) =>
-                  when(bit_count(j.bitwiseAND(lit(i))) % 2 === 1, -x).otherwise(x))
+                if (flip == 0) rotated
+                else transform(rotated, (x, j) =>
+                  when(bit_count(j.bitwiseAND(lit(flip))) % 2 === 1, -x).otherwise(x))
               emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
                 .withColumn("embedding", flipped)
             }.reduce(_.unionByName(_))

@@ -113,6 +113,36 @@ class KnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("knnMaintainStream: stream-fed layout equals a from-scratch union rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 150).select("vec_id", "embedding")
+    val dir = corpusDir(base)
+    SimilarityQueries.knnLayout(spark, dir) // standing layout before the stream
+    def batchVecs(lo: Int, hi: Int, shift: Long) =
+      graft.GraftSession.table(spark, sf(), "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingOps.knnMaintainStream(
+      input.toDF().toDF("vec_id", "embedding"), dir).start()
+    try {
+      input.addData(batchVecs(0, 10, 100000L).toSeq: _*); q.processAllAvailable()
+      input.addData(batchVecs(10, 25, 100000L).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = served(SimilarityQueries.knnLayoutPath(dir))
+    val dirU = corpusDir(base.unionByName(
+      graft.GraftSession.table(spark, sf(), "embeddings")
+        .where(col("vec_id") < 25)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))))
+    val layoutU = s"$dirU/knn_layout"
+    SimilarityQueries.buildKnn(spark, dirU, layoutU)
+    assert(streamed.nonEmpty && streamed === served(layoutU))
+  }
+
   test("knnAppendOnce: a replayed batch is skipped; both stage markers recorded") {
     val base = graft.GraftSession.table(spark, sf(), "embeddings")
       .where(col("vec_id") < 100).select("vec_id", "embedding")

@@ -483,6 +483,76 @@ class DriftGateStreamSpec extends SparkSpec {
     assert(lenHist() === Map(1L -> 1L, 2L -> 22L, 3L -> 22L))
   }
 
+  test("four-axis door: stripped batch quarantined though lang, script AND length are perfect") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: two stationary lengths (buckets 2 + 3), mean token
+    // length ~4-5 chars — tok bucket 1 everywhere
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_tok").toString
+    val long = "alpha beta gamma " * 8 // 136 chars, bucket 3
+    val short = "alpha beta gam" // 14 chars, bucket 2
+    val seed = (1 to 40).map { i =>
+      DriftDoc(i.toLong, if (i % 2 == 0) long else short,
+        if (i % 2 == 0) "en" else "de")
+    }
+    seed.toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+
+    val doorDir = java.nio.file.Files.createTempDirectory("graft_tok_door").toString
+    // the strip adversary: whitespace REMOVED. Lengths 112 (bucket 3)
+    // and 12 (bucket 2) keep the len mix; the script kernel never
+    // counted the spaces, so script counts are EXACTLY unchanged; lang
+    // is metadata — but each doc collapses to ONE giant token and the
+    // tok bucket jumps out of the corpus's all-bucket-1 histogram
+    def batch(base: Int, stripped: Boolean): Seq[DriftDoc] =
+      (0 until 4).map { i =>
+        val body = if (i % 2 == 0) long else short
+        DriftDoc((base + i).toLong,
+          if (stripped) body.replaceAll("\\s", "") else body,
+          if (i % 2 == 0) "en" else "de")
+      }
+    val input = MemoryStream[DriftDoc]
+    val q = StreamingOps.driftRouteStream(input.toDF(), corpusDir, doorDir,
+      scriptAxis = true, lenAxis = true, tokAxis = true).start()
+    try {
+      input.addData(batch(100, stripped = false): _*); q.processAllAvailable()
+      input.addData(batch(200, stripped = true): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val audit = spark.read.parquet(s"$doorDir/audit").orderBy("batch_id")
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), axisOf(r, "lang")._2,
+        axisOf(r, "script")._2, axisOf(r, "len")._2, axisOf(r, "tok")._2,
+        r.getAs[Boolean]("drifted")))
+    assert(audit.toSeq === Seq(
+      (0L, false, false, false, false, false), // rep: passes all four
+      (1L, false, false, false, true, true)),  // stripped: ONLY tok sees it
+      audit.mkString(", "))
+    // script L1 is EXACTLY zero on the stripped batch (spaces were
+    // never counted) — the blindness is structural, not threshold luck
+    val strippedScript = spark.read.parquet(s"$doorDir/audit")
+      .where(col("batch_id") === 1L).collect()
+      .map(r => axisOf(r, "script")._1).head
+    assert(strippedScript === 0L)
+    assert(spark.read.parquet(s"$doorDir/quarantined")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === (200L to 203L))
+
+    // maintenance symmetry: the passed batch fed the tok reference,
+    // batchId-deduped detached append + semantic compaction + probe
+    def tokHist(): Map[Long, Long] =
+      TextQueries.tokStatsRead(spark, corpusDir)
+        .groupBy("tok_bucket").agg(sum("n").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tokHist() === Map(1L -> 44L)) // 40 seed + 4 passed
+    assert(TextQueries.tokStatsAppendOnce(spark, corpusDir,
+      Seq(DriftDoc(300, "abcdefghijkl", "en")).toDF(), batchId = 9L))
+    assert(!TextQueries.tokStatsAppendOnce(spark, corpusDir,
+      Seq(DriftDoc(300, "abcdefghijkl", "en")).toDF(), batchId = 9L))
+    assert(TextQueries.tokStatsPresent(corpusDir))
+    TextQueries.tokStatsCompact(spark, corpusDir)
+    assert(tokHist() === Map(1L -> 44L, 2L -> 1L))
+  }
+
   test("a maintaining door never changes the registered queries' verdicts (seed parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
