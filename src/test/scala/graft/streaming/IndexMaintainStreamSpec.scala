@@ -55,8 +55,10 @@ class IndexMaintainStreamSpec extends SparkSpec {
         .collect().toSeq.map(_.toSeq)
         .sortBy(r => (r(0).toString, r(1).toString.toLong))
     assert(postings(liveLayout) === postings(fullLayout))
+    // stats are summable partials on disk (base + one delta/append)
     def stats(layout: String): Seq[Any] =
-      spark.read.parquet(s"$layout/stats").head.toSeq
+      spark.read.parquet(s"$layout/stats")
+        .agg(sum(col("n_docs")), sum(col("t_tokens"))).head.toSeq
     assert(stats(liveLayout) === stats(fullLayout))
   }
 }
