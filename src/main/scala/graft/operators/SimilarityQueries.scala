@@ -1276,7 +1276,9 @@ object SimilarityQueries {
        |ORDER BY knn_cos, e.vec_id LIMIT 20""".stripMargin
 
   // ------------------------------------------ standing knn-graph layout
-  private val KnnVersion = 1
+  // v2: edges dir-keyed by pmod(vec_id) (id-prunable lookups) instead
+  // of the bucket fold — a v1 layout would mis-prune knnLookup
+  private val KnnVersion = 2
   private[operators] val KnnDirBuckets = 64
 
   def knnLayoutPath(sfDir: String): String =
@@ -1334,6 +1336,13 @@ object SimilarityQueries {
     * an append contributes its own partials and never rewrites a
     * standing file — the sketch layout's semantic-merge discipline
     * applied to bounded top-k instead of count partials.
+    *
+    * The dir key is pmod(vec_id), NOT the bucket fold the `vecs`
+    * relation uses: nothing that reads edges prunes by bucket (the
+    * append's affected-old pruning reads VECS; serves re-aggregate
+    * everything), while the id-serving lookup ([[knnLookup]]) prunes
+    * its query ids' dirs at the file listing — each relation carries
+    * the partition key its own readers filter on.
     */
   private def knnPartialsOf(cand: DataFrame): DataFrame =
     cand.where(col("score").isNotNull)
@@ -1344,7 +1353,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("nb.id").as("neighbor_id"),
         col("nb.score").cast("long").as("score"),
         col("vbucket").as("bucket"))
-      .withColumn("kb", kbOf(col("bucket")))
+      .withColumn("kb", kbOf(col("vec_id")))
 
   /** Build (at an explicit path — specs use temp dirs) the standing
     * knn layout: `vecs` = the materialized ring relation (vec_id,
@@ -1525,10 +1534,11 @@ object SimilarityQueries {
     knnGraphAt(spark, layout)
   }
 
-  private[operators] def knnGraphAt(spark0: SparkSession, layout: String): DataFrame = {
-    val n = spark0.read.parquet(s"$layout/vecs").count()
-    val spark = knnSession(spark0, n)
-    spark.read.parquet(s"$layout/edges")
+  /** The serving re-aggregation: edge partials → final ranked top-k
+    * rows (shared by the full serve and the pruned lookup).
+    */
+  private def knnServe(edges: DataFrame): DataFrame =
+    edges
       .groupBy("vec_id")
       .agg(graft.functions.TopKPairs.topK(KnnK,
         col("score").cast("double"), col("neighbor_id")).as("nbrs"))
@@ -1536,7 +1546,60 @@ object SimilarityQueries {
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("nb.id").as("neighbor_id"), col("nb.score").cast("long").as("score"))
       .orderBy("vec_id", "rank")
+
+  private[operators] def knnGraphAt(spark0: SparkSession, layout: String): DataFrame = {
+    val n = spark0.read.parquet(s"$layout/vecs").count()
+    val spark = knnSession(spark0, n)
+    knnServe(spark.read.parquet(s"$layout/edges"))
   }
+
+  /** Fixed query ids for the registered lookup (the [[annBatchLookup]]
+    * convention: ids that exist at every SF, shared with the oracle by
+    * value).
+    */
+  private[operators] val KnnLookupIds = Seq(0L, 1L, 2L)
+
+  /** SERVING LOOKUP — "neighbors of these vectors" without touching
+    * the rest of the graph: the edges relation is dir-keyed by
+    * pmod(vec_id), so a q-id lookup lists ≤ q partition directories
+    * (plan-pinned PartitionFilters) and re-aggregates only those
+    * vectors' partials — the [[annBatchLookup]] discipline applied to
+    * the graph. At 10⁹ vectors a 3-id lookup reads 3/64ths of the
+    * edge bytes at worst (one folded dir each), never the corpus.
+    */
+  def knnLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val layout = knnLayout(spark, sfDir)
+    knnLookupAt(spark, layout, KnnLookupIds)
+  }
+
+  private[operators] def knnLookupAt(spark0: SparkSession, layout: String,
+      ids: Seq[Long]): DataFrame = {
+    val spark = spark0.newSession() // bounded groups — no threshold raise needed
+    val kbs = ids.map(id => (((id % KnnDirBuckets) + KnnDirBuckets) % KnnDirBuckets).toInt)
+    knnServe(spark.read.parquet(s"$layout/edges")
+      .where(col("kb").isin(kbs.distinct: _*) && col("vec_id").isin(ids: _*)))
+  }
+
+  /** DuckDB replay: the full scan top-k restricted to the probe ids
+    * (restricting the probe side before ranking ≡ filtering the
+    * served graph — per-vector top-k is independent across vectors).
+    */
+  def knnLookupSql: String =
+    s"""WITH $knnRingCtes,
+       |scored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      p -> $QDot)) AS BIGINT) AS score
+       |  FROM embeddings a JOIN buckets ba ON ba.vec_id = a.vec_id
+       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
+       |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id IN (${KnnLookupIds.mkString(", ")})),
+       |ranked AS (SELECT vec_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored WHERE score IS NOT NULL)
+       |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score
+       |FROM ranked WHERE rank <= $KnnK
+       |ORDER BY vec_id, rank""".stripMargin
 
   /** The REGISTERED q_knn_outliers — same verdict math as
     * [[knnOutliers]] but the ring relation is the layout's DISK-backed

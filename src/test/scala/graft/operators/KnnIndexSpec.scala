@@ -86,6 +86,21 @@ class KnnIndexSpec extends SparkSpec {
     assert(rowsAfter <= nVecs * 5)
   }
 
+  test("knnLookup: equals the served graph's subset; prunes edge dirs at the listing") {
+    val full = SimilarityQueries.knnGraphIndexed(spark, sf()).collect()
+      .filter(r => SimilarityQueries.KnnLookupIds.contains(r.getLong(0)))
+      .map(_.toSeq).toSeq
+    val looked = SimilarityQueries.knnLookup(spark, sf()).collect()
+      .map(_.toSeq).toSeq
+    assert(looked.nonEmpty && looked === full)
+    // the lookup reads ≤ |ids| partition directories: the kb filter
+    // reaches the file listing as a PartitionFilter, never a full scan
+    val plan = SimilarityQueries.knnLookup(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*kb".r.findFirstIn(plan).isDefined,
+      s"kb prune missing from the scan:\n$plan")
+  }
+
   test("knnClusters: planted duplicate families land in one component each") {
     // 100 base vectors + two exact copies of the first 8 — each
     // (v, v+100000, v+200000) trio is mutually top-ranked at cosine
