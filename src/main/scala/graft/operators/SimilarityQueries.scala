@@ -1647,7 +1647,12 @@ object SimilarityQueries {
     * by true duplication after it — the dedupClusters pair-graph
     * contract.
     */
-  def knnClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared EDGE relation of the graph consumers ([[knnClusters]],
+    * [[knnCentrality]]): mutual top-k pairs above the cosine floor,
+    * (doc_a < doc_b), materialized — detection-output-sized (≤ k·n/2
+    * before the floor, bounded by true neighbor structure after it).
+    */
+  private def knnMutualEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val layout = knnLayout(spark, sfDir)
     val topk = knnGraphAt(spark, layout)
       .select(col("vec_id").as("a"), col("neighbor_id").as("b"), col("score"))
@@ -1656,7 +1661,7 @@ object SimilarityQueries {
         Seq("a", "b"), "left_semi")
       .where(col("a") < col("b"))
     val nrm = spark.read.parquet(s"$layout/vecs").select("vec_id", "nrm")
-    val pairs = mutual
+    mutual
       .join(nrm.select(col("vec_id").as("a"), col("nrm").as("na")), Seq("a"))
       .join(nrm.select(col("vec_id").as("b"), col("nrm").as("nb")), Seq("b"))
       .withColumn("cosine",
@@ -1666,6 +1671,10 @@ object SimilarityQueries {
       .where(col("cosine") >= KnnClusterTau)
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
       .localCheckpoint(true) // detection output — pair-bounded
+  }
+
+  def knnClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = knnMutualEdges(spark, sfDir)
     val nEdges = pairs.count()
     val out =
       if (nEdges <= DedupQueries.unionFindMaxEdges(spark))
@@ -1674,13 +1683,13 @@ object SimilarityQueries {
     out.select(col("doc_id").as("vec_id"), col("cluster_id")).orderBy("vec_id")
   }
 
-  /** DuckDB replay: the ring prologue, scan top-k, mutual
-    * symmetrization, cosine floor, then transitive closure via the
-    * recursive min-label walk ([[DedupQueries.dedupClustersSql]]'s
-    * closure shape).
+  /** The [[knnMutualEdges]] SQL twin — shared prologue of the graph
+    * consumers' oracles: ring, scan top-k, mutual symmetrization,
+    * cosine floor, ending in `prs` (a < b) and the both-direction
+    * `edges` (src, dst).
     */
-  def knnClustersSql: String =
-    s"""WITH RECURSIVE $knnRingCtes,
+  private def knnMutualCtes: String =
+    s"""$knnRingCtes,
        |nrm AS MATERIALIZED (SELECT vec_id,
        |    CAST(list_sum(list_transform(list_zip(embedding, embedding), p -> $QDot)) AS BIGINT) AS nrm
        |  FROM embeddings),
@@ -1699,7 +1708,7 @@ object SimilarityQueries {
        |  FROM topk x JOIN topk y
        |    ON y.vec_id = x.neighbor_id AND y.neighbor_id = x.vec_id
        |  WHERE x.vec_id < x.neighbor_id),
-       |prs AS (SELECT m.a, m.b
+       |prs AS MATERIALIZED (SELECT m.a, m.b
        |  FROM mutual m JOIN nrm na ON na.vec_id = m.a
        |  JOIN nrm nb ON nb.vec_id = m.b
        |  WHERE (CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
@@ -1707,13 +1716,89 @@ object SimilarityQueries {
        |           / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) END)
        |    >= $KnnClusterTau),
        |edges AS (SELECT a AS src, b AS dst FROM prs
-       |          UNION ALL SELECT b, a FROM prs),
+       |          UNION ALL SELECT b, a FROM prs)""".stripMargin
+
+  /** DuckDB replay: the shared mutual-edge prologue, then transitive
+    * closure via the recursive min-label walk
+    * ([[DedupQueries.dedupClustersSql]]'s closure shape).
+    */
+  def knnClustersSql: String =
+    s"""WITH RECURSIVE $knnMutualCtes,
        |walk(id, lab) AS (
        |  SELECT DISTINCT src, src FROM edges
        |  UNION
        |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id)
        |SELECT id AS vec_id, CAST(min(lab) AS BIGINT) AS cluster_id
        |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin
+
+  // ----------------------------------------------- knn centrality
+  private val KnnPrIters = 3
+  private val KnnPrTop = 20
+
+  /** HUB SCORING over the knn graph — degree-normalized PageRank on
+    * the mutual edges, the "which document is the REPRESENTATIVE of
+    * its similarity region" readout that complements
+    * [[knnClusters]]'s components (canonical-pick by connectivity
+    * instead of source priority) and [[knnOutliers]]'s isolation
+    * score. INTEGER-EXACT end to end (the drift-kernel discipline):
+    * ranks in ppm, contribution = rank div degree, damping as the
+    * exact rational 850/1000 via BIGINT floor division — no float
+    * accumulation whose merge order could differ between engines —
+    * so the unrolled DuckDB replay agrees bit for bit. [[KnnPrIters]]
+    * rounds from a uniform start; nodes are the edge relation's
+    * vertices (an isolated vector has no similarity region to
+    * represent). Each round is one equi-join + one map-side-combining
+    * sum over the detection-output-sized edge relation — at 10⁹
+    * vectors that is ≤ k·n bounded rows per round, shuffled on ids,
+    * never a corpus rescan. Reports the [[KnnPrTop]] most central.
+    */
+  def knnCentrality(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = knnMutualEdges(spark, sfDir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var rank = deg.select(col("src").as("vec_id"), lit(1000000L).as("r"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < KnnPrIters) {
+      // every vertex has ≥1 incoming edge (the relation is symmetric),
+      // so the update needs no outer join for rank-less nodes
+      val next = edges
+        .join(deg, "src")
+        .join(rank.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+        .select(col("dst").as("vec_id"),
+          (lit(150000L) + expr("(850 * s) div 1000")).as("r"))
+        .localCheckpoint(true) // plan must not grow with the iteration
+      rank.unpersist(false)
+      rank = next
+      it += 1
+    }
+    rank.select(col("vec_id"), col("r").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("vec_id"))
+      .limit(KnnPrTop)
+  }
+
+  /** DuckDB replay: the shared mutual-edge prologue + [[KnnPrIters]]
+    * UNROLLED rank rounds (the Lloyd-replay discipline — same BIGINT
+    * floor divisions, same damping rational).
+    */
+  def knnCentralitySql: String = {
+    val steps = (0 until KnnPrIters).map { i =>
+      s"""r${i + 1} AS (SELECT e.dst AS v,
+         |    CAST(150000 + (850 * sum(r.r // d.deg)) // 1000 AS BIGINT) AS r
+         |  FROM edges e JOIN deg d ON d.src = e.src
+         |  JOIN r$i r ON r.v = e.src GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnMutualCtes,
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$steps
+       |SELECT v AS vec_id, r AS rank_ppm FROM r$KnnPrIters
+       |ORDER BY rank_ppm DESC, vec_id LIMIT $KnnPrTop""".stripMargin
+  }
 
   // ------------------------------------------- random-projection ANN
   private val RpDims = 8

@@ -128,6 +128,34 @@ class KnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("knnCentrality: planted cliques dominate the hub ranking; deterministic") {
+    // 60 base vectors + two exact copies of the first 6: each trio is
+    // a mutual clique at cosine 1.0 — maximal connectivity, so clique
+    // members must dominate the top of the centrality ranking
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 60).select("vec_id", "embedding")
+    def copies(shift: Long) =
+      graft.GraftSession.table(spark, sf(), "embeddings")
+        .where(col("vec_id") < 6)
+        .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
+    val dir = corpusDir(base.unionByName(copies(100000L)).unionByName(copies(200000L)))
+    val top = SimilarityQueries.knnCentrality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.nonEmpty)
+    // ranks are ppm-scaled: every rank carries at least the damping
+    // floor, and the list is ordered (desc, id asc)
+    assert(top.forall(_._2 >= 150000L))
+    assert(top.sameElements(top.sortBy(t => (-t._2, t._1))))
+    // clique membership dominates: among the top rows, planted-family
+    // members (originals or copies of ids < 6) appear
+    val fam = top.map(_._1).filter(id => id % 100000L < 6)
+    assert(fam.nonEmpty, s"no planted clique member in top: ${top.mkString(", ")}")
+    // deterministic across runs (integer arithmetic end to end)
+    val again = SimilarityQueries.knnCentrality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.toSeq === again.toSeq)
+  }
+
   test("knnMaintainStream: stream-fed layout equals a from-scratch union rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
