@@ -1752,7 +1752,10 @@ object SimilarityQueries {
     * vectors that is ≤ k·n bounded rows per round, shuffled on ids,
     * never a corpus rescan. Reports the [[KnnPrTop]] most central.
     */
-  def knnCentrality(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The converged (vec_id, r) rank relation — shared by
+    * [[knnCentrality]] and [[knnRepresentatives]].
+    */
+  private def knnRanks(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = knnMutualEdges(spark, sfDir)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -1776,10 +1779,14 @@ object SimilarityQueries {
       rank = next
       it += 1
     }
-    rank.select(col("vec_id"), col("r").as("rank_ppm"))
+    rank
+  }
+
+  def knnCentrality(spark: SparkSession, sfDir: String): DataFrame =
+    knnRanks(spark, sfDir)
+      .select(col("vec_id"), col("r").as("rank_ppm"))
       .orderBy(col("rank_ppm").desc, col("vec_id"))
       .limit(KnnPrTop)
-  }
 
   /** DuckDB replay: the shared mutual-edge prologue + [[KnnPrIters]]
     * UNROLLED rank rounds (the Lloyd-replay discipline — same BIGINT
@@ -1798,6 +1805,67 @@ object SimilarityQueries {
        |$steps
        |SELECT v AS vec_id, r AS rank_ppm FROM r$KnnPrIters
        |ORDER BY rank_ppm DESC, vec_id LIMIT $KnnPrTop""".stripMargin
+  }
+
+  // ------------------------------------------ knn representatives
+  /** CANONICAL PICK BY CONNECTIVITY — the graph-curation pipeline's
+    * last stage composed from its parts: per duplicate component
+    * ([[knnClusters]]), keep the member with the highest hub score
+    * ([[knnCentrality]]'s full ranking, not just its top report),
+    * min vec_id on ties. Where [[DedupQueries.canonicalPick]] chooses
+    * by source PRIORITY, this chooses by POSITION IN THE SIMILARITY
+    * GRAPH — the member best connected to its region is the most
+    * representative copy to keep. One broadcast-sized join of two
+    * detection-output relations; reports every component with its
+    * size, keeper, and the keeper's rank.
+    */
+  def knnRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = knnClusters(spark, sfDir) // (vec_id, cluster_id)
+    val rank = knnRanks(spark, sfDir)
+    // every clustered vector is an edge vertex (clusters derive from
+    // the same edge relation), so the join is total
+    clusters.join(rank, "vec_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("r"), (-col("vec_id")).as("nid"))).as("w"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("w.nid")).as("keep_vec_id"), col("w.r").as("keep_rank_ppm"))
+      .orderBy("cluster_id")
+  }
+
+  /** DuckDB replay: the shared prologue + the clusters walk + the
+    * unrolled rank rounds + an argmax with the same tie rule (max
+    * rank, then min id — expressed as max(r, -vec_id)).
+    */
+  def knnRepresentativesSql: String = {
+    val steps = (0 until KnnPrIters).map { i =>
+      s"""r${i + 1} AS (SELECT e.dst AS v,
+         |    CAST(150000 + (850 * sum(r.r // d.deg)) // 1000 AS BIGINT) AS r
+         |  FROM edges e JOIN deg d ON d.src = e.src
+         |  JOIN r$i r ON r.v = e.src GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $knnMutualCtes,
+       |walk(id, lab) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+       |clusters AS (SELECT id AS vec_id, CAST(min(lab) AS BIGINT) AS cluster_id
+       |  FROM walk GROUP BY id),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$steps,
+       |joined AS (SELECT c.cluster_id, c.vec_id, r.r
+       |  FROM clusters c JOIN r$KnnPrIters r ON r.v = c.vec_id),
+       |best AS (SELECT cluster_id, vec_id, r,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY r DESC, vec_id) AS rn
+       |  FROM joined),
+       |tot AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM joined GROUP BY 1)
+       |SELECT t.cluster_id, t.n_members, b.vec_id AS keep_vec_id,
+       |  b.r AS keep_rank_ppm
+       |FROM tot t JOIN best b ON b.cluster_id = t.cluster_id AND b.rn = 1
+       |ORDER BY t.cluster_id""".stripMargin
   }
 
   // ------------------------------------------- random-projection ANN

@@ -156,6 +156,36 @@ class KnnIndexSpec extends SparkSpec {
     assert(top.toSeq === again.toSeq)
   }
 
+  test("knnRepresentatives: one keeper per component, a member, max-rank-min-id") {
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 60).select("vec_id", "embedding")
+    def copies(shift: Long) =
+      graft.GraftSession.table(spark, sf(), "embeddings")
+        .where(col("vec_id") < 6)
+        .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
+    val dir = corpusDir(base.unionByName(copies(100000L)).unionByName(copies(200000L)))
+    val reps = SimilarityQueries.knnRepresentatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val clusters = SimilarityQueries.knnClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = clusters.groupBy(_._2)
+    assert(reps.nonEmpty)
+    // exactly one row per component, sizes agree, keeper is a member
+    assert(reps.map(_._1).toSet === byCluster.keySet)
+    reps.foreach { case (cid, n, keep, rank) =>
+      val members = byCluster(cid).map(_._1).toSet
+      assert(n === members.size.toLong, s"cluster $cid size")
+      assert(members.contains(keep), s"keeper $keep not in cluster $cid")
+      assert(rank >= 150000L)
+    }
+    // each planted trio's component keeps exactly one of the three
+    (0 until 6).foreach { v =>
+      val cid = clusters.toMap.apply(v.toLong)
+      val keep = reps.find(_._1 == cid).get._3
+      assert(keep % 100000L < 6, s"keeper $keep not from the planted family")
+    }
+  }
+
   test("knnMaintainStream: stream-fed layout equals a from-scratch union rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
