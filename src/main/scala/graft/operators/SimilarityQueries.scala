@@ -1654,8 +1654,12 @@ object SimilarityQueries {
     */
   private def knnMutualEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val layout = knnLayout(spark, sfDir)
+    // materialized: the mutual check self-joins the served top-k, and
+    // an unmaterialized plan would run the serving re-aggregation once
+    // per join side (the knnRing discipline; k·n bounded rows)
     val topk = knnGraphAt(spark, layout)
       .select(col("vec_id").as("a"), col("neighbor_id").as("b"), col("score"))
+      .localCheckpoint(true)
     val mutual = topk.as("x")
       .join(topk.select(col("b").as("a"), col("a").as("b")).as("y"),
         Seq("a", "b"), "left_semi")
@@ -1673,8 +1677,10 @@ object SimilarityQueries {
       .localCheckpoint(true) // detection output — pair-bounded
   }
 
-  def knnClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = knnMutualEdges(spark, sfDir)
+  def knnClusters(spark: SparkSession, sfDir: String): DataFrame =
+    knnClustersFrom(spark, knnMutualEdges(spark, sfDir))
+
+  private def knnClustersFrom(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val nEdges = pairs.count()
     val out =
       if (nEdges <= DedupQueries.unionFindMaxEdges(spark))
@@ -1755,8 +1761,10 @@ object SimilarityQueries {
   /** The converged (vec_id, r) rank relation — shared by
     * [[knnCentrality]] and [[knnRepresentatives]].
     */
-  private def knnRanks(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = knnMutualEdges(spark, sfDir)
+  private def knnRanks(spark: SparkSession, sfDir: String): DataFrame =
+    knnRanksFrom(knnMutualEdges(spark, sfDir))
+
+  private def knnRanksFrom(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
@@ -1820,8 +1828,11 @@ object SimilarityQueries {
     * size, keeper, and the keeper's rank.
     */
   def knnRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
-    val clusters = knnClusters(spark, sfDir) // (vec_id, cluster_id)
-    val rank = knnRanks(spark, sfDir)
+    // ONE edge derivation feeds both legs (each would otherwise
+    // re-serve the graph and re-run the mutual join)
+    val pairs = knnMutualEdges(spark, sfDir)
+    val clusters = knnClustersFrom(spark, pairs) // (vec_id, cluster_id)
+    val rank = knnRanksFrom(pairs)
     // every clustered vector is an edge vertex (clusters derive from
     // the same edge relation), so the join is total
     clusters.join(rank, "vec_id")
