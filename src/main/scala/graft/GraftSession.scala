@@ -240,6 +240,50 @@ object GraftSession {
     * `_temporary` file races the committer's rename, and deleting it
     * in the compaction swap would duplicate or kill the append.
     */
+  /** Job-scoped staging, the MOVE leg (shared by every
+    * `*AppendStaged`): bring a staged parquet dir's data files into
+    * the live dir under deterministic `append-<jobTag>-<i>` names,
+    * sweeping same-prefix leftovers first so a retried crashed
+    * attempt lands exactly once. Concurrent movers with distinct tags
+    * touch distinct names and no shared `_temporary` exists — the
+    * property that makes N simultaneous appenders legal where the
+    * plain append path is one-writer.
+    */
+  def moveStagedInto(stagedDir: java.nio.file.Path,
+      liveDir: java.nio.file.Path, jobTag: String): Unit = {
+    java.nio.file.Files.createDirectories(liveDir)
+    val sweep = java.nio.file.Files.list(liveDir)
+    try sweep.filter(_.getFileName.toString.startsWith(s"append-$jobTag-"))
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally sweep.close()
+    var i = 0
+    val fs = java.nio.file.Files.list(stagedDir)
+    try fs.filter { p =>
+      val fn = p.getFileName.toString
+      java.nio.file.Files.isRegularFile(p) &&
+        !fn.startsWith("_") && !fn.startsWith(".")
+    }.forEach { p =>
+      java.nio.file.Files.move(p,
+        liveDir.resolve(s"append-$jobTag-$i.parquet"))
+      i += 1
+    }
+    finally fs.close()
+  }
+
+  /** The staging CLAIM (atomic createDirectory; the quarantineRelease
+    * rule): a second attempt under the same tag — or a crashed
+    * attempt's leftover — is refused with the delete-to-retry
+    * contract, never silently raced.
+    */
+  def claimStage(stage: java.nio.file.Path, what: String): Unit =
+    try java.nio.file.Files.createDirectory(stage)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"$what is already in progress (or a crashed attempt left " +
+            s"$stage); delete that directory to retry")
+    }
+
   private def dataFilesUnder(root: java.nio.file.Path): Seq[String] = {
     if (!java.nio.file.Files.exists(root)) return Nil
     val walk = java.nio.file.Files.walk(root)

@@ -798,6 +798,38 @@ object DedupQueries {
     fp
   }
 
+  /** CONCURRENT-writer fingerprint append — the
+    * [[graft.operators.TextQueries.invIndexAppendStaged]] sibling:
+    * each appender stages under its own claimed dir and moves its
+    * 8-byte rows in under deterministic names
+    * ([[graft.GraftSession.moveStagedInto]]), so N admission gates
+    * (or a gate beside a batch backfill) may maintain the index
+    * SIMULTANEOUSLY — the plain [[simhashAppend]] is one-writer
+    * because two jobs appending one dir share its `_temporary`
+    * committer tree. Fingerprints need no stats leg (the admission
+    * join distincts, and nothing aggregates the relation), so the
+    * port is the claim + stage + move core alone. Caller contract:
+    * unique jobTag per batch, doc_ids not yet indexed, base layout
+    * fresh before appending.
+    */
+  def simhashAppendStaged(spark: SparkSession, sfDir: String,
+      newDocs: DataFrame, jobTag: String): String = {
+    require(jobTag.nonEmpty &&
+      jobTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"jobTag must be [A-Za-z0-9_-]+, got '$jobTag'")
+    val fp = simhashLayout(spark, sfDir)
+    val stage = java.nio.file.Paths.get(fp).getParent
+      .resolve(s".append_stage_$jobTag")
+    graft.GraftSession.claimStage(stage, s"an append tagged '$jobTag'")
+    try {
+      val stageData = stage.resolve("data")
+      simhashOf(newDocs).write.mode("overwrite").parquet(stageData.toString)
+      graft.GraftSession.moveStagedInto(stageData,
+        java.nio.file.Paths.get(fp), jobTag)
+    } finally graft.GraftSession.deleteRec(stage)
+    fp
+  }
+
   /** foreachBatch-idempotent append (the [[graft.operators.TextQueries
     * .invIndexAppendOnce]] pattern): the last applied batchId rides a
     * marker beside the layout, so an at-least-once replay is a no-op

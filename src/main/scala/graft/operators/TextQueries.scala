@@ -1646,18 +1646,7 @@ object TextQueries {
       s"jobTag must be [A-Za-z0-9_-]+, got '$jobTag'")
     val layout = invIndexLayout(spark, sfDir)
     val stage = java.nio.file.Paths.get(layout, s".append_stage_$jobTag")
-    def isData(p: java.nio.file.Path): Boolean = {
-      val fn = p.getFileName.toString
-      java.nio.file.Files.isRegularFile(p) &&
-        !fn.startsWith("_") && !fn.startsWith(".")
-    }
-    try java.nio.file.Files.createDirectory(stage)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalArgumentException(
-          s"an append tagged '$jobTag' is already in progress (or a " +
-            s"crashed attempt left $stage); delete that directory to retry")
-    }
+    graft.GraftSession.claimStage(stage, s"an append tagged '$jobTag'")
     try {
       val (base, rows) = postingRowsOf(newDocs)
       val stageData = stage.resolve("data")
@@ -1667,20 +1656,8 @@ object TextQueries {
       val parts = java.nio.file.Files.list(stageData)
       try parts.filter(p => java.nio.file.Files.isDirectory(p) &&
           p.getFileName.toString.startsWith("tb=")).forEach { pd =>
-        val live = livePost.resolve(pd.getFileName.toString)
-        java.nio.file.Files.createDirectories(live)
-        val sweep = java.nio.file.Files.list(live)
-        try sweep.filter(_.getFileName.toString.startsWith(s"append-$jobTag-"))
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally sweep.close()
-        var i = 0
-        val fs = java.nio.file.Files.list(pd)
-        try fs.filter(isData(_)).forEach { p =>
-          java.nio.file.Files.move(p,
-            live.resolve(s"append-$jobTag-$i.parquet"))
-          i += 1
-        }
-        finally fs.close()
+        graft.GraftSession.moveStagedInto(pd,
+          livePost.resolve(pd.getFileName.toString), jobTag)
       }
       finally parts.close()
       val (dn, dt) = statsDeltaOf(base)
@@ -1691,7 +1668,11 @@ object TextQueries {
       val statsDir = java.nio.file.Paths.get(layout, "stats")
       java.nio.file.Files.createDirectories(statsDir)
       val sfiles = java.nio.file.Files.list(stageStats)
-      try sfiles.filter(isData(_)).findFirst().ifPresent(p =>
+      try sfiles.filter { p =>
+        val fn = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) &&
+          !fn.startsWith("_") && !fn.startsWith(".")
+      }.findFirst().ifPresent(p =>
         java.nio.file.Files.move(p,
           statsDir.resolve(s"append-$jobTag.parquet"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,

@@ -69,6 +69,32 @@ class InvIndexStagedSpec extends SparkSpec {
     assert(postings(layout) === postings(fullLayout))
   }
 
+  test("simhash: two concurrent staged appends both commit; union == rebuild") {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val a = Seq(1L -> "spark merge data rows", 2L -> "data data spark words")
+    val b1 = (10L until 30L).map(i => i -> s"first writer document $i body")
+    val b2 = (50L until 70L).map(i => i -> s"second writer document $i text")
+    val incDir = java.nio.file.Files.createTempDirectory("graft_sh_race").toString
+    docsDF(a).write.mode("overwrite").parquet(s"$incDir/documents.parquet")
+    val fp = DedupQueries.simhashLayout(spark, incDir)
+    val f1 = Future(DedupQueries.simhashAppendStaged(spark, incDir, docsDF(b1), "w1"))
+    val f2 = Future(DedupQueries.simhashAppendStaged(spark, incDir, docsDF(b2), "w2"))
+    assert(Await.result(f1, 5.minutes) === fp)
+    assert(Await.result(f2, 5.minutes) === fp)
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_sh_race_full").toString
+    docsDF(a ++ b1 ++ b2).write.mode("overwrite")
+      .parquet(s"$fullDir/documents.parquet")
+    val fullFp = DedupQueries.simhashLayout(spark, fullDir)
+    def rows(p: String): Set[Seq[Any]] =
+      spark.read.parquet(p).collect().map(_.toSeq).toSet
+    assert(rows(fp) === rows(fullFp),
+      "a concurrent appender's fingerprints were lost or doubled")
+    // retry idempotence: the same tag re-staged sweeps its own files
+    DedupQueries.simhashAppendStaged(spark, incDir, docsDF(b1), "w1")
+    assert(rows(fp) === rows(fullFp), "a retried tag doubled its rows")
+  }
+
   test("the stage claim refuses a duplicate tag and a crashed leftover") {
     val dir = java.nio.file.Files.createTempDirectory("graft_inv_claim").toString
     docsDF(Seq(1L -> "spark merge data")).write.mode("overwrite")
