@@ -1278,7 +1278,9 @@ object SimilarityQueries {
   // ------------------------------------------ standing knn-graph layout
   // v2: edges dir-keyed by pmod(vec_id) (id-prunable lookups) instead
   // of the bucket fold — a v1 layout would mis-prune knnLookup
-  private val KnnVersion = 2
+  // v3: + cedges (bounded COSINE top-k partials, built in the same
+  // candidate pass) so the outlier score serves flat too
+  private val KnnVersion = 3
   private[operators] val KnnDirBuckets = 64
 
   def knnLayoutPath(sfDir: String): String =
@@ -1319,14 +1321,25 @@ object SimilarityQueries {
       p: Int): DataFrame = {
     val probeCols = col("bucket") +:
       (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
-    probeSide.select(col("vec_id"), col("embedding"),
+    probeSide.select(col("vec_id"), col("embedding"), col("nrm"),
         col("bucket").as("vbucket"),
         explode(array(probeCols: _*)).as("probe")).as("a")
-      .join(bucketSide.select(col("vec_id"), col("embedding"), col("bucket")).as("b"),
+      .join(bucketSide
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket")).as("b"),
         col("a.probe") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.vbucket").as("vbucket"),
         col("b.vec_id").as("neighbor_id"),
-        quantDot(col("a.embedding"), col("b.embedding")).as("score"))
+        quantDot(col("a.embedding"), col("b.embedding")).as("score"),
+        // the outlier metric, computed in the SAME pass (the knnRing
+        // cosine recipe: zero-norm scores 0; a malformed embedding's
+        // null dot nulls BOTH score and cosine — its self-dot nrm is
+        // null too, so the zero-norm branch can't mask it — which is
+        // why one score-null filter excludes identical rows from both
+        // aggregates)
+        when(col("a.nrm") === 0 || col("b.nrm") === 0, lit(0d)).otherwise(
+          quantDot(col("a.embedding"), col("b.embedding")).cast("double") /
+            (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
+          .as("cosine"))
   }
 
   /** Bounded top-k PARTIAL rows from a candidate stream — the edges
@@ -1355,6 +1368,52 @@ object SimilarityQueries {
         col("vbucket").as("bucket"))
       .withColumn("kb", kbOf(col("vec_id")))
 
+  /** The COSINE twin of [[knnPartialsOf]] — the `cedges` relation's
+    * row shape (vec_id, neighbor_id, cosine, bucket, kb); cosine
+    * top-k is bounded mergeable state exactly like the dot top-k, so
+    * the outlier score serves from partials too.
+    */
+  private def knnCosPartialsOf(cand: DataFrame): DataFrame =
+    cand.where(col("cosine").isNotNull)
+      .groupBy("vec_id", "vbucket")
+      .agg(graft.functions.TopKPairs.topK(KnnK,
+        col("cosine"), col("neighbor_id")).as("nbrs"))
+      .select(col("vec_id"), col("vbucket"), explode(col("nbrs")).as("nb"))
+      .select(col("vec_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("cosine"),
+        col("vbucket").as("bucket"))
+      .withColumn("kb", kbOf(col("vec_id")))
+
+  /** BOTH bounded partial sets — dot (the graph) and cosine (the
+    * outlier score) — from ONE aggregation pass over one candidate
+    * stream: the agg result (≤ 2k entries per vector) materializes so
+    * the two partial writes never re-generate the corpus-sized
+    * candidates. One score-null filter excludes identical rows from
+    * both aggregates (see [[knnCandidates]]'s cosine note).
+    */
+  private def knnBothPartials(cand: DataFrame): (DataFrame, DataFrame) = {
+    val aggd = cand.where(col("score").isNotNull)
+      .groupBy("vec_id", "vbucket")
+      .agg(graft.functions.TopKPairs.topK(KnnK,
+          col("score").cast("double"), col("neighbor_id")).as("nbrs"),
+        graft.functions.TopKPairs.topK(KnnK,
+          col("cosine"), col("neighbor_id")).as("cnbrs"))
+      .localCheckpoint(true)
+    val dots = aggd
+      .select(col("vec_id"), col("vbucket"), explode(col("nbrs")).as("nb"))
+      .select(col("vec_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").cast("long").as("score"),
+        col("vbucket").as("bucket"))
+      .withColumn("kb", kbOf(col("vec_id")))
+    val coss = aggd
+      .select(col("vec_id"), col("vbucket"), explode(col("cnbrs")).as("nb"))
+      .select(col("vec_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("cosine"),
+        col("vbucket").as("bucket"))
+      .withColumn("kb", kbOf(col("vec_id")))
+    (dots, coss)
+  }
+
   /** Build (at an explicit path — specs use temp dirs) the standing
     * knn layout: `vecs` = the materialized ring relation (vec_id,
     * embedding, bucket, nrm) partitioned by kb — ON DISK, so every
@@ -1375,8 +1434,12 @@ object SimilarityQueries {
       java.nio.file.Paths.get(layout, "_LAST_BATCH_EDGES"))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(layout, "_LAST_BATCH_VECS"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(layout, "_LAST_BATCH_CEDGES"))
     graft.GraftSession.deleteRec(
       java.nio.file.Paths.get(s"$layout/edges_compacting"))
+    graft.GraftSession.deleteRec(
+      java.nio.file.Paths.get(s"$layout/cedges_compacting"))
     graft.GraftSession.deleteRec(
       java.nio.file.Paths.get(s"$layout/vecs_compacting"))
     val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
@@ -1390,9 +1453,11 @@ object SimilarityQueries {
     Seq((p, n)).toDF("p", "n0").coalesce(1)
       .write.mode("overwrite").parquet(s"$layout/meta")
     val e = s.read.parquet(s"$layout/vecs")
-    knnPartialsOf(knnCandidates(e, e, p))
-      .repartition(col("kb"))
+    val (dots, coss) = knnBothPartials(knnCandidates(e, e, p))
+    dots.repartition(col("kb"))
       .write.partitionBy("kb").mode("overwrite").parquet(s"$layout/edges")
+    coss.repartition(col("kb"))
+      .write.partitionBy("kb").mode("overwrite").parquet(s"$layout/cedges")
   }
 
   private[operators] def knnLayout(spark: SparkSession, sfDir: String): String = {
@@ -1472,23 +1537,32 @@ object SimilarityQueries {
     val affKb = ringB.select(kbOf(col("bucket")).as("kb")).distinct()
       .collect().map(_.getInt(0)) // ≤ KnnDirBuckets values — static dir pruning
     val newIds = newE.select("vec_id")
+    // old corpus = standing vecs minus the batch ids: under crash
+    // replay the batch's vec rows may already stand, and they must
+    // not double as corpus (the candidate sets — and therefore the
+    // appended partials — must be byte-identical across replays).
+    // The dual partial sets derive from ONE candidate pass here,
+    // OUTSIDE the stage closures: the agg result is batch-proportional
+    // and deterministic, so a partial replay recomputes it once and
+    // each committed stage still skips its write.
+    val old = spark.read.parquet(s"$layout/vecs")
+      .join(broadcast(newIds), Seq("vec_id"), "left_anti")
+    val affOld = old
+      .where(col("kb").isin(affKb.toSeq: _*))
+      .join(broadcast(ringB), Seq("bucket"), "left_semi")
+    def vc(d: DataFrame) = d.select("vec_id", "embedding", "nrm", "bucket")
+    val dir1 = knnCandidates(newE, vc(old).unionByName(vc(newE)), p)
+    val dir2 = knnCandidates(affOld, newE, p)
+    val (dots, coss) = knnBothPartials(dir1.unionByName(dir2))
     stage("EDGES", () => {
-      // old corpus = standing vecs minus the batch ids: under crash
-      // replay the batch's vec rows may already stand, and they must
-      // not double as corpus (the candidate sets — and therefore the
-      // appended partials — must be byte-identical across replays)
-      val old = spark.read.parquet(s"$layout/vecs")
-        .join(broadcast(newIds), Seq("vec_id"), "left_anti")
-      val affOld = old
-        .where(col("kb").isin(affKb.toSeq: _*))
-        .join(broadcast(ringB), Seq("bucket"), "left_semi")
-      def vc(d: DataFrame) = d.select("vec_id", "embedding", "bucket")
-      val dir1 = knnCandidates(newE, vc(old).unionByName(vc(newE)), p)
-      val dir2 = knnCandidates(affOld, newE, p)
       graft.GraftSession.clearDeadAppend(s"$layout/edges") // resurrection guard
-      knnPartialsOf(dir1.unionByName(dir2))
-        .repartition(col("kb"))
+      dots.repartition(col("kb"))
         .write.partitionBy("kb").mode("append").parquet(s"$layout/edges")
+    })
+    stage("CEDGES", () => {
+      graft.GraftSession.clearDeadAppend(s"$layout/cedges")
+      coss.repartition(col("kb"))
+        .write.partitionBy("kb").mode("append").parquet(s"$layout/cedges")
     })
     stage("VECS", () => {
       graft.GraftSession.clearDeadAppend(s"$layout/vecs")
@@ -1517,6 +1591,11 @@ object SimilarityQueries {
     graft.GraftSession.compactSnapshot(spark, s"$layout/edges", (df, staged) =>
       knnPartialsOf(df.select(col("vec_id"), col("bucket").as("vbucket"),
           col("neighbor_id"), col("score")))
+        .repartition(col("kb"))
+        .write.partitionBy("kb").mode("overwrite").parquet(staged))
+    graft.GraftSession.compactSnapshot(spark, s"$layout/cedges", (df, staged) =>
+      knnCosPartialsOf(df.select(col("vec_id"), col("bucket").as("vbucket"),
+          col("neighbor_id"), col("cosine")))
         .repartition(col("kb"))
         .write.partitionBy("kb").mode("overwrite").parquet(staged))
   }
@@ -1601,26 +1680,38 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
 
-  /** The REGISTERED q_knn_outliers — same verdict math as
-    * [[knnOutliers]] but the ring relation is the layout's DISK-backed
-    * `vecs` (replayable lineage; the scan twin's corpus-sized
-    * `localCheckpoint` survives only in the spec-pinned twin).
+  /** The REGISTERED q_knn_outliers — same verdict math as the scan
+    * twin [[knnOutliers]], SERVED from the layout's cosine partials:
+    * one bounded top-k re-aggregation (the k-th merged cosine IS the
+    * k-th ring cosine — top-k of a union = top-k of per-part top-ks),
+    * the under-populated-ring sentinel falling out of a merged list
+    * shorter than k, and the spine read off the standing `vecs`. No
+    * candidate generation, no float-vector scan: the r14 probe
+    * measured the ring-rescanning form at 126 s on the 128× fold
+    * where the graph served in 1.5 — this closes that gap.
     */
   def knnOutliersIndexed(spark: SparkSession, sfDir: String): DataFrame = {
     val layout = knnLayout(spark, sfDir)
-    val n = spark.read.parquet(s"$layout/vecs").count()
-    val p = spark.read.parquet(s"$layout/meta").head.getInt(0)
-    val s = knnSession(spark, n)
-    val e = s.read.parquet(s"$layout/vecs")
-      .select("vec_id", "embedding", "bucket", "nrm")
-    val probeCols = col("bucket") +:
-      (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
-    val probes = e.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array(probeCols: _*)).as("probe"))
-    val pairs = probes.as("a").join(e.as("b"),
-      col("a.probe") === col("b.bucket") &&
-        col("a.vec_id") =!= col("b.vec_id"))
-    knnOutliersFrom(e, pairs)
+    knnOutliersAt(spark, layout)
+  }
+
+  private[operators] def knnOutliersAt(spark0: SparkSession, layout: String): DataFrame = {
+    val n = spark0.read.parquet(s"$layout/vecs").count()
+    val spark = knnSession(spark0, n)
+    val kth = spark.read.parquet(s"$layout/cedges")
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKPairs.topK(KnnK,
+        col("cosine"), col("neighbor_id")).as("nbrs"))
+      .select(col("vec_id"),
+        when(size(col("nbrs")) === KnnK,
+          element_at(col("nbrs"), KnnK).getField("score"))
+          .otherwise(lit(-2d)).as("knn_cos"))
+    spark.read.parquet(s"$layout/vecs").select("vec_id")
+      .join(kth, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("knn_cos"), lit(-2d)).as("knn_cos"))
+      .orderBy(col("knn_cos"), col("vec_id"))
+      .limit(20)
   }
 
   // --------------------------------------------- knn duplicate clusters

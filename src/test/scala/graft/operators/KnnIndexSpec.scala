@@ -48,6 +48,11 @@ class KnnIndexSpec extends SparkSpec {
     // an appended exact copy is its original's top neighbor
     val top1 = a.filter(t => t._1 == 100000L && t._2 == 1L)
     assert(top1.nonEmpty)
+    // the cosine partials merge identically: outliers served from the
+    // appended layout == from the union rebuild
+    val oa = SimilarityQueries.knnOutliersAt(spark, layoutA).collect().map(_.toSeq).toSeq
+    val ou = SimilarityQueries.knnOutliersAt(spark, layoutU).collect().map(_.toSeq).toSeq
+    assert(oa.nonEmpty && oa === ou, "outlier partials diverged from the union rebuild")
   }
 
   test("layout-served graph and outliers equal the scan twins") {
@@ -74,16 +79,26 @@ class KnnIndexSpec extends SparkSpec {
     SimilarityQueries.knnAppendAt(spark, layout, copies(0, 20, 100000L), (_, f) => f())
     SimilarityQueries.knnAppendAt(spark, layout, copies(0, 20, 200000L), (_, f) => f())
     val before = served(layout)
+    val outBefore = SimilarityQueries.knnOutliersAt(spark, layout)
+      .collect().map(_.toSeq).toSeq
     val rowsBefore = spark.read.parquet(s"$layout/edges").count()
+    val cRowsBefore = spark.read.parquet(s"$layout/cedges").count()
     SimilarityQueries.knnCompactAt(spark, layout)
     val after = served(layout)
     val rowsAfter = spark.read.parquet(s"$layout/edges").count()
+    val cRowsAfter = spark.read.parquet(s"$layout/cedges").count()
     assert(after === before, "compaction changed the served graph")
+    assert(SimilarityQueries.knnOutliersAt(spark, layout)
+      .collect().map(_.toSeq).toSeq === outBefore,
+      "compaction changed the served outliers")
     assert(rowsAfter < rowsBefore,
       s"compaction did not collapse partials ($rowsBefore -> $rowsAfter)")
+    assert(cRowsAfter < cRowsBefore,
+      s"compaction did not collapse cosine partials ($cRowsBefore -> $cRowsAfter)")
     // steady-state bound: ≤ k rows per vector
     val nVecs = spark.read.parquet(s"$layout/vecs").count()
     assert(rowsAfter <= nVecs * 5)
+    assert(cRowsAfter <= nVecs * 5)
   }
 
   test("knnLookup: equals the served graph's subset; prunes edge dirs at the listing") {
@@ -236,6 +251,8 @@ class KnnIndexSpec extends SparkSpec {
       java.nio.file.Paths.get(layout, "_LAST_BATCH_EDGES")).trim === "7")
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(layout, "_LAST_BATCH_VECS")).trim === "7")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(layout, "_LAST_BATCH_CEDGES")).trim === "7")
     // a crash AFTER both stage commits but BEFORE the batch marker:
     // simulate by rolling the outer marker back — the replay must
     // skip both committed stages (re-appending either would plant
