@@ -59,7 +59,7 @@ object ScalingProbe {
     // synthetic batches are corpus slices, so the batch side grows ~k;
     // the histogram side stays |langs| (and 5 script / ≤8 length) rows
     // at any fold
-    "q_drift_gate", "q_drift_axes", "q_drift_axes3")
+    "q_drift_gate", "q_drift_axes", "q_drift_axes3", "q_drift_axes4")
   private val PairOps = Seq("q_dedup_simhash_pairs", "q_dedup_minhash",
     "q_dedup_editdist")
 

@@ -617,6 +617,23 @@ class DriftGateStreamSpec extends SparkSpec {
       "truncated docs keep their language AND script mix — only the length axis flags")
   }
 
+  test("registered q_drift_axes4: the strip adversary is caught by the tok axis alone") {
+    val out = graft.SparkEntry.queries("q_drift_axes4")(spark, sf()).collect()
+    val rows = out.map(r => r.getString(0) ->
+      ((r.getAs[Boolean]("lang_drifted"), r.getAs[Boolean]("script_drifted"),
+        r.getAs[Boolean]("len_drifted"), r.getAs[Boolean]("tok_drifted"),
+        r.getAs[Boolean]("drifted")))).toMap
+    assert(rows("representative") === ((false, false, false, false, false)))
+    assert(rows("stripped") === ((false, false, false, true, true)),
+      "stripped docs keep language, script AND length mix — only the tok axis flags")
+    // structural blindness, visible in the registered output: the
+    // script kernel never counted the removed codepoints, so the
+    // stripped batch's script L1 equals the representative's exactly
+    val scriptL1 = out.map(r =>
+      r.getString(0) -> r.getAs[Long]("script_l1_ppm")).toMap
+    assert(scriptL1("stripped") === scriptL1("representative"))
+  }
+
   test("a crashed append's _temporary tree never wedges the reference read") {
     import spark.implicits._
     // the sink-then-marker window: a door JVM dies mid-append leaving
