@@ -248,12 +248,21 @@ object GraftSession {
     * touch distinct names and no shared `_temporary` exists — the
     * property that makes N simultaneous appenders legal where the
     * plain append path is one-writer.
+    *
+    * The retry sweep matches EXACTLY `append-<jobTag>-<digits>
+    * .parquet` (tag regex-escaped), never a bare name prefix: tags
+    * may contain '-' (date tags like `2026-08` vs `2026-08-15`), so a
+    * prefix sweep for tag X would silently delete the committed files
+    * of any legal tag X-* — index data loss inside the API whose
+    * whole contract is that distinct tags never interfere.
     */
   def moveStagedInto(stagedDir: java.nio.file.Path,
       liveDir: java.nio.file.Path, jobTag: String): Unit = {
     java.nio.file.Files.createDirectories(liveDir)
+    val own = java.util.regex.Pattern.compile(
+      "append-" + java.util.regex.Pattern.quote(jobTag) + "-\\d+\\.parquet")
     val sweep = java.nio.file.Files.list(liveDir)
-    try sweep.filter(_.getFileName.toString.startsWith(s"append-$jobTag-"))
+    try sweep.filter(p => own.matcher(p.getFileName.toString).matches())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
     finally sweep.close()
     var i = 0

@@ -1631,8 +1631,9 @@ object TextQueries {
     * the quarantineRelease claim rule), (b) writes its postings +
     * stats delta INSIDE the stage (its own committer tree, nobody
     * else's), then (c) MOVES the data files into the live tree under
-    * deterministic `append-<jobTag>-<i>` names, sweeping same-prefix
-    * leftovers first so a retried crash is exactly-once. The stats
+    * deterministic `append-<jobTag>-<i>` names, sweeping exactly its
+    * own tag's leftovers first (exact-name match, never a prefix —
+    * tags may contain '-') so a retried crash is exactly-once. The stats
     * delta lands as one ATOMIC_MOVE+REPLACE'd partial file. No step
     * writes a shared `_temporary`; movers with distinct tags touch
     * distinct names. Caller contract: unique jobTag per logical batch,

@@ -382,6 +382,21 @@ object StreamingOps {
     * maintenance high-water marks together — batchIds restart in a
     * consistent world. Returns the three started queries (door, gate,
     * maintain) for the caller to await or stop.
+    *
+    * FEEDER CONTRACT: the door judges drift per MICRO-BATCH, and a
+    * file source batches by arrival — whatever new files a trigger
+    * lists is the batch. A feeder that commits one logical batch as N
+    * part files (renamed one by one at job commit) can therefore have
+    * a FRAGMENT judged on its own: a skewed-subset language mix gets a
+    * whole-batch verdict the full batch would not (the r14
+    * `DoorChainSpec` flake — one `en` doc listed mid-commit is a
+    * 100%-en "batch"). Commit each logical batch as ONE file (one
+    * atomic rename), or accept that verdicts apply to arrival batches,
+    * not producer-side groupings. The inter-STAGE hops are safe
+    * without this: `passed`/`admitted` fragments only split a batch
+    * across gate/maintain micro-batches, and both stages' semantics
+    * are per-document with per-batch idempotence markers keyed by
+    * their OWN batchIds.
     */
   def doorChain(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       incomingDir: String, doorDir: String, admittedDir: String,

