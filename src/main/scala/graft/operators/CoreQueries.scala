@@ -380,6 +380,37 @@ object CoreQueries {
     }
   }
 
+  /** CONCURRENT-writer partial-sketch append — the
+    * [[graft.operators.TextQueries.invIndexAppendStaged]] sibling for
+    * the sketch tier: partials are SUMMABLE state by construction
+    * (register-wise HLL union + summed exact n_events anchors), so N
+    * simultaneous appenders — say, per-region event feeds — are legal
+    * once each stages under its own claimed dir and moves files in
+    * under deterministic names. No stats leg, no partition dirs: the
+    * claim + stage + move core over the flat `daily` dir. Caller
+    * contract: unique jobTag per batch, event rows disjoint across
+    * batches (they sum into the exact anchor; user_ids may repeat —
+    * HLL is duplicate-insensitive), base layout fresh.
+    */
+  def sketchAppendStaged(spark: SparkSession, sfDir: String,
+      newEvents: DataFrame, jobTag: String): String = {
+    require(jobTag.nonEmpty &&
+      jobTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"jobTag must be [A-Za-z0-9_-]+, got '$jobTag'")
+    val daily = userSketchLayout(spark, sfDir)
+    val stage = java.nio.file.Paths.get(daily).getParent
+      .resolve(s".append_stage_$jobTag")
+    graft.GraftSession.claimStage(stage, s"an append tagged '$jobTag'")
+    try {
+      val staged = stage.resolve("daily")
+      sketchPartials(newEvents)
+        .write.mode("overwrite").parquet(staged.toString)
+      graft.GraftSession.moveStagedInto(staged,
+        java.nio.file.Paths.get(daily), jobTag)
+    } finally graft.GraftSession.deleteRec(stage)
+    daily
+  }
+
   /** SEMANTIC compaction for the sketch layout — the
     * [[graft.operators.TextQueries.invIndexCompact]] sibling, but
     * where the postings compaction only re-packs files, sketch

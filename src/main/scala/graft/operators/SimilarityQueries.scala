@@ -512,6 +512,46 @@ object SimilarityQueries {
       .write.mode("append").partitionBy("cell").parquet(s"$layout/codes")
   }
 
+  /** CONCURRENT-writer code append — the [[graft.operators
+    * .TextQueries.invIndexAppendStaged]] sibling for the IVF-PQ
+    * layout: each appender encodes its batch with the layout's FROZEN
+    * books/centroids inside a privately claimed stage dir, then moves
+    * the per-cell code files into the live cell directories under
+    * deterministic `append-<jobTag>-<i>` names — so N simultaneous
+    * appenders are legal where [[ivfPqAppend]] is one-writer (two
+    * jobs appending one dir share its `_temporary` committer tree).
+    * Codes need no stats leg (nothing aggregates the relation — the
+    * probe scans code rows), so the port is the claim + stage + move
+    * core alone, exactly the simhash shape. Caller contract: unique
+    * jobTag per batch, vec_ids not yet indexed, base layout fresh
+    * before appending.
+    */
+  def ivfPqAppendStaged(spark: SparkSession, sfDir: String, layout: String,
+      newVecs: DataFrame, jobTag: String): Unit = {
+    require(jobTag.nonEmpty &&
+      jobTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"jobTag must be [A-Za-z0-9_-]+, got '$jobTag'")
+    val stage = java.nio.file.Paths.get(layout, s".append_stage_$jobTag")
+    graft.GraftSession.claimStage(stage, s"an append tagged '$jobTag'")
+    try {
+      val books = readBooks(spark, layout)
+      val cents = ivfCentroids(spark, sfDir)
+      val stageCodes = stage.resolve("codes")
+      pqEncode(newVecs.select(col("vec_id"), col("embedding")), books, cents)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(stageCodes.toString)
+      val liveCodes = java.nio.file.Paths.get(layout, "codes")
+      val parts = java.nio.file.Files.list(stageCodes)
+      try parts.filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("cell=")).forEach { pd =>
+        graft.GraftSession.moveStagedInto(pd,
+          liveCodes.resolve(pd.getFileName.toString), jobTag)
+      }
+      finally parts.close()
+    } finally graft.GraftSession.deleteRec(stage)
+  }
+
   /** Whether a standing IVF-PQ layout exists for `sfDir` (the
     * [[graft.operators.TextQueries.invIndexPresent]] sibling).
     */
@@ -1039,6 +1079,46 @@ object SimilarityQueries {
   private[operators] val KnnK = 5
   private[operators] val KnnBucketTarget = 1024L
 
+  /** The recall/cost knob of the knn tier's multi-probe LSH blocking:
+    * probe every bucket within hamming ≤ radius of a vector's own —
+    * radius 1 is 1+p probes (the default; natural-corpus edge recall
+    * ≈0.24–0.27 on near-random vectors, structural 1.0 on planted
+    * duplicates), radius 2 adds the C(p,2) two-bit flips (measured
+    * recall/candidate-cost table in SCALING.md §"Honesty number").
+    * A REAL conf, not prose: read at build time, STAMPED into the
+    * layout (path suffix + meta row) exactly like [[CoreQueries
+    * .SketchLgK]] — a radius change orphans the old layout and
+    * appends always encode at the layout's own radius, never the
+    * ambient conf's. The registered oracles replay the DEFAULT; at a
+    * non-default radius the scan/serve parity specs are the gate.
+    */
+  private[graft] val KnnProbeRadiusKey = "spark.graft.knn.probeRadius"
+  private[graft] val KnnProbeRadiusDefault = 1
+
+  private[graft] def knnProbeRadius(spark: SparkSession): Int = {
+    val r = spark.conf.get(KnnProbeRadiusKey,
+      KnnProbeRadiusDefault.toString).toInt
+    require(r == 1 || r == 2,
+      s"$KnnProbeRadiusKey must be 1 or 2, got $r")
+    r
+  }
+
+  /** XOR masks of the probe ring at `radius` over `p` planes: the own
+    * bucket, the p one-bit flips, and (radius 2) the C(p,2) two-bit
+    * flips — ONE mask recipe shared by candidate generation and the
+    * append's affectedness test (hamming ≤ r is symmetric, so "old
+    * vector whose bucket lies in the batch's ring" is exact).
+    */
+  private def probeMasks(p: Int, radius: Int): Seq[Long] =
+    (Seq(0L) ++ (0 until p).map(i => 1L << i) ++
+      (if (radius >= 2)
+        for { i <- 0 until p; j <- (i + 1) until p }
+          yield (1L << i) | (1L << j)
+      else Seq.empty[Long]))
+
+  private def probeColsFor(p: Int, radius: Int): Seq[Column] =
+    probeMasks(p, radius).map(m => col("bucket").bitwiseXOR(lit(m)))
+
   /** Plane count for the knn graph's blocking: the smallest p ≥ 6 with
     * 2^p buckets ≥ ⌈n/target⌉ — mean bucket population stays ≤ target
     * however large the corpus (the [[semDedupK]] scale-contract-in-
@@ -1113,7 +1193,8 @@ object SimilarityQueries {
     * relation plus the multi-probe ring pairs self-joined on it
     * (aliases `a`/`b`, both sides carrying id, embedding, nrm).
     */
-  private def knnRing(parent: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  private def knnRing(parent: SparkSession, sfDir: String,
+      radius: Int = KnnProbeRadiusDefault): (DataFrame, DataFrame) = {
     val n = table(parent, sfDir, "embeddings").count()
     // the scoped session's hash-agg threshold derives from n — the
     // DataFrames below are BUILT under it so the knn aggregates
@@ -1130,10 +1211,8 @@ object SimilarityQueries {
         bucketColFor(pl)(col("embedding")).as("bucket"),
         quantDot(col("embedding"), col("embedding")).as("nrm"))
       .localCheckpoint(true)
-    val probeCols = col("bucket") +:
-      (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
     val probes = e.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array(probeCols: _*)).as("probe"))
+      explode(array(probeColsFor(p, radius): _*)).as("probe"))
     val pairs = probes.as("a").join(e.as("b"),
       col("a.probe") === col("b.bucket") &&
         col("a.vec_id") =!= col("b.vec_id"))
@@ -1160,8 +1239,22 @@ object SimilarityQueries {
        |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY 1)""".stripMargin
 
-  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, pairs) = knnRing(spark, sfDir)
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphScan(spark, sfDir, knnProbeRadius(spark))
+
+  /** Candidate-pair count of the ring at `radius` — the COST side of
+    * the recall/cost curve ([[graft.tools.RecallProbe]] publishes
+    * both per SF; SCALING.md commits the table).
+    */
+  private[graft] def knnCandidateCount(spark: SparkSession, sfDir: String,
+      radius: Int): Long = {
+    val (_, pairs) = knnRing(spark, sfDir, radius)
+    pairs.count()
+  }
+
+  private[graft] def knnGraphScan(spark: SparkSession, sfDir: String,
+      radius: Int): DataFrame = {
+    val (_, pairs) = knnRing(spark, sfDir, radius)
     pairs
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         quantDot(col("a.embedding"), col("b.embedding")).as("score"))
@@ -1181,13 +1274,13 @@ object SimilarityQueries {
       .orderBy("vec_id", "rank")
   }
 
-  def knnGraphSql: String =
+  def knnGraphSql(radius: Int = KnnProbeRadiusDefault): String =
     s"""WITH $knnRingCtes,
        |scored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
        |      p -> $QDot)) AS BIGINT) AS score
        |  FROM embeddings a JOIN buckets ba ON ba.vec_id = a.vec_id
-       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
+       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= $radius
        |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id),
        |ranked AS (SELECT vec_id, neighbor_id, score,
        |    row_number() OVER (PARTITION BY vec_id
@@ -1213,7 +1306,7 @@ object SimilarityQueries {
     * bit-identical across engines; zero-norm scores 0).
     */
   def knnOutliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, pairs) = knnRing(spark, sfDir)
+    val (e, pairs) = knnRing(spark, sfDir, knnProbeRadius(spark))
     knnOutliersFrom(e, pairs)
   }
 
@@ -1251,7 +1344,7 @@ object SimilarityQueries {
       .limit(20)
   }
 
-  def knnOutliersSql: String =
+  def knnOutliersSql(radius: Int = KnnProbeRadiusDefault): String =
     s"""WITH $knnRingCtes,
        |nrm AS MATERIALIZED (SELECT vec_id,
        |    CAST(list_sum(list_transform(list_zip(embedding, embedding), p -> $QDot)) AS BIGINT) AS nrm
@@ -1263,7 +1356,7 @@ object SimilarityQueries {
        |           / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) END AS cosine
        |  FROM embeddings a JOIN buckets ba ON ba.vec_id = a.vec_id
        |  JOIN nrm na ON na.vec_id = a.vec_id
-       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
+       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= $radius
        |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
        |  JOIN nrm nb ON nb.vec_id = b.vec_id),
        |ranked AS (SELECT vec_id, cosine,
@@ -1280,11 +1373,16 @@ object SimilarityQueries {
   // of the bucket fold — a v1 layout would mis-prune knnLookup
   // v3: + cedges (bounded COSINE top-k partials, built in the same
   // candidate pass) so the outlier score serves flat too
-  private val KnnVersion = 3
+  // v4: + probe radius stamped in path + meta (a radius change
+  // orphans the layout), + derived `mutual`/`ranks` standing
+  // relations (the graph consumers' shared state, built once per
+  // edge generation instead of re-derived per query)
+  private val KnnVersion = 4
   private[operators] val KnnDirBuckets = 64
 
-  def knnLayoutPath(sfDir: String): String =
-    s"${graft.GraftSession.fixtureRoot(sfDir)}/knn_v$KnnVersion"
+  def knnLayoutPath(sfDir: String,
+      radius: Int = KnnProbeRadiusDefault): String =
+    s"${graft.GraftSession.fixtureRoot(sfDir)}/knn_v${KnnVersion}_r$radius"
 
   /** Directory fan-out key: the LSH bucket folded into a FIXED number
     * of partition dirs. Raw-bucket dirs would mean 2^p directories
@@ -1318,12 +1416,10 @@ object SimilarityQueries {
     * embedding, bucket).
     */
   private def knnCandidates(probeSide: DataFrame, bucketSide: DataFrame,
-      p: Int): DataFrame = {
-    val probeCols = col("bucket") +:
-      (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+      p: Int, radius: Int): DataFrame = {
     probeSide.select(col("vec_id"), col("embedding"), col("nrm"),
         col("bucket").as("vbucket"),
-        explode(array(probeCols: _*)).as("probe")).as("a")
+        explode(array(probeColsFor(p, radius): _*)).as("probe")).as("a")
       .join(bucketSide
           .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket")).as("b"),
         col("a.probe") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
@@ -1442,6 +1538,8 @@ object SimilarityQueries {
       java.nio.file.Paths.get(s"$layout/cedges_compacting"))
     graft.GraftSession.deleteRec(
       java.nio.file.Paths.get(s"$layout/vecs_compacting"))
+    knnDropDerived(layout) // derived relations follow the edge state
+    val radius = knnProbeRadius(spark)
     val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     val p = knnPlanes(n)
     val s = knnSession(spark, n)
@@ -1450,10 +1548,13 @@ object SimilarityQueries {
       .repartition(col("kb"))
       .write.partitionBy("kb").mode("overwrite").parquet(s"$layout/vecs")
     import s.implicits._
-    Seq((p, n)).toDF("p", "n0").coalesce(1)
+    // radius rides the meta row: appends and serves read the LAYOUT's
+    // radius, never the ambient conf's (the stamp is what "a radius
+    // change orphans the layout" means)
+    Seq((p, n, radius)).toDF("p", "n0", "r").coalesce(1)
       .write.mode("overwrite").parquet(s"$layout/meta")
     val e = s.read.parquet(s"$layout/vecs")
-    val (dots, coss) = knnBothPartials(knnCandidates(e, e, p))
+    val (dots, coss) = knnBothPartials(knnCandidates(e, e, p, radius))
     dots.repartition(col("kb"))
       .write.partitionBy("kb").mode("overwrite").parquet(s"$layout/edges")
     coss.repartition(col("kb"))
@@ -1461,19 +1562,21 @@ object SimilarityQueries {
   }
 
   private[operators] def knnLayout(spark: SparkSession, sfDir: String): String = {
-    val layout = knnLayoutPath(sfDir)
+    val layout = knnLayoutPath(sfDir, knnProbeRadius(spark))
     graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/embeddings.parquet") {
       buildKnn(spark, sfDir, layout)
     }
     layout
   }
 
-  /** Whether a standing knn layout exists for `sfDir` (the
-    * [[ivfPqPresent]] sibling — Ctl's "nothing to compact" guard).
+  /** Whether a standing knn layout exists for `sfDir` at `radius`
+    * (the [[ivfPqPresent]] sibling — Ctl's "nothing to compact"
+    * guard).
     */
-  def knnPresent(sfDir: String): Boolean =
+  def knnPresent(sfDir: String,
+      radius: Int = KnnProbeRadiusDefault): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(
-      s"${knnLayoutPath(sfDir)}/edges"))
+      s"${knnLayoutPath(sfDir, radius)}/edges"))
 
   /** Incremental graph maintenance — the production path between
     * periodic re-derivations of the plane count: encode the new batch
@@ -1491,6 +1594,20 @@ object SimilarityQueries {
     * Caller contract (the sibling appends'): `newVecs` carries
     * vec_ids not yet indexed, batches are bounded (the ring-bucket
     * set collects to the driver), one writer per layout.
+    *
+    * ONE-WRITER BY SEMANTICS, not just by committer mechanics (why no
+    * `knnAppendStaged` exists where invindex/simhash/ivfpq/sketch all
+    * grew one): those layouts' appends are order-INDEPENDENT row adds
+    * — any interleaving unions to the same relation. A knn append is
+    * order-DEPENDENT: batch B's "new vs grown corpus" leg must see
+    * batch A's vectors as corpus (and A's affected-old leg must cover
+    * B's ids or not, consistently), so two concurrent appenders each
+    * blind to the other's in-flight batch would BOTH omit the
+    * cross-batch edge partials — the union of their outputs is not
+    * the rebuild of the union. Staging fixes shared committer state;
+    * it cannot fix a read-your-predecessor dependency. Concurrent
+    * feeds must serialize through one maintainer (the
+    * [[graft.streaming.StreamingOps.knnMaintainStream]] composition).
     */
   def knnAppend(spark: SparkSession, sfDir: String, newVecs: DataFrame): String = {
     val layout = knnLayout(spark, sfDir)
@@ -1523,16 +1640,33 @@ object SimilarityQueries {
 
   private[operators] def knnAppendAt(spark0: SparkSession, layout: String,
       newVecs: DataFrame, stage: (String, () => Unit) => Unit): Unit = {
+    // edges are about to move: the derived mutual/ranks relations are
+    // stale the moment any partial lands, so they drop FIRST — a crash
+    // anywhere in the append leaves no derived state to serve stale
+    // (consumers rebuild on next read), and the delete is idempotent
+    // under stage replay
+    knnDropDerived(layout)
     val meta = spark0.read.parquet(s"$layout/meta").head
     val p = meta.getInt(0)
-    val spark = knnSession(spark0, meta.getLong(1))
-    val newE = knnEncode(
+    val radius = meta.getInt(2) // the LAYOUT's stamped radius
+    // the hash-agg threshold sizes from the GROWN corpus (standing
+    // vecs count), not meta's frozen build-time n0 — the structural
+    // no-sort bound must hold on the append path too
+    val nNow = spark0.read.parquet(s"$layout/vecs").count()
+    val spark = knnSession(spark0, nNow)
+    // re-root the batch under the knn session: every DataFrame below
+    // derives from newE, and a plan rooted at the CALLER's session
+    // would execute with the caller's (default, 128-entry) fallback
+    // threshold — the raised conf would silently not govern the
+    // append aggregation. The checkpointed RDD is session-independent,
+    // so this is a re-rooting, not a recompute.
+    val newE0 = knnEncode(
       newVecs.select(col("vec_id"), col("embedding")), p)
       .localCheckpoint(true) // batch-sized (bounded-batch contract)
-    val probeCols = col("bucket") +:
-      (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
-    // the batch's ring-bucket set: ≤ |batch|·(p+1) values
-    val ringB = newE.select(explode(array(probeCols: _*)).as("bucket"))
+    val newE = spark.createDataFrame(newE0.rdd, newE0.schema)
+    // the batch's ring-bucket set: ≤ |batch|·(1+p+C(p,2)) values
+    val ringB = newE
+      .select(explode(array(probeColsFor(p, radius): _*)).as("bucket"))
       .distinct().localCheckpoint(true)
     val affKb = ringB.select(kbOf(col("bucket")).as("kb")).distinct()
       .collect().map(_.getInt(0)) // ≤ KnnDirBuckets values — static dir pruning
@@ -1551,8 +1685,8 @@ object SimilarityQueries {
       .where(col("kb").isin(affKb.toSeq: _*))
       .join(broadcast(ringB), Seq("bucket"), "left_semi")
     def vc(d: DataFrame) = d.select("vec_id", "embedding", "nrm", "bucket")
-    val dir1 = knnCandidates(newE, vc(old).unionByName(vc(newE)), p)
-    val dir2 = knnCandidates(affOld, newE, p)
+    val dir1 = knnCandidates(newE, vc(old).unionByName(vc(newE)), p, radius)
+    val dir2 = knnCandidates(affOld, newE, p, radius)
     val (dots, coss) = knnBothPartials(dir1.unionByName(dir2))
     stage("EDGES", () => {
       graft.GraftSession.clearDeadAppend(s"$layout/edges") // resurrection guard
@@ -1663,13 +1797,13 @@ object SimilarityQueries {
     * (restricting the probe side before ranking ≡ filtering the
     * served graph — per-vector top-k is independent across vectors).
     */
-  def knnLookupSql: String =
+  def knnLookupSql(radius: Int = KnnProbeRadiusDefault): String =
     s"""WITH $knnRingCtes,
        |scored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
        |      p -> $QDot)) AS BIGINT) AS score
        |  FROM embeddings a JOIN buckets ba ON ba.vec_id = a.vec_id
-       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
+       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= $radius
        |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
        |  WHERE a.vec_id IN (${KnnLookupIds.mkString(", ")})),
        |ranked AS (SELECT vec_id, neighbor_id, score,
@@ -1743,8 +1877,15 @@ object SimilarityQueries {
     * (doc_a < doc_b), materialized — detection-output-sized (≤ k·n/2
     * before the floor, bounded by true neighbor structure after it).
     */
-  private def knnMutualEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val layout = knnLayout(spark, sfDir)
+  private[operators] def knnMutualEdges(spark: SparkSession, sfDir: String): DataFrame =
+    knnMutualEdgesAt(spark, knnLayout(spark, sfDir))
+
+  /** The fresh DERIVATION of the mutual relation from a layout's
+    * edges + vecs — the build body of the standing `mutual` dir and
+    * the parity twin the spec pins the dir against.
+    */
+  private[operators] def knnMutualEdgesAt(spark: SparkSession,
+      layout: String): DataFrame = {
     // materialized: the mutual check self-joins the served top-k, and
     // an unmaterialized plan would run the serving re-aggregation once
     // per join side (the knnRing discipline; k·n bounded rows)
@@ -1768,8 +1909,75 @@ object SimilarityQueries {
       .localCheckpoint(true) // detection output — pair-bounded
   }
 
-  def knnClusters(spark: SparkSession, sfDir: String): DataFrame =
-    knnClustersFrom(spark, knnMutualEdges(spark, sfDir))
+  // ---------------------------- derived standing relations (knn_v4)
+  /** Drop the derived `mutual`/`ranks` state — marker FIRST (a
+    * consumer racing the drop sees "absent", never a torn dir), then
+    * the dirs. Called by every edge mutation (build, append) and
+    * idempotent, so appends may call it unconditionally.
+    */
+  private def knnDropDerived(layout: String): Unit = {
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(layout, "_DERIVED_OK"))
+    graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/mutual"))
+    graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/ranks"))
+  }
+
+  private val KnnMutualSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_a",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("doc_b",
+      org.apache.spark.sql.types.LongType)))
+
+  private val KnnRanksSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("r",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Ensure the layout's DERIVED standing relations — `mutual` (the
+    * symmetrized, cosine-floored edge pairs) and `ranks` (the
+    * converged integer PageRank) — exist for the current edge
+    * generation, building BOTH from one derivation pass when absent.
+    * This is the r14 economy fix: the three graph consumers
+    * ([[knnClusters]], [[knnCentrality]], [[knnRepresentatives]])
+    * each re-derived these per invocation (serve re-aggregation +
+    * self-join + 3 rank rounds — the two slowest bench queries);
+    * now the derivation is paid once per edge generation and the
+    * consumers read detection-output-sized parquet. Lifecycle: any
+    * edge mutation ([[buildKnn]], [[knnAppendAt]]) drops the state
+    * via [[knnDropDerived]] BEFORE touching edges; compaction leaves
+    * it (served rows are compaction-invariant, so derived rows are
+    * too); the `_DERIVED_OK` marker writes LAST, so a crashed build
+    * reads as absent and rebuilds. One-writer per layout — the
+    * standing contract all knn maintenance already carries.
+    */
+  private def knnEnsureDerived(spark: SparkSession, layout: String): Unit = {
+    val ok = java.nio.file.Paths.get(layout, "_DERIVED_OK")
+    if (java.nio.file.Files.exists(ok)) return
+    graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/mutual"))
+    graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/ranks"))
+    val pairs = knnMutualEdgesAt(spark, layout)
+    pairs.write.mode("overwrite").parquet(s"$layout/mutual")
+    knnRanksFrom(pairs).write.mode("overwrite").parquet(s"$layout/ranks")
+    java.nio.file.Files.writeString(ok, "1")
+    ()
+  }
+
+  /** Read a derived relation with its EXPLICIT schema: an
+    * all-vectors-isolated corpus derives an EMPTY mutual relation,
+    * and schema inference over a zero-row parquet dir throws.
+    */
+  private def knnMutualRead(spark: SparkSession, layout: String): DataFrame =
+    spark.read.schema(KnnMutualSchema).parquet(s"$layout/mutual")
+
+  private def knnRanksRead(spark: SparkSession, layout: String): DataFrame =
+    spark.read.schema(KnnRanksSchema).parquet(s"$layout/ranks")
+
+  def knnClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val layout = knnLayout(spark, sfDir)
+    knnEnsureDerived(spark, layout)
+    knnClustersFrom(spark, knnMutualRead(spark, layout))
+  }
 
   private def knnClustersFrom(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val nEdges = pairs.count()
@@ -1785,7 +1993,7 @@ object SimilarityQueries {
     * cosine floor, ending in `prs` (a < b) and the both-direction
     * `edges` (src, dst).
     */
-  private def knnMutualCtes: String =
+  private def knnMutualCtes(radius: Int): String =
     s"""$knnRingCtes,
        |nrm AS MATERIALIZED (SELECT vec_id,
        |    CAST(list_sum(list_transform(list_zip(embedding, embedding), p -> $QDot)) AS BIGINT) AS nrm
@@ -1794,7 +2002,7 @@ object SimilarityQueries {
        |    CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
        |      p -> $QDot)) AS BIGINT) AS score
        |  FROM embeddings a JOIN buckets ba ON ba.vec_id = a.vec_id
-       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
+       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= $radius
        |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id),
        |ranked AS (SELECT vec_id, neighbor_id, score,
        |    row_number() OVER (PARTITION BY vec_id
@@ -1819,8 +2027,8 @@ object SimilarityQueries {
     * closure via the recursive min-label walk
     * ([[DedupQueries.dedupClustersSql]]'s closure shape).
     */
-  def knnClustersSql: String =
-    s"""WITH RECURSIVE $knnMutualCtes,
+  def knnClustersSql(radius: Int = KnnProbeRadiusDefault): String =
+    s"""WITH RECURSIVE ${knnMutualCtes(radius)},
        |walk(id, lab) AS (
        |  SELECT DISTINCT src, src FROM edges
        |  UNION
@@ -1849,13 +2057,10 @@ object SimilarityQueries {
     * vectors that is ≤ k·n bounded rows per round, shuffled on ids,
     * never a corpus rescan. Reports the [[KnnPrTop]] most central.
     */
-  /** The converged (vec_id, r) rank relation — shared by
-    * [[knnCentrality]] and [[knnRepresentatives]].
+  /** The converged (vec_id, r) rank relation — the fresh derivation
+    * (the standing `ranks` dir's build body and parity twin).
     */
-  private def knnRanks(spark: SparkSession, sfDir: String): DataFrame =
-    knnRanksFrom(knnMutualEdges(spark, sfDir))
-
-  private def knnRanksFrom(pairs: DataFrame): DataFrame = {
+  private[operators] def knnRanksFrom(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
@@ -1881,24 +2086,27 @@ object SimilarityQueries {
     rank
   }
 
-  def knnCentrality(spark: SparkSession, sfDir: String): DataFrame =
-    knnRanks(spark, sfDir)
+  def knnCentrality(spark: SparkSession, sfDir: String): DataFrame = {
+    val layout = knnLayout(spark, sfDir)
+    knnEnsureDerived(spark, layout)
+    knnRanksRead(spark, layout)
       .select(col("vec_id"), col("r").as("rank_ppm"))
       .orderBy(col("rank_ppm").desc, col("vec_id"))
       .limit(KnnPrTop)
+  }
 
   /** DuckDB replay: the shared mutual-edge prologue + [[KnnPrIters]]
     * UNROLLED rank rounds (the Lloyd-replay discipline — same BIGINT
     * floor divisions, same damping rational).
     */
-  def knnCentralitySql: String = {
+  def knnCentralitySql(radius: Int = KnnProbeRadiusDefault): String = {
     val steps = (0 until KnnPrIters).map { i =>
       s"""r${i + 1} AS (SELECT e.dst AS v,
          |    CAST(150000 + (850 * sum(r.r // d.deg)) // 1000 AS BIGINT) AS r
          |  FROM edges e JOIN deg d ON d.src = e.src
          |  JOIN r$i r ON r.v = e.src GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $knnMutualCtes,
+    s"""WITH ${knnMutualCtes(radius)},
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
        |r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS r FROM deg),
        |$steps
@@ -1919,11 +2127,12 @@ object SimilarityQueries {
     * size, keeper, and the keeper's rank.
     */
   def knnRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
-    // ONE edge derivation feeds both legs (each would otherwise
-    // re-serve the graph and re-run the mutual join)
-    val pairs = knnMutualEdges(spark, sfDir)
-    val clusters = knnClustersFrom(spark, pairs) // (vec_id, cluster_id)
-    val rank = knnRanksFrom(pairs)
+    // both legs read the DERIVED standing relations — one layout
+    // ensure, zero fresh derivations
+    val layout = knnLayout(spark, sfDir)
+    knnEnsureDerived(spark, layout)
+    val clusters = knnClustersFrom(spark, knnMutualRead(spark, layout))
+    val rank = knnRanksRead(spark, layout)
     // every clustered vector is an edge vertex (clusters derive from
     // the same edge relation), so the join is total
     clusters.join(rank, "vec_id")
@@ -1939,14 +2148,14 @@ object SimilarityQueries {
     * unrolled rank rounds + an argmax with the same tie rule (max
     * rank, then min id — expressed as max(r, -vec_id)).
     */
-  def knnRepresentativesSql: String = {
+  def knnRepresentativesSql(radius: Int = KnnProbeRadiusDefault): String = {
     val steps = (0 until KnnPrIters).map { i =>
       s"""r${i + 1} AS (SELECT e.dst AS v,
          |    CAST(150000 + (850 * sum(r.r // d.deg)) // 1000 AS BIGINT) AS r
          |  FROM edges e JOIN deg d ON d.src = e.src
          |  JOIN r$i r ON r.v = e.src GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH RECURSIVE $knnMutualCtes,
+    s"""WITH RECURSIVE ${knnMutualCtes(radius)},
        |walk(id, lab) AS (
        |  SELECT DISTINCT src, src FROM edges
        |  UNION

@@ -1649,18 +1649,21 @@ object TextQueries {
     val stage = java.nio.file.Paths.get(layout, s".append_stage_$jobTag")
     graft.GraftSession.claimStage(stage, s"an append tagged '$jobTag'")
     try {
+      // BOTH legs stage fully before ANY move: a crash mid-staging
+      // commits nothing. The moves then go stats-FIRST — the
+      // remaining crash window (stats moved, postings not) leaves the
+      // index UNDER-counting postings against slightly over-counted
+      // n_docs/t_tokens, which only deflates BM25 scores for the
+      // missing docs; the old postings-first order left docs
+      // SERVEABLE with idf/avgdl computed from stats that never saw
+      // them. Either way the leftover stage dir makes the retry
+      // refuse loudly, and a delete-and-retry of the same tag lands
+      // exactly once (stats partial REPLACE_EXISTING under its
+      // deterministic name; postings swept per-tag).
       val (base, rows) = postingRowsOf(newDocs)
       val stageData = stage.resolve("data")
       rows.repartition(col("tb"))
         .write.partitionBy("tb").mode("overwrite").parquet(stageData.toString)
-      val livePost = java.nio.file.Paths.get(layout, "postings")
-      val parts = java.nio.file.Files.list(stageData)
-      try parts.filter(p => java.nio.file.Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("tb=")).forEach { pd =>
-        graft.GraftSession.moveStagedInto(pd,
-          livePost.resolve(pd.getFileName.toString), jobTag)
-      }
-      finally parts.close()
       val (dn, dt) = statsDeltaOf(base)
       import spark.implicits._
       val stageStats = stage.resolve("stats")
@@ -1679,6 +1682,14 @@ object TextQueries {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING))
       finally sfiles.close()
+      val livePost = java.nio.file.Paths.get(layout, "postings")
+      val parts = java.nio.file.Files.list(stageData)
+      try parts.filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("tb=")).forEach { pd =>
+        graft.GraftSession.moveStagedInto(pd,
+          livePost.resolve(pd.getFileName.toString), jobTag)
+      }
+      finally parts.close()
     } finally graft.GraftSession.deleteRec(stage)
     layout
   }

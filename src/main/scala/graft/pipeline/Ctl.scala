@@ -21,12 +21,15 @@ import java.nio.file.{Files, Paths}
   *                                          standing layouts (invindex, ivfpq,
   *                                          sketch, langstats, scriptstats)
   *   door-run <sfDir> <incomingDir> <doorDir> <admittedDir>
-  *                        [--no-script-axis] [--len-axis]
+  *                        [--no-script-axis] [--len-axis] [--tok-axis] [--knn]
   *                                          run the production ingest chain
   *                                          (drift door → near-dup admission
-  *                                          → index maintenance) over parquet
-  *                                          files landing in <incomingDir>,
-  *                                          until <doorDir>/stop appears
+  *                                          → index maintenance, --knn adds
+  *                                          knn-graph maintenance over
+  *                                          embedding-bearing batches) over
+  *                                          parquet files landing in
+  *                                          <incomingDir>, until
+  *                                          <doorDir>/stop appears
   *   quarantine-release <doorDir> <batchId> feed an inspection-cleared batch
   *                                          back to the drift door's passed
   *                                          flow; refuses a double release.
@@ -169,13 +172,15 @@ object Ctl {
       } finally spark.stop()
 
     case "door-run" :: sfDir :: incoming :: doorDir :: admitted :: rest
-        if rest.forall(Set("--no-script-axis", "--len-axis", "--tok-axis")) =>
-      // the spec-pinned four-stage composition as a launchable verb
-      // (StreamingOps.doorChain): the spool queue's `stop` convention
-      // ends it — touch <doorDir>/stop and the three streams stop at
-      // their next poll, checkpointed for a clean resume. sys.exit
-      // only AFTER the try/finally (the quarantine-release rule:
-      // exiting inside would skip spark.stop())
+        if rest.forall(Set("--no-script-axis", "--len-axis", "--tok-axis",
+          "--knn")) =>
+      // the spec-pinned composition as a launchable verb
+      // (StreamingOps.doorChain; --knn adds the fifth stage over
+      // embedding-bearing batches): the spool queue's `stop`
+      // convention ends it — touch <doorDir>/stop and the streams
+      // stop at their next poll, checkpointed for a clean resume.
+      // sys.exit only AFTER the try/finally (the quarantine-release
+      // rule: exiting inside would skip spark.stop())
       val spark = graft.GraftSession.build()
       val chainFailure: Option[String] =
         try {
@@ -183,7 +188,8 @@ object Ctl {
             incoming, doorDir, admitted,
             scriptAxis = !rest.contains("--no-script-axis"),
             lenAxis = rest.contains("--len-axis"),
-            tokAxis = rest.contains("--tok-axis"))
+            tokAxis = rest.contains("--tok-axis"),
+            maintainKnn = rest.contains("--knn"))
           println(s"door chain running: $incoming -> door($doorDir) -> " +
             s"admit($admitted); stop with: touch $doorDir/stop")
           val stop = Paths.get(doorDir, "stop")

@@ -401,12 +401,20 @@ object StreamingOps {
   def doorChain(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       incomingDir: String, doorDir: String, admittedDir: String,
       scriptAxis: Boolean = true, lenAxis: Boolean = false,
-      tokAxis: Boolean = false):
+      tokAxis: Boolean = false, maintainKnn: Boolean = false):
       Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     import org.apache.spark.sql.types._
-    val docSchema = StructType(Seq(
+    // with maintainKnn the incoming batches are embedding-bearing:
+    // the vector rides every stage (the door routes it, the gate
+    // admits it) so the knn stage can tail `admitted` exactly like
+    // the index stage does — documents and vectors stay one row
+    val docSchema0 = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType)))
+    val docSchema =
+      if (maintainKnn)
+        docSchema0.add(StructField("embedding", ArrayType(FloatType)))
+      else docSchema0
     val routedSchema = docSchema.add(StructField("batch_id", LongType))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(incomingDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(admittedDir))
@@ -425,7 +433,21 @@ object StreamingOps {
       spark.readStream.schema(routedSchema).parquet(admittedDir), sfDir)
       .option("checkpointLocation", s"$admittedDir/_checkpoints/index")
       .start()
-    Seq(door, gate, maintain)
+    // the FIFTH stage (opt-in): admitted embedding-bearing docs tail
+    // into knn-graph maintenance — its own file source over
+    // `admitted` and its own checkpoint, so the knn appends replay
+    // independently of the index stage's (both are batchId-deduped
+    // against their OWN layout markers). One maintaining chain per
+    // knn layout — knnAppendAt's one-writer-by-semantics contract.
+    val knn =
+      if (!maintainKnn) Nil
+      else Seq(knnMaintainStream(
+        spark.readStream.schema(routedSchema).parquet(admittedDir)
+          .select(org.apache.spark.sql.functions.col("doc_id").as("vec_id"),
+            org.apache.spark.sql.functions.col("embedding")), sfDir)
+        .option("checkpointLocation", s"$admittedDir/_checkpoints/knn")
+        .start())
+    Seq(door, gate, maintain) ++ knn
   }
 
   /** Operator release of a quarantined batch back into the `passed`

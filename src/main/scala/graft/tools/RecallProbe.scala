@@ -23,7 +23,9 @@ object RecallProbe {
       println(s"RECALL $s $hit/10 pq=${pq.keySet.toSeq.sorted} exact=${exact.keySet.toSeq.sorted}")
 
       // knn graph edges vs exact all-pairs top-k (O(n²) — fine at
-      // these probe SFs, never a production path)
+      // these probe SFs, never a production path), at BOTH probe
+      // radii with their candidate cost: the recall/cost curve behind
+      // the spark.graft.knn.probeRadius conf (table in SCALING.md)
       import org.apache.spark.sql.functions._
       import graft.functions.TextFunctions.quantDot
       val emb = GraftSession.table(spark, dir, "embeddings")
@@ -39,10 +41,13 @@ object RecallProbe {
             .orderBy(col("sc").desc, col("n"))))
         .where(col("rk") <= 5)
         .select("v", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val graph = SimilarityQueries.knnGraphIndexed(spark, dir).collect()
-        .map(r => (r.getLong(0), r.getLong(2))).toSet
-      val rec = graph.intersect(exactTop).size.toDouble / exactTop.size
-      println(f"KNN_RECALL $s ${graph.intersect(exactTop).size}/${exactTop.size} = $rec%.3f")
+      (1 to 2).foreach { radius =>
+        val graph = SimilarityQueries.knnGraphScan(spark, dir, radius)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val cand = SimilarityQueries.knnCandidateCount(spark, dir, radius)
+        val rec = graph.intersect(exactTop).size.toDouble / exactTop.size
+        println(f"KNN_RECALL $s r=$radius ${graph.intersect(exactTop).size}/${exactTop.size} = $rec%.3f candidates=$cand")
+      }
       emb.unpersist(false)
     }
     spark.stop()

@@ -99,6 +99,40 @@ object ScalingProbe {
   private val RealShapedOps = Seq("q_winnow_align", "q_semdedup", "q_semdedup_hier",
     "q_knn_graph")
 
+  private val PermBase = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Deterministic 26-letter permutation for copy `i` — Fisher–Yates
+    * driven by a splitmix64 stream seeded from the copy index, with a
+    * loud uniqueness check across every permutation handed out in
+    * this run: a repeated permutation would silently reintroduce
+    * cross-copy duplicate pairs and bend the "real" curve back to the
+    * self-union ~k² shape the block exists to exclude.
+    */
+  private val seenPerms = scala.collection.mutable.HashMap.empty[String, Int]
+
+  private def permFor(i: Int): String = {
+    val a = PermBase.toCharArray
+    var x = i.toLong * 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    var j = a.length - 1
+    while (j > 0) {
+      val m = math.floorMod(next(), (j + 1).toLong).toInt
+      val t = a(j); a(j) = a(m); a(m) = t
+      j -= 1
+    }
+    val p = new String(a)
+    require(p != PermBase, s"copy $i drew the identity permutation")
+    seenPerms.put(p, i).foreach(prev => require(prev == i,
+      s"copies $prev and $i drew the same permutation"))
+    p
+  }
+
   def main(args: Array[String]): Unit = {
     val maxK = args.headOption.map(_.toInt).getOrElse(4)
     require(maxK >= 1, s"maxK must be >= 1, got $maxK")
@@ -209,36 +243,38 @@ object ScalingProbe {
 
     // REAL-SHAPED folds: same row counts as the self-union dirs, but
     // each copy's CONTENT is deterministically perturbed so cross-copy
-    // rows never pair — documents through a per-copy letter
-    // substitution (rotating a 17-letter alphabet: every shingle
-    // changes, so winnow fingerprints differ across copies), embeddings
+    // rows never pair — documents through a per-copy KEYED full-
+    // alphabet substitution (a distinct 26-letter permutation per copy
+    // index: every shingle changes, so winnow fingerprints differ
+    // across copies, while word lengths/repetition structure — what
+    // the operators actually chew on — stay realistic), embeddings
     // through per-copy Walsh-Hadamard sign flips (negate component j
     // when popcount(i & j) is odd: distinct patterns per copy i ≤ 15,
     // cross-copy cosine ≈ 0, within-copy geometry isometric — a
     // sign-flip is an orthogonal map, so cell populations stay
-    // realistic). Copy 0 is the untouched base.
-    val realAlpha = "etaoinshrdlucmfwy" // 17 letters: rotations distinct for i ≤ 16
+    // realistic). Copy 0 is the untouched base. (The keyed
+    // permutations replace r14's rotating 17-letter alphabet, whose
+    // 17 distinct rotations capped the doc-side fold at 16x — the
+    // permutation family is distinct far past any fold this probe
+    // runs, so the doc-side ladder now climbs with the embedding one.)
     val realDirs: Map[Int, String] = ks.map { k =>
       if (k == 1) k -> base
       else {
-        // the perturbations' distinctness has a ceiling (17 rotations;
-        // 4-bit sign patterns): a copy index past it would silently
-        // reintroduce cross-copy duplicates and revert the 'real'
-        // curve to the self-union ~k² shape this block exists to
-        // exclude — fail loudly instead (ks is currently capped at 16,
-        // this guards a future ladder extension)
+        // the embedding perturbation's distinctness still has its
+        // 4-bit ceiling here (the above-floor ladder's rot×flip
+        // family is the scale path); fail loudly past it
         require(k <= 16,
-          s"real-shaped fold supports k <= 16 (perturbation ceiling), got $k")
+          s"real-shaped fold supports k <= 16 (sign-flip ceiling), got $k")
         val dir = Paths.get(s"/tmp/graft_scaling_real_${baseTag}_${k}x")
         val docsOut = dir.resolve("documents.parquet")
         if (!Files.exists(docsOut.resolve("_SUCCESS"))) {
           Files.createDirectories(dir)
           val docs = spark.read.parquet(s"$base/documents.parquet")
           (0 until k).map { i =>
-            val rot = realAlpha.drop(i % 17) + realAlpha.take(i % 17)
             docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
               .withColumn("text",
-                if (i == 0) col("text") else translate(col("text"), realAlpha, rot))
+                if (i == 0) col("text")
+                else translate(col("text"), PermBase, permFor(i)))
           }.reduce(_.unionByName(_))
             .write.mode("overwrite").parquet(docsOut.toString)
         }
@@ -292,19 +328,16 @@ object ScalingProbe {
       probe(keep(CorpusKPairOps), ks)
     val real = probeOver(realDirs)(keep(RealShapedOps), ks)
 
-    // ABOVE-FLOOR ladder (runs when maxK >= 32): embedding-only
-    // real-shaped folds at 16/32/64x, where the corpus-derived knn
-    // plane count STEPS (p = 7/8/9 on the sf0.1 base) instead of
-    // sitting on the 6-plane floor the <= 16x ladder lives under — the
-    // curve measures the derivation's bucket-population pinning, not
-    // the floor regime. Documents stay un-folded here: the 17-letter
-    // substitution alphabet caps the doc fold at 16x (a copy index
-    // past it would repeat a rotation and silently reintroduce
-    // cross-copy duplicates), so the doc-side real-shaped ops are
-    // NOT probed above 16x — stated here rather than silently capped.
-    // The embedding sign-flip family extends cleanly: patterns are
-    // distinct for copy i < 64 (i & j spans the 6 index bits of a
-    // 64-dim vector), so 64x is the construction's true ceiling.
+    // ABOVE-FLOOR ladder (runs when maxK >= 32): real-shaped folds at
+    // 16/32/64/128x (each point only when maxK allows), where the
+    // corpus-derived knn plane count STEPS instead of sitting on the
+    // 6-plane floor the <= 16x ladder lives under — the curve measures
+    // the derivation's bucket-population pinning, not the floor
+    // regime. Embeddings fold through the rot×flip orthogonal family
+    // (distinct to 4096 copies); documents fold through the keyed
+    // full-alphabet substitutions (distinct far past any fold here),
+    // which is what lifted r14's doc-side 16x ceiling — the winnow
+    // family now gets the same above-floor evidence.
     val ksAbove = Seq(16, 32, 64, 128).filter(_ <= maxK)
     val above: Map[String, Map[Int, Double]] =
       if (maxK < 32) Map.empty
@@ -340,6 +373,20 @@ object ScalingProbe {
             }.reduce(_.unionByName(_))
               .write.mode("overwrite").parquet(embOut.toString)
           }
+          // doc-side fold for the winnow ladder: the keyed
+          // substitutions (never a repeated permutation — permFor
+          // fails loudly) keep cross-copy shingles disjoint at any k
+          val docsOut = dir.resolve("documents.parquet")
+          if (!Files.exists(docsOut.resolve("_SUCCESS"))) {
+            val docs = spark.read.parquet(s"$base/documents.parquet")
+            (0 until k).map { i =>
+              docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+                .withColumn("text",
+                  if (i == 0) col("text")
+                  else translate(col("text"), PermBase, permFor(i)))
+            }.reduce(_.unionByName(_))
+              .write.mode("overwrite").parquet(docsOut.toString)
+          }
           k -> dir.toString
         }.toMap
         // cold start per fold: the fixture layouts (knn layout, cached
@@ -352,11 +399,18 @@ object ScalingProbe {
         // serve. Both curves matter: build must track ~n·(p+1)·pop,
         // serve must stay ~flat per vector.
         val names = keep(Seq("q_knn_graph", "q_semdedup_hier", "q_knn_outliers"))
+        // the doc-side above-floor rows (winnow builds no standing
+        // layout, so one timed run per fold is the number — no
+        // build/serve split)
+        val docNames = keep(Seq("q_winnow_align"))
         names.flatMap { n =>
           val firsts = ksAbove.map(k => k -> time(n, aboveDirs(k))).toMap
           val serves = ksAbove.map(k => k -> time(n, aboveDirs(k))).toMap
           Seq(s"${n}_build" -> firsts, n -> serves)
         }.toMap ++
+          docNames.map { n =>
+            n -> ksAbove.map(k => k -> time(n, aboveDirs(k))).toMap
+          }.toMap ++
           // the derived plane count per fold, read back from the built
           // layout's meta — the evidence that p actually stepped
           Some("knn_planes" -> ksAbove.map { k =>
@@ -384,7 +438,7 @@ object ScalingProbe {
     val aboveBlock =
       if (above.isEmpty) ""
       else s""","above_floor":{${render(above)}}"""
-    println(s"""{"metric":"scaling","sf_base":"$baseJson","caveat":"self-union multiplies duplicate groups; pair-family output grows ~k^2 by construction; the 'real' block folds WITHOUT duplicating groups (per-copy content perturbation), isolating the operator's true slope; 'above_floor' is the embedding-only real-shaped 16/32/64x ladder where the derived knn plane count steps (knn_planes row) - *_build = cold layout build + serve, bare name = standing-layout serve; doc-side real ops stay capped at 16x by the 17-rotation alphabet","linear":{${render(linear)}},"pairs":{${render(pairs)}},"real":{${render(real)}}$aboveBlock}""")
+    println(s"""{"metric":"scaling","sf_base":"$baseJson","caveat":"self-union multiplies duplicate groups; pair-family output grows ~k^2 by construction; the 'real' block folds WITHOUT duplicating groups (per-copy content perturbation), isolating the operator's true slope; 'above_floor' is the real-shaped 16/32/64/128x ladder (each point when maxK allows) where the derived knn plane count steps (knn_planes row) - *_build = cold layout build + serve, bare name = standing-layout serve, q_winnow_align = the doc-side row (no standing layout, one timed run); doc folds use keyed full-alphabet substitutions (distinct per copy - r14's 17-rotation 16x ceiling is gone), embedding folds the rot x flip orthogonal family (distinct to 4096x)","linear":{${render(linear)}},"pairs":{${render(pairs)}},"real":{${render(real)}}$aboveBlock}""")
     spark.stop()
   }
 }

@@ -201,6 +201,109 @@ class KnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("derived mutual/ranks: consumers read the standing dirs; append invalidates; parity with fresh derivation") {
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 100).select("vec_id", "embedding")
+    def copies(shift: Long) =
+      graft.GraftSession.table(spark, sf(), "embeddings")
+        .where(col("vec_id") < 8)
+        .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
+    val dir = corpusDir(base.unionByName(copies(100000L)))
+    val layout = SimilarityQueries.knnLayoutPath(dir)
+    val clusters1 = SimilarityQueries.knnClusters(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // the consumer built the derived standing relations
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(layout, "_DERIVED_OK")))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(layout, "mutual")))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(layout, "ranks")))
+    // parity: the standing dirs equal a fresh derivation from the
+    // same layout (mutual) and its rank rounds (ranks)
+    val freshPairs = SimilarityQueries.knnMutualEdgesAt(spark, layout)
+    val freshMutual = freshPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val standMutual = spark.read.parquet(s"$layout/mutual").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(standMutual.nonEmpty && standMutual === freshMutual)
+    val freshRanks = SimilarityQueries.knnRanksFrom(freshPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val standRanks = spark.read.parquet(s"$layout/ranks").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("r"))).toSet
+    assert(standRanks === freshRanks)
+    // an APPEND drops the derived state before touching edges…
+    SimilarityQueries.knnAppendAt(spark, layout, copies(200000L), (_, f) => f())
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(layout, "_DERIVED_OK")),
+      "append left a stale derived marker")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(layout, "mutual")))
+    // …and the consumers rebuild it over the grown graph: the new
+    // copies join their families' components
+    val clusters2 = SimilarityQueries.knnClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 8).foreach { v =>
+      assert(clusters2.get(v + 200000L) === Some(clusters2(v.toLong)),
+        s"appended copy $v+200000 split from its family")
+    }
+    assert(clusters1.nonEmpty && clusters2.size > clusters1.size)
+    // representatives/centrality read the same standing relations and
+    // stay mutually consistent (keeper rank matches the ranks dir)
+    val ranks = spark.read.parquet(s"$layout/ranks").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("r")).toMap
+    SimilarityQueries.knnRepresentatives(spark, dir).collect().foreach { r =>
+      assert(ranks.get(r.getLong(2)) === Some(r.getLong(3)))
+    }
+  }
+
+  test("probe radius 2: layout-stamped conf; append == union rebuild; candidates superset of radius 1") {
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 300).select("vec_id", "embedding")
+    val batch = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val dirA = corpusDir(base)
+    val dirU = corpusDir(base.unionByName(batch))
+    // an ISOLATED child session carries the conf (suites share the
+    // JVM session and run in parallel — never mutate its conf)
+    val s2 = spark.newSession()
+    s2.conf.set(SimilarityQueries.KnnProbeRadiusKey, "2")
+    // the conf stamps the layout: distinct path, radius in meta
+    assert(SimilarityQueries.knnLayoutPath(dirA, 1)
+      !== SimilarityQueries.knnLayoutPath(dirA, 2))
+    val layoutA = s"$dirA/knn_layout_r2"
+    SimilarityQueries.buildKnn(s2, dirA, layoutA)
+    assert(s2.read.parquet(s"$layoutA/meta").head.getInt(2) === 2)
+    // append == from-scratch union rebuild AT RADIUS 2; the append is
+    // driven from the DEFAULT-conf session — it must read the
+    // layout's STAMPED radius, not the ambient conf's
+    SimilarityQueries.knnAppendAt(spark, layoutA, batch, (_, f) => f())
+    val layoutU = s"$dirU/knn_layout_r2"
+    SimilarityQueries.buildKnn(s2, dirU, layoutU)
+    val a = served(layoutA)
+    assert(a.nonEmpty && a === served(layoutU),
+      "radius-2 appended layout diverged from the union rebuild")
+    // serve == scan twin at radius 2
+    val scan2 = SimilarityQueries.knnGraphScan(spark, dirU, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(SimilarityQueries.knnGraphAt(spark, layoutU).collect()
+      .map(_.toSeq).toSeq === scan2)
+    // radius 2 sees every radius-1 candidate (the mask set is a
+    // superset), so each vector's k-th (minimum ranked) score can
+    // only be ≥ its radius-1 value
+    val g1 = SimilarityQueries.knnGraphScan(spark, dirU, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    val g2 = SimilarityQueries.knnGraphScan(spark, dirU, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    g1.keySet.intersect(g2.keySet).foreach { v =>
+      assert(g2(v) >= g1(v),
+        s"radius-2 top-k floor regressed for $v: ${g2(v)} < ${g1(v)}")
+    }
+  }
+
   test("knnMaintainStream: stream-fed layout equals a from-scratch union rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

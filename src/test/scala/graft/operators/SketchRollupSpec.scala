@@ -47,6 +47,39 @@ class SketchRollupSpec extends SparkSpec {
     assert(anchor === exact)
   }
 
+  test("two concurrent staged appends both commit; estimates == one-pass build") {
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val ev = graft.GraftSession.table(spark, sf(), "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val half = ev.agg(expr("percentile(event_id, 0.5)")).head().getDouble(0)
+    val seed = ev.where(col("event_id") <= half)
+    val restA = ev.where(col("event_id") > half && col("event_id") % 2 === 0)
+    val restB = ev.where(col("event_id") > half && col("event_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_race").toString
+    seed.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    CoreQueries.sketchRollup(spark, dir).count() // base layout before the race
+    // the race: two appenders in flight at once, distinct tags —
+    // partials are summable, so the interleaving cannot matter once
+    // each stages privately (no shared _temporary)
+    val f1 = Future(CoreQueries.sketchAppendStaged(spark, dir, restA, "w1"))
+    val f2 = Future(CoreQueries.sketchAppendStaged(spark, dir, restB, "w2"))
+    Await.result(f1, 5.minutes); Await.result(f2, 5.minutes)
+    assert(collectEst(CoreQueries.sketchRollupEstimates(spark, dir))
+      === collectEst(directWeekly(ev)),
+      "a concurrent appender's partials were lost or doubled")
+    assert(CoreQueries.sketchRollup(spark, dir)
+      .agg(sum("n_events")).head().getLong(0) === ev.count(),
+      "the exact anchor diverged under the race")
+    // retry idempotence: the same tag re-staged sweeps its own files
+    CoreQueries.sketchAppendStaged(spark, dir, restA, "w1")
+    assert(CoreQueries.sketchRollup(spark, dir)
+      .agg(sum("n_events")).head().getLong(0) === ev.count(),
+      "a retried tag doubled its partials")
+  }
+
   test("streaming-maintained layout serves the same estimates as a one-pass build") {
     // seed corpus = first half of the events; two appended "batches"
     // = the second half, split — replayed batch must be a no-op

@@ -99,4 +99,113 @@ class DoorChainSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       === Seq(100L, 101L, 102L, 103L, 300L, 301L))
   }
+
+  test("five-stage chain (--knn): admitted embeddings maintain the knn graph; restart resumes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_chain_knn")
+    val corpusDir = root.resolve("corpus").toString
+    val incoming = root.resolve("incoming").toString
+    val doorDir = root.resolve("door").toString
+    val admitted = root.resolve("admitted").toString
+    // real embedding vectors keyed to the doc ids they ride with
+    val embMap: Map[Long, Seq[Float]] =
+      graft.GraftSession.table(spark, sf(), "embeddings")
+        .where(col("vec_id") < 60).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val seedDocs = (1 to 40).map(i =>
+      ChainDoc(i.toLong, s"corpus document number $i with body text",
+        if (i % 2 == 0) "en" else "de"))
+    seedDocs.toDF().write.mode("overwrite")
+      .parquet(s"$corpusDir/documents.parquet")
+    (1 to 40).map(i => (i.toLong, embMap(i.toLong)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+
+    def withEmb(rows: Seq[ChainDoc], embOf: Long => Seq[Float]) =
+      rows.map(d => (d.doc_id, d.text, d.lang, embOf(d.doc_id)))
+        .toDF("doc_id", "text", "lang", "embedding")
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("embedding").cast("array<float>"))
+
+    def feed(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(incoming)
+
+    def drain(qs: Seq[org.apache.spark.sql.streaming.StreamingQuery]): Unit = {
+      var again = true
+      while (again) {
+        val before = qs.map(q =>
+          Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
+        qs.foreach(_.processAllAvailable())
+        again = before != qs.map(q =>
+          Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
+      }
+    }
+
+    val chain = StreamingOps.doorChain(spark, corpusDir, incoming, doorDir,
+      admitted, scriptAxis = true, maintainKnn = true)
+    assert(chain.size === 4, "the --knn chain must run four streams")
+    try {
+      // batch A: novel docs carrying COPIES of seed vectors 1..4 —
+      // ring collisions guaranteed, so the knn append exercises both
+      // the new-vs-corpus and the affected-old legs
+      feed(withEmb((100 to 103).map(i => ChainDoc(i.toLong,
+        s"fresh novel wording item $i entirely different phrasing",
+        if (i % 2 == 0) "en" else "de")), id => embMap(id - 99)))
+      drain(chain)
+      // batch B: quarantined by the script axis — its vectors must
+      // never reach the graph
+      feed(withEmb((200 to 203).map(i =>
+        ChainDoc(i.toLong, "0123 4567 8901",
+          if (i % 2 == 0) "en" else "de")), id => embMap(id - 150)))
+      drain(chain)
+    } finally chain.foreach(_.stop())
+
+    assert(spark.read.parquet(admitted)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === (100L to 103L))
+
+    def servedGraph(dir: String): Seq[Seq[Any]] =
+      graft.operators.SimilarityQueries.knnGraphIndexed(spark, dir)
+        .collect().map(_.toSeq).toSeq
+
+    // end state == a batch rebuild over (seed ∪ admitted): the union
+    // corpus in its own dir, built from scratch
+    def writeUnion(dir: String, extra: Seq[Long], embOf: Long => Seq[Float]): Unit = {
+      ((1 to 40).map(i => (i.toLong, embMap(i.toLong))) ++
+        extra.map(id => id -> embOf(id)))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val union1 = root.resolve("union1").toString
+    writeUnion(union1, (100L to 103L), id => embMap(id - 99))
+    assert(servedGraph(corpusDir).nonEmpty)
+    assert(servedGraph(corpusDir) === servedGraph(union1),
+      "stream-maintained knn graph diverged from the union rebuild")
+    // quarantined vectors are absent
+    val vecs = spark.read.parquet(
+      s"${graft.operators.SimilarityQueries.knnLayoutPath(corpusDir)}/vecs")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((200L to 203L).forall(id => !vecs.contains(id)))
+
+    // checkpointed restart: nothing re-appends, a new batch flows
+    val chain2 = StreamingOps.doorChain(spark, corpusDir, incoming, doorDir,
+      admitted, scriptAxis = true, maintainKnn = true)
+    try {
+      drain(chain2)
+      assert(servedGraph(corpusDir) === servedGraph(union1),
+        "a restart re-appended knn partials")
+      feed(withEmb((300 to 301).map(i => ChainDoc(i.toLong,
+        s"second wave completely new material $i unrelated words",
+        if (i % 2 == 0) "en" else "de")), id => embMap(id - 255)))
+      drain(chain2)
+    } finally chain2.foreach(_.stop())
+    val union2 = root.resolve("union2").toString
+    writeUnion(union2, (100L to 103L) ++ (300L to 301L),
+      id => if (id >= 300) embMap(id - 255) else embMap(id - 99))
+    assert(servedGraph(corpusDir) === servedGraph(union2),
+      "the restarted chain's knn graph diverged from the union rebuild")
+  }
 }
