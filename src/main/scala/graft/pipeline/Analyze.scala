@@ -22,10 +22,11 @@ object Analyze {
   /** Register `path` as external table `tableName(key)` and compute
     * table-level statistics; returns the catalog-recorded row count.
     */
-  def analyze(spark: SparkSession, key: String, path: String): Option[Long] = {
+  def analyze(spark: SparkSession, key: String, path: String,
+      format: String = "parquet"): Option[Long] = {
     val tbl = tableName(key)
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
-    spark.sql(s"CREATE TABLE `$tbl` USING parquet LOCATION '$path'")
+    spark.sql(s"CREATE TABLE `$tbl` USING $format LOCATION '$path'")
     spark.sql(s"ANALYZE TABLE `$tbl` COMPUTE STATISTICS")
     statsRowCount(spark, tbl)
   }

@@ -81,7 +81,15 @@ object Ingest {
       // (`lightning/restore/tidb.go:49-57`); here they are a library
       // parameter (`tests/generated_columns`' run.sh SETs time_zone
       // and block_encryption_mode before importing)
-      sessionVars: GeneratedColumns.SessionVars = GeneratedColumns.SessionVars())
+      sessionVars: GeneratedColumns.SessionVars = GeneratedColumns.SessionVars(),
+      // columnar output format of the bulk sink: parquet (default) or
+      // orc — one knob through the same sorted/partitioned write path,
+      // and every read-back (merge, rebase, checksum, analyze, views)
+      // follows it
+      outputFormat: String = "parquet") {
+    require(outputFormat == "parquet" || outputFormat == "orc",
+      s"output-format must be parquet|orc, got '$outputFormat'")
+  }
 
   /** One import unit: a whole data file, or (strict-format CSV and
     * dump files) a byte-range chunk of one — the reference's `ChunkCheckpoint`
@@ -544,7 +552,8 @@ object Ingest {
       val byName = tables.groupBy(_.table)
       tables.foreach { d =>
         if (byName(d.table).size == 1) {
-          try spark.read.parquet(s"${cfg.targetDir}/${d.db}.${d.table}")
+          try spark.read.format(cfg.outputFormat)
+            .load(s"${cfg.targetDir}/${d.db}.${d.table}")
             .createOrReplaceTempView(d.table)
           catch { case _: org.apache.spark.sql.AnalysisException => }
         }
@@ -681,7 +690,7 @@ object Ingest {
   private def targetSchema(spark: SparkSession, cfg: Config, d: Discovered): TableSchema = {
     val path = s"${cfg.targetDir}/${d.db}.${d.table}"
     val st =
-      try spark.read.parquet(path).schema
+      try spark.read.format(cfg.outputFormat).load(path).schema
       catch {
         case e: Throwable => throw new IllegalStateException(
           s"no-schema mode: target table $path must already exist with a readable schema", e)
@@ -751,7 +760,7 @@ object Ingest {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(p)) (0L, 0L)
         else {
-          val existing = spark.read.parquet(p.toString)
+          val existing = spark.read.format(cfg.outputFormat).load(p.toString)
           def maxOf(c: String): Long =
             if (!existing.columns.contains(c)) 0L
             else existing.agg(coalesce(max(col(c).cast("long")), lit(0L)))
@@ -1025,7 +1034,8 @@ object Ingest {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.exists(p)
       } =>
-        val existing = spark.read.parquet(out).localCheckpoint(true)
+        val existing = spark.read.format(cfg.outputFormat).load(out)
+          .localCheckpoint(true)
         val pkCols = pk.map(col)
         val incomingCols = typed.columns.filterNot(errCol.contains)
         // align the read-back to the incoming layout; the counter
@@ -1078,7 +1088,7 @@ object Ingest {
           }),
       dropCols = errCol.toSeq,
       mode = if (prior.isDefined) "append" else "overwrite",
-      partitionCols = partCols)
+      partitionCols = partCols, format = cfg.outputFormat)
     // the partial-rows failpoint fails AFTER the (truncated) write
     // lands and BEFORE any state is recorded — the crash shape the
     // duplicate-data corpus needs
@@ -1113,8 +1123,9 @@ object Ingest {
     val writtenSchema = org.apache.spark.sql.types.StructType(
       typed.schema.filterNot(f => errCol.contains(f.name)))
     val readBack =
-      if (partCols.nonEmpty) spark.read.schema(writtenSchema).parquet(out)
-      else spark.read.parquet(out)
+      if (partCols.nonEmpty)
+        spark.read.schema(writtenSchema).format(cfg.outputFormat).load(out)
+      else spark.read.format(cfg.outputFormat).load(out)
     val post = collectChecksum(readBack)
     // Duplicate-key guard on a single-column auto-inc PRIMARY KEY:
     // MySQL rejects these at insert; the accumulated checksum cannot
@@ -1147,7 +1158,8 @@ object Ingest {
       dupIds.isEmpty
     // A7: collect catalog statistics once the table verified
     val statsRows =
-      if (ok && cfg.analyze) Analyze.analyze(spark, s"${d.db}.${d.table}", out)
+      if (ok && cfg.analyze)
+        Analyze.analyze(spark, s"${d.db}.${d.table}", out, cfg.outputFormat)
       else None
     (TableReport(d.db, d.table, post.totalKvs, post.checksum,
       checksumOk = ok, skipped = false, statsRows = statsRows, badRows = badRows,

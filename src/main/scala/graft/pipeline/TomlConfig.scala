@@ -433,7 +433,13 @@ object TomlConfig {
           .filter(_ == "tidb").map(_ => "replace")),
       defaultFileRules = take("mydumper.default-file-rules")
         .map(bool(_, "mydumper.default-file-rules")),
-      bwList = bwRules)
+      bwList = bwRules,
+      // columnar sink format (parquet|orc) — the north star's "bulk
+      // Parquet/ORC write" as one knob through the sorted sink;
+      // validated by Ingest.Config's require
+      outputFormat = take("tikv-importer.output-format")
+        .map(str(_, "tikv-importer.output-format").toLowerCase)
+        .getOrElse("parquet"))
 
     val serverMode = take("lightning.server-mode")
       .map(bool(_, "lightning.server-mode")).getOrElse(false)

@@ -50,7 +50,8 @@ object SortedParquetSink {
     *   reference's splitter rule. AQE may still coalesce further.
     */
   def write(df: DataFrame, path: String, sortCols: Seq[String], numRanges: Int = 0,
-      mode: String = "overwrite", partitionCols: Seq[String] = Nil): Unit = {
+      mode: String = "overwrite", partitionCols: Seq[String] = Nil,
+      format: String = "parquet"): Unit = {
     // With partition columns the range shuffle leads with them, so each
     // task holds a contiguous run of partition values and writes a few
     // directories instead of fanning a file into every one (the
@@ -58,8 +59,8 @@ object SortedParquetSink {
     val keys = (partitionCols ++ sortCols.filterNot(partitionCols.contains)).map(col)
     val n = if (numRanges > 0) numRanges else rangesFor(df)
     val sorted = df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
-    val w = sorted.write.mode(mode)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    val w = sorted.write.mode(mode).format(format)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
   }
 
   /** [[write]] with an observed metric riding the write pass, so the
@@ -85,7 +86,7 @@ object SortedParquetSink {
   def writeObservedMetrics(df: DataFrame, path: String, sortCols: Seq[String],
       obs: org.apache.spark.sql.Observation, metrics: DataFrame => Seq[Column],
       dropCols: Seq[String], numRanges: Int = 0, mode: String = "overwrite",
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil, format: String = "parquet"): Unit = {
     val keys = (partitionCols ++ sortCols.filterNot(partitionCols.contains)).map(col)
     val n = if (numRanges > 0) numRanges else rangesFor(df)
     val ranged = df.repartitionByRange(n, keys: _*)
@@ -94,8 +95,8 @@ object SortedParquetSink {
       .observe(obs, ms.head, ms.tail: _*)
       .drop(dropCols: _*)
       .sortWithinPartitions(keys: _*)
-    val w = sorted.write.mode(mode)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    val w = sorted.write.mode(mode).format(format)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
   }
 
   /** Write with a dedup policy applied on the key, mirroring the tidb
