@@ -1649,10 +1649,15 @@ object SimilarityQueries {
     val meta = spark0.read.parquet(s"$layout/meta").head
     val p = meta.getInt(0)
     val radius = meta.getInt(2) // the LAYOUT's stamped radius
-    // the hash-agg threshold sizes from the GROWN corpus (standing
-    // vecs count), not meta's frozen build-time n0 — the structural
-    // no-sort bound must hold on the append path too
-    val nNow = spark0.read.parquet(s"$layout/vecs").count()
+    val newE0 = knnEncode(
+      newVecs.select(col("vec_id"), col("embedding")), p)
+      .localCheckpoint(true) // batch-sized (bounded-batch contract)
+    // the hash-agg threshold sizes from the GROWN corpus — standing
+    // vecs count PLUS this batch (the aggregation's groups are new ∪
+    // affected-old vectors), never meta's frozen build-time n0: the
+    // structural no-sort bound must hold on the append path too. Both
+    // counts are cheap (parquet stats; a checkpointed batch).
+    val nNow = spark0.read.parquet(s"$layout/vecs").count() + newE0.count()
     val spark = knnSession(spark0, nNow)
     // re-root the batch under the knn session: every DataFrame below
     // derives from newE, and a plan rooted at the CALLER's session
@@ -1660,9 +1665,6 @@ object SimilarityQueries {
     // threshold — the raised conf would silently not govern the
     // append aggregation. The checkpointed RDD is session-independent,
     // so this is a re-rooting, not a recompute.
-    val newE0 = knnEncode(
-      newVecs.select(col("vec_id"), col("embedding")), p)
-      .localCheckpoint(true) // batch-sized (bounded-batch contract)
     val newE = spark.createDataFrame(newE0.rdd, newE0.schema)
     // the batch's ring-bucket set: ≤ |batch|·(1+p+C(p,2)) values
     val ringB = newE
