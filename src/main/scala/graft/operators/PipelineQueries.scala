@@ -582,6 +582,39 @@ object PipelineQueries {
       |  UNION ALL SELECT 'supplier', count(*), TRUE FROM supplier
       |) ORDER BY table_name""".stripMargin
 
+  /** The ORC leg of the output-format knob (`tikv-importer
+    * .output-format = "orc"`, SURVEY "Bulk Parquet/ORC write"), driven
+    * through the SAME full import as `q_ingest_e2e`: fixture in, ORC
+    * files out, and the checksum gate READS THE OUTPUT BACK through
+    * the ORC reader — a mislabeled parquet file would fail the
+    * read-back, and a corrupted value flips `checksum_ok`. The format
+    * column pins which sink family produced the rows; the oracle
+    * computes the same counts from the source tables.
+    */
+  def orcE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = buildFixture(spark, sfDir)
+    val target = s"${fixRoot(sfDir)}/ingest_orc_out"
+    deleteRec(Paths.get(target))
+    val reports = Ingest.run(spark, Ingest.Config(
+      sourceDir = src,
+      targetDir = target,
+      filters = Seq("tpch*.*", "!tpch.junk"),
+      routes = Seq(TableRoute("tpch_s*", "nation", "tpch", "nation")),
+      tableConcurrency = 3,
+      outputFormat = "orc"))
+    import spark.implicits._
+    reports.map(r => (r.table, r.nRows, r.checksumOk, "orc"))
+      .toDF("table_name", "n_rows", "checksum_ok", "format")
+      .orderBy("table_name")
+  }
+
+  def orcE2eSql: String =
+    """SELECT *, 'orc' AS format FROM (
+      |  SELECT 'nation' AS table_name, count(*) AS n_rows, TRUE AS checksum_ok FROM nation
+      |  UNION ALL SELECT 'region', count(*), TRUE FROM region
+      |  UNION ALL SELECT 'supplier', count(*), TRUE FROM supplier
+      |) ORDER BY table_name""".stripMargin
+
   /** The reference's primary UX, end to end: a verbatim
     * `tidb-lightning.toml`-shaped config (filter, shard-merge routes,
     * CSV dialect, file checkpoint, post-restore levels) loaded by
