@@ -1290,6 +1290,99 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
 
+  /** Bounded audit set of [[knnRecall]]: the exact side scores
+    * `|audit| · n` dots — LINEAR in corpus size with a fixed audit
+    * width, the only shape an exact-vs-approx audit can have at
+    * 100 TB (an uncapped exact pass is O(n²) by definition). At the
+    * test SFs the cap covers every vector, so the registered number
+    * IS the whole-corpus recall.
+    */
+  private val KnnRecallCap = 4096L
+
+  /** The knn graph's measured RECALL, driver-gated — the honesty
+    * number SCALING.md publishes ([[graft.tools.RecallProbe]]),
+    * re-derived identically in both engines: per audit vector
+    * (vec_id < [[KnnRecallCap]]) the EXACT top-[[KnnK]] neighbors by
+    * quantized dot (same NULL-exclusion contract and (score desc, id
+    * asc) tie rule as the graph), intersected with the ring-blocked
+    * top-k at probe radius 1 AND 2 — one row per radius with
+    * integer-exact recall in ppm, so the recall/cost curve the
+    * `probeRadius` conf buys is pinned by the oracle, not only by a
+    * committed probe artifact. Exact side: the bounded audit set
+    * broadcast against the corpus (nested-loop by construction — no
+    * shuffle), scored once; ring side: [[knnGraphScan]] per radius.
+    * On this near-random corpus the expected bands are ≈0.24/0.55
+    * (radius 1/2); planted-duplicate recall is structural 1.0 and
+    * spec-pinned separately.
+    */
+  def knnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val audit = emb.where(col("vec_id") < KnnRecallCap)
+    val exact = broadcast(audit).as("a")
+      .join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        quantDot(col("a.embedding"), col("b.embedding")).as("score"))
+      .where(col("score").isNotNull)
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKPairs.topK(KnnK,
+        col("score").cast("double"), col("neighbor_id")).as("nbrs"))
+      .select(col("vec_id"), explode(col("nbrs")).as("nb"))
+      .select(col("vec_id"), col("nb.id").as("neighbor_id"))
+      .localCheckpoint(true) // audit-bounded: ≤ cap·k rows
+    val exactEdges = exact.count()
+    val rows = Seq(1, 2).map { r =>
+      val hits = knnGraphScan(spark, sfDir, r)
+        .where(col("vec_id") < KnnRecallCap)
+        .select("vec_id", "neighbor_id")
+        .join(exact, Seq("vec_id", "neighbor_id"))
+        .count()
+      val ppm = if (exactEdges == 0) 0L else 1000000L * hits / exactEdges
+      (r.toLong, exactEdges, hits, ppm)
+    }
+    import spark.implicits._
+    rows.toDF("radius", "exact_edges", "hit_edges", "recall_ppm")
+      .orderBy("radius")
+  }
+
+  def knnRecallSql: String =
+    s"""WITH $knnRingCtes,
+       |aud AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < $KnnRecallCap),
+       |exact_scored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      p -> $QDot)) AS BIGINT) AS score
+       |  FROM aud a JOIN embeddings b ON b.vec_id <> a.vec_id),
+       |exact_ranked AS (SELECT vec_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM exact_scored WHERE score IS NOT NULL),
+       |exact_edges AS MATERIALIZED (SELECT vec_id, neighbor_id
+       |  FROM exact_ranked WHERE rank <= $KnnK),
+       |ring_scored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    bit_count(xor(ba.bucket, bb.bucket)) AS dist,
+       |    CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      p -> $QDot)) AS BIGINT) AS score
+       |  FROM embeddings a JOIN buckets ba ON ba.vec_id = a.vec_id
+       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 2
+       |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < $KnnRecallCap),
+       |per_radius AS (SELECT r.radius, s.vec_id, s.neighbor_id,
+       |    row_number() OVER (PARTITION BY r.radius, s.vec_id
+       |      ORDER BY s.score DESC, s.neighbor_id) AS rank
+       |  FROM (VALUES (1), (2)) r(radius) JOIN ring_scored s
+       |    ON s.dist <= r.radius
+       |  WHERE s.score IS NOT NULL),
+       |tot AS (SELECT count(*) AS t FROM exact_edges),
+       |hits AS (SELECT p.radius, count(*) AS h
+       |  FROM per_radius p JOIN exact_edges e
+       |    ON e.vec_id = p.vec_id AND e.neighbor_id = p.neighbor_id
+       |  WHERE p.rank <= $KnnK GROUP BY 1)
+       |SELECT CAST(radius AS BIGINT) AS radius,
+       |  CAST(t AS BIGINT) AS exact_edges, CAST(h AS BIGINT) AS hit_edges,
+       |  CAST(CASE WHEN t = 0 THEN 0 ELSE (1000000 * h) // t END AS BIGINT)
+       |    AS recall_ppm
+       |FROM hits, tot ORDER BY radius""".stripMargin
+
   /** Embedding-space OUTLIER detection — the k-th-nearest-neighbor
     * distance score (classic kNN outlier factor, cosine flavor): a
     * document whose 5th-closest neighbor is still far is off the data
