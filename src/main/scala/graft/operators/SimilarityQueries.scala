@@ -1290,6 +1290,104 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
 
+  /** SEMANTIC decontamination audit — the embedding-level complement
+    * of the n-gram `q_decontaminate` family: n-gram overlap catches
+    * verbatim eval-set leakage, this catches PARAPHRASE-level leakage
+    * (an eval item rewritten, re-punctuated or translated shares no
+    * 13-gram but sits next to its source in embedding space). The
+    * held-out fold is [[TextQueries.evalSplit]]'s own convention
+    * (md5-bucket 9 = "test") applied to vec_id, so the audit and the
+    * split can't drift apart; for every held-out vector the single
+    * most-similar RETAINED-corpus vector within its LSH probe ring
+    * (same derived plane count, same [[probeMasks]] recipe and
+    * `probeRadius` conf as the knn graph — candidate cost is ring
+    * economics, linear in corpus size), with the [[knnOutliers]]
+    * sentinel pair (-1, -2.0) when the ring holds no retained
+    * candidate — an empty ring means "nothing even near", which IS
+    * the audit's answer for that item. Deliberately reports the
+    * whole top-1 curve instead of baking in a τ: a release decides
+    * its contamination threshold FROM this audit (on this
+    * near-random corpus every cosine is < 0.5; a real corpus shows a
+    * bimodal curve whose upper mode is the leakage). Cosines are the
+    * engine-exact recipe (integer dots, IEEE sqrt/divide).
+    */
+  def decontaminateSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    decontaminateSemanticScan(spark, sfDir, knnProbeRadius(spark))
+
+  private[graft] def decontaminateSemanticScan(spark: SparkSession,
+      sfDir: String, radius: Int): DataFrame = {
+    val n = table(spark, sfDir, "embeddings").count()
+    val p = knnPlanes(n)
+    val pl = planesFor(p)
+    val fold = conv(substring(md5(col("vec_id").cast("string")
+      .cast("binary")), 1, 4), 16, 10).cast("long") % 10
+    // bucket + norm + fold computed ONCE and materialized (both join
+    // sides read them — the knnRing discipline)
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        bucketColFor(pl)(col("embedding")).as("bucket"),
+        quantDot(col("embedding"), col("embedding")).as("nrm"),
+        (fold === 9).as("is_eval"))
+      .localCheckpoint(true)
+    val evalSide = e.where(col("is_eval"))
+    val corpus = e.where(!col("is_eval"))
+    val probes = evalSide.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(probeColsFor(p, radius): _*)).as("probe"))
+    val top1 = probes.as("a")
+      .join(corpus.as("b"), col("a.probe") === col("b.bucket"))
+      .select(col("a.vec_id").as("eval_id"), col("b.vec_id").as("match_id"),
+        when(col("a.nrm") === 0 || col("b.nrm") === 0, lit(0d)).otherwise(
+          quantDot(col("a.embedding"), col("b.embedding")).cast("double") /
+            (sqrt(col("a.nrm").cast("double")) *
+              sqrt(col("b.nrm").cast("double")))).as("cosine"))
+      .where(col("cosine").isNotNull)
+      .groupBy("eval_id")
+      .agg(graft.functions.TopKPairs.topK(1,
+        col("cosine"), col("match_id")).as("nbrs"))
+      .select(col("eval_id"),
+        element_at(col("nbrs"), 1).getField("id").as("match_id"),
+        element_at(col("nbrs"), 1).getField("score").as("cosine"))
+    evalSide.select(col("vec_id").as("eval_id"))
+      .join(top1, Seq("eval_id"), "left_outer")
+      .select(col("eval_id"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("cosine"), lit(-2d)).as("cosine"))
+      .orderBy("eval_id")
+  }
+
+  def decontaminateSemanticSql(radius: Int = KnnProbeRadiusDefault): String =
+    s"""WITH $knnRingCtes,
+       |f AS (SELECT vec_id,
+       |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS BIGINT)
+       |      % 10 = 9 AS is_eval
+       |  FROM embeddings),
+       |nrm AS MATERIALIZED (SELECT vec_id,
+       |    CAST(list_sum(list_transform(list_zip(embedding, embedding),
+       |      p -> $QDot)) AS BIGINT) AS nrm
+       |  FROM embeddings),
+       |scored AS (SELECT a.vec_id AS eval_id, b.vec_id AS match_id,
+       |    CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(
+       |             list_zip(a.embedding, b.embedding), p -> $QDot)) AS DOUBLE)
+       |           / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+       |    END AS cosine
+       |  FROM embeddings a JOIN f fa ON fa.vec_id = a.vec_id AND fa.is_eval
+       |  JOIN buckets ba ON ba.vec_id = a.vec_id
+       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= $radius
+       |  JOIN f fb ON fb.vec_id = bb.vec_id AND NOT fb.is_eval
+       |  JOIN embeddings b ON b.vec_id = bb.vec_id
+       |  JOIN nrm na ON na.vec_id = a.vec_id
+       |  JOIN nrm nb ON nb.vec_id = b.vec_id),
+       |ranked AS (SELECT eval_id, match_id, cosine,
+       |    row_number() OVER (PARTITION BY eval_id
+       |      ORDER BY cosine DESC, match_id) AS rk
+       |  FROM scored WHERE cosine IS NOT NULL)
+       |SELECT f.vec_id AS eval_id,
+       |  CAST(coalesce(r.match_id, -1) AS BIGINT) AS match_id,
+       |  CAST(coalesce(r.cosine, -2.0) AS DOUBLE) AS cosine
+       |FROM f LEFT JOIN ranked r ON r.eval_id = f.vec_id AND r.rk = 1
+       |WHERE f.is_eval ORDER BY eval_id""".stripMargin
+
   /** Bounded audit set of [[knnRecall]]: the exact side scores
     * `|audit| · n` dots — LINEAR in corpus size with a fixed audit
     * width, the only shape an exact-vs-approx audit can have at
