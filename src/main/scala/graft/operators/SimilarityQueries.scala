@@ -1388,6 +1388,197 @@ object SimilarityQueries {
        |FROM f LEFT JOIN ranked r ON r.eval_id = f.vec_id AND r.rk = 1
        |WHERE f.is_eval ORDER BY eval_id""".stripMargin
 
+  // ------------------------------------ eval-set firewall (the guard)
+  /** Contamination threshold of [[evalGuardFor]]: an incoming vector
+    * whose max cosine against the eval reference is ≥ τ is diverted.
+    * A serve-time knob (the verdict recomputes per batch against a
+    * FIXED reference — nothing on disk encodes τ), so changing it
+    * never orphans the layout.
+    */
+  private[graft] val DecontamTauKey = "spark.graft.decontam.tau"
+  private[graft] val DecontamTauDefault = 0.999
+
+  private[graft] def decontamTau(spark: SparkSession): Double = {
+    val t = spark.conf.get(DecontamTauKey, DecontamTauDefault.toString).toDouble
+    require(t > 0d && t <= 1d, s"$DecontamTauKey must be in (0,1], got $t")
+    t
+  }
+
+  def evalRefPath(sfDir: String): String =
+    s"${graft.GraftSession.fixtureRoot(sfDir)}/evalref_v1"
+
+  /** Standing EVAL-REFERENCE layout: the held-out fold's vectors with
+    * bucket + norm at a plane count derived from the EVAL count (the
+    * [[knnPlanes]] rule sized to the reference side — mean eval-bucket
+    * population stays ≤ target however large the eval registry, so the
+    * guard's per-incoming-vector candidate cost is ring economics
+    * against the reference, never a reference rescan). The plane count
+    * is STAMPED in meta — incoming batches encode at the layout's p.
+    * Unlike the knn graph the reference is FIXED by design (incoming
+    * training data never joins the eval set — that is the point of the
+    * firewall), so there is no append path and the probe radius stays
+    * a pure serve-time knob (buckets on disk don't depend on it).
+    */
+  private[operators] def evalRefLayout(spark: SparkSession,
+      sfDir: String): String = {
+    val layout = evalRefPath(sfDir)
+    graft.GraftSession.ensureLayout(spark, layout,
+      s"$sfDir/embeddings.parquet") {
+      val fold = conv(substring(md5(col("vec_id").cast("string")
+        .cast("binary")), 1, 4), 16, 10).cast("long") % 10
+      val eval = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .where(fold === 9).select("vec_id", "embedding")
+      val nE = eval.count()
+      val p = knnPlanes(nE)
+      val pl = planesFor(p)
+      eval.select(col("vec_id"), col("embedding"),
+        bucketColFor(pl)(col("embedding")).as("bucket"),
+        quantDot(col("embedding"), col("embedding")).as("nrm"))
+        .coalesce(1) // eval registries are small by nature
+        .write.mode("overwrite").parquet(s"$layout/vecs")
+      import spark.implicits._
+      Seq((p, nE)).toDF("p", "n_eval").coalesce(1)
+        .write.mode("overwrite").parquet(s"$layout/meta")
+    }
+    layout
+  }
+
+  /** The eval-set FIREWALL verdict — enforcement form of the
+    * [[decontaminateSemantic]] audit, direction reversed for ingest:
+    * the audit asks "which held-out items does the CORPUS already
+    * leak"; the guard asks, per INCOMING batch, "which arriving
+    * training rows are near-copies of the eval set" and diverts them
+    * before they pollute a release (the eval firewall every serious
+    * training pipeline runs at ingest). Every batch row comes back
+    * with its top-1 eval match within the probe ring (the audit's
+    * sentinel convention for empty rings) and a `contaminated`
+    * verdict at [[decontamTau]]. Candidates are a broadcast-sized
+    * bucket equi-join against the standing reference — batch·ring
+    * bounded, reference never rescanned. Batch contract: `vec_id`
+    * unique within the batch, `embedding` present; other columns
+    * ride through untouched.
+    */
+  private[graft] def evalGuardFor(spark: SparkSession, sfDir: String,
+      batch: DataFrame): DataFrame = {
+    val layout = evalRefLayout(spark, sfDir)
+    val p = spark.read.parquet(s"$layout/meta")
+      .select("p").collect()(0).getInt(0)
+    val tau = decontamTau(spark)
+    val radius = knnProbeRadius(spark)
+    val ev = spark.read.parquet(s"$layout/vecs")
+    val pl = planesFor(p)
+    val inc = batch
+      .withColumn("bucket", bucketColFor(pl)(col("embedding")))
+      .withColumn("nrm",
+        quantDot(col("embedding"), col("embedding")))
+      .localCheckpoint(true) // batch-bounded
+    val probes = inc.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(probeColsFor(p, radius): _*)).as("probe"))
+    val top1 = probes.as("a")
+      .join(broadcast(ev).as("b"), col("a.probe") === col("b.bucket"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("match_vec_id"),
+        when(col("a.nrm") === 0 || col("b.nrm") === 0, lit(0d)).otherwise(
+          quantDot(col("a.embedding"), col("b.embedding")).cast("double") /
+            (sqrt(col("a.nrm").cast("double")) *
+              sqrt(col("b.nrm").cast("double")))).as("cosine"))
+      .where(col("cosine").isNotNull)
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKPairs.topK(1,
+        col("cosine"), col("match_vec_id")).as("nbrs"))
+      .select(col("vec_id"),
+        element_at(col("nbrs"), 1).getField("id").as("match_vec_id"),
+        element_at(col("nbrs"), 1).getField("score").as("cosine"))
+    inc.drop("bucket", "nrm")
+      .join(top1, Seq("vec_id"), "left_outer")
+      .withColumn("match_vec_id", coalesce(col("match_vec_id"), lit(-1L)))
+      .withColumn("cosine", coalesce(col("cosine"), lit(-2d)))
+      .withColumn("contaminated", col("cosine") >= tau)
+  }
+
+  /** Registered probe of the guard: a deterministic synthetic batch —
+    * exact copies of the 10 lowest-id EVAL vectors (the leakage the
+    * firewall exists to stop) plus copies of the 20 lowest-id RETAINED
+    * vectors (ordinary training traffic) — pushed through
+    * [[evalGuardFor]]. The eval copies must come back `contaminated`
+    * matched to their sources at cosine ~1; the retained copies pass
+    * (their eval-ring top-1 is a near-random cosine or the sentinel).
+    */
+  def evalGuard(spark: SparkSession, sfDir: String): DataFrame = {
+    val fold = conv(substring(md5(col("vec_id").cast("string")
+      .cast("binary")), 1, 4), 16, 10).cast("long") % 10
+    val emb = table(spark, sfDir, "embeddings")
+    val evalSrc = emb.where(fold === 9).orderBy("vec_id").limit(10)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val cleanSrc = emb.where(fold =!= 9).orderBy("vec_id").limit(20)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    evalGuardFor(spark, sfDir, evalSrc.unionByName(cleanSrc))
+      .select(col("vec_id"), col("match_vec_id"), col("cosine"),
+        col("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  def evalGuardSql(radius: Int = KnnProbeRadiusDefault,
+      tau: Double = DecontamTauDefault): String =
+    s"""WITH f AS (SELECT vec_id, embedding,
+       |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS BIGINT)
+       |      % 10 = 9 AS is_eval
+       |  FROM embeddings),
+       |npe AS (SELECT coalesce((SELECT min(p) FROM range(6, 31) r(p)
+       |    WHERE (CAST(1 AS BIGINT) << p) >=
+       |      greatest(1, (n + $KnnBucketTarget - 1) // $KnnBucketTarget)), 30) AS p
+       |  FROM (SELECT count(*) AS n FROM f WHERE is_eval)),
+       |planes AS (SELECT i, j,
+       |    (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 14) AS BIGINT) % 2001) - 1000 AS r
+       |  FROM range(30) t1(i), range(64) t2(j)
+       |  WHERE i < (SELECT p FROM npe)),
+       |batch AS (SELECT vec_id + 1000000 AS vec_id, embedding FROM
+       |    (SELECT vec_id, embedding FROM f WHERE is_eval
+       |     ORDER BY vec_id LIMIT 10)
+       |  UNION ALL SELECT vec_id + 2000000, embedding FROM
+       |    (SELECT vec_id, embedding FROM f WHERE NOT is_eval
+       |     ORDER BY vec_id LIMIT 20)),
+       |evref AS (SELECT vec_id, embedding FROM f WHERE is_eval),
+       |bdots AS (SELECT e.vec_id, p.i,
+       |    sum(CAST(floor(CAST(e.embedding[p.j + 1] AS DOUBLE) * 1000000) AS BIGINT) * p.r) AS d
+       |  FROM batch e, planes p GROUP BY 1, 2),
+       |bbuckets AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM bdots GROUP BY 1),
+       |edots AS (SELECT e.vec_id, p.i,
+       |    sum(CAST(floor(CAST(e.embedding[p.j + 1] AS DOUBLE) * 1000000) AS BIGINT) * p.r) AS d
+       |  FROM evref e, planes p GROUP BY 1, 2),
+       |ebuckets AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM edots GROUP BY 1),
+       |bnrm AS (SELECT vec_id,
+       |    CAST(list_sum(list_transform(list_zip(embedding, embedding),
+       |      p -> $QDot)) AS BIGINT) AS nrm FROM batch),
+       |enrm AS (SELECT vec_id,
+       |    CAST(list_sum(list_transform(list_zip(embedding, embedding),
+       |      p -> $QDot)) AS BIGINT) AS nrm FROM evref),
+       |scored AS (SELECT a.vec_id, b.vec_id AS match_vec_id,
+       |    CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(
+       |             list_zip(a.embedding, b.embedding), p -> $QDot)) AS DOUBLE)
+       |           / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+       |    END AS cosine
+       |  FROM batch a JOIN bbuckets ba ON ba.vec_id = a.vec_id
+       |  JOIN ebuckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= $radius
+       |  JOIN evref b ON b.vec_id = bb.vec_id
+       |  JOIN bnrm na ON na.vec_id = a.vec_id
+       |  JOIN enrm nb ON nb.vec_id = b.vec_id),
+       |ranked AS (SELECT vec_id, match_vec_id, cosine,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, match_vec_id) AS rk
+       |  FROM scored WHERE cosine IS NOT NULL)
+       |SELECT b.vec_id,
+       |  CAST(coalesce(r.match_vec_id, -1) AS BIGINT) AS match_vec_id,
+       |  CAST(coalesce(r.cosine, -2.0) AS DOUBLE) AS cosine,
+       |  coalesce(r.cosine, -2.0) >= $tau AS contaminated
+       |FROM batch b LEFT JOIN ranked r ON r.vec_id = b.vec_id AND r.rk = 1
+       |ORDER BY b.vec_id""".stripMargin
+
   /** Bounded audit set of [[knnRecall]]: the exact side scores
     * `|audit| · n` dots — LINEAR in corpus size with a fixed audit
     * width, the only shape an exact-vs-approx audit can have at

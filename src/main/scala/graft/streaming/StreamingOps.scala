@@ -161,6 +161,52 @@ object StreamingOps {
     }
   }
 
+  /** Eval-set FIREWALL stream — the enforcement form of the
+    * `q_decontaminate_semantic` audit
+    * ([[graft.operators.SimilarityQueries.evalGuardFor]]): every
+    * micro-batch of incoming training vectors is ring-checked against
+    * the STANDING eval-reference layout and routed per document —
+    * rows whose top-1 eval cosine clears `spark.graft.decontam.tau`
+    * land under `outDir/contaminated` WITH their evidence columns
+    * (matched eval id + cosine — the review queue an operator works
+    * through), the rest under `outDir/clean`. The reference is fixed
+    * by design (admitted rows never join the eval set), so unlike
+    * [[nearDupGateStream]] there is no maintain-the-index leg and no
+    * ordering hazard between batches: verdicts depend only on the
+    * frozen reference, making the gate embarrassingly replayable.
+    * Rides the shared batchId marker; replays are no-ops modulo the
+    * documented sink-then-marker window.
+    */
+  def evalGuardStream(vecs: DataFrame, sfDir: String, outDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    Seq("clean", "contaminated").foreach(d =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(outDir, d)))
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.GraftSession.appliedOnce(
+            java.nio.file.Paths.get(outDir, "_LAST_BATCH"), batchId) {
+            // ONE verdict pass feeds both sinks (the nearDupGateStream
+            // materialization discipline)
+            val v = graft.operators.SimilarityQueries
+              .evalGuardFor(batch.sparkSession, sfDir, batch.toDF())
+              .localCheckpoint()
+            try {
+              graft.GraftSession.clearDeadAppend(s"$outDir/clean")
+              graft.GraftSession.clearDeadAppend(s"$outDir/contaminated")
+              v.where(!col("contaminated")).drop("contaminated")
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(s"$outDir/clean")
+              v.where(col("contaminated")).drop("contaminated")
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(s"$outDir/contaminated")
+            } finally v.unpersist()
+          }
+        ()
+    }
+  }
+
   /** Live distribution-drift gate — the batch-level QA sibling of
     * [[nearDupGateStream]] (which judges documents; this judges whole
     * BATCHES): each micro-batch's language mix is compared to the
