@@ -22,11 +22,14 @@ import java.nio.file.{Files, Paths}
   *                                          sketch, langstats, scriptstats)
   *   door-run <sfDir> <incomingDir> <doorDir> <admittedDir>
   *                        [--no-script-axis] [--len-axis] [--tok-axis] [--knn]
+  *                        [--eval-guard]
   *                                          run the production ingest chain
   *                                          (drift door → near-dup admission
   *                                          → index maintenance, --knn adds
   *                                          knn-graph maintenance over
-  *                                          embedding-bearing batches) over
+  *                                          embedding-bearing batches,
+  *                                          --eval-guard slots the eval-set
+  *                                          firewall before maintenance) over
   *                                          parquet files landing in
   *                                          <incomingDir>, until
   *                                          <doorDir>/stop appears
@@ -173,7 +176,7 @@ object Ctl {
 
     case "door-run" :: sfDir :: incoming :: doorDir :: admitted :: rest
         if rest.forall(Set("--no-script-axis", "--len-axis", "--tok-axis",
-          "--knn")) =>
+          "--knn", "--eval-guard")) =>
       // the spec-pinned composition as a launchable verb
       // (StreamingOps.doorChain; --knn adds the fifth stage over
       // embedding-bearing batches): the spool queue's `stop`
@@ -189,7 +192,8 @@ object Ctl {
             scriptAxis = !rest.contains("--no-script-axis"),
             lenAxis = rest.contains("--len-axis"),
             tokAxis = rest.contains("--tok-axis"),
-            maintainKnn = rest.contains("--knn"))
+            maintainKnn = rest.contains("--knn"),
+            evalGuard = rest.contains("--eval-guard"))
           println(s"door chain running: $incoming -> door($doorDir) -> " +
             s"admit($admitted); stop with: touch $doorDir/stop")
           val stop = Paths.get(doorDir, "stop")

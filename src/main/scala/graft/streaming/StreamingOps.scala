@@ -420,6 +420,13 @@ object StreamingOps {
     * ordering is the cost ladder: distribution QA is a broadcast
     * histogram compare, so a drifted batch never pays a fingerprint
     * pass, and a rejected near-copy never pays an index append.
+    * `evalGuard = true` slots the eval-set firewall
+    * ([[evalGuardStream]]) between admission and maintenance:
+    * admitted rows are ring-checked against the standing eval
+    * reference, contaminated rows divert to
+    * `<admittedDir>_guard/contaminated` with evidence, and BOTH
+    * maintenance stages (index, knn) tail the guard's `clean` dir —
+    * a leaked eval item never reaches a standing index.
     *
     * Checkpoints live INSIDE the respective sink dirs
     * (`doorDir/_checkpoints/…`, `admittedDir/_checkpoints/…`), which
@@ -447,18 +454,20 @@ object StreamingOps {
   def doorChain(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       incomingDir: String, doorDir: String, admittedDir: String,
       scriptAxis: Boolean = true, lenAxis: Boolean = false,
-      tokAxis: Boolean = false, maintainKnn: Boolean = false):
+      tokAxis: Boolean = false, maintainKnn: Boolean = false,
+      evalGuard: Boolean = false):
       Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     import org.apache.spark.sql.types._
-    // with maintainKnn the incoming batches are embedding-bearing:
-    // the vector rides every stage (the door routes it, the gate
-    // admits it) so the knn stage can tail `admitted` exactly like
-    // the index stage does — documents and vectors stay one row
+    // with maintainKnn or evalGuard the incoming batches are
+    // embedding-bearing: the vector rides every stage (the door
+    // routes it, the gate admits it, the guard judges it) so the
+    // downstream stages tail one row per document
+    val embBearing = maintainKnn || evalGuard
     val docSchema0 = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType)))
     val docSchema =
-      if (maintainKnn)
+      if (embBearing)
         docSchema0.add(StructField("embedding", ArrayType(FloatType)))
       else docSchema0
     val routedSchema = docSchema.add(StructField("batch_id", LongType))
@@ -475,25 +484,47 @@ object StreamingOps {
       sfDir, admittedDir)
       .option("checkpointLocation", s"$admittedDir/_checkpoints/gate")
       .start()
+    // the EVAL-GUARD stage (opt-in) slots between admission and the
+    // maintenance stages — the cost-ladder position (a rejected
+    // near-copy never pays a ring check) AND the semantic one: a
+    // contaminated row must never reach a standing index, so the
+    // maintenance stages tail the guard's `clean` dir instead of
+    // `admitted` when the guard is on. Guard sinks + checkpoint live
+    // under `<admittedDir>_guard` — the one-operation reset contract.
+    val guardDir = s"${admittedDir}_guard"
+    val guardQ =
+      if (!evalGuard) Nil
+      else Seq(evalGuardStream(
+        spark.readStream.schema(routedSchema).parquet(admittedDir)
+          .withColumn("vec_id",
+            org.apache.spark.sql.functions.col("doc_id")),
+        sfDir, guardDir)
+        .option("checkpointLocation", s"$guardDir/_checkpoints/guard")
+        .start())
+    val maintainSrcDir = if (evalGuard) s"$guardDir/clean" else admittedDir
+    if (evalGuard)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(maintainSrcDir))
     val maintain = indexMaintainStream(
-      spark.readStream.schema(routedSchema).parquet(admittedDir), sfDir)
+      spark.readStream.schema(routedSchema).parquet(maintainSrcDir), sfDir)
       .option("checkpointLocation", s"$admittedDir/_checkpoints/index")
       .start()
-    // the FIFTH stage (opt-in): admitted embedding-bearing docs tail
-    // into knn-graph maintenance — its own file source over
-    // `admitted` and its own checkpoint, so the knn appends replay
-    // independently of the index stage's (both are batchId-deduped
-    // against their OWN layout markers). One maintaining chain per
-    // knn layout — knnAppendAt's one-writer-by-semantics contract.
+    // the knn stage (opt-in): admitted (and, with the guard on,
+    // clean) embedding-bearing docs tail into knn-graph maintenance —
+    // its own file source and its own checkpoint, so the knn appends
+    // replay independently of the index stage's (both are
+    // batchId-deduped against their OWN layout markers). One
+    // maintaining chain per knn layout — knnAppendAt's
+    // one-writer-by-semantics contract.
     val knn =
       if (!maintainKnn) Nil
       else Seq(knnMaintainStream(
-        spark.readStream.schema(routedSchema).parquet(admittedDir)
+        spark.readStream.schema(routedSchema).parquet(maintainSrcDir)
           .select(org.apache.spark.sql.functions.col("doc_id").as("vec_id"),
             org.apache.spark.sql.functions.col("embedding")), sfDir)
         .option("checkpointLocation", s"$admittedDir/_checkpoints/knn")
         .start())
-    Seq(door, gate, maintain) ++ knn
+    Seq(door, gate) ++ guardQ ++ Seq(maintain) ++ knn
   }
 
   /** Operator release of a quarantined batch back into the `passed`

@@ -208,4 +208,101 @@ class DoorChainSpec extends SparkSpec {
     assert(servedGraph(corpusDir) === servedGraph(union2),
       "the restarted chain's knn graph diverged from the union rebuild")
   }
+
+  test("guarded chain (--eval-guard --knn): a leaked eval vector never reaches a standing index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_chain_guard")
+    val corpusDir = root.resolve("corpus").toString
+    val incoming = root.resolve("incoming").toString
+    val doorDir = root.resolve("door").toString
+    val admitted = root.resolve("admitted").toString
+    def fold(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt(d.take(2).map(b => f"$b%02x").mkString, 16) % 10
+    }
+    val embMap: Map[Long, Seq[Float]] =
+      graft.GraftSession.table(spark, sf(), "embeddings")
+        .where(col("vec_id") < 60).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val seedDocs = (1 to 40).map(i =>
+      ChainDoc(i.toLong, s"corpus document number $i with body text",
+        if (i % 2 == 0) "en" else "de"))
+    seedDocs.toDF().write.mode("overwrite")
+      .parquet(s"$corpusDir/documents.parquet")
+    (1 to 40).map(i => (i.toLong, embMap(i.toLong)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+    // the eval reference the guard will build = seed ids in fold 9
+    val evalId = (1L to 40L).find(fold(_) == 9).get
+    val retained = (1L to 40L).filter(fold(_) != 9).take(5).toSeq
+
+    // batch: doc 100 carries an EXACT COPY of an eval vector (the
+    // leak); 101..105 carry copies of retained seed vectors
+    // (ordinary traffic — near-dups of the CORPUS are the knn tier's
+    // business, not the firewall's)
+    val embOf: Map[Long, Seq[Float]] =
+      (Seq(100L -> embMap(evalId)) ++
+        (101L to 105L).zip(retained).map { case (d, s) => d -> embMap(s) }).toMap
+    val batch = (100 to 105).map(i => ChainDoc(i.toLong,
+      s"fresh novel wording item $i entirely different phrasing",
+      if (i % 2 == 0) "en" else "de"))
+    def drain(qs: Seq[org.apache.spark.sql.streaming.StreamingQuery]): Unit = {
+      var again = true
+      while (again) {
+        val before = qs.map(q =>
+          Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
+        qs.foreach(_.processAllAvailable())
+        again = before != qs.map(q =>
+          Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
+      }
+    }
+    val chain = StreamingOps.doorChain(spark, corpusDir, incoming, doorDir,
+      admitted, scriptAxis = true, maintainKnn = true, evalGuard = true)
+    assert(chain.size === 5, "the guarded knn chain must run five streams")
+    try {
+      batch.map(d => (d.doc_id, d.text, d.lang, embOf(d.doc_id)))
+        .toDF("doc_id", "text", "lang", "embedding")
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("embedding").cast("array<float>"))
+        .coalesce(1).write.mode("append").parquet(incoming)
+      drain(chain)
+    } finally chain.foreach(_.stop())
+
+    // the gate admitted everything (novel text), the guard diverted
+    // exactly the leak — with its evidence
+    assert(spark.read.parquet(admitted)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === (100L to 105L))
+    val cont = spark.read.parquet(s"${admitted}_guard/contaminated")
+      .select("doc_id", "match_vec_id", "cosine").collect()
+    assert(cont.map(_.getLong(0)).toSeq === Seq(100L))
+    assert(cont(0).getLong(1) === evalId)
+    assert(cont(0).getDouble(2) > 0.9999)
+    assert(spark.read.parquet(s"${admitted}_guard/clean")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === (101L to 105L))
+    // the standing indexes saw only the clean rows: the leaked vector
+    // is absent from the knn layout, and the graph equals a rebuild
+    // over (seed ∪ clean)
+    val vecs = spark.read.parquet(
+      s"${graft.operators.SimilarityQueries.knnLayoutPath(corpusDir)}/vecs")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!vecs.contains(100L), "the leaked vector reached the knn layout")
+    assert((101L to 105L).forall(vecs.contains))
+    val union = root.resolve("union").toString
+    ((1 to 40).map(i => (i.toLong, embMap(i.toLong))) ++
+      (101L to 105L).map(id => id -> embOf(id)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$union/embeddings.parquet")
+    def servedGraph(dir: String): Seq[Seq[Any]] =
+      graft.operators.SimilarityQueries.knnGraphIndexed(spark, dir)
+        .collect().map(_.toSeq).toSeq
+    assert(servedGraph(corpusDir).nonEmpty)
+    assert(servedGraph(corpusDir) === servedGraph(union),
+      "guarded chain's knn graph diverged from the clean-union rebuild")
+  }
 }
