@@ -1452,9 +1452,11 @@ object SimilarityQueries {
     * training pipeline runs at ingest). Every batch row comes back
     * with its top-1 eval match within the probe ring (the audit's
     * sentinel convention for empty rings) and a `contaminated`
-    * verdict at [[decontamTau]]. Candidates are a broadcast-sized
-    * bucket equi-join against the standing reference — batch·ring
-    * bounded, reference never rescanned. Batch contract: `vec_id`
+    * verdict at [[decontamTau]]. Candidates are a bucket equi-join
+    * against the standing reference — batch·ring bounded, reference
+    * never rescanned, broadcast left to the optimizer (real parquet
+    * size stats; an unusually large registry shuffles instead of
+    * blowing a forced broadcast). Batch contract: `vec_id`
     * unique within the batch, `embedding` present; other columns
     * ride through untouched.
     */
@@ -1474,8 +1476,13 @@ object SimilarityQueries {
       .localCheckpoint(true) // batch-bounded
     val probes = inc.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array(probeColsFor(p, radius): _*)).as("probe"))
+    // bucket equi-join, NO forced broadcast: typical eval registries
+    // auto-broadcast (the reference is a freshly-scanned parquet with
+    // real size stats), but the registry is not bounded by
+    // construction — a huge one must be allowed to shuffle; either
+    // way the candidate set is batch·ring bounded
     val top1 = probes.as("a")
-      .join(broadcast(ev).as("b"), col("a.probe") === col("b.bucket"))
+      .join(ev.as("b"), col("a.probe") === col("b.bucket"))
       .select(col("a.vec_id").as("vec_id"),
         col("b.vec_id").as("match_vec_id"),
         when(col("a.nrm") === 0 || col("b.nrm") === 0, lit(0d)).otherwise(
