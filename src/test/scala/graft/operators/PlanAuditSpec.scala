@@ -372,4 +372,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("decontaminateSemantic: ring is an equi-join, never a nested loop") {
+    val plan = planOf(SimilarityQueries.decontaminateSemanticScan(
+      spark, sf(), 1))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the per-eval-item top-1 combines map-side with bounded hash
+    // aggregate state — the candidate stream is never sort-aggregated
+    // (the output orderBy and the bounded left-outer spine may sort;
+    // those relations are eval-item-sized, not candidate-sized)
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
+  test("evalGuardFor: reference probe is an equi-join, never a nested loop") {
+    import spark.implicits._
+    val batch = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 5)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val plan = planOf(SimilarityQueries.evalGuardFor(spark, sf(), batch))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("knnRecall exact side: the bounded audit set broadcasts — a nested-loop by DESIGN, corpus never shuffles") {
+    // the exact-audit pass is |audit|·n dots with the capped audit set
+    // on the broadcast side: BroadcastNestedLoopJoin is the intended
+    // shape here (no equi-key exists for an exact all-pairs score) —
+    // this pins that the CORPUS side streams instead of shuffling or
+    // being broadcast itself
+    val emb = graft.GraftSession.table(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val audit = emb.where(col("vec_id") < 4096L)
+    val exact = broadcast(audit).as("a")
+      .join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+    val plan = planOf(exact)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
