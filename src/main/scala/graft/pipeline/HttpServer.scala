@@ -53,6 +53,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
   *                                 markers), each with n_docs and the
   *                                 per-axis drift readings an operator
   *                                 weighs before /door/release
+  *   GET    /guard/contaminated    (with a guard dir attached) the eval
+  *                                 firewall's REVIEW QUEUE — diverted
+  *                                 rows with their evidence columns
+  *                                 (matched eval id, cosine), embeddings
+  *                                 omitted; ?limit / ?since as /door/audit
+  *   GET    /guard/stats           {"clean":N,"contaminated":N}
   *   POST   /door/release/{id}     feed an inspection-cleared batch to
   *                                 the passed flow (= Ctl
   *                                 quarantine-release); refusals
@@ -80,11 +86,18 @@ object HttpServer {
   def start(spool: String, port: Int): JdkHttpServer =
     start(spool, port, None, () => graft.GraftSession.build())
 
-  /** Full form: `doorDir` attaches the drift-door verbs;
+  def start(spool: String, port: Int, doorDir: Option[String],
+      sparkProvider: () => org.apache.spark.sql.SparkSession): JdkHttpServer =
+    start(spool, port, doorDir, None, sparkProvider)
+
+  /** Full form: `doorDir` attaches the drift-door verbs, `guardDir`
+    * the eval-firewall verbs (the `<admittedDir>_guard` tree a guarded
+    * [[graft.streaming.StreamingOps.doorChain]] writes);
     * `sparkProvider` supplies the session they need (lazily invoked —
     * specs pass their own session, [[main]] builds one on first use).
     */
   def start(spool: String, port: Int, doorDir: Option[String],
+      guardDir: Option[String],
       sparkProvider: () => org.apache.spark.sql.SparkSession): JdkHttpServer = {
     val queue = Files.createDirectories(Paths.get(spool, "queue"))
     val srv = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -245,6 +258,42 @@ object HttpServer {
       respond(ex, 200, s"""{"id":${jsonStr(name)}}""")
     }
 
+    // generic value → JSON, covering the audit's v2 nesting (the
+    // axes map of structs) so the feeds need no per-schema code —
+    // shared by the door and guard verb blocks
+    def jval(v: Any): String = v match {
+      case null => "null"
+      case s: String => jsonStr(s)
+      case m: Map[_, _] => m.toSeq
+        .map { case (k, mv) => s"${jsonStr(String.valueOf(k))}:${jval(mv)}" }
+        .sorted.mkString("{", ",", "}")
+      case r: org.apache.spark.sql.Row if r.schema != null =>
+        r.schema.fieldNames.zipWithIndex
+          .map { case (f, i) =>
+            s"${jsonStr(f)}:${jval(if (r.isNullAt(i)) null else r.get(i))}" }
+          .mkString("{", ",", "}")
+      case sq: Seq[_] => sq.map(jval).mkString("[", ",", "]")
+      case other => other.toString
+    }
+    def rowJson(r: org.apache.spark.sql.Row): String = jval(r)
+    def qparam(ex: HttpExchange, k: String): Option[String] =
+      Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+        .collectFirst { case kv if kv.startsWith(k + "=") => kv.stripPrefix(k + "=") }
+    // a sink dir's data rows, or None in its normal bootstrap state
+    // (dir absent or marker/temp files only)
+    def sinkDf(dir: java.nio.file.Path): Option[org.apache.spark.sql.DataFrame] = {
+      val hasRows = Files.isDirectory(dir) && {
+        val l = Files.list(dir)
+        try l.iterator().asScala.exists { p =>
+          val fn = p.getFileName.toString
+          Files.isRegularFile(p) && !fn.startsWith("_") && !fn.startsWith(".")
+        } finally l.close()
+      }
+      if (!hasRows) None
+      else Some(sparkProvider().read
+        .option("mergeSchema", "true").parquet(dir.toString))
+    }
+
     doorDir.foreach { dd =>
       lazy val spark = sparkProvider()
 
@@ -278,27 +327,6 @@ object HttpServer {
         if (!hasRows) None
         else Some(spark.read.option("mergeSchema", "true").parquet(dir.toString))
       }
-      // generic value → JSON, covering the audit's v2 nesting (the
-      // axes map of structs) so the feed needs no per-schema code
-      def jval(v: Any): String = v match {
-        case null => "null"
-        case s: String => jsonStr(s)
-        case m: Map[_, _] => m.toSeq
-          .map { case (k, mv) => s"${jsonStr(String.valueOf(k))}:${jval(mv)}" }
-          .sorted.mkString("{", ",", "}")
-        case r: org.apache.spark.sql.Row if r.schema != null =>
-          r.schema.fieldNames.zipWithIndex
-            .map { case (f, i) =>
-              s"${jsonStr(f)}:${jval(if (r.isNullAt(i)) null else r.get(i))}" }
-            .mkString("{", ",", "}")
-        case sq: Seq[_] => sq.map(jval).mkString("[", ",", "]")
-        case other => other.toString
-      }
-      def rowJson(r: org.apache.spark.sql.Row): String = jval(r)
-      def qparam(ex: HttpExchange, k: String): Option[String] =
-        Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
-          .collectFirst { case kv if kv.startsWith(k + "=") => kv.stripPrefix(k + "=") }
-
       srv.createContext("/door", (ex: HttpExchange) => {
         try {
           val rest = ex.getRequestURI.getPath.stripPrefix("/door")
@@ -431,6 +459,47 @@ object HttpServer {
       })
     }
 
+    guardDir.foreach { gd =>
+      srv.createContext("/guard", (ex: HttpExchange) => {
+        try {
+          val rest = ex.getRequestURI.getPath.stripPrefix("/guard")
+            .stripPrefix("/").split("/").toList.filter(_.nonEmpty)
+          (ex.getRequestMethod, rest) match {
+            // the REVIEW QUEUE: contaminated rows with their evidence
+            // columns (matched eval id, cosine), embeddings omitted —
+            // the operator reads evidence, not vectors. Same cap/page
+            // contract as /door/audit: ?limit=N (default 10000) keeps
+            // the most recent rows, ?since=B pages on batch_id.
+            case ("GET", List("contaminated")) =>
+              val since = qparam(ex, "since").flatMap(_.toLongOption)
+              val limit = qparam(ex, "limit").flatMap(_.toIntOption)
+                .filter(_ >= 0).getOrElse(10000)
+              val rows = sinkDf(Paths.get(gd, "contaminated")) match {
+                case None => Seq.empty[String]
+                case Some(df0) =>
+                  val df1 = df0.drop("embedding")
+                  val df = since.fold(df1)(b =>
+                    df1.where(org.apache.spark.sql.functions.col("batch_id") > b))
+                  df.orderBy(
+                    org.apache.spark.sql.functions.col("batch_id").desc,
+                    org.apache.spark.sql.functions.col("vec_id").desc)
+                    .limit(limit).collect().reverse.map(rowJson).toSeq
+              }
+              respond(ex, 200, rows.mkString("""{"contaminated":[""", ",", "]}"))
+            // sink totals — the one-line health readout an ingest
+            // dashboard polls (counts are metadata-cheap on parquet)
+            case ("GET", List("stats")) =>
+              def n(d: String): Long =
+                sinkDf(Paths.get(gd, d)).map(_.count()).getOrElse(0L)
+              respond(ex, 200,
+                s"""{"clean":${n("clean")},"contaminated":${n("contaminated")}}""")
+            case (m, p) =>
+              err(ex, 405, s"unsupported: $m /guard/${p.mkString("/")}")
+          }
+        } catch { case e: Exception => err(ex, 500, String.valueOf(e.getMessage)) }
+      })
+    }
+
     srv.createContext("/pause", (ex: HttpExchange) => {
       val p = Paths.get(spool, "pause")
       ex.getRequestMethod match {
@@ -471,12 +540,14 @@ object HttpServer {
 
   def main(args: Array[String]): Unit = {
     val spool = args.headOption.getOrElse(
-      sys.error("usage: HttpServer <spoolDir> [port] [doorDir]"))
+      sys.error("usage: HttpServer <spoolDir> [port] [doorDir] [guardDir]"))
     val port = args.lift(1).map(_.toInt).getOrElse(8289)
     val door = args.lift(2)
-    val srv = start(spool, port, door, () => graft.GraftSession.build())
+    val guard = args.lift(3)
+    val srv = start(spool, port, door, guard, () => graft.GraftSession.build())
     println(s"graft task API on http://127.0.0.1:${srv.getAddress.getPort} (spool: $spool" +
-      door.map(d => s", door: $d").getOrElse("") + ")")
+      door.map(d => s", door: $d").getOrElse("") +
+      guard.map(g => s", guard: $g").getOrElse("") + ")")
     // park the main thread; the JDK server runs on its own executor
     Thread.currentThread.join()
   }

@@ -403,6 +403,16 @@ object ScalingProbe {
         // layout, so one timed run per fold is the number — no
         // build/serve split)
         val docNames = keep(Seq("q_winnow_align"))
+        // the eval-guard ladder: the reference fold-9 registry grows
+        // ~linearly with the corpus while the probe batch stays 30
+        // rows, so the SERVE row (second run, evalref layout standing)
+        // must stay ~flat — the eval-derived plane count pinning the
+        // reference's bucket populations is what's being measured.
+        // The audit (q_decontaminate_semantic) scales BOTH sides with
+        // the corpus — an expected-linear row, one timed run like the
+        // winnow family (no standing layout of its own).
+        val guardNames = keep(Seq("q_eval_guard"))
+        val auditNames = keep(Seq("q_decontaminate_semantic"))
         names.flatMap { n =>
           val firsts = ksAbove.map(k => k -> time(n, aboveDirs(k))).toMap
           val serves = ksAbove.map(k => k -> time(n, aboveDirs(k))).toMap
@@ -411,13 +421,24 @@ object ScalingProbe {
           docNames.map { n =>
             n -> ksAbove.map(k => k -> time(n, aboveDirs(k))).toMap
           }.toMap ++
+          guardNames.flatMap { n =>
+            val firsts = ksAbove.map(k => k -> time(n, aboveDirs(k))).toMap
+            val serves = ksAbove.map(k => k -> time(n, aboveDirs(k))).toMap
+            Seq(s"${n}_build" -> firsts, n -> serves)
+          }.toMap ++
+          auditNames.map { n =>
+            n -> ksAbove.map(k => k -> time(n, aboveDirs(k))).toMap
+          }.toMap ++
           // the derived plane count per fold, read back from the built
-          // layout's meta — the evidence that p actually stepped
-          Some("knn_planes" -> ksAbove.map { k =>
+          // layout's meta — the evidence that p actually stepped;
+          // emitted only when the knn rows ran (a filtered probe of
+          // other operators has no layout to read)
+          (if (names.isEmpty) None
+           else Some("knn_planes" -> ksAbove.map { k =>
             val meta = s"${graft.operators.SimilarityQueries.knnLayoutPath(aboveDirs(k))}/meta"
             k -> (try spark.read.parquet(meta).head.getInt(0).toDouble
                   catch { case _: Throwable => -1d })
-          }.toMap)
+          }.toMap))
       }
 
     def render(m: Map[String, Map[Int, Double]]): String =
@@ -438,7 +459,7 @@ object ScalingProbe {
     val aboveBlock =
       if (above.isEmpty) ""
       else s""","above_floor":{${render(above)}}"""
-    println(s"""{"metric":"scaling","sf_base":"$baseJson","caveat":"self-union multiplies duplicate groups; pair-family output grows ~k^2 by construction; the 'real' block folds WITHOUT duplicating groups (per-copy content perturbation), isolating the operator's true slope; 'above_floor' is the real-shaped 16/32/64/128x ladder (each point when maxK allows) where the derived knn plane count steps (knn_planes row) - *_build = cold layout build + serve, bare name = standing-layout serve, q_winnow_align = the doc-side row (no standing layout, one timed run); doc folds use keyed full-alphabet substitutions (distinct per copy - r14's 17-rotation 16x ceiling is gone), embedding folds the rot x flip orthogonal family (distinct to 4096x)","linear":{${render(linear)}},"pairs":{${render(pairs)}},"real":{${render(real)}}$aboveBlock}""")
+    println(s"""{"metric":"scaling","sf_base":"$baseJson","caveat":"self-union multiplies duplicate groups; pair-family output grows ~k^2 by construction; the 'real' block folds WITHOUT duplicating groups (per-copy content perturbation), isolating the operator's true slope; 'above_floor' is the real-shaped 16/32/64/128x ladder (each point when maxK allows) where the derived knn plane count steps (knn_planes row) - *_build = cold layout build + serve, bare name = standing-layout serve, q_winnow_align = the doc-side row (no standing layout, one timed run); q_eval_guard_build/q_eval_guard = the eval firewall ladder (reference registry grows with the fold, probe batch fixed at 30 rows - serve must stay ~flat) and q_decontaminate_semantic = the audit's expected-linear row; doc folds use keyed full-alphabet substitutions (distinct per copy - r14's 17-rotation 16x ceiling is gone), embedding folds the rot x flip orthogonal family (distinct to 4096x)","linear":{${render(linear)}},"pairs":{${render(pairs)}},"real":{${render(real)}}$aboveBlock}""")
     spark.stop()
   }
 }

@@ -186,4 +186,48 @@ class HttpDoorSpec extends SparkSpec {
     assert(audit(0).getAs[String]("event") === "released")
     assert(audit(0).getAs[Long]("batch_id") === 3L)
   }
+
+  test("guard verbs: review queue with evidence, embeddings omitted; stats") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def fold(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt(d.take(2).map(b => f"$b%02x").mkString, 16) % 10
+    }
+    val emb = graft.GraftSession.table(spark, sf(), "embeddings")
+      .select("vec_id", "embedding").collect()
+    val leakSrc = emb.find(r => fold(r.getLong(0)) == 9).get
+    val okSrc = emb.find(r => fold(r.getLong(0)) != 9).get
+    val guardDir = java.nio.file.Files
+      .createTempDirectory("graft_hd_guard").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.evalGuardStream(
+      input.toDF().toDF("vec_id", "embedding"), sf(), guardDir).start()
+    try {
+      input.addData((7000001L, leakSrc.getSeq[Float](1)),
+        (7000002L, okSrc.getSeq[Float](1)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val spool = java.nio.file.Files.createTempDirectory("graft_hd_spool4").toString
+    val srv = HttpServer.start(spool, 0, None, Some(guardDir), () => spark)
+    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    try {
+      val (cc, cb) = req(base, "GET", "/guard/contaminated")
+      assert(cc === 200, cb)
+      assert(cb.contains(""""vec_id":7000001"""), cb)
+      assert(cb.contains(s""""match_vec_id":${leakSrc.getLong(0)}"""), cb)
+      assert(cb.contains(""""cosine":"""), cb)
+      assert(!cb.contains("embedding"), cb) // evidence, not vectors
+      assert(!cb.contains("7000002"), cb)
+      // paging contract shared with /door/audit
+      assert(req(base, "GET", "/guard/contaminated?since=999999")._2
+        === """{"contaminated":[]}""")
+      assert(req(base, "GET", "/guard/stats") ===
+        ((200, """{"clean":1,"contaminated":1}""")))
+      assert(req(base, "GET", "/guard/nope")._1 === 405)
+    } finally srv.stop(0)
+  }
 }
