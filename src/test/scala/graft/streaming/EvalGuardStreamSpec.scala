@@ -67,4 +67,29 @@ class EvalGuardStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
     assert(batchV === Seq((5000001L, true), (5000002L, false)))
   }
+
+  test("a corpus restamp rebuilds the eval reference (staleness contract)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evalref_stale").toString
+    val emb = graft.GraftSession.table(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val evalId = graft.GraftSession.table(spark, sf(), "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).find(fold(_) == 9).get
+    // v1 corpus WITHOUT that eval vector: a copy of it must pass
+    emb.where(col("vec_id") =!= evalId)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val probe = emb.where(col("vec_id") === evalId)
+      .select(lit(8000001L).as("vec_id"), col("embedding"))
+    val v1 = SimilarityQueries.evalGuardFor(spark, dir, probe)
+      .select("contaminated").collect()(0).getBoolean(0)
+    assert(!v1, "vector absent from the reference must pass")
+    // v2 corpus WITH it: the layout must rebuild at the new stamp and
+    // the same probe must now be diverted
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val v2 = SimilarityQueries.evalGuardFor(spark, dir, probe)
+      .select("contaminated").collect()(0).getBoolean(0)
+    assert(v2, "a stale reference served after the corpus restamp")
+  }
 }
