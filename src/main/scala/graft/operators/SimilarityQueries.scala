@@ -1388,6 +1388,58 @@ object SimilarityQueries {
        |FROM f LEFT JOIN ranked r ON r.eval_id = f.vec_id AND r.rk = 1
        |WHERE f.is_eval ORDER BY eval_id""".stripMargin
 
+  /** Embedding PREFLIGHT health audit — the check a pipeline runs
+    * before building any index over a new embedding drop: NULL
+    * vectors, NULL elements, non-finite elements (an encoder that
+    * NaN'd silently poisons every downstream cosine), zero-norm
+    * vectors (undefined direction — the ANN/knn tiers score them 0 by
+    * contract, but a SPIKE of them is an encoder bug), and dimension
+    * drift (min/max length — a mixed-dim drop breaks the quantized
+    * dot's zip contract, which is exactly the malformed-row case the
+    * similarity tier's score-null filters exclude). One row, pure
+    * narrow aggregation at scan speed — no shuffle beyond the final
+    * single-row combine; norms ride the same integer quantization as
+    * every similarity op, so the bounds are engine-exact.
+    */
+  def embeddingHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = table(spark, sfDir, "embeddings")
+    val nonfinite = exists(col("embedding"), x =>
+      isnan(x) || x === lit(Float.PositiveInfinity) ||
+        x === lit(Float.NegativeInfinity))
+    val nullElem = exists(col("embedding"), x => x.isNull)
+    val nrm = quantDot(col("embedding"), col("embedding"))
+    e.agg(
+      count(lit(1)).as("n_vectors"),
+      count(when(col("embedding").isNull, 1)).as("n_null_vec"),
+      count(when(nullElem, 1)).as("n_null_elem"),
+      count(when(nonfinite, 1)).as("n_nonfinite"),
+      count(when(nrm === 0, 1)).as("n_zero_norm"),
+      min(size(col("embedding"))).cast("long").as("dim_min"),
+      max(size(col("embedding"))).cast("long").as("dim_max"),
+      min(nrm).as("norm_q_min"),
+      max(nrm).as("norm_q_max"))
+  }
+
+  def embeddingHealthSql: String =
+    s"""WITH e AS (SELECT embedding,
+       |    list_bool_or(list_transform(embedding, x -> x IS NULL)) AS null_elem,
+       |    list_bool_or(list_transform(embedding,
+       |      x -> isnan(x) OR isinf(x))) AS nonfinite,
+       |    CAST(list_sum(list_transform(list_zip(embedding, embedding),
+       |      p -> $QDot)) AS BIGINT) AS nrm,
+       |    len(embedding) AS dim
+       |  FROM embeddings)
+       |SELECT count(*) AS n_vectors,
+       |  count(CASE WHEN embedding IS NULL THEN 1 END) AS n_null_vec,
+       |  count(CASE WHEN null_elem THEN 1 END) AS n_null_elem,
+       |  count(CASE WHEN nonfinite THEN 1 END) AS n_nonfinite,
+       |  count(CASE WHEN nrm = 0 THEN 1 END) AS n_zero_norm,
+       |  CAST(min(dim) AS BIGINT) AS dim_min,
+       |  CAST(max(dim) AS BIGINT) AS dim_max,
+       |  CAST(min(nrm) AS BIGINT) AS norm_q_min,
+       |  CAST(max(nrm) AS BIGINT) AS norm_q_max
+       |FROM e""".stripMargin
+
   // ------------------------------------ eval-set firewall (the guard)
   /** Contamination threshold of [[evalGuardFor]]: an incoming vector
     * whose max cosine against the eval reference is ≥ τ is diverted.
