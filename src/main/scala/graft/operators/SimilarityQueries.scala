@@ -2190,6 +2190,42 @@ object SimilarityQueries {
     knnGraphAt(spark, layout)
   }
 
+  /** HUBNESS audit of the knn graph — the classic ANN-quality metric:
+    * how many vectors list each vector among their top-[[KnnK]]
+    * (graph in-degree). A hub (in-degree ≫ k) is a vector the LSH
+    * geometry puts "near everything" — hubs inflate mutual-edge
+    * density, distort duplicate clustering and soak up PageRank mass,
+    * so a curation pass wants the worst offenders listed before
+    * trusting the graph's consumers. Reports the 20 highest in-degree
+    * vectors (ties broken by id). Serves from the standing layout:
+    * one bounded re-aggregation (≤ k·n edge rows) plus a
+    * map-side-combining count — detection-output cost, never a
+    * corpus rescan.
+    */
+  def knnHubness(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphIndexed(spark, sfDir)
+      .groupBy("neighbor_id")
+      .agg(count(lit(1)).as("in_degree"))
+      .orderBy(col("in_degree").desc, col("neighbor_id"))
+      .limit(20)
+
+  def knnHubnessSql(radius: Int = KnnProbeRadiusDefault): String =
+    s"""WITH $knnRingCtes,
+       |scored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      p -> $QDot)) AS BIGINT) AS score
+       |  FROM embeddings a JOIN buckets ba ON ba.vec_id = a.vec_id
+       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= $radius
+       |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id),
+       |ranked AS (SELECT vec_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored WHERE score IS NOT NULL)
+       |SELECT neighbor_id, count(*) AS in_degree
+       |FROM ranked WHERE rank <= $KnnK
+       |GROUP BY neighbor_id
+       |ORDER BY in_degree DESC, neighbor_id LIMIT 20""".stripMargin
+
   /** The serving re-aggregation: edge partials → final ranked top-k
     * rows (shared by the full serve and the pruned lookup).
     */

@@ -369,4 +369,25 @@ class KnnIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$layout/vecs").count() === vecsBefore)
     assert(served(layout) === once)
   }
+
+  test("knnHubness: a planted star's center tops the in-degree ranking") {
+    import org.apache.spark.sql.functions._
+    // 50 natural vectors + 10 exact copies of vector 0: every copy's
+    // top-k ranks vector 0 first among its identical-score neighbors
+    // (the (score desc, id asc) tie rule — id 0 is the smallest), so
+    // the star center's in-degree must be >= the copy count and rank
+    // first overall
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 50).select("vec_id", "embedding")
+    val copies = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") === 0)
+      .crossJoin(spark.range(100, 110).select(col("id")))
+      .select(col("id").as("vec_id"), col("embedding"))
+    val dir = corpusDir(base.unionByName(copies))
+    val hubs = SimilarityQueries.knnHubness(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hubs.nonEmpty)
+    assert(hubs(0)._1 === 0L, s"star center should top the ranking: ${hubs.take(3).toSeq}")
+    assert(hubs(0)._2 >= 10L, s"center in-degree below the copy count: ${hubs(0)}")
+  }
 }
