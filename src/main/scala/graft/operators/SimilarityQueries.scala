@@ -2226,6 +2226,93 @@ object SimilarityQueries {
        |GROUP BY neighbor_id
        |ORDER BY in_degree DESC, neighbor_id LIMIT 20""".stripMargin
 
+  /** MARGIN-corrected near-dup scoring — the hubness FIX beside the
+    * [[knnHubness]] audit (the ratio margin of Artetxe & Schwenk's
+    * bitext mining, applied to near-dup candidates): a pair's raw
+    * cosine is discounted by how close each endpoint sits to its
+    * whole neighborhood — margin = 2k·cos(x,y) / (Σ top-k cos(x) +
+    * Σ top-k cos(y)) — so a HUB's uniformly-high cosines stop
+    * producing false "duplicates" while a genuinely isolated pair
+    * (top-1 far above its neighborhoods) ranks up. Integer-exact end
+    * to end: per-pair cosines quantize to ppm BEFORE any sum (float
+    * sums are merge-order-dependent; integer sums commute — the
+    * drift-kernel discipline), and the final ratio is one positive
+    * integer division, so both engines agree bit for bit. Serves from
+    * the standing cosine partials (detection-output cost, ≤ k rows of
+    * state per vector); margin is defined only where BOTH endpoints
+    * carry a full k-ring and all quantities are positive — an
+    * under-populated ring is [[knnOutliers]]'s business, not a margin
+    * denominator. Reports the 20 highest-margin directed pairs.
+    */
+  def knnMargin(spark: SparkSession, sfDir: String): DataFrame = {
+    val layout = knnLayout(spark, sfDir)
+    knnMarginAt(spark, layout)
+  }
+
+  private[operators] def knnMarginAt(spark0: SparkSession,
+      layout: String): DataFrame = {
+    val n = spark0.read.parquet(s"$layout/vecs").count()
+    val spark = knnSession(spark0, n)
+    val topk = spark.read.parquet(s"$layout/cedges")
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKPairs.topK(KnnK,
+        col("cosine"), col("neighbor_id")).as("nbrs"))
+      .where(size(col("nbrs")) === KnnK)
+      .select(col("vec_id"),
+        element_at(col("nbrs"), 1).getField("id").as("neighbor_id"),
+        floor(element_at(col("nbrs"), 1).getField("score") * 1000000d)
+          .cast("long").as("cos1_ppm"),
+        aggregate(col("nbrs"), lit(0L), (acc, nb) =>
+          acc + floor(nb.getField("score") * 1000000d).cast("long"))
+          .as("sum_ppm"))
+      .localCheckpoint(true) // n-bounded
+    topk.as("x")
+      .join(topk.select(col("vec_id").as("nid"), col("sum_ppm").as("sum_y"))
+        .as("y"), col("x.neighbor_id") === col("y.nid"))
+      .where(col("cos1_ppm") > 0 && col("sum_ppm") + col("sum_y") > 0)
+      .select(col("vec_id"), col("neighbor_id"), col("cos1_ppm"),
+        expr(s"(cos1_ppm * ${2 * KnnK} * 1000000) div (sum_ppm + sum_y)")
+          .as("margin_ppm"))
+      .orderBy(col("margin_ppm").desc, col("vec_id")).limit(20)
+  }
+
+  def knnMarginSql(radius: Int = KnnProbeRadiusDefault): String =
+    s"""WITH $knnRingCtes,
+       |nrm AS MATERIALIZED (SELECT vec_id,
+       |    CAST(list_sum(list_transform(list_zip(embedding, embedding),
+       |      p -> $QDot)) AS BIGINT) AS nrm
+       |  FROM embeddings),
+       |cscored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(
+       |             list_zip(a.embedding, b.embedding), p -> $QDot)) AS DOUBLE)
+       |           / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+       |    END AS cosine
+       |  FROM embeddings a JOIN buckets ba ON ba.vec_id = a.vec_id
+       |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= $radius
+       |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
+       |  JOIN nrm na ON na.vec_id = a.vec_id
+       |  JOIN nrm nb ON nb.vec_id = b.vec_id),
+       |ranked AS (SELECT vec_id, neighbor_id,
+       |    CAST(floor(cosine * 1000000) AS BIGINT) AS c_ppm,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM cscored WHERE cosine IS NOT NULL),
+       |topk AS (SELECT vec_id, neighbor_id, c_ppm, rank
+       |  FROM ranked WHERE rank <= $KnnK),
+       |agg AS (SELECT vec_id,
+       |    CAST(sum(c_ppm) AS BIGINT) AS sum_ppm,
+       |    CAST(max(CASE WHEN rank = 1 THEN neighbor_id END) AS BIGINT)
+       |      AS neighbor_id,
+       |    CAST(max(CASE WHEN rank = 1 THEN c_ppm END) AS BIGINT) AS cos1_ppm
+       |  FROM topk GROUP BY vec_id HAVING count(*) = $KnnK)
+       |SELECT x.vec_id, x.neighbor_id, x.cos1_ppm,
+       |  CAST((x.cos1_ppm * ${2 * KnnK} * 1000000)
+       |    // (x.sum_ppm + y.sum_ppm) AS BIGINT) AS margin_ppm
+       |FROM agg x JOIN agg y ON y.vec_id = x.neighbor_id
+       |WHERE x.cos1_ppm > 0 AND x.sum_ppm + y.sum_ppm > 0
+       |ORDER BY margin_ppm DESC, x.vec_id LIMIT 20""".stripMargin
+
   /** The serving re-aggregation: edge partials → final ranked top-k
     * rows (shared by the full serve and the pruned lookup).
     */

@@ -370,6 +370,38 @@ class KnnIndexSpec extends SparkSpec {
     assert(served(layout) === once)
   }
 
+  test("knnMargin: an isolated duplicate pair out-ranks a dense clique") {
+    import org.apache.spark.sql.functions._
+    // corpus: 50 natural vectors + a 10-copy CLIQUE of vector 0 + ONE
+    // extra copy of vector 30. Clique members' top-k are all mutual
+    // 1.0s, so their margin collapses to ~1.0 (2k·c1 / 2·(k·c1)) —
+    // the hub discount; the isolated pair (30, 200) has c1 = 1.0 over
+    // an otherwise-random neighborhood, so its margin stays well
+    // above. The margin ranking must lead with the isolated pair in
+    // BOTH directions.
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 50).select("vec_id", "embedding")
+    val clique = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") === 0)
+      .crossJoin(spark.range(100, 110).select(col("id")))
+      .select(col("id").as("vec_id"), col("embedding"))
+    val loner = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") === 30)
+      .select(lit(200L).as("vec_id"), col("embedding"))
+    val dir = corpusDir(base.unionByName(clique).unionByName(loner))
+    val m = SimilarityQueries.knnMargin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(m.nonEmpty)
+    val top2 = m.take(2).map(t => (t._1, t._2)).toSet
+    assert(top2 === Set((30L, 200L), (200L, 30L)),
+      s"isolated pair should lead the margin ranking: ${m.take(4).toSeq}")
+    // clique members sit at the ~1.0 discount floor, strictly below
+    val cliqueMargins = m
+      .filter(t => t._1 == 0L || (t._1 >= 100L && t._1 < 110L)).map(_._3)
+    assert(cliqueMargins.forall(_ < m.head._3),
+      s"clique margins should be discounted below the isolated pair")
+  }
+
   test("knnHubness: a planted star's center tops the in-degree ranking") {
     import org.apache.spark.sql.functions._
     // 50 natural vectors + 10 exact copies of vector 0: every copy's
