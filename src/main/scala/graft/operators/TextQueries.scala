@@ -1737,26 +1737,135 @@ object TextQueries {
     */
   def invIndexCompact(spark: SparkSession, sfDir: String): String = {
     val layout = invIndexLayout(spark, sfDir)
-    graft.GraftSession.compactPartitioned(spark, s"$layout/postings", "tb")
-    // stats partials MERGE back to one row (the sketch-layout
-    // semantic-compaction rule): N appends leave N delta rows; the
-    // summed relation is invariant
-    graft.GraftSession.compactSnapshot(spark, s"$layout/stats", (df, staged) => df
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_tokens")).as("t_tokens"))
-      .coalesce(1).write.mode("overwrite").parquet(staged))
+    val tomb = tombstonesOf(spark, layout)
+    // postings re-pack; with tombstones pending, the rewrite also
+    // applies the deletes PHYSICALLY (the LSM compaction rule)
+    graft.GraftSession.compactSnapshot(spark, s"$layout/postings",
+      (df, staged) => tomb.fold(df)(t =>
+          df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+        .repartition(col("tb"))
+        .write.partitionBy("tb").mode("overwrite").parquet(staged))
+    // stats: recomputed from the surviving postings — invariant when
+    // no deletes are pending (postings are the stats' source of
+    // truth), and the healer for the documented forget crash window
+    // (tombstones committed, delta not) when they are
+    graft.GraftSession.compactSnapshot(spark, s"$layout/stats", (_, staged) =>
+      spark.read.parquet(s"$layout/postings")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          coalesce(sum(col("tf")), lit(0L)).as("t_tokens"))
+        .coalesce(1).write.mode("overwrite").parquet(staged))
+    // deletes are physical now; tombstones retire LAST (a crash above
+    // leaves them pending — the anti-join of already-absent rows is a
+    // no-op and the next compaction clears them)
+    graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/tombstones"))
     layout
   }
 
+  /** The layout's deletion tombstones (doc ids a [[invIndexForget]]
+    * call hid), or None in the normal no-deletions state. Deletion
+    * requests are people-scale, so the relation is bounded and
+    * broadcastable by construction.
+    */
+  private def tombstonesOf(spark: SparkSession,
+      layout: String): Option[DataFrame] = {
+    val dir = java.nio.file.Paths.get(layout, "tombstones")
+    val hasRows = java.nio.file.Files.isDirectory(dir) && {
+      val l = java.nio.file.Files.list(dir)
+      try l.filter(p =>
+        java.nio.file.Files.isRegularFile(p) && {
+          val fn = p.getFileName.toString
+          !fn.startsWith("_") && !fn.startsWith(".")
+        }).findFirst().isPresent
+      finally l.close()
+    }
+    if (!hasRows) None
+    else Some(spark.read.parquet(dir.toString).select("doc_id").distinct())
+  }
+
+  /** Deletion propagation INTO the standing text index — the
+    * governance half `q_forget`'s table-level pass cannot do: a
+    * forgotten document must stop being SERVABLE from the index, not
+    * just vanish from the corpus parquet. Immutable-layout deletes
+    * are tombstones + compaction (the LSM discipline the reference's
+    * backing store itself uses): this appends the ids to
+    * `<layout>/tombstones` and a NEGATIVE stats partial (the victims'
+    * doc/token contribution, measured from the index itself, so BM25's
+    * idf/avgdl stay exact), every retrieval read applies the bounded
+    * tombstone anti-join via [[postingsFor]], and the next
+    * [[invIndexCompact]] makes the delete physical. Ordering is
+    * privacy-first: tombstones commit BEFORE the stats delta, so the
+    * crash window hides the document with conservatively-high stats
+    * (and compaction recomputes stats from the surviving postings,
+    * healing any such skew). Idempotent: already-tombstoned ids
+    * contribute nothing, so a retried request never double-subtracts.
+    * Returns (docs newly hidden, their token count).
+    */
+  def invIndexForget(spark: SparkSession, sfDir: String,
+      ids: Seq[Long]): (Long, Long) = {
+    require(ids.nonEmpty, "forget request carries no ids")
+    val layout = invIndexLayout(spark, sfDir)
+    import spark.implicits._
+    val victims0 = spark.read.parquet(s"$layout/postings")
+      .where(col("doc_id").isin(ids: _*))
+    val victims = tombstonesOf(spark, layout)
+      .fold(victims0)(t => victims0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val row = victims
+      .agg(countDistinct(col("doc_id")).as("dn"),
+        coalesce(sum(col("tf")), lit(0L)).as("dt")).head()
+    val (dn, dt) = (row.getLong(0), row.getLong(1))
+    if (dn > 0) {
+      graft.GraftSession.clearDeadAppend(s"$layout/tombstones")
+      ids.distinct.toDF("doc_id").coalesce(1)
+        .write.mode("append").parquet(s"$layout/tombstones")
+      graft.GraftSession.clearDeadAppend(s"$layout/stats")
+      Seq((-dn, -dt)).toDF("n_docs", "t_tokens").coalesce(1)
+        .write.mode("append").parquet(s"$layout/stats")
+    }
+    (dn, dt)
+  }
+
+  /** Registered forget-propagation gate: a fixture COPY of the corpus
+    * (the standing sfDir index must not be mutated under the other
+    * registered retrieval queries) gets its index built, a
+    * deterministic people-scale cohort (`doc_id % 97 == 0`, the
+    * `q_forget` convention) forgotten through [[invIndexForget]], and
+    * BM25 served from the TOMBSTONED index — which must equal the
+    * oracle's BM25 over `documents` minus the cohort, idf/avgdl
+    * included (the negative stats partial is what keeps them exact).
+    * Idempotent across reruns: an already-tombstoned cohort
+    * contributes nothing on the second pass.
+    */
+  def forgetIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${graft.GraftSession.fixtureRoot(sfDir)}/forget_corpus"
+    val docsOut = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    if (!java.nio.file.Files.exists(docsOut.resolve("_SUCCESS"))) {
+      table(spark, sfDir, "documents")
+        .write.mode("overwrite").parquet(docsOut.toString)
+    }
+    val ids = spark.read.parquet(docsOut.toString)
+      .where(pmod(col("doc_id"), lit(97)) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    invIndexForget(spark, dir, ids)
+    bm25Topk(spark, dir)
+  }
+
+  def forgetIndexSql: String = bm25TopkSqlOver("doc_id % 97 <> 0")
+
   /** Postings for `terms`: the bucket filter prunes at the FILE
     * LISTING (PartitionFilters, plan-pinned), the term filter drops
-    * bucket-mates inside the ≤|terms| directories read.
+    * bucket-mates inside the ≤|terms| directories read; deletion
+    * tombstones, when present, apply as one broadcast anti-join —
+    * EVERY retrieval consumer reads through here, so forget reaches
+    * bm25/search/phrase/proximity/highlight/fusion in one hook.
     */
   private def postingsFor(spark: SparkSession, sfDir: String,
       terms: Seq[String]): DataFrame = {
     val layout = invIndexLayout(spark, sfDir)
     val buckets = terms.map(termBucket).distinct
-    spark.read.parquet(s"$layout/postings")
+    val base = spark.read.parquet(s"$layout/postings")
       .where(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
+    tombstonesOf(spark, layout)
+      .fold(base)(t => base.join(broadcast(t), Seq("doc_id"), "left_anti"))
   }
 
   /** The standing stats as ONE row — the relation on disk is a set of
@@ -1854,12 +1963,18 @@ object TextQueries {
       .agg(sum(col("contrib")).as("bm25_ppm"), count(lit(1)).as("n_terms"))
   }
 
-  def bm25TopkSql: String = {
+  def bm25TopkSql: String = bm25TopkSqlOver("TRUE")
+
+  /** [[bm25TopkSql]] with a document predicate — the forget gate's
+    * oracle replays retrieval over `documents` minus the forgotten
+    * cohort, which is exactly what the tombstoned index must serve.
+    */
+  def bm25TopkSqlOver(docFilter: String): String = {
     val terms = sqlList(Bm25Terms)
     s"""WITH base AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
-       |  FROM documents WHERE len(trim(text)) > 0),
+       |  FROM documents WHERE len(trim(text)) > 0 AND ($docFilter)),
        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |                 CAST(sum(dl) AS BIGINT) AS t_tokens FROM base),
        |tf AS (
