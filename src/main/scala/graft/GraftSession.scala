@@ -95,6 +95,48 @@ object GraftSession {
   def clearDeadAppend(dir: String): Unit =
     deleteRec(java.nio.file.Paths.get(dir, "_temporary"))
 
+  /** The deletion tombstones standing in `dir` — ids a `*Forget` call
+    * hid from a standing layout's serving reads — or None in the
+    * normal no-deletions state (the fast path: one directory listing,
+    * no parquet read). Deletion requests are people-scale, so the
+    * relation is bounded and broadcastable by construction — every
+    * serving hook applies it as one broadcast anti-join. Shared by
+    * the invindex/simhash/ivfpq/knn forget paths so the
+    * dir-has-data-files probe cannot drift between layouts.
+    */
+  def tombstonesIn(spark: SparkSession, dir: java.nio.file.Path,
+      idCol: String): Option[DataFrame] = {
+    val hasRows = java.nio.file.Files.isDirectory(dir) && {
+      val l = java.nio.file.Files.list(dir)
+      try l.filter(p =>
+        java.nio.file.Files.isRegularFile(p) && {
+          val fn = p.getFileName.toString
+          !fn.startsWith("_") && !fn.startsWith(".")
+        }).findFirst().isPresent
+      finally l.close()
+    }
+    if (!hasRows) None
+    else Some(spark.read.parquet(dir.toString).select(idCol).distinct())
+  }
+
+  /** The shared forget-gate fixture: a COPY of the corpus tables the
+    * registered `q_forget_*` queries mutate (tombstones + standing
+    * layouts), so the per-sf layouts every OTHER registered query
+    * serves from are never touched. Written once per sf dir; the
+    * copies are value-identical to the source tables, which is what
+    * lets each forget oracle replay over the driver's own tables with
+    * a `% 97` cohort filter.
+    */
+  def forgetFixtureDir(spark: SparkSession, sfDir: String): String = {
+    val dir = s"${fixtureRoot(sfDir)}/forget_corpus"
+    for (t <- Seq("documents", "embeddings")) {
+      val out = java.nio.file.Paths.get(s"$dir/$t.parquet")
+      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
+        table(spark, sfDir, t).write.mode("overwrite").parquet(out.toString)
+    }
+    dir
+  }
+
   /** Compact a `partitionBy(partCol)` parquet tree back to ≤1 file per
     * partition directory: append-maintained layouts gain one file per
     * touched partition per append, and probe cost grows with file

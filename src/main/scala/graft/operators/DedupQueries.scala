@@ -772,15 +772,89 @@ object DedupQueries {
     val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/simhash_v$SimhashLayoutVersion"
     graft.GraftSession.ensureLayout(spark, layout, s"$sfDir/documents.parquet") {
       // a rebuild is a new corpus snapshot — void any streaming
-      // maintenance batch marker from the previous one
+      // maintenance batch marker from the previous one, a crashed
+      // compaction's staging tree, and the tombstones (they hid docs
+      // of the PREVIOUS snapshot; the rebuild follows the source, and
+      // a source still carrying the docs needs the forget re-issued)
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(layout, "_LAST_BATCH"))
+      graft.GraftSession.deleteRec(
+        java.nio.file.Paths.get(s"$layout/fp_compacting"))
+      graft.GraftSession.deleteRec(
+        java.nio.file.Paths.get(s"$layout/tombstones"))
       // fingerprints under a subdir: the parquet overwrite clears its
       // own dir, and the stamp marker lives beside it, not inside it
       simhashCompute(spark, sfDir).write.mode("overwrite")
         .parquet(s"$layout/fp")
     }
     s"$layout/fp"
+  }
+
+  /** Whether a standing simhash fingerprint layout exists for `sfDir`
+    * — Ctl's "nothing to compact / forget" guard (the
+    * [[graft.operators.TextQueries.invIndexPresent]] sibling).
+    */
+  def simhashPresent(sfDir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/simhash_v$SimhashLayoutVersion/fp/_SUCCESS"))
+
+  private def simhashTombDir(fp: String): java.nio.file.Path =
+    java.nio.file.Paths.get(fp).getParent.resolve("tombstones")
+
+  /** Deletion propagation INTO the standing fingerprint index — the
+    * [[graft.operators.TextQueries.invIndexForget]] sibling: a
+    * forgotten document must stop participating in near-dup pairing,
+    * clustering, canonical picks AND the admission gate (a re-upload
+    * of a forgotten document is NEW data, not a near-duplicate of
+    * something we no longer hold). Immutable-layout deletes are
+    * tombstones + compaction: the ids append to
+    * `<layout>/tombstones`, every consumer reads through
+    * [[simhashDf]]'s bounded broadcast anti-join, and the next
+    * [[simhashCompact]] applies the delete physically. Fingerprints
+    * have no stats leg, so the port is the tombstone append alone —
+    * idempotent (already-tombstoned ids contribute nothing to the
+    * returned newly-hidden count and are never re-appended as work).
+    * Returns the number of docs newly hidden.
+    */
+  def simhashForget(spark: SparkSession, sfDir: String,
+      ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "forget request carries no ids")
+    val fp = simhashLayout(spark, sfDir)
+    import spark.implicits._
+    val standing = spark.read.parquet(fp)
+      .where(col("doc_id").isin(ids: _*)).select("doc_id")
+    val fresh = graft.GraftSession
+      .tombstonesIn(spark, simhashTombDir(fp), "doc_id")
+      .fold(standing)(t =>
+        standing.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val dn = fresh.distinct().count()
+    if (dn > 0) {
+      graft.GraftSession.clearDeadAppend(simhashTombDir(fp).toString)
+      ids.distinct.toDF("doc_id").coalesce(1)
+        .write.mode("append").parquet(simhashTombDir(fp).toString)
+    }
+    dn
+  }
+
+  /** Standing-layout compaction for the fingerprint relation — file
+    * re-pack (appends fragment the flat dir) plus the physical half
+    * of [[simhashForget]]: victim rows drop during the rewrite and
+    * the tombstones retire LAST (a crash above leaves them pending;
+    * the anti-join of already-absent rows is a no-op and the next
+    * compaction clears them). Target file count is the session's
+    * shuffle parallelism — the 8-byte-per-doc relation is ~8 GB at
+    * 10⁹ docs, so a fixed file count would mis-size at either end.
+    */
+  def simhashCompact(spark: SparkSession, sfDir: String): String = {
+    val fp = simhashLayout(spark, sfDir)
+    val tomb = graft.GraftSession
+      .tombstonesIn(spark, simhashTombDir(fp), "doc_id")
+    graft.GraftSession.compactSnapshot(spark, fp, (df, staged) =>
+      tomb.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .write.mode("overwrite").parquet(staged))
+    graft.GraftSession.deleteRec(simhashTombDir(fp))
+    fp
   }
 
   /** Incremental fingerprint maintenance — the
@@ -935,8 +1009,44 @@ object DedupQueries {
     ()
   }
 
-  private def simhashDf(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(simhashLayout(spark, sfDir))
+  /** The standing fingerprint relation — EVERY simhash consumer
+    * (pairing, clustering, canonical pick, edit-distance funnel, the
+    * admission gate) reads through here, so deletion tombstones, when
+    * present, reach all of them in one bounded broadcast anti-join
+    * (the [[graft.operators.TextQueries]] `postingsFor` hook shape).
+    */
+  private def simhashDf(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = simhashLayout(spark, sfDir)
+    val base = spark.read.parquet(fp)
+    graft.GraftSession.tombstonesIn(spark, simhashTombDir(fp), "doc_id")
+      .fold(base)(t => base.join(broadcast(t), Seq("doc_id"), "left_anti"))
+  }
+
+  /** Registered forget-propagation gate for the fingerprint index
+    * (the [[graft.operators.TextQueries.forgetIndex]] sibling): on
+    * the shared fixture COPY of the corpus, the `q_forget` cohort
+    * (`doc_id % 97 == 0`) is forgotten through [[simhashForget]] and
+    * the near-dup pairs are served from the TOMBSTONED layout — which
+    * must equal the oracle's pairs over `documents` minus the cohort.
+    * Banding is per-document, so filtering pairs by endpoint in the
+    * oracle is exactly removing the docs before banding. Idempotent
+    * across reruns.
+    */
+  def forgetSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.GraftSession.forgetFixtureDir(spark, sfDir)
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .where(pmod(col("doc_id"), lit(97)) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    simhashForget(spark, dir, ids)
+    dedupSimhashPairs(spark, dir)
+  }
+
+  def forgetSimhashSql: String =
+    s"""WITH $simhashCandCte
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |  AND doc_a % 97 <> 0 AND doc_b % 97 <> 0
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private def simhashCompute(spark: SparkSession, sfDir: String): DataFrame =
     simhashOf(table(spark, sfDir, "documents"))

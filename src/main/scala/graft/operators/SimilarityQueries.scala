@@ -474,9 +474,13 @@ object SimilarityQueries {
       layout: String): Unit = {
     // a rebuild voids a crashed compaction's staging tree (its
     // manifest would otherwise merge old-corpus codes into the fresh
-    // layout — the invIndexLayout rebuild discipline)
+    // layout — the invIndexLayout rebuild discipline) and the
+    // tombstones (they hid vectors of the PREVIOUS corpus snapshot;
+    // the rebuild follows the source)
     graft.GraftSession.deleteRec(
       java.nio.file.Paths.get(s"$layout/codes_compacting"))
+    graft.GraftSession.deleteRec(
+      java.nio.file.Paths.get(s"$layout/tombstones"))
     val books = pqTrain(spark, sfDir)
     val cents = ivfCentroids(spark, sfDir)
     pqEncode(table(spark, sfDir, "embeddings"), books, cents)
@@ -567,9 +571,87 @@ object SimilarityQueries {
     */
   def ivfPqCompact(spark: SparkSession, sfDir: String): String = {
     val layout = ivfPqLayout(spark, sfDir)
-    graft.GraftSession.compactPartitioned(spark, s"$layout/codes", "cell")
+    ivfPqTombstones(spark, layout) match {
+      case None =>
+        graft.GraftSession.compactPartitioned(spark, s"$layout/codes", "cell")
+      case Some(t) =>
+        // the physical half of ivfPqForget: victim code rows drop
+        // during the per-cell re-pack; tombstones retire LAST (a
+        // crash above leaves them pending — the serving anti-join of
+        // already-absent rows is a no-op and the next compaction
+        // clears them)
+        graft.GraftSession.compactSnapshot(spark, s"$layout/codes",
+          (df, staged) => df
+            .join(broadcast(t), Seq("vec_id"), "left_anti")
+            .repartition(col("cell"))
+            .write.partitionBy("cell").mode("overwrite").parquet(staged))
+        graft.GraftSession.deleteRec(
+          java.nio.file.Paths.get(s"$layout/tombstones"))
+    }
     layout
   }
+
+  private def ivfPqTombstones(spark: SparkSession,
+      layout: String): Option[DataFrame] =
+    graft.GraftSession.tombstonesIn(spark,
+      java.nio.file.Paths.get(layout, "tombstones"), "vec_id")
+
+  /** Deletion propagation INTO the standing IVF-PQ index — the ANN
+    * serving tier's [[graft.operators.TextQueries.invIndexForget]]
+    * sibling: a forgotten vector must stop being RETRIEVABLE. The ids
+    * append to `<layout>/tombstones`; the probe's candidate read
+    * ([[annIvfPqAt]]) applies the bounded broadcast anti-join BEFORE
+    * the ADC ranking (a victim must not occupy a rerank slot, let
+    * alone a result row), and the next [[ivfPqCompact]] applies the
+    * delete physically. The frozen codebooks/centroids stay: they are
+    * trained AGGREGATES over the old corpus, not per-vector rows — a
+    * regime that requires erasing a vector's influence on the trained
+    * quantizer rebuilds via [[buildIvfPq]] from the purged source,
+    * exactly the documented re-train path. Idempotent: an
+    * already-tombstoned id contributes nothing to the returned count
+    * and is never re-appended. Returns the number of vectors newly
+    * hidden.
+    */
+  def ivfPqForget(spark: SparkSession, sfDir: String,
+      ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "forget request carries no ids")
+    val layout = ivfPqLayout(spark, sfDir)
+    import spark.implicits._
+    val standing = spark.read.parquet(s"$layout/codes")
+      .where(col("vec_id").isin(ids: _*)).select("vec_id")
+    val fresh = ivfPqTombstones(spark, layout)
+      .fold(standing)(t =>
+        standing.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    val dn = fresh.distinct().count()
+    if (dn > 0) {
+      graft.GraftSession.clearDeadAppend(s"$layout/tombstones")
+      ids.distinct.toDF("vec_id").coalesce(1)
+        .write.mode("append").parquet(s"$layout/tombstones")
+    }
+    dn
+  }
+
+  /** Registered forget-propagation gate for the ANN index: on the
+    * shared fixture COPY, the `q_forget` cohort (`vec_id % 97 == 0`)
+    * is forgotten through [[ivfPqForget]] and the probe served from
+    * the TOMBSTONED layout — which must equal the oracle's replay
+    * with the same filter applied at the same place (candidate
+    * selection; training replays over the FULL corpus exactly like
+    * the frozen on-disk books). The cohort includes vec_id 0 — the
+    * fixture's query vector — which is the sharper test: the query
+    * is an external input and keeps working, but the vector itself
+    * must vanish from the result (it was rank 1 by self-similarity).
+    */
+  def forgetAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.GraftSession.forgetFixtureDir(spark, sfDir)
+    val ids = table(spark, dir, "embeddings")
+      .where(pmod(col("vec_id"), lit(97)) === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    ivfPqForget(spark, dir, ids)
+    annIvfPq(spark, dir)
+  }
+
+  def forgetAnnSql: String = annIvfPqSqlOver("c.vec_id % 97 <> 0")
 
   private[operators] def ivfPqLayout(spark: SparkSession, sfDir: String): String = {
     val layout = s"${graft.GraftSession.fixtureRoot(sfDir)}/ivfpq_v$IvfPqVersion"
@@ -634,9 +716,16 @@ object SimilarityQueries {
     val adc = (0 until PqM).map(s =>
       element_at(typedLit(adcTab(s)), col(s"c$s").cast("int") + 1)).reduce(_ + _)
     // candidates materialize eagerly (PqRerank rows) so nothing from
-    // the probe plan is pinned across calls
-    val cand = spark.read.parquet(s"$layout/codes")
+    // the probe plan is pinned across calls; deletion tombstones,
+    // when present, drop BEFORE the ADC ranking (a victim must not
+    // occupy a rerank slot) — the cell filter still prunes partition
+    // dirs (it pushes below the anti-join's probe side)
+    val codes0 = spark.read.parquet(s"$layout/codes")
       .where(col("cell").isin(qCells: _*)) // prunes partition dirs
+    val codes = ivfPqTombstones(spark, layout)
+      .fold(codes0)(t =>
+        codes0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    val cand = codes
       .select(col("vec_id"), adc.as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(PqRerank)
@@ -658,7 +747,15 @@ object SimilarityQueries {
     * re-rank all agree bit for bit (verified at sf0.001/0.01/0.1).
     * Closes the last `no_oracle` gap from round 7.
     */
-  def annIvfPqSql: String = {
+  def annIvfPqSql: String = annIvfPqSqlOver("TRUE")
+
+  /** The IVF-PQ oracle with a serving-side filter (`c` = the codes
+    * row) — `TRUE` for the plain probe; the forget gate passes the
+    * cohort exclusion, mirroring exactly where the Spark side applies
+    * its tombstone anti-join (candidate selection; the training CTEs
+    * stay unfiltered like the frozen on-disk books).
+    */
+  private def annIvfPqSqlOver(serveFilter: String): String = {
     val qd2 = "(CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(floor(p[2]*1000000) AS BIGINT))" +
       " * (CAST(floor(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(floor(p[2]*1000000) AS BIGINT))"
     val span = 16 // 64 dims / PqM subspaces
@@ -714,7 +811,7 @@ object SimilarityQueries {
        |adc AS (SELECT c.vec_id, sum(t.t) AS adc
        |  FROM vcodes c JOIN adct t ON c.s = t.s AND c.cell = t.cell
        |  JOIN vcell vc ON vc.vec_id = c.vec_id
-       |  WHERE vc.cid IN (SELECT cid FROM qcells)
+       |  WHERE vc.cid IN (SELECT cid FROM qcells) AND ($serveFilter)
        |  GROUP BY 1),
        |cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT $PqRerank),
        |scored AS (SELECT e.vec_id,
@@ -1275,13 +1372,23 @@ object SimilarityQueries {
   }
 
   def knnGraphSql(radius: Int = KnnProbeRadiusDefault): String =
+    knnGraphSqlOver(radius, "TRUE")
+
+  /** The graph oracle with a serving-side pair filter (`a`/`b` = the
+    * two embeddings rows) — `TRUE` for the plain graph; the forget
+    * gate passes the cohort exclusion on BOTH endpoints, mirroring
+    * the tombstone anti-joins. The plane-derivation CTE stays over
+    * the FULL corpus, matching the layout's frozen build-time count.
+    */
+  private def knnGraphSqlOver(radius: Int, pairFilter: String): String =
     s"""WITH $knnRingCtes,
        |scored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
        |      p -> $QDot)) AS BIGINT) AS score
        |  FROM embeddings a JOIN buckets ba ON ba.vec_id = a.vec_id
        |  JOIN buckets bb ON bit_count(xor(ba.bucket, bb.bucket)) <= $radius
-       |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id),
+       |  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
+       |  WHERE $pairFilter),
        |ranked AS (SELECT vec_id, neighbor_id, score,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY score DESC, neighbor_id) AS rank
@@ -1979,6 +2086,11 @@ object SimilarityQueries {
       java.nio.file.Paths.get(s"$layout/cedges_compacting"))
     graft.GraftSession.deleteRec(
       java.nio.file.Paths.get(s"$layout/vecs_compacting"))
+    // tombstones hid vectors of the PREVIOUS corpus snapshot; the
+    // rebuild follows the source (re-issue the forget if the source
+    // still carries them — the invIndexLayout rebuild discipline)
+    graft.GraftSession.deleteRec(
+      java.nio.file.Paths.get(s"$layout/tombstones"))
     knnDropDerived(layout) // derived relations follow the edge state
     val radius = knnProbeRadius(spark)
     val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
@@ -2118,11 +2230,13 @@ object SimilarityQueries {
     // replay the batch's vec rows may already stand, and they must
     // not double as corpus (the candidate sets — and therefore the
     // appended partials — must be byte-identical across replays).
+    // Tombstoned vectors are excluded too (knnReadVecs): a forgotten
+    // vector must not re-enter as a NEW vector's neighbor.
     // The dual partial sets derive from ONE candidate pass here,
     // OUTSIDE the stage closures: the agg result is batch-proportional
     // and deterministic, so a partial replay recomputes it once and
     // each committed stage still skips its write.
-    val old = spark.read.parquet(s"$layout/vecs")
+    val old = knnReadVecs(spark, layout)
       .join(broadcast(newIds), Seq("vec_id"), "left_anti")
     val affOld = old
       .where(col("kb").isin(affKb.toSeq: _*))
@@ -2161,20 +2275,221 @@ object SimilarityQueries {
     layout
   }
 
-  private[operators] def knnCompactAt(spark0: SparkSession, layout: String): Unit = {
-    graft.GraftSession.compactPartitioned(spark0, s"$layout/vecs", "kb")
+  // ------------------------------ deletion propagation (knn graph)
+  private def knnTombDir(layout: String): java.nio.file.Path =
+    java.nio.file.Paths.get(layout, "tombstones")
+
+  private def knnTombOf(spark: SparkSession,
+      layout: String): Option[DataFrame] =
+    graft.GraftSession.tombstonesIn(spark, knnTombDir(layout), "vec_id")
+
+  /** The layout's vector spine with deletion tombstones applied —
+    * every consumer that treats vecs as "the corpus" (serve spines,
+    * the mutual relation's norms, an append's old-corpus side) reads
+    * through here, so a forgotten vector can neither appear in a
+    * result nor re-enter as a NEW vector's neighbor.
+    */
+  private[operators] def knnReadVecs(spark: SparkSession,
+      layout: String): DataFrame = {
+    val base = spark.read.parquet(s"$layout/vecs")
+    knnTombOf(spark, layout).fold(base)(t =>
+      base.join(broadcast(t), Seq("vec_id"), "left_anti"))
+  }
+
+  /** A partial relation (`edges` or `cedges`) with tombstones applied
+    * to BOTH endpoints: a victim serves no list of its own and
+    * vanishes from everyone else's — two bounded broadcast
+    * anti-joins, the one hook all partial consumers share.
+    */
+  private def knnReadPartials(spark: SparkSession, layout: String,
+      sub: String): DataFrame = {
+    val base = spark.read.parquet(s"$layout/$sub")
+    knnTombOf(spark, layout).fold(base) { t =>
+      base
+        .join(broadcast(t), Seq("vec_id"), "left_anti")
+        .join(broadcast(t.select(col("vec_id").as("neighbor_id"))),
+          Seq("neighbor_id"), "left_anti")
+    }
+  }
+
+  /** HEAL the partial relations after a forget — the exactness half
+    * of [[knnForget]]: hiding a victim's rows removes it from every
+    * survivor's list, but a survivor whose true top-k CONTAINED the
+    * victim now serves k−1 rows while a rebuild over the remaining
+    * corpus would promote its (k+1)-th ring neighbor, which the
+    * bounded partials discarded at build time. So every AFFECTED
+    * survivor (one with a standing partial row pointing at any
+    * tombstoned id — a superset of "victim in served top-k", bounded
+    * by the victims' in-degree across generations) gets ONE fresh
+    * ring pass over the remaining corpus, and only the pairs NOT
+    * already standing append. The anti-join on (vec_id, neighbor_id)
+    * preserves the layout's one-row-per-pair invariant (a duplicate
+    * would occupy two k-slots in the serve aggregation) and makes the
+    * heal REPLAY-IDEMPOTENT by construction: a second pass finds
+    * every fresh pair standing and appends nothing — no marker
+    * needed. Cost: one scan of the k·n edge relation to find the
+    * affected set, plus an affected-proportional ring join — never a
+    * corpus×corpus pass.
+    */
+  private def knnHealAt(spark0: SparkSession, layout: String): Unit = {
+    val tombOpt = knnTombOf(spark0, layout)
+    if (tombOpt.isEmpty) return
+    val meta = spark0.read.parquet(s"$layout/meta").head
+    val (p, radius) = (meta.getInt(0), meta.getInt(2))
     val n = spark0.read.parquet(s"$layout/vecs").count()
     val spark = knnSession(spark0, n)
+    val tomb = knnTombOf(spark, layout).get.localCheckpoint(true)
+    val tombN = tomb.select(col("vec_id").as("neighbor_id"))
+    val rawE = spark.read.parquet(s"$layout/edges")
+    val rawC = spark.read.parquet(s"$layout/cedges")
+    val affIds = rawE.join(broadcast(tombN), Seq("neighbor_id"), "left_semi")
+      .select("vec_id")
+      .unionByName(rawC.join(broadcast(tombN), Seq("neighbor_id"), "left_semi")
+        .select("vec_id"))
+      .distinct()
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // bounded: victims' in-degree across gens
+    if (affIds.count() == 0) return
+    val remaining = knnReadVecs(spark, layout)
+    val aff = remaining.join(broadcast(affIds), Seq("vec_id"), "left_semi")
+    val (dots, coss) = knnBothPartials(knnCandidates(aff, remaining, p, radius))
+    val standE = rawE.join(broadcast(affIds), Seq("vec_id"), "left_semi")
+      .select("vec_id", "neighbor_id")
+    val dotsNew = dots
+      .join(standE, Seq("vec_id", "neighbor_id"), "left_anti")
+      .localCheckpoint(true) // ≤ k·|affected| rows
+    val standC = rawC.join(broadcast(affIds), Seq("vec_id"), "left_semi")
+      .select("vec_id", "neighbor_id")
+    val cossNew = coss
+      .join(standC, Seq("vec_id", "neighbor_id"), "left_anti")
+      .localCheckpoint(true)
+    if (dotsNew.count() > 0) {
+      graft.GraftSession.clearDeadAppend(s"$layout/edges")
+      dotsNew.repartition(col("kb"))
+        .write.partitionBy("kb").mode("append").parquet(s"$layout/edges")
+    }
+    if (cossNew.count() > 0) {
+      graft.GraftSession.clearDeadAppend(s"$layout/cedges")
+      cossNew.repartition(col("kb"))
+        .write.partitionBy("kb").mode("append").parquet(s"$layout/cedges")
+    }
+  }
+
+  /** Deletion propagation INTO the standing knn graph — the graph
+    * tier's [[graft.operators.TextQueries.invIndexForget]] sibling,
+    * with the one wrinkle the bounded-partials design adds: hiding a
+    * victim is not enough, because survivors whose top-k contained it
+    * must get their (k+1)-th neighbor PROMOTED for the serve to equal
+    * a rebuild over the remaining corpus (spec-pinned equal, graph
+    * and outlier partials both). Ordering is privacy-first: derived
+    * relations drop FIRST (they embed victim edges), tombstones
+    * commit SECOND (from here no victim row is servable anywhere),
+    * and the heal leg runs LAST — a crash in between leaves affected
+    * survivors serving conservatively SHORT lists, never a forgotten
+    * row, and both the next forget call and the next
+    * [[knnCompactAt]] re-run the idempotent heal. Consumers inherit
+    * in one hop: clusters/centrality/representatives rebuild their
+    * derived relations from the tombstone-filtered serve; the
+    * admission of future appends reads the corpus through
+    * [[knnReadVecs]], so a forgotten vector never re-enters as a new
+    * vector's neighbor. The frozen planes stay (corpus-derived
+    * AGGREGATE, not per-vector data — the ivfPqForget codebook
+    * rationale). Returns the number of vectors newly hidden.
+    */
+  def knnForget(spark: SparkSession, sfDir: String, ids: Seq[Long]): Long =
+    knnForgetAt(spark, knnLayout(spark, sfDir), ids)
+
+  private[operators] def knnForgetAt(spark0: SparkSession, layout: String,
+      ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "forget request carries no ids")
+    // derived mutual/ranks embed victim edges: drop FIRST (idempotent)
+    knnDropDerived(layout)
+    val n = spark0.read.parquet(s"$layout/vecs").count()
+    val spark = knnSession(spark0, n)
+    import spark.implicits._
+    val standing = spark.read.parquet(s"$layout/vecs")
+      .where(col("vec_id").isin(ids: _*)).select("vec_id")
+    val fresh = knnTombOf(spark, layout).fold(standing)(t =>
+      standing.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    val dn = fresh.distinct().count()
+    if (dn > 0) {
+      graft.GraftSession.clearDeadAppend(knnTombDir(layout).toString)
+      ids.distinct.toDF("vec_id").coalesce(1)
+        .write.mode("append").parquet(knnTombDir(layout).toString)
+    }
+    // heal runs whenever tombstones stand — a rerun after a crashed
+    // heal (dn == 0) still repairs; a fully-healed layout appends
+    // nothing (the anti-join idempotence)
+    knnHealAt(spark, layout)
+    dn
+  }
+
+  /** Registered forget-propagation gate for the knn graph: on the
+    * shared fixture COPY, the `q_forget` cohort (`vec_id % 97 == 0`)
+    * is forgotten through [[knnForget]] and the full graph served
+    * from the TOMBSTONED layout — which must equal the oracle's ring
+    * top-k over `embeddings` minus the cohort at the SAME plane count
+    * (the ring CTE derives planes from the full corpus count, exactly
+    * matching the layout's frozen build-time planes). The heal leg is
+    * what makes this row pass: without it, every survivor that
+    * listed a victim would serve a short list where the oracle
+    * promotes the next ring neighbor.
+    */
+  def forgetKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.GraftSession.forgetFixtureDir(spark, sfDir)
+    val ids = table(spark, dir, "embeddings")
+      .where(pmod(col("vec_id"), lit(97)) === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    knnForget(spark, dir, ids)
+    knnGraphIndexed(spark, dir)
+  }
+
+  def forgetKnnSql: String =
+    knnGraphSqlOver(KnnProbeRadiusDefault,
+      "a.vec_id % 97 <> 0 AND b.vec_id % 97 <> 0")
+
+  private[operators] def knnCompactAt(spark0: SparkSession, layout: String): Unit = {
+    // a crashed forget may have tombstoned without healing:
+    // compaction is the healer of record (idempotent — a healed
+    // layout appends nothing), and it must run BEFORE the physical
+    // delete below collapses the partials
+    knnHealAt(spark0, layout)
+    val tombOpt = knnTombOf(spark0, layout)
+    tombOpt match {
+      case None =>
+        graft.GraftSession.compactPartitioned(spark0, s"$layout/vecs", "kb")
+      case Some(t0) =>
+        // the physical half of knnForget: victim vec rows drop during
+        // the re-pack (tombstones retire after the partials below)
+        val t = t0.localCheckpoint(true)
+        graft.GraftSession.compactSnapshot(spark0, s"$layout/vecs",
+          (df, staged) => df
+            .join(broadcast(t), Seq("vec_id"), "left_anti")
+            .repartition(col("kb"))
+            .write.partitionBy("kb").mode("overwrite").parquet(staged))
+    }
+    val n = spark0.read.parquet(s"$layout/vecs").count()
+    val spark = knnSession(spark0, n)
+    def dropVictims(df: DataFrame): DataFrame = tombOpt.fold(df) { _ =>
+      val t = knnTombOf(spark, layout).get
+      df.join(broadcast(t), Seq("vec_id"), "left_anti")
+        .join(broadcast(t.select(col("vec_id").as("neighbor_id"))),
+          Seq("neighbor_id"), "left_anti")
+    }
     graft.GraftSession.compactSnapshot(spark, s"$layout/edges", (df, staged) =>
-      knnPartialsOf(df.select(col("vec_id"), col("bucket").as("vbucket"),
+      knnPartialsOf(dropVictims(df).select(col("vec_id"), col("bucket").as("vbucket"),
           col("neighbor_id"), col("score")))
         .repartition(col("kb"))
         .write.partitionBy("kb").mode("overwrite").parquet(staged))
     graft.GraftSession.compactSnapshot(spark, s"$layout/cedges", (df, staged) =>
-      knnCosPartialsOf(df.select(col("vec_id"), col("bucket").as("vbucket"),
+      knnCosPartialsOf(dropVictims(df).select(col("vec_id"), col("bucket").as("vbucket"),
           col("neighbor_id"), col("cosine")))
         .repartition(col("kb"))
         .write.partitionBy("kb").mode("overwrite").parquet(staged))
+    // deletes are physical now; tombstones retire LAST (a crash above
+    // leaves them pending — anti-joins of already-absent rows are
+    // no-ops and the next compaction clears them)
+    graft.GraftSession.deleteRec(knnTombDir(layout))
   }
 
   /** The REGISTERED q_knn_graph — serves from the standing layout:
@@ -2253,7 +2568,7 @@ object SimilarityQueries {
       layout: String): DataFrame = {
     val n = spark0.read.parquet(s"$layout/vecs").count()
     val spark = knnSession(spark0, n)
-    val topk = spark.read.parquet(s"$layout/cedges")
+    val topk = knnReadPartials(spark, layout, "cedges")
       .groupBy("vec_id")
       .agg(graft.functions.TopKPairs.topK(KnnK,
         col("cosine"), col("neighbor_id")).as("nbrs"))
@@ -2329,7 +2644,7 @@ object SimilarityQueries {
   private[operators] def knnGraphAt(spark0: SparkSession, layout: String): DataFrame = {
     val n = spark0.read.parquet(s"$layout/vecs").count()
     val spark = knnSession(spark0, n)
-    knnServe(spark.read.parquet(s"$layout/edges"))
+    knnServe(knnReadPartials(spark, layout, "edges"))
   }
 
   /** Fixed query ids for the registered lookup (the [[annBatchLookup]]
@@ -2355,7 +2670,9 @@ object SimilarityQueries {
       ids: Seq[Long]): DataFrame = {
     val spark = spark0.newSession() // bounded groups — no threshold raise needed
     val kbs = ids.map(id => (((id % KnnDirBuckets) + KnnDirBuckets) % KnnDirBuckets).toInt)
-    knnServe(spark.read.parquet(s"$layout/edges")
+    // the kb/vec_id filters push below the tombstone anti-join's
+    // probe side, so the PartitionFilters dir-pruning is unchanged
+    knnServe(knnReadPartials(spark, layout, "edges")
       .where(col("kb").isin(kbs.distinct: _*) && col("vec_id").isin(ids: _*)))
   }
 
@@ -2398,7 +2715,7 @@ object SimilarityQueries {
   private[operators] def knnOutliersAt(spark0: SparkSession, layout: String): DataFrame = {
     val n = spark0.read.parquet(s"$layout/vecs").count()
     val spark = knnSession(spark0, n)
-    val kth = spark.read.parquet(s"$layout/cedges")
+    val kth = knnReadPartials(spark, layout, "cedges")
       .groupBy("vec_id")
       .agg(graft.functions.TopKPairs.topK(KnnK,
         col("cosine"), col("neighbor_id")).as("nbrs"))
@@ -2406,7 +2723,7 @@ object SimilarityQueries {
         when(size(col("nbrs")) === KnnK,
           element_at(col("nbrs"), KnnK).getField("score"))
           .otherwise(lit(-2d)).as("knn_cos"))
-    spark.read.parquet(s"$layout/vecs").select("vec_id")
+    knnReadVecs(spark, layout).select("vec_id")
       .join(kth, Seq("vec_id"), "left_outer")
       .select(col("vec_id"),
         coalesce(col("knn_cos"), lit(-2d)).as("knn_cos"))
@@ -2462,7 +2779,7 @@ object SimilarityQueries {
       .join(topk.select(col("b").as("a"), col("a").as("b")).as("y"),
         Seq("a", "b"), "left_semi")
       .where(col("a") < col("b"))
-    val nrm = spark.read.parquet(s"$layout/vecs").select("vec_id", "nrm")
+    val nrm = knnReadVecs(spark, layout).select("vec_id", "nrm")
     mutual
       .join(nrm.select(col("vec_id").as("a"), col("nrm").as("na")), Seq("a"))
       .join(nrm.select(col("vec_id").as("b"), col("nrm").as("nb")), Seq("b"))

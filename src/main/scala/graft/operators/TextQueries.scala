@@ -1513,6 +1513,13 @@ object TextQueries {
         java.nio.file.Paths.get(layout, "_LAST_BATCH"))
       graft.GraftSession.deleteRec(
         java.nio.file.Paths.get(s"$layout/postings_compacting"))
+      // tombstones are void too: they hid docs of the PREVIOUS corpus
+      // snapshot; the rebuild follows the source, and a source still
+      // carrying the docs needs the forget re-issued (the serving-side
+      // forget is the complement of the table-level purge, not its
+      // substitute)
+      graft.GraftSession.deleteRec(
+        java.nio.file.Paths.get(s"$layout/tombstones"))
       val base = table(spark, sfDir, "documents")
         .where(length(trim(col("text"))) > 0)
         .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
@@ -1767,20 +1774,9 @@ object TextQueries {
     * broadcastable by construction.
     */
   private def tombstonesOf(spark: SparkSession,
-      layout: String): Option[DataFrame] = {
-    val dir = java.nio.file.Paths.get(layout, "tombstones")
-    val hasRows = java.nio.file.Files.isDirectory(dir) && {
-      val l = java.nio.file.Files.list(dir)
-      try l.filter(p =>
-        java.nio.file.Files.isRegularFile(p) && {
-          val fn = p.getFileName.toString
-          !fn.startsWith("_") && !fn.startsWith(".")
-        }).findFirst().isPresent
-      finally l.close()
-    }
-    if (!hasRows) None
-    else Some(spark.read.parquet(dir.toString).select("doc_id").distinct())
-  }
+      layout: String): Option[DataFrame] =
+    graft.GraftSession.tombstonesIn(spark,
+      java.nio.file.Paths.get(layout, "tombstones"), "doc_id")
 
   /** Deletion propagation INTO the standing text index — the
     * governance half `q_forget`'s table-level pass cannot do: a
@@ -1836,13 +1832,8 @@ object TextQueries {
     * contributes nothing on the second pass.
     */
   def forgetIndex(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = s"${graft.GraftSession.fixtureRoot(sfDir)}/forget_corpus"
-    val docsOut = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    if (!java.nio.file.Files.exists(docsOut.resolve("_SUCCESS"))) {
-      table(spark, sfDir, "documents")
-        .write.mode("overwrite").parquet(docsOut.toString)
-    }
-    val ids = spark.read.parquet(docsOut.toString)
+    val dir = graft.GraftSession.forgetFixtureDir(spark, sfDir)
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
       .where(pmod(col("doc_id"), lit(97)) === 0)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     invIndexForget(spark, dir, ids)

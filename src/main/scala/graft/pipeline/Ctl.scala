@@ -18,8 +18,20 @@ import java.nio.file.{Files, Paths}
   *                                          to the MyDumper layout (the
   *                                          dumpling direction, [[Export]])
   *   index-compact <sfDir> <which|all>      defragment the append-maintained
-  *                                          standing layouts (invindex, ivfpq,
-  *                                          sketch, langstats, scriptstats)
+  *                                          standing layouts (invindex,
+  *                                          simhash, ivfpq, knn, sketch,
+  *                                          langstats, scriptstats, lenstats,
+  *                                          tokstats); pending deletion
+  *                                          tombstones apply PHYSICALLY here
+  *   index-forget <sfDir> <id,id,...>       propagate a deletion request into
+  *                                          every standing per-document layout
+  *                                          (invindex, simhash, ivfpq, knn) —
+  *                                          the serving-side complement of the
+  *                                          table-level purge
+  *   forget-run <sfDir> <requestsDir> <checkpointDir>
+  *                                          the same, as a LIVE stream over a
+  *                                          deletion-requests directory
+  *                                          (stop: touch <requestsDir>/stop)
   *   door-run <sfDir> <incomingDir> <doorDir> <admittedDir>
   *                        [--no-script-axis] [--len-axis] [--tok-axis] [--knn]
   *                        [--eval-guard]
@@ -112,8 +124,8 @@ object Ctl {
       // GraftSession.compactSnapshot); the one thing NOT to run is a
       // second index-compact of the same layout concurrently — both
       // would claim the same staging sibling
-      val known = Set("invindex", "ivfpq", "knn", "sketch", "langstats",
-        "scriptstats", "lenstats", "tokstats", "all")
+      val known = Set("invindex", "simhash", "ivfpq", "knn", "sketch",
+        "langstats", "scriptstats", "lenstats", "tokstats", "all")
       if (!known(which)) {
         System.err.println(s"index-compact: unknown index '$which' (${known.mkString("|")})")
         sys.exit(2)
@@ -129,6 +141,12 @@ object Ctl {
             graft.operators.TextQueries.invIndexCompact(spark, sfDir)
             println("compacted inverted-index postings")
           } else println(s"no standing inverted index for $sfDir; nothing to compact")
+        }
+        if (which == "simhash" || which == "all") {
+          if (graft.operators.DedupQueries.simhashPresent(sfDir)) {
+            graft.operators.DedupQueries.simhashCompact(spark, sfDir)
+            println("compacted simhash fingerprints")
+          } else println(s"no standing simhash layout for $sfDir; nothing to compact")
         }
         if (which == "ivfpq" || which == "all") {
           if (graft.operators.SimilarityQueries.ivfPqPresent(sfDir)) {
@@ -173,6 +191,83 @@ object Ctl {
           } else println(s"no standing token-length histogram for $sfDir; nothing to compact")
         }
       } finally spark.stop()
+
+    case "index-forget" :: sfDir :: idsCsv :: Nil =>
+      // propagate a deletion request into EVERY standing layout that
+      // serves per-document rows: the inverted index (tombstones +
+      // negative stats partial), the simhash fingerprints, the IVF-PQ
+      // codes and the knn graph (tombstones + the top-k heal). Each
+      // applies only where a layout stands — forget is a serving-side
+      // operation; a layout built later from a purged source needs
+      // none. Aggregate-statistics layouts (the daily sketches and
+      // the four drift-door references) are deliberately OUT of
+      // scope: they hold count partials, not per-document rows — no
+      // row exists to hide, and a regime that must erase a document's
+      // influence on an aggregate rebuilds it from the purged source
+      // (the documented re-seed path). The table-level purge itself
+      // is `q_forget`'s job (PipelineQueries.forget); this verb is
+      // its standing-layout complement.
+      val ids = idsCsv.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      if (ids.isEmpty) {
+        System.err.println("index-forget: no ids given (comma-separated longs)")
+        sys.exit(2)
+      }
+      val spark = graft.GraftSession.build()
+      try {
+        if (graft.operators.TextQueries.invIndexPresent(sfDir)) {
+          val (dn, dt) = graft.operators.TextQueries.invIndexForget(spark, sfDir, ids)
+          println(s"inverted index: hid $dn docs ($dt tokens)")
+        } else println("no standing inverted index; nothing to forget")
+        if (graft.operators.DedupQueries.simhashPresent(sfDir)) {
+          val dn = graft.operators.DedupQueries.simhashForget(spark, sfDir, ids)
+          println(s"simhash fingerprints: hid $dn docs")
+        } else println("no standing simhash layout; nothing to forget")
+        if (graft.operators.SimilarityQueries.ivfPqPresent(sfDir)) {
+          val dn = graft.operators.SimilarityQueries.ivfPqForget(spark, sfDir, ids)
+          println(s"ivf-pq codes: hid $dn vectors")
+        } else println("no standing ivf-pq layout; nothing to forget")
+        if (graft.operators.SimilarityQueries.knnPresent(sfDir,
+            graft.operators.SimilarityQueries.knnProbeRadius(spark))) {
+          val dn = graft.operators.SimilarityQueries.knnForget(spark, sfDir, ids)
+          println(s"knn graph: hid $dn vectors (+ top-k heal)")
+        } else println("no standing knn layout; nothing to forget")
+      } finally spark.stop()
+
+    case "forget-run" :: sfDir :: requestsDir :: checkpointDir :: Nil =>
+      // the streaming face of index-forget: tail a directory of
+      // deletion-request parquet files ((doc_id) rows) and propagate
+      // each micro-batch into every standing per-document layout.
+      // No batchId marker rides this stream — the forget tier is
+      // at-least-once safe by construction (see
+      // StreamingOps.indexForgetStream) — so the checkpoint only
+      // tracks WHICH request files were consumed.
+      val spark = graft.GraftSession.build()
+      val failure =
+        try {
+          java.nio.file.Files.createDirectories(Paths.get(requestsDir))
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType)))
+          val q = graft.streaming.StreamingOps.indexForgetStream(
+              spark.readStream.schema(schema).parquet(requestsDir), sfDir)
+            .option("checkpointLocation", checkpointDir)
+            .start()
+          println(s"forget stream running: $requestsDir -> standing " +
+            s"layouts of $sfDir; stop with: touch $requestsDir/stop")
+          val stop = Paths.get(requestsDir, "stop")
+          while (!Files.exists(stop) && q.isActive) Thread.sleep(1000)
+          if (q.isActive) q.stop()
+          Files.deleteIfExists(stop)
+          if (q.exception.isDefined)
+            Some(q.exception.map(_.getMessage).getOrElse("stream failed"))
+          else None
+        } finally spark.stop()
+      failure match {
+        case Some(msg) =>
+          System.err.println(s"forget stream FAILED: $msg")
+          sys.exit(1)
+        case None => println("forget stream stopped")
+      }
 
     case "door-run" :: sfDir :: incoming :: doorDir :: admitted :: rest
         if rest.forall(Set("--no-script-axis", "--len-axis", "--tok-axis",
@@ -265,7 +360,9 @@ object Ctl {
       System.err.println(
         "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
           "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n] | " +
-          "index-compact <sfDir> <invindex|ivfpq|knn|sketch|langstats|scriptstats|lenstats|tokstats|all> | " +
+          "index-compact <sfDir> <invindex|simhash|ivfpq|knn|sketch|langstats|scriptstats|lenstats|tokstats|all> | " +
+          "index-forget <sfDir> <id,id,...> | " +
+          "forget-run <sfDir> <requestsDir> <checkpointDir> | " +
           "quarantine-release <doorDir> <batchId> | " +
           "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir> | " +
           "front <spoolDir> <task> | back <spoolDir> <task>")

@@ -882,6 +882,42 @@ object StreamingOps {
       org.apache.spark.sql.functions.broadcast(requests.select("user_id")),
       Seq("user_id"), "left_anti")
 
+  /** Deletion requests as a LIVE stream into every standing
+    * per-document layout — the streaming face of
+    * `Ctl index-forget`: each micro-batch of (doc_id) rows is
+    * propagated into whichever of the four layouts stand (inverted
+    * index + negative stats, simhash fingerprints, IVF-PQ codes, knn
+    * graph + top-k heal). Unlike the append maintainers — which ride
+    * batchId markers because a replayed APPEND would double rows —
+    * this needs NO marker: the forget tier is at-least-once safe by
+    * construction (an already-tombstoned id contributes nothing and
+    * is never re-appended; the knn heal's pair anti-join appends
+    * nothing on replay), so a crash anywhere replays to the same
+    * state. The per-batch collect is people-scale by the same
+    * contract as the batch verbs. Aggregate-statistics layouts are
+    * out of scope with the rationale at the Ctl verb.
+    */
+  def indexForgetStream(requests: DataFrame, sfDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = batch.select("doc_id").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty) {
+          val spark = batch.sparkSession
+          if (graft.operators.TextQueries.invIndexPresent(sfDir))
+            graft.operators.TextQueries.invIndexForget(spark, sfDir, ids)
+          if (graft.operators.DedupQueries.simhashPresent(sfDir))
+            graft.operators.DedupQueries.simhashForget(spark, sfDir, ids)
+          if (graft.operators.SimilarityQueries.ivfPqPresent(sfDir))
+            graft.operators.SimilarityQueries.ivfPqForget(spark, sfDir, ids)
+          if (graft.operators.SimilarityQueries.knnPresent(sfDir,
+              graft.operators.SimilarityQueries.knnProbeRadius(spark)))
+            graft.operators.SimilarityQueries.knnForget(spark, sfDir, ids)
+        }
+        ()
+    }
+
   /** Per-window hot tokens on a live stream: the [[graft.functions
     * .MisraGries]] summary as a watermarked windowed aggregate — the
     * streaming face of the batch heavy-hitters audit

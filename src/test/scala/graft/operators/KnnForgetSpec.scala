@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deletion propagation into the standing knn graph (`knnForget`):
+  * the tombstone hides every victim row, the HEAL leg promotes each
+  * affected survivor's (k+1)-th ring neighbor, and the two together
+  * make the served graph — and the outlier/cosine partials — EXACTLY
+  * equal a from-scratch rebuild over the remaining corpus at the same
+  * frozen planes. Also pinned: replay idempotence of the heal (the
+  * (vec_id, neighbor_id) anti-join, no marker needed), an append
+  * after a forget never resurrects the victims as neighbors, and
+  * compaction applies the delete physically with serve invariant.
+  */
+class KnnForgetSpec extends SparkSpec {
+
+  private def corpusDir(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_knnforget").toString
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def served(layout: String): Seq[Seq[Any]] =
+    SimilarityQueries.knnGraphAt(spark, layout).collect().map(_.toSeq).toSeq
+
+  private def outliers(layout: String): Seq[Seq[Any]] =
+    SimilarityQueries.knnOutliersAt(spark, layout).collect().map(_.toSeq).toSeq
+
+  test("forget+heal == rebuild over remaining; idempotent; append and compaction safe") {
+    val all = graft.GraftSession.table(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val base = all.where(col("vec_id") < 400)
+    val dirA = corpusDir(base)
+    val layoutA = s"$dirA/knn_layout"
+    SimilarityQueries.buildKnn(spark, dirA, layoutA)
+
+    // victims chosen FROM the served graph: vectors that appear as
+    // someone's top-1 neighbor, so the heal leg provably has work
+    val g0 = SimilarityQueries.knnGraphAt(spark, layoutA)
+      .where(col("rank") === 1).select("neighbor_id")
+      .limit(3).collect().map(_.getLong(0)).toSeq.distinct
+    assert(g0.nonEmpty)
+    val victims = g0
+
+    val dn = SimilarityQueries.knnForgetAt(spark, layoutA, victims)
+    assert(dn === victims.size.toLong)
+
+    // ground truth: a fresh layout over the remaining corpus — same
+    // derived plane count (the cohort is too small to move it), which
+    // the meta rows prove
+    val dirT = corpusDir(base.where(!col("vec_id").isin(victims: _*)))
+    val layoutT = s"$dirT/knn_layout"
+    SimilarityQueries.buildKnn(spark, dirT, layoutT)
+    val pA = spark.read.parquet(s"$layoutA/meta").head.getInt(0)
+    val pT = spark.read.parquet(s"$layoutT/meta").head.getInt(0)
+    assert(pA === pT, s"plane count moved ($pA -> $pT); pick a smaller cohort")
+
+    val sA = served(layoutA)
+    assert(sA.nonEmpty)
+    assert(!sA.exists(r => victims.contains(r.head) ||
+      victims.contains(r(2))), "a victim row is still served")
+    assert(sA === served(layoutT),
+      "tombstoned+healed serve diverged from the rebuild-over-remaining " +
+        "(a missing heal shows as short lists here)")
+    assert(outliers(layoutA) === outliers(layoutT),
+      "cosine partials diverged from the rebuild (cedges heal leg)")
+
+    // heal replay: forgetting the same cohort again appends nothing —
+    // the partial files are byte-stable, not just the served rows
+    def edgeCount(l: String) = spark.read.parquet(s"$l/edges").count()
+    val ec = edgeCount(layoutA)
+    assert(SimilarityQueries.knnForgetAt(spark, layoutA, victims) === 0L)
+    assert(edgeCount(layoutA) === ec, "a replayed heal appended rows")
+    assert(served(layoutA) === sA)
+
+    // an append AFTER the forget: the batch must not list victims as
+    // neighbors, and the grown layout must equal a rebuild over
+    // (remaining ∪ batch)
+    val batch = all.where(col("vec_id") >= 400 && col("vec_id") < 430)
+    SimilarityQueries.knnAppendAt(spark, layoutA, batch, (_, f) => f())
+    val dirU = corpusDir(base.where(!col("vec_id").isin(victims: _*))
+      .unionByName(batch))
+    val layoutU = s"$dirU/knn_layout"
+    SimilarityQueries.buildKnn(spark, dirU, layoutU)
+    val pU = spark.read.parquet(s"$layoutU/meta").head.getInt(0)
+    assert(pU === pA, "union rebuild moved the plane count; shrink the batch")
+    val sGrown = served(layoutA)
+    assert(!sGrown.exists(r => victims.contains(r.head) ||
+      victims.contains(r(2))),
+      "the append resurrected a forgotten vector")
+    assert(sGrown === served(layoutU),
+      "forget-then-append diverged from the rebuild over (remaining ∪ batch)")
+
+    // compaction: physical deletes everywhere, tombstones retired,
+    // serve invariant
+    SimilarityQueries.knnCompactAt(spark, layoutA)
+    for (sub <- Seq("vecs", "edges", "cedges")) {
+      val idCols = if (sub == "vecs") Seq("vec_id") else Seq("vec_id", "neighbor_id")
+      val leaked = spark.read.parquet(s"$layoutA/$sub")
+        .where(idCols.map(c => col(c).isin(victims: _*)).reduce(_ || _))
+        .count()
+      assert(leaked === 0L, s"compaction left physical victim rows in $sub")
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$layoutA/tombstones")))
+    assert(served(layoutA) === sGrown, "compaction changed served rows")
+    assert(outliers(layoutA) === outliers(layoutU),
+      "compaction changed the outlier partials")
+  }
+}
