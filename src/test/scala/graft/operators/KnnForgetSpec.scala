@@ -93,6 +93,23 @@ class KnnForgetSpec extends SparkSpec {
     assert(sGrown === served(layoutU),
       "forget-then-append diverged from the rebuild over (remaining ∪ batch)")
 
+    // the graph consumers' shared mutual relation derives tombstone-
+    // filtered: equal to the derivation over the union rebuild
+    def mutual(l: String) = SimilarityQueries.knnMutualEdgesAt(spark, l)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.toSeq
+    assert(mutual(layoutA) === mutual(layoutU),
+      "mutual edges diverged from the rebuild (derived-tier inputs leak victims)")
+
+    // the id-lookup under pending tombstones still prunes edge dirs at
+    // the file listing — the kb filter pushes below the anti-join
+    val survivor = sGrown.head.head.asInstanceOf[Long]
+    val plan = SimilarityQueries.knnLookupAt(spark, layoutA, Seq(survivor))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*kb".r.findFirstIn(plan).isDefined,
+      s"kb prune lost under the tombstone anti-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone filter is not a broadcast anti-join:\n$plan")
+
     // compaction: physical deletes everywhere, tombstones retired,
     // serve invariant
     SimilarityQueries.knnCompactAt(spark, layoutA)
