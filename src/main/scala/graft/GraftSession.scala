@@ -119,6 +119,36 @@ object GraftSession {
     else Some(spark.read.parquet(dir.toString).select(idCol).distinct())
   }
 
+  /** The forget tier's deterministic job tag: a cohort-derived hash,
+    * so a RETRY of the same request maps to the same staged-write
+    * claim (a crashed attempt's leftover refuses loudly with the
+    * delete-to-retry contract) while distinct cohorts never collide.
+    */
+  def forgetTag(ids: Seq[Long]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(ids.distinct.sorted.mkString(",").getBytes("UTF-8"))
+    "forget-" + h.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** One-relation staged append: write `df` under a claimed stage dir,
+    * then MOVE its files into `liveDir` under tag-deterministic names
+    * ([[moveStagedInto]]) — no `_temporary` ever appears in the live
+    * dir, which is what makes the write legal BESIDE a plain appender
+    * or any number of staged ones (two plain appenders share one
+    * committer tree; a file move does not). The forget tier's
+    * tombstone writes ride this so a deletion request never has to
+    * wait for a live maintenance stream.
+    */
+  def stagedAppend(df: DataFrame, stage: java.nio.file.Path,
+      liveDir: java.nio.file.Path, jobTag: String): Unit = {
+    claimStage(stage, s"a staged write tagged '$jobTag'")
+    try {
+      val data = stage.resolve("data")
+      df.coalesce(1).write.mode("overwrite").parquet(data.toString)
+      moveStagedInto(data, liveDir, jobTag)
+    } finally deleteRec(stage)
+  }
+
   /** The shared forget-gate fixture: a COPY of the corpus tables the
     * registered `q_forget_*` queries mutate (tombstones + standing
     * layouts), so the per-sf layouts every OTHER registered query

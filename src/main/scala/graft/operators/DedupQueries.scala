@@ -829,9 +829,13 @@ object DedupQueries {
         standing.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val dn = fresh.distinct().count()
     if (dn > 0) {
-      graft.GraftSession.clearDeadAppend(simhashTombDir(fp).toString)
-      ids.distinct.toDF("doc_id").coalesce(1)
-        .write.mode("append").parquet(simhashTombDir(fp).toString)
+      // staged + moved (no `_temporary` in the live dir): legal beside
+      // the live fingerprint maintenance stream; concurrent forgets
+      // with distinct cohorts get distinct claim tags
+      val tag = graft.GraftSession.forgetTag(ids)
+      graft.GraftSession.stagedAppend(ids.distinct.toDF("doc_id"),
+        java.nio.file.Paths.get(fp).getParent.resolve(s".forget_stage_$tag"),
+        simhashTombDir(fp), tag)
     }
     dn
   }

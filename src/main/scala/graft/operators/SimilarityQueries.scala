@@ -624,9 +624,13 @@ object SimilarityQueries {
         standing.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val dn = fresh.distinct().count()
     if (dn > 0) {
-      graft.GraftSession.clearDeadAppend(s"$layout/tombstones")
-      ids.distinct.toDF("vec_id").coalesce(1)
-        .write.mode("append").parquet(s"$layout/tombstones")
+      // staged + moved (no `_temporary` in the live dir): legal beside
+      // the live codes maintenance stream; concurrent forgets with
+      // distinct cohorts get distinct claim tags
+      val tag = graft.GraftSession.forgetTag(ids)
+      graft.GraftSession.stagedAppend(ids.distinct.toDF("vec_id"),
+        java.nio.file.Paths.get(layout, s".forget_stage_$tag"),
+        java.nio.file.Paths.get(s"$layout/tombstones"), tag)
     }
     dn
   }
@@ -2394,7 +2398,14 @@ object SimilarityQueries {
     * [[knnReadVecs]], so a forgotten vector never re-enters as a new
     * vector's neighbor. The frozen planes stay (corpus-derived
     * AGGREGATE, not per-vector data — the ivfPqForget codebook
-    * rationale). Returns the number of vectors newly hidden.
+    * rationale). CONCURRENCY: unlike the other three layouts' forgets
+    * (staged tombstone writes, legal beside live maintenance), a knn
+    * forget is a WRITER on the layout — the heal appends edge
+    * partials — so it serializes with the one maintainer and with
+    * other forgets: the [[knnAppend]] one-writer-by-semantics
+    * rationale applies verbatim (route requests around the
+    * maintainer, e.g. stop-forget-resume or feed them between
+    * batches). Returns the number of vectors newly hidden.
     */
   def knnForget(spark: SparkSession, sfDir: String, ids: Seq[Long]): Long =
     knnForgetAt(spark, knnLayout(spark, sfDir), ids)

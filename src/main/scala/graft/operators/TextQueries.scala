@@ -1794,6 +1794,12 @@ object TextQueries {
     * (and compaction recomputes stats from the surviving postings,
     * healing any such skew). Idempotent: already-tombstoned ids
     * contribute nothing, so a retried request never double-subtracts.
+    * CONCURRENCY: both writes are staged + moved (no `_temporary` in
+    * the live dirs), so a forget is legal beside the live maintenance
+    * stream and staged appenders; concurrent forgets need disjoint
+    * cohorts (a shared id would double-subtract stats — both would
+    * measure it un-tombstoned), and an identical retried cohort maps
+    * to the same claim tag and refuses loudly instead of racing.
     * Returns (docs newly hidden, their token count).
     */
   def invIndexForget(spark: SparkSession, sfDir: String,
@@ -1810,12 +1816,31 @@ object TextQueries {
         coalesce(sum(col("tf")), lit(0L)).as("dt")).head()
     val (dn, dt) = (row.getLong(0), row.getLong(1))
     if (dn > 0) {
-      graft.GraftSession.clearDeadAppend(s"$layout/tombstones")
-      ids.distinct.toDF("doc_id").coalesce(1)
-        .write.mode("append").parquet(s"$layout/tombstones")
-      graft.GraftSession.clearDeadAppend(s"$layout/stats")
-      Seq((-dn, -dt)).toDF("n_docs", "t_tokens").coalesce(1)
-        .write.mode("append").parquet(s"$layout/stats")
+      // STAGED two-leg write (the invIndexAppendStaged core): both
+      // relations stage fully under one cohort-derived claim, then
+      // MOVE in — no `_temporary` in the live dirs, so a forget is
+      // legal BESIDE the live maintenance stream and any number of
+      // staged appenders. Tombstones move FIRST (privacy: hide before
+      // the books adjust; the crash window under-counts stats, which
+      // compaction heals). Concurrent forgets need DISJOINT cohorts —
+      // two requests sharing an id would both measure it un-tombstoned
+      // and double-subtract; an identical retried cohort maps to the
+      // same tag and refuses via the claim instead.
+      val tag = graft.GraftSession.forgetTag(ids)
+      val stage = java.nio.file.Paths.get(layout, s".forget_stage_$tag")
+      graft.GraftSession.claimStage(stage, s"a forget tagged '$tag'")
+      try {
+        val stageTomb = stage.resolve("tombstones")
+        ids.distinct.toDF("doc_id").coalesce(1)
+          .write.mode("overwrite").parquet(stageTomb.toString)
+        val stageStats = stage.resolve("stats")
+        Seq((-dn, -dt)).toDF("n_docs", "t_tokens").coalesce(1)
+          .write.mode("overwrite").parquet(stageStats.toString)
+        graft.GraftSession.moveStagedInto(stageTomb,
+          java.nio.file.Paths.get(layout, "tombstones"), tag)
+        graft.GraftSession.moveStagedInto(stageStats,
+          java.nio.file.Paths.get(layout, "stats"), tag)
+      } finally graft.GraftSession.deleteRec(stage)
     }
     (dn, dt)
   }

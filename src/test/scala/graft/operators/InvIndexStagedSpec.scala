@@ -35,6 +35,39 @@ class InvIndexStagedSpec extends SparkSpec {
     (r.getLong(0), r.getLong(1))
   }
 
+  test("a forget racing a staged append: both commit, result == sequential") {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val base = (0L until 60L).map(i => i -> s"base doc $i spark data merge")
+    val batch = (100L until 130L).map(i => i -> s"late batch doc $i spark")
+    val victims = Seq(3L, 7L, 11L) // base docs — disjoint from the append
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_fr").toString
+    docsDF(base).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    TextQueries.invIndexLayout(spark, dir)
+    // the race: a staged append and a forget in flight at once — the
+    // forget's writes are staged+moved too, so neither sees the
+    // other's `_temporary`; the cohort is base-only, so the outcome
+    // is order-independent
+    val fa = Future(TextQueries.invIndexAppendStaged(spark, dir, docsDF(batch), "late"))
+    val ff = Future(TextQueries.invIndexForget(spark, dir, victims))
+    val layout = Await.result(fa, 5.minutes)
+    val (dn, dt) = Await.result(ff, 5.minutes)
+    assert(dn === victims.size.toLong && dt > 0L)
+    // ground truth: (base ∪ batch) minus victims, built sequentially
+    val tDir = java.nio.file.Files.createTempDirectory("graft_inv_fr_t").toString
+    docsDF((base ++ batch).filterNot(d => victims.contains(d._1)))
+      .write.mode("overwrite").parquet(s"$tDir/documents.parquet")
+    val tLayout = TextQueries.invIndexLayout(spark, tDir)
+    def bm(d: String) = TextQueries.bm25Topk(spark, d).collect().map(_.toSeq).toSeq
+    assert(bm(dir).nonEmpty && bm(dir) === bm(tDir),
+      "racing forget+append diverged from the sequential result " +
+        "(lost write or skewed stats)")
+    // the tombstoned serve hides victims while the appended docs serve
+    val toks = spark.read.parquet(s"$layout/postings")
+      .where(col("doc_id").isin((victims ++ Seq(105L)): _*))
+    assert(toks.where(col("doc_id") === 105L).count() > 0)
+  }
+
   test("two concurrent staged appends both commit; union == rebuild") {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
