@@ -798,6 +798,16 @@ object DedupQueries {
     java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"${graft.GraftSession.fixtureRoot(sfDir)}/simhash_v$SimhashLayoutVersion/fp/_SUCCESS"))
 
+  /** Deletion tombstones standing on the fingerprint index (hidden,
+    * not yet physically deleted — [[simhashCompact]] retires them).
+    * Direct path read: a review counter must not build a layout.
+    */
+  def simhashPendingForgets(spark: SparkSession, sfDir: String): Long =
+    graft.GraftSession.tombstonesIn(spark, java.nio.file.Paths.get(
+        s"${graft.GraftSession.fixtureRoot(sfDir)}/simhash_v$SimhashLayoutVersion",
+        "tombstones"), "doc_id")
+      .map(_.count()).getOrElse(0L)
+
   private def simhashTombDir(fp: String): java.nio.file.Path =
     java.nio.file.Paths.get(fp).getParent.resolve("tombstones")
 

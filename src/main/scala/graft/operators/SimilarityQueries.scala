@@ -563,6 +563,24 @@ object SimilarityQueries {
     java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"${graft.GraftSession.fixtureRoot(sfDir)}/ivfpq_v$IvfPqVersion/codes"))
 
+  /** Deletion tombstones standing on the ANN index (hidden, not yet
+    * physically deleted — [[ivfPqCompact]] retires them). Direct path
+    * read: a review counter must not build a layout.
+    */
+  def ivfPqPendingForgets(spark: SparkSession, sfDir: String): Long =
+    graft.GraftSession.tombstonesIn(spark, java.nio.file.Paths.get(
+        s"${graft.GraftSession.fixtureRoot(sfDir)}/ivfpq_v$IvfPqVersion",
+        "tombstones"), "vec_id")
+      .map(_.count()).getOrElse(0L)
+
+  /** The knn sibling of [[ivfPqPendingForgets]] (at the session's
+    * probe radius — the layout a forget would land on).
+    */
+  def knnPendingForgets(spark: SparkSession, sfDir: String): Long =
+    graft.GraftSession.tombstonesIn(spark,
+        knnTombDir(knnLayoutPath(sfDir, knnProbeRadius(spark))), "vec_id")
+      .map(_.count()).getOrElse(0L)
+
   /** Compaction for the append-maintained codes relation — the
     * [[graft.operators.TextQueries.invIndexCompact]] sibling: every
     * [[ivfPqAppend]] adds one file per touched cell directory; this

@@ -1731,6 +1731,17 @@ object TextQueries {
     java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"${graft.GraftSession.fixtureRoot(sfDir)}/invindex_v$InvIndexVersion/postings"))
 
+  /** Deletion tombstones standing on the index (hidden but not yet
+    * physically deleted — the next [[invIndexCompact]] retires them).
+    * Reads the path directly: a review counter must not BUILD a
+    * missing or stale layout.
+    */
+  def invIndexPendingForgets(spark: SparkSession, sfDir: String): Long =
+    graft.GraftSession.tombstonesIn(spark, java.nio.file.Paths.get(
+        s"${graft.GraftSession.fixtureRoot(sfDir)}/invindex_v$InvIndexVersion",
+        "tombstones"), "doc_id")
+      .map(_.count()).getOrElse(0L)
+
   /** Standing-layout compaction — the D6 sibling for the index: every
     * [[invIndexAppend]] adds one file per touched bucket directory, so
     * a frequently-maintained index fragments (N appends → N+1 files in

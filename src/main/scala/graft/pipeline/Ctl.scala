@@ -214,23 +214,10 @@ object Ctl {
       }
       val spark = graft.GraftSession.build()
       try {
-        if (graft.operators.TextQueries.invIndexPresent(sfDir)) {
-          val (dn, dt) = graft.operators.TextQueries.invIndexForget(spark, sfDir, ids)
-          println(s"inverted index: hid $dn docs ($dt tokens)")
-        } else println("no standing inverted index; nothing to forget")
-        if (graft.operators.DedupQueries.simhashPresent(sfDir)) {
-          val dn = graft.operators.DedupQueries.simhashForget(spark, sfDir, ids)
-          println(s"simhash fingerprints: hid $dn docs")
-        } else println("no standing simhash layout; nothing to forget")
-        if (graft.operators.SimilarityQueries.ivfPqPresent(sfDir)) {
-          val dn = graft.operators.SimilarityQueries.ivfPqForget(spark, sfDir, ids)
-          println(s"ivf-pq codes: hid $dn vectors")
-        } else println("no standing ivf-pq layout; nothing to forget")
-        if (graft.operators.SimilarityQueries.knnPresent(sfDir,
-            graft.operators.SimilarityQueries.knnProbeRadius(spark))) {
-          val dn = graft.operators.SimilarityQueries.knnForget(spark, sfDir, ids)
-          println(s"knn graph: hid $dn vectors (+ top-k heal)")
-        } else println("no standing knn layout; nothing to forget")
+        val applied = Governance.applyForget(spark, sfDir, ids)
+        if (applied.isEmpty)
+          println("no standing per-document layouts; nothing to forget")
+        else applied.foreach { case (l, s) => println(s"$l: $s") }
       } finally spark.stop()
 
     case "forget-run" :: sfDir :: requestsDir :: checkpointDir :: Nil =>

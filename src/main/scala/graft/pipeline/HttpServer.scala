@@ -59,6 +59,17 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
   *                                 (matched eval id, cosine), embeddings
   *                                 omitted; ?limit / ?since as /door/audit
   *   GET    /guard/stats           {"clean":N,"contaminated":N}
+  *   POST   /forget                (with a corpus dir attached) body
+  *                                 {"ids":[...]} — propagate a deletion
+  *                                 request into every standing per-
+  *                                 document layout ([[Governance]]);
+  *                                 returns per-layout applied counts;
+  *                                 retries of the same cohort are
+  *                                 absorbed (the tier is at-least-once
+  *                                 safe by construction)
+  *   GET    /forget/pending        tombstones standing per layout
+  *                                 (hidden from serving, awaiting the
+  *                                 physical delete at index-compact)
   *   POST   /door/release/{id}     feed an inspection-cleared batch to
   *                                 the passed flow (= Ctl
   *                                 quarantine-release); refusals
@@ -98,6 +109,15 @@ object HttpServer {
     */
   def start(spool: String, port: Int, doorDir: Option[String],
       guardDir: Option[String],
+      sparkProvider: () => org.apache.spark.sql.SparkSession): JdkHttpServer =
+    start(spool, port, doorDir, guardDir, None, sparkProvider)
+
+  /** Fullest form: `corpusDir` additionally attaches the governance
+    * verbs (`POST /forget`, `GET /forget/pending`) against that
+    * corpus's standing layouts.
+    */
+  def start(spool: String, port: Int, doorDir: Option[String],
+      guardDir: Option[String], corpusDir: Option[String],
       sparkProvider: () => org.apache.spark.sql.SparkSession): JdkHttpServer = {
     val queue = Files.createDirectories(Paths.get(spool, "queue"))
     val srv = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -500,6 +520,46 @@ object HttpServer {
       })
     }
 
+    corpusDir.foreach { cd =>
+      lazy val spark = sparkProvider()
+      srv.createContext("/forget", (ex: HttpExchange) => {
+        try {
+          val rest = ex.getRequestURI.getPath.stripPrefix("/forget")
+            .stripPrefix("/").split("/").toList.filter(_.nonEmpty)
+          (ex.getRequestMethod, rest) match {
+            case ("POST", Nil) =>
+              // body: {"ids":[1,2,3]} — the GDPR intake shape. The
+              // whole tier is at-least-once safe, so a client retry
+              // of the same cohort is absorbed (dn=0 everywhere).
+              val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+              val idsRe = """"ids"\s*:\s*\[([^\]]*)\]""".r
+              idsRe.findFirstMatchIn(body).map(_.group(1)) match {
+                case None => err(ex, 400, """body must carry {"ids":[...]}""")
+                case Some(arr) =>
+                  val toks = arr.split(",").map(_.trim).filter(_.nonEmpty)
+                  val ids = toks.flatMap(_.toLongOption).toSeq
+                  if (ids.isEmpty || ids.size != toks.length)
+                    err(ex, 400, "ids must be a non-empty array of integers")
+                  else {
+                    val applied = Governance.applyForget(spark, cd, ids)
+                    respond(ex, 200, applied
+                      .map { case (l, s) => s"${jsonStr(l)}:$s" }
+                      .mkString("""{"applied":{""", ",", "}}"))
+                  }
+              }
+            case ("GET", List("pending")) =>
+              // tombstones standing per layout — hidden from serving
+              // but not yet physically deleted; index-compact retires
+              respond(ex, 200, Governance.pendingForgets(spark, cd)
+                .map { case (l, n) => s"${jsonStr(l)}:$n" }
+                .mkString("""{"pending":{""", ",", "}}"))
+            case (m, p) =>
+              err(ex, 405, s"unsupported: $m /forget/${p.mkString("/")}")
+          }
+        } catch { case e: Exception => err(ex, 500, String.valueOf(e.getMessage)) }
+      })
+    }
+
     srv.createContext("/pause", (ex: HttpExchange) => {
       val p = Paths.get(spool, "pause")
       ex.getRequestMethod match {
@@ -540,14 +600,17 @@ object HttpServer {
 
   def main(args: Array[String]): Unit = {
     val spool = args.headOption.getOrElse(
-      sys.error("usage: HttpServer <spoolDir> [port] [doorDir] [guardDir]"))
+      sys.error("usage: HttpServer <spoolDir> [port] [doorDir] [guardDir] [corpusDir]"))
     val port = args.lift(1).map(_.toInt).getOrElse(8289)
     val door = args.lift(2)
     val guard = args.lift(3)
-    val srv = start(spool, port, door, guard, () => graft.GraftSession.build())
+    val corpus = args.lift(4)
+    val srv = start(spool, port, door, guard, corpus,
+      () => graft.GraftSession.build())
     println(s"graft task API on http://127.0.0.1:${srv.getAddress.getPort} (spool: $spool" +
       door.map(d => s", door: $d").getOrElse("") +
-      guard.map(g => s", guard: $g").getOrElse("") + ")")
+      guard.map(g => s", guard: $g").getOrElse("") +
+      corpus.map(c => s", corpus: $c").getOrElse("") + ")")
     // park the main thread; the JDK server runs on its own executor
     Thread.currentThread.join()
   }
