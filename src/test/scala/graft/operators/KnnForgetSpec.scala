@@ -126,4 +126,33 @@ class KnnForgetSpec extends SparkSpec {
     assert(outliers(layoutA) === outliers(layoutU),
       "compaction changed the outlier partials")
   }
+
+  test("forget at radius 2: the heal reads the layout's stamped radius") {
+    val base = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 250).select("vec_id", "embedding")
+    val dirA = corpusDir(base)
+    // build AT RADIUS 2 under an isolated child session (the shared
+    // JVM session's conf is never mutated)
+    val s2 = spark.newSession()
+    s2.conf.set(SimilarityQueries.KnnProbeRadiusKey, "2")
+    val layoutA = s"$dirA/knn_layout_r2"
+    SimilarityQueries.buildKnn(s2, dirA, layoutA)
+    val victims = SimilarityQueries.knnGraphAt(spark, layoutA)
+      .where(col("rank") === 1).select("neighbor_id")
+      .limit(2).collect().map(_.getLong(0)).toSeq.distinct
+    // the forget is driven from the DEFAULT-conf session: the heal's
+    // fresh ring pass must run at the LAYOUT's stamped radius 2 — a
+    // radius-1 heal would under-promote (fewer candidates than the
+    // rebuild sees) and fail the equality below
+    val dn = SimilarityQueries.knnForgetAt(spark, layoutA, victims)
+    assert(dn === victims.size.toLong)
+    val dirT = corpusDir(base.where(!col("vec_id").isin(victims: _*)))
+    val layoutT = s"$dirT/knn_layout_r2"
+    SimilarityQueries.buildKnn(s2, dirT, layoutT)
+    assert(spark.read.parquet(s"$layoutA/meta").head.getInt(0)
+      === spark.read.parquet(s"$layoutT/meta").head.getInt(0))
+    assert(served(layoutA).nonEmpty &&
+      served(layoutA) === served(layoutT),
+      "radius-2 forget+heal diverged from the radius-2 rebuild")
+  }
 }
