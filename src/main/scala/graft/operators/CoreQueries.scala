@@ -323,6 +323,15 @@ object CoreQueries {
     */
   private[graft] val SketchLgK = 12
 
+  /** Layout-GC catalog entry (the
+    * [[graft.operators.TextQueries.currentLayoutNames]] sibling): a
+    * precision change (`SketchLgK`) renames the dir — sketches at
+    * different precisions don't merge — so the old-precision tree is
+    * superseded exactly like an old version.
+    */
+  private[graft] def currentLayoutNames: Seq[String] =
+    Seq(s"usersketch_v${UserSketchVersion}_k$SketchLgK")
+
   /** The standing per-day distinct-users sketch relation — the
     * incremental-dashboard artifact behind [[sketchRollup]]: one row
     * per (day, batch) holding an HLL sketch of that slice's user_ids

@@ -759,6 +759,11 @@ object DedupQueries {
 
   private val SimhashLayoutVersion = 2 // v2: fp subdir + content-stamp marker
 
+  /** Layout-GC catalog entry (the
+    * [[graft.operators.TextQueries.currentLayoutNames]] sibling). */
+  private[graft] def currentLayoutNames: Seq[String] =
+    Seq(s"simhash_v$SimhashLayoutVersion")
+
   /** The simhash fingerprint relation materialized ON DISK (8 bytes
     * per doc) — the "fingerprint index" five queries probe (simhash,
     * banded pairs, clusters, canonical pick, edit-distance funnel).

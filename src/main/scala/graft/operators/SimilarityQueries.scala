@@ -1948,6 +1948,18 @@ object SimilarityQueries {
   // relations (the graph consumers' shared state, built once per
   // edge generation instead of re-derived per query)
   private val KnnVersion = 4
+
+  /** Layout-GC catalog entry (the
+    * [[graft.operators.TextQueries.currentLayoutNames]] sibling).
+    * BOTH legal radii are current — the radius is an operator knob,
+    * not a version; a radius change orphans nothing a GC should take.
+    */
+  private[graft] def currentLayoutNames: Seq[String] = Seq(
+    s"emb_by_bucket_v$LayoutVersion",
+    s"ivfpq_v$IvfPqVersion",
+    s"knn_v${KnnVersion}_r1",
+    s"knn_v${KnnVersion}_r2",
+    "evalref_v1")
   private[operators] val KnnDirBuckets = 64
 
   def knnLayoutPath(sfDir: String,
@@ -2102,6 +2114,8 @@ object SimilarityQueries {
       java.nio.file.Paths.get(layout, "_LAST_BATCH_VECS"))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(layout, "_LAST_BATCH_CEDGES"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(layout, "_LAST_BATCH_DELTA"))
     graft.GraftSession.deleteRec(
       java.nio.file.Paths.get(s"$layout/edges_compacting"))
     graft.GraftSession.deleteRec(
@@ -2215,12 +2229,12 @@ object SimilarityQueries {
 
   private[operators] def knnAppendAt(spark0: SparkSession, layout: String,
       newVecs: DataFrame, stage: (String, () => Unit) => Unit): Unit = {
-    // edges are about to move: the derived mutual/ranks relations are
-    // stale the moment any partial lands, so they drop FIRST — a crash
-    // anywhere in the append leaves no derived state to serve stale
-    // (consumers rebuild on next read), and the delete is idempotent
-    // under stage replay
-    knnDropDerived(layout)
+    // edges are about to move: the derived mutual/ranks marker drops
+    // FIRST (consumers see "absent" from here — a crash anywhere
+    // leaves no stale derived state servable), but the DIRS stay as
+    // the splice input; the DELTA stage below records the changed ids
+    // before any partial lands
+    knnInvalidateDerived(layout)
     val meta = spark0.read.parquet(s"$layout/meta").head
     val p = meta.getInt(0)
     val radius = meta.getInt(2) // the LAYOUT's stamped radius
@@ -2267,6 +2281,15 @@ object SimilarityQueries {
     val dir1 = knnCandidates(newE, vc(old).unionByName(vc(newE)), p, radius)
     val dir2 = knnCandidates(affOld, newE, p, radius)
     val (dots, coss) = knnBothPartials(dir1.unionByName(dir2))
+    // the derived-splice delta: every id whose served list this
+    // append can move — recorded BEFORE any partial lands (delta-first
+    // ordering, see knnInvalidateDerived), its own idempotence marker
+    // under stage replay
+    stage("DELTA", () => {
+      graft.GraftSession.clearDeadAppend(s"$layout/derived_delta")
+      newIds.unionByName(affOld.select("vec_id")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$layout/derived_delta")
+    })
     stage("EDGES", () => {
       graft.GraftSession.clearDeadAppend(s"$layout/edges") // resurrection guard
       dots.repartition(col("kb"))
@@ -2431,8 +2454,9 @@ object SimilarityQueries {
   private[operators] def knnForgetAt(spark0: SparkSession, layout: String,
       ids: Seq[Long]): Long = {
     require(ids.nonEmpty, "forget request carries no ids")
-    // derived mutual/ranks embed victim edges: drop FIRST (idempotent)
-    knnDropDerived(layout)
+    // derived mutual/ranks embed victim edges: the marker drops FIRST
+    // (idempotent); the dirs stay as the splice input
+    knnInvalidateDerived(layout)
     val n = spark0.read.parquet(s"$layout/vecs").count()
     val spark = knnSession(spark0, n)
     import spark.implicits._
@@ -2442,6 +2466,21 @@ object SimilarityQueries {
       standing.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val dn = fresh.distinct().count()
     if (dn > 0) {
+      // the derived-splice delta — victims PLUS the survivors whose
+      // lists the tombstone/heal will move — records BEFORE the
+      // tombstone lands (delta-first ordering): a crash in between
+      // over-approximates, never under-records
+      val victimsN = ids.distinct.toDF("vec_id")
+        .select(col("vec_id").as("neighbor_id"))
+      val affected = spark.read.parquet(s"$layout/edges")
+        .join(broadcast(victimsN), Seq("neighbor_id"), "left_semi")
+        .select("vec_id")
+        .unionByName(spark.read.parquet(s"$layout/cedges")
+          .join(broadcast(victimsN), Seq("neighbor_id"), "left_semi")
+          .select("vec_id"))
+      graft.GraftSession.clearDeadAppend(s"$layout/derived_delta")
+      ids.distinct.toDF("vec_id").unionByName(affected).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$layout/derived_delta")
       graft.GraftSession.clearDeadAppend(knnTombDir(layout).toString)
       ids.distinct.toDF("vec_id").coalesce(1)
         .write.mode("append").parquet(knnTombDir(layout).toString)
@@ -2832,6 +2871,25 @@ object SimilarityQueries {
       java.nio.file.Paths.get(layout, "_DERIVED_OK"))
     graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/mutual"))
     graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/ranks"))
+    graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/mutual_next"))
+    graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/ranks_next"))
+    graft.GraftSession.deleteRec(
+      java.nio.file.Paths.get(s"$layout/derived_delta"))
+  }
+
+  /** INVALIDATE the derived relations without discarding them — the
+    * marker deletes (consumers see "absent" from this instant), the
+    * dirs STAY as the splice input for the incremental
+    * re-derivation, and the mutating operation records its changed
+    * ids under `derived_delta/` BEFORE touching any list (delta-first
+    * ordering: a crash after the delta but before the change is a
+    * harmless over-approximation; the reverse would let a splice
+    * trust lists it doesn't know moved).
+    */
+  private def knnInvalidateDerived(layout: String): Unit = {
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(layout, "_DERIVED_OK"))
+    ()
   }
 
   private val KnnMutualSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -2856,33 +2914,150 @@ object SimilarityQueries {
     * self-join + 3 rank rounds — the two slowest bench queries);
     * now the derivation is paid once per edge generation and the
     * consumers read detection-output-sized parquet. Lifecycle: any
-    * edge mutation ([[buildKnn]], [[knnAppendAt]]) drops the state
-    * via [[knnDropDerived]] BEFORE touching edges; compaction leaves
-    * it (served rows are compaction-invariant, so derived rows are
-    * too); the `_DERIVED_OK` marker writes LAST, so a crashed build
-    * reads as absent and rebuilds. One-writer per layout — the
+    * edge mutation ([[knnAppendAt]], [[knnForgetAt]]) drops the
+    * MARKER first ([[knnInvalidateDerived]]) and records its changed
+    * ids under `derived_delta/` before touching any list, so this
+    * ensure usually SPLICES ([[knnSpliceDerived]] —
+    * append-proportional) instead of re-deriving the whole graph;
+    * a rebuild ([[buildKnn]]) full-drops everything
+    * ([[knnDropDerived]]). Compaction leaves derived state (served
+    * rows are compaction-invariant, so derived rows are too); the
+    * `_DERIVED_OK` marker writes LAST, so a crashed build or splice
+    * reads as absent and re-runs. One-writer per layout — the
     * standing contract all knn maintenance already carries.
     */
-  private def knnEnsureDerived(spark: SparkSession, layout: String): Unit = {
+  private[graft] def knnEnsureDerived(spark: SparkSession,
+      layout: String): Boolean = {
     val ok = java.nio.file.Paths.get(layout, "_DERIVED_OK")
-    if (java.nio.file.Files.exists(ok)) return
-    graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/mutual"))
-    graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/ranks"))
-    val pairs = knnMutualEdgesAt(spark, layout)
-    pairs.write.mode("overwrite").parquet(s"$layout/mutual")
-    knnRanksFrom(pairs).write.mode("overwrite").parquet(s"$layout/ranks")
+    if (java.nio.file.Files.exists(ok)) return false
+    // INCREMENTAL path: a previous derived generation stands and the
+    // mutations since recorded their changed ids — splice instead of
+    // re-deriving the whole graph. Any missing precondition (first
+    // build, a crash that took a dir, a delta-less invalidation)
+    // falls back to the full derivation — the splice is an economy,
+    // never a correctness dependency.
+    val mOk = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(layout, "mutual/_SUCCESS"))
+    val rOk = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(layout, "ranks/_SUCCESS"))
+    val delta = graft.GraftSession.tombstonesIn(spark,
+      java.nio.file.Paths.get(layout, "derived_delta"), "vec_id")
+    val spliced = mOk && rOk && delta.isDefined && {
+      // ADAPTIVE: the splice's economy needs the delta to be a small
+      // corpus fraction. A ring-spanning mutation (|batch|·(p+1) ≳
+      // 2^p buckets — any realistic batch at probe SFs, never a
+      // realistic batch at the 10⁹ regime where 2^p ≈ 16M) marks
+      // most of the corpus affected, and then the filtered scans
+      // touch everything the full derivation touches PLUS the
+      // splice's own overhead (measured: SPLICE_PROBE_r15). Past
+      // half the corpus, re-deriving is strictly cheaper.
+      val dN = delta.get.count()
+      val n = spark.read.parquet(s"$layout/vecs").count()
+      dN * 2 < n
+    }
+    if (spliced) {
+      knnSpliceDerived(spark, layout)
+    } else {
+      graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/mutual"))
+      graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/ranks"))
+      graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/mutual_next"))
+      graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/ranks_next"))
+      graft.GraftSession.deleteRec(
+        java.nio.file.Paths.get(s"$layout/derived_delta"))
+      val pairs = knnMutualEdgesAt(spark, layout)
+      pairs.write.mode("overwrite").parquet(s"$layout/mutual")
+      knnRanksFrom(pairs).write.mode("overwrite").parquet(s"$layout/ranks")
+    }
     java.nio.file.Files.writeString(ok, "1")
-    ()
+    spliced
+  }
+
+  /** SPLICE the derived relations forward — the append-proportional
+    * maintenance the full derivation's economics call for at scale:
+    * a full re-derivation re-aggregates ALL n vectors' lists and
+    * self-joins k·n rows per invalidation, but only the vectors in
+    * the recorded delta (new ∪ affected ∪ forgotten — every id whose
+    * served list can have moved since the last valid generation)
+    * changed. Pairs with NEITHER endpoint in the delta are unchanged
+    * by construction (both lists untouched), so they carry over from
+    * the standing `mutual`; every mutual pair with ≥1 endpoint in the
+    * delta is re-enumerated from the delta side's fresh lists (one
+    * edges scan filtered to ≤|Δ| groups) with the reverse-membership
+    * check against the listed partners' lists (a second filtered
+    * scan, ≤k·|Δ| groups) — the same cosine-floor arithmetic as the
+    * full derivation, tombstone-filtered through the shared reads.
+    * `ranks` then recomputes whole from the spliced mutual: PageRank
+    * is global, but the mutual relation is detection-output-sized, so
+    * the recompute is the cheap leg. Swap is staged (next dirs write
+    * fully, then replace): a crash mid-swap leaves either a
+    * re-spliceable state (marker absent, delta kept — the splice is
+    * idempotent because the delta still covers every moved list) or
+    * a missing dir, which the caller's precondition turns into a full
+    * rebuild. The delta clears ONLY after both swaps.
+    */
+  private[operators] def knnSpliceDerived(spark0: SparkSession,
+      layout: String): Unit = {
+    val n = spark0.read.parquet(s"$layout/vecs").count()
+    val spark = knnSession(spark0, n)
+    val a = graft.GraftSession.tombstonesIn(spark,
+      java.nio.file.Paths.get(layout, "derived_delta"), "vec_id")
+      .get.localCheckpoint(true) // re-read under the scoped session
+    val edges = knnReadPartials(spark, layout, "edges")
+    val topkA = knnServe(
+        edges.join(broadcast(a), Seq("vec_id"), "left_semi"))
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"), col("score"))
+      .localCheckpoint(true) // ≤ k·|Δ| rows
+    val xids = topkA.select(col("b").as("vec_id")).distinct()
+      .localCheckpoint(true)
+    // the reverse side: the listed partners' own lists (reversed
+    // columns so the mutual check is one semi join on (a, b))
+    val topkX = knnServe(
+        edges.join(broadcast(xids), Seq("vec_id"), "left_semi"))
+      .select(col("vec_id").as("b"), col("neighbor_id").as("a"))
+    val mutualA = topkA.join(topkX, Seq("a", "b"), "left_semi")
+    val nrm = knnReadVecs(spark, layout).select("vec_id", "nrm")
+    val fresh = mutualA
+      .join(nrm.select(col("vec_id").as("a"), col("nrm").as("na")), Seq("a"))
+      .join(nrm.select(col("vec_id").as("b"), col("nrm").as("nb")), Seq("b"))
+      .withColumn("cosine",
+        when(col("na") === 0 || col("nb") === 0, lit(0d)).otherwise(
+          col("score").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
+      .where(col("cosine") >= KnnClusterTau)
+      // a both-in-delta pair enumerates from each side: canonical form
+      // + distinct collapses it to the stored one-row shape
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
+      .distinct()
+    val keepOld = knnMutualRead(spark, layout)
+      .join(broadcast(a.select(col("vec_id").as("doc_a"))),
+        Seq("doc_a"), "left_anti")
+      .join(broadcast(a.select(col("vec_id").as("doc_b"))),
+        Seq("doc_b"), "left_anti")
+    val mutualNew = keepOld.unionByName(fresh)
+      .localCheckpoint(true) // detection-output-sized
+    val ranksNew = knnRanksFrom(mutualNew)
+    mutualNew.write.mode("overwrite").parquet(s"$layout/mutual_next")
+    ranksNew.write.mode("overwrite").parquet(s"$layout/ranks_next")
+    for (d <- Seq("mutual", "ranks")) {
+      graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/$d"))
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$layout/${d}_next"),
+        java.nio.file.Paths.get(s"$layout/$d"))
+    }
+    graft.GraftSession.deleteRec(
+      java.nio.file.Paths.get(s"$layout/derived_delta"))
   }
 
   /** Read a derived relation with its EXPLICIT schema: an
     * all-vectors-isolated corpus derives an EMPTY mutual relation,
     * and schema inference over a zero-row parquet dir throws.
     */
-  private def knnMutualRead(spark: SparkSession, layout: String): DataFrame =
+  private[operators] def knnMutualRead(spark: SparkSession,
+      layout: String): DataFrame =
     spark.read.schema(KnnMutualSchema).parquet(s"$layout/mutual")
 
-  private def knnRanksRead(spark: SparkSession, layout: String): DataFrame =
+  private[operators] def knnRanksRead(spark: SparkSession,
+      layout: String): DataFrame =
     spark.read.schema(KnnRanksSchema).parquet(s"$layout/ranks")
 
   def knnClusters(spark: SparkSession, sfDir: String): DataFrame = {

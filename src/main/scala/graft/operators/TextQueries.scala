@@ -1489,6 +1489,19 @@ object TextQueries {
     * Bench so probes measure the read, not the build.
     */
   private val InvIndexVersion = 2 // v2: content-stamp marker
+
+  /** This module's CURRENT standing-layout directory names — the
+    * layout-GC catalog entry ([[graft.pipeline.Governance.gcLayouts]]):
+    * a version bump here automatically marks the predecessor dirs
+    * superseded, because the names derive from the same constants the
+    * layout builders use.
+    */
+  private[graft] def currentLayoutNames: Seq[String] = Seq(
+    s"invindex_v$InvIndexVersion",
+    s"langstats_v$LangStatsVersion",
+    s"scriptstats_v$ScriptStatsVersion",
+    s"lenstats_v$LenStatsVersion",
+    s"tokstats_v$TokStatsVersion")
   private val InvIndexBuckets = 64
 
   /** CRC32-based term bucket — the one hash both the Spark builtin

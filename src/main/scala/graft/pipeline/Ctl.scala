@@ -32,6 +32,10 @@ import java.nio.file.{Files, Paths}
   *                                          the same, as a LIVE stream over a
   *                                          deletion-requests directory
   *                                          (stop: touch <requestsDir>/stop)
+  *   index-gc <sfDir> [--apply]             list (and with --apply delete)
+  *                                          SUPERSEDED standing-layout
+  *                                          generations; crashed staged
+  *                                          writes are reported, never taken
   *   door-run <sfDir> <incomingDir> <doorDir> <admittedDir>
   *                        [--no-script-axis] [--len-axis] [--tok-axis] [--knn]
   *                        [--eval-guard]
@@ -220,6 +224,21 @@ object Ctl {
         else applied.foreach { case (l, s) => println(s"$l: $s") }
       } finally spark.stop()
 
+    case "index-gc" :: sfDir :: rest if rest.forall(_ == "--apply") =>
+      // superseded standing-layout generations (version bumps,
+      // sketch-precision changes) are dead disk forever on a
+      // long-lived deployment; dry-run lists, --apply deletes.
+      // Crashed staged-write leftovers are REPORTED only — each is a
+      // refuse-loudly marker whose delete-to-retry decision belongs
+      // to whoever owns the tag.
+      val apply = rest.contains("--apply")
+      val (superseded, stages) = Governance.gcLayouts(sfDir, apply)
+      if (superseded.isEmpty) println("no superseded layout generations")
+      else superseded.foreach(p =>
+        println(s"${if (apply) "removed" else "superseded (dry-run)"}: $p"))
+      stages.foreach(p => println(s"WARNING crashed staged write: $p " +
+        "(delete to retry its tag)"))
+
     case "forget-run" :: sfDir :: requestsDir :: checkpointDir :: Nil =>
       // the streaming face of index-forget: tail a directory of
       // deletion-request parquet files ((doc_id) rows) and propagate
@@ -350,6 +369,7 @@ object Ctl {
           "index-compact <sfDir> <invindex|simhash|ivfpq|knn|sketch|langstats|scriptstats|lenstats|tokstats|all> | " +
           "index-forget <sfDir> <id,id,...> | " +
           "forget-run <sfDir> <requestsDir> <checkpointDir> | " +
+          "index-gc <sfDir> [--apply] | " +
           "quarantine-release <doorDir> <batchId> | " +
           "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir> | " +
           "front <spoolDir> <task> | back <spoolDir> <task>")

@@ -46,6 +46,74 @@ object Governance {
     out.result()
   }
 
+  /** The layout-GC catalog: every CURRENT standing-layout directory
+    * name, collected from the same constants the builders use — a
+    * version bump anywhere automatically marks its predecessors
+    * superseded here.
+    */
+  private def currentLayoutNames: Set[String] =
+    (graft.operators.TextQueries.currentLayoutNames ++
+      graft.operators.DedupQueries.currentLayoutNames ++
+      graft.operators.SimilarityQueries.currentLayoutNames ++
+      graft.operators.CoreQueries.currentLayoutNames).toSet
+
+  /** Garbage-collect SUPERSEDED standing-layout generations under a
+    * corpus's fixture root — every version bump (or sketch-precision
+    * change) orphans the predecessor's whole tree, which on a
+    * long-lived deployment is dead disk forever. A dir is superseded
+    * iff its name parses as `<family>_v<digits>[...]` for a family the
+    * catalog KNOWS and the full name is not current — parameter-keyed
+    * caches (`kmeans_*`) and fixture outputs never match a known
+    * family and are never touched; both knn radii are current by
+    * design. Dry-run by default: returns (superseded, crashed-stage
+    * warnings); `apply = true` deletes the superseded trees.
+    * Crashed-stage leftovers (`.append_stage_*` / `.forget_stage_*`
+    * inside CURRENT layouts) are REPORTED, never deleted — each is a
+    * refuse-loudly marker whose delete-to-retry decision belongs to
+    * the operator who owns the tag.
+    */
+  def gcLayouts(sfDir: String,
+      apply: Boolean = false): (Seq[String], Seq[String]) = {
+    val root = java.nio.file.Paths.get(graft.GraftSession.fixtureRoot(sfDir))
+    if (!java.nio.file.Files.isDirectory(root)) return (Nil, Nil)
+    val current = currentLayoutNames
+    // family = the name up to its version suffix ("emb_by_bucket_v2"
+    // → "emb_by_bucket", "knn_v4_r1" → "knn")
+    val families = current.map(_.replaceAll("_v\\d.*$", ""))
+    val versioned = """^([a-z_]+?)_v\d.*$""".r
+    val dirs = {
+      val l = java.nio.file.Files.list(root)
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        l.forEach(p => if (java.nio.file.Files.isDirectory(p)) b += p)
+        b.result()
+      } finally l.close()
+    }
+    val superseded = dirs.filter { p =>
+      p.getFileName.toString match {
+        case versioned(family) =>
+          families.contains(family) && !current.contains(p.getFileName.toString)
+        case _ => false
+      }
+    }
+    val crashedStages = dirs
+      .filter(p => current.contains(p.getFileName.toString))
+      .flatMap { p =>
+        val l = java.nio.file.Files.list(p)
+        try {
+          val b = Seq.newBuilder[String]
+          l.forEach { c =>
+            val n = c.getFileName.toString
+            if (n.startsWith(".append_stage_") || n.startsWith(".forget_stage_"))
+              b += c.toString
+          }
+          b.result()
+        } finally l.close()
+      }
+    if (apply) superseded.foreach(graft.GraftSession.deleteRec)
+    (superseded.map(_.toString), crashedStages)
+  }
+
   /** Tombstones standing (hidden but not yet physically deleted) per
     * present layout — the review surface behind `GET /forget/pending`;
     * the next `index-compact` retires them.

@@ -232,13 +232,18 @@ class KnnIndexSpec extends SparkSpec {
     val standRanks = spark.read.parquet(s"$layout/ranks").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("r"))).toSet
     assert(standRanks === freshRanks)
-    // an APPEND drops the derived state before touching edges…
+    // an APPEND invalidates the marker before touching edges (a
+    // consumer racing it sees "absent", never stale), KEEPS the dirs
+    // as splice input, and records its changed ids
     SimilarityQueries.knnAppendAt(spark, layout, copies(200000L), (_, f) => f())
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(layout, "_DERIVED_OK")),
       "append left a stale derived marker")
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(layout, "mutual")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(layout, "mutual/_SUCCESS")),
+      "append must keep the previous generation as splice input")
+    assert(spark.read.parquet(s"$layout/derived_delta").count() > 0,
+      "append recorded no derived-splice delta")
     // …and the consumers rebuild it over the grown graph: the new
     // copies join their families' components
     val clusters2 = SimilarityQueries.knnClusters(spark, dir).collect()

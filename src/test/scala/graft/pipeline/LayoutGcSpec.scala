@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Layout GC (`Ctl index-gc` → [[Governance.gcLayouts]]): superseded
+  * standing-layout generations are found by FAMILY against the
+  * catalog the builders themselves derive their names from, current
+  * generations and unknown (parameter-keyed / fixture) dirs are never
+  * touched, crashed staged writes are reported but never taken, and
+  * dry-run deletes nothing.
+  */
+class LayoutGcSpec extends SparkSpec {
+
+  test("superseded generations collected; current, unknown and stages kept") {
+    val sfDir = java.nio.file.Files
+      .createTempDirectory("graft_gc_corpus").toString
+    val root = java.nio.file.Paths.get(graft.GraftSession.fixtureRoot(sfDir))
+    def mk(name: String): java.nio.file.Path =
+      java.nio.file.Files.createDirectories(root.resolve(name))
+    // superseded generations of known families
+    mk("invindex_v1")
+    mk("knn_v3_r1")
+    mk("usersketch_v1_k10") // old sketch precision
+    // current generations (must survive), one with a crashed stage
+    mk("invindex_v2/.append_stage_w9")
+    mk("knn_v4_r1")
+    mk("knn_v4_r2") // both radii are current by design
+    // unknown families / fixture outputs (must survive)
+    mk("kmeans_emb_k8_i4_v1")
+    mk("forget_corpus")
+    mk("ingest_out")
+
+    // dry-run: lists, deletes nothing
+    val (dry, stages) = Governance.gcLayouts(sfDir)
+    assert(dry.map(p => java.nio.file.Paths.get(p).getFileName.toString).sorted
+      === Seq("invindex_v1", "knn_v3_r1", "usersketch_v1_k10"))
+    assert(stages.size === 1 && stages.head.endsWith(".append_stage_w9"))
+    assert(java.nio.file.Files.isDirectory(root.resolve("invindex_v1")),
+      "dry-run must not delete")
+
+    // apply: superseded gone, everything else intact
+    val (taken, _) = Governance.gcLayouts(sfDir, apply = true)
+    assert(taken.size === 3)
+    for (gone <- Seq("invindex_v1", "knn_v3_r1", "usersketch_v1_k10"))
+      assert(!java.nio.file.Files.exists(root.resolve(gone)), s"$gone survived")
+    for (kept <- Seq("invindex_v2/.append_stage_w9", "knn_v4_r1", "knn_v4_r2",
+        "kmeans_emb_k8_i4_v1", "forget_corpus", "ingest_out"))
+      assert(java.nio.file.Files.exists(root.resolve(kept)), s"$kept taken")
+
+    // idempotent: a clean root reports nothing
+    val (again, stillStages) = Governance.gcLayouts(sfDir)
+    assert(again.isEmpty && stillStages.size === 1)
+  }
+}
