@@ -33,7 +33,7 @@ import graft.operators.{SimilarityQueries, TextQueries}
   * measures a real forget, not a no-op.
   *
   * Usage: sbt "runMain graft.tools.ForgetProbe [maxK]"   (maxK ∈
-  * {1,4,16}; 16 ≈ 80k docs / 32k vectors from sf0.1)
+  * {1,4,16,64}; 64 ≈ 320k docs / 128k vectors from sf0.1)
   */
 object ForgetProbe {
 
@@ -48,7 +48,7 @@ object ForgetProbe {
     val spark = GraftSession.benchSession(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val ks = Seq(1, 4, 16).filter(_ <= maxK)
+    val ks = Seq(1, 4, 16, 64).filter(_ <= maxK)
 
     // the cohorts: the q_forget convention (% 97) over BASE ids, so
     // the same people-scale request hits every fold
