@@ -2408,12 +2408,28 @@ object SimilarityQueries {
     val cossNew = coss
       .join(standC, Seq("vec_id", "neighbor_id"), "left_anti")
       .localCheckpoint(true)
-    if (dotsNew.count() > 0) {
+    val (nDots, nCoss) = (dotsNew.count(), cossNew.count())
+    if (nDots > 0 || nCoss > 0) {
+      // the heal is about to change affected survivors' lists: record
+      // them in the derived-splice delta BEFORE any append
+      // (delta-first). The forget path recorded them already, but a
+      // crashed-heal RERUN (dn == 0) reaches here after an ensure may
+      // have consumed the original delta — without this, the spliced
+      // derived state would go stale against the healed lists.
+      // Duplicate ids across the two writes are harmless (the splice
+      // distincts).
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(layout, "_DERIVED_OK"))
+      graft.GraftSession.clearDeadAppend(s"$layout/derived_delta")
+      affIds.coalesce(1).write.mode("append")
+        .parquet(s"$layout/derived_delta")
+    }
+    if (nDots > 0) {
       graft.GraftSession.clearDeadAppend(s"$layout/edges")
       dotsNew.repartition(col("kb"))
         .write.partitionBy("kb").mode("append").parquet(s"$layout/edges")
     }
-    if (cossNew.count() > 0) {
+    if (nCoss > 0) {
       graft.GraftSession.clearDeadAppend(s"$layout/cedges")
       cossNew.repartition(col("kb"))
         .write.partitionBy("kb").mode("append").parquet(s"$layout/cedges")
