@@ -119,6 +119,74 @@ object GraftSession {
     else Some(spark.read.parquet(dir.toString).select(idCol).distinct())
   }
 
+  /** SNAPSHOT of a tombstone dir's data files, taken by a compaction
+    * BEFORE its rewrite resolves any file listing: the compaction
+    * applies and retires exactly these files ([[retireTombstones]]),
+    * so a tombstone staged-moved in at any point DURING the
+    * compaction is neither half-applied nor destroyed unapplied — it
+    * survives, keeps hiding its rows through the serving anti-joins,
+    * and the NEXT compaction retires it (the same discipline
+    * [[compactSnapshot]]'s manifest gives the data files). Returns
+    * absolute paths; empty = no tombstones standing.
+    */
+  def tombstoneSnapshot(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val snap = dataFilesUnder(dir).map(dir.resolve)
+    afterTombSnapshotSeam()
+    snap
+  }
+
+  /** Test seam (the [[compactPartitioned]] `beforeSwap` pattern):
+    * runs right after a compaction snapshots a tombstone dir — where
+    * a concurrently-landing forget is most interesting to pin.
+    */
+  private[graft] var afterTombSnapshotSeam: () => Unit = () => ()
+
+  /** Read the tombstone RELATION from exactly a snapshot's files —
+    * the rewrite-side leg of the snapshot discipline (reading the
+    * live dir instead would apply tombstones the retire below never
+    * deletes, which is merely wasted work, but reading FEWER than the
+    * retire deletes would destroy a tombstone unapplied — the data
+    * loss the snapshot exists to prevent).
+    */
+  def tombstonesFrom(spark: SparkSession,
+      files: Seq[java.nio.file.Path]): DataFrame =
+    // mergeSchema: cohorts recorded before a layout learned to stamp
+    // its partition key carry only the id column — the union must
+    // still surface the key column (null for those rows)
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.toString): _*)
+
+  /** Retire exactly a snapshot's tombstone files (+ LocalFS checksum
+    * siblings); the dir itself goes only when nothing else landed
+    * meanwhile. Idempotent — deletes tolerate already-deleted files.
+    */
+  def retireTombstones(dir: java.nio.file.Path,
+      files: Seq[java.nio.file.Path]): Unit = {
+    files.foreach { f =>
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(
+        f.resolveSibling("." + f.getFileName.toString + ".crc"))
+    }
+    if (java.nio.file.Files.isDirectory(dir) && !hasVisibleData(dir))
+      deleteRec(dir)
+  }
+
+  /** Recursive file-tree copy (fixture seeding: a value-identical
+    * corpus copy may inherit a built layout by copy instead of
+    * rebuild). Plain files + dirs only; overwrites nothing — caller
+    * clears the destination first.
+    */
+  def copyRec(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
   /** The forget tier's deterministic job tag: a cohort-derived hash,
     * so a RETRY of the same request maps to the same staged-write
     * claim (a crashed attempt's leftover refuses loudly with the
@@ -230,7 +298,41 @@ object GraftSession {
     */
   private[graft] def compactSnapshot(spark: SparkSession, dir: String,
       writeStaged: (org.apache.spark.sql.DataFrame, String) => Unit,
-      beforeSwap: () => Unit = () => ()): Unit = {
+      beforeSwap: () => Unit = () => ()): Unit =
+    compactSnapshotOf(spark, dir, identity, writeStaged, beforeSwap)
+
+  /** Partition-PRUNED compaction: only the files under the top-level
+    * partition directories in `dirtyDirs` (`col=value` names) enter
+    * the snapshot/rewrite/swap — every other partition's files are
+    * untouched, so a tombstone-retiring compaction costs ∝ affected
+    * partitions, not corpus. Same manifest/breadcrumb crash machinery
+    * as the full [[compactSnapshot]] (the manifest is just a shorter
+    * file list). `writeStaged` sees ONLY the dirty partitions'
+    * rows and must write them back `partitionBy` the same column, so
+    * the staged tree mirrors exactly the dirs being replaced.
+    */
+  private[graft] def compactSnapshotPruned(spark: SparkSession, dir: String,
+      dirtyDirs: Set[String],
+      writeStaged: (org.apache.spark.sql.DataFrame, String) => Unit): Unit =
+    compactSnapshotOf(spark, dir,
+      _.filter(rel => dirtyDirs.contains(rel.takeWhile(_ != '/'))),
+      writeStaged, () => ())
+
+  /** FILE-pruned compaction for flat (non-partitioned) relations:
+    * only the named files (relative to `dir`) are rewritten — the
+    * simhash shape, where the dirty set is "files carrying a victim
+    * row" found by a pushed-down id scan.
+    */
+  private[graft] def compactSnapshotFiles(spark: SparkSession, dir: String,
+      files: Set[String],
+      writeStaged: (org.apache.spark.sql.DataFrame, String) => Unit): Unit =
+    compactSnapshotOf(spark, dir, _.filter(files.contains), writeStaged,
+      () => ())
+
+  private[graft] def compactSnapshotOf(spark: SparkSession, dir: String,
+      pick: Seq[String] => Seq[String],
+      writeStaged: (org.apache.spark.sql.DataFrame, String) => Unit,
+      beforeSwap: () => Unit): Unit = {
     val live = java.nio.file.Paths.get(dir)
     val staged = java.nio.file.Paths.get(dir + "_compacting")
     val manifest = staged.resolve("_COMPACT_MANIFEST")
@@ -255,7 +357,7 @@ object GraftSession {
         s"compaction found neither a live tree nor a complete staged tree at $dir")
       java.nio.file.Files.move(staged, live)
     } else deleteRec(staged)
-    val snapshot = dataFilesUnder(live)
+    val snapshot = pick(dataFilesUnder(live))
     if (snapshot.isEmpty) return
     writeStaged(
       spark.read.option("basePath", dir)
@@ -470,7 +572,7 @@ object GraftSession {
         s"$name@${pathStamp(spark, path)}")))
   }
 
-  private def pathStamp(spark: SparkSession, path: String): Long =
+  private[graft] def pathStamp(spark: SparkSession, path: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)

@@ -855,24 +855,56 @@ object DedupQueries {
     dn
   }
 
-  /** Standing-layout compaction for the fingerprint relation — file
-    * re-pack (appends fragment the flat dir) plus the physical half
-    * of [[simhashForget]]: victim rows drop during the rewrite and
-    * the tombstones retire LAST (a crash above leaves them pending;
-    * the anti-join of already-absent rows is a no-op and the next
-    * compaction clears them). Target file count is the session's
-    * shuffle parallelism — the 8-byte-per-doc relation is ~8 GB at
-    * 10⁹ docs, so a fixed file count would mis-size at either end.
+  /** Standing-layout compaction for the fingerprint relation — with
+    * tombstones pending, the PRUNED physical half of [[simhashForget]]
+    * (only the files carrying a victim row rewrite, found by one
+    * pushed-down id scan); clean, a full file re-pack (appends
+    * fragment the flat dir) to the session's shuffle parallelism —
+    * the 8-byte-per-doc relation is ~8 GB at 10⁹ docs, so a fixed
+    * file count would mis-size at either end. Tombstones retire LAST
+    * and only the files the snapshot CONSUMED (a crash above leaves
+    * them pending — the anti-join of already-absent rows is a no-op —
+    * and one landing mid-compaction survives to the next).
     */
   def simhashCompact(spark: SparkSession, sfDir: String): String = {
     val fp = simhashLayout(spark, sfDir)
-    val tomb = graft.GraftSession
-      .tombstonesIn(spark, simhashTombDir(fp), "doc_id")
-    graft.GraftSession.compactSnapshot(spark, fp, (df, staged) =>
-      tomb.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val tombDir = simhashTombDir(fp)
+    // SNAPSHOT the tombstone files before the rewrite resolves any
+    // file listing: exactly these are applied and retired, so a
+    // tombstone staged-moved in DURING the compaction survives to the
+    // next one instead of being destroyed unapplied
+    val snap = graft.GraftSession.tombstoneSnapshot(tombDir)
+    if (snap.isEmpty) {
+      // pure defrag: full re-pack to the session's parallelism
+      graft.GraftSession.compactSnapshot(spark, fp, (df, staged) => df
         .repartition(spark.sessionState.conf.numShufflePartitions)
         .write.mode("overwrite").parquet(staged))
-    graft.GraftSession.deleteRec(simhashTombDir(fp))
+    } else {
+      // PRUNED physical delete — the fingerprint relation is FLAT
+      // (no partition dirs), so the dirty unit is the FILE: one
+      // pushed-down id scan over the 8-byte-per-doc relation finds
+      // the files carrying a victim row, and only those rewrite. The
+      // delete costs ∝ carrying files + one narrow locate scan, not
+      // a corpus rewrite; a clean follow-up compact stays the
+      // full-defrag verb.
+      val ids = graft.GraftSession.tombstonesFrom(spark, snap)
+        .select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSeq // people-scale
+      val liveP = java.nio.file.Paths.get(fp).toAbsolutePath
+      val dirty = spark.read.parquet(fp)
+        .where(col("doc_id").isin(ids: _*)) // pushed to the scan
+        .select(input_file_name().as("f")).distinct()
+        .collect().map { r =>
+          liveP.relativize(java.nio.file.Paths.get(
+            new java.net.URI(r.getString(0)).getPath)).toString
+        }.toSet
+      if (dirty.nonEmpty)
+        graft.GraftSession.compactSnapshotFiles(spark, fp, dirty,
+          (df, staged) => df
+            .where(!col("doc_id").isin(ids: _*))
+            .write.mode("overwrite").parquet(staged))
+    }
+    graft.GraftSession.retireTombstones(tombDir, snap)
     fp
   }
 

@@ -581,6 +581,44 @@ object SimilarityQueries {
         knnTombDir(knnLayoutPath(sfDir, knnProbeRadius(spark))), "vec_id")
       .map(_.count()).getOrElse(0L)
 
+  /** The radii a knn layout may legally stand at — BOTH are
+    * first-class standing layouts ([[currentLayoutNames]] keeps both
+    * current), so the governance dispatch must loop this list, never
+    * the session conf: an operator who switched
+    * `spark.graft.knn.probeRadius` between sessions has layouts at
+    * both radii, and a forget that only reached the session's radius
+    * would leave the OTHER radius serving the forgotten vectors with
+    * no pending marker.
+    */
+  val KnnLegalRadii: Seq[Int] = Seq(1, 2)
+
+  /** Per-radius forget — the governance-dispatch entrypoint: applies
+    * to the STANDING layout at `radius` exactly as it is (a stale
+    * layout still serves stale rows, so it still must hide them);
+    * never builds or refreshes. [[knnForget]] stays the
+    * ensure-then-forget path for the session's own radius.
+    */
+  def knnForgetAtRadius(spark: SparkSession, sfDir: String, radius: Int,
+      ids: Seq[Long]): Long =
+    knnForgetAt(spark, knnLayoutPath(sfDir, radius), ids)
+
+  /** Per-radius pending-tombstone count (the [[knnForgetAtRadius]]
+    * review sibling).
+    */
+  def knnPendingForgetsAtRadius(spark: SparkSession, sfDir: String,
+      radius: Int): Long =
+    graft.GraftSession.tombstonesIn(spark,
+        knnTombDir(knnLayoutPath(sfDir, radius)), "vec_id")
+      .map(_.count()).getOrElse(0L)
+
+  /** Serve the standing layout at an EXPLICIT radius (the
+    * per-radius audit read behind the dual-radius governance specs);
+    * never builds.
+    */
+  def knnGraphAtRadius(spark: SparkSession, sfDir: String,
+      radius: Int): DataFrame =
+    knnGraphAt(spark, knnLayoutPath(sfDir, radius))
+
   /** Compaction for the append-maintained codes relation — the
     * [[graft.operators.TextQueries.invIndexCompact]] sibling: every
     * [[ivfPqAppend]] adds one file per touched cell directory; this
@@ -589,22 +627,39 @@ object SimilarityQueries {
     */
   def ivfPqCompact(spark: SparkSession, sfDir: String): String = {
     val layout = ivfPqLayout(spark, sfDir)
-    ivfPqTombstones(spark, layout) match {
-      case None =>
-        graft.GraftSession.compactPartitioned(spark, s"$layout/codes", "cell")
-      case Some(t) =>
-        // the physical half of ivfPqForget: victim code rows drop
-        // during the per-cell re-pack; tombstones retire LAST (a
-        // crash above leaves them pending — the serving anti-join of
-        // already-absent rows is a no-op and the next compaction
-        // clears them)
-        graft.GraftSession.compactSnapshot(spark, s"$layout/codes",
-          (df, staged) => df
-            .join(broadcast(t), Seq("vec_id"), "left_anti")
+    val tombDir = java.nio.file.Paths.get(s"$layout/tombstones")
+    // snapshot-then-retire-consumed: a tombstone staged-moved in
+    // during the compaction survives to the next one
+    val snap = graft.GraftSession.tombstoneSnapshot(tombDir)
+    if (snap.isEmpty)
+      graft.GraftSession.compactPartitioned(spark, s"$layout/codes", "cell")
+    else {
+      // the PRUNED physical half of ivfPqForget: only the coarse
+      // cells the victims' code rows live in rewrite (recorded at
+      // forget time; ids forgotten while absent re-resolve against
+      // the codes now) — delete cost ∝ affected cells, not corpus
+      val tomb = graft.GraftSession.tombstonesFrom(spark, snap)
+        .localCheckpoint(true) // people-scale
+      val tombIds = tomb.select("vec_id").distinct()
+      val (recorded, unlocated) =
+        if (tomb.columns.contains("cell"))
+          (tomb.where(col("cell").isNotNull).select("cell").distinct()
+              .collect().map(_.getInt(0)).toSeq,
+            tomb.where(col("cell").isNull).select("vec_id").distinct()
+              .collect().map(_.getLong(0)).toSeq)
+        else (Seq.empty[Int], tombIds.collect().map(_.getLong(0)).toSeq)
+      val late = if (unlocated.isEmpty) Seq.empty[Int]
+        else spark.read.parquet(s"$layout/codes")
+          .where(col("vec_id").isin(unlocated: _*)) // pushed-down
+          .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+      val dirty = (recorded ++ late).distinct.map(c => s"cell=$c").toSet
+      if (dirty.nonEmpty)
+        graft.GraftSession.compactSnapshotPruned(spark, s"$layout/codes",
+          dirty, (df, staged) => df
+            .join(broadcast(tombIds), Seq("vec_id"), "left_anti")
             .repartition(col("cell"))
             .write.partitionBy("cell").mode("overwrite").parquet(staged))
-        graft.GraftSession.deleteRec(
-          java.nio.file.Paths.get(s"$layout/tombstones"))
+      graft.GraftSession.retireTombstones(tombDir, snap)
     }
     layout
   }
@@ -636,17 +691,21 @@ object SimilarityQueries {
     val layout = ivfPqLayout(spark, sfDir)
     import spark.implicits._
     val standing = spark.read.parquet(s"$layout/codes")
-      .where(col("vec_id").isin(ids: _*)).select("vec_id")
+      .where(col("vec_id").isin(ids: _*))
+      .select("vec_id", "cell").distinct().localCheckpoint(true)
     val fresh = ivfPqTombstones(spark, layout)
-      .fold(standing)(t =>
-        standing.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .fold(standing.select("vec_id"))(t =>
+        standing.select("vec_id").join(broadcast(t), Seq("vec_id"), "left_anti"))
     val dn = fresh.distinct().count()
     if (dn > 0) {
       // staged + moved (no `_temporary` in the live dir): legal beside
       // the live codes maintenance stream; concurrent forgets with
-      // distinct cohorts get distinct claim tags
+      // distinct cohorts get distinct claim tags. Rows carry the
+      // victims' coarse CELL (null when absent from the index) — the
+      // pruned compaction's dirty-partition list.
       val tag = graft.GraftSession.forgetTag(ids)
-      graft.GraftSession.stagedAppend(ids.distinct.toDF("vec_id"),
+      graft.GraftSession.stagedAppend(
+        ids.distinct.toDF("vec_id").join(standing, Seq("vec_id"), "left"),
         java.nio.file.Paths.get(layout, s".forget_stage_$tag"),
         java.nio.file.Paths.get(s"$layout/tombstones"), tag)
     }
@@ -1600,27 +1659,99 @@ object SimilarityQueries {
     * firewall), so there is no append path and the probe radius stays
     * a pure serve-time knob (buckets on disk don't depend on it).
     */
+  /** The eval set a reference (re)build reads: an explicit eval
+    * release parquet when one was registered ([[evalRefRebuild]]'s
+    * `_EVAL_SOURCE` record), else the corpus' held-out md5-fold (the
+    * self-contained default the registered oracles replay).
+    */
+  private def evalRefSourcePath(sfDir: String): String = {
+    val rec = java.nio.file.Paths.get(evalRefPath(sfDir), "_EVAL_SOURCE")
+    if (java.nio.file.Files.exists(rec))
+      java.nio.file.Files.readString(rec).trim
+    else s"$sfDir/embeddings.parquet"
+  }
+
+  private def evalSetFrom(spark: SparkSession, sfDir: String,
+      src: String): DataFrame =
+    if (src == s"$sfDir/embeddings.parquet") {
+      val fold = conv(substring(md5(col("vec_id").cast("string")
+        .cast("binary")), 1, 4), 16, 10).cast("long") % 10
+      spark.read.parquet(src).where(fold === 9)
+        .select("vec_id", "embedding")
+    } else spark.read.parquet(src).select("vec_id", "embedding")
+
+  /** ONE reference-build body shared by the ensure path and the
+    * rebuild verb, so the encode recipe cannot drift between them.
+    */
+  private def buildEvalRefInto(spark: SparkSession, eval: DataFrame,
+      layout: String): Unit = {
+    val nE = eval.count()
+    val p = knnPlanes(nE)
+    val pl = planesFor(p)
+    eval.select(col("vec_id"), col("embedding"),
+      bucketColFor(pl)(col("embedding")).as("bucket"),
+      quantDot(col("embedding"), col("embedding")).as("nrm"))
+      .coalesce(1) // eval registries are small by nature
+      .write.mode("overwrite").parquet(s"$layout/vecs")
+    import spark.implicits._
+    Seq((p, nE)).toDF("p", "n_eval").coalesce(1)
+      .write.mode("overwrite").parquet(s"$layout/meta")
+  }
+
   private[operators] def evalRefLayout(spark: SparkSession,
       sfDir: String): String = {
     val layout = evalRefPath(sfDir)
-    graft.GraftSession.ensureLayout(spark, layout,
-      s"$sfDir/embeddings.parquet") {
-      val fold = conv(substring(md5(col("vec_id").cast("string")
-        .cast("binary")), 1, 4), 16, 10).cast("long") % 10
-      val eval = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .where(fold === 9).select("vec_id", "embedding")
-      val nE = eval.count()
-      val p = knnPlanes(nE)
-      val pl = planesFor(p)
-      eval.select(col("vec_id"), col("embedding"),
-        bucketColFor(pl)(col("embedding")).as("bucket"),
-        quantDot(col("embedding"), col("embedding")).as("nrm"))
-        .coalesce(1) // eval registries are small by nature
-        .write.mode("overwrite").parquet(s"$layout/vecs")
-      import spark.implicits._
-      Seq((p, nE)).toDF("p", "n_eval").coalesce(1)
-        .write.mode("overwrite").parquet(s"$layout/meta")
+    // staleness follows the layout's OWN eval source: the default
+    // fold-of-corpus reference tracks the corpus table, a registered
+    // eval release tracks its release parquet — a content change in
+    // either re-derives on the next guard read
+    val src = evalRefSourcePath(sfDir)
+    graft.GraftSession.ensureLayout(spark, layout, src) {
+      buildEvalRefInto(spark, evalSetFrom(spark, sfDir, src), layout)
     }
+    layout
+  }
+
+  /** EVAL-RELEASE lifecycle verb (`Ctl evalref-rebuild`): rebuild the
+    * standing reference from a NEW eval release — `evalSrc` = a
+    * (vec_id, embedding) parquet, or None to return to the
+    * held-out-fold default. Builds into a dot-prefixed staging
+    * sibling first and swaps whole (guard reads never see a
+    * half-built reference; the plane count restamps from the NEW eval
+    * size), records the release path so subsequent staleness checks
+    * follow the release file, and re-stamps the ensure marker — the
+    * old tree is REPLACED in place, so there is no superseded
+    * generation for the GC to carry.
+    */
+  def evalRefRebuild(spark: SparkSession, sfDir: String,
+      evalSrc: Option[String] = None): String = {
+    val layout = evalRefPath(sfDir)
+    val src = evalSrc.getOrElse(s"$sfDir/embeddings.parquet")
+    val staged = java.nio.file.Paths.get(
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/.evalref_rebuild_stage")
+    java.nio.file.Files.createDirectories(staged.getParent)
+    graft.GraftSession.claimStage(staged,
+      "an evalref rebuild") // refuse-loudly beside a concurrent rebuild
+    try {
+      buildEvalRefInto(spark, evalSetFrom(spark, sfDir, src),
+        staged.toString)
+      evalSrc.foreach(s => java.nio.file.Files.writeString(
+        staged.resolve("_EVAL_SOURCE"), s))
+      java.nio.file.Files.writeString(staged.resolve("_GRAFT_STAMP"),
+        graft.GraftSession.pathStamp(spark, src).toString)
+    } catch {
+      // a failed BUILD self-heals (live tree untouched, nothing
+      // escaped the stage); only the swap window below leaves the
+      // claim for the operator
+      case e: Throwable => graft.GraftSession.deleteRec(staged); throw e
+    }
+    val live = java.nio.file.Paths.get(layout)
+    graft.GraftSession.deleteRec(live)
+    // a hard crash RIGHT HERE leaves no live tree and a complete
+    // stage: the next guard read self-heals by re-deriving via the
+    // ensure path, and the kept claim makes the next rebuild verb
+    // refuse loudly (delete-to-retry)
+    java.nio.file.Files.move(staged, live)
     layout
   }
 
@@ -2307,12 +2438,20 @@ object SimilarityQueries {
     })
   }
 
-  /** Standing-layout compaction, `Ctl index-compact <sf> knn`: vecs
-    * re-pack file-wise ([[graft.GraftSession.compactPartitioned]]);
-    * edges compact SEMANTICALLY (the sketch-layout discipline) — N
-    * generations of top-k partials per vector collapse back to ONE
-    * exact top-k, so steady-state edge size is k·corpus however many
-    * appends ever ran. Served rows are invariant (spec-pinned).
+  /** Standing-layout compaction, `Ctl index-compact <sf> knn`. CLEAN
+    * (no tombstones): vecs re-pack file-wise
+    * ([[graft.GraftSession.compactPartitioned]]); edges compact
+    * SEMANTICALLY (the sketch-layout discipline) — N generations of
+    * top-k partials per vector collapse back to ONE exact top-k, so
+    * steady-state edge size is k·corpus however many appends ever
+    * ran. With tombstones PENDING: the physical delete PRUNES — vecs
+    * rewrite only the victims' recorded bucket-fold dirs, edge
+    * partials only the ID-fold dirs of victims ∪ affected survivors
+    * (pure arithmetic on two bounded id lists), and exactly the
+    * snapshot-consumed tombstone files retire, so a single-victim
+    * request costs ~(1 + in-degree-dirs)/64 of the tree instead of a
+    * full rewrite; run a second (clean) compact to also defrag.
+    * Served rows are invariant either way (spec-pinned).
     */
   def knnCompact(spark: SparkSession, sfDir: String): String = {
     val layout = knnLayout(spark, sfDir)
@@ -2376,25 +2515,39 @@ object SimilarityQueries {
     * affected set, plus an affected-proportional ring join — never a
     * corpus×corpus pass.
     */
-  private def knnHealAt(spark0: SparkSession, layout: String): Unit = {
+  private def knnHealAt(spark0: SparkSession, layout: String,
+      affHint: Option[Seq[Long]] = None,
+      nHint: Option[Long] = None): Seq[Long] = {
     val tombOpt = knnTombOf(spark0, layout)
-    if (tombOpt.isEmpty) return
+    if (tombOpt.isEmpty) return Seq.empty
     val meta = spark0.read.parquet(s"$layout/meta").head
-    val (p, radius) = (meta.getInt(0), meta.getInt(2))
-    val n = spark0.read.parquet(s"$layout/vecs").count()
+    // by NAME, not position — a meta column reorder must fail loudly
+    // (missing field), never silently mis-read the plane count
+    val (p, radius) = (meta.getAs[Int]("p"), meta.getAs[Int]("r"))
+    val n = nHint.getOrElse(spark0.read.parquet(s"$layout/vecs").count())
     val spark = knnSession(spark0, n)
+    import spark.implicits._
     val tomb = knnTombOf(spark, layout).get.localCheckpoint(true)
     val tombN = tomb.select(col("vec_id").as("neighbor_id"))
     val rawE = spark.read.parquet(s"$layout/edges")
     val rawC = spark.read.parquet(s"$layout/cedges")
-    val affIds = rawE.join(broadcast(tombN), Seq("neighbor_id"), "left_semi")
-      .select("vec_id")
-      .unionByName(rawC.join(broadcast(tombN), Seq("neighbor_id"), "left_semi")
-        .select("vec_id"))
-      .distinct()
+    // affHint (a just-computed affected list from the forget path,
+    // legal only when ITS cohort is the only standing tombstones)
+    // skips the edges/cedges re-scan; the tombstone anti-join still
+    // applies — a cohort victim can itself list another victim
+    val affIds = affHint.fold(
+      rawE.join(broadcast(tombN), Seq("neighbor_id"), "left_semi")
+        .select("vec_id")
+        .unionByName(rawC.join(broadcast(tombN), Seq("neighbor_id"), "left_semi")
+          .select("vec_id"))
+        .distinct())(h => h.toDF("vec_id"))
       .join(broadcast(tomb), Seq("vec_id"), "left_anti")
       .localCheckpoint(true) // bounded: victims' in-degree across gens
-    if (affIds.count() == 0) return
+    // collected once: bounded by the same in-degree argument, and the
+    // caller-side pruned compaction needs the ids (their kb dirs are
+    // the ones carrying victim references)
+    val affected = affIds.collect().map(_.getLong(0)).toSeq
+    if (affected.isEmpty) return affected
     val remaining = knnReadVecs(spark, layout)
     val aff = remaining.join(broadcast(affIds), Seq("vec_id"), "left_semi")
     val (dots, coss) = knnBothPartials(knnCandidates(aff, remaining, p, radius))
@@ -2434,6 +2587,7 @@ object SimilarityQueries {
       cossNew.repartition(col("kb"))
         .write.partitionBy("kb").mode("append").parquet(s"$layout/cedges")
     }
+    affected
   }
 
   /** Deletion propagation INTO the standing knn graph — the graph
@@ -2470,41 +2624,66 @@ object SimilarityQueries {
   private[operators] def knnForgetAt(spark0: SparkSession, layout: String,
       ids: Seq[Long]): Long = {
     require(ids.nonEmpty, "forget request carries no ids")
-    // derived mutual/ranks embed victim edges: the marker drops FIRST
-    // (idempotent); the dirs stay as the splice input
-    knnInvalidateDerived(layout)
     val n = spark0.read.parquet(s"$layout/vecs").count()
     val spark = knnSession(spark0, n)
     import spark.implicits._
     val standing = spark.read.parquet(s"$layout/vecs")
-      .where(col("vec_id").isin(ids: _*)).select("vec_id")
-    val fresh = knnTombOf(spark, layout).fold(standing)(t =>
-      standing.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .where(col("vec_id").isin(ids: _*))
+      .select("vec_id", "kb").distinct().localCheckpoint(true)
+    val priorTombs = knnTombOf(spark, layout)
+    val fresh = priorTombs.fold(standing.select("vec_id"))(t =>
+      standing.select("vec_id").join(broadcast(t), Seq("vec_id"), "left_anti"))
     val dn = fresh.distinct().count()
+    // the heal's affected set can ride the delta computation below —
+    // but ONLY when no prior tombstones stood: with priors, a crashed
+    // earlier heal may have left survivors of OTHER victims unhealed,
+    // and the hint would skip them (the "next forget re-runs the
+    // idempotent heal" contract)
+    var affHint: Option[Seq[Long]] = None
     if (dn > 0) {
+      // derived mutual/ranks embed victim edges: the marker drops
+      // FIRST (idempotent); the dirs stay as the splice input. ONLY
+      // when the forget changes something — a no-op retry (the HTTP
+      // path's absorbed cohort, ids absent from the layout) must not
+      // force the next consumer into a full re-derivation over
+      // unchanged lists. A crashed-heal rerun still invalidates:
+      // [[knnHealAt]] self-invalidates whenever it appends.
+      knnInvalidateDerived(layout)
       // the derived-splice delta — victims PLUS the survivors whose
       // lists the tombstone/heal will move — records BEFORE the
       // tombstone lands (delta-first ordering): a crash in between
       // over-approximates, never under-records
       val victimsN = ids.distinct.toDF("vec_id")
         .select(col("vec_id").as("neighbor_id"))
+      // collected once (bounded by the victims' in-degree): serves
+      // the delta write here AND, on a prior-tombstone-free layout,
+      // rides into the heal as its affected set — the heal then
+      // skips its own edges/cedges re-scan (the same relation)
       val affected = spark.read.parquet(s"$layout/edges")
         .join(broadcast(victimsN), Seq("neighbor_id"), "left_semi")
         .select("vec_id")
         .unionByName(spark.read.parquet(s"$layout/cedges")
           .join(broadcast(victimsN), Seq("neighbor_id"), "left_semi")
           .select("vec_id"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      if (priorTombs.isEmpty) affHint = Some(affected)
       graft.GraftSession.clearDeadAppend(s"$layout/derived_delta")
-      ids.distinct.toDF("vec_id").unionByName(affected).distinct()
+      (ids.distinct ++ affected).distinct.toDF("vec_id")
         .coalesce(1).write.mode("append").parquet(s"$layout/derived_delta")
       graft.GraftSession.clearDeadAppend(knnTombDir(layout).toString)
-      ids.distinct.toDF("vec_id").coalesce(1)
+      // rows carry the victims' directory-fan-out key (null when the
+      // id is absent from the layout) — the pruned compaction's
+      // dirty-partition list; partition VALUES are content-derived,
+      // so they stay valid across rewrites, unlike file names
+      ids.distinct.toDF("vec_id").join(standing, Seq("vec_id"), "left")
+        .coalesce(1)
         .write.mode("append").parquet(knnTombDir(layout).toString)
     }
     // heal runs whenever tombstones stand — a rerun after a crashed
-    // heal (dn == 0) still repairs; a fully-healed layout appends
-    // nothing (the anti-join idempotence)
-    knnHealAt(spark, layout)
+    // heal (dn == 0) still repairs (affHint stays None there, so the
+    // heal derives the full affected set itself); a fully-healed
+    // layout appends nothing (the anti-join idempotence)
+    knnHealAt(spark, layout, affHint, Some(n))
     dn
   }
 
@@ -2519,8 +2698,37 @@ object SimilarityQueries {
     * listed a victim would serve a short list where the oracle
     * promotes the next ring neighbor.
     */
+  /** Seed the forget fixture's knn layout by FILE COPY from the main
+    * corpus layout — bench economy for the registered gate: the
+    * fixture tables are VALUE-IDENTICAL copies of the sf tables
+    * ([[graft.GraftSession.forgetFixtureDir]]'s contract), so the
+    * main layout's tree is bit-for-bit a legal build output for the
+    * fixture; the gate then pays a file copy instead of a second full
+    * encode+ring build. The stamp rewrites LAST against the FIXTURE's
+    * source (a crash mid-copy reads as stale and falls back to the
+    * normal rebuild); other corpora never hit this path — it is
+    * keyed to the forget fixture dir.
+    */
+  private def seedForgetKnnLayout(spark: SparkSession, sfDir: String,
+      dir: String): Unit = {
+    val dst = knnLayoutPath(dir, knnProbeRadius(spark))
+    val stampP = java.nio.file.Paths.get(dst, "_GRAFT_STAMP")
+    val want = graft.GraftSession
+      .pathStamp(spark, s"$dir/embeddings.parquet").toString
+    val fresh =
+      try java.nio.file.Files.readString(stampP).trim == want
+      catch { case _: Exception => false }
+    if (fresh) return // (possibly already mutated by a prior gate run)
+    val src = knnLayout(spark, sfDir) // ensure the MAIN layout
+    graft.GraftSession.deleteRec(java.nio.file.Paths.get(dst))
+    graft.GraftSession.copyRec(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(dst))
+    java.nio.file.Files.writeString(stampP, want)
+  }
+
   def forgetKnn(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = graft.GraftSession.forgetFixtureDir(spark, sfDir)
+    seedForgetKnnLayout(spark, sfDir, dir)
     val ids = table(spark, dir, "embeddings")
       .where(pmod(col("vec_id"), lit(97)) === 0)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
@@ -2536,44 +2744,102 @@ object SimilarityQueries {
     // a crashed forget may have tombstoned without healing:
     // compaction is the healer of record (idempotent — a healed
     // layout appends nothing), and it must run BEFORE the physical
-    // delete below collapses the partials
-    knnHealAt(spark0, layout)
-    val tombOpt = knnTombOf(spark0, layout)
-    tombOpt match {
-      case None =>
-        graft.GraftSession.compactPartitioned(spark0, s"$layout/vecs", "kb")
-      case Some(t0) =>
-        // the physical half of knnForget: victim vec rows drop during
-        // the re-pack (tombstones retire after the partials below)
-        val t = t0.localCheckpoint(true)
-        graft.GraftSession.compactSnapshot(spark0, s"$layout/vecs",
-          (df, staged) => df
-            .join(broadcast(t), Seq("vec_id"), "left_anti")
+    // delete below collapses the partials. The heal hands back the
+    // AFFECTED survivor ids — their kb dirs are exactly the ones
+    // carrying victim references, so they seed the pruned rewrite.
+    // SNAPSHOT the tombstone files BEFORE the heal: the heal's
+    // affected set must cover every victim this compaction will
+    // retire (a tombstone landing mid-heal would otherwise retire
+    // with its referencing survivors' dirs never rewritten); exactly
+    // these files are applied and retired; one landing mid-compaction
+    // survives to the next (and keeps hiding its rows through the
+    // serving anti-joins meanwhile)
+    val snap = graft.GraftSession.tombstoneSnapshot(knnTombDir(layout))
+    val affected = knnHealAt(spark0, layout)
+    val n = spark0.read.parquet(s"$layout/vecs").count()
+    val spark = knnSession(spark0, n)
+    if (snap.isEmpty) {
+      // pure DEFRAG: full re-pack + semantic top-k collapse — N
+      // generations of partials per vector back to one exact top-k
+      graft.GraftSession.compactPartitioned(spark0, s"$layout/vecs", "kb")
+      graft.GraftSession.compactSnapshot(spark, s"$layout/edges", (df, staged) =>
+        knnPartialsOf(df.select(col("vec_id"), col("bucket").as("vbucket"),
+            col("neighbor_id"), col("score")))
+          .repartition(col("kb"))
+          .write.partitionBy("kb").mode("overwrite").parquet(staged))
+      graft.GraftSession.compactSnapshot(spark, s"$layout/cedges", (df, staged) =>
+        knnCosPartialsOf(df.select(col("vec_id"), col("bucket").as("vbucket"),
+            col("neighbor_id"), col("cosine")))
+          .repartition(col("kb"))
+          .write.partitionBy("kb").mode("overwrite").parquet(staged))
+      return
+    }
+    // PRUNED physical delete — rewrite only the kb dirs that carry a
+    // victim row: the victims' own dirs (vec rows + victim-as-source
+    // partials; recorded at forget time, absent ids re-resolved
+    // against vecs now) plus the affected survivors' dirs (the only
+    // places a victim-as-NEIGHBOR row can live: affected is defined
+    // as "has a standing partial row pointing at a tombstoned id",
+    // and both the append admission and the heal read the corpus
+    // tombstone-filtered, so no new victim references appear
+    // elsewhere). Delete cost ∝ affected partitions, not corpus; a
+    // clean follow-up compact stays the full-defrag verb.
+    val tomb = graft.GraftSession.tombstonesFrom(spark, snap)
+      .localCheckpoint(true) // people-scale
+    val tombIds = tomb.select("vec_id").distinct().localCheckpoint(true)
+    val victimIds = tombIds.collect().map(_.getLong(0)).toSeq
+    // vecs are partitioned by the BUCKET fold, recorded on the
+    // tombstone rows at forget time (ids forgotten while absent carry
+    // null and re-resolve against vecs now, in case a later append
+    // indexed them)
+    val (recorded, unlocated) =
+      if (tomb.columns.contains("kb"))
+        (tomb.where(col("kb").isNotNull).select("kb").distinct()
+            .collect().map(_.getInt(0)).toSeq,
+          tomb.where(col("kb").isNull).select("vec_id").distinct()
+            .collect().map(_.getLong(0)).toSeq)
+      else (Seq.empty[Int], victimIds)
+    val late = if (unlocated.isEmpty) Seq.empty[Int]
+      else spark.read.parquet(s"$layout/vecs")
+        .where(col("vec_id").isin(unlocated: _*)) // pushed-down
+        .select("kb").distinct().collect().map(_.getInt(0)).toSeq
+    val dirtyVecs = (recorded ++ late).distinct.map(b => s"kb=$b").toSet
+    if (dirtyVecs.nonEmpty)
+      graft.GraftSession.compactSnapshotPruned(spark, s"$layout/vecs",
+        dirtyVecs, (df, staged) => df
+          .join(broadcast(tombIds), Seq("vec_id"), "left_anti")
+          .repartition(col("kb"))
+          .write.partitionBy("kb").mode("overwrite").parquet(staged))
+    def dropVictims(df: DataFrame): DataFrame =
+      df.join(broadcast(tombIds), Seq("vec_id"), "left_anti")
+        .join(broadcast(tombIds.select(col("vec_id").as("neighbor_id"))),
+          Seq("neighbor_id"), "left_anti")
+    // edge partials are partitioned by the ID fold (kbOf(vec_id)), so
+    // the dirty set — victims as SOURCE plus the affected survivors
+    // that reference them as NEIGHBOR — is pure arithmetic on the two
+    // bounded id lists, no scan at all
+    val dirtyEdges = (victimIds ++ affected)
+      .map(id => s"kb=${(((id % KnnDirBuckets) + KnnDirBuckets) % KnnDirBuckets).toInt}")
+      .toSet
+    if (dirtyEdges.nonEmpty) {
+      graft.GraftSession.compactSnapshotPruned(spark, s"$layout/edges",
+        dirtyEdges, (df, staged) =>
+          knnPartialsOf(dropVictims(df).select(col("vec_id"),
+              col("bucket").as("vbucket"), col("neighbor_id"), col("score")))
+            .repartition(col("kb"))
+            .write.partitionBy("kb").mode("overwrite").parquet(staged))
+      graft.GraftSession.compactSnapshotPruned(spark, s"$layout/cedges",
+        dirtyEdges, (df, staged) =>
+          knnCosPartialsOf(dropVictims(df).select(col("vec_id"),
+              col("bucket").as("vbucket"), col("neighbor_id"), col("cosine")))
             .repartition(col("kb"))
             .write.partitionBy("kb").mode("overwrite").parquet(staged))
     }
-    val n = spark0.read.parquet(s"$layout/vecs").count()
-    val spark = knnSession(spark0, n)
-    def dropVictims(df: DataFrame): DataFrame = tombOpt.fold(df) { _ =>
-      val t = knnTombOf(spark, layout).get
-      df.join(broadcast(t), Seq("vec_id"), "left_anti")
-        .join(broadcast(t.select(col("vec_id").as("neighbor_id"))),
-          Seq("neighbor_id"), "left_anti")
-    }
-    graft.GraftSession.compactSnapshot(spark, s"$layout/edges", (df, staged) =>
-      knnPartialsOf(dropVictims(df).select(col("vec_id"), col("bucket").as("vbucket"),
-          col("neighbor_id"), col("score")))
-        .repartition(col("kb"))
-        .write.partitionBy("kb").mode("overwrite").parquet(staged))
-    graft.GraftSession.compactSnapshot(spark, s"$layout/cedges", (df, staged) =>
-      knnCosPartialsOf(dropVictims(df).select(col("vec_id"), col("bucket").as("vbucket"),
-          col("neighbor_id"), col("cosine")))
-        .repartition(col("kb"))
-        .write.partitionBy("kb").mode("overwrite").parquet(staged))
-    // deletes are physical now; tombstones retire LAST (a crash above
-    // leaves them pending — anti-joins of already-absent rows are
-    // no-ops and the next compaction clears them)
-    graft.GraftSession.deleteRec(knnTombDir(layout))
+    // deletes are physical now; exactly the CONSUMED tombstone files
+    // retire, LAST (a crash above leaves them pending — anti-joins of
+    // already-absent rows are no-ops and the next compaction clears
+    // them)
+    graft.GraftSession.retireTombstones(knnTombDir(layout), snap)
   }
 
   /** The REGISTERED q_knn_graph — serves from the standing layout:
@@ -2939,8 +3205,10 @@ object SimilarityQueries {
     * ([[knnDropDerived]]). Compaction leaves derived state (served
     * rows are compaction-invariant, so derived rows are too); the
     * `_DERIVED_OK` marker writes LAST, so a crashed build or splice
-    * reads as absent and re-runs. One-writer per layout — the
-    * standing contract all knn maintenance already carries.
+    * reads as absent and re-runs. Maintenance stays one-writer per
+    * layout; CONSUMER-triggered derivation additionally rides the
+    * [[knnDerivedReady]] O_EXCL claim, because readers are not under
+    * the maintainer's writer contract.
     */
   private[graft] def knnEnsureDerived(spark: SparkSession,
       layout: String): Boolean = {
@@ -3076,10 +3344,52 @@ object SimilarityQueries {
       layout: String): DataFrame =
     spark.read.schema(KnnRanksSchema).parquet(s"$layout/ranks")
 
+  /** Claim-guarded ensure — the CONSUMER-side concurrency fix for the
+    * derive/splice: the maintenance tier is one-writer by contract,
+    * but derivation is READER-triggered, so two consumers that both
+    * see `_DERIVED_OK` absent would both derive and race the
+    * non-atomic `mutual`/`ranks` swap. The derivation now runs under
+    * an O_EXCL claim dir (the [[graft.GraftSession.claimStage]]
+    * primitive): exactly one consumer derives; returns whether the
+    * standing dirs are ready to read. A loser (claim held elsewhere)
+    * gets `false` and serves the in-memory parity twin instead of
+    * waiting — correct by the spec-pinned twin equality, just not
+    * cached. The claim clears in `finally` (a thrown derivation
+    * re-runs next time — marker-last already makes that safe); only a
+    * hard JVM kill leaves it, which `gcLayouts` reports with the
+    * other crashed stages and whose delete-to-retry belongs to the
+    * operator.
+    */
+  private[graft] def knnDerivedReady(spark: SparkSession,
+      layout: String): Boolean = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(layout, "_DERIVED_OK"))) return true
+    val claim = java.nio.file.Paths.get(layout, ".derive_stage")
+    try java.nio.file.Files.createDirectory(claim)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => return false
+    }
+    try { knnEnsureDerived(spark, layout); true }
+    finally graft.GraftSession.deleteRec(claim)
+  }
+
+  /** The derived relations a consumer reads: (mutual, ranks) from the
+    * standing dirs after a claim-guarded ensure, or the fresh
+    * in-memory derivation (parity twin, spec-pinned equal) when
+    * another consumer holds the derive claim.
+    */
+  private def knnDerivedFor(spark: SparkSession,
+      layout: String): (DataFrame, DataFrame) =
+    if (knnDerivedReady(spark, layout))
+      (knnMutualRead(spark, layout), knnRanksRead(spark, layout))
+    else {
+      val pairs = knnMutualEdgesAt(spark, layout)
+      (pairs.select("doc_a", "doc_b"), knnRanksFrom(pairs))
+    }
+
   def knnClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val layout = knnLayout(spark, sfDir)
-    knnEnsureDerived(spark, layout)
-    knnClustersFrom(spark, knnMutualRead(spark, layout))
+    knnClustersFrom(spark, knnDerivedFor(spark, layout)._1)
   }
 
   private def knnClustersFrom(spark: SparkSession, pairs: DataFrame): DataFrame = {
@@ -3191,8 +3501,7 @@ object SimilarityQueries {
 
   def knnCentrality(spark: SparkSession, sfDir: String): DataFrame = {
     val layout = knnLayout(spark, sfDir)
-    knnEnsureDerived(spark, layout)
-    knnRanksRead(spark, layout)
+    knnDerivedFor(spark, layout)._2
       .select(col("vec_id"), col("r").as("rank_ppm"))
       .orderBy(col("rank_ppm").desc, col("vec_id"))
       .limit(KnnPrTop)
@@ -3230,12 +3539,12 @@ object SimilarityQueries {
     * size, keeper, and the keeper's rank.
     */
   def knnRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
-    // both legs read the DERIVED standing relations — one layout
-    // ensure, zero fresh derivations
+    // both legs read the DERIVED standing relations — one
+    // claim-guarded layout ensure, zero fresh derivations (unless a
+    // concurrent consumer holds the claim, when both legs twin)
     val layout = knnLayout(spark, sfDir)
-    knnEnsureDerived(spark, layout)
-    val clusters = knnClustersFrom(spark, knnMutualRead(spark, layout))
-    val rank = knnRanksRead(spark, layout)
+    val (mutual, rank) = knnDerivedFor(spark, layout)
+    val clusters = knnClustersFrom(spark, mutual)
     // every clustered vector is an edge vertex (clusters derive from
     // the same edge relation), so the join is total
     clusters.join(rank, "vec_id")

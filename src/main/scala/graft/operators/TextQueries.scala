@@ -1759,36 +1759,85 @@ object TextQueries {
     * [[invIndexAppend]] adds one file per touched bucket directory, so
     * a frequently-maintained index fragments (N appends → N+1 files in
     * a hot bucket, and probe cost grows with file COUNT even when the
-    * byte total doesn't). Rides
-    * [[graft.GraftSession.compactPartitioned]]: snapshot-isolated (an
-    * append landing mid-compaction survives), crash-safe via the
-    * staged manifest, idempotent. Stats and the content stamp are
-    * untouched (the corpus snapshot didn't change). Postings are
-    * bit-identical before and after (spec-pinned).
+    * byte total doesn't). Snapshot-isolated (an append OR a forget
+    * landing mid-compaction survives — data files via the staged
+    * manifest, tombstones via consumed-only retirement), crash-safe,
+    * idempotent. CLEAN (no tombstones): full re-pack, postings
+    * bit-identical before and after (spec-pinned), stats invariant.
+    * With tombstones PENDING: the physical delete PRUNES to the term
+    * buckets the victims' postings live in (recorded at forget time)
+    * and stats recompute from the servable postings — for a text doc
+    * the victim's distinct-token buckets can span most of the 64-way
+    * fan-out, so the honest bound is dirty-dirs/64 of the tree, a
+    * real win for small-vocabulary docs and a wash for large ones
+    * (priced per fold in FORGET_PROBE).
     */
   def invIndexCompact(spark: SparkSession, sfDir: String): String = {
     val layout = invIndexLayout(spark, sfDir)
-    val tomb = tombstonesOf(spark, layout)
-    // postings re-pack; with tombstones pending, the rewrite also
-    // applies the deletes PHYSICALLY (the LSM compaction rule)
-    graft.GraftSession.compactSnapshot(spark, s"$layout/postings",
-      (df, staged) => tomb.fold(df)(t =>
-          df.join(broadcast(t), Seq("doc_id"), "left_anti"))
-        .repartition(col("tb"))
-        .write.partitionBy("tb").mode("overwrite").parquet(staged))
-    // stats: recomputed from the surviving postings — invariant when
+    val tombDir = java.nio.file.Paths.get(s"$layout/tombstones")
+    // SNAPSHOT the tombstone files before any rewrite resolves a file
+    // listing: the compaction applies and retires exactly these; a
+    // tombstone staged-moved in DURING the compaction survives to the
+    // next one instead of being destroyed unapplied
+    val snap = graft.GraftSession.tombstoneSnapshot(tombDir)
+    if (snap.isEmpty) {
+      // pure defrag: full postings re-pack
+      graft.GraftSession.compactSnapshot(spark, s"$layout/postings",
+        (df, staged) => df.repartition(col("tb"))
+          .write.partitionBy("tb").mode("overwrite").parquet(staged))
+    } else {
+      // PRUNED physical delete: rewrite only the term-bucket dirs the
+      // victims' postings live in (recorded at forget time; ids
+      // forgotten while absent re-resolve against the postings NOW,
+      // in case a later append indexed them) — the delete costs ∝
+      // affected partitions, not corpus. A clean follow-up compact
+      // remains the full-defrag verb.
+      val tomb = graft.GraftSession.tombstonesFrom(spark, snap)
+        .localCheckpoint(true) // people-scale by the forget contract
+      val tombIds = tomb.select("doc_id").distinct()
+      val (recorded, unlocated) =
+        if (tomb.columns.contains("tb"))
+          (tomb.where(col("tb").isNotNull).select("tb").distinct()
+              .collect().map(_.getInt(0)).toSeq,
+            tomb.where(col("tb").isNull).select("doc_id").distinct()
+              .collect().map(_.getLong(0)).toSeq)
+        else (Seq.empty[Int],
+          tombIds.collect().map(_.getLong(0)).toSeq) // legacy rows
+      val late = if (unlocated.isEmpty) Seq.empty[Int]
+        else spark.read.parquet(s"$layout/postings")
+          .where(col("doc_id").isin(unlocated: _*)) // pushed-down scan
+          .select("tb").distinct().collect().map(_.getInt(0)).toSeq
+      val dirty = (recorded ++ late).distinct.map(b => s"tb=$b").toSet
+      if (dirty.nonEmpty)
+        graft.GraftSession.compactSnapshotPruned(spark, s"$layout/postings",
+          dirty, (df, staged) => df
+            .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+            .repartition(col("tb"))
+            .write.partitionBy("tb").mode("overwrite").parquet(staged))
+    }
+    // stats: recomputed from the SERVABLE postings — invariant when
     // no deletes are pending (postings are the stats' source of
     // truth), and the healer for the documented forget crash window
-    // (tombstones committed, delta not) when they are
-    graft.GraftSession.compactSnapshot(spark, s"$layout/stats", (_, staged) =>
-      spark.read.parquet(s"$layout/postings")
+    // (tombstones committed, stats delta not) when they are. A
+    // map-side-combined aggregate READ, never a rewrite. The LIVE
+    // tombstones anti-join here is load-bearing: a tombstone that
+    // landed after this compaction's snapshot keeps its rows PHYSICAL
+    // until the next compaction, and a recompute that counted them
+    // would resurrect their idf/avgdl contribution while serving
+    // hides them.
+    graft.GraftSession.compactSnapshot(spark, s"$layout/stats", (_, staged) => {
+      val posts = spark.read.parquet(s"$layout/postings")
+      tombstonesOf(spark, layout)
+        .fold(posts)(t => posts.join(broadcast(t), Seq("doc_id"), "left_anti"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           coalesce(sum(col("tf")), lit(0L)).as("t_tokens"))
-        .coalesce(1).write.mode("overwrite").parquet(staged))
-    // deletes are physical now; tombstones retire LAST (a crash above
-    // leaves them pending — the anti-join of already-absent rows is a
-    // no-op and the next compaction clears them)
-    graft.GraftSession.deleteRec(java.nio.file.Paths.get(s"$layout/tombstones"))
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+    })
+    // deletes are physical now; exactly the CONSUMED tombstone files
+    // retire, LAST (a crash above leaves them pending — the anti-join
+    // of already-absent rows is a no-op and the next compaction
+    // clears them; a concurrently-landed tombstone survives here)
+    graft.GraftSession.retireTombstones(tombDir, snap)
     layout
   }
 
@@ -1826,10 +1875,29 @@ object TextQueries {
     * to the same claim tag and refuses loudly instead of racing.
     * Returns (docs newly hidden, their token count).
     */
+  /** Test seam (the [[graft.GraftSession.compactPartitioned]]
+    * `beforeSwap` pattern): runs between the tombstone move and the
+    * stats move — the crash window whose keep-the-stage contract the
+    * forget spec pins.
+    */
+  private[graft] var invForgetCrashSeam: () => Unit = () => ()
+
   def invIndexForget(spark: SparkSession, sfDir: String,
       ids: Seq[Long]): (Long, Long) = {
     require(ids.nonEmpty, "forget request carries no ids")
     val layout = invIndexLayout(spark, sfDir)
+    // a crashed attempt of THIS cohort keeps its stage (see below);
+    // the check must run BEFORE the dn measurement, because a crash
+    // after the tombstone move makes the retry measure dn = 0 and the
+    // claim would never even be touched — the silent path that loses
+    // the negative stats delta until an index-compact
+    val crashStage = java.nio.file.Paths.get(layout,
+      s".forget_stage_${graft.GraftSession.forgetTag(ids)}")
+    if (java.nio.file.Files.exists(crashStage))
+      throw new IllegalArgumentException(
+        s"a crashed forget of this cohort left $crashStage (its staged " +
+          "stats leg is kept for inspection); delete that directory to " +
+          "retry — an index-compact recomputes the stats either way")
     import spark.implicits._
     val victims0 = spark.read.parquet(s"$layout/postings")
       .where(col("doc_id").isin(ids: _*))
@@ -1853,18 +1921,35 @@ object TextQueries {
       val tag = graft.GraftSession.forgetTag(ids)
       val stage = java.nio.file.Paths.get(layout, s".forget_stage_$tag")
       graft.GraftSession.claimStage(stage, s"a forget tagged '$tag'")
-      try {
-        val stageTomb = stage.resolve("tombstones")
-        ids.distinct.toDF("doc_id").coalesce(1)
-          .write.mode("overwrite").parquet(stageTomb.toString)
-        val stageStats = stage.resolve("stats")
-        Seq((-dn, -dt)).toDF("n_docs", "t_tokens").coalesce(1)
-          .write.mode("overwrite").parquet(stageStats.toString)
-        graft.GraftSession.moveStagedInto(stageTomb,
-          java.nio.file.Paths.get(layout, "tombstones"), tag)
-        graft.GraftSession.moveStagedInto(stageStats,
-          java.nio.file.Paths.get(layout, "stats"), tag)
-      } finally graft.GraftSession.deleteRec(stage)
+      // the stage clears ONLY on success: an exception between the two
+      // moves (tombstones in, stats not) must leave the claim standing
+      // so the retry refuses loudly per the delete-to-retry contract —
+      // a silent cleanup would let the retry measure the victims as
+      // already-tombstoned (dn = 0) and never apply the negative stats
+      // delta, skewing idf/avgdl until an index-compact. The kept
+      // stage still holds the measured stats leg for the operator's
+      // inspection; compaction remains the stats healer of record.
+      val stageTomb = stage.resolve("tombstones")
+      // (doc_id, tb) rows — the victims' recorded term buckets double
+      // as the pruned compaction's dirty-partition list (partition
+      // values are content-derived, so they stay valid across any
+      // number of rewrites, unlike file names). An id absent from the
+      // index tombstones with a null tb; the compaction re-resolves
+      // those against the postings of ITS day (a later append could
+      // have indexed them).
+      ids.distinct.toDF("doc_id")
+        .join(victims.select("doc_id", "tb").distinct(), Seq("doc_id"), "left")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(stageTomb.toString)
+      val stageStats = stage.resolve("stats")
+      Seq((-dn, -dt)).toDF("n_docs", "t_tokens").coalesce(1)
+        .write.mode("overwrite").parquet(stageStats.toString)
+      graft.GraftSession.moveStagedInto(stageTomb,
+        java.nio.file.Paths.get(layout, "tombstones"), tag)
+      invForgetCrashSeam()
+      graft.GraftSession.moveStagedInto(stageStats,
+        java.nio.file.Paths.get(layout, "stats"), tag)
+      graft.GraftSession.deleteRec(stage)
     }
     (dn, dt)
   }

@@ -36,6 +36,15 @@ import java.nio.file.{Files, Paths}
   *                                          SUPERSEDED standing-layout
   *                                          generations; crashed staged
   *                                          writes are reported, never taken
+  *   index-gc <sfDir> --sweep-stage <layout> <tag>
+  *                                          delete ONE reported crashed
+  *                                          stage (the delete-to-retry
+  *                                          step, after inspection)
+  *   evalref-rebuild <sfDir> [evalParquet]  rebuild the standing eval
+  *                                          reference from a new eval
+  *                                          release (staged + swapped;
+  *                                          omit the path to return to
+  *                                          the held-out-fold default)
   *   door-run <sfDir> <incomingDir> <doorDir> <admittedDir>
   *                        [--no-script-axis] [--len-axis] [--tok-axis] [--knn]
   *                        [--eval-guard]
@@ -211,9 +220,17 @@ object Ctl {
       // (the documented re-seed path). The table-level purge itself
       // is `q_forget`'s job (PipelineQueries.forget); this verb is
       // its standing-layout complement.
-      val ids = idsCsv.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
-      if (ids.isEmpty) {
-        System.err.println("index-forget: no ids given (comma-separated longs)")
+      val toks = idsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val ids = toks.flatMap(_.toLongOption)
+      if (ids.isEmpty || ids.size != toks.size) {
+        // malformed tokens get the same friendly usage error every
+        // other arg-validation branch gives (the HTTP handler's 400
+        // behavior), not a raw NumberFormatException stack trace
+        val bad = toks.filter(_.toLongOption.isEmpty)
+        System.err.println(if (ids.isEmpty && bad.isEmpty)
+          "index-forget: no ids given (comma-separated longs)"
+        else
+          s"index-forget: ids must be comma-separated longs; bad token(s): ${bad.mkString(", ")}")
         sys.exit(2)
       }
       val spark = graft.GraftSession.build()
@@ -222,6 +239,40 @@ object Ctl {
         if (applied.isEmpty)
           println("no standing per-document layouts; nothing to forget")
         else applied.foreach { case (l, s) => println(s"$l: $s") }
+      } finally spark.stop()
+
+    case "index-gc" :: sfDir :: "--sweep-stage" :: layoutName :: tag :: Nil =>
+      // the operator's delete-to-retry tool for ONE crashed staged
+      // write the GC reported: only the named tag's stage dies; the
+      // refuse-loudly inspection already happened (that is what the
+      // report is for)
+      val swept = Governance.sweepStage(sfDir, layoutName, tag)
+      if (swept.isEmpty) {
+        System.err.println(s"index-gc: no crashed stage tagged '$tag' " +
+          s"under layout '$layoutName'; nothing swept")
+        sys.exit(2)
+      }
+      swept.foreach(p => println(s"swept crashed stage: $p"))
+
+    case "evalref-rebuild" :: sfDir :: rest if rest.size <= 1 =>
+      // the eval-release lifecycle verb: rebuild the standing eval
+      // reference from a NEW release parquet (vec_id, embedding), or
+      // with no path return to the held-out-fold default; staged
+      // build + whole-tree swap, plane count restamped from the new
+      // eval size, staleness follows the release file afterwards
+      val evalSrc = rest.headOption
+      evalSrc.foreach { p =>
+        if (!Files.exists(Paths.get(p))) {
+          System.err.println(s"evalref-rebuild: eval release not found: $p")
+          sys.exit(2)
+        }
+      }
+      val spark = graft.GraftSession.build()
+      try {
+        val layout = graft.operators.SimilarityQueries
+          .evalRefRebuild(spark, sfDir, evalSrc)
+        println(s"rebuilt eval reference at $layout" +
+          evalSrc.fold(" (held-out fold default)")(s => s" from $s"))
       } finally spark.stop()
 
     case "index-gc" :: sfDir :: rest if rest.forall(_ == "--apply") =>

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The governance tier's shared dispatch — one deletion request
   * propagated into every PRESENT per-document standing layout
@@ -38,12 +38,92 @@ object Governance {
       val dn = graft.operators.SimilarityQueries.ivfPqForget(spark, sfDir, ids)
       out += "ivfpq" -> s"""{"vectors":$dn}"""
     }
-    if (graft.operators.SimilarityQueries.knnPresent(sfDir,
-        graft.operators.SimilarityQueries.knnProbeRadius(spark))) {
-      val dn = graft.operators.SimilarityQueries.knnForget(spark, sfDir, ids)
-      out += "knn" -> s"""{"vectors":$dn}"""
+    // BOTH legal radii, not the session conf's: knn layouts at r1 AND
+    // r2 are first-class standing state (gcLayouts keeps both
+    // current), and "every PRESENT per-document layout" means a
+    // forget must reach each one that stands — dispatching only at
+    // the ambient radius would leave the other radius serving the
+    // forgotten vectors with no pending marker.
+    for (r <- graft.operators.SimilarityQueries.KnnLegalRadii
+        if graft.operators.SimilarityQueries.knnPresent(sfDir, r)) {
+      val dn = graft.operators.SimilarityQueries
+        .knnForgetAtRadius(spark, sfDir, r, ids)
+      out += s"knn_r$r" -> s"""{"vectors":$dn}"""
     }
-    out.result()
+    val applied = out.result()
+    logForget(spark, sfDir, ids, applied)
+    applied
+  }
+
+  /** The forget AUDIT LEDGER — a GDPR workflow needs WHO/WHEN
+    * evidence, not just the effect: every [[applyForget]] call (CLI,
+    * HTTP, stream batch — they share this body) appends one record
+    * per touched layout, plus a `layout = "none"` record when nothing
+    * stood, so an absorbed RETRY is visible as its zero-count entries
+    * rather than silence. Records carry the cohort's deterministic
+    * tag (ids themselves stay out of the ledger — it outlives the
+    * data whose erasure it proves), the cohort size, the per-layout
+    * result, and the wall-clock. Each record is its own staged-moved
+    * file (unique tag = cohort-tag + timestamp), so concurrent
+    * requests never share a committer tree.
+    */
+  private def logForget(spark: SparkSession, sfDir: String,
+      ids: Seq[Long], applied: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    val ts = System.currentTimeMillis()
+    val cohort = graft.GraftSession.forgetTag(ids)
+    val rows = if (applied.isEmpty) Seq((ts, cohort, ids.distinct.size, "none", "{}"))
+      else applied.map { case (l, s) => (ts, cohort, ids.distinct.size, l, s) }
+    val root = java.nio.file.Paths.get(graft.GraftSession.fixtureRoot(sfDir))
+    java.nio.file.Files.createDirectories(root)
+    // nanoTime, not ts: two same-cohort retries inside one
+    // millisecond must still get distinct stage claims
+    val tag = s"$cohort-${System.nanoTime()}"
+    graft.GraftSession.stagedAppend(
+      rows.toDF("ts", "cohort", "n_ids", "layout", "applied"),
+      root.resolve(s".forget_log_stage_$tag"),
+      root.resolve("forget_log"), tag)
+  }
+
+  /** The ledger, newest first — `GET /forget/log`'s relation. */
+  def forgetLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      graft.GraftSession.fixtureRoot(sfDir), "forget_log")
+    if (!graft.GraftSession.hasVisibleData(dir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cohort",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_ids",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("layout",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("applied",
+            org.apache.spark.sql.types.StringType))))
+    else spark.read.parquet(dir.toString)
+      .orderBy(org.apache.spark.sql.functions.col("ts").desc,
+        org.apache.spark.sql.functions.col("layout"))
+  }
+
+  /** Targeted crashed-stage sweep (`Ctl index-gc --sweep-stage`): the
+    * GC reports `.append_stage_*` / `.forget_stage_*` leftovers but
+    * deliberately never deletes them — this is the operator's
+    * delete-to-retry tool once the inspection is done. Deletes ONLY
+    * the named tag's stage dirs under the named layout; returns what
+    * died (empty = nothing stood, reported not invented).
+    */
+  def sweepStage(sfDir: String, layoutName: String,
+      tag: String): Seq[String] = {
+    val layout = java.nio.file.Paths.get(
+      graft.GraftSession.fixtureRoot(sfDir), layoutName)
+    val victims = Seq(s".append_stage_$tag", s".forget_stage_$tag")
+      .map(layout.resolve)
+      .filter(java.nio.file.Files.exists(_))
+    victims.foreach(graft.GraftSession.deleteRec)
+    victims.map(_.toString)
   }
 
   /** The layout-GC catalog: every CURRENT standing-layout directory
@@ -67,10 +147,12 @@ object Governance {
     * family and are never touched; both knn radii are current by
     * design. Dry-run by default: returns (superseded, crashed-stage
     * warnings); `apply = true` deletes the superseded trees.
-    * Crashed-stage leftovers (`.append_stage_*` / `.forget_stage_*`
-    * inside CURRENT layouts) are REPORTED, never deleted — each is a
-    * refuse-loudly marker whose delete-to-retry decision belongs to
-    * the operator who owns the tag.
+    * Crashed-stage leftovers (`.append_stage_*` / `.forget_stage_*` /
+    * `.derive_stage` inside CURRENT layouts, and fixture-root staging
+    * like `.evalref_rebuild_stage` / `.forget_log_stage_*`) are
+    * REPORTED, never deleted — each is a refuse-loudly marker whose
+    * delete-to-retry decision belongs to the operator who owns the
+    * tag ([[sweepStage]] is that operator tool).
     */
   def gcLayouts(sfDir: String,
       apply: Boolean = false): (Seq[String], Seq[String]) = {
@@ -96,7 +178,16 @@ object Governance {
         case _ => false
       }
     }
-    val crashedStages = dirs
+    // fixture-root staging leftovers (evalref rebuild, forget-log
+    // moves) are crashed stages too — dot-prefixed so the versioned
+    // matcher above never sees them
+    val rootStages = dirs
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".") && n.contains("stage")
+      }
+      .map(_.toString)
+    val crashedStages = rootStages ++ dirs
       .filter(p => current.contains(p.getFileName.toString))
       .flatMap { p =>
         val l = java.nio.file.Files.list(p)
@@ -104,7 +195,8 @@ object Governance {
           val b = Seq.newBuilder[String]
           l.forEach { c =>
             val n = c.getFileName.toString
-            if (n.startsWith(".append_stage_") || n.startsWith(".forget_stage_"))
+            if (n.startsWith(".append_stage_") || n.startsWith(".forget_stage_") ||
+                n == ".derive_stage")
               b += c.toString
           }
           b.result()
@@ -130,10 +222,10 @@ object Governance {
     if (graft.operators.SimilarityQueries.ivfPqPresent(sfDir))
       out += "ivfpq" ->
         graft.operators.SimilarityQueries.ivfPqPendingForgets(spark, sfDir)
-    if (graft.operators.SimilarityQueries.knnPresent(sfDir,
-        graft.operators.SimilarityQueries.knnProbeRadius(spark)))
-      out += "knn" ->
-        graft.operators.SimilarityQueries.knnPendingForgets(spark, sfDir)
+    for (r <- graft.operators.SimilarityQueries.KnnLegalRadii
+        if graft.operators.SimilarityQueries.knnPresent(sfDir, r))
+      out += s"knn_r$r" -> graft.operators.SimilarityQueries
+        .knnPendingForgetsAtRadius(spark, sfDir, r)
     out.result()
   }
 }

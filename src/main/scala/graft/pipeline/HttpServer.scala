@@ -553,6 +553,19 @@ object HttpServer {
               respond(ex, 200, Governance.pendingForgets(spark, cd)
                 .map { case (l, n) => s"${jsonStr(l)}:$n" }
                 .mkString("""{"pending":{""", ",", "}}"))
+            case ("GET", List("log")) =>
+              // the audit ledger, newest first — ?limit=N caps the
+              // page (default 1000); an absorbed retry shows as its
+              // zero-count entries
+              val limit = qparam(ex, "limit").flatMap(_.toIntOption)
+                .filter(_ >= 0).getOrElse(1000)
+              val rows = Governance.forgetLog(spark, cd).limit(limit)
+                .collect().map { r =>
+                  s"""{"ts":${r.getLong(0)},"cohort":${jsonStr(r.getString(1))},""" +
+                    s""""n_ids":${r.getInt(2)},"layout":${jsonStr(r.getString(3))},""" +
+                    s""""applied":${r.getString(4)}}"""
+                }
+              respond(ex, 200, rows.mkString("""{"log":[""", ",", "]}"))
             case (m, p) =>
               err(ex, 405, s"unsupported: $m /forget/${p.mkString("/")}")
           }

@@ -903,18 +903,11 @@ object StreamingOps {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val ids = batch.select("doc_id").distinct()
           .collect().map(_.getLong(0)).toSeq
-        if (ids.nonEmpty) {
-          val spark = batch.sparkSession
-          if (graft.operators.TextQueries.invIndexPresent(sfDir))
-            graft.operators.TextQueries.invIndexForget(spark, sfDir, ids)
-          if (graft.operators.DedupQueries.simhashPresent(sfDir))
-            graft.operators.DedupQueries.simhashForget(spark, sfDir, ids)
-          if (graft.operators.SimilarityQueries.ivfPqPresent(sfDir))
-            graft.operators.SimilarityQueries.ivfPqForget(spark, sfDir, ids)
-          if (graft.operators.SimilarityQueries.knnPresent(sfDir,
-              graft.operators.SimilarityQueries.knnProbeRadius(spark)))
-            graft.operators.SimilarityQueries.knnForget(spark, sfDir, ids)
-        }
+        // ONE dispatch body with the CLI and HTTP verbs — the layout
+        // set (including the loop over BOTH legal knn radii) cannot
+        // drift between the three operational surfaces
+        if (ids.nonEmpty)
+          graft.pipeline.Governance.applyForget(batch.sparkSession, sfDir, ids)
         ()
     }
 

@@ -99,9 +99,22 @@ object ForgetProbe {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       require(!docVictims.exists(servedIds), "bm25 still serves a victim")
       val invTomb = time { bm25Count() }
+      // pruned-compaction evidence: how many of the postings' tb dirs
+      // the physical delete will rewrite (recorded on the tombstones
+      // at forget time) vs how many stand
+      val invLayout = s"${GraftSession.fixtureRoot(dir)}/invindex_v2"
+      val invDirty = spark.read.parquet(s"$invLayout/tombstones")
+        .where(col("tb").isNotNull).select("tb").distinct().count()
+      val invDirs = {
+        val l = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$invLayout/postings"))
+        try l.filter(p => p.getFileName.toString.startsWith("tb=")).count()
+        finally l.close()
+      }
       val invCompact = time { TextQueries.invIndexCompact(spark, dir) }
       val invAfter = time { bm25Count() }
       rows += s"""{"fold":$k,"layout":"invindex","victims":${docVictims.size},""" +
+        s""""dirty_dirs":$invDirty,"total_dirs":$invDirs,""" +
         f""""serve_clean_s":$invClean%.2f,"forget_s":$invForget%.2f,""" +
         f""""serve_tombstoned_s":$invTomb%.2f,"compact_s":$invCompact%.2f,""" +
         f""""serve_compacted_s":$invAfter%.2f}"""
@@ -123,13 +136,41 @@ object ForgetProbe {
           col("neighbor_id").isin(vecVictims: _*)).count()
       require(g == 0L, "knn graph still serves a victim row")
       val knnTomb = time { graphCount() }
+      // pruned-compaction evidence: the edge rewrite touches the ID
+      // fold of victims ∪ affected (≤64 dirs); vecs touch the
+      // victims' recorded bucket fold
+      val affectedIds = spark.read.parquet(s"$layout/edges")
+        .where(col("neighbor_id").isin(vecVictims: _*))
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+      val knnDirtyE = (vecVictims ++ affectedIds).map(_ % 64).distinct.size
+      val knnDirtyV = spark.read.parquet(s"$layout/tombstones")
+        .where(col("kb").isNotNull).select("kb").distinct().count()
       val knnCompact = time { SimilarityQueries.knnCompact(spark, dir) }
       val knnAfter = time { graphCount() }
       rows += s"""{"fold":$k,"layout":"knn","victims":${vecVictims.size},""" +
         s""""affected":$affected,""" +
+        s""""dirty_edge_dirs":$knnDirtyE,"dirty_vec_dirs":$knnDirtyV,"total_dirs":64,""" +
         f""""serve_clean_s":$knnClean%.2f,"forget_heal_s":$knnForgetT%.2f,""" +
         f""""serve_tombstoned_s":$knnTomb%.2f,"compact_s":$knnCompact%.2f,""" +
         f""""serve_compacted_s":$knnAfter%.2f}"""
+
+      // the SINGLE-victim leg — the GDPR-shaped common case the
+      // pruned compaction exists for: one request, one victim, the
+      // physical delete rewrites the victim's own kb dir plus its
+      // in-degree's dirs — a bounded fraction of the 64-dir fan-out,
+      // where the pre-r16 compaction rewrote the whole layout
+      val one = spark.read.parquet(s"$layout/vecs")
+        .select("vec_id").orderBy(col("vec_id").desc)
+        .head.getLong(0)
+      val aff1 = spark.read.parquet(s"$layout/edges")
+        .where(col("neighbor_id") === one)
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+      val dirty1 = ((one +: aff1).map(_ % 64).distinct.size)
+      val forget1 = time { SimilarityQueries.knnForget(spark, dir, Seq(one)) }
+      val compact1 = time { SimilarityQueries.knnCompact(spark, dir) }
+      rows += s"""{"fold":$k,"layout":"knn_single","victims":1,""" +
+        s""""affected":${aff1.size},"dirty_edge_dirs":$dirty1,"total_dirs":64,""" +
+        f""""forget_heal_s":$forget1%.2f,"compact_s":$compact1%.2f}"""
     }
 
     println(s"""{"probe":"forget","base":"$base","folds":[${ks.mkString(",")}],""" +

@@ -58,4 +58,53 @@ class InvIndexForgetSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$layout/tombstones")))
     assert(rows(dir) === served, "compaction changed served rows")
   }
+
+  test("a crash between the tombstone and stats moves keeps the stage: retry refuses loudly, compact heals") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iforget_crash").toString
+    val docs = graft.GraftSession.table(spark, sf(), "documents")
+      .where(col("doc_id") < 300)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val before = TextQueries.bm25Topk(spark, dir).collect()
+      .map(_.getLong(0)).toSeq
+    val victims = before.take(2)
+    val tag = graft.GraftSession.forgetTag(victims)
+    val layout = TextQueries.invIndexLayout(spark, dir)
+    // crash exactly in the documented window: tombstones moved in,
+    // stats not
+    TextQueries.invForgetCrashSeam =
+      () => throw new RuntimeException("boom between moves")
+    val thrown = try {
+      intercept[RuntimeException] {
+        TextQueries.invIndexForget(spark, dir, victims)
+      }
+    } finally TextQueries.invForgetCrashSeam = () => ()
+    assert(thrown.getMessage === "boom between moves")
+
+    // the claim stands (stage kept with its measured stats leg) and a
+    // retry refuses loudly instead of silently under-counting
+    val stage = java.nio.file.Paths.get(layout, s".forget_stage_$tag")
+    assert(java.nio.file.Files.isDirectory(stage),
+      "crashed forget must keep its stage for inspection")
+    assert(java.nio.file.Files.exists(stage.resolve("stats")),
+      "kept stage must still hold the measured stats leg")
+    val refused = intercept[IllegalArgumentException] {
+      TextQueries.invIndexForget(spark, dir, victims)
+    }
+    assert(refused.getMessage.contains("delete"), refused.getMessage)
+
+    // the documented recovery: delete-to-retry clears the claim, and
+    // compaction (the stats healer of record) recomputes from the
+    // surviving postings — serve equals the rebuild-over-remaining
+    graft.GraftSession.deleteRec(stage)
+    TextQueries.invIndexCompact(spark, dir)
+    val truth = java.nio.file.Files
+      .createTempDirectory("graft_iforget_crash_truth").toString
+    docs.where(!col("doc_id").isin(victims: _*))
+      .write.mode("overwrite").parquet(s"$truth/documents.parquet")
+    def rows(d: String) = TextQueries.bm25Topk(spark, d).collect()
+      .map(_.toSeq).toSeq
+    assert(rows(dir) === rows(truth),
+      "post-crash compact did not heal the stats skew")
+  }
 }

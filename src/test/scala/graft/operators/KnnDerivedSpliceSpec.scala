@@ -138,4 +138,31 @@ class KnnDerivedSpliceSpec extends SparkSpec {
     assert(cA.nonEmpty && cA === cT,
       "maintained-layout clusters diverged from the corpus rebuild")
   }
+
+  test("a no-op forget (absorbed retry) keeps the derived marker — no spurious re-derivation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_noopf").toString
+    graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 150)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(SimilarityQueries.knnClusters(spark, dir).count() >= 0)
+    val layout = SimilarityQueries.knnLayoutPath(dir)
+    val ok = java.nio.file.Paths.get(layout, "_DERIVED_OK")
+    assert(java.nio.file.Files.exists(ok))
+
+    val victims = Seq(4L, 9L)
+    assert(SimilarityQueries.knnForgetAt(spark, layout, victims) === 2L)
+    assert(!java.nio.file.Files.exists(ok),
+      "a changing forget must invalidate the derived marker")
+    SimilarityQueries.knnClusters(spark, dir) // re-ensure
+    assert(java.nio.file.Files.exists(ok))
+
+    // the HTTP retry path: same cohort again → dn = 0 → the marker
+    // stays and no delta lands, so the next consumer pays nothing
+    assert(SimilarityQueries.knnForgetAt(spark, layout, victims) === 0L)
+    assert(java.nio.file.Files.exists(ok),
+      "a no-op forget must not invalidate the derived marker")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(layout, "derived_delta")),
+      "a no-op forget must not record a delta")
+  }
 }

@@ -29,20 +29,20 @@ class GovernanceSpec extends SparkSpec {
 
     val ids = Seq(3L, 7L) // present in both id spaces
     val applied = Governance.applyForget(spark, dir, ids)
-    assert(applied.map(_._1) === Seq("invindex", "simhash", "ivfpq", "knn"),
+    assert(applied.map(_._1) === Seq("invindex", "simhash", "ivfpq", "knn_r1"),
       s"dispatch order/coverage changed: $applied")
     assert(applied.toMap.apply("simhash") === """{"docs":2}""")
     assert(applied.toMap.apply("ivfpq") === """{"vectors":2}""")
-    assert(applied.toMap.apply("knn") === """{"vectors":2}""")
+    assert(applied.toMap.apply("knn_r1") === """{"vectors":2}""")
 
     val pending = Governance.pendingForgets(spark, dir).toMap
     assert(pending === Map("invindex" -> 2L, "simhash" -> 2L,
-      "ivfpq" -> 2L, "knn" -> 2L), s"pending: $pending")
+      "ivfpq" -> 2L, "knn_r1" -> 2L), s"pending: $pending")
 
     // a retry is absorbed everywhere
     val again = Governance.applyForget(spark, dir, ids).toMap
     assert(again("invindex") === """{"docs":0,"tokens":0}""")
-    assert(again("knn") === """{"vectors":0}""")
+    assert(again("knn_r1") === """{"vectors":0}""")
 
     // the physical deletes drain the counters
     TextQueries.invIndexCompact(spark, dir)
@@ -51,6 +51,37 @@ class GovernanceSpec extends SparkSpec {
     SimilarityQueries.knnCompact(spark, dir)
     val drained = Governance.pendingForgets(spark, dir).toMap
     assert(drained === Map("invindex" -> 0L, "simhash" -> 0L,
-      "ivfpq" -> 0L, "knn" -> 0L), s"after compact: $drained")
+      "ivfpq" -> 0L, "knn_r1" -> 0L), s"after compact: $drained")
+  }
+
+  test("a forget reaches knn layouts at BOTH standing radii, not just the session's") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gov2").toString
+    graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 200)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // stand knn layouts at r1 (session default) AND r2 — the
+    // operator-switched-the-conf-between-sessions shape
+    assert(SimilarityQueries.knnGraphIndexed(spark, dir).count() > 0)
+    spark.conf.set("spark.graft.knn.probeRadius", "2")
+    try assert(SimilarityQueries.knnGraphIndexed(spark, dir).count() > 0)
+    finally spark.conf.set("spark.graft.knn.probeRadius", "1")
+
+    // session radius is back at 1; the dispatch must still reach r2
+    val ids = Seq(5L, 11L)
+    val applied = Governance.applyForget(spark, dir, ids).toMap
+    assert(applied === Map("knn_r1" -> """{"vectors":2}""",
+      "knn_r2" -> """{"vectors":2}"""), s"applied: $applied")
+    val pending = Governance.pendingForgets(spark, dir).toMap
+    assert(pending === Map("knn_r1" -> 2L, "knn_r2" -> 2L),
+      s"pending: $pending")
+
+    // neither radius serves a victim, and neither radius lets one
+    // linger in a survivor's list
+    for (r <- SimilarityQueries.KnnLegalRadii) {
+      val g = SimilarityQueries.knnGraphAtRadius(spark, dir, r)
+      val bad = g.where(col("vec_id").isin(5L, 11L) ||
+        col("neighbor_id").isin(5L, 11L)).count()
+      assert(bad === 0, s"radius $r still serves a forgotten vector")
+    }
   }
 }

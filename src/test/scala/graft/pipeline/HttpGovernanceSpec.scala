@@ -80,6 +80,22 @@ class HttpGovernanceSpec extends SparkSpec {
       val (pc2, pb2) = req(base, "GET", "/forget/pending")
       assert(pc2 === 200)
       assert(pb2 === """{"pending":{"invindex":0,"simhash":0}}""", pb2)
+
+      // the audit LEDGER: both calls logged (newest first), the
+      // absorbed retry visible as its zero-count entries — a GDPR
+      // workflow's WHO/WHEN evidence, served beside /forget/pending
+      val (lc, lb) = req(base, "GET", "/forget/log")
+      assert(lc === 200, lb)
+      assert(lb.contains(""""applied":{"docs":2""") &&
+        lb.contains(""""applied":{"docs":0"""),
+        s"ledger must show the applied call AND the absorbed retry: $lb")
+      assert(lb.contains(""""layout":"invindex"""") &&
+        lb.contains(""""layout":"simhash""""), lb)
+      val cohorts = """"cohort":"([^"]+)"""".r
+        .findAllMatchIn(lb).map(_.group(1)).toSeq
+      assert(cohorts.distinct.size === 1,
+        s"one cohort, two calls → one tag across entries: $cohorts")
+      assert(cohorts.size === 4, s"2 calls × 2 layouts: $cohorts")
     } finally srv.stop(0)
   }
 }

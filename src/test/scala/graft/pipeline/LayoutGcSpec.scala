@@ -51,4 +51,40 @@ class LayoutGcSpec extends SparkSpec {
     val (again, stillStages) = Governance.gcLayouts(sfDir)
     assert(again.isEmpty && stillStages.size === 1)
   }
+
+  test("sweep-stage deletes only the named tag's stage; the tag is then retryable") {
+    val sfDir = java.nio.file.Files
+      .createTempDirectory("graft_gc_sweep").toString
+    val root = java.nio.file.Paths.get(graft.GraftSession.fixtureRoot(sfDir))
+    def mk(name: String): java.nio.file.Path =
+      java.nio.file.Files.createDirectories(root.resolve(name))
+    mk("invindex_v2/.append_stage_2026-08")
+    mk("invindex_v2/.append_stage_2026-08-15") // the dash-tag sibling
+    mk("invindex_v2/.forget_stage_abc123")
+
+    // only the NAMED tag dies — never a prefix sweep
+    val swept = Governance.sweepStage(sfDir, "invindex_v2", "2026-08")
+    assert(swept.size === 1 && swept.head.endsWith(".append_stage_2026-08"))
+    assert(java.nio.file.Files.exists(
+      root.resolve("invindex_v2/.append_stage_2026-08-15")),
+      "a sibling tag's stage must survive a sweep")
+    assert(java.nio.file.Files.exists(
+      root.resolve("invindex_v2/.forget_stage_abc123")))
+
+    // an unknown tag reports nothing, invents nothing
+    assert(Governance.sweepStage(sfDir, "invindex_v2", "nope").isEmpty)
+
+    // the swept tag's claim is free again (delete-to-retry completed)
+    java.nio.file.Files.createDirectory(
+      root.resolve("invindex_v2/.append_stage_2026-08"))
+    assert(Governance.sweepStage(sfDir, "invindex_v2", "2026-08").size === 1)
+
+    // GC reports fixture-root staging leftovers too (evalref rebuild,
+    // forget-log moves)
+    mk(".evalref_rebuild_stage")
+    mk(".forget_log_stage_x1")
+    val (_, stages) = Governance.gcLayouts(sfDir)
+    assert(stages.exists(_.endsWith(".evalref_rebuild_stage")) &&
+      stages.exists(_.endsWith(".forget_log_stage_x1")), s"stages: $stages")
+  }
 }
