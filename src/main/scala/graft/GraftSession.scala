@@ -42,6 +42,19 @@ object GraftSession {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // probe knob (default = Spark's 128 MB, so Bench is untouched):
+      // a synthetic low-dim corpus is a few MB on disk, which packs
+      // into ONE scan partition and serializes the ring join's
+      // post-join explosion onto a single thread — build-time conf so
+      // child sessions (knnSession's newSession) inherit it
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
+      // same probe rationale for the reduce side: AQE coalesces the
+      // top-k aggregation to ~3 tasks when map output is small even
+      // though each group's object buffer is CPU-heavy (default =
+      // Spark's 64 MB, Bench untouched)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "67108864"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -2273,8 +2273,18 @@ object SimilarityQueries {
     // change orphans the layout" means)
     Seq((p, n, radius)).toDF("p", "n0", "r").coalesce(1)
       .write.mode("overwrite").parquet(s"$layout/meta")
+    // probe side round-robin repartitioned: the vecs tree is laid out
+    // BY BUCKET FOLD, so a scan partition holds bucket-mates — and a
+    // populous bucket's vectors all probe their own bucket, landing
+    // that bucket's entire |pop|² candidate amplification in the one
+    // task that read its dir (measured: a single task grinding
+    // minutes while 31 cores idled). One cheap shuffle of n rows
+    // decorrelates per-task amplification; at cluster scale the same
+    // hazard appears as a skewed sort-merge partition, which AQE's
+    // skew-join split handles — this is the broadcast-plan analog.
     val e = s.read.parquet(s"$layout/vecs")
-    val (dots, coss) = knnBothPartials(knnCandidates(e, e, p, radius))
+    val eSpread = e.repartition(s.sessionState.conf.numShufflePartitions)
+    val (dots, coss) = knnBothPartials(knnCandidates(eSpread, e, p, radius))
     dots.repartition(col("kb"))
       .write.partitionBy("kb").mode("overwrite").parquet(s"$layout/edges")
     coss.repartition(col("kb"))
