@@ -641,17 +641,20 @@ object SimilarityQueries {
       val tomb = graft.GraftSession.tombstonesFrom(spark, snap)
         .localCheckpoint(true) // people-scale
       val tombIds = tomb.select("vec_id").distinct()
-      val (recorded, unlocated) =
+      val recorded =
         if (tomb.columns.contains("cell"))
-          (tomb.where(col("cell").isNotNull).select("cell").distinct()
-              .collect().map(_.getInt(0)).toSeq,
-            tomb.where(col("cell").isNull).select("vec_id").distinct()
-              .collect().map(_.getLong(0)).toSeq)
-        else (Seq.empty[Int], tombIds.collect().map(_.getLong(0)).toSeq)
-      val late = if (unlocated.isEmpty) Seq.empty[Int]
-        else spark.read.parquet(s"$layout/codes")
-          .where(col("vec_id").isin(unlocated: _*)) // pushed-down
-          .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+          tomb.where(col("cell").isNotNull).select("cell").distinct()
+            .collect().map(_.getInt(0)).toSeq
+        else Seq.empty[Int]
+      // ALL victims re-resolve against the codes of compaction day
+      // (the invIndexCompact rationale: recorded cells cover rows as
+      // of the forget; a contract-violating later append of a
+      // tombstoned id must not leave servable rows behind a retired
+      // tombstone) — one pushed-down people-scale id scan
+      val ids = tombIds.collect().map(_.getLong(0)).toSeq
+      val late = spark.read.parquet(s"$layout/codes")
+        .where(col("vec_id").isin(ids: _*)) // pushed-down
+        .select("cell").distinct().collect().map(_.getInt(0)).toSeq
       val dirty = (recorded ++ late).distinct.map(c => s"cell=$c").toSet
       if (dirty.nonEmpty)
         graft.GraftSession.compactSnapshotPruned(spark, s"$layout/codes",
@@ -2802,17 +2805,18 @@ object SimilarityQueries {
     // tombstone rows at forget time (ids forgotten while absent carry
     // null and re-resolve against vecs now, in case a later append
     // indexed them)
-    val (recorded, unlocated) =
+    val recorded =
       if (tomb.columns.contains("kb"))
-        (tomb.where(col("kb").isNotNull).select("kb").distinct()
-            .collect().map(_.getInt(0)).toSeq,
-          tomb.where(col("kb").isNull).select("vec_id").distinct()
-            .collect().map(_.getLong(0)).toSeq)
-      else (Seq.empty[Int], victimIds)
-    val late = if (unlocated.isEmpty) Seq.empty[Int]
-      else spark.read.parquet(s"$layout/vecs")
-        .where(col("vec_id").isin(unlocated: _*)) // pushed-down
-        .select("kb").distinct().collect().map(_.getInt(0)).toSeq
+        tomb.where(col("kb").isNotNull).select("kb").distinct()
+          .collect().map(_.getInt(0)).toSeq
+      else Seq.empty[Int]
+    // ALL victims re-resolve against the vecs of compaction day (the
+    // invIndexCompact rationale: a contract-violating later append of
+    // a tombstoned id must not leave servable rows behind a retired
+    // tombstone) — one pushed-down people-scale id scan
+    val late = spark.read.parquet(s"$layout/vecs")
+      .where(col("vec_id").isin(victimIds: _*)) // pushed-down
+      .select("kb").distinct().collect().map(_.getInt(0)).toSeq
     val dirtyVecs = (recorded ++ late).distinct.map(b => s"kb=$b").toSet
     if (dirtyVecs.nonEmpty)
       graft.GraftSession.compactSnapshotPruned(spark, s"$layout/vecs",

@@ -1795,18 +1795,22 @@ object TextQueries {
       val tomb = graft.GraftSession.tombstonesFrom(spark, snap)
         .localCheckpoint(true) // people-scale by the forget contract
       val tombIds = tomb.select("doc_id").distinct()
-      val (recorded, unlocated) =
+      val recorded =
         if (tomb.columns.contains("tb"))
-          (tomb.where(col("tb").isNotNull).select("tb").distinct()
-              .collect().map(_.getInt(0)).toSeq,
-            tomb.where(col("tb").isNull).select("doc_id").distinct()
-              .collect().map(_.getLong(0)).toSeq)
-        else (Seq.empty[Int],
-          tombIds.collect().map(_.getLong(0)).toSeq) // legacy rows
-      val late = if (unlocated.isEmpty) Seq.empty[Int]
-        else spark.read.parquet(s"$layout/postings")
-          .where(col("doc_id").isin(unlocated: _*)) // pushed-down scan
-          .select("tb").distinct().collect().map(_.getInt(0)).toSeq
+          tomb.where(col("tb").isNotNull).select("tb").distinct()
+            .collect().map(_.getInt(0)).toSeq
+        else Seq.empty[Int]
+      // re-resolve ALL victims against the postings of compaction
+      // day, not just the ids that were absent at forget time: the
+      // recorded buckets cover a victim's rows AS OF its forget, and
+      // a contract-violating later append of a tombstoned id would
+      // otherwise leave physically-servable rows in an unrecorded
+      // bucket once the tombstone retires. A pushed-down people-scale
+      // id scan — the same narrow read class as the stats heal below.
+      val ids = tombIds.collect().map(_.getLong(0)).toSeq
+      val late = spark.read.parquet(s"$layout/postings")
+        .where(col("doc_id").isin(ids: _*)) // pushed-down scan
+        .select("tb").distinct().collect().map(_.getInt(0)).toSeq
       val dirty = (recorded ++ late).distinct.map(b => s"tb=$b").toSet
       if (dirty.nonEmpty)
         graft.GraftSession.compactSnapshotPruned(spark, s"$layout/postings",
