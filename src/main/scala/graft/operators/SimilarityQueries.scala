@@ -2526,7 +2526,11 @@ object SimilarityQueries {
     * every fresh pair standing and appends nothing — no marker
     * needed. Cost: one scan of the k·n edge relation to find the
     * affected set, plus an affected-proportional ring join — never a
-    * corpus×corpus pass.
+    * corpus×corpus pass. Returns the affected survivor ids (bounded
+    * by the victims' in-degree) — the pruned compaction's dirty-dir
+    * seed. `affHint` lets the forget path donate the affected set it
+    * just computed (legal only when its cohort is the only standing
+    * tombstones — see the call site); `nHint` skips a vecs re-count.
     */
   private def knnHealAt(spark0: SparkSession, layout: String,
       affHint: Option[Seq[Long]] = None,

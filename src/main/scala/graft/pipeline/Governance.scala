@@ -119,8 +119,11 @@ object Governance {
       tag: String): Seq[String] = {
     val layout = java.nio.file.Paths.get(
       graft.GraftSession.fixtureRoot(sfDir), layoutName)
-    val victims = Seq(s".append_stage_$tag", s".forget_stage_$tag")
-      .map(layout.resolve)
+    // tag "derive" names the consumer-derivation claim (it has no
+    // per-tag suffix — one derivation at a time is the point)
+    val names = Seq(s".append_stage_$tag", s".forget_stage_$tag") ++
+      (if (tag == "derive") Seq(".derive_stage") else Nil)
+    val victims = names.map(layout.resolve)
       .filter(java.nio.file.Files.exists(_))
     victims.foreach(graft.GraftSession.deleteRec)
     victims.map(_.toString)

@@ -74,6 +74,13 @@ class LayoutGcSpec extends SparkSpec {
     // an unknown tag reports nothing, invents nothing
     assert(Governance.sweepStage(sfDir, "invindex_v2", "nope").isEmpty)
 
+    // the consumer-derivation claim sweeps under the "derive" tag
+    mk("knn_v4_r1/.derive_stage")
+    val sweptD = Governance.sweepStage(sfDir, "knn_v4_r1", "derive")
+    assert(sweptD.size === 1 && sweptD.head.endsWith(".derive_stage"))
+    assert(!java.nio.file.Files.exists(
+      root.resolve("knn_v4_r1/.derive_stage")))
+
     // the swept tag's claim is free again (delete-to-retry completed)
     java.nio.file.Files.createDirectory(
       root.resolve("invindex_v2/.append_stage_2026-08"))
