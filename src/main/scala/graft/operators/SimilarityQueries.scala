@@ -2261,6 +2261,7 @@ object SimilarityQueries {
     // still carries them — the invIndexLayout rebuild discipline)
     graft.GraftSession.deleteRec(
       java.nio.file.Paths.get(s"$layout/tombstones"))
+    java.nio.file.Files.deleteIfExists(knnHealedMarker(layout))
     knnDropDerived(layout) // derived relations follow the edge state
     val radius = knnProbeRadius(spark)
     val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
@@ -2532,11 +2533,50 @@ object SimilarityQueries {
     * just computed (legal only when its cohort is the only standing
     * tombstones — see the call site); `nHint` skips a vecs re-count.
     */
+  /** Signature of the standing tombstone FILE SET — the heal-skip
+    * cache key: heal work exists iff the tombstone set changed (a new
+    * forget appends a uniquely-named file; appends admit through the
+    * tombstone-filtered corpus, so they never create victim
+    * references; retirement clears the set). File NAMES, not content:
+    * the forget tier never rewrites a tombstone file in place.
+    */
+  private def knnTombSig(layout: String): String = {
+    val dir = knnTombDir(layout)
+    if (!java.nio.file.Files.isDirectory(dir)) return ""
+    val l = java.nio.file.Files.list(dir)
+    try {
+      val b = Seq.newBuilder[String]
+      l.forEach { p =>
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) &&
+          !n.startsWith("_") && !n.startsWith(".")) b += n
+      }
+      b.result().sorted.mkString("\n")
+    } finally l.close()
+  }
+
+  private def knnHealedMarker(layout: String): java.nio.file.Path =
+    java.nio.file.Paths.get(layout, "_HEAL_OK")
+
   private def knnHealAt(spark0: SparkSession, layout: String,
       affHint: Option[Seq[Long]] = None,
-      nHint: Option[Long] = None): Seq[Long] = {
+      nHint: Option[Long] = None,
+      forCompact: Boolean = false): Seq[Long] = {
     val tombOpt = knnTombOf(spark0, layout)
     if (tombOpt.isEmpty) return Seq.empty
+    // HEAL-SKIP cache: a completed heal stamps the tombstone-set
+    // signature; an UNCHANGED set means zero heal work exists (the
+    // idempotent-retry norm under at-least-once delivery), so the
+    // rerun skips the discovery scans and the ring pass entirely — a
+    // compaction caller still needs the affected ids for its pruned
+    // rewrite and only skips the ring pass. Any new forget appends a
+    // fresh tombstone file and misses the cache; a crashed heal never
+    // wrote the stamp and re-runs in full.
+    val sig = knnTombSig(layout)
+    val healed =
+      try java.nio.file.Files.readString(knnHealedMarker(layout)) == sig
+      catch { case _: Exception => false }
+    if (healed && !forCompact) return Seq.empty
     val meta = spark0.read.parquet(s"$layout/meta").head
     // by NAME, not position — a meta column reorder must fail loudly
     // (missing field), never silently mis-read the plane count
@@ -2564,7 +2604,11 @@ object SimilarityQueries {
     // caller-side pruned compaction needs the ids (their kb dirs are
     // the ones carrying victim references)
     val affected = affIds.collect().map(_.getLong(0)).toSeq
-    if (affected.isEmpty) return affected
+    if (healed) return affected // compact caller: ids only, no ring pass
+    if (affected.isEmpty) {
+      java.nio.file.Files.writeString(knnHealedMarker(layout), sig)
+      return affected
+    }
     val remaining = knnReadVecs(spark, layout)
     val aff = remaining.join(broadcast(affIds), Seq("vec_id"), "left_semi")
     val (dots, coss) = knnBothPartials(knnCandidates(aff, remaining, p, radius))
@@ -2604,6 +2648,9 @@ object SimilarityQueries {
       cossNew.repartition(col("kb"))
         .write.partitionBy("kb").mode("append").parquet(s"$layout/cedges")
     }
+    // the heal-skip stamp writes LAST: a crash anywhere above leaves
+    // it absent/stale and the next heal re-runs in full (idempotent)
+    java.nio.file.Files.writeString(knnHealedMarker(layout), sig)
     affected
   }
 
@@ -2772,7 +2819,7 @@ object SimilarityQueries {
     // survives to the next (and keeps hiding its rows through the
     // serving anti-joins meanwhile)
     val snap = graft.GraftSession.tombstoneSnapshot(knnTombDir(layout))
-    val affected = knnHealAt(spark0, layout)
+    val affected = knnHealAt(spark0, layout, forCompact = true)
     val n = spark0.read.parquet(s"$layout/vecs").count()
     val spark = knnSession(spark0, n)
     if (snap.isEmpty) {
@@ -2858,6 +2905,10 @@ object SimilarityQueries {
     // already-absent rows are no-ops and the next compaction clears
     // them)
     graft.GraftSession.retireTombstones(knnTombDir(layout), snap)
+    // the heal-skip stamp refers to the pre-retirement set — clear it
+    // (a mid-compaction tombstone that survived retirement re-heals
+    // in full on the next pass, which is exactly right)
+    java.nio.file.Files.deleteIfExists(knnHealedMarker(layout))
   }
 
   /** The REGISTERED q_knn_graph — serves from the standing layout:

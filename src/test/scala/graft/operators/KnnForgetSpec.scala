@@ -155,4 +155,57 @@ class KnnForgetSpec extends SparkSpec {
       served(layoutA) === served(layoutT),
       "radius-2 forget+heal diverged from the radius-2 rebuild")
   }
+
+  test("heal-skip stamp: idempotent retries skip the heal; a NEW forget re-heals in full") {
+    val all = graft.GraftSession.table(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val base = all.where(col("vec_id") < 300)
+    val dir = corpusDir(base)
+    val layout = s"$dir/knn_layout"
+    SimilarityQueries.buildKnn(spark, dir, layout)
+    val marker = java.nio.file.Paths.get(layout, "_HEAL_OK")
+
+    // a victim with in-degree, so the heal provably works
+    val victimA = SimilarityQueries.knnGraphAt(spark, layout)
+      .where(col("rank") === 1).select("neighbor_id").head.getLong(0)
+    assert(SimilarityQueries.knnForgetAt(spark, layout, Seq(victimA)) === 1L)
+    assert(java.nio.file.Files.exists(marker),
+      "a completed heal must stamp the tombstone-set signature")
+    val sig1 = java.nio.file.Files.readString(marker)
+    val afterA = served(layout)
+
+    // the at-least-once retry: same cohort → dn=0, stamp untouched,
+    // serve identical (the skip is the economics, this pins safety)
+    assert(SimilarityQueries.knnForgetAt(spark, layout, Seq(victimA)) === 0L)
+    assert(java.nio.file.Files.readString(marker) === sig1)
+    assert(served(layout) === afterA)
+
+    // a NEW forget changes the tombstone set → the stamp must move,
+    // the heal must run, and the end state equals a rebuild over the
+    // remaining corpus
+    val victimB = afterA.map(_(2).asInstanceOf[Long])
+      .find(v => v != victimA).get
+    assert(SimilarityQueries.knnForgetAt(spark, layout, Seq(victimB)) === 1L)
+    assert(java.nio.file.Files.readString(marker) !== sig1,
+      "a new tombstone file must re-stamp the heal signature")
+    val truthDir = corpusDir(
+      base.where(!col("vec_id").isin(victimA, victimB)))
+    val truthLayout = s"$truthDir/knn_layout"
+    // frozen planes must match: same corpus-count regime
+    SimilarityQueries.buildKnn(spark, truthDir, truthLayout)
+    assert(spark.read.parquet(s"$layout/meta").head.getAs[Int]("p")
+      === spark.read.parquet(s"$truthLayout/meta").head.getAs[Int]("p"))
+    assert(served(layout) === served(truthLayout),
+      "post-stamp second forget diverged from the rebuild-over-remaining")
+
+    // a stale stamp never suppresses a CRASHED heal's rerun: simulate
+    // the crash window (tombstones present, stamp absent) — the next
+    // no-op forget must re-run the heal and re-stamp
+    java.nio.file.Files.delete(marker)
+    assert(SimilarityQueries.knnForgetAt(spark, layout,
+      Seq(victimA, victimB)) === 0L)
+    assert(java.nio.file.Files.exists(marker),
+      "a marker-less (crashed-heal) state must re-heal and re-stamp")
+    assert(served(layout) === served(truthLayout))
+  }
 }
