@@ -23,6 +23,19 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // see [[events]]
+      // the two operational partition knobs, same names and defaults
+      // as [[benchSession]] (documented in SCALING.md §knobs): scan
+      // split ceiling and AQE coalesce target. Defaults are Spark's
+      // own (128 MB / 64 MB) — right for the 100 TB regime where
+      // splits ≫ cores; the env override exists for the opposite
+      // regime (a tiny-on-disk corpus packs into one split and
+      // serializes CPU-heavy narrow chains — see [[fanOut]]'s note).
+      // Build-time confs so child sessions (knnSession's newSession)
+      // inherit them; runtime spark.conf.set does NOT reach children.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "67108864"))
       // NB the ObjectHashAggregate fallback threshold is deliberately
       // NOT raised here: its 128-entry default is the OOM bound for
       // UNBOUNDED object buffers (collect_set shingle sets, position
@@ -170,8 +183,17 @@ object GraftSession {
       .parquet(files.map(_.toString): _*)
 
   /** Retire exactly a snapshot's tombstone files (+ LocalFS checksum
-    * siblings); the dir itself goes only when nothing else landed
-    * meanwhile. Idempotent — deletes tolerate already-deleted files.
+    * siblings); the dir itself is left standing even when emptied.
+    * Deleting it — even behind a hasVisibleData check — is a
+    * check-then-act race: a concurrent forget's [[moveStagedInto]]
+    * (explicitly legal beside a compaction) can land a NEW tombstone
+    * between the emptiness check and a recursive delete's walk, and
+    * destroying that file unapplied silently un-forgets a document —
+    * the exact loss the consumed-only snapshot discipline exists to
+    * prevent. An empty tombstone dir already reads as "no tombstones"
+    * everywhere ([[tombstonesIn]]/[[hasVisibleData]]), so standing
+    * costs nothing. Idempotent — deletes tolerate already-deleted
+    * files.
     */
   def retireTombstones(dir: java.nio.file.Path,
       files: Seq[java.nio.file.Path]): Unit = {
@@ -180,9 +202,64 @@ object GraftSession {
       java.nio.file.Files.deleteIfExists(
         f.resolveSibling("." + f.getFileName.toString + ".crc"))
     }
-    if (java.nio.file.Files.isDirectory(dir) && !hasVisibleData(dir))
-      deleteRec(dir)
   }
+
+  /** Cohort-size threshold where an id filter switches plan shape.
+    * Below it, a literal `isin` list is the best plan: it pushes to
+    * the parquet scan as an In filter (row-group pruning) and typical
+    * deletion cohorts are people-scale. Above it, the same literal
+    * list becomes a plan-size cliff — a batch erasure campaign of
+    * 10⁵ ids would build a 10⁵-literal expression tree the optimizer
+    * walks on every rule pass — so the filter runs as a BROADCAST
+    * semi/anti join of the (already driver-held) cohort instead:
+    * bounded plan, one broadcast, same semantics.
+    */
+  private[graft] val IdInLiteralMax = 1000
+
+  /** `df WHERE c IN (ids)` without the plan-size cliff — see
+    * [[IdInLiteralMax]]. Small cohorts keep the pushed-down literal
+    * plan bit-for-bit; large ones broadcast-semi-join.
+    */
+  def filterIdIn(df: DataFrame, c: String, ids: Seq[Long]): DataFrame =
+    if (ids.sizeIs <= IdInLiteralMax)
+      df.where(org.apache.spark.sql.functions.col(c).isin(ids: _*))
+    else df.join(
+      org.apache.spark.sql.functions.broadcast(idRel(df.sparkSession, c, ids)),
+      Seq(c), "left_semi")
+
+  /** `df WHERE c NOT IN (ids)` (null-free id columns), the anti leg
+    * of [[filterIdIn]].
+    */
+  def filterIdNotIn(df: DataFrame, c: String, ids: Seq[Long]): DataFrame =
+    if (ids.sizeIs <= IdInLiteralMax)
+      df.where(!org.apache.spark.sql.functions.col(c).isin(ids: _*))
+    else df.join(
+      org.apache.spark.sql.functions.broadcast(idRel(df.sparkSession, c, ids)),
+      Seq(c), "left_anti")
+
+  private def idRel(spark: SparkSession, c: String,
+      ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.distinct.toDF(c)
+  }
+
+  /** Decode a Spark `input_file_name()` string to a local filesystem
+    * path. Spark emits the URL-ENCODED form (a dir named `a b` reads
+    * back as `file:///…/a%20b/…` — measured, not assumed), so the
+    * URI parse is the correct decode; a producer that hands a RAW
+    * un-encoded name instead (a literal space is illegal in a URI and
+    * `new URI` throws URISyntaxException) falls back to Hadoop's
+    * lenient `Path` parse, which passes literal characters through.
+    * Using Hadoop Path on the ENCODED form would be wrong the other
+    * way — it does NOT decode `%20`, and a silently-wrong path here
+    * would make a pruned compaction miss its dirty files.
+    */
+  def inputFileNamePath(name: String): String =
+    try new java.net.URI(name).getPath
+    catch {
+      case _: java.net.URISyntaxException =>
+        new org.apache.hadoop.fs.Path(name).toUri.getPath
+    }
 
   /** Recursive file-tree copy (fixture seeding: a value-identical
     * corpus copy may inherit a built layout by copy instead of

@@ -836,8 +836,8 @@ object DedupQueries {
     require(ids.nonEmpty, "forget request carries no ids")
     val fp = simhashLayout(spark, sfDir)
     import spark.implicits._
-    val standing = spark.read.parquet(fp)
-      .where(col("doc_id").isin(ids: _*)).select("doc_id")
+    val standing = graft.GraftSession.filterIdIn(
+      spark.read.parquet(fp), "doc_id", ids).select("doc_id")
     val fresh = graft.GraftSession
       .tombstonesIn(spark, simhashTombDir(fp), "doc_id")
       .fold(standing)(t =>
@@ -891,17 +891,18 @@ object DedupQueries {
         .select("doc_id").distinct()
         .collect().map(_.getLong(0)).toSeq // people-scale
       val liveP = java.nio.file.Paths.get(fp).toAbsolutePath
-      val dirty = spark.read.parquet(fp)
-        .where(col("doc_id").isin(ids: _*)) // pushed to the scan
+      val dirty = graft.GraftSession.filterIdIn(
+        spark.read.parquet(fp), "doc_id", ids) // pushed to the scan
+        // (literal In at people scale; broadcast semi past the cliff)
         .select(input_file_name().as("f")).distinct()
         .collect().map { r =>
           liveP.relativize(java.nio.file.Paths.get(
-            new java.net.URI(r.getString(0)).getPath)).toString
+            graft.GraftSession.inputFileNamePath(r.getString(0)))).toString
         }.toSet
       if (dirty.nonEmpty)
         graft.GraftSession.compactSnapshotFiles(spark, fp, dirty,
-          (df, staged) => df
-            .where(!col("doc_id").isin(ids: _*))
+          (df, staged) => graft.GraftSession
+            .filterIdNotIn(df, "doc_id", ids)
             .write.mode("overwrite").parquet(staged))
     }
     graft.GraftSession.retireTombstones(tombDir, snap)

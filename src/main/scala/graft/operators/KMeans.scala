@@ -112,7 +112,7 @@ object KMeans {
     }
     trained.getOrElse {
       val cents = spark.read.parquet(s"$layout/centroids").orderBy("cell")
-        .collect().map(_.getSeq[Double](1).toArray)
+        .collect().map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
       Model(cents, Double.NaN, iters)
     }
   }
@@ -226,12 +226,15 @@ object KMeans {
       trained = Some(m)
     }
     trained.getOrElse {
+      // by NAME, not position: the on-disk column order is not a
+      // contract, and a reorder must fail loudly (missing field),
+      // never silently swap group/cell indices
       val rows = spark.read.parquet(s"$layout/centroids").collect()
-      val byG = rows.groupBy(_.getInt(0))
+      val byG = rows.groupBy(_.getAs[Int]("g"))
       Array.tabulate(nGroups)(g =>
         byG.getOrElse(g, Array.empty[org.apache.spark.sql.Row])
-          .sortBy(_.getInt(1))
-          .map(_.getSeq[Double](2).toArray))
+          .sortBy(_.getAs[Int]("cell"))
+          .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray))
     }
   }
 

@@ -589,8 +589,35 @@ object SimilarityQueries {
     * both radii, and a forget that only reached the session's radius
     * would leave the OTHER radius serving the forgotten vectors with
     * no pending marker.
+    *
+    * The APPEND side is deliberately asymmetric: forgets loop this
+    * list (privacy is unconditional — a stale layout must still hide
+    * its victims), but the append/maintenance path feeds exactly ONE
+    * radius — the session's ([[knnAppend]]'s one-writer-by-semantics
+    * contract is per layout, and blindly double-appending into a
+    * layout whose corpus lineage diverged would violate the
+    * "vec_ids not yet indexed" precondition there, corrupting top-k
+    * partials instead of merely lagging). With both radii standing,
+    * the non-maintained radius therefore accumulates APPEND LAG with
+    * no staleness signal of its own (appends don't restamp the seed
+    * stamp) — which is why the lag is surfaced per radius:
+    * [[knnAppendLagAtRadius]] / `Governance.appendLag` /
+    * `GET /forget/lag`. The operator's remedies are to run the
+    * maintainer at that radius too, or retire the layout.
     */
   val KnnLegalRadii: Seq[Int] = Seq(1, 2)
+
+  /** Last committed append batch id for the standing layout at
+    * `radius`, or −1 when no idempotent append ever committed there —
+    * the APPEND-LAG surface (the [[knnPendingForgetsAtRadius]]
+    * operational sibling; see the [[KnnLegalRadii]] asymmetry note).
+    * Reads the layout's `_LAST_BATCH` marker, which
+    * [[knnAppendOnce]] moves atomically after each committed batch.
+    */
+  def knnAppendLagAtRadius(sfDir: String, radius: Int): Long =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get(
+      knnLayoutPath(sfDir, radius), "_LAST_BATCH")).trim.toLong
+    catch { case _: Exception => -1L }
 
   /** Per-radius forget — the governance-dispatch entrypoint: applies
     * to the STANDING layout at `radius` exactly as it is (a stale
@@ -652,8 +679,8 @@ object SimilarityQueries {
       // tombstoned id must not leave servable rows behind a retired
       // tombstone) — one pushed-down people-scale id scan
       val ids = tombIds.collect().map(_.getLong(0)).toSeq
-      val late = spark.read.parquet(s"$layout/codes")
-        .where(col("vec_id").isin(ids: _*)) // pushed-down
+      val late = graft.GraftSession.filterIdIn(
+        spark.read.parquet(s"$layout/codes"), "vec_id", ids) // pushed-down
         .select("cell").distinct().collect().map(_.getInt(0)).toSeq
       val dirty = (recorded ++ late).distinct.map(c => s"cell=$c").toSet
       if (dirty.nonEmpty)
@@ -693,8 +720,8 @@ object SimilarityQueries {
     require(ids.nonEmpty, "forget request carries no ids")
     val layout = ivfPqLayout(spark, sfDir)
     import spark.implicits._
-    val standing = spark.read.parquet(s"$layout/codes")
-      .where(col("vec_id").isin(ids: _*))
+    val standing = graft.GraftSession.filterIdIn(
+      spark.read.parquet(s"$layout/codes"), "vec_id", ids)
       .select("vec_id", "cell").distinct().localCheckpoint(true)
     val fresh = ivfPqTombstones(spark, layout)
       .fold(standing.select("vec_id"))(t =>
@@ -751,9 +778,13 @@ object SimilarityQueries {
 
   private def readBooks(spark: SparkSession, layout: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(s"$layout/books").collect() // m·k·span rows, bounded
-    val span = rows.map(_.getInt(2)).max + 1
+    // by NAME, not position: the on-disk (s, cell, pos, v) order is
+    // not a contract — a reorder must fail loudly, never silently
+    // transpose codebook axes
+    val span = rows.map(_.getAs[Int]("pos")).max + 1
     val books = Array.fill(PqM, PqK, span)(0d)
-    rows.foreach(r => books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    rows.foreach(r => books(r.getAs[Int]("s"))(r.getAs[Int]("cell"))(
+      r.getAs[Int]("pos")) = r.getAs[Double]("v"))
     books
   }
 
@@ -1668,11 +1699,33 @@ object SimilarityQueries {
     * self-contained default the registered oracles replay).
     */
   private def evalRefSourcePath(sfDir: String): String = {
-    val rec = java.nio.file.Paths.get(evalRefPath(sfDir), "_EVAL_SOURCE")
-    if (java.nio.file.Files.exists(rec))
-      java.nio.file.Files.readString(rec).trim
-    else s"$sfDir/embeddings.parquet"
+    // the REGISTRATION file (outside the layout tree) is the
+    // authority: it survives the rebuild verb's swap window, so a
+    // crash between "live tree deleted" and "staged tree moved in"
+    // still re-derives from the REGISTERED release, never silently
+    // from the held-out-fold default (the firewall verdicts would be
+    // computed against the wrong eval set with no error). The
+    // in-layout _EVAL_SOURCE stays as self-description + fallback for
+    // layouts installed before the registration file existed.
+    val reg = evalRefRegistration(sfDir)
+    if (java.nio.file.Files.exists(reg))
+      java.nio.file.Files.readString(reg).trim
+    else {
+      val rec = java.nio.file.Paths.get(evalRefPath(sfDir), "_EVAL_SOURCE")
+      if (java.nio.file.Files.exists(rec))
+        java.nio.file.Files.readString(rec).trim
+      else s"$sfDir/embeddings.parquet"
+    }
   }
+
+  /** Where the registered eval-release path persists ACROSS the
+    * rebuild swap — a fixture-root sibling of the layout, never
+    * inside the tree [[evalRefRebuild]] replaces. Absent = the
+    * held-out-fold default.
+    */
+  private def evalRefRegistration(sfDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/evalref_source")
 
   private def evalSetFrom(spark: SparkSession, sfDir: String,
       src: String): DataFrame =
@@ -1736,24 +1789,46 @@ object SimilarityQueries {
     graft.GraftSession.claimStage(staged,
       "an evalref rebuild") // refuse-loudly beside a concurrent rebuild
     try {
+      // stamp captured BEFORE the build (ensureLayout's documented
+      // stamp-before-build discipline): a release parquet rewritten
+      // MID-build must read stale on the next guard check — stamping
+      // after would put the NEW stamp on a tree built from the OLD
+      // content, freezing the stale reference as fresh
+      val srcStamp = graft.GraftSession.pathStamp(spark, src)
       buildEvalRefInto(spark, evalSetFrom(spark, sfDir, src),
         staged.toString)
       evalSrc.foreach(s => java.nio.file.Files.writeString(
         staged.resolve("_EVAL_SOURCE"), s))
       java.nio.file.Files.writeString(staged.resolve("_GRAFT_STAMP"),
-        graft.GraftSession.pathStamp(spark, src).toString)
+        srcStamp.toString)
     } catch {
       // a failed BUILD self-heals (live tree untouched, nothing
       // escaped the stage); only the swap window below leaves the
       // claim for the operator
       case e: Throwable => graft.GraftSession.deleteRec(staged); throw e
     }
+    // the swap-durable eval-source REGISTRATION lands before the
+    // swap: a hard crash inside the swap window below leaves no live
+    // tree, and the self-healing re-derivation must follow the
+    // operator's registered intent — the release on install, the
+    // default on return — not whatever _EVAL_SOURCE the destroyed
+    // tree used to carry. Atomic move so a torn write can't stand.
+    val reg = evalRefRegistration(sfDir)
+    evalSrc match {
+      case Some(s) =>
+        val tmp = reg.resolveSibling(reg.getFileName.toString + ".tmp")
+        java.nio.file.Files.writeString(tmp, s)
+        java.nio.file.Files.move(tmp, reg,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      case None => java.nio.file.Files.deleteIfExists(reg)
+    }
     val live = java.nio.file.Paths.get(layout)
     graft.GraftSession.deleteRec(live)
     // a hard crash RIGHT HERE leaves no live tree and a complete
     // stage: the next guard read self-heals by re-deriving via the
-    // ensure path, and the kept claim makes the next rebuild verb
-    // refuse loudly (delete-to-retry)
+    // ensure path FROM THE REGISTRATION above, and the kept claim
+    // makes the next rebuild verb refuse loudly (delete-to-retry)
     java.nio.file.Files.move(staged, live)
     layout
   }
@@ -2381,8 +2456,10 @@ object SimilarityQueries {
     // before any partial lands
     knnInvalidateDerived(layout)
     val meta = spark0.read.parquet(s"$layout/meta").head
-    val p = meta.getInt(0)
-    val radius = meta.getInt(2) // the LAYOUT's stamped radius
+    // by NAME, not position — a meta column reorder must fail loudly
+    // (missing field), never silently encode the batch at a wrong
+    // plane count / the wrong LAYOUT radius
+    val (p, radius) = (meta.getAs[Int]("p"), meta.getAs[Int]("r"))
     val newE0 = knnEncode(
       newVecs.select(col("vec_id"), col("embedding")), p)
       .localCheckpoint(true) // batch-sized (bounded-batch contract)
@@ -2691,8 +2768,8 @@ object SimilarityQueries {
     val n = spark0.read.parquet(s"$layout/vecs").count()
     val spark = knnSession(spark0, n)
     import spark.implicits._
-    val standing = spark.read.parquet(s"$layout/vecs")
-      .where(col("vec_id").isin(ids: _*))
+    val standing = graft.GraftSession.filterIdIn(
+      spark.read.parquet(s"$layout/vecs"), "vec_id", ids)
       .select("vec_id", "kb").distinct().localCheckpoint(true)
     val priorTombs = knnTombOf(spark, layout)
     val fresh = priorTombs.fold(standing.select("vec_id"))(t =>
@@ -2865,8 +2942,8 @@ object SimilarityQueries {
     // invIndexCompact rationale: a contract-violating later append of
     // a tombstoned id must not leave servable rows behind a retired
     // tombstone) — one pushed-down people-scale id scan
-    val late = spark.read.parquet(s"$layout/vecs")
-      .where(col("vec_id").isin(victimIds: _*)) // pushed-down
+    val late = graft.GraftSession.filterIdIn(
+      spark.read.parquet(s"$layout/vecs"), "vec_id", victimIds) // pushed-down
       .select("kb").distinct().collect().map(_.getInt(0)).toSeq
     val dirtyVecs = (recorded ++ late).distinct.map(b => s"kb=$b").toSet
     if (dirtyVecs.nonEmpty)

@@ -1808,8 +1808,8 @@ object TextQueries {
       // bucket once the tombstone retires. A pushed-down people-scale
       // id scan — the same narrow read class as the stats heal below.
       val ids = tombIds.collect().map(_.getLong(0)).toSeq
-      val late = spark.read.parquet(s"$layout/postings")
-        .where(col("doc_id").isin(ids: _*)) // pushed-down scan
+      val late = graft.GraftSession.filterIdIn(
+        spark.read.parquet(s"$layout/postings"), "doc_id", ids) // pushed-down
         .select("tb").distinct().collect().map(_.getInt(0)).toSeq
       val dirty = (recorded ++ late).distinct.map(b => s"tb=$b").toSet
       if (dirty.nonEmpty)
@@ -1903,8 +1903,8 @@ object TextQueries {
           "stats leg is kept for inspection); delete that directory to " +
           "retry — an index-compact recomputes the stats either way")
     import spark.implicits._
-    val victims0 = spark.read.parquet(s"$layout/postings")
-      .where(col("doc_id").isin(ids: _*))
+    val victims0 = graft.GraftSession.filterIdIn(
+      spark.read.parquet(s"$layout/postings"), "doc_id", ids)
     val victims = tombstonesOf(spark, layout)
       .fold(victims0)(t => victims0.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val row = victims

@@ -21,8 +21,12 @@ import java.nio.file.{Files, Paths}
   *                                          standing layouts (invindex,
   *                                          simhash, ivfpq, knn, sketch,
   *                                          langstats, scriptstats, lenstats,
-  *                                          tokstats); pending deletion
-  *                                          tombstones apply PHYSICALLY here
+  *                                          tokstats, forgetlog); pending
+  *                                          deletion tombstones apply
+  *                                          PHYSICALLY here
+  *   forget-log-dump <sfDir> <outDir>       export the GDPR audit ledger as
+  *                                          one header CSV (the reference's
+  *                                          --checkpoint-dump shape)
   *   index-forget <sfDir> <id,id,...>       propagate a deletion request into
   *                                          every standing per-document layout
   *                                          (invindex, simhash, ivfpq, knn) —
@@ -39,7 +43,11 @@ import java.nio.file.{Files, Paths}
   *   index-gc <sfDir> --sweep-stage <layout> <tag>
   *                                          delete ONE reported crashed
   *                                          stage (the delete-to-retry
-  *                                          step, after inspection)
+  *                                          step, after inspection);
+  *                                          layout "root" sweeps the
+  *                                          fixture-root stages (tag
+  *                                          "evalref-rebuild" or a
+  *                                          forget-log move's tag)
   *   evalref-rebuild <sfDir> [evalParquet]  rebuild the standing eval
   *                                          reference from a new eval
   *                                          release (staged + swapped;
@@ -58,6 +66,16 @@ import java.nio.file.{Files, Paths}
   *                                          parquet files landing in
   *                                          <incomingDir>, until
   *                                          <doorDir>/stop appears
+  *   door-run-fed <tag=sfDir[,...]> <fedRoot> [flags as door-run]
+  *                                          FEDERATED ingest: one incoming
+  *                                          bus (<fedRoot>/incoming, docs
+  *                                          carry a `corpus` column), a
+  *                                          router splits per tenant, one
+  *                                          full door chain per corpus —
+  *                                          own references, layouts,
+  *                                          checkpoints; unknown tags land
+  *                                          under <fedRoot>/unrouted.
+  *                                          Stop: touch <fedRoot>/stop
   *   quarantine-release <doorDir> <batchId> feed an inspection-cleared batch
   *                                          back to the drift door's passed
   *                                          flow; refuses a double release.
@@ -138,7 +156,8 @@ object Ctl {
       // second index-compact of the same layout concurrently — both
       // would claim the same staging sibling
       val known = Set("invindex", "simhash", "ivfpq", "knn", "sketch",
-        "langstats", "scriptstats", "lenstats", "tokstats", "all")
+        "langstats", "scriptstats", "lenstats", "tokstats", "forgetlog",
+        "all")
       if (!known(which)) {
         System.err.println(s"index-compact: unknown index '$which' (${known.mkString("|")})")
         sys.exit(2)
@@ -203,6 +222,24 @@ object Ctl {
             println("compacted drift-door token-length histogram partials")
           } else println(s"no standing token-length histogram for $sfDir; nothing to compact")
         }
+        if (which == "forgetlog" || which == "all") {
+          // the audit ledger fragments one file per deletion request;
+          // rows are bit-identical after (the ledger must survive
+          // forever — this is defrag, never expiry)
+          if (Governance.forgetLogCompact(spark, sfDir))
+            println("compacted forget audit ledger")
+          else println(s"no forget ledger for $sfDir; nothing to compact")
+        }
+      } finally spark.stop()
+
+    case "forget-log-dump" :: sfDir :: outDir :: Nil =>
+      // export the GDPR audit ledger as one header-carrying CSV (the
+      // reference's --checkpoint-dump shape): evidence has to leave
+      // the system in a form a compliance tool reads
+      val spark = graft.GraftSession.build()
+      try {
+        val n = Governance.forgetLogDump(spark, sfDir, outDir)
+        println(s"dumped $n forget-ledger records to $outDir")
       } finally spark.stop()
 
     case "index-forget" :: sfDir :: idsCsv :: Nil =>
@@ -370,6 +407,54 @@ object Ctl {
         case None => println("door chain stopped")
       }
 
+    case "door-run-fed" :: corporaSpec :: fedRoot :: rest
+        if rest.forall(Set("--no-script-axis", "--len-axis", "--tok-axis",
+          "--knn", "--eval-guard")) =>
+      // one ingest bus, many corpora: <corporaSpec> = tag=sfDir[,...]
+      // — incoming docs land in <fedRoot>/incoming carrying a
+      // `corpus` column, the router splits them per tenant, and one
+      // full door chain runs per corpus (own references, layouts,
+      // checkpoints). Stop with: touch <fedRoot>/stop
+      val pairs = corporaSpec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map { p =>
+          val i = p.indexOf('=')
+          if (i <= 0 || i == p.length - 1) {
+            System.err.println(
+              s"door-run-fed: corpora must be tag=sfDir[,tag=sfDir...]; bad entry '$p'")
+            sys.exit(2)
+          }
+          (p.substring(0, i), p.substring(i + 1))
+        }
+      val spark = graft.GraftSession.build()
+      val fedFailure: Option[String] =
+        try {
+          val qs = graft.streaming.StreamingOps.doorChainFederated(
+            spark, pairs, fedRoot,
+            scriptAxis = !rest.contains("--no-script-axis"),
+            lenAxis = rest.contains("--len-axis"),
+            tokAxis = rest.contains("--tok-axis"),
+            maintainKnn = rest.contains("--knn"),
+            evalGuard = rest.contains("--eval-guard"))
+          println(s"federated door chains running: $fedRoot/incoming -> " +
+            s"${pairs.map(_._1).mkString("/")}; stop with: touch $fedRoot/stop")
+          val stop = Paths.get(fedRoot, "stop")
+          var dead: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+          while (!Files.exists(stop) && dead.isEmpty) {
+            Thread.sleep(1000)
+            dead = qs.find(q => !q.isActive)
+          }
+          qs.foreach(q => if (q.isActive) q.stop())
+          Files.deleteIfExists(stop)
+          dead.map(d => d.exception.map(_.getMessage)
+            .getOrElse("stream stopped unexpectedly (no exception recorded)"))
+        } finally spark.stop()
+      fedFailure match {
+        case Some(msg) =>
+          System.err.println(s"federated door chain FAILED: $msg")
+          sys.exit(1)
+        case None => println("federated door chain stopped")
+      }
+
     case "quarantine-release" :: doorDir :: batchIdStr :: Nil =>
       // manual override of the drift door: after inspection, feed a
       // quarantined batch into the passed flow (the tailing admission
@@ -417,9 +502,10 @@ object Ctl {
       System.err.println(
         "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
           "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n] | " +
-          "index-compact <sfDir> <invindex|simhash|ivfpq|knn|sketch|langstats|scriptstats|lenstats|tokstats|all> | " +
-          "index-forget <sfDir> <id,id,...> | " +
+          "index-compact <sfDir> <invindex|simhash|ivfpq|knn|sketch|langstats|scriptstats|lenstats|tokstats|forgetlog|all> | " +
+          "index-forget <sfDir> <id,id,...> | forget-log-dump <sfDir> <outDir> | " +
           "forget-run <sfDir> <requestsDir> <checkpointDir> | " +
+          "door-run-fed <tag=sfDir[,...]> <fedRoot> [door-run flags] | " +
           "index-gc <sfDir> [--apply] | " +
           "quarantine-release <doorDir> <batchId> | " +
           "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir> | " +

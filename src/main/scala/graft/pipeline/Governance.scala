@@ -108,22 +108,79 @@ object Governance {
         org.apache.spark.sql.functions.col("layout"))
   }
 
+  /** Compact the forget audit ledger (`Ctl index-compact <sf>
+    * forgetlog`): every [[applyForget]] call staged-appends one small
+    * parquet file into `forget_log`, and at a realistic
+    * deletion-request rate that is exactly the file-count
+    * fragmentation the index compactions exist to solve — on the one
+    * relation that must survive forever. Rows are bit-identical after
+    * (spec-pinned); the shared snapshot-isolated swap machinery means
+    * a forget LOGGED mid-compaction lands beside the snapshot and
+    * survives. One output file: the ledger is a few-columns-per-
+    * deletion-request relation — people-scale by the same contract
+    * as the cohorts it records — so a single file is the right shape
+    * at any realistic rate.
+    */
+  def forgetLogCompact(spark: SparkSession, sfDir: String): Boolean = {
+    val dir = java.nio.file.Paths.get(
+      graft.GraftSession.fixtureRoot(sfDir), "forget_log")
+    if (!graft.GraftSession.hasVisibleData(dir)) return false
+    graft.GraftSession.compactSnapshot(spark, dir.toString,
+      (df, staged) =>
+        df.coalesce(1).write.mode("overwrite").parquet(staged))
+    true
+  }
+
+  /** Export the ledger as ONE header-carrying CSV (`Ctl
+    * forget-log-dump`) — the reference-shaped analog of
+    * `tidb-lightning-ctl --checkpoint-dump`
+    * (`cmd/tidb-lightning-ctl/main.go:45-97`, which dumps the
+    * checkpoint tables to CSV for audit/handoff): GDPR evidence has
+    * to leave the system in a shape a compliance tool reads. Newest
+    * first, like `GET /forget/log`. Returns the row count.
+    */
+  def forgetLogDump(spark: SparkSession, sfDir: String,
+      outDir: String): Long = {
+    val df = forgetLog(spark, sfDir)
+    val n = df.count()
+    df.coalesce(1)
+      .sortWithinPartitions(
+        org.apache.spark.sql.functions.col("ts").desc,
+        org.apache.spark.sql.functions.col("layout"))
+      .write.option("header", "true").mode("overwrite").csv(outDir)
+    n
+  }
+
   /** Targeted crashed-stage sweep (`Ctl index-gc --sweep-stage`): the
     * GC reports `.append_stage_*` / `.forget_stage_*` leftovers but
     * deliberately never deletes them — this is the operator's
     * delete-to-retry tool once the inspection is done. Deletes ONLY
     * the named tag's stage dirs under the named layout; returns what
     * died (empty = nothing stood, reported not invented).
+    *
+    * Layout `"root"` sweeps the FIXTURE-ROOT stages [[gcLayouts]]
+    * also reports — `.forget_log_stage_<tag>` under its unique tag,
+    * and `.evalref_rebuild_stage` under the tag `evalref-rebuild`
+    * (like "derive", the rebuild claim has no per-tag suffix: one
+    * rebuild at a time is the point) — so every stage the GC can
+    * report has a matching sweep path. No real layout can collide
+    * with the name: layouts are version-suffixed family dirs.
     */
   def sweepStage(sfDir: String, layoutName: String,
       tag: String): Seq[String] = {
-    val layout = java.nio.file.Paths.get(
-      graft.GraftSession.fixtureRoot(sfDir), layoutName)
-    // tag "derive" names the consumer-derivation claim (it has no
-    // per-tag suffix — one derivation at a time is the point)
-    val names = Seq(s".append_stage_$tag", s".forget_stage_$tag") ++
-      (if (tag == "derive") Seq(".derive_stage") else Nil)
-    val victims = names.map(layout.resolve)
+    val root = java.nio.file.Paths.get(graft.GraftSession.fixtureRoot(sfDir))
+    val (base, names) =
+      if (layoutName == "root")
+        (root, Seq(s".forget_log_stage_$tag") ++
+          (if (tag == "evalref-rebuild") Seq(".evalref_rebuild_stage")
+           else Nil))
+      else
+        // tag "derive" names the consumer-derivation claim (it has no
+        // per-tag suffix — one derivation at a time is the point)
+        (root.resolve(layoutName),
+          Seq(s".append_stage_$tag", s".forget_stage_$tag") ++
+            (if (tag == "derive") Seq(".derive_stage") else Nil))
+    val victims = names.map(base.resolve)
       .filter(java.nio.file.Files.exists(_))
     victims.foreach(graft.GraftSession.deleteRec)
     victims.map(_.toString)
@@ -231,4 +288,19 @@ object Governance {
         .knnPendingForgetsAtRadius(spark, sfDir, r)
     out.result()
   }
+
+  /** Per-radius APPEND positions for the standing knn layouts — the
+    * `GET /forget/lag` relation. Forgets reach every standing radius;
+    * appends feed only the maintainer's session radius (the
+    * [[graft.operators.SimilarityQueries.KnnLegalRadii]] asymmetry
+    * note), so with both radii standing this is where the
+    * non-maintained radius's lag becomes visible: `knn_r2 → -1`
+    * beside `knn_r1 → 42` means r2 has seen none of the streamed
+    * appends and serves the seed corpus only.
+    */
+  def appendLag(sfDir: String): Seq[(String, Long)] =
+    for (r <- graft.operators.SimilarityQueries.KnnLegalRadii
+        if graft.operators.SimilarityQueries.knnPresent(sfDir, r))
+      yield s"knn_r$r" ->
+        graft.operators.SimilarityQueries.knnAppendLagAtRadius(sfDir, r)
 }

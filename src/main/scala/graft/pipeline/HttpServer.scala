@@ -70,6 +70,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
   *   GET    /forget/pending        tombstones standing per layout
   *                                 (hidden from serving, awaiting the
   *                                 physical delete at index-compact)
+  *   GET    /forget/lag            per-radius knn append positions
+  *                                 (forgets reach every standing
+  *                                 radius; appends only the
+  *                                 maintainer's — −1 marks a radius
+  *                                 no streamed append ever reached)
   *   POST   /door/release/{id}     feed an inspection-cleared batch to
   *                                 the passed flow (= Ctl
   *                                 quarantine-release); refusals
@@ -553,6 +558,14 @@ object HttpServer {
               respond(ex, 200, Governance.pendingForgets(spark, cd)
                 .map { case (l, n) => s"${jsonStr(l)}:$n" }
                 .mkString("""{"pending":{""", ",", "}}"))
+            case ("GET", List("lag")) =>
+              // per-radius append positions: forgets reach every
+              // standing knn radius, appends only the maintainer's —
+              // this makes the other radius's lag visible (−1 = no
+              // streamed append ever committed there)
+              respond(ex, 200, Governance.appendLag(cd)
+                .map { case (l, b) => s"${jsonStr(l)}:$b" }
+                .mkString("""{"append_last_batch":{""", ",", "}}"))
             case ("GET", List("log")) =>
               // the audit ledger, newest first — ?limit=N caps the
               // page (default 1000); an absorbed retry shows as its

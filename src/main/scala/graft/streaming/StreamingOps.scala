@@ -527,6 +527,122 @@ object StreamingOps {
     Seq(door, gate) ++ guardQ ++ Seq(maintain) ++ knn
   }
 
+  /** FEDERATED door chains (`Ctl door-run-fed`) — one ingest bus,
+    * many corpora. Incoming docs carry a `corpus` column naming
+    * their tenant; a ROUTER stream splits each arrival batch per
+    * corpus and commits each tenant's slice as ONE atomic file into
+    * that tenant's own incoming dir (exactly the [[doorChain]]
+    * feeder contract — one rename per logical batch, so no tenant's
+    * door ever judges a fragment), then a standard per-corpus chain
+    * runs beside each other. NOTHING in the per-corpus tier is
+    * shared — each chain has its own drift references, standing
+    * layouts, checkpoints and batchId namespace — which is the
+    * tenancy property the federation exists for: tenant A's drifted
+    * scrape cannot quarantine tenant B's batch, a forget in one
+    * corpus never touches another's layouts, and at cluster scale
+    * the tenants' maintenance jobs are independent Spark jobs the
+    * scheduler interleaves freely (the router itself is one narrow
+    * partition-local split per arrival batch — no shuffle, no
+    * cross-tenant barrier).
+    *
+    * Rows whose `corpus` matches no registered tenant land — with
+    * the corpus column KEPT as evidence — under `<fedRoot>/unrouted/`
+    * per batch: reported, never silently dropped and never guessed
+    * into some tenant's corpus.
+    *
+    * Idempotence: the router's commit names are deterministic per
+    * (tenant, batchId) and replace-on-replay, and a foreachBatch
+    * replay recomputes identical slices from the same source files —
+    * so a crash mid-route re-commits byte-identical files under the
+    * same names, which the tenant doors' file sources (tracking seen
+    * file names) absorb without a duplicate judgment.
+    */
+  def doorChainFederated(spark: org.apache.spark.sql.SparkSession,
+      corpora: Seq[(String, String)], fedRoot: String,
+      scriptAxis: Boolean = true, lenAxis: Boolean = false,
+      tokAxis: Boolean = false, maintainKnn: Boolean = false,
+      evalGuard: Boolean = false):
+      Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    import org.apache.spark.sql.types._
+    require(corpora.nonEmpty, "federated door needs at least one corpus")
+    val tags = corpora.map(_._1)
+    require(tags.distinct.size == tags.size,
+      s"duplicate corpus tags: ${tags.mkString(", ")}")
+    require(tags.forall(_.matches("[A-Za-z0-9._-]+")),
+      "corpus tags name directories — [A-Za-z0-9._-]+ only")
+    val embBearing = maintainKnn || evalGuard
+    val docSchema0 = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val docSchema =
+      if (embBearing)
+        docSchema0.add(StructField("embedding", ArrayType(FloatType)))
+      else docSchema0
+    val fedSchema = docSchema.add(StructField("corpus", StringType))
+    val incomingDir = s"$fedRoot/incoming"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(incomingDir))
+    val router = spark.readStream.schema(fedSchema).parquet(incomingDir)
+      .writeStream.foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            // one materialization feeds every tenant's slice (the
+            // driftRouteStream discipline)
+            val b = batch.toDF().localCheckpoint()
+            try {
+              for (tag <- tags)
+                routeCommit(b.where(col("corpus") === tag).drop("corpus"),
+                  s"$fedRoot/$tag/incoming", s"route-$batchId")
+              // unknown tenants: corpus column kept as evidence
+              routeCommit(b.where(!col("corpus").isin(tags: _*)),
+                s"$fedRoot/unrouted", s"route-$batchId")
+            } finally { b.unpersist(); () }
+          }
+          ()
+      }
+      .option("checkpointLocation", s"$fedRoot/_checkpoints/router")
+      .start()
+    val chains = corpora.flatMap { case (tag, sfDir) =>
+      doorChain(spark, sfDir, s"$fedRoot/$tag/incoming",
+        s"$fedRoot/$tag/door", s"$fedRoot/$tag/admitted",
+        scriptAxis = scriptAxis, lenAxis = lenAxis, tokAxis = tokAxis,
+        maintainKnn = maintainKnn, evalGuard = evalGuard)
+    }
+    Seq(router) ++ chains
+  }
+
+  /** Commit `slice` as ONE parquet file named `<name>.parquet` in
+    * `destDir` — the router's atomic-single-file leg. Writes into a
+    * private staging dir first, then one rename; the deterministic
+    * name + REPLACE_EXISTING makes a foreachBatch replay re-commit
+    * byte-identically instead of refusing (replays are serialized by
+    * the stream's own checkpoint, so the stage needs no claim — a
+    * leftover from a crash is swept, not refused, or the stream
+    * would wedge on its own retry).
+    */
+  private def routeCommit(slice: DataFrame, destDir: String,
+      name: String): Unit = {
+    if (slice.isEmpty) return
+    val dest = java.nio.file.Paths.get(destDir)
+    java.nio.file.Files.createDirectories(dest)
+    val stage = dest.resolve(s".route_stage_$name")
+    graft.GraftSession.deleteRec(stage)
+    slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = {
+      val l = java.nio.file.Files.list(stage)
+      try l.filter { p =>
+        val fn = p.getFileName.toString
+        fn.endsWith(".parquet") && !fn.startsWith("_") && !fn.startsWith(".")
+      }.findFirst().orElseThrow(() =>
+        new IllegalStateException(s"no data file staged under $stage"))
+      finally l.close()
+    }
+    java.nio.file.Files.move(part, dest.resolve(s"$name.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.GraftSession.deleteRec(stage)
+  }
+
   /** Operator release of a quarantined batch back into the `passed`
     * flow — the door's manual override, for when inspection clears a
     * batch the drift gate flagged (a deliberate new-language source,

@@ -97,7 +97,15 @@ object ScalingProbe {
     * output grows ~k and the wall-clock curve measures the PLAN.
     */
   private val RealShapedOps = Seq("q_winnow_align", "q_semdedup", "q_semdedup_hier",
-    "q_knn_graph")
+    "q_knn_graph",
+    // the editdist funnel's band term: on the real-shaped fold
+    // cross-copy texts never pair (permuted tokens → different
+    // simhash bands; a chance band collision dies at the levenshtein
+    // threshold), so the curve isolates the banded self-join +
+    // within-band quadratic instead of the self-union's constructed
+    // k² output — the "does the band width need corpus sizing"
+    // question measured, not adjudicated
+    "q_dedup_editdist")
 
   private val PermBase = "abcdefghijklmnopqrstuvwxyz"
 
@@ -292,9 +300,14 @@ object ScalingProbe {
             .write.mode("overwrite").parquet(embOut.toString)
         }
         // only the embedding-model layouts need a warm (winnow builds
-        // no standing layout)
-        try graft.operators.SimilarityQueries.warmLayouts(spark, dir.toString)
-        catch { case _: Throwable => }
+        // no standing layout) — and only when an embedding op is
+        // actually in this run's filter: a doc-side-only probe (the
+        // editdist funnel, say) must not pay a knn/ivfpq build per
+        // fold dir it never reads
+        if (keep(Seq("q_semdedup", "q_semdedup_hier", "q_knn_graph",
+            "q_knn_outliers")).nonEmpty)
+          try graft.operators.SimilarityQueries.warmLayouts(spark, dir.toString)
+          catch { case _: Throwable => }
         k -> dir.toString
       }
     }.toMap
@@ -436,7 +449,8 @@ object ScalingProbe {
           (if (names.isEmpty) None
            else Some("knn_planes" -> ksAbove.map { k =>
             val meta = s"${graft.operators.SimilarityQueries.knnLayoutPath(aboveDirs(k))}/meta"
-            k -> (try spark.read.parquet(meta).head.getInt(0).toDouble
+            k -> (try spark.read.parquet(meta)
+                    .select("p").head.getInt(0).toDouble
                   catch { case _: Throwable => -1d })
           }.toMap))
       }

@@ -89,5 +89,71 @@ class EvalRefLifecycleSpec extends SparkSpec {
     SimilarityQueries.evalRefRebuild(spark, dir, Some(release))
     assert(spark.read.parquet(s"$layout/meta")
       .select("n_eval").head.getLong(0) === 10L)
+
+    // CRASH-WINDOW self-heal follows the REGISTERED release, not the
+    // default: a hard crash between the rebuild's deleteRec(live) and
+    // move(staged, live) leaves no live tree — and the destroyed
+    // tree's _EVAL_SOURCE with it. The swap-durable registration file
+    // (written before the swap) must steer the next guard read's
+    // re-derivation back to the release; the pre-fix behavior
+    // silently rebuilt the held-out-fold default and computed
+    // firewall verdicts against the wrong eval set with no error.
+    graft.GraftSession.deleteRec(java.nio.file.Paths.get(layout))
+    SimilarityQueries.evalGuardFor(spark, dir,
+      emb.where(col("vec_id") === 5)).count()
+    assert(spark.read.parquet(s"$layout/meta")
+      .select("n_eval").head.getLong(0) === 10L,
+      "crash-window re-derivation must follow the registered release")
+
+    // ...and after a return-to-default, the same crash window heals
+    // to the DEFAULT (the registration is gone, not stale)
+    SimilarityQueries.evalRefRebuild(spark, dir)
+    graft.GraftSession.deleteRec(java.nio.file.Paths.get(layout))
+    SimilarityQueries.evalGuardFor(spark, dir,
+      emb.where(col("vec_id") === 5)).count()
+    assert(spark.read.parquet(s"$layout/meta")
+      .select("n_eval").head.getLong(0) === nDefault,
+      "after return-to-default the crash window must heal to the default")
+  }
+
+  test("guard radius is monotone: r2 verdicts include r1's against the same reference") {
+    // the evalref layout stamps only the plane count; the probe
+    // radius is a serve-time session knob (buckets on disk don't
+    // depend on it). A session-radius switch between the
+    // decontaminate audit and a guard call therefore changes ONLY
+    // the ring width — and a WIDER ring can only add candidates, so
+    // the contaminated set is monotone in the radius: a guard run at
+    // r2 catches everything an r1 audit flagged. This pins that
+    // inclusion (and that the exact-copy divert — the own bucket,
+    // mask 0, is in every ring — holds at BOTH radii), so no radius
+    // switch can silently narrow the guard below the audit's ring.
+    val dir = java.nio.file.Files.createTempDirectory("graft_evalrad").toString
+    val emb = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") < 400).select("vec_id", "embedding")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // batch: copies of 30 corpus vectors (fold-9 members of the
+    // default eval set among them are the contamination)
+    val batch = emb.where(col("vec_id") < 30)
+    def contaminatedAt(r: Int): Set[Long] = {
+      spark.conf.set("spark.graft.knn.probeRadius", r.toString)
+      try SimilarityQueries.evalGuardFor(spark, dir, batch)
+        .where(col("contaminated")).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      finally spark.conf.set("spark.graft.knn.probeRadius", "1")
+    }
+    val at1 = contaminatedAt(1)
+    val at2 = contaminatedAt(2)
+    assert(at1.subsetOf(at2),
+      s"r2 ring must include r1's verdicts: r1=$at1 r2=$at2")
+    // the exact copies of eval members divert at BOTH radii: an
+    // exact copy shares its source's bucket, and the own bucket is
+    // in every ring
+    val fold9 = emb.where(col("vec_id") < 30)
+      .where(conv(substring(md5(col("vec_id").cast("string")
+        .cast("binary")), 1, 4), 16, 10).cast("long") % 10 === 9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(fold9.nonEmpty, "fixture too small: no eval members below 30")
+    assert(fold9.subsetOf(at1) && fold9.subsetOf(at2),
+      s"eval-member copies must divert at both radii: eval=$fold9 r1=$at1")
   }
 }

@@ -23,6 +23,45 @@ import graft.SparkSpec
   */
 class ForgetCompactionSpec extends SparkSpec {
 
+  test("inputFileNamePath decodes Spark's url-encoded names and passes raw ones through") {
+    // Spark's input_file_name() emits the URL-ENCODED form (a dir
+    // named `a b` reads back `…/a%20b/…`): the URI parse decodes it
+    assert(graft.GraftSession.inputFileNamePath(
+      "file:///tmp/graft%20uri/t.parquet/part-0.parquet")
+      === "/tmp/graft uri/t.parquet/part-0.parquet")
+    // a RAW un-encoded name (illegal in a URI — the former
+    // `new URI(raw)` threw URISyntaxException and failed the
+    // compaction) falls back to the lenient Hadoop Path parse
+    assert(graft.GraftSession.inputFileNamePath("file:///tmp/a b/x")
+      === "/tmp/a b/x")
+    assert(graft.GraftSession.inputFileNamePath(
+      "file:///tmp/plain/part-1.parquet") === "/tmp/plain/part-1.parquet")
+  }
+
+  test("retireTombstones: a file landing after the snapshot survives; emptied dir stands") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retire")
+    val a = dir.resolve("append-t1-0.parquet")
+    java.nio.file.Files.writeString(a, "cohortA")
+    val snap = graft.GraftSession.tombstoneSnapshot(dir)
+    assert(snap === Seq(a))
+    // a concurrent forget lands AFTER the snapshot — inside the
+    // check-then-act window where the former `hasVisibleData +
+    // deleteRec` tail could destroy it unapplied (silently
+    // un-forgetting a document). Retirement must touch ONLY the
+    // snapshot's files.
+    val b = dir.resolve("append-t2-0.parquet")
+    java.nio.file.Files.writeString(b, "cohortB")
+    graft.GraftSession.retireTombstones(dir, snap)
+    assert(!java.nio.file.Files.exists(a), "the consumed tombstone retires")
+    assert(java.nio.file.Files.exists(b),
+      "a tombstone landed after the snapshot must survive retirement")
+    // an emptied tombstone dir is left STANDING (no recursive delete
+    // to race) and still reads as no-tombstones everywhere
+    graft.GraftSession.retireTombstones(dir, Seq(b))
+    assert(java.nio.file.Files.isDirectory(dir))
+    assert(!graft.GraftSession.hasVisibleData(dir))
+  }
+
   /** dir → sorted visible file names, per top-level partition dir. */
   private def fileMap(root: String): Map[String, Seq[String]] = {
     val p = java.nio.file.Paths.get(root)

@@ -120,7 +120,10 @@ class KnnForgetSpec extends SparkSpec {
         .count()
       assert(leaked === 0L, s"compaction left physical victim rows in $sub")
     }
-    assert(!java.nio.file.Files.exists(
+    // consumed tombstones retired; the dir may stand EMPTY (deleting
+    // it raced a concurrent forget's staged move — see
+    // retireTombstones) and reads as no-tombstones everywhere
+    assert(!graft.GraftSession.hasVisibleData(
       java.nio.file.Paths.get(s"$layoutA/tombstones")))
     assert(served(layoutA) === sGrown, "compaction changed served rows")
     assert(outliers(layoutA) === outliers(layoutU),

@@ -54,6 +54,64 @@ class GovernanceSpec extends SparkSpec {
       "ivfpq" -> 0L, "knn_r1" -> 0L), s"after compact: $drained")
   }
 
+  test("forget ledger lifecycle: compaction keeps rows bit-identical with fewer files; CSV dump round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_govlog").toString
+    graft.GraftSession.table(spark, sf(), "documents")
+      .where(col("doc_id") < 200)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(DedupQueries.dedupSimhashPairs(spark, dir).count() >= 0)
+    // three distinct cohorts → three staged-moved ledger files (one
+    // per applyForget call): the fragmentation the lifecycle solves
+    Governance.applyForget(spark, dir, Seq(3L))
+    Governance.applyForget(spark, dir, Seq(7L))
+    Governance.applyForget(spark, dir, Seq(13L, 17L))
+    val logDir = java.nio.file.Paths.get(
+      graft.GraftSession.fixtureRoot(dir), "forget_log")
+    def files(): Seq[String] = {
+      val l = java.nio.file.Files.list(logDir)
+      try {
+        val b = Seq.newBuilder[String]
+        l.forEach(f => if (java.nio.file.Files.isRegularFile(f) &&
+          !f.getFileName.toString.startsWith("_") &&
+          !f.getFileName.toString.startsWith(".")) b += f.getFileName.toString)
+        b.result()
+      } finally l.close()
+    }
+    def rows(): Set[(Long, String, Int, String, String)] =
+      Governance.forgetLog(spark, dir).collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3),
+          r.getString(4))).toSet
+    val before = rows()
+    assert(files().size === 3, s"one file per request: ${files()}")
+    assert(before.size === 3, s"one simhash record per call: $before")
+
+    assert(Governance.forgetLogCompact(spark, dir))
+    assert(files().size === 1, s"compacted to one file: ${files()}")
+    assert(rows() === before, "ledger rows must be bit-identical after")
+    // a ledger record logged AFTER the compaction appends beside it
+    Governance.applyForget(spark, dir, Seq(19L))
+    assert(rows().size === 4 && before.subsetOf(rows()))
+
+    // CSV export round-trip (the --checkpoint-dump shape)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_govdump").toString + "/ledger_csv"
+    assert(Governance.forgetLogDump(spark, dir, out) === 4L)
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(out)
+    assert(back.count() === 4L)
+    assert(back.columns.sorted === Array("applied", "cohort", "layout", "n_ids", "ts"))
+    val backSet = back.collect().map(r =>
+      (r.getAs[Long]("ts"), r.getAs[String]("cohort"),
+        r.getAs[Int]("n_ids"), r.getAs[String]("layout"),
+        r.getAs[String]("applied"))).toSet
+    assert(backSet === rows(), "CSV dump must round-trip the ledger")
+    // a missing ledger reports, never invents
+    val bare = java.nio.file.Files.createTempDirectory("graft_govnone").toString
+    assert(!Governance.forgetLogCompact(spark, bare))
+    assert(Governance.forgetLogDump(spark, bare,
+      bare + "/none_csv") === 0L)
+  }
+
   test("a forget reaches knn layouts at BOTH standing radii, not just the session's") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gov2").toString
     graft.GraftSession.table(spark, sf(), "embeddings")
@@ -83,5 +141,21 @@ class GovernanceSpec extends SparkSpec {
         col("neighbor_id").isin(5L, 11L)).count()
       assert(bad === 0, s"radius $r still serves a forgotten vector")
     }
+
+    // APPEND asymmetry is a documented contract, and its lag must be
+    // VISIBLE: an idempotent append feeds only the session radius
+    // (r1), so with both radii standing the surface shows r1 at the
+    // batch id and r2 at −1 (no streamed append ever committed there)
+    // — the operator's signal to run the maintainer at r2 or retire
+    // the layout.
+    assert(Governance.appendLag(dir).toMap ===
+      Map("knn_r1" -> -1L, "knn_r2" -> -1L))
+    val newVecs = graft.GraftSession.table(spark, sf(), "embeddings")
+      .where(col("vec_id") >= 200 && col("vec_id") < 210)
+      .select("vec_id", "embedding")
+    assert(SimilarityQueries.knnAppendOnce(spark, dir, newVecs, 42L))
+    val lag = Governance.appendLag(dir).toMap
+    assert(lag === Map("knn_r1" -> 42L, "knn_r2" -> -1L),
+      s"append lag must be visible per radius: $lag")
   }
 }

@@ -96,6 +96,12 @@ class HttpGovernanceSpec extends SparkSpec {
       assert(cohorts.distinct.size === 1,
         s"one cohort, two calls → one tag across entries: $cohorts")
       assert(cohorts.size === 4, s"2 calls × 2 layouts: $cohorts")
+
+      // the append-lag surface: no knn layout stands in this corpus,
+      // so the relation is EMPTY — reported, never invented
+      val (gc, gb) = req(base, "GET", "/forget/lag")
+      assert(gc === 200, gb)
+      assert(gb === """{"append_last_batch":{}}""", gb)
     } finally srv.stop(0)
   }
 }

@@ -93,5 +93,19 @@ class LayoutGcSpec extends SparkSpec {
     val (_, stages) = Governance.gcLayouts(sfDir)
     assert(stages.exists(_.endsWith(".evalref_rebuild_stage")) &&
       stages.exists(_.endsWith(".forget_log_stage_x1")), s"stages: $stages")
+
+    // ...and every reported root stage has a matching sweep path:
+    // layout "root" + the stage's tag ("evalref-rebuild" for the
+    // suffix-less rebuild claim, the unique tag for forget-log moves)
+    val sweptLog = Governance.sweepStage(sfDir, "root", "x1")
+    assert(sweptLog.size === 1 &&
+      sweptLog.head.endsWith(".forget_log_stage_x1"))
+    assert(!java.nio.file.Files.exists(root.resolve(".forget_log_stage_x1")))
+    val sweptEval = Governance.sweepStage(sfDir, "root", "evalref-rebuild")
+    assert(sweptEval.size === 1 &&
+      sweptEval.head.endsWith(".evalref_rebuild_stage"))
+    assert(!java.nio.file.Files.exists(root.resolve(".evalref_rebuild_stage")))
+    // unknown root tags report nothing, invent nothing
+    assert(Governance.sweepStage(sfDir, "root", "nope").isEmpty)
   }
 }
