@@ -2092,6 +2092,61 @@ object TextQueries {
       .agg(sum(col("contrib")).as("bm25_ppm"), count(lit(1)).as("n_terms"))
   }
 
+  /** FEDERATED retrieval — the serve-side sibling of the federated
+    * door chains: the corpus stands as N shard sub-corpora, each with
+    * its OWN standing inverted index and its own BM25 statistics
+    * (per-shard n_docs/avgdl/df — the honest federated semantics:
+    * shards score locally, nobody pays a global-statistics exchange),
+    * each shard answers its LOCAL top-k, and the merger re-sorts the
+    * ≤ N·k candidate rows for the global top-k. That scatter-gather
+    * is the 100 TB shape — per-shard work is one index probe, the
+    * merge is N·k rows however large the corpus — and it is exactly
+    * how a sharded search tier (per-tenant indexes, a thin
+    * coordinator) serves. Deterministic: shard-local ties break on
+    * doc_id, the merge re-breaks on (score, doc_id), and the shard
+    * split is content-derived (doc_id parity), so the DuckDB oracle
+    * replays both shards with a `% 2` filter over the same table.
+    */
+  def federatedSearch(spark: SparkSession, sfDir: String): DataFrame =
+    federatedShardDirs(spark, sfDir).map { case (s, dir) =>
+      bm25Scored(spark, dir)
+        .orderBy(col("bm25_ppm").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("bm25_ppm"), col("n_terms"),
+          lit(s).as("shard"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("bm25_ppm").desc, col("doc_id")).limit(20)
+
+  /** The two shard sub-corpora (doc_id parity split of `documents`),
+    * written once per sf dir like [[graft.GraftSession
+    * .forgetFixtureDir]] — each shard dir is a normal corpus dir, so
+    * [[bm25Scored]] stands a normal per-shard inverted index under
+    * its own fixture root (nothing federated leaks into the index
+    * tier; federation is purely the serve composition above).
+    */
+  private def federatedShardDirs(spark: SparkSession,
+      sfDir: String): Seq[(Int, String)] =
+    (0 to 1).map { s =>
+      val dir = s"${graft.GraftSession.fixtureRoot(sfDir)}/fed_shards/s$s"
+      val out = java.nio.file.Paths.get(s"$dir/documents.parquet")
+      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
+        table(spark, sfDir, "documents")
+          .where(pmod(col("doc_id"), lit(2)) === s)
+          .write.mode("overwrite").parquet(out.toString)
+      s -> dir
+    }
+
+  /** Oracle: each shard's leg is the whole [[bm25TopkSqlOver]] body
+    * under the parity filter (shard-local stats INCLUDED — that is
+    * the point), merged and re-sorted exactly like the serve path.
+    */
+  def federatedSearchSql: String =
+    s"""WITH s0 AS (${bm25TopkSqlOver("doc_id % 2 = 0")}),
+       |s1 AS (${bm25TopkSqlOver("doc_id % 2 = 1")})
+       |SELECT doc_id, bm25_ppm, n_terms, shard FROM (
+       |  SELECT *, 0 AS shard FROM s0
+       |  UNION ALL SELECT *, 1 AS shard FROM s1)
+       |ORDER BY bm25_ppm DESC, doc_id LIMIT 20""".stripMargin
+
   def bm25TopkSql: String = bm25TopkSqlOver("TRUE")
 
   /** [[bm25TopkSql]] with a document predicate — the forget gate's

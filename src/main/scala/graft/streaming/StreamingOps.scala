@@ -593,8 +593,13 @@ object StreamingOps {
               for (tag <- tags)
                 routeCommit(b.where(col("corpus") === tag).drop("corpus"),
                   s"$fedRoot/$tag/incoming", s"route-$batchId")
-              // unknown tenants: corpus column kept as evidence
-              routeCommit(b.where(!col("corpus").isin(tags: _*)),
+              // unknown tenants: corpus column kept as evidence. The
+              // complement must catch NULL too — `!isin` alone is
+              // null-valued on a null tag and a bare filter would
+              // silently DROP the row, the exact loss this dir
+              // exists to prevent
+              routeCommit(b.where(
+                !coalesce(col("corpus").isin(tags: _*), lit(false))),
                 s"$fedRoot/unrouted", s"route-$batchId")
             } finally { b.unpersist(); () }
           }

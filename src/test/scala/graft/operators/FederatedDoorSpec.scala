@@ -79,8 +79,14 @@ class FederatedDoorSpec extends SparkSpec {
         (301L, "spark data merge fresh analytics words", "en", "a"),
         (400L, "totally fresh words that would pass the dup gate", "zz", "b"),
         (401L, "more fresh words in the wrong language", "zz", "b"),
-        (900L, "row for a tenant nobody registered", "en", "ghost"))
+        (900L, "row for a tenant nobody registered", "en", "ghost"),
+        (901L, "row with no tenant at all", "en", "null-me"))
         .toDF("doc_id", "text", "lang", "corpus")
+        // a NULL corpus tag must land in unrouted too (a bare !isin
+        // filter is null-valued there and would silently drop it)
+        .withColumn("corpus",
+          when(col("doc_id") === 901L, lit(null: String))
+            .otherwise(col("corpus")))
       feedOne(feed0, s"$fedRoot/incoming", "feed0")
       drain()
 
@@ -116,8 +122,11 @@ class FederatedDoorSpec extends SparkSpec {
       // corpus column kept — never dropped, never guessed into a or b
       val unrouted = spark.read.parquet(s"$fedRoot/unrouted")
         .select("doc_id", "corpus").collect()
-        .map(r => r.getLong(0) -> r.getString(1)).toSeq
-      assert(unrouted === Seq(900L -> "ghost"), s"unrouted: $unrouted")
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) "<null>" else r.getString(1)))
+        .sortBy(_._1).toSeq
+      assert(unrouted === Seq(900L -> "ghost", 901L -> "<null>"),
+        s"unrouted: $unrouted")
 
       // arrival batch 1: A gets a near-copy of its OWN earlier
       // admitted doc (reject — per-tenant admission memory) plus a
