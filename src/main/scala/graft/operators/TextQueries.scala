@@ -2128,10 +2128,15 @@ object TextQueries {
     (0 to 1).map { s =>
       val dir = s"${graft.GraftSession.fixtureRoot(sfDir)}/fed_shards/s$s"
       val out = java.nio.file.Paths.get(s"$dir/documents.parquet")
-      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
+      // stamp-guarded, not _SUCCESS-guarded: a regenerated corpus
+      // table must re-split (and, via each shard's OWN stamp chain,
+      // re-index), never serve a stale shard of the old corpus
+      graft.GraftSession.ensureLayout(spark, dir,
+        s"$sfDir/documents.parquet") {
         table(spark, sfDir, "documents")
           .where(pmod(col("doc_id"), lit(2)) === s)
           .write.mode("overwrite").parquet(out.toString)
+      }
       s -> dir
     }
 
