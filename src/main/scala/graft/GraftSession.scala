@@ -243,6 +243,48 @@ object GraftSession {
     ids.distinct.toDF(c)
   }
 
+  /** Commit ONE data file named `name` into `destDir`: the caller's
+    * `writeStage` materializes a coalesce(1) write into a private
+    * staging dir, and the single visible data file moves to its final
+    * name in one rename — the shared shape behind the federated
+    * router's per-tenant commits and the ledger CSV export.
+    * `replace = true` is the foreachBatch-replay contract
+    * (deterministic name, byte-identical recommit); `replace = false`
+    * is the EXPORT contract — an existing target refuses loudly, and
+    * nothing pre-existing in `destDir` is ever touched (a
+    * `mode("overwrite")` pointed at an operator-supplied dir would
+    * delete the whole dir first — exactly the loss an evidence export
+    * must never risk). Returns the committed path.
+    */
+  def commitOneFile(destDir: String, name: String, replace: Boolean)(
+      writeStage: String => Unit): java.nio.file.Path = {
+    val dest = java.nio.file.Paths.get(destDir)
+    java.nio.file.Files.createDirectories(dest)
+    val target = dest.resolve(name)
+    if (!replace && java.nio.file.Files.exists(target))
+      throw new IllegalArgumentException(
+        s"$target already exists; exports never overwrite — " +
+          "choose another name or directory")
+    val stage = dest.resolve(s".commit_stage_$name")
+    deleteRec(stage) // replays are serialized by the caller's contract
+    writeStage(stage.toString)
+    val part = {
+      val l = java.nio.file.Files.list(stage)
+      try l.filter { p =>
+        val fn = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) &&
+          !fn.startsWith("_") && !fn.startsWith(".")
+      }.findFirst().orElseThrow(() =>
+        new IllegalStateException(s"no data file staged under $stage"))
+      finally l.close()
+    }
+    java.nio.file.Files.move(part, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(stage)
+    target
+  }
+
   /** Decode a Spark `input_file_name()` string to a local filesystem
     * path. Spark emits the URL-ENCODED form (a dir named `a b` reads
     * back as `file:///…/a%20b/…` — measured, not assumed), so the
@@ -255,8 +297,19 @@ object GraftSession {
     * would make a pruned compaction miss its dirty files.
     */
   def inputFileNamePath(name: String): String =
-    try new java.net.URI(name).getPath
-    catch {
+    try {
+      val u = new java.net.URI(name)
+      // a RAW name can also parse as a LEGAL uri and silently
+      // truncate: '#'/'?' read as fragment/query (getPath drops
+      // everything after), and an opaque form has no path at all.
+      // Spark's encoded output never carries any of those (they
+      // encode to %23/%3F), so their presence marks a raw producer —
+      // fall back rather than return a wrong path, which downstream
+      // would turn into a pruned compaction missing its dirty files
+      if (u.getFragment != null || u.getQuery != null || u.getPath == null)
+        new org.apache.hadoop.fs.Path(name).toUri.getPath
+      else u.getPath
+    } catch {
       case _: java.net.URISyntaxException =>
         new org.apache.hadoop.fs.Path(name).toUri.getPath
     }

@@ -235,12 +235,23 @@ object Ctl {
     case "forget-log-dump" :: sfDir :: outDir :: Nil =>
       // export the GDPR audit ledger as one header-carrying CSV (the
       // reference's --checkpoint-dump shape): evidence has to leave
-      // the system in a form a compliance tool reads
+      // the system in a form a compliance tool reads. Non-destructive:
+      // an existing forget_log.csv refuses loudly (exit 1), nothing
+      // else in outDir is ever touched
       val spark = graft.GraftSession.build()
-      try {
-        val n = Governance.forgetLogDump(spark, sfDir, outDir)
-        println(s"dumped $n forget-ledger records to $outDir")
-      } finally spark.stop()
+      val dumpFailure: Option[String] =
+        try {
+          val n = Governance.forgetLogDump(spark, sfDir, outDir)
+          if (n == 0) println(s"forget ledger for $sfDir is empty; nothing dumped")
+          else println(s"dumped $n forget-ledger records to $outDir/forget_log.csv")
+          None
+        } catch {
+          case e: IllegalArgumentException => Some(e.getMessage)
+        } finally spark.stop()
+      dumpFailure.foreach { m =>
+        System.err.println(s"forget-log-dump: $m")
+        sys.exit(1)
+      }
 
     case "index-forget" :: sfDir :: idsCsv :: Nil =>
       // propagate a deletion request into EVERY standing layout that
@@ -385,20 +396,7 @@ object Ctl {
             evalGuard = rest.contains("--eval-guard"))
           println(s"door chain running: $incoming -> door($doorDir) -> " +
             s"admit($admitted); stop with: touch $doorDir/stop")
-          val stop = Paths.get(doorDir, "stop")
-          // liveness, not just the stop file: a stream that died
-          // (corrupt input, a wedged layout) must surface its exception
-          // and fail the verb loudly — a silent wait loop would look
-          // healthy while incoming files pile up unprocessed
-          var dead: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
-          while (!Files.exists(stop) && dead.isEmpty) {
-            Thread.sleep(1000)
-            dead = qs.find(q => !q.isActive)
-          }
-          qs.foreach(q => if (q.isActive) q.stop())
-          Files.deleteIfExists(stop)
-          dead.map(d => d.exception.map(_.getMessage)
-            .getOrElse("stream stopped unexpectedly (no exception recorded)"))
+          runChains(qs, Paths.get(doorDir, "stop"))
         } finally spark.stop()
       chainFailure match {
         case Some(msg) =>
@@ -437,16 +435,7 @@ object Ctl {
             evalGuard = rest.contains("--eval-guard"))
           println(s"federated door chains running: $fedRoot/incoming -> " +
             s"${pairs.map(_._1).mkString("/")}; stop with: touch $fedRoot/stop")
-          val stop = Paths.get(fedRoot, "stop")
-          var dead: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
-          while (!Files.exists(stop) && dead.isEmpty) {
-            Thread.sleep(1000)
-            dead = qs.find(q => !q.isActive)
-          }
-          qs.foreach(q => if (q.isActive) q.stop())
-          Files.deleteIfExists(stop)
-          dead.map(d => d.exception.map(_.getMessage)
-            .getOrElse("stream stopped unexpectedly (no exception recorded)"))
+          runChains(qs, Paths.get(fedRoot, "stop"))
         } finally spark.stop()
       fedFailure match {
         case Some(msg) =>
@@ -511,6 +500,27 @@ object Ctl {
           "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir> | " +
           "front <spoolDir> <task> | back <spoolDir> <task>")
       sys.exit(2)
+  }
+
+  /** The ONE chain runner behind `door-run` and `door-run-fed`:
+    * wait for the stop file, with LIVENESS — a stream that died
+    * (corrupt input, a wedged layout) must surface its exception and
+    * fail the verb loudly; a silent wait loop would look healthy
+    * while incoming files pile up unprocessed. Returns the failure
+    * message, or None on a clean operator stop.
+    */
+  private def runChains(
+      qs: Seq[org.apache.spark.sql.streaming.StreamingQuery],
+      stop: java.nio.file.Path): Option[String] = {
+    var dead: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    while (!Files.exists(stop) && dead.isEmpty) {
+      Thread.sleep(1000)
+      dead = qs.find(q => !q.isActive)
+    }
+    qs.foreach(q => if (q.isActive) q.stop())
+    Files.deleteIfExists(stop)
+    dead.map(d => d.exception.map(_.getMessage)
+      .getOrElse("stream stopped unexpectedly (no exception recorded)"))
   }
 
   private def allRecords(stateDir: String): Seq[JobState.Record] = {

@@ -131,23 +131,33 @@ object Governance {
     true
   }
 
-  /** Export the ledger as ONE header-carrying CSV (`Ctl
-    * forget-log-dump`) — the reference-shaped analog of
-    * `tidb-lightning-ctl --checkpoint-dump`
+  /** Export the ledger as ONE header-carrying CSV
+    * (`<outDir>/forget_log.csv`; `Ctl forget-log-dump`) — the
+    * reference-shaped analog of `tidb-lightning-ctl --checkpoint-dump`
     * (`cmd/tidb-lightning-ctl/main.go:45-97`, which dumps the
     * checkpoint tables to CSV for audit/handoff): GDPR evidence has
     * to leave the system in a shape a compliance tool reads. Newest
-    * first, like `GET /forget/log`. Returns the row count.
+    * first, like `GET /forget/log`. Returns the row count; an empty
+    * ledger exports nothing. NON-DESTRUCTIVE by contract
+    * ([[graft.GraftSession.commitOneFile]] with `replace = false`):
+    * an existing `forget_log.csv` refuses loudly, and pre-existing
+    * files in `outDir` — prior compliance exports, say — are never
+    * touched (a `mode("overwrite")` write pointed at the dir would
+    * have deleted them wholesale, destroying the very evidence this
+    * verb exists to preserve).
     */
   def forgetLogDump(spark: SparkSession, sfDir: String,
       outDir: String): Long = {
     val df = forgetLog(spark, sfDir)
     val n = df.count()
-    df.coalesce(1)
-      .sortWithinPartitions(
-        org.apache.spark.sql.functions.col("ts").desc,
-        org.apache.spark.sql.functions.col("layout"))
-      .write.option("header", "true").mode("overwrite").csv(outDir)
+    if (n == 0) return 0
+    graft.GraftSession.commitOneFile(outDir, "forget_log.csv",
+      replace = false)(st =>
+      df.coalesce(1)
+        .sortWithinPartitions(
+          org.apache.spark.sql.functions.col("ts").desc,
+          org.apache.spark.sql.functions.col("layout"))
+        .write.option("header", "true").mode("overwrite").csv(st))
     n
   }
 

@@ -568,6 +568,15 @@ object StreamingOps {
     val tags = corpora.map(_._1)
     require(tags.distinct.size == tags.size,
       s"duplicate corpus tags: ${tags.mkString(", ")}")
+    // duplicate DIRS are as illegal as duplicate tags: two tenants
+    // over one sfDir would run two full chains against the SAME
+    // standing layouts — independent batchId namespaces into one
+    // _LAST_BATCH marker absorbs real batches as "replays" (silent
+    // drops) and the knn appends violate one-writer-by-semantics
+    val dirs = corpora.map(_._2)
+    require(dirs.distinct.size == dirs.size,
+      s"duplicate corpus dirs (two tenants would co-maintain one " +
+        s"layout set): ${dirs.mkString(", ")}")
     require(tags.forall(_.matches("[A-Za-z0-9._-]+")),
       "corpus tags name directories — [A-Za-z0-9._-]+ only")
     val embBearing = maintainKnn || evalGuard
@@ -617,35 +626,21 @@ object StreamingOps {
   }
 
   /** Commit `slice` as ONE parquet file named `<name>.parquet` in
-    * `destDir` — the router's atomic-single-file leg. Writes into a
-    * private staging dir first, then one rename; the deterministic
-    * name + REPLACE_EXISTING makes a foreachBatch replay re-commit
-    * byte-identically instead of refusing (replays are serialized by
-    * the stream's own checkpoint, so the stage needs no claim — a
-    * leftover from a crash is swept, not refused, or the stream
-    * would wedge on its own retry).
+    * `destDir` — the router's atomic-single-file leg, riding the
+    * shared [[graft.GraftSession.commitOneFile]] shape with
+    * `replace = true`: the deterministic name re-commits
+    * byte-identically on a foreachBatch replay instead of refusing
+    * (replays are serialized by the stream's own checkpoint, so the
+    * stage needs no claim — a leftover from a crash is swept, not
+    * refused, or the stream would wedge on its own retry).
     */
   private def routeCommit(slice: DataFrame, destDir: String,
       name: String): Unit = {
     if (slice.isEmpty) return
-    val dest = java.nio.file.Paths.get(destDir)
-    java.nio.file.Files.createDirectories(dest)
-    val stage = dest.resolve(s".route_stage_$name")
-    graft.GraftSession.deleteRec(stage)
-    slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = {
-      val l = java.nio.file.Files.list(stage)
-      try l.filter { p =>
-        val fn = p.getFileName.toString
-        fn.endsWith(".parquet") && !fn.startsWith("_") && !fn.startsWith(".")
-      }.findFirst().orElseThrow(() =>
-        new IllegalStateException(s"no data file staged under $stage"))
-      finally l.close()
-    }
-    java.nio.file.Files.move(part, dest.resolve(s"$name.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    graft.GraftSession.deleteRec(stage)
+    graft.GraftSession.commitOneFile(destDir, s"$name.parquet",
+      replace = true)(st =>
+      slice.coalesce(1).write.mode("overwrite").parquet(st))
+    ()
   }
 
   /** Operator release of a quarantined batch back into the `passed`

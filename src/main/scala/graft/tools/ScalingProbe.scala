@@ -304,8 +304,11 @@ object ScalingProbe {
         // actually in this run's filter: a doc-side-only probe (the
         // editdist funnel, say) must not pay a knn/ivfpq build per
         // fold dir it never reads
-        if (keep(Seq("q_semdedup", "q_semdedup_hier", "q_knn_graph",
-            "q_knn_outliers")).nonEmpty)
+        // exactly the RealShapedOps that read embedding layouts —
+        // q_knn_outliers probes the self-union dirs and the
+        // above-floor ladder's own cold dirs, never these
+        if (keep(Seq("q_semdedup", "q_semdedup_hier",
+            "q_knn_graph")).nonEmpty)
           try graft.operators.SimilarityQueries.warmLayouts(spark, dir.toString)
           catch { case _: Throwable => }
         k -> dir.toString

@@ -53,6 +53,23 @@ class FederatedDoorSpec extends SparkSpec {
     graft.GraftSession.deleteRec(tmp)
   }
 
+  test("duplicate tags AND duplicate corpus dirs refuse loudly") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft_fed_d1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_fed_d2").toString
+    intercept[IllegalArgumentException] {
+      StreamingOps.doorChainFederated(spark,
+        Seq("a" -> d1, "a" -> d2), "/tmp/never")
+    }
+    // two tenants over ONE sfDir would run two full chains against
+    // the same standing layouts: independent batchId namespaces into
+    // one _LAST_BATCH marker absorb real batches as "replays", and
+    // the knn appends violate one-writer-by-semantics
+    intercept[IllegalArgumentException] {
+      StreamingOps.doorChainFederated(spark,
+        Seq("a" -> d1, "b" -> d1), "/tmp/never")
+    }
+  }
+
   test("one bus, two corpora: per-tenant verdicts, unrouted evidence, per-tenant admission memory") {
     import spark.implicits._
     val longSeed = (1 to 120).map(i => s"seed$i").mkString(" ")

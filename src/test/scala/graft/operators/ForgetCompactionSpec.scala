@@ -36,6 +36,16 @@ class ForgetCompactionSpec extends SparkSpec {
       === "/tmp/a b/x")
     assert(graft.GraftSession.inputFileNamePath(
       "file:///tmp/plain/part-1.parquet") === "/tmp/plain/part-1.parquet")
+    // a raw '#' (or '?') parses as a LEGAL uri whose getPath silently
+    // TRUNCATES at the fragment/query — those must fall back to the
+    // lenient Hadoop parse too, not just the throwing cases; the
+    // encoded forms (%23/%3F) still decode through the URI path
+    assert(graft.GraftSession.inputFileNamePath(
+      "file:///tmp/corpus#v2/x.parquet") === "/tmp/corpus#v2/x.parquet")
+    assert(graft.GraftSession.inputFileNamePath(
+      "file:///tmp/a?b/x.parquet") === "/tmp/a?b/x.parquet")
+    assert(graft.GraftSession.inputFileNamePath(
+      "file:///tmp/a%23b/x.parquet") === "/tmp/a#b/x.parquet")
   }
 
   test("retireTombstones: a file landing after the snapshot survives; emptied dir stands") {

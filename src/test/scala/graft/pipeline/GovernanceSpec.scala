@@ -92,12 +92,21 @@ class GovernanceSpec extends SparkSpec {
     Governance.applyForget(spark, dir, Seq(19L))
     assert(rows().size === 4 && before.subsetOf(rows()))
 
-    // CSV export round-trip (the --checkpoint-dump shape)
+    // CSV export round-trip (the --checkpoint-dump shape) — into a
+    // dir that ALREADY holds prior evidence, which must survive: the
+    // export is non-destructive by contract (a mode("overwrite")
+    // write pointed at the dir would have deleted it wholesale)
     val out = java.nio.file.Files
       .createTempDirectory("graft_govdump").toString + "/ledger_csv"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "prior_evidence.txt"), "keep")
     assert(Governance.forgetLogDump(spark, dir, out) === 4L)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "prior_evidence.txt")) === "keep",
+      "a pre-existing file in outDir must survive the export")
     val back = spark.read.option("header", "true")
-      .option("inferSchema", "true").csv(out)
+      .option("inferSchema", "true").csv(s"$out/forget_log.csv")
     assert(back.count() === 4L)
     assert(back.columns.sorted === Array("applied", "cohort", "layout", "n_ids", "ts"))
     val backSet = back.collect().map(r =>
@@ -105,11 +114,19 @@ class GovernanceSpec extends SparkSpec {
         r.getAs[Int]("n_ids"), r.getAs[String]("layout"),
         r.getAs[String]("applied"))).toSet
     assert(backSet === rows(), "CSV dump must round-trip the ledger")
-    // a missing ledger reports, never invents
+    // a re-dump of the same name refuses loudly — evidence is never
+    // silently clobbered
+    val refused = intercept[IllegalArgumentException] {
+      Governance.forgetLogDump(spark, dir, out)
+    }
+    assert(refused.getMessage.contains("exists"), refused.getMessage)
+    // a missing ledger reports, never invents (and writes nothing)
     val bare = java.nio.file.Files.createTempDirectory("graft_govnone").toString
     assert(!Governance.forgetLogCompact(spark, bare))
     assert(Governance.forgetLogDump(spark, bare,
       bare + "/none_csv") === 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(bare, "none_csv", "forget_log.csv")))
   }
 
   test("a forget reaches knn layouts at BOTH standing radii, not just the session's") {
