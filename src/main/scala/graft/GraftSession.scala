@@ -145,6 +145,27 @@ object GraftSession {
     else Some(spark.read.parquet(dir.toString).select(idCol).distinct())
   }
 
+  /** Last committed append batch id recorded in a layout's
+    * `_LAST_BATCH` marker, or −1 when the marker does not exist (no
+    * idempotent append ever committed there) — the append-lag read
+    * behind `GET /forget/lag`. A marker that EXISTS but does not
+    * parse throws instead: on a governance surface, a corrupted
+    * marker must be distinguishable from "never maintained" —
+    * mapping both to −1 would report a damaged layout as merely
+    * unmaintained, and the operator's remedies for the two differ
+    * (investigate/restore vs attach a maintainer).
+    */
+  def lastBatchIn(layoutDir: String): Long = {
+    val p = java.nio.file.Paths.get(layoutDir, "_LAST_BATCH")
+    try java.nio.file.Files.readString(p).trim.toLong
+    catch {
+      case _: java.nio.file.NoSuchFileException => -1L
+      case _: java.io.FileNotFoundException => -1L
+      case e: NumberFormatException => throw new IllegalStateException(
+        s"corrupt append marker $p — not a batch id", e)
+    }
+  }
+
   /** SNAPSHOT of a tombstone dir's data files, taken by a compaction
     * BEFORE its rewrite resolves any file listing: the compaction
     * applies and retires exactly these files ([[retireTombstones]]),
@@ -227,13 +248,18 @@ object GraftSession {
       org.apache.spark.sql.functions.broadcast(idRel(df.sparkSession, c, ids)),
       Seq(c), "left_semi")
 
-  /** `df WHERE c NOT IN (ids)` (null-free id columns), the anti leg
-    * of [[filterIdIn]].
+  /** `df WHERE c NOT IN (ids)`, the anti leg of [[filterIdIn]]. Id
+    * columns are null-free by the layouts' contract, but the two plan
+    * shapes would otherwise DISAGREE on a null that slips through —
+    * `!isin` drops it (three-valued logic), a LeftAnti keeps it
+    * (null never matches the build side) — so the join leg pins the
+    * literal leg's NOT-IN semantics with an explicit isNotNull: same
+    * call, same rows, on either side of the size threshold.
     */
   def filterIdNotIn(df: DataFrame, c: String, ids: Seq[Long]): DataFrame =
     if (ids.sizeIs <= IdInLiteralMax)
       df.where(!org.apache.spark.sql.functions.col(c).isin(ids: _*))
-    else df.join(
+    else df.where(org.apache.spark.sql.functions.col(c).isNotNull).join(
       org.apache.spark.sql.functions.broadcast(idRel(df.sparkSession, c, ids)),
       Seq(c), "left_anti")
 
@@ -270,13 +296,28 @@ object GraftSession {
     writeStage(stage.toString)
     val part = {
       val l = java.nio.file.Files.list(stage)
-      try l.filter { p =>
-        val fn = p.getFileName.toString
-        java.nio.file.Files.isRegularFile(p) &&
-          !fn.startsWith("_") && !fn.startsWith(".")
-      }.findFirst().orElseThrow(() =>
-        new IllegalStateException(s"no data file staged under $stage"))
-      finally l.close()
+      val staged =
+        try {
+          val b = Seq.newBuilder[java.nio.file.Path]
+          l.forEach { p =>
+            val fn = p.getFileName.toString
+            if (java.nio.file.Files.isRegularFile(p) &&
+                !fn.startsWith("_") && !fn.startsWith("."))
+              b += p
+          }
+          b.result()
+        } finally l.close()
+      // exactly ONE data file is the contract — a caller that staged
+      // more (wrote without coalesce(1)) must fail loudly here, not
+      // have an arbitrary part committed while the rest silently dies
+      // with the stage cleanup below
+      if (staged.isEmpty)
+        throw new IllegalStateException(s"no data file staged under $stage")
+      if (staged.sizeIs > 1)
+        throw new IllegalStateException(
+          s"${staged.size} data files staged under $stage — " +
+            "commitOneFile commits exactly one; write with coalesce(1)")
+      staged.head
     }
     java.nio.file.Files.move(part, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -295,6 +336,15 @@ object GraftSession {
     * Using Hadoop Path on the ENCODED form would be wrong the other
     * way — it does NOT decode `%20`, and a silently-wrong path here
     * would make a pruned compaction miss its dirty files.
+    *
+    * RESIDUAL AMBIGUITY, by construction undecidable: a raw producer
+    * path that happens to contain a valid escape (a literal dir named
+    * `a%20b`) parses as a legal URI and decodes to the wrong path
+    * (`a b`). No marker distinguishes the two readings, so callers on
+    * correctness-critical paths (the pruned compactions) must only
+    * feed this names whose generator cannot emit a literal `%` —
+    * Spark's own `part-<uuid>` output names satisfy that; an
+    * operator-supplied file name does not.
     */
   def inputFileNamePath(name: String): String =
     try {

@@ -456,6 +456,16 @@ object CoreQueries {
     java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"${graft.GraftSession.fixtureRoot(sfDir)}/usersketch_v${UserSketchVersion}_k$SketchLgK/daily"))
 
+  /** Last applied maintenance batch id for the standing daily-sketch
+    * layout, −1 = no streamed appends ever committed — the
+    * `GET /forget/lag` read for this layout ([[graft.GraftSession
+    * .lastBatchIn]] semantics: a corrupt marker fails loudly).
+    * Direct path read: a lag probe must not build a layout.
+    */
+  def sketchAppendLag(sfDir: String): Long =
+    graft.GraftSession.lastBatchIn(
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/usersketch_v${UserSketchVersion}_k$SketchLgK")
+
   /** Weekly distinct-users rollup SERVED from the standing daily
     * sketch relation — the mergeability story as a query: the weekly
     * estimate is `hll_union_agg` over ≤7 few-KB partial rows per week

@@ -803,6 +803,16 @@ object DedupQueries {
     java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"${graft.GraftSession.fixtureRoot(sfDir)}/simhash_v$SimhashLayoutVersion/fp/_SUCCESS"))
 
+  /** Last applied maintenance batch id for the standing fingerprint
+    * index, −1 = no streamed appends ever committed — the
+    * `GET /forget/lag` read for this layout ([[graft.GraftSession
+    * .lastBatchIn]] semantics: a corrupt marker fails loudly).
+    * Direct path read: a lag probe must not build a layout.
+    */
+  def simhashAppendLag(sfDir: String): Long =
+    graft.GraftSession.lastBatchIn(
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/simhash_v$SimhashLayoutVersion")
+
   /** Deletion tombstones standing on the fingerprint index (hidden,
     * not yet physically deleted — [[simhashCompact]] retires them).
     * Direct path read: a review counter must not build a layout.
@@ -896,6 +906,12 @@ object DedupQueries {
         // (literal In at people scale; broadcast semi past the cliff)
         .select(input_file_name().as("f")).distinct()
         .collect().map { r =>
+          // residual decode ambiguity: a LITERAL '%xx' in a layout
+          // file name would decode wrongly here and the pruned
+          // rewrite would miss its dirty file — impossible for this
+          // layout (Spark writes part-<uuid>.parquet names, never a
+          // '%'), so the URI decode is safe; revisit if a layout
+          // ever takes operator-supplied file names
           liveP.relativize(java.nio.file.Paths.get(
             graft.GraftSession.inputFileNamePath(r.getString(0)))).toString
         }.toSet

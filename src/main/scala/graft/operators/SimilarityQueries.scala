@@ -612,12 +612,13 @@ object SimilarityQueries {
     * the APPEND-LAG surface (the [[knnPendingForgetsAtRadius]]
     * operational sibling; see the [[KnnLegalRadii]] asymmetry note).
     * Reads the layout's `_LAST_BATCH` marker, which
-    * [[knnAppendOnce]] moves atomically after each committed batch.
+    * [[knnAppendOnce]] moves atomically after each committed batch;
+    * a marker that exists but does not parse fails loudly
+    * ([[graft.GraftSession.lastBatchIn]] — a corrupt marker is not
+    * "no appends ever").
     */
   def knnAppendLagAtRadius(sfDir: String, radius: Int): Long =
-    try java.nio.file.Files.readString(java.nio.file.Paths.get(
-      knnLayoutPath(sfDir, radius), "_LAST_BATCH")).trim.toLong
-    catch { case _: Exception => -1L }
+    graft.GraftSession.lastBatchIn(knnLayoutPath(sfDir, radius))
 
   /** Per-radius forget — the governance-dispatch entrypoint: applies
     * to the STANDING layout at `radius` exactly as it is (a stale

@@ -1744,6 +1744,16 @@ object TextQueries {
     java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"${graft.GraftSession.fixtureRoot(sfDir)}/invindex_v$InvIndexVersion/postings"))
 
+  /** Last applied maintenance batch id for the standing inverted
+    * index, −1 = no streamed appends ever committed — the
+    * `GET /forget/lag` read for this layout ([[graft.GraftSession
+    * .lastBatchIn]] semantics: a corrupt marker fails loudly).
+    * Direct path read: a lag probe must not build a layout.
+    */
+  def invIndexAppendLag(sfDir: String): Long =
+    graft.GraftSession.lastBatchIn(
+      s"${graft.GraftSession.fixtureRoot(sfDir)}/invindex_v$InvIndexVersion")
+
   /** Deletion tombstones standing on the index (hidden but not yet
     * physically deleted — the next [[invIndexCompact]] retires them).
     * Reads the path directly: a review counter must not BUILD a
@@ -2104,11 +2114,24 @@ object TextQueries {
     * how a sharded search tier (per-tenant indexes, a thin
     * coordinator) serves. Deterministic: shard-local ties break on
     * doc_id, the merge re-breaks on (score, doc_id), and the shard
-    * split is content-derived (doc_id parity), so the DuckDB oracle
-    * replays both shards with a `% 2` filter over the same table.
+    * split is content-derived (`pmod(doc_id, N)` — the SIGN-SAFE
+    * form: Spark's `pmod` and the oracle's `(x % N + N) % N` agree on
+    * every id including negatives, where a bare `%` pair would route
+    * a negative id to shard 1 on the serve path and match neither
+    * oracle leg), so the DuckDB oracle replays every shard with the
+    * same residue filter over the same table.
     */
   def federatedSearch(spark: SparkSession, sfDir: String): DataFrame =
-    federatedShardDirs(spark, sfDir).map { case (s, dir) =>
+    federatedSearchAt(spark, sfDir, FederatedShards)
+
+  /** [[federatedSearch]] at an explicit shard count — the coordinator
+    * is shard-count-generic (the ≤ N·k merge bound is the design,
+    * not a two-shard special case); the registered query runs the
+    * default N so the bound is exercised past the trivial pair.
+    */
+  def federatedSearchAt(spark: SparkSession, sfDir: String,
+      shards: Int): DataFrame =
+    federatedShardDirs(spark, sfDir, shards).map { case (s, dir) =>
       bm25Scored(spark, dir)
         .orderBy(col("bm25_ppm").desc, col("doc_id")).limit(20)
         .select(col("doc_id"), col("bm25_ppm"), col("n_terms"),
@@ -2116,17 +2139,29 @@ object TextQueries {
     }.reduce(_.unionByName(_))
       .orderBy(col("bm25_ppm").desc, col("doc_id")).limit(20)
 
-  /** The two shard sub-corpora (doc_id parity split of `documents`),
-    * written once per sf dir like [[graft.GraftSession
+  /** Registered shard count. Four, not two: the coordinator's merge
+    * is ≤ N·k rows and the per-shard indexes are independent at ANY
+    * N, but only a non-trivial N actually exercises that bound (and
+    * the oracle generates its N residue legs from the same constant,
+    * so the two can never drift).
+    */
+  val FederatedShards: Int = 4
+
+  /** The N shard sub-corpora (doc_id residue split of `documents`),
+    * written once per (sf dir, N) like [[graft.GraftSession
     * .forgetFixtureDir]] — each shard dir is a normal corpus dir, so
     * [[bm25Scored]] stands a normal per-shard inverted index under
     * its own fixture root (nothing federated leaks into the index
-    * tier; federation is purely the serve composition above).
+    * tier; federation is purely the serve composition above). The
+    * dir is keyed by N (`fed_shards_n<N>/s<i>`): two shard counts
+    * are two different federations, never a half-reused split.
     */
-  private def federatedShardDirs(spark: SparkSession,
-      sfDir: String): Seq[(Int, String)] =
-    (0 to 1).map { s =>
-      val dir = s"${graft.GraftSession.fixtureRoot(sfDir)}/fed_shards/s$s"
+  private[operators] def federatedShardDirs(spark: SparkSession,
+      sfDir: String, shards: Int): Seq[(Int, String)] = {
+    require(shards >= 2, s"a federation needs >= 2 shards, got $shards")
+    (0 until shards).map { s =>
+      val dir =
+        s"${graft.GraftSession.fixtureRoot(sfDir)}/fed_shards_n$shards/s$s"
       val out = java.nio.file.Paths.get(s"$dir/documents.parquet")
       // stamp-guarded, not _SUCCESS-guarded: a regenerated corpus
       // table must re-split (and, via each shard's OWN stamp chain,
@@ -2134,23 +2169,32 @@ object TextQueries {
       graft.GraftSession.ensureLayout(spark, dir,
         s"$sfDir/documents.parquet") {
         table(spark, sfDir, "documents")
-          .where(pmod(col("doc_id"), lit(2)) === s)
+          .where(pmod(col("doc_id"), lit(shards)) === s)
           .write.mode("overwrite").parquet(out.toString)
       }
       s -> dir
     }
+  }
 
   /** Oracle: each shard's leg is the whole [[bm25TopkSqlOver]] body
-    * under the parity filter (shard-local stats INCLUDED — that is
+    * under the residue filter (shard-local stats INCLUDED — that is
     * the point), merged and re-sorted exactly like the serve path.
+    * N legs generated from [[FederatedShards]]; the residue is the
+    * sign-safe `(x % N + N) % N`, which equals Spark's `pmod` for
+    * every id.
     */
-  def federatedSearchSql: String =
-    s"""WITH s0 AS (${bm25TopkSqlOver("doc_id % 2 = 0")}),
-       |s1 AS (${bm25TopkSqlOver("doc_id % 2 = 1")})
+  def federatedSearchSql: String = {
+    val n = FederatedShards
+    val legs = (0 until n).map(s =>
+      s"s$s AS (${bm25TopkSqlOver(s"(doc_id % $n + $n) % $n = $s")})")
+    val union = (0 until n)
+      .map(s => s"SELECT *, $s AS shard FROM s$s")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${legs.mkString(",\n")}
        |SELECT doc_id, bm25_ppm, n_terms, shard FROM (
-       |  SELECT *, 0 AS shard FROM s0
-       |  UNION ALL SELECT *, 1 AS shard FROM s1)
+       |  $union)
        |ORDER BY bm25_ppm DESC, doc_id LIMIT 20""".stripMargin
+  }
 
   def bm25TopkSql: String = bm25TopkSqlOver("TRUE")
 

@@ -32,6 +32,12 @@ import java.nio.file.{Files, Paths}
   *                                          (invindex, simhash, ivfpq, knn) —
   *                                          the serving-side complement of the
   *                                          table-level purge
+  *   forget-fed <tag=sfDir[,...]> <id,...>  the same, fanned across every
+  *                                          tenant of a federation: one
+  *                                          person-scoped cohort applied per
+  *                                          corpus, one ledger record per
+  *                                          (tenant, layout) in each
+  *                                          tenant's own ledger
   *   forget-run <sfDir> <requestsDir> <checkpointDir>
   *                                          the same, as a LIVE stream over a
   *                                          deletion-requests directory
@@ -268,25 +274,38 @@ object Ctl {
       // (the documented re-seed path). The table-level purge itself
       // is `q_forget`'s job (PipelineQueries.forget); this verb is
       // its standing-layout complement.
-      val toks = idsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val ids = toks.flatMap(_.toLongOption)
-      if (ids.isEmpty || ids.size != toks.size) {
-        // malformed tokens get the same friendly usage error every
-        // other arg-validation branch gives (the HTTP handler's 400
-        // behavior), not a raw NumberFormatException stack trace
-        val bad = toks.filter(_.toLongOption.isEmpty)
-        System.err.println(if (ids.isEmpty && bad.isEmpty)
-          "index-forget: no ids given (comma-separated longs)"
-        else
-          s"index-forget: ids must be comma-separated longs; bad token(s): ${bad.mkString(", ")}")
-        sys.exit(2)
-      }
+      val ids = parseIds("index-forget", idsCsv)
       val spark = graft.GraftSession.build()
       try {
         val applied = Governance.applyForget(spark, sfDir, ids)
         if (applied.isEmpty)
           println("no standing per-document layouts; nothing to forget")
         else applied.foreach { case (l, s) => println(s"$l: $s") }
+      } finally spark.stop()
+
+    case "forget-fed" :: corporaSpec :: idsCsv :: Nil =>
+      // the federation's deletion verb: a GDPR request arrives per
+      // PERSON, not per tenant — one cohort fans across every tenant
+      // corpus's applyForget (each tenant's own layouts, tombstones,
+      // and ledger records), so the operator issues ONE command
+      // instead of one POST /forget per corpus. Completes the
+      // tenancy story beside door-run-fed (ingest) and the federated
+      // serve: deletion is federated too.
+      val pairs = parseCorpora("forget-fed", corporaSpec)
+      val ids = parseIds("forget-fed", idsCsv)
+      val spark = graft.GraftSession.build()
+      try {
+        val fanned = try Governance.applyForgetFederated(spark, pairs, ids)
+        catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"forget-fed: ${e.getMessage}")
+            sys.exit(2)
+        }
+        fanned.foreach { case (tag, applied) =>
+          if (applied.isEmpty)
+            println(s"$tag: no standing per-document layouts")
+          else applied.foreach { case (l, s) => println(s"$tag/$l: $s") }
+        }
       } finally spark.stop()
 
     case "index-gc" :: sfDir :: "--sweep-stage" :: layoutName :: tag :: Nil =>
@@ -413,16 +432,7 @@ object Ctl {
       // `corpus` column, the router splits them per tenant, and one
       // full door chain runs per corpus (own references, layouts,
       // checkpoints). Stop with: touch <fedRoot>/stop
-      val pairs = corporaSpec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-        .map { p =>
-          val i = p.indexOf('=')
-          if (i <= 0 || i == p.length - 1) {
-            System.err.println(
-              s"door-run-fed: corpora must be tag=sfDir[,tag=sfDir...]; bad entry '$p'")
-            sys.exit(2)
-          }
-          (p.substring(0, i), p.substring(i + 1))
-        }
+      val pairs = parseCorpora("door-run-fed", corporaSpec)
       val spark = graft.GraftSession.build()
       val fedFailure: Option[String] =
         try {
@@ -492,7 +502,9 @@ object Ctl {
         "usage: Ctl checkpoint-dump <stateDir> | checkpoint-remove <stateDir> <key|all> | " +
           "error-destroy <stateDir> <targetDir> <key> | compact <targetDir> <table> [n] | " +
           "index-compact <sfDir> <invindex|simhash|ivfpq|knn|sketch|langstats|scriptstats|lenstats|tokstats|forgetlog|all> | " +
-          "index-forget <sfDir> <id,id,...> | forget-log-dump <sfDir> <outDir> | " +
+          "index-forget <sfDir> <id,id,...> | " +
+          "forget-fed <tag=sfDir[,...]> <id,id,...> | " +
+          "forget-log-dump <sfDir> <outDir> | " +
           "forget-run <sfDir> <requestsDir> <checkpointDir> | " +
           "door-run-fed <tag=sfDir[,...]> <fedRoot> [door-run flags] | " +
           "index-gc <sfDir> [--apply] | " +
@@ -500,6 +512,43 @@ object Ctl {
           "export <warehouseDir> <outDir> <db> | pause <spoolDir> | resume <spoolDir> | " +
           "front <spoolDir> <task> | back <spoolDir> <task>")
       sys.exit(2)
+  }
+
+  /** Parse a `tag=sfDir[,tag=sfDir...]` federation spec — the ONE
+    * parser behind `door-run-fed` and `forget-fed` (the duplicate-
+    * tag/dir refusals live in the callee contracts, shared too).
+    * Friendly usage error + exit 2 on a malformed entry.
+    */
+  private def parseCorpora(verb: String,
+      spec: String): Seq[(String, String)] =
+    spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+      val i = p.indexOf('=')
+      if (i <= 0 || i == p.length - 1) {
+        System.err.println(
+          s"$verb: corpora must be tag=sfDir[,tag=sfDir...]; bad entry '$p'")
+        sys.exit(2)
+      }
+      (p.substring(0, i), p.substring(i + 1))
+    }
+
+  /** Parse a comma-separated id cohort — the ONE parser behind
+    * `index-forget` and `forget-fed`: malformed tokens get the same
+    * friendly usage error every other arg-validation branch gives
+    * (the HTTP handler's 400 behavior), not a raw
+    * NumberFormatException stack trace.
+    */
+  private def parseIds(verb: String, idsCsv: String): Seq[Long] = {
+    val toks = idsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val ids = toks.flatMap(_.toLongOption)
+    if (ids.isEmpty || ids.size != toks.size) {
+      val bad = toks.filter(_.toLongOption.isEmpty)
+      System.err.println(if (ids.isEmpty && bad.isEmpty)
+        s"$verb: no ids given (comma-separated longs)"
+      else
+        s"$verb: ids must be comma-separated longs; bad token(s): ${bad.mkString(", ")}")
+      sys.exit(2)
+    }
+    ids
   }
 
   /** The ONE chain runner behind `door-run` and `door-run-fed`:

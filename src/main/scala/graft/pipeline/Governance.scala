@@ -55,6 +55,45 @@ object Governance {
     applied
   }
 
+  /** Cross-tenant forget fan-out — the federation's deletion verb
+    * (`Ctl forget-fed`): a GDPR request arrives per PERSON, not per
+    * tenant, so ONE cohort fans across every tenant corpus's
+    * [[applyForget]] — each tenant's own standing layouts, its own
+    * tombstones, and one ledger record per (tenant, layout), the
+    * evidence landing in each tenant's OWN ledger where that
+    * tenant's audits already look (a central fan-out ledger would be
+    * a second source of truth to reconcile). Tenants where nothing
+    * stands still get their `layout = "none"` ledger record — the
+    * request reached them, provably. Completes the tenancy story:
+    * ingest (router), serve (federated search), and now deletion
+    * are all one-verb across the federation.
+    *
+    * The corpora contract matches [[graft.streaming.StreamingOps
+    * .doorChainFederated]]: distinct tags, distinct dirs (two tags
+    * over one dir would double-apply into one layout set). The
+    * per-tenant caller contract is the [[applyForget]] union —
+    * disjoint concurrent cohorts, knn-maintainer serialization —
+    * now per tenant. Sequential by design: forgets are rare,
+    * people-scale events, and per-tenant Spark jobs inside each
+    * applyForget already use the full cluster; parallelizing tenants
+    * would interleave ledger writes for no wall-clock win.
+    */
+  def applyForgetFederated(spark: SparkSession,
+      corpora: Seq[(String, String)],
+      ids: Seq[Long]): Seq[(String, Seq[(String, String)])] = {
+    require(corpora.nonEmpty, "federated forget needs at least one corpus")
+    val tags = corpora.map(_._1)
+    require(tags.distinct.size == tags.size,
+      s"duplicate corpus tags: ${tags.mkString(", ")}")
+    val dirs = corpora.map(_._2)
+    require(dirs.distinct.size == dirs.size,
+      s"duplicate corpus dirs (one layout set would absorb two " +
+        s"applications): ${dirs.mkString(", ")}")
+    corpora.map { case (tag, dir) =>
+      tag -> applyForget(spark, dir, ids)
+    }
+  }
+
   /** The forget AUDIT LEDGER — a GDPR workflow needs WHO/WHEN
     * evidence, not just the effect: every [[applyForget]] call (CLI,
     * HTTP, stream batch — they share this body) appends one record
@@ -299,18 +338,40 @@ object Governance {
     out.result()
   }
 
-  /** Per-radius APPEND positions for the standing knn layouts — the
-    * `GET /forget/lag` relation. Forgets reach every standing radius;
-    * appends feed only the maintainer's session radius (the
-    * [[graft.operators.SimilarityQueries.KnnLegalRadii]] asymmetry
-    * note), so with both radii standing this is where the
-    * non-maintained radius's lag becomes visible: `knn_r2 → -1`
-    * beside `knn_r1 → 42` means r2 has seen none of the streamed
-    * appends and serves the seed corpus only.
+  /** APPEND positions for every present BATCH-MAINTAINED standing
+    * layout — the `GET /forget/lag` relation. Each maintain stream
+    * (invindex, simhash, sketch, knn) records its last applied
+    * batchId beside its layout; −1 means the layout stands but has
+    * seen none of the streamed appends — it serves the seed corpus
+    * only, the "stale layout with no signal" this surface exists to
+    * expose. The knn rows carry the radius asymmetry (forgets reach
+    * every standing radius; appends feed only the maintainer's
+    * session radius — the [[graft.operators.SimilarityQueries
+    * .KnnLegalRadii]] note), so `knn_r2 → -1` beside `knn_r1 → 42`
+    * is the non-maintained radius made visible.
+    *
+    * IVF-PQ is deliberately absent: its concurrent append protocol
+    * is jobTag-claimed staged moves, not a batchId sequence — there
+    * is no "last applied batch" to report, and inventing one from a
+    * marker it never writes would show a maintained layout as
+    * eternally stale. Its staleness guards are the layout stamp
+    * chain and the derivation claim.
     */
-  def appendLag(sfDir: String): Seq[(String, Long)] =
+  def appendLag(sfDir: String): Seq[(String, Long)] = {
+    val out = Seq.newBuilder[(String, Long)]
+    if (graft.operators.TextQueries.invIndexPresent(sfDir))
+      out += "invindex" ->
+        graft.operators.TextQueries.invIndexAppendLag(sfDir)
+    if (graft.operators.DedupQueries.simhashPresent(sfDir))
+      out += "simhash" ->
+        graft.operators.DedupQueries.simhashAppendLag(sfDir)
+    if (graft.operators.CoreQueries.userSketchPresent(sfDir))
+      out += "sketch" ->
+        graft.operators.CoreQueries.sketchAppendLag(sfDir)
     for (r <- graft.operators.SimilarityQueries.KnnLegalRadii
         if graft.operators.SimilarityQueries.knnPresent(sfDir, r))
-      yield s"knn_r$r" ->
+      out += s"knn_r$r" ->
         graft.operators.SimilarityQueries.knnAppendLagAtRadius(sfDir, r)
+    out.result()
+  }
 }

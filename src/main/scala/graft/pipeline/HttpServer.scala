@@ -70,11 +70,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
   *   GET    /forget/pending        tombstones standing per layout
   *                                 (hidden from serving, awaiting the
   *                                 physical delete at index-compact)
-  *   GET    /forget/lag            per-radius knn append positions
-  *                                 (forgets reach every standing
-  *                                 radius; appends only the
-  *                                 maintainer's — −1 marks a radius
-  *                                 no streamed append ever reached)
+  *   GET    /forget/lag            append positions for every present
+  *                                 batch-maintained layout (invindex,
+  *                                 simhash, sketch, knn per radius) —
+  *                                 −1 marks a standing layout no
+  *                                 streamed append ever reached
   *   POST   /door/release/{id}     feed an inspection-cleared batch to
   *                                 the passed flow (= Ctl
   *                                 quarantine-release); refusals
@@ -559,10 +559,11 @@ object HttpServer {
                 .map { case (l, n) => s"${jsonStr(l)}:$n" }
                 .mkString("""{"pending":{""", ",", "}}"))
             case ("GET", List("lag")) =>
-              // per-radius append positions: forgets reach every
-              // standing knn radius, appends only the maintainer's —
-              // this makes the other radius's lag visible (−1 = no
-              // streamed append ever committed there)
+              // append positions for every present batch-maintained
+              // layout (−1 = standing but no streamed append ever
+              // committed there); the knn rows additionally carry the
+              // radius asymmetry — appends feed only the maintainer's
+              // session radius, so the other radius's lag is visible
               respond(ex, 200, Governance.appendLag(cd)
                 .map { case (l, b) => s"${jsonStr(l)}:$b" }
                 .mkString("""{"append_last_batch":{""", ",", "}}"))

@@ -599,7 +599,16 @@ object StreamingOps {
             // driftRouteStream discipline)
             val b = batch.toDF().localCheckpoint()
             try {
-              for (tag <- tags)
+              // ONE aggregation collects the tags PRESENT in this
+              // batch (bounded: ≤ touched tenants + strays), and only
+              // those slices commit. Probing every REGISTERED
+              // tenant's slice instead would make routing cost
+              // jobs-per-batch linear in the registry — at hundreds
+              // of tenant corpora on one bus, ~T+1 Spark jobs per
+              // arrival batch that touches one tenant.
+              val present = b.select(col("corpus")).distinct()
+                .collect().map(r => Option(r.getString(0))).toSet
+              for (tag <- tags if present.contains(Some(tag)))
                 routeCommit(b.where(col("corpus") === tag).drop("corpus"),
                   s"$fedRoot/$tag/incoming", s"route-$batchId")
               // unknown tenants: corpus column kept as evidence. The
@@ -607,9 +616,10 @@ object StreamingOps {
               // null-valued on a null tag and a bare filter would
               // silently DROP the row, the exact loss this dir
               // exists to prevent
-              routeCommit(b.where(
-                !coalesce(col("corpus").isin(tags: _*), lit(false))),
-                s"$fedRoot/unrouted", s"route-$batchId")
+              if (present.exists(!_.exists(tags.contains)))
+                routeCommit(b.where(
+                  !coalesce(col("corpus").isin(tags: _*), lit(false))),
+                  s"$fedRoot/unrouted", s"route-$batchId")
             } finally { b.unpersist(); () }
           }
           ()
@@ -632,16 +642,26 @@ object StreamingOps {
     * byte-identically on a foreachBatch replay instead of refusing
     * (replays are serialized by the stream's own checkpoint, so the
     * stage needs no claim — a leftover from a crash is swept, not
-    * refused, or the stream would wedge on its own retry).
+    * refused, or the stream would wedge on its own retry). Callers
+    * guarantee a non-empty slice (the router's present-tag set) — no
+    * per-slice emptiness probe here, that probe was exactly the
+    * jobs-linear-in-registry cost the present-tag pass removed.
     */
   private def routeCommit(slice: DataFrame, destDir: String,
       name: String): Unit = {
-    if (slice.isEmpty) return
+    routeCommitSeam(destDir)
     graft.GraftSession.commitOneFile(destDir, s"$name.parquet",
       replace = true)(st =>
       slice.coalesce(1).write.mode("overwrite").parquet(st))
     ()
   }
+
+  /** Test seam (the `afterTombSnapshotSeam` pattern): observes each
+    * router commit's destination, so a spec can pin that a batch
+    * touching one tenant of many commits exactly that tenant's slice
+    * — the present-tag contract — without counting Spark jobs.
+    */
+  private[graft] var routeCommitSeam: String => Unit = _ => ()
 
   /** Operator release of a quarantined batch back into the `passed`
     * flow — the door's manual override, for when inspection clears a

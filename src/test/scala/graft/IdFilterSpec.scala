@@ -56,4 +56,21 @@ class IdFilterSpec extends SparkSpec {
     assert(miss.count() === 25000L)
     assert(miss.queryExecution.executedPlan.toString.contains("LeftAnti"))
   }
+
+  test("filterIdNotIn drops a NULL id identically on BOTH sides of the threshold") {
+    // id columns are null-free by contract, but the two plan shapes
+    // must not DISAGREE on a null that slips through: `!isin` drops
+    // it (three-valued NOT IN), and the LeftAnti leg pins the same
+    // semantics with an explicit isNotNull — same call, same rows,
+    // at any cohort size
+    import spark.implicits._
+    val df = Seq[Option[Long]](Some(1L), Some(2L), None)
+      .toDF("doc_id")
+    val small = GraftSession.filterIdNotIn(df, "doc_id", Seq(1L))
+    assert(small.collect().map(_.get(0)) === Array(2L))
+    val bigCohort = 1L +: (100L until 110000L)
+    val large = GraftSession.filterIdNotIn(df, "doc_id", bigCohort)
+    assert(large.collect().map(_.get(0)) === Array(2L),
+      "the join leg must drop the NULL row like the literal leg does")
+  }
 }

@@ -70,6 +70,54 @@ class FederatedDoorSpec extends SparkSpec {
     }
   }
 
+  test("3-tenant bus, a batch touching ONE tenant: the router commits that tenant's slice alone") {
+    // the present-tag contract: routing cost follows the tenants a
+    // batch TOUCHES, not the registry — at hundreds of registered
+    // corpora on one bus, per-registered-tenant probing would be
+    // ~T+1 Spark jobs for a batch that feeds one tenant
+    import spark.implicits._
+    val longSeed = (1 to 120).map(i => s"seed$i").mkString(" ")
+    val dirs = Seq("a", "b", "c").map { t =>
+      t -> java.nio.file.Files.createTempDirectory(s"graft_fed3_$t").toString
+    }
+    for ((_, d) <- dirs) {
+      corpusify(Seq(1L -> longSeed, 2L -> "spark merge data spark corpus"))
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      DedupQueries.warmLayouts(spark, d)
+      TextQueries.warmLayouts(spark, d)
+    }
+    val fedRoot = java.nio.file.Files
+      .createTempDirectory("graft_fed3_root").toString
+    val commits = scala.collection.mutable.ArrayBuffer[String]()
+    StreamingOps.routeCommitSeam =
+      d => commits.synchronized { commits += d; () }
+    val qs = StreamingOps.doorChainFederated(spark, dirs, fedRoot)
+    try {
+      val longNew = (1 to 120).map(i => s"tok$i").mkString(" ")
+      val feed = Seq(
+        (500L, longNew, "en", "b"),
+        (501L, "spark data merge fresh analytics words", "en", "b"))
+        .toDF("doc_id", "text", "lang", "corpus")
+      feedOne(feed, s"$fedRoot/incoming", "feed0")
+      qs.foreach(_.processAllAvailable())
+      // exactly ONE commit, to the touched tenant — a and c's slices
+      // were never probed, never committed; no unrouted dir stands
+      assert(commits.toSeq === Seq(s"$fedRoot/b/incoming"),
+        s"router commits: $commits")
+      assert(spark.read.parquet(s"$fedRoot/b/admitted")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        === Seq(500L, 501L))
+      for (t <- Seq("a", "c"))
+        assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+          s"$fedRoot/$t/incoming/route-0.parquet")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$fedRoot/unrouted")))
+    } finally {
+      StreamingOps.routeCommitSeam = _ => ()
+      qs.foreach(q => if (q.isActive) q.stop())
+    }
+  }
+
   test("one bus, two corpora: per-tenant verdicts, unrouted evidence, per-tenant admission memory") {
     import spark.implicits._
     val longSeed = (1 to 120).map(i => s"seed$i").mkString(" ")
@@ -178,6 +226,35 @@ class FederatedDoorSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(bServed.contains(410L) && !bServed.contains(301L) &&
         !bServed.contains(312L), s"B serve: $bServed")
+
+      // the federation's DELETION verb (`Ctl forget-fed` rides this
+      // body): a GDPR request is person-scoped, not tenant-scoped —
+      // ONE cohort fans across every tenant, each tenant hides its
+      // slice and records its own ledger evidence. The same
+      // duplicate-dir hazard as the router refuses loudly.
+      intercept[IllegalArgumentException] {
+        graft.pipeline.Governance.applyForgetFederated(spark,
+          Seq("a" -> dirA, "b" -> dirA), Seq(301L))
+      }
+      val fanned = graft.pipeline.Governance.applyForgetFederated(spark,
+        Seq("a" -> dirA, "b" -> dirB), Seq(301L, 410L)).toMap
+      assert(fanned.keySet === Set("a", "b"), s"fanned: $fanned")
+      val aServed2 = TextQueries.bm25Scored(spark, dirA)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bServed2 = TextQueries.bm25Scored(spark, dirB)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!aServed2.contains(301L) && !bServed2.contains(410L),
+        s"both tenants must hide their slice of the cohort: " +
+          s"A=$aServed2 B=$bServed2")
+      assert(aServed2.contains(312L),
+        "the fan-out hides the cohort, not the tenant")
+      // per-tenant ledger rows: the evidence lands in each tenant's
+      // OWN ledger, where that tenant's audits already look
+      for (d <- Seq(dirA, dirB)) {
+        val log = graft.pipeline.Governance.forgetLog(spark, d)
+        assert(log.where(col("layout") === "invindex").count() >= 1,
+          s"missing invindex ledger evidence under $d")
+      }
     } finally qs.foreach(q => if (q.isActive) q.stop())
   }
 }

@@ -397,6 +397,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("q_federated_search REGISTERED query: per-shard top-k heaps under the union, no global sort") {
+    // the scatter-gather claim in plan form: each shard answers its
+    // LOCAL top-k as a bounded heap (TakeOrderedAndProject), the
+    // coordinator re-sorts only the ≤ N·k union — a regression
+    // replacing the per-shard .orderBy.limit with a post-union sort
+    // would turn the k-merge into a global sort of every shard's full
+    // scored relation and return identical rows
+    // the AQE wrapper prints Final AND Initial plan sections — count
+    // nodes in the final section only
+    val plan = finalPlanOf(
+      graft.SparkEntry.queries("q_federated_search")(spark, sf()))
+      .split("== Initial Plan ==")(0)
+    val n = TextQueries.FederatedShards
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size === n + 1,
+      s"want $n per-shard heaps + 1 merge heap:\n$plan")
+    assert(plan.contains("Union"), plan)
+    // no Sort node anywhere: the heaps make every ordering bounded
+    assert(!plan.contains("Sort ["), plan)
+    // each shard's postings scan prunes to the query terms at the
+    // directory listing, like every other standing-index probe
+    assert(plan.contains("PartitionFilters"), plan)
+  }
+
   test("knnRecall exact side: the bounded audit set broadcasts — a nested-loop by DESIGN, corpus never shuffles") {
     // the exact-audit pass is |audit|·n dots with the capped audit set
     // on the broadcast side: BroadcastNestedLoopJoin is the intended

@@ -97,11 +97,27 @@ class HttpGovernanceSpec extends SparkSpec {
         s"one cohort, two calls → one tag across entries: $cohorts")
       assert(cohorts.size === 4, s"2 calls × 2 layouts: $cohorts")
 
-      // the append-lag surface: no knn layout stands in this corpus,
-      // so the relation is EMPTY — reported, never invented
+      // the append-lag surface covers EVERY batch-maintained standing
+      // layout, not just knn: both doc layouts stand here with no
+      // streamed append ever committed → −1 each (standing-but-
+      // unmaintained made visible); absent layouts (knn, sketch) are
+      // skipped, never invented
       val (gc, gb) = req(base, "GET", "/forget/lag")
       assert(gc === 200, gb)
-      assert(gb === """{"append_last_batch":{}}""", gb)
+      assert(gb === """{"append_last_batch":{"invindex":-1,"simhash":-1}}""",
+        gb)
+
+      // a maintenance append moves ONLY its own layout's position —
+      // the widened relation distinguishes the maintained index from
+      // the one still serving the seed corpus
+      import spark.implicits._
+      val newDocs = Seq((900L, "spark merge data fresh appended doc"))
+        .toDF("doc_id", "text")
+      assert(TextQueries.invIndexAppendOnce(spark, corpusDir, newDocs, 7L))
+      val (gc2, gb2) = req(base, "GET", "/forget/lag")
+      assert(gc2 === 200, gb2)
+      assert(gb2 === """{"append_last_batch":{"invindex":7,"simhash":-1}}""",
+        gb2)
     } finally srv.stop(0)
   }
 }
