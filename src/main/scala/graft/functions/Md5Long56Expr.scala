@@ -26,6 +26,28 @@ object Md5 {
       ((h(3) & 0xFFL) << 24) | ((h(4) & 0xFFL) << 16) | ((h(5) & 0xFFL) << 8) |
       (h(6) & 0xFFL)
   }
+
+  /** First `hexChars` hex digits of the digest as a long — the
+    * generalized [[long56]] (`hexChars = 14` reproduces it bit for
+    * bit, spec-pinned); numerically identical to DuckDB's
+    * `CAST('0x' || substr(md5(x), 1, hexChars) AS BIGINT)`.
+    * `hexChars ≤ 15` keeps the value positive in a signed 64-bit on
+    * both engines — the corpus-derived simhash band widths live in
+    * that range ([[graft.operators.DedupQueries]]).
+    */
+  def longHex(bytes: Array[Byte], hexChars: Int): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < hexChars) {
+      val b = h(i >> 1) & 0xFF
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xF)
+      i += 1
+    }
+    v
+  }
 }
 
 /** 56-bit MD5-derived hash as a native codegen'd expression. Replaces
@@ -61,5 +83,41 @@ object Md5Long56 {
   def md5Long56(c: Column): Column = {
     import org.apache.spark.sql.graft.shims
     shims.column(Md5Long56(shims.expression(c)))
+  }
+}
+
+/** Width-parameterized sibling of [[Md5Long56]] for the
+  * corpus-derived simhash band widths: same digest-bytes → long
+  * kernel, the hex-digit count baked into the generated code as a
+  * literal (no per-row width dispatch).
+  */
+case class Md5LongHex(child: Expression, hexChars: Int)
+    extends UnaryExpression {
+  require(hexChars >= 1 && hexChars <= 15,
+    s"hexChars must be 1..15 (signed-64 positivity), got $hexChars")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_long_hex"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_long_hex requires BINARY input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    Md5.longHex(input.asInstanceOf[Array[Byte]], hexChars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5.longHex($c, $hexChars)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5LongHex =
+    copy(child = newChild)
+}
+
+object Md5LongHex {
+  /** Column wrapper: `md5LongHex(binaryCol, hexChars)`. */
+  def md5LongHex(c: Column, hexChars: Int): Column = {
+    import org.apache.spark.sql.graft.shims
+    shims.column(Md5LongHex(shims.expression(c), hexChars))
   }
 }

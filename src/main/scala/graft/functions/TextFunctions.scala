@@ -30,6 +30,13 @@ object TextFunctions {
     */
   def md5Long(c: Column): Column = Md5Long56.md5Long56(c.cast("binary"))
 
+  /** Width-parameterized [[md5Long]] — first `hexChars` hex digits of
+    * the digest (14 reproduces [[md5Long]] exactly); the
+    * corpus-derived simhash band widths ride this.
+    */
+  def md5LongHex(c: Column, hexChars: Int): Column =
+    Md5LongHex.md5LongHex(c.cast("binary"), hexChars)
+
   /** The composed (hex-string) form of [[md5Long]] — same value,
     * slower; kept as the spec's semantic reference.
     */

@@ -757,7 +757,31 @@ object DedupQueries {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashDf(spark, sfDir).orderBy("doc_id")
 
-  private val SimhashLayoutVersion = 2 // v2: fp subdir + content-stamp marker
+  private val SimhashLayoutVersion = 3 // v3: corpus-derived band width (_BAND_HEX stamp)
+
+  /** Corpus size at which the simhash banding WIDENS — the
+    * pre-wired resize the round-17 funnel probe priced
+    * (SCALING.md): the banded self-join's within-slot term grows
+    * with mean slot population, which at the 14-hex width (4 bands ×
+    * 14 bits, 4·2¹⁴ slots) starts rivaling the slot count only past
+    * ~10⁸ documents. At the trigger the fingerprint takes one more
+    * md5 hex digit (15 → 60 bits, 4 bands × 15 bits — 2× the slots,
+    * still positive in a signed 64-bit on both engines) and the
+    * pigeonhole guarantee is unchanged: 4 bands cover hamming ≤ 3 at
+    * ANY per-band width. Derived at layout build from the corpus
+    * count and stamped into the layout (`_BAND_HEX`), mirrored in
+    * the oracles as a CASE over count(*) — like every other
+    * corpus-derived funnel width, the two engines derive the same
+    * value from the same corpus.
+    */
+  private[graft] val SimhashWideTrigger = 100000000L
+
+  /** Hex digits of the md5 digest a corpus of `nDocs` keeps for its
+    * simhash fingerprints — see [[SimhashWideTrigger]]. Band width in
+    * BITS equals this value (bits = 4·hexChars split into 4 bands).
+    */
+  private[graft] def simhashHexCharsFor(nDocs: Long): Int =
+    if (nDocs < SimhashWideTrigger) 14 else 15
 
   /** Layout-GC catalog entry (the
     * [[graft.operators.TextQueries.currentLayoutNames]] sibling). */
@@ -787,13 +811,43 @@ object DedupQueries {
         java.nio.file.Paths.get(s"$layout/fp_compacting"))
       graft.GraftSession.deleteRec(
         java.nio.file.Paths.get(s"$layout/tombstones"))
+      // the band width is a property of THIS corpus snapshot
+      // ([[simhashHexCharsFor]]); stamp it BEFORE the fingerprints so
+      // any layout ensureLayout ever declares complete carries it —
+      // appends and banded probes must use the standing width, never
+      // re-derive from a corpus that may have grown since the build
+      // (a mixed-width relation breaks the pigeonhole guarantee)
+      val hex = simhashHexCharsFor(
+        table(spark, sfDir, "documents").count())
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(layout)) // first build: dir not yet there
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(layout, "_BAND_HEX"), hex.toString)
       // fingerprints under a subdir: the parquet overwrite clears its
       // own dir, and the stamp marker lives beside it, not inside it
-      simhashCompute(spark, sfDir).write.mode("overwrite")
+      simhashCompute(spark, sfDir, hex).write.mode("overwrite")
         .parquet(s"$layout/fp")
     }
     s"$layout/fp"
   }
+
+  /** The STANDING layout's band width (hex digits), from its
+    * `_BAND_HEX` stamp — every fingerprint append and banded probe
+    * reads this, so a corpus that has grown past
+    * [[SimhashWideTrigger]] since the build keeps the built width
+    * until the stamp chain rebuilds the layout. A complete layout
+    * without the stamp is impossible by construction (written before
+    * the fingerprints inside the same ensureLayout body), so a
+    * missing/corrupt stamp fails loudly.
+    */
+  private def simhashHexCharsAt(fp: String): Int =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get(fp)
+      .getParent.resolve("_BAND_HEX")).trim.toInt
+    catch {
+      case e: Exception => throw new IllegalStateException(
+        s"standing simhash layout at $fp has no readable _BAND_HEX " +
+          "stamp — rebuild the layout", e)
+    }
 
   /** Whether a standing simhash fingerprint layout exists for `sfDir`
     * — Ctl's "nothing to compact / forget" guard (the
@@ -936,7 +990,7 @@ object DedupQueries {
       newDocs: DataFrame): String = {
     val fp = simhashLayout(spark, sfDir) // ensure the base exists
     graft.GraftSession.clearDeadAppend(fp) // resurrection guard
-    simhashOf(newDocs).write.mode("append").parquet(fp)
+    simhashOf(newDocs, simhashHexCharsAt(fp)).write.mode("append").parquet(fp)
     fp
   }
 
@@ -965,7 +1019,8 @@ object DedupQueries {
     graft.GraftSession.claimStage(stage, s"an append tagged '$jobTag'")
     try {
       val stageData = stage.resolve("data")
-      simhashOf(newDocs).write.mode("overwrite").parquet(stageData.toString)
+      simhashOf(newDocs, simhashHexCharsAt(fp))
+        .write.mode("overwrite").parquet(stageData.toString)
       graft.GraftSession.moveStagedInto(stageData,
         java.nio.file.Paths.get(fp), jobTag)
     } finally graft.GraftSession.deleteRec(stage)
@@ -983,7 +1038,7 @@ object DedupQueries {
     graft.GraftSession.appliedOnce(
       java.nio.file.Paths.get(fp).getParent.resolve("_LAST_BATCH"), batchId) {
       graft.GraftSession.clearDeadAppend(fp) // resurrection guard
-      simhashOf(newDocs).write.mode("append").parquet(fp)
+      simhashOf(newDocs, simhashHexCharsAt(fp)).write.mode("append").parquet(fp)
     }
   }
 
@@ -1003,13 +1058,17 @@ object DedupQueries {
     */
   def nearDupAdmitFor(spark: SparkSession, sfDir: String,
       incoming: DataFrame): DataFrame = {
-    val standing = simBands(simhashDf(spark, sfDir))
+    // the incoming batch MUST fingerprint at the standing layout's
+    // width — a mixed-width band join would compare incompatible
+    // band values and silently admit every near-copy
+    val hex = simhashHexCharsAt(simhashLayout(spark, sfDir))
+    val standing = simBands(simhashDf(spark, sfDir), hex)
       .select(col("b"), col("band_val"), col("simhash").as("s_sim"))
     // no broadcast HINT: dupIds is bounded by the incoming batch, so
     // AQE broadcasts it when small and falls back to a shuffle join
     // when a large ingest batch is mostly duplicates — a forced hint
     // would crash at the broadcast cap instead of degrading
-    val dupIds = simBands(simhashOf(incoming))
+    val dupIds = simBands(simhashOf(incoming, hex), hex)
       .join(standing, Seq("b", "band_val"))
       .where(expr("bit_count(simhash ^ s_sim) <= 3"))
       .select("doc_id").distinct()
@@ -1032,34 +1091,35 @@ object DedupQueries {
   }
 
   def nearDupAdmitSql: String =
-    """WITH inc AS (SELECT doc_id + 10000000 AS doc_id,
+    s"""WITH $simhashWidthCte,
+      |inc AS (SELECT doc_id + 10000000 AS doc_id,
       |    text || ' zq unique marker' AS text
       |  FROM documents WHERE doc_id % 100 = 7),
       |corp_tc AS (SELECT doc_id, tok, count(*) AS cnt,
-      |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
-      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |    CAST(('0x' || substr(md5(tok), 1, (SELECT w FROM ws))) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
       |        FROM documents) GROUP BY doc_id, tok),
       |corp_votes AS (SELECT doc_id, j,
       |    sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
-      |  FROM corp_tc, UNNEST(range(56)) AS r(j) GROUP BY doc_id, j),
+      |  FROM corp_tc, UNNEST(range(4 * (SELECT w FROM ws))) AS r(j) GROUP BY doc_id, j),
       |corp_sim AS (SELECT doc_id,
       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
       |  FROM corp_votes GROUP BY doc_id),
       |inc_tc AS (SELECT doc_id, tok, count(*) AS cnt,
-      |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
-      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |    CAST(('0x' || substr(md5(tok), 1, (SELECT w FROM ws))) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
       |        FROM inc) GROUP BY doc_id, tok),
       |inc_votes AS (SELECT doc_id, j,
       |    sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
-      |  FROM inc_tc, UNNEST(range(56)) AS r(j) GROUP BY doc_id, j),
+      |  FROM inc_tc, UNNEST(range(4 * (SELECT w FROM ws))) AS r(j) GROUP BY doc_id, j),
       |inc_sim AS (SELECT doc_id,
       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
       |  FROM inc_votes GROUP BY doc_id),
       |corp_bands AS (SELECT simhash AS s_sim, j AS b,
-      |    (simhash >> (14 * j)) & 16383 AS band_val
+      |    (simhash >> ((SELECT w FROM ws) * j)) & ((CAST(1 AS BIGINT) << (SELECT w FROM ws)) - 1) AS band_val
       |  FROM corp_sim, UNNEST(range(4)) AS r(j)),
       |inc_bands AS (SELECT doc_id, simhash, j AS b,
-      |    (simhash >> (14 * j)) & 16383 AS band_val
+      |    (simhash >> ((SELECT w FROM ws) * j)) & ((CAST(1 AS BIGINT) << (SELECT w FROM ws)) - 1) AS band_val
       |  FROM inc_sim, UNNEST(range(4)) AS r(j)),
       |dups AS (SELECT DISTINCT i.doc_id
       |  FROM inc_bands i JOIN corp_bands c ON i.b = c.b AND i.band_val = c.band_val
@@ -1116,26 +1176,31 @@ object DedupQueries {
        |  AND doc_a % 97 <> 0 AND doc_b % 97 <> 0
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  private def simhashCompute(spark: SparkSession, sfDir: String): DataFrame =
-    simhashOf(table(spark, sfDir, "documents"))
+  private def simhashCompute(spark: SparkSession, sfDir: String,
+      hexChars: Int): DataFrame =
+    simhashOf(table(spark, sfDir, "documents"), hexChars)
 
-  /** 56-bit simhash fingerprints of an arbitrary documents relation —
-    * the ONE fingerprint recipe (full build and incremental append
-    * both call this, so the two can never drift).
+  /** `4·hexChars`-bit simhash fingerprints of an arbitrary documents
+    * relation — the ONE fingerprint recipe (full build and
+    * incremental append both call this, so the two can never drift);
+    * the width comes from the standing layout's `_BAND_HEX` stamp
+    * ([[simhashHexCharsAt]] — 56-bit at today's corpus scales,
+    * 60-bit past [[SimhashWideTrigger]]).
     */
-  private def simhashOf(docs: DataFrame): DataFrame = {
+  private def simhashOf(docs: DataFrame, hexChars: Int): DataFrame = {
+    val bits = 4 * hexChars
     val tokCnt = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5Long(col("tok")))
-    val voteCols = (0 until 56).map { j =>
+      .withColumn("h", md5LongHex(col("tok"), hexChars))
+    val voteCols = (0 until bits).map { j =>
       sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
         .as(s"v$j")
     }
     tokCnt.groupBy("doc_id")
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
-        (0 until 56).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        (0 until bits).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
@@ -1152,23 +1217,27 @@ object DedupQueries {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
 
-  /** The 4×14-bit band explosion of a (…, simhash) relation — the ONE
-    * banding recipe (self-join candidates and the admission gate both
-    * call this, so the pigeonhole guarantee — any pair at hamming ≤3
-    * shares a band — cannot drift between paths).
+  /** The 4-band explosion of a (…, simhash) relation at a per-band
+    * width of `hexChars` BITS — the ONE banding recipe (self-join
+    * candidates and the admission gate both call this, so the
+    * pigeonhole guarantee — any pair at hamming ≤3 shares one of the
+    * 4 bands, at ANY band width — cannot drift between paths).
     */
-  private def simBands(df: DataFrame): DataFrame = df
+  private[operators] def simBands(df: DataFrame, hexChars: Int): DataFrame = df
     .withColumn("b", explode(sequence(lit(0), lit(3))))
-    .withColumn("band_val", expr("shiftright(simhash, 14 * b) & 16383"))
+    .withColumn("band_val",
+      expr(s"shiftright(simhash, $hexChars * b) & ${(1L << hexChars) - 1}"))
 
   /** Banded candidate pairs (doc_a, sa, doc_b, sb): docs agreeing on
-    * ≥1 of the 4×14-bit simhash bands. Shared by the hamming-verified
-    * pairs query and the edit-distance verifier.
+    * ≥1 of the 4 simhash bands at the standing layout's width.
+    * Shared by the hamming-verified pairs query and the edit-distance
+    * verifier.
     */
   private def simhashCands(spark: SparkSession, sfDir: String): DataFrame = {
     // both self-join sides read the on-disk fingerprint layout — an
     // 8-byte-per-doc parquet scan per side, no recompute to guard
-    val bands = simBands(simhashDf(spark, sfDir))
+    val hex = simhashHexCharsAt(simhashLayout(spark, sfDir))
+    val bands = simBands(simhashDf(spark, sfDir), hex)
     bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1266,19 +1335,29 @@ object DedupQueries {
     * pairs) — the pairs query and the cluster query build on the same
     * SQL, mirroring the Scala reuse of [[dedupSimhashPairs]].
     */
-  private val simhashCandCte =
-    """tc AS (SELECT doc_id, tok, count(*) AS cnt,
-      |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
-      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+  /** Oracle-side band-width derivation — the SQL mirror of
+    * [[simhashHexCharsFor]] over the same corpus (the semdedup
+    * formula-mirroring discipline): both engines derive the same
+    * width from the same document count, at any corpus size.
+    */
+  private def simhashWidthCte: String =
+    s"ws AS (SELECT CASE WHEN (SELECT count(*) FROM documents) " +
+      s"< $SimhashWideTrigger THEN 14 ELSE 15 END AS w)"
+
+  private def simhashCandCte =
+    s"""$simhashWidthCte,
+      |tc AS (SELECT doc_id, tok, count(*) AS cnt,
+      |    CAST(('0x' || substr(md5(tok), 1, (SELECT w FROM ws))) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
       |        FROM documents)
       |  GROUP BY doc_id, tok),
       |votes AS (SELECT doc_id, j,
       |    sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
-      |  FROM tc, UNNEST(range(56)) AS r(j) GROUP BY doc_id, j),
+      |  FROM tc, UNNEST(range(4 * (SELECT w FROM ws))) AS r(j) GROUP BY doc_id, j),
       |sim AS (SELECT doc_id,
       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
       |  FROM votes GROUP BY doc_id),
-      |bands AS (SELECT doc_id, simhash, b, (simhash >> (14 * b)) & 16383 AS band_val
+      |bands AS (SELECT doc_id, simhash, b, (simhash >> ((SELECT w FROM ws) * b)) & ((CAST(1 AS BIGINT) << (SELECT w FROM ws)) - 1) AS band_val
       |  FROM sim, UNNEST(range(4)) AS r(b)),
       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sa, y.doc_id AS doc_b, y.simhash AS sb
       |  FROM bands x JOIN bands y
@@ -1459,14 +1538,15 @@ object DedupQueries {
        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   def dedupSimhashSql: String =
-    """WITH tc AS (SELECT doc_id, tok, count(*) AS cnt,
-      |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
-      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+    s"""WITH $simhashWidthCte,
+      |tc AS (SELECT doc_id, tok, count(*) AS cnt,
+      |    CAST(('0x' || substr(md5(tok), 1, (SELECT w FROM ws))) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
       |        FROM documents)
       |  GROUP BY doc_id, tok),
       |votes AS (SELECT doc_id, j,
       |    sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
-      |  FROM tc, UNNEST(range(56)) AS r(j) GROUP BY doc_id, j)
+      |  FROM tc, UNNEST(range(4 * (SELECT w FROM ws))) AS r(j) GROUP BY doc_id, j)
       |SELECT doc_id,
       |  CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
