@@ -80,6 +80,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
   *                                 quarantine-release); refusals
   *                                 (already released, in progress, no
   *                                 rows) are 409, not 500
+  *   GET    /unrouted              (with a fed root attached) the
+  *                                 federated router's misroute
+  *                                 evidence: rows whose corpus tag
+  *                                 matched no registered tenant, the
+  *                                 tag kept (NULL included); ?limit
+  *                                 caps the page, text bodies omitted
   *
   * The door verbs are the one place the shim touches Spark (parquet
   * audit rows; the release's row selection): the session builds
@@ -117,12 +123,24 @@ object HttpServer {
       sparkProvider: () => org.apache.spark.sql.SparkSession): JdkHttpServer =
     start(spool, port, doorDir, guardDir, None, sparkProvider)
 
-  /** Fullest form: `corpusDir` additionally attaches the governance
-    * verbs (`POST /forget`, `GET /forget/pending`) against that
-    * corpus's standing layouts.
+  /** `corpusDir` additionally attaches the governance verbs
+    * (`POST /forget`, `GET /forget/pending`) against that corpus's
+    * standing layouts.
     */
   def start(spool: String, port: Int, doorDir: Option[String],
       guardDir: Option[String], corpusDir: Option[String],
+      sparkProvider: () => org.apache.spark.sql.SparkSession): JdkHttpServer =
+    start(spool, port, doorDir, guardDir, corpusDir, None, sparkProvider)
+
+  /** Fullest form: `fedRoot` additionally attaches the federation's
+    * `GET /unrouted` — the router's misroute evidence
+    * (`<fedRoot>/unrouted`, rows whose corpus tag matched no
+    * registered tenant, the tag kept) served as a relation instead
+    * of requiring filesystem access.
+    */
+  def start(spool: String, port: Int, doorDir: Option[String],
+      guardDir: Option[String], corpusDir: Option[String],
+      fedRoot: Option[String],
       sparkProvider: () => org.apache.spark.sql.SparkSession): JdkHttpServer = {
     val queue = Files.createDirectories(Paths.get(spool, "queue"))
     val srv = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -587,6 +605,43 @@ object HttpServer {
       })
     }
 
+    fedRoot.foreach { fr =>
+      lazy val spark = sparkProvider()
+      srv.createContext("/unrouted", (ex: HttpExchange) => {
+        try {
+          if (ex.getRequestMethod != "GET")
+            err(ex, 405, s"unsupported: ${ex.getRequestMethod} /unrouted")
+          else {
+            // the router's misroute evidence: rows whose corpus tag
+            // matched no registered tenant (tag kept, NULL included).
+            // text bodies stay out of the response — the operator
+            // needs WHICH rows and WHOSE tag, not the payloads.
+            val dir = Paths.get(fr, "unrouted")
+            val limit = qparam(ex, "limit").flatMap(_.toIntOption)
+              .filter(_ >= 0).getOrElse(1000)
+            if (!graft.GraftSession.hasVisibleData(dir))
+              respond(ex, 200, """{"n":0,"rows":[]}""")
+            else {
+              val df = spark.read.parquet(dir.toString)
+                .select("doc_id", "lang", "corpus")
+              val n = df.count()
+              val rows = df
+                .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+                .limit(limit).collect().map { r =>
+                  val lang =
+                    if (r.isNullAt(1)) "null" else jsonStr(r.getString(1))
+                  val tag =
+                    if (r.isNullAt(2)) "null" else jsonStr(r.getString(2))
+                  s"""{"doc_id":${r.getLong(0)},"lang":$lang,"corpus":$tag}"""
+                }
+              respond(ex, 200,
+                s"""{"n":$n,"rows":[${rows.mkString(",")}]}""")
+            }
+          }
+        } catch { case e: Exception => err(ex, 500, String.valueOf(e.getMessage)) }
+      })
+    }
+
     srv.createContext("/pause", (ex: HttpExchange) => {
       val p = Paths.get(spool, "pause")
       ex.getRequestMethod match {
@@ -627,17 +682,19 @@ object HttpServer {
 
   def main(args: Array[String]): Unit = {
     val spool = args.headOption.getOrElse(
-      sys.error("usage: HttpServer <spoolDir> [port] [doorDir] [guardDir] [corpusDir]"))
+      sys.error("usage: HttpServer <spoolDir> [port] [doorDir] [guardDir] [corpusDir] [fedRoot]"))
     val port = args.lift(1).map(_.toInt).getOrElse(8289)
     val door = args.lift(2)
     val guard = args.lift(3)
     val corpus = args.lift(4)
-    val srv = start(spool, port, door, guard, corpus,
+    val fed = args.lift(5)
+    val srv = start(spool, port, door, guard, corpus, fed,
       () => graft.GraftSession.build())
     println(s"graft task API on http://127.0.0.1:${srv.getAddress.getPort} (spool: $spool" +
       door.map(d => s", door: $d").getOrElse("") +
       guard.map(g => s", guard: $g").getOrElse("") +
-      corpus.map(c => s", corpus: $c").getOrElse("") + ")")
+      corpus.map(c => s", corpus: $c").getOrElse("") +
+      fed.map(f => s", fed: $f").getOrElse("") + ")")
     // park the main thread; the JDK server runs on its own executor
     Thread.currentThread.join()
   }

@@ -193,6 +193,27 @@ class FederatedDoorSpec extends SparkSpec {
       assert(unrouted === Seq(900L -> "ghost", 901L -> "<null>"),
         s"unrouted: $unrouted")
 
+      // …and the same evidence is OPERATOR-VISIBLE without filesystem
+      // access: GET /unrouted serves it (tag kept, NULL as JSON null,
+      // text bodies omitted)
+      val spool = java.nio.file.Files
+        .createTempDirectory("graft_fed_spool").toString
+      val srv = graft.pipeline.HttpServer.start(spool, 0, None, None,
+        None, Some(fedRoot), () => spark)
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:${srv.getAddress.getPort}/unrouted")).GET()
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() === 200, resp.body())
+        assert(resp.body() ===
+          """{"n":2,"rows":[{"doc_id":900,"lang":"en","corpus":"ghost"},""" +
+            """{"doc_id":901,"lang":"en","corpus":null}]}""",
+          resp.body())
+      } finally srv.stop(0)
+
       // arrival batch 1: A gets a near-copy of its OWN earlier
       // admitted doc (reject — per-tenant admission memory) plus a
       // fresh doc; B gets a doc whose body REUSES the content A
