@@ -87,11 +87,27 @@ object GraftSession {
       catch { case _: Throwable => }
     }
 
+  /** Canonical spelling of a corpus dir — ONE fixture key per real
+    * directory: trailing slashes, `.`/`..` segments, and relative
+    * spellings collapse to the absolute normalized path, so
+    * `/data/x` and `/data/x/` can never stand two fixture roots (and
+    * two layout sets, two ledgers) for one corpus. URI-schemed paths
+    * (`s3a://…`) pass through untouched — Paths.get would misparse
+    * the scheme as a relative segment.
+    */
+  def canonicalDir(dir: String): String =
+    if (dir.contains("://")) dir
+    else java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+
   /** Root for generated fixtures/layouts of one sf dir — single source
     * of truth for every operator that materializes test scaffolding.
+    * Keyed by the CANONICAL dir ([[canonicalDir]]): a non-canonical
+    * spelling must not probe a phantom fixture root and, say, record
+    * a `layout = "none"` forget-ledger row while the real layouts
+    * under the canonical key go untouched.
     */
   def fixtureRoot(sfDir: String): String =
-    s"/tmp/graft_fixtures/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"/tmp/graft_fixtures/${canonicalDir(sfDir).replaceAll("[^A-Za-z0-9.]", "_")}"
 
   /** Recursive local delete — the ONE implementation behind every
     * fixture/staging cleanup (was triplicated across the query and
@@ -159,10 +175,17 @@ object GraftSession {
     val p = java.nio.file.Paths.get(layoutDir, "_LAST_BATCH")
     try java.nio.file.Files.readString(p).trim.toLong
     catch {
+      // missing = never maintained (NoSuchFile first: it IS an
+      // IOException, and a marker voided by a concurrent rebuild
+      // between listing and read is "missing", not "corrupt")
       case _: java.nio.file.NoSuchFileException => -1L
       case _: java.io.FileNotFoundException => -1L
-      case e: NumberFormatException => throw new IllegalStateException(
-        s"corrupt append marker $p — not a batch id", e)
+      // everything else a standing marker can throw — non-numeric
+      // content, non-UTF-8 bytes from a truncated write, a
+      // permissions break — is the documented corrupt-marker case
+      case e @ (_: java.io.IOException | _: NumberFormatException) =>
+        throw new IllegalStateException(
+          s"corrupt append marker $p — not a batch id", e)
     }
   }
 

@@ -85,11 +85,19 @@ object Governance {
     val tags = corpora.map(_._1)
     require(tags.distinct.size == tags.size,
       s"duplicate corpus tags: ${tags.mkString(", ")}")
-    val dirs = corpora.map(_._2)
+    // canonical dirs, for the check AND for use: two SPELLINGS of one
+    // dir (`/data/x` vs `/data/x/`) must refuse like two copies of
+    // it, and a non-canonical spelling must not probe a phantom
+    // fixture root and ledger "the request reached this tenant"
+    // while the real layouts go untouched
+    val canon = corpora.map { case (t, d) =>
+      t -> graft.GraftSession.canonicalDir(d)
+    }
+    val dirs = canon.map(_._2)
     require(dirs.distinct.size == dirs.size,
       s"duplicate corpus dirs (one layout set would absorb two " +
         s"applications): ${dirs.mkString(", ")}")
-    corpora.map { case (tag, dir) =>
+    canon.map { case (tag, dir) =>
       tag -> applyForget(spark, dir, ids)
     }
   }
@@ -284,6 +292,15 @@ object Governance {
       p.getFileName.toString match {
         case versioned(family) =>
           families.contains(family) && !current.contains(p.getFileName.toString)
+        // RETIRED fixture families that never carried a version
+        // suffix (the pre-r18 two-shard federated split, replaced by
+        // the N-keyed `fed_shards_n<N>` dirs): a full corpus copy
+        // plus per-shard index trees that would otherwise sit as
+        // dead disk invisible to this GC forever. The N-keyed dirs
+        // themselves are parameter-keyed like `kmeans_*` (an
+        // operator-chosen N is not "superseded" by another N) and
+        // follow the corpus stamp — never touched here.
+        case "fed_shards" => true
         case _ => false
       }
     }

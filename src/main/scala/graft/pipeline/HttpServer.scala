@@ -628,11 +628,15 @@ object HttpServer {
               val rows = df
                 .orderBy(org.apache.spark.sql.functions.col("doc_id"))
                 .limit(limit).collect().map { r =>
+                  // every field null-guards: unrouted is exactly where
+                  // malformed producer rows land, and one NULL doc_id
+                  // must not 500 the whole evidence page forever
+                  val id = if (r.isNullAt(0)) "null" else r.getLong(0).toString
                   val lang =
                     if (r.isNullAt(1)) "null" else jsonStr(r.getString(1))
                   val tag =
                     if (r.isNullAt(2)) "null" else jsonStr(r.getString(2))
-                  s"""{"doc_id":${r.getLong(0)},"lang":$lang,"corpus":$tag}"""
+                  s"""{"doc_id":$id,"lang":$lang,"corpus":$tag}"""
                 }
               respond(ex, 200,
                 s"""{"n":$n,"rows":[${rows.mkString(",")}]}""")

@@ -572,8 +572,15 @@ object StreamingOps {
     // over one sfDir would run two full chains against the SAME
     // standing layouts — independent batchId namespaces into one
     // _LAST_BATCH marker absorbs real batches as "replays" (silent
-    // drops) and the knn appends violate one-writer-by-semantics
-    val dirs = corpora.map(_._2)
+    // drops) and the knn appends violate one-writer-by-semantics.
+    // Canonical dirs for the check AND for the chains (the
+    // applyForgetFederated discipline): two SPELLINGS of one dir are
+    // one dir, and the chains must key their fixture roots off the
+    // canonical form the forget verbs will use.
+    val corporaCanon = corpora.map { case (t, d) =>
+      t -> graft.GraftSession.canonicalDir(d)
+    }
+    val dirs = corporaCanon.map(_._2)
     require(dirs.distinct.size == dirs.size,
       s"duplicate corpus dirs (two tenants would co-maintain one " +
         s"layout set): ${dirs.mkString(", ")}")
@@ -626,7 +633,7 @@ object StreamingOps {
       }
       .option("checkpointLocation", s"$fedRoot/_checkpoints/router")
       .start()
-    val chains = corpora.flatMap { case (tag, sfDir) =>
+    val chains = corporaCanon.flatMap { case (tag, sfDir) =>
       doorChain(spark, sfDir, s"$fedRoot/$tag/incoming",
         s"$fedRoot/$tag/door", s"$fedRoot/$tag/admitted",
         scriptAxis = scriptAxis, lenAxis = lenAxis, tokAxis = tokAxis,

@@ -39,5 +39,23 @@ class GraftSessionUtilSpec extends SparkSpec {
     java.nio.file.Files.writeString(marker, "not-a-batch-id")
     val e = intercept[IllegalStateException](GraftSession.lastBatchIn(dir))
     assert(e.getMessage.contains("corrupt"), e.getMessage)
+    // a marker whose BYTES are damaged (truncated write, disk
+    // corruption) is the same corrupt-marker diagnosis, not a raw
+    // MalformedInputException 500ing the governance surface
+    java.nio.file.Files.write(marker, Array[Byte](0xC3.toByte, 0x28, 0xFF.toByte))
+    val e2 = intercept[IllegalStateException](GraftSession.lastBatchIn(dir))
+    assert(e2.getMessage.contains("corrupt"), e2.getMessage)
+  }
+
+  test("canonicalDir: one fixture key per real directory; schemes pass through") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_canon").toString
+    assert(GraftSession.canonicalDir(s"$dir/") === dir)
+    assert(GraftSession.canonicalDir(s"$dir/sub/..") === dir)
+    assert(GraftSession.fixtureRoot(s"$dir/") === GraftSession.fixtureRoot(dir),
+      "two spellings of one dir must share one fixture root — a phantom " +
+        "root would absorb forget-ledger evidence for layouts that " +
+        "never saw the request")
+    // URI-schemed paths are not filesystem paths — untouched
+    assert(GraftSession.canonicalDir("s3a://bucket/x/") === "s3a://bucket/x/")
   }
 }

@@ -120,4 +120,28 @@ class HttpGovernanceSpec extends SparkSpec {
         gb2)
     } finally srv.stop(0)
   }
+
+  test("GET /unrouted serves malformed evidence rows (NULL doc_id) instead of 500ing") {
+    // unrouted is exactly where malformed producer rows land — a NULL
+    // doc_id must render as JSON null, not crash the evidence page
+    import spark.implicits._
+    val fedRoot = java.nio.file.Files
+      .createTempDirectory("graft_hg_fed").toString
+    Seq((Option(5L), Option("en"), Option("ghost")),
+        (Option.empty[Long], Option.empty[String], Option.empty[String]))
+      .toDF("doc_id", "lang", "corpus")
+      .write.mode("overwrite").parquet(s"$fedRoot/unrouted")
+    val spool = java.nio.file.Files
+      .createTempDirectory("graft_hg_spool2").toString
+    val srv = HttpServer.start(spool, 0, None, None, None, Some(fedRoot),
+      () => spark)
+    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    try {
+      val (c, b) = req(base, "GET", "/unrouted")
+      assert(c === 200, b)
+      assert(b === """{"n":2,"rows":[""" +
+        """{"doc_id":null,"lang":null,"corpus":null},""" +
+        """{"doc_id":5,"lang":"en","corpus":"ghost"}]}""", b)
+    } finally srv.stop(0)
+  }
 }

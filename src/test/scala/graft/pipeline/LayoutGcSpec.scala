@@ -29,22 +29,27 @@ class LayoutGcSpec extends SparkSpec {
     mk("kmeans_emb_k8_i4_v1")
     mk("forget_corpus")
     mk("ingest_out")
+    // the RETIRED pre-r18 federated split (no version suffix) is
+    // superseded by name; the N-keyed splits are parameter-keyed
+    // caches like kmeans_* and survive
+    mk("fed_shards")
+    mk("fed_shards_n4")
 
     // dry-run: lists, deletes nothing
     val (dry, stages) = Governance.gcLayouts(sfDir)
     assert(dry.map(p => java.nio.file.Paths.get(p).getFileName.toString).sorted
-      === Seq("invindex_v1", "knn_v3_r1", "usersketch_v1_k10"))
+      === Seq("fed_shards", "invindex_v1", "knn_v3_r1", "usersketch_v1_k10"))
     assert(stages.size === 1 && stages.head.endsWith(".append_stage_w9"))
     assert(java.nio.file.Files.isDirectory(root.resolve("invindex_v1")),
       "dry-run must not delete")
 
     // apply: superseded gone, everything else intact
     val (taken, _) = Governance.gcLayouts(sfDir, apply = true)
-    assert(taken.size === 3)
-    for (gone <- Seq("invindex_v1", "knn_v3_r1", "usersketch_v1_k10"))
+    assert(taken.size === 4)
+    for (gone <- Seq("fed_shards", "invindex_v1", "knn_v3_r1", "usersketch_v1_k10"))
       assert(!java.nio.file.Files.exists(root.resolve(gone)), s"$gone survived")
     for (kept <- Seq("invindex_v2/.append_stage_w9", "knn_v4_r1", "knn_v4_r2",
-        "kmeans_emb_k8_i4_v1", "forget_corpus", "ingest_out"))
+        "kmeans_emb_k8_i4_v1", "forget_corpus", "ingest_out", "fed_shards_n4"))
       assert(java.nio.file.Files.exists(root.resolve(kept)), s"$kept taken")
 
     // idempotent: a clean root reports nothing
