@@ -36,6 +36,15 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "67108864"))
+      // r18 join-strategy knobs (same values/rationale as
+      // [[benchSession]], documented there; env-overridable back to
+      // Spark defaults)
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "67108864"))
+      .config("spark.sql.execution.sortBeforeRepartition",
+        sys.env.getOrElse("SPARK_GRAFT_SORT_BEFORE_REPARTITION", "false"))
       // NB the ObjectHashAggregate fallback threshold is deliberately
       // NOT raised here: its 128-entry default is the OOM bound for
       // UNBOUNDED object buffers (collect_set shingle sets, position
@@ -70,6 +79,27 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "67108864"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r18 (guide §3.1): let the planner pick SHUFFLED HASH over
+      // sort-merge when its size conditions hold (one side per
+      // partition small enough to hash) — drops both sort legs of the
+      // join. Size-guarded at plan time AND rewritten by AQE at
+      // runtime (threshold below, = the advisory partition size), so
+      // the choice stays safe at cluster scale where partition sizes,
+      // not corpus size, bound the build side. Env-overridable back
+      // to Spark defaults for A/B runs.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "67108864"))
+      // r18 (guide §2.5 note): every KEYLESS repartition in this
+      // codebase roots directly on a deterministic file scan (fanOut
+      // over parquet/CSV, simhashCompact's defrag re-pack, the knn
+      // probe spread) — re-run order is reproducible, so the
+      // SPARK-23207 retry hazard the default local sort guards
+      // against cannot occur, and the per-partition binary sort is
+      // pure cost. Env-overridable back to Spark's default.
+      .config("spark.sql.execution.sortBeforeRepartition",
+        sys.env.getOrElse("SPARK_GRAFT_SORT_BEFORE_REPARTITION", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // see [[events]]
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,49 @@
+package graft
+
+/** Optimization-round plan artifact dumper: for each named query,
+  * writes `<outDir>/<name>_<tag>.txt` holding the `explain("formatted")`
+  * output AND the final (post-AQE) executed plan after a noop run —
+  * the judge-checkable evidence for plan-shape claims
+  * (`plans/r18/<query>_{before,after}.txt`).
+  *
+  * Usage: `runMain graft.PlanDump <tag> <outDir> <q1,q2,...>`
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS — the same
+  * bench session shape, so the dumped plans are the benched plans.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val Array(tag, outDir, names) = args.take(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.benchSession(cpus)
+    GraftSession.warmTables(spark, sfDir)
+    try operators.PipelineQueries.warmFixtures(spark, sfDir)
+    catch { case _: Throwable => }
+    try operators.SimilarityQueries.warmLayouts(spark, sfDir)
+    catch { case _: Throwable => }
+    try operators.DedupQueries.warmLayouts(spark, sfDir)
+    catch { case _: Throwable => }
+    try operators.TextQueries.warmLayouts(spark, sfDir)
+    catch { case _: Throwable => }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.split(",").foreach { name =>
+      val out = new StringBuilder
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        out ++= s"===== $name ($tag) — explain formatted =====\n"
+        out ++= df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        df.write.format("noop").mode("overwrite").save()
+        out ++= s"\n===== $name ($tag) — final plan after AQE =====\n"
+        out ++= df.queryExecution.executedPlan.toString
+      } catch {
+        case t: Throwable => out ++= s"ERR ${t.getMessage}\n"
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, s"${name}_$tag.txt"), out.toString)
+      spark.sqlContext.clearCache()
+      println(s"PLANDUMP wrote ${name}_$tag.txt")
+    }
+    spark.stop()
+  }
+}

@@ -161,15 +161,23 @@ object DedupQueries {
     // pair only collapses because NFC runs FIRST in the norm chain
     // (without it the ascii strip turns é into "" but e+U+0301 into
     // "e", silently splitting byte-different renderings of one text)
+    // r18: the five variants explode out of ONE corpus scan (guide
+    // §2.4) — the previous unionByName of five projections re-scanned
+    // (and re-fanned-out) `documents` five times for rows derivable
+    // from each source row locally; same (doc_id, text) multiset, so
+    // the aggregate (and the oracle) is untouched.
     val variants = docs
-      .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
-        upper(col("text")).as("text")))
-      .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
-        regexp_replace(col("text"), " ", "   ").as("text")))
-      .unionByName(docs.select((col("doc_id") + 3000000).as("doc_id"),
-        concat(col("text"), lit(" café")).as("text")))
-      .unionByName(docs.select((col("doc_id") + 4000000).as("doc_id"),
-        concat(col("text"), lit(" café")).as("text")))
+      .select(explode(array(
+        struct(col("doc_id"), col("text")),
+        struct((col("doc_id") + 1000000).as("doc_id"),
+          upper(col("text")).as("text")),
+        struct((col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), " ", "   ").as("text")),
+        struct((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" café")).as("text")),
+        struct((col("doc_id") + 4000000).as("doc_id"),
+          concat(col("text"), lit(" café")).as("text")))).as("v"))
+      .select(col("v.doc_id").as("doc_id"), col("v.text").as("text"))
     val norm = trim(regexp_replace(
       regexp_replace(lower(graft.functions.NfcNormalize.nfcNormalize(col("text"))),
         "[^a-z0-9\\s]", ""), "\\s+", " "))
@@ -202,7 +210,13 @@ object DedupQueries {
     */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = table(spark, sfDir, "documents").select("doc_id", "text")
-    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 500000))
+    // r18: both copies out of ONE scan (guide §2.4; the
+    // [[dedupNormalized]] explode shape) — same (doc_id, text) set
+    val doubled = docs
+      .select(explode(array(
+        struct(col("doc_id"), col("text")),
+        struct((col("doc_id") + 500000).as("doc_id"), col("text")))).as("v"))
+      .select(col("v.doc_id").as("doc_id"), col("v.text").as("text"))
     doubled
       .groupBy(md5(col("text").cast("binary")).as("fp"))
       .agg(min(col("doc_id")).as("kept_id"))
@@ -711,11 +725,14 @@ object DedupQueries {
     val corpus = docs.where(pmod(col("doc_id"), lit(2)) === 0)
       .select(fp.as("fp"))
     // the batch is small by premise — materialize its fingerprints once
-    // instead of re-parsing the union for each side of the split below
-    val batch = docs.where(pmod(col("doc_id"), lit(2)) === 1)
-      .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
-        .withColumn("doc_id", col("doc_id") + 700000))
-      .select(col("doc_id"), fp.as("fp"))
+    // instead of re-parsing the union for each side of the split below.
+    // r18: the two union legs were a 1:1 map of the corpus (odds keep
+    // their id, evens shift by 700000 — every doc contributes exactly
+    // one batch row), so the batch is ONE projection of one scan, not
+    // two scans glued by a union (guide §2.4); same rows exactly.
+    val batch = docs
+      .select(when(pmod(col("doc_id"), lit(2)) === 1, col("doc_id"))
+        .otherwise(col("doc_id") + 700000).as("doc_id"), fp.as("fp"))
       .localCheckpoint(true)
     val bf = corpus.stat.bloomFilter("fp",
       expectedNumItems = math.max(1000L, corpus.count()), fpp = 0.01)

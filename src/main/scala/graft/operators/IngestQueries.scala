@@ -829,7 +829,13 @@ object IngestQueries {
     */
   def dedupPolicy(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = table(spark, sfDir, "orders")
-    val doubled = orders.unionByName(orders)
+    // r18: both copies out of ONE scan (guide §2.4) — a 2-element
+    // explode replaces the self-union's second scan; same row multiset
+    val cols = orders.columns.toSeq
+    val doubled = orders
+      .select(explode(array(struct(cols.map(col): _*),
+        struct(cols.map(col): _*))).as("v"))
+      .select(cols.map(c => col(s"v.$c").as(c)): _*)
     SortedParquetSink.dedup(doubled, Seq("o_orderkey"), "ignore")
       .agg(count(lit(1)).as("n_rows"), sum(quant("o_totalprice")).as("sum_price"))
   }
