@@ -79,6 +79,14 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "67108864"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r18 (guide §2.2, fewer/larger reduce partitions): coalesce
+      // post-shuffle partitions to the advisory TARGET SIZE instead of
+      // stopping early to preserve parallelism — Spark's own docs
+      // recommend false in production; explicit repartition() calls
+      // (the fanOut path) are never AQE-coalesced, so CPU-heavy narrow
+      // chains keep their width. Env-overridable.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       // r18 (guide §3.1): let the planner pick SHUFFLED HASH over
       // sort-merge when its size conditions hold (one side per
       // partition small enough to hash) — drops both sort legs of the

@@ -305,17 +305,26 @@ object DedupQueries {
     * by [[dedupMinhash]] and [[minhashEstimate]].
     */
   private def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    // r18 (guide §4): the distinct-shingle count was size(collect_set)
+    // — a TypedImperativeAggregate that forces the whole pass onto
+    // ObjectHashAggregate, whose partial stage falls back to SORT-based
+    // aggregation past 128 groups per partition (the unraised default;
+    // docs-per-partition sits right at that cliff). Instead: dedup the
+    // (doc, h) relation with a plain codegen'd distinct (16 B rows,
+    // map-side combined), then count + min over the deduped rows —
+    // min() is duplicate-insensitive and count-over-distinct IS the
+    // distinct count, so every output value is bit-identical; no
+    // object buffer, no sort fallback, whole-stage codegen end to end.
     val aggCols =
-      collect_set(col("h")).as("hs") +:
+      count(lit(1)).as("n") +:
         (0 until MinhashK).map { i =>
           min((lit(hashA(i)) * pmod(col("h"), lit(M31)) + lit(hashB(i))) % M31)
             .as(s"mh$i")
         }
     minhashShingleRel(spark, sfDir)
+      .distinct()
       .groupBy("doc_id")
       .agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("n", size(col("hs")).cast("long"))
-      .drop("hs")
   }
 
   private def minhashShingleRel(spark: SparkSession, sfDir: String): DataFrame =
@@ -1297,6 +1306,16 @@ object DedupQueries {
       .where(abs(col("la") - col("lb")) <= EditDistMax)
       .select("doc_a", "doc_b")
     narrowed
+      // r18 (guide §2.5/§1.2): the pair relation is BYTES-small (16 B/
+      // pair) but each row carries O(len·k) of Levenshtein DP — AQE's
+      // size-based coalesce collapsed the candidate exchange to ~1
+      // partition and ran the whole verify stage single-threaded
+      // (measured: 89k surviving pairs at sf0.1). An EXPLICIT-count
+      // hash repartition on the pair key re-spreads the DP across the
+      // cluster (explicit so AQE cannot re-coalesce a bytes-small but
+      // CPU-dense stage); cost is one shuffle of the 16-byte pairs.
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_a"), col("doc_b"))
       .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
       .withColumn("dist",

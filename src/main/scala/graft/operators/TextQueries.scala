@@ -932,7 +932,11 @@ object TextQueries {
     */
   def winnowAlign(spark: SparkSession, sfDir: String): DataFrame = {
     val pos = winnow(spark, sfDir).localCheckpoint(true) // doc_id, pos, fp
-    val fps = pos.select("doc_id", "fp").distinct()
+    // r18: fps feeds THREE consumers (both candidate self-join sides
+    // and the df cap) — materialized once like pos, the repeated
+    // distinct-aggregate subtrees (one exchange each) collapse to
+    // block reads (guide §2.4)
+    val fps = pos.select("doc_id", "fp").distinct().localCheckpoint(true)
     val pairs = winnowPairsFrom(fps).select("doc_a", "doc_b")
     // alignment rides the SAME df-capped fingerprint set the candidate
     // generator used
