@@ -1261,7 +1261,13 @@ object DedupQueries {
     */
   private def simhashCands(spark: SparkSession, sfDir: String): DataFrame = {
     // both self-join sides read the on-disk fingerprint layout — an
-    // 8-byte-per-doc parquet scan per side, no recompute to guard
+    // 8-byte-per-doc parquet scan per side, no recompute to guard.
+    // (r18 measured-and-rejected: hash-repartitioning this scan to
+    // spread the band fan-out was neutral at best in its explicit-
+    // count form and 4x WORSE in its AQE-coalescible form, which also
+    // removed the candidate distinct's own exchange — the downstream
+    // pair repartition in dedupEditDist is where the parallelism
+    // actually pays.)
     val hex = simhashHexCharsAt(simhashLayout(spark, sfDir))
     val bands = simBands(simhashDf(spark, sfDir), hex)
     bands.as("x").join(bands.as("y"),
@@ -1346,6 +1352,12 @@ object DedupQueries {
   private val BoilerDf = 3
 
   def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    // r18 audit: sh executes twice (the df leg and the join-back leg
+    // push different requirements, so ReuseExchange cannot fold them)
+    // — but a localCheckpoint of the distinct MEASURED ~1.9x WORSE
+    // (1.14 -> 2.1-2.4 s): the block write + extra job costs more
+    // than the second tokenize+hash pass at any measured scale.
+    // Recompute deliberately kept (the dedupNgram trade, same file).
     val sh = table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
       .distinct()
