@@ -95,7 +95,24 @@ object Bench {
     // (sec = -1 sentinel) are excluded, so sum(queries ok) == total
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val yardAfter = yardstick()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"yardstick_s":{"before":$yardBefore,"after":$yardAfter},"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"yardstick_s":{"before":$yardBefore,"after":$yardAfter},"sf":"$sfDir"}"""
+    println(fullLine)
+    // r19 measurement-contract repair: at 179 queries the full line is
+    // ~5.3 KB, but the driver keeps only a ~2 KB tail of this process's
+    // output — since r14 every PERF_r*.json has had parsed:null and an
+    // empty per_query map. The full line above is kept verbatim (local
+    // artifacts and humans read it); the per-query map additionally
+    // lands in a sidecar FILE, and the LAST line printed is a compact
+    // (<1 KB) JSON carrying the totals, guaranteed to fit any tail
+    // window. Same timings, same methodology — output plumbing only.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
+      "bench_last_queries.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sidecar), fullLine + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"sidecar write failed: $t") }
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"yardstick_s":{"before":$yardBefore,"after":$yardAfter},"queries_sidecar":"$sidecar","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

@@ -79,12 +79,14 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "67108864"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // r18 (guide §2.2, fewer/larger reduce partitions): coalesce
-      // post-shuffle partitions to the advisory TARGET SIZE instead of
-      // stopping early to preserve parallelism — Spark's own docs
-      // recommend false in production; explicit repartition() calls
-      // (the fanOut path) are never AQE-coalesced, so CPU-heavy narrow
-      // chains keep their width. Env-overridable.
+      // r18 negative result, value = Spark's DEFAULT (true): coalescing
+      // to the advisory target size (false) was measured on a 12-query
+      // basket and REJECTED — q_profile 1.40×, q_window_funcs 1.36×,
+      // q_source_overlap 1.29× WORSE (CPU-dense-per-byte stages lose
+      // their parallelism at sf0.1). The config line exists only as an
+      // env-overridable A/B knob so the next round need not re-try it
+      // blind; explicit repartition() calls (the fanOut path) are never
+      // AQE-coalesced either way.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       // r18 (guide §3.1): let the planner pick SHUFFLED HASH over

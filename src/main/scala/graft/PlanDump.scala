@@ -12,6 +12,10 @@ package graft
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: runMain graft.PlanDump <tag> <outDir> <q1,q2,...>")
+      sys.exit(2)
+    }
     val Array(tag, outDir, names) = args.take(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,11 +37,17 @@ object PlanDump {
         out ++= s"===== $name ($tag) — explain formatted =====\n"
         out ++= df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        df.write.format("noop").mode("overwrite").save()
+        // r19 (ADVICE): a noop WRITE runs a separate QueryExecution, so
+        // df.queryExecution.executedPlan was never executed and every
+        // dump printed isFinalPlan=false. Executing the df's OWN plan
+        // (AdaptiveSparkPlanExec.execute materializes all query stages
+        // and re-optimizes) makes the printed plan the genuinely final
+        // post-AQE one.
+        df.queryExecution.executedPlan.execute().count()
         out ++= s"\n===== $name ($tag) — final plan after AQE =====\n"
         out ++= df.queryExecution.executedPlan.toString
       } catch {
-        case t: Throwable => out ++= s"ERR ${t.getMessage}\n"
+        case t: Throwable => out ++= s"ERR $t\n"
       }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outDir, s"${name}_$tag.txt"), out.toString)

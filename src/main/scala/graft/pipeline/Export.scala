@@ -34,7 +34,24 @@ object Export {
     Files.writeString(out.resolve(s"$db.$tbl-schema.sql"),
       MysqlDdl.render(schema) + "\n")
     val tmp = out.resolve(s"_$tbl.tmpdir")
-    InsertDumpWriter.statements(df.repartition(shards), tbl, rowsPerStatement)
+    // SPARK-23207 guard: a keyless repartition(shards) assigns rows
+    // round-robin by INPUT ORDER, and the graft sessions run with
+    // sortBeforeRepartition=false — safe only when this df's row order
+    // is reproducible under task retry. Export takes CALLER-supplied
+    // dfs, so the decision is made from the plan, not a comment: a
+    // narrow deterministic chain over leaf relations keeps the cheap
+    // round-robin (even shards, no sort); any other shape — exchanges,
+    // aggregations, nondeterministic expressions, where a retried task
+    // can see a permuted row order — shards by a deterministic HASH of
+    // the full row instead, which is order-insensitive by construction
+    // (a retry re-hashes the same values to the same shard). The hash
+    // spread can leave a shard empty for tiny pathological inputs;
+    // correctness of the dump outranks an even file count there.
+    val spread =
+      if (orderStableOnRetry(df)) df.repartition(shards)
+      else df.repartition(shards, org.apache.spark.sql.functions.xxhash64(
+        df.columns.map(org.apache.spark.sql.functions.col): _*))
+    InsertDumpWriter.statements(spread, tbl, rowsPerStatement)
       .write.mode("overwrite").text(tmp.toString)
     val parts = listDir(tmp)
       .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
@@ -60,6 +77,23 @@ object Export {
       val df = spark.read.parquet(s"$warehouseDir/$dirName")
       tbl -> table(df, db, tbl, outDir, rowsPerStatement, shards)
     }.toMap
+  }
+
+  /** Whether `df`'s row order is reproducible when a task re-runs —
+    * the condition under which an unsorted round-robin repartition is
+    * retry-safe. True only for a narrow deterministic chain over leaf
+    * relations (file scan / local rows): a file split re-reads in the
+    * same order. Any exchange upstream (including graft's own fanOut
+    * repartition) makes downstream row order depend on shuffle-fetch
+    * arrival, and nondeterministic expressions re-draw on retry.
+    */
+  private[pipeline] def orderStableOnRetry(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    df.queryExecution.optimizedPlan.find {
+      case p @ (_: LeafNode | _: Project | _: Filter) =>
+        !p.expressions.forall(_.deterministic)
+      case _ => true
+    }.isEmpty
   }
 
   // directory streams hold an OS fd until closed — always drain

@@ -43,4 +43,38 @@ class ExportSpec extends SparkSpec {
     val n = spark.read.parquet(s"$tgt/exp.nation").count()
     assert(n === graft.GraftSession.table(spark, sf(), "nation").count())
   }
+
+  test("a non-scan-rooted df exports via the order-insensitive hash spread") {
+    // plan-shape classifier: a raw scan keeps the cheap round-robin;
+    // anything with an exchange upstream (here: an aggregation, and the
+    // fanOut path's repartition) must not — its row order can permute
+    // under task retry, which round-robin-without-sort turns into
+    // silent row loss/duplication (SPARK-23207)
+    // NB GraftSession.table would NOT qualify — its fanOut can add a
+    // keyless repartition, after which downstream order is fetch-order
+    val scan = spark.read.parquet(s"${sf()}/nation.parquet")
+      .where(col("n_nationkey") >= 0).select("n_nationkey", "n_name")
+    val agg = graft.GraftSession.table(spark, sf(), "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"),
+        sum("o_totalprice").as("total"))
+    assert(!Export.orderStableOnRetry(agg), "post-aggregation order is not retry-stable")
+
+    // and the hash-spread path round-trips every row byte-exactly
+    val out = Files.createTempDirectory("graft_export_agg").toString
+    Export.table(agg, "exp", "custagg", out, shards = 3)
+    val tgt = Files.createTempDirectory("graft_export_agg_reimp").toString
+    val reports = Ingest.run(spark, Ingest.Config(out, tgt))
+    assert(reports.forall(_.checksumOk))
+    // the re-import may carry pipeline bookkeeping columns — compare
+    // exactly the exported ones
+    val back = spark.read.parquet(s"$tgt/exp.custagg")
+      .select(agg.columns.map(col): _*)
+    assert(back.count() === agg.count())
+    assert(back.exceptAll(agg).isEmpty && agg.exceptAll(back).isEmpty)
+    // the scan-side classification is exercised by the first test's
+    // Export.run (parquet scans); pin it explicitly too
+    assert(Export.orderStableOnRetry(
+      spark.read.parquet(s"$tgt/exp.custagg")))
+    assert(Export.orderStableOnRetry(scan))
+  }
 }
