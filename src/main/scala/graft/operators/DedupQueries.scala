@@ -260,7 +260,12 @@ object DedupQueries {
     // broadcast, never a second full shuffle of the shingle set
     val hot = raw.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") > DfCap).select("h")
+    // r19: spreadByH before the distinct — the explicit h-partitioning
+    // replaces the distinct's own exchange and feeds both self-join
+    // sides through the cache, so the pair fan-out below runs at full
+    // width instead of AQE-coalesced ~1 task (see [[spreadByH]])
     val sh = raw.join(broadcast(hot), Seq("h"), "left_anti")
+      .transform(spreadByH)
       .distinct().cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), "h")
@@ -276,7 +281,7 @@ object DedupQueries {
       .select("doc_a", "doc_b", "inter", "jaccard")
       .orderBy("doc_a", "doc_b")
     // materialize the (small) pair set, then release the shingle cache
-    val out = pairs.localCheckpoint(true)
+    val out = graft.PlanProbe.dump(pairs, "dedup_ngram_pairs").localCheckpoint(true)
     sh.unpersist(false)
     out
   }
@@ -315,17 +320,45 @@ object DedupQueries {
     // min() is duplicate-insensitive and count-over-distinct IS the
     // distinct count, so every output value is bit-identical; no
     // object buffer, no sort fallback, whole-stage codegen end to end.
-    val aggCols =
-      count(lit(1)).as("n") +:
-        (0 until MinhashK).map { i =>
-          min((lit(hashA(i)) * pmod(col("h"), lit(M31)) + lit(hashB(i))) % M31)
-            .as(s"mh$i")
-        }
-    minhashShingleRel(spark, sfDir)
-      .distinct()
-      .groupBy("doc_id")
-      .agg(aggCols.head, aggCols.tail: _*)
-  }
+    // r19 A/B arm (VERDICT #2): the pre-r18 one-pass collect_set form,
+    // re-enableable by env so both shapes interleave-bench in ONE
+    // binary. Values are bit-identical (min over raw = min over
+    // distinct; size(collect_set) = count over distinct).
+    if (sys.env.get("SPARK_GRAFT_MINHASH_SIG").contains("collectset")) {
+      val aggCols =
+        collect_set(col("h")).as("hs") +:
+          (0 until MinhashK).map { i =>
+            min((lit(hashA(i)) * pmod(col("h"), lit(M31)) + lit(hashB(i))) % M31)
+              .as(s"mh$i")
+          }
+      minhashShingleRel(spark, sfDir)
+        .groupBy("doc_id")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("n", size(col("hs")).cast("long"))
+        .drop("hs")
+    } else {
+      val aggCols =
+        count(lit(1)).as("n") +:
+          (0 until MinhashK).map { i =>
+            min((lit(hashA(i)) * pmod(col("h"), lit(M31)) + lit(hashB(i))) % M31)
+              .as(s"mh$i")
+          }
+      // r19 (guide §2.5): one EXPLICIT doc_id exchange replaces both of
+      // the r18 form's exchanges — doc_id ⊂ (doc_id, h) satisfies the
+      // distinct's clustering and doc_id the groupBy's, so dedup and
+      // the 13-aggregate pass both run partition-local above it at the
+      // explicit width (the r18 shape paid a (doc_id, h) shuffle for
+      // the distinct and a second doc_id shuffle for the groupBy).
+      minhashShingleRel(spark, sfDir)
+        .repartition(
+          spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(aggCols.head, aggCols.tail: _*)
+    }
+  }.transform(graft.PlanProbe.dump(_,
+    "minhash_signatures_" +
+      sys.env.getOrElse("SPARK_GRAFT_MINHASH_SIG", "distinct")))
 
   private def minhashShingleRel(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
@@ -368,13 +401,35 @@ object DedupQueries {
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
     val shC = minhashShingleRel(spark, sfDir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .transform(spreadByH)
       .distinct()
+      .transform(graft.PlanProbe.dump(_, "minhash_exact_shC"))
       .localCheckpoint(true)
     shC.as("a").join(shC.as("b"), "h")
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
   }
+
+  /** r19 (guide §2.5, the [[dedupEditDist]] C3 pattern applied to the
+    * exact-intersection self-joins): the (doc_id, h) relation is
+    * BYTES-small (16 B/row) but its h-keyed self-join fans out to the
+    * pair relation and pays a count per pair row — AQE's size-based
+    * coalesce collapses the exchanges feeding it to ~1 partition and
+    * runs the whole intersection single-threaded. An EXPLICIT-count
+    * hash repartition ON h placed BEFORE the distinct does double
+    * duty: h ⊂ (doc_id, h) satisfies the distinct's clustering (no
+    * extra exchange vs the status quo — it REPLACES the distinct's
+    * own), and the surviving h-partitioning feeds both self-join
+    * sides, so the join itself needs NO exchange and keeps the full
+    * explicit width. Hot-h skew is pre-bounded on both call sites
+    * (dedupNgram drops df>DfCap shingles first; minhashExactInter is
+    * semi-filtered to candidate docs). Env-revertable for A/B.
+    */
+  private def spreadByH(df: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_PAIR_SPREAD").contains("off")) df
+    else df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col("h"))
 
   /** MinHash + banded LSH near-dup detection: k=12 md5-family hashes,
     * 6 bands × 2 rows, candidates verified with exact Jaccard ≥ 0.5.
@@ -395,7 +450,7 @@ object DedupQueries {
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
     // materialize the (small) pair set, then release the signature cache
-    val out = pairs.localCheckpoint(true)
+    val out = graft.PlanProbe.dump(pairs, "dedup_minhash_pairs").localCheckpoint(true)
     docs.unpersist(false)
     out
   }
@@ -576,8 +631,15 @@ object DedupQueries {
     * blocked-join discipline with the source domain as the bound.
     */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    // r19: same [[spreadByH]] discipline as the exact-intersection
+    // joins — the explicit h exchange replaces the distinct's own
+    // (source,h) exchange, is identical under every consumer (so
+    // ReuseExchange collapses the three derivations to ONE shingle
+    // pass), and feeds both self-join sides at full width with no
+    // further exchange. Per-h fanout stays bounded by the source count.
     val sh = table(spark, sfDir, "documents")
       .select(col("source"), explode(shingleHashes(col("text"))).as("h"))
+      .transform(spreadByH)
       .distinct()
     val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = sh.as("a").join(sh.as("b"),
@@ -739,6 +801,11 @@ object DedupQueries {
     // their id, evens shift by 700000 — every doc contributes exactly
     // one batch row), so the batch is ONE projection of one scan, not
     // two scans glued by a union (guide §2.4); same rows exactly.
+    // NULL precondition (r19 ADVICE note): the old pmod filters dropped
+    // a NULL doc_id from BOTH legs, while when/otherwise keeps it
+    // (NULL falls to otherwise, stays NULL). documents.doc_id is the
+    // generated corpus's non-null key, so the two forms are identical
+    // here — this rewrite does NOT transfer to a nullable-id source.
     val batch = docs
       .select(when(pmod(col("doc_id"), lit(2)) === 1, col("doc_id"))
         .otherwise(col("doc_id") + 700000).as("doc_id"), fp.as("fp"))

@@ -899,6 +899,13 @@ object TextQueries {
       .where(col("df") <= WinnowDfCap).select("fp")
 
   private def winnowPairsFrom(fps: DataFrame): DataFrame = {
+    // r19 audit: an explicit fp-keyed repartition here (the DedupQueries
+    // spreadByH pattern) was measured and REJECTED — interleaved A/B
+    // read 1.22x WORSE on q_winnow_pairs in both rounds
+    // (BENCH_r19 ab_new vs ab_old artifacts). Unlike the dedup sites,
+    // `fps` arrives eagerly checkpointed at the winnow query's full
+    // width, so the df-capped self-join below already runs parallel off
+    // the checkpoint blocks and the extra exchange is pure cost.
     val rf = fps.join(rareWinnowFps(fps), Seq("fp"), "left_semi")
     rf.as("a").join(rf.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -3010,6 +3017,16 @@ object TextQueries {
     * shuffle keys on token text — Zipf skew on the model side is
     * bounded because the join's build relations are counts, not
     * occurrences; AQE handles the probe side. Linear at 100 TB.
+    *
+    * Materialization trade (r19): `uni` is vocab-sized — bounded at
+    * any corpus, always worth materializing for its three consumers.
+    * `occ` is corpus-scale but already the COMPRESSED ledger (distinct
+    * bigrams per doc, two words + a count — far smaller than the raw
+    * text it derives from); its checkpoint buys back a full
+    * scan→tokenize→explode→aggregate pass (the single most CPU-dense
+    * stage here), which is the §5 recompute-vs-memory trade in the
+    * direction that favors materializing. On a cluster the equivalent
+    * is a persist(MEMORY_AND_DISK) scoped to the job.
     */
   def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val all = table(spark, sfDir, "documents")
@@ -3022,13 +3039,25 @@ object TextQueries {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val train = all.where(col("doc_id") % 2 === 0)
     val trTok = train.select(explode(col("t")).as("w"))
-    val uni = trTok.groupBy("w").agg(count(lit(1)).as("c1"))
-    val nTr = trTok.agg(count(lit(1)).as("n"))
-    // ONE bigram pass over the corpus: the per-doc occurrence ledger is
-    // built once, and the training bigram counts fold out of it (the
-    // training half's ledger rows re-aggregated) instead of exploding
-    // the training documents a second time.
-    val occ = bigramsOf(all).groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    // r19 (guide §2.4, VERDICT #3): the model relations were DERIVED
+    // shapes that re-ran scan→tokenize→explode per consumer — uni fed
+    // two broadcast joins plus (via the old trTok count) the token
+    // total, and the occurrence ledger's %2 train fold split from its
+    // probe use, so the bigram explode ran twice. Materializing the
+    // two BOUNDED model relations once (uni is vocab-sized, occ is the
+    // pre-aggregated per-doc ledger) cuts the tokenize/explode passes
+    // from five to two; the token total then folds out of uni
+    // (sum of per-word counts IS the token count — same long, exactly)
+    // instead of paying its own pass. Env-revertable for A/B.
+    val lmOld = sys.env.get("SPARK_GRAFT_LM_CKPT").contains("off")
+    val uni0 = trTok.groupBy("w").agg(count(lit(1)).as("c1"))
+    val uni = if (lmOld) uni0
+      else graft.PlanProbe.dump(uni0, "lm_uni").localCheckpoint(true)
+    val nTr = if (lmOld) trTok.agg(count(lit(1)).as("n"))
+      else uni.agg(sum(col("c1")).as("n"))
+    val occ0 = bigramsOf(all).groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    val occ = if (lmOld) occ0
+      else graft.PlanProbe.dump(occ0, "lm_occ").localCheckpoint(true)
     val big = occ.where(col("doc_id") % 2 === 0)
       .groupBy("w1", "w2").agg(sum("k").as("c2"))
     val s = when(col("c2").isNotNull,
